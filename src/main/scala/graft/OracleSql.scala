@@ -1,0 +1,383 @@
+package graft
+
+import scala.collection.immutable.ListMap
+
+/** DuckDB oracle SQL — one ANSI twin per SparkEntry query.
+  *
+  * Cross-engine determinism contract (SURVEY §7.3):
+  *  - total ORDER BY with unique tiebreaker everywhere;
+  *  - integer outputs are BIGINT (or INT) in BOTH engines — DuckDB's
+  *    HUGEINT sums and INTEGER row_numbers are cast explicitly;
+  *  - fractional literals are CAST(x AS DOUBLE) so DuckDB does the same
+  *    IEEE-754 arithmetic as Spark instead of exact DECIMAL math;
+  *  - hashes are md5 (identical bytes in any engine), never an
+  *    engine-private hash function;
+  *  - regexp_replace carries the 'g' flag (DuckDB default replaces only
+  *    the first match; Spark replaces all).
+  */
+object OracleSql {
+
+  // 3-token shingle list, distinct, for docs with ≥3 tokens (DuckDB 1-based
+  // list indexing).
+  private val shinglesCte =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, s FROM
+      |  (SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+      |     i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+      |   FROM toks WHERE len(t) >= 3))""".stripMargin
+
+  private def minhashSig(bands: Int, rows: Int): String = {
+    val aggs = (for (b <- 0 until bands; r <- 0 until rows)
+      yield s"min(md5('${b}_${r}_' || s)) AS h_${b}_$r").mkString(", ")
+    s"sig AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id)"
+  }
+
+  private def minhashPairs(bands: Int, rows: Int): String =
+    (0 until bands).map { b =>
+      val on = (0 until rows).map(r => s"a.h_${b}_$r = b.h_${b}_$r").mkString(" AND ")
+      s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON $on AND a.doc_id < b.doc_id"
+    }.mkString(" UNION ")
+
+  private val simhashVotes = (0 until 16).map(i =>
+    s"sum(tf * (CASE WHEN ((hv >> $i) & 1) = 1 THEN 1 ELSE -1 END)) AS v_$i").mkString(", ")
+  private val simhashBits = (0 until 16).map(i =>
+    s"(CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+
+  private def profileList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val all: Map[String, String] = ListMap(
+    "q01_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem WHERE l_quantity > 30 AND l_returnflag = 'A'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_label_encode" ->
+      """SELECT event_id, CASE WHEN value > 100 THEN 1 ELSE 0 END AS label
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q03_group_count" ->
+      "SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id ORDER BY user_id",
+
+    "q04_rownum_split" ->
+      """WITH w AS (SELECT event_id, user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS u_cnt FROM events)
+        |SELECT event_id, rn,
+        |  CASE WHEN rn >= u_cnt - 10 THEN 2
+        |       WHEN rn < (u_cnt - 10) * CAST(0.8 AS DOUBLE) THEN 0
+        |       ELSE 1 END AS istest,
+        |  user_id * 1000000 + rn AS queryid
+        |FROM w ORDER BY event_id""".stripMargin,
+
+    "q05_collect_list_ordered" ->
+      """SELECT user_id, list(event_id ORDER BY ts, event_id) AS event_ids
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q06_collect_set" ->
+      """SELECT l_orderkey, list(rf ORDER BY rf) AS flags
+        |FROM (SELECT DISTINCT l_orderkey, l_returnflag AS rf FROM lineitem)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "q07_left_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, n_name
+        |FROM orders
+        |LEFT JOIN customer ON o_custkey = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_pit_window" ->
+      """WITH l AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN value > 100 THEN 1 ELSE 0 END AS label FROM events)
+        |SELECT event_id,
+        |  count(*) OVER w AS pit_imp,
+        |  CAST(coalesce(sum(label) OVER w, 0) AS BIGINT) AS pit_clk
+        |FROM l
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
+
+    "q11_user_snapshot" ->
+      """WITH l AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN value > 100 THEN 1 ELSE 0 END AS label FROM events),
+        |s AS (SELECT user_id,
+        |  count(*) OVER w AS snap_imp,
+        |  CAST(coalesce(sum(label) OVER w, 0) AS BIGINT) AS snap_clk,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rdesc
+        |FROM l
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 10 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, snap_imp, snap_clk FROM s WHERE rdesc = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q12_multi_hot" -> {
+      val flags = Seq("widget", "bolt", "rod", "gear", "small", "large")
+        .map(v => s"CAST(list_contains(string_split(p_name, ' '), '$v') AS INT) AS has_$v")
+        .mkString(", ")
+      s"SELECT p_partkey, $flags FROM part ORDER BY p_partkey"
+    },
+
+    "q13_dict_encode" ->
+      """SELECT c_custkey,
+        |  CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 1 WHEN 'BUILDING' THEN 2
+        |       WHEN 'FURNITURE' THEN 3 WHEN 'HOUSEHOLD' THEN 4
+        |       WHEN 'MACHINERY' THEN 5 ELSE 0 END AS seg_code
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q14_zscore" ->
+      """WITH s AS (SELECT
+        |  CASE WHEN avg(l_extendedprice) IS NULL THEN CAST(0 AS DOUBLE)
+        |       ELSE avg(l_extendedprice) END AS m,
+        |  CASE WHEN coalesce(stddev_samp(l_extendedprice), 0) <= 0 THEN CAST(1 AS DOUBLE)
+        |       ELSE stddev_samp(l_extendedprice) END AS sd
+        |  FROM lineitem WHERE l_returnflag <> 'R')
+        |SELECT l_orderkey, l_linenumber,
+        |  round((l_extendedprice - s.m) / s.sd, 4) AS z
+        |FROM lineitem, s ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q15_const_prune" -> {
+      val cols = Seq("l_linestatus", "l_quantity", "l_returnflag", "l_tax")
+      cols.map(c =>
+        s"SELECT '$c' AS col_name, count(DISTINCT $c) AS n_distinct, " +
+          s"CAST(count(DISTINCT $c) > 1 AS INT) AS keep FROM lineitem")
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+
+    "q16_topk_per_group" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn <= 3
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q17_global_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q18_hybrid_union" ->
+      """WITH a AS (SELECT o_custkey, CAST(count(*) AS DOUBLE) * CAST(0.1 AS DOUBLE) AS score
+        |  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+        |b AS (SELECT o_custkey, CAST(count(*) AS DOUBLE) * CAST(0.9 AS DOUBLE) AS score
+        |  FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT o_custkey, round(sum(score), 4) AS score FROM u GROUP BY o_custkey
+        |ORDER BY score DESC, o_custkey LIMIT 100""".stripMargin,
+
+    "q19_mean_std_group" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(avg(l_quantity), 4) AS mean_qty,
+        |  round(stddev_samp(l_quantity), 4) AS std_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q20_max_cardinality" ->
+      """SELECT 'events.user_id' AS feat, CAST(max(user_id) + 1 AS BIGINT) AS cardinality FROM events
+        |UNION ALL
+        |SELECT 'customer.c_nationkey', CAST(max(c_nationkey) + 1 AS BIGINT) FROM customer
+        |UNION ALL
+        |SELECT 'lineitem.l_linenumber', CAST(max(l_linenumber) + 1 AS BIGINT) FROM lineitem
+        |ORDER BY feat""".stripMargin,
+
+    "q21_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q22_sessionize" ->
+      """WITH w AS (SELECT event_id, user_id, ts,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS nb
+        |  FROM w)
+        |SELECT event_id, user_id,
+        |  CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM b ORDER BY event_id""".stripMargin,
+
+    "q23_token_tf" ->
+      """SELECT token, count(*) AS tf FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY token""".stripMargin,
+
+    "q24_dedup_exact" ->
+      """SELECT min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY canonical_id""".stripMargin,
+
+    "q25_auc_sql" ->
+      """WITH scored AS (SELECT event_id,
+        |  CASE WHEN value > 100 THEN 1 ELSE 0 END AS label,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS score FROM events),
+        |ranked AS (SELECT label,
+        |  row_number() OVER (ORDER BY score, event_id) AS r FROM scored)
+        |SELECT round(
+        |  (CAST(sum(CASE WHEN label = 1 THEN r ELSE 0 END) AS DOUBLE)
+        |     - CAST(sum(label) AS DOUBLE) * (sum(label) + 1) / 2)
+        |  / (CAST(sum(label) AS DOUBLE) * (count(*) - sum(label))), 6) AS auc
+        |FROM ranked""".stripMargin,
+
+    "q26_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |  list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM n a, n b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM r WHERE rn <= 5
+        |ORDER BY vec_id, neighbor_id""".stripMargin,
+
+    "q27_minhash_neardup" ->
+      s"""WITH $shinglesCte,
+         |${minhashSig(4, 2)},
+         |pairs AS (${minhashPairs(4, 2)})
+         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q28_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, tok, count(*) AS tf,
+         |  ('0x' || substr(md5(tok), 1, 4))::INT AS hv FROM
+         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY doc_id, tok),
+         |v AS (SELECT doc_id, $simhashVotes FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash FROM v
+         |ORDER BY doc_id""".stripMargin,
+
+    "q29_lsh_jaccard" ->
+      s"""WITH $shinglesCte,
+         |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |m AS (SELECT doc_id, min(md5(s)) AS h FROM sh GROUP BY doc_id),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |com AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT com.doc_a, com.doc_b,
+         |  round(CAST(com.c AS DOUBLE) / (sa.n + sb.n - com.c), 6) AS jaccard
+         |FROM com
+         |JOIN szs sa ON sa.doc_id = com.doc_a
+         |JOIN szs sb ON sb.doc_id = com.doc_b
+         |ORDER BY com.doc_a, com.doc_b""".stripMargin,
+
+    "q30_langid" -> {
+      val Seq(sql, infra, data) = Seq("sql", "infra", "data")
+      val profs = Map(
+        "sql" -> Seq("join", "filter", "group", "query", "sort", "agg"),
+        "infra" -> Seq("spark", "stream", "batch", "hash", "merge", "scan"),
+        "data" -> Seq("data", "row", "column", "table", "value", "vector"))
+      val scores = Seq("sql", "infra", "data").map(p =>
+        s"CAST(len(list_filter(tk, x -> list_contains(${profileList(profs(p))}, x))) AS BIGINT) AS score_$p")
+        .mkString(", ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |sc AS (SELECT doc_id, $scores FROM t)
+         |SELECT doc_id, score_sql, score_infra, score_data,
+         |  CASE WHEN score_sql >= score_infra AND score_sql >= score_data THEN 'sql'
+         |       WHEN score_infra >= score_data THEN 'infra'
+         |       ELSE 'data' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "q31_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens,
+        |  round(CAST(len(list_filter(tk, x -> list_contains(['the', 'a'], x))) AS DOUBLE)
+        |    / CAST(len(tk) AS DOUBLE), 4) AS stop_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, stop_ratio,
+        |  round(least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE))
+        |    * (CAST(1.0 AS DOUBLE) - stop_ratio), 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q32_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(ceil(CAST(length(text) AS DOUBLE) / CAST(4.0 AS DOUBLE)) AS BIGINT) AS bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q34_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS sim
+        |FROM n a, n b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) > CAST(0.35 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q35_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8 AS bucket
+        |  FROM e),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |  list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM r WHERE rn <= 3
+        |ORDER BY vec_id, neighbor_id""".stripMargin,
+
+    "q36_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  ascii(substr(text, 1, 1)) AS first_byte,
+        |  round(CAST(ascii(substr(text, 1, 1)) AS DOUBLE) / CAST(255.0 AS DOUBLE), 6) AS fake_feature
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q37_serving_snapshot" ->
+      """WITH f AS (SELECT user_id, count(*) AS n_seen FROM events GROUP BY user_id),
+        |t AS (SELECT user_id,
+        |  array_to_string(list(event_type ORDER BY event_type), ',') AS term_str
+        |  FROM (SELECT user_id, event_type FROM events
+        |        GROUP BY user_id, event_type HAVING count(*) >= 3)
+        |  GROUP BY user_id)
+        |SELECT c_custkey AS user_id,
+        |  coalesce(t.term_str, '') AS term_str,
+        |  CAST(coalesce(f.n_seen, 0) AS BIGINT) AS n_seen
+        |FROM customer
+        |LEFT JOIN f ON f.user_id = c_custkey
+        |LEFT JOIN t ON t.user_id = c_custkey
+        |WHERE c_custkey < 200 ORDER BY user_id""".stripMargin,
+
+    "q38_request_response" ->
+      """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
+        |  FROM customer WHERE c_custkey < 100),
+        |parsed AS (SELECT CAST(json_extract_string(req_json, '$.userid') AS BIGINT) AS user_id
+        |  FROM requests),
+        |clicks AS (SELECT user_id, event_type, count(*) AS c FROM events
+        |  WHERE value > 100 GROUP BY user_id, event_type),
+        |types AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS event_type),
+        |cand AS (SELECT p.user_id, t.event_type,
+        |  CAST(coalesce(c.c, 0) AS BIGINT) AS score
+        |  FROM parsed p CROSS JOIN types t
+        |  LEFT JOIN clicks c ON c.user_id = p.user_id AND c.event_type = t.event_type),
+        |r AS (SELECT user_id, event_type, score,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY score DESC, event_type) AS rn
+        |  FROM cand)
+        |SELECT user_id, event_type, score, rn,
+        |  '{"userid":' || user_id || ',"itemid":"' || event_type || '","score":' || score || '}' AS resp
+        |FROM r WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+  )
+}

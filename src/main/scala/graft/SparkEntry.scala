@@ -1,13 +1,350 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import graft.operators.{DedupOps, RelationalOps, SimilarityOps, TextOps}
+
+/** Driver contract (SURVEY.md §7): named deterministic queries over the
+  * testdata tables, each with a DuckDB-oracle SQL twin. Query keys map to
+  * SURVEY §2 operator IDs (noted per query). Determinism rules (§7.3):
+  * every query ends in a total ORDER BY with a unique tiebreaker, arrays
+  * are sorted, floating outputs rounded, int outputs typed BIGINT/INT
+  * identically in both engines, and md5-seeded hashing replaces any
+  * engine-private hash.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  private val HOLD_N = 10
+  private val TEST_RATIO = 0.2
+  private val CLICK_THRESHOLD = 100.0
+  private val PIT_FRAME = 10
+
+  private val SEG_CODES = Map("AUTOMOBILE" -> 1, "BUILDING" -> 2,
+    "FURNITURE" -> 3, "HOUSEHOLD" -> 4, "MACHINERY" -> 5)
+  private val NAME_VOCAB = Seq("widget", "bolt", "rod", "gear", "small", "large")
+  private val LANG_PROFILES = Seq(
+    "sql"   -> Seq("join", "filter", "group", "query", "sort", "agg"),
+    "infra" -> Seq("spark", "stream", "batch", "hash", "merge", "scan"),
+    "data"  -> Seq("data", "row", "column", "table", "value", "vector"))
+  private val STOPWORDS = Seq("the", "a")
+  private val EVENT_TYPES = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Flagship.recommend(spark, "/root/testdata/sf0.001")
+
+  /** Events with the implicit-feedback label (P1 analogue on testdata). */
+  private def labeled(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("label", when(col("value") > CLICK_THRESHOLD, 1).otherwise(0))
+
+  private val userOrder = Seq(col("ts"), col("event_id"))
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+    // S3/P2/P3/O1 — scan with pushed filter + ordered projection.
+    "q01_scan_filter_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") > 30 && col("l_returnflag") === "A")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P1 — implicit label encode.
+    "q02_label_encode" -> ((s, d) =>
+      labeled(s, d).select("event_id", "label").orderBy("event_id")),
+
+    // A1 — group count.
+    "q03_group_count" -> ((s, d) =>
+      Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .orderBy("user_id")),
+
+    // W1/W4/W5 — per-user row number, 3-way time split, deterministic
+    // queryid (key-composed, not a global window — scale-safe).
+    "q04_rownum_split" -> ((s, d) => {
+      val rn = RelationalOps.rowNumber(Tables.events(s, d), "user_id", userOrder)
+      RelationalOps.threeWaySplit(
+          rn.withColumn("u_cnt", count(lit(1)).over(Window.partitionBy("user_id"))),
+          "rn", "u_cnt", HOLD_N, TEST_RATIO)
+        .select(col("event_id"), col("rn").cast("long").as("rn"), col("istest"),
+          (col("user_id") * 1000000L + col("rn")).as("queryid"))
+        .orderBy("event_id")
+    }),
+
+    // A2 — order-preserving collect_list.
+    "q05_collect_list_ordered" -> ((s, d) =>
+      RelationalOps.orderedCollectList(Tables.events(s, d), "user_id",
+          "event_id", Seq("ts", "event_id"), "event_ids")
+        .select("user_id", "event_ids").orderBy("user_id")),
+
+    // A3 — collect_set, sorted for determinism.
+    "q06_collect_set" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_returnflag"))).as("flags"))
+        .orderBy("l_orderkey")),
+
+    // J2/J3 — 3-way left join; dims broadcast.
+    "q07_left_join" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "left")
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"), "left")
+        .select("o_orderkey", "o_custkey", "c_name", "n_name")
+        .orderBy("o_orderkey")),
+
+    // J7 — anti-join (the seen-item filter shape: customers with no
+    // high-value order).
+    "q08_anti_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 200000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // J8 — semi-join (customers with at least one order).
+    "q09_semi_join" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")),
+
+    // W2/J4 — the crown jewel: point-in-time frame (prev ≤10 rows, strictly
+    // before current) per user.
+    "q10_pit_window" -> ((s, d) =>
+      RelationalOps.pitWindow(labeled(s, d), "user_id", userOrder, "label", PIT_FRAME)
+        .select(col("event_id"), col("pit_imp"), col("pit_clk").cast("long").as("pit_clk"))
+        .orderBy("event_id")),
+
+    // W3 — user snapshot: last ≤11 rows, evaluated at each user's last row.
+    "q11_user_snapshot" -> ((s, d) =>
+      RelationalOps.userSnapshot(labeled(s, d), "user_id", userOrder, "label", PIT_FRAME)
+        .select(col("user_id"), col("snap_imp"), col("snap_clk").cast("long").as("snap_clk"))
+        .orderBy("user_id")),
+
+    // P6/F1 — multi-hot membership flags over tokenized p_name.
+    "q12_multi_hot" -> ((s, d) =>
+      RelationalOps.multiHot(
+          Tables.part(s, d).withColumn("__toks", split(col("p_name"), " ")),
+          col("__toks"), NAME_VOCAB, "has_")
+        .select((Seq(col("p_partkey")) ++ NAME_VOCAB.map(v => col(s"has_$v"))): _*)
+        .orderBy("p_partkey")),
+
+    // P5/F8 — dict-mapping encode with default-0 fallback.
+    "q13_dict_encode" -> ((s, d) =>
+      RelationalOps.dictEncode(Tables.customer(s, d), "c_mktsegment", "seg_code",
+          SEG_CODES)
+        .select("c_custkey", "seg_code").orderBy("c_custkey")),
+
+    // A5/F3 — z-score on train-only stats (train = returnflag <> 'R'),
+    // with the reference's NaN-mean→0 / std≤0→1 guards.
+    "q14_zscore" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      RelationalOps.zscore(li, li.filter(col("l_returnflag") =!= "R"),
+          "l_extendedprice", "z")
+        .select("l_orderkey", "l_linenumber", "z")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // P8/A7 — constant-column prune report.
+    "q15_const_prune" -> ((s, d) =>
+      RelationalOps.constPruneReport(Tables.lineitem(s, d),
+          Seq("l_returnflag", "l_linestatus", "l_quantity", "l_tax"))
+        .orderBy("col_name")),
+
+    // O2/O3 — top-3 lineitems per order by price, deterministic tiebreak.
+    "q16_topk_per_group" -> ((s, d) =>
+      RelationalOps.topKPerGroup(Tables.lineitem(s, d), "l_orderkey",
+          Seq(col("l_extendedprice").desc, col("l_linenumber")), 3)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // O1/O2/O3 — global top-20 with key tiebreak.
+    "q17_global_topk" -> ((s, d) =>
+      Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(20)),
+
+    // R3 — hybrid union retrieval: two boosted channels summed per key.
+    "q18_hybrid_union" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val chanA = o.filter(col("o_orderstatus") === "O").groupBy("o_custkey")
+        .agg((count(lit(1)) * 0.1).as("score"))
+      val chanB = o.filter(col("o_totalprice") > 150000).groupBy("o_custkey")
+        .agg((count(lit(1)) * 0.9).as("score"))
+      RelationalOps.hybridUnion(Seq(chanA, chanB), Seq("o_custkey"), "score")
+        .select(col("o_custkey"), round(col("score"), 4).as("score"))
+        .orderBy(col("score").desc, col("o_custkey")).limit(100)
+    }),
+
+    // A5 — grouped mean/stddev_samp (ddof=1).
+    "q19_mean_std_group" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("l_quantity")), 4).as("mean_qty"),
+          round(stddev_samp(col("l_quantity")), 4).as("std_qty"))
+        .orderBy("l_returnflag")),
+
+    // A6 — max-based cardinality derivation (feat-meta analogue).
+    "q20_max_cardinality" -> ((s, d) => {
+      val feats = Seq(
+        Tables.events(s, d).agg(lit("events.user_id").as("feat"),
+          (max(col("user_id")) + 1).cast("long").as("cardinality")),
+        Tables.customer(s, d).agg(lit("customer.c_nationkey").as("feat"),
+          (max(col("c_nationkey")) + 1).cast("long").as("cardinality")),
+        Tables.lineitem(s, d).agg(lit("lineitem.l_linenumber").as("feat"),
+          (max(col("l_linenumber")) + 1).cast("long").as("cardinality")))
+      feats.reduce(_.unionAll(_)).orderBy("feat")
+    }),
+
+    // F7 — JSON field extraction.
+    "q21_json_extract" -> ((s, d) =>
+      TextOps.jsonExtractLong(Tables.events(s, d), "props", "$.k", "k")
+        .select("event_id", "k").orderBy("event_id")),
+
+    // §2.9 — sessionization (30-min gap) via lag + cumulative sum.
+    "q22_sessionize" -> ((s, d) =>
+      TextOps.sessionize(Tables.events(s, d), "user_id", "ts", "event_id", 1800L)
+        .select("event_id", "user_id", "session_id").orderBy("event_id")),
+
+    // ops/scale — token term frequency over documents.
+    "q23_token_tf" -> ((s, d) =>
+      TextOps.termFrequency(Tables.documents(s, d), "text").orderBy("token")),
+
+    // ops/scale — exact dedup: canonical id per distinct text.
+    "q24_dedup_exact" -> ((s, d) =>
+      DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("canonical_id")),
+
+    // A9 — rank-formula ROC-AUC in pure SQL (deterministic tiebreak).
+    "q25_auc_sql" -> ((s, d) => {
+      val scored = labeled(s, d)
+        .withColumn("score", get_json_object(col("props"), "$.k").cast("long"))
+      val ranked = scored.withColumn("r",
+        row_number().over(Window.orderBy(col("score"), col("event_id"))).cast("long"))
+      ranked.agg(
+        round(
+          (sum(when(col("label") === 1, col("r")).otherwise(0L)).cast("double")
+            - sum(col("label")).cast("double") * (sum(col("label")) + 1) / 2)
+            / (sum(col("label")).cast("double") * (count(lit(1)) - sum(col("label")))),
+          6).as("auc"))
+    }),
+
+    // R2/F4/F5 — brute-force cosine top-5 (exact ANN baseline; LSH/IVF
+    // variant in q35 is the 100 TB path).
+    "q26_cosine_topk" -> ((s, d) =>
+      SimilarityOps.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding", 5)
+        .orderBy("vec_id", "neighbor_id")),
+
+    // ops/scale — banded MinHash LSH near-dup candidate pairs (4 bands × 2
+    // rows, md5-seeded hashes — engine-portable, never O(n²)).
+    "q27_minhash_neardup" -> ((s, d) => {
+      val sh = DedupOps.shingles(Tables.documents(s, d), "doc_id", "text")
+      DedupOps.minhashCandidates(
+          DedupOps.minhashSignature(sh, "doc_id", 4, 2), "doc_id", 4, 2)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // ops/scale — 16-bit SimHash signatures.
+    "q28_simhash" -> ((s, d) =>
+      DedupOps.simhash(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ops/scale — LSH candidates + exact n-gram Jaccard verification.
+    "q29_lsh_jaccard" -> ((s, d) =>
+      DedupOps.lshJaccard(
+          DedupOps.shingles(Tables.documents(s, d), "doc_id", "text"), "doc_id")
+        .orderBy("doc_a", "doc_b")),
+
+    // ops/scale — heuristic language ID (profile-overlap argmax).
+    "q30_langid" -> ((s, d) =>
+      TextOps.langId(Tables.documents(s, d), "doc_id", "text", LANG_PROFILES)
+        .select("doc_id", "score_sql", "score_infra", "score_data", "lang_pred")
+        .orderBy("doc_id")),
+
+    // ops/scale — heuristic quality scoring.
+    "q31_quality" -> ((s, d) =>
+      TextOps.qualityScore(Tables.documents(s, d), "doc_id", "text", STOPWORDS)
+        .select("doc_id", "n_tokens", "stop_ratio", "quality").orderBy("doc_id")),
+
+    // ops/scale — per-document token statistics.
+    "q32_token_stats" -> ((s, d) =>
+      TextOps.tokenStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ops/scale — md5 content fingerprint over normalized text.
+    "q33_fingerprint" -> ((s, d) =>
+      TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ops/scale — embedding-cosine near-dup pairs above threshold.
+    "q34_embedding_neardup" -> ((s, d) =>
+      SimilarityOps.embeddingNearDup(Tables.embeddings(s, d), "vec_id",
+          "embedding", 0.35)
+        .orderBy("id_a", "id_b")),
+
+    // ops/scale — IVF-bucketed ANN top-3 (sign-pattern coarse quantizer).
+    "q35_ann_ivf" -> ((s, d) =>
+      SimilarityOps.annTopK(Tables.embeddings(s, d), "vec_id", "embedding", 3, 4)
+        .orderBy("vec_id", "neighbor_id")),
+
+    // ops/scale — multimodal column plumbing: opaque binary payload +
+    // typed metadata (byte length, content hash, stub "decoded" feature).
+    "q36_multimodal_meta" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("content_md5"),
+          ascii(substring(col("text"), 1, 1)).as("first_byte"))
+        .withColumn("fake_feature", round(col("first_byte") / 255.0, 6))
+        .orderBy("doc_id")),
+
+    // S7/S8/P9/P10/F2 — serving snapshot: per-user term/filter strings
+    // with per-field defaults on miss.
+    "q37_serving_snapshot" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val seen = ev.groupBy("user_id").agg(count(lit(1)).as("n_seen"))
+      val terms = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3)
+        .groupBy("user_id")
+        .agg(array_join(sort_array(collect_list(col("event_type"))), ",").as("term_str"))
+      Tables.customer(s, d).filter(col("c_custkey") < 200)
+        .select(col("c_custkey").as("user_id"))
+        .join(seen, Seq("user_id"), "left")
+        .join(terms, Seq("user_id"), "left")
+        .select(col("user_id"),
+          coalesce(col("term_str"), lit("")).as("term_str"),
+          coalesce(col("n_seen"), lit(0L)).as("n_seen"))
+        .orderBy("user_id")
+    }),
+
+    // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
+    // response build (the online path, batch form).
+    "q38_request_response" -> ((s, d) => {
+      val requests = Tables.customer(s, d).filter(col("c_custkey") < 100)
+        .select(concat(lit("{\"userid\": "), col("c_custkey").cast("string"),
+          lit("}")).as("req_json"))
+        .withColumn("user_id", get_json_object(col("req_json"), "$.userid").cast("long"))
+      val clicks = labeled(s, d).filter(col("label") === 1)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      val cands = requests.crossJoin(
+        s.range(1).select(explode(array(EVENT_TYPES.map(lit): _*)).as("event_type")))
+      val w = Window.partitionBy("user_id").orderBy(col("score").desc, col("event_type"))
+      cands.join(clicks, Seq("user_id", "event_type"), "left")
+        .withColumn("score", coalesce(col("c"), lit(0L)))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_type"), col("score"), col("rn"),
+          concat(lit("{\"userid\":"), col("user_id").cast("string"),
+            lit(",\"itemid\":\""), col("event_type"),
+            lit("\",\"score\":"), col("score").cast("string"), lit("}")).as("resp"))
+        .orderBy("user_id", "rn")
+    })
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline: exact hash
+  * dedup, banded MinHash LSH near-dup, SimHash signatures, and
+  * LSH-candidate + exact n-gram-Jaccard verification.
+  *
+  * Design for 100 TB:
+  *  - never O(n²): candidate pairs come only from LSH band buckets
+  *    (equi-joins Catalyst executes as shuffled hash joins on the band
+  *    key), so cost is Σ bucket² not n²;
+  *  - hash functions are md5-based (seeded by band/row index), i.e.
+  *    engine-portable and deterministic — no RNG, no JVM hashCode;
+  *  - signatures are bounded per doc (bands × rows md5 strings), so
+  *    shuffle volume is O(n), and the same signature table serves both
+  *    near-dup and retrieval-style lookups.
+  */
+object DedupOps {
+
+  /** Exact dedup: group identical texts, keep the smallest id as the
+    * canonical representative. One hash-aggregate shuffle; at scale,
+    * group on md5(text) instead of the full text to cut shuffle bytes.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .select(col("canonical_id"), col("n_copies"))
+
+  /** Distinct w-token shingles per document. Documents with fewer than
+    * `w` tokens produce no shingles (and thus no signature) — matching
+    * the convention that too-short docs can't be near-dup candidates.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String,
+               w: Int = 3): DataFrame = {
+    val idx = (0 until w).map(j => s"t[i + $j]").mkString(", ")
+    df.withColumn("t", split(col(textCol), " "))
+      .filter(size(col("t")) >= w)
+      .select(col(idCol),
+        explode(expr(s"array_distinct(transform(sequence(0, size(t) - $w), " +
+          s"i -> concat_ws(' ', $idx)))")).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signature: for hash function (band b, row r), the minimum of
+    * md5("b_r_" || shingle) over the doc's shingles. The min of a keyed
+    * cryptographic hash is a uniform permutation-min — the classic
+    * MinHash — and the seeded-md5 construction reproduces bit-for-bit in
+    * any engine with md5 (the DuckDB oracle uses the same formula).
+    */
+  def minhashSignature(sh: DataFrame, idCol: String,
+                       bands: Int, rows: Int): DataFrame = {
+    val aggs = for (b <- 0 until bands; r <- 0 until rows)
+      yield min(md5(concat(lit(s"${b}_${r}_"), col("shingle")))).as(s"h_${b}_$r")
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Banded-LSH near-dup candidate pairs: docs agreeing on ALL `rows`
+    * min-hashes of ANY band. Each band is an equi-join on the band
+    * signature (shuffled hash join — never a cross join); the union is
+    * de-duplicated. P(candidate) ≈ 1 − (1 − j^rows)^bands for true
+    * Jaccard j.
+    */
+  def minhashCandidates(sig: DataFrame, idCol: String,
+                        bands: Int, rows: Int): DataFrame = {
+    val perBand = (0 until bands).map { b =>
+      val keys = (0 until rows).map(r => s"h_${b}_$r")
+      val a = sig.select(col(idCol).as("doc_a"),
+        concat_ws("|", keys.map(col): _*).as("__k"))
+      val bb = sig.select(col(idCol).as("doc_b"),
+        concat_ws("|", keys.map(col): _*).as("__k"))
+      a.join(bb, "__k").filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+    }
+    perBand.reduce(_.unionAll(_)).distinct()
+  }
+
+  /** SimHash (16-bit) signature: per-token md5 → 16-bit value; each bit
+    * votes ±tf; signature bit = sign of the vote sum. Hamming-close
+    * signatures ⇒ near-dup. Engine-portable: the token hash is the first
+    * 4 hex chars of md5, parsed base-16.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+    val votes = (0 until 16).map(i =>
+      sum(col("tf") * (expr(s"(hv >> $i) & 1") * 2 - 1)).as(s"v_$i"))
+    val withVotes = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 16).map(i =>
+      when(col(s"v_$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    withVotes.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** LSH-candidate + exact n-gram Jaccard: candidates share their minimum
+    * shingle hash (1 band × 1 row — recall-oriented); each candidate pair
+    * is then verified with the exact Jaccard |A∩B| / |A∪B| over distinct
+    * shingles. The verify join touches only candidate pairs — the
+    * standard scalable near-dup shape (LSH recall, exact precision).
+    */
+  def lshJaccard(sh: DataFrame, idCol: String): DataFrame = {
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val m = sh.groupBy(col(idCol)).agg(min(md5(col("shingle"))).as("h"))
+    val cand = m.select(col(idCol).as("doc_a"), col("h"))
+      .join(m.select(col(idCol).as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    val common = cand
+      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
+          .as("jaccard"))
+  }
+}

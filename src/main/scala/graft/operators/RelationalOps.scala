@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators (SURVEY.md §2.2–§2.6).
+  *
+  * Each method is one operator from the reference's pipeline, re-expressed
+  * as a declarative Spark transform so Catalyst gets a whole plan to
+  * optimize (predicate pushdown, column pruning, broadcast selection,
+  * whole-stage codegen). Reference citations are to
+  * akiragy/recsys_pipeline files under /root/reference/.
+  *
+  * Scale stance (100 TB): no driver-side materialization except tiny
+  * scalar metas (train stats A5, cardinalities A6, constant-prune report
+  * P8 — all O(#columns) rows); windows are per-key with bounded frames so
+  * state never exceeds ~11 rows per user; dimension joins take explicit
+  * `broadcast()` hints.
+  */
+object RelationalOps {
+
+  // ---------------------------------------------------------------- P ops
+
+  /** P1 — implicit-feedback label encode: `label = 1 if rating > threshold`.
+    * Ref: offline/preprocess/s1_data_split.py:26-27.
+    */
+  def labelEncode(df: DataFrame, ratingCol: String, threshold: Double,
+                  labelCol: String = "label"): DataFrame =
+    df.withColumn(labelCol, when(col(ratingCol) > threshold, 1).otherwise(0))
+
+  /** P2 — row filter by split code. Ref: s1_data_split.py:35-36. */
+  def filterByCode(df: DataFrame, codeCol: String, code: Int): DataFrame =
+    df.filter(col(codeCol) === lit(code))
+
+  /** P5 — dict-mapping encode with default-0 fallback for unseen keys.
+    * Ref: offline/rank/s1_feature_engi.py:21-29; mappings constants.py:29-72.
+    * `try_element_at` (not `element_at`) so ANSI mode returns null → 0 for
+    * misses instead of erroring.
+    */
+  def dictEncode(df: DataFrame, inCol: String, outCol: String,
+                 mapping: Map[String, Int]): DataFrame = {
+    val m = map(mapping.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    df.withColumn(outCol, coalesce(try_element_at(m, col(inCol)), lit(0)))
+  }
+
+  /** P6 — multi-hot membership flags from a delimited token column.
+    * Ref: offline/rank/s1_feature_engi.py:32-41.
+    */
+  def multiHot(df: DataFrame, tokensCol: Column, vocab: Seq[String],
+               prefix: String): DataFrame =
+    vocab.foldLeft(df) { (d, v) =>
+      d.withColumn(s"$prefix$v", array_contains(tokensCol, v).cast("int"))
+    }
+
+  /** P8/A7 — constant-column prune report: distinct count per column; a
+    * column is dead if n_distinct == 1. Ref: s1_feature_engi.py:25-27,37-39.
+    * The report itself is tiny (O(#columns)) — the one sanctioned
+    * driver-side collect in the reference's design.
+    */
+  def constPruneReport(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.sorted.map { c =>
+      df.agg(
+        lit(c).as("col_name"),
+        countDistinct(col(c)).as("n_distinct"),
+        (countDistinct(col(c)) > 1).cast("int").as("keep"))
+    }.reduce(_.unionAll(_))
+
+  // ---------------------------------------------------------------- W ops
+
+  /** W1 — 0-based per-key row number by event time with a deterministic
+    * tiebreaker (pandas cumcount after a stable sort keeps file order for
+    * equal ts; Spark sorts are not stable, so the tiebreak column is part
+    * of the contract). Ref: s1_data_split.py:32-33.
+    */
+  def rowNumber(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                outCol: String = "rn"): DataFrame =
+    df.withColumn(outCol,
+      row_number().over(Window.partitionBy(keyCol).orderBy(orderCols: _*)) - 1)
+
+  /** W4 — 3-way time split from window values: last `holdN` rows per key
+    * are the online holdout (2), first 80% of the rest train (0), the
+    * remainder test (1). Ref: s1_data_split.py:14-19,34; constants.py:20-21.
+    */
+  def threeWaySplit(df: DataFrame, rnCol: String, cntCol: String,
+                    holdN: Int, testRatio: Double,
+                    outCol: String = "istest"): DataFrame =
+    df.withColumn(outCol,
+      when(col(rnCol) >= col(cntCol) - holdN, 2)
+        .when(col(rnCol) < (col(cntCol) - holdN) * (1.0 - testRatio), 0)
+        .otherwise(1))
+
+  /** W2 — the crown jewel: point-in-time sliding-frame aggregation. For
+    * each row, count/sum over that key's previous ≤ `frameLen` rows
+    * (strictly before the current row — no leakage). The dequeue in
+    * offline/preprocess/s2_term_trans.py:42-61 snapshots BEFORE appending
+    * the current row, i.e. ROWS BETWEEN frameLen PRECEDING AND 1 PRECEDING.
+    * Bounded per-key state ⇒ scales linearly; the shuffle is one exchange
+    * on the key.
+    */
+  def pitWindow(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                labelCol: String, frameLen: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+      .rowsBetween(-frameLen, -1)
+    df.withColumn("pit_imp", count(lit(1)).over(w))
+      .withColumn("pit_clk", coalesce(sum(col(labelCol)).over(w), lit(0L)))
+  }
+
+  /** W3 — user-level snapshot: same counters flushed at the key boundary
+    * AFTER adding the final row — frame covers the last ≤ frameLen+1 rows
+    * (the faithful off-by-one vs W2). Ref: s2_term_trans.py:43-47.
+    * Evaluated only at each key's last row.
+    */
+  def userSnapshot(df: DataFrame, keyCol: String, orderCols: Seq[Column],
+                   labelCol: String, frameLen: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+      .rowsBetween(-frameLen, 0)
+    val lastRow = Window.partitionBy(keyCol).orderBy(orderCols.map(_.desc): _*)
+    df.withColumn("snap_imp", count(lit(1)).over(w))
+      .withColumn("snap_clk", coalesce(sum(col(labelCol)).over(w), lit(0L)))
+      .withColumn("__rdesc", row_number().over(lastRow))
+      .filter(col("__rdesc") === 1)
+      .drop("__rdesc")
+  }
+
+  // ---------------------------------------------------------------- A ops
+
+  /** A2 — order-preserving collect_list: the list order is the contract
+    * (the reference inherits it from a prior stable sort —
+    * s2_term_trans.py:33). Spark shuffles destroy incidental order, so the
+    * order keys ride along in a struct and `sort_array` restores it —
+    * deterministic on any partitioning/cluster size.
+    */
+  def orderedCollectList(df: DataFrame, keyCol: String, valueCol: String,
+                         orderCols: Seq[String], outCol: String): DataFrame = {
+    val s = struct((orderCols :+ valueCol).distinct.map(col): _*)
+    df.groupBy(keyCol)
+      .agg(sort_array(collect_list(s)).as("__s"))
+      .withColumn(outCol, expr(s"transform(__s, x -> x.$valueCol)"))
+      .drop("__s")
+  }
+
+  /** A5 + F3 — train-statistics z-score with the reference's exact guards:
+    * NaN/absent mean → 0.0, std ≤ 0 → 1.0 (s1_feature_engi.py:61-67).
+    * Stats come from `trainDf` only and are applied to `df` (the
+    * train-only-stats contract); the collect is a single scalar row.
+    * Uses stddev_samp (pandas ddof=1 — s1_feature_engi.py:60).
+    */
+  def zscore(df: DataFrame, trainDf: DataFrame, valueCol: String,
+             outCol: String, roundTo: Int = 4): DataFrame = {
+    val row = trainDf.agg(
+      avg(col(valueCol)).as("m"), stddev_samp(col(valueCol)).as("s")).head()
+    val m0 = if (row.isNullAt(0) || row.getDouble(0).isNaN) 0.0 else row.getDouble(0)
+    val s0 = if (row.isNullAt(1) || row.getDouble(1).isNaN || row.getDouble(1) <= 0) 1.0
+             else row.getDouble(1)
+    df.withColumn(outCol, round((col(valueCol) - lit(m0)) / lit(s0), roundTo))
+  }
+
+  // ---------------------------------------------------------------- O ops
+
+  /** O3 — per-group top-k by score with deterministic tiebreak.
+    * Ref: online/utils/triton_caller.py:75-76 + dto.py:21 (top-50 cut).
+    * Window + row_number ⇒ single shuffle on the group key; no global sort.
+    */
+  def topKPerGroup(df: DataFrame, keyCol: String, order: Seq[Column],
+                   k: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** R3 — hybrid union retrieval: union N scored candidate channels,
+    * re-group on the candidate key, score = Σ boosted channel scores.
+    * Ref: online/utils/es_caller.py:56-58 (term boost 0.1 + knn boost 0.9).
+    */
+  def hybridUnion(channels: Seq[DataFrame], keyCols: Seq[String],
+                  scoreCol: String): DataFrame =
+    channels.reduce(_.unionAll(_))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col(scoreCol)).as(scoreCol))
+}

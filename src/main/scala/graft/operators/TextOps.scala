@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline:
+  * tokenization, term frequency, language ID, quality scoring, document
+  * fingerprinting, sessionization, and JSON extraction.
+  *
+  * All operators are pure column expressions (whole-stage-codegen
+  * friendly, no UDFs) and shuffle at most once on their natural key —
+  * they hold at 100 TB because per-row work is O(tokens) and every
+  * aggregation is partial-then-final hash aggregation.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer — the engine's canonical token column. */
+  def tokens(textCol: Column): Column = split(textCol, " ")
+
+  /** Global term frequency: explode tokens → hash-aggregate count.
+    * Map-side partial aggregation keeps the shuffle at |vocab| per
+    * partition, not |tokens|.
+    */
+  def termFrequency(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+
+  /** Per-document token statistics: token count, distinct tokens, and a
+    * BPE-ish subword estimate (chars/4 — the standard ~4-chars-per-token
+    * heuristic) without any model dependency.
+    */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      size(array_distinct(tokens(col(textCol)))).cast("long").as("n_distinct"),
+      ceil(length(col(textCol)) / 4.0).cast("long").as("bpe_est"))
+
+  /** N-gram-overlap language ID: score each candidate profile by the
+    * number of token occurrences found in that profile's marker list;
+    * argmax with a fixed priority order on ties (deterministic).
+    * Profiles are engine configuration, not data.
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String,
+             profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val t = tokens(col(textCol))
+    val scored = profiles.foldLeft(df.select(col(idCol), t.as("__t"))) {
+      case (d, (name, marks)) =>
+        d.withColumn(s"score_$name",
+          size(expr(s"filter(__t, x -> array_contains(array(${marks.map(m => s"'$m'").mkString(",")}), x))")).cast("long"))
+    }
+    // argmax with first-listed-profile priority on ties
+    val pred = profiles.map(_._1).zipWithIndex.foldRight(lit(profiles.last._1)) {
+      case ((name, i), acc) =>
+        if (i == profiles.length - 1) acc
+        else {
+          val better = profiles.drop(i + 1)
+            .map(o => col(s"score_$name") >= col(s"score_${o._1}"))
+            .reduce(_ && _)
+          when(better, lit(name)).otherwise(acc)
+        }
+    }
+    scored.withColumn("lang_pred", pred).drop("__t")
+  }
+
+  /** Heuristic quality score: coverage (tokens vs a 100-token budget) ×
+    * (1 − stopword ratio). Deterministic double arithmetic, rounded.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String]): DataFrame = {
+    val t = tokens(col(textCol))
+    val stopArr = s"array(${stopwords.map(s => s"'$s'").mkString(",")})"
+    df.select(
+      col(idCol),
+      size(t).cast("long").as("n_tokens"),
+      round(size(expr(s"filter(${tokensSql(textCol)}, x -> array_contains($stopArr, x))")) /
+        size(t).cast("double"), 4).as("stop_ratio"))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens") / 100.0) * (lit(1.0) - col("stop_ratio")), 4))
+  }
+
+  private def tokensSql(textCol: String): String = s"split($textCol, ' ')"
+
+  /** Content fingerprint: md5 over the case/punctuation-normalized text.
+    * Identical normalization is expressible in any ANSI engine, so the
+    * fingerprint doubles as a cross-system dedup key.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      md5(regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", "")).as("fp"))
+
+  /** Sessionization: 30-min-gap (configurable) session ids per user via
+    * lag + cumulative sum of boundary flags — the streaming-equivalent
+    * batch form (SURVEY §2.9). One shuffle on the user key; state is one
+    * previous timestamp per row — scales to any number of users.
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+                 tieCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(col(tsCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_micros(col(tsCol)) - unix_micros(col("__prev")) > gapSeconds * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("__new")).over(cum).cast("long"))
+      .drop("__prev", "__new")
+  }
+
+  /** F7 — JSON field extraction from a semi-structured string column.
+    * Ref: online/main/s1_server.py:27 (request parse).
+    */
+  def jsonExtractLong(df: DataFrame, jsonCol: String, path: String,
+                      outCol: String): DataFrame =
+    df.withColumn(outCol, get_json_object(col(jsonCol), path).cast("long"))
+}

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB against the sf tables, load the Spark parquet dump, sort columns by
+name + rows, and compare values and schema. Usage:
+  python3 tools/compare.py <sfdir> <verify_out_dir> [query ...]
+"""
+import sys, glob, json, os
+import duckdb
+import pandas as pd
+import numpy as np
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for p in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(p)[:-8]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(v):
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    return v
+
+def rows(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return sorted(tuple(canon(v) for v in r) for r in df.itertuples(index=False))
+
+fails = 0
+for name in sorted(oracle):
+    if only and name not in only:
+        continue
+    try:
+        d = con.sql(oracle[name]).df()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error: {e}")
+        fails += 1
+        continue
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fails += 1
+        continue
+    s = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+    if sorted(d.columns) != sorted(s.columns):
+        print(f"FAIL {name}: columns duck={sorted(d.columns)} spark={sorted(s.columns)}")
+        fails += 1
+        continue
+    if len(d) != len(s):
+        print(f"FAIL {name}: rows duck={len(d)} spark={len(s)}")
+        fails += 1
+        continue
+    cols = sorted(d.columns)
+    dt_mismatch = [(c, str(d[c].dtype), str(s[c].dtype))
+                   for c in cols if str(d[c].dtype) != str(s[c].dtype)]
+    dn, sn = rows(d), rows(s)
+    if dn != sn:
+        bad = next(i for i in range(len(dn)) if dn[i] != sn[i])
+        print(f"FAIL {name}: row {bad} differs (cols {cols}):\n  duck={dn[bad]!r}\n  spark={sn[bad]!r}")
+        fails += 1
+    else:
+        flag = f" (dtype diff: {dt_mismatch})" if dt_mismatch else ""
+        print(f"OK   {name}: {len(d)} rows{flag}")
+print(f"\n{fails} failures")
+sys.exit(1 if fails else 0)
