@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Online-recall retrieval operators (SURVEY §2.6), the relational
+  * rewrite of the reference's Elasticsearch queries
+  * (online/utils/es_caller.py:17-58):
+  *
+  *  R1 term recall  — item qualifies if its term array intersects the
+  *                    user's term list (`terms` query → arrays_overlap
+  *                    semi-join), scored `boost × |overlap|`;
+  *  R2 kNN recall   — cosine top-k over item vectors (SimilarityOps);
+  *  R3 hybrid union — Σ of boosted channel scores per (user, item)
+  *                    (RelationalOps.hybridUnion).
+  *
+  * Both channels apply the seen-item anti-filter (`must_not terms`,
+  * es_caller.py:25-36) BEFORE top-k — filtering during recall, exactly
+  * like the reference pushes the filter into the ES query.
+  *
+  * Scale: users×items term matching explodes both term arrays and joins
+  * on the term — a shuffled equi-join proportional to the posting lists
+  * (the inverted-index shape), never a cross join. The per-user seen
+  * list rides along as an array column (bounded — last-N items), so the
+  * anti-filter is a scan-local `array_contains`, no extra shuffle.
+  */
+object RetrievalOps {
+
+  /** R1: users(userCol, termsCol: array, seenCol: array) ×
+    * items(itemCol, termsCol: array) → (user, item, score).
+    * Score = boost × |term overlap| (ES-style constant-score terms sum).
+    */
+  def termRecall(users: DataFrame, items: DataFrame,
+                 userCol: String, userTerms: String, seenCol: String,
+                 itemCol: String, itemTerms: String,
+                 boost: Double, topK: Int): DataFrame = {
+    val ut = users.select(col(userCol), col(seenCol),
+      explode(col(userTerms)).as("__term"))
+    val it = items.select(col(itemCol), explode(col(itemTerms)).as("__term"))
+    val matched = ut.join(it, "__term")
+      .filter(!array_contains(col(seenCol), col(itemCol)))
+      .groupBy(col(userCol), col(itemCol))
+      .agg((count(lit(1)) * boost).as("score"))
+    RelationalOps.topKPerGroup(matched, userCol,
+      Seq(col("score").desc, col(itemCol)), topK)
+  }
+
+  /** R2: kNN recall — cosine of user vector × item vector, seen items
+    * filtered, top-k per user. Brute force here (exact); at scale the
+    * item side is bucketed (SimilarityOps.annTopK) or LSH-indexed.
+    */
+  def knnRecall(users: DataFrame, items: DataFrame,
+                userCol: String, userVec: String, seenCol: String,
+                itemCol: String, itemVec: String,
+                boost: Double, topK: Int): DataFrame = {
+    val u = users.select(col(userCol), col(seenCol),
+        expr(s"transform($userVec, x -> CAST(x AS DOUBLE))").as("__uv"))
+      .withColumn("__un", sqrt(SimilarityOps.dot("__uv", "__uv")))
+    val i = items.select(col(itemCol),
+        expr(s"transform($itemVec, x -> CAST(x AS DOUBLE))").as("__iv"))
+      .withColumn("__in", sqrt(SimilarityOps.dot("__iv", "__iv")))
+    val scored = u.crossJoin(broadcast(i))
+      .filter(!array_contains(col(seenCol), col(itemCol)))
+      .withColumn("score",
+        (SimilarityOps.dot("__uv", "__iv") / (col("__un") * col("__in"))) * boost)
+      .select(col(userCol), col(itemCol), col("score"))
+    RelationalOps.topKPerGroup(scored, userCol,
+      Seq(col("score").desc, col(itemCol)), topK)
+  }
+
+  /** R3: hybrid recall — union channels, sum boosted scores, top-k.
+    * Ref: es_caller.py:56-58 (term boost 0.1 + vector boost 0.9).
+    */
+  def hybridRecall(channels: Seq[DataFrame], userCol: String,
+                   itemCol: String, topK: Int): DataFrame = {
+    val merged = RelationalOps.hybridUnion(
+      channels.map(_.select(col(userCol), col(itemCol), col("score"))),
+      Seq(userCol, itemCol), "score")
+    RelationalOps.topKPerGroup(merged, userCol,
+      Seq(col("score").desc, col(itemCol)), topK)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.ml.{FeatMeta, RecsysModels}
+import graft.operators.RelationalOps
+import graft.tables.Tables
+
+/** M1–M7 — ALS recall vectors, FMClassifier ranker with early stopping,
+  * in-engine scoring, saved-model parity. Statistical assertions only
+  * (AUC above chance), never bitwise (SURVEY §7.5.5).
+  */
+class MlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // Training frame: predict "click" (value>100) from (user, item-code,
+  // PIT behavior counters) over events — the rank pipeline in miniature.
+  private lazy val base = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("label", when(col("value") > 100, 1).otherwise(0))
+      .withColumn("item",
+        when(col("event_type") === "click", 0).when(col("event_type") === "error", 1)
+          .when(col("event_type") === "purchase", 2)
+          .when(col("event_type") === "signup", 3).otherwise(4))
+    RelationalOps.pitWindow(ev, "user_id", Seq(col("ts"), col("event_id")),
+        "label", 10)
+      .select(col("user_id"), col("item"), col("label").cast("double").as("label"),
+        col("pit_imp").cast("double").as("pit_imp"),
+        col("pit_clk").cast("double").as("pit_clk"),
+        col("event_id"))
+  }
+
+  test("M1: ALS implicit recall trains and exports dim-16 vectors") {
+    val m = RecsysModels.trainRecall(base, "user_id", "item", "label")
+    val (uv, iv) = RecsysModels.exportVectors(m)
+    assert(uv.count() > 0 && iv.count() > 0)
+    assert(uv.select("vector").as[Seq[Float]].head().length == RecsysModels.VECTOR_DIM)
+  }
+
+  test("M2/M4/M5/M6: FM ranker early-stop loop beats chance AUC") {
+    val meta = FeatMeta.derive(base, Seq("user_id", "item"), Seq("pit_imp", "pit_clk"))
+    val assembled = RecsysModels.assemble(base, meta)
+    val train = assembled.filter(col("event_id") % 5 =!= 0)
+    val test_ = assembled.filter(col("event_id") % 5 === 0)
+    val (model, auc) = RecsysModels.trainRanker(train, test_, "label",
+      maxRounds = 2, itersPerRound = 20)
+    assert(model != null)
+    assert(auc > 0.5, s"AUC $auc must beat chance")
+
+    // M3: in-engine scoring produces calibrated probabilities
+    val scores = RecsysModels.score(model, test_.limit(100))
+      .select("score").as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+
+    // M7: save/reload score parity
+    val path = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "fm-model").toString
+    assert(RecsysModels.scoreParity(model, test_.limit(50), path))
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.RetrievalOps
+
+/** R1/R2/R3 — term recall, kNN recall, hybrid union with seen-item
+  * anti-filter (the es_caller.py semantics, relationally).
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val users = Seq(
+    (1L, Seq("action", "comedy"), Seq(10L), Seq(1.0f, 0.0f)),
+    (2L, Seq("drama"), Seq.empty[Long], Seq(0.0f, 1.0f)))
+    .toDF("user_id", "terms", "seen", "vector")
+
+  private val items = Seq(
+    (10L, Seq("action"), Seq(1.0f, 0.1f)),
+    (11L, Seq("action", "comedy"), Seq(0.9f, 0.2f)),
+    (12L, Seq("drama"), Seq(0.1f, 1.0f)),
+    (13L, Seq("romance"), Seq(0.5f, 0.5f)))
+    .toDF("item_id", "terms", "vector")
+
+  test("R1: term recall matches overlapping terms, excludes seen items") {
+    val out = RetrievalOps.termRecall(users, items, "user_id", "terms", "seen",
+      "item_id", "terms", 0.1, 10)
+      .as[(Long, Long, Double)].collect().toSet
+    // user 1: item 11 overlaps on 2 terms (score 0.2); item 10 is seen → excluded
+    assert(out.contains((1L, 11L, 0.2)))
+    assert(!out.exists(r => r._1 == 1L && r._2 == 10L))
+    assert(out.contains((2L, 12L, 0.1)))
+  }
+
+  test("R2: kNN recall ranks by cosine and honors the anti-filter") {
+    val out = RetrievalOps.knnRecall(users, items, "user_id", "vector", "seen",
+      "item_id", "vector", 0.9, 2)
+      .as[(Long, Long, Double)].collect()
+    val u1 = out.filter(_._1 == 1L).map(_._2)
+    assert(!u1.contains(10L))       // seen
+    assert(u1.head == 11L)          // closest unseen to (1,0)
+  }
+
+  test("R3: hybrid sums boosted channel scores per (user, item)") {
+    val term = RetrievalOps.termRecall(users, items, "user_id", "terms", "seen",
+      "item_id", "terms", 0.1, 10)
+      .withColumnRenamed("item_id", "item_id")
+    val knn = RetrievalOps.knnRecall(users, items, "user_id", "vector", "seen",
+      "item_id", "vector", 0.9, 10)
+    val hybrid = RetrievalOps.hybridRecall(Seq(term, knn), "user_id", "item_id", 3)
+      .as[(Long, Long, Double)].collect()
+    val u1_11 = hybrid.find(r => r._1 == 1L && r._2 == 11L).get._3
+    val termOnly = 0.2
+    assert(u1_11 > termOnly)        // knn channel added on top of term channel
+  }
+}
