@@ -53,6 +53,7 @@ object RetrievalOps {
                 userCol: String, userVec: String, seenCol: String,
                 itemCol: String, itemVec: String,
                 boost: Double, topK: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(users.sparkSession)
     val u = users.select(col(userCol), col(seenCol),
         expr(s"transform($userVec, x -> CAST(x AS DOUBLE))").as("__uv"))
       .withColumn("__un", sqrt(SimilarityOps.dot("__uv", "__uv")))

