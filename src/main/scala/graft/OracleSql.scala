@@ -26,9 +26,11 @@ object OracleSql {
       |     i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
       |   FROM toks WHERE len(t) >= 3))""".stripMargin
 
+  // One-permutation MinHash: hash (b,r) = 4-hex-char slice (b*rows+r) of
+  // a single md5 per shingle (mirrors DedupOps.minhashSignature).
   private def minhashSig(bands: Int, rows: Int): String = {
     val aggs = (for (b <- 0 until bands; r <- 0 until rows)
-      yield s"min(md5('${b}_${r}_' || s)) AS h_${b}_$r").mkString(", ")
+      yield s"min(substr(md5(s), ${(b * rows + r) * 4 + 1}, 4)) AS h_${b}_$r").mkString(", ")
     s"sig AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id)"
   }
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
-import graft.operators.{DedupOps, RelationalOps, SimilarityOps, TextOps}
+import graft.operators.{DedupOps, MetricOps, RelationalOps, SimilarityOps, TextOps}
 
 /** Driver contract (SURVEY.md §7): named deterministic queries over the
   * testdata tables, each with a DuckDB-oracle SQL twin. Query keys map to
@@ -217,19 +217,13 @@ object SparkEntry {
       DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text")
         .orderBy("canonical_id")),
 
-    // A9 — rank-formula ROC-AUC in pure SQL (deterministic tiebreak).
-    "q25_auc_sql" -> ((s, d) => {
-      val scored = labeled(s, d)
-        .withColumn("score", get_json_object(col("props"), "$.k").cast("long"))
-      val ranked = scored.withColumn("r",
-        row_number().over(Window.orderBy(col("score"), col("event_id"))).cast("long"))
-      ranked.agg(
-        round(
-          (sum(when(col("label") === 1, col("r")).otherwise(0L)).cast("double")
-            - sum(col("label")).cast("double") * (sum(col("label")) + 1) / 2)
-            / (sum(col("label")).cast("double") * (count(lit(1)) - sum(col("label")))),
-          6).as("auc"))
-    }),
+    // A9 — rank-formula ROC-AUC, distributed (per-score-partition ranks
+    // + broadcast score histogram — no single-partition global window).
+    "q25_auc_sql" -> ((s, d) =>
+      MetricOps.auc(
+        labeled(s, d)
+          .withColumn("score", get_json_object(col("props"), "$.k").cast("long")),
+        "label", "score", "event_id")),
 
     // R2/F4/F5 — brute-force cosine top-5 (exact ANN baseline; LSH/IVF
     // variant in q35 is the 100 TB path).

@@ -43,17 +43,23 @@ object DedupOps {
       .distinct()
   }
 
-  /** MinHash signature: for hash function (band b, row r), the minimum of
-    * md5("b_r_" || shingle) over the doc's shingles. The min of a keyed
-    * cryptographic hash is a uniform permutation-min — the classic
-    * MinHash — and the seeded-md5 construction reproduces bit-for-bit in
-    * any engine with md5 (the DuckDB oracle uses the same formula).
+  /** MinHash signature via one-permutation slicing: ONE md5 per shingle,
+    * with hash function (band b, row r) = the (b·rows + r)-th 4-hex-char
+    * slice of that digest. The min over shingles of each slice is a
+    * uniform permutation-min (the classic MinHash; slices of a
+    * cryptographic digest are independent), at 1/(bands·rows) of the
+    * hashing cost of seeded per-function digests — the md5 is the hot
+    * loop at scale. Reproduces bit-for-bit in any engine with md5
+    * (the DuckDB oracle uses the same substring formula).
+    * Requires bands·rows ≤ 8 (32 hex chars / 4).
     */
   def minhashSignature(sh: DataFrame, idCol: String,
                        bands: Int, rows: Int): DataFrame = {
+    require(bands * rows <= 8, "bands*rows must fit 8 4-hex slices of md5")
+    val withDigest = sh.withColumn("__d", md5(col("shingle")))
     val aggs = for (b <- 0 until bands; r <- 0 until rows)
-      yield min(md5(concat(lit(s"${b}_${r}_"), col("shingle")))).as(s"h_${b}_$r")
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      yield min(substring(col("__d"), (b * rows + r) * 4 + 1, 4)).as(s"h_${b}_$r")
+    withDigest.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Banded-LSH near-dup candidate pairs: docs agreeing on ALL `rows`

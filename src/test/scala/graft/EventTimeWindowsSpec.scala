@@ -1,0 +1,44 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventTimeWindows
+
+/** Watermarked event-time windows: append mode finalizes a window only
+  * after the watermark passes; late events beyond the lateness bound
+  * are dropped.
+  */
+class EventTimeWindowsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(min * 60000L)
+
+  test("tumbling window finalizes after watermark passes, drops too-late data") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Int)]
+    val df = mem.toDS().toDF("ts", "user_id", "label")
+    val out = EventTimeWindows.tumblingCounts(df, "ts", "user_id", "label",
+      "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+
+    // window [0,10): 3 events, 2 clicks
+    mem.addData((ts(1), 1L, 1), (ts(2), 1L, 1), (ts(9), 1L, 0))
+    q.processAllAvailable()
+    assert(spark.table("win_out").count() == 0)   // window still open
+
+    // event at t=30 → watermark 25 → [0,10) closes
+    mem.addData((ts(30), 1L, 0))
+    q.processAllAvailable()
+    val closed = spark.table("win_out")
+      .select("user_id", "imp", "clk").as[(Long, Long, Long)].collect()
+    assert(closed.toSeq == Seq((1L, 3L, 2L)))
+
+    // an event at t=3 is beyond lateness → dropped, window not re-emitted
+    mem.addData((ts(3), 1L, 1))
+    q.processAllAvailable()
+    assert(spark.table("win_out").count() == 1)
+    q.stop()
+  }
+}
