@@ -63,23 +63,28 @@ object DedupOps {
   }
 
   /** Banded-LSH near-dup candidate pairs: docs agreeing on ALL `rows`
-    * min-hashes of ANY band. Each band is an equi-join on the band
-    * signature (shuffled hash join — never a cross join); the union is
-    * de-duplicated. P(candidate) ≈ 1 − (1 − j^rows)^bands for true
-    * Jaccard j.
+    * min-hashes of ANY band. The signature is melted to long format
+    * (doc, band, band-key) so ALL bands join in ONE equi-join on
+    * (band, key) — a single shuffled hash join and a single evaluation
+    * of the signature lineage per side, instead of one join branch per
+    * band (which re-derives the shingle pipeline `bands` times). The
+    * union-of-bands semantics is preserved by the trailing distinct.
+    * P(candidate) ≈ 1 − (1 − j^rows)^bands for true Jaccard j.
     */
   def minhashCandidates(sig: DataFrame, idCol: String,
                         bands: Int, rows: Int): DataFrame = {
-    val perBand = (0 until bands).map { b =>
-      val keys = (0 until rows).map(r => s"h_${b}_$r")
-      val a = sig.select(col(idCol).as("doc_a"),
-        concat_ws("|", keys.map(col): _*).as("__k"))
-      val bb = sig.select(col(idCol).as("doc_b"),
-        concat_ws("|", keys.map(col): _*).as("__k"))
-      a.join(bb, "__k").filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b")
+    val bandStructs = (0 until bands).map { b =>
+      val keys = (0 until rows).map(r => col(s"h_${b}_$r"))
+      struct(lit(b).as("band"), concat_ws("|", keys: _*).as("key"))
     }
-    perBand.reduce(_.unionAll(_)).distinct()
+    val long = sig.select(col(idCol), explode(array(bandStructs: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    long.select(col(idCol).as("doc_a"), col("band"), col("key"))
+      .join(long.select(col(idCol).as("doc_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
   }
 
   /** SimHash (16-bit) signature: per-token md5 → 16-bit value; each bit
@@ -106,19 +111,19 @@ object DedupOps {
     * standard scalable near-dup shape (LSH recall, exact precision).
     */
   def lshJaccard(sh: DataFrame, idCol: String): DataFrame = {
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val m = sh.groupBy(col(idCol)).agg(min(md5(col("shingle"))).as("h"))
-    val cand = m.select(col(idCol).as("doc_a"), col("h"))
-      .join(m.select(col(idCol).as("doc_b"), col("h")), "h")
+    // One aggregation pass yields both the LSH key (min shingle hash)
+    // and the set size — the shingle lineage is evaluated once here and
+    // twice in the verify join, never five times.
+    val m = sh.groupBy(col(idCol))
+      .agg(min(md5(col("shingle"))).as("h"), count(lit(1)).as("n"))
+    val cand = m.select(col(idCol).as("doc_a"), col("h"), col("n").as("na"))
+      .join(m.select(col(idCol).as("doc_b"), col("h"), col("n").as("nb")), "h")
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-    val common = cand
+      .select("doc_a", "doc_b", "na", "nb")
+    cand
       .join(sh.select(col(idCol).as("doc_a"), col("shingle")), "doc_a")
       .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("c"))
       .select(col("doc_a"), col("doc_b"),
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
           .as("jaccard"))
