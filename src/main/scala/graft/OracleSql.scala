@@ -363,6 +363,41 @@ object OracleSql {
         |LEFT JOIN t ON t.user_id = c_custkey
         |WHERE c_custkey < 200 ORDER BY user_id""".stripMargin,
 
+    "q39_pit_term_window" ->
+      """WITH r AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN value > 100 THEN 1 ELSE 0 END AS label,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, event_type
+        |  FROM events),
+        |rr AS (SELECT event_id, user_id, label, k, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+        |  FROM r),
+        |e AS (SELECT event_id, user_id, rn, label,
+        |  unnest([event_type, 'k' || (k % 3)]) AS term FROM rr)
+        |SELECT event_id, term,
+        |  count(*) OVER w AS term_imp,
+        |  CAST(coalesce(sum(label) OVER w, 0) AS BIGINT) AS term_clk
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id, term ORDER BY rn
+        |             RANGE BETWEEN 10 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id, term""".stripMargin,
+
+    "q40_user_term_snapshot" ->
+      """WITH r AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN value > 100 THEN 1 ELSE 0 END AS label,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, event_type
+        |  FROM events),
+        |rr AS (SELECT event_id, user_id, label, k, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS u_cnt
+        |  FROM r),
+        |e AS (SELECT user_id, label,
+        |  unnest([event_type, 'k' || (k % 3)]) AS term
+        |  FROM rr WHERE rn >= u_cnt - 11),
+        |t AS (SELECT user_id, term, sum(label) AS term_clk
+        |  FROM e GROUP BY user_id, term HAVING sum(label) >= 2)
+        |SELECT user_id, list(term ORDER BY term) AS terms FROM t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -314,6 +314,33 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // W2 faithful multi-term form — per-term [imp,clk] over the user's
+    // previous ≤10 IMPRESSIONS (rn-RANGE frame after term explode; each
+    // event carries two synthetic terms).
+    "q39_pit_term_window" -> ((s, d) => {
+      val ev = TextOps.jsonExtractLong(labeled(s, d), "props", "$.k", "k")
+        .withColumn("terms", array(col("event_type"),
+          concat(lit("k"), (col("k") % 3).cast("string"))))
+      val rn = RelationalOps.rowNumber(ev, "user_id", userOrder)
+      RelationalOps.pitTermWindow(rn, "user_id", "rn", "terms", "label", PIT_FRAME)
+        .select(col("event_id"), col("term"), col("term_imp"),
+          col("term_clk").cast("long").as("term_clk"))
+        .orderBy("event_id", "term")
+    }),
+
+    // W3 multi-term snapshot + P10 threshold — serving term list from
+    // the user's last ≤11 impressions, clicks ≥ 2.
+    "q40_user_term_snapshot" -> ((s, d) => {
+      val ev = TextOps.jsonExtractLong(labeled(s, d), "props", "$.k", "k")
+        .withColumn("terms", array(col("event_type"),
+          concat(lit("k"), (col("k") % 3).cast("string"))))
+      val rn = RelationalOps.rowNumber(ev, "user_id", userOrder)
+        .withColumn("u_cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+      RelationalOps.termSnapshot(rn, "user_id", "rn", "u_cnt", "terms",
+          "label", PIT_FRAME, 2L)
+        .select("user_id", "terms").orderBy("user_id")
+    }),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {

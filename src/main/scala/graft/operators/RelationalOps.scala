@@ -107,6 +107,81 @@ object RelationalOps {
       .withColumn("pit_clk", coalesce(sum(col(labelCol)).over(w), lit(0L)))
   }
 
+  /** W2 faithful multi-term form (SURVEY §7.5.2) — the crown jewel in
+    * full: per-TERM [imp, clk] counts over the key's previous ≤frameLen
+    * IMPRESSIONS, where each impression carries multiple terms (genres).
+    * A naive per-(key, term) ROWS frame would count the previous
+    * frameLen *term rows*, not impressions — the faithful frame is a
+    * RANGE frame over the impression index `rn` after exploding terms:
+    * rows of the same (key, term) whose rn lies in [rn−frameLen, rn−1].
+    * Matches the dequeue of s2_term_trans.py:42-61 exactly (verified in
+    * PitWindowSpec against a literal re-implementation of that dequeue).
+    *
+    * Scale: one shuffle on (key, term); frames stay ≤frameLen rows.
+    */
+  def pitTermWindow(df: DataFrame, keyCol: String, rnCol: String,
+                    termsCol: String, labelCol: String,
+                    frameLen: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col("term"))
+      .orderBy(col(rnCol)).rangeBetween(-frameLen, -1)
+    df.withColumn("term", explode(col(termsCol)))
+      .withColumn("term_imp", count(lit(1)).over(w))
+      .withColumn("term_clk", coalesce(sum(col(labelCol)).over(w), lit(0L)))
+  }
+
+  /** W2 dense-feature form — the 36-dense-column contract of
+    * s1_feature_engi.py:44-54 (P7 consumes `imp_dict[i].get(v, [0,0])`
+    * for EVERY genre v, not just the current row's genres): for each
+    * impression × vocabulary term, [imp, clk] over the key's previous
+    * ≤frameLen impressions. Implemented on a dense (impression × vocab)
+    * grid where each (key, term) series has every rn exactly once, so a
+    * plain ROWS frame over occurrence flags is the faithful count —
+    * and the blowup is ×|vocab| (the reference's fixed 18 genres), not
+    * ×|window|. Returns the long form; `pivotTermFeatures` widens it.
+    */
+  def pitTermFeatures(df: DataFrame, keyCol: String, rnCol: String,
+                      termsCol: String, labelCol: String,
+                      vocab: Seq[String], frameLen: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol), col("term"))
+      .orderBy(col(rnCol)).rowsBetween(-frameLen, -1)
+    df.withColumn("term", explode(typedLit(vocab)))
+      .withColumn("__occ", array_contains(col(termsCol), col("term")).cast("long"))
+      .withColumn("term_imp", coalesce(sum(col("__occ")).over(w), lit(0L)))
+      .withColumn("term_clk",
+        coalesce(sum(col("__occ") * col(labelCol)).over(w), lit(0L)))
+      .drop("__occ")
+  }
+
+  /** Widen `pitTermFeatures` long output into `{prefix}{term}_imp` /
+    * `{prefix}{term}_clk` columns (the user_g{v}_imp/_clk layout).
+    */
+  def pivotTermFeatures(long: DataFrame, rowKeys: Seq[String],
+                        vocab: Seq[String], prefix: String): DataFrame =
+    long.groupBy(rowKeys.map(col): _*)
+      .pivot("term", vocab)
+      .agg(first(col("term_imp")).as("imp"), first(col("term_clk")).as("clk"))
+      .select((rowKeys.map(col) ++ vocab.flatMap(v => Seq(
+        coalesce(col(s"${v}_imp"), lit(0L)).as(s"$prefix${v}_imp"),
+        coalesce(col(s"${v}_clk"), lit(0L)).as(s"$prefix${v}_clk")))): _*)
+
+  /** W3 multi-term snapshot + P10 threshold — the user_dict flush of
+    * s2_term_trans.py:43-47: per-term counters over the key's LAST
+    * ≤frameLen+1 impressions (the faithful off-by-one: the final row is
+    * added before the flush), then the serving term list = terms whose
+    * click count meets the threshold
+    * (offline_to_online/recall/s1_user_to_redis.py:26-29).
+    */
+  def termSnapshot(df: DataFrame, keyCol: String, rnCol: String,
+                   cntCol: String, termsCol: String, labelCol: String,
+                   frameLen: Int, clickThreshold: Long): DataFrame =
+    df.filter(col(rnCol) >= col(cntCol) - (frameLen + 1))
+      .withColumn("term", explode(col(termsCol)))
+      .groupBy(col(keyCol), col("term"))
+      .agg(count(lit(1)).as("term_imp"), sum(col(labelCol)).as("term_clk"))
+      .filter(col("term_clk") >= clickThreshold)
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(col("term"))).as("terms"))
+
   /** W3 — user-level snapshot: same counters flushed at the key boundary
     * AFTER adding the final row — frame covers the last ≤ frameLen+1 rows
     * (the faithful off-by-one vs W2). Ref: s2_term_trans.py:43-47.
