@@ -398,6 +398,35 @@ object OracleSql {
         |SELECT user_id, list(term ORDER BY term) AS terms FROM t
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q41_corpus_clean" -> {
+      val sigAggs = (for (b <- 0 until 4; r <- 0 until 2)
+        yield s"min(substr(md5(s), ${(b * 2 + r) * 4 + 1}, 4)) AS h_${b}_$r").mkString(", ")
+      val bandJoin = (0 until 4).map { b =>
+        s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b " +
+          s"ON a.h_${b}_0 = b.h_${b}_0 AND a.h_${b}_1 = b.h_${b}_1 AND a.doc_id < b.doc_id"
+      }.mkString(" UNION ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |q AS (SELECT doc_id FROM (
+         |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    round(CAST(len(list_filter(tk, x -> list_contains(['the', 'a'], x))) AS DOUBLE)
+         |      / CAST(len(tk) AS DOUBLE), 4) AS stop_ratio FROM t)
+         |  WHERE round(least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE))
+         |      * (CAST(1.0 AS DOUBLE) - stop_ratio), 4) >= 0.3 AND n_tokens >= 20),
+         |kept AS (SELECT d.* FROM documents d JOIN q USING (doc_id)),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+         |uniq AS (SELECT kept.* FROM kept JOIN canon USING (doc_id)),
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS tt FROM uniq),
+         |sh AS (SELECT DISTINCT doc_id, s FROM
+         |  (SELECT doc_id, unnest(list_transform(range(len(tt) - 2),
+         |     i -> tt[i + 1] || ' ' || tt[i + 2] || ' ' || tt[i + 3])) AS s
+         |   FROM toks WHERE len(tt) >= 3)),
+         |sig AS (SELECT doc_id, $sigAggs FROM sh GROUP BY doc_id),
+         |pairs AS ($bandJoin)
+         |SELECT doc_id, lang, n_chars FROM uniq
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

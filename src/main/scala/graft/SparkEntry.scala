@@ -341,6 +341,28 @@ object SparkEntry {
         .select("user_id", "terms").orderBy("user_id")
     }),
 
+    // ops/scale composition — the training-data curation flow as ONE
+    // lazy plan: quality gate → exact dedup (keep min id) → MinHash
+    // near-dup removal (greedy keep-smaller) → surviving corpus.
+    "q41_corpus_clean" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val quality = TextOps.qualityScore(docs, "doc_id", "text", STOPWORDS)
+        .filter(col("quality") >= 0.3 && col("n_tokens") >= 20)
+        .select("doc_id")
+      val kept = docs.join(quality, "doc_id")
+      val canon = kept.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val uniq = kept.join(canon, "doc_id")
+      val pairs = DedupOps.minhashCandidates(
+        DedupOps.minhashSignature(
+          DedupOps.shingles(uniq, "doc_id", "text"), "doc_id", 4, 2),
+        "doc_id", 4, 2)
+      uniq.join(pairs.select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {

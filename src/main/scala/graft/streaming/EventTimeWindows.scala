@@ -30,6 +30,21 @@ object EventTimeWindows {
       .select(col("window.start").as("win_start"),
         col("window.end").as("win_end"), col(keyCol), col("imp"), col("clk"))
 
+  /** Streaming sessionization: built-in `session_window` merges events
+    * within `gap` of each other per key — the streaming counterpart of
+    * the batch lag+cumsum sessionizer (TextOps.sessionize / q22). A
+    * session closes (and is emitted, in append mode) once the watermark
+    * passes its end; state per open session is one window struct.
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+                    gap: String, lateness: String): DataFrame =
+    events
+      .withWatermark(tsCol, lateness)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col(keyCol), col("n_events"))
+
   /** Sliding variant: the streaming analogue of the last-N behavior
     * profile (every `slide`, the trailing `duration` counts per key).
     */

@@ -41,4 +41,27 @@ class EventTimeWindowsSpec extends SparkSpec {
     assert(spark.table("win_out").count() == 1)
     q.stop()
   }
+
+  test("session_window merges events within the gap and closes on watermark") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Int)]
+    val df = mem.toDS().toDF("ts", "user_id", "label")
+    val out = graft.streaming.EventTimeWindows.sessionCounts(
+      df, "ts", "user_id", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+
+    // events at 1, 5, 12 chain into one session (gaps < 10 min);
+    // event at 40 starts a new session and its watermark (35) closes
+    // the first one (which ended at 12+10=22)
+    mem.addData((ts(1), 1L, 1), (ts(5), 1L, 0), (ts(12), 1L, 1))
+    q.processAllAvailable()
+    mem.addData((ts(40), 1L, 0))
+    q.processAllAvailable()
+
+    val sessions = spark.table("sess_out")
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+    assert(sessions.toSeq == Seq((1L, 3L)))
+    q.stop()
+  }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.RelationalOps
+
+/** SURVEY §5.2 properties over seeded random inputs:
+  *  (a) PIT no-leakage — features at row i are invariant under ANY
+  *      mutation of rows ≥ i;
+  *  (b) split tiling — the three istest codes partition every user's
+  *      rows with the last-min(n,10) holdout;
+  *  (c) z-score — train mean → 0, stddev_samp → 1 for non-constant
+  *      columns;
+  *  (d) hybrid — union score equals the sum of per-channel scores.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomEvents(seed: Int): Seq[(Long, Long, Long, Int)] = {
+    val r = new Random(seed)
+    for {
+      u <- 0L until 5L
+      n = 1 + r.nextInt(30)
+      i <- 0 until n
+    } yield (u, u * 1000 + i, i.toLong * 7, r.nextInt(2))
+  }
+
+  test("(a) PIT no-leakage: mutating the future never changes past features") {
+    for (seed <- 1 to 5) {
+      val base = randomEvents(seed)
+      val cut = new Random(seed).nextInt(15).toLong
+      // flip every label at rn >= cut (the "future" relative to cut)
+      val byUser = base.groupBy(_._1).values.flatMap { rows =>
+        rows.sortBy(_._3).zipWithIndex.map { case ((u, id, ts, l), rn) =>
+          (u, id, ts, if (rn >= cut) 1 - l else l, rn.toLong)
+        }
+      }.toSeq
+      val origDf = byUser.map { case (u, id, ts, _, rn) =>
+        (u, id, ts, base.find(_._2 == id).get._4, rn)
+      }.toDF("user_id", "event_id", "ts", "label", "rn")
+      val mutDf = byUser.toDF("user_id", "event_id", "ts", "label", "rn")
+
+      def feats(df: org.apache.spark.sql.DataFrame) =
+        RelationalOps.pitWindow(df, "user_id", Seq(col("ts"), col("event_id")),
+            "label", 10)
+          .filter(col("rn") <= cut)
+          .select("event_id", "pit_imp", "pit_clk")
+          .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+      assert(feats(origDf) == feats(mutDf), s"leakage at seed=$seed cut=$cut")
+    }
+  }
+
+  test("(b) split tiling: codes partition each user, holdout = min(n, 10)") {
+    for (seed <- 1 to 5) {
+      val data = randomEvents(seed).map { case (u, id, ts, l) => (u, id, ts, l) }
+        .toDF("user_id", "event_id", "ts", "label")
+      val rn = RelationalOps.rowNumber(data, "user_id", Seq(col("ts"), col("event_id")))
+        .withColumn("u_cnt", count(lit(1)).over(Window.partitionBy("user_id")))
+      val split = RelationalOps.threeWaySplit(rn, "rn", "u_cnt", 10, 0.2)
+      val perUser = split.groupBy("user_id", "istest").count()
+        .as[(Long, Int, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+      val sizes = split.groupBy("user_id").count().as[(Long, Long)].collect().toMap
+      sizes.foreach { case (u, n) =>
+        val m = perUser(u)
+        assert(m.values.sum == n, s"user $u codes don't tile")
+        assert(m.getOrElse(2, 0L) == math.min(n, 10), s"user $u holdout wrong")
+        val expTrain = (0L until n).count(r => r < (n - 10) * 0.8)
+        assert(m.getOrElse(0, 0L) == expTrain, s"user $u train wrong")
+      }
+    }
+  }
+
+  test("(c) z-score: train statistics normalize to mean 0, stddev_samp 1") {
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      val xs = Seq.fill(200)(r.nextDouble() * 100 - 50).toDF("x")
+      val z = RelationalOps.zscore(xs, xs, "x", "z", roundTo = 10)
+      val (m, s) = z.agg(avg("z"), stddev_samp("z")).as[(Double, Double)].head()
+      assert(math.abs(m) < 1e-6, s"mean $m")
+      assert(math.abs(s - 1.0) < 1e-6, s"std $s")
+    }
+  }
+
+  test("(d) hybrid union score = sum of channel scores per key") {
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      val chans = (0 until 3).map { c =>
+        (0 until 30).map(_ => (r.nextInt(10).toLong, r.nextInt(100) / 10.0))
+          .toDF("k", "score")
+      }
+      val got = RelationalOps.hybridUnion(chans, Seq("k"), "score")
+        .as[(Long, Double)].collect().toMap
+      val want = chans.flatMap(_.as[(Long, Double)].collect())
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9) }
+      assert(got.keySet == want.keySet)
+    }
+  }
+}
