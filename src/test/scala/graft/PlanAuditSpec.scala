@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Physical-plan contracts at sf0.001 — the properties that make these
+  * plans survive a 100× scale-up, asserted so they can't silently rot:
+  * scan pushdown, dimension broadcast, bounded exchange counts.
+  */
+class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  private def shuffles(df: DataFrame): Seq[ShuffleExchangeLike] = {
+    df.count()   // let AQE finalize
+    collectWithSubqueries(df.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s
+    }
+  }
+
+  test("q01: filters and projection are pushed into the parquet scan") {
+    val s = plan("q01_scan_filter_project").queryExecution.executedPlan.toString
+    assert(s.contains("PushedFilters") && s.contains("GreaterThan(l_quantity"))
+    assert(s.contains("ReadSchema") && !s.contains("l_shipdate"),
+      "projection must prune unused columns from the scan")
+  }
+
+  test("q07: both dimension joins broadcast (no shuffle joins)") {
+    val df = plan("q07_left_join")
+    df.count()
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.length == 2, s"expected 2 broadcast joins, got ${bhj.length}")
+  }
+
+  test("q10: PIT window costs exactly one hash exchange (plus the final sort)") {
+    val ex = shuffles(plan("q10_pit_window"))
+    // one hashpartitioning for the window + one rangepartitioning for ORDER BY
+    assert(ex.length <= 2, s"unexpected exchanges: ${ex.map(_.outputPartitioning)}")
+    assert(ex.exists(_.outputPartitioning.toString.contains("hashpartitioning")))
+  }
+
+  test("q39: faithful term PIT still shuffles only on (user, term) + final sort") {
+    val ex = shuffles(plan("q39_pit_term_window"))
+    assert(ex.length <= 2, s"unexpected exchanges: ${ex.map(_.outputPartitioning)}")
+  }
+
+  test("q25: distributed AUC never funnels the fact table through one partition") {
+    val ex = shuffles(plan("q25_auc_sql"))
+    // The rank work must be hash-partitioned; a SinglePartition exchange
+    // is legitimate only as the final scalar-aggregate merge (its child
+    // is a partial HashAggregate carrying 3 longs per partition).
+    assert(ex.exists(_.outputPartitioning.toString.contains("hashpartitioning")),
+      "per-score rank window must hash-partition the fact table")
+    val badSingles = ex.filter(s => s.outputPartitioning.numPartitions == 1 &&
+      !s.child.toString.contains("HashAggregate"))
+    assert(badSingles.isEmpty,
+      s"non-aggregate single-partition exchange: $badSingles")
+  }
+
+  test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
+    val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
+    for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
+      val df = fn(spark, dir)
+      val s = df.queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+    }
+  }
+}
