@@ -307,6 +307,7 @@ object OracleSql {
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+', 0)) AS BIGINT) AS n_word_tokens,
         |  CAST(ceil(CAST(length(text) AS DOUBLE) / CAST(4.0 AS DOUBLE)) AS BIGINT) AS bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -26,15 +26,18 @@ object TextOps {
     df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("tf"))
 
-  /** Per-document token statistics: token count, distinct tokens, and a
-    * BPE-ish subword estimate (chars/4 — the standard ~4-chars-per-token
-    * heuristic) without any model dependency.
+  /** Per-document token statistics: whitespace token count, distinct
+    * tokens, regex word-tokenization count (the BPE-ish pre-tokenizer
+    * split), and a chars/4 subword estimate (the standard
+    * ~4-chars-per-token heuristic) — no model dependency.
     */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol),
       size(tokens(col(textCol))).cast("long").as("n_tokens"),
       size(array_distinct(tokens(col(textCol)))).cast("long").as("n_distinct"),
+      size(regexp_extract_all(col(textCol), lit("[a-z0-9]+"), lit(0)))
+        .cast("long").as("n_word_tokens"),
       ceil(length(col(textCol)) / 4.0).cast("long").as("bpe_est"))
 
   /** N-gram-overlap language ID: score each candidate profile by the
