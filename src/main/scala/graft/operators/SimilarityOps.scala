@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector-similarity operators: brute-force cosine top-k (the exact
@@ -49,14 +48,21 @@ object SimilarityOps {
 
   /** Brute-force cosine top-k per query vector, deterministic tiebreak on
     * neighbor id. Exact-answer baseline for any ANN variant.
+    *
+    * Top-k selection runs as a bounded TopKAggregator hash aggregation,
+    * not a window: map-side partials keep ≤k candidates per vector per
+    * partition, so the n·m pair stream never shuffles or sorts — only
+    * k·|vectors| survivor rows move. Bit-identical to the window
+    * row_number form (TopKAggregatorSpec).
     */
   def cosineTopK(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
     val n = normalized(df, idCol, embCol)
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
     pairSim(n, n)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("vec_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKAggregator.topK(k, col("sim"), col("neighbor_id")).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        round(col("t.score"), 6).as("sim"))
   }
 
   /** Embedding-cosine near-dup: all pairs above a similarity threshold
@@ -90,12 +96,13 @@ object SimilarityOps {
       col("nrm").as("a_nrm"), col("bucket"))
     val b = n.select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
       col("nrm").as("b_nrm"), col("bucket"))
-    val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("neighbor_id"))
     a.join(b, "bucket")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("vec_id"), col("neighbor_id"), round(col("sim"), 6).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKAggregator.topK(k, col("sim"), col("neighbor_id")).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        round(col("t.score"), 6).as("sim"))
   }
 }
