@@ -140,9 +140,9 @@ object OracleSql {
     "q14_zscore" ->
       """WITH s AS (SELECT
         |  CASE WHEN avg(l_extendedprice) IS NULL THEN CAST(0 AS DOUBLE)
-        |       ELSE avg(l_extendedprice) END AS m,
+        |       ELSE round(avg(l_extendedprice), 6) END AS m,
         |  CASE WHEN coalesce(stddev_samp(l_extendedprice), 0) <= 0 THEN CAST(1 AS DOUBLE)
-        |       ELSE stddev_samp(l_extendedprice) END AS sd
+        |       ELSE round(stddev_samp(l_extendedprice), 6) END AS sd
         |  FROM lineitem WHERE l_returnflag <> 'R')
         |SELECT l_orderkey, l_linenumber,
         |  round((l_extendedprice - s.m) / s.sd, 4) AS z
@@ -398,6 +398,10 @@ object OracleSql {
         |  FROM e GROUP BY user_id, term HAVING sum(label) >= 2)
         |SELECT user_id, list(term ORDER BY term) AS terms FROM t
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q42_salted_group_agg" ->
+      """SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q41_corpus_clean" -> {
       val sigAggs = (for (b <- 0 until 4; r <- 0 until 2)

@@ -341,6 +341,13 @@ object SparkEntry {
         .select("user_id", "terms").orderBy("user_id")
     }),
 
+    // skew path — two-phase salted aggregation; must equal the direct
+    // groupBy (the oracle IS the direct form).
+    "q42_salted_group_agg" -> ((s, d) =>
+      MetricOps.saltedCountSum(Tables.events(s, d), "user_id", "value", 8)
+        .select(col("user_id"), col("cnt"), round(col("sum"), 2).as("sum_value"))
+        .orderBy("user_id")),
+
     // ops/scale composition — the training-data curation flow as ONE
     // lazy plan: quality gate → exact dedup (keep min id) → MinHash
     // near-dup removal (greedy keep-smaller) → surviving corpus.

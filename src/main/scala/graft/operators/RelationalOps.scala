@@ -224,8 +224,14 @@ object RelationalOps {
     */
   def zscore(df: DataFrame, trainDf: DataFrame, valueCol: String,
              outCol: String, roundTo: Int = 4): DataFrame = {
+    // Stats are rounded to 6 dp before use: double avg/stddev differ in
+    // the last ulps across engines/partitionings (summation order), and
+    // feeding the raw values into 60k divisions would let that noise
+    // land on a rounding boundary. Rounded stats are bit-identical
+    // everywhere, so downstream z-scores are too.
     val row = trainDf.agg(
-      avg(col(valueCol)).as("m"), stddev_samp(col(valueCol)).as("s")).head()
+      round(avg(col(valueCol)), 6).as("m"),
+      round(stddev_samp(col(valueCol)), 6).as("s")).head()
     val m0 = if (row.isNullAt(0) || row.getDouble(0).isNaN) 0.0 else row.getDouble(0)
     val s0 = if (row.isNullAt(1) || row.getDouble(1).isNaN || row.getDouble(1) <= 0) 1.0
              else row.getDouble(1)
