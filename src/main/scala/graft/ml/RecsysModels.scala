@@ -52,6 +52,19 @@ object RecsysModels {
     (model.userFactors.select(col("id"), col("features").as("vector")),
      model.itemFactors.select(col("id"), col("features").as("vector")))
 
+  /** M1 batch recall: top-k candidate items per user straight from the
+    * factor model (the offline variant of the kNN recall channel —
+    * s2_vector_recall.py scores sigmoid(P·Q); ALS ranks by the same
+    * dot product, and sigmoid is monotonic so the top-k agree).
+    */
+  def recallTopK(model: ALSModel, k: Int): DataFrame = {
+    val recs = model.recommendForAllUsers(k)
+    recs.select(col(model.getUserCol).as("user_id"),
+      explode(col("recommendations")).as("r"))
+      .select(col("user_id"), col(s"r.${model.getItemCol}").as("item_id"),
+        (lit(1.0) / (lit(1.0) + exp(-col("r.rating")))).as("score"))
+  }
+
   /** M6: assemble features in FeatMeta positional order. */
   def assemble(df: DataFrame, meta: FeatMeta,
                outputCol: String = "features"): DataFrame =

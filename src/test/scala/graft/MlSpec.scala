@@ -38,6 +38,13 @@ class MlSpec extends SparkSpec {
     val (uv, iv) = RecsysModels.exportVectors(m)
     assert(uv.count() > 0 && iv.count() > 0)
     assert(uv.select("vector").as[Seq[Float]].head().length == RecsysModels.VECTOR_DIM)
+
+    // batch recall: k candidates per user, sigmoid-calibrated scores
+    val recs = RecsysModels.recallTopK(m, 3)
+    val perUser = recs.groupBy("user_id").count().select("count").as[Long].collect()
+    assert(perUser.forall(_ <= 3) && perUser.nonEmpty)
+    val scores = recs.select("score").as[Double].collect()
+    assert(scores.forall(s => s > 0.0 && s < 1.0))
   }
 
   test("M2/M4/M5/M6: FM ranker early-stop loop beats chance AUC") {
