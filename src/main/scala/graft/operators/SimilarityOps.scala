@@ -78,6 +78,36 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Multi-probe IVF ANN: like [[annTopK]], but each query vector also
+    * probes the `signBits` Hamming-1 neighbor cells (one sign bit
+    * flipped) — the standard recall/cost dial: cost grows
+    * ×(signBits+1)/2^signBits of brute force, recall approaches exact
+    * because near neighbors that straddle one quantization hyperplane
+    * are found. Probing stays an equi-join on the cell id (the query
+    * side explodes its probe list; the index side is stored once).
+    */
+  def annTopKMultiProbe(df: DataFrame, idCol: String, embCol: String, k: Int,
+                        signBits: Int = 4): DataFrame = {
+    val bucket = (0 until signBits)
+      .map(j => expr(s"CAST(emb[$j] > 0 AS INT) * ${1 << j}"))
+      .reduce(_ + _)
+    val n = normalized(df, idCol, embCol).withColumn("bucket", bucket)
+    val probes = expr(
+      s"array(bucket, ${(0 until signBits).map(j => s"CAST(bucket AS INT) ^ ${1 << j}").mkString(", ")})")
+    val a = n.select(col("id").as("vec_id"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm"), explode(probes).as("bucket"))
+    val b = n.select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
+      col("nrm").as("b_nrm"), col("bucket"))
+    a.join(b, "bucket")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(graft.functions.TopKAggregator.topK(k, col("sim"), col("neighbor_id")).as("top"))
+      .select(col("vec_id"), explode(col("top")).as("t"))
+      .select(col("vec_id"), col("t.id").as("neighbor_id"),
+        round(col("t.score"), 6).as("sim"))
+  }
+
   /** IVF-style ANN: partition vectors into 2^`signBits` coarse cells by
     * the sign pattern of the leading dimensions (a deterministic,
     * data-independent quantizer), then exact cosine top-k WITHIN each

@@ -71,6 +71,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 2L), (2L, 1L)))
   }
 
+  test("multi-probe ANN recall ≥ single-probe recall, both vs exact top-1") {
+    val r = new scala.util.Random(3)
+    val vecs = (0L until 200L)
+      .map(i => (i, Seq.fill(8)(r.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    def top1(df: org.apache.spark.sql.DataFrame) =
+      df.filter($"vec_id" < 50).groupBy("vec_id")
+        .agg(org.apache.spark.sql.functions.max_by($"neighbor_id", $"sim").as("n"))
+        .as[(Long, Long)].collect().toMap
+    val exact = top1(SimilarityOps.cosineTopK(vecs, "vec_id", "embedding", 1))
+    val single = top1(SimilarityOps.annTopK(vecs, "vec_id", "embedding", 1, 4))
+    val multi = top1(SimilarityOps.annTopKMultiProbe(vecs, "vec_id", "embedding", 1, 4))
+    def recall(m: Map[Long, Long]) = exact.count { case (k, v) => m.get(k).contains(v) }
+    assert(recall(multi) >= recall(single))
+    assert(recall(multi) > 25, s"multi-probe recall too low: ${recall(multi)}/50")
+  }
+
   test("embeddingNearDup is symmetric-free (id_a < id_b) and thresholded") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.14f)), (3L, Seq(0.0f, 1.0f)))
