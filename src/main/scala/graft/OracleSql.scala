@@ -399,6 +399,15 @@ object OracleSql {
         |SELECT user_id, list(term ORDER BY term) AS terms FROM t
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q43_asof_join" ->
+      """WITH s AS (SELECT user_id, ts, max(value) AS signup_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+        |SELECT e.event_id,
+        |  coalesce(s.signup_value, CAST(-1.0 AS DOUBLE)) AS signup_value
+        |FROM events e ASOF LEFT JOIN s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+
     "q42_salted_group_agg" ->
       """SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,

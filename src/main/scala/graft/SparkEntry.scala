@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
-import graft.operators.{DedupOps, MetricOps, RelationalOps, SimilarityOps, TextOps}
+import graft.operators.{AsOfJoin, DedupOps, MetricOps, RelationalOps, SimilarityOps, TextOps}
 
 /** Driver contract (SURVEY.md §7): named deterministic queries over the
   * testdata tables, each with a DuckDB-oracle SQL twin. Query keys map to
@@ -339,6 +339,20 @@ object SparkEntry {
       RelationalOps.termSnapshot(rn, "user_id", "rn", "u_cnt", "terms",
           "label", PIT_FRAME, 2L)
         .select("user_id", "terms").orderBy("user_id")
+    }),
+
+    // J4 general form — as-of join: every event enriched with the most
+    // recent signup value at-or-before its timestamp (union +
+    // last-value window; DuckDB's native ASOF JOIN is the oracle).
+    "q43_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("signup_value"))
+      AsOfJoin(ev.select("user_id", "ts", "event_id"), signups,
+          "user_id", "ts", "ts", Seq("signup_value"), "signup_value")
+        .select(col("event_id"),
+          coalesce(col("signup_value"), lit(-1.0)).as("signup_value"))
+        .orderBy("event_id")
     }),
 
     // skew path — two-phase salted aggregation; must equal the direct

@@ -23,6 +23,8 @@ def canon(v):
     if isinstance(v, (list, np.ndarray)):
         return tuple(canon(x) for x in v)
     if isinstance(v, float):
+        if np.isnan(v):
+            return "__null__"
         return round(v, 9)
     if isinstance(v, (np.integer,)):
         return int(v)
