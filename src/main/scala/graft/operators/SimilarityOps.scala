@@ -38,6 +38,12 @@ object SimilarityOps {
       .withColumn("nrm", sqrt(dot("emb", "emb")))
   }
 
+  /** All directed (vec_id, neighbor_id, sim) pairs of a
+    * self-comparison. Deliberately NOT the halved-and-mirrored form:
+    * mirroring needs a generator (or a lineage-doubling union) that
+    * breaks whole-stage codegen, which measures slower than evaluating
+    * the codegen'd dot for both directions.
+    */
   private def pairSim(a: DataFrame, b: DataFrame): DataFrame =
     a.select(col("id").as("vec_id"), col("emb").as("a_emb"), col("nrm").as("a_nrm"))
       .crossJoin(b.select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
