@@ -71,12 +71,17 @@ object Pipeline {
       .select(col("user_id"), col("seen"))
     val userTerms = ev.filter(col("label") === 1)
       .groupBy("user_id", "item").agg(count(lit(1)).as("c")).filter(col("c") >= 3)
-      .groupBy("user_id").agg(collect_set(concat(lit("g"), col("item"))).as("terms"))
-    val users = userVec.select(col("id").as("user_id"), col("vector"))
-      .join(userTerms, Seq("user_id"), "left")
-      .join(seen, Seq("user_id"), "left")
-      .withColumn("terms", coalesce(col("terms"), array()))
-      .withColumn("seen", coalesce(col("seen"), expr("CAST(array() AS ARRAY<BIGINT>)")))
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(concat(lit("g"), col("item")))).as("terms"))
+    // Serving hop with full fidelity: state round-trips through the
+    // string-encoded snapshot (S7) and the defaulted point lookup (S8),
+    // exactly like the reference's Redis leg.
+    val snapshot = operators.ServingOps.buildSnapshot(
+      userTerms, seen, userVec.select(col("id").as("user_id"), col("vector")),
+      "user_id")
+    val users = operators.ServingOps.pointLookup(
+      userVec.select(col("id").as("user_id")), snapshot, "user_id",
+      RecsysModels.VECTOR_DIM)
     val items = itemVec.select(col("id").as("item"), col("vector"))
       .withColumn("terms", array(concat(lit("g"), col("item"))))
 

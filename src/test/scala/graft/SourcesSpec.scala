@@ -63,6 +63,14 @@ class SourcesSpec extends SparkSpec {
     assert(back.orderBy("id").collect().toSeq == in.orderBy("id").collect().toSeq)
   }
 
+  test("S5: snapshot parquet sink stamps ingestion timestamps (F6)") {
+    val dir = tmpDir() + "/snap"
+    DelimitedText.writeSnapshotParquet(Seq((1L, 2.0)).toDF("id", "v"), dir)
+    val back = DelimitedText.readArtifact(spark, dir)
+    assert(back.columns.toSet == Set("id", "v", "event_timestamp", "created"))
+    assert(back.filter($"event_timestamp".isNull).count() == 0)
+  }
+
   test("S6: keyed parquet artifact with array column round-trips") {
     val dir = tmpDir() + "/kv"
     val in = Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq.empty[Long]))
