@@ -34,14 +34,19 @@ object Bench {
     } catch { case _: Throwable => () }
 
     // min of 2 runs per query: measures the query, not GC/OS jitter
-    // (single-run noise on a shared host is ±30%).
+    // (single-run noise on a shared host is ±30%). A failed run records
+    // -1, never its time-to-exception — a crashing query must show as
+    // broken in the JSON, not as "fast".
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        }
       }
-      name -> times.min
+      val ok = times.filter(_ >= 0)
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

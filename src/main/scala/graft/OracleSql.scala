@@ -141,7 +141,7 @@ object OracleSql {
       """WITH s AS (SELECT
         |  CASE WHEN avg(l_extendedprice) IS NULL THEN CAST(0 AS DOUBLE)
         |       ELSE round(avg(l_extendedprice), 6) END AS m,
-        |  CASE WHEN coalesce(stddev_samp(l_extendedprice), 0) <= 0 THEN CAST(1 AS DOUBLE)
+        |  CASE WHEN coalesce(round(stddev_samp(l_extendedprice), 6), 0) <= 0 THEN CAST(1 AS DOUBLE)
         |       ELSE round(stddev_samp(l_extendedprice), 6) END AS sd
         |  FROM lineitem WHERE l_returnflag <> 'R')
         |SELECT l_orderkey, l_linenumber,
@@ -409,7 +409,8 @@ object OracleSql {
         |ORDER BY e.event_id""".stripMargin,
 
     "q42_salted_group_agg" ->
-      """SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS sum_value
+      """SELECT user_id, count(*) AS cnt,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS sum_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q41_corpus_clean" -> {

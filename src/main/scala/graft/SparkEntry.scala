@@ -356,10 +356,15 @@ object SparkEntry {
     }),
 
     // skew path — two-phase salted aggregation; must equal the direct
-    // groupBy (the oracle IS the direct form).
+    // groupBy (the oracle IS the direct form). Sums run on DECIMAL so
+    // the salted regrouping is bit-exact regardless of partitioning.
     "q42_salted_group_agg" -> ((s, d) =>
-      MetricOps.saltedCountSum(Tables.events(s, d), "user_id", "value", 8)
-        .select(col("user_id"), col("cnt"), round(col("sum"), 2).as("sum_value"))
+      MetricOps.saltedCountSum(
+          Tables.events(s, d)
+            .withColumn("value_dec", col("value").cast("decimal(18,6)")),
+          "user_id", "value_dec", 8)
+        .select(col("user_id"), col("cnt"),
+          round(col("sum").cast("double"), 2).as("sum_value"))
         .orderBy("user_id")),
 
     // ops/scale composition — the training-data curation flow as ONE

@@ -26,8 +26,14 @@ class TopKAggregator(k: Int)
   // buffer: up to k entries, kept sorted best-first by (score desc, id asc)
   override def zero: List[(Double, Long)] = Nil
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  // Double.compare, not >: NaN must order as greater-than-everything
+  // (Spark DESC and DuckDB both sort NaN first), and a raw > returns
+  // false for every NaN comparison, which would corrupt the sorted
+  // buffer invariant and evict genuinely-best rows.
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def insert(buf: List[(Double, Long)],
                      e: (Double, Long)): List[(Double, Long)] = {

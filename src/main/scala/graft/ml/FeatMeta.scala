@@ -40,6 +40,9 @@ object FeatMeta {
     val aggs = sparseCols.map(c => (max(col(c)) + 1).cast("long").as(c))
     val row = train.agg(aggs.head, aggs.tail: _*).head()
     val sparse = sparseCols.zipWithIndex.map { case (c, i) =>
+      require(!row.isNullAt(i),
+        s"FeatMeta.derive: train frame is empty or column '$c' is all-null — " +
+          "cannot derive a cardinality")
       SparseFeat(c, row.getLong(i))
     }
     FeatMeta(sparse, denseCols)

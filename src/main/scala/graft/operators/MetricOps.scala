@@ -24,17 +24,20 @@ object MetricOps {
     * Output adds `r` = 1-based rank by (score, tiebreak).
     */
   def globalRank(df: DataFrame, scoreCol: String, tieCol: String): DataFrame = {
+    // Null scores: rank LAST (ANSI ORDER BY default, matching the
+    // DuckDB oracle), and join null-safely — a bare equi-join would
+    // silently drop null-score rows from the metric.
     val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__n"))
     val below = hist
       .withColumn("__below",
         coalesce(sum(col("__n")).over(
-          Window.orderBy(col(scoreCol))
+          Window.orderBy(col(scoreCol).asc_nulls_last)
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(scoreCol), col("__below"))
+      .select(col(scoreCol).as("__score"), col("__below"))
     val within = Window.partitionBy(col(scoreCol)).orderBy(col(tieCol))
-    df.join(broadcast(below), Seq(scoreCol))
+    df.join(broadcast(below), col(scoreCol) <=> col("__score"))
       .withColumn("r", col("__below") + row_number().over(within))
-      .drop("__below")
+      .drop("__below", "__score")
   }
 
   /** A9: rank-formula ROC-AUC with deterministic tiebreak — one
@@ -51,15 +54,22 @@ object MetricOps {
 
   /** Two-phase salted aggregation for skewed keys: phase 1 aggregates
     * on (key, salt) — spreading a hot key over `saltBuckets` reducers —
-    * phase 2 merges the partials per key. Count/sum decompose exactly;
-    * result is identical to a direct groupBy. (Spark's partial
-    * aggregation already does this when the map side sees the hot key,
-    * but a skewed SHUFFLE key after a join does not benefit — this
-    * does.)
+    * phase 2 merges the partials per key. (Spark's partial aggregation
+    * already does this when the map side sees the hot key, but a skewed
+    * SHUFFLE key after a join does not benefit — this does.)
+    *
+    * Exactness: counts and integral/decimal sums decompose exactly, so
+    * the result equals a direct groupBy bit-for-bit. Floating-point
+    * sums would depend on the (salt-induced) grouping order — pass a
+    * DECIMAL-cast value column when reproducibility matters (q42 does).
     */
   def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
                      saltBuckets: Int): DataFrame =
-    df.withColumn("__salt", pmod(hash(col(valueCol)), lit(saltBuckets)))
+    // Salt mixes in the source partition id: a hot key spreads even when
+    // its values are all identical (a value-only hash would put them in
+    // one salt bucket). Assignment needs to spread, not be stable.
+    df.withColumn("__salt",
+        pmod(hash(col(valueCol), spark_partition_id()), lit(saltBuckets)))
       .groupBy(col(keyCol), col("__salt"))
       .agg(count(lit(1)).as("__c"), sum(col(valueCol)).as("__s"))
       .groupBy(col(keyCol))
@@ -70,11 +80,13 @@ object MetricOps {
     * when the question is only "is cardinality 1?" (rsd 5% cannot
     * confuse 1 with 2).
     */
-  def approxConstPruneReport(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.sorted.map { c =>
-      df.agg(
-        lit(c).as("col_name"),
-        approx_count_distinct(col(c)).as("n_distinct_approx"),
-        (approx_count_distinct(col(c)) > 1).cast("int").as("keep"))
-    }.reduce(_.unionAll(_))
+  def approxConstPruneReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val sorted = cols.sorted
+    val aggs = sorted.map(c => approx_count_distinct(col(c)).as(s"__nd_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${sorted.length}, " +
+        sorted.map(c => s"'$c', __nd_$c").mkString(", ") +
+        ") AS (col_name, n_distinct_approx)")
+      .withColumn("keep", (col("n_distinct_approx") > 1).cast("int"))
+  }
 }

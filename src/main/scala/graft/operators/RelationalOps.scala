@@ -59,13 +59,17 @@ object RelationalOps {
     * The report itself is tiny (O(#columns)) — the one sanctioned
     * driver-side collect in the reference's design.
     */
-  def constPruneReport(df: DataFrame, cols: Seq[String]): DataFrame =
-    cols.sorted.map { c =>
-      df.agg(
-        lit(c).as("col_name"),
-        countDistinct(col(c)).as("n_distinct"),
-        (countDistinct(col(c)) > 1).cast("int").as("keep"))
-    }.reduce(_.unionAll(_))
+  def constPruneReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // One scan computing every column's distinct count, unpivoted —
+    // not one aggregation (= one full table pass) per column.
+    val sorted = cols.sorted
+    val aggs = sorted.map(c => countDistinct(col(c)).as(s"__nd_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${sorted.length}, " +
+        sorted.map(c => s"'$c', __nd_$c").mkString(", ") +
+        ") AS (col_name, n_distinct)")
+      .withColumn("keep", (col("n_distinct") > 1).cast("int"))
+  }
 
   // ---------------------------------------------------------------- W ops
 

@@ -52,23 +52,33 @@ object SimilarityOps {
       .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
       .select("vec_id", "neighbor_id", "sim")
 
-  /** Brute-force cosine top-k per query vector, deterministic tiebreak on
-    * neighbor id. Exact-answer baseline for any ANN variant.
-    *
-    * Top-k selection runs as a bounded TopKAggregator hash aggregation,
-    * not a window: map-side partials keep ≤k candidates per vector per
-    * partition, so the n·m pair stream never shuffles or sorts — only
-    * k·|vectors| survivor rows move. Bit-identical to the window
-    * row_number form (TopKAggregatorSpec).
+  /** Bounded top-k selection over a (vec_id, neighbor_id, sim) pair
+    * stream: a TopKAggregator hash aggregation, not a window — map-side
+    * partials keep ≤k candidates per vector per partition, so the pair
+    * stream never shuffles or sorts; only k·|vectors| survivor rows
+    * move. Bit-identical to the window row_number form
+    * (TopKAggregatorSpec). Shared by every kNN variant so the
+    * tiebreak/rounding contract lives in one place.
     */
-  def cosineTopK(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
-    val n = normalized(df, idCol, embCol)
-    pairSim(n, n)
-      .groupBy(col("vec_id"))
+  private def selectTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy(col("vec_id"))
       .agg(graft.functions.TopKAggregator.topK(k, col("sim"), col("neighbor_id")).as("top"))
       .select(col("vec_id"), explode(col("top")).as("t"))
       .select(col("vec_id"), col("t.id").as("neighbor_id"),
         round(col("t.score"), 6).as("sim"))
+
+  /** Sign-pattern coarse quantizer over the leading dimensions. */
+  private def signBucket(signBits: Int): Column =
+    (0 until signBits)
+      .map(j => expr(s"CAST(emb[$j] > 0 AS INT) * ${1 << j}"))
+      .reduce(_ + _)
+
+  /** Brute-force cosine top-k per query vector, deterministic tiebreak on
+    * neighbor id. Exact-answer baseline for any ANN variant.
+    */
+  def cosineTopK(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+    val n = normalized(df, idCol, embCol)
+    selectTopK(pairSim(n, n), k)
   }
 
   /** Embedding-cosine near-dup: all pairs above a similarity threshold
@@ -94,24 +104,17 @@ object SimilarityOps {
     */
   def annTopKMultiProbe(df: DataFrame, idCol: String, embCol: String, k: Int,
                         signBits: Int = 4): DataFrame = {
-    val bucket = (0 until signBits)
-      .map(j => expr(s"CAST(emb[$j] > 0 AS INT) * ${1 << j}"))
-      .reduce(_ + _)
-    val n = normalized(df, idCol, embCol).withColumn("bucket", bucket)
+    val n = normalized(df, idCol, embCol).withColumn("bucket", signBucket(signBits))
     val probes = expr(
       s"array(bucket, ${(0 until signBits).map(j => s"CAST(bucket AS INT) ^ ${1 << j}").mkString(", ")})")
     val a = n.select(col("id").as("vec_id"), col("emb").as("a_emb"),
         col("nrm").as("a_nrm"), explode(probes).as("bucket"))
     val b = n.select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
       col("nrm").as("b_nrm"), col("bucket"))
-    a.join(b, "bucket")
+    val pairs = a.join(b, "bucket")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
-      .groupBy(col("vec_id"))
-      .agg(graft.functions.TopKAggregator.topK(k, col("sim"), col("neighbor_id")).as("top"))
-      .select(col("vec_id"), explode(col("top")).as("t"))
-      .select(col("vec_id"), col("t.id").as("neighbor_id"),
-        round(col("t.score"), 6).as("sim"))
+    selectTopK(pairs, k)
   }
 
   /** IVF-style ANN: partition vectors into 2^`signBits` coarse cells by
@@ -124,21 +127,14 @@ object SimilarityOps {
     */
   def annTopK(df: DataFrame, idCol: String, embCol: String, k: Int,
               signBits: Int = 4): DataFrame = {
-    val bucket = (0 until signBits)
-      .map(j => expr(s"CAST(emb[$j] > 0 AS INT) * ${1 << j}"))
-      .reduce(_ + _)
-    val n = normalized(df, idCol, embCol).withColumn("bucket", bucket)
+    val n = normalized(df, idCol, embCol).withColumn("bucket", signBucket(signBits))
     val a = n.select(col("id").as("vec_id"), col("emb").as("a_emb"),
       col("nrm").as("a_nrm"), col("bucket"))
     val b = n.select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
       col("nrm").as("b_nrm"), col("bucket"))
-    a.join(b, "bucket")
+    val pairs = a.join(b, "bucket")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
-      .groupBy(col("vec_id"))
-      .agg(graft.functions.TopKAggregator.topK(k, col("sim"), col("neighbor_id")).as("top"))
-      .select(col("vec_id"), explode(col("top")).as("t"))
-      .select(col("vec_id"), col("t.id").as("neighbor_id"),
-        round(col("t.score"), 6).as("sim"))
+    selectTopK(pairs, k)
   }
 }

@@ -18,6 +18,13 @@ object TextOps {
   /** Whitespace tokenizer — the engine's canonical token column. */
   def tokens(textCol: Column): Column = split(textCol, " ")
 
+  /** SQL string literal with escaping — marker/stopword lists are
+    * config values spliced into expr() lambdas; a word containing a
+    * quote must not break plan compilation.
+    */
+  private def sqlStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   /** Global term frequency: explode tokens → hash-aggregate count.
     * Map-side partial aggregation keeps the shuffle at |vocab| per
     * partition, not |tokens|.
@@ -51,7 +58,7 @@ object TextOps {
     val scored = profiles.foldLeft(df.select(col(idCol), t.as("__t"))) {
       case (d, (name, marks)) =>
         d.withColumn(s"score_$name",
-          size(expr(s"filter(__t, x -> array_contains(array(${marks.map(m => s"'$m'").mkString(",")}), x))")).cast("long"))
+          size(expr(s"filter(__t, x -> array_contains(array(${marks.map(sqlStr).mkString(",")}), x))")).cast("long"))
     }
     // argmax with first-listed-profile priority on ties
     val pred = profiles.map(_._1).zipWithIndex.foldRight(lit(profiles.last._1)) {
@@ -73,7 +80,7 @@ object TextOps {
   def qualityScore(df: DataFrame, idCol: String, textCol: String,
                    stopwords: Seq[String]): DataFrame = {
     val t = tokens(col(textCol))
-    val stopArr = s"array(${stopwords.map(s => s"'$s'").mkString(",")})"
+    val stopArr = s"array(${stopwords.map(sqlStr).mkString(",")})"
     df.select(
       col(idCol),
       size(t).cast("long").as("n_tokens"),

@@ -40,6 +40,15 @@ class MetricOpsSpec extends SparkSpec {
     assert(a > 0.3 && a < 0.7)   // random labels ≈ chance
   }
 
+  test("globalRank keeps null scores and ranks them last (ANSI/DuckDB order)") {
+    val df = Seq((1L, Some(5L)), (2L, None), (3L, Some(1L)), (4L, None))
+      .toDF("id", "score")
+    val ranks = MetricOps.globalRank(df, "score", "id")
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(ranks.size == 4, "null-score rows must not be dropped")
+    assert(ranks == Map(3L -> 1L, 1L -> 2L, 2L -> 3L, 4L -> 4L))
+  }
+
   test("saltedCountSum equals direct groupBy count/sum") {
     val skewed = (0 until 1000).map(i => (if (i < 900) 1L else i.toLong, i.toDouble))
       .toDF("k", "v")

@@ -33,6 +33,15 @@ class TopKAggregatorSpec extends SparkSpec {
     assert(agg == win)
   }
 
+  test("NaN scores order first (like DESC sort in Spark/DuckDB) and never corrupt the buffer") {
+    val df = Seq((1L, 10L, 5.0), (1L, 11L, Double.NaN), (1L, 12L, 4.0), (1L, 13L, 3.0))
+      .toDF("g", "id", "score")
+    val top = df.groupBy("g")
+      .agg(TopKAggregator.topK(3, col("score"), col("id")).as("top"))
+      .select("top").as[Seq[(Long, Double)]].head()
+    assert(top.map(_._1) == Seq(11L, 10L, 12L))   // NaN > 5.0 > 4.0; 3.0 evicted
+  }
+
   test("aggregator preserves best-first order within each group") {
     val df = Seq((1L, 10L, 1.0), (1L, 11L, 3.0), (1L, 12L, 3.0), (1L, 13L, 2.0))
       .toDF("g", "id", "score")
