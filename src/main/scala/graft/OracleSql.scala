@@ -399,6 +399,52 @@ object OracleSql {
         |SELECT user_id, list(term ORDER BY term) AS terms FROM t
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q44_term_recall" ->
+      """WITH t AS (SELECT user_id,
+        |  list(event_type ORDER BY event_type) AS terms
+        |  FROM (SELECT user_id, event_type FROM events
+        |        GROUP BY user_id, event_type HAVING count(*) >= 3)
+        |  GROUP BY user_id),
+        |sn AS (SELECT user_id, list(et ORDER BY et) AS seen FROM
+        |  (SELECT DISTINCT user_id, event_type AS et FROM events WHERE value > 150)
+        |  GROUP BY user_id),
+        |u AS (SELECT t.user_id, t.terms, coalesce(sn.seen, []) AS seen
+        |  FROM t LEFT JOIN sn ON t.user_id = sn.user_id),
+        |i AS (SELECT item, [item] AS terms FROM
+        |  (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view']) AS item)),
+        |cand AS (SELECT u.user_id, i.item,
+        |  CAST(len(list_intersect(u.terms, i.terms)) AS DOUBLE)
+        |    * CAST(0.1 AS DOUBLE) AS score
+        |  FROM u JOIN i ON len(list_intersect(u.terms, i.terms)) > 0
+        |  WHERE NOT list_contains(u.seen, i.item)),
+        |r AS (SELECT user_id, item, score,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY score DESC, item) AS rn
+        |  FROM cand)
+        |SELECT user_id, item, round(score, 4) AS score FROM r WHERE rn <= 2
+        |ORDER BY user_id, item""".stripMargin,
+
+    "q45_pit_feature_grid" ->
+      """WITH r AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN value > 100 THEN 1 ELSE 0 END AS label,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, event_type
+        |  FROM events),
+        |rr AS (SELECT event_id, user_id, label, event_type,
+        |  'k' || (k % 3) AS kterm,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+        |  FROM r WHERE user_id < 30),
+        |v AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view',
+        |                     'k0', 'k1', 'k2']) AS term),
+        |g AS (SELECT rr.event_id, rr.user_id, rr.rn, rr.label, v.term,
+        |  CASE WHEN v.term = rr.event_type OR v.term = rr.kterm THEN 1 ELSE 0 END AS occ
+        |  FROM rr CROSS JOIN v)
+        |SELECT event_id, term,
+        |  CAST(coalesce(sum(occ) OVER w, 0) AS BIGINT) AS term_imp,
+        |  CAST(coalesce(sum(occ * label) OVER w, 0) AS BIGINT) AS term_clk
+        |FROM g
+        |WINDOW w AS (PARTITION BY user_id, term ORDER BY rn
+        |             ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id, term""".stripMargin,
+
     "q43_asof_join" ->
       """WITH s AS (SELECT user_id, ts, max(value) AS signup_value
         |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)

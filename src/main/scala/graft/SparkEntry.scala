@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
-import graft.operators.{AsOfJoin, DedupOps, MetricOps, RelationalOps, SimilarityOps, TextOps}
+import graft.operators.{AsOfJoin, DedupOps, MetricOps, RelationalOps, RetrievalOps, SimilarityOps, TextOps}
 
 /** Driver contract (SURVEY.md §7): named deterministic queries over the
   * testdata tables, each with a DuckDB-oracle SQL twin. Query keys map to
@@ -339,6 +339,42 @@ object SparkEntry {
       RelationalOps.termSnapshot(rn, "user_id", "rn", "u_cnt", "terms",
           "label", PIT_FRAME, 2L)
         .select("user_id", "terms").orderBy("user_id")
+    }),
+
+    // R1 — term recall: user term lists vs item term arrays
+    // (explode+join semi form of ES `terms`), seen-item anti-filter
+    // applied BEFORE top-k, boost × |overlap| scoring.
+    "q44_term_recall" -> ((s, d) => {
+      val ev = labeled(s, d)
+      val terms = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3).groupBy("user_id")
+        .agg(sort_array(collect_set(col("event_type"))).as("terms"))
+      val seen = ev.filter(col("value") > 150)
+        .groupBy("user_id").agg(sort_array(collect_set(col("event_type"))).as("seen"))
+      val users = terms.join(seen, Seq("user_id"), "left")
+        .withColumn("seen", coalesce(col("seen"), array()))
+      val items = s.range(1).select(
+          explode(array(EVENT_TYPES.map(lit): _*)).as("item"))
+        .withColumn("terms", array(col("item")))
+      RetrievalOps.termRecall(users, items, "user_id", "terms", "seen",
+          "item", "terms", 0.1, 2)
+        .select(col("user_id"), col("item"), round(col("score"), 4).as("score"))
+        .orderBy("user_id", "item")
+    }),
+
+    // W2 dense grid — the 36-dense-column feature contract: [imp,clk]
+    // per (impression × vocab term) over the previous ≤10 impressions.
+    "q45_pit_feature_grid" -> ((s, d) => {
+      val ev = TextOps.jsonExtractLong(labeled(s, d), "props", "$.k", "k")
+        .withColumn("terms", array(col("event_type"),
+          concat(lit("k"), (col("k") % 3).cast("string"))))
+      val rn = RelationalOps.rowNumber(ev, "user_id", userOrder)
+      RelationalOps.pitTermFeatures(rn.filter(col("user_id") < 30), "user_id",
+          "rn", "terms", "label", EVENT_TYPES ++ Seq("k0", "k1", "k2"), PIT_FRAME)
+        .select(col("event_id"), col("term"),
+          col("term_imp").cast("long").as("term_imp"),
+          col("term_clk").cast("long").as("term_clk"))
+        .orderBy("event_id", "term")
     }),
 
     // J4 general form — as-of join: every event enriched with the most
