@@ -399,6 +399,17 @@ object OracleSql {
         |SELECT user_id, list(term ORDER BY term) AS terms FROM t
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    "q46_time_range_window" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsu,
+        |  CASE WHEN value > 100 THEN 1 ELSE 0 END AS label FROM events)
+        |SELECT event_id,
+        |  count(*) OVER w AS hour_imp,
+        |  CAST(coalesce(sum(label) OVER w, 0) AS BIGINT) AS hour_clk
+        |FROM l
+        |WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+        |             RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+        |ORDER BY event_id""".stripMargin,
+
     "q44_term_recall" ->
       """WITH t AS (SELECT user_id,
         |  list(event_type ORDER BY event_type) AS terms

@@ -341,6 +341,20 @@ object SparkEntry {
         .select("user_id", "terms").orderBy("user_id")
     }),
 
+    // time-RANGE window — count/sum of the user's events in the
+    // PRECEDING HOUR (exclusive of now): a temporal range frame on
+    // epoch-micros, identical integer arithmetic in both engines.
+    "q46_time_range_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, -1L)
+      labeled(s, d)
+        .withColumn("hour_imp", count(lit(1)).over(w))
+        .withColumn("hour_clk", coalesce(sum(col("label")).over(w), lit(0L)))
+        .select(col("event_id"), col("hour_imp"),
+          col("hour_clk").cast("long").as("hour_clk"))
+        .orderBy("event_id")
+    }),
+
     // R1 — term recall: user term lists vs item term arrays
     // (explode+join semi form of ES `terms`), seen-item anti-filter
     // applied BEFORE top-k, boost × |overlap| scoring.
