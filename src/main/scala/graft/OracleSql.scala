@@ -274,7 +274,6 @@ object OracleSql {
          |ORDER BY com.doc_a, com.doc_b""".stripMargin,
 
     "q30_langid" -> {
-      val Seq(sql, infra, data) = Seq("sql", "infra", "data")
       val profs = Map(
         "sql" -> Seq("join", "filter", "group", "query", "sort", "agg"),
         "infra" -> Seq("spark", "stream", "batch", "hash", "merge", "scan"),

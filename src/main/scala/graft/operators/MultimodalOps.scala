@@ -72,11 +72,16 @@ object MultimodalOps {
     */
   def frameSample(df: DataFrame, payloadCol: String, frameBytes: Int,
                   stride: Int, outCol: String = "frames"): DataFrame =
+    // Payloads shorter than one full frame yield [] — the guard matters
+    // because sequence(0, -1) is the DESCENDING sequence [0, -1], which
+    // would emit a partial frame and a negative-index read.
     df.withColumn(outCol,
-      expr(s"""transform(
-        filter(sequence(0, CAST(octet_length($payloadCol) / $frameBytes AS INT) - 1),
-               i -> i % $stride = 0),
-        i -> substring($payloadCol, i * $frameBytes + 1, $frameBytes))"""))
+      expr(s"""CASE WHEN octet_length($payloadCol) < $frameBytes
+          THEN CAST(array() AS ARRAY<BINARY>)
+          ELSE transform(
+            filter(sequence(0, CAST(octet_length($payloadCol) / $frameBytes AS INT) - 1),
+                   i -> i % $stride = 0),
+            i -> substring($payloadCol, i * $frameBytes + 1, $frameBytes)) END"""))
 
   /** Aspect-preserving resize metadata (the shape arithmetic a real
     * resize kernel would receive).

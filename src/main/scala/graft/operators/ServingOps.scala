@@ -65,11 +65,11 @@ object ServingOps {
     */
   def fillWithReport(df: DataFrame, cols: Seq[String],
                      default: Double): (DataFrame, DataFrame) = {
-    val report = df.agg(
-      cols.sorted.map(c => sum(col(c).isNull.cast("long")).as(c)).head,
-      cols.sorted.map(c => sum(col(c).isNull.cast("long")).as(c)).tail: _*)
-      .selectExpr(s"stack(${cols.length}, " +
-        cols.sorted.map(c => s"'$c', $c").mkString(", ") + ") AS (col_name, n_filled)")
+    val sorted = cols.sorted
+    val aggs = sorted.map(c => sum(col(c).isNull.cast("long")).as(c))
+    val report = df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${sorted.length}, " +
+        sorted.map(c => s"'$c', $c").mkString(", ") + ") AS (col_name, n_filled)")
     (df.na.fill(default, cols), report)
   }
 }

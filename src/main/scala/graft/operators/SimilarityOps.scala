@@ -61,7 +61,12 @@ object SimilarityOps {
     * tiebreak/rounding contract lives in one place.
     */
   private def selectTopK(pairs: DataFrame, k: Int): DataFrame =
-    pairs.groupBy(col("vec_id"))
+    // null sims (null/mismatched embeddings) are dropped before the
+    // typed aggregator — its primitive Double input cannot carry null;
+    // the window form would rank them last (desc_nulls_last), so the
+    // results differ only when a group has fewer than k non-null sims.
+    pairs.filter(col("sim").isNotNull)
+      .groupBy(col("vec_id"))
       .agg(graft.functions.TopKAggregator.topK(k, col("sim"), col("neighbor_id")).as("top"))
       .select(col("vec_id"), explode(col("top")).as("t"))
       .select(col("vec_id"), col("t.id").as("neighbor_id"),

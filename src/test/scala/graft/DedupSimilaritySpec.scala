@@ -88,6 +88,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall(multi) > 25, s"multi-probe recall too low: ${recall(multi)}/50")
   }
 
+  test("graft_dot yields NULL on length mismatch or null elements (never a partial dot)") {
+    graft.plans.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS ok,
+        |       graft_dot(array(1.0d, 2.0d), array(3.0d)) AS mismatch,
+        |       graft_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(3.0d, 4.0d)) AS withnull
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("cosineTopK tolerates a null embedding row (dropped, not a crash)") {
+    val vecs = Seq(
+      (1L, Some(Seq(1.0f, 0.0f))), (2L, Some(Seq(0.9f, 0.1f))), (3L, None))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.cosineTopK(vecs, "vec_id", "embedding", 2)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == Set((1L, 2L), (2L, 1L)))
+  }
+
   test("embeddingNearDup is symmetric-free (id_a < id_b) and thresholded") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.14f)), (3L, Seq(0.0f, 1.0f)))

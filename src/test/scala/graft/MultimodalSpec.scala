@@ -41,6 +41,13 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(out.head, "UTF-8") == "abcdefgh")
   }
 
+  test("frameSample yields no frames for payloads shorter than one frame") {
+    val out = MultimodalOps.frameSample(media, "payload", frameBytes = 8, stride = 1)
+      .select("id", "frames").as[(Long, Seq[Array[Byte]])].collect()
+      .map(r => r._1 -> r._2.length).toMap
+    assert(out == Map(1L -> 4, 2L -> 0, 3L -> 0))   // 4-byte and empty payloads → []
+  }
+
   test("resizePlan preserves aspect ratio and never upscales") {
     val dims = Seq((1L, 4000, 2000), (2L, 100, 50)).toDF("id", "w", "h")
     val out = MultimodalOps.resizePlan(dims, "w", "h", 1000)

@@ -20,15 +20,21 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 def canon(v):
+    # Type-tagged so heterogeneous columns (null vs str vs number) stay
+    # sortable in Python 3 instead of raising TypeError mid-gate.
+    if v is None:
+        return (0, "")
     if isinstance(v, (list, np.ndarray)):
-        return tuple(canon(x) for x in v)
+        return (3, tuple(canon(x) for x in v))
     if isinstance(v, float):
         if np.isnan(v):
-            return "__null__"
-        return round(v, 9)
-    if isinstance(v, (np.integer,)):
-        return int(v)
-    return v
+            return (0, "")
+        return (1, round(v, 9))
+    if isinstance(v, (bool, np.bool_)):
+        return (1, float(v))
+    if isinstance(v, (int, np.integer)):
+        return (1, float(v))
+    return (2, str(v))
 
 def rows(df):
     df = df.reindex(sorted(df.columns), axis=1)
