@@ -45,6 +45,14 @@ object EventTimeWindows {
       .select(col("session_window.start").as("sess_start"),
         col("session_window.end").as("sess_end"), col(keyCol), col("n_events"))
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (the serving-snapshot/entity table). Spark broadcasts or
+    * re-reads the static side per micro-batch; no state accumulates —
+    * the streaming form of the J5 key-lookup join.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, keyCols: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keyCols, "left")
+
   /** Sliding variant: the streaming analogue of the last-N behavior
     * profile (every `slide`, the trailing `duration` counts per key).
     */

@@ -42,6 +42,22 @@ class EventTimeWindowsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-static enrichment joins each micro-batch against the dimension") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val out = graft.streaming.EventTimeWindows.enrich(
+      mem.toDS().toDF("ts", "user_id"), dim, Seq("user_id"))
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    mem.addData((ts(1), 1L), (ts(2), 3L))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_out").select("user_id", "tier")
+      .as[(Long, Option[String])].collect().toSet
+    q.stop()
+    assert(rows == Set((1L, Some("gold")), (3L, None)))
+  }
+
   test("session_window merges events within the gap and closes on watermark") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, Int)]
