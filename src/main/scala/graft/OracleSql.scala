@@ -315,6 +315,15 @@ object OracleSql {
         |  md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q47_text_normalize" ->
+      """WITH t AS (SELECT doc_id,
+        |  string_split(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' ') AS tk
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(tk, x -> NOT list_contains(['the', 'a'], x)), ' ') AS clean_text,
+        |  CAST(len(list_filter(tk, x -> list_contains(['the', 'a'], x))) AS BIGINT) AS n_removed
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "q34_embedding_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)

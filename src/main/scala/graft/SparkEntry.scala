@@ -272,6 +272,12 @@ object SparkEntry {
       TextOps.fingerprint(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // ops/scale — corpus text normalization (lowercase, punct strip,
+    // stopword removal) with removed-token metadata.
+    "q47_text_normalize" -> ((s, d) =>
+      TextOps.normalizeText(Tables.documents(s, d), "doc_id", "text", STOPWORDS)
+        .orderBy("doc_id")),
+
     // ops/scale — embedding-cosine near-dup pairs above threshold.
     "q34_embedding_neardup" -> ((s, d) =>
       SimilarityOps.embeddingNearDup(Tables.embeddings(s, d), "vec_id",

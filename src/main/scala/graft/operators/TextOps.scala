@@ -92,6 +92,21 @@ object TextOps {
 
   private def tokensSql(textCol: String): String = s"split($textCol, ' ')"
 
+  /** Normalization for training corpora: lowercase, strip non-alnum
+    * (keeping spaces), drop stopwords, re-join — with the removed-token
+    * count carried as metadata (the P9-style warning surface).
+    */
+  def normalizeText(df: DataFrame, idCol: String, textCol: String,
+                    stopwords: Seq[String]): DataFrame = {
+    val stopArr = s"array(${stopwords.map(sqlStr).mkString(",")})"
+    val toks = s"split(regexp_replace(lower($textCol), '[^a-z0-9 ]', ''), ' ')"
+    df.select(col(idCol),
+      expr(s"array_join(filter($toks, x -> NOT array_contains($stopArr, x)), ' ')")
+        .as("clean_text"),
+      expr(s"CAST(size(filter($toks, x -> array_contains($stopArr, x))) AS BIGINT)")
+        .as("n_removed"))
+  }
+
   /** Content fingerprint: md5 over the case/punctuation-normalized text.
     * Identical normalization is expressible in any ANSI engine, so the
     * fingerprint doubles as a cross-system dedup key.
