@@ -51,15 +51,29 @@ object StreamPipeline {
     val q2 = counts.writeStream.format("memory").queryName("stream_counts")
       .outputMode("append").start()
 
-    q1.processAllAvailable(); q2.processAllAvailable()
+    // offline→online export leg: each micro-batch refreshes the keyed
+    // serving snapshot via foreachBatch (the streaming form of the
+    // Redis/Feast export — at scale this is an idempotent overwrite of
+    // a keyed table per trigger).
+    val snapDir = "target/stream_snapshot"
+    val q3 = pit.groupBy("user_id")
+      .agg(max("pit_imp").as("last_imp"), max("pit_clk").as("last_clk"))
+      .writeStream.outputMode("complete")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.DelimitedText.writeKeyedArtifact(batch, "user_id", snapDir)
+      }.start()
+
+    q1.processAllAvailable(); q2.processAllAvailable(); q3.processAllAvailable()
     val pitRows = spark.table("stream_pit").count()
     val lastPit = spark.table("stream_pit").orderBy(desc("event_id")).limit(3)
       .collect().mkString(" ")
     val winRows = spark.table("stream_counts").count()
-    q1.stop(); q2.stop()
+    val snapRows = spark.read.parquet(snapDir).count()
+    q1.stop(); q2.stop(); q3.stop()
 
     println(s"[stream] pit rows: $pitRows (tail: $lastPit)")
     println(s"[stream] closed windows: $winRows")
+    println(s"[stream] exported snapshot users: $snapRows")
     spark.stop()
   }
 }

@@ -64,6 +64,17 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"non-aggregate single-partition exchange: $badSingles")
   }
 
+  test("q43: as-of join is one key shuffle + final sort, no join explosion") {
+    val ex = shuffles(plan("q43_asof_join"))
+    assert(ex.length <= 3, s"unexpected exchanges: ${ex.map(_.outputPartitioning)}")
+  }
+
+  test("q46: temporal RANGE window costs one hash exchange + final sort") {
+    val ex = shuffles(plan("q46_time_range_window"))
+    assert(ex.length <= 2, s"unexpected exchanges: ${ex.map(_.outputPartitioning)}")
+    assert(ex.exists(_.outputPartitioning.toString.contains("hashpartitioning")))
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
