@@ -25,7 +25,10 @@ object QualityChecks {
       sum(e.violatedWhen.cast("long")).as(s"__v_$i")
     }
     val names = expectations.zipWithIndex
-      .map { case (e, i) => s"'${e.name.replace("'", "''")}', coalesce(__v_$i, 0)" }
+      .map { case (e, i) =>
+        val quoted = e.name.replace("\\", "\\\\").replace("'", "\\'")
+        s"'$quoted', coalesce(__v_$i, 0)"
+      }
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${expectations.length}, ${names.mkString(", ")}) " +
         "AS (name, violations)")
