@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object QualityChecks {
 
+  /** NULL-predicate semantics: a predicate that evaluates to NULL on a
+    * row counts as a PASS for that row (three-valued logic — "cannot
+    * evaluate" is not a violation). Express null checks explicitly with
+    * `isNull` expectations; this is made deterministic here via
+    * coalesce(false) rather than left to aggregate null-skipping.
+    */
   case class Expectation(name: String, violatedWhen: Column)
 
   /** Evaluate all expectations in one pass. Returns
@@ -22,13 +28,10 @@ object QualityChecks {
   def report(df: DataFrame, expectations: Seq[Expectation]): DataFrame = {
     require(expectations.nonEmpty, "no expectations given")
     val aggs = expectations.zipWithIndex.map { case (e, i) =>
-      sum(e.violatedWhen.cast("long")).as(s"__v_$i")
+      sum(coalesce(e.violatedWhen, lit(false)).cast("long")).as(s"__v_$i")
     }
     val names = expectations.zipWithIndex
-      .map { case (e, i) =>
-        val quoted = e.name.replace("\\", "\\\\").replace("'", "\\'")
-        s"'$quoted', coalesce(__v_$i, 0)"
-      }
+      .map { case (e, i) => s"${TextOps.sqlStr(e.name)}, coalesce(__v_$i, 0)" }
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${expectations.length}, ${names.mkString(", ")}) " +
         "AS (name, violations)")

@@ -69,7 +69,8 @@ object ServingOps {
     val aggs = sorted.map(c => sum(col(c).isNull.cast("long")).as(c))
     val report = df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${sorted.length}, " +
-        sorted.map(c => s"'$c', $c").mkString(", ") + ") AS (col_name, n_filled)")
+        sorted.map(c => s"${TextOps.sqlStr(c)}, `$c`").mkString(", ") +
+        ") AS (col_name, n_filled)")
     (df.na.fill(default, cols), report)
   }
 }

@@ -20,9 +20,10 @@ object TextOps {
 
   /** SQL string literal with escaping — marker/stopword lists are
     * config values spliced into expr() lambdas; a word containing a
-    * quote must not break plan compilation.
+    * quote must not break plan compilation. Shared by every operator
+    * that splices caller strings into SQL text.
     */
-  private def sqlStr(s: String): String =
+  private[operators] def sqlStr(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
   /** Global term frequency: explode tokens → hash-aggregate count.

@@ -46,12 +46,16 @@ object EventTimeWindows {
         col("session_window.end").as("sess_end"), col(keyCol), col("n_events"))
 
   /** Stream-static enrichment: join the event stream against a static
-    * dimension (the serving-snapshot/entity table). Spark broadcasts or
-    * re-reads the static side per micro-batch; no state accumulates —
-    * the streaming form of the J5 key-lookup join.
+    * dimension (the serving-snapshot/entity table); no state
+    * accumulates — the streaming form of the J5 key-lookup join.
+    * `broadcastDim` forces the hint for known-small dims; leave false
+    * for large dimensions so Spark's size-based planning decides.
     */
-  def enrich(stream: DataFrame, dim: DataFrame, keyCols: Seq[String]): DataFrame =
-    stream.join(org.apache.spark.sql.functions.broadcast(dim), keyCols, "left")
+  def enrich(stream: DataFrame, dim: DataFrame, keyCols: Seq[String],
+             broadcastDim: Boolean = false): DataFrame = {
+    val d = if (broadcastDim) org.apache.spark.sql.functions.broadcast(dim) else dim
+    stream.join(d, keyCols, "left")
+  }
 
   /** Sliding variant: the streaming analogue of the last-N behavior
     * profile (every `slide`, the trailing `duration` counts per key).

@@ -19,21 +19,27 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
+import decimal
+
 def canon(v):
     # Type-tagged so heterogeneous columns (null vs str vs number) stay
     # sortable in Python 3 instead of raising TypeError mid-gate.
+    # Numbers share tag 1 with native values: ints stay exact (no 2^53
+    # truncation) and Python compares int/float numerically.
     if v is None:
         return (0, "")
     if isinstance(v, (list, np.ndarray)):
         return (3, tuple(canon(x) for x in v))
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if np.isnan(v):
             return (0, "")
-        return (1, round(v, 9))
+        return (1, round(float(v), 9))
+    if isinstance(v, decimal.Decimal):
+        return (1, round(float(v), 9))
     if isinstance(v, (bool, np.bool_)):
-        return (1, float(v))
+        return (1, int(v))
     if isinstance(v, (int, np.integer)):
-        return (1, float(v))
+        return (1, int(v))
     return (2, str(v))
 
 def rows(df):
