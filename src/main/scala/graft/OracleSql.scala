@@ -464,6 +464,17 @@ object OracleSql {
         |             ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
         |ORDER BY event_id, term""".stripMargin,
 
+    "q48_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g1,
+        |  CAST(grouping(l_linestatus) AS INT) AS g2,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY g1, g2, returnflag, linestatus""".stripMargin,
+
     "q43_asof_join" ->
       """WITH s AS (SELECT user_id, ts, max(value) AS signup_value
         |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)

@@ -397,6 +397,22 @@ object SparkEntry {
         .orderBy("event_id", "term")
     }),
 
+    // OLAP rollup — hierarchical totals with grouping indicators
+    // (beyond the reference's surface; DECIMAL sums for cross-engine
+    // exactness, group-key nulls coalesced so null-ordering differences
+    // can't reorder rows).
+    "q48_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("int").as("g1"),
+          grouping(col("l_linestatus")).cast("int").as("g2"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("g1"), col("g2"), col("sum_qty"), col("n"))
+        .orderBy("g1", "g2", "returnflag", "linestatus")),
+
     // J4 general form — as-of join: every event enriched with the most
     // recent signup value at-or-before its timestamp (union +
     // last-value window; DuckDB's native ASOF JOIN is the oracle).
