@@ -475,6 +475,23 @@ object OracleSql {
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY g1, g2, returnflag, linestatus""".stripMargin,
 
+    "q49_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_quantity, 0.95), 6) AS p95,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q50_ntile" ->
+      """WITH t AS (SELECT o_orderpriority, o_totalprice,
+        |  ntile(4) OVER (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice, o_orderkey) AS quartile
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(quartile AS INT) AS quartile,
+        |  count(*) AS n, round(max(o_totalprice), 2) AS max_price
+        |FROM t GROUP BY o_orderpriority, quartile
+        |ORDER BY o_orderpriority, quartile""".stripMargin,
+
     "q43_asof_join" ->
       """WITH s AS (SELECT user_id, ts, max(value) AS signup_value
         |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)

@@ -413,6 +413,27 @@ object SparkEntry {
           col("g1"), col("g2"), col("sum_qty"), col("n"))
         .orderBy("g1", "g2", "returnflag", "linestatus")),
 
+    // exact linear-interpolation percentiles per group (the
+    // data-quality profiling surface: median + tail).
+    "q49_percentiles" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.95)"), 6).as("p95"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 6).as("price_p99"))
+        .orderBy("l_returnflag")),
+
+    // per-group ntile quartiles (partitioned — no global total order).
+    "q50_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("o_orderpriority", "quartile")
+        .agg(count(lit(1)).as("n"),
+          round(max(col("o_totalprice")), 2).as("max_price"))
+        .orderBy("o_orderpriority", "quartile")
+    }),
+
     // J4 general form — as-of join: every event enriched with the most
     // recent signup value at-or-before its timestamp (union +
     // last-value window; DuckDB's native ASOF JOIN is the oracle).
