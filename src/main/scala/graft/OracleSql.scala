@@ -492,6 +492,32 @@ object OracleSql {
         |FROM t GROUP BY o_orderpriority, quartile
         |ORDER BY o_orderpriority, quartile""".stripMargin,
 
+    "q51_pivot" -> {
+      val counts = Seq("click", "error", "purchase", "signup", "view")
+        .map(t => s"count(*) FILTER (WHERE event_type = '$t') AS n_$t")
+        .mkString(", ")
+      s"SELECT user_id, $counts FROM events GROUP BY user_id ORDER BY user_id"
+    },
+
+    "q52_set_ops" ->
+      """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |big AS (SELECT o_custkey AS c_custkey FROM orders
+        |        GROUP BY o_custkey HAVING count(*) >= 12)
+        |SELECT 'building_and_big' AS which, c_custkey
+        |  FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM big)
+        |UNION ALL
+        |SELECT 'building_only', c_custkey
+        |  FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM big)
+        |ORDER BY which, c_custkey""".stripMargin,
+
+    "q53_string_funcs" ->
+      """SELECT c_custkey,
+        |  substr(c_name, 1, 8) AS prefix,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+        |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q43_asof_join" ->
       """WITH s AS (SELECT user_id, ts, max(value) AS signup_value
         |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)

@@ -434,6 +434,41 @@ object SparkEntry {
         .orderBy("o_orderpriority", "quartile")
     }),
 
+    // pivot — long-to-wide event counts per user with 0 defaults (the
+    // query form of pivotTermFeatures).
+    "q51_pivot" -> ((s, d) =>
+      Tables.events(s, d).groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(count(lit(1)))
+        .select(col("user_id") +: EVENT_TYPES.map(t =>
+          coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+        .orderBy("user_id")),
+
+    // set operations — INTERSECT / EXCEPT with distinct semantics.
+    "q52_set_ops" -> ((s, d) => {
+      val building = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val bigBuyers = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 12)
+        .select(col("o_custkey").as("c_custkey"))
+      building.intersect(bigBuyers)
+        .withColumn("which", lit("building_and_big"))
+        .unionAll(building.except(bigBuyers)
+          .withColumn("which", lit("building_only")))
+        .select("which", "c_custkey")
+        .orderBy("which", "c_custkey")
+    }),
+
+    // scalar string functions — substr/lpad/translate/levenshtein.
+    "q53_string_funcs" -> ((s, d) =>
+      Tables.customer(s, d).select(
+          col("c_custkey"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"))
+        .orderBy("c_custkey")),
+
     // J4 general form — as-of join: every event enriched with the most
     // recent signup value at-or-before its timestamp (union +
     // last-value window; DuckDB's native ASOF JOIN is the oracle).
