@@ -518,6 +518,19 @@ object OracleSql {
         |  CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev
         |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    "q54_datetime" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |  CAST(isodow(o_orderdate) AS INT) AS isodow,
+        |  count(*) AS n
+        |FROM orders GROUP BY month, isodow ORDER BY month, isodow""".stripMargin,
+
+    "q55_conditional_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_tax > 0.07) AS any_high_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q43_asof_join" ->
       """WITH s AS (SELECT user_id, ts, max(value) AS signup_value
         |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)

@@ -469,6 +469,23 @@ object SparkEntry {
           levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"))
         .orderBy("c_custkey")),
 
+    // temporal functions — month bucketing + ISO weekday aggregation
+    // (weekday()+1 in Spark ≡ isodow in the oracle: 1=Monday).
+    "q54_datetime" -> ((s, d) =>
+      Tables.orders(s, d)
+        .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .withColumn("isodow", (weekday(col("o_orderdate")) + 1).cast("int"))
+        .groupBy("month", "isodow").agg(count(lit(1)).as("n"))
+        .orderBy("month", "isodow")),
+
+    // conditional/boolean aggregates — count_if / bool_and / bool_or.
+    "q55_conditional_agg" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(expr("count_if(l_discount > 0.05)").as("n_discounted"),
+          expr("bool_and(l_quantity > 0)").as("all_positive"),
+          expr("bool_or(l_tax > 0.07)").as("any_high_tax"))
+        .orderBy("l_returnflag")),
+
     // J4 general form — as-of join: every event enriched with the most
     // recent signup value at-or-before its timestamp (union +
     // last-value window; DuckDB's native ASOF JOIN is the oracle).
