@@ -42,6 +42,25 @@ class EventTimeWindowsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sliding windows emit one row per overlapping window once closed") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Int)]
+    val df = mem.toDS().toDF("ts", "user_id", "label")
+    val out = graft.streaming.EventTimeWindows.slidingCounts(
+      df, "ts", "user_id", "label", "10 minutes", "5 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("slide_out")
+      .outputMode("append").start()
+    // one event at t=7 belongs to windows [0,10) and [5,15)
+    mem.addData((ts(7), 1L, 1))
+    mem.addData((ts(40), 1L, 0))   // advance watermark → both windows close
+    q.processAllAvailable()
+    val wins = spark.table("slide_out")
+      .select("win_start", "imp").collect()
+      .map(r => r.getTimestamp(0).getTime / 60000 -> r.getLong(1)).toSet
+    q.stop()
+    assert(wins.contains(0L -> 1L) && wins.contains(5L -> 1L))
+  }
+
   test("stream-static enrichment joins each micro-batch against the dimension") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]

@@ -68,6 +68,13 @@ class FeatureOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 1L, 2L))
   }
 
+  test("normalizeText lowercases, strips punct, drops stopwords, counts removals") {
+    val df = Seq((1L, "The QUICK, brown fox! The end.")).toDF("doc_id", "text")
+    val out = TextOps.normalizeText(df, "doc_id", "text", Seq("the", "a"))
+      .as[(Long, String, Long)].head()
+    assert(out == ((1L, "quick brown fox end", 2L)))
+  }
+
   test("FeatMeta: cardinality = max+1 from train, positional input order kept") {
     val train = Seq((3L, 1L, 0.5), (7L, 2L, 1.5)).toDF("u", "i", "d")
     val meta = FeatMeta.derive(train, Seq("u", "i"), Seq("d"))
