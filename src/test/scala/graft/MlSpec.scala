@@ -62,6 +62,9 @@ class MlSpec extends SparkSpec {
       .select("score").as[Double].collect()
     assert(scores.forall(s => s >= 0.0 && s <= 1.0))
 
+    // A9 evaluator form agrees with the early-stop loop's best AUC
+    assert(math.abs(RecsysModels.auc(model, test_, "label") - auc) < 1e-12)
+
     // M7: save/reload score parity
     val path = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "fm-model").toString
