@@ -531,6 +531,14 @@ object OracleSql {
         |  bool_or(l_tax > 0.07) AS any_high_tax
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "q56_array_hof" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(tk, x -> len(x) > 3)) AS BIGINT) AS n_long_tokens,
+        |  CAST(list_max(list_transform(tk, x -> len(x))) AS BIGINT) AS max_tok_len,
+        |  CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS BIGINT) AS total_chars
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     "q43_asof_join" ->
       """WITH s AS (SELECT user_id, ts, max(value) AS signup_value
         |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)

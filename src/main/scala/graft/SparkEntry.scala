@@ -486,6 +486,20 @@ object SparkEntry {
           expr("bool_or(l_tax > 0.07)").as("any_high_tax"))
         .orderBy("l_returnflag")),
 
+    // array higher-order functions — transform/filter/aggregate over
+    // the token column, no explode (the per-row columnar idiom).
+    "q56_array_hof" -> ((s, d) =>
+      Tables.documents(s, d)
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"),
+          expr("CAST(size(filter(tk, x -> length(x) > 3)) AS BIGINT)")
+            .as("n_long_tokens"),
+          expr("CAST(array_max(transform(tk, x -> length(x))) AS BIGINT)")
+            .as("max_tok_len"),
+          expr("CAST(aggregate(transform(tk, x -> length(x)), 0, (a, v) -> a + v) AS BIGINT)")
+            .as("total_chars"))
+        .orderBy("doc_id")),
+
     // J4 general form — as-of join: every event enriched with the most
     // recent signup value at-or-before its timestamp (union +
     // last-value window; DuckDB's native ASOF JOIN is the oracle).
