@@ -539,6 +539,15 @@ object OracleSql {
         |  CAST(list_aggregate(list_transform(tk, x -> len(x)), 'sum') AS BIGINT) AS total_chars
         |FROM t ORDER BY doc_id""".stripMargin,
 
+    "q57_rank_functions" ->
+      """SELECT o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q43_asof_join" ->
       """WITH s AS (SELECT user_id, ts, max(value) AS signup_value
         |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)

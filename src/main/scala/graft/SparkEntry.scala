@@ -500,6 +500,17 @@ object SparkEntry {
             .as("total_chars"))
         .orderBy("doc_id")),
 
+    // ranking functions — percent_rank / cume_dist with unique tiebreak.
+    "q57_rank_functions" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .select("o_orderkey", "pr", "cd")
+        .orderBy("o_orderkey")
+    }),
+
     // J4 general form — as-of join: every event enriched with the most
     // recent signup value at-or-before its timestamp (union +
     // last-value window; DuckDB's native ASOF JOIN is the oracle).
