@@ -548,6 +548,20 @@ object OracleSql {
         |             ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
 
+    "q58_lag_lead" ->
+      """SELECT event_id,
+        |  coalesce(round(value - lag(value) OVER w, 4), CAST(0.0 AS DOUBLE)) AS delta,
+        |  coalesce(lead(event_type) OVER w, 'none') AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q59_map_extract" ->
+      """SELECT user_id,
+        |  CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_cnt,
+        |  CAST(0 AS BIGINT) AS missing_cnt
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q43_asof_join" ->
       """WITH s AS (SELECT user_id, ts, max(value) AS signup_value
         |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)

@@ -511,6 +511,34 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // lag/lead — per-user value deltas and next-event lookahead.
+    "q58_lag_lead" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("delta", round(col("value") - lag(col("value"), 1).over(w), 4))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .select(col("event_id"),
+          coalesce(col("delta"), lit(0.0)).as("delta"),
+          coalesce(col("next_type"), lit("none")).as("next_type"))
+        .orderBy("event_id")
+    }),
+
+    // P7 literal form — MapType column construction + keyed extraction
+    // with defaults (the imp_dict.get(v, [0,0]) contract as a map col).
+    "q59_map_extract" -> ((s, d) => {
+      val m = Tables.events(s, d).groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(map_from_entries(collect_list(struct(col("event_type"), col("c"))))
+          .as("type_counts"))
+      m.select(col("user_id"),
+          coalesce(try_element_at(col("type_counts"), lit("click")), lit(0L))
+            .as("click_cnt"),
+          coalesce(try_element_at(col("type_counts"), lit("nosuch")), lit(0L))
+            .as("missing_cnt"))
+        .orderBy("user_id")
+    }),
+
     // J4 general form — as-of join: every event enriched with the most
     // recent signup value at-or-before its timestamp (union +
     // last-value window; DuckDB's native ASOF JOIN is the oracle).
