@@ -23,13 +23,20 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Materialize through the noop sink: every output column is computed
+    // and serialized (a bare .count() lets Catalyst prune final
+    // projections — e.g. round(sim, 6) — and under-reports).
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // Untimed warmup: exercise codegen + file listing on a cheap query.
     try {
-      SparkEntry.queries.get("q03_group_count").foreach(_(spark, sfDir).count())
+      SparkEntry.queries.get("q03_group_count").foreach(f => drain(f(spark, sfDir)))
       spark.range(1000000L).selectExpr("sum(id)").collect()
     } catch { case _: Throwable => () }
 
@@ -40,7 +47,7 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { drain(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }

@@ -13,7 +13,11 @@ import scala.collection.immutable.ListMap
   *  - hashes are md5 (identical bytes in any engine), never an
   *    engine-private hash function;
   *  - regexp_replace carries the 'g' flag (DuckDB default replaces only
-  *    the first match; Spark replaces all).
+  *    the first match; Spark replaces all);
+  *  - NO raw array/map columns in declared query output: the driver's
+  *    pandas-based compare sorts frames with sort_values, which raises
+  *    "unhashable type: numpy.ndarray" on array cells. Stringify with
+  *    array_join (Spark) / string_agg or array_to_string (DuckDB).
   */
 object OracleSql {
 
@@ -73,11 +77,12 @@ object OracleSql {
         |FROM w ORDER BY event_id""".stripMargin,
 
     "q05_collect_list_ordered" ->
-      """SELECT user_id, list(event_id ORDER BY ts, event_id) AS event_ids
+      """SELECT user_id,
+        |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY ts, event_id) AS event_ids
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q06_collect_set" ->
-      """SELECT l_orderkey, list(rf ORDER BY rf) AS flags
+      """SELECT l_orderkey, string_agg(rf, ',' ORDER BY rf) AS flags
         |FROM (SELECT DISTINCT l_orderkey, l_returnflag AS rf FROM lineitem)
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
@@ -258,9 +263,8 @@ object OracleSql {
     "q29_lsh_jaccard" ->
       s"""WITH $shinglesCte,
          |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         |m AS (SELECT doc_id, min(md5(s)) AS h FROM sh GROUP BY doc_id),
-         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM m a JOIN m b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |${minhashSig(4, 2)},
+         |cand AS (${minhashPairs(4, 2)}),
          |com AS (SELECT c.doc_a, c.doc_b, count(*) AS c
          |  FROM cand c
          |  JOIN sh x ON x.doc_id = c.doc_a
@@ -334,6 +338,22 @@ object OracleSql {
         |  AND list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) > CAST(0.35 AS DOUBLE)
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "q60_embedding_neardup_bucketed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8 AS bucket
+        |  FROM e),
+        |p AS (SELECT vec_id, emb, nrm,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n)
+        |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS sim
+        |FROM p a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) > CAST(0.35 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q35_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
@@ -404,7 +424,7 @@ object OracleSql {
         |  FROM rr WHERE rn >= u_cnt - 11),
         |t AS (SELECT user_id, term, sum(label) AS term_clk
         |  FROM e GROUP BY user_id, term HAVING sum(label) >= 2)
-        |SELECT user_id, list(term ORDER BY term) AS terms FROM t
+        |SELECT user_id, string_agg(term, ',' ORDER BY term) AS terms FROM t
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q46_time_range_window" ->

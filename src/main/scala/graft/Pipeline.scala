@@ -28,6 +28,17 @@ object Pipeline {
                     itemVectors: DataFrame, auc: Double,
                     recommendations: DataFrame)
 
+  /** P8 wiring — candidate features that survive the constant prune, in
+    * the caller's positional order. One O(#features) driver collect of
+    * the report (the sanctioned meta collect).
+    */
+  def pruneConstant(train: DataFrame, candidates: Seq[String]): Seq[String] = {
+    val kept = RelationalOps.constPruneReport(train, candidates)
+      .filter(col("keep") === 1)
+      .select("col_name").collect().map(_.getString(0)).toSet
+    candidates.filter(kept)
+  }
+
   def run(spark: SparkSession, dir: String): Result = {
     // --- offline/preprocess: label (P1), order (W1), split (W4)
     val ev = Tables.events(spark, dir)
@@ -57,9 +68,11 @@ object Pipeline {
     val als = RecsysModels.trainRecall(train, "user_id", "item", "label")
     val (userVec, itemVec) = RecsysModels.exportVectors(als)
 
-    // --- offline/rank: FeatMeta (A6) + M6 assemble + M2/M4 train
-    val meta = FeatMeta.derive(train, Seq("user_id", "item"),
-      Seq("pit_imp", "pit_clk"))
+    // --- offline/rank: P8 constant-feature prune (the reference drops
+    // dead features before training, s1_feature_engi.py:25-27,37-39,50-52),
+    // then FeatMeta (A6) + M6 assemble + M2/M4 train
+    val denseKept = pruneConstant(train, Seq("pit_imp", "pit_clk"))
+    val meta = FeatMeta.derive(train, Seq("user_id", "item"), Nil, denseKept)
     val (ranker, auc) = RecsysModels.trainRanker(
       RecsysModels.assemble(train, meta), RecsysModels.assemble(test, meta),
       "label", maxRounds = 2, itersPerRound = 10)
@@ -115,6 +128,7 @@ object Pipeline {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -75,16 +75,19 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // A2 — order-preserving collect_list.
+    // A2 — order-preserving collect_list. Output stringified (array_join):
+    // the driver's compare cannot sort raw array cells (determinism rules).
     "q05_collect_list_ordered" -> ((s, d) =>
       RelationalOps.orderedCollectList(Tables.events(s, d), "user_id",
           "event_id", Seq("ts", "event_id"), "event_ids")
-        .select("user_id", "event_ids").orderBy("user_id")),
+        .select(col("user_id"),
+          array_join(col("event_ids").cast("array<string>"), ",").as("event_ids"))
+        .orderBy("user_id")),
 
-    // A3 — collect_set, sorted for determinism.
+    // A3 — collect_set, sorted + stringified for determinism.
     "q06_collect_set" -> ((s, d) =>
       Tables.lineitem(s, d).groupBy("l_orderkey")
-        .agg(sort_array(collect_set(col("l_returnflag"))).as("flags"))
+        .agg(array_join(sort_array(collect_set(col("l_returnflag"))), ",").as("flags"))
         .orderBy("l_orderkey")),
 
     // J2/J3 — 3-way left join; dims broadcast.
@@ -289,6 +292,14 @@ object SparkEntry {
       SimilarityOps.annTopK(Tables.embeddings(s, d), "vec_id", "embedding", 3, 4)
         .orderBy("vec_id", "neighbor_id")),
 
+    // ops/scale — BUCKETED embedding near-dup: multi-probe sign-bucket
+    // candidates + exact-cosine threshold; the 100 TB path (q34 is the
+    // all-pairs exactness twin, small-scale only).
+    "q60_embedding_neardup_bucketed" -> ((s, d) =>
+      SimilarityOps.embeddingNearDupBucketed(Tables.embeddings(s, d), "vec_id",
+          "embedding", 0.35, 4)
+        .orderBy("id_a", "id_b")),
+
     // ops/scale — multimodal column plumbing: opaque binary payload +
     // typed metadata (byte length, content hash, stub "decoded" feature).
     "q36_multimodal_meta" -> ((s, d) =>
@@ -344,7 +355,8 @@ object SparkEntry {
         .withColumn("u_cnt", count(lit(1)).over(Window.partitionBy("user_id")))
       RelationalOps.termSnapshot(rn, "user_id", "rn", "u_cnt", "terms",
           "label", PIT_FRAME, 2L)
-        .select("user_id", "terms").orderBy("user_id")
+        .select(col("user_id"), array_join(col("terms"), ",").as("terms"))
+        .orderBy("user_id")
     }),
 
     // time-RANGE window — count/sum of the user's events in the

@@ -100,17 +100,15 @@ object RecsysModels {
     best
   }
 
-  /** M3: in-engine batch scoring — probability of the positive class. */
+  /** M3: in-engine batch scoring — probability of the positive class,
+    * extracted with the Catalyst-native vector_to_array (stays inside
+    * codegen; no black-box UDF in the scoring path).
+    */
   def score(model: FMClassificationModel, df: DataFrame,
             outCol: String = "score"): DataFrame = {
-    val p1 = udfProb(col("probability"))
+    val p1 = org.apache.spark.ml.functions.vector_to_array(col("probability"))(1)
     model.transform(df).withColumn(outCol, p1)
       .drop("rawPrediction", "probability", "prediction")
-  }
-
-  private def udfProb(probability: org.apache.spark.sql.Column) = {
-    import org.apache.spark.ml.linalg.Vector
-    udf((v: Vector) => v(1)).apply(probability)
   }
 
   /** A9: held-out ROC-AUC. */

@@ -104,26 +104,32 @@ object DedupOps {
     withVotes.select(col(idCol), sig.as("simhash"))
   }
 
-  /** LSH-candidate + exact n-gram Jaccard: candidates share their minimum
-    * shingle hash (1 band × 1 row — recall-oriented); each candidate pair
-    * is then verified with the exact Jaccard |A∩B| / |A∪B| over distinct
-    * shingles. The verify join touches only candidate pairs — the
-    * standard scalable near-dup shape (LSH recall, exact precision).
+  /** LSH-candidate + exact n-gram Jaccard: candidates come from the
+    * BANDED MinHash join (bands × rows, same key as [[minhashCandidates]]);
+    * each candidate pair is then verified with the exact Jaccard
+    * |A∩B| / |A∪B| over distinct shingles. The verify join touches only
+    * candidate pairs — the standard scalable near-dup shape (LSH recall,
+    * exact precision).
+    *
+    * Skew note: an earlier form keyed candidates on the single global
+    * min shingle hash (1 band × 1 row); one common shingle then creates
+    * a mega-bucket with Σ bucket² blowup on a skewed corpus. The banded
+    * key bounds each bucket by agreement on `rows` independent hashes,
+    * which is the property that keeps the candidate join near-linear at
+    * 100 TB.
     */
-  def lshJaccard(sh: DataFrame, idCol: String): DataFrame = {
-    // One aggregation pass yields both the LSH key (min shingle hash)
-    // and the set size — the shingle lineage is evaluated once here and
-    // twice in the verify join, never five times.
-    val m = sh.groupBy(col(idCol))
-      .agg(min(md5(col("shingle"))).as("h"), count(lit(1)).as("n"))
-    val cand = m.select(col(idCol).as("doc_a"), col("h"), col("n").as("na"))
-      .join(m.select(col(idCol).as("doc_b"), col("h"), col("n").as("nb")), "h")
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "na", "nb")
-    cand
+  def lshJaccard(sh: DataFrame, idCol: String,
+                 bands: Int = 4, rows: Int = 2): DataFrame = {
+    val cand = minhashCandidates(
+      minhashSignature(sh, idCol, bands, rows), idCol, bands, rows)
+    val szs = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val common = cand
       .join(sh.select(col(idCol).as("doc_a"), col("shingle")), "doc_a")
       .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("c"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
+    common
+      .join(szs.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
+      .join(szs.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
           .as("jaccard"))

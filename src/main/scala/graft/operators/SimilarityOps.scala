@@ -99,6 +99,34 @@ object SimilarityOps {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Bucketed embedding near-dup — the 100 TB path for
+    * [[embeddingNearDup]]: candidate pairs come from the multi-probe
+    * sign-bucket equi-join (each left vector probes its own cell plus
+    * the `signBits` Hamming-1 cells), then the exact cosine threshold
+    * is applied to candidates only. No all-pairs cross join anywhere:
+    * the join is a shuffled hash join on the cell id with cost
+    * Σ cell·probe ≈ n²·(signBits+1)/2^signBits, and the trailing
+    * distinct removes pairs discovered via more than one probe cell.
+    * Recall loss vs the exact form: only pairs differing in ≥2 leading
+    * sign bits are missed — precisely the IVF multi-probe contract.
+    */
+  def embeddingNearDupBucketed(df: DataFrame, idCol: String, embCol: String,
+                               threshold: Double, signBits: Int = 4): DataFrame = {
+    val n = normalized(df, idCol, embCol).withColumn("bucket", signBucket(signBits))
+    val probes = expr(
+      s"array(bucket, ${(0 until signBits).map(j => s"CAST(bucket AS INT) ^ ${1 << j}").mkString(", ")})")
+    val a = n.select(col("id").as("id_a"), col("emb").as("a_emb"),
+      col("nrm").as("a_nrm"), explode(probes).as("bucket"))
+    val b = n.select(col("id").as("id_b"), col("emb").as("b_emb"),
+      col("nrm").as("b_nrm"), col("bucket"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+      .distinct()
+  }
+
   /** Multi-probe IVF ANN: like [[annTopK]], but each query vector also
     * probes the `signBits` Hamming-1 neighbor cells (one sign bit
     * flipped) — the standard recall/cost dial: cost grows

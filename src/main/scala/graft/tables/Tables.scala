@@ -37,7 +37,12 @@ object Tables {
     * ordering and interval arithmetic agree.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Owned sessions (Verify/Bench/Pipeline/specs) set nanosAsLong in
+    // their builders; this guard covers only EXTERNAL sessions (the
+    // harness smoke check constructs its own) without re-mutating
+    // session config on every read.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     table(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

@@ -47,6 +47,38 @@ class MlSpec extends SparkSpec {
     assert(scores.forall(s => s > 0.0 && s < 1.0))
   }
 
+  test("FeatMeta positional contract: sparse_id + sparse_side + dense order") {
+    // The reference's model input layout (parse_feat_meta.py:10-24,
+    // consumed positionally by triton_caller.py:15-20): id sparse
+    // features first, then side sparse features, then dense — here the
+    // 59-feature contract in miniature (2 id + 1 side + 2 dense).
+    val withSide = base.withColumn("item_genre", col("item") % 2)
+    val meta = FeatMeta.derive(withSide, Seq("user_id", "item"),
+      Seq("item_genre"), Seq("pit_imp", "pit_clk"))
+    assert(meta.inputCols == Seq("user_id", "item", "item_genre", "pit_imp", "pit_clk"))
+    assert(meta.sparseId.map(_.name) == Seq("user_id", "item"))
+    assert(meta.sparseSide.map(_.name) == Seq("item_genre"))
+    assert(meta.sparseSide.head.cardinality == 2L)
+    // serialized artifact carries the three groups separately
+    assert(meta.toJson.contains("\"sparse_side\":[{\"name\":\"item_genre\""))
+    // assembled vector honors the positional order (dim = #inputCols)
+    val v = RecsysModels.assemble(withSide, meta)
+      .select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size == 5)
+  }
+
+  test("P8 wiring: a constant feature is pruned before assembly") {
+    val withConst = base.withColumn("dead_feat", lit(0.0))
+    val kept = Pipeline.pruneConstant(withConst,
+      Seq("pit_imp", "dead_feat", "pit_clk"))
+    assert(kept == Seq("pit_imp", "pit_clk"), s"got $kept")
+    val meta = FeatMeta.derive(withConst, Seq("user_id", "item"), Nil, kept)
+    assert(!meta.inputCols.contains("dead_feat"))
+    val v = RecsysModels.assemble(withConst, meta)
+      .select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size == meta.inputCols.length && v.size == 4)
+  }
+
   test("M2/M4/M5/M6: FM ranker early-stop loop beats chance AUC") {
     val meta = FeatMeta.derive(base, Seq("user_id", "item"), Seq("pit_imp", "pit_clk"))
     val assembled = RecsysModels.assemble(base, meta)

@@ -75,6 +75,25 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(ex.exists(_.outputPartitioning.toString.contains("hashpartitioning")))
   }
 
+  test("q29: near-dup candidates join on the banded MinHash key, not a global min-hash") {
+    val df = plan("q29_lsh_jaccard")
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    // the candidate equi-join keys on the melted (band, key) pair — the
+    // bucket-bounding property that prevents the mega-bucket blowup
+    assert("band#\\d+(L)?, key#\\d+".r.findFirstIn(s).isDefined,
+      "candidate join must key on the banded (band, key) signature")
+  }
+
+  test("q60: bucketed near-dup joins on the probe cell id — no all-pairs join") {
+    val df = plan("q60_embedding_neardup_bucketed")
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"), "q60 must never plan a cross join")
+    assert("bucket#\\d+".r.findFirstIn(s).isDefined,
+      "candidate join must key on the sign-bucket cell id")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
