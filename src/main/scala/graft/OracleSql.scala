@@ -625,6 +625,87 @@ object OracleSql {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "q61_stratified_sample" ->
+      """SELECT event_id, CASE WHEN value > 100 THEN 1 ELSE 0 END AS label
+        |FROM events
+        |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))::INT
+        |  < (CASE WHEN value > 100 THEN CAST(1.0 AS DOUBLE)
+        |          ELSE CAST(0.2 AS DOUBLE) END) * 65536
+        |ORDER BY event_id""".stripMargin,
+
+    "q62_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.token, tf.tf,
+        |  round(tf.tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |ORDER BY doc_id, token""".stripMargin,
+
+    "q63_dedup_clusters" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |${minhashSig(4, 2)},
+         |pairs AS (${minhashPairs(4, 2)}),
+         |ed AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.anc FROM reach r JOIN ed e ON e.s = r.node)
+         |SELECT node AS doc_id, min(anc) AS cluster_id FROM reach
+         |GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "q64_feature_hash" ->
+      """SELECT c_custkey,
+        |  ('0x' || substr(md5(c_mktsegment), 1, 8))::BIGINT % 64 AS seg_bucket,
+        |  ('0x' || substr(md5(c_name), 1, 8))::BIGINT % 1024 AS name_bucket
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q65_session_stats" ->
+      """WITH w AS (SELECT event_id, user_id, ts, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |b AS (SELECT event_id, user_id, ts, value,
+        |  CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS nb
+        |  FROM w),
+        |se AS (SELECT user_id, ts, value,
+        |  CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM b)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+        |  CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks
+        |FROM se GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q66_event_pairs_range_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, event_id FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND (b.tsu > a.tsu OR (b.tsu = a.tsu AND b.event_id > a.event_id))
+        |  AND b.tsu - a.tsu <= 300000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+
+    "q67_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g1,
+        |  CAST(grouping(l_linestatus) AS INT) AS g2,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g1, g2, returnflag, linestatus""".stripMargin,
+
+    "q68_corr_covar" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_s,
+        |  round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_p
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

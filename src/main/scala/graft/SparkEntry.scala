@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
-import graft.operators.{AsOfJoin, DedupOps, MetricOps, RelationalOps, RetrievalOps, SimilarityOps, TextOps}
+import graft.operators.{AsOfJoin, DedupOps, GraphOps, MetricOps, RelationalOps, RetrievalOps, SamplingOps, SimilarityOps, TextOps}
 
 /** Driver contract (SURVEY.md §7): named deterministic queries over the
   * testdata tables, each with a DuckDB-oracle SQL twin. Query keys map to
@@ -598,6 +598,90 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
+
+    // ops/scale — deterministic stratified sampling: keep all positives,
+    // 20% of negatives, selected by a stable md5 key hash (re-run- and
+    // partitioning-invariant — the label-balancing downsample).
+    "q61_stratified_sample" -> ((s, d) =>
+      SamplingOps.stratifiedSample(labeled(s, d), "event_id",
+          when(col("label") === 1, 1.0).otherwise(0.2))
+        .select("event_id", "label").orderBy("event_id")),
+
+    // ops/scale — TF-IDF keyword weights per (doc, token).
+    "q62_tfidf" -> ((s, d) =>
+      TextOps.tfidf(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id", "token")),
+
+    // ops/scale — dedup CLUSTERS: connected components over the banded
+    // MinHash candidate graph (min-label propagation; DuckDB oracle is
+    // the recursive-CTE transitive closure).
+    "q63_dedup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.minhashCandidates(
+        DedupOps.minhashSignature(
+          DedupOps.shingles(docs, "doc_id", "text"), "doc_id", 4, 2),
+        "doc_id", 4, 2)
+      GraphOps.connectedComponents(docs.select("doc_id"), "doc_id",
+          pairs, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
+    // ops/scale — hashing-trick feature encode (fixed-width buckets for
+    // unbounded categoricals, no vocabulary pass).
+    "q64_feature_hash" -> ((s, d) =>
+      Tables.customer(s, d).select(col("c_custkey"),
+          SamplingOps.featureHash(col("c_mktsegment"), 64).as("seg_bucket"),
+          SamplingOps.featureHash(col("c_name"), 1024).as("name_bucket"))
+        .orderBy("c_custkey")),
+
+    // §2.9 composition — per-session aggregates (event count, µs
+    // duration, click count) over the 30-min-gap sessionization.
+    "q65_session_stats" -> ((s, d) =>
+      TextOps.sessionize(labeled(s, d), "user_id", "ts", "event_id", 1800L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("duration_us"),
+          sum(col("label")).cast("long").as("n_clicks"))
+        .orderBy("user_id", "session_id")),
+
+    // band/range join — per-user count of event pairs ≤5 minutes apart
+    // (equi-join on the user key + range predicate; never a cartesian).
+    "q66_event_pairs_range_join" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tsu"), col("event_id"))
+      val a = e.select(col("user_id"), col("tsu").as("tsu_a"), col("event_id").as("id_a"))
+      val b = e.select(col("user_id"), col("tsu").as("tsu_b"), col("event_id").as("id_b"))
+      a.join(b, Seq("user_id"))
+        .filter((col("tsu_b") > col("tsu_a") ||
+            (col("tsu_b") === col("tsu_a") && col("id_b") > col("id_a"))) &&
+          col("tsu_b") - col("tsu_a") <= 300000000L)
+        .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
+    // OLAP cube — all grouping-set combinations with indicators.
+    "q67_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("int").as("g1"),
+          grouping(col("l_linestatus")).cast("int").as("g2"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("g1"), col("g2"), col("sum_qty"), col("n"))
+        .orderBy("g1", "g2", "returnflag", "linestatus")),
+
+    // statistical aggregates — Pearson correlation + covariance per
+    // group (profiling surface; co-moment formulas in both engines).
+    "q68_corr_covar" -> ((s, d) =>
+      Tables.lineitem(s, d).groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_s"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_p"))
+        .orderBy("l_returnflag")),
 
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).

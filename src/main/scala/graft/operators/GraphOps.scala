@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators for corpus curation: connected components over the
+  * near-dup candidate graph = dedup CLUSTERS (each document labeled
+  * with the smallest doc id reachable through pair edges), the step
+  * after pairwise near-dup detection in a real curation pipeline —
+  * pairs alone can't answer "which copies form one group".
+  */
+object GraphOps {
+
+  /** Connected components by iterative min-label propagation.
+    *
+    * Each iteration is one equi-join (edge dst → current labels) plus
+    * one min-aggregation — both key-partitioned hash shuffles, no
+    * global structure. Iteration count = graph diameter; near-dup
+    * clusters are small and dense, so convergence is 2-5 rounds.
+    * `localCheckpoint` cuts the growing lineage every round (the loop
+    * would otherwise re-derive the whole candidate pipeline per
+    * iteration); at cluster scale the same loop runs with
+    * `checkpoint()` to a reliable dir. Driver-side state is one
+    * convergence boolean per round — never row data.
+    *
+    * Deterministic: the fixpoint (per-component min id) is unique
+    * regardless of join order or partitioning.
+    */
+  def connectedComponents(nodes: DataFrame, nodeCol: String,
+                          edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val bidir = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col(nodeCol).as("node"))
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaEdges = bidir.join(labels, bidir("dst") === labels("node"))
+        .select(bidir("src").as("node"), labels("label").as("label"))
+      val next = labels.unionAll(viaEdges)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+}

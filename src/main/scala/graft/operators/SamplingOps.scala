@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and feature-hashing operators for the
+  * training-data pipeline.
+  *
+  * Both are built on md5 slices (engine-portable, reproducible across
+  * runs, engines, and partitionings — no RNG, no seed state): the same
+  * row always lands in the same sample / bucket, which is what makes
+  * incremental re-runs and cross-engine verification possible at
+  * 100 TB. Pure column expressions — no shuffle beyond what the caller
+  * composes.
+  */
+object SamplingOps {
+
+  /** Uniform hash of a key into [0, 65536): the first 4 hex chars of
+    * md5 of the key's canonical string rendering.
+    */
+  def hashUnit(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Deterministic stratified sampling: keep a row iff its key hash
+    * falls below the row's rate threshold (`rateCol` in [0,1], usually
+    * a CASE over the stratum column — e.g. keep all positives, 20% of
+    * negatives for label balancing). Selection is per-key stable: the
+    * same key survives at rate r no matter how the data is partitioned
+    * or how often the job re-runs.
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, rateCol: Column): DataFrame =
+    df.filter(hashUnit(col(keyCol)) < rateCol * 65536.0)
+
+  /** Hashing-trick feature encode: bucket = first 8 hex chars of
+    * md5(value), base-16, mod `buckets` — the fixed-width sparse encode
+    * for unbounded-cardinality categoricals (no vocabulary build, no
+    * extra pass, collision rate 1/buckets).
+    */
+  def featureHash(value: Column, buckets: Int): Column =
+    conv(substring(md5(value), 1, 8), 16, 10).cast("long") % buckets
+}

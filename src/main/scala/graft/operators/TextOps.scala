@@ -134,6 +134,24 @@ object TextOps {
       .drop("__prev", "__new")
   }
 
+  /** TF-IDF per (document, token): tf × ln(N / df). Three hash
+    * aggregations (doc-term tf, term df, corpus N) and one equi-join on
+    * the term key — df and N are tiny relative to the tf table, and the
+    * N scalar joins as a broadcast. The classic importance weighting for
+    * keyword extraction / quality filtering over a training corpus.
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("token"), col("tf"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df").cast("double")), 6)
+          .as("tfidf"))
+  }
+
   /** F7 — JSON field extraction from a semi-structured string column.
     * Ref: online/main/s1_server.py:27 (request parse).
     */
