@@ -49,6 +49,15 @@ object OracleSql {
   private val simhashBits = (0 until 16).map(i =>
     s"(CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
 
+  // Shared SimHash signature CTE chain: tok → votes → sg(doc_id, simhash).
+  private val simhashCte =
+    s"""tok AS (SELECT doc_id, tok, count(*) AS tf,
+       |  ('0x' || substr(md5(tok), 1, 4))::INT AS hv FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  GROUP BY doc_id, tok),
+       |v AS (SELECT doc_id, $simhashVotes FROM tok GROUP BY doc_id),
+       |sg AS (SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash FROM v)""".stripMargin
+
   private def profileList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -252,13 +261,8 @@ object OracleSql {
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
 
     "q28_simhash" ->
-      s"""WITH tok AS (SELECT doc_id, tok, count(*) AS tf,
-         |  ('0x' || substr(md5(tok), 1, 4))::INT AS hv FROM
-         |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-         |  GROUP BY doc_id, tok),
-         |v AS (SELECT doc_id, $simhashVotes FROM tok GROUP BY doc_id)
-         |SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash FROM v
-         |ORDER BY doc_id""".stripMargin,
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sg ORDER BY doc_id""".stripMargin,
 
     "q29_lsh_jaccard" ->
       s"""WITH $shinglesCte,
@@ -705,6 +709,59 @@ object OracleSql {
         |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_s,
         |  round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_p
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q69_simhash_neardup" -> {
+      val bandJoin = (0 until 4).map { b =>
+        s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sg a JOIN sg b " +
+          s"ON ((a.simhash >> ${b * 4}) & 15) = ((b.simhash >> ${b * 4}) & 15) " +
+          s"AND a.doc_id < b.doc_id"
+      }.mkString(" UNION ")
+      s"""WITH $simhashCte,
+         |pairs AS ($bandJoin)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+         |FROM pairs p
+         |JOIN sg sa ON sa.doc_id = p.doc_a
+         |JOIN sg sb ON sb.doc_id = p.doc_b
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "q70_ivf_centroids" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8 AS bucket
+        |  FROM e),
+        |x AS (SELECT CAST(bucket AS INT) AS bucket,
+        |  CAST(generate_subscripts(emb, 1) - 1 AS INT) AS dim,
+        |  unnest(emb) AS v FROM n)
+        |SELECT bucket, dim, count(*) AS n_vecs, round(avg(v), 6) AS centroid
+        |FROM x GROUP BY bucket, dim ORDER BY bucket, dim""".stripMargin,
+
+    "q71_latest_snapshot" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, event_type, value FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q72_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q73_bigram_freq" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT unnest(list_transform(range(len(t) - 1),
+        |    i -> t[i + 1] || ' ' || t[i + 2])) AS ngram
+        |  FROM toks WHERE len(t) >= 2)
+        |SELECT ngram, count(*) AS freq FROM g GROUP BY ngram
+        |ORDER BY ngram""".stripMargin,
 
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json

@@ -683,6 +683,50 @@ object SparkEntry {
           round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_p"))
         .orderBy("l_returnflag")),
 
+    // ops/scale — SimHash near-dup: nibble-banded candidates + exact
+    // Hamming verify (recall 1.0 for the ≤3 threshold by pigeonhole).
+    "q69_simhash_neardup" -> ((s, d) =>
+      DedupOps.simhashNearDup(Tables.documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_a", "doc_b")),
+
+    // ops/scale — IVF index build: per-cell centroid of the sign-bucket
+    // quantizer (the k-means update-step shape, distributed).
+    "q70_ivf_centroids" -> ((s, d) =>
+      SimilarityOps.ivfCentroids(Tables.embeddings(s, d), "vec_id", "embedding", 4)
+        .orderBy("bucket", "dim")),
+
+    // keep-latest dedup — the SCD-style snapshot: most recent event per
+    // user (row_number desc = 1); the state-compaction op of any
+    // incremental pipeline.
+    "q71_latest_snapshot" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+        .orderBy("user_id")
+    }),
+
+    // OLAP grouping sets — independent marginals in one pass (neither
+    // rollup nor cube: exactly the requested sets).
+    "q72_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n"))
+        .orderBy("returnflag", "linestatus")),
+
+    // ops/scale — corpus bigram frequency (contamination/memorization
+    // audit counter; every occurrence, not per-doc distinct).
+    "q73_bigram_freq" -> ((s, d) =>
+      TextOps.ngramFrequency(Tables.documents(s, d), "text", 2)
+        .orderBy("ngram")),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {

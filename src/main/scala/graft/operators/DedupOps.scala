@@ -104,6 +104,41 @@ object DedupOps {
     withVotes.select(col(idCol), sig.as("simhash"))
   }
 
+  /** SimHash near-dup pairs: the 16-bit signature is split into 4
+    * nibble bands; candidates share ANY band value (an equi-join on the
+    * melted (band, nibble) key — same shape as [[minhashCandidates]]);
+    * each candidate's exact Hamming distance is then one xor+popcount.
+    * By pigeonhole the banding is EXACT for `maxHamming` ≤ 3: four
+    * mismatched bands would need ≥ 4 differing bits, so every pair
+    * within the threshold shares at least one band — recall 1.0, never
+    * an all-pairs join.
+    *
+    * Scale note: the 16-bit signature (and its 16-value nibble bands)
+    * is sized for cross-engine oracle portability; at corpus scale the
+    * same plan runs with a 64-bit signature and 4×16-bit bands, which
+    * keeps band buckets at n/2^16 instead of n/16.
+    */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-nibble banding is exact only for maxHamming <= 3")
+    val sig = simhash(df, idCol, textCol)
+    val bands = (0 until 4).map(b =>
+      struct(lit(b).as("band"), expr(s"(simhash >> ${b * 4}) & 15").as("key")))
+    val long = sig.select(col(idCol), col("simhash"),
+        explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = long.select(col(idCol).as("doc_a"), col("simhash").as("sig_a"),
+      col("band"), col("key"))
+    val b = long.select(col(idCol).as("doc_b"), col("simhash").as("sig_b"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** LSH-candidate + exact n-gram Jaccard: candidates come from the
     * BANDED MinHash join (bands × rows, same key as [[minhashCandidates]]);
     * each candidate pair is then verified with the exact Jaccard

@@ -127,6 +127,22 @@ object SimilarityOps {
       .distinct()
   }
 
+  /** Per-cell centroids of the IVF sign-bucket quantizer: mean embedding
+    * component per (cell, dimension) — the index-build step of a real
+    * IVF (and the E-step shape of distributed k-means: assign is the
+    * bucket equi-join, update is this aggregation). One posexplode +
+    * one hash aggregation on (bucket, dim); no vector ever crosses the
+    * wire whole.
+    */
+  def ivfCentroids(df: DataFrame, idCol: String, embCol: String,
+                   signBits: Int = 4): DataFrame = {
+    val n = normalized(df, idCol, embCol).withColumn("bucket", signBucket(signBits))
+    n.select(col("bucket").cast("int").as("bucket"),
+        posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy("bucket", "dim")
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("v")), 6).as("centroid"))
+  }
+
   /** Multi-probe IVF ANN: like [[annTopK]], but each query vector also
     * probes the `signBits` Hamming-1 neighbor cells (one sign bit
     * flipped) — the standard recall/cost dial: cost grows

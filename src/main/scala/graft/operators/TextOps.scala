@@ -134,6 +134,19 @@ object TextOps {
       .drop("__prev", "__new")
   }
 
+  /** Corpus n-gram frequency (every occurrence, not per-doc distinct —
+    * the contamination-check / memorization-audit counter). One explode
+    * + one hash aggregation.
+    */
+  def ngramFrequency(df: DataFrame, textCol: String, n: Int): DataFrame = {
+    val idx = (0 until n).map(j => s"t[i + $j]").mkString(", ")
+    df.withColumn("t", split(col(textCol), " "))
+      .filter(size(col("t")) >= n)
+      .select(explode(expr(s"transform(sequence(0, size(t) - $n), " +
+        s"i -> concat_ws(' ', $idx))")).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("freq"))
+  }
+
   /** TF-IDF per (document, token): tf × ln(N / df). Three hash
     * aggregations (doc-term tf, term df, corpus N) and one equi-join on
     * the term key — df and N are tiny relative to the tf table, and the
