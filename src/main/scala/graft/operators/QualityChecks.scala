@@ -38,6 +38,23 @@ object QualityChecks {
       .withColumn("pass", (col("violations") === 0).cast("int"))
   }
 
+  /** Approximate distinct-cardinality profile per column (HyperLogLog++
+    * via approx_count_distinct): the cardinality report that replaces
+    * exact countDistinct at 100 TB — one scan, O(1) state per column
+    * (a fixed-size sketch), no exact-distinct shuffle. `rsd` is the
+    * guaranteed relative standard deviation of the estimate.
+    */
+  def approxDistinctReport(df: DataFrame, cols: Seq[String],
+                           rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "no columns given")
+    val sorted = cols.sorted
+    val aggs = sorted.map(c => approx_count_distinct(col(c), rsd).as(s"__ad_$c"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${sorted.length}, " +
+        sorted.map(c => s"'$c', __ad_$c").mkString(", ") +
+        ") AS (col_name, approx_distinct)")
+  }
+
   /** Fail fast: throw with the failing expectations if any violate. */
   def enforce(df: DataFrame, expectations: Seq[Expectation]): Unit = {
     val bad = report(df, expectations).filter(col("pass") === 0)
