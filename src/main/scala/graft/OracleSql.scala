@@ -763,6 +763,34 @@ object OracleSql {
         |SELECT ngram, count(*) AS freq FROM g GROUP BY ngram
         |ORDER BY ngram""".stripMargin,
 
+    "q74_value_windows" ->
+      """SELECT event_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  coalesce(nth_value(event_type, 2) OVER w, 'none') AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+
+    "q75_running_ctr" ->
+      """WITH l AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN value > 100 THEN 1 ELSE 0 END AS label FROM events)
+        |SELECT event_id,
+        |  round(CAST(sum(label) OVER w AS DOUBLE) / (count(*) OVER w), 6) AS ctr
+        |FROM l
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q76_regex_extract" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k_num,
+        |  CAST(regexp_matches(props, '\d') AS INT) AS has_digit,
+        |  CAST(length(regexp_replace(props, '[^{}:,"]', '', 'g')) AS BIGINT)
+        |    AS n_structural
+        |FROM events ORDER BY event_id""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

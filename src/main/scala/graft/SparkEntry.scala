@@ -727,6 +727,45 @@ object SparkEntry {
       TextOps.ngramFrequency(Tables.documents(s, d), "text", 2)
         .orderBy("ngram")),
 
+    // window value functions — first/last/nth event type per user frame
+    // (the "first touch / last touch" attribution shape).
+    "q74_value_windows" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("first_type", first(col("event_type")).over(full))
+        .withColumn("last_type", last(col("event_type")).over(full))
+        .withColumn("second_type",
+          coalesce(nth_value(col("event_type"), 2).over(full), lit("none")))
+        .select("event_id", "first_type", "last_type", "second_type")
+        .orderBy("event_id")
+    }),
+
+    // running ratio — cumulative CTR per user up to AND INCLUDING each
+    // event (monotone state the serving layer reads as "user CTR so
+    // far"); integer sums divided once, rounded.
+    "q75_running_ctr" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      labeled(s, d)
+        .withColumn("cum_clk", sum(col("label")).over(w))
+        .withColumn("cum_imp", count(lit(1)).over(w))
+        .select(col("event_id"),
+          round(col("cum_clk").cast("double") / col("cum_imp"), 6).as("ctr"))
+        .orderBy("event_id")
+    }),
+
+    // structured text extraction — regexp parse of the props blob into
+    // typed fields (the log-parsing op of any ingest pipeline).
+    "q76_regex_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k_num"),
+          (regexp_count(col("props"), lit("\\d")) > 0).cast("int").as("has_digit"),
+          length(regexp_replace(col("props"), "[^{}:,\"]", "")).cast("long")
+            .as("n_structural"))
+        .orderBy("event_id")),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {

@@ -135,8 +135,10 @@ object DedupOps {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(sig_a ^ sig_b)").cast("int").as("hamming"))
-      .distinct()
+      // threshold BEFORE distinct: the dedup shuffle then carries only
+      // surviving pairs, not every multi-band candidate
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** LSH-candidate + exact n-gram Jaccard: candidates come from the
