@@ -791,6 +791,37 @@ object OracleSql {
         |    AS n_structural
         |FROM events ORDER BY event_id""".stripMargin,
 
+    "q77_mad" ->
+      """WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag,
+        |  round(quantile_cont(abs(l.l_quantity - m.med), 0.5), 6) AS mad
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q78_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / CAST(5000.0 AS DOUBLE)) AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q79_topk_aggregator" ->
+      """WITH r AS (SELECT user_id, event_id, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, value FROM r WHERE rn <= 3
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q80_asof_tolerance" ->
+      """WITH s AS (SELECT user_id, ts, max(value) AS signup_value
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id, ts)
+        |SELECT e.event_id,
+        |  CASE WHEN s.ts IS NOT NULL
+        |         AND epoch_us(e.ts) - epoch_us(s.ts) <= 259200000000
+        |       THEN s.signup_value ELSE CAST(-1.0 AS DOUBLE) END AS signup_value
+        |FROM events e ASOF LEFT JOIN s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -766,6 +766,53 @@ object SparkEntry {
             .as("n_structural"))
         .orderBy("event_id")),
 
+    // robust profiling — median absolute deviation per group (two
+    // percentile passes; the group medians broadcast back).
+    "q77_mad" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+      li.join(broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(abs(l_quantity - med), 0.5)"), 6).as("mad"))
+        .orderBy("l_returnflag")
+    }),
+
+    // fixed-width histogram — the profiling binning (floor division,
+    // identical IEEE arithmetic in both engines).
+    "q78_histogram" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select(floor(col("l_extendedprice") / 5000.0).cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("n"))
+        .orderBy("bin")),
+
+    // bounded TopKAggregator as an ORACLE-CHECKED query: per-user top-3
+    // events by value — the custom TypedImperativeAggregate path (map-side
+    // ≤k buffers, no window sort); oracle is the row_number twin.
+    "q79_topk_aggregator" -> ((s, d) =>
+      Tables.events(s, d).groupBy("user_id")
+        .agg(graft.functions.TopKAggregator.topK(3, col("value"), col("event_id"))
+          .as("top"))
+        .select(col("user_id"), explode(col("top")).as("t"))
+        .select(col("user_id"), col("t.id").as("event_id"), col("t.score").as("value"))
+        .orderBy("user_id", "event_id")),
+
+    // J4 with tolerance — as-of join that only accepts matches within 3
+    // days (stale state falls back to the miss default).
+    "q80_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val signups = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("signup_value"))
+        .withColumn("s_ts", col("ts"))
+      AsOfJoin(ev.select("user_id", "ts", "event_id"), signups,
+          "user_id", "ts", "ts", Seq("signup_value", "s_ts"), "ts")
+        .select(col("event_id"),
+          when(col("s_ts").isNotNull &&
+              unix_micros(col("ts")) - unix_micros(col("s_ts")) <= 259200000000L,
+            col("signup_value")).otherwise(-1.0).as("signup_value"))
+        .orderBy("event_id")
+    }),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {
