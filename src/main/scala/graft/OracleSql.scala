@@ -822,6 +822,46 @@ object OracleSql {
         |  ON e.user_id = s.user_id AND e.ts >= s.ts
         |ORDER BY e.event_id""".stripMargin,
 
+    "q81_sequence_pattern" ->
+      """WITH w AS (SELECT event_id, event_type,
+        |  lead(event_type, 1) OVER win AS n1,
+        |  lead(event_type, 2) OVER win AS n2,
+        |  lead(event_type, 3) OVER win AS n3
+        |  FROM events
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id,
+        |  CAST(coalesce(n1 = 'purchase' OR n2 = 'purchase' OR n3 = 'purchase',
+        |                false) AS INT) AS recovered
+        |FROM w WHERE event_type = 'error' ORDER BY event_id""".stripMargin,
+
+    "q82_weekly_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |  (epoch_us(ts) // 86400000000) // 7 AS wk FROM events),
+        |act AS (SELECT wk, count(*) AS n_active FROM uw GROUP BY wk),
+        |ret AS (SELECT a.wk, count(*) AS n_retained FROM uw a
+        |  WHERE EXISTS (SELECT 1 FROM uw b
+        |                WHERE b.user_id = a.user_id AND b.wk = a.wk + 1)
+        |  GROUP BY a.wk)
+        |SELECT act.wk, act.n_active,
+        |  CAST(coalesce(ret.n_retained, 0) AS BIGINT) AS n_retained,
+        |  round(CAST(coalesce(ret.n_retained, 0) AS DOUBLE) / act.n_active, 6)
+        |    AS retention
+        |FROM act LEFT JOIN ret ON act.wk = ret.wk ORDER BY act.wk""".stripMargin,
+
+    "q83_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events),
+        |fc AS (SELECT user_id, min(tsu) AS fc FROM e
+        |       WHERE event_type = 'click' GROUP BY user_id),
+        |fp AS (SELECT e.user_id, min(e.tsu) AS fp FROM e
+        |       JOIN fc ON fc.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.tsu > fc.fc
+        |       GROUP BY e.user_id)
+        |SELECT fc.user_id,
+        |  CAST(fp.fp IS NOT NULL AS INT) AS converted,
+        |  coalesce(fp.fp - fc.fc, -1) AS lag_us
+        |FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id
+        |ORDER BY fc.user_id""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

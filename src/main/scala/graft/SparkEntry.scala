@@ -813,6 +813,58 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // sequence pattern — MATCH_RECOGNIZE-lite: for each error event,
+    // did a purchase follow within the next 3 events (lead windows)?
+    "q81_sequence_pattern" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("n1", lead(col("event_type"), 1).over(w))
+        .withColumn("n2", lead(col("event_type"), 2).over(w))
+        .withColumn("n3", lead(col("event_type"), 3).over(w))
+        .filter(col("event_type") === "error")
+        .select(col("event_id"),
+          coalesce(col("n1") === "purchase" || col("n2") === "purchase" ||
+            col("n3") === "purchase", lit(false)).cast("int").as("recovered"))
+        .orderBy("event_id")
+    }),
+
+    // cohort retention — users active in week w AND w+1 (distinct
+    // user-week grid, self semi-join on the next week).
+    "q82_weekly_retention" -> ((s, d) => {
+      val uw = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000 div 7").as("wk"))
+        .distinct()
+      val act = uw.groupBy("wk").agg(count(lit(1)).as("n_active"))
+      val ret = uw.alias("a")
+        .join(uw.alias("b"),
+          col("a.user_id") === col("b.user_id") && col("b.wk") === col("a.wk") + 1,
+          "left_semi")
+        .groupBy("wk").agg(count(lit(1)).as("n_retained"))
+      act.join(ret, Seq("wk"), "left")
+        .na.fill(0L, Seq("n_retained"))
+        .select(col("wk"), col("n_active"), col("n_retained"),
+          round(col("n_retained").cast("double") / col("n_active"), 6).as("retention"))
+        .orderBy("wk")
+    }),
+
+    // funnel — first click → first subsequent purchase per user, with
+    // conversion flag and µs lag (the offline conversion metric).
+    "q83_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tsu"))
+      val fc = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("tsu")).as("fc"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(fc, "user_id").filter(col("tsu") > col("fc"))
+        .groupBy("user_id").agg(min(col("tsu")).as("fp"))
+      fc.join(fp, Seq("user_id"), "left")
+        .select(col("user_id"),
+          col("fp").isNotNull.cast("int").as("converted"),
+          coalesce(col("fp") - col("fc"), lit(-1L)).as("lag_us"))
+        .orderBy("user_id")
+    }),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {
