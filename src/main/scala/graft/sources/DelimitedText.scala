@@ -79,4 +79,23 @@ object DelimitedText {
     df.withColumn("event_timestamp", current_timestamp())
       .withColumn("created", current_timestamp())
       .write.mode("overwrite").parquet(path)
+
+  /** JSON-lines scan with an EXPLICIT schema (never inferred — schema
+    * inference is a full extra pass over 100 TB and non-deterministic
+    * under corrupt rows). PERMISSIVE mode routes malformed lines into
+    * `_corrupt_record` when the caller includes it in the schema,
+    * matching the malformed-as-null contract of [[readDelimited]].
+    */
+  def readJsonLines(spark: SparkSession, path: String,
+                    schema: StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  /** Hive-style partitioned parquet sink: one directory per
+    * `partitionCol` value. At 100 TB this is what makes time/category
+    * predicates prune whole directories at planning time instead of
+    * scanning files (PartitionFilters in the scan node — asserted in
+    * SourcesSpec).
+    */
+  def writePartitioned(df: DataFrame, partitionCol: String, path: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 }

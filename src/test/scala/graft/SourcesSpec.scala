@@ -81,4 +81,47 @@ class SourcesSpec extends SparkSpec {
     assert(back.orderBy("user_id").as[(Long, Seq[Long])].collect()
       .toSeq == Seq((1L, Seq(1L, 2L, 3L)), (2L, Seq.empty[Long])))
   }
+
+  test("JSON-lines scan with explicit schema; malformed rows don't crash") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/r.jsonl"),
+      """{"userid": 7, "score": 0.5}
+        |not json at all
+        |{"userid": 9}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("userid", LongType),
+      StructField("score", DoubleType)))
+    val rows = DelimitedText.readJsonLines(spark, s"$dir/r.jsonl", schema)
+      .orderBy("userid").collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+      == Seq(-1L, 7L, 9L))
+  }
+
+  test("partitioned parquet sink: partition predicate prunes at planning time") {
+    val dir = tmpDir() + "/part"
+    val in = (1 to 100).map(i => (i.toLong, if (i % 2 == 0) "click" else "view"))
+      .toDF("id", "event_type")
+    DelimitedText.writePartitioned(in, "event_type", dir)
+    val pruned = spark.read.parquet(dir).filter($"event_type" === "click")
+    val qe = pruned.queryExecution
+    // execute THIS plan instance so its scan metrics populate (count()
+    // would build and run a separate aggregate plan)
+    assert(qe.executedPlan.execute().count() == 50)
+    val planStr = qe.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.contains("isnotnull(event_type"),
+      "partition predicate must appear as a PartitionFilter on the scan")
+    // directory-level pruning: the scan reads only the click partition's
+    // files (inputFiles lists the whole relation, so count via metrics)
+    val scan = qe.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    val clickFiles = new java.io.File(s"$dir/event_type=click")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(scan.metrics("numFiles").value == clickFiles,
+      s"scan read ${scan.metrics("numFiles").value} files, " +
+        s"click partition has $clickFiles")
+  }
 }
