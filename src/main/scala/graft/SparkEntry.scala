@@ -865,6 +865,36 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // star join (TPC-H Q3 shape) — selective dim filter, two fact joins,
+    // DECIMAL-exact revenue (per-row double product rounded to 4dp, then
+    // exact decimal sum — no distributed-order drift), top-10.
+    "q84_shipping_priority" -> ((s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+        .groupBy("l_orderkey")
+        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)),
+
+    // 6-way snowflake join (TPC-H Q5 shape) — region→nation→customer
+    // chain broadcast onto the fact tables; revenue per nation.
+    "q85_region_revenue" -> ((s, d) => {
+      val dims = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .join(Tables.nation(s, d), col("r_regionkey") === col("n_regionkey")))
+      Tables.customer(s, d)
+        .join(dims, col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("n_name")
+        .agg(sum(expr("CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {

@@ -94,6 +94,15 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "candidate join must key on the sign-bucket cell id")
   }
 
+  test("q85: the region-nation dim chain broadcasts onto the fact joins") {
+    val df = plan("q85_region_revenue")
+    df.count()
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "snowflake dims must broadcast, not shuffle")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
