@@ -73,11 +73,19 @@ object DelimitedText {
     spark.read.parquet(path)
 
   /** S5: parquet sink with literal ingestion timestamps (Feast-analogue;
-    * ref: offline_to_online/rank/s1_feature_to_feast.py:11-17).
+    * ref: offline_to_online/rank/s1_feature_to_feast.py:11-17, which
+    * stamps tz-aware literals in Asia/Shanghai). `tz` renders the stamp
+    * in the reference's zone regardless of the session zone; the stored
+    * instant is unchanged (parquet timestamps are UTC-normalized) — the
+    * zone only affects the human-readable rendering column.
     */
-  def writeSnapshotParquet(df: DataFrame, path: String): Unit =
+  def writeSnapshotParquet(df: DataFrame, path: String,
+                           tz: String = "Asia/Shanghai"): Unit =
     df.withColumn("event_timestamp", current_timestamp())
       .withColumn("created", current_timestamp())
+      .withColumn("created_tz",
+        concat(date_format(convert_timezone(lit(tz), current_timestamp()),
+          "yyyy-MM-dd HH:mm:ss"), lit(" "), lit(tz)))
       .write.mode("overwrite").parquet(path)
 
   /** JSON-lines scan with an EXPLICIT schema (never inferred — schema

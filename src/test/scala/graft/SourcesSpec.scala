@@ -67,8 +67,11 @@ class SourcesSpec extends SparkSpec {
     val dir = tmpDir() + "/snap"
     DelimitedText.writeSnapshotParquet(Seq((1L, 2.0)).toDF("id", "v"), dir)
     val back = DelimitedText.readArtifact(spark, dir)
-    assert(back.columns.toSet == Set("id", "v", "event_timestamp", "created"))
+    assert(back.columns.toSet ==
+      Set("id", "v", "event_timestamp", "created", "created_tz"))
     assert(back.filter($"event_timestamp".isNull).count() == 0)
+    // the rendered stamp carries the reference's zone (Asia/Shanghai)
+    assert(back.select("created_tz").as[String].head().endsWith("Asia/Shanghai"))
   }
 
   test("S6: keyed parquet artifact with array column round-trips") {
