@@ -888,6 +888,34 @@ object OracleSql {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
+    "q86_salted_join" ->
+      """SELECT e.event_id, e.user_id, c.c_mktsegment
+        |FROM events e
+        |JOIN customer c ON c.c_custkey = e.user_id
+        |WHERE c.c_custkey < 150
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q87_window_distinct" ->
+      """SELECT event_id,
+        |  count(DISTINCT event_type) OVER w AS n_types
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q88_click_streaks" ->
+      """WITH l AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN value > 100 THEN 1 ELSE 0 END AS label FROM events),
+        |r AS (SELECT event_id, user_id, label,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+        |  FROM l),
+        |c AS (SELECT user_id, rn,
+        |  rn - row_number() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+        |  FROM r WHERE label = 1),
+        |g AS (SELECT user_id, grp, count(*) AS len FROM c GROUP BY user_id, grp)
+        |SELECT user_id, max(len) AS max_streak FROM g GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -895,6 +895,43 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // skew path (join form) — salted equi-join must equal the plain
+    // join (the oracle IS the plain form), with the hot key spread over
+    // 8 salt buckets.
+    "q86_salted_join" -> ((s, d) => {
+      val dim = Tables.customer(s, d).filter(col("c_custkey") < 150)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      MetricOps.saltedJoin(
+          Tables.events(s, d).select("event_id", "user_id"), dim,
+          "user_id", SamplingOps.hashUnit(col("event_id")), 8)
+        .select("event_id", "user_id", "c_mktsegment")
+        .orderBy("event_id")
+    }),
+
+    // windowed distinct count — variety of the trailing ≤10 events per
+    // user (Spark: array_distinct over a bounded collect_list frame;
+    // the oracle uses DISTINCT window aggregation directly).
+    "q87_window_distinct" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, 0)
+      Tables.events(s, d)
+        .withColumn("n_types",
+          size(array_distinct(collect_list(col("event_type")).over(w))).cast("long"))
+        .select("event_id", "n_types").orderBy("event_id")
+    }),
+
+    // gaps-and-islands — longest consecutive click streak per user
+    // (rn minus per-subset rn groups runs; two windows + two aggs).
+    "q88_click_streaks" -> ((s, d) => {
+      val rn = RelationalOps.rowNumber(labeled(s, d), "user_id", userOrder)
+      val w2 = Window.partitionBy("user_id").orderBy(col("rn"))
+      rn.filter(col("label") === 1)
+        .withColumn("grp", col("rn") - row_number().over(w2))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id").agg(max(col("len")).as("max_streak"))
+        .orderBy("user_id")
+    }),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {

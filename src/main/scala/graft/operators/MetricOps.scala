@@ -75,6 +75,26 @@ object MetricOps {
       .groupBy(col(keyCol))
       .agg(sum(col("__c")).as("cnt"), sum(col("__s")).as("sum"))
 
+  /** Skew-safe equi-join: the large side gets a per-row salt (from
+    * `saltExpr` — any deterministic expression over its columns, e.g. a
+    * row-id hash), the SMALL side is replicated once per salt value,
+    * and the join key becomes (key, salt) — a hot key's rows spread
+    * over `salts` reducers instead of funneling into one. Result is
+    * identical to the plain join (every (key, salt) pair carries a full
+    * copy of the small side's rows for that key); cost is |small| ×
+    * `salts` extra build rows — the standard trade when one key owns a
+    * double-digit share of the fact table and AQE's skew split can't
+    * apply (e.g. the skew is born in the shuffle, not read from files).
+    */
+  def saltedJoin(large: DataFrame, small: DataFrame, keyCol: String,
+                 saltExpr: Column, salts: Int): DataFrame = {
+    val l = large.withColumn("__salt", pmod(saltExpr, lit(salts)).cast("int"))
+    val s = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+      .withColumn("__salt", col("__salt").cast("int"))
+    l.join(s, Seq(keyCol, "__salt")).drop("__salt")
+  }
+
   /** A7 at scale: HLL-based distinct counts for the constant-prune
     * check — at 100 TB the exact `countDistinct` shuffle is unnecessary
     * when the question is only "is cardinality 1?" (rsd 5% cannot
