@@ -916,6 +916,55 @@ object OracleSql {
         |SELECT user_id, max(len) AS max_streak FROM g GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
 
+    "q89_upsert" ->
+      """WITH upd AS (SELECT c_custkey, 'VIP' AS c_mktsegment
+        |  FROM customer WHERE c_custkey < 50)
+        |SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |UNION ALL SELECT c_custkey, c_mktsegment FROM upd
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q90_snapshot_diff" ->
+      """WITH oldt AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |upd AS (SELECT c_custkey, 'VIP' AS c_mktsegment
+        |  FROM customer WHERE c_custkey < 50),
+        |newt AS (SELECT * FROM (
+        |  SELECT c_custkey, c_mktsegment FROM oldt
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+        |  UNION ALL SELECT * FROM upd) WHERE c_custkey < 1400),
+        |j AS (SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+        |  o.c_mktsegment AS fo, n.c_mktsegment AS fn
+        |  FROM oldt o FULL OUTER JOIN newt n ON o.c_custkey = n.c_custkey)
+        |SELECT c_custkey,
+        |  CASE WHEN fo IS NULL THEN 'added'
+        |       WHEN fn IS NULL THEN 'removed'
+        |       WHEN fo <> fn THEN 'changed' END AS change
+        |FROM j
+        |WHERE (fo IS NULL) OR (fn IS NULL) OR (fo <> fn)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q91_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |s AS (SELECT vec_id, emb, list_min(emb) AS mn,
+        |  CASE WHEN list_max(emb) = list_min(emb) THEN CAST(1.0 AS DOUBLE)
+        |       ELSE (list_max(emb) - list_min(emb)) / CAST(255.0 AS DOUBLE)
+        |  END AS scale FROM e),
+        |q AS (SELECT vec_id, emb, mn, scale,
+        |  list_transform(emb, x -> CAST(round((x - mn) / scale) AS INT)) AS qv
+        |  FROM s)
+        |SELECT vec_id, qv[1] AS q0, qv[2] AS q1, qv[3] AS q2, qv[4] AS q3,
+        |  round(list_max(list_transform(generate_series(1, len(emb)),
+        |    i -> abs(emb[i] - (qv[i] * scale + mn)))), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    "q92_group_sample" ->
+      """WITH r AS (SELECT user_id, event_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id FROM r WHERE rn <= 5
+        |ORDER BY user_id, event_id""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

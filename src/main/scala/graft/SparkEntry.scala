@@ -932,6 +932,60 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // SCD1 upsert — updates win per key, unmatched base survives (the
+    // MERGE-into compaction of an incremental pipeline).
+    "q89_upsert" -> ((s, d) => {
+      val base = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      val updates = base.filter(col("c_custkey") < 50)
+        .withColumn("c_mktsegment", lit("VIP"))
+      RelationalOps.upsert(base, updates, "c_custkey")
+        .orderBy("c_custkey")
+    }),
+
+    // CDC snapshot diff — added/removed/changed keys between two table
+    // states, one full outer join.
+    "q90_snapshot_diff" -> ((s, d) => {
+      val old = Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      val neu = RelationalOps.upsert(old,
+          old.filter(col("c_custkey") < 50).withColumn("c_mktsegment", lit("VIP")),
+          "c_custkey")
+        .filter(col("c_custkey") < 1400)
+      RelationalOps.snapshotDiff(old, neu, "c_custkey", Seq("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+
+    // embedding int8 quantization — per-vector min/max scale, first-4
+    // quantized codes + max reconstruction error (the vector-compression
+    // step of an embedding store; pure array HOFs).
+    "q91_embedding_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("emb", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn("mn", array_min(col("emb")))
+        .withColumn("scale",
+          when(array_max(col("emb")) === col("mn"), lit(1.0))
+            .otherwise((array_max(col("emb")) - col("mn")) / 255.0))
+        .withColumn("q", expr("transform(emb, x -> CAST(round((x - mn) / scale) AS INT))"))
+        .withColumn("max_err", expr(
+          "round(array_max(transform(sequence(0, size(emb) - 1), " +
+            "i -> abs(emb[i] - (q[i] * scale + mn)))), 6)"))
+        .select(col("vec_id"),
+          expr("q[0]").as("q0"), expr("q[1]").as("q1"),
+          expr("q[2]").as("q2"), expr("q[3]").as("q3"),
+          col("max_err"))
+        .orderBy("vec_id")),
+
+    // exact-N deterministic per-group sample — "random" 5 events per
+    // user ordered by a key hash (stable across runs/partitionings).
+    "q92_group_sample" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 5)
+        .select("user_id", "event_id")
+        .orderBy("user_id", "event_id")
+    }),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {

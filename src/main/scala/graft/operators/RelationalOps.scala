@@ -71,6 +71,34 @@ object RelationalOps {
       .withColumn("keep", (col("n_distinct") > 1).cast("int"))
   }
 
+  /** SCD1 upsert (MERGE-into semantics, batch form): rows from
+    * `updates` replace base rows with the same key; unmatched base rows
+    * survive. One anti-join + union — at scale this is the compaction
+    * step of an incremental pipeline (Delta/Iceberg MERGE compiles to
+    * the same shape).
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keyCol: String): DataFrame =
+    base.join(updates.select(keyCol), Seq(keyCol), "left_anti")
+      .unionByName(updates)
+
+  /** Snapshot diff (CDC between two table states): emits one row per
+    * changed key with change ∈ added | removed | changed. Row identity
+    * is a concat fingerprint of `valCols`; the comparison is a single
+    * full outer join on the key. Unchanged keys emit nothing.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+                   valCols: Seq[String]): DataFrame = {
+    def fp(df: DataFrame, name: String) = df.select(col(keyCol),
+      concat_ws("", valCols.map(c => col(c).cast("string")): _*).as(name))
+    fp(oldDf, "__fp_old").join(fp(newDf, "__fp_new"), Seq(keyCol), "full_outer")
+      .withColumn("change",
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(col(keyCol), col("change"))
+  }
+
   // ---------------------------------------------------------------- W ops
 
   /** W1 — 0-based per-key row number by event time with a deterministic
