@@ -965,6 +965,50 @@ object OracleSql {
         |SELECT user_id, event_id FROM r WHERE rn <= 5
         |ORDER BY user_id, event_id""".stripMargin,
 
+    "q93_bigram_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest(list_transform(range(len(t) - 1),
+        |    i -> {'w1': t[i + 1], 'w2': t[i + 2]})) AS b
+        |  FROM toks WHERE len(t) >= 2),
+        |bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |c2 AS (SELECT w1, w2, count(*) AS c12 FROM bb GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY w1)
+        |SELECT bb.doc_id,
+        |  round(-avg(ln(CAST(c12 AS DOUBLE) / c1)), 6) AS cross_entropy
+        |FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY bb.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q94_contamination" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, s FROM
+        |  (SELECT doc_id, source, unnest(list_transform(range(len(t) - 2),
+        |     i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3])) AS s
+        |   FROM toks WHERE len(t) >= 3)),
+        |bench AS (SELECT doc_id, s FROM sh WHERE source = 'src0'),
+        |corpus AS (SELECT DISTINCT s FROM sh WHERE source <> 'src0'),
+        |hits AS (SELECT doc_id, count(*) AS n_hit FROM bench
+        |  WHERE s IN (SELECT s FROM corpus) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM bench GROUP BY doc_id)
+        |SELECT tot.doc_id, CAST(coalesce(hits.n_hit, 0) AS BIGINT) AS n_hit,
+        |  tot.n_sh,
+        |  round(CAST(coalesce(hits.n_hit, 0) AS DOUBLE) / tot.n_sh, 6)
+        |    AS contamination
+        |FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+
+    "q95_table_profile" -> {
+      val cols = Seq("c_custkey", "c_mktsegment", "c_name", "c_nationkey")
+      cols.map(c =>
+        s"SELECT '$c' AS col_name, " +
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, " +
+          s"count(DISTINCT $c) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_str, " +
+          s"CAST(max($c) AS VARCHAR) AS max_str FROM customer")
+        .mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -986,6 +986,38 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // ops/scale — perplexity-style quality filter: per-doc bigram
+    // cross-entropy under the corpus's own MLE bigram LM.
+    "q93_bigram_lm" -> ((s, d) =>
+      TextOps.bigramCrossEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ops/scale — benchmark contamination: per src0 ("benchmark") doc,
+    // the fraction of its distinct shingles present anywhere in the
+    // rest of the corpus (semi-join against the distinct corpus set).
+    "q94_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = DedupOps.shingles(docs.filter(col("source") === "src0"),
+        "doc_id", "text")
+      val corpus = DedupOps.shingles(docs.filter(col("source") =!= "src0"),
+        "doc_id", "text").select("shingle").distinct()
+      val hits = bench.join(corpus, Seq("shingle"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      bench.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          col("n_sh"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"), 6)
+            .as("contamination"))
+        .orderBy("doc_id")
+    }),
+
+    // one-scan table profile — nulls / distinct / min / max per column.
+    "q95_table_profile" -> ((s, d) =>
+      graft.operators.QualityChecks.profile(Tables.customer(s, d),
+          Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
+        .orderBy("col_name")),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {

@@ -55,6 +55,27 @@ object QualityChecks {
         ") AS (col_name, approx_distinct)")
   }
 
+  /** One-scan table profile: per column — null count, exact distinct
+    * count, min/max (string-rendered). The standard pre-training data
+    * summary; all columns aggregate in ONE pass. Use string/integral
+    * columns for cross-engine comparison (double→string rendering is
+    * engine-specific).
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns given")
+    val sorted = cols.sorted
+    val aggs = sorted.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"__n_$c"),
+      countDistinct(col(c)).as(s"__d_$c"),
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${sorted.length}, " +
+        sorted.map(c => s"'$c', coalesce(__n_$c, 0), __d_$c, __mn_$c, __mx_$c")
+          .mkString(", ") +
+        ") AS (col_name, n_null, n_distinct, min_str, max_str)")
+  }
+
   /** Fail fast: throw with the failing expectations if any violate. */
   def enforce(df: DataFrame, expectations: Seq[Expectation]): Unit = {
     val bad = report(df, expectations).filter(col("pass") === 0)

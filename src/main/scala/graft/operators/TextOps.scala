@@ -147,6 +147,30 @@ object TextOps {
       .groupBy("ngram").agg(count(lit(1)).as("freq"))
   }
 
+  /** Per-document bigram cross-entropy under the corpus's own MLE
+    * bigram language model: −avg ln P(w2|w1) with
+    * P(w2|w1) = c(w1,w2)/c(w1·). The relational core of
+    * perplexity-based quality filtering (high cross-entropy = unusual
+    * token sequences = candidate junk). Counts come from the same
+    * corpus, so every observed bigram has nonzero probability — no
+    * smoothing needed; at scale the count tables are the "model
+    * artifact" and join back broadcast/bucketed.
+    */
+  def bigramCrossEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.withColumn("t", split(col(textCol), " "))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(round(-avg(log(col("c12").cast("double") / col("c1"))), 6)
+        .as("cross_entropy"))
+  }
+
   /** TF-IDF per (document, token): tf × ln(N / df). Three hash
     * aggregations (doc-term tf, term df, corpus N) and one equi-join on
     * the term key — df and N are tiny relative to the tf table, and the
