@@ -44,15 +44,15 @@ object OracleSql {
       s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sig a JOIN sig b ON $on AND a.doc_id < b.doc_id"
     }.mkString(" UNION ")
 
-  private val simhashVotes = (0 until 16).map(i =>
+  private val simhashVotes = (0 until 32).map(i =>
     s"sum(tf * (CASE WHEN ((hv >> $i) & 1) = 1 THEN 1 ELSE -1 END)) AS v_$i").mkString(", ")
-  private val simhashBits = (0 until 16).map(i =>
+  private val simhashBits = (0 until 32).map(i =>
     s"(CASE WHEN v_$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
 
   // Shared SimHash signature CTE chain: tok → votes → sg(doc_id, simhash).
   private val simhashCte =
     s"""tok AS (SELECT doc_id, tok, count(*) AS tf,
-       |  ('0x' || substr(md5(tok), 1, 4))::INT AS hv FROM
+       |  ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM
        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
        |  GROUP BY doc_id, tok),
        |v AS (SELECT doc_id, $simhashVotes FROM tok GROUP BY doc_id),
@@ -713,7 +713,7 @@ object OracleSql {
     "q69_simhash_neardup" -> {
       val bandJoin = (0 until 4).map { b =>
         s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sg a JOIN sg b " +
-          s"ON ((a.simhash >> ${b * 4}) & 15) = ((b.simhash >> ${b * 4}) & 15) " +
+          s"ON ((a.simhash >> ${b * 8}) & 255) = ((b.simhash >> ${b * 8}) & 255) " +
           s"AND a.doc_id < b.doc_id"
       }.mkString(" UNION ")
       s"""WITH $simhashCte,

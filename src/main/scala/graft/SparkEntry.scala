@@ -243,7 +243,7 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // ops/scale — 16-bit SimHash signatures.
+    // ops/scale — 32-bit SimHash signatures.
     "q28_simhash" -> ((s, d) =>
       DedupOps.simhash(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),

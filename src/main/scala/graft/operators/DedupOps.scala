@@ -87,43 +87,45 @@ object DedupOps {
       .distinct()
   }
 
-  /** SimHash (16-bit) signature: per-token md5 → 16-bit value; each bit
+  /** SimHash (32-bit) signature: per-token md5 → 32-bit value; each bit
     * votes ±tf; signature bit = sign of the vote sum. Hamming-close
     * signatures ⇒ near-dup. Engine-portable: the token hash is the first
-    * 4 hex chars of md5, parsed base-16.
+    * 8 hex chars of md5, parsed base-16.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-      .withColumn("hv", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
-    val votes = (0 until 16).map(i =>
+      .withColumn("hv", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+    val votes = (0 until 32).map(i =>
       sum(col("tf") * (expr(s"(hv >> $i) & 1") * 2 - 1)).as(s"v_$i"))
     val withVotes = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 16).map(i =>
+    val sig = (0 until 32).map(i =>
       when(col(s"v_$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
     withVotes.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: the 16-bit signature is split into 4
-    * nibble bands; candidates share ANY band value (an equi-join on the
-    * melted (band, nibble) key — same shape as [[minhashCandidates]]);
+  /** SimHash near-dup pairs: the 32-bit signature is split into 4
+    * byte-wide bands; candidates share ANY band value (an equi-join on
+    * the melted (band, byte) key — same shape as [[minhashCandidates]]);
     * each candidate's exact Hamming distance is then one xor+popcount.
     * By pigeonhole the banding is EXACT for `maxHamming` ≤ 3: four
     * mismatched bands would need ≥ 4 differing bits, so every pair
     * within the threshold shares at least one band — recall 1.0, never
-    * an all-pairs join.
+    * an all-pairs join. Exactness depends only on the band COUNT, so
+    * widening each band shrinks buckets (n/256 per band here vs n/16
+    * for nibble bands) without losing a single true pair.
     *
-    * Scale note: the 16-bit signature (and its 16-value nibble bands)
-    * is sized for cross-engine oracle portability; at corpus scale the
-    * same plan runs with a 64-bit signature and 4×16-bit bands, which
-    * keeps band buckets at n/2^16 instead of n/16.
+    * Scale note: at corpus scale the same plan runs with a 64-bit
+    * signature and 4×16-bit bands, which keeps band buckets at n/2^16;
+    * 32-bit is the widest signature whose per-token hash parses
+    * identically in every md5-capable engine without unsigned overflow.
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "4-nibble banding is exact only for maxHamming <= 3")
+    require(maxHamming <= 3, "4-band split is exact only for maxHamming <= 3")
     val sig = simhash(df, idCol, textCol)
     val bands = (0 until 4).map(b =>
-      struct(lit(b).as("band"), expr(s"(simhash >> ${b * 4}) & 15").as("key")))
+      struct(lit(b).as("band"), expr(s"(simhash >> ${b * 8}) & 255").as("key")))
     val long = sig.select(col(idCol), col("simhash"),
         explode(array(bands: _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))

@@ -45,11 +45,11 @@ class DedupSimilaritySpec extends SparkSpec {
     out.get((1L, 2L)).foreach(j => assert(j > 0.5 && j < 1.0))
   }
 
-  test("simhash: identical docs get identical signatures; signature is 16-bit") {
+  test("simhash: identical docs get identical signatures; signature is 32-bit") {
     val out = DedupOps.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
     assert(out(1L) == out(4L))
-    assert(out.values.forall(v => v >= 0 && v < 65536))
+    assert(out.values.forall(v => v >= 0 && v < (1L << 32)))
     assert(out(1L) != out(3L))   // overwhelmingly likely for disjoint vocab
   }
 
