@@ -1009,6 +1009,85 @@ object OracleSql {
         .mkString("", " UNION ALL ", " ORDER BY col_name")
     },
 
+    "q96_pii_redact" ->
+      """SELECT c_custkey,
+        |  regexp_replace(regexp_replace(regexp_replace(c_name,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS clean_text,
+        |  CAST(len(regexp_extract_all(c_name,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(regexp_replace(c_name,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}'))
+        |    + len(regexp_extract_all(regexp_replace(regexp_replace(c_name,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
+        |      '[0-9]{6,}')) AS BIGINT) AS n_redactions
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q97_repetition" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+        |agg AS (SELECT doc_id, sum(tf) AS n_tokens, max(tf) AS top_tf
+        |  FROM tf GROUP BY doc_id),
+        |bl AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |    i -> t[i + 1] || ' ' || t[i + 2])) AS bg
+        |  FROM bl WHERE len(t) >= 2),
+        |bga AS (SELECT doc_id, count(*) AS n_bg, count(DISTINCT bg) AS d_bg
+        |  FROM bg GROUP BY doc_id),
+        |j AS (SELECT agg.doc_id, CAST(agg.n_tokens AS BIGINT) AS n_tokens,
+        |  round(CAST(top_tf AS DOUBLE) / n_tokens, 6) AS top_tok_frac,
+        |  coalesce(round(1.0 - CAST(d_bg AS DOUBLE) / n_bg, 6), 0.0)
+        |    AS dup_bigram_frac
+        |  FROM agg LEFT JOIN bga ON agg.doc_id = bga.doc_id)
+        |SELECT doc_id, n_tokens, top_tok_frac, dup_bigram_frac,
+        |  CAST(top_tok_frac > CAST(0.12 AS DOUBLE)
+        |    OR dup_bigram_frac > CAST(0.3 AS DOUBLE) AS INT) AS junk
+        |FROM j ORDER BY doc_id""".stripMargin,
+
+    "q98_chunk_dedup" ->
+      """WITH tl AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ch AS (SELECT doc_id,
+        |  CAST((len(t) - 1) // 20 + 1 AS BIGINT) AS n_chunks,
+        |  unnest(list_transform(range((len(t) - 1) // 20 + 1),
+        |    i -> {'idx': i,
+        |          'chunk': array_to_string(t[i * 20 + 1 : i * 20 + 20], ' ')}))
+        |    AS c
+        |  FROM tl),
+        |cf AS (SELECT doc_id, n_chunks, c.idx AS idx, c.chunk AS chunk,
+        |  row_number() OVER (PARTITION BY md5(c.chunk)
+        |    ORDER BY doc_id, c.idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id, n_chunks, CAST(count(*) AS BIGINT) AS n_kept,
+        |  string_agg(chunk, ' ' ORDER BY idx) AS clean_text
+        |FROM cf WHERE rn = 1
+        |GROUP BY doc_id, n_chunks ORDER BY doc_id""".stripMargin,
+
+    "q99_mixture_sample" ->
+      """WITH w(source, p) AS (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+        |  ('src1', CAST(0.3 AS DOUBLE)), ('src2', CAST(0.2 AS DOUBLE))),
+        |d AS (SELECT doc_id, documents.source, p
+        |  FROM documents JOIN w ON documents.source = w.source),
+        |counts AS (SELECT source, p, count(*) AS n_docs FROM d
+        |  GROUP BY source, p),
+        |t AS (SELECT min(CAST(n_docs AS DOUBLE) / p) AS t FROM counts),
+        |rates AS (SELECT source, n_docs,
+        |  round(p * t.t / n_docs, 6) AS rate FROM counts, t),
+        |kept AS (SELECT d.source, count(*) AS n_keep,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM d JOIN rates ON d.source = rates.source
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |    / CAST(4294967296 AS DOUBLE) < rate
+        |  GROUP BY d.source)
+        |SELECT rates.source, CAST(n_docs AS BIGINT) AS n_docs, rate,
+        |  CAST(coalesce(n_keep, 0) AS BIGINT) AS n_keep,
+        |  CAST(coalesce(id_sum, 0) AS BIGINT) AS id_sum
+        |FROM rates LEFT JOIN kept ON rates.source = kept.source
+        |ORDER BY rates.source""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
-import graft.operators.{AsOfJoin, DedupOps, GraphOps, MetricOps, RelationalOps, RetrievalOps, SamplingOps, SimilarityOps, TextOps}
+import graft.operators.{AsOfJoin, DedupOps, GraphOps, MetricOps, MixtureOps, RelationalOps, RetrievalOps, SamplingOps, SimilarityOps, TextOps}
 
 /** Driver contract (SURVEY.md §7): named deterministic queries over the
   * testdata tables, each with a DuckDB-oracle SQL twin. Query keys map to
@@ -1017,6 +1017,30 @@ object SparkEntry {
       graft.operators.QualityChecks.profile(Tables.customer(s, d),
           Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))
         .orderBy("col_name")),
+
+    // ops/scale — PII redaction: ordered regex rules, one codegen pass.
+    "q96_pii_redact" -> ((s, d) =>
+      TextOps.redact(Tables.customer(s, d), "c_custkey", "c_name",
+          TextOps.piiRules)
+        .orderBy("c_custkey")),
+
+    // ops/scale — Gopher-style repetition signals + junk flag.
+    "q97_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ops/scale — cross-doc chunk dedup (C4-style line dedup), keeping
+    // the globally-first occurrence of every 20-token chunk.
+    "q98_chunk_dedup" -> ((s, d) =>
+      DedupOps.chunkDedup(Tables.documents(s, d), "doc_id", "text", 20)
+        .orderBy("doc_id")),
+
+    // ops/scale — data-mixture sampling: target source proportions →
+    // largest feasible sample, drawn by deterministic md5 membership.
+    "q99_mixture_sample" -> ((s, d) =>
+      MixtureOps.mixtureSample(Tables.documents(s, d), "source", "doc_id",
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .orderBy("source")),
 
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).

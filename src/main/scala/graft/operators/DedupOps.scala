@@ -143,6 +143,39 @@ object DedupOps {
       .distinct()
   }
 
+  /** Cross-document chunk-level dedup (the C4/RefinedWeb line-dedup
+    * shape): split each document into fixed `w`-token chunks, keep only
+    * the globally-first occurrence of each distinct chunk (first by
+    * (doc, position) — deterministic), and reassemble the surviving
+    * chunks in document order. One window over the chunk-hash key (the
+    * dedup shuffle, O(total chunks)) and one hash aggregation on the doc
+    * key to reassemble — never a self-join. At 100 TB the md5 chunk key
+    * keeps shuffle rows fixed-width regardless of chunk text size.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 w: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = df.withColumn("t", split(col(textCol), " "))
+      .withColumn("n_chunks",
+        expr(s"CAST((size(t) - 1) / $w AS INT) + 1").cast("long"))
+      .select(col(idCol), col("n_chunks"), explode(expr(
+        s"transform(sequence(0, CAST((size(t) - 1) / $w AS INT)), " +
+          s"i -> struct(i AS idx, concat_ws(' ', slice(t, i * $w + 1, $w)) AS chunk))"))
+        .as("c"))
+      .select(col(idCol), col("n_chunks"), col("c.idx").as("idx"),
+        col("c.chunk").as("chunk"))
+    val rn = Window.partitionBy(md5(col("chunk")))
+      .orderBy(col(idCol), col("idx"))
+    chunks
+      .withColumn("rn", row_number().over(rn))
+      .filter(col("rn") === 1)
+      .groupBy(col(idCol))
+      .agg(first("n_chunks").as("n_chunks"),
+        count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(idx, chunk))), " +
+          "x -> x.chunk), ' ')").as("clean_text"))
+  }
+
   /** LSH-candidate + exact n-gram Jaccard: candidates come from the
     * BANDED MinHash join (bands × rows, same key as [[minhashCandidates]]);
     * each candidate pair is then verified with the exact Jaccard

@@ -108,6 +108,65 @@ object TextOps {
         .as("n_removed"))
   }
 
+  /** PII redaction: apply (pattern → replacement-token) rules in order,
+    * counting matches as each rule sees the text (so a rule never
+    * re-counts spans an earlier rule already replaced). Pure
+    * `regexp_replace`/`regexp_extract_all` column expressions — codegen
+    * keeps the scan one pass per row regardless of rule count. Patterns
+    * must stay in the RE2-portable subset (character classes, counted
+    * repetition — no lookaround) so the same rules run in any engine.
+    */
+  def redact(df: DataFrame, idCol: String, textCol: String,
+             rules: Seq[(String, String)]): DataFrame = {
+    val (cleaned, counts) = rules.foldLeft((col(textCol), Seq.empty[Column])) {
+      case ((txt, cnts), (pat, repl)) =>
+        (regexp_replace(txt, pat, repl),
+          cnts :+ size(regexp_extract_all(txt, lit(pat), lit(0))).cast("long"))
+    }
+    df.select(col(idCol), cleaned.as("clean_text"),
+      counts.reduce(_ + _).as("n_redactions"))
+  }
+
+  /** Default redaction rules: emails, dashed phone-style numbers, long
+    * digit runs (account/credit-card-like ids).
+    */
+  val piiRules: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}" -> "<PHONE>",
+    "[0-9]{6,}" -> "<NUM>")
+
+  /** Gopher-style repetition signals per document: token count, top-token
+    * mass fraction, duplicate-bigram fraction, and the junk flag their
+    * thresholds imply. Two hash aggregations on the doc key (token tf,
+    * bigram distinct), joined back — no window over the corpus, so the
+    * plan is the same at 500 docs or 500 billion. Fractions are rounded
+    * to 6 dp BEFORE the threshold guard so the flag is reproducible
+    * across engines (last-ulp differences cannot flip it).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      topTokMax: Double = 0.12,
+                      dupBigramMax: Double = 0.3): DataFrame = {
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol))
+      .agg(sum("tf").as("n_tokens"), max("tf").as("top_tf"))
+    val bg = df.withColumn("t", tokens(col(textCol)))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+        .as("bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bg"), countDistinct(col("bg")).as("d_bg"))
+    tf.join(bg, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(col("top_tf").cast("double") / col("n_tokens"), 6).as("top_tok_frac"),
+        coalesce(round(lit(1.0) - col("d_bg").cast("double") / col("n_bg"), 6),
+          lit(0.0)).as("dup_bigram_frac"))
+      .withColumn("junk",
+        (col("top_tok_frac") > topTokMax || col("dup_bigram_frac") > dupBigramMax)
+          .cast("int"))
+  }
+
   /** Content fingerprint: md5 over the case/punctuation-normalized text.
     * Identical normalization is expressible in any ANSI engine, so the
     * fingerprint doubles as a cross-system dedup key.
