@@ -1088,6 +1088,16 @@ object OracleSql {
         |FROM rates LEFT JOIN kept ON rates.source = kept.source
         |ORDER BY rates.source""".stripMargin,
 
+    "q100_asof_exec" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts, value AS p_value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, epoch_us(p.p_ts) AS p_ts_us, p.p_value
+        |FROM c ASOF JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.p_ts
+        |ORDER BY c.event_id""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -1042,6 +1042,21 @@ object SparkEntry {
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .orderBy("source")),
 
+    // J4, native physical form — sort-merge AsOfJoinExec planned from
+    // the graft_asof-marked Join by the injected strategy: each click
+    // picks up the user's latest at-or-before purchase (inner as-of).
+    "q100_asof_exec" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value").as("p_value"))
+      AsOfJoin.exec(clicks, purch, Seq("user_id"), "ts", "p_ts")
+        .select(clicks("event_id"), clicks("user_id"),
+          unix_micros(col("p_ts")).as("p_ts_us"), col("p_value"))
+        .orderBy("event_id")
+    }),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {

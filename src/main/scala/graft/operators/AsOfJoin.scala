@@ -24,6 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Native physical form: plans through the built-in `Join` logical
+    * node with the `graft_asof` marker conjunct, which
+    * [[graft.plans.AsOfJoinStrategy]] turns into the sort-merge
+    * [[graft.plans.AsOfJoinExec]] (O(1) merge memory per partition vs
+    * the window form's running frame). Column names must be disjoint —
+    * rename the right side first, as with any Spark join.
+    *
+    * @param joinType "inner" (drop unmatched left rows — DuckDB
+    *                 `ASOF JOIN`) or "left" (null-extend them)
+    */
+  def exec(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+           leftTsCol: String, rightTsCol: String,
+           joinType: String = "inner"): DataFrame = {
+    graft.plans.GraftExtensions.register(left.sparkSession)
+    val cond = keyCols.map(k => left(k) === right(k)).reduce(_ && _) &&
+      call_function("graft_asof", left(leftTsCol), right(rightTsCol))
+    left.join(right, cond, joinType)
+  }
+
   /** @param payloadCols right-side columns to carry onto left rows
     * @param rightTieCol deterministic order among right rows sharing
     *                    (key, ts) — the later one wins

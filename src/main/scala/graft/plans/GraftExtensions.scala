@@ -12,12 +12,19 @@ import graft.functions.DotProduct
   * or post-hoc with [[GraftExtensions.register]] for sessions the
   * engine does not construct.
   *
-  * Currently one native function:
-  *   graft_dot(array<double>, array<double>) → double   (codegen'd)
+  * Surface:
+  *   - graft_dot(array<double>, array<double>) → double (native codegen
+  *     expression — the similarity hot loop);
+  *   - graft_asof(leftTs, rightTs) — join-condition marker planned by
+  *     [[AsOfJoinStrategy]] into the native sort-merge [[AsOfJoinExec]];
+  *     usable from SQL: `a JOIN b ON a.k = b.k AND graft_asof(a.ts, b.ts)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.asofFunction)
+    ext.injectPlannerStrategy(AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -26,11 +33,22 @@ object GraftExtensions {
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
     (children: Seq[Expression]) => DotProduct(children(0), children(1)))
 
+  private val asofFunction = (
+    new FunctionIdentifier("graft_asof"),
+    new ExpressionInfo(classOf[AsOfMarker].getName, "graft_asof"),
+    (children: Seq[Expression]) => AsOfMarker(children(0), children(1)))
+
   /** Idempotent in-session registration — lets library entry points
-    * guarantee the function exists regardless of how the session was
-    * built.
+    * guarantee the functions and the as-of planner strategy exist
+    * regardless of how the session was built (`extraStrategies` is the
+    * public post-construction planner hook).
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      dotFunction._1, dotFunction._2, dotFunction._3)
+  def register(spark: SparkSession): Unit = {
+    Seq(dotFunction, asofFunction).foreach { f =>
+      spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
+    }
+    val es = spark.experimental.extraStrategies
+    if (!es.exists(_.isInstanceOf[AsOfJoinStrategy]))
+      spark.experimental.extraStrategies = es :+ AsOfJoinStrategy(spark)
+  }
 }

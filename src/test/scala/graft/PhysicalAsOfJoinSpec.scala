@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import graft.plans.GraftExtensions
+
+/** The native sort-merge AsOfJoinExec: semantics on literal frames,
+  * agreement with the window-form twin, the SQL surface, and the
+  * physical plan actually containing the custom node.
+  */
+class PhysicalAsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val quotes = Seq(
+    (1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 20L, 2.5),
+    (2L, 5L, 9.0)).toDF("k", "q_ts", "px")
+  private lazy val trades = Seq(
+    (1L, 9L), (1L, 10L), (1L, 25L), (2L, 4L), (3L, 100L))
+    .toDF("k", "t_ts")
+
+  test("inner as-of: latest quote at-or-before each trade; no-match drops") {
+    val out = AsOfJoin.exec(trades, quotes, Seq("k"), "t_ts", "q_ts")
+      .select(trades("k"), col("t_ts"), col("q_ts"), col("px"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    // trade (1,9) has no quote ≤ 9 → dropped; (1,10) matches inclusively;
+    // (1,25) takes the LAST of the tied ts=20 quotes; trade (2,4) precedes
+    // the only k=2 quote → dropped; k=3 has no quotes at all.
+    assert(out.toSeq == Seq((1L, 10L, 10L, 1.0), (1L, 25L, 20L, 2.5)))
+  }
+
+  test("left-outer as-of null-extends unmatched trades") {
+    val out = AsOfJoin.exec(trades, quotes, Seq("k"), "t_ts", "q_ts", "left")
+      .select(trades("k"), col("t_ts"), col("px"))
+      .as[(Long, Long, Option[Double])].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq(
+      (1L, 9L, None), (1L, 10L, Some(1.0)), (1L, 25L, Some(2.5)),
+      (2L, 4L, None), (3L, 100L, None)))
+  }
+
+  test("physical plan contains AsOfJoinExec with shuffled sorted children") {
+    val df = AsOfJoin.exec(trades, quotes, Seq("k"), "t_ts", "q_ts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(plan.contains("Sort") && plan.contains("Exchange"))
+  }
+
+  test("SQL surface: graft_asof in a join condition plans to the exec") {
+    GraftExtensions.register(spark)
+    trades.createOrReplaceTempView("trades_v")
+    quotes.createOrReplaceTempView("quotes_v")
+    val df = spark.sql(
+      """SELECT t.k, t.t_ts, q.px FROM trades_v t JOIN quotes_v q
+        |ON t.k = q.k AND graft_asof(t.t_ts, q.q_ts)""".stripMargin)
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"))
+    val out = df.as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq((1L, 10L, 1.0), (1L, 25L, 2.5)))
+  }
+
+  test("null keys and null timestamps never match") {
+    val l = Seq((Some(1L), Some(10L)), (None, Some(10L)), (Some(1L), None))
+      .toDF("k", "t_ts")
+    val r = Seq((Some(1L), Some(5L), 7.0), (None, Some(1L), 8.0),
+      (Some(1L), None, 9.0)).toDF("k", "q_ts", "px")
+    val inner = AsOfJoin.exec(l, r, Seq("k"), "t_ts", "q_ts")
+      .select(l("k"), col("t_ts"), col("px"))
+      .as[(Option[Long], Option[Long], Double)].collect()
+    assert(inner.toSeq == Seq((Some(1L), Some(10L), 7.0)))
+    val outer = AsOfJoin.exec(l, r, Seq("k"), "t_ts", "q_ts", "left")
+    assert(outer.count() == 3)
+  }
+
+  test("exec agrees with the window-form AsOfJoin on events-shaped data") {
+    val n = 2000
+    val left = spark.range(n).select(
+      (col("id") % 37).as("k"), (col("id") * 7 % 1000).as("t_ts"),
+      col("id").as("lid"))
+    val right = spark.range(500).select(
+      (col("id") % 37).as("k"), (col("id") * 13 % 1000).as("q_ts"),
+      (col("id") % 100).cast("double").as("px"), col("id").as("rid"))
+      .dropDuplicates("k", "q_ts")
+    val execOut = AsOfJoin.exec(left, right, Seq("k"), "t_ts", "q_ts", "left")
+      .select(left("lid"), col("px"))
+      .as[(Long, Option[Double])].collect().toMap
+    val windowOut = AsOfJoin(left, right.drop("rid"), "k", "t_ts", "q_ts",
+        Seq("px"), "q_ts")
+      .select(col("lid"), col("px"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(execOut.size.toLong == n && execOut == windowOut)
+  }
+}
