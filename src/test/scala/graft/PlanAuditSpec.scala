@@ -103,6 +103,38 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bhj.nonEmpty, "snowflake dims must broadcast, not shuffle")
   }
 
+  test("q100: native as-of join plans AsOfJoinExec — 2 key exchanges, no window") {
+    val df = plan("q100_asof_exec")
+    df.count()
+    val s = df.queryExecution.executedPlan
+    assert(collectWithSubqueries(s) {
+      case e: graft.plans.AsOfJoinExec => e
+    }.length == 1, "expected exactly one AsOfJoinExec")
+    assert(collectWithSubqueries(s) { case w: WindowExec => w }.isEmpty,
+      "the exec form must not fall back to the window twin")
+    val hashEx = shuffles(df).filter(
+      _.outputPartitioning.toString.contains("hashpartitioning"))
+    assert(hashEx.length == 2,
+      s"as-of join must cost one key exchange per side, got ${hashEx.length}")
+  }
+
+  test("q98: chunk dedup is one window shuffle + one doc regroup, no self-join") {
+    val df = plan("q98_chunk_dedup")
+    assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+      "chunk dedup must be window+regroup, never a join")
+    assert(shuffles(df).length <= 3,
+      "chunk-hash window, doc regroup, final sort — nothing else")
+  }
+
+  test("q99: mixture rates join the corpus by broadcast, never a data shuffle") {
+    val df = plan("q99_mixture_sample")
+    df.count()
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "per-source rates must broadcast onto the corpus scan")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
