@@ -1088,6 +1088,29 @@ object OracleSql {
         |FROM rates LEFT JOIN kept ON rates.source = kept.source
         |ORDER BY rates.source""".stripMargin,
 
+    "q101_quality_gate" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |m AS (SELECT doc_id, source,
+        |  round(CAST(len(list_filter(tk, x -> list_contains(['the', 'a'], x))) AS DOUBLE)
+        |    / CAST(len(tk) AS DOUBLE), 4) AS stop_ratio,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
+        |sc AS (SELECT doc_id, source,
+        |  round(least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE))
+        |    * (CAST(1.0 AS DOUBLE) - stop_ratio), 4) AS quality FROM m),
+        |thr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(quantile_cont(quality, CAST(0.25 AS DOUBLE)), 6) AS thr
+        |  FROM sc GROUP BY source),
+        |kept AS (SELECT sc.source, CAST(count(*) AS BIGINT) AS n_keep,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM sc JOIN thr ON sc.source = thr.source
+        |  WHERE quality >= thr.thr GROUP BY sc.source)
+        |SELECT thr.source, n_docs, thr,
+        |  CAST(coalesce(n_keep, 0) AS BIGINT) AS n_keep,
+        |  CAST(coalesce(id_sum, 0) AS BIGINT) AS id_sum
+        |FROM thr LEFT JOIN kept ON thr.source = kept.source
+        |ORDER BY thr.source""".stripMargin,
+
     "q100_asof_exec" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

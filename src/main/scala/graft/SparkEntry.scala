@@ -1042,6 +1042,16 @@ object SparkEntry {
           Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .orderBy("source")),
 
+    // ops/scale — per-source quantile quality gate: keep docs at or
+    // above their own source's 25th-percentile quality score.
+    "q101_quality_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = TextOps.qualityScore(docs, "doc_id", "text", STOPWORDS)
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      MixtureOps.quantileGate(scored, "source", "doc_id", "quality", 0.25)
+        .orderBy("source")
+    }),
+
     // J4, native physical form — sort-merge AsOfJoinExec planned from
     // the graft_asof-marked Join by the injected strategy: each click
     // picks up the user's latest at-or-before purchase (inner as-of).

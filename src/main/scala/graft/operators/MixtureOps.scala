@@ -59,4 +59,28 @@ object MixtureOps {
         coalesce(col("n_keep"), lit(0L)).as("n_keep"),
         coalesce(col("id_sum"), lit(0L)).as("id_sum"))
   }
+
+  /** Per-group quantile quality gate (the CCNet-style prune): keep rows
+    * whose score is at or above their OWN group's `q`-quantile, so a
+    * strict source never starves a permissive one. One tiny per-group
+    * aggregation (exact interpolated percentile), broadcast back onto
+    * the corpus — the data itself never shuffles. Thresholds are
+    * rounded to 6 dp BEFORE the guard (cross-engine reproducibility).
+    */
+  def quantileGate(df: DataFrame, grpCol: String, idCol: String,
+                   scoreCol: String, q: Double): DataFrame = {
+    val thr = df.groupBy(col(grpCol)).agg(
+      count(lit(1)).as("n_docs"),
+      round(expr(s"percentile($scoreCol, $q)"), 6).as("thr"))
+    val kept = df.join(broadcast(thr.select(col(grpCol), col("thr"))),
+        Seq(grpCol))
+      .filter(col(scoreCol) >= col("thr"))
+      .groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_keep"),
+        sum(col(idCol)).cast("long").as("id_sum"))
+    thr.join(kept, Seq(grpCol), "left")
+      .select(col(grpCol), col("n_docs"), col("thr"),
+        coalesce(col("n_keep"), lit(0L)).as("n_keep"),
+        coalesce(col("id_sum"), lit(0L)).as("id_sum"))
+  }
 }

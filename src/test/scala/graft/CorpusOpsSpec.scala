@@ -57,6 +57,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out == ((1L, 2L, 1L, a)))
   }
 
+  test("quantileGate: each group prunes against its own threshold") {
+    val df = Seq(
+      ("a", 1L, 0.1), ("a", 2L, 0.2), ("a", 3L, 0.3), ("a", 4L, 0.4),
+      ("b", 5L, 0.9), ("b", 6L, 0.95)).toDF("source", "id", "score")
+    val out = MixtureOps.quantileGate(df, "source", "id", "score", 0.5)
+      .as[(String, Long, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // group a: median 0.25 → keeps ids 3,4; group b: median 0.925 → id 6.
+    // a's kept scores would ALL fail b's bar — per-group gating matters.
+    assert(out("a") == (("a", 4L, 0.25, 2L, 7L)))
+    assert(out("b") == (("b", 2L, 0.925, 1L, 6L)))
+  }
+
   test("mixtureSample: binding source gets rate 1.0, others scale down") {
     val df = (0 until 100).map(i =>
       (i.toLong, if (i < 20) "a" else "b")).toDF("id", "source")
