@@ -85,6 +85,66 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("(e) as-of exec ≡ window form on seeded random frames") {
+    import graft.operators.AsOfJoin
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      val left = (0 until 200).map(i =>
+        (r.nextInt(8).toLong, r.nextInt(100).toLong, i.toLong))
+        .toDF("k", "lts", "lid")
+      val right = (0 until 80).map(i =>
+        (r.nextInt(8).toLong, r.nextInt(100).toLong, i / 10.0))
+        .distinct.groupBy(t => (t._1, t._2)).values.map(_.head).toSeq
+        .toDF("k", "rts", "px")
+      val ex = AsOfJoin.exec(left, right, Seq("k"), "lts", "rts", "left")
+        .select(left("lid"), col("px"))
+        .as[(Long, Option[Double])].collect().toMap
+      val win = AsOfJoin(left, right, "k", "lts", "rts", Seq("px"), "rts")
+        .select(col("lid"), col("px"))
+        .as[(Long, Option[Double])].collect().toMap
+      assert(ex == win && ex.size == 200)
+    }
+  }
+
+  test("(f) chunkDedup conservation: every chunk survives exactly once globally") {
+    import graft.operators.DedupOps
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      // small vocab + short chunks → plenty of cross-doc collisions
+      val docs = (0 until 40).map(i =>
+        (i.toLong, (0 until 4 + r.nextInt(20))
+          .map(_ => s"w${r.nextInt(6)}").mkString(" ")))
+        .toDF("id", "text")
+      val out = DedupOps.chunkDedup(docs, "id", "text", 3)
+        .as[(Long, Long, Long, String)].collect()
+      val keptChunks = out.flatMap(_._4.split(" ").grouped(3).map(_.mkString(" ")))
+      // kept chunks are globally distinct...
+      assert(keptChunks.distinct.length == keptChunks.length)
+      // ...and cover exactly the corpus's distinct chunk set.
+      val allChunks = docs.as[(Long, String)].collect()
+        .flatMap { case (_, t) =>
+          t.split(" ").grouped(3).map(_.mkString(" ")) }.distinct
+      assert(keptChunks.sorted.toSeq == allChunks.sorted.toSeq)
+    }
+  }
+
+  test("(g) mixtureSample bounds: rates in (0,1], keeps ≤ counts, binding source exact") {
+    import graft.operators.MixtureOps
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      val df = (0 until 300).map(i =>
+        (i.toLong, s"s${r.nextInt(4)}")).toDF("id", "source")
+      val w = Map("s0" -> 0.4, "s1" -> 0.35, "s2" -> 0.25)
+      val out = MixtureOps.mixtureSample(df, "source", "id", w)
+        .as[(String, Long, Double, Long, Long)].collect()
+      assert(out.map(_._1).toSet == w.keySet)   // s3 excluded
+      out.foreach { case (_, n, rate, keep, _) =>
+        assert(rate > 0.0 && rate <= 1.0 && keep <= n)
+      }
+      assert(out.exists(_._3 == 1.0), "some source must bind the mixture")
+    }
+  }
+
   test("(d) hybrid union score = sum of channel scores per key") {
     for (seed <- 1 to 3) {
       val r = new Random(seed)
