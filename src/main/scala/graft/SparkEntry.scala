@@ -415,10 +415,13 @@ object SparkEntry {
     // can't reorder rows).
     "q48_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
+        // decimal cast BELOW the rollup's Expand: once per input row,
+        // not once per grouping set
+        .withColumn("__qd", col("l_quantity").cast("decimal(18,2)"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(grouping(col("l_returnflag")).cast("int").as("g1"),
           grouping(col("l_linestatus")).cast("int").as("g2"),
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("__qd")).cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
         .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
