@@ -1111,6 +1111,26 @@ object OracleSql {
         |FROM thr LEFT JOIN kept ON thr.source = kept.source
         |ORDER BY thr.source""".stripMargin,
 
+    "q102_bm25" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tk),
+        |corpus AS (SELECT count(*) AS n,
+        |  round(CAST(sum(dl) AS DOUBLE) / count(*), 6) AS avgdl FROM dl),
+        |toks AS (SELECT doc_id, unnest(t) AS tok FROM tk),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf FROM toks
+        |  WHERE tok IN ('spark', 'join', 'scan') GROUP BY doc_id, tok),
+        |dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |c AS (SELECT tf.doc_id,
+        |  CAST(round(ln(CAST(1.0 AS DOUBLE)
+        |      + (n - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |    * tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |    / (tf + CAST(1.2 AS DOUBLE)
+        |       * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+        |    10) AS DECIMAL(28,12)) AS c
+        |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN corpus)
+        |SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
+        |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
     "q100_asof_exec" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

@@ -1055,6 +1055,12 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // S10/R1 full form — BM25 relevance ranking for a term query (the
+    // scoring behind the reference's ES terms retrieval).
+    "q102_bm25" -> ((s, d) =>
+      RetrievalOps.bm25(Tables.documents(s, d), "doc_id", "text",
+        Seq("spark", "join", "scan"), topK = 20)),
+
     // J4, native physical form — sort-merge AsOfJoinExec planned from
     // the graft_asof-marked Join by the injected strategy: each click
     // picks up the user's latest at-or-before purchase (inner as-of).

@@ -69,6 +69,57 @@ object RetrievalOps {
       Seq(col("score").desc, col(itemCol)), topK)
   }
 
+  /** BM25 document ranking for a term query — the actual scoring
+    * function behind the reference's ES `terms` retrieval (the engine's
+    * constant-score `termRecall` is the cheap form; this is the
+    * full-text-relevance one):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *
+    * Relational shape at 100 TB: token explode filtered to the query
+    * terms (posting-list scan), one (doc, term) hash aggregation; the
+    * per-term df table (|query| rows) and the corpus scalars (N, avgdl)
+    * broadcast back — the corpus itself shuffles once on the doc key.
+    *
+    * Determinism: avgdl is an exact integer-sum divide rounded to 6 dp
+    * BEFORE use; per-term contributions round to 10 dp and sum as
+    * DECIMAL (term order inside a doc must not change the hash); the
+    * final score rounds to 6 dp, with doc id as the total-order
+    * tiebreak.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "empty query")
+    val toks = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("__tok"))
+    val dl = docs.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("__dl"))
+    val corpus = dl.agg(count(lit(1)).as("__n"),
+      round(sum(col("__dl")).cast("double") / count(lit(1)), 6).as("__avgdl"))
+    val tf = toks.filter(col("__tok").isin(terms: _*))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val dft = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val contrib = tf
+      .join(broadcast(dft), Seq("__tok"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__idf",
+        log(lit(1.0) + (col("__n") - col("__df") + lit(0.5)) /
+          (col("__df") + lit(0.5))))
+      .withColumn("__c",
+        // (k1 + 1) summed IN the plan, not in Scala: double(1.2)+1.0
+        // must be the same bits in every engine running this formula
+        round(col("__idf") * col("__tf") * (lit(k1) + lit(1.0)) /
+          (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))),
+          10).cast("decimal(28,12)"))
+    val scored = contrib.groupBy(col(idCol))
+      .agg(round(sum(col("__c")).cast("double"), 6).as("score"))
+    scored.orderBy(col("score").desc, col(idCol)).limit(topK)
+  }
+
   /** R3: hybrid recall — union channels, sum boosted scores, top-k.
     * Ref: es_caller.py:56-58 (term boost 0.1 + vector boost 0.9).
     */

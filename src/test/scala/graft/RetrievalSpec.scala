@@ -39,6 +39,28 @@ class RetrievalSpec extends SparkSpec {
     assert(u1.head == 11L)          // closest unseen to (1,0)
   }
 
+  test("BM25: rare terms outweigh common ones; length normalization bites") {
+    val docs = Seq(
+      (1L, "rare word here filler filler filler"),
+      (2L, "common word here filler filler filler"),
+      (3L, "common word here filler filler filler plus lots more tokens " +
+        "common common stretching document length well past average"),
+      (4L, "common filler filler filler filler filler"),
+      (5L, "filler only nothing else at all")).toDF("doc_id", "text")
+    val out = RetrievalOps.bm25(docs, "doc_id", "text",
+        Seq("rare", "common"), topK = 5)
+      .as[(Long, Double)].collect()
+    val score = out.toMap
+    // df(rare)=1 vs df(common)=3 → doc 1 must beat every common-only doc.
+    assert(out.head._1 == 1L)
+    // doc 3 has MORE "common" hits but is much longer; doc 2's single
+    // hit in a short doc must not be buried by doc 3's raw tf.
+    assert(score(2L) > 0.0 && score(4L) > 0.0)
+    assert(!score.contains(5L), "docs with no query term never appear")
+    // tf saturation: doc 3's tf=3 gives < 3× doc 2's tf=1 contribution.
+    assert(score(3L) < 3.0 * score(2L))
+  }
+
   test("R3: hybrid sums boosted channel scores per (user, item)") {
     val term = RetrievalOps.termRecall(users, items, "user_id", "terms", "seen",
       "item_id", "terms", 0.1, 10)
