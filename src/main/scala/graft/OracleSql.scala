@@ -1131,6 +1131,36 @@ object OracleSql {
         |SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
         |FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
+    "q103_ranking_metrics" ->
+      """WITH s AS (SELECT user_id, event_id, value AS score,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |wt AS (SELECT rnk,
+        |  CAST(round(CAST(1.0 AS DOUBLE) / log2(rnk + CAST(1.0 AS DOUBLE)), 10)
+        |    AS DECIMAL(28,12)) AS w
+        |  FROM (SELECT unnest(range(1, 11)) AS rnk)),
+        |pos AS (SELECT user_id, CAST(sum(label) AS BIGINT) AS npos FROM s
+        |  GROUP BY user_id HAVING sum(label) > 0),
+        |r AS (SELECT user_id, event_id, label,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY score DESC, event_id)
+        |    AS rnk FROM s),
+        |top AS (SELECT * FROM r WHERE rnk <= 10),
+        |d AS (SELECT user_id,
+        |  sum(CASE WHEN label = 1 THEN w ELSE CAST(0 AS DECIMAL(28,12)) END) AS dcg,
+        |  CAST(sum(label) AS BIGINT) AS hits,
+        |  min(CASE WHEN label = 1 THEN rnk END) AS first
+        |  FROM top JOIN wt USING (rnk) GROUP BY user_id),
+        |i AS (SELECT pos.user_id, npos, sum(w) AS idcg
+        |  FROM pos CROSS JOIN wt WHERE rnk <= least(npos, 10)
+        |  GROUP BY pos.user_id, npos)
+        |SELECT d.user_id,
+        |  round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg,
+        |  coalesce(round(CAST(1.0 AS DOUBLE) / first, 6), CAST(0.0 AS DOUBLE))
+        |    AS mrr,
+        |  round(CAST(hits AS DOUBLE) / npos, 6) AS recall
+        |FROM d JOIN i ON d.user_id = i.user_id
+        |ORDER BY d.user_id""".stripMargin,
+
     "q100_asof_exec" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

@@ -1061,6 +1061,16 @@ object SparkEntry {
       RetrievalOps.bm25(Tables.documents(s, d), "doc_id", "text",
         Seq("spark", "join", "scan"), topK = 20)),
 
+    // A9 list-wise — per-user NDCG@10 / MRR@10 / recall@10 over the
+    // value-ranked event list (purchases as positives).
+    "q103_ranking_metrics" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        col("value").as("score"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("label"))
+      MetricOps.rankingMetrics(ev, "user_id", "event_id", "score", "label", 10)
+        .orderBy("user_id")
+    }),
+
     // J4, native physical form — sort-merge AsOfJoinExec planned from
     // the graft_asof-marked Join by the injected strategy: each click
     // picks up the user's latest at-or-before purchase (inner as-of).

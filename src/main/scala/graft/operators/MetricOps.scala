@@ -100,6 +100,53 @@ object MetricOps {
     * when the question is only "is cardinality 1?" (rsd 5% cannot
     * confuse 1 with 2).
     */
+  /** Per-user ranking metrics — NDCG@k, MRR@k, recall@k — for a scored
+    * (user, item, score, label∈{0,1}) table. The eval surface behind any
+    * retrieval/recall stage (A9's AUC grades the ranker pointwise; these
+    * grade the ranked LIST).
+    *
+    * Distributed shape: one window partitioned by user (rank within
+    * user — never a global sort), then hash aggregation on the user key.
+    * The 1/log2(rank+1) discount weights live in a k-row table built
+    * with `sequence` and broadcast to both the DCG and the ideal-DCG
+    * sides, so both engines discount with bit-identical constants; DCG
+    * sums are DECIMAL-exact (partial-aggregation order can't flip the
+    * hash). Users with no positive labels are excluded (IDCG = 0 is
+    * undefined, matching standard eval practice).
+    */
+  def rankingMetrics(df: DataFrame, userCol: String, itemCol: String,
+                     scoreCol: String, labelCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val weights = (1 to k).toDF("__rnk")
+      .select(col("__rnk"),
+        round(lit(1.0) / log2(col("__rnk") + lit(1.0)), 10)
+          .cast("decimal(28,12)").as("__w"))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(scoreCol).desc, col(itemCol))
+    val pos = df.groupBy(col(userCol))
+      .agg(sum(col(labelCol)).cast("long").as("__npos"))
+      .filter(col("__npos") > 0)
+    val top = df.withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") <= k)
+    val dcg = top.join(broadcast(weights), Seq("__rnk"))
+      .groupBy(col(userCol))
+      .agg(sum(when(col(labelCol) === 1, col("__w"))
+          .otherwise(lit(0).cast("decimal(28,12)"))).as("__dcg"),
+        sum(col(labelCol)).cast("long").as("__hits"),
+        min(when(col(labelCol) === 1, col("__rnk"))).as("__first"))
+    val idcg = pos.crossJoin(broadcast(weights))
+      .filter(col("__rnk") <= least(col("__npos"), lit(k)))
+      .groupBy(col(userCol), col("__npos"))
+      .agg(sum(col("__w")).as("__idcg"))
+    dcg.join(idcg, Seq(userCol))
+      .select(col(userCol),
+        round(col("__dcg").cast("double") / col("__idcg").cast("double"), 6)
+          .as("ndcg"),
+        coalesce(round(lit(1.0) / col("__first"), 6), lit(0.0)).as("mrr"),
+        round(col("__hits").cast("double") / col("__npos"), 6).as("recall"))
+  }
+
   def approxConstPruneReport(df: DataFrame, cols: Seq[String]): DataFrame = {
     val sorted = cols.sorted
     val aggs = sorted.map(c => approx_count_distinct(col(c)).as(s"__nd_$c"))

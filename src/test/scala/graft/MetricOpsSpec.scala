@@ -64,6 +64,36 @@ class MetricOpsSpec extends SparkSpec {
     }
   }
 
+  test("rankingMetrics: perfect list → ndcg/mrr/recall = 1; degraded list < 1") {
+    // user 1: both positives ranked on top (perfect for k=3, npos=2)
+    // user 2: single positive at rank 3 → mrr = 1/3, ndcg = w3/w1
+    // user 3: no positives → excluded
+    val df = Seq(
+      (1L, 10L, 0.9, 1), (1L, 11L, 0.8, 1), (1L, 12L, 0.7, 0),
+      (2L, 20L, 0.9, 0), (2L, 21L, 0.8, 0), (2L, 22L, 0.7, 1),
+      (3L, 30L, 0.9, 0)).toDF("u", "i", "score", "label")
+    val out = MetricOps.rankingMetrics(df, "u", "i", "score", "label", 3)
+      .as[(Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((1L, 1.0, 1.0, 1.0)))
+    val w1 = 1.0 / (math.log(2.0) / math.log(2.0))   // = 1
+    val w3 = 1.0 / (math.log(4.0) / math.log(2.0))   // = 0.5
+    assert(math.abs(out(2L)._2 - w3 / w1) < 1e-6)
+    assert(math.abs(out(2L)._3 - 1.0 / 3.0) < 1e-6)
+    assert(out(2L)._4 == 1.0)
+  }
+
+  test("rankingMetrics: positive beyond k hurts recall but not excluded users") {
+    val df = Seq(
+      (1L, 10L, 0.9, 1), (1L, 11L, 0.8, 0), (1L, 12L, 0.7, 1))
+      .toDF("u", "i", "score", "label")
+    val out = MetricOps.rankingMetrics(df, "u", "i", "score", "label", 2)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(out._4 == 0.5)           // 1 of 2 positives inside k=2
+    assert(out._3 == 1.0)           // first positive at rank 1
+    assert(out._2 > 0.5 && out._2 < 1.0)
+  }
+
   test("approxConstPruneReport still detects constant columns") {
     val df = Seq((1, 7), (2, 7), (3, 7)).toDF("a", "const")
     val rep = MetricOps.approxConstPruneReport(df, Seq("a", "const"))
