@@ -1161,6 +1161,29 @@ object OracleSql {
         |FROM d JOIN i ON d.user_id = i.user_id
         |ORDER BY d.user_id""".stripMargin,
 
+    "q104_setsim_join" ->
+      s"""WITH $shinglesCte,
+        |f AS (SELECT s, count(*) AS tf FROM sh GROUP BY s),
+        |n AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |o AS (SELECT sh.doc_id, sh.s,
+        |  row_number() OVER (PARTITION BY sh.doc_id ORDER BY f.tf, sh.s) AS pos
+        |  FROM sh JOIN f USING (s)),
+        |p AS (SELECT o.doc_id, o.s FROM o JOIN n USING (doc_id)
+        |  WHERE pos <= n - CAST(ceil(CAST(0.6 AS DOUBLE) * n) AS BIGINT) + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM p a JOIN p b ON a.s = b.s AND a.doc_id < b.doc_id),
+        |common AS (SELECT doc_a, doc_b, count(*) AS c FROM cand
+        |  JOIN sh sa ON sa.doc_id = cand.doc_a
+        |  JOIN sh sb ON sb.doc_id = cand.doc_b AND sa.s = sb.s
+        |  GROUP BY doc_a, doc_b),
+        |j AS (SELECT doc_a, doc_b,
+        |  round(CAST(c AS DOUBLE) / (na.n + nb.n - c), 6) AS jaccard
+        |  FROM common JOIN n na ON na.doc_id = common.doc_a
+        |  JOIN n nb ON nb.doc_id = common.doc_b)
+        |SELECT doc_a, doc_b, jaccard FROM j
+        |WHERE jaccard >= CAST(0.6 AS DOUBLE)
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "q100_asof_exec" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

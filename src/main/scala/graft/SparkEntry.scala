@@ -1071,6 +1071,14 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // ops/scale — EXACT set-similarity join (prefix filtering): every
+    // doc pair with shingle-Jaccard ≥ 0.6, recall 1.0 without LSH tuning.
+    "q104_setsim_join" -> ((s, d) =>
+      DedupOps.setSimJoin(
+          DedupOps.shingles(Tables.documents(s, d), "doc_id", "text"),
+          "doc_id", "shingle", 0.6)
+        .orderBy("doc_a", "doc_b")),
+
     // J4, native physical form — sort-merge AsOfJoinExec planned from
     // the graft_asof-marked Join by the injected strategy: each click
     // picks up the user's latest at-or-before purchase (inner as-of).

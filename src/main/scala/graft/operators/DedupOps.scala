@@ -143,6 +143,51 @@ object DedupOps {
       .distinct()
   }
 
+  /** EXACT set-similarity join via prefix filtering (the PPJoin family):
+    * all pairs with Jaccard ≥ t, no probabilistic recall. Each set
+    * orders its elements rarest-first (global frequency, element string
+    * as tie-break) and emits only its first n − ⌈t·n⌉ + 1 elements as
+    * blocking keys: two sets with J ≥ t overlap in ≥ ⌈t·n⌉ elements, so
+    * by pigeonhole they MUST share a prefix element — recall 1.0 — while
+    * prefixes are by construction the rarest elements, so blocking
+    * buckets stay small where LSH banding would need tuning. Complements
+    * [[lshJaccard]]: that one trades recall for a fixed candidate
+    * budget; this one is exact with a data-dependent budget.
+    *
+    * Shuffles: frequency count (element key), per-set ordering window
+    * (set key), candidate equi-join (element key), verify join — all
+    * hash-partitioned, never all-pairs.
+    */
+  def setSimJoin(sets: DataFrame, idCol: String, elemCol: String,
+                 t: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = sets.groupBy(col(elemCol)).agg(count(lit(1)).as("__tf"))
+    val szs = sets.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val ordered = sets.join(freq, Seq(elemCol)).join(szs, Seq(idCol))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__tf"), col(elemCol))))
+    val prefix = ordered
+      .filter(col("__pos") <=
+        col("__n") - ceil(lit(t) * col("__n")).cast("long") + 1)
+      .select(col(idCol), col(elemCol))
+    val cand = prefix.select(col(idCol).as("doc_a"), col(elemCol))
+      .join(prefix.select(col(idCol).as("doc_b"), col(elemCol)), Seq(elemCol))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val common = cand
+      .join(sets.select(col(idCol).as("doc_a"), col(elemCol)), "doc_a")
+      .join(sets.select(col(idCol).as("doc_b"), col(elemCol)),
+        Seq("doc_b", elemCol))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__c"))
+    common
+      .join(szs.select(col(idCol).as("doc_a"), col("__n").as("__na")), "doc_a")
+      .join(szs.select(col(idCol).as("doc_b"), col("__n").as("__nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("__c").cast("double") /
+          (col("__na") + col("__nb") - col("__c")), 6).as("jaccard"))
+      .filter(col("jaccard") >= t)
+  }
+
   /** Cross-document chunk-level dedup (the C4/RefinedWeb line-dedup
     * shape): split each document into fixed `w`-token chunks, keep only
     * the globally-first occurrence of each distinct chunk (first by

@@ -45,6 +45,29 @@ class DedupSimilaritySpec extends SparkSpec {
     out.get((1L, 2L)).foreach(j => assert(j > 0.5 && j < 1.0))
   }
 
+  test("setSimJoin: prefix filtering finds EXACTLY the brute-force pairs") {
+    val rand = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"e$i")
+    val sets = (0L until 25L).flatMap { id =>
+      // overlapping random sets: offset windows + jitter force near-dups
+      val base = rand.nextInt(12)
+      val elems = (0 until 8 + rand.nextInt(8))
+        .map(j => vocab((base + j + rand.nextInt(2)) % vocab.size)).distinct
+      elems.map(e => (id, e))
+    }
+    val df = sets.toDF("id", "elem")
+    val got = DedupOps.setSimJoin(df, "id", "elem", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    val byId = sets.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      a <- byId.keys; b <- byId.keys if a < b
+      j = byId(a).intersect(byId(b)).size.toDouble / byId(a).union(byId(b)).size
+      if math.rint(j * 1e6) / 1e6 >= 0.5
+    } yield (a, b)).toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("simhash: identical docs get identical signatures; signature is 32-bit") {
     val out = DedupOps.simhash(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
