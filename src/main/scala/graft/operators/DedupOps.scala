@@ -169,10 +169,17 @@ object DedupOps {
     val prefix = ordered
       .filter(col("__pos") <=
         col("__n") - ceil(lit(t) * col("__n")).cast("long") + 1)
-      .select(col(idCol), col(elemCol))
-    val cand = prefix.select(col(idCol).as("doc_a"), col(elemCol))
-      .join(prefix.select(col(idCol).as("doc_b"), col(elemCol)), Seq(elemCol))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col(idCol), col(elemCol), col("__n"))
+    // Length filter (output-neutral, candidate-pruning): J ≥ t forces
+    // min(na,nb)/max(na,nb) ≥ t, so wildly different sizes can never
+    // verify — drop them before the expensive common-count join.
+    val cand = prefix.select(col(idCol).as("doc_a"), col(elemCol),
+        col("__n").as("__na"))
+      .join(prefix.select(col(idCol).as("doc_b"), col(elemCol),
+        col("__n").as("__nb")), Seq(elemCol))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("__nb") >= lit(t) * col("__na") &&
+        col("__na") >= lit(t) * col("__nb"))
       .select("doc_a", "doc_b").distinct()
     val common = cand
       .join(sets.select(col(idCol).as("doc_a"), col(elemCol)), "doc_a")
