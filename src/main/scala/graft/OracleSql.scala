@@ -1184,6 +1184,41 @@ object OracleSql {
         |WHERE jaccard >= CAST(0.6 AS DOUBLE)
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "q105_calibration" ->
+      """WITH s AS (SELECT
+        |  least(value / CAST(200.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) AS score,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |b AS (SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+        |  score, label FROM s)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(round(score, 6) AS DECIMAL(18,8))) AS DOUBLE)
+        |    / count(*), 6) AS mean_score,
+        |  round(CAST(sum(label) AS DOUBLE) / count(*), 6) AS pos_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "q106_psi_drift" ->
+      """WITH v AS (SELECT value,
+        |  CASE WHEN event_id % 2 = 0 THEN 'e' ELSE 'a' END AS side
+        |  FROM events),
+        |b AS (SELECT CAST(least(floor(value / CAST(50.0 AS DOUBLE)), 9) AS INT)
+        |    AS bin, side FROM v),
+        |c AS (SELECT bin,
+        |  CAST(sum(CASE WHEN side = 'e' THEN 1 ELSE 0 END) AS BIGINT) AS n_exp,
+        |  CAST(sum(CASE WHEN side <> 'e' THEN 1 ELSE 0 END) AS BIGINT) AS n_act
+        |  FROM b GROUP BY bin),
+        |t AS (SELECT sum(n_exp) AS te, sum(n_act) AS ta FROM c),
+        |g AS (SELECT bin, n_exp, n_act,
+        |  CAST(n_exp + 1 AS DOUBLE) / (te + 10) AS p,
+        |  CAST(n_act + 1 AS DOUBLE) / (ta + 10) AS q
+        |  FROM c, t),
+        |h AS (SELECT bin, n_exp, n_act,
+        |  CAST(round((p - q) * ln(p / q), 10) AS DECIMAL(28,12)) AS term
+        |  FROM g)
+        |SELECT bin, n_exp, n_act, CAST(term AS DOUBLE) AS term,
+        |  round(CAST(sum(term) OVER () AS DOUBLE), 6) AS psi_total
+        |FROM h ORDER BY bin""".stripMargin,
+
     "q100_asof_exec" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

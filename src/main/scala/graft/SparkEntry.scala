@@ -1079,6 +1079,22 @@ object SparkEntry {
           "doc_id", "shingle", 0.6)
         .orderBy("doc_a", "doc_b")),
 
+    // ML eval — calibration curve: mean predicted score vs observed
+    // positive rate per score decile.
+    "q105_calibration" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        least(col("value") / lit(200.0), lit(1.0)).as("score"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("label"))
+      MetricOps.calibration(ev, "score", "label", 10).orderBy("bin")
+    }),
+
+    // data-ops — PSI feature drift between two halves of the stream.
+    "q106_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("value"),
+        when(col("event_id") % 2 === 0, "e").otherwise("a").as("side"))
+      MetricOps.psi(ev, "value", "side", "e", 50.0, 10).orderBy("bin")
+    }),
+
     // J4, native physical form — sort-merge AsOfJoinExec planned from
     // the graft_asof-marked Join by the injected strategy: each click
     // picks up the user's latest at-or-before purchase (inner as-of).

@@ -147,6 +147,58 @@ object MetricOps {
         round(col("__hits").cast("double") / col("__npos"), 6).as("recall"))
   }
 
+  /** Calibration curve (reliability diagram): bucket predictions into
+    * `nBins` equal-width score bins; per bin report count, mean
+    * predicted score, and observed positive rate. One hash aggregation;
+    * per-bin score sums are DECIMAL-exact so partial-agg order cannot
+    * perturb the mean. Scores are expected in [0, 1] (the top bin
+    * absorbs score = 1.0).
+    */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  nBins: Int = 10): DataFrame =
+    df.withColumn("__bin",
+        least(floor(col(scoreCol) * nBins), lit(nBins - 1)).cast("int"))
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(round(col(scoreCol), 6).cast("decimal(18,8)")).cast("double")
+          / count(lit(1)), 6).as("mean_score"),
+        round(sum(col(labelCol)).cast("double") / count(lit(1)), 6)
+          .as("pos_rate"))
+
+  /** Population stability index between an `expected` and an `actual`
+    * slice — the standard feature-drift alarm. Equal-width bins (last
+    * bin open-ended), Laplace smoothing (n+1)/(N+bins) so empty bins
+    * never produce ln(0), per-bin contributions rounded then summed as
+    * DECIMAL, total repeated on every row. Everything derives from
+    * integer counts → bit-identical across engines. PSI < 0.1 is
+    * conventionally stable, > 0.25 action-worthy.
+    */
+  def psi(df: DataFrame, valueCol: String, sideCol: String,
+          expectedValue: String, binWidth: Double, nBins: Int): DataFrame = {
+    val binned = df.withColumn("__bin",
+      least(floor(col(valueCol) / binWidth), lit(nBins - 1)).cast("int"))
+    val counts = binned.groupBy(col("__bin"))
+      .agg(sum(when(col(sideCol) === expectedValue, 1).otherwise(0))
+          .cast("long").as("n_exp"),
+        sum(when(col(sideCol) =!= expectedValue, 1).otherwise(0))
+          .cast("long").as("n_act"))
+    val tot = counts.agg(sum("n_exp").as("__te"), sum("n_act").as("__ta"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__p",
+        (col("n_exp") + lit(1)).cast("double") / (col("__te") + lit(nBins)))
+      .withColumn("__q",
+        (col("n_act") + lit(1)).cast("double") / (col("__ta") + lit(nBins)))
+      .withColumn("__term",
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 10)
+          .cast("decimal(28,12)"))
+      .withColumn("psi_total",
+        round(sum(col("__term")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("double"), 6))
+      .select(col("__bin").as("bin"), col("n_exp"), col("n_act"),
+        col("__term").cast("double").as("term"), col("psi_total"))
+  }
+
   def approxConstPruneReport(df: DataFrame, cols: Seq[String]): DataFrame = {
     val sorted = cols.sorted
     val aggs = sorted.map(c => approx_count_distinct(col(c)).as(s"__nd_$c"))

@@ -94,6 +94,34 @@ class MetricOpsSpec extends SparkSpec {
     assert(out._2 > 0.5 && out._2 < 1.0)
   }
 
+  test("calibration: bins partition scores; pos_rate tracks a calibrated model") {
+    val rows = for (i <- 0 until 1000) yield {
+      val score = (i % 100) / 100.0
+      (score, if ((i * 7919) % 100 < (score * 100).toInt) 1 else 0)
+    }
+    val out = MetricOps.calibration(rows.toDF("score", "label"), "score", "label", 10)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out.map(_._2).sum == 1000L)
+    assert(out.map(_._1).toSeq == (0 until 10))
+    // monotone-ish: top bin must out-rate bottom bin by a wide margin
+    assert(out.last._4 > out.head._4 + 0.5)
+    out.foreach { case (bin, _, mean, _) =>
+      assert(mean >= bin / 10.0 - 1e-9 && mean < (bin + 1) / 10.0 + 1e-9)
+    }
+  }
+
+  test("psi: identical slices ≈ 0, shifted slices large") {
+    val same = (0 until 400).map(i => (i % 100 * 2.0, if (i % 2 == 0) "e" else "a"))
+    val psiSame = MetricOps.psi(same.toDF("v", "side"), "v", "side", "e", 50.0, 10)
+      .select("psi_total").as[Double].head()
+    assert(psiSame < 0.01, s"identical slices drifted: $psiSame")
+    val shifted = (0 until 400).map(i =>
+      if (i % 2 == 0) (i % 100 * 1.0, "e") else (100.0 + i % 100 * 2.0, "a"))
+    val psiShift = MetricOps.psi(shifted.toDF("v", "side"), "v", "side", "e", 50.0, 10)
+      .select("psi_total").as[Double].head()
+    assert(psiShift > 0.25, s"shifted slices not flagged: $psiShift")
+  }
+
   test("approxConstPruneReport still detects constant columns") {
     val df = Seq((1, 7), (2, 7), (3, 7)).toDF("a", "const")
     val rep = MetricOps.approxConstPruneReport(df, Seq("a", "const"))
