@@ -70,6 +70,39 @@ class PhysicalAsOfJoinSpec extends SparkSpec {
     assert(outer.count() == 3)
   }
 
+  test("exec survives aggressive AQE coalescing + skew, still ≡ window form") {
+    val overrides = Map(
+      "spark.sql.shuffle.partitions" -> "64",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1B")
+    val prev = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // skew: key 0 holds ~90% of left rows; AQE will want to coalesce
+      // the tiny partitions and split the fat one — the exec's children
+      // must stay co-partitioned through all of it.
+      val left = spark.range(50000).select(
+        when(col("id") % 10 === 0, col("id") % 7).otherwise(lit(0L)).as("k"),
+        (col("id") % 1000).as("lts"), col("id").as("lid"))
+      val right = spark.range(3000).select(
+        (col("id") % 7).as("k"), (col("id") % 997).as("rts"),
+        (col("id") % 100).cast("double").as("px"))
+        .dropDuplicates("k", "rts")
+      val ex = AsOfJoin.exec(left, right, Seq("k"), "lts", "rts", "left")
+        .agg(count(lit(1)).as("n"), sum("px").as("s"), sum("lid").as("l"))
+        .as[(Long, Double, Long)].collect().head
+      val win = AsOfJoin(left, right, "k", "lts", "rts", Seq("px"), "rts")
+        .agg(count(lit(1)).as("n"), sum("px").as("s"), sum("lid").as("l"))
+        .as[(Long, Double, Long)].collect().head
+      assert(ex._1 == 50000L && ex._1 == win._1 && ex._3 == win._3)
+      assert(math.abs(ex._2 - win._2) < 1e-6)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("exec agrees with the window-form AsOfJoin on events-shaped data") {
     val n = 2000
     val left = spark.range(n).select(
