@@ -1219,6 +1219,25 @@ object OracleSql {
         |  round(CAST(sum(term) OVER () AS DOUBLE), 6) AS psi_total
         |FROM h ORDER BY bin""".stripMargin,
 
+    "q107_weighted_sample" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |m AS (SELECT doc_id,
+        |  round(CAST(len(list_filter(tk, x -> list_contains(['the', 'a'], x))) AS DOUBLE)
+        |    / CAST(len(tk) AS DOUBLE), 4) AS stop_ratio,
+        |  CAST(len(tk) AS BIGINT) AS n_tokens FROM t),
+        |sc AS (SELECT doc_id,
+        |  round(least(CAST(1.0 AS DOUBLE), CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE))
+        |    * (CAST(1.0 AS DOUBLE) - stop_ratio), 4) AS quality FROM m),
+        |w AS (SELECT doc_id, greatest(quality, CAST(0.0001 AS DOUBLE)) AS w
+        |  FROM sc),
+        |k AS (SELECT doc_id, w,
+        |  round(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      + CAST(1.0 AS DOUBLE)) / CAST(4294967296 AS DOUBLE)) / w, 9)
+        |    AS skey FROM w)
+        |SELECT doc_id, w FROM
+        |  (SELECT doc_id, w FROM k ORDER BY skey DESC, doc_id LIMIT 40)
+        |ORDER BY doc_id""".stripMargin,
+
     "q100_asof_exec" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

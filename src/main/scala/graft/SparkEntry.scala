@@ -1095,6 +1095,15 @@ object SparkEntry {
       MetricOps.psi(ev, "value", "side", "e", 50.0, 10).orderBy("bin")
     }),
 
+    // ops/scale — weighted sampling WITHOUT replacement (Efraimidis–
+    // Spirakis keys over deterministic md5 uniforms), quality-weighted.
+    "q107_weighted_sample" -> ((s, d) => {
+      val scored = TextOps.qualityScore(Tables.documents(s, d), "doc_id",
+          "text", STOPWORDS)
+        .select(col("doc_id"), greatest(col("quality"), lit(0.0001)).as("w"))
+      SamplingOps.weightedSample(scored, "doc_id", "w", 40).orderBy("doc_id")
+    }),
+
     // J4, native physical form — sort-merge AsOfJoinExec planned from
     // the graft_asof-marked Join by the injected strategy: each click
     // picks up the user's latest at-or-before purchase (inner as-of).

@@ -31,6 +31,32 @@ object SamplingOps {
   def stratifiedSample(df: DataFrame, keyCol: String, rateCol: Column): DataFrame =
     df.filter(hashUnit(col(keyCol)) < rateCol * 65536.0)
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis): each
+    * row draws the deterministic uniform u(id) ∈ (0,1] from md5 and
+    * scores key = ln(u)/w; the global top-N keys are exactly an
+    * N-element weighted sample without replacement (ln keeps the
+    * classic u^(1/w) order while avoiding `pow`, whose libm rounding
+    * differs across engines — ln and divide reproduce bit-identically).
+    * Distributed: the top-N selection is the only global object; Spark
+    * executes `ORDER BY ... LIMIT N` as per-partition partial top-N +
+    * a driver-side merge of N·partitions candidates — no full sort, no
+    * single-partition shuffle of the data. Keys are rounded to 9 dp
+    * with the id as total-order tiebreak so the selected SET is
+    * engine-stable.
+    *
+    * @param weightCol positive sampling weight (clamp upstream — a zero
+    *                  weight would yield ln(u)/0)
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / lit(4294967296.0)
+    df.withColumn("__skey", round(log(u) / col(weightCol), 9))
+      .orderBy(col("__skey").desc, col(idCol))
+      .limit(n)
+      .drop("__skey")
+  }
+
   /** Hashing-trick feature encode: bucket = first 8 hex chars of
     * md5(value), base-16, mod `buckets` — the fixed-width sparse encode
     * for unbounded-cardinality categoricals (no vocabulary build, no

@@ -41,6 +41,19 @@ class GraphSamplingSpec extends SparkSpec {
     assert(byStratum(1L) > 60 && byStratum(1L) < 140, s"got $byStratum")
   }
 
+  test("weightedSample: without replacement, heavy weights dominate, deterministic") {
+    val df = (0L until 500L).map(i =>
+      (i, if (i < 50) 100.0 else 0.01)).toDF("id", "w")
+    val out = SamplingOps.weightedSample(df, "id", "w", 60)
+      .as[(Long, Double)].collect()
+    assert(out.length == 60 && out.map(_._1).distinct.length == 60)
+    // the 50 heavy rows are ~10 000× likelier per unit — all must be in
+    assert(out.count(_._1 < 50L) == 50)
+    val again = SamplingOps.weightedSample(df, "id", "w", 60)
+      .as[(Long, Double)].collect()
+    assert(out.map(_._1).toSet == again.map(_._1).toSet)
+  }
+
   test("featureHash buckets are stable and in range") {
     val df = Seq("AUTOMOBILE", "BUILDING", "AUTOMOBILE").toDF("seg")
       .select(SamplingOps.featureHash(col("seg"), 64).as("b"))
