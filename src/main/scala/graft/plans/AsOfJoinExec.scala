@@ -105,6 +105,12 @@ case class AsOfJoinStrategy(spark: SparkSession) extends SparkStrategy
   * backward as-of — DuckDB `ASOF JOIN` semantics). Inner drops
   * unmatched left rows; left-outer null-extends them. SQL-standard null
   * semantics: a null in any key or in a timestamp never matches.
+  *
+  * Ties: among right rows with EQUAL (key, ts) the winner is whichever
+  * sorts last in the partition — not a contract. Callers needing a
+  * total order deduplicate the right side on (key, ts) first (one
+  * `dropDuplicates`/keep-latest window), as every declared oracle query
+  * does.
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],

@@ -12,8 +12,10 @@ import graft.plans.GraftExtensions
 class PhysicalAsOfJoinSpec extends SparkSpec {
   import spark.implicits._
 
+  // (k, q_ts) unique: ties among equal (key, ts) right rows resolve by
+  // physical order, which is not part of the operator's contract.
   private lazy val quotes = Seq(
-    (1L, 10L, 1.0), (1L, 20L, 2.0), (1L, 20L, 2.5),
+    (1L, 10L, 1.0), (1L, 19L, 2.0), (1L, 20L, 2.5),
     (2L, 5L, 9.0)).toDF("k", "q_ts", "px")
   private lazy val trades = Seq(
     (1L, 9L), (1L, 10L), (1L, 25L), (2L, 4L), (3L, 100L))
@@ -24,7 +26,7 @@ class PhysicalAsOfJoinSpec extends SparkSpec {
       .select(trades("k"), col("t_ts"), col("q_ts"), col("px"))
       .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
     // trade (1,9) has no quote ≤ 9 → dropped; (1,10) matches inclusively;
-    // (1,25) takes the LAST of the tied ts=20 quotes; trade (2,4) precedes
+    // (1,25) takes the newest quote (ts=20); trade (2,4) precedes
     // the only k=2 quote → dropped; k=3 has no quotes at all.
     assert(out.toSeq == Seq((1L, 10L, 10L, 1.0), (1L, 25L, 20L, 2.5)))
   }
