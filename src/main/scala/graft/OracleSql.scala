@@ -1238,6 +1238,29 @@ object OracleSql {
         |  (SELECT doc_id, w FROM k ORDER BY skey DESC, doc_id LIMIT 40)
         |ORDER BY doc_id""".stripMargin,
 
+    "q108_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(28,10))) AS VARCHAR)
+        |    AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(28,10))) AS VARCHAR)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount), 6)
+        |    AS DECIMAL(28,10))) AS VARCHAR) AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+        |    * (CAST(1.0 AS DOUBLE) + l_tax), 6) AS DECIMAL(28,10))) AS VARCHAR)
+        |    AS sum_charge,
+        |  round(CAST(sum(CAST(round(l_quantity, 6) AS DECIMAL(28,10))) AS DOUBLE)
+        |    / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(28,10))) AS DOUBLE)
+        |    / count(*), 6) AS avg_price,
+        |  round(CAST(sum(CAST(round(l_discount, 6) AS DECIMAL(28,10))) AS DOUBLE)
+        |    / count(*), 6) AS avg_disc,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q100_asof_exec" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

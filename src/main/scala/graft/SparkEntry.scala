@@ -1104,6 +1104,34 @@ object SparkEntry {
       SamplingOps.weightedSample(scored, "doc_id", "w", 40).orderBy("doc_id")
     }),
 
+    // OLAP — TPC-H Q1 pricing summary (full form): per-row products
+    // rounded then summed as DECIMAL so partial-agg order can't move
+    // the hash; averages divide the exact sums.
+    "q108_tpch_q1" -> ((s, d) => {
+      def dec(c: org.apache.spark.sql.Column) =
+        round(c, 6).cast("decimal(28,10)")
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        // exact sums ship as DECIMAL strings: a decimal→double cast is
+        // the one step whose rounding differs between engines
+        .agg(
+          sum(dec(col("l_quantity"))).cast("string").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("string").as("sum_base_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .cast("string").as("sum_disc_price"),
+          sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")))).cast("string").as("sum_charge"),
+          round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6)
+            .as("avg_qty"),
+          round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 6)
+            .as("avg_price"),
+          round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 6)
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // J4, native physical form — sort-merge AsOfJoinExec planned from
     // the graft_asof-marked Join by the injected strategy: each click
     // picks up the user's latest at-or-before purchase (inner as-of).
