@@ -1261,6 +1261,48 @@ object OracleSql {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
+    "q109_negative_sample" ->
+      """WITH seen AS (SELECT o_custkey AS custkey, l_partkey AS partkey
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey < 200),
+        |users AS (SELECT DISTINCT custkey FROM seen),
+        |cat AS (SELECT p_partkey AS partkey FROM part WHERE p_partkey < 500),
+        |g AS (SELECT u.custkey, c.partkey FROM users u CROSS JOIN cat c),
+        |ng AS (SELECT g.custkey, g.partkey FROM g ANTI JOIN seen s
+        |  ON g.custkey = s.custkey AND g.partkey = s.partkey),
+        |h AS (SELECT custkey, partkey,
+        |  ('0x' || substr(md5(custkey::VARCHAR || '|' || partkey::VARCHAR),
+        |    1, 8))::BIGINT AS u FROM ng),
+        |r AS (SELECT custkey, partkey, row_number() OVER
+        |  (PARTITION BY custkey ORDER BY u, partkey) AS rn FROM h)
+        |SELECT custkey, partkey FROM r WHERE rn <= 5
+        |ORDER BY custkey, partkey""".stripMargin,
+
+    "q110_i2i_pmi" ->
+      """WITH ev AS (SELECT user_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS item, ts
+        |  FROM events),
+        |latest AS (SELECT user_id, item, max(ts) AS mts FROM ev
+        |  GROUP BY user_id, item),
+        |recent AS (SELECT user_id, item FROM
+        |  (SELECT user_id, item, row_number() OVER
+        |    (PARTITION BY user_id ORDER BY mts DESC, item) AS rn FROM latest)
+        |  WHERE rn <= 20),
+        |nu AS (SELECT count(DISTINCT user_id) AS nu FROM recent),
+        |m AS (SELECT item, count(*) AS c FROM recent GROUP BY item),
+        |p AS (SELECT a.item AS item_a, b.item AS item_b,
+        |  count(*) AS c_ab FROM recent a JOIN recent b
+        |  ON a.user_id = b.user_id AND a.item < b.item
+        |  GROUP BY a.item, b.item HAVING count(*) >= 2),
+        |sc AS (SELECT item_a, item_b, c_ab,
+        |  round(ln(CAST(c_ab AS DOUBLE) * nu / (ma.c * mb.c)), 6) AS pmi
+        |  FROM p JOIN m ma ON ma.item = p.item_a
+        |  JOIN m mb ON mb.item = p.item_b CROSS JOIN nu),
+        |r AS (SELECT item_a, item_b, c_ab, pmi, row_number() OVER
+        |  (PARTITION BY item_a ORDER BY pmi DESC, item_b) AS rn FROM sc)
+        |SELECT item_a, item_b, c_ab, pmi FROM r WHERE rn <= 5
+        |ORDER BY item_a, item_b""".stripMargin,
+
     "q100_asof_exec" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

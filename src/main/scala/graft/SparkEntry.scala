@@ -1132,6 +1132,28 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // recsys — deterministic negative sampling: 5 md5-drawn unseen
+    // parts per customer (stable under re-runs/partitioning).
+    "q109_negative_sample" -> ((s, d) => {
+      val seen = Tables.orders(s, d).filter(col("o_custkey") < 200)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
+      val catalog = Tables.part(s, d).filter(col("p_partkey") < 500)
+        .select(col("p_partkey").as("partkey"))
+      RetrievalOps.negativeSample(seen, catalog, "custkey", "partkey", 5)
+        .orderBy("custkey", "partkey")
+    }),
+
+    // recsys — item-to-item co-occurrence recall with PMI scoring
+    // (capped per-user lists; the non-model recall channel).
+    "q110_i2i_pmi" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("ts"))
+      RetrievalOps.i2iPmi(ev, "user_id", "item", "ts", 20, 2L, 5)
+        .orderBy("item_a", "item_b")
+    }),
+
     // J4, native physical form — sort-merge AsOfJoinExec planned from
     // the graft_asof-marked Join by the injected strategy: each click
     // picks up the user's latest at-or-before purchase (inner as-of).

@@ -120,6 +120,78 @@ object RetrievalOps {
     scored.orderBy(col("score").desc, col(idCol)).limit(topK)
   }
 
+  /** Item-to-item co-occurrence recall with PMI scoring — the classic
+    * "users who engaged with X also engaged with Y" channel that
+    * complements model-based recall (the reference's ALS channel).
+    *
+    *   pmi(a,b) = ln( c_ab · n_users / (c_a · c_b) )
+    *
+    * Scale contract: pair generation is a per-user self-join, so the
+    * per-user item list MUST be bounded — `maxPerUser` keeps the most
+    * recent items per user (the standard cap), making pair volume
+    * ≤ users · cap² regardless of corpus size. Co-occurrence and margin
+    * counts are integer aggregations; PMI derives from them identically
+    * in any engine (ln is libm-stable).
+    *
+    * @param tsCol   recency order for the per-user cap
+    * @param minPair drop pairs seen fewer than this many times
+    */
+  def i2iPmi(events: DataFrame, userCol: String, itemCol: String,
+             tsCol: String, maxPerUser: Int, minPair: Long,
+             topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val recent = events.select(col(userCol), col(itemCol), col(tsCol))
+      .groupBy(col(userCol), col(itemCol)).agg(max(col(tsCol)).as("__ts"))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col(userCol))
+        .orderBy(col("__ts").desc, col(itemCol))))
+      .filter(col("__rn") <= maxPerUser)
+      .select(col(userCol), col(itemCol))
+    val nUsers = recent.agg(countDistinct(col(userCol)).as("__nu"))
+    val margin = recent.groupBy(col(itemCol)).agg(count(lit(1)).as("__c"))
+    val pairs = recent.select(col(userCol), col(itemCol).as("item_a"))
+      .join(recent.select(col(userCol), col(itemCol).as("item_b")),
+        Seq(userCol))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPair)
+    val scored = pairs
+      .join(broadcast(margin.select(col(itemCol).as("item_a"),
+        col("__c").as("__ca"))), "item_a")
+      .join(broadcast(margin.select(col(itemCol).as("item_b"),
+        col("__c").as("__cb"))), "item_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("item_a"), col("item_b"), col("c_ab"),
+        round(log(col("c_ab").cast("double") * col("__nu")
+          / (col("__ca") * col("__cb"))), 6).as("pmi"))
+    RelationalOps.topKPerGroup(scored, "item_a",
+      Seq(col("pmi").desc, col("item_b")), topK)
+  }
+
+  /** Deterministic negative sampling for implicit feedback: for each
+    * user, `n` items drawn md5-uniformly from the catalog MINUS the
+    * user's seen set. The draw order is a per-(user, item) hash, so the
+    * sample is stable under re-runs and re-partitioning — resuming a
+    * training job regenerates the same negatives. Pair volume is
+    * users × catalog before the rank filter: broadcast the catalog
+    * (items are the small side in any recsys) and cap with the window —
+    * never materialize the full grid.
+    */
+  def negativeSample(seen: DataFrame, items: DataFrame, userCol: String,
+                     itemCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = seen.select(col(userCol)).distinct()
+    val grid = users.crossJoin(broadcast(items.select(col(itemCol))))
+      .join(seen.select(col(userCol), col(itemCol)),
+        Seq(userCol, itemCol), "left_anti")
+      .withColumn("__u", conv(substring(md5(concat_ws("|",
+        col(userCol).cast("string"), col(itemCol).cast("string"))), 1, 8),
+        16, 10).cast("long"))
+    grid.withColumn("__rn", row_number().over(Window.partitionBy(col(userCol))
+        .orderBy(col("__u"), col(itemCol))))
+      .filter(col("__rn") <= n)
+      .select(col(userCol), col(itemCol))
+  }
+
   /** R3: hybrid recall — union channels, sum boosted scores, top-k.
     * Ref: es_caller.py:56-58 (term boost 0.1 + vector boost 0.9).
     */

@@ -39,6 +39,38 @@ class RetrievalSpec extends SparkSpec {
     assert(u1.head == 11L)          // closest unseen to (1,0)
   }
 
+  test("negativeSample: never a seen item, exactly n per user, re-run stable") {
+    val seen = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("u", "i")
+    val cat = (10L until 30L).toDF("i")
+    val out = RetrievalOps.negativeSample(seen, cat, "u", "i", 4)
+      .as[(Long, Long)].collect()
+    val byUser = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byUser.keySet == Set(1L, 2L))
+    assert(byUser.values.forall(_.size == 4))
+    assert(!byUser(1L).contains(10L) && !byUser(1L).contains(11L))
+    assert(!byUser(2L).contains(10L))
+    val again = RetrievalOps.negativeSample(seen, cat, "u", "i", 4)
+      .as[(Long, Long)].collect().toSet
+    assert(out.toSet == again)
+  }
+
+  test("i2iPmi: frequent co-engagement scores above chance pairings") {
+    // items 1,2 co-occur for 4 of 6 users; item 3 floats independently
+    val ev = Seq(
+      (1L, 1L, 10L), (1L, 2L, 11L), (2L, 1L, 10L), (2L, 2L, 12L),
+      (3L, 1L, 10L), (3L, 2L, 13L), (4L, 1L, 10L), (4L, 2L, 14L),
+      (5L, 1L, 10L), (5L, 3L, 15L), (6L, 2L, 10L), (6L, 3L, 16L))
+      .toDF("u", "item", "ts")
+    val out = RetrievalOps.i2iPmi(ev, "u", "item", "ts", 10, 2L, 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(out.contains((1L, 2L)))
+    // c_ab=4, c_a=c_b=5, n_users=6 → pmi = ln(4·6/25)
+    assert(math.abs(out((1L, 2L)) - math.log(24.0 / 25.0)) < 1e-6)
+    // item 3's pairings never reach minPair=2 → absent
+    assert(out.keySet == Set((1L, 2L)))
+  }
+
   test("BM25: rare terms outweigh common ones; length normalization bites") {
     val docs = Seq(
       (1L, "rare word here filler filler filler"),
