@@ -106,4 +106,33 @@ object DelimitedText {
     */
   def writePartitioned(df: DataFrame, partitionCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** ORC sink/source — the second columnar interchange format (some
+    * lakehouses are ORC-native). Same pushdown/pruning behavior as
+    * parquet under Spark's native reader.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Schema-evolution read: union the schemas of all parquet footers
+    * under `path` (columns missing in older files surface as nulls).
+    * `mergeSchema` is a per-footer metadata merge, not a data pass —
+    * safe at 100 TB, unlike schema INFERENCE on text formats.
+    */
+  def readEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Compacting sink — the small-file mitigation: coalesce to
+    * ⌈rows / targetRowsPerFile⌉ files before writing. At 100 TB the
+    * row count comes from table stats or the upstream job, not a
+    * count() — the parameter keeps the policy explicit and testable.
+    */
+  def writeCompacted(df: DataFrame, rowCount: Long, targetRowsPerFile: Long,
+                     path: String): Unit = {
+    val files = math.max(1L, (rowCount + targetRowsPerFile - 1) / targetRowsPerFile)
+    df.coalesce(files.toInt).write.mode("overwrite").parquet(path)
+  }
 }

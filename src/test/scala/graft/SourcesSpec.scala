@@ -127,4 +127,36 @@ class SourcesSpec extends SparkSpec {
       s"scan read ${scan.metrics("numFiles").value} files, " +
         s"click partition has $clickFiles")
   }
+
+  test("ORC sink + scan round-trip preserves schema and values") {
+    val dir = tmpDir()
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    DelimitedText.writeOrc(df, s"$dir/orc")
+    val back = DelimitedText.readOrc(spark, s"$dir/orc")
+    // file reads are nullable-washed; names and types must survive
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.orderBy("id").collect().toSeq == df.orderBy("id").collect().toSeq)
+  }
+
+  test("schema evolution: mergeSchema unions footers, old files null-extend") {
+    val dir = tmpDir()
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/ev/p=1")
+    Seq((2L, "y", 9L)).toDF("id", "a", "b").write.parquet(s"$dir/ev/p=2")
+    val merged = DelimitedText.readEvolved(spark, s"$dir/ev")
+    assert(merged.columns.toSet == Set("id", "a", "b", "p"))
+    val rows = merged.orderBy("id").select("id", "b")
+      .as[(Long, Option[Long])].collect().toSeq
+    assert(rows == Seq((1L, None), (2L, Some(9L))))
+  }
+
+  test("compacting sink bounds output file count by target rows per file") {
+    val dir = tmpDir()
+    val df = spark.range(1000).repartition(32)   // the small-file shape
+    DelimitedText.writeCompacted(df.toDF(), 1000L, 400L, s"$dir/compact")
+    val files = new java.io.File(s"$dir/compact").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 3, s"expected ceil(1000/400)=3 files, got $files")
+    assert(DelimitedText.readArtifact(spark, s"$dir/compact").count() == 1000L)
+  }
 }
