@@ -135,6 +135,29 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bhj.nonEmpty, "per-source rates must broadcast onto the corpus scan")
   }
 
+  test("q102: BM25 broadcasts df/corpus stats; the doc scan never re-shuffles for them") {
+    val df = plan("q102_bm25")
+    df.count()
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "per-term df table must broadcast onto the tf stream")
+  }
+
+  test("q108: the shipdate filter reaches the lineitem scan") {
+    val s = plan("q108_tpch_q1").queryExecution.executedPlan.toString
+    assert(s.contains("PushedFilters") && s.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("q110: i2i margin counts broadcast back onto the pair stream") {
+    val df = plan("q110_i2i_pmi")
+    df.count()
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 2, s"both margins must broadcast, got ${bhj.size}")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
