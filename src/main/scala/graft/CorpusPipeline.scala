@@ -90,8 +90,7 @@ object CorpusPipeline {
     // 6. mixture sampling — deterministic md5 draw to target weights.
     val rates = MixtureOps.mixtureSample(nearDeduped, "source", "doc_id",
       weights)
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
+    val u = MixtureOps.membership("doc_id")
     val sampled = nearDeduped
       .join(broadcast(rates.select(col("source"), col("rate"))), Seq("source"))
       .filter(u < col("rate"))

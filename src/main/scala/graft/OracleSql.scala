@@ -17,7 +17,14 @@ import scala.collection.immutable.ListMap
   *  - NO raw array/map columns in declared query output: the driver's
   *    pandas-based compare sorts frames with sort_values, which raises
   *    "unhashable type: numpy.ndarray" on array cells. Stringify with
-  *    array_join (Spark) / string_agg or array_to_string (DuckDB).
+  *    array_join (Spark) / string_agg or array_to_string (DuckDB);
+  *  - NO DECIMAL→DOUBLE casts on large sums in output: the conversion
+  *    rounds differently per engine (1-ulp drift). Ship exact DECIMAL
+  *    sums as CAST(... AS VARCHAR) — both engines render full scale
+  *    identically (q108);
+  *  - NO pow(): libm rounding diverges across engines. ln/log2/exp-free
+  *    monotone rewrites (e.g. weighted-sample keys as ln(u)/w, q107)
+  *    keep order-based operators portable; ln and log2 themselves match.
   */
 object OracleSql {
 

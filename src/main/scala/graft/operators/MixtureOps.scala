@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object MixtureOps {
 
+  /** The deterministic membership draw shared by every sampler here:
+    * first 8 hex chars of md5(id) scaled to [0,1). Stable under
+    * re-runs, re-partitioning, and engines (the DuckDB twin is
+    * `('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT / 2^32`).
+    */
+  def membership(idCol: String): org.apache.spark.sql.Column =
+    conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
   /** Per-source sampling summary: n_docs, keep rate, kept count, and a
     * kept-id checksum (order-independent). Sources absent from
     * `weights` are excluded from the mixture.
@@ -46,8 +55,7 @@ object MixtureOps {
     val rates = counts.crossJoin(broadcast(feasible))
       .select(col(srcCol), col("n_docs"),
         round(col("__p") * col("__t") / col("n_docs"), 6).as("rate"))
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-      .cast("double") / lit(4294967296.0)
+    val u = membership(idCol)
     val kept = weighted.join(broadcast(rates.select(col(srcCol), col("rate"))),
         Seq(srcCol))
       .filter(u < col("rate"))
