@@ -88,11 +88,18 @@ object RecsysModels {
     var bad = 0
     var round = 1
     while (round <= maxRounds && bad < patience) {
+      // Serve a summary-free copy: the fitted model's trainingSummary
+      // pins the SparkSession, and a session where observe() has ever
+      // run holds a non-serializable ObservationManager (Spark 4.1) —
+      // shipping the summary-bearing model in a task closure then
+      // throws. copy() carries params + coefficients, not the summary.
       val m = new FMClassifier()
         .setLabelCol(labelCol).setFeaturesCol("features")
         .setFactorSize(4).setSeed(SEED)
         .setMaxIter(round * itersPerRound).setStepSize(0.1).setRegParam(1e-5)
         .fit(train)
+        .copy(org.apache.spark.ml.param.ParamMap.empty)
+        .asInstanceOf[FMClassificationModel]
       val auc = evaluator.evaluate(m.transform(test))
       if (auc > best._2) { best = (m, auc); bad = 0 } else bad += 1
       round += 1
