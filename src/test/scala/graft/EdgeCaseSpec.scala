@@ -74,4 +74,31 @@ class EdgeCaseSpec extends SparkSpec {
       .select("session_id").as[Long].head()
     assert(s == 1L)
   }
+
+  test("round-3 ops on degenerate inputs: empty/single-token/all-negative") {
+    import graft.operators.{MetricOps, MixtureOps, RetrievalOps, SamplingOps}
+    val docs = Seq((1L, "one")).toDF("doc_id", "text")
+    // single-token doc: one chunk, survives chunk dedup unchanged
+    val cd = DedupOps.chunkDedup(docs, "doc_id", "text", 20)
+      .as[(Long, Long, Long, String)].collect()
+    assert(cd.toSeq == Seq((1L, 1L, 1L, "one")))
+    // repetition stats on a 1-token doc: no bigrams -> frac 0, no junk
+    val rep = TextOps.repetitionStats(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Int)].collect().head
+    assert(rep == ((1L, 1L, 1.0, 0.0, 1)))   // top_tok_frac 1.0 flags junk
+    // bm25 where no document contains any query term: empty, no throw
+    assert(RetrievalOps.bm25(docs, "doc_id", "text", Seq("absent")).count() == 0)
+    // rankingMetrics with zero positives anywhere: empty, no divide-by-zero
+    val rm = MetricOps.rankingMetrics(
+      Seq((1L, 1L, 0.5, 0)).toDF("u", "i", "s", "l"), "u", "i", "s", "l", 5)
+    assert(rm.count() == 0)
+    // weightedSample asking for more rows than exist returns all rows
+    val ws = SamplingOps.weightedSample(
+      Seq((1L, 1.0), (2L, 1.0)).toDF("id", "w"), "id", "w", 10)
+    assert(ws.count() == 2)
+    // mixtureSample over sources absent from the data: empty summary
+    val ms = MixtureOps.mixtureSample(
+      Seq((1L, "zzz")).toDF("id", "source"), "source", "id", Map("a" -> 1.0))
+    assert(ms.count() == 0)
+  }
 }

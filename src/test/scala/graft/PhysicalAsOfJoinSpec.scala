@@ -72,6 +72,17 @@ class PhysicalAsOfJoinSpec extends SparkSpec {
     assert(outer.count() == 3)
   }
 
+  test("composite keys: both columns must match, as-of still applies") {
+    val l = Seq((1L, "x", 10L, 100L), (1L, "y", 10L, 101L), (2L, "x", 10L, 102L))
+      .toDF("k1", "k2", "t_ts", "lid")
+    val r = Seq((1L, "x", 5L, 1.0), (1L, "y", 7L, 2.0), (2L, "z", 3L, 3.0))
+      .toDF("k1", "k2", "q_ts", "px")
+    val out = AsOfJoin.exec(l, r, Seq("k1", "k2"), "t_ts", "q_ts", "left")
+      .select(col("lid"), col("px"))
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(100L -> Some(1.0), 101L -> Some(2.0), 102L -> None))
+  }
+
   test("exec survives aggressive AQE coalescing + skew, still ≡ window form") {
     val overrides = Map(
       "spark.sql.shuffle.partitions" -> "64",
