@@ -1310,6 +1310,18 @@ object OracleSql {
         |SELECT item_a, item_b, c_ab, pmi FROM r WHERE rn <= 5
         |ORDER BY item_a, item_b""".stripMargin,
 
+    "q111_seq_packing" ->
+      """WITH n AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT source, doc_id, n,
+        |  coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM n)
+        |SELECT source, CAST(cb // 2048 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
     "q100_asof_exec" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

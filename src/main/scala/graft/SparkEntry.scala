@@ -1154,6 +1154,13 @@ object SparkEntry {
         .orderBy("item_a", "item_b")
     }),
 
+    // ops/scale — sequence-packing plan: docs → 2048-token bins per
+    // source (greedy contiguous fill, parallel across sources).
+    "q111_seq_packing" -> ((s, d) =>
+      TextOps.packSequences(Tables.documents(s, d), "source", "doc_id",
+          "text", 2048L)
+        .orderBy("source", "bin")),
+
     // J4, native physical form — sort-merge AsOfJoinExec planned from
     // the graft_asof-marked Join by the injected strategy: each click
     // picks up the user's latest at-or-before purchase (inner as-of).

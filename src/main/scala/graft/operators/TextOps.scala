@@ -230,6 +230,30 @@ object TextOps {
         .as("cross_entropy"))
   }
 
+  /** Sequence packing plan: assign documents to fixed token-budget bins
+    * (the step that turns a curated corpus into training batches).
+    * Contiguous greedy packing in (group, id) order: a doc's bin is its
+    * group-local running token total BEFORE the doc, integer-divided by
+    * the budget — docs straddling a boundary stay in the earlier bin
+    * (bounded overflow ≤ one doc, the standard streaming-packing
+    * approximation; exact bin-packing is NP-hard and needless here).
+    *
+    * Scale: the running sum is a window per GROUP (source/shard), so
+    * packing parallelizes across groups — never a single global
+    * cumulative sum. Pure integer arithmetic → engine-identical.
+    */
+  def packSequences(df: DataFrame, grpCol: String, idCol: String,
+                    textCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(col(grpCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__n", size(tokens(col(textCol))).cast("long"))
+      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
+      // integer div, not double division: exact past 2^53 total tokens
+      .withColumn("bin", expr(s"__before div $budget"))
+      .groupBy(col(grpCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
+  }
+
   /** TF-IDF per (document, token): tf × ln(N / df). Three hash
     * aggregations (doc-term tf, term df, corpus N) and one equi-join on
     * the term key — df and N are tiny relative to the tf table, and the
