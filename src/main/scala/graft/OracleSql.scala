@@ -1322,6 +1322,23 @@ object OracleSql {
         |  CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
+    "q112_leakage_audit" ->
+      """WITH w AS (SELECT user_id, ts,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS u_cnt FROM events),
+        |s AS (SELECT user_id, ts,
+        |  CASE WHEN rn >= u_cnt - 10 THEN 2
+        |       WHEN rn < (u_cnt - 10) * CAST(0.8 AS DOUBLE) THEN 0
+        |       ELSE 1 END AS istest FROM w),
+        |b AS (SELECT user_id,
+        |  max(CASE WHEN istest = 0 THEN ts END) AS mt,
+        |  min(CASE WHEN istest <> 0 THEN ts END) AS me FROM s
+        |  GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(coalesce(sum(CASE WHEN mt > me THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |    AS n_violations
+        |FROM b""".stripMargin,
+
     "q100_asof_exec" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

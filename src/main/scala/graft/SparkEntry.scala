@@ -1161,6 +1161,23 @@ object SparkEntry {
           "text", 2048L)
         .orderBy("source", "bin")),
 
+    // data-ops — leakage audit over the W4 split: per split boundary,
+    // count users whose train rows reach past any test/holdout row in
+    // EVENT TIME (must be zero — the no-leakage invariant as a query,
+    // not just a property test).
+    "q112_leakage_audit" -> ((s, d) => {
+      val rn = RelationalOps.rowNumber(Tables.events(s, d), "user_id", userOrder)
+      val split = RelationalOps.threeWaySplit(
+        rn.withColumn("u_cnt", count(lit(1)).over(Window.partitionBy("user_id"))),
+        "rn", "u_cnt", HOLD_N, TEST_RATIO)
+      val b = split.groupBy("user_id").agg(
+        max(when(col("istest") === 0, col("ts"))).as("max_train_ts"),
+        min(when(col("istest") =!= 0, col("ts"))).as("min_eval_ts"))
+      b.agg(count(lit(1)).as("n_users"),
+        sum(coalesce((col("max_train_ts") > col("min_eval_ts")).cast("long"),
+          lit(0L))).cast("long").as("n_violations"))
+    }),
+
     // J4, native physical form — sort-merge AsOfJoinExec planned from
     // the graft_asof-marked Join by the injected strategy: each click
     // picks up the user's latest at-or-before purchase (inner as-of).
