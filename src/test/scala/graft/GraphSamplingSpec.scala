@@ -54,6 +54,14 @@ class GraphSamplingSpec extends SparkSpec {
     assert(out.map(_._1).toSet == again.map(_._1).toSet)
   }
 
+  test("weightedSample plans TakeOrdered, never a full global sort") {
+    val df = (0L until 100L).map(i => (i, 1.0)).toDF("id", "w")
+    val plan = SamplingOps.weightedSample(df, "id", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected partial top-N, got:\n$plan")
+  }
+
   test("featureHash buckets are stable and in range") {
     val df = Seq("AUTOMOBILE", "BUILDING", "AUTOMOBILE").toDF("seg")
       .select(SamplingOps.featureHash(col("seg"), 64).as("b"))
