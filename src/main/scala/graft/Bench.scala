@@ -55,10 +55,37 @@ object Bench {
       val ok = times.filter(_ >= 0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Full-precision per-query detail → a file (for BENCHLOG analysis).
+    val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target", "bench_detail.json"),
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+
+    // The stdout contract line MUST stay short: the harness keeps only the
+    // last ~2000 chars of stdout (plus sbt's [success] footer) and parses
+    // the JSON out of that window — a full-name full-precision line with
+    // 100+ queries is ~5 KB and silently fails to parse. Compact keys
+    // (name prefix up to the first '_', e.g. q104) and 2-dp values keep
+    // the line ~1.5 KB; drop to 1 dp if it ever outgrows the window.
+    def fmt(v: Double, dp: Int): String = {
+      val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+      s.bigDecimal.toPlainString
+    }
+    def compactLine(dp: Int): String = {
+      val qs = results.map { case (k, v) =>
+        val key = k.takeWhile(_ != '_')
+        s"\"" + key + "\":" + fmt(v, dp)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    val line2 = compactLine(2)
+    println(if (line2.length <= 1800) line2 else compactLine(1))
     spark.stop()
   }
 }
