@@ -44,7 +44,15 @@ object Bench {
     // (single-run noise on a shared host is ±30%). A failed run records
     // -1, never its time-to-exception — a crashing query must show as
     // broken in the JSON, not as "fast".
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Tuning aid: SPARK_GRAFT_BENCH_ONLY=q104_setsim_join,q26_cosine_topk
+    // times just those queries (full map when unset — the driver path).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { drain(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }

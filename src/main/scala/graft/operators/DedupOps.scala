@@ -169,17 +169,28 @@ object DedupOps {
     val prefix = ordered
       .filter(col("__pos") <=
         col("__n") - ceil(lit(t) * col("__n")).cast("long") + 1)
-      .select(col(idCol), col(elemCol), col("__n"))
-    // Length filter (output-neutral, candidate-pruning): J ≥ t forces
-    // min(na,nb)/max(na,nb) ≥ t, so wildly different sizes can never
-    // verify — drop them before the expensive common-count join.
+      .select(col(idCol), col(elemCol), col("__n"), col("__pos"))
+    // Candidate pruning, both output-neutral:
+    //  - length filter: J ≥ t forces min(na,nb)/max(na,nb) ≥ t, so
+    //    wildly different sizes can never verify;
+    //  - positional filter (PPJoin proper): a pair meeting J ≥ t needs
+    //    overlap ≥ ⌈t·(na+nb)/(1+t)⌉, but elements before the shared
+    //    prefix position can contribute at most the prefix element
+    //    itself plus what remains after it — overlap ≤ 1 + min(na−pa,
+    //    nb−pb). Pairs whose bound is below the requirement are dropped
+    //    BEFORE the expensive common-count join (which costs O(na+nb)
+    //    join rows per candidate).
     val cand = prefix.select(col(idCol).as("doc_a"), col(elemCol),
-        col("__n").as("__na"))
+        col("__n").as("__na"), col("__pos").as("__pa"))
       .join(prefix.select(col(idCol).as("doc_b"), col(elemCol),
-        col("__n").as("__nb")), Seq(elemCol))
+        col("__n").as("__nb"), col("__pos").as("__pb")), Seq(elemCol))
       .filter(col("doc_a") < col("doc_b") &&
         col("__nb") >= lit(t) * col("__na") &&
-        col("__na") >= lit(t) * col("__nb"))
+        col("__na") >= lit(t) * col("__nb") &&
+        // integer bound ≥ ⌈x⌉ ⟺ bound ≥ x; the 1e-9 slack keeps FP
+        // noise from over-pruning (over-admitting is output-neutral)
+        lit(1) + least(col("__na") - col("__pa"), col("__nb") - col("__pb")) >=
+          lit(t) * (col("__na") + col("__nb")) / (lit(1) + lit(t)) - lit(1e-9))
       .select("doc_a", "doc_b").distinct()
     val common = cand
       .join(sets.select(col(idCol).as("doc_a"), col(elemCol)), "doc_a")
