@@ -1349,6 +1349,92 @@ object OracleSql {
         |  ON c.user_id = p.user_id AND c.ts >= p.p_ts
         |ORDER BY c.event_id""".stripMargin,
 
+    "q113_winnow_fingerprint" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, len(gl) AS ng,
+        |    generate_subscripts(gl, 1) - 1 AS pos, unnest(gl) AS gram
+        |  FROM (SELECT doc_id, list_transform(range(len(t) - 2),
+        |      i -> t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) AS gl
+        |    FROM toks WHERE len(t) >= 6)),
+        |f AS (SELECT doc_id, pos, ng,
+        |    min(substr(md5(gram), 1, 8)) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM g),
+        |d AS (SELECT DISTINCT doc_id, fp FROM f WHERE pos <= ng - 4)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+        |  string_agg(fp, ',' ORDER BY fp) AS fingerprints
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q114_rrf_fusion" ->
+      """WITH ev AS (SELECT user_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |  event_type, value FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |a AS (SELECT user_id, item, count(*) AS s FROM ev
+        |  WHERE event_type = 'click' GROUP BY user_id, item),
+        |ar AS (SELECT user_id, item, row_number() OVER
+        |  (PARTITION BY user_id ORDER BY s DESC, item) AS ra FROM a),
+        |b AS (SELECT user_id, item, max(value) AS s FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY user_id, item),
+        |br AS (SELECT user_id, item, row_number() OVER
+        |  (PARTITION BY user_id ORDER BY s DESC, item) AS rb FROM b),
+        |f AS (SELECT coalesce(ar.user_id, br.user_id) AS user_id,
+        |  coalesce(ar.item, br.item) AS item,
+        |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + ra), 0) +
+        |        coalesce(CAST(1.0 AS DOUBLE) / (60 + rb), 0), 6) AS rrf
+        |  FROM ar FULL JOIN br
+        |    ON ar.user_id = br.user_id AND ar.item = br.item),
+        |r AS (SELECT user_id, item, rrf, row_number() OVER
+        |  (PARTITION BY user_id ORDER BY rrf DESC, item) AS rnk FROM f)
+        |SELECT user_id, item, rrf, CAST(rnk AS BIGINT) AS rank
+        |FROM r WHERE rnk <= 3 ORDER BY user_id, rank""".stripMargin,
+
+    "q115_target_encode" ->
+      """WITH src AS (SELECT o_orderpriority AS cat,
+        |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS label
+        |  FROM orders),
+        |p AS (SELECT round(CAST(sum(label) AS DOUBLE) / count(*), 6)
+        |  AS prior FROM src)
+        |SELECT cat, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(label) AS BIGINT) AS n_pos,
+        |  round((sum(label) + CAST(20.0 AS DOUBLE) * (SELECT prior FROM p))
+        |    / (count(*) + CAST(20.0 AS DOUBLE)), 6) AS enc
+        |FROM src GROUP BY cat ORDER BY cat""".stripMargin,
+
+    "q116_zorder_layout" -> {
+      val zExpr = (0 until 10).map(i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH src AS (SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y
+         |  FROM lineitem),
+         |z AS (SELECT x, y, ($zExpr) AS zv FROM src)
+         |SELECT CAST(zv >> 12 AS BIGINT) AS z_bucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+         |  CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+         |FROM z GROUP BY zv >> 12 ORDER BY z_bucket""".stripMargin
+    },
+
+    "q117_kmv_distinct" ->
+      """WITH dh AS (SELECT DISTINCT event_type,
+        |  ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS u
+        |  FROM events),
+        |kth AS (SELECT event_type, u AS uk FROM
+        |  (SELECT event_type, u, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY u) AS rn FROM dh)
+        |  WHERE rn = 64),
+        |ex AS (SELECT event_type, count(*) AS exact_distinct FROM dh
+        |  GROUP BY event_type),
+        |est AS (SELECT ex.event_type,
+        |  CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+        |  CASE WHEN kth.uk IS NULL THEN CAST(ex.exact_distinct AS DOUBLE)
+        |    ELSE round(CAST(63 AS DOUBLE) * 281474976710656 / kth.uk, 4)
+        |  END AS kmv_est
+        |  FROM ex LEFT JOIN kth ON ex.event_type = kth.event_type)
+        |SELECT event_type, exact_distinct, kmv_est,
+        |  round(abs(kmv_est - exact_distinct) / exact_distinct, 4) AS rel_err
+        |FROM est ORDER BY event_type""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

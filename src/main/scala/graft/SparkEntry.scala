@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
-import graft.operators.{AsOfJoin, DedupOps, GraphOps, MetricOps, MixtureOps, RelationalOps, RetrievalOps, SamplingOps, SimilarityOps, TextOps}
+import graft.operators.{AsOfJoin, DedupOps, EncodeOps, GraphOps, LayoutOps, MetricOps, MixtureOps, RelationalOps, RetrievalOps, SamplingOps, SimilarityOps, SketchOps, TextOps}
 
 /** Driver contract (SURVEY.md §7): named deterministic queries over the
   * testdata tables, each with a DuckDB-oracle SQL twin. Query keys map to
@@ -1192,6 +1192,58 @@ object SparkEntry {
           unix_micros(col("p_ts")).as("p_ts_us"), col("p_value"))
         .orderBy("event_id")
     }),
+
+    // LLM-pipeline — winnowing fingerprints (MOSS local-min rolling
+    // hash): position-robust copied-span detection, the localizing
+    // complement of MinHash's whole-set resemblance.
+    "q113_winnow_fingerprint" -> ((s, d) =>
+      TextOps.winnow(Tables.documents(s, d), "doc_id", "text", 3, 4)
+        .orderBy("doc_id")),
+
+    // retrieval — reciprocal-rank fusion of two recall channels
+    // (click-count vs max-purchase-value rankings); the calibration-free
+    // hybrid-search merge.
+    "q114_rrf_fusion" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"),
+        col("event_type"), col("value"))
+        .filter(col("item").isNotNull)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "item")
+        .agg(count(lit(1)).cast("double").as("score"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "item")
+        .agg(max(col("value")).as("score"))
+      RetrievalOps.rrfFuse(clicks, purchases, "user_id", "item", "score",
+          60, 3)
+        .orderBy("user_id", "rank")
+    }),
+
+    // feature-engi — smoothed target encoding (empirical-Bayes
+    // shrinkage toward the in-plan rounded prior).
+    "q115_target_encode" -> ((s, d) =>
+      EncodeOps.targetEncode(
+        Tables.orders(s, d).select(col("o_orderpriority").as("cat"),
+          (col("o_orderstatus") === "F").cast("int").as("label")),
+        "cat", "label", 20.0)
+        .orderBy("cat")),
+
+    // layout — Z-order (Morton) clustering key + per-bucket span report:
+    // the OPTIMIZE ZORDER analogue that makes min/max file stats
+    // selective on BOTH dimensions at 100 TB.
+    "q116_zorder_layout" -> ((s, d) =>
+      LayoutOps.zOrderStats(
+        Tables.lineitem(s, d).select((col("l_partkey") % 1024).as("x"),
+          (col("l_suppkey") % 1024).as("y")),
+        "x", "y", 10, 12)
+        .orderBy("z_bucket")),
+
+    // sketch — KMV (bottom-k) distinct estimate per event type, with
+    // exact calibration columns; md5-deterministic, so the ESTIMATE
+    // itself is oracle-checkable (HLL's is engine-private).
+    "q117_kmv_distinct" -> ((s, d) =>
+      SketchOps.kmvDistinct(Tables.events(s, d), "event_type", "user_id", 64)
+        .orderBy("event_type")),
 
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).

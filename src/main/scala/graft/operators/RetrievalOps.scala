@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Online-recall retrieval operators (SURVEY §2.6), the relational
@@ -202,5 +203,42 @@ object RetrievalOps {
       Seq(userCol, itemCol), "score")
     RelationalOps.topKPerGroup(merged, userCol,
       Seq(col("score").desc, col(itemCol)), topK)
+  }
+
+  /** Reciprocal-rank fusion of two per-group rankings: each channel
+    * contributes 1/(k + rank); items missing from a channel contribute
+    * 0. The score-scale-free alternative to [[hybridRecall]]'s boosted
+    * score sum — RRF needs no calibration between channels whose scores
+    * live on different scales (BM25 vs cosine), which is why it's the
+    * standard hybrid-search merge.
+    *
+    * Ranks are per group (row_number windows partitioned by the group
+    * key — never a global sort), tie-broken by item id; the fused score
+    * is ONE fixed-shape expression (coalesce(a,0)+coalesce(b,0)), so
+    * the double addition has a deterministic evaluation order in any
+    * engine — no aggregation-order nondeterminism.
+    *
+    * Scale: two window shuffles on the group key + one full-outer
+    * equi-join on (group, item) + the bounded top-N window. All
+    * hash-partitioned on the same key; at 100 TB the channels arrive
+    * already bounded (recall top-k), so per-group state is O(k).
+    */
+  def rrfFuse(chanA: DataFrame, chanB: DataFrame, groupCol: String,
+              itemCol: String, scoreCol: String, k: Int = 60,
+              topN: Int = 10): DataFrame = {
+    def ranked(df: DataFrame, rankName: String) =
+      df.select(col(groupCol), col(itemCol),
+        row_number().over(Window.partitionBy(col(groupCol))
+          .orderBy(col(scoreCol).desc, col(itemCol))).as(rankName))
+    val fused = ranked(chanA, "__ra")
+      .join(ranked(chanB, "__rb"), Seq(groupCol, itemCol), "full_outer")
+      .select(col(groupCol), col(itemCol),
+        round(
+          coalesce(lit(1.0) / (lit(k) + col("__ra")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k) + col("__rb")), lit(0.0)), 6).as("rrf"))
+    fused.withColumn("rank", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col("rrf").desc, col(itemCol))).cast("long"))
+      .filter(col("rank") <= topN)
   }
 }

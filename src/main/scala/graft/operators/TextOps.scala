@@ -278,4 +278,43 @@ object TextOps {
   def jsonExtractLong(df: DataFrame, jsonCol: String, path: String,
                       outCol: String): DataFrame =
     df.withColumn(outCol, get_json_object(col(jsonCol), path).cast("long"))
+
+  /** Winnowing document fingerprints (the MOSS local-min rolling-hash
+    * scheme): hash every k-token gram, slide a w-hash window over the
+    * gram sequence, and keep the minimum hash of each window — the
+    * selected set is position-robust (any shared substring of
+    * w + k − 1 tokens forces at least one shared fingerprint), so two
+    * docs' fingerprint sets overlap iff they share long verbatim spans.
+    * A guarantee-by-construction complement to MinHash: MinHash
+    * estimates whole-set resemblance; winnowing localizes copied spans.
+    *
+    * Determinism/portability: the gram hash is the first 8 hex chars of
+    * md5 and window-min compares the hex STRINGS — lexicographic order
+    * on fixed-width hex equals numeric order, identically in any
+    * engine.
+    *
+    * Scale: one window (doc-key shuffle) + one hash agg; per-row state
+    * is the w-row frame, never the whole doc. Docs shorter than
+    * k + w − 1 tokens have no full window and produce no fingerprints.
+    */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+             k: Int = 3, w: Int = 4): DataFrame = {
+    val idx = (0 until k).map(j => s"t[i + $j]").mkString(", ")
+    val grams = df.withColumn("t", tokens(col(textCol)))
+      .filter(size(col("t")) >= k + w - 1)
+      .select(col(idCol), col("t"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $k), i -> concat_ws(' ', $idx))")))
+      .withColumnRenamed("pos", "__pos")
+      .withColumn("__h", substring(md5(col("col")), 1, 8))
+      .withColumn("__ng", size(col("t")) - (k - 1))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("__fp", min(col("__h")).over(frame))
+      .filter(col("__pos") <= col("__ng") - w)
+      .groupBy(col(idCol))
+      .agg(expr("array_sort(collect_set(__fp))").as("__fps"))
+      .select(col(idCol), size(col("__fps")).cast("long").as("n_fps"),
+        array_join(col("__fps"), ",").as("fingerprints"))
+  }
 }
