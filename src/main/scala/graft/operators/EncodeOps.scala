@@ -38,4 +38,30 @@ object EncodeOps {
         round((col("n_pos") + lit(m) * col("__prior")) / (col("n") + lit(m)), 6)
           .as("enc"))
   }
+
+  /** Winsorization: clip a numeric feature to its per-group
+    * [`lo`, `hi`] percentile band — the robust-scaling prep that keeps
+    * a handful of outliers from dominating a z-score or a gradient.
+    *
+    * Determinism: Spark's `percentile` and DuckDB's `quantile_cont`
+    * both linearly interpolate over the sorted values, and the bounds
+    * are ROUNDED to 6 dp before clipping (the shared-constant rule),
+    * so the clip thresholds are identical doubles in both engines.
+    *
+    * Scale: one exact-percentile aggregation per group (a sort-based
+    * aggregate — at 100 TB swap in approx_percentile with a documented
+    * error budget; the operator shape is unchanged) + a broadcast join
+    * of the |groups|-row bounds table back onto the fact rows, which
+    * stays shuffle-free.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                lo: Double, hi: Double): DataFrame = {
+    val bounds = df.groupBy(col(groupCol)).agg(
+      round(percentile(col(valueCol), lit(lo)), 6).as("__lo"),
+      round(percentile(col(valueCol), lit(hi)), 6).as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

@@ -137,24 +137,42 @@ object RetrievalOps {
     * @param tsCol   recency order for the per-user cap
     * @param minPair drop pairs seen fewer than this many times
     */
-  def i2iPmi(events: DataFrame, userCol: String, itemCol: String,
-             tsCol: String, maxPerUser: Int, minPair: Long,
-             topK: Int): DataFrame = {
+  /** Per-user recent-item lists, capped at `maxPerUser` by latest
+    * engagement — the bounding step that makes every co-engagement
+    * derivation (PMI, item graph, PageRank) ≤ users · cap² pairs
+    * regardless of corpus size.
+    */
+  def recentItems(events: DataFrame, userCol: String, itemCol: String,
+                  tsCol: String, maxPerUser: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val recent = events.select(col(userCol), col(itemCol), col(tsCol))
+    events.select(col(userCol), col(itemCol), col(tsCol))
       .groupBy(col(userCol), col(itemCol)).agg(max(col(tsCol)).as("__ts"))
       .withColumn("__rn", row_number().over(Window.partitionBy(col(userCol))
         .orderBy(col("__ts").desc, col(itemCol))))
       .filter(col("__rn") <= maxPerUser)
       .select(col(userCol), col(itemCol))
-    val nUsers = recent.agg(countDistinct(col(userCol)).as("__nu"))
-    val margin = recent.groupBy(col(itemCol)).agg(count(lit(1)).as("__c"))
-    val pairs = recent.select(col(userCol), col(itemCol).as("item_a"))
+  }
+
+  /** Co-engagement pair counts (item_a < item_b) over capped per-user
+    * item lists — the shared edge-builder for i2i PMI and the item
+    * graph. One self-equi-join on the user key + one hash aggregation.
+    */
+  def coEngagementPairs(recent: DataFrame, userCol: String,
+                        itemCol: String, minPair: Long): DataFrame =
+    recent.select(col(userCol), col(itemCol).as("item_a"))
       .join(recent.select(col(userCol), col(itemCol).as("item_b")),
         Seq(userCol))
       .filter(col("item_a") < col("item_b"))
       .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minPair)
+
+  def i2iPmi(events: DataFrame, userCol: String, itemCol: String,
+             tsCol: String, maxPerUser: Int, minPair: Long,
+             topK: Int): DataFrame = {
+    val recent = recentItems(events, userCol, itemCol, tsCol, maxPerUser)
+    val nUsers = recent.agg(countDistinct(col(userCol)).as("__nu"))
+    val margin = recent.groupBy(col(itemCol)).agg(count(lit(1)).as("__c"))
+    val pairs = coEngagementPairs(recent, userCol, itemCol, minPair)
     val scored = pairs
       .join(broadcast(margin.select(col(itemCol).as("item_a"),
         col("__c").as("__ca"))), "item_a")

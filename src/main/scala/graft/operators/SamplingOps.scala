@@ -64,4 +64,27 @@ object SamplingOps {
     */
   def featureHash(value: Column, buckets: Int): Column =
     conv(substring(md5(value), 1, 8), 16, 10).cast("long") % buckets
+
+  /** Per-domain quota: keep at most `quota` rows per `domainCol` value,
+    * selected by md5(id) order — the corpus-balancing cap that stops a
+    * single crawled domain from dominating a training mixture. The
+    * hash order makes the kept set a deterministic uniform sample of
+    * each domain (not "whatever sorted first"), stable across re-runs
+    * and partitionings.
+    *
+    * Scale: one hash-partition window on the domain key. A pathological
+    * mega-domain makes that one partition hot; since only `quota` rows
+    * survive, pre-thin with a TopKAggregator-style bounded selection or
+    * a two-level (salted rank → re-rank) pass — the selection semantics
+    * are unchanged.
+    */
+  def domainQuota(df: DataFrame, domainCol: String, idCol: String,
+                  quota: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= quota)
+      .drop("__rn")
+  }
 }
