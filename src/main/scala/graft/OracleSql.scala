@@ -1435,6 +1435,215 @@ object OracleSql {
         |  round(abs(kmv_est - exact_distinct) / exact_distinct, 4) AS rel_err
         |FROM est ORDER BY event_type""".stripMargin,
 
+    "q118_mutual_info" ->
+      """WITH joint AS (SELECT event_type AS x,
+        |  CASE WHEN value > 100 THEN 1 ELSE 0 END AS y, count(*) AS nxy
+        |  FROM events GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM joint GROUP BY x),
+        |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM joint GROUP BY y),
+        |nn AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM joint),
+        |terms AS (SELECT n, CAST(round(
+        |    (CAST(nxy AS DOUBLE) / n) *
+        |    ln(CAST(nxy AS DOUBLE) * n / (CAST(nx AS DOUBLE) * ny)), 12)
+        |  AS DECIMAL(28,14)) AS term
+        |  FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn)
+        |SELECT round(CAST(sum(term) AS DOUBLE), 6) AS mi_nats,
+        |  CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(max(n) AS BIGINT) AS n_rows
+        |FROM terms""".stripMargin,
+
+    "q119_cms_heavy_hitters" ->
+      """WITH dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |b AS (SELECT d,
+        |  ('0x' || substr(md5(user_id::VARCHAR), d * 8 + 1, 8))::BIGINT % 64 AS bkt
+        |  FROM events CROSS JOIN dd),
+        |sketch AS (SELECT d, bkt, count(*) AS c FROM b GROUP BY d, bkt),
+        |heavy AS (SELECT user_id, count(*) AS exact_c FROM events
+        |  GROUP BY user_id ORDER BY exact_c DESC, user_id LIMIT 20),
+        |est AS (SELECT h.user_id, h.exact_c, min(s.c) AS cms_est
+        |  FROM heavy h CROSS JOIN dd
+        |  JOIN sketch s ON s.d = dd.d AND s.bkt =
+        |    ('0x' || substr(md5(h.user_id::VARCHAR), dd.d * 8 + 1, 8))::BIGINT % 64
+        |  GROUP BY h.user_id, h.exact_c)
+        |SELECT user_id, CAST(exact_c AS BIGINT) AS exact_c,
+        |  CAST(cms_est AS BIGINT) AS cms_est,
+        |  CAST(cms_est - exact_c AS BIGINT) AS overcount
+        |FROM est ORDER BY exact_c DESC, user_id""".stripMargin,
+
+    "q120_spearman" ->
+      """WITH hx AS (SELECT l_returnflag AS g, l_quantity AS v, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |rx AS (SELECT g, v, 2 * coalesce(sum(n) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS r2
+        |  FROM hx),
+        |hy AS (SELECT l_returnflag AS g, l_extendedprice AS v, count(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |ry AS (SELECT g, v, 2 * coalesce(sum(n) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS r2
+        |  FROM hy)
+        |SELECT l.l_returnflag,
+        |  round(corr(CAST(rx.r2 AS DOUBLE), CAST(ry.r2 AS DOUBLE)), 6) AS spearman,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem l
+        |JOIN rx ON rx.g = l.l_returnflag AND rx.v = l.l_quantity
+        |JOIN ry ON ry.g = l.l_returnflag AND ry.v = l.l_extendedprice
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+
+    "q121_token_entropy" ->
+      """WITH tf AS (SELECT tok, count(*) AS c FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM tf),
+        |t AS (SELECT n, CAST(round(
+        |    -(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n), 12)
+        |  AS DECIMAL(28,14)) AS term FROM tf CROSS JOIN nn)
+        |SELECT CAST(max(n) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS entropy_nats,
+        |  round(CAST(sum(term) AS DOUBLE) / ln(CAST(count(*) AS DOUBLE)), 6)
+        |    AS norm_entropy
+        |FROM t""".stripMargin,
+
+    "q122_js_divergence" ->
+      """WITH tf AS (SELECT tok,
+        |  CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tok,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS side FROM documents)
+        |  GROUP BY tok),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM tf),
+        |pq AS (SELECT ca, cb, na, nb,
+        |  CAST(ca AS DOUBLE) / na AS p, CAST(cb AS DOUBLE) / nb AS q
+        |  FROM tf CROSS JOIN tot),
+        |h AS (SELECT na, nb, CAST(round(
+        |    (CASE WHEN ca > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END +
+        |     CASE WHEN cb > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END) / 2, 12)
+        |  AS DECIMAL(28,14)) AS term FROM pq)
+        |SELECT CAST(max(na) AS BIGINT) AS n_tokens_a,
+        |  CAST(max(nb) AS BIGINT) AS n_tokens_b,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS js_nats
+        |FROM h""".stripMargin,
+
+    "q123_containment_join" ->
+      s"""WITH $shinglesCte,
+         |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    sa.n AS na, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+         |  JOIN szs sa ON sa.doc_id = a.doc_id
+         |  JOIN szs sb ON sb.doc_id = b.doc_id
+         |    AND CAST(sb.n AS DOUBLE) >= CAST(0.8 AS DOUBLE) * sa.n
+         |  GROUP BY a.doc_id, b.doc_id, sa.n)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE) / na, 6) AS containment
+         |FROM pairs WHERE CAST(inter AS DOUBLE) >= CAST(0.8 AS DOUBLE) * na
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q124_bloom_membership" ->
+      """WITH ii AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        |top AS (SELECT o_custkey AS k FROM orders GROUP BY o_custkey
+        |  ORDER BY count(*) DESC, o_custkey LIMIT 1000),
+        |pos AS (SELECT k,
+        |  ('0x' || substr(md5(k::VARCHAR), i * 8 + 1, 8))::BIGINT % 8192 AS p
+        |  FROM top CROSS JOIN ii),
+        |fw AS (SELECT p // 32 AS w,
+        |  bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS mask
+        |  FROM pos GROUP BY p // 32),
+        |pr AS (SELECT c_custkey, c_mktsegment,
+        |  ('0x' || substr(md5(c_custkey::VARCHAR), i * 8 + 1, 8))::BIGINT % 8192 AS p
+        |  FROM customer CROSS JOIN ii),
+        |pb AS (SELECT c_custkey, c_mktsegment,
+        |  min(CASE WHEN fw.mask IS NOT NULL AND
+        |    (fw.mask & (1::BIGINT << CAST(pr.p % 32 AS INT))) <> 0
+        |    THEN 1 ELSE 0 END) AS pos
+        |  FROM pr LEFT JOIN fw ON fw.w = pr.p // 32
+        |  GROUP BY c_custkey, c_mktsegment),
+        |mem AS (SELECT pb.c_mktsegment, pb.pos,
+        |  CASE WHEN t.k IS NULL THEN 0 ELSE 1 END AS istrue
+        |  FROM pb LEFT JOIN top t ON t.k = pb.c_custkey)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_probed,
+        |  CAST(sum(pos) AS BIGINT) AS n_bloom_pos,
+        |  CAST(sum(istrue) AS BIGINT) AS n_member,
+        |  CAST(sum(pos) - sum(istrue) AS BIGINT) AS n_false_pos
+        |FROM mem GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q125_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty FROM lineitem
+        |  GROUP BY l_orderkey HAVING CAST(sum(l_quantity) AS BIGINT) > 150)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q126_decayed_popularity" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+        |r AS (SELECT max(tsu) AS ref FROM e),
+        |w AS (SELECT user_id,
+        |  least((ref - tsu) // 2592000000000, 20) AS k FROM e CROSS JOIN r),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  sum(CAST(1 AS DOUBLE) / CAST(1::BIGINT << CAST(k AS INT) AS DOUBLE))
+        |    AS decayed_score
+        |  FROM w GROUP BY user_id)
+        |SELECT user_id, n_events, decayed_score FROM s
+        |ORDER BY decayed_score DESC, user_id LIMIT 100""".stripMargin,
+
+    "q127_robust_scale" ->
+      """WITH st AS (SELECT c_mktsegment,
+        |  round(quantile_cont(c_acctbal, 0.5), 6) AS med,
+        |  round(quantile_cont(c_acctbal, 0.75) -
+        |        quantile_cont(c_acctbal, 0.25), 6) AS iqr
+        |  FROM customer GROUP BY c_mktsegment)
+        |SELECT c_custkey, c.c_mktsegment, c_acctbal,
+        |  round((c_acctbal - med) / iqr, 4) AS c_acctbal_robust
+        |FROM customer c JOIN st ON st.c_mktsegment = c.c_mktsegment
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q128_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q129_pagerank" -> {
+      def iter(i: Int) =
+        s"""c$i AS (SELECT e.ed AS node,
+           |  sum(CAST(round(r.rank / dg.deg, 14) AS DECIMAL(30,16))) AS s
+           |  FROM edg e JOIN r${i - 1} r ON r.node = e.es
+           |  JOIN dg ON dg.node = e.es
+           |  GROUP BY e.ed),
+           |r$i AS (SELECT n.node,
+           |  round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+           |    coalesce(CAST(c.s AS DOUBLE), 0), 12) AS rank
+           |  FROM nd n CROSS JOIN nn LEFT JOIN c$i c ON c.node = n.node)""".stripMargin
+      s"""WITH $shinglesCte,
+         |${minhashSig(4, 2)},
+         |pairs AS (${minhashPairs(4, 2)}),
+         |edg AS (SELECT doc_a AS es, doc_b AS ed FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nd AS (SELECT doc_id AS node FROM documents),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+         |dg AS (SELECT es AS node, CAST(count(*) AS DOUBLE) AS deg
+         |       FROM edg GROUP BY es),
+         |r0 AS (SELECT node, round(CAST(1 AS DOUBLE) / nn.n, 12) AS rank
+         |       FROM nd CROSS JOIN nn),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node AS doc_id, round(rank, 6) AS rank
+         |FROM r3 ORDER BY doc_id""".stripMargin
+    },
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

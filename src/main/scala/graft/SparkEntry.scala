@@ -839,9 +839,12 @@ object SparkEntry {
           expr("unix_micros(ts) div 86400000000 div 7").as("wk"))
         .distinct()
       val act = uw.groupBy("wk").agg(count(lit(1)).as("n_active"))
-      val ret = uw.alias("a")
-        .join(uw.alias("b"),
-          col("a.user_id") === col("b.user_id") && col("b.wk") === col("a.wk") + 1,
+      // renamed right side (not .alias): fresh attribute ids, so the
+      // self-join needs no ambiguity fix-up (and logs no warning).
+      val nxt = uw.select(col("user_id").as("__u2"), col("wk").as("__wk2"))
+      val ret = uw
+        .join(nxt,
+          col("user_id") === col("__u2") && col("__wk2") === col("wk") + 1,
           "left_semi")
         .groupBy("wk").agg(count(lit(1)).as("n_retained"))
       act.join(ret, Seq("wk"), "left")
@@ -1244,6 +1247,113 @@ object SparkEntry {
     "q117_kmv_distinct" -> ((s, d) =>
       SketchOps.kmvDistinct(Tables.events(s, d), "event_type", "user_id", 64)
         .orderBy("event_type")),
+
+    // ops/stats — mutual information: model-free feature-vs-label
+    // relevance over exact contingency counts.
+    "q118_mutual_info" -> ((s, d) =>
+      MetricOps.mutualInfo(
+        Tables.events(s, d)
+          .withColumn("label", (col("value") > 100).cast("int")),
+        "event_type", "label")),
+
+    // ops/sketch — Count-Min frequency estimates for the heaviest keys,
+    // exact counts alongside so the overcount is visible.
+    "q119_cms_heavy_hitters" -> ((s, d) =>
+      SketchOps.cmsHeavyHitters(Tables.events(s, d), "user_id")
+        .orderBy(col("exact_c").desc, col("user_id"))),
+
+    // ops/stats — Spearman rank correlation per group (histogram-derived
+    // average-tie ranks; no raw-row global window).
+    "q120_spearman" -> ((s, d) =>
+      MetricOps.spearman(Tables.lineitem(s, d), "l_returnflag",
+        "l_quantity", "l_extendedprice").orderBy("l_returnflag")),
+
+    // ops/text — corpus unigram entropy (decimal-summed ln terms).
+    "q121_token_entropy" -> ((s, d) =>
+      TextOps.tokenEntropy(Tables.documents(s, d), "text")),
+
+    // ops/text — Jensen–Shannon drift between even/odd doc_id slices.
+    "q122_js_divergence" -> ((s, d) =>
+      TextOps.jsDivergence(Tables.documents(s, d), "text",
+        col("doc_id") % 2 === 0)),
+
+    // ops/dedup — asymmetric containment (small doc swallowed by a
+    // bigger one): inverted-index candidates + size precondition.
+    "q123_containment_join" -> ((s, d) =>
+      DedupOps.containmentJoin(Tables.documents(s, d), "doc_id", "text", 0.8)
+        .orderBy("doc_a", "doc_b")),
+
+    // ops/sketch — Bloom membership probe of customers against the
+    // top-1000-by-order-count key set; per-segment FP calibration.
+    "q124_bloom_membership" -> ((s, d) => {
+      val top = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("o_custkey")).limit(1000)
+      SketchOps.bloomMembership(top, "o_custkey",
+        Tables.customer(s, d), "c_custkey", "c_mktsegment")
+        .orderBy("c_mktsegment")
+    }),
+
+    // OLAP — TPC-H Q18 shape: large-quantity orders (integral-double
+    // sums are exact, so the HAVING guard is engine-stable).
+    "q125_tpch_q18" -> ((s, d) => {
+      val big = Tables.lineitem(s, d).groupBy("l_orderkey")
+        .agg(sum("l_quantity").cast("long").as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      big.join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey")).limit(100)
+    }),
+
+    // ops/retrieval — exact dyadic time-decayed engagement (2^-⌊age/hl⌋
+    // weights: reproducible without rounding).
+    "q126_decayed_popularity" -> ((s, d) =>
+      RetrievalOps.decayedPopularity(Tables.events(s, d), "user_id", "ts",
+        halflifeDays = 30)),
+
+    // ops/encode — robust median/IQR scaling per segment.
+    "q127_robust_scale" -> ((s, d) =>
+      EncodeOps.robustScale(Tables.customer(s, d), "c_mktsegment", "c_acctbal")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          col("c_acctbal_robust"))
+        .orderBy("c_custkey")),
+
+    // OLAP — TPC-H Q10 shape: returned-item revenue per customer over a
+    // date window; decimal-exact revenue (q84/q85 discipline), top-20.
+    "q128_tpch_q10" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))"))
+          .cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)),
+
+    // ops/graph — deterministic PageRank over the near-dup candidate
+    // graph (decimal-exact inbound mass per iteration).
+    "q129_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.minhashCandidates(
+        DedupOps.minhashSignature(
+          DedupOps.shingles(docs, "doc_id", "text"), "doc_id", 4, 2),
+        "doc_id", 4, 2)
+      val ed = pairs.select(col("doc_a").as("es"), col("doc_b").as("ed"))
+        .unionAll(pairs.select(col("doc_b").as("es"), col("doc_a").as("ed")))
+      GraphOps.pageRankPortable(docs.select("doc_id"), "doc_id",
+          ed, "es", "ed", 3)
+        .select(col("node").as("doc_id"), col("rank"))
+        .orderBy("doc_id")
+    }),
 
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).

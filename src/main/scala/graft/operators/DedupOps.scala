@@ -314,4 +314,35 @@ object DedupOps {
       .join(histFp, Seq("fp"), "left_anti")
       .select(col(idCol), col("fp"))
   }
+
+  /** Asymmetric containment join: pairs (a, b) where a fraction ≥ `t` of
+    * a's shingles also appear in b — the relation Jaccard misses when a
+    * small document is swallowed whole by a much larger one (boilerplate
+    * inclusion, quote-expansion, chunk-of-document duplication).
+    *
+    * Candidates come from the shingle inverted index (docs sharing ≥1
+    * shingle); the size precondition |b| ≥ t·|a| prunes pairs BEFORE the
+    * intersection count — output-neutral, since |a∩b| ≤ |b| makes the
+    * threshold unreachable below it. Exact by construction; at corpus
+    * scale the candidate step routes through the banded MinHash join
+    * (minhashCandidates) first, same recall/precision split as
+    * `lshJaccard`.
+    */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      t: Double): DataFrame = {
+    val sh = shingles(df, idCol, textCol)
+    val szs = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
+      .join(szs.select(col(idCol).as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
+    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
+      .join(szs.select(col(idCol).as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b") &&
+        col("__nb").cast("double") >= lit(t) * col("__na"))
+      .groupBy(col("doc_a"), col("doc_b"), col("__na"))
+      .agg(count(lit(1)).as("__inter"))
+      .filter(col("__inter").cast("double") >= lit(t) * col("__na"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("__inter").cast("double") / col("__na"), 6).as("containment"))
+  }
 }

@@ -64,4 +64,24 @@ object EncodeOps {
         least(greatest(col(valueCol), col("__lo")), col("__hi")))
       .drop("__lo", "__hi")
   }
+
+  /** Robust (median/IQR) scaling per group: (x − p50) / (p75 − p25) —
+    * the outlier-immune alternative to z-scoring for heavy-tailed
+    * features. Same shared-constant discipline as `winsorize`/zscore:
+    * the three quantiles are exact (`percentile`), ROUNDED to 6 dp
+    * in-plan before use so both engines divide by identical doubles,
+    * and the scaled value rounds at 4 dp. One tiny per-group stats
+    * aggregate broadcast back over the rows — no global window.
+    */
+  def robustScale(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      round(percentile(col(valueCol), lit(0.5)), 6).as("__med"),
+      round(percentile(col(valueCol), lit(0.75)) -
+        percentile(col(valueCol), lit(0.25)), 6).as("__iqr"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn(s"${valueCol}_robust",
+        round((col(valueCol) - col("__med")) / col("__iqr"), 4))
+      .drop("__med", "__iqr")
+  }
 }

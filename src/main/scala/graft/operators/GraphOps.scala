@@ -94,4 +94,48 @@ object GraphOps {
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
+
+  /** Cross-engine-deterministic PageRank: same Pregel-as-joins shape as
+    * `pageRank`, but every iteration's inbound mass is summed EXACTLY —
+    * per-edge contributions round to 14 dp and accumulate as DECIMAL,
+    * and the new rank is re-rounded to 12 dp — so after any number of
+    * iterations the ranks are a pure function of the graph, not of
+    * partitioning or merge order. (The 2·10⁻¹⁵-relative contribution
+    * perturbation from rounding is orders below the 6 dp output.)
+    * Teleport literals are 0.15/0.85 exactly — NOT `1.0 - 0.85`, which
+    * is a different double than the 0.15 an oracle engine parses.
+    */
+  def pageRankPortable(nodes: DataFrame, nodeCol: String, edges: DataFrame,
+                       srcCol: String, dstCol: String,
+                       iters: Int): DataFrame = {
+    // Materialize the edge list once: each iteration joins it, and an
+    // un-checkpointed lineage would re-derive the (possibly expensive —
+    // e.g. MinHash-candidate) edge pipeline every round.
+    val ed = edges.select(col(srcCol).as("node"), col(dstCol).as("__dst"))
+      .localCheckpoint(true)
+    val n = nodes.select(col(nodeCol).as("node"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val deg = ed.groupBy(col("node"))
+      .agg(count(lit(1)).cast("double").as("__deg"))
+    var ranks = nodes.select(col(nodeCol).as("node"))
+      .crossJoin(broadcast(n))
+      .select(col("node"), round(lit(1.0) / col("__n"), 12).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = ed
+        .join(ranks, "node").join(deg, "node")
+        .groupBy(col("__dst").as("node"))
+        .agg(sum(expr("CAST(round(rank / __deg, 14) AS DECIMAL(30,16))"))
+          .as("__in"))
+      ranks = nodes.select(col(nodeCol).as("node"))
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          round(lit(0.15) / col("__n") +
+            lit(0.85) * coalesce(col("__in").cast("double"), lit(0.0)), 12)
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
 }

@@ -199,6 +199,74 @@ object MetricOps {
         col("__term").cast("double").as("term"), col("psi_total"))
   }
 
+  /** Mutual information I(X;Y) between two categorical columns, in nats —
+    * the model-free feature-relevance score used to rank candidate
+    * features against the label before training.
+    *
+    * I = Σ_{x,y} p(x,y) · ln( p(x,y) / (p(x)·p(y)) ), cells with zero
+    * joint count contribute nothing. All probabilities derive from exact
+    * BIGINT counts; each cell term is rounded to 12 dp and summed as
+    * DECIMAL so the total is independent of cell visit order (the same
+    * exact-regroup trick as `psi`). Scale: one hash aggregation over
+    * (x, y) — |X|·|Y| cells — then two broadcast marginal joins; no
+    * all-pairs anything.
+    */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__nxy"))
+    val mx = joint.groupBy("__x").agg(sum("__nxy").cast("long").as("__nx"))
+    val my = joint.groupBy("__y").agg(sum("__nxy").cast("long").as("__ny"))
+    val n = joint.agg(sum("__nxy").cast("long").as("__n"))
+    joint
+      .join(broadcast(mx), "__x").join(broadcast(my), "__y")
+      .crossJoin(broadcast(n))
+      .withColumn("__term",
+        round((col("__nxy").cast("double") / col("__n")) *
+          log(col("__nxy").cast("double") * col("__n") /
+            (col("__nx").cast("double") * col("__ny"))), 12)
+          .cast("decimal(28,14)"))
+      .agg(round(sum(col("__term")).cast("double"), 6).as("mi_nats"),
+        count(lit(1)).as("n_cells"),
+        max("__n").as("n_rows"))
+  }
+
+  /** Spearman rank correlation per group: Pearson correlation of
+    * average-tie ranks. Ranks come from each group's value histogram
+    * (cumulative count below + half the tie width) — never a global
+    * window over raw rows, so no single-partition sort at scale; the
+    * window runs over DISTINCT values per group. Doubled ranks keep the
+    * tie midpoints integral; correlation is invariant under the 2×
+    * affine map. Output rounds to 6 dp (corr's double merge is
+    * order-dependent in the last ulp, same stance as q68).
+    */
+  def spearman(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String): DataFrame = {
+    def ranks2(c: String, out: String): DataFrame = {
+      val hist = df.groupBy(col(groupCol), col(c))
+        .agg(count(lit(1)).as("__n"))
+      hist.withColumn("__below",
+          coalesce(sum("__n").over(
+            Window.partitionBy(col(groupCol)).orderBy(col(c))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        // avg rank = below + (n+1)/2; doubled: 2·below + n + 1
+        .select(col(groupCol), col(c),
+          (col("__below") * 2 + col("__n") + 1).as(out))
+    }
+    df.select(col(groupCol), col(xCol), col(yCol))
+      .join(ranks2(xCol, "__rx"), Seq(groupCol, xCol))
+      .join(ranks2(yCol, "__ry"), Seq(groupCol, yCol))
+      .groupBy(col(groupCol))
+      // corr() raises DIVIDE_BY_ZERO under ANSI when a rank column has
+      // zero variance (all-tied input); the explicit covar/stddev form
+      // with try_divide returns null there — the same answer DuckDB's
+      // corr gives — and is identical math everywhere else.
+      .agg(round(expr(
+        "try_divide(covar_pop(CAST(__rx AS DOUBLE), CAST(__ry AS DOUBLE)), " +
+          "stddev_pop(CAST(__rx AS DOUBLE)) * stddev_pop(CAST(__ry AS DOUBLE)))"),
+        6).as("spearman"),
+        count(lit(1)).as("n"))
+  }
+
   def approxConstPruneReport(df: DataFrame, cols: Seq[String]): DataFrame = {
     val sorted = cols.sorted
     val aggs = sorted.map(c => approx_count_distinct(col(c)).as(s"__nd_$c"))

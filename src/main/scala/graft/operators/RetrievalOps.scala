@@ -259,4 +259,35 @@ object RetrievalOps {
           .orderBy(col("rrf").desc, col(itemCol))).cast("long"))
       .filter(col("rank") <= topN)
   }
+
+  /** Time-decayed engagement score with EXACT half-life arithmetic:
+    * each event weighs 2^(−⌊age/halflife⌋) — the decay exponent is an
+    * integer, so every weight is a dyadic rational (1, 1/2, 1/4, …,
+    * down to 2^−`capHalvings`) and the per-key double sum is EXACT and
+    * order-independent (all partial sums stay representable: ≤ 2^53
+    * significand window for counts < 2^(53−cap)). That makes the score
+    * reproducible across engines, partitionings and re-runs WITHOUT any
+    * rounding — the property `pow(0.5, age/halflife)` (libm-divergent,
+    * order-dependent sum) can never give. The reference epoch is
+    * max(ts) over the input, computed in-plan (broadcast scalar).
+    * One aggregation; decays merge associatively at any scale.
+    */
+  def decayedPopularity(events: DataFrame, keyCol: String, tsCol: String,
+                        halflifeDays: Int, capHalvings: Int = 20,
+                        topN: Int = 100): DataFrame = {
+    val ref = events.agg(max(unix_micros(col(tsCol))).as("__ref"))
+    events.select(col(keyCol), unix_micros(col(tsCol)).as("__tsu"))
+      .crossJoin(broadcast(ref))
+      // `div` (integer floor division) — a double `/` then cast would
+      // drift from DuckDB's `//` at quotient boundaries.
+      .withColumn("__k", least(
+        expr(s"(__ref - __tsu) div ${86400000000L * halflifeDays.toLong}"),
+        lit(capHalvings.toLong)))
+      .withColumn("__w",
+        lit(1.0) / expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(__k AS INT)) AS DOUBLE)"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum("__w").as("decayed_score"))
+      .orderBy(col("decayed_score").desc, col(keyCol))
+      .limit(topN)
+  }
 }

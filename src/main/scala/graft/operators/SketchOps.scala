@@ -55,4 +55,92 @@ object SketchOps {
         round(abs(col("kmv_est") - col("exact_distinct")) /
           col("exact_distinct"), 4))
   }
+
+  /** Count-Min sketch frequency estimates for the `topN` heaviest keys.
+    *
+    * The sketch is `depth` rows × `width` counters; row i hashes a key
+    * with the i-th 8-hex-char slice of one md5 (same one-digest slicing
+    * as the MinHash signature — one hash evaluation per key, not
+    * `depth`). An estimate is the MIN of the key's `depth` counters and
+    * can only over-count (collisions add, never subtract) — the output
+    * keeps the exact count next to the estimate so the overcount is
+    * visible.
+    *
+    * Scale: building is ONE hash aggregation producing depth·width rows
+    * (the sketch — merge sketches from 1000 executors by adding
+    * counters, which the partial aggregation does for free); probing
+    * broadcasts those few rows. Nothing here is proportional to
+    * |distinct keys| — that is the point of the sketch.
+    */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, depth: Int = 4,
+                      width: Int = 64, topN: Int = 20): DataFrame = {
+    def bucketed(d: DataFrame): DataFrame = {
+      val slots = (0 until depth).map { i =>
+        struct(lit(i).as("d"),
+          pmod(conv(substring(md5(col(keyCol).cast("string")),
+            i * 8 + 1, 8), 16, 10).cast("long"), lit(width)).as("b"))
+      }
+      d.withColumn("__slot", explode(array(slots: _*)))
+        .select(col("*"), col("__slot.d").as("__d"), col("__slot.b").as("__b"))
+        .drop("__slot")
+    }
+    val sketch = bucketed(df.select(col(keyCol)))
+      .groupBy("__d", "__b").agg(count(lit(1)).as("__c"))
+    val heavy = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("exact_c"))
+      .orderBy(col("exact_c").desc, col(keyCol))
+      .limit(topN)
+    bucketed(heavy)
+      .join(broadcast(sketch), Seq("__d", "__b"))
+      .groupBy(col(keyCol), col("exact_c"))
+      .agg(min("__c").cast("long").as("cms_est"))
+      .withColumn("overcount", (col("cms_est") - col("exact_c")).cast("long"))
+  }
+
+  /** Bloom-filter membership probe: build a `words`×32-bit filter from
+    * the distinct keys of `build`, probe every key of `probe`, and
+    * report per-`segCol` totals — probable positives (filter), true
+    * members (exact semi-join kept alongside for calibration), and the
+    * implied false positives.
+    *
+    * k = 4 bit positions per key from 8-hex-char md5 slices; 32-bit
+    * words keep `1 << bit` away from the BIGINT sign bit in every
+    * engine. The built filter is `words` rows of OR-ed masks —
+    * broadcast to the probe side, so probing is a map-side lookup; at
+    * cluster scale this is exactly the shape of a runtime join filter:
+    * tiny build output, no shuffle of the probe table.
+    */
+  def bloomMembership(build: DataFrame, buildKey: String,
+                      probe: DataFrame, probeKey: String, segCol: String,
+                      words: Int = 256): DataFrame = {
+    val mBits = words * 32
+    def positions(key: org.apache.spark.sql.Column) = (0 until 4).map { i =>
+      pmod(conv(substring(md5(key.cast("string")), i * 8 + 1, 8), 16, 10)
+        .cast("long"), lit(mBits))
+    }
+    val keys = build.select(col(buildKey).as("__k")).distinct()
+    val filterWords = keys
+      .withColumn("__p", explode(array(positions(col("__k")): _*)))
+      .select((col("__p") / 32).cast("long").as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 32 AS INT))").as("__m"))
+      .groupBy("__w").agg(bit_or(col("__m")).as("__mask"))
+    val probed = probe
+      .withColumn("__p", explode(array(positions(col(probeKey)): _*)))
+      .withColumn("__w", (col("__p") / 32).cast("long"))
+      .withColumn("__m",
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 32 AS INT))"))
+      .join(broadcast(filterWords), Seq("__w"), "left")
+      .groupBy(col(probeKey), col(segCol))
+      .agg(min(coalesce(col("__mask").bitwiseAND(col("__m")) =!= 0,
+        lit(false)).cast("int")).as("__pos"))
+    probed
+      .join(keys.withColumnRenamed("__k", probeKey)
+        .withColumn("__true", lit(1)), Seq(probeKey), "left")
+      .na.fill(0, Seq("__true"))
+      .groupBy(col(segCol))
+      .agg(count(lit(1)).as("n_probed"),
+        sum("__pos").cast("long").as("n_bloom_pos"),
+        sum("__true").cast("long").as("n_member"),
+        (sum("__pos") - sum("__true")).cast("long").as("n_false_pos"))
+  }
 }

@@ -317,4 +317,58 @@ object TextOps {
       .select(col(idCol), size(col("__fps")).cast("long").as("n_fps"),
         array_join(col("__fps"), ",").as("fingerprints"))
   }
+
+  /** Corpus-level token entropy in nats: H = −Σ p·ln p over the global
+    * unigram distribution, plus the distinct/total counts and H
+    * normalized by ln(distinct) (1.0 = uniform). The per-token terms are
+    * rounded to 12 dp and summed as DECIMAL, so the scalar is
+    * independent of summation order (the exact-regroup stance of
+    * `MetricOps.psi`). One explode + one hash aggregation; the final
+    * reduce sees |vocab| rows, never |tokens|.
+    */
+  def tokenEntropy(df: DataFrame, textCol: String): DataFrame = {
+    val tf = df.select(explode(tokens(col(textCol))).as("__tok"))
+      .groupBy("__tok").agg(count(lit(1)).as("__c"))
+    val n = tf.agg(sum("__c").cast("long").as("__n"))
+    tf.crossJoin(broadcast(n))
+      .withColumn("__term",
+        round(-(col("__c").cast("double") / col("__n")) *
+          log(col("__c").cast("double") / col("__n")), 12)
+          .cast("decimal(28,14)"))
+      .agg(max("__n").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(sum("__term").cast("double"), 6).as("entropy_nats"),
+        round(sum("__term").cast("double") /
+          log(count(lit(1)).cast("double")), 6).as("norm_entropy"))
+  }
+
+  /** Jensen–Shannon divergence (nats) between the unigram distributions
+    * of two corpus slices (`sideExpr` = boolean: true → side A). Tokens
+    * absent from one side contribute only the present side's half-term
+    * (p·ln 2 at q=0). Bounded in [0, ln 2]; the drift alarm that, unlike
+    * PSI, needs no binning and never divides by zero. Counts are exact
+    * BIGINTs from one hash aggregation over (token, side); per-token
+    * terms round to 12 dp and sum as DECIMAL (order-independent).
+    */
+  def jsDivergence(df: DataFrame, textCol: String,
+                   sideExpr: Column): DataFrame = {
+    val tf = df.select(explode(tokens(col(textCol))).as("__tok"),
+        sideExpr.cast("int").as("__side"))
+      .groupBy("__tok")
+      .agg(sum(when(col("__side") === 1, 1L).otherwise(0L)).cast("long").as("__ca"),
+        sum(when(col("__side") === 0, 1L).otherwise(0L)).cast("long").as("__cb"))
+    val tot = tf.agg(sum("__ca").cast("long").as("__na"),
+      sum("__cb").cast("long").as("__nb"))
+    val half = tf.crossJoin(broadcast(tot))
+      .withColumn("__p", col("__ca").cast("double") / col("__na"))
+      .withColumn("__q", col("__cb").cast("double") / col("__nb"))
+      .withColumn("__m", (col("__p") + col("__q")) / 2)
+      .withColumn("__term", round(
+        (when(col("__ca") > 0, col("__p") * log(col("__p") / col("__m")))
+          .otherwise(lit(0.0)) +
+         when(col("__cb") > 0, col("__q") * log(col("__q") / col("__m")))
+          .otherwise(lit(0.0))) / 2, 12).cast("decimal(28,14)"))
+    half.agg(max("__na").as("n_tokens_a"), max("__nb").as("n_tokens_b"),
+      round(sum("__term").cast("double"), 6).as("js_nats"))
+  }
 }
