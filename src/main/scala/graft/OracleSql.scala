@@ -1615,6 +1615,28 @@ object OracleSql {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
+    "q130_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 4)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE)
+        |  AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q131_tpch_q14" ->
+      """SELECT round(100 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN round(l_extendedprice * (1 - l_discount), 4) ELSE 0 END
+        |      AS DECIMAL(18,4))) AS DOUBLE)
+        |    / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_pct,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
     "q129_pagerank" -> {
       def iter(i: Int) =
         s"""c$i AS (SELECT e.ed AS node,

@@ -1339,6 +1339,35 @@ object SparkEntry {
           .cast("double").as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)),
 
+    // OLAP — TPC-H Q6 shape: single-pass filtered revenue aggregate
+    // (every predicate pushed to the scan; decimal-exact sum).
+    "q130_tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * l_discount, 4) AS DECIMAL(18,4))"))
+          .cast("double").as("revenue"), count(lit(1)).as("n_items"))),
+
+    // OLAP — TPC-H Q14 shape: promo revenue share over a month
+    // (broadcast part dim; conditional decimal-exact sums).
+    "q131_tpch_q14" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100) * sum(expr(
+            "CAST(CASE WHEN p_type = 'PROMO' THEN " +
+              "round(l_extendedprice * (1 - l_discount), 4) ELSE 0 END " +
+              "AS DECIMAL(18,4))")).cast("double")
+          / sum(expr(
+            "CAST(round(l_extendedprice * (1 - l_discount), 4) " +
+              "AS DECIMAL(18,4))")).cast("double"), 6).as("promo_pct"),
+          count(lit(1)).as("n_items"))),
+
     // ops/graph — deterministic PageRank over the near-dup candidate
     // graph (decimal-exact inbound mass per iteration).
     "q129_pagerank" -> ((s, d) => {

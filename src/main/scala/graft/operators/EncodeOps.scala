@@ -80,8 +80,10 @@ object EncodeOps {
       round(percentile(col(valueCol), lit(0.75)) -
         percentile(col(valueCol), lit(0.25)), 6).as("__iqr"))
     df.join(broadcast(stats), groupCol)
+      // zero IQR (≥50% identical values) → null, not ±Infinity
       .withColumn(s"${valueCol}_robust",
-        round((col(valueCol) - col("__med")) / col("__iqr"), 4))
+        when(col("__iqr") =!= 0.0,
+          round((col(valueCol) - col("__med")) / col("__iqr"), 4)))
       .drop("__med", "__iqr")
   }
 }

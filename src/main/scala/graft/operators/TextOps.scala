@@ -338,8 +338,10 @@ object TextOps {
       .agg(max("__n").as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         round(sum("__term").cast("double"), 6).as("entropy_nats"),
-        round(sum("__term").cast("double") /
-          log(count(lit(1)).cast("double")), 6).as("norm_entropy"))
+        // single-token vocabulary → ln(1) = 0 divisor → null, not NaN
+        when(count(lit(1)) > 1,
+          round(sum("__term").cast("double") /
+            log(count(lit(1)).cast("double")), 6)).as("norm_entropy"))
   }
 
   /** Jensen–Shannon divergence (nats) between the unigram distributions

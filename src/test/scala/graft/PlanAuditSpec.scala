@@ -158,6 +158,44 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bhj.size >= 2, s"both margins must broadcast, got ${bhj.size}")
   }
 
+  test("q119: the CMS sketch broadcasts onto the probe — never the reverse") {
+    val df = plan("q119_cms_heavy_hitters")
+    df.count()
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "sketch-probe join must be a broadcast hash join")
+  }
+
+  test("q124: the Bloom filter words broadcast to the probe side") {
+    val df = plan("q124_bloom_membership")
+    df.count()
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "filter-word join must be a broadcast hash join")
+  }
+
+  test("q130: Q6 predicates reach the lineitem scan and prune its schema") {
+    // PushedFilters renders truncated in plan strings — assert the scan
+    // carries pushed filters at all, and that ReadSchema keeps only the
+    // 4 referenced columns (no l_orderkey → projection pruned).
+    val s = plan("q130_tpch_q6").queryExecution.executedPlan.toString
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(s.contains("ReadSchema") && !s.contains("l_orderkey"))
+  }
+
+  test("q126: dyadic decay is one aggregation — no window, no extra shuffles") {
+    val df = plan("q126_decayed_popularity")
+    df.count()
+    val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(wins.isEmpty, "decay must not use a window")
+    // key hash agg + scalar max(ts) merge + final top-N ordering
+    assert(shuffles(df).length <= 3)
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {

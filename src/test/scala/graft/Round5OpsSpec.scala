@@ -138,6 +138,20 @@ class Round5OpsSpec extends SparkSpec {
 
   // ------------------------------------------------------ robust scaling
 
+  test("robustScale: zero-IQR group scales to null, not Infinity") {
+    // 4×5.0 + one outlier: p25 = p50 = p75 = 5 → IQR exactly 0
+    val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 5.0), ("g", 9.0))
+      .toDF("g", "v")
+    val out = EncodeOps.robustScale(df, "g", "v").select("v_robust").collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("tokenEntropy: single-token vocabulary yields 0 entropy, null norm") {
+    val row = TextOps.tokenEntropy(Seq("a a a").toDF("text"), "text")
+      .collect().head
+    assert(row.getDouble(2) == 0.0 && row.isNullAt(3))
+  }
+
   test("robustScale: median maps to 0 and IQR to unit distance") {
     val df = (1 to 101).map(i => ("g", i.toDouble)).toDF("g", "v")
     val out = EncodeOps.robustScale(df, "g", "v")
