@@ -1471,23 +1471,29 @@ object OracleSql {
         |FROM est ORDER BY exact_c DESC, user_id""".stripMargin,
 
     "q120_spearman" ->
-      """WITH hx AS (SELECT l_returnflag AS g, l_quantity AS v, count(*) AS n
-        |  FROM lineitem GROUP BY 1, 2),
-        |rx AS (SELECT g, v, 2 * coalesce(sum(n) OVER (PARTITION BY g ORDER BY v
+      """WITH joint AS (SELECT l_returnflag AS g, l_quantity AS x,
+        |  l_extendedprice AS y, count(*) AS w FROM lineitem GROUP BY 1, 2, 3),
+        |hx AS (SELECT g, x, CAST(sum(w) AS BIGINT) AS n FROM joint GROUP BY g, x),
+        |rx AS (SELECT g, x, 2 * coalesce(sum(n) OVER (PARTITION BY g ORDER BY x
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS r2
         |  FROM hx),
-        |hy AS (SELECT l_returnflag AS g, l_extendedprice AS v, count(*) AS n
-        |  FROM lineitem GROUP BY 1, 2),
-        |ry AS (SELECT g, v, 2 * coalesce(sum(n) OVER (PARTITION BY g ORDER BY v
+        |hy AS (SELECT g, y, CAST(sum(w) AS BIGINT) AS n FROM joint GROUP BY g, y),
+        |ry AS (SELECT g, y, 2 * coalesce(sum(n) OVER (PARTITION BY g ORDER BY y
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS r2
-        |  FROM hy)
-        |SELECT l.l_returnflag,
-        |  round(corr(CAST(rx.r2 AS DOUBLE), CAST(ry.r2 AS DOUBLE)), 6) AS spearman,
-        |  CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem l
-        |JOIN rx ON rx.g = l.l_returnflag AND rx.v = l.l_quantity
-        |JOIN ry ON ry.g = l.l_returnflag AND ry.v = l.l_extendedprice
-        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin,
+        |  FROM hy),
+        |j AS (SELECT joint.g, CAST(w AS HUGEINT) AS w,
+        |  CAST(rx.r2 AS HUGEINT) AS rx, CAST(ry.r2 AS HUGEINT) AS ry
+        |  FROM joint JOIN rx ON rx.g = joint.g AND rx.x = joint.x
+        |  JOIN ry ON ry.g = joint.g AND ry.y = joint.y),
+        |m AS (SELECT g, sum(w) AS n, sum(w * rx) AS sx, sum(w * ry) AS sy,
+        |  sum(w * rx * ry) AS sxy, sum(w * rx * rx) AS sxx,
+        |  sum(w * ry * ry) AS syy FROM j GROUP BY g)
+        |SELECT g AS l_returnflag,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman,
+        |  CAST(n AS BIGINT) AS n
+        |FROM m ORDER BY g""".stripMargin,
 
     "q121_token_entropy" ->
       """WITH tf AS (SELECT tok, count(*) AS c FROM

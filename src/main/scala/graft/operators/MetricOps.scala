@@ -231,40 +231,51 @@ object MetricOps {
   }
 
   /** Spearman rank correlation per group: Pearson correlation of
-    * average-tie ranks. Ranks come from each group's value histogram
-    * (cumulative count below + half the tie width) — never a global
-    * window over raw rows, so no single-partition sort at scale; the
-    * window runs over DISTINCT values per group. Doubled ranks keep the
-    * tie midpoints integral; correlation is invariant under the 2×
-    * affine map. Output rounds to 6 dp (corr's double merge is
-    * order-dependent in the last ulp, same stance as q68).
+    * average-tie ranks, computed entirely over the joint (x, y) value
+    * histogram. The raw rows are exchanged ONCE (the joint hash agg);
+    * marginal histograms, doubled average-tie ranks (2·below + n + 1 —
+    * integral at tie midpoints; correlation is affine-invariant), and
+    * the weighted co-moments all operate on histogram rows, never raw
+    * data. The rank windows run over DISTINCT values per group — no
+    * single-partition sort at any scale.
+    *
+    * Determinism: every moment (Σw, Σw·r, Σw·r·r', …) is an exact
+    * integer summed as DECIMAL(38,0) — order-independent — and the
+    * final corr is a few double ops on those exact moments, rounded to
+    * 6 dp. try_divide returns null on zero rank variance (all-tied
+    * input) instead of ANSI's divide-by-zero error.
     */
   def spearman(df: DataFrame, groupCol: String, xCol: String,
                yCol: String): DataFrame = {
+    val joint = df.groupBy(col(groupCol), col(xCol), col(yCol))
+      .agg(count(lit(1)).as("__w"))
     def ranks2(c: String, out: String): DataFrame = {
-      val hist = df.groupBy(col(groupCol), col(c))
-        .agg(count(lit(1)).as("__n"))
+      val hist = joint.groupBy(col(groupCol), col(c))
+        .agg(sum("__w").cast("long").as("__n"))
       hist.withColumn("__below",
           coalesce(sum("__n").over(
             Window.partitionBy(col(groupCol)).orderBy(col(c))
               .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        // avg rank = below + (n+1)/2; doubled: 2·below + n + 1
         .select(col(groupCol), col(c),
           (col("__below") * 2 + col("__n") + 1).as(out))
     }
-    df.select(col(groupCol), col(xCol), col(yCol))
+    val j = joint
       .join(ranks2(xCol, "__rx"), Seq(groupCol, xCol))
       .join(ranks2(yCol, "__ry"), Seq(groupCol, yCol))
-      .groupBy(col(groupCol))
-      // corr() raises DIVIDE_BY_ZERO under ANSI when a rank column has
-      // zero variance (all-tied input); the explicit covar/stddev form
-      // with try_divide returns null there — the same answer DuckDB's
-      // corr gives — and is identical math everywhere else.
-      .agg(round(expr(
-        "try_divide(covar_pop(CAST(__rx AS DOUBLE), CAST(__ry AS DOUBLE)), " +
-          "stddev_pop(CAST(__rx AS DOUBLE)) * stddev_pop(CAST(__ry AS DOUBLE)))"),
-        6).as("spearman"),
-        count(lit(1)).as("n"))
+    j.groupBy(col(groupCol))
+      .agg(sum(col("__w")).cast("decimal(38,0)").as("__n"),
+        sum(expr("CAST(__w AS DECIMAL(38,0)) * __rx")).as("__sx"),
+        sum(expr("CAST(__w AS DECIMAL(38,0)) * __ry")).as("__sy"),
+        sum(expr("CAST(__w AS DECIMAL(38,0)) * __rx * __ry")).as("__sxy"),
+        sum(expr("CAST(__w AS DECIMAL(38,0)) * __rx * __rx")).as("__sxx"),
+        sum(expr("CAST(__w AS DECIMAL(38,0)) * __ry * __ry")).as("__syy"))
+      .select(col(groupCol),
+        round(expr(
+          "try_divide(CAST(__n * __sxy - __sx * __sy AS DOUBLE), " +
+            "sqrt(CAST(__n * __sxx - __sx * __sx AS DOUBLE)) * " +
+            "sqrt(CAST(__n * __syy - __sy * __sy AS DOUBLE)))"), 6)
+          .as("spearman"),
+        col("__n").cast("long").as("n"))
   }
 
   def approxConstPruneReport(df: DataFrame, cols: Seq[String]): DataFrame = {
