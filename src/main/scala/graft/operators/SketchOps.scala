@@ -72,18 +72,27 @@ object SketchOps {
     * broadcasts those few rows. Nothing here is proportional to
     * |distinct keys| — that is the point of the sketch.
     */
+  /** Expand each row into `depth` (row-index, bucket) pairs — columns
+    * `__d`, `__b` — using 8-hex-char slices of ONE md5 per key. Shared
+    * by the batch sketch build, the probe side, and the streaming
+    * (incremental) sketch: identical bucketing is what makes a
+    * stream-built sketch interchangeable with a batch-built one.
+    */
+  def cmsBucketed(df: DataFrame, keyCol: String, depth: Int,
+                  width: Int): DataFrame = {
+    val slots = (0 until depth).map { i =>
+      struct(lit(i).as("d"),
+        pmod(conv(substring(md5(col(keyCol).cast("string")),
+          i * 8 + 1, 8), 16, 10).cast("long"), lit(width)).as("b"))
+    }
+    df.withColumn("__slot", explode(array(slots: _*)))
+      .select(col("*"), col("__slot.d").as("__d"), col("__slot.b").as("__b"))
+      .drop("__slot")
+  }
+
   def cmsHeavyHitters(df: DataFrame, keyCol: String, depth: Int = 4,
                       width: Int = 64, topN: Int = 20): DataFrame = {
-    def bucketed(d: DataFrame): DataFrame = {
-      val slots = (0 until depth).map { i =>
-        struct(lit(i).as("d"),
-          pmod(conv(substring(md5(col(keyCol).cast("string")),
-            i * 8 + 1, 8), 16, 10).cast("long"), lit(width)).as("b"))
-      }
-      d.withColumn("__slot", explode(array(slots: _*)))
-        .select(col("*"), col("__slot.d").as("__d"), col("__slot.b").as("__b"))
-        .drop("__slot")
-    }
+    def bucketed(d: DataFrame): DataFrame = cmsBucketed(d, keyCol, depth, width)
     val sketch = bucketed(df.select(col(keyCol)))
       .groupBy("__d", "__b").agg(count(lit(1)).as("__c"))
     val heavy = df.groupBy(col(keyCol))

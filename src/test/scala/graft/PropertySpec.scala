@@ -145,6 +145,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("(e) mutual information is symmetric: MI(x,y) = MI(y,x)") {
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      val df = (0 until 200)
+        .map(_ => (s"c${r.nextInt(4)}", r.nextInt(3))).toDF("x", "y")
+      val a = graft.operators.MetricOps.mutualInfo(df, "x", "y")
+        .collect().head.getDouble(0)
+      val b = graft.operators.MetricOps.mutualInfo(df, "y", "x")
+        .collect().head.getDouble(0)
+      assert(a == b, s"MI($a) != MI_swapped($b)")
+    }
+  }
+
+  test("(f) JS divergence is symmetric under side swap") {
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      val docs = (0L until 40L).map(i =>
+        (i, (0 until 10).map(_ => s"t${r.nextInt(15)}").mkString(" ")))
+        .toDF("doc_id", "text")
+      val a = graft.operators.TextOps.jsDivergence(docs, "text",
+        col("doc_id") % 2 === 0).collect().head.getDouble(2)
+      val b = graft.operators.TextOps.jsDivergence(docs, "text",
+        col("doc_id") % 2 =!= 0).collect().head.getDouble(2)
+      assert(a == b, s"JS($a) != JS_swapped($b)")
+    }
+  }
+
+  test("(g) Spearman is invariant under strictly monotone transforms") {
+    for (seed <- 1 to 3) {
+      val r = new Random(seed)
+      // values rounded to 1 dp → plenty of ties, exercising average ranks
+      val rows = (0 until 300).map { _ =>
+        ("g", math.rint(r.nextDouble() * 100) / 10.0,
+          math.rint(r.nextDouble() * 100) / 10.0)
+      }
+      val df = rows.toDF("g", "x", "y")
+      val tdf = rows.map { case (g, x, y) => (g, x * x, y) } // monotone on x≥0
+        .toDF("g", "x", "y")
+      val a = graft.operators.MetricOps.spearman(df, "g", "x", "y")
+        .collect().head.getDouble(1)
+      val b = graft.operators.MetricOps.spearman(tdf, "g", "x", "y")
+        .collect().head.getDouble(1)
+      assert(a == b, s"spearman($a) != transformed($b)")
+    }
+  }
+
   test("(d) hybrid union score = sum of channel scores per key") {
     for (seed <- 1 to 3) {
       val r = new Random(seed)
