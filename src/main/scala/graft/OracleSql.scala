@@ -1643,6 +1643,29 @@ object OracleSql {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
 
+    "q132_histogram_quantile" ->
+      """WITH b AS (SELECT o_orderpriority AS g,
+        |  CAST(least(floor(o_totalprice / CAST(5000 AS DOUBLE)), 199) AS BIGINT)
+        |    AS bin, count(*) AS c
+        |  FROM orders GROUP BY 1, 2),
+        |cum AS (SELECT g, bin, c,
+        |  coalesce(sum(c) OVER (PARTITION BY g ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM b),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY g),
+        |est AS (SELECT cum.g,
+        |  round(CAST(5000 AS DOUBLE) * (bin +
+        |    (CAST(0.95 AS DOUBLE) * n - below) / c), 6) AS q_est
+        |  FROM cum JOIN tot ON tot.g = cum.g
+        |  WHERE below < CAST(0.95 AS DOUBLE) * n
+        |    AND CAST(0.95 AS DOUBLE) * n <= below + c),
+        |ex AS (SELECT o_orderpriority AS g,
+        |  round(quantile_cont(o_totalprice, 0.95), 6) AS q_exact
+        |  FROM orders GROUP BY 1)
+        |SELECT est.g AS o_orderpriority, q_est, q_exact,
+        |  round(abs(q_est - q_exact), 6) AS abs_err
+        |FROM est JOIN ex ON ex.g = est.g ORDER BY 1""".stripMargin,
+
     "q129_pagerank" -> {
       def iter(i: Int) =
         s"""c$i AS (SELECT e.ed AS node,

@@ -1368,6 +1368,14 @@ object SparkEntry {
               "AS DECIMAL(18,4))")).cast("double"), 6).as("promo_pct"),
           count(lit(1)).as("n_items"))),
 
+    // ops/sketch — histogram-interpolated quantile (mergeable bins; the
+    // one-pass alternative to exact percentile's per-group sort), with
+    // the exact value alongside for calibration.
+    "q132_histogram_quantile" -> ((s, d) =>
+      SketchOps.histogramQuantile(Tables.orders(s, d), "o_orderpriority",
+          "o_totalprice", binWidth = 5000.0, nBins = 200, q = 0.95)
+        .orderBy("o_orderpriority")),
+
     // ops/graph — deterministic PageRank over the near-dup candidate
     // graph (decimal-exact inbound mass per iteration).
     "q129_pagerank" -> ((s, d) => {

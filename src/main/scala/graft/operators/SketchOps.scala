@@ -106,6 +106,45 @@ object SketchOps {
       .withColumn("overcount", (col("cms_est") - col("exact_c")).cast("long"))
   }
 
+  /** Histogram-sketch quantiles: equi-width bin counts (ONE hash
+    * aggregation — the sketch; bins merge by addition like CMS
+    * counters) → cumulative counts over ≤ `nBins` rows → linear
+    * interpolation inside the target bin. The mergeable alternative to
+    * exact `percentile`, which needs a per-group sort of all values;
+    * here raw rows are touched once and everything downstream is
+    * O(nBins). The exact percentile is computed alongside so the
+    * sketch error is visible (abs_err column), mirroring the
+    * exact-next-to-estimate discipline of `kmvDistinct`/`cmsHeavyHitters`.
+    *
+    * Deterministic: bin counts are exact integers; the estimate is a
+    * fixed arithmetic expression over them (binWidth·(bin + frac)),
+    * rounded at 6 dp.
+    */
+  def histogramQuantile(df: DataFrame, groupCol: String, valCol: String,
+                        binWidth: Double, nBins: Int,
+                        q: Double): DataFrame = {
+    val binned = df.groupBy(col(groupCol),
+        least(floor(col(valCol) / binWidth), lit(nBins - 1)).cast("long")
+          .as("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    val cum = binned.withColumn("__below",
+      coalesce(sum("__c").over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__bin"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = binned.groupBy(col(groupCol)).agg(sum("__c").cast("long").as("__n"))
+    val target = cum.join(tot, Seq(groupCol))
+      .withColumn("__t", lit(q) * col("__n"))
+      .filter(col("__below") < col("__t") &&
+        col("__t") <= col("__below") + col("__c"))
+      .select(col(groupCol),
+        round(lit(binWidth) * (col("__bin") +
+          (col("__t") - col("__below")) / col("__c")), 6).as("q_est"))
+    val exact = df.groupBy(col(groupCol))
+      .agg(round(percentile(col(valCol), lit(q)), 6).as("q_exact"))
+    target.join(exact, Seq(groupCol))
+      .withColumn("abs_err", round(abs(col("q_est") - col("q_exact")), 6))
+  }
+
   /** Bloom-filter membership probe: build a `words`×32-bit filter from
     * the distinct keys of `build`, probe every key of `probe`, and
     * report per-`segCol` totals — probable positives (filter), true

@@ -120,6 +120,23 @@ class Round5OpsSpec extends SparkSpec {
     assert(out(2L) == ((1L, 0.25)))  // exactly 1/4
   }
 
+  test("histogramQuantile: uniform data interpolates near-exactly") {
+    // 1..1000 uniform, binWidth 10 → estimate within one bin of exact
+    val df = (1 to 1000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val row = SketchOps.histogramQuantile(df, "g", "v", 10.0, 200, 0.5)
+      .collect().head
+    assert(math.abs(row.getDouble(1) - row.getDouble(2)) <= 10.0)
+    assert(row.getDouble(3) == math.abs(row.getDouble(1) - row.getDouble(2)))
+  }
+
+  test("histogramQuantile: overflow values clamp into the last bin") {
+    val df = (Seq.fill(99)(1.0) ++ Seq(1e9)).map(("g", _)).toDF("g", "v")
+    val row = SketchOps.histogramQuantile(df, "g", "v", 10.0, 5, 0.99)
+      .collect().head
+    // q=0.99 target lands in the clamped last bin (bin 4), not bin 1e8
+    assert(row.getDouble(1) <= 50.0)
+  }
+
   // -------------------------------------------------------- pagerank
 
   test("pageRankPortable: star center dominates; mass conserved on a cycle") {
