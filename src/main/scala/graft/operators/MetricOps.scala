@@ -212,8 +212,12 @@ object MetricOps {
     * all-pairs anything.
     */
   def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    // materialize the contingency table once: the marginals and the
+    // total each re-derive from it, and without the checkpoint every
+    // branch would re-scan the raw input (4 scans for 1)
     val joint = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
       .agg(count(lit(1)).as("__nxy"))
+      .localCheckpoint(true)
     val mx = joint.groupBy("__x").agg(sum("__nxy").cast("long").as("__nx"))
     val my = joint.groupBy("__y").agg(sum("__nxy").cast("long").as("__ny"))
     val n = joint.agg(sum("__nxy").cast("long").as("__n"))
@@ -247,8 +251,11 @@ object MetricOps {
     */
   def spearman(df: DataFrame, groupCol: String, xCol: String,
                yCol: String): DataFrame = {
+    // one raw-row scan total: both rank histograms and the moment pass
+    // reuse the materialized joint histogram
     val joint = df.groupBy(col(groupCol), col(xCol), col(yCol))
       .agg(count(lit(1)).as("__w"))
+      .localCheckpoint(true)
     def ranks2(c: String, out: String): DataFrame = {
       val hist = joint.groupBy(col(groupCol), col(c))
         .agg(sum("__w").cast("long").as("__n"))

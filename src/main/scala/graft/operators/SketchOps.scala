@@ -56,27 +56,13 @@ object SketchOps {
           col("exact_distinct"), 4))
   }
 
-  /** Count-Min sketch frequency estimates for the `topN` heaviest keys.
-    *
-    * The sketch is `depth` rows × `width` counters; row i hashes a key
-    * with the i-th 8-hex-char slice of one md5 (same one-digest slicing
-    * as the MinHash signature — one hash evaluation per key, not
-    * `depth`). An estimate is the MIN of the key's `depth` counters and
-    * can only over-count (collisions add, never subtract) — the output
-    * keeps the exact count next to the estimate so the overcount is
-    * visible.
-    *
-    * Scale: building is ONE hash aggregation producing depth·width rows
-    * (the sketch — merge sketches from 1000 executors by adding
-    * counters, which the partial aggregation does for free); probing
-    * broadcasts those few rows. Nothing here is proportional to
-    * |distinct keys| — that is the point of the sketch.
-    */
   /** Expand each row into `depth` (row-index, bucket) pairs — columns
-    * `__d`, `__b` — using 8-hex-char slices of ONE md5 per key. Shared
-    * by the batch sketch build, the probe side, and the streaming
-    * (incremental) sketch: identical bucketing is what makes a
-    * stream-built sketch interchangeable with a batch-built one.
+    * `__d`, `__b` — using 8-hex-char slices of ONE md5 per key (same
+    * one-digest slicing as the MinHash signature — one hash evaluation
+    * per key, not `depth`). Shared by the batch sketch build, the probe
+    * side, and the streaming (incremental) sketch: identical bucketing
+    * is what makes a stream-built sketch interchangeable with a
+    * batch-built one.
     */
   def cmsBucketed(df: DataFrame, keyCol: String, depth: Int,
                   width: Int): DataFrame = {
@@ -90,6 +76,19 @@ object SketchOps {
       .drop("__slot")
   }
 
+  /** Count-Min sketch frequency estimates for the `topN` heaviest keys.
+    *
+    * The sketch is `depth` rows × `width` counters. An estimate is the
+    * MIN of the key's `depth` counters and can only over-count
+    * (collisions add, never subtract) — the output keeps the exact
+    * count next to the estimate so the overcount is visible.
+    *
+    * Scale: building is ONE hash aggregation producing depth·width rows
+    * (the sketch — merge sketches from 1000 executors by adding
+    * counters, which the partial aggregation does for free); probing
+    * broadcasts those few rows. Nothing here is proportional to
+    * |distinct keys| — that is the point of the sketch.
+    */
   def cmsHeavyHitters(df: DataFrame, keyCol: String, depth: Int = 4,
                       width: Int = 64, topN: Int = 20): DataFrame = {
     def bucketed(d: DataFrame): DataFrame = cmsBucketed(d, keyCol, depth, width)
@@ -127,6 +126,7 @@ object SketchOps {
         least(floor(col(valCol) / binWidth), lit(nBins - 1)).cast("long")
           .as("__bin"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // cum + totals reuse the materialized bins
     val cum = binned.withColumn("__below",
       coalesce(sum("__c").over(
         Window.partitionBy(col(groupCol)).orderBy(col("__bin"))

@@ -327,8 +327,10 @@ object TextOps {
     * reduce sees |vocab| rows, never |tokens|.
     */
   def tokenEntropy(df: DataFrame, textCol: String): DataFrame = {
+    // materialize the vocab histogram once (total + terms both reuse it)
     val tf = df.select(explode(tokens(col(textCol))).as("__tok"))
       .groupBy("__tok").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val n = tf.agg(sum("__c").cast("long").as("__n"))
     tf.crossJoin(broadcast(n))
       .withColumn("__term",
@@ -359,6 +361,7 @@ object TextOps {
       .groupBy("__tok")
       .agg(sum(when(col("__side") === 1, 1L).otherwise(0L)).cast("long").as("__ca"),
         sum(when(col("__side") === 0, 1L).otherwise(0L)).cast("long").as("__cb"))
+      .localCheckpoint(true) // totals + terms reuse one materialization
     val tot = tf.agg(sum("__ca").cast("long").as("__na"),
       sum("__cb").cast("long").as("__nb"))
     val half = tf.crossJoin(broadcast(tot))
