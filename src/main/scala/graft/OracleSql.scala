@@ -1643,6 +1643,15 @@ object OracleSql {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
 
+    "q133_tpch_q13" ->
+      """WITH co AS (SELECT c_custkey,
+        |  CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM co GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
     "q132_histogram_quantile" ->
       """WITH b AS (SELECT o_orderpriority AS g,
         |  CAST(least(floor(o_totalprice / CAST(5000 AS DOUBLE)), 199) AS BIGINT)

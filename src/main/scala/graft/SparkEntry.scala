@@ -1368,6 +1368,17 @@ object SparkEntry {
               "AS DECIMAL(18,4))")).cast("double"), 6).as("promo_pct"),
           count(lit(1)).as("n_items"))),
 
+    // OLAP — TPC-H Q13 shape: customer order-count distribution
+    // (left join keeps zero-order customers; two stacked hash aggs).
+    "q133_tpch_q13" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+
     // ops/sketch — histogram-interpolated quantile (mergeable bins; the
     // one-pass alternative to exact percentile's per-group sort), with
     // the exact value alongside for calibration.
