@@ -1506,8 +1506,9 @@ object OracleSql {
         |SELECT CAST(max(n) AS BIGINT) AS n_tokens,
         |  CAST(count(*) AS BIGINT) AS n_distinct,
         |  round(CAST(sum(term) AS DOUBLE), 6) AS entropy_nats,
-        |  round(CAST(sum(term) AS DOUBLE) / ln(CAST(count(*) AS DOUBLE)), 6)
-        |    AS norm_entropy
+        |  CASE WHEN count(*) > 1 THEN
+        |    round(CAST(sum(term) AS DOUBLE) / ln(CAST(count(*) AS DOUBLE)), 6)
+        |  END AS norm_entropy
         |FROM t""".stripMargin,
 
     "q122_js_divergence" ->
@@ -1602,7 +1603,8 @@ object OracleSql {
         |        quantile_cont(c_acctbal, 0.25), 6) AS iqr
         |  FROM customer GROUP BY c_mktsegment)
         |SELECT c_custkey, c.c_mktsegment, c_acctbal,
-        |  round((c_acctbal - med) / iqr, 4) AS c_acctbal_robust
+        |  CASE WHEN iqr <> 0
+        |    THEN round((c_acctbal - med) / iqr, 4) END AS c_acctbal_robust
         |FROM customer c JOIN st ON st.c_mktsegment = c.c_mktsegment
         |ORDER BY c_custkey""".stripMargin,
 

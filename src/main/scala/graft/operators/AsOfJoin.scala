@@ -38,9 +38,18 @@ object AsOfJoin {
            leftTsCol: String, rightTsCol: String,
            joinType: String = "inner"): DataFrame = {
     graft.plans.GraftExtensions.register(left.sparkSession)
-    val cond = keyCols.map(k => left(k) === right(k)).reduce(_ && _) &&
-      call_function("graft_asof", left(leftTsCol), right(rightTsCol))
-    left.join(right, cond, joinType)
+    // Qualified unresolved refs, not left(k) === right(k): when both
+    // sides derive from the same scan those resolve to ONE attribute —
+    // a trivially-true predicate (WARN + heuristic self-join fix-up).
+    // The subquery aliases keep attribute ids, so callers can still
+    // disambiguate output columns via left("c") / right("c").
+    val l = left.alias("__asof_l")
+    val r = right.alias("__asof_r")
+    val cond = keyCols.map(k =>
+        col(s"__asof_l.$k") === col(s"__asof_r.$k")).reduce(_ && _) &&
+      call_function("graft_asof",
+        col(s"__asof_l.$leftTsCol"), col(s"__asof_r.$rightTsCol"))
+    l.join(r, cond, joinType)
   }
 
   /** @param payloadCols right-side columns to carry onto left rows

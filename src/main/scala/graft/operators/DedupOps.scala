@@ -87,45 +87,63 @@ object DedupOps {
       .distinct()
   }
 
-  /** SimHash (32-bit) signature: per-token md5 → 32-bit value; each bit
-    * votes ±tf; signature bit = sign of the vote sum. Hamming-close
-    * signatures ⇒ near-dup. Engine-portable: the token hash is the first
-    * 8 hex chars of md5, parsed base-16.
+  /** SimHash signature (32- or 64-bit): per-token md5 → `bits`-bit
+    * value; each bit votes ±tf; signature bit = sign of the vote sum.
+    * Hamming-close signatures ⇒ near-dup. Engine-portable: the 32-bit
+    * token hash is the first 8 hex chars of md5 parsed base-16 (the
+    * oracle-checked form); the 64-bit hash assembles TWO independent
+    * 32-bit slices — parsing 16 hex chars directly overflows a signed
+    * 64-bit parser for values ≥ 2⁶³, which not every engine handles.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 32): DataFrame = {
+    require(bits == 32 || bits == 64, "simhash supports 32 or 64 bits")
     val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
-      .withColumn("hv", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-    val votes = (0 until 32).map(i =>
+    val lo = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    val hashed =
+      if (bits == 32) tok.withColumn("hv", lo)
+      else tok.withColumn("hv", shiftleft(lo, 32).bitwiseOR(
+        conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long")))
+    // (hv >> i) & 1 is sign-safe: arithmetic shift only perturbs HIGH
+    // bits, and & 1 reads the lowest.
+    val votes = (0 until bits).map(i =>
       sum(col("tf") * (expr(s"(hv >> $i) & 1") * 2 - 1)).as(s"v_$i"))
-    val withVotes = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val sig = (0 until 32).map(i =>
-      when(col(s"v_$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    val withVotes = hashed.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    // bitwiseOR, not +: bit 63 is Long.MinValue and addition would
+    // overflow; for distinct powers of two OR ≡ + bit-for-bit.
+    val sig = (0 until bits).map(i =>
+      when(col(s"v_$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ bitwiseOR _)
     withVotes.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: the 32-bit signature is split into 4
-    * byte-wide bands; candidates share ANY band value (an equi-join on
-    * the melted (band, byte) key — same shape as [[minhashCandidates]]);
-    * each candidate's exact Hamming distance is then one xor+popcount.
-    * By pigeonhole the banding is EXACT for `maxHamming` ≤ 3: four
-    * mismatched bands would need ≥ 4 differing bits, so every pair
-    * within the threshold shares at least one band — recall 1.0, never
-    * an all-pairs join. Exactness depends only on the band COUNT, so
-    * widening each band shrinks buckets (n/256 per band here vs n/16
-    * for nibble bands) without losing a single true pair.
+  /** SimHash near-dup pairs: the signature is split into 4 equal bands
+    * (8 bits each at 32, 16 bits each at 64); candidates share ANY band
+    * value (an equi-join on the melted (band, key) key — same shape as
+    * [[minhashCandidates]]); each candidate's exact Hamming distance is
+    * then one xor+popcount. By pigeonhole the banding is EXACT for
+    * `maxHamming` ≤ 3: four mismatched bands would need ≥ 4 differing
+    * bits, so every pair within the threshold shares at least one band —
+    * recall 1.0, never an all-pairs join. Exactness depends only on the
+    * band COUNT, so widening each band shrinks buckets without losing a
+    * single true pair.
     *
-    * Scale note: at corpus scale the same plan runs with a 64-bit
-    * signature and 4×16-bit bands, which keeps band buckets at n/2^16;
-    * 32-bit is the widest signature whose per-token hash parses
-    * identically in every md5-capable engine without unsigned overflow.
+    * `bits = 64` is the corpus-scale knob: 4×16-bit bands keep band
+    * buckets at n/2¹⁶ (vs n/2⁸ for the 32-bit form), and the longer
+    * signature makes Hamming ≤ 3 a far sharper near-dup test. 32-bit
+    * stays the oracle-checked default (its per-token hash parses
+    * identically in every md5-capable engine without unsigned overflow).
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+                     maxHamming: Int = 3, bits: Int = 32): DataFrame = {
     require(maxHamming <= 3, "4-band split is exact only for maxHamming <= 3")
-    val sig = simhash(df, idCol, textCol)
+    val width = bits / 4
+    val mask = (1L << width) - 1
+    val sig = simhash(df, idCol, textCol, bits)
     val bands = (0 until 4).map(b =>
-      struct(lit(b).as("band"), expr(s"(simhash >> ${b * 8}) & 255").as("key")))
+      struct(lit(b).as("band"),
+        expr(s"(simhash >> ${b * width}) & $mask").as("key")))
     val long = sig.select(col(idCol), col("simhash"),
         explode(array(bands: _*)).as("bk"))
       .select(col(idCol), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
@@ -320,27 +338,61 @@ object DedupOps {
     * small document is swallowed whole by a much larger one (boilerplate
     * inclusion, quote-expansion, chunk-of-document duplication).
     *
-    * Candidates come from the shingle inverted index (docs sharing ≥1
-    * shingle); the size precondition |b| ≥ t·|a| prunes pairs BEFORE the
-    * intersection count — output-neutral, since |a∩b| ≤ |b| makes the
-    * threshold unreachable below it. Exact by construction; at corpus
-    * scale the candidate step routes through the banded MinHash join
-    * (minhashCandidates) first, same recall/precision split as
-    * `lshJaccard`.
+    * Candidates come from a rarest-first PREFIX filter on the a-side
+    * (the same pigeonhole trick as [[setSimJoin]], adapted to the
+    * asymmetric relation): containment ≥ t forces |a∩b| ≥ ⌈t·|a|⌉, so if
+    * NONE of a's first |a| − ⌈t·|a|⌉ + 1 shingles (in global
+    * rarest-first order) appear in b, at most ⌈t·|a|⌉ − 1 of a's
+    * shingles can — below threshold. Recall is therefore exactly 1.0
+    * while the candidate equi-join keys only on a's RAREST shingles: a
+    * boilerplate shingle shared by f documents lands in almost no
+    * prefix, so its bucket is ~0 × f instead of the f² the raw
+    * inverted-index self-join produces. The b-side stays the full
+    * shingle set (containment is asymmetric — b merely needs to contain
+    * the element), and the size precondition |b| ≥ t·|a| prunes before
+    * the exact intersection count (output-neutral: |a∩b| ≤ |b|).
     */
   def containmentJoin(df: DataFrame, idCol: String, textCol: String,
                       t: Double): DataFrame = {
-    val sh = shingles(df, idCol, textCol)
-    val szs = sh.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val a = sh.select(col(idCol).as("doc_a"), col("shingle"))
-      .join(szs.select(col(idCol).as("doc_a"), col("__n").as("__na")), Seq("doc_a"))
-    val b = sh.select(col(idCol).as("doc_b"), col("shingle"))
-      .join(szs.select(col(idCol).as("doc_b"), col("__n").as("__nb")), Seq("doc_b"))
-    a.join(b, Seq("shingle"))
+    import org.apache.spark.sql.expressions.Window
+    // The text is parsed ONCE into a compact per-doc shingle-array
+    // table (|docs| rows, each bounded by the doc's own length) and
+    // persisted; frequencies, the prefix, the b-side and the verify
+    // step all derive from that cache with cheap explodes instead of
+    // re-running split/explode/distinct per subplan. (Persisting the
+    // EXPLODED stream instead measured slower than re-deriving it under
+    // executor memory pressure — compactness is what makes the cache
+    // pay for itself.)
+    val arr = shingles(df, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("shingle")).as("__arr"))
+      .withColumn("__n", size(col("__arr")).cast("long"))
+      .persist()
+    val exploded = arr.select(col(idCol), col("__n"),
+      explode(col("__arr")).as("shingle"))
+    val freq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("__tf"))
+    // The 1e-9 slack keeps FP noise in t·n from rounding the ceil UP
+    // (which would shorten the prefix and lose pairs); rounding DOWN
+    // only lengthens the prefix — over-admission is output-neutral.
+    val prefix = exploded.join(freq, Seq("shingle"))
+      .withColumn("__pos", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__tf"), col("shingle"))))
+      .filter(col("__pos") <=
+        col("__n") - ceil(lit(t) * col("__n") - lit(1e-9)).cast("long") + 1)
+      .select(col(idCol).as("doc_a"), col("shingle"), col("__n").as("__na"))
+    val b = exploded.select(col(idCol).as("doc_b"), col("__n").as("__nb"),
+      col("shingle"))
+    val cand = prefix.join(b, Seq("shingle"))
       .filter(col("doc_a") =!= col("doc_b") &&
         col("__nb").cast("double") >= lit(t) * col("__na"))
-      .groupBy(col("doc_a"), col("doc_b"), col("__na"))
-      .agg(count(lit(1)).as("__inter"))
+      .select("doc_a", "doc_b", "__na").distinct()
+    // exact verify: codegen'd array intersection on candidate pairs
+    // only — no re-explosion, no O(pairs × |doc|) join rows
+    cand
+      .join(arr.select(col(idCol).as("doc_a"), col("__arr").as("__aa")), "doc_a")
+      .join(arr.select(col(idCol).as("doc_b"), col("__arr").as("__ab")), "doc_b")
+      .withColumn("__inter",
+        size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
       .filter(col("__inter").cast("double") >= lit(t) * col("__na"))
       .select(col("doc_a"), col("doc_b"),
         round(col("__inter").cast("double") / col("__na"), 6).as("containment"))

@@ -54,49 +54,11 @@ object GraphOps {
     labels
   }
 
-  /** Fixed-iteration PageRank (simplified: no dangling-mass
-    * redistribution — leaked mass only rescales ranks uniformly, which
-    * is irrelevant for the ranking use and keeps the per-iteration
-    * plan to ONE join + ONE aggregation). Unrolled to exactly `iters`
-    * rounds so the computation is a finite arithmetic circuit any
-    * engine reproduces; ranks are rounded once at the end.
-    *
-    * Scale: per iteration, contributions = edges ⋈ ranks on the source
-    * key (hash shuffle on src), then a hash aggregation on dst — the
-    * standard Pregel-as-joins form. Out-degrees are computed once.
-    * `localCheckpoint` cuts the growing lineage per round (cluster:
-    * `checkpoint()`); nothing iterates on the driver.
-    */
-  def pageRank(nodes: DataFrame, nodeCol: String, edges: DataFrame,
-               srcCol: String, dstCol: String, damping: Double,
-               iters: Int): DataFrame = {
-    val n = nodes.select(col(nodeCol).as("node"))
-      .agg(count(lit(1)).cast("double").as("__n"))
-    val deg = edges.groupBy(col(srcCol).as("node"))
-      .agg(count(lit(1)).cast("double").as("__deg"))
-    var ranks = nodes.select(col(nodeCol).as("node"))
-      .crossJoin(broadcast(n))
-      .select(col("node"), (lit(1.0) / col("__n")).as("rank"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val contrib = edges
-        .select(col(srcCol).as("node"), col(dstCol).as("__dst"))
-        .join(ranks, "node").join(broadcast(deg), "node")
-        .groupBy(col("__dst").as("node"))
-        .agg(sum(col("rank") / col("__deg")).as("__in"))
-      ranks = nodes.select(col(nodeCol).as("node"))
-        .join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(n))
-        .select(col("node"),
-          (lit(1.0 - damping) / col("__n") +
-            lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
-    }
-    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
-  }
-
-  /** Cross-engine-deterministic PageRank: same Pregel-as-joins shape as
-    * `pageRank`, but every iteration's inbound mass is summed EXACTLY —
+  /** Cross-engine-deterministic PageRank, Pregel-as-joins shape (per
+    * iteration: contributions = edges ⋈ ranks on the source key, then a
+    * hash aggregation on dst; out-degrees computed once and
+    * SHUFFLE-joined — a broadcast of the O(|nodes|) degree table would
+    * OOM at graph scale). Every iteration's inbound mass is summed EXACTLY —
     * per-edge contributions round to 14 dp and accumulate as DECIMAL,
     * and the new rank is re-rounded to 12 dp — so after any number of
     * iterations the ranks are a pure function of the graph, not of

@@ -22,22 +22,47 @@ object MetricOps {
 
   /** Global tie-broken rank per row, distributed (see object doc).
     * Output adds `r` = 1-based rank by (score, tiebreak).
+    *
+    * The score is QUANTIZED to 6 dp before the histogram: without it, a
+    * continuous score (raw model probabilities) makes the "tiny
+    * per-score histogram" n rows — a single-partition window over the
+    * whole dataset, the exact bottleneck this decomposition exists to
+    * avoid. 6 dp bounds the histogram at ~10⁶ rows (broadcastable
+    * forever) and is affine-consistent with the 6 dp the AUC itself
+    * rounds to; integer and already-quantized scores pass through
+    * bit-unchanged. Rows that tie only after quantization are ordered
+    * by `tieCol` — the same deterministic tie-broken-rank semantics.
     */
   def globalRank(df: DataFrame, scoreCol: String, tieCol: String): DataFrame = {
     // Null scores: rank LAST (ANSI ORDER BY default, matching the
     // DuckDB oracle), and join null-safely — a bare equi-join would
     // silently drop null-score rows from the metric.
-    val hist = df.groupBy(col(scoreCol)).agg(count(lit(1)).as("__n"))
-    val below = hist
-      .withColumn("__below",
-        coalesce(sum(col("__n")).over(
-          Window.orderBy(col(scoreCol).asc_nulls_last)
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col(scoreCol).as("__score"), col("__below"))
-    val within = Window.partitionBy(col(scoreCol)).orderBy(col(tieCol))
-    df.join(broadcast(below), col(scoreCol) <=> col("__score"))
+    val q = df.withColumn("__qs", round(col(scoreCol).cast("double"), 6))
+    val hist = q.groupBy(col("__qs")).agg(count(lit(1)).as("__n"))
+    // Cumulative "count below" over the histogram WITHOUT a global
+    // single-partition window: range-partition by score (order-
+    // preserving), cumulate within each range partition, and add the
+    // totals of all earlier partitions via a broadcast triangular
+    // self-join on the partition id — |cluster partitions|² pairs,
+    // bounded by config, never by data. The result is independent of
+    // where the range boundaries land.
+    val parts = hist.repartitionByRange(col("__qs").asc_nulls_last)
+      .withColumn("__pid", spark_partition_id())
+    val withCum = parts.withColumn("__cum",
+      sum(col("__n")).over(
+        Window.partitionBy(col("__pid")).orderBy(col("__qs").asc_nulls_last)))
+    val ptot = parts.groupBy(col("__pid")).agg(sum(col("__n")).as("__pn"))
+    val pbelow = ptot.as("pa")
+      .join(broadcast(ptot.as("pb")), col("pb.__pid") < col("pa.__pid"), "left")
+      .groupBy(col("pa.__pid").as("__pid"))
+      .agg(coalesce(sum(col("pb.__pn")), lit(0L)).as("__pbelow"))
+    val below = withCum.join(broadcast(pbelow), "__pid")
+      .select(col("__qs").as("__score"),
+        (col("__pbelow") + col("__cum") - col("__n")).as("__below"))
+    val within = Window.partitionBy(col("__qs")).orderBy(col(tieCol))
+    q.join(broadcast(below), col("__qs") <=> col("__score"))
       .withColumn("r", col("__below") + row_number().over(within))
-      .drop("__below", "__score")
+      .drop("__below", "__score", "__qs")
   }
 
   /** A9: rank-formula ROC-AUC with deterministic tiebreak — one
@@ -183,7 +208,7 @@ object MetricOps {
         sum(when(col(sideCol) =!= expectedValue, 1).otherwise(0))
           .cast("long").as("n_act"))
     val tot = counts.agg(sum("n_exp").as("__te"), sum("n_act").as("__ta"))
-    counts.crossJoin(broadcast(tot))
+    val terms = counts.crossJoin(broadcast(tot))
       .withColumn("__p",
         (col("n_exp") + lit(1)).cast("double") / (col("__te") + lit(nBins)))
       .withColumn("__q",
@@ -191,10 +216,12 @@ object MetricOps {
       .withColumn("__term",
         round((col("__p") - col("__q")) * log(col("__p") / col("__q")), 10)
           .cast("decimal(28,12)"))
-      .withColumn("psi_total",
-        round(sum(col("__term")).over(
-            org.apache.spark.sql.expressions.Window.partitionBy())
-          .cast("double"), 6))
+    // total repeated per row via a broadcast 1-row cross join — the same
+    // trick as `mutualInfo`, instead of an empty-partition window (which
+    // plans a single-partition exchange and WARNs)
+    val total = terms.agg(
+      round(sum(col("__term")).cast("double"), 6).as("psi_total"))
+    terms.crossJoin(broadcast(total))
       .select(col("__bin").as("bin"), col("n_exp"), col("n_act"),
         col("__term").cast("double").as("term"), col("psi_total"))
   }
@@ -237,38 +264,47 @@ object MetricOps {
   /** Spearman rank correlation per group: Pearson correlation of
     * average-tie ranks, computed entirely over the joint (x, y) value
     * histogram. The raw rows are exchanged ONCE (the joint hash agg);
-    * marginal histograms, doubled average-tie ranks (2·below + n + 1 —
-    * integral at tie midpoints; correlation is affine-invariant), and
-    * the weighted co-moments all operate on histogram rows, never raw
-    * data. The rank windows run over DISTINCT values per group — no
-    * single-partition sort at any scale.
+    * both doubled average-tie ranks (2·cum − tie + 1 ≡ 2·below + n + 1
+    * — integral at tie midpoints; correlation is affine-invariant)
+    * come from windows DIRECTLY over the histogram rows: the cumulative
+    * weight (default RANGE frame includes ties) minus the tie weight
+    * (unordered (group, value) partition window). No self-joins, no
+    * materialization — one linear plan: raw agg → one group exchange →
+    * two in-partition sorts → moment agg. (The previous form derived
+    * two marginal histograms and joined them back; the joins and the
+    * eager checkpoint cost ~1.7× this plan at sf0.1 and re-scanned the
+    * raw table three times.)
     *
     * Determinism: every moment (Σw, Σw·r, Σw·r·r', …) is an exact
     * integer summed as DECIMAL(38,0) — order-independent — and the
     * final corr is a few double ops on those exact moments, rounded to
     * 6 dp. try_divide returns null on zero rank variance (all-tied
     * input) instead of ANSI's divide-by-zero error.
+    *
+    * Validity bound: the Σw·r·r' moments grow ~4N³ for a group of N
+    * rows (doubled ranks reach 2N), so DECIMAL(38,0) holds exactly for
+    * groups up to ~2.9·10¹² rows; beyond that the sum overflows to null
+    * under non-ANSI Spark (DuckDB's HUGEINT has nearly the same
+    * ceiling). Per-GROUP rows, not total — far above any per-key group
+    * a 100 TB corpus produces, but callers grouping the whole corpus
+    * under one key should rescale ranks first.
     */
   def spearman(df: DataFrame, groupCol: String, xCol: String,
                yCol: String): DataFrame = {
-    // one raw-row scan total: both rank histograms and the moment pass
-    // reuse the materialized joint histogram
     val joint = df.groupBy(col(groupCol), col(xCol), col(yCol))
       .agg(count(lit(1)).as("__w"))
-      .localCheckpoint(true)
-    def ranks2(c: String, out: String): DataFrame = {
-      val hist = joint.groupBy(col(groupCol), col(c))
-        .agg(sum("__w").cast("long").as("__n"))
-      hist.withColumn("__below",
-          coalesce(sum("__n").over(
-            Window.partitionBy(col(groupCol)).orderBy(col(c))
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select(col(groupCol), col(c),
-          (col("__below") * 2 + col("__n") + 1).as(out))
-    }
+    val wgx = Window.partitionBy(col(groupCol)).orderBy(col(xCol))
+    val wgy = Window.partitionBy(col(groupCol)).orderBy(col(yCol))
+    val tx = Window.partitionBy(col(groupCol), col(xCol))
+    val ty = Window.partitionBy(col(groupCol), col(yCol))
+    // all four windows cluster by subsets of (group, value) — Catalyst
+    // satisfies them with ONE hash exchange on the group key plus the
+    // two per-axis in-partition sorts
     val j = joint
-      .join(ranks2(xCol, "__rx"), Seq(groupCol, xCol))
-      .join(ranks2(yCol, "__ry"), Seq(groupCol, yCol))
+      .withColumn("__rx",
+        lit(2) * sum("__w").over(wgx) - sum("__w").over(tx) + 1)
+      .withColumn("__ry",
+        lit(2) * sum("__w").over(wgy) - sum("__w").over(ty) + 1)
     j.groupBy(col(groupCol))
       .agg(sum(col("__w")).cast("decimal(38,0)").as("__n"),
         sum(expr("CAST(__w AS DECIMAL(38,0)) * __rx")).as("__sx"),

@@ -150,6 +150,13 @@ object SimilarityOps {
     * because near neighbors that straddle one quantization hyperplane
     * are found. Probing stays an equi-join on the cell id (the query
     * side explodes its probe list; the index side is stored once).
+    *
+    * Measured recall@10 vs the exact baseline on the embeddings
+    * fixture (LshRecallSpec): signBits 1/2/3/4 → 1.00/0.83/0.65/0.48.
+    * The dial, not a defect — pick signBits for the recall/cost point;
+    * for ≥0.9 recall at higher selectivity use more probe cells
+    * (Hamming ≤ 2) or MLlib's multi-table BucketedRandomProjectionLSH
+    * (≈0.93 with 3 tables on the same fixture).
     */
   def annTopKMultiProbe(df: DataFrame, idCol: String, embCol: String, k: Int,
                         signBits: Int = 4): DataFrame = {

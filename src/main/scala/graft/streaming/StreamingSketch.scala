@@ -22,8 +22,13 @@ import graft.operators.SketchOps
   */
 object StreamingSketch {
 
-  /** Running CMS counters for a stream; output (update mode) has one
-    * row per (depth `__d`, bucket `__b`) with the running count `c`.
+  /** Running CMS counters for a stream: one row per (depth `__d`,
+    * bucket `__b`) with the running count `c`. Sink in COMPLETE mode
+    * for a directly-usable snapshot table (what StreamingSketchSpec's
+    * batch-parity assertion runs against — depth·width rows, so
+    * complete mode is cheap here); update mode also works but emits
+    * only changed counters, so a consumer must keep the LATEST row per
+    * (__d, __b) — a naive append-reader would see stale duplicates.
     */
   def cmsCounters(stream: DataFrame, keyCol: String, depth: Int = 4,
                   width: Int = 64): DataFrame =

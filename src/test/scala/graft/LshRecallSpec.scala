@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+
+/** SURVEY §7.4's promised recall comparison: the hand-rolled IVF
+  * multi-probe ANN and MLlib's BucketedRandomProjectionLSH, both
+  * measured against the exact cosine top-k baseline (q26's operator) on
+  * the real embeddings fixture.
+  *
+  * Measured recall@10 on sf0.001 (500 vectors): signBits 1/2/3/4 →
+  * 1.00 / 0.83 / 0.65 / 0.48 for the sign-bucket multi-probe (the probe
+  * budget dial: cost ≈ (signBits+1)/2^signBits of brute force), and
+  * ≈ 0.93 for BRP-LSH with 3 hash tables at distance threshold 1.3 on
+  * unit-normalized vectors. The spec pins the SHAPE of that curve —
+  * monotone in the budget, multi ≥ single, MLlib multi-table ≥ 0.9 —
+  * not just one point, so a regression in any candidate stage shows up
+  * as a recall cliff.
+  */
+class LshRecallSpec extends SparkSpec {
+
+  private val K = 10
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def topSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.select("vec_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+
+  private lazy val exact =
+    topSets(SimilarityOps.cosineTopK(emb, "vec_id", "embedding", K))
+
+  private def recall(ann: Map[Long, Set[Long]]): Double = {
+    val per = exact.toSeq.map { case (id, ex) =>
+      ann.getOrElse(id, Set.empty).intersect(ex).size.toDouble / ex.size }
+    per.sum / per.size
+  }
+
+  test("multi-probe recall dominates single-probe and tracks the probe budget") {
+    val m2 = recall(topSets(
+      SimilarityOps.annTopKMultiProbe(emb, "vec_id", "embedding", K, 2)))
+    val m4 = recall(topSets(
+      SimilarityOps.annTopKMultiProbe(emb, "vec_id", "embedding", K, 4)))
+    val s4 = recall(topSets(
+      SimilarityOps.annTopK(emb, "vec_id", "embedding", K, 4)))
+    assert(m4 > s4, f"multi-probe ($m4%.3f) must beat single-probe ($s4%.3f)")
+    assert(m2 > m4, f"recall must grow as the budget does ($m2%.3f vs $m4%.3f)")
+    assert(m2 >= 0.75, f"signBits=2 multi-probe recall $m2%.3f below its band")
+    assert(m4 >= 0.40, f"signBits=4 multi-probe recall $m4%.3f below its band")
+  }
+
+  test("MLlib BRP-LSH multi-table baseline reaches 0.9 recall vs exact top-k") {
+    val toVec = udf((arr: Seq[Float]) => {
+      val d = arr.map(_.toDouble).toArray
+      val n = math.sqrt(d.map(x => x * x).sum)
+      Vectors.dense(d.map(_ / n))
+    })
+    val vdf = emb.select(col("vec_id"), toVec(col("embedding")).as("features"))
+    val model = new BucketedRandomProjectionLSH()
+      .setBucketLength(0.8).setNumHashTables(3).setSeed(42)
+      .setInputCol("features").setOutputCol("hashes")
+      .fit(vdf)
+    // euclidean distance on unit vectors orders exactly like cosine:
+    // d² = 2 − 2·cos, so threshold 1.3 admits cos ≥ 1 − 1.3²/2 ≈ 0.155
+    val pairs = model.approxSimilarityJoin(vdf, vdf, 1.3, "dist").toDF()
+      .select(col("datasetA").getField("vec_id").as("vec_id"),
+        col("datasetB").getField("vec_id").as("neighbor_id"), col("dist"))
+      .filter(col("vec_id") =!= col("neighbor_id"))
+    val top = pairs.withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist"), col("neighbor_id"))))
+      .filter(col("rn") <= K)
+    val r = recall(topSets(top))
+    assert(r >= 0.9, f"BRP-LSH recall $r%.3f below the 0.9 contract")
+  }
+}

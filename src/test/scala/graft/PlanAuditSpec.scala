@@ -196,6 +196,21 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(shuffles(df).length <= 3)
   }
 
+  test("q123: containment candidates pass the rarest-first prefix filter, not the raw inverted index") {
+    val df = plan("q123_containment_join")
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    // the a-side of the candidate join must be prefix-restricted: a
+    // row_number position (__pos) bounded by the pigeonhole prefix
+    // length. A raw shingle-index self-join has no such filter and
+    // explodes quadratically on hot boilerplate shingles.
+    assert("__pos#\\d+".r.findFirstIn(s).isDefined,
+      "candidate a-side must rank shingles rarest-first (__pos missing)")
+    assert("(?i)ceil".r.findFirstIn(s).isDefined &&
+        "__pos#\\d+[^\\n]*<=".r.findFirstIn(s).isDefined,
+      "candidate a-side must filter to the pigeonhole prefix length")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
