@@ -59,6 +59,17 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
+        finally {
+          // Operators that persist() compact intermediates (containment/
+          // set-sim arrays) would otherwise leak cached blocks across
+          // 133 queries — dead storage that steals execution memory from
+          // later queries' sorts — AND let run 2 of the same query read
+          // run 1's cache (its identical lineage hits the CacheManager),
+          // which would turn min-of-2 into a cache-hit measurement.
+          // Clearing OUTSIDE the timed window keeps every run cold and
+          // isolated.
+          spark.catalog.clearCache()
+        }
       }
       val ok = times.filter(_ >= 0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)

@@ -1677,6 +1677,53 @@ object OracleSql {
         |  round(abs(q_est - q_exact), 6) AS abs_err
         |FROM est JOIN ex ON ex.g = est.g ORDER BY 1""".stripMargin,
 
+    "q134_interval_overlap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS lo,
+        |  epoch_us(ts) + CAST(floor(value * 1000000) AS BIGINT) AS hi
+        |  FROM events)
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND a.event_id < b.event_id
+        |  AND a.lo <= b.hi AND b.lo <= a.hi
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q135_triangle_count" ->
+      """WITH raw AS (SELECT l1.l_suppkey AS sa, l2.l_suppkey AS sb
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_suppkey < l2.l_suppkey
+        |  WHERE (l1.l_suppkey * 31 + l2.l_suppkey) % 20 = 0),
+        |e AS (SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b
+        |  FROM raw WHERE sa <> sb),
+        |nodes AS (SELECT CAST(count(DISTINCT n) AS BIGINT) AS n_nodes FROM
+        |  (SELECT a AS n FROM e UNION ALL SELECT b FROM e)),
+        |deg AS (SELECT n, count(*) AS d FROM
+        |  (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY n),
+        |o AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |    THEN e.a ELSE e.b END AS src,
+        |  CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b)
+        |    THEN e.b ELSE e.a END AS dst
+        |  FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        |w AS (SELECT o1.src, o1.dst AS v, o2.dst AS w FROM o o1
+        |  JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM w
+        |  WHERE EXISTS (SELECT 1 FROM e
+        |    WHERE e.a = least(w.v, w.w) AND e.b = greatest(w.v, w.w)))
+        |SELECT (SELECT n_nodes FROM nodes) AS n_nodes,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM w) AS n_wedges,
+        |  (SELECT n_triangles FROM tri) AS n_triangles""".stripMargin,
+
+    "q136_bloom_prefilter_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q129_pagerank" -> {
       def iter(i: Int) =
         s"""c$i AS (SELECT e.ed AS node,

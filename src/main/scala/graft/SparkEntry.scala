@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
-import graft.operators.{AsOfJoin, DedupOps, EncodeOps, GraphOps, LayoutOps, MetricOps, MixtureOps, RelationalOps, RetrievalOps, SamplingOps, SimilarityOps, SketchOps, TextOps}
+import graft.operators.{AsOfJoin, DedupOps, EncodeOps, GraphOps, JoinOps, LayoutOps, MetricOps, MixtureOps, RelationalOps, RetrievalOps, SamplingOps, SimilarityOps, SketchOps, TextOps}
 
 /** Driver contract (SURVEY.md §7): named deterministic queries over the
   * testdata tables, each with a DuckDB-oracle SQL twin. Query keys map to
@@ -1401,6 +1401,55 @@ object SparkEntry {
           ed, "es", "ed", 3)
         .select(col("node").as("doc_id"), col("rank"))
         .orderBy("doc_id")
+    }),
+
+    // ops/join — grid-blocked interval overlap self-join: event activity
+    // windows [ts, ts + value seconds] per user; candidates from the
+    // (user, hour-bin) equi-join, exact overlap verify, never per-user².
+    "q134_interval_overlap" -> ((s, d) => {
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) +
+            floor(col("value") * 1000000L).cast("long")).as("hi"))
+      JoinOps.intervalOverlapJoin(iv, "user_id", "event_id", "lo", "hi",
+          binWidth = 3600000000L)
+        .select(col("user_id"), col("id_a"), col("id_b"),
+          col("overlap").as("overlap_us"))
+        .orderBy("user_id", "id_a", "id_b")
+    }),
+
+    // ops/graph — triangle count over the co-supplier graph (suppliers
+    // sharing an order, arithmetically sparsified): degree-ordered
+    // orientation bounds the wedge join at O(|E|^1.5) under any skew.
+    "q135_triangle_count" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d).alias("l1")
+        .join(Tables.lineitem(s, d).alias("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_suppkey") < col("l2.l_suppkey"))
+        .select(col("l1.l_suppkey").as("sa"), col("l2.l_suppkey").as("sb"))
+        .filter((col("sa") * 31 + col("sb")) % 20 === 0)
+      GraphOps.triangleCount(edges, "sa", "sb")
+    }),
+
+    // ops/join — Bloom-prefiltered fact join: lineitem rows survive a
+    // broadcast Bloom of high-value orderkeys map-side before the join;
+    // output provably equals the plain join (the oracle IS the plain
+    // join), the filter only cuts what the fact side shuffles.
+    "q136_bloom_prefilter_join" -> ((s, d) => {
+      val bigOrders = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 400000.0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      JoinOps.bloomPrefilterJoin(
+          Tables.lineitem(s, d).select("l_orderkey", "l_quantity",
+            "l_extendedprice"),
+          bigOrders, "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy("o_orderpriority")
     }),
 
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →

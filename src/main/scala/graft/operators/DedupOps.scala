@@ -179,9 +179,19 @@ object DedupOps {
   def setSimJoin(sets: DataFrame, idCol: String, elemCol: String,
                  t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val freq = sets.groupBy(col(elemCol)).agg(count(lit(1)).as("__tf"))
-    val szs = sets.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-    val ordered = sets.join(freq, Seq(elemCol)).join(szs, Seq(idCol))
+    // One pass over the input builds the compact per-set array (rows =
+    // |sets|, each bounded by its own set size) and every later stage —
+    // frequencies, prefix ordering, candidate sides, exact verify —
+    // derives from that persisted table, so the (id, elem) stream is
+    // shuffled once, not once per subplan.
+    val arr = sets.groupBy(col(idCol))
+      .agg(collect_set(col(elemCol)).as("__arr"))
+      .withColumn("__n", size(col("__arr")).cast("long"))
+      .persist()
+    val exploded = arr.select(col(idCol), col("__n"),
+      explode(col("__arr")).as(elemCol))
+    val freq = exploded.groupBy(col(elemCol)).agg(count(lit(1)).as("__tf"))
+    val ordered = exploded.join(freq, Seq(elemCol))
       .withColumn("__pos", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__tf"), col(elemCol))))
     val prefix = ordered
@@ -210,14 +220,15 @@ object DedupOps {
         lit(1) + least(col("__na") - col("__pa"), col("__nb") - col("__pb")) >=
           lit(t) * (col("__na") + col("__nb")) / (lit(1) + lit(t)) - lit(1e-9))
       .select("doc_a", "doc_b").distinct()
-    val common = cand
-      .join(sets.select(col(idCol).as("doc_a"), col(elemCol)), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"), col(elemCol)),
-        Seq("doc_b", elemCol))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("__c"))
-    common
-      .join(szs.select(col(idCol).as("doc_a"), col("__n").as("__na")), "doc_a")
-      .join(szs.select(col(idCol).as("doc_b"), col("__n").as("__nb")), "doc_b")
+    // exact verify: codegen'd array intersection per candidate pair —
+    // no O(pairs × |set|) join rows
+    cand
+      .join(arr.select(col(idCol).as("doc_a"), col("__arr").as("__aa"),
+        col("__n").as("__na")), "doc_a")
+      .join(arr.select(col(idCol).as("doc_b"), col("__arr").as("__ab"),
+        col("__n").as("__nb")), "doc_b")
+      .withColumn("__c",
+        size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
       .select(col("doc_a"), col("doc_b"),
         round(col("__c").cast("double") /
           (col("__na") + col("__nb") - col("__c")), 6).as("jaccard"))
@@ -275,17 +286,23 @@ object DedupOps {
                  bands: Int = 4, rows: Int = 2): DataFrame = {
     val cand = minhashCandidates(
       minhashSignature(sh, idCol, bands, rows), idCol, bands, rows)
-    val szs = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val common = cand
-      .join(sh.select(col(idCol).as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col(idCol).as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("c"))
-    common
-      .join(szs.select(col(idCol).as("doc_a"), col("n").as("na")), "doc_a")
-      .join(szs.select(col(idCol).as("doc_b"), col("n").as("nb")), "doc_b")
+    // exact verify over a compact persisted per-doc array (one extra
+    // scan of the shingle stream total) with codegen'd array_intersect
+    // — replaces two joins that each carried O(pairs × |doc|) rows
+    val arr = sh.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("__arr"))
+      .withColumn("__n", size(col("__arr")).cast("long"))
+      .persist()
+    cand
+      .join(arr.select(col(idCol).as("doc_a"), col("__arr").as("__aa"),
+        col("__n").as("__na")), "doc_a")
+      .join(arr.select(col(idCol).as("doc_b"), col("__arr").as("__ab"),
+        col("__n").as("__nb")), "doc_b")
+      .withColumn("__c",
+        size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("c").cast("double") / (col("na") + col("nb") - col("c")), 6)
-          .as("jaccard"))
+        round(col("__c").cast("double") /
+          (col("__na") + col("__nb") - col("__c")), 6).as("jaccard"))
   }
 
   /** Cluster-representative selection: given per-doc cluster labels

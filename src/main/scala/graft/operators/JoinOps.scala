@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join shapes Spark lacks as built-ins, expressed as compositions
+  * whose cost is bounded by blocking/filtering instead of all-pairs:
+  * grid-blocked interval overlap and Bloom-prefiltered equi-join.
+  */
+object JoinOps {
+
+  /** Interval overlap self-join per key: all pairs (a, b) of the same
+    * key whose closed intervals [lo, hi] intersect, with the overlap
+    * length. The quadratic trap (every pair of the same key compared)
+    * is avoided by GRID BLOCKING: each interval emits the dyadic bins
+    * its span covers (`sequence(lo div w, hi div w)`), candidates are
+    * an equi-join on (key, bin) — a shuffled hash join whose cost is
+    * Σ per-bin products, not Σ per-key² — and the exact overlap
+    * predicate then verifies candidates. A pair found in several
+    * shared bins is deduped by `distinct` before output.
+    *
+    * `binWidth` is the tuning dial: ~the typical interval length. Too
+    * small → long intervals emit many bin rows (row blowup linear in
+    * span/width); too large → bins collect unrelated intervals
+    * (candidate blowup). Both ends stay correct — recall is exactly
+    * 1.0 because two overlapping intervals necessarily share the bin
+    * containing the overlap start.
+    *
+    * Output: (key, id_a, id_b, overlap) with id_a < id_b; overlap =
+    * least(hi) − greatest(lo) ≥ 0 under closed-interval semantics.
+    */
+  def intervalOverlapJoin(df: DataFrame, keyCol: String, idCol: String,
+                          loCol: String, hiCol: String,
+                          binWidth: Long): DataFrame = {
+    val binned = df.select(col(keyCol), col(idCol).as("__id"),
+        col(loCol).cast("long").as("__lo"), col(hiCol).cast("long").as("__hi"))
+      .withColumn("__bin", explode(sequence(
+        expr(s"__lo div $binWidth"), expr(s"__hi div $binWidth"))))
+    val a = binned.select(col(keyCol), col("__bin"), col("__id").as("id_a"),
+      col("__lo").as("__lo_a"), col("__hi").as("__hi_a"))
+    val b = binned.select(col(keyCol), col("__bin"), col("__id").as("id_b"),
+      col("__lo").as("__lo_b"), col("__hi").as("__hi_b"))
+    a.join(b, Seq(keyCol, "__bin"))
+      .filter(col("id_a") < col("id_b") &&
+        col("__lo_a") <= col("__hi_b") && col("__lo_b") <= col("__hi_a"))
+      .select(col(keyCol), col("id_a"), col("id_b"),
+        (least(col("__hi_a"), col("__hi_b")) -
+          greatest(col("__lo_a"), col("__lo_b"))).as("overlap"))
+      .distinct()
+  }
+
+  /** Inner equi-join with a broadcast Bloom pre-filter: the build
+    * side's keys are folded into a `words`×32-bit Bloom filter (the
+    * same md5 4-probe scheme as [[SketchOps.bloomMembership]], so the
+    * construction is engine-portable), the filter words BROADCAST, and
+    * the probe side drops non-matching rows MAP-SIDE — before its
+    * shuffle toward the join. The output is EXACTLY the plain inner
+    * join: Bloom false positives only cost wasted shuffle rows, never
+    * wrong rows, because the real join still runs on what survives.
+    *
+    * This is the hand-rolled form of a runtime join filter: at 100 TB
+    * the win is shuffling (false-positive-rate + selectivity) of the
+    * fact table instead of all of it. Each of the 4 probe positions is
+    * checked with its own broadcast join on the word index — no
+    * explode, no extra shuffle of the probe side.
+    */
+  def bloomPrefilterJoin(probe: DataFrame, build: DataFrame, keyCol: String,
+                         words: Int = 1024): DataFrame = {
+    val mBits = words * 32
+    def position(dig: org.apache.spark.sql.Column, i: Int) =
+      pmod(conv(substring(dig, i * 8 + 1, 8), 16, 10).cast("long"), lit(mBits))
+    val filterWords = build.select(col(keyCol).as("__k")).distinct()
+      .withColumn("__dig", md5(col("__k").cast("string")))
+      .select(explode(array((0 until 4).map(i =>
+        position(col("__dig"), i)): _*)).as("__p"))
+      .select((col("__p") / 32).cast("long").as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 32 AS INT))").as("__m"))
+      .groupBy("__w").agg(bit_or(col("__m")).as("__mask"))
+    // one digest per probe row, shared by all four position checks
+    val prefiltered = (0 until 4).foldLeft(
+      probe.withColumn("__dig", md5(col(keyCol).cast("string")))) { (df, i) =>
+      val w = filterWords.select(col("__w").as(s"__w$i"),
+        col("__mask").as(s"__mask$i"))
+      df.withColumn(s"__p$i", position(col("__dig"), i))
+        .withColumn(s"__w$i", (col(s"__p$i") / 32).cast("long"))
+        .join(broadcast(w), Seq(s"__w$i"), "left")
+        .filter(coalesce(col(s"__mask$i").bitwiseAND(
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(__p$i % 32 AS INT))")) =!= 0,
+          lit(false)))
+        .drop(s"__p$i", s"__w$i", s"__mask$i")
+    }
+    prefiltered.drop("__dig").join(build, Seq(keyCol))
+  }
+}

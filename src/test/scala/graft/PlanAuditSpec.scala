@@ -211,6 +211,24 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "candidate a-side must filter to the pigeonhole prefix length")
   }
 
+  test("q136: all four Bloom word probes broadcast; the fact side never shuffles for them") {
+    val df = plan("q136_bloom_prefilter_join")
+    df.count()
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.size >= 4,
+      s"expected >= 4 broadcast word-probe joins, got ${bhj.size}")
+  }
+
+  test("q134: interval candidates join on the (key, bin) grid key") {
+    val df = plan("q134_interval_overlap")
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert("__bin#\\d+".r.findFirstIn(s).isDefined,
+      "candidate join must key on the grid bin")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {

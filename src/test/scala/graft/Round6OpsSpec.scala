@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, MetricOps}
+import graft.operators.{DedupOps, GraphOps, JoinOps, MetricOps}
 
 /** Round-6 scale-hardening specs: the prefix-filtered containment join
   * equals the brute-force inverted-index form (exactness preserved by
@@ -124,6 +124,75 @@ class Round6OpsSpec extends SparkSpec {
           / (sum(col("label")).cast("double")
             * (count(lit(1)) - sum(col("label")))), 6)).as[Double].head()
     assert(dist == oracle)
+  }
+
+  // --------------------------------------------- interval overlap join
+
+  test("intervalOverlapJoin equals brute force at any bin width (incl. multi-bin spans)") {
+    val r = new scala.util.Random(31)
+    val rows = (0 until 300).map { i =>
+      val lo = r.nextInt(100000).toLong - 50000   // negatives exercised too
+      (i % 7L, i.toLong, lo, lo + r.nextInt(3000) + 1L)
+    }
+    val df = rows.toDF("k", "id", "lo", "hi")
+    val brute = rows.flatMap { case (k1, i1, l1, h1) =>
+      rows.collect { case (k2, i2, l2, h2)
+        if k1 == k2 && i1 < i2 && l1 <= h2 && l2 <= h1 =>
+          (k1, i1, i2, math.min(h1, h2) - math.max(l1, l2)) }
+    }.toSet
+    assert(brute.nonEmpty)
+    for (w <- Seq(100L, 1000L, 1000000L)) {
+      val got = JoinOps.intervalOverlapJoin(df, "k", "id", "lo", "hi", w)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == brute, s"binWidth $w diverges from brute force")
+    }
+  }
+
+  // ---------------------------------------------------- triangle count
+
+  test("triangleCount: K4 has 4 triangles; orientation survives dirty input") {
+    // K4 on {1,2,3,4} (4 triangles) + pendant node 5 + self-loop +
+    // duplicated and reversed edges — canonicalization must absorb all
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 4L),
+      (2L, 4L), (2L, 4L), (4L, 5L), (3L, 3L))
+      .toDF("s", "d")
+    val out = GraphOps.triangleCount(edges, "s", "d")
+      .as[(Long, Long, Long, Long)].head()
+    // orientation: 1→{2,3,4}, 2→{3,4}, 3→{4}, 5→{4} ⇒ C(3,2)+C(2,2)=4 wedges
+    assert(out == ((5L, 7L, 4L, 4L)),
+      s"expected (5 nodes, 7 edges, 4 wedges, 4 triangles), got $out")
+  }
+
+  test("triangleCount: triangle-free bipartite graph counts zero") {
+    val edges = (for (a <- 1 to 5; b <- 11 to 15) yield (a.toLong, b.toLong))
+      .toDF("s", "d")
+    val out = GraphOps.triangleCount(edges, "s", "d")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out._1 == 10L && out._2 == 25L && out._4 == 0L)
+  }
+
+  // ---------------------------------------------- bloom-prefilter join
+
+  test("bloomPrefilterJoin output equals the plain inner join exactly") {
+    val large = (0 until 5000).map(i => (i.toLong % 500, i.toLong))
+      .toDF("k", "payload")
+    val small = (0 until 40).map(i => (i * 13L % 500, s"v$i")).toDF("k", "tag")
+    val plain = large.join(small, Seq("k"))
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    val bloomed = JoinOps.bloomPrefilterJoin(large, small, "k")
+      .as[(Long, Long, String)].collect().sorted.toSeq
+    assert(plain.nonEmpty && bloomed == plain)
+  }
+
+  test("bloomPrefilterJoin prunes most non-matching probe rows map-side") {
+    val large = (0 until 20000).map(i => (i.toLong, i.toLong)).toDF("k", "p")
+    val small = (0 until 10).map(i => (i.toLong, i)).toDF("k", "t")
+    // re-run the internal prefilter by joining against an impossible
+    // build side is private — instead measure via the public contract:
+    // output has exactly the 10 matching rows
+    val out = JoinOps.bloomPrefilterJoin(large, small, "k").count()
+    assert(out == 10L)
   }
 
   test("globalRank histogram is bounded: sub-1e-6 score noise collapses to one bucket") {
