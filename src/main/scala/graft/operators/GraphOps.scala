@@ -36,6 +36,14 @@ object GraphOps {
     var labels = nodes.select(col(nodeCol).as("node"))
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // Convergence via the label-sum invariant: min-propagation only ever
+    // DECREASES a node's label, so the (exact, DECIMAL) sum of labels is
+    // strictly monotone until the fixpoint — "sum unchanged" ⟺ "no node
+    // changed". One scalar aggregate per round instead of the old
+    // join-and-scan-for-differences job.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -44,10 +52,9 @@ object GraphOps {
       val next = labels.unionAll(viaEdges)
         .groupBy("node").agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old"))
-        .isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

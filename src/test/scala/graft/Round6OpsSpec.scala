@@ -172,6 +172,43 @@ class Round6OpsSpec extends SparkSpec {
     assert(out._1 == 10L && out._2 == 25L && out._4 == 0L)
   }
 
+  test("triangleCount equals brute force on random graphs (property)") {
+    val r = new scala.util.Random(53)
+    for (trial <- 0 until 5) {
+      val n = 12 + trial * 4
+      val edges = (for {
+        a <- 1 to n; b <- (a + 1) to n if r.nextDouble() < 0.3
+      } yield (a.toLong, b.toLong))
+      val eSet = edges.toSet
+      val brute = (for {
+        x <- 1 to n; y <- (x + 1) to n; z <- (y + 1) to n
+        if eSet((x.toLong, y.toLong)) && eSet((x.toLong, z.toLong)) &&
+          eSet((y.toLong, z.toLong))
+      } yield 1).size.toLong
+      val got = graft.operators.GraphOps
+        .triangleCount(edges.toDF("s", "d"), "s", "d")
+        .select("n_triangles").as[Long].head()
+      assert(got == brute, s"trial $trial: got $got, brute $brute")
+    }
+  }
+
+  test("round-6 operators tolerate degenerate inputs") {
+    // docs too short to shingle → empty result, no crash
+    val shorties = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    assert(DedupOps.containmentJoin(shorties, "doc_id", "text", 0.8).isEmpty)
+    // zero-length (point) intervals at the same instant DO overlap
+    val pts = Seq((1L, 1L, 5L, 5L), (1L, 2L, 5L, 5L), (1L, 3L, 6L, 6L))
+      .toDF("k", "id", "lo", "hi")
+    val got = JoinOps.intervalOverlapJoin(pts, "k", "id", "lo", "hi", 10L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L, 0L)))
+    // empty edge set → zero everything
+    val none = GraphOps.triangleCount(
+      Seq.empty[(Long, Long)].toDF("s", "d"), "s", "d")
+      .as[(Long, Long, Long, Long)].head()
+    assert(none == ((0L, 0L, 0L, 0L)))
+  }
+
   // ---------------------------------------------- bloom-prefilter join
 
   test("bloomPrefilterJoin output equals the plain inner join exactly") {
