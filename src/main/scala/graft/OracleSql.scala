@@ -1753,6 +1753,90 @@ object OracleSql {
          |FROM r3 ORDER BY doc_id""".stripMargin
     },
 
+    "q137_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q138_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q139_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |    AS DECIMAL(18,4))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r = (SELECT max(r) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q140_tpch_q17" ->
+      """WITH pp AS (SELECT l_partkey AS pk,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sq,
+        |  CAST(count(*) AS BIGINT) AS cq
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |    AS DOUBLE) / 7.0, 4) AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |  AND p_brand = 'Brand#1' AND p_type = 'SMALL'
+        |JOIN pp ON l_partkey = pk
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * cq < sq""".stripMargin,
+
+    "q141_tpch_q19" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |    AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q142_tpch_q21" ->
+      """WITH cand AS (SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        |  FROM lineitem l1
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |      WHERE l2.l_orderkey = l1.l_orderkey
+        |        AND l2.l_suppkey <> l1.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |      WHERE l3.l_orderkey = l1.l_orderkey
+        |        AND l3.l_suppkey <> l1.l_suppkey
+        |        AND l3.l_shipdate > l1.l_shipdate))
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM cand JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
+
+    "q143_tpch_q22" ->
+      """WITH g AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+        |  CAST(count(*) AS BIGINT) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, g
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -1452,6 +1452,146 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // OLAP — TPC-H Q4 shape: priority checking via EXISTS rewritten as a
+    // left-semi join (one shuffle on orderkey; the semi probe never
+    // materializes the multi-line fact rows).
+    "q137_tpch_q4" -> ((s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")),
+
+    // OLAP — TPC-H Q12 shape (l_returnflag as the ship-mode dimension):
+    // fact-to-dim join + conditional counts; the CASE folds into one
+    // hash agg, no second pass over the join.
+    "q138_tpch_q12" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("l_returnflag")),
+
+    // OLAP — TPC-H Q15 shape: top supplier by quarterly revenue — the
+    // aggregate-vs-global-max pattern. The 1-row max side broadcasts;
+    // DECIMAL revenue makes the = comparison engine-exact.
+    "q139_tpch_q15" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(sum(expr(
+          "CAST(round(l_extendedprice * (1 - l_discount), 4) " +
+            "AS DECIMAL(18,4))")).as("__rev"))
+      rev.join(broadcast(rev.agg(max(col("__rev")).as("__mx"))),
+          col("__rev") === col("__mx"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("__rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // OLAP — TPC-H Q17 shape: small-quantity-order revenue. The
+    // correlated `l_quantity < 0.2*avg(per part)` subquery becomes a
+    // shuffle join against the per-part aggregate; the threshold is
+    // compared in integer form (5*qty*cnt < sum) so neither engine
+    // divides.
+    "q140_tpch_q17" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val perPart = li.groupBy(col("l_partkey").as("__pk"))
+        .agg(sum(col("l_quantity")).cast("long").as("__sq"),
+          count(lit(1)).as("__cq"))
+      li.join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") === "Brand#1" && col("p_type") === "SMALL")),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("__pk"))
+        .filter(col("l_quantity").cast("long") * 5 * col("__cq") < col("__sq"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double") / 7.0, 4).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // OLAP — TPC-H Q19 shape: OR-of-ANDs predicate over a fact-dim
+    // join. Catalyst extracts the common partkey equi-condition and
+    // pushes the per-branch brand/size/quantity bands below the join.
+    "q141_tpch_q19" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)),
+          col("l_partkey") === col("p_partkey") && (
+            (col("p_brand") === "Brand#1" &&
+              col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" &&
+              col("p_size").between(1, 25) &&
+              col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" &&
+              col("p_size").between(1, 35) &&
+              col("l_quantity").between(20, 30))))
+        .agg(sum(expr(
+            "CAST(round(l_extendedprice * (1 - l_discount), 4) " +
+              "AS DECIMAL(18,4))")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // OLAP — TPC-H Q21 shape (shipdate stands in for the missing
+    // commit/receipt dates): suppliers that shipped LAST in a
+    // multi-supplier order — EXISTS(other supplier) as a left-semi
+    // join, NOT EXISTS(other supplier later) as a left-anti join; both
+    // reuse the same orderkey shuffle.
+    "q142_tpch_q21" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val l2 = l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
+      val l3 = l.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3"),
+        col("l_shipdate").as("d3"))
+      l.join(l2, col("l_orderkey") === col("o2") &&
+          col("l_suppkey") =!= col("s2"), "left_semi")
+        .join(l3, col("l_orderkey") === col("o3") &&
+          col("l_suppkey") =!= col("s3") &&
+          col("d3") > col("l_shipdate"), "left_anti")
+        .select("l_orderkey", "l_suppkey").distinct()
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    }),
+
+    // OLAP — TPC-H Q22 shape: customers above the global average
+    // balance with no URGENT order. The scalar-average subquery
+    // broadcasts as a 1-row join and compares in multiply form
+    // (bal*cnt > sum, DECIMAL-exact); NOT EXISTS is a left-anti join
+    // whose probe side is filter-pruned before the shuffle.
+    "q143_tpch_q22" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val avgSide = broadcast(cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("__s"),
+          count(lit(1)).as("__n")))
+      cust.join(avgSide,
+          col("c_acctbal").cast("decimal(18,2)") * col("__n") > col("__s"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {

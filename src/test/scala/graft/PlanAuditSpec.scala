@@ -229,6 +229,42 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "candidate join must key on the grid bin")
   }
 
+  test("q137: EXISTS plans as a semi join, never a full join + distinct") {
+    val df = plan("q137_tpch_q4")
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("LeftSemi"), "late-shipment EXISTS must stay a semi join")
+  }
+
+  test("q141: OR-of-ANDs keeps the part dim broadcast and prunes the lineitem scan") {
+    val df = plan("q141_tpch_q19")
+    df.count()
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "part side must broadcast")
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("ReadSchema") && !s.contains("l_shipdate"),
+      "lineitem scan must prune to the joined/aggregated columns")
+  }
+
+  test("q142: semi and anti probes reuse the orderkey exchange (bounded shuffle count)") {
+    val ex = shuffles(plan("q142_tpch_q21"))
+    // lineitem ×3 on l_orderkey (left reused across semi+anti) + the
+    // suppkey agg; distinct rides the orderkey partitioning. Anything
+    // beyond 5 means a probe re-shuffled the already-partitioned left.
+    assert(ex.length <= 5, s"unexpected exchanges: ${ex.map(_.outputPartitioning)}")
+  }
+
+  test("q143: the global-average side broadcasts; no-urgent-orders is an anti join") {
+    val df = plan("q143_tpch_q22")
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("LeftAnti"), "NOT EXISTS must plan as an anti join")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastHashJoin"),
+      "1-row average side must broadcast")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
