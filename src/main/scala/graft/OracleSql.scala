@@ -1481,17 +1481,21 @@ object OracleSql {
         |ry AS (SELECT g, y, 2 * coalesce(sum(n) OVER (PARTITION BY g ORDER BY y
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS r2
         |  FROM hy),
+        |tt AS (SELECT g, CAST(sum(w) AS HUGEINT) AS t FROM joint GROUP BY g),
         |j AS (SELECT joint.g, CAST(w AS HUGEINT) AS w,
-        |  CAST(rx.r2 AS HUGEINT) AS rx, CAST(ry.r2 AS HUGEINT) AS ry
+        |  CAST(rx.r2 AS HUGEINT) - tt.t - 1 AS rx,
+        |  CAST(ry.r2 AS HUGEINT) - tt.t - 1 AS ry
         |  FROM joint JOIN rx ON rx.g = joint.g AND rx.x = joint.x
-        |  JOIN ry ON ry.g = joint.g AND ry.y = joint.y),
-        |m AS (SELECT g, sum(w) AS n, sum(w * rx) AS sx, sum(w * ry) AS sy,
+        |  JOIN ry ON ry.g = joint.g AND ry.y = joint.y
+        |  JOIN tt ON tt.g = joint.g),
+        |m AS (SELECT g, sum(w) AS n,
         |  sum(w * rx * ry) AS sxy, sum(w * rx * rx) AS sxx,
         |  sum(w * ry * ry) AS syy FROM j GROUP BY g)
         |SELECT g AS l_returnflag,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE) /
-        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman,
+        |  CASE WHEN sxx > 0 AND syy > 0 THEN
+        |    round(CAST(sxy AS DOUBLE) /
+        |      (sqrt(CAST(sxx AS DOUBLE)) * sqrt(CAST(syy AS DOUBLE))), 6)
+        |  END AS spearman,
         |  CAST(n AS BIGINT) AS n
         |FROM m ORDER BY g""".stripMargin,
 

@@ -275,48 +275,53 @@ object MetricOps {
     * eager checkpoint cost ~1.7× this plan at sf0.1 and re-scanned the
     * raw table three times.)
     *
-    * Determinism: every moment (Σw, Σw·r, Σw·r·r', …) is an exact
+    * Determinism: the doubled ranks are CENTERED by their exact mean
+    * (tot+1 — an integer, so Σw·rc ≡ 0 and the Pearson form collapses
+    * to Σw·rc·rc' / √(Σw·rc²)·√(Σw·rc'²)), every moment is an exact
     * integer summed as DECIMAL(38,0) — order-independent — and the
     * final corr is a few double ops on those exact moments, rounded to
     * 6 dp. try_divide returns null on zero rank variance (all-tied
     * input) instead of ANSI's divide-by-zero error.
     *
-    * Validity bound: the Σw·r·r' moments grow ~4N³ for a group of N
-    * rows (doubled ranks reach 2N), so DECIMAL(38,0) holds exactly for
-    * groups up to ~2.9·10¹² rows; beyond that the sum overflows to null
-    * under non-ANSI Spark (DuckDB's HUGEINT has nearly the same
-    * ceiling). Per-GROUP rows, not total — far above any per-key group
-    * a 100 TB corpus produces, but callers grouping the whole corpus
-    * under one key should rescale ranks first.
+    * Validity bound: |centered doubled rank| < N, so the Σw·rc·rc'
+    * moments are bounded by N³ and DECIMAL(38,0) holds exactly for
+    * groups up to ~4.6·10¹² rows; beyond that the sum overflows to
+    * null under non-ANSI Spark (DuckDB's HUGEINT has nearly the same
+    * ceiling). The uncentered form's real ceiling was ~2·10⁹ — its
+    * n·Σw·r·r' − Σw·r·Σw·r' correction multiplied two 38-precision
+    * decimals (~4N⁴) BEFORE the double cast; centering removes those
+    * products entirely. Per-GROUP rows, not total — far above any
+    * per-key group a 100 TB corpus produces.
     */
   def spearman(df: DataFrame, groupCol: String, xCol: String,
                yCol: String): DataFrame = {
     val joint = df.groupBy(col(groupCol), col(xCol), col(yCol))
       .agg(count(lit(1)).as("__w"))
+    val wg = Window.partitionBy(col(groupCol))
     val wgx = Window.partitionBy(col(groupCol)).orderBy(col(xCol))
     val wgy = Window.partitionBy(col(groupCol)).orderBy(col(yCol))
     val tx = Window.partitionBy(col(groupCol), col(xCol))
     val ty = Window.partitionBy(col(groupCol), col(yCol))
-    // all four windows cluster by subsets of (group, value) — Catalyst
+    // all five windows cluster by subsets of (group, value) — Catalyst
     // satisfies them with ONE hash exchange on the group key plus the
-    // two per-axis in-partition sorts
+    // two per-axis in-partition sorts. Centered doubled rank =
+    // 2·cum − tie + 1 − (tot+1) = 2·cum − tie − tot.
     val j = joint
+      .withColumn("__tot", sum("__w").over(wg))
       .withColumn("__rx",
-        lit(2) * sum("__w").over(wgx) - sum("__w").over(tx) + 1)
+        lit(2) * sum("__w").over(wgx) - sum("__w").over(tx) - col("__tot"))
       .withColumn("__ry",
-        lit(2) * sum("__w").over(wgy) - sum("__w").over(ty) + 1)
+        lit(2) * sum("__w").over(wgy) - sum("__w").over(ty) - col("__tot"))
     j.groupBy(col(groupCol))
       .agg(sum(col("__w")).cast("decimal(38,0)").as("__n"),
-        sum(expr("CAST(__w AS DECIMAL(38,0)) * __rx")).as("__sx"),
-        sum(expr("CAST(__w AS DECIMAL(38,0)) * __ry")).as("__sy"),
         sum(expr("CAST(__w AS DECIMAL(38,0)) * __rx * __ry")).as("__sxy"),
         sum(expr("CAST(__w AS DECIMAL(38,0)) * __rx * __rx")).as("__sxx"),
         sum(expr("CAST(__w AS DECIMAL(38,0)) * __ry * __ry")).as("__syy"))
       .select(col(groupCol),
         round(expr(
-          "try_divide(CAST(__n * __sxy - __sx * __sy AS DOUBLE), " +
-            "sqrt(CAST(__n * __sxx - __sx * __sx AS DOUBLE)) * " +
-            "sqrt(CAST(__n * __syy - __sy * __sy AS DOUBLE)))"), 6)
+          "try_divide(CAST(__sxy AS DOUBLE), " +
+            "sqrt(CAST(__sxx AS DOUBLE)) * " +
+            "sqrt(CAST(__syy AS DOUBLE)))"), 6)
           .as("spearman"),
         col("__n").cast("long").as("n"))
   }
