@@ -300,6 +300,12 @@ object DedupOps {
         col("__n").as("__nb")), "doc_b")
       .withColumn("__c",
         size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
+      // the 4-hex band slices are 16-bit hashes — DISJOINT docs can
+      // collide into a shared bucket; the verify's job is to kill that
+      // noise, so zero-overlap candidates are dropped, not reported as
+      // jaccard-0 "pairs" (also what the join-based count verify did
+      // implicitly: no common shingle ⇒ no row)
+      .filter(col("__c") > 0)
       .select(col("doc_a"), col("doc_b"),
         round(col("__c").cast("double") /
           (col("__na") + col("__nb") - col("__c")), 6).as("jaccard"))
