@@ -187,7 +187,11 @@ object DedupOps {
     val arr = sets.groupBy(col(idCol))
       .agg(collect_set(col(elemCol)).as("__arr"))
       .withColumn("__n", size(col("__arr")).cast("long"))
-      .persist()
+      // localCheckpoint, not persist: CacheManager entries outlive the
+      // query until an explicit clearCache (a leak for every long-lived
+      // session caller); checkpoint blocks are freed by the
+      // ContextCleaner once the plan is unreachable
+      .localCheckpoint(true)
     val exploded = arr.select(col(idCol), col("__n"),
       explode(col("__arr")).as(elemCol))
     val freq = exploded.groupBy(col(elemCol)).agg(count(lit(1)).as("__tf"))
@@ -195,8 +199,12 @@ object DedupOps {
       .withColumn("__pos", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__tf"), col(elemCol))))
     val prefix = ordered
+      // 1e-9 slack: if FP noise rounds t·n one ulp above an integer,
+      // the bare ceil shortens the prefix by one and silently loses
+      // pairs; lengthening it can only ADD candidates (output-neutral,
+      // the verify filters). Same guard as containmentJoin's prefix.
       .filter(col("__pos") <=
-        col("__n") - ceil(lit(t) * col("__n")).cast("long") + 1)
+        col("__n") - ceil(lit(t) * col("__n") - lit(1e-9)).cast("long") + 1)
       .select(col(idCol), col(elemCol), col("__n"), col("__pos"))
     // Candidate pruning, both output-neutral:
     //  - length filter: J ≥ t forces min(na,nb)/max(na,nb) ≥ t, so
@@ -292,7 +300,11 @@ object DedupOps {
     val arr = sh.groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("__arr"))
       .withColumn("__n", size(col("__arr")).cast("long"))
-      .persist()
+      // localCheckpoint, not persist: CacheManager entries outlive the
+      // query until an explicit clearCache (a leak for every long-lived
+      // session caller); checkpoint blocks are freed by the
+      // ContextCleaner once the plan is unreachable
+      .localCheckpoint(true)
     cand
       .join(arr.select(col(idCol).as("doc_a"), col("__arr").as("__aa"),
         col("__n").as("__na")), "doc_a")
@@ -390,7 +402,11 @@ object DedupOps {
       .groupBy(col(idCol))
       .agg(collect_list(col("shingle")).as("__arr"))
       .withColumn("__n", size(col("__arr")).cast("long"))
-      .persist()
+      // localCheckpoint, not persist: CacheManager entries outlive the
+      // query until an explicit clearCache (a leak for every long-lived
+      // session caller); checkpoint blocks are freed by the
+      // ContextCleaner once the plan is unreachable
+      .localCheckpoint(true)
     val exploded = arr.select(col(idCol), col("__n"),
       explode(col("__arr")).as("shingle"))
     val freq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("__tf"))

@@ -41,8 +41,15 @@ object GraphOps {
     // strictly monotone until the fixpoint — "sum unchanged" ⟺ "no node
     // changed". One scalar aggregate per round instead of the old
     // join-and-scan-for-differences job.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    // Null-safe: an EMPTY node set sums to null (→ 0 here, so the loop
+    // converges immediately on the empty result). Labels must be
+    // integral for the decimal cast to be exact — node ids here are
+    // ids, not measures; fractional ids would make "sum unchanged"
+    // an approximation, not an invariant.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -148,15 +155,19 @@ object GraphOps {
     val wedges = oriented.select(col("src"), col("dst").as("v"))
       .join(oriented.select(col("src"), col("dst").as("w")), Seq("src"))
       .filter(col("v") < col("w"))
-    val closed = wedges.join(
-      oriented.select(
+    // one pass over the wedge stream: a left probe against the (unique)
+    // canonical edge set marks closed wedges, and a single aggregate
+    // counts both — the O(E^1.5) wedge join used to be evaluated twice
+    // (once for n_wedges, once under the semi-join)
+    val probe = oriented.select(
         least(col("src"), col("dst")).as("v"),
-        greatest(col("src"), col("dst")).as("w")),
-      Seq("v", "w"), "left_semi")
+        greatest(col("src"), col("dst")).as("w"))
+      .withColumn("__closed", lit(1))
+    val wstats = wedges.join(probe, Seq("v", "w"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count(col("__closed")).as("n_triangles"))
     val stats = canon.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(wstats)
     stats.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
       col("n_triangles"))
   }

@@ -66,16 +66,20 @@ object JoinOps {
     */
   def bloomPrefilterJoin(probe: DataFrame, build: DataFrame, keyCol: String,
                          words: Int = 1024): DataFrame = {
+    // the Bloom probe hashes the key's STRING form on each side; with
+    // different key types the real join would coerce (5.00 = 5) while
+    // "5.00" and "5" hash apart — a silent FALSE NEGATIVE, so unequal
+    // types are rejected instead of documented away
+    require(probe.schema(keyCol).dataType == build.schema(keyCol).dataType,
+      s"bloomPrefilterJoin: $keyCol types differ (" +
+        s"${probe.schema(keyCol).dataType} vs ${build.schema(keyCol).dataType})" +
+        " — string-hash probes would miss coerced matches")
     val mBits = words * 32
     def position(dig: org.apache.spark.sql.Column, i: Int) =
       pmod(conv(substring(dig, i * 8 + 1, 8), 16, 10).cast("long"), lit(mBits))
-    val filterWords = build.select(col(keyCol).as("__k")).distinct()
-      .withColumn("__dig", md5(col("__k").cast("string")))
-      .select(explode(array((0 until 4).map(i =>
-        position(col("__dig"), i)): _*)).as("__p"))
-      .select((col("__p") / 32).cast("long").as("__w"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 32 AS INT))").as("__m"))
-      .groupBy("__w").agg(bit_or(col("__m")).as("__mask"))
+    // materialized once (≤ `words` rows); the 4 probe joins below read
+    // the pinned table instead of re-deriving the build aggregate 4×
+    val filterWords = SketchOps.bloomFilterWords(build, keyCol, words)
     // one digest per probe row, shared by all four position checks
     val prefiltered = (0 until 4).foldLeft(
       probe.withColumn("__dig", md5(col(keyCol).cast("string")))) { (df, i) =>

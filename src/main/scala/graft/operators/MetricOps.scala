@@ -46,8 +46,15 @@ object MetricOps {
     // self-join on the partition id — |cluster partitions|² pairs,
     // bounded by config, never by data. The result is independent of
     // where the range boundaries land.
+    // localCheckpoint PINS the partition ids: __pid feeds both the
+    // per-partition cumsum and the partition-total join below, and
+    // without materialization those are two separate exchanges whose
+    // sampled range boundaries (and thus pids) are only identical while
+    // exchange reuse happens to dedup them — a silent-wrong-ranks
+    // hazard, not a perf choice. The histogram is ≤ ~1e6 rows.
     val parts = hist.repartitionByRange(col("__qs").asc_nulls_last)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val withCum = parts.withColumn("__cum",
       sum(col("__n")).over(
         Window.partitionBy(col("__pid")).orderBy(col("__qs").asc_nulls_last)))

@@ -158,6 +158,27 @@ object SketchOps {
     * cluster scale this is exactly the shape of a runtime join filter:
     * tiny build output, no shuffle of the probe table.
     */
+  /** Bloom word-mask table over `build`'s distinct keys: at most
+    * `words` rows of (word index, OR-ed 32-bit mask), 4 md5-slice bit
+    * positions per key. MATERIALIZED (localCheckpoint) because
+    * consumers probe it from several join branches — without pinning,
+    * each branch would re-derive the build-side scan+aggregate.
+    * Shared by [[bloomMembership]] and `JoinOps.bloomPrefilterJoin`.
+    */
+  def bloomFilterWords(build: DataFrame, keyCol: String,
+                       words: Int): DataFrame = {
+    val mBits = words * 32
+    build.select(col(keyCol).as("__k")).distinct()
+      .withColumn("__p", explode(array((0 until 4).map { i =>
+        pmod(conv(substring(md5(col("__k").cast("string")), i * 8 + 1, 8),
+          16, 10).cast("long"), lit(mBits))
+      }: _*)))
+      .select((col("__p") / 32).cast("long").as("__w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 32 AS INT))").as("__m"))
+      .groupBy("__w").agg(bit_or(col("__m")).as("__mask"))
+      .localCheckpoint(true)
+  }
+
   def bloomMembership(build: DataFrame, buildKey: String,
                       probe: DataFrame, probeKey: String, segCol: String,
                       words: Int = 256): DataFrame = {
@@ -167,11 +188,7 @@ object SketchOps {
         .cast("long"), lit(mBits))
     }
     val keys = build.select(col(buildKey).as("__k")).distinct()
-    val filterWords = keys
-      .withColumn("__p", explode(array(positions(col("__k")): _*)))
-      .select((col("__p") / 32).cast("long").as("__w"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 32 AS INT))").as("__m"))
-      .groupBy("__w").agg(bit_or(col("__m")).as("__mask"))
+    val filterWords = bloomFilterWords(build, buildKey, words)
     val probed = probe
       .withColumn("__p", explode(array(positions(col(probeKey)): _*)))
       .withColumn("__w", (col("__p") / 32).cast("long"))
