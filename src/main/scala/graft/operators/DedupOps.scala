@@ -187,11 +187,13 @@ object DedupOps {
     val arr = sets.groupBy(col(idCol))
       .agg(collect_set(col(elemCol)).as("__arr"))
       .withColumn("__n", size(col("__arr")).cast("long"))
-      // localCheckpoint, not persist: CacheManager entries outlive the
-      // query until an explicit clearCache (a leak for every long-lived
-      // session caller); checkpoint blocks are freed by the
-      // ContextCleaner once the plan is unreachable
-      .localCheckpoint(true)
+      // LAZY localCheckpoint, not persist: CacheManager entries outlive
+      // the query until an explicit clearCache (a leak for every
+      // long-lived session caller); checkpoint blocks are freed by the
+      // ContextCleaner once the plan is unreachable. Lazy (eager=false)
+      // so the array build overlaps the first consumer instead of
+      // running as a separate up-front job.
+      .localCheckpoint(false)
     val exploded = arr.select(col(idCol), col("__n"),
       explode(col("__arr")).as(elemCol))
     val freq = exploded.groupBy(col(elemCol)).agg(count(lit(1)).as("__tf"))
@@ -300,11 +302,13 @@ object DedupOps {
     val arr = sh.groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("__arr"))
       .withColumn("__n", size(col("__arr")).cast("long"))
-      // localCheckpoint, not persist: CacheManager entries outlive the
-      // query until an explicit clearCache (a leak for every long-lived
-      // session caller); checkpoint blocks are freed by the
-      // ContextCleaner once the plan is unreachable
-      .localCheckpoint(true)
+      // LAZY localCheckpoint, not persist: CacheManager entries outlive
+      // the query until an explicit clearCache (a leak for every
+      // long-lived session caller); checkpoint blocks are freed by the
+      // ContextCleaner once the plan is unreachable. Lazy (eager=false)
+      // so the array build overlaps the first consumer instead of
+      // running as a separate up-front job.
+      .localCheckpoint(false)
     cand
       .join(arr.select(col(idCol).as("doc_a"), col("__arr").as("__aa"),
         col("__n").as("__na")), "doc_a")
@@ -402,11 +406,13 @@ object DedupOps {
       .groupBy(col(idCol))
       .agg(collect_list(col("shingle")).as("__arr"))
       .withColumn("__n", size(col("__arr")).cast("long"))
-      // localCheckpoint, not persist: CacheManager entries outlive the
-      // query until an explicit clearCache (a leak for every long-lived
-      // session caller); checkpoint blocks are freed by the
-      // ContextCleaner once the plan is unreachable
-      .localCheckpoint(true)
+      // LAZY localCheckpoint, not persist: CacheManager entries outlive
+      // the query until an explicit clearCache (a leak for every
+      // long-lived session caller); checkpoint blocks are freed by the
+      // ContextCleaner once the plan is unreachable. Lazy (eager=false)
+      // so the array build overlaps the first consumer instead of
+      // running as a separate up-front job.
+      .localCheckpoint(false)
     val exploded = arr.select(col(idCol), col("__n"),
       explode(col("__arr")).as("shingle"))
     val freq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("__tf"))
