@@ -29,7 +29,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // operator persists stay query-local
+      // operators now localCheckpoint (GC-cleaned) instead of persist;
+      // clearCache stays as a belt-and-braces guard for any cached plan
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
