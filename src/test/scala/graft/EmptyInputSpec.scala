@@ -25,14 +25,39 @@ class EmptyInputSpec extends SparkSpec {
     dir
   }
 
-  test("every declared query executes on empty tables without throwing") {
+  /** 50 copies of one row per table: every column constant — zero
+    * variance, one distinct value, all-tied ranks, self-equal keys. The
+    * div-by-zero / log(0) / degenerate-tie class empty inputs can't
+    * reach (their aggregates emit no rows at all).
+    */
+  private lazy val constDir: String = {
+    val dir = Files.createTempDirectory("graft_const").toString
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val one = spark.read.parquet(s"$src/$t.parquet").limit(1)
+      val dup = Seq.fill(50)(one).reduce(_ unionAll _)
+      dup.coalesce(1).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  private def sweep(dir: String, label: String): Unit = {
     val failures = SparkEntry.queries.flatMap { case (name, fn) =>
-      try { fn(spark, emptyDir).count(); None }
+      try { fn(spark, dir).count(); None }
       catch { case e: Throwable =>
         Some(s"$name: ${e.getClass.getSimpleName} ${String.valueOf(e.getMessage).take(160)}")
       }
     }
     assert(failures.isEmpty,
-      s"${failures.size} queries crash on empty input:\n${failures.mkString("\n")}")
+      s"${failures.size} queries crash on $label input:\n${failures.mkString("\n")}")
+  }
+
+  test("every declared query executes on empty tables without throwing") {
+    sweep(emptyDir, "empty")
+  }
+
+  test("every declared query executes on constant (50×-one-row) tables without throwing") {
+    sweep(constDir, "constant")
   }
 }
