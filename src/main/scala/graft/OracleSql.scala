@@ -1273,7 +1273,8 @@ object OracleSql {
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |  WHERE o_custkey < 200),
         |users AS (SELECT DISTINCT custkey FROM seen),
-        |cat AS (SELECT p_partkey AS partkey FROM part WHERE p_partkey < 500),
+        |cat AS (SELECT DISTINCT p_partkey AS partkey FROM part
+        |  WHERE p_partkey < 500),
         |g AS (SELECT u.custkey, c.partkey FROM users u CROSS JOIN cat c),
         |ng AS (SELECT g.custkey, g.partkey FROM g ANTI JOIN seen s
         |  ON g.custkey = s.custkey AND g.partkey = s.partkey),
@@ -1589,7 +1590,8 @@ object OracleSql {
         |ORDER BY sum_qty DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q126_decayed_popularity" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events
+        |  WHERE ts IS NOT NULL),
         |r AS (SELECT max(tsu) AS ref FROM e),
         |w AS (SELECT user_id,
         |  least((ref - tsu) // 2592000000000, 20) AS k FROM e CROSS JOIN r),

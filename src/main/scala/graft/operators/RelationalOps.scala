@@ -51,7 +51,11 @@ object RelationalOps {
   def multiHot(df: DataFrame, tokensCol: Column, vocab: Seq[String],
                prefix: String): DataFrame =
     vocab.foldLeft(df) { (d, v) =>
-      d.withColumn(s"$prefix$v", array_contains(tokensCol, v).cast("int"))
+      // null token arrays flag 0, not null — array_contains(null, v) is
+      // null and a null flag breaks the downstream 0/1 feature contract
+      // (VectorAssembler rejects nulls)
+      d.withColumn(s"$prefix$v",
+        coalesce(array_contains(tokensCol, v), lit(false)).cast("int"))
     }
 
   /** P8/A7 — constant-column prune report: distinct count per column; a
@@ -60,13 +64,17 @@ object RelationalOps {
     * driver-side collect in the reference's design.
     */
   def constPruneReport(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "constPruneReport: no columns given")
     // One scan computing every column's distinct count, unpivoted —
-    // not one aggregation (= one full table pass) per column.
+    // not one aggregation (= one full table pass) per column. Names are
+    // quote-escaped and backticked so hyphens/quotes in column names
+    // can't break (or inject into) the stack() expression.
     val sorted = cols.sorted
     val aggs = sorted.map(c => countDistinct(col(c)).as(s"__nd_$c"))
     df.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${sorted.length}, " +
-        sorted.map(c => s"'$c', __nd_$c").mkString(", ") +
+        sorted.map(c => s"'${c.replace("'", "''")}', " +
+          s"`__nd_${c.replace("`", "``")}`").mkString(", ") +
         ") AS (col_name, n_distinct)")
       .withColumn("keep", (col("n_distinct") > 1).cast("int"))
   }
@@ -88,8 +96,14 @@ object RelationalOps {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
                    valCols: Seq[String]): DataFrame = {
+    // \u0001-separated with a \u0000 null sentinel: a bare concat both
+    // SKIPS nulls and loses column boundaries, so ("ab","c")/("a","bc")
+    // or (null,"x")/("x",null) collide and real changes vanish.
+    // Collision now requires those control chars inside the data itself.
     def fp(df: DataFrame, name: String) = df.select(col(keyCol),
-      concat_ws("", valCols.map(c => col(c).cast("string")): _*).as(name))
+      concat_ws("\u0001",
+        valCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+        .as(name))
     fp(oldDf, "__fp_old").join(fp(newDf, "__fp_new"), Seq(keyCol), "full_outer")
       .withColumn("change",
         when(col("__fp_old").isNull, "added")
@@ -290,7 +304,9 @@ object RelationalOps {
     */
   def hybridUnion(channels: Seq[DataFrame], keyCols: Seq[String],
                   scoreCol: String): DataFrame =
-    channels.reduce(_.unionAll(_))
+    // by NAME, not position: channels built with the same columns in a
+    // different order would silently mis-sum under positional unionAll
+    channels.reduce(_.unionByName(_))
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col(scoreCol)).as(scoreCol))
 }

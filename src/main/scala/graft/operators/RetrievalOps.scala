@@ -35,11 +35,16 @@ object RetrievalOps {
                  userCol: String, userTerms: String, seenCol: String,
                  itemCol: String, itemTerms: String,
                  boost: Double, topK: Int): DataFrame = {
+    // array_distinct: ES terms queries score SET overlap — duplicate
+    // terms in either array must not inflate the score. The seen filter
+    // treats a null seen array as "nothing seen" (array_contains(null)
+    // is null, and a bare ! would drop every candidate for that user).
     val ut = users.select(col(userCol), col(seenCol),
-      explode(col(userTerms)).as("__term"))
-    val it = items.select(col(itemCol), explode(col(itemTerms)).as("__term"))
+      explode(array_distinct(col(userTerms))).as("__term"))
+    val it = items.select(col(itemCol),
+      explode(array_distinct(col(itemTerms))).as("__term"))
     val matched = ut.join(it, "__term")
-      .filter(!array_contains(col(seenCol), col(itemCol)))
+      .filter(!coalesce(array_contains(col(seenCol), col(itemCol)), lit(false)))
       .groupBy(col(userCol), col(itemCol))
       .agg((count(lit(1)) * boost).as("score"))
     RelationalOps.topKPerGroup(matched, userCol,
@@ -61,8 +66,13 @@ object RetrievalOps {
     val i = items.select(col(itemCol),
         expr(s"transform($itemVec, x -> CAST(x AS DOUBLE))").as("__iv"))
       .withColumn("__in", sqrt(SimilarityOps.dot("__iv", "__iv")))
-    val scored = u.crossJoin(broadcast(i))
-      .filter(!array_contains(col(seenCol), col(itemCol)))
+    // zero-norm vectors (untrained/cold embeddings) are excluded up
+    // front: cosine is undefined for them, and the bare divide would be
+    // null scores (non-ANSI) or a job-aborting DIVIDE_BY_ZERO (ANSI).
+    // Null seen arrays mean "nothing seen", not "drop the user".
+    val scored = u.filter(col("__un") > 0)
+      .crossJoin(broadcast(i.filter(col("__in") > 0)))
+      .filter(!coalesce(array_contains(col(seenCol), col(itemCol)), lit(false)))
       .withColumn("score",
         (SimilarityOps.dot("__uv", "__iv") / (col("__un") * col("__in"))) * boost)
       .select(col(userCol), col(itemCol), col("score"))
@@ -199,7 +209,9 @@ object RetrievalOps {
                      itemCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val users = seen.select(col(userCol)).distinct()
-    val grid = users.crossJoin(broadcast(items.select(col(itemCol))))
+    // distinct catalog: duplicate item rows would emit duplicate
+    // (user, item) negatives AND burn sample slots (rn counts them)
+    val grid = users.crossJoin(broadcast(items.select(col(itemCol)).distinct()))
       .join(seen.select(col(userCol), col(itemCol)),
         Seq(userCol, itemCol), "left_anti")
       .withColumn("__u", conv(substring(md5(concat_ws("|",
@@ -275,8 +287,14 @@ object RetrievalOps {
   def decayedPopularity(events: DataFrame, keyCol: String, tsCol: String,
                         halflifeDays: Int, capHalvings: Int = 20,
                         topN: Int = 100): DataFrame = {
+    // cap < 63: shiftleft(1, 63) is Long.MinValue — negative weights.
+    // Null timestamps are dropped, not silently scored at the capped
+    // weight ((__ref − null) is null and least() skips nulls).
+    require(capHalvings >= 0 && capHalvings < 63,
+      s"capHalvings must be in [0, 62], got $capHalvings")
     val ref = events.agg(max(unix_micros(col(tsCol))).as("__ref"))
     events.select(col(keyCol), unix_micros(col(tsCol)).as("__tsu"))
+      .filter(col("__tsu").isNotNull)
       .crossJoin(broadcast(ref))
       // `div` (integer floor division) — a double `/` then cast would
       // drift from DuckDB's `//` at quotient boundaries.

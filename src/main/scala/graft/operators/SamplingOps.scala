@@ -63,7 +63,11 @@ object SamplingOps {
     * extra pass, collision rate 1/buckets).
     */
   def featureHash(value: Column, buckets: Int): Column =
-    conv(substring(md5(value), 1, 8), 16, 10).cast("long") % buckets
+    // cast("string") first: md5 wants binary/string, and numeric ids
+    // (the common categorical key) have no implicit cast — also keeps
+    // the hash consistent with hashUnit/domainQuota for the same key
+    conv(substring(md5(value.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
 
   /** Per-domain quota: keep at most `quota` rows per `domainCol` value,
     * selected by md5(id) order — the corpus-balancing cap that stops a
