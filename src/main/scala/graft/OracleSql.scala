@@ -1843,6 +1843,171 @@ object OracleSql {
         |    AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
+    "q144_tpch_q7" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS INT) AS l_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |      AS DECIMAL(18,4)) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q145_tpch_q8" ->
+      """WITH vol AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |      AS DECIMAL(18,4)) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM part JOIN lineitem ON p_partkey = l_partkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+        |SELECT o_year,
+        |  round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM vol GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q146_chunk_documents" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, t, len(t) AS n FROM toks),
+        |chunks AS (SELECT doc_id, t, unnest(range(0,
+        |    CASE WHEN n <= 16 THEN 1
+        |      ELSE CAST(ceil((n - 16) / 12.0) AS BIGINT) + 1 END)) AS cid
+        |  FROM base),
+        |c AS (SELECT doc_id, cid,
+        |    t[cid * 12 + 1 : cid * 12 + 16] AS ct
+        |  FROM chunks)
+        |SELECT doc_id, CAST(cid AS BIGINT) AS chunk_id,
+        |  CAST(cid * 12 + 1 AS BIGINT) AS start_pos,
+        |  CAST(len(ct) AS BIGINT) AS chunk_len,
+        |  md5(array_to_string(ct, ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q147_random_projection" -> {
+      val proj = (0 until 8).map(j =>
+        s"max(CASE WHEN j = $j THEN v END) AS p$j").mkString(", ")
+      s"""WITH signs AS (SELECT i, j,
+         |    CASE WHEN substr(md5(i || ':' || j), 1, 1) < '8'
+         |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+         |  FROM (SELECT unnest(range(0, 64)) AS i),
+         |    (SELECT unnest(range(0, 8)) AS j)),
+         |tok AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |    unnest(embedding::DOUBLE[]) AS x
+         |  FROM embeddings),
+         |terms AS (SELECT vec_id, j,
+         |    CAST(round(x * s, 8) AS DECIMAL(20,8)) AS t
+         |  FROM tok JOIN signs USING (i)),
+         |p AS (SELECT vec_id, j,
+         |    round(CAST(sum(t) AS DOUBLE) / sqrt(8.0), 4) AS v
+         |  FROM terms GROUP BY vec_id, j)
+         |SELECT vec_id, $proj FROM p GROUP BY vec_id
+         |ORDER BY vec_id""".stripMargin
+    },
+
+    "q148_ks_statistic" ->
+      """WITH s AS (SELECT round(value, 6) AS sc,
+        |    CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0
+        |      END AS y
+        |  FROM events),
+        |h AS (SELECT sc, CAST(sum(y) AS DECIMAL(38,0)) AS np,
+        |    CAST(count(*) - sum(y) AS DECIMAL(38,0)) AS nn
+        |  FROM s GROUP BY sc),
+        |c AS (SELECT sc, sum(np) OVER (ORDER BY sc) AS cp,
+        |    sum(nn) OVER (ORDER BY sc) AS cn FROM h),
+        |tot AS (SELECT CAST(sum(y) AS DECIMAL(38,0)) AS p,
+        |    CAST(count(*) - sum(y) AS DECIMAL(38,0)) AS n FROM s)
+        |SELECT round(CAST(max(abs(cp * n - cn * p)) AS DOUBLE)
+        |    / CAST(p * n AS DOUBLE), 6) AS ks,
+        |  CAST(max(p) AS BIGINT) AS n_pos, CAST(max(n) AS BIGINT) AS n_neg
+        |FROM c, tot GROUP BY p, n""".stripMargin,
+
+    "q149_decile_lift" ->
+      """WITH s AS (SELECT round(value, 6) AS sc,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |h AS (SELECT sc, count(*) AS n, sum(y) AS np FROM s GROUP BY sc),
+        |c AS (SELECT sc, n, np,
+        |    coalesce(sum(n) OVER (ORDER BY sc DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM h),
+        |tot AS (SELECT count(*) AS tn, sum(y) AS tp FROM s),
+        |d AS (SELECT CAST(cb * 10 // tn AS INT) AS decile, n, np
+        |  FROM c, tot),
+        |g AS (SELECT decile, sum(n) AS n, sum(np) AS np FROM d
+        |  GROUP BY decile),
+        |cum AS (SELECT decile, n, np, sum(n) OVER (ORDER BY decile) AS cn,
+        |    sum(np) OVER (ORDER BY decile) AS cp FROM g)
+        |SELECT decile, CAST(n AS BIGINT) AS n,
+        |  CAST(np AS BIGINT) AS n_pos, CAST(cn AS BIGINT) AS cum_n,
+        |  CAST(cp AS BIGINT) AS cum_pos,
+        |  round(CAST(cp * tn AS DOUBLE) / CAST(cn * tp AS DOUBLE), 4)
+        |    AS lift,
+        |  round(CAST(cp AS DOUBLE) / tp, 4) AS capture
+        |FROM cum, tot ORDER BY decile""".stripMargin,
+
+    "q150_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, generate_subscripts(gl, 1) AS pos,
+        |    unnest(gl) AS g
+        |  FROM (SELECT doc_id, list_transform(range(len(t) - 4),
+        |      i -> md5(array_to_string(t[i + 1 : i + 5], ' '))) AS gl
+        |    FROM toks WHERE len(t) >= 5)),
+        |dup AS (SELECT g FROM sh GROUP BY g
+        |  HAVING min(doc_id) <> max(doc_id)),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS p
+        |  FROM (SELECT doc_id, pos FROM sh
+        |    WHERE g IN (SELECT g FROM dup)),
+        |    (SELECT unnest(range(0, 5)) AS o)),
+        |cnt AS (SELECT doc_id, count(*) AS dup_tokens FROM cov
+        |  GROUP BY doc_id),
+        |base AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents)
+        |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / b.n_tokens, 4)
+        |    AS dup_frac
+        |FROM base b LEFT JOIN cnt c ON b.doc_id = c.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+
+    "q151_cohens_kappa" ->
+      """WITH r AS (SELECT CASE WHEN value > 100 THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 0
+        |      END AS r2
+        |  FROM events),
+        |cell AS (SELECT r1, r2, CAST(count(*) AS DECIMAL(38,0)) AS c
+        |  FROM r GROUP BY r1, r2),
+        |m1 AS (SELECT r1 AS cat, sum(c) AS c1 FROM cell GROUP BY r1),
+        |m2 AS (SELECT r2 AS cat, sum(c) AS c2 FROM cell GROUP BY r2),
+        |agree AS (SELECT sum(CASE WHEN r1 = r2 THEN c ELSE 0 END) AS a,
+        |    sum(c) AS n FROM cell),
+        |pe AS (SELECT sum(c1 * c2) AS e FROM m1 JOIN m2 USING (cat))
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(a AS DOUBLE) / CAST(n AS DOUBLE), 6) AS po,
+        |  round(CAST(e AS DOUBLE) / CAST(n * n AS DOUBLE), 6) AS pe,
+        |  round(CAST(n * a - e AS DOUBLE) / CAST(n * n - e AS DOUBLE), 6)
+        |    AS kappa
+        |FROM agree, pe""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -1592,6 +1592,124 @@ object SparkEntry {
         .orderBy("c_nationkey")
     }),
 
+    // OLAP — TPC-H Q7 volume shipping: revenue between two nations by
+    // ship year. Both fact sides pre-filter through broadcast dims
+    // (suppliers of the 2 nations; orders of the 2 nations' customers)
+    // BEFORE the one fact-fact shuffle on orderkey.
+    "q144_tpch_q7" -> ((s, d) => {
+      val vol = expr(
+        "CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))")
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = broadcast(Tables.nation(s, d)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("__sk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(Tables.nation(s, d)
+        .filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("__ck"), col("n_name").as("cust_nation")))
+      val cust = broadcast(Tables.customer(s, d)
+        .join(n2, col("c_nationkey") === col("__ck"))
+        .select(col("c_custkey"), col("cust_nation")))
+      val ord = Tables.orders(s, d)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("__sk"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("int").as("l_year"))
+        .agg(sum(vol).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // OLAP — TPC-H Q8 national market share: one nation's share of
+    // PROMO-part revenue sold into ASIA, by order year. The share is a
+    // conditional-over-total ratio of DECIMAL-exact sums (one division
+    // per group); all dims broadcast, one fact-fact shuffle.
+    "q145_tpch_q8" -> ((s, d) => {
+      val vol = expr(
+        "CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))")
+      val asiaKeys = broadcast(Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("__ck")))
+      val cust = broadcast(Tables.customer(s, d)
+        .join(asiaKeys, col("c_nationkey") === col("__ck"))
+        .select(col("c_custkey")))
+      val ord = Tables.orders(s, d)
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("__sk"),
+              col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("__sk"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_year")
+        .agg(round(
+            sum(when(col("supp_nation") === "NATION_3", vol)
+              .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+            / sum(vol).cast("double"), 6).as("mkt_share"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_year")
+    }),
+
+    // L96 — RAG chunking: overlapping fixed-size token windows with
+    // source offsets (map-only; no shuffle).
+    "q146_chunk_documents" -> ((s, d) =>
+      TextOps.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 16, stride = 12)
+        .orderBy("doc_id", "chunk_id")),
+
+    // L97 — Johnson–Lindenstrauss ±1 random projection 64→8 dims
+    // (md5-seeded sign matrix; map-only).
+    "q147_random_projection" -> ((s, d) =>
+      SimilarityOps.randomProjection(Tables.embeddings(s, d), "vec_id",
+          "embedding", inDim = 64, outDim = 8)
+        .orderBy("vec_id")),
+
+    // L98 — Kolmogorov–Smirnov two-sample separation between the score
+    // (value) distributions of engagement vs other events.
+    "q148_ks_statistic" -> ((s, d) =>
+      MetricOps.ksStatistic(
+        Tables.events(s, d).withColumn("label",
+          when(col("event_type").isin("click", "purchase"), 1).otherwise(0)),
+        "label", "value")),
+
+    // L99 — decile lift/gain table for purchase propensity by value.
+    "q149_decile_lift" -> ((s, d) =>
+      MetricOps.decileLift(
+          Tables.events(s, d).withColumn("label",
+            when(col("event_type") === "purchase", 1).otherwise(0)),
+          "label", "value")
+        .orderBy("decile")),
+
+    // L100 — duplicated 5-gram span coverage per document (substring-
+    // level dedup signal; Lee et al. 2022).
+    "q150_dup_spans" -> ((s, d) =>
+      TextOps.dupSpanStats(Tables.documents(s, d), "doc_id", "text", n = 5)
+        .orderBy("doc_id")),
+
+    // L101 — Cohen's kappa: chance-corrected agreement between the
+    // value-threshold labeling and the event-type labeling.
+    "q151_cohens_kappa" -> ((s, d) =>
+      MetricOps.cohensKappa(
+        Tables.events(s, d).select(
+          when(col("value") > 100, 1).otherwise(0).as("r1"),
+          when(col("event_type").isin("purchase", "signup"), 1).otherwise(0)
+            .as("r2")),
+        "r1", "r2")),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {

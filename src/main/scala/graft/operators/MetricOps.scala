@@ -39,37 +39,57 @@ object MetricOps {
     // silently drop null-score rows from the metric.
     val q = df.withColumn("__qs", round(col(scoreCol).cast("double"), 6))
     val hist = q.groupBy(col("__qs")).agg(count(lit(1)).as("__n"))
-    // Cumulative "count below" over the histogram WITHOUT a global
-    // single-partition window: range-partition by score (order-
-    // preserving), cumulate within each range partition, and add the
-    // totals of all earlier partitions via a broadcast triangular
-    // self-join on the partition id — |cluster partitions|² pairs,
-    // bounded by config, never by data. The result is independent of
-    // where the range boundaries land.
-    // localCheckpoint PINS the partition ids: __pid feeds both the
-    // per-partition cumsum and the partition-total join below, and
-    // without materialization those are two separate exchanges whose
-    // sampled range boundaries (and thus pids) are only identical while
-    // exchange reuse happens to dedup them — a silent-wrong-ranks
-    // hazard, not a perf choice. The histogram is ≤ ~1e6 rows.
-    val parts = hist.repartitionByRange(col("__qs").asc_nulls_last)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val withCum = parts.withColumn("__cum",
-      sum(col("__n")).over(
-        Window.partitionBy(col("__pid")).orderBy(col("__qs").asc_nulls_last)))
-    val ptot = parts.groupBy(col("__pid")).agg(sum(col("__n")).as("__pn"))
-    val pbelow = ptot.as("pa")
-      .join(broadcast(ptot.as("pb")), col("pb.__pid") < col("pa.__pid"), "left")
-      .groupBy(col("pa.__pid").as("__pid"))
-      .agg(coalesce(sum(col("pb.__pn")), lit(0L)).as("__pbelow"))
-    val below = withCum.join(broadcast(pbelow), "__pid")
+    val below = rangeCumSum(hist, "__qs", Seq("__n"))
       .select(col("__qs").as("__score"),
-        (col("__pbelow") + col("__cum") - col("__n")).as("__below"))
+        (col("__cum___n") - col("__n")).as("__below"))
     val within = Window.partitionBy(col("__qs")).orderBy(col(tieCol))
     q.join(broadcast(below), col("__qs") <=> col("__score"))
       .withColumn("r", col("__below") + row_number().over(within))
       .drop("__below", "__score", "__qs")
+  }
+
+  /** Cumulative (inclusive) sums of `valCols` over `df` ordered by
+    * `orderCol` asc-nulls-last, WITHOUT a global single-partition
+    * window: range-partition on the order column (order-preserving),
+    * cumulate within each range partition, and add the totals of all
+    * earlier partitions via a broadcast triangular self-join on the
+    * partition id — |cluster partitions|² pairs, bounded by config,
+    * never by data. The result is independent of where the range
+    * boundaries land.
+    *
+    * localCheckpoint PINS the partition ids: __pid feeds both the
+    * per-partition cumsum and the partition-total join, and without
+    * materialization those are two separate exchanges whose sampled
+    * range boundaries (and thus pids) are only identical while exchange
+    * reuse happens to dedup them — a silent-wrong-ranks hazard, not a
+    * perf choice. Input is expected to be a pre-aggregated histogram
+    * (the only "global" object — bounded, e.g. ≤ ~1e6 quantized
+    * scores). Adds `__cum_<col>` per value column; broadcastable.
+    */
+  private[operators] def rangeCumSum(df: DataFrame, orderCol: String,
+                                     valCols: Seq[String]): DataFrame = {
+    val parts = df.repartitionByRange(col(orderCol).asc_nulls_last)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col(orderCol).asc_nulls_last)
+    val withCum = valCols.foldLeft(parts)((d, c) =>
+      d.withColumn(s"__in_$c", sum(col(c)).over(w)))
+    val ptot = parts.groupBy(col("__pid"))
+      .agg(sum(col(valCols.head)).as(s"__pn_${valCols.head}"),
+        valCols.tail.map(c => sum(col(c)).as(s"__pn_$c")): _*)
+    val pbelow = ptot.as("pa")
+      .join(broadcast(ptot.as("pb")), col("pb.__pid") < col("pa.__pid"), "left")
+      .groupBy(col("pa.__pid").as("__pid"))
+      .agg(coalesce(sum(col(s"pb.__pn_${valCols.head}")), lit(0))
+          .as(s"__pb_${valCols.head}"),
+        valCols.tail.map(c =>
+          coalesce(sum(col(s"pb.__pn_$c")), lit(0)).as(s"__pb_$c")): _*)
+    val joined = withCum.join(broadcast(pbelow), "__pid")
+    valCols.foldLeft(joined)((d, c) =>
+        d.withColumn(s"__cum_$c", col(s"__pb_$c") + col(s"__in_$c")))
+      .drop("__pid")
+      .drop(valCols.flatMap(c => Seq(s"__in_$c", s"__pb_$c")): _*)
   }
 
   /** A9: rank-formula ROC-AUC with deterministic tiebreak — one
@@ -331,6 +351,132 @@ object MetricOps {
             "sqrt(CAST(__syy AS DOUBLE)))"), 6)
           .as("spearman"),
         col("__n").cast("long").as("n"))
+  }
+
+  /** Kolmogorov–Smirnov statistic between the score distributions of
+    * the positive and negative class: max over thresholds of
+    * |F⁺(t) − F⁻(t)|. The standard two-sample separation test next to
+    * AUC/calibration/PSI in a model-eval suite.
+    *
+    * Distributed shape: scores quantize to 6 dp (the [[globalRank]]
+    * argument — bounds the histogram at ~1e6 rows on continuous
+    * inputs), one hash agg builds the per-score (n⁺, n⁻) histogram,
+    * and the CDFs cumulate via [[rangeCumSum]] — never a
+    * single-partition window. Exactness: the per-threshold gap is
+    * compared in cross-multiplied integer form |c⁺·N − c⁻·P| (DECIMAL-
+    * exact, order-independent max); only the final max divides, so
+    * both engines see one double division of exact integers. Validity
+    * bound: the products need P·N < 10³⁸ — holds to ~10¹⁹ rows per
+    * class. Null scores count into neither CDF step but keep their
+    * class totals (they sort last, where the gap is 0 anyway).
+    */
+  def ksStatistic(df: DataFrame, labelCol: String, scoreCol: String,
+                  roundTo: Int = 6): DataFrame = {
+    val s = df.select(round(col(scoreCol).cast("double"), 6).as("__sc"),
+      when(col(labelCol) === 1, 1L).otherwise(0L).as("__y"))
+    val hist = s.groupBy(col("__sc")).agg(
+      sum(col("__y")).cast("decimal(38,0)").as("__np"),
+      (count(lit(1)) - sum(col("__y"))).cast("decimal(38,0)").as("__nn"))
+    val cum = rangeCumSum(hist, "__sc", Seq("__np", "__nn"))
+    val tot = broadcast(s.agg(
+      sum(col("__y")).cast("decimal(38,0)").as("__p"),
+      (count(lit(1)) - sum(col("__y"))).cast("decimal(38,0)").as("__n")))
+    cum.crossJoin(tot)
+      .agg(
+        round(max(abs(col("__cum___np") * col("__n")
+            - col("__cum___nn") * col("__p"))).cast("double")
+          / (max(col("__p")) * max(col("__n"))).cast("double"), roundTo)
+          .as("ks"),
+        max(col("__p")).cast("long").as("n_pos"),
+        max(col("__n")).cast("long").as("n_neg"))
+  }
+
+  /** Decile lift/gain table — the campaign-targeting eval: rank by
+    * score descending, split into `buckets` equal-population bins,
+    * report per-bin and cumulative positives, lift over the base rate,
+    * and capture (share of all positives reached).
+    *
+    * Bucket semantics are SCORE-ATOMIC: all rows tying on the
+    * (6 dp-quantized) score land in the bucket of the tie group's
+    * first row — decile = ⌊rowsBefore·k / n⌋ — so the assignment is a
+    * pure function of the score histogram, never of row order. That
+    * histogram cumulates via [[rangeCumSum]] on the DESCENDING score
+    * (no global window); the final cumulative pass runs on ≤ k+1 bucket
+    * rows via a broadcast triangular join. Lift divides in
+    * cross-multiplied form (cum⁺·n)/(cum·P) — one double division of
+    * DECIMAL-exact integers, engine-stable.
+    */
+  def decileLift(df: DataFrame, labelCol: String, scoreCol: String,
+                 buckets: Int = 10): DataFrame = {
+    val s = df.select(round(col(scoreCol).cast("double"), 6).as("__sc"),
+      when(col(labelCol) === 1, 1L).otherwise(0L).as("__y"))
+    val hist = s.groupBy(col("__sc"))
+      .agg(count(lit(1)).as("__hn"), sum(col("__y")).as("__hp"))
+      // negate: rangeCumSum cumulates ascending; deciles count from the
+      // TOP score down. Nulls stay last under asc_nulls_last.
+      .withColumn("__key", -col("__sc"))
+    val cum = rangeCumSum(hist, "__key", Seq("__hn"))
+    val tot = broadcast(s.agg(count(lit(1)).as("__tn"),
+      sum(col("__y")).as("__tp")))
+    val bucketed = cum.crossJoin(tot)
+      .withColumn("__b",
+        expr(s"CAST((__cum___hn - __hn) * $buckets DIV __tn AS INT)"))
+      .groupBy(col("__b"))
+      .agg(sum(col("__hn")).as("__n"), sum(col("__hp")).as("__p"))
+    // cumulative over ≤ `buckets` rows (rowsBefore·k DIV n ≤ k−1 always)
+    // — triangular broadcast join, the psi/mutualInfo small-side idiom.
+    bucketed.as("a")
+      .join(broadcast(bucketed.as("b")), col("b.__b") <= col("a.__b"))
+      .groupBy(col("a.__b").as("decile"))
+      .agg(max(col("a.__n")).as("n"), max(col("a.__p")).as("n_pos"),
+        sum(col("b.__n")).as("cum_n"), sum(col("b.__p")).as("cum_pos"))
+      .crossJoin(tot)
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_n"),
+        col("cum_pos"),
+        round((col("cum_pos").cast("decimal(38,0)")
+            * col("__tn").cast("decimal(38,0)")).cast("double")
+          / (col("cum_n").cast("decimal(38,0)")
+            * col("__tp").cast("decimal(38,0)")).cast("double"), 4)
+          .as("lift"),
+        round(col("cum_pos").cast("double") / col("__tp"), 4).as("capture"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * labelings of the same rows (annotator QA for labeled training
+    * data). Multi-class: pₑ = Σ_c p₁(c)·p₂(c) over the shared category
+    * space.
+    *
+    * One (r1, r2) contingency hash agg is the only data-sized pass;
+    * marginals derive from it (≤ |categories|² rows) and their product
+    * term broadcasts. κ = (n·agree − Σ m₁·m₂) / (n² − Σ m₁·m₂): every
+    * moment is a DECIMAL-exact integer, one double division at the end
+    * — engine-stable, order-independent.
+    */
+  def cohensKappa(df: DataFrame, r1Col: String, r2Col: String,
+                  roundTo: Int = 6): DataFrame = {
+    val cell = df.groupBy(col(r1Col).as("__r1"), col(r2Col).as("__r2"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__c"))
+      .localCheckpoint(false)
+    val m1 = cell.groupBy(col("__r1").as("__cat")).agg(sum("__c").as("__c1"))
+    val m2 = cell.groupBy(col("__r2").as("__cat")).agg(sum("__c").as("__c2"))
+    // inner join: a category one rater never uses has m·0 = 0 expected
+    // agreement — dropping it is exact.
+    val e = broadcast(m1.join(m2, "__cat")
+      .agg(coalesce(sum(col("__c1") * col("__c2")),
+        lit(0).cast("decimal(38,0)")).as("__e")))
+    cell.agg(
+        sum(when(col("__r1") === col("__r2"), col("__c"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__a"),
+        sum(col("__c")).as("__n"))
+      .crossJoin(e)
+      .select(col("__n").cast("long").as("n"),
+        round(col("__a").cast("double") / col("__n").cast("double"), roundTo)
+          .as("po"),
+        round(col("__e").cast("double")
+          / (col("__n") * col("__n")).cast("double"), roundTo).as("pe"),
+        round((col("__n") * col("__a") - col("__e")).cast("double")
+          / (col("__n") * col("__n") - col("__e")).cast("double"), roundTo)
+          .as("kappa"))
   }
 
   def approxConstPruneReport(df: DataFrame, cols: Seq[String]): DataFrame = {

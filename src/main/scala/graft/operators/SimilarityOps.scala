@@ -193,4 +193,38 @@ object SimilarityOps {
       .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
     selectTopK(pairs, k)
   }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dims with a
+    * ±1 sign matrix (Achlioptas 2003: database-friendly random
+    * projections — sign matrices preserve distances like Gaussians at
+    * a fraction of the compute). The sign s(i,j) derives from md5 of
+    * "i:j" — engine-portable configuration, not data, so the projection
+    * is reproducible everywhere and across runs (the repo-wide
+    * md5-only-hashing invariant).
+    *
+    * Map-only: the 64×outDim sign matrix folds into literal arrays at
+    * plan build, each output dim is one zip_with/aggregate over the
+    * embedding — no shuffle, no UDF, codegen throughout. Per-term
+    * products round to 8 dp and accumulate as DECIMAL so the sum is
+    * order-independent (engines agree bit-for-bit); the output scales
+    * by 1/√outDim (the JL convention that preserves expected norms).
+    */
+  def randomProjection(df: DataFrame, idCol: String, embCol: String,
+                       inDim: Int, outDim: Int): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+      // first hex char < '8' ⇔ top nibble < 8 ⇔ top bit of byte 0 clear
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    val cols = (0 until outDim).map { j =>
+      val sArr = array((0 until inDim).map(i => lit(sign(i, j))): _*)
+      val terms = zip_with(col(embCol).cast("array<double>"), sArr,
+        (x, y) => round(x * y, 8).cast("decimal(20,8)"))
+      val dotSum = aggregate(terms, lit(0).cast("decimal(28,8)"),
+        (acc, v) => (acc + v).cast("decimal(28,8)"))
+      round(dotSum.cast("double") / math.sqrt(outDim.toDouble), 4).as(s"p$j")
+    }
+    df.select(col(idCol) +: cols: _*)
+  }
 }

@@ -346,6 +346,81 @@ object TextOps {
             log(count(lit(1)).cast("double")), 6)).as("norm_entropy"))
   }
 
+  /** RAG-style document chunking: split each document's token stream
+    * into fixed-size windows of `chunkSize` tokens advancing by
+    * `stride` (< chunkSize ⇒ overlapping chunks), keeping 1-based start
+    * offsets so chunks map back to source spans. Chunk count per doc =
+    * 1 + ⌈(n − chunkSize)/stride⌉ (one chunk for short docs), so every
+    * token is covered and the tail chunk may run short.
+    *
+    * Pure per-row expressions — tokenize once, `sequence` the chunk
+    * ids, `slice` the token array per chunk. NO shuffle at all: at
+    * 100 TB this is a map-only pass whose output partitioning follows
+    * the input's. Emits the chunk md5 (the dedup/embedding key; the
+    * text itself stays derivable from doc_id + start_pos).
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize, got chunkSize=$chunkSize stride=$stride")
+    val t = tokens(col(textCol))
+    df.select(col(idCol), t.as("__t"), size(t).as("__n"))
+      .withColumn("chunk_id", explode(sequence(lit(0L),
+        when(col("__n") <= chunkSize, lit(0L)).otherwise(
+          ceil((col("__n") - chunkSize) / lit(stride.toDouble))
+            .cast("long")))))
+      .withColumn("__chunk",
+        slice(col("__t"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)))
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride + 1).as("start_pos"),
+        size(col("__chunk")).cast("long").as("chunk_len"),
+        md5(array_join(col("__chunk"), " ")).as("chunk_md5"))
+  }
+
+  /** Duplicated-span coverage — the substring-dedup signal of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better"
+    * (2022): per document, the fraction of token positions covered by
+    * at least one `n`-gram that also occurs in ANOTHER document. High
+    * coverage = boilerplate/mirror content that exact and near dedup
+    * (whole-doc granularity) both miss.
+    *
+    * Shape: positioned n-grams (md5-keyed) → one gram hash-agg marking
+    * cross-doc grams (min(doc) ≠ max(doc) — cheaper than a distinct
+    * count, 2-row agreement is all "≥ 2 docs" needs) → semi-join back →
+    * explode each dup gram into its n covered positions → per-doc
+    * distinct-position count. Every join is an equi-join on the gram
+    * hash; the position explode is bounded at n× the dup grams, never
+    * n× the corpus.
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    require(n > 0, s"need n > 0, got $n")
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__nt", size(col("__t")))
+    val sh = base.filter(col("__nt") >= n)
+      .select(col(idCol),
+        explode(sequence(lit(1), col("__nt") - lit(n - 1))).as("__pos"),
+        col("__t"))
+      .select(col(idCol), col("__pos"),
+        md5(array_join(slice(col("__t"), col("__pos"), lit(n)), " "))
+          .as("__g"))
+    val dup = sh.groupBy(col("__g"))
+      .agg((min(col(idCol)) =!= max(col(idCol))).as("__x"))
+      .filter(col("__x")).select("__g")
+    val cov = sh.join(dup, Seq("__g"), "left_semi")
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__p"))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__dup"))
+    base.select(col(idCol), col("__nt").cast("long").as("n_tokens"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("__dup"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("__dup"), lit(0L)).cast("double")
+          / col("n_tokens"), 4).as("dup_frac"))
+  }
+
   /** Jensen–Shannon divergence (nats) between the unigram distributions
     * of two corpus slices (`sideExpr` = boolean: true → side A). Tokens
     * absent from one side contribute only the present side's half-term

@@ -265,6 +265,36 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "1-row average side must broadcast")
   }
 
+  test("q146/q147: chunking and random projection are map-only (zero data exchanges)") {
+    // ORDER BY adds one range exchange; nothing else may shuffle — both
+    // operators' 100 TB claim is "output partitioning follows the input's".
+    for (q <- Seq("q146_chunk_documents", "q147_random_projection")) {
+      val ex = shuffles(plan(q))
+      val nonSort = ex.filterNot(
+        _.outputPartitioning.toString.contains("rangepartitioning"))
+      assert(nonSort.isEmpty,
+        s"$q: unexpected data exchange ${nonSort.map(_.outputPartitioning)}")
+    }
+  }
+
+  test("q148: KS CDFs never funnel the fact table through one partition") {
+    val ex = shuffles(plan("q148_ks_statistic"))
+    // same contract as q25: single-partition exchanges are legitimate
+    // only as scalar-aggregate merges over per-partition partials.
+    val badSingles = ex.filter(s => s.outputPartitioning.numPartitions == 1 &&
+      !s.child.toString.contains("HashAggregate"))
+    assert(badSingles.isEmpty,
+      s"non-aggregate single-partition exchange: $badSingles")
+  }
+
+  test("q150: dup-span coverage joins on the gram hash, never all pairs") {
+    val df = plan("q150_dup_spans")
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"))
+    assert(s.contains("LeftSemi"), "dup grams must probe via a semi join")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {

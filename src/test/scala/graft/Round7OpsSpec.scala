@@ -1,0 +1,233 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{MetricOps, SimilarityOps, TextOps}
+
+/** Round-7 operator specs: RAG chunking coverage invariants, the
+  * duplicated-span (substring-dedup) signal, JL random projection
+  * determinism + distance preservation, KS vs the single-window oracle
+  * form, decile-lift tiling invariants, and Cohen's kappa against
+  * hand-computed contingency tables.
+  */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------ chunkDocuments
+
+  test("chunkDocuments: full coverage, stride offsets, short tail") {
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"t$i").mkString(" ")), // 40 toks → 3 chunks
+      (2L, (1 to 16).map(i => s"t$i").mkString(" ")), // exactly one window
+      (3L, "a b c"),                                  // short doc → 1 chunk
+      (4L, (1 to 28).map(i => s"t$i").mkString(" "))  // (n−16) % 12 == 0
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, "doc_id", "text", 16, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+
+    // chunk counts: 1 + ceil((n-16)/12)
+    val counts = out.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(counts == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
+    // starts advance by stride; every token position is covered
+    for ((id, n) <- Seq(1L -> 40, 2L -> 16, 3L -> 3, 4L -> 28)) {
+      val chunks = out.filter(_._1 == id).sortBy(_._2)
+      assert(chunks.map(_._3) == chunks.indices.map(_.toLong * 12 + 1))
+      val covered = chunks.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered == (1L to n).toSet, s"doc $id coverage")
+    }
+    // tail chunk of doc 1 runs short: positions 25..40 = 16, but doc 3 = 3
+    assert(out.filter(_._1 == 3L).head._4 == 3L)
+  }
+
+  test("chunkDocuments md5 matches the joined slice") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(docs, "doc_id", "text", 4, 2).collect()
+    assert(out.length == 2)
+    val expected = Seq("a b c d", "c d e f").map(s =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(out.map(_.getString(4)).toSeq == expected)
+  }
+
+  // -------------------------------------------------------- dupSpanStats
+
+  test("dupSpanStats: cross-doc 5-gram coverage, union of overlaps") {
+    val shared = "one two three four five six" // two 5-gram windows
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma"),  // 9 toks, grams at 1,2 dup
+      (2L, s"intro $shared tail"),        // 8 toks, grams at 2,3 dup
+      (3L, "no duplicated content here at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dupSpanStats(docs, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: dup grams start at 1,2 → covered 1..6 = 6 of 9
+    assert(out(1L) == ((9L, 6L, 0.6667)))
+    // doc 2: dup grams start at 2,3 → covered 2..7 = 6 of 8
+    assert(out(2L) == ((8L, 6L, 0.75)))
+    // doc 3: nothing shared
+    assert(out(3L) == ((6L, 0L, 0.0)))
+  }
+
+  test("dupSpanStats: repeats WITHIN one doc do not count as duplicated") {
+    val docs = Seq(
+      (1L, "x y z w v x y z w v"),     // the 5-gram repeats, same doc only
+      (2L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dupSpanStats(docs, "doc_id", "text", 5)
+      .filter(col("doc_id") === 1).head()
+    assert(out.getLong(2) == 0L)
+  }
+
+  // --------------------------------------------------- randomProjection
+
+  test("randomProjection: deterministic, scaled dot against direct math") {
+    val vecs = Seq(
+      (1L, Array.tabulate(64)(i => (i % 7 - 3).toFloat / 3f)),
+      (2L, Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = SimilarityOps.randomProjection(df, "vec_id", "embedding", 64, 8)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (1 to 8).map(j => r.getDouble(j))).toMap
+
+    // independent reference computation with the same md5 sign rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double =
+      if ((md.digest(s"$i:$j".getBytes("UTF-8"))(0) & 0x80) == 0) 1.0 else -1.0
+    for ((id, emb) <- vecs; j <- 0 until 8) {
+      val exact = (0 until 64).map(i =>
+        BigDecimal(emb(i).toDouble * sign(i, j))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum
+      // mirror the engine: decimal sum → DOUBLE cast → double divide → round
+      val expected = BigDecimal(exact.toDouble / math.sqrt(8))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rows(id)(j) - expected) < 1e-9,
+        s"vec $id dim $j: ${rows(id)(j)} vs $expected")
+    }
+    // rerun is bit-identical (the sign matrix is config, not RNG state)
+    assert(SimilarityOps.randomProjection(df, "vec_id", "embedding", 64, 8)
+      .collect().toSeq == out.collect().toSeq)
+  }
+
+  test("randomProjection approximately preserves pairwise distance") {
+    val r = new scala.util.Random(7)
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Array.fill(64)((r.nextGaussian()).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val proj = SimilarityOps.randomProjection(df, "vec_id", "embedding", 64, 8)
+      .collect().map(row => row.getLong(0) ->
+        (1 to 8).map(j => row.getDouble(j)).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      i <- 0 until 30; k <- (i + 1) until 30
+    } yield {
+      val orig = vecs(i)._2.zip(vecs(k)._2)
+        .map { case (x, y) => (x - y).toDouble * (x - y) }.sum
+      d2(proj(i.toLong), proj(k.toLong)) / orig
+    }
+    // JL with 8 dims is coarse — assert the MEDIAN ratio is near 1, the
+    // unbiasedness of the sign projection, not per-pair tight bounds.
+    val med = ratios.sorted.apply(ratios.size / 2)
+    assert(med > 0.6 && med < 1.6, s"median distance ratio $med")
+  }
+
+  // -------------------------------------------------------- ksStatistic
+
+  test("ksStatistic: separable classes → 1.0; equal distributions → 0.0") {
+    val sep = Seq((1, 1.0), (1, 2.0), (1, 3.0), (0, 4.0), (0, 5.0))
+      .toDF("label", "score")
+    assert(MetricOps.ksStatistic(sep, "label", "score")
+      .head().getDouble(0) == 1.0)
+    val same = Seq((1, 1.0), (0, 1.0), (1, 2.0), (0, 2.0))
+      .toDF("label", "score")
+    assert(MetricOps.ksStatistic(same, "label", "score")
+      .head().getDouble(0) == 0.0)
+  }
+
+  test("ksStatistic equals the single-window oracle on random data") {
+    val r = new scala.util.Random(13)
+    val df = (1 to 400).map { i =>
+      (if (r.nextDouble() < 0.4) 1 else 0, r.nextInt(30).toDouble / 7.0)
+    }.toDF("label", "score").repartition(7)
+    val got = MetricOps.ksStatistic(df, "label", "score").head()
+    // oracle: cumulative CDF gap over one global window
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val h = df.groupBy("score")
+      .agg(sum("label").cast("long").as("np"),
+        (count(lit(1)) - sum("label")).cast("long").as("nn"))
+    val tot = df.agg(sum("label").cast("double").as("p"),
+      (count(lit(1)) - sum("label")).cast("double").as("n")).head()
+    val (p, n) = (tot.getDouble(0), tot.getDouble(1))
+    val expected = h
+      .withColumn("cp", sum("np").over(w)).withColumn("cn", sum("nn").over(w))
+      .select(max(abs(col("cp") / p - col("cn") / n))).head().getDouble(0)
+    assert(math.abs(got.getDouble(0) - expected) < 1e-6)
+    assert(got.getLong(1) + got.getLong(2) == 400L)
+  }
+
+  // --------------------------------------------------------- decileLift
+
+  test("decileLift: buckets tile the population; cumulative capture ends at 1") {
+    val r = new scala.util.Random(17)
+    // score correlates with label → top deciles must show lift > 1
+    val df = (1 to 1000).map { i =>
+      val s = r.nextDouble()
+      (if (r.nextDouble() < s) 1 else 0, s)
+    }.toDF("label", "score").repartition(5)
+    val out = MetricOps.decileLift(df, "label", "score")
+      .orderBy("decile").collect()
+    assert(out.map(_.getInt(0)).toSeq == (0 until 10))
+    assert(out.map(_.getLong(1)).sum == 1000L)
+    // each bucket holds ~n/k rows (score-atomic: continuous scores ⇒ exact
+    // boundaries land between distinct values, so sizes are 100 ± ties)
+    assert(out.map(_.getLong(1)).forall(c => c >= 80 && c <= 120))
+    val last = out.last
+    assert(last.getLong(3) == 1000L)             // cum_n
+    assert(last.getDouble(6) == 1.0)             // capture
+    assert(math.abs(last.getDouble(5) - 1.0) < 1e-9) // full-pop lift = 1
+    // top decile captures high-score rows → lift well above 1
+    assert(out.head.getDouble(5) > 1.3)
+    // cumulative columns are consistent with per-bucket ones
+    assert(out.map(_.getLong(2)).sum == last.getLong(4))
+  }
+
+  test("decileLift: ties collapse into the first row's bucket") {
+    val df = (1 to 100).map(i => (i % 2, 1.0)).toDF("label", "score")
+    val out = MetricOps.decileLift(df, "label", "score").collect()
+    assert(out.length == 1 && out.head.getInt(0) == 0)
+    assert(out.head.getLong(1) == 100L && out.head.getDouble(5) == 1.0)
+  }
+
+  // -------------------------------------------------------- cohensKappa
+
+  test("cohensKappa: perfect agreement → 1; textbook 2×2 table matches") {
+    val perfect = (1 to 60).map(i => (i % 3, i % 3)).toDF("r1", "r2")
+    assert(MetricOps.cohensKappa(perfect, "r1", "r2")
+      .head().getDouble(3) == 1.0)
+
+    // classic example: 50 items, agree on 20 yes + 15 no; r1 says yes 25,
+    // r2 says yes 30 → po=0.7, pe=(25·30+25·20)/2500=0.5, κ=0.4
+    val rows =
+      Seq.fill(20)((1, 1)) ++ Seq.fill(15)((0, 0)) ++
+        Seq.fill(5)((1, 0)) ++ Seq.fill(10)((0, 1))
+    val out = MetricOps.cohensKappa(rows.toDF("r1", "r2"), "r1", "r2").head()
+    assert(out.getLong(0) == 50L)
+    assert(out.getDouble(1) == 0.7)
+    assert(out.getDouble(2) == 0.5)
+    assert(out.getDouble(3) == 0.4)
+  }
+
+  test("cohensKappa: independent raters ≈ 0; disjoint categories defined") {
+    val r = new scala.util.Random(23)
+    val ind = (1 to 4000).map(_ => (r.nextInt(2), r.nextInt(2))).toDF("r1", "r2")
+    val k = MetricOps.cohensKappa(ind, "r1", "r2").head().getDouble(3)
+    assert(math.abs(k) < 0.08, s"independent raters kappa $k")
+    // raters that never overlap in categories: agree=0, pe=0 → κ computed
+    val disj = (1 to 40).map(i => (0, 1)).toDF("r1", "r2")
+    val out = MetricOps.cohensKappa(disj, "r1", "r2").head()
+    assert(out.getDouble(1) == 0.0 && out.getDouble(3) == 0.0)
+  }
+}
