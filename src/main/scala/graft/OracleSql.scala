@@ -2008,6 +2008,55 @@ object OracleSql {
         |    AS kappa
         |FROM agree, pe""".stripMargin,
 
+    "q152_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2 AS arm
+        |  FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN arm <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN arm <> 0 AND conv = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cb
+        |  FROM u),
+        |m AS (SELECT na, nb, ca, cb,
+        |    CAST(ca AS DOUBLE) / na AS pa, CAST(cb AS DOUBLE) / nb AS pb,
+        |    CAST(ca + cb AS DOUBLE) / (na + nb) AS pp
+        |  FROM c),
+        |z AS (SELECT *, CASE WHEN na > 0 AND nb > 0
+        |      AND pp > 0.0 AND pp < 1.0
+        |    THEN (pb - pa) / sqrt(pp * (1.0 - pp) *
+        |      (1.0 / na + 1.0 / nb)) END AS zz
+        |  FROM m)
+        |SELECT na AS n_a, nb AS n_b, ca AS conv_a, cb AS conv_b,
+        |  round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+        |  round(pb - pa, 6) AS diff, round(zz, 4) AS z,
+        |  CAST(CASE WHEN abs(zz) > 1.96 THEN 1 ELSE 0 END AS INT)
+        |    AS significant
+        |FROM z""".stripMargin,
+
+    "q153_vocab_coverage" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |h AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM t
+        |  GROUP BY token),
+        |r AS (SELECT token, tf,
+        |    row_number() OVER (ORDER BY tf DESC, token) AS rk FROM h),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS tt FROM h),
+        |top AS (SELECT * FROM r WHERE rk <= 20)
+        |SELECT a.token, a.tf, CAST(a.rk AS BIGINT) AS rnk,
+        |  CAST(sum(b.tf) AS BIGINT) AS cum_tf,
+        |  round(CAST(sum(b.tf) AS DOUBLE) / max(tt), 6) AS coverage
+        |FROM top a JOIN top b ON b.rk <= a.rk, tot
+        |GROUP BY a.token, a.tf, a.rk
+        |ORDER BY rnk""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

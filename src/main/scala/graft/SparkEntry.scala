@@ -1710,6 +1710,26 @@ object SparkEntry {
             .as("r2")),
         "r1", "r2")),
 
+    // L102 — A/B test readout: md5-hash arm assignment per user
+    // (featureHash — deterministic, partition-invariant), conversion =
+    // any purchase; two-proportion z-test from four exact counts.
+    "q152_ab_test" -> ((s, d) =>
+      MetricOps.abTest(
+        Tables.events(s, d)
+          .groupBy("user_id")
+          .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("conv"))
+          .withColumn("arm",
+            SamplingOps.featureHash(col("user_id"), 2).cast("int")),
+        "arm", "conv")),
+
+    // L103 — tokenizer vocabulary coverage: top-20 tokens with rank and
+    // cumulative corpus coverage (globalRank on the frequency table —
+    // no single-partition window at any vocabulary size).
+    "q153_vocab_coverage" -> ((s, d) =>
+      TextOps.vocabCoverage(Tables.documents(s, d), "text", topN = 20)
+        .orderBy("rnk")),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {

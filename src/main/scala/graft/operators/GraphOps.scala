@@ -68,6 +68,52 @@ object GraphOps {
     labels
   }
 
+  /** k-core decomposition membership: iteratively peel nodes of degree
+    * < k from the undirected graph until every survivor has ≥ k
+    * surviving neighbors. The standard dense-subgraph extractor —
+    * e.g. keeping only the strongly cross-linked core of a near-dup /
+    * citation / co-click graph.
+    *
+    * Each round is one degree hash-agg plus one semi-join filter of the
+    * edge list against surviving nodes — key-partitioned shuffles only,
+    * no global structure; `localCheckpoint` cuts lineage per round.
+    * Driver state per round is one count (how many nodes fell). Rounds
+    * are bounded by the peel depth (≤ |V| pathologically, small in
+    * practice); `maxIter` caps it. The fixpoint is unique (the k-core
+    * is a well-defined subgraph independent of peel order), so the
+    * result is deterministic under any partitioning.
+    *
+    * Returns surviving (node, degree) rows — degree WITHIN the core.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIter: Int = 50): DataFrame = {
+    // canonical undirected simple graph: drop self-loops, dedup pairs,
+    // then symmetrize so one degree agg on `a` counts every endpoint
+    var e = edges
+      .select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    e = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var iter = 0
+    var fell = 1L
+    while (fell > 0 && iter < maxIter) {
+      val deg = e.groupBy("a").agg(count(lit(1)).as("__d"))
+        .localCheckpoint(true) // one materialization feeds count + filter
+      val keep = deg.filter(col("__d") >= k).select("a")
+      fell = deg.filter(col("__d") < k).count()
+      if (fell > 0) {
+        e = e.join(keep, Seq("a"), "left_semi")
+          .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+          .localCheckpoint(true)
+      }
+      iter += 1
+    }
+    e.groupBy(col("a").as("node")).agg(count(lit(1)).cast("long").as("degree"))
+  }
+
   /** Cross-engine-deterministic PageRank, Pregel-as-joins shape (per
     * iteration: contributions = edges ⋈ ranks on the source key, then a
     * hash aggregation on dst; out-degrees computed once and

@@ -479,6 +479,49 @@ object MetricOps {
           .as("kappa"))
   }
 
+  /** Two-proportion A/B test: given one row per experimental unit with
+    * `armCol` ∈ {0 = control, else treatment} and `convCol` ∈ {0,1},
+    * report per-arm sizes/conversions/rates, the rate difference, the
+    * pooled two-proportion z-score, and a 5%-level significance flag
+    * (|z| > 1.96). Pair with [[graft.operators.SamplingOps.featureHash]]
+    * for the deterministic md5 arm assignment.
+    *
+    * One scalar aggregation over the units — four exact counts — then
+    * fixed double arithmetic on them: no order dependence anywhere, so
+    * both engines agree to the last bit before rounding. z is guarded
+    * (null) when either arm is empty or the pooled rate is degenerate
+    * (0 or 1) — the cases where the denominator is 0 and engines
+    * diverge on 0/0.
+    */
+  def abTest(df: DataFrame, armCol: String, convCol: String): DataFrame = {
+    val isB = col(armCol) =!= 0
+    df.agg(
+        sum(when(!isB, 1L).otherwise(0L)).as("__na"),
+        sum(when(isB, 1L).otherwise(0L)).as("__nb"),
+        sum(when(!isB && col(convCol) === 1, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isB && col(convCol) === 1, 1L).otherwise(0L)).as("__cb"))
+      // try_divide: an empty arm (or empty input) must yield null rates,
+      // not an ANSI divide-by-zero error
+      .withColumn("__pa", expr("try_divide(CAST(__ca AS DOUBLE), __na)"))
+      .withColumn("__pb", expr("try_divide(CAST(__cb AS DOUBLE), __nb)"))
+      .withColumn("__pp",
+        expr("try_divide(CAST(__ca + __cb AS DOUBLE), __na + __nb)"))
+      .withColumn("__z",
+        when(col("__na") > 0 && col("__nb") > 0 &&
+            col("__pp") > 0.0 && col("__pp") < 1.0,
+          (col("__pb") - col("__pa")) /
+            sqrt(col("__pp") * (lit(1.0) - col("__pp")) *
+              (lit(1.0) / col("__na") + lit(1.0) / col("__nb")))))
+      .select(
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        col("__ca").as("conv_a"), col("__cb").as("conv_b"),
+        round(col("__pa"), 6).as("rate_a"),
+        round(col("__pb"), 6).as("rate_b"),
+        round(col("__pb") - col("__pa"), 6).as("diff"),
+        round(col("__z"), 4).as("z"),
+        when(abs(col("__z")) > 1.96, 1).otherwise(0).as("significant"))
+  }
+
   def approxConstPruneReport(df: DataFrame, cols: Seq[String]): DataFrame = {
     val sorted = cols.sorted
     val aggs = sorted.map(c => approx_count_distinct(col(c)).as(s"__nd_$c"))

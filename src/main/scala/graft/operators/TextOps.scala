@@ -346,6 +346,36 @@ object TextOps {
             log(count(lit(1)).cast("double")), 6)).as("norm_entropy"))
   }
 
+  /** Tokenizer-vocabulary coverage: the top-`topN` tokens by corpus
+    * frequency, each with its rank and the CUMULATIVE share of all
+    * token occurrences the vocabulary covers up to that rank — the
+    * vocabulary-size-vs-coverage curve every tokenizer build starts
+    * from.
+    *
+    * Rank comes from [[MetricOps.globalRank]] on the negated frequency
+    * (tf desc, token tie-break) — the distributed tie-broken rank, no
+    * single-partition window even on a 10⁸-term vocabulary. The
+    * cumulative sum then runs over only the ≤ topN kept rows via the
+    * triangular broadcast join (the decileLift idiom).
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val tf = termFrequency(df, textCol).localCheckpoint(false)
+    val tot = tf.agg(sum(col("tf")).cast("double").as("__tot"))
+    val top = MetricOps.globalRank(tf.withColumn("__neg", -col("tf")),
+        "__neg", "token")
+      .filter(col("r") <= topN)
+      .select(col("token"), col("tf"), col("r"))
+    top.as("a")
+      .join(broadcast(top.as("b")), col("b.r") <= col("a.r"))
+      .groupBy(col("a.token").as("token"), col("a.tf").as("tf"),
+        col("a.r").as("rnk"))
+      .agg(sum(col("b.tf")).as("cum_tf"))
+      .crossJoin(broadcast(tot))
+      .select(col("token"), col("tf"), col("rnk").cast("long").as("rnk"),
+        col("cum_tf"),
+        round(col("cum_tf").cast("double") / col("__tot"), 6).as("coverage"))
+  }
+
   /** RAG-style document chunking: split each document's token stream
     * into fixed-size windows of `chunkSize` tokens advancing by
     * `stride` (< chunkSize ⇒ overlapping chunks), keeping 1-based start

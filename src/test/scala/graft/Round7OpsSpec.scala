@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{MetricOps, SimilarityOps, TextOps}
+import graft.operators.{GraphOps, MetricOps, SimilarityOps, TextOps}
 
 /** Round-7 operator specs: RAG chunking coverage invariants, the
   * duplicated-span (substring-dedup) signal, JL random projection
@@ -199,6 +199,119 @@ class Round7OpsSpec extends SparkSpec {
     val out = MetricOps.decileLift(df, "label", "score").collect()
     assert(out.length == 1 && out.head.getInt(0) == 0)
     assert(out.head.getLong(1) == 100L && out.head.getDouble(5) == 1.0)
+  }
+
+  // ------------------------------------------------------------- abTest
+
+  test("abTest: hand-computed two-proportion z; null-guarded degenerates") {
+    // control 200 units / 40 conv, treatment 200 / 60:
+    // pa=0.2 pb=0.3 pp=0.25, se=sqrt(.25*.75*(1/200+1/200))=0.0433...
+    val rows = Seq.fill(40)((0, 1)) ++ Seq.fill(160)((0, 0)) ++
+      Seq.fill(60)((1, 1)) ++ Seq.fill(140)((1, 0))
+    val out = MetricOps.abTest(rows.toDF("arm", "conv"), "arm", "conv").head()
+    assert(out.getLong(0) == 200L && out.getLong(1) == 200L)
+    assert(out.getDouble(4) == 0.2 && out.getDouble(5) == 0.3)
+    assert(out.getDouble(6) == 0.1)
+    // mirror the engine's double ops exactly (0.3−0.2 ≠ the 0.1 literal)
+    val se = math.sqrt(0.25 * 0.75 * (1.0 / 200 + 1.0 / 200))
+    val z = BigDecimal((60.0 / 200 - 40.0 / 200) / se)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    assert(out.getDouble(7) == z.toDouble)
+    assert(out.getInt(8) == 1, "z ≈ 2.31 exceeds 1.96")
+
+    // all-converted pool → pp = 1 → z null, not a divide-by-zero
+    val degen = Seq((0, 1), (1, 1)).toDF("arm", "conv")
+    val d = MetricOps.abTest(degen, "arm", "conv").head()
+    assert(d.isNullAt(7) && d.getInt(8) == 0)
+    // one empty arm → z null
+    val oneArm = Seq((1, 0), (1, 1)).toDF("arm", "conv")
+    assert(MetricOps.abTest(oneArm, "arm", "conv").head().isNullAt(7))
+  }
+
+  test("abTest: A/A split keeps z inside the noise band") {
+    val r = new scala.util.Random(29)
+    val rows = (1 to 2000).map(_ => (r.nextInt(2), if (r.nextDouble() < 0.3) 1 else 0))
+    val out = MetricOps.abTest(rows.toDF("arm", "conv"), "arm", "conv").head()
+    assert(math.abs(out.getDouble(7)) < 3.0, s"A/A z-score ${out.getDouble(7)}")
+  }
+
+  // ------------------------------------------------------ vocabCoverage
+
+  test("vocabCoverage: ranks by frequency, cumulative coverage monotone to ≤1") {
+    val docs = Seq(
+      (1L, "a a a a b b b c c d"),
+      (2L, "a a b c e")
+    ).toDF("doc_id", "text")
+    val out = TextOps.vocabCoverage(docs, "text", 3).orderBy("rnk").collect()
+    // counts: a=6 b=4 c=3 d=1 e=1, total 15
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq ==
+      Seq(("a", 6L, 1L, 6L), ("b", 4L, 2L, 10L), ("c", 3L, 3L, 13L)))
+    assert(out.map(_.getDouble(4)).toSeq ==
+      Seq(0.4, round6(10.0 / 15), round6(13.0 / 15)))
+  }
+
+  test("vocabCoverage: frequency ties break by token (deterministic rank)") {
+    val docs = Seq((1L, "z y z y x")).toDF("doc_id", "text")
+    val out = TextOps.vocabCoverage(docs, "text", 2).orderBy("rnk").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("y", "z"),
+      "equal-frequency tokens must rank alphabetically")
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // --------------------------------------------------------------- kCore
+
+  test("kCore: clique survives, pendant/chain structure peels") {
+    // K4 on 1..4, plus a pendant 5-1 and a chain 5-6-7
+    val edges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (5, 1), (5, 6), (6, 7)).toDF("src", "dst")
+    val core3 = GraphOps.kCore(edges, "src", "dst", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core3 == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3),
+      "3-core is exactly the K4; every survivor keeps degree 3")
+    val core2 = GraphOps.kCore(edges, "src", "dst", 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(core2 == Set(1L, 2L, 3L, 4L), "chain+pendant peel out of the 2-core")
+  }
+
+  test("kCore: cascade peeling (removing one node drops the next below k)") {
+    // path 1-2-3-4-5: 2-core is empty, peeling cascades from both ends
+    val path = Seq((1, 2), (2, 3), (3, 4), (4, 5)).toDF("src", "dst")
+    assert(GraphOps.kCore(path, "src", "dst", 2).count() == 0L)
+    // a cycle is its own 2-core
+    val cycle = Seq((1, 2), (2, 3), (3, 4), (4, 5), (5, 1)).toDF("src", "dst")
+    assert(GraphOps.kCore(cycle, "src", "dst", 2).count() == 5L)
+  }
+
+  test("kCore equals brute-force peel on random graphs; dirty input normalized") {
+    val r = new scala.util.Random(31)
+    val edges = (1 to 120).map(_ => (r.nextInt(25).toLong, r.nextInt(25).toLong))
+    // brute force on the canonical simple graph
+    val simple = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    def peel(k: Int): Set[Long] = {
+      var adj = simple
+      var nodes = (simple.map(_._1) ++ simple.map(_._2)).toSet
+      var changed = true
+      while (changed) {
+        val deg = nodes.map(n =>
+          n -> adj.count(e => e._1 == n || e._2 == n)).toMap
+        val keep = nodes.filter(deg(_) >= k)
+        changed = keep != nodes
+        nodes = keep
+        adj = adj.filter(e => nodes(e._1) && nodes(e._2))
+      }
+      nodes
+    }
+    // duplicate + self-loop + reversed noise exercises normalization
+    val dirty = (edges ++ edges.map(_.swap) ++ Seq((3L, 3L))).toDF("src", "dst")
+    for (k <- Seq(2, 3, 4)) {
+      val got = GraphOps.kCore(dirty, "src", "dst", k)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == peel(k), s"k=$k")
+    }
   }
 
   // -------------------------------------------------------- cohensKappa
