@@ -191,6 +191,47 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("(h) chunkDocuments tiles every token for random sizes and strides") {
+    import graft.operators.TextOps
+    val r = new Random(41)
+    for (_ <- 1 to 8) {
+      val chunkSize = 2 + r.nextInt(12)
+      val stride = 1 + r.nextInt(chunkSize)
+      val docs = (1 to 12).map(i =>
+        (i.toLong, (1 to (1 + r.nextInt(40))).map(p => s"w$p").mkString(" ")))
+      val lens = docs.map { case (id, t) => id -> t.split(" ").length }.toMap
+      val out = TextOps.chunkDocuments(docs.toDF("doc_id", "text"),
+          "doc_id", "text", chunkSize, stride)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      for ((id, n) <- lens) {
+        val chunks = out.filter(_._1 == id).sortBy(_._2)
+        // union of [start, start+len) covers 1..n exactly, no gaps
+        assert(chunks.flatMap(c => c._3 until (c._3 + c._4)).toSet ==
+          (1L to n).toSet, s"size=$chunkSize stride=$stride doc=$id n=$n")
+        // every chunk except possibly the last is full-size
+        assert(chunks.dropRight(1).forall(_._4 == chunkSize))
+        // consecutive starts differ by exactly the stride
+        assert(chunks.zip(chunks.drop(1)).forall {
+          case (a, b) => b._3 - a._3 == stride
+        })
+      }
+    }
+  }
+
+  test("(i) ksStatistic is symmetric under label flip and bounded in [0,1]") {
+    import graft.operators.MetricOps
+    val r = new Random(43)
+    val rows = (1 to 300).map(_ => (r.nextInt(2), r.nextInt(40) / 8.0))
+    val df = rows.toDF("label", "score").repartition(6)
+    val flipped = rows.map { case (y, s) => (1 - y, s) }
+      .toDF("label", "score").repartition(3)
+    val a = MetricOps.ksStatistic(df, "label", "score").head()
+    val b = MetricOps.ksStatistic(flipped, "label", "score").head()
+    assert(a.getDouble(0) == b.getDouble(0), "|F+−F−| is flip-symmetric")
+    assert(a.getDouble(0) >= 0.0 && a.getDouble(0) <= 1.0)
+    assert(a.getLong(1) == b.getLong(2) && a.getLong(2) == b.getLong(1))
+  }
+
   test("(d) hybrid union score = sum of channel scores per key") {
     for (seed <- 1 to 3) {
       val r = new Random(seed)

@@ -97,4 +97,33 @@ class SkewStressSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(records < n.toLong * n / 10,
       s"shuffle records $records suggest the hot-shingle f² blowup is back")
   }
+
+  test("dupSpanStats stays linear on a boilerplate corpus (no pair blowup)") {
+    import graft.operators.TextOps
+    // 95% of docs share one boilerplate sentence: its 5-grams are hot
+    // keys shared by ~all docs. The op must (a) stay correct — full
+    // boilerplate span flagged in every sharing doc, unique tails
+    // untouched — and (b) move O(docs · grams) shuffle rows, never a
+    // doc-pair stream (which would be ~n²).
+    val n = 200
+    val boiler = "terms of service apply to everyone here"  // 7 tokens
+    val docs = (0 until n).map { i =>
+      val tail = (0 until 6).map(j => s"tok${i}_$j").mkString(" ")
+      if (i < 190) (i.toLong, s"$boiler $tail") else
+        (i.toLong, s"unique${i} " + (0 until 13).map(j => s"u${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = TextOps.dupSpanStats(docs, "doc_id", "text", 5)
+    val rows = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (i <- 0 until 190)
+      // boilerplate 5-grams start at 1..3 → positions 1..7 covered; the
+      // tail is unique per doc so nothing else flags
+      assert(rows(i.toLong) == ((13L, 7L)), s"doc $i")
+    for (i <- 190 until n)
+      assert(rows(i.toLong)._2 == 0L, s"unique doc $i")
+    val records = shuffleRecords(out)
+    // grams ≈ 200 docs × 10 starts = 2k; a doc-pair formulation would
+    // shuffle ≥ 190²/2 ≈ 18k pair rows from the hot grams alone.
+    assert(records < 15000L,
+      s"shuffle records $records suggest a pairwise blowup")
+  }
 }
