@@ -2057,6 +2057,146 @@ object OracleSql {
         |GROUP BY a.token, a.tf, a.rk
         |ORDER BY rnk""".stripMargin,
 
+    "q154_hll_distinct" ->
+      """WITH src AS (SELECT CAST(floor(value / 100.0) AS BIGINT) AS vb,
+        |  event_id FROM events),
+        |dh AS (SELECT DISTINCT vb,
+        |  ('0x' || substr(md5(event_id::VARCHAR), 1, 12))::BIGINT AS u
+        |  FROM src),
+        |slots AS (SELECT vb, u // 1099511627776 AS b,
+        |  u % 1099511627776 AS rem FROM dh),
+        |regs AS (SELECT vb, b,
+        |  max(CASE WHEN rem = 0 THEN 41 ELSE 41 - length(bin(rem)) END) AS r
+        |  FROM slots GROUP BY 1, 2),
+        |agg AS (SELECT vb, count(*) AS nregs,
+        |  CAST(sum(1::BIGINT << (41 - r)) AS BIGINT) AS s
+        |  FROM regs GROUP BY 1),
+        |ex AS (SELECT vb, CAST(count(*) AS BIGINT) AS exact_distinct
+        |  FROM dh GROUP BY 1),
+        |est AS (SELECT ex.vb, exact_distinct, 256 - nregs AS v,
+        |  0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 2199023255552.0 /
+        |    (s + (256 - nregs) * 2199023255552.0) AS e_raw
+        |  FROM ex JOIN agg USING (vb)),
+        |fin AS (SELECT vb, exact_distinct,
+        |  round(CASE WHEN v > 0 AND e_raw <= 640.0
+        |    THEN 256.0 * ln(256.0 / v) ELSE e_raw END, 4) AS hll_est
+        |  FROM est)
+        |SELECT vb, exact_distinct, hll_est,
+        |  round(abs(hll_est - exact_distinct) / exact_distinct, 4)
+        |    AS rel_err
+        |FROM fin ORDER BY vb""".stripMargin,
+
+    "q155_scd2" ->
+      """WITH ordered AS (SELECT user_id, ts, event_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev
+        |  FROM events),
+        |changes AS (SELECT user_id, ts, event_id, event_type FROM ordered
+        |  WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, epoch_us(ts) AS valid_from,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  CAST(CASE WHEN lead(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS INT) AS is_current
+        |FROM changes ORDER BY user_id, valid_from""".stripMargin,
+
+    "q156_attribution" ->
+      """WITH convs AS (SELECT user_id, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM events WHERE event_type = 'purchase'),
+        |fc AS (SELECT user_id, ts AS cts, event_id AS cid FROM convs
+        |  WHERE rn = 1),
+        |touches AS (SELECT e.user_id, e.event_type,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |      ORDER BY e.ts, e.event_id) AS rn_first,
+        |    row_number() OVER (PARTITION BY e.user_id
+        |      ORDER BY e.ts DESC, e.event_id DESC) AS rn_last
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.ts < fc.cts OR (e.ts = fc.cts AND e.event_id < fc.cid)),
+        |ft AS (SELECT event_type AS channel,
+        |  CAST(count(*) AS BIGINT) AS first_touch
+        |  FROM touches WHERE rn_first = 1 GROUP BY 1),
+        |lt AS (SELECT event_type AS channel,
+        |  CAST(count(*) AS BIGINT) AS last_touch
+        |  FROM touches WHERE rn_last = 1 GROUP BY 1)
+        |SELECT coalesce(ft.channel, lt.channel) AS channel,
+        |  coalesce(first_touch, 0) AS first_touch,
+        |  coalesce(last_touch, 0) AS last_touch
+        |FROM ft FULL OUTER JOIN lt ON ft.channel = lt.channel
+        |ORDER BY channel""".stripMargin,
+
+    "q157_gini" ->
+      """WITH cnt AS (SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |hist AS (SELECT event_type, c, count(*) AS f FROM cnt
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c, f,
+        |  coalesce(sum(f) OVER (PARTITION BY event_type ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS below
+        |  FROM hist),
+        |terms AS (SELECT event_type,
+        |  CAST(sum(f) AS BIGINT) AS n, CAST(sum(c * f) AS BIGINT) AS tot,
+        |  CAST(sum(c * (f * below + (f * (f + 1)) // 2)) AS DECIMAL(38,0))
+        |    AS s
+        |  FROM cum GROUP BY 1)
+        |SELECT event_type, n AS n_keys, tot AS n_total,
+        |  round(2.0 * CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * tot) -
+        |    (n + 1.0) / n, 6) AS gini
+        |FROM terms ORDER BY event_type""".stripMargin,
+
+    "q158_ecdf" ->
+      """WITH h AS (SELECT round(value, 6) AS v, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |cum AS (SELECT v, CAST(c AS BIGINT) AS c,
+        |  CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS n_le FROM h),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events)
+        |SELECT v, c, n_le, round(n_le / n, 6) AS ecdf
+        |FROM cum, tot ORDER BY v""".stripMargin,
+
+    "q159_kfold_balance" ->
+      """WITH f AS (SELECT
+        |  ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 5
+        |    AS fold,
+        |  CASE WHEN value > 100 THEN 1 ELSE 0 END AS y, user_id
+        |  FROM events)
+        |SELECT fold, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_keys,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS pos_rate
+        |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
+
+    "q160_product_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |js AS (SELECT unnest(generate_series(0, 7)) AS j),
+        |sub AS (SELECT vec_id, j, emb[j*8+1 : j*8+8] AS sv FROM e, js),
+        |cent AS (SELECT vec_id AS c_id, j, sv AS cv FROM sub
+        |  WHERE vec_id < 16),
+        |d AS (SELECT s.vec_id, s.j, c.c_id,
+        |  list_dot_product(s.sv, s.sv) - 2.0 * list_dot_product(s.sv, c.cv)
+        |    + list_dot_product(c.cv, c.cv) AS d2
+        |  FROM sub s JOIN cent c ON s.j = c.j),
+        |best AS (SELECT vec_id, j, c_id, d2,
+        |  row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, c_id)
+        |    AS rn
+        |  FROM d)
+        |SELECT vec_id,
+        |  CAST(max(CASE WHEN j = 0 THEN c_id END) AS BIGINT) AS code0,
+        |  CAST(max(CASE WHEN j = 1 THEN c_id END) AS BIGINT) AS code1,
+        |  CAST(max(CASE WHEN j = 2 THEN c_id END) AS BIGINT) AS code2,
+        |  CAST(max(CASE WHEN j = 3 THEN c_id END) AS BIGINT) AS code3,
+        |  CAST(max(CASE WHEN j = 4 THEN c_id END) AS BIGINT) AS code4,
+        |  CAST(max(CASE WHEN j = 5 THEN c_id END) AS BIGINT) AS code5,
+        |  CAST(max(CASE WHEN j = 6 THEN c_id END) AS BIGINT) AS code6,
+        |  CAST(max(CASE WHEN j = 7 THEN c_id END) AS BIGINT) AS code7,
+        |  round(sqrt(CAST(sum(CAST(round(d2, 12) AS DECIMAL(28,14)))
+        |    AS DOUBLE)), 6) AS recon_err
+        |FROM best WHERE rn = 1 GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

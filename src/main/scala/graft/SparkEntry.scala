@@ -1730,6 +1730,69 @@ object SparkEntry {
       TextOps.vocabCoverage(Tables.documents(s, d), "text", topN = 20)
         .orderBy("rnk")),
 
+    // L105 — HyperLogLog distinct sketch per value bucket (sizes
+    // 1..8683 at sf0.01 exercise BOTH the raw-estimate and the
+    // linear-counting correction paths).
+    "q154_hll_distinct" -> ((s, d) =>
+      SketchOps.hllDistinct(
+          Tables.events(s, d).select(
+            floor(col("value") / 100.0).cast("long").as("vb"),
+            col("event_id")),
+          "vb", "event_id", p = 8)
+        .orderBy("vb")),
+
+    // L106 — SCD2 dimension build: per-user event_type change history
+    // with valid_from/valid_to (epoch micros) and is_current.
+    "q155_scd2" -> ((s, d) =>
+      RelationalOps.scd2(
+          Tables.events(s, d)
+            .withColumn("ts_us", unix_micros(col("ts"))),
+          "user_id", "event_type", "ts_us", "event_id")
+        .orderBy("user_id", "valid_from")),
+
+    // L107 — first/last-touch attribution: credits per channel over
+    // the touches preceding each user's first purchase.
+    "q156_attribution" -> ((s, d) =>
+      MetricOps.attribution(
+          Tables.events(s, d).withColumn("ts_us", unix_micros(col("ts"))),
+          "user_id", "ts_us", "event_id", "event_type", "purchase")
+        .orderBy("channel")),
+
+    // L109 — empirical-CDF (percentile-rank) lookup table over the
+    // value column (rank normalization; histogram + range-partitioned
+    // cumsum — no single-partition window at any cardinality).
+    "q158_ecdf" -> ((s, d) =>
+      EncodeOps.ecdfTable(Tables.events(s, d), "value")
+        .orderBy("v")),
+
+    // L110 — deterministic grouped k-fold assignment + fold balance
+    // audit (md5 fold of the user key; leakage-safe CV split).
+    "q159_kfold_balance" -> ((s, d) =>
+      SamplingOps.kFoldBalance(
+          Tables.events(s, d).withColumn("label",
+            when(col("value") > 100, 1).otherwise(0)),
+          "user_id", "label", k = 5)
+        .orderBy("fold")),
+
+    // L111 — product quantization: 64-dim embeddings → 8 sub-codes
+    // from a 16-codeword codebook (seed vectors vec_id < 16) +
+    // reconstruction error.
+    "q160_product_quantize" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.productQuantize(emb,
+          emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+          m = 8, subDim = 8)
+        .orderBy("vec_id")
+    }),
+
+    // L108 — Gini concentration of per-user activity within each
+    // event type (popularity-inequality audit; histogram-closed-form
+    // Lorenz sum, no raw-key sort).
+    "q157_gini" -> ((s, d) =>
+      MetricOps.giniConcentration(Tables.events(s, d),
+          "event_type", "user_id")
+        .orderBy("event_type")),
+
     // S14/F7/J5/J6/O2/O3 — request parse → feature join → score → top-k →
     // response build (the online path, batch form).
     "q38_request_response" -> ((s, d) => {

@@ -73,6 +73,30 @@ object EncodeOps {
     * and the scaled value rounds at 4 dp. One tiny per-group stats
     * aggregate broadcast back over the rows — no global window.
     */
+  /** Empirical-CDF (percentile-rank) table for a numeric column: one
+    * row per 6 dp-quantized distinct value with its count, the
+    * inclusive ≤-count, and ecdf = n_le / n — the rank-normalization
+    * lookup a feature pipeline broadcasts back onto the corpus (rank
+    * features are immune to outliers and monotone transforms, the
+    * usual motivation over z-scores).
+    *
+    * Never sorts or windows raw rows: the cumulative count runs over
+    * the VALUE HISTOGRAM via [[MetricOps.rangeCumSum]] (range-
+    * partitioned cumsum — no single-partition window at any
+    * cardinality; quantization bounds the histogram at ~10⁶ rows for
+    * continuous inputs, same guard as globalRank).
+    */
+  def ecdfTable(df: DataFrame, valCol: String): DataFrame = {
+    val hist = df.select(round(col(valCol).cast("double"), 6).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val cum = MetricOps.rangeCumSum(hist, "__v", Seq("__c"))
+    val tot = broadcast(df.agg(count(lit(1)).cast("double").as("__n")))
+    cum.crossJoin(tot)
+      .select(col("__v").as("v"), col("__c").as("c"),
+        col("__cum___c").as("n_le"),
+        round(col("__cum___c") / col("__n"), 6).as("ecdf"))
+  }
+
   def robustScale(df: DataFrame, groupCol: String,
                   valueCol: String): DataFrame = {
     val stats = df.groupBy(col(groupCol)).agg(

@@ -522,6 +522,79 @@ object MetricOps {
         when(abs(col("__z")) > 1.96, 1).otherwise(0).as("significant"))
   }
 
+  /** First/last-touch attribution: for every user whose log contains a
+    * conversion (`channelCol === convValue`), credit the FIRST and the
+    * LAST touch strictly before that user's first conversion, then
+    * count credits per channel.
+    *
+    * One row_number window finds the first conversion; the touch
+    * first/last selection is a single map-side-combinable aggregate —
+    * min/max over struct(ts, tie, channel), whose lexicographic order
+    * is total because `tieCol` is unique per user — NOT two more
+    * windows, so converting users cost one grouped agg regardless of
+    * history length. Users whose first event IS the conversion have no
+    * touches and contribute nothing.
+    */
+  def attribution(df: DataFrame, userCol: String, tsCol: String,
+                  tieCol: String, channelCol: String,
+                  convValue: String): DataFrame = {
+    val wAsc = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val fc = df.filter(col(channelCol) === convValue)
+      .withColumn("__rn", row_number().over(wAsc))
+      .filter(col("__rn") === 1)
+      .select(col(userCol), col(tsCol).as("__cts"), col(tieCol).as("__cid"))
+    val firstLast = df.join(fc, Seq(userCol))
+      .filter(col(tsCol) < col("__cts") ||
+        (col(tsCol) === col("__cts") && col(tieCol) < col("__cid")))
+      .groupBy(col(userCol))
+      .agg(
+        min(struct(col(tsCol), col(tieCol), col(channelCol).as("__ch")))
+          .as("__f"),
+        max(struct(col(tsCol), col(tieCol), col(channelCol).as("__ch")))
+          .as("__l"))
+    val ft = firstLast.groupBy(col("__f.__ch").as("channel"))
+      .agg(count(lit(1)).as("first_touch"))
+    val lt = firstLast.groupBy(col("__l.__ch").as("channel"))
+      .agg(count(lit(1)).as("last_touch"))
+    ft.join(lt, Seq("channel"), "full_outer")
+      .na.fill(0L, Seq("first_touch", "last_touch"))
+  }
+
+  /** Gini coefficient of per-key activity concentration within each
+    * group — the standard popularity-inequality readout (0 = uniform,
+    * → 1 = one key dominates) for training-mix and recsys audits.
+    *
+    * Never sorts raw keys: per-key counts collapse to a (count,
+    * frequency) HISTOGRAM, and the Lorenz rank sum over ties is closed
+    * form — keys sharing count c occupy consecutive ranks, so their
+    * Σ rank·x is c·(f·below + f(f+1)/2). The only window runs over
+    * histogram rows (≤ |distinct count values| per group, thousands at
+    * most even at 100 TB — counts are integers bounded by the hottest
+    * key). Rank-sum terms accumulate as DECIMAL(38,0): exact and
+    * order-independent, same discipline as the other moment ops.
+    */
+  def giniConcentration(df: DataFrame, groupCol: String,
+                        keyCol: String): DataFrame = {
+    val hist = df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(groupCol), col("__c"))
+      .agg(count(lit(1)).as("__f"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("__c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist.withColumn("__below", coalesce(sum(col("__f")).over(w), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("__f")).cast("long").as("n_keys"),
+        sum(col("__c") * col("__f")).cast("long").as("n_total"),
+        sum((col("__c") * (col("__f") * col("__below") +
+          expr("__f * (__f + 1) DIV 2"))).cast("decimal(38,0)")).as("__s"))
+      .select(col(groupCol), col("n_keys"), col("n_total"),
+        round(lit(2.0) * col("__s").cast("double") /
+          (col("n_keys").cast("double") * col("n_total")) -
+          (col("n_keys") + lit(1.0)) / col("n_keys"), 6).as("gini"))
+  }
+
   def approxConstPruneReport(df: DataFrame, cols: Seq[String]): DataFrame = {
     val sorted = cols.sorted
     val aggs = sorted.map(c => approx_count_distinct(col(c)).as(s"__nd_$c"))

@@ -89,6 +89,35 @@ object RelationalOps {
     base.join(updates.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(updates)
 
+  /** SCD2 dimension build from a change log: collapse consecutive
+    * duplicate values per key (lag window), then stamp each surviving
+    * version with `valid_from` = its own timestamp and `valid_to` = the
+    * next version's (lead window; null ⇒ `is_current`). The standard
+    * type-2 slowly-changing-dimension compaction of a CDC stream.
+    *
+    * Determinism needs a total order per key: rows order by
+    * (`tsCol`, `tieCol`) and `tieCol` must be unique within a key.
+    * Scale: both windows partition by the key — one shuffle on the key,
+    * then two in-partition sorts; no join, nothing driver-side. At
+    * 100 TB this is exactly the merge-on-read compaction shape
+    * (Delta/Iceberg CDF → dimension table).
+    */
+  def scd2(log: DataFrame, keyCol: String, valCol: String,
+           tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val changes = log
+      .withColumn("__prev", lag(col(valCol), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col(valCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1).otherwise(0))
+      .select(col(keyCol), col(valCol), col("valid_from"),
+        col("valid_to"), col("is_current"))
+  }
+
   /** Snapshot diff (CDC between two table states): emits one row per
     * changed key with change ∈ added | removed | changed. Row identity
     * is a concat fingerprint of `valCols`; the comparison is a single

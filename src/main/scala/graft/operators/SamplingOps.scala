@@ -69,6 +69,24 @@ object SamplingOps {
     conv(substring(md5(value.cast("string")), 1, 8), 16, 10)
       .cast("long") % buckets
 
+  /** Deterministic k-fold assignment + per-fold balance audit: fold =
+    * [[featureHash]] of the GROUPING key (all rows of a key land in one
+    * fold — the leakage-safe grouped CV split), reported with row
+    * count, distinct keys, positives, and positive rate per fold so
+    * skewed folds are visible before training. One hash aggregation;
+    * the assignment is partition- and run-invariant, so folds computed
+    * today reproduce next month's backfill exactly.
+    */
+  def kFoldBalance(df: DataFrame, keyCol: String, labelCol: String,
+                   k: Int): DataFrame =
+    df.withColumn("__fold", featureHash(col(keyCol), k))
+      .groupBy(col("__fold").as("fold"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(col(keyCol)).as("n_keys"),
+        sum(col(labelCol)).cast("long").as("n_pos"),
+        round(sum(col(labelCol)).cast("double") / count(lit(1)), 6)
+          .as("pos_rate"))
+
   /** Per-domain quota: keep at most `quota` rows per `domainCol` value,
     * selected by md5(id) order — the corpus-balancing cap that stops a
     * single crawled domain from dominating a training mixture. The

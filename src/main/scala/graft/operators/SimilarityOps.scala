@@ -227,4 +227,45 @@ object SimilarityOps {
     }
     df.select(col(idCol) +: cols: _*)
   }
+
+  /** Product quantization: split each vector into `m` contiguous
+    * `subDim`-dim subvectors, assign each to its nearest codeword from
+    * `centroids` (a small codebook table — here the caller's seed
+    * vectors; production swaps in per-subspace k-means centroids, same
+    * plan), and report the code per subspace plus the total
+    * reconstruction error. PQ codes are the compressed representation
+    * behind IVF-PQ ANN indexes: 64 floats → `m` small ints.
+    *
+    * Plan shape: explode to (vector, subspace), broadcast the
+    * m·|codebook| codeword table, argmin = min(struct(d2, code)) — a
+    * map-side-combinable aggregate, no window. Distances compose from
+    * three codegen'd graft_dot calls (‖s‖² − 2·s·c + ‖c‖²) so engines
+    * agree bit-for-bit; per-subspace minima round to 12 dp and sum as
+    * DECIMAL (order-independent) before the final sqrt.
+    */
+  def productQuantize(df: DataFrame, centroids: DataFrame, idCol: String,
+                      embCol: String, m: Int = 8,
+                      subDim: Int = 8): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    def subs(src: DataFrame, name: String): DataFrame = src
+      .withColumn("__emb", col(embCol).cast("array<double>"))
+      .withColumn("__j", explode(array((0 until m).map(lit): _*)))
+      .select(col(idCol), col("__j"),
+        expr(s"slice(__emb, __j * $subDim + 1, $subDim)").as(name))
+    val sub = subs(df, "__sv")
+    val cent = subs(centroids, "__cv")
+      .withColumnRenamed(idCol, "__cid")
+    val d2 = sub.join(broadcast(cent), Seq("__j"))
+      .withColumn("__d2", expr(
+        "graft_dot(__sv, __sv) - 2.0 * graft_dot(__sv, __cv)" +
+          " + graft_dot(__cv, __cv)"))
+    val best = d2.groupBy(col(idCol), col("__j"))
+      .agg(min(struct(col("__d2"), col("__cid"))).as("__b"))
+    val codeCols = (0 until m).map(j =>
+      max(when(col("__j") === j, col("__b.__cid"))).as(s"code$j"))
+    best.groupBy(col(idCol))
+      .agg(codeCols.head, codeCols.tail :+
+        round(sqrt(sum(round(col("__b.__d2"), 12).cast("decimal(28,14)"))
+          .cast("double")), 6).as("recon_err"): _*)
+  }
 }

@@ -145,6 +145,96 @@ object SketchOps {
       .withColumn("abs_err", round(abs(col("q_est") - col("q_exact")), 6))
   }
 
+  /** HyperLogLog distinct estimate per group — like [[kmvDistinct]],
+    * built on md5 so the estimate is a DETERMINISTIC function of the
+    * input set (portable across engines, invariant to partitioning and
+    * run order), unlike `approx_count_distinct`'s engine-private HLL++.
+    *
+    * Register build: 48-bit uniform hash (md5 prefix) → top `p` bits
+    * pick one of m = 2^p buckets, the low 48−p bits give
+    * rho = leading-zeros + 1 (via the binary-string length — no
+    * floating log2, so power-of-two values can't mis-round). Registers
+    * are max(rho) per bucket: a bounded m-row hash aggregation that
+    * merges across 1000 executors (or daily partitions) by max —
+    * the mergeability that justifies a sketch at 100 TB.
+    *
+    * Estimate: the 2^−M_j harmonic sum is kept EXACT by scaling to
+    * integers — Σ 2^(maxRho−M_j) ≤ m·2^maxRho < 2^63 for p ≥ 4 — so
+    * the one float division happens after order-independent integer
+    * math. Small-range correction (linear counting m·ln(m/V) when
+    * E ≤ 2.5m and empty buckets exist) follows Flajolet et al. 2007.
+    * Output keeps the exact count alongside (same discipline as the
+    * other sketches): group, exact_distinct, hll_est (4 dp), rel_err.
+    */
+  /** HLL register table from a pre-hashed column `uCol` (48-bit
+    * uniform ints): one row per (group, bucket) with the max-merged
+    * rho. Duplicate values are absorbed by the max, so the build works
+    * identically on DISTINCT hashes (the batch path) and on a raw
+    * stream (streaming.StreamingHll — an update-mode max aggregation),
+    * which is what makes stream- and batch-built registers
+    * interchangeable.
+    */
+  private[graft] def hllRegisters(hashed: DataFrame, groupCol: String,
+                                  uCol: String, p: Int): DataFrame = {
+    val lowBits = 48 - p
+    val maxRho = lowBits + 1
+    hashed
+      .select(col(groupCol),
+        expr(s"shiftright($uCol, $lowBits)").as("__b"),
+        pmod(col(uCol), lit(1L << lowBits)).as("__rem"))
+      .withColumn("__r",
+        when(col("__rem") === 0, lit(maxRho))
+          .otherwise(lit(maxRho) - length(conv(col("__rem"), 10, 2))))
+      .groupBy(col(groupCol), col("__b"))
+      .agg(max(col("__r")).as("__mr"))
+  }
+
+  /** The 48-bit uniform hash feeding [[hllRegisters]] — md5 prefix,
+    * shared by the batch and streaming builds.
+    */
+  private[graft] def hllHash(valCol: String): org.apache.spark.sql.Column =
+    conv(substring(md5(col(valCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+
+  /** Estimate from a register table (output of [[hllRegisters]]):
+    * group, n_registers, hll_est. The exact-count twin is only
+    * available in the batch build ([[hllDistinct]]); a streamed
+    * register table estimates through the identical formula.
+    */
+  private[graft] def hllEstimate(regs: DataFrame, groupCol: String,
+                                 p: Int): DataFrame = {
+    val m = 1 << p
+    val maxRho = 48 - p + 1
+    val scale = math.pow(2.0, maxRho)
+    regs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__nregs"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), CAST($maxRho - __mr AS INT))"))
+          .cast("long").as("__s"))
+      .withColumn("__v", lit(m) - col("__nregs"))
+      .withColumn("__eraw",
+        lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble)) *
+          lit(m.toDouble * m) * lit(scale) /
+          (col("__s") + col("__v") * lit(scale)))
+      .select(col(groupCol), col("__nregs").as("n_registers"),
+        round(when(col("__v") > 0 && col("__eraw") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("__v")))
+          .otherwise(col("__eraw")), 4).as("hll_est"))
+  }
+
+  def hllDistinct(df: DataFrame, groupCol: String, valCol: String,
+                  p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, "bucket bits p must be in [4, 14]")
+    val dh = df.select(col(groupCol), hllHash(valCol).as("__u"))
+      .distinct()
+      .localCheckpoint(true) // registers + exact counts reuse one dedup
+    val est = hllEstimate(hllRegisters(dh, groupCol, "__u", p), groupCol, p)
+    val ex = dh.groupBy(col(groupCol)).agg(count(lit(1)).as("exact_distinct"))
+    ex.join(est, Seq(groupCol))
+      .select(col(groupCol), col("exact_distinct"), col("hll_est"),
+        round(abs(col("hll_est") - col("exact_distinct")) /
+          col("exact_distinct"), 4).as("rel_err"))
+  }
+
   /** Bloom-filter membership probe: build a `words`×32-bit filter from
     * the distinct keys of `build`, probe every key of `probe`, and
     * report per-`segCol` totals — probable positives (filter), true

@@ -343,4 +343,176 @@ class Round7OpsSpec extends SparkSpec {
     val out = MetricOps.cohensKappa(disj, "r1", "r2").head()
     assert(out.getDouble(1) == 0.0 && out.getDouble(3) == 0.0)
   }
+
+  // ------------------------------------------------------- hllDistinct
+
+  test("hllDistinct: accuracy band on both estimation paths; partition-invariant") {
+    import graft.operators.SketchOps
+    // big group → raw-estimate path (n >> 2.5m at p=8 needs n>640);
+    // tiny group → linear-counting path
+    val rows = (1 to 2000).map(i => ("big", s"v$i")) ++
+      (1 to 30).map(i => ("small", s"w$i")) ++
+      (1 to 2000).map(i => ("big", s"v$i")) // duplicates must not count
+    val df = rows.toDF("g", "v")
+    val out = SketchOps.hllDistinct(df, "g", "v", p = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out("big")._1 == 2000 && out("small")._1 == 30)
+    // HLL standard error at m=256 is ~6.5%; allow 4 sigma
+    assert(math.abs(out("big")._2 - 2000) / 2000.0 < 0.26, out("big"))
+    assert(math.abs(out("small")._2 - 30) / 30.0 < 0.26, out("small"))
+    // estimate is a pure function of the SET: partitioning must not matter
+    val re = SketchOps.hllDistinct(df.repartition(17), "g", "v", p = 8)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(re("big") == out("big")._2 && re("small") == out("small")._2)
+  }
+
+  test("hllDistinct: register build is union-mergeable (split = whole)") {
+    import graft.operators.SketchOps
+    // Sketch determinism implies union-mergeability here: estimating the
+    // UNION of two halves must equal estimating the whole, because the
+    // registers are max-merged inside the same aggregation.
+    val half1 = (1 to 500).map(i => ("g", s"x$i"))
+    val half2 = (300 to 800).map(i => ("g", s"x$i")) // overlap 300..500
+    val whole = (1 to 800).map(i => ("g", s"x$i"))
+    val a = SketchOps.hllDistinct(
+      (half1 ++ half2).toDF("g", "v"), "g", "v").head()
+    val b = SketchOps.hllDistinct(whole.toDF("g", "v"), "g", "v").head()
+    assert(a.getDouble(2) == b.getDouble(2) && a.getLong(1) == 800)
+  }
+
+  // -------------------------------------------------------------- scd2
+
+  test("scd2: collapses consecutive duplicates, chains valid_to, flags current") {
+    import graft.operators.RelationalOps
+    val log = Seq(
+      (1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"), // dup collapses
+      (1L, 30L, 102L, "B"), (1L, 40L, 103L, "A"), // A again = NEW version
+      (2L, 10L, 200L, "X")
+    ).toDF("k", "ts", "id", "v")
+    val out = RelationalOps.scd2(log, "k", "v", "ts", "id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4))).toSet
+    assert(out == Set(
+      (1L, "A", 10L, 30L, 0), (1L, "B", 30L, 40L, 0),
+      (1L, "A", 40L, -1L, 1), (2L, "X", 10L, -1L, 1)))
+  }
+
+  test("scd2: same-ts rows order by the tie column") {
+    import graft.operators.RelationalOps
+    val log = Seq((1L, 10L, 2L, "B"), (1L, 10L, 1L, "A"))
+      .toDF("k", "ts", "id", "v")
+    val out = RelationalOps.scd2(log, "k", "v", "ts", "id")
+      .orderBy("valid_from", "v").collect()
+    // id=1 (A) precedes id=2 (B): A's valid_to = B's valid_from = 10
+    assert(out.map(r => (r.getString(1), r.getInt(4))).toSeq ==
+      Seq(("A", 0), ("B", 1)))
+  }
+
+  // ------------------------------------------------------- attribution
+
+  test("attribution: first/last credit before the FIRST conversion only") {
+    import graft.operators.MetricOps
+    val log = Seq(
+      // u1: ad → email → buy → ad → buy : credits ad(first) email(last)
+      (1L, 10L, 1L, "ad"), (1L, 20L, 2L, "email"), (1L, 30L, 3L, "buy"),
+      (1L, 40L, 4L, "ad"), (1L, 50L, 5L, "buy"),
+      // u2: single touch then buy: ad gets both credits
+      (2L, 10L, 6L, "ad"), (2L, 20L, 7L, "buy"),
+      // u3: buy is the first event → no touches, no credit
+      (3L, 10L, 8L, "buy"), (3L, 20L, 9L, "ad"),
+      // u4: never converts → no credit
+      (4L, 10L, 10L, "email")
+    ).toDF("u", "ts", "id", "ch")
+    val out = MetricOps.attribution(log, "u", "ts", "id", "ch", "buy")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map("ad" -> ((2L, 1L)), "email" -> ((0L, 1L))))
+  }
+
+  // ------------------------------------------- giniConcentration
+
+  test("giniConcentration: uniform → 0; hand case; ties in the histogram") {
+    import graft.operators.MetricOps
+    val uniform = (1 to 6).flatMap(k => (1 to 4).map(_ => ("g", s"k$k")))
+      .toDF("g", "k")
+    val u = MetricOps.giniConcentration(uniform, "g", "k").head()
+    assert(u.getLong(1) == 6 && u.getLong(2) == 24 && u.getDouble(3) == 0.0)
+
+    // counts [1, 9]: S = 1·1 + 2·9 = 19, G = 2·19/(2·10) − 3/2 = 0.4
+    val skewed = ((1 to 1).map(_ => ("g", "a")) ++ (1 to 9).map(_ => ("g", "b")))
+      .toDF("g", "k")
+    assert(MetricOps.giniConcentration(skewed, "g", "k")
+      .head().getDouble(3) == 0.4)
+
+    // tied counts [2,2,4]: ranks of the ties are interchangeable —
+    // S = (1+2)·2 + 3·4 = 18, G = 2·18/(3·8) − 4/3 = 1.5 − 4/3 = 1/6
+    val tied = (Seq("a", "a", "b", "b") ++ Seq.fill(4)("c"))
+      .map(("g", _)).toDF("g", "k")
+    assert(math.abs(MetricOps.giniConcentration(tied, "g", "k")
+      .head().getDouble(3) - 1.0 / 6) < 1e-6)
+  }
+
+  // --------------------------------------------------------- ecdfTable
+
+  test("ecdfTable: inclusive counts, monotone to 1.0, partition-invariant") {
+    import graft.operators.EncodeOps
+    val vals = Seq(1.0, 1.0, 2.0, 3.0, 3.0, 3.0, 7.0)
+    val df = vals.toDF("x").repartition(5)
+    val out = EncodeOps.ecdfTable(df, "x").orderBy("v")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1.0, 2L, 2L), (2.0, 1L, 3L), (3.0, 3L, 6L), (7.0, 1L, 7L)))
+    assert(out.last._4 == 1.0)
+    assert(out.map(_._4).toSeq == out.map(_._4).sorted.toSeq)
+    val re = EncodeOps.ecdfTable(df.repartition(2), "x").orderBy("v")
+      .collect().map(_.getDouble(3)).toSeq
+    assert(re == out.map(_._4).toSeq)
+  }
+
+  // ----------------------------------------------------- kFoldBalance
+
+  test("kFoldBalance: folds partition keys; all rows of a key share a fold") {
+    import graft.operators.SamplingOps
+    val rows = (1 to 200).flatMap(u =>
+      (1 to (u % 4) + 1).map(i => (u.toLong, if (i % 2 == 0) 1 else 0)))
+    val df = rows.toDF("k", "y")
+    val out = SamplingOps.kFoldBalance(df, "k", "y", 5).collect()
+    assert(out.map(_.getLong(1)).sum == rows.size)
+    assert(out.map(_.getLong(2)).sum == 200) // distinct keys partition
+    assert(out.map(_.getLong(3)).sum == rows.count(_._2 == 1))
+    // leakage-safety: a key's rows land in exactly one fold
+    val foldOf = df.withColumn("f",
+        SamplingOps.featureHash(col("k"), 5))
+      .groupBy("k").agg(countDistinct("f").as("nf"))
+      .agg(max("nf")).head().getLong(0)
+    assert(foldOf == 1L)
+  }
+
+  // -------------------------------------------------- productQuantize
+
+  test("productQuantize: codebook members reconstruct exactly; argmin is true min") {
+    import graft.operators.SimilarityOps
+    val r = new scala.util.Random(7)
+    val vecs: IndexedSeq[(Long, Array[Float])] = (0L until 40L).map(i =>
+      (i, Array.fill(16)((r.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("id", "emb")
+    val cents = df.filter(col("id") < 4)
+    val out = SimilarityOps.productQuantize(df, cents, "id", "emb",
+        m = 4, subDim = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((0 until 4).map(j => r.getLong(1 + j)), r.getDouble(5))).toMap
+    // codebook members are their own nearest codeword at distance 0
+    for (i <- 0L until 4L)
+      assert(out(i)._1 == Seq(i, i, i, i) && out(i)._2 == 0.0, s"vec $i")
+    // spot-check the argmin against direct math for one vector/subspace
+    val emb = vecs.find(_._1 == 17L).get._2.map(_.toDouble)
+    val sub = emb.slice(4, 8)
+    val dists = (0 until 4).map { c =>
+      val cv = vecs(c)._2.map(_.toDouble).slice(4, 8)
+      c.toLong -> sub.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+    }
+    assert(out(17L)._1(1) == dists.minBy(d => (d._2, d._1))._1)
+  }
 }
