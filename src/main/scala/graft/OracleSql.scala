@@ -2197,6 +2197,70 @@ object OracleSql {
         |FROM best WHERE rn = 1 GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
 
+    "q161_random_walk" ->
+      """WITH cp AS (SELECT DISTINCT l_partkey AS p, o_custkey AS c
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |pn AS (SELECT p, c,
+        |  row_number() OVER (PARTITION BY p ORDER BY c) - 1 AS rn,
+        |  count(*) OVER (PARTITION BY p) AS deg FROM cp),
+        |cn AS (SELECT c, p,
+        |  row_number() OVER (PARTITION BY c ORDER BY p) - 1 AS rn,
+        |  count(*) OVER (PARTITION BY c) AS deg FROM cp),
+        |starts AS (SELECT DISTINCT p FROM cp WHERE p < 100),
+        |w AS (SELECT p, unnest([0, 1]) AS wid FROM starts),
+        |s1 AS (SELECT w.p, w.wid, pn.c
+        |  FROM w JOIN pn ON pn.p = w.p
+        |  AND pn.rn = ('0x' || substr(md5(w.p::VARCHAR || ':' || w.wid
+        |    || ':1'), 1, 8))::BIGINT % pn.deg),
+        |s2 AS (SELECT s1.p, s1.wid, s1.c, cn.p AS p2
+        |  FROM s1 JOIN cn ON cn.c = s1.c
+        |  AND cn.rn = ('0x' || substr(md5(s1.c::VARCHAR || ':' || s1.wid
+        |    || ':2'), 1, 8))::BIGINT % cn.deg)
+        |SELECT p AS start_node, CAST(wid AS BIGINT) AS walk_id,
+        |  c AS via_node, p2 AS end_node
+        |FROM s2 ORDER BY start_node, walk_id""".stripMargin,
+
+    "q162_join_size_estimate" ->
+      """WITH dd AS (SELECT unnest([0, 1, 2, 3]) AS d),
+        |ba AS (SELECT d,
+        |  ('0x' || substr(md5(o_custkey::VARCHAR), d * 8 + 1, 8))::BIGINT
+        |    % 1024 AS b,
+        |  count(*) AS ca FROM orders CROSS JOIN dd GROUP BY 1, 2),
+        |bb AS (SELECT d,
+        |  ('0x' || substr(md5(c_custkey::VARCHAR), d * 8 + 1, 8))::BIGINT
+        |    % 1024 AS b,
+        |  count(*) AS cb FROM customer CROSS JOIN dd GROUP BY 1, 2),
+        |est0 AS (SELECT ba.d, CAST(sum(ca * cb) AS DECIMAL(38,0)) AS e
+        |  FROM ba JOIN bb ON ba.d = bb.d AND ba.b = bb.b GROUP BY ba.d),
+        |est AS (SELECT dd.d, coalesce(e, 0) AS e
+        |  FROM dd LEFT JOIN est0 ON dd.d = est0.d),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_size
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |SELECT exact_size, CAST(min(e) AS BIGINT) AS cms_est,
+        |  CAST(CAST(min(e) AS BIGINT) - exact_size AS BIGINT) AS overcount
+        |FROM est, ex GROUP BY exact_size""".stripMargin,
+
+    "q163_hits" ->
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+        |  FROM lineitem),
+        |a1 AS (SELECT p, CAST(count(*) AS DECIMAL(28,9)) AS a FROM e
+        |  GROUP BY p),
+        |a1n AS (SELECT p, CAST(round(CAST(a AS DOUBLE) /
+        |  CAST((SELECT max(a) FROM a1) AS DOUBLE), 9) AS DECIMAL(20,9))
+        |    AS a FROM a1),
+        |h1 AS (SELECT s, CAST(sum(a) AS DECIMAL(28,9)) AS h
+        |  FROM e JOIN a1n USING (p) GROUP BY s),
+        |h1n AS (SELECT s, CAST(round(CAST(h AS DOUBLE) /
+        |  CAST((SELECT max(h) FROM h1) AS DOUBLE), 9) AS DECIMAL(20,9))
+        |    AS h FROM h1),
+        |a2 AS (SELECT p, CAST(sum(h) AS DECIMAL(28,9)) AS a
+        |  FROM e JOIN h1n USING (s) GROUP BY p),
+        |a2n AS (SELECT p, CAST(round(CAST(a AS DOUBLE) /
+        |  CAST((SELECT max(a) FROM a2) AS DOUBLE), 9) AS DECIMAL(20,9))
+        |    AS a FROM a2)
+        |SELECT p AS node, CAST(a AS DOUBLE) AS authority FROM a2n
+        |ORDER BY a DESC, p LIMIT 20""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -1785,6 +1785,32 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // L112 — deterministic 2-step bipartite random walk (DeepWalk-
+    // style positive-pair sampling over the customer↔part co-purchase
+    // graph; md5 step choice = reproducible walks).
+    "q161_random_walk" -> ((s, d) => {
+      val cp = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_partkey").as("part"), col("o_custkey").as("cust"))
+      GraphOps.bipartiteWalk(cp, "part", "cust",
+          cp.filter(col("part") < 100), walksPerStart = 2)
+        .orderBy("start_node", "walk_id")
+    }),
+
+    // L113 — CMS join-cardinality estimate: sketch inner product vs
+    // the exact size, fact tables never joined.
+    "q162_join_size_estimate" -> ((s, d) =>
+      SketchOps.joinSizeEstimate(
+        Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey")),
+
+    // L114 — HITS authorities over the supplier→part supply graph
+    // (2 max-normalized iterations, DECIMAL-exact sums).
+    "q163_hits" -> ((s, d) =>
+      GraphOps.hits(Tables.lineitem(s, d), "l_suppkey", "l_partkey")
+        .orderBy(col("authority").desc, col("node"))),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

@@ -137,4 +137,25 @@ object RecsysModels {
     val b = score(reloaded, probe).select("score").collect().map(_.getDouble(0))
     a.sameElements(b)
   }
+
+  /** Isotonic (PAV) score calibration — the monotone-regression
+    * complement of the binned calibration table (MetricOps.calibration
+    * / q105): fit a non-decreasing map score → P(label=1) and return
+    * the calibrated frame. MLlib's IsotonicRegression distributes the
+    * pool-adjacent-violators pass (per-partition PAV + boundary merge),
+    * so calibration fits without collecting scores to the driver —
+    * at 100 TB the input to PAV is the (score, label) pair stream,
+    * never a driver-side sort. The fitted model is a bounded piecewise
+    * function (breakpoint/prediction arrays), broadcast by transform.
+    */
+  def isotonicCalibrate(train: DataFrame, scoreCol: String,
+                        labelCol: String,
+                        toCalibrate: DataFrame): DataFrame = {
+    val m = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol(scoreCol).setLabelCol(labelCol)
+      .setPredictionCol("calibrated")
+      .fit(train.select(col(scoreCol).cast("double"),
+        col(labelCol).cast("double")))
+    m.setFeaturesCol(scoreCol).transform(toCalibrate)
+  }
 }

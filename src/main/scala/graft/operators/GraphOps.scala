@@ -175,6 +175,92 @@ object GraphOps {
     * distinct undirected (a < b) pairs first. Self-loops are dropped.
     * Output: one row (n_nodes, n_edges, n_wedges, n_triangles).
     */
+  /** Deterministic 2-step random walk over a bipartite graph — the
+    * positive-pair sampler behind DeepWalk/node2vec-style embedding
+    * training (start → via → end becomes a (start, end) skip-gram
+    * pair). "Random" is md5 of (node, walk id, step): the walk is a
+    * pure function of the graph + walk id, so the sampled corpus is
+    * reproducible across runs and partitionings — the property that
+    * makes training data audits possible.
+    *
+    * Plan shape: neighbor lists get a per-node rank and degree (one
+    * key-partitioned window per side), each step is an equi-join on
+    * the node with the rank pinned to hash % degree — never a
+    * materialized neighbor explosion, never driver-side state. A
+    * mega-degree node makes its rank window hot; pre-capping with
+    * [[SamplingOps.domainQuota]]-style thinning preserves the
+    * uniform-pick semantics over the capped list.
+    */
+  def bipartiteWalk(edges: DataFrame, leftCol: String, rightCol: String,
+                    starts: DataFrame, walksPerStart: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col(leftCol).as("__l"), col(rightCol).as("__r"))
+      .distinct()
+    val pn = e
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__l").orderBy("__r")) - 1)
+      .withColumn("__deg", count(lit(1)).over(Window.partitionBy("__l")))
+    val cn = e
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__r").orderBy("__l")) - 1)
+      .withColumn("__deg", count(lit(1)).over(Window.partitionBy("__r")))
+    def pick(node: org.apache.spark.sql.Column, wid: org.apache.spark.sql.Column,
+             step: Int, deg: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(node.cast("string"), lit(":"),
+        wid.cast("string"), lit(s":$step"))), 1, 8), 16, 10)
+        .cast("long") % deg
+    val w = starts.select(col(leftCol).as("start_node")).distinct()
+      .withColumn("walk_id",
+        explode(array((0 until walksPerStart).map(i => lit(i.toLong)): _*)))
+    val s1 = w.join(pn, pn("__l") === w("start_node") &&
+        pn("__rn") === pick(w("start_node"), col("walk_id"), 1, pn("__deg")))
+      .select(col("start_node"), col("walk_id"), col("__r").as("via_node"))
+    s1.join(cn, cn("__r") === s1("via_node") &&
+        cn("__rn") === pick(s1("via_node"), col("walk_id"), 2, cn("__deg")))
+      .select(col("start_node"), col("walk_id"), col("via_node"),
+        col("__l").as("end_node"))
+  }
+
+  /** HITS hubs/authorities (Kleinberg) with max-normalization — the
+    * link-analysis twin of [[pageRankPortable]]. Each half-iteration
+    * is one equi-join + one sum aggregation on a key; scores live as
+    * DECIMAL(20,9) (rounded after each normalization) so the sums are
+    * order-independent and engines agree bit-for-bit — normalizing by
+    * MAX (exact under decimals) instead of the L2 norm is what keeps
+    * the fixed-point math portable. The edge list is materialized once
+    * (localCheckpoint) and reused by every half-step.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 2, topK: Int = 20): DataFrame = {
+    require(iterations >= 1)
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__p"))
+      .distinct().localCheckpoint(true)
+    def normalize(df: DataFrame, valCol: String): DataFrame = {
+      val mx = broadcast(df.agg(max(col(valCol)).as("__mx")))
+      df.crossJoin(mx)
+        .withColumn(valCol,
+          round(col(valCol).cast("double") / col("__mx").cast("double"), 9)
+            .cast("decimal(20,9)"))
+        .drop("__mx")
+    }
+    var a = normalize(
+      e.groupBy("__p").agg(count(lit(1)).cast("decimal(28,9)").as("__a")),
+      "__a")
+    for (_ <- 2 to iterations) {
+      val h = normalize(
+        e.join(a, Seq("__p"))
+          .groupBy("__s").agg(sum("__a").cast("decimal(28,9)").as("__h")),
+        "__h")
+      a = normalize(
+        e.join(h, Seq("__s"))
+          .groupBy("__p").agg(sum("__h").cast("decimal(28,9)").as("__a")),
+        "__a")
+    }
+    a.orderBy(col("__a").desc, col("__p"))
+      .limit(topK)
+      .select(col("__p").as("node"), col("__a").cast("double").as("authority"))
+  }
+
   def triangleCount(edges: DataFrame, srcCol: String,
                     dstCol: String): DataFrame = {
     val canon = edges

@@ -105,6 +105,45 @@ object SketchOps {
       .withColumn("overcount", (col("cms_est") - col("exact_c")).cast("long"))
   }
 
+  /** CMS join-cardinality estimate: |A ⋈ B on key| from the inner
+    * product of the two sides' Count-Min rows — Σ_b cA(d,b)·cB(d,b)
+    * per depth, min over depths (collisions only ADD, so every depth
+    * over-estimates and min is the tightest). This is the
+    * planning-time cardinality probe a 100 TB optimizer runs BEFORE
+    * committing to a join strategy: each side is one hash aggregation
+    * to depth·width counters, the inner product is a join of two
+    * sketch-sized tables — the fact tables are never joined to ask
+    * how big their join would be. The exact size is computed alongside
+    * from the per-key count tables (Σ_k cA·cB — still never the
+    * materialized join) so the overcount is visible.
+    */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame,
+                       bKey: String, depth: Int = 4,
+                       width: Int = 1024): DataFrame = {
+    def side(df: DataFrame, key: String, out: String): DataFrame =
+      cmsBucketed(df.select(col(key).as("__k")), "__k", depth, width)
+        .groupBy("__d", "__b").agg(count(lit(1)).as(out))
+    // depth spine: a depth whose buckets never collide contributes a
+    // ZERO inner product — the inner join below would silently drop it
+    // and min() would over-estimate
+    val spine = a.sparkSession.range(depth).select(col("id").as("__d"))
+    val est = spine.join(
+        side(a, aKey, "__ca").join(side(b, bKey, "__cb"),
+            Seq("__d", "__b"))
+          .groupBy("__d")
+          .agg(sum((col("__ca") * col("__cb")).cast("decimal(38,0)"))
+            .as("__e")),
+        Seq("__d"), "left")
+      .agg(min(coalesce(col("__e"), lit(0))).cast("long").as("cms_est"))
+    val exact = a.groupBy(col(aKey)).agg(count(lit(1)).as("__na"))
+      .join(b.groupBy(col(bKey).as(aKey)).agg(count(lit(1)).as("__nb")),
+        Seq(aKey))
+      .agg(coalesce(sum((col("__na") * col("__nb")).cast("decimal(38,0)")),
+        lit(0)).cast("long").as("exact_size"))
+    broadcast(exact).crossJoin(est)
+      .withColumn("overcount", (col("cms_est") - col("exact_size")).cast("long"))
+  }
+
   /** Histogram-sketch quantiles: equi-width bin counts (ONE hash
     * aggregation — the sketch; bins merge by addition like CMS
     * counters) → cumulative counts over ≤ `nBins` rows → linear

@@ -515,4 +515,86 @@ class Round7OpsSpec extends SparkSpec {
     }
     assert(out(17L)._1(1) == dists.minBy(d => (d._2, d._1))._1)
   }
+
+  // ------------------------------------------------------ bipartiteWalk
+
+  test("bipartiteWalk: every step follows an edge; deterministic; complete") {
+    import graft.operators.GraphOps
+    val r = new scala.util.Random(11)
+    val edges = (1 to 120).map(_ => (r.nextInt(10).toLong, (100 + r.nextInt(12)).toLong))
+      .distinct.toDF("l", "rr")
+    val edgeSet = edges.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val out = GraphOps.bipartiteWalk(edges, "l", "rr", edges, 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    val nStarts = edgeSet.map(_._1).size
+    assert(out.length == nStarts * 3, "every start emits walksPerStart walks")
+    for ((s, _, via, e) <- out) {
+      assert(edgeSet.contains((s, via)), s"step1 $s->$via is an edge")
+      assert(edgeSet.contains((e, via)), s"step2 $via->$e follows an edge")
+    }
+    val re = GraphOps.bipartiteWalk(edges.repartition(7), "l", "rr",
+        edges.repartition(3), 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(re.sorted.toSeq == out.sorted.toSeq, "partition-invariant")
+  }
+
+  // --------------------------------------------------- joinSizeEstimate
+
+  test("joinSizeEstimate: exact from count tables; CMS min only over-counts") {
+    import graft.operators.SketchOps
+    val a = Seq("k1", "k1", "k2", "k4").toDF("ka")
+    val b = Seq("k1", "k3", "k2", "k2").toDF("kb")
+    // exact = 2·1 (k1) + 1·2 (k2) = 4
+    val row = SketchOps.joinSizeEstimate(a, "ka", b, "kb").head()
+    assert(row.getLong(0) == 4L, "exact_size")
+    assert(row.getLong(1) >= 4L, "CMS estimate can only over-count")
+    assert(row.getLong(2) == row.getLong(1) - 4L)
+    // disjoint keys: exact 0, estimate still >= 0
+    val dj = SketchOps.joinSizeEstimate(
+      Seq("x").toDF("ka"), "ka", Seq("y").toDF("kb"), "kb").head()
+    assert(dj.getLong(0) == 0L && dj.getLong(1) >= 0L)
+  }
+
+  // --------------------------------------------------------------- hits
+
+  test("hits: hand-computed 2-iteration authorities on a 3-edge graph") {
+    import graft.operators.GraphOps
+    // s1→{p1,p2}, s2→{p2}: a1 = (0.5, 1); h = (1, 2/3); a2 = (0.6, 1)
+    val e = Seq((1L, 10L), (1L, 20L), (2L, 20L)).toDF("s", "p")
+    val out = GraphOps.hits(e, "s", "p", iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(20L) == 1.0)
+    assert(math.abs(out(10L) - 0.6) < 1e-9, out(10L))
+  }
+
+  test("hits: partition-invariant and bounded by 1 on a random graph") {
+    import graft.operators.GraphOps
+    val r = new scala.util.Random(5)
+    val e = (1 to 200).map(_ => (r.nextInt(15).toLong, r.nextInt(25).toLong))
+      .toDF("s", "p")
+    val a = GraphOps.hits(e, "s", "p").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toSeq
+    val b = GraphOps.hits(e.repartition(9), "s", "p").collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toSeq
+    assert(a == b)
+    assert(a.forall(x => x._2 > 0.0 && x._2 <= 1.0))
+    assert(a.map(_._2).max == 1.0, "max-normalized")
+  }
+
+  // -------------------------------------------------- isotonicCalibrate
+
+  test("isotonicCalibrate: PAV pooling matches the hand-computed blocks") {
+    import graft.ml.RecsysModels
+    // y = 1,0,1,1,0,1 over increasing scores pools to
+    // [.5, .5, 2/3, 2/3, 2/3, 1]
+    val train = Seq((1.0, 1), (2.0, 0), (3.0, 1), (4.0, 1), (5.0, 0),
+      (6.0, 1)).toDF("score", "label")
+    val out = RecsysModels.isotonicCalibrate(train, "score", "label", train)
+      .orderBy("score").collect().map(_.getAs[Double]("calibrated"))
+    val exp = Seq(0.5, 0.5, 2.0 / 3, 2.0 / 3, 2.0 / 3, 1.0)
+    assert(out.zip(exp).forall { case (x, y) => math.abs(x - y) < 1e-9 },
+      out.toSeq)
+    // calibrated scores are monotone in the raw score
+    assert(out.toSeq == out.sorted.toSeq)
+  }
 }
