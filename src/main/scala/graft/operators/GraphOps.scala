@@ -194,8 +194,10 @@ object GraphOps {
   def bipartiteWalk(edges: DataFrame, leftCol: String, rightCol: String,
                     starts: DataFrame, walksPerStart: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // both neighbor-rank sides (pn, cn) consume the deduped edge list —
+    // materialize it once instead of re-deriving the upstream join per side
     val e = edges.select(col(leftCol).as("__l"), col(rightCol).as("__r"))
-      .distinct()
+      .distinct().localCheckpoint(true)
     val pn = e
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__l").orderBy("__r")) - 1)
@@ -235,7 +237,11 @@ object GraphOps {
     require(iterations >= 1)
     val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__p"))
       .distinct().localCheckpoint(true)
-    def normalize(df: DataFrame, valCol: String): DataFrame = {
+    def normalize(src: DataFrame, valCol: String): DataFrame = {
+      // the score table feeds BOTH the max agg and the division — pin it
+      // (node-sized, distributed) so each half-step computes once, and
+      // the iteration lineage stays cut
+      val df = src.localCheckpoint(true)
       val mx = broadcast(df.agg(max(col(valCol)).as("__mx")))
       df.crossJoin(mx)
         .withColumn(valCol,

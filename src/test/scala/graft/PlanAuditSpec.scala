@@ -295,6 +295,37 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(s.contains("LeftSemi"), "dup grams must probe via a semi join")
   }
 
+  test("q154: HLL never funnels rows through one partition; sketch stays grouped") {
+    val ex = shuffles(plan("q154_hll_distinct"))
+    val badSingles = ex.filter(s => s.outputPartitioning.numPartitions == 1 &&
+      !s.child.toString.contains("HashAggregate"))
+    assert(badSingles.isEmpty,
+      s"non-aggregate single-partition exchange: $badSingles")
+  }
+
+  test("q160: the PQ codebook broadcasts; vectors never shuffle to meet it") {
+    val df = plan("q160_product_quantize")
+    df.count()
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "codeword table must broadcast")
+    // the only exchanges are the argmin/pivot re-groupings on vec ids
+    // (min-over-struct compiles to a partial SortAggregate) — the
+    // codebook join itself must not add one
+    assert(shuffles(df).forall(_.child.toString.contains("Aggregate")),
+      "a non-aggregate shuffle means the codebook join stopped broadcasting")
+  }
+
+  test("q161: walk steps join on the node key (no cartesian, bounded exchanges)") {
+    val df = plan("q161_random_walk")
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "walk steps must stay equi-joins on the node")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
