@@ -2261,6 +2261,73 @@ object OracleSql {
         |SELECT p AS node, CAST(a AS DOUBLE) AS authority FROM a2n
         |ORDER BY a DESC, p LIMIT 20""".stripMargin,
 
+    "q164_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, source,
+        |  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i)
+        |  WHERE i + 2 <= len(t)),
+        |df AS (SELECT source, gram, count(*) AS dfreq FROM g
+        |  GROUP BY 1, 2)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (df.dfreq >= 2) AS BIGINT) AS n_boiler,
+        |  round(CAST(count(*) FILTER (df.dfreq >= 2) AS DOUBLE)
+        |    / count(*), 6) AS boiler_frac
+        |FROM g JOIN df ON g.source = df.source AND g.gram = df.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q165_zipf_fit" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
+        |rk AS (SELECT token, tf,
+        |  row_number() OVER (ORDER BY tf DESC, token) AS r FROM tf),
+        |terms AS (SELECT
+        |  CAST(round(ln(CAST(r AS DOUBLE)), 12) AS DECIMAL(28,14)) AS x,
+        |  CAST(round(ln(CAST(tf AS DOUBLE)), 12) AS DECIMAL(28,14)) AS y
+        |  FROM rk),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 12)
+        |    AS DECIMAL(28,14))) AS DOUBLE) AS sxy,
+        |  CAST(sum(CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 12)
+        |    AS DECIMAL(28,14))) AS DOUBLE) AS sxx
+        |  FROM terms),
+        |sl AS (SELECT n_tokens, sx, sy,
+        |  (n_tokens * sxy - sx * sy) / (n_tokens * sxx - sx * sx)
+        |    AS slope FROM s)
+        |SELECT n_tokens, round(slope, 6) AS slope,
+        |  round((sy - slope * sx) / n_tokens, 6) AS intercept
+        |FROM sl""".stripMargin,
+
+    "q166_partition_checksum" ->
+      """WITH neu AS (SELECT * FROM events
+        |  WHERE NOT (event_type = 'click' AND value > 400)),
+        |fo AS (SELECT event_type AS part, count(*) AS cnt,
+        |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
+        |    coalesce(user_id::VARCHAR, chr(0)),
+        |    coalesce(event_type, chr(0)))), 1, 12))::BIGINT)
+        |    AS DECIMAL(38,0)) AS ck
+        |  FROM events GROUP BY 1),
+        |fn AS (SELECT event_type AS part, count(*) AS cnt,
+        |  CAST(sum(('0x' || substr(md5(concat_ws(chr(1),
+        |    coalesce(user_id::VARCHAR, chr(0)),
+        |    coalesce(event_type, chr(0)))), 1, 12))::BIGINT)
+        |    AS DECIMAL(38,0)) AS ck
+        |  FROM neu GROUP BY 1)
+        |SELECT coalesce(fo.part, fn.part) AS event_type,
+        |  CASE WHEN fo.part IS NULL THEN 'added'
+        |       WHEN fn.part IS NULL THEN 'removed'
+        |       WHEN fo.cnt <> fn.cnt OR fo.ck <> fn.ck THEN 'changed'
+        |  END AS status,
+        |  CAST(coalesce(fo.cnt, 0) AS BIGINT) AS old_rows,
+        |  CAST(coalesce(fn.cnt, 0) AS BIGINT) AS new_rows
+        |FROM fo FULL OUTER JOIN fn ON fo.part = fn.part
+        |WHERE fo.part IS NULL OR fn.part IS NULL
+        |  OR fo.cnt <> fn.cnt OR fo.ck <> fn.ck
+        |ORDER BY event_type""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -1811,6 +1811,30 @@ object SparkEntry {
       GraphOps.hits(Tables.lineitem(s, d), "l_suppkey", "l_partkey")
         .orderBy(col("authority").desc, col("node"))),
 
+    // L115 — per-source boilerplate 3-gram signal (C4-style chrome
+    // detection: grams shared by ≥2 docs of one source).
+    "q164_boilerplate" -> ((s, d) =>
+      TextOps.boilerplateGrams(Tables.documents(s, d), "doc_id", "text",
+          "source", n = 3, minDocs = 2)
+        .orderBy("doc_id")),
+
+    // L116 — Zipf-law fit of the corpus unigram distribution (OLS of
+    // ln freq on ln rank; DECIMAL-exact moment sums).
+    "q165_zipf_fit" -> ((s, d) =>
+      TextOps.zipfFit(Tables.documents(s, d), "text")),
+
+    // L117 — partition checksum diff: which event_type partitions
+    // drifted after dropping high-value clicks (order-independent
+    // md5-sum checksums; only drifted partitions emitted).
+    "q166_partition_checksum" -> ((s, d) => {
+      val old = Tables.events(s, d)
+      val neu = old.filter(!(col("event_type") === "click" &&
+        col("value") > 400))
+      RelationalOps.partitionChecksumDiff(old, neu, "event_type",
+          Seq("user_id", "event_type"))
+        .orderBy("event_type")
+    }),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

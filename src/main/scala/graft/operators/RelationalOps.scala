@@ -89,6 +89,41 @@ object RelationalOps {
     base.join(updates.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(updates)
 
+  /** Partition-level checksum diff — the backfill/repair probe: which
+    * partitions of a replicated/derived table drifted from the source?
+    * Per partition: row count + an ORDER-INDEPENDENT content checksum
+    * (sum of 48-bit md5 ints over the row fingerprint — commutative,
+    * so partitioning and scan order can't change it), then one full
+    * outer join of two partition-sized summaries. Only drifted
+    * partitions are emitted (added / removed / changed) — the repair
+    * work-list. The fact tables are never joined row-to-row: at 100 TB
+    * this reads each side once and compares |partitions| rows.
+    */
+  def partitionChecksumDiff(oldDf: DataFrame, newDf: DataFrame,
+                            partCol: String,
+                            valCols: Seq[String]): DataFrame = {
+    // same U+0001/U+0000 fingerprint discipline as snapshotDiff: keep
+    // column boundaries and distinguish null from "null"
+    def summarize(df: DataFrame, cnt: String, ck: String) =
+      df.groupBy(col(partCol).as("__part"))
+        .agg(count(lit(1)).as(cnt),
+          sum(conv(substring(md5(concat_ws("\u0001",
+              valCols.map(c =>
+                coalesce(col(c).cast("string"), lit("\u0000"))): _*)),
+            1, 12), 16, 10).cast("long").cast("decimal(38,0)")).as(ck))
+    summarize(oldDf, "__ocnt", "__ock")
+      .join(summarize(newDf, "__ncnt", "__nck"), Seq("__part"), "full_outer")
+      .withColumn("status",
+        when(col("__ocnt").isNull, "added")
+          .when(col("__ncnt").isNull, "removed")
+          .when(col("__ocnt") =!= col("__ncnt") ||
+            col("__ock") =!= col("__nck"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(col("__part").as(partCol), col("status"),
+        coalesce(col("__ocnt"), lit(0L)).as("old_rows"),
+        coalesce(col("__ncnt"), lit(0L)).as("new_rows"))
+  }
+
   /** SCD2 dimension build from a change log: collapse consecutive
     * duplicate values per key (lag window), then stamp each surviving
     * version with `valid_from` = its own timestamp and `valid_to` = the

@@ -451,6 +451,83 @@ object TextOps {
           / col("n_tokens"), 4).as("dup_frac"))
   }
 
+  /** Per-source boilerplate n-gram signal (the C4/RefinedWeb shape:
+    * navigation chrome and legal footers repeat across one site's
+    * pages, so grams shared by ≥ `minDocs` documents of the SAME
+    * source are boilerplate candidates). Per document: distinct grams,
+    * boilerplate grams, and the fraction — the filter signal; removal
+    * is the same plan keeping non-flagged grams.
+    *
+    * Scale shape: distinct (doc, source, gram) → one (source, gram)
+    * hash agg for document frequency → one equi-join back (each
+    * doc-gram row meets exactly ONE frequency row, so the join never
+    * multiplies) → one per-doc agg. The gram stream is O(corpus
+    * tokens); nothing is pairwise.
+    */
+  def boilerplateGrams(df: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String, n: Int = 3,
+                       minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs > 0)
+    val base = df.select(col(idCol), col(sourceCol),
+        tokens(col(textCol)).as("__t"))
+      .withColumn("__nt", size(col("__t")))
+    val g = base.filter(col("__nt") >= n)
+      .select(col(idCol), col(sourceCol),
+        explode(sequence(lit(1), col("__nt") - lit(n - 1))).as("__pos"),
+        col("__t"))
+      .select(col(idCol), col(sourceCol),
+        array_join(slice(col("__t"), col("__pos"), lit(n)), " ").as("__g"))
+      .distinct()
+    val dfreq = g.groupBy(col(sourceCol), col("__g"))
+      .agg(count(lit(1)).as("__df"))
+    g.join(dfreq, Seq(sourceCol, "__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= minDocs, 1L).otherwise(0L)).cast("long")
+          .as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Zipf-law fit of the corpus unigram distribution: OLS slope and
+    * intercept of ln(freq) against ln(rank) — the one-number corpus
+    * health readout (natural text sits near slope −1; synthetic or
+    * templated corpora drift toward 0). Ranks come from
+    * [[MetricOps.globalRank]] (range-partitioned — no single-partition
+    * window at any vocabulary size); per-term ln products round to
+    * 12 dp and accumulate as DECIMAL so the moment sums are
+    * order-independent, then the closed-form OLS is fixed double
+    * arithmetic.
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val tf = termFrequency(df, textCol)
+    val rk = MetricOps.globalRank(tf.withColumn("__neg", -col("tf")),
+      "__neg", "token")
+    val s = rk.select(
+        round(log(col("r").cast("double")), 12).cast("decimal(28,14)")
+          .as("__x"),
+        round(log(col("tf").cast("double")), 12).cast("decimal(28,14)")
+          .as("__y"))
+      .withColumn("__xy",
+        round(col("__x").cast("double") * col("__y").cast("double"), 12)
+          .cast("decimal(28,14)"))
+      .withColumn("__xx",
+        round(col("__x").cast("double") * col("__x").cast("double"), 12)
+          .cast("decimal(28,14)"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("__x").cast("double").as("__sx"),
+        sum("__y").cast("double").as("__sy"),
+        sum("__xy").cast("double").as("__sxy"),
+        sum("__xx").cast("double").as("__sxx"))
+    s.withColumn("__slope",
+        (col("n_tokens") * col("__sxy") - col("__sx") * col("__sy")) /
+          (col("n_tokens") * col("__sxx") - col("__sx") * col("__sx")))
+      .select(col("n_tokens"),
+        round(col("__slope"), 6).as("slope"),
+        round((col("__sy") - col("__slope") * col("__sx")) /
+          col("n_tokens"), 6).as("intercept"))
+  }
+
   /** Jensen–Shannon divergence (nats) between the unigram distributions
     * of two corpus slices (`sideExpr` = boolean: true → side A). Tokens
     * absent from one side contribute only the present side's half-term

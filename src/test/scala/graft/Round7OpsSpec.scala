@@ -597,4 +597,67 @@ class Round7OpsSpec extends SparkSpec {
     // calibrated scores are monotone in the raw score
     assert(out.toSeq == out.sorted.toSeq)
   }
+
+  // ------------------------------------------------- boilerplateGrams
+
+  test("boilerplateGrams: source-scoped flagging; cross-source grams don't count") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      // srcA: "terms of service" in 2 of 3 docs → boilerplate there
+      (1L, "terms of service alpha beta gamma", "A"),
+      (2L, "terms of service delta epsilon", "A"),
+      (3L, "zeta eta theta iota", "A"),
+      // srcB has the same gram ONCE → not boilerplate in B
+      (4L, "terms of service kappa lambda", "B"),
+      (5L, "mu nu", "B") // < 3 tokens → no grams, absent from output
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.boilerplateGrams(docs, "doc_id", "text", "source")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // doc1: grams = 4 ("terms of service" + 3 tail grams), boiler = 1
+    assert(out(1L) == ((4L, 1L)))
+    assert(out(2L) == ((3L, 1L)))
+    assert(out(3L) == ((2L, 0L)))
+    assert(out(4L) == ((3L, 0L)), "same gram in B only once: not boiler")
+  }
+
+  // ------------------------------------------------------------ zipfFit
+
+  test("zipfFit: exact power law recovers slope -1 and intercept ln(C)") {
+    import graft.operators.TextOps
+    // freq = 12/r for ranks 1..4: ln f = ln 12 - 1·ln r
+    val words = Seq.fill(12)("w1") ++ Seq.fill(6)("w2") ++
+      Seq.fill(4)("w3") ++ Seq.fill(3)("w4")
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val row = TextOps.zipfFit(df, "text").head()
+    assert(row.getLong(0) == 4)
+    assert(math.abs(row.getDouble(1) - (-1.0)) < 1e-6, row.getDouble(1))
+    assert(math.abs(row.getDouble(2) - math.log(12.0)) < 1e-6)
+  }
+
+  // ------------------------------------- partitionChecksumDiff
+
+  test("partitionChecksumDiff: order-independent checksums; only drift emits") {
+    import graft.operators.RelationalOps
+    val old = Seq(
+      ("p1", 1L, "a"), ("p1", 2L, "b"),
+      ("p2", 3L, "c"), ("p3", 4L, "d")
+    ).toDF("part", "id", "v")
+    // p1 identical but ROW ORDER flipped; p2 value changed; p3 removed;
+    // p4 added
+    val neu = Seq(
+      ("p1", 2L, "b"), ("p1", 1L, "a"),
+      ("p2", 3L, "X"), ("p4", 5L, "e")
+    ).toDF("part", "id", "v").repartition(3)
+    val out = RelationalOps.partitionChecksumDiff(old, neu, "part",
+        Seq("id", "v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      "p2" -> (("changed", 1L, 1L)),
+      "p3" -> (("removed", 1L, 0L)),
+      "p4" -> (("added", 0L, 1L))), out)
+    // same count but different content still flags (checksum, not count)
+    assert(out("p2")._1 == "changed")
+  }
 }
