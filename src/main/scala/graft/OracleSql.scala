@@ -2124,7 +2124,8 @@ object OracleSql {
         |SELECT coalesce(ft.channel, lt.channel) AS channel,
         |  coalesce(first_touch, 0) AS first_touch,
         |  coalesce(last_touch, 0) AS last_touch
-        |FROM ft FULL OUTER JOIN lt ON ft.channel = lt.channel
+        |FROM ft FULL OUTER JOIN lt
+        |  ON ft.channel IS NOT DISTINCT FROM lt.channel
         |ORDER BY channel""".stripMargin,
 
     "q157_gini" ->
@@ -2266,7 +2267,9 @@ object OracleSql {
         |  FROM documents),
         |g AS (SELECT DISTINCT doc_id, source,
         |  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
-        |  FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i)
+        |  FROM toks, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(string_split(text, ' '))) FROM documents)))
+        |    AS i)
         |  WHERE i + 2 <= len(t)),
         |df AS (SELECT source, gram, count(*) AS dfreq FROM g
         |  GROUP BY 1, 2)

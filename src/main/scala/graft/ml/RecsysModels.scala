@@ -156,6 +156,8 @@ object RecsysModels {
       .setPredictionCol("calibrated")
       .fit(train.select(col(scoreCol).cast("double"),
         col(labelCol).cast("double")))
-    m.setFeaturesCol(scoreCol).transform(toCalibrate)
+    // the model requires a DoubleType feature column — cast here too so
+    // a float/decimal score frame calibrates the same as it trained
+    m.transform(toCalibrate.withColumn(scoreCol, col(scoreCol).cast("double")))
   }
 }

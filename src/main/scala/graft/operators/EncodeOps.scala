@@ -89,8 +89,11 @@ object EncodeOps {
   def ecdfTable(df: DataFrame, valCol: String): DataFrame = {
     val hist = df.select(round(col(valCol).cast("double"), 6).as("__v"))
       .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // cumsum + total both read the histogram
     val cum = MetricOps.rangeCumSum(hist, "__v", Seq("__c"))
-    val tot = broadcast(df.agg(count(lit(1)).cast("double").as("__n")))
+    // total from the histogram (includes the null-value group) — the
+    // fact table is scanned ONCE, not re-read for a count
+    val tot = broadcast(hist.agg(sum(col("__c")).cast("double").as("__n")))
     cum.crossJoin(tot)
       .select(col("__v").as("v"), col("__c").as("c"),
         col("__cum___c").as("n_le"),

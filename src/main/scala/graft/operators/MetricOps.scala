@@ -557,8 +557,12 @@ object MetricOps {
       .agg(count(lit(1)).as("first_touch"))
     val lt = firstLast.groupBy(col("__l.__ch").as("channel"))
       .agg(count(lit(1)).as("last_touch"))
-    ft.join(lt, Seq("channel"), "full_outer")
-      .na.fill(0L, Seq("first_touch", "last_touch"))
+    // null-safe join: an untagged (null) channel must merge into ONE
+    // row, not split its first/last credits across two
+    ft.join(lt, ft("channel") <=> lt("channel"), "full_outer")
+      .select(coalesce(ft("channel"), lt("channel")).as("channel"),
+        coalesce(col("first_touch"), lit(0L)).as("first_touch"),
+        coalesce(col("last_touch"), lit(0L)).as("last_touch"))
   }
 
   /** Gini coefficient of per-key activity concentration within each

@@ -89,6 +89,17 @@ object RelationalOps {
     base.join(updates.select(keyCol), Seq(keyCol), "left_anti")
       .unionByName(updates)
 
+  /** Shared row-identity fingerprint: U+0001-separated with a U+0000
+    * null sentinel — a bare concat both SKIPS nulls and loses column
+    * boundaries, so ("ab","c")/("a","bc") or (null,"x")/("x",null)
+    * collide and real changes vanish. Collision requires those control
+    * chars inside the data itself. Used by [[snapshotDiff]] (string
+    * compare) and [[partitionChecksumDiff]] (md5-sum checksum).
+    */
+  private def rowFingerprint(valCols: Seq[String]): Column =
+    concat_ws("\u0001",
+      valCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+
   /** Partition-level checksum diff — the backfill/repair probe: which
     * partitions of a replicated/derived table drifted from the source?
     * Per partition: row count + an ORDER-INDEPENDENT content checksum
@@ -102,15 +113,11 @@ object RelationalOps {
   def partitionChecksumDiff(oldDf: DataFrame, newDf: DataFrame,
                             partCol: String,
                             valCols: Seq[String]): DataFrame = {
-    // same U+0001/U+0000 fingerprint discipline as snapshotDiff: keep
-    // column boundaries and distinguish null from "null"
     def summarize(df: DataFrame, cnt: String, ck: String) =
       df.groupBy(col(partCol).as("__part"))
         .agg(count(lit(1)).as(cnt),
-          sum(conv(substring(md5(concat_ws("\u0001",
-              valCols.map(c =>
-                coalesce(col(c).cast("string"), lit("\u0000"))): _*)),
-            1, 12), 16, 10).cast("long").cast("decimal(38,0)")).as(ck))
+          sum(conv(substring(md5(rowFingerprint(valCols)), 1, 12), 16, 10)
+            .cast("long").cast("decimal(38,0)")).as(ck))
     summarize(oldDf, "__ocnt", "__ock")
       .join(summarize(newDf, "__ncnt", "__nck"), Seq("__part"), "full_outer")
       .withColumn("status",
@@ -141,9 +148,14 @@ object RelationalOps {
            tsCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col(tieCol))
+    // null-safe change detection: `prev =!= v` is SQL-null when either
+    // side is null, which would silently DROP transitions into a null
+    // value (field cleared) — so first-row detection needs row_number,
+    // not `prev IS NULL`, and the comparison needs <=>
     val changes = log
       .withColumn("__prev", lag(col(valCol), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(valCol))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(valCol)))
     changes
       .withColumn("valid_from", col(tsCol))
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
@@ -160,14 +172,8 @@ object RelationalOps {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
                    valCols: Seq[String]): DataFrame = {
-    // \u0001-separated with a \u0000 null sentinel: a bare concat both
-    // SKIPS nulls and loses column boundaries, so ("ab","c")/("a","bc")
-    // or (null,"x")/("x",null) collide and real changes vanish.
-    // Collision now requires those control chars inside the data itself.
     def fp(df: DataFrame, name: String) = df.select(col(keyCol),
-      concat_ws("\u0001",
-        valCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
-        .as(name))
+      rowFingerprint(valCols).as(name))
     fp(oldDf, "__fp_old").join(fp(newDf, "__fp_new"), Seq(keyCol), "full_outer")
       .withColumn("change",
         when(col("__fp_old").isNull, "added")

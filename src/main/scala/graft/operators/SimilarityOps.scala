@@ -252,13 +252,18 @@ object SimilarityOps {
       .withColumn("__j", explode(array((0 until m).map(lit): _*)))
       .select(col(idCol), col("__j"),
         expr(s"slice(__emb, __j * $subDim + 1, $subDim)").as(name))
+    // self-dots are constant per (vector, subspace) / per codeword row —
+    // hoist them out of the joined projection so they compute once, not
+    // once per codeword pairing (bit-identical d2: same operands, same
+    // evaluation order)
     val sub = subs(df, "__sv")
+      .withColumn("__ss", expr("graft_dot(__sv, __sv)"))
     val cent = subs(centroids, "__cv")
       .withColumnRenamed(idCol, "__cid")
+      .withColumn("__cc", expr("graft_dot(__cv, __cv)"))
     val d2 = sub.join(broadcast(cent), Seq("__j"))
-      .withColumn("__d2", expr(
-        "graft_dot(__sv, __sv) - 2.0 * graft_dot(__sv, __cv)" +
-          " + graft_dot(__cv, __cv)"))
+      .withColumn("__d2",
+        expr("__ss - 2.0 * graft_dot(__sv, __cv) + __cc"))
     val best = d2.groupBy(col(idCol), col("__j"))
       .agg(min(struct(col("__d2"), col("__cid"))).as("__b"))
     val codeCols = (0 until m).map(j =>

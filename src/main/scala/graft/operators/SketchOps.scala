@@ -204,6 +204,10 @@ object SketchOps {
     * E ≤ 2.5m and empty buckets exist) follows Flajolet et al. 2007.
     * Output keeps the exact count alongside (same discipline as the
     * other sketches): group, exact_distinct, hll_est (4 dp), rel_err.
+    * "Exact" means distinct 48-bit hashes — the [[kmvDistinct]]
+    * convention: exact up to birthday collisions (~n²/2⁴⁹, ≈2 per
+    * billion distinct keys), which is what keeps the twin computable
+    * in one pass next to the sketch.
     */
   /** HLL register table from a pre-hashed column `uCol` (48-bit
     * uniform ints): one row per (group, bucket) with the max-merged

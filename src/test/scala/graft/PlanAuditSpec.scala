@@ -305,7 +305,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("q160: the PQ codebook broadcasts; vectors never shuffle to meet it") {
     val df = plan("q160_product_quantize")
-    df.count()
+    val ex = shuffles(df) // runs the query once and finalizes AQE
     val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
       case b: BroadcastHashJoinExec => b
     }
@@ -313,7 +313,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the only exchanges are the argmin/pivot re-groupings on vec ids
     // (min-over-struct compiles to a partial SortAggregate) — the
     // codebook join itself must not add one
-    assert(shuffles(df).forall(_.child.toString.contains("Aggregate")),
+    assert(ex.forall(_.child.toString.contains("Aggregate")),
       "a non-aggregate shuffle means the codebook join stopped broadcasting")
   }
 

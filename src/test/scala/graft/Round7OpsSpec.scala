@@ -398,6 +398,22 @@ class Round7OpsSpec extends SparkSpec {
       (1L, "A", 40L, -1L, 1), (2L, "X", 10L, -1L, 1)))
   }
 
+  test("scd2: transitions INTO null are versions, not silently dropped") {
+    import graft.operators.RelationalOps
+    val log = Seq(
+      (1L, 10L, 1L, Some("A")), (1L, 20L, 2L, None), // field cleared
+      (1L, 30L, 3L, None),                           // still null: collapse
+      (1L, 40L, 4L, Some("B"))
+    ).toDF("k", "ts", "id", "v")
+    val out = RelationalOps.scd2(log, "k", "v", "ts", "id")
+      .orderBy("valid_from").collect()
+      .map(r => (Option(r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4))).toSeq
+    assert(out == Seq(
+      (Some("A"), 10L, 20L, 0), (None, 20L, 40L, 0),
+      (Some("B"), 40L, -1L, 1)), out)
+  }
+
   test("scd2: same-ts rows order by the tie column") {
     import graft.operators.RelationalOps
     val log = Seq((1L, 10L, 2L, "B"), (1L, 10L, 1L, "A"))
@@ -428,6 +444,24 @@ class Round7OpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     assert(out == Map("ad" -> ((2L, 1L)), "email" -> ((0L, 1L))))
+  }
+
+  test("attribution: a null (untagged) channel merges into one row") {
+    import graft.operators.MetricOps
+    val log = Seq(
+      // u1: first touch untagged, last touch email → null gets first
+      (1L, 10L, 1L, null.asInstanceOf[String]), (1L, 20L, 2L, "email"),
+      (1L, 30L, 3L, "buy"),
+      // u2: only touch untagged → null gets first AND last
+      (2L, 10L, 4L, null.asInstanceOf[String]), (2L, 20L, 5L, "buy")
+    ).toDF("u", "ts", "id", "ch")
+    val rows = MetricOps.attribution(log, "u", "ts", "id", "ch", "buy")
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(rows == Map(
+      Option.empty[String] -> ((2L, 1L)),
+      Some("email") -> ((0L, 1L))), rows)
+    assert(rows.size == 2, "null channel must not split into two rows")
   }
 
   // ------------------------------------------- giniConcentration
