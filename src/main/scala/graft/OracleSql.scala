@@ -2331,6 +2331,49 @@ object OracleSql {
         |  OR fo.cnt <> fn.cnt OR fo.ck <> fn.ck
         |ORDER BY event_type""".stripMargin,
 
+    "q167_benford" ->
+      """WITH d AS (SELECT substr(CAST(CAST(round(value * 100.0, 0)
+        |    AS BIGINT) AS VARCHAR), 1, 1)::INT AS digit
+        |  FROM events WHERE value > 0),
+        |obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS n FROM obs)
+        |SELECT digit, n_obs,
+        |  round(n * log10(1.0 + 1.0 / digit), 4) AS exp_n,
+        |  round((n_obs - n * log10(1.0 + 1.0 / digit)) *
+        |    (n_obs - n * log10(1.0 + 1.0 / digit)) /
+        |    (n * log10(1.0 + 1.0 / digit)), 4) AS chi2_term
+        |FROM obs, tot ORDER BY digit""".stripMargin,
+
+    "q168_typo_pairs" ->
+      """WITH names AS (SELECT DISTINCT c_name AS t FROM customer),
+        |v AS (SELECT t, CASE WHEN i = 0 THEN t
+        |    ELSE substr(t, 1, i - 1) || substr(t, i + 1, length(t)) END
+        |    AS var
+        |  FROM names, (SELECT unnest(generate_series(0,
+        |    (SELECT max(length(t)) FROM names))) AS i)
+        |  WHERE i <= length(t)),
+        |pairs AS (SELECT DISTINCT a.t AS t1, b.t AS t2
+        |  FROM v a JOIN v b ON a.var = b.var AND a.t < b.t)
+        |SELECT t1, t2 FROM pairs WHERE levenshtein(t1, t2) <= 1
+        |ORDER BY t1, t2""".stripMargin,
+
+    "q169_ri_audit" ->
+      """WITH r1 AS (SELECT 'lineitem.l_orderkey->orders' AS relationship,
+        |  CAST(count(*) AS BIGINT) AS n_child,
+        |  CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT)
+        |    AS n_orphans
+        |  FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey
+        |    FROM orders) o ON l_orderkey = o_orderkey),
+        |r2 AS (SELECT 'orders.o_custkey->customer10',
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT)
+        |  FROM orders LEFT JOIN (SELECT DISTINCT c_custkey
+        |    FROM customer WHERE c_custkey >= 10) c
+        |    ON o_custkey = c_custkey)
+        |SELECT * FROM r1 UNION ALL SELECT * FROM r2
+        |ORDER BY relationship""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
-import graft.operators.{AsOfJoin, DedupOps, EncodeOps, GraphOps, JoinOps, LayoutOps, MetricOps, MixtureOps, RelationalOps, RetrievalOps, SamplingOps, SimilarityOps, SketchOps, TextOps}
+import graft.operators.{AsOfJoin, DedupOps, EncodeOps, GraphOps, JoinOps, LayoutOps, MetricOps, MixtureOps, QualityChecks, RelationalOps, RetrievalOps, SamplingOps, SimilarityOps, SketchOps, TextOps}
 
 /** Driver contract (SURVEY.md §7): named deterministic queries over the
   * testdata tables, each with a DuckDB-oracle SQL twin. Query keys map to
@@ -1834,6 +1834,32 @@ object SparkEntry {
           Seq("user_id", "event_type"))
         .orderBy("event_type")
     }),
+
+    // L118 — Benford first-digit audit over the value column
+    // (string-of-scaled-integer digits — no libm log10 flip risk).
+    "q167_benford" -> ((s, d) =>
+      QualityChecks.benfordAudit(Tables.events(s, d), "value", scale = 2)
+        .orderBy("digit")),
+
+    // L119 — edit-distance-1 pair mining via SymSpell deletion
+    // neighborhoods + exact levenshtein verify (customer names).
+    "q168_typo_pairs" -> ((s, d) =>
+      TextOps.typoPairs(Tables.customer(s, d), "c_name")
+        .orderBy("t1", "t2")),
+
+    // L120 — referential-integrity audit: orphan counts per declared
+    // FK relationship (second one against a truncated parent to show
+    // detection).
+    "q169_ri_audit" -> ((s, d) =>
+      QualityChecks.riAudit(Seq(
+          ("lineitem.l_orderkey->orders",
+            Tables.lineitem(s, d), "l_orderkey",
+            Tables.orders(s, d), "o_orderkey"),
+          ("orders.o_custkey->customer10",
+            Tables.orders(s, d), "o_custkey",
+            Tables.customer(s, d).filter(col("c_custkey") >= 10),
+            "c_custkey")))
+        .orderBy("relationship")),
 
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form

@@ -77,6 +77,56 @@ object QualityChecks {
   }
 
   /** Fail fast: throw with the failing expectations if any violate. */
+  /** Benford's-law first-digit audit — the classic fabricated-numbers
+    * detector for financial/metric columns. Per digit 1-9: observed
+    * count, Benford-expected count n·log10(1+1/d), and the χ²
+    * contribution (sum them for the test statistic; χ²(8 df) at 5% is
+    * 15.51).
+    *
+    * The leading digit comes from the DECIMAL STRING of the value
+    * scaled to an integer (10^scale, exact for fixed-point data) —
+    * never from floor(log10(v)), whose 1-ulp libm differences flip the
+    * digit at powers of ten across engines. One hash aggregation to 9
+    * rows; the expected counts are fixed double arithmetic over the
+    * broadcast total.
+    */
+  def benfordAudit(df: DataFrame, valCol: String,
+                   scale: Int = 2): DataFrame = {
+    val mult = math.pow(10.0, scale)
+    val obs = df.filter(col(valCol) > 0)
+      .select(substring(round(col(valCol) * mult, 0).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = broadcast(obs.agg(sum(col("n_obs")).cast("double").as("__n")))
+    obs.crossJoin(tot)
+      .withColumn("__exp",
+        col("__n") * log10(lit(1.0) + lit(1.0) / col("digit")))
+      .select(col("digit"), col("n_obs"),
+        round(col("__exp"), 4).as("exp_n"),
+        round((col("n_obs") - col("__exp")) * (col("n_obs") - col("__exp"))
+          / col("__exp"), 4).as("chi2_term"))
+  }
+
+  /** Referential-integrity audit: orphan counts per declared
+    * (child.fk → parent.pk) relationship — the dbt-style relationship
+    * test as a first-class operator. Each relationship is ONE left
+    * join aggregated to a single row (child rows + orphans); at scale
+    * the parent key side is a semi-join build, never a row-for-row
+    * materialization of matches.
+    */
+  def riAudit(relationships: Seq[(String, DataFrame, String, DataFrame,
+                                  String)]): DataFrame =
+    relationships.map { case (name, child, fk, parent, pk) =>
+      child.select(col(fk).as("__fk"))
+        .join(parent.select(col(pk).as("__fk")).distinct()
+          .withColumn("__hit", lit(1)), Seq("__fk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).cast("long")
+            .as("n_orphans"))
+        .select(lit(name).as("relationship"), col("n_child"),
+          col("n_orphans"))
+    }.reduce(_ unionByName _)
+
   def enforce(df: DataFrame, expectations: Seq[Expectation]): Unit = {
     val bad = report(df, expectations).filter(col("pass") === 0)
       .select("name", "violations").collect()

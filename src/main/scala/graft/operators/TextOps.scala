@@ -489,6 +489,32 @@ object TextOps {
         round(col("n_boiler").cast("double") / col("n_grams"), 6))
   }
 
+  /** Edit-distance-1 pair mining over a string column (vocabulary
+    * typo clustering / entity-name near-dup) via SymSpell deletion
+    * neighborhoods: two strings with ed ≤ 1 must share an element of
+    * {s} ∪ {s minus one char}, so candidates come from ONE equi-join
+    * on the deletion variant — never an all-pairs comparison — and the
+    * exact `levenshtein ≤ 1` verify prunes the signature collisions
+    * (e.g. "ab"/"ba" share variant "a" but are ed 2).
+    *
+    * Scale: variants per string = length+1 (linear blowup); a variant
+    * bucket holds only strings identical outside one position, so
+    * bucket size is bounded by the alphabet, not the corpus — the same
+    * bounded-candidate discipline as the MinHash/SimHash bands.
+    */
+  def typoPairs(df: DataFrame, strCol: String): DataFrame = {
+    val names = df.select(col(strCol).as("__t")).distinct()
+    val v = names.select(col("__t"), explode(expr(
+      "transform(sequence(0, length(__t)), i -> IF(i = 0, __t, " +
+        "concat(substring(__t, 1, i - 1), " +
+        "substring(__t, i + 1, length(__t)))))")).as("__var"))
+    v.as("a").join(v.as("b"),
+        col("a.__var") === col("b.__var") && col("a.__t") < col("b.__t"))
+      .select(col("a.__t").as("t1"), col("b.__t").as("t2"))
+      .distinct()
+      .filter(levenshtein(col("t1"), col("t2")) <= 1)
+  }
+
   /** Zipf-law fit of the corpus unigram distribution: OLS slope and
     * intercept of ln(freq) against ln(rank) — the one-number corpus
     * health readout (natural text sits near slope −1; synthetic or

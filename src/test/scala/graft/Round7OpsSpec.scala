@@ -694,4 +694,49 @@ class Round7OpsSpec extends SparkSpec {
     // same count but different content still flags (checksum, not count)
     assert(out("p2")._1 == "changed")
   }
+
+  // ------------------------------------------------------- benfordAudit
+
+  test("benfordAudit: digit extraction and expected counts; non-positive dropped") {
+    import graft.operators.QualityChecks
+    val vals = Seq(123.45, 1.02, 19.99, 234.50, 2.00, 0.37, -5.0, 0.0, 91.0)
+    val out = QualityChecks.benfordAudit(vals.toDF("v"), "v")
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // digits: 1 (123.45), 1 (1.02), 1 (19.99), 2 (234.50), 2 (2.00),
+    // 3 (0.37 → 37), 9 (91.0); -5 and 0 filtered
+    assert(out.view.mapValues(_._1).toMap ==
+      Map(1 -> 3L, 2 -> 2L, 3 -> 1L, 9 -> 1L))
+    val n = 7.0
+    assert(math.abs(out(1)._2 - n * math.log10(2.0)) < 1e-3)
+  }
+
+  // ---------------------------------------------------------- typoPairs
+
+  test("typoPairs: insert/delete/substitute neighbors found, ed-2 collisions pruned") {
+    import graft.operators.TextOps
+    val words = Seq("cat", "cut", "cats", "ct", "dog", "ab", "ba")
+      .toDF("w")
+    val out = TextOps.typoPairs(words, "w")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(
+      ("cat", "cats"), ("cat", "ct"), ("cat", "cut"), ("ct", "cut")),
+      out)
+    // "ab"/"ba" share deletion variant "a"/"b" but are ed 2 → pruned
+    assert(!out.contains(("ab", "ba")))
+  }
+
+  // ------------------------------------------------------------ riAudit
+
+  test("riAudit: orphans counted per relationship; null FK is an orphan") {
+    import graft.operators.QualityChecks
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val child = Seq(Some(1L), Some(1L), Some(4L), None)
+      .toDF("fk")
+    val out = QualityChecks.riAudit(Seq(
+        ("child->parent", child, "fk", parent, "pk")))
+      .head()
+    assert(out.getString(0) == "child->parent")
+    assert(out.getLong(1) == 4L && out.getLong(2) == 2L)
+  }
 }
