@@ -2374,6 +2374,51 @@ object OracleSql {
         |SELECT * FROM r1 UNION ALL SELECT * FROM r2
         |ORDER BY relationship""".stripMargin,
 
+    "q170_curation_v2" ->
+      """WITH toksb AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |gb AS (SELECT DISTINCT doc_id, source,
+        |  t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM toksb, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(string_split(text, ' '))) FROM documents)))
+        |    AS i)
+        |  WHERE i + 2 <= len(t)),
+        |dfb AS (SELECT source, gram, count(*) AS dfreq FROM gb
+        |  GROUP BY 1, 2),
+        |boiler AS (SELECT gb.doc_id FROM gb
+        |  JOIN dfb ON gb.source = dfb.source AND gb.gram = dfb.gram
+        |  GROUP BY gb.doc_id
+        |  HAVING round(CAST(count(*) FILTER (dfb.dfreq >= 2) AS DOUBLE)
+        |    / count(*), 6) <= 0.03),
+        |sh AS (SELECT doc_id, generate_subscripts(gl, 1) AS pos,
+        |    unnest(gl) AS g
+        |  FROM (SELECT doc_id, list_transform(range(len(t) - 4),
+        |      i -> md5(array_to_string(t[i + 1 : i + 5], ' '))) AS gl
+        |    FROM toksb WHERE len(t) >= 5)),
+        |dup AS (SELECT g FROM sh GROUP BY g
+        |  HAVING min(doc_id) <> max(doc_id)),
+        |cov AS (SELECT DISTINCT doc_id, pos + o AS p
+        |  FROM (SELECT doc_id, pos FROM sh
+        |    WHERE g IN (SELECT g FROM dup)),
+        |    (SELECT unnest(range(0, 5)) AS o)),
+        |spanok AS (SELECT d.doc_id FROM documents d LEFT JOIN
+        |    (SELECT doc_id, count(*) AS dt FROM cov GROUP BY doc_id) c
+        |    USING (doc_id)
+        |  WHERE round(CAST(coalesce(c.dt, 0) AS DOUBLE) /
+        |    len(string_split(d.text, ' ')), 4) <= 0.5),
+        |kept AS (SELECT d.* FROM documents d
+        |  JOIN boiler USING (doc_id) JOIN spanok USING (doc_id)),
+        |n AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM kept),
+        |c AS (SELECT source, doc_id, n,
+        |  coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM n)
+        |SELECT source, CAST(cb // 2048 AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -1861,6 +1861,21 @@ object SparkEntry {
             "c_custkey")))
         .orderBy("relationship")),
 
+    // L121 — curation pipeline v2: boilerplate gate + substring-dedup
+    // gate + sequence packing of the survivors, one lazy plan — the
+    // round-7 signals composed end-to-end.
+    "q170_curation_v2" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val boilerOk = TextOps.boilerplateGrams(docs, "doc_id", "text",
+          "source", n = 3, minDocs = 2)
+        .filter(col("boiler_frac") <= 0.03).select("doc_id")
+      val spanOk = TextOps.dupSpanStats(docs, "doc_id", "text", n = 5)
+        .filter(col("dup_frac") <= 0.5).select("doc_id")
+      val kept = docs.join(boilerOk, "doc_id").join(spanOk, "doc_id")
+      TextOps.packSequences(kept, "source", "doc_id", "text", 2048L)
+        .orderBy("source", "bin")
+    }),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).
