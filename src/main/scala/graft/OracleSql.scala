@@ -2419,6 +2419,62 @@ object OracleSql {
         |  CAST(sum(n) AS BIGINT) AS n_tokens
         |FROM c GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
+    "q171_theil_sen" ->
+      """WITH m AS (SELECT o_orderpriority,
+        |    CAST(date_diff('month', TIMESTAMP '1992-01-01', o_orderdate)
+        |      AS BIGINT) AS mi,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT a.o_orderpriority,
+        |    (b.n - a.n) / CAST(b.mi - a.mi AS DOUBLE) AS slope
+        |  FROM m a JOIN m b ON a.o_orderpriority = b.o_orderpriority
+        |    AND b.mi > a.mi)
+        |SELECT o_orderpriority,
+        |  round(quantile_cont(slope, 0.5), 6) AS ts_slope,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q172_regr_trend" ->
+      """WITH e AS (SELECT event_type, value,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS DOUBLE) AS day
+        |  FROM events)
+        |SELECT event_type,
+        |  round(regr_slope(value, day), 6) AS slope,
+        |  round(regr_intercept(value, day), 6) AS icept,
+        |  round(regr_r2(value, day), 6) AS r2,
+        |  CAST(regr_count(value, day) AS BIGINT) AS n
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q173_markov_transitions" ->
+      """WITH o AS (SELECT event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |t AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM o
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+        |FROM t ORDER BY src, dst""".stripMargin,
+
+    "q174_tukey_outliers" ->
+      """WITH st AS (SELECT event_type,
+        |    round(quantile_cont(value, 0.25), 6) AS q1,
+        |    round(quantile_cont(value, 0.75), 6) AS q3
+        |  FROM events GROUP BY 1),
+        |f AS (SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+        |    q3 + 1.5 * (q3 - q1) AS hi FROM st)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (value < lo OR value > hi) AS BIGINT)
+        |    AS n_out,
+        |  round(CAST(count(*) FILTER (value < lo OR value > hi) AS DOUBLE)
+        |    / count(*), 6) AS out_frac,
+        |  round(min(lo), 6) AS lo_fence,
+        |  round(min(hi), 6) AS hi_fence
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

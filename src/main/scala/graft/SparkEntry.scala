@@ -1876,6 +1876,42 @@ object SparkEntry {
         .orderBy("source", "bin")
     }),
 
+    // L122 — Theil-Sen robust trend of monthly order volume per
+    // priority; the pairwise stage runs on the aggregated month series
+    // (bounded by the calendar, not the row count).
+    "q171_theil_sen" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          months_between(date_trunc("month", col("o_orderdate")),
+            lit("1992-01-01").cast("timestamp")).cast("long").as("mi"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      MetricOps.theilSen(monthly, "o_orderpriority", "mi", "n")
+        .orderBy("o_orderpriority")
+    }),
+
+    // L123 — OLS trend (regr_slope/intercept/r2) of event value vs
+    // days-since-epoch per type; one-pass co-moment aggregation.
+    "q172_regr_trend" -> ((s, d) =>
+      MetricOps.olsTrend(
+          Tables.events(s, d).withColumn("day",
+            datediff(col("ts"), lit("1970-01-01").cast("date"))
+              .cast("double")),
+          "event_type", "day", "value")
+        .orderBy("event_type")),
+
+    // L124 — first-order Markov transition matrix over per-user event
+    // streams (behavioral-model audit; per-entity windows only).
+    "q173_markov_transitions" -> ((s, d) =>
+      GraphOps.markovTransitions(Tables.events(s, d), "user_id", "ts",
+          "event_id", "event_type")
+        .orderBy("src", "dst")),
+
+    // L125 — Tukey-fence outlier audit on event values per type
+    // (6-dp-snapped exact quartiles so both engines fence identically).
+    "q174_tukey_outliers" -> ((s, d) =>
+      MetricOps.tukeyOutliers(Tables.events(s, d), "event_type", "value")
+        .orderBy("event_type")),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

@@ -309,4 +309,35 @@ object GraphOps {
     stats.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
       col("n_triangles"))
   }
+
+  /** First-order Markov transition matrix over per-entity ordered event
+    * streams: for each entity, pair every state with its successor
+    * (`lead` over (ts, tie)), count (src → dst) transitions, and
+    * normalize each row of the matrix to probabilities.
+    *
+    * The only per-row work is one window partitioned BY ENTITY — state
+    * is bounded per user, never global. The (src, dst) count table is
+    * |states|² rows at most, so the row-normalization (a second tiny
+    * agg joined back, not a window over raw data) is driver-negligible
+    * at any corpus size. `tieCol` makes the successor deterministic
+    * under timestamp ties. p = n/Σn is an exact integer-to-double
+    * division — bit-identical across engines before rounding.
+    */
+  def markovTransitions(events: DataFrame, entityCol: String,
+                        tsCol: String, tieCol: String, stateCol: String,
+                        roundTo: Int = 6): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    val trans = events
+      .select(col(entityCol), col(tsCol), col(tieCol),
+        col(stateCol).as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("src")).agg(sum(col("n")).as("__t"))
+    trans.join(broadcast(totals), "src")
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n").cast("double") / col("__t").cast("double"),
+          roundTo).as("p"))
+  }
 }

@@ -608,4 +608,79 @@ object MetricOps {
         ") AS (col_name, n_distinct_approx)")
       .withColumn("keep", (col("n_distinct_approx") > 1).cast("int"))
   }
+
+  /** Theil–Sen slope estimator per group: the median of all pairwise
+    * slopes (y_j − y_i)/(x_j − x_i) over x_j > x_i — the classic
+    * outlier-robust trend fit (breakdown point ~29%, vs 0 for OLS).
+    *
+    * The input contract is the scale contract: `series` must be an
+    * ALREADY-AGGREGATED series (one row per (group, time-bucket), e.g.
+    * monthly counts), so the O(T²) pairwise self-join is bounded by the
+    * calendar — T months of history is T(T−1)/2 pairs per group
+    * regardless of raw-event volume, and the raw table never enters the
+    * quadratic stage. The join is an equi-join on the group key (the
+    * x < x' predicate stays a post-join filter), so it hash-partitions;
+    * the median is Spark's exact `percentile` over the tiny pair set.
+    * Slope arithmetic is two exact double ops on per-bucket aggregates,
+    * so both engines agree bit-exactly before the final rounding.
+    */
+  def theilSen(series: DataFrame, groupCol: String, xCol: String,
+               yCol: String, roundTo: Int = 6): DataFrame = {
+    val a = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("double").as("__xa"), col(yCol).cast("double").as("__ya"))
+    val b = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("double").as("__xb"), col(yCol).cast("double").as("__yb"))
+    a.join(b, "__g").filter(col("__xb") > col("__xa"))
+      .withColumn("__slope",
+        (col("__yb") - col("__ya")) / (col("__xb") - col("__xa")))
+      .groupBy(col("__g").as(groupCol))
+      .agg(round(expr("percentile(__slope, 0.5)"), roundTo).as("ts_slope"),
+        count(lit(1)).as("n_pairs"))
+  }
+
+  /** Per-group OLS trend via the built-in `regr_*` aggregates
+    * (slope, intercept, R², point count) of `yCol` against `xCol` —
+    * the one-pass co-moment form, distributed by Spark's partial
+    * aggregation (map-side partials merge associatively; no second
+    * pass over the data, unlike the textbook mean-then-residual
+    * formulation). Rounding absorbs the partial-merge-order float
+    * noise between engines.
+    */
+  def olsTrend(df: DataFrame, groupCol: String, xCol: String,
+               yCol: String, roundTo: Int = 6): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(
+        round(expr(s"regr_slope($yCol, $xCol)"), roundTo).as("slope"),
+        round(expr(s"regr_intercept($yCol, $xCol)"), roundTo).as("icept"),
+        round(expr(s"regr_r2($yCol, $xCol)"), roundTo).as("r2"),
+        expr(s"regr_count($yCol, $xCol)").cast("long").as("n"))
+
+  /** Tukey-fence outlier audit per group: rows outside
+    * [Q1 − k·IQR, Q3 + k·IQR] with exact quartiles.
+    *
+    * Quartiles are rounded to 6 dp BEFORE the fences are computed —
+    * exact-percentile interpolation ((1−f)·a + f·b vs a + f·(b−a)) can
+    * differ between engines in the last ulp, and an unrounded fence
+    * would let a borderline row flip the count; after the 6 dp snap,
+    * fence arithmetic and every comparison are bit-identical. The
+    * per-group stats frame is a handful of rows and broadcasts back
+    * onto the data — one full scan, one tiny agg, no global sort.
+    */
+  def tukeyOutliers(df: DataFrame, groupCol: String, valCol: String,
+                    k: Double = 1.5): DataFrame = {
+    val st = df.groupBy(col(groupCol))
+      .agg(round(expr(s"percentile($valCol, 0.25)"), 6).as("__q1"),
+        round(expr(s"percentile($valCol, 0.75)"), 6).as("__q3"))
+      .withColumn("__lo", col("__q1") - lit(k) * (col("__q3") - col("__q1")))
+      .withColumn("__hi", col("__q3") + lit(k) * (col("__q3") - col("__q1")))
+    val out = col(valCol) < col("__lo") || col(valCol) > col("__hi")
+    df.join(broadcast(st), groupCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(out, 1L).otherwise(0L)).as("n_out"),
+        round(sum(when(out, 1L).otherwise(0L)) /
+          count(lit(1)).cast("double"), 6).as("out_frac"),
+        round(first(col("__lo")), 6).as("lo_fence"),
+        round(first(col("__hi")), 6).as("hi_fence"))
+  }
 }

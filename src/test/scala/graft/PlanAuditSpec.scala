@@ -326,6 +326,37 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "walk steps must stay equi-joins on the node")
   }
 
+  test("q174: the quartile-stats side broadcasts back onto the facts") {
+    val df = plan("q174_tukey_outliers")
+    df.count()
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "per-group fence stats must broadcast, not shuffle")
+  }
+
+  test("q171: the pairwise stage is an equi-join on the group key") {
+    val df = plan("q171_theil_sen")
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "Theil-Sen pairs must come from the group-key equi-join")
+  }
+
+  test("q173: the only window is per-entity; totals broadcast") {
+    val df = plan("q173_markov_transitions")
+    df.count()
+    val exec = df.queryExecution.executedPlan
+    val wins = collectWithSubqueries(exec) { case w: WindowExec => w }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "no unpartitioned window over the event stream")
+    val bhj = collectWithSubqueries(exec) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "src-row totals must broadcast")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {

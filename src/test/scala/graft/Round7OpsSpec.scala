@@ -739,4 +739,84 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.getString(0) == "child->parent")
     assert(out.getLong(1) == 4L && out.getLong(2) == 2L)
   }
+
+  // ----------------------------------------------------------- theilSen
+
+  test("theilSen: median pairwise slope; robust to one wild outlier") {
+    // y = 2x exactly except one corrupted point — OLS would tilt, the
+    // pairwise-slope median must stay 2.
+    val series = ((0 to 8).map(x => ("g", x, 2.0 * x)) :+ ("g", 9, 500.0))
+      .toDF("grp", "x", "y")
+    val out = MetricOps.theilSen(series, "grp", "x", "y")
+      .as[(String, Double, Long)].head()
+    assert(out._2 == 2.0, s"not robust: ${out._2}")
+    assert(out._3 == 45L) // 10·9/2 ordered pairs
+  }
+
+  test("theilSen: exact line recovers the slope regardless of partitioning") {
+    val series = (0 to 20).map(x => ("a", x, 7.0 - 3.0 * x))
+      .toDF("grp", "x", "y").repartition(7)
+    val out = MetricOps.theilSen(series, "grp", "x", "y")
+      .as[(String, Double, Long)].head()
+    assert(out._2 == -3.0 && out._3 == 210L)
+  }
+
+  // ----------------------------------------------------------- olsTrend
+
+  test("olsTrend: exact line gives slope/intercept/r2=1; flat line r2 guard") {
+    val df = (1 to 50).map(x => ("a", x.toDouble, 3.0 + 0.5 * x))
+      .toDF("grp", "x", "y")
+    val out = MetricOps.olsTrend(df, "grp", "x", "y")
+      .as[(String, Double, Double, Double, Long)].head()
+    assert(out._2 == 0.5 && out._3 == 3.0 && out._4 == 1.0 && out._5 == 50L)
+  }
+
+  // -------------------------------------------------- markovTransitions
+
+  test("markovTransitions: hand-built chain; rows normalize to 1") {
+    // user 1: a b a b a   user 2: a a b
+    val ev = Seq(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (1L, 5L, "a"), (2L, 1L, "a"), (2L, 2L, "a"), (2L, 3L, "b"))
+      .toDF("u", "ts", "st")
+    val out = GraphOps.markovTransitions(ev, "u", "ts", "ts", "st")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    // from a: a→b 3 (u1 twice, u2 once), a→a 1  → p = .75/.25
+    assert(out(("a", "b")) == ((3L, 0.75)) && out(("a", "a")) == ((1L, 0.25)))
+    // from b: b→a 2, and the final b of u2 has no successor
+    assert(out(("b", "a")) == ((2L, 1.0)))
+    assert(out.keys.map(_._1).toSet.forall(s =>
+      math.abs(out.filter(_._1._1 == s).values.map(_._2).sum - 1.0) < 1e-9))
+  }
+
+  test("markovTransitions: timestamp ties broken by tie column") {
+    val ev = Seq((1L, 1L, 10L, "x"), (1L, 1L, 11L, "y"), (1L, 2L, 12L, "z"))
+      .toDF("u", "ts", "id", "st")
+    val out = GraphOps.markovTransitions(ev, "u", "ts", "id", "st")
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2)).toSet
+    assert(out == Set(("x", "y"), ("y", "z"))) // never x→z
+  }
+
+  // ------------------------------------------------------ tukeyOutliers
+
+  test("tukeyOutliers: known quartiles flag exactly the planted outliers") {
+    // 13 sorted points → q1 = index 3 = 3.0, q3 = index 9 = 9.0,
+    // iqr = 6 → fences [−6, 18]; the planted ±100 sit outside
+    val vals = (1 to 11).map(_.toDouble) ++ Seq(100.0, -100.0)
+    val out = MetricOps.tukeyOutliers(
+        vals.map(("g", _)).toDF("grp", "v"), "grp", "v")
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    assert(out._2 == 13L && out._3 == 2L)
+    assert(out._5 == -6.0 && out._6 == 18.0)
+    assert(math.abs(out._4 - 2.0 / 13.0) < 1e-6)
+  }
+
+  test("tukeyOutliers: constant column yields zero outliers, zero-width fence") {
+    val out = MetricOps.tukeyOutliers(
+        Seq.fill(20)(("g", 5.0)).toDF("grp", "v"), "grp", "v")
+      .as[(String, Long, Long, Double, Double, Double)].head()
+    assert(out._3 == 0L && out._5 == 5.0 && out._6 == 5.0)
+  }
 }
