@@ -2475,6 +2475,44 @@ object OracleSql {
         |FROM events e JOIN f USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
+    "q175_cusum" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    round(avg(value), 6) AS m
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, round(avg(m), 6) AS mu,
+        |    round(stddev_samp(m), 6) AS sd
+        |  FROM daily GROUP BY 1),
+        |z AS (SELECT daily.event_type, day, (m - mu) / sd AS z
+        |  FROM daily JOIN st USING (event_type)),
+        |c AS (SELECT event_type, day,
+        |    sum(z - 0.5) OVER w AS ch, sum(z + 0.5) OVER w AS cl
+        |  FROM z WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT event_type, day,
+        |    ch - least(min(ch) OVER w2, 0) AS s_hi,
+        |    greatest(max(cl) OVER w2, 0) - cl AS s_lo
+        |  FROM c WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+        |  round(max(s_hi), 4) AS max_hi, round(max(s_lo), 4) AS max_lo,
+        |  CAST(count(*) FILTER (s_hi > 4 OR s_lo > 4) AS BIGINT)
+        |    AS n_alarm,
+        |  min(day) FILTER (s_hi > 4 OR s_lo > 4) AS first_alarm
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q176_pareto_frontier" ->
+      """WITH pts AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        |d AS (SELECT DISTINCT n_orders, spend FROM pts)
+        |SELECT n_orders, CAST(spend AS DOUBLE) AS spend FROM d a
+        |WHERE NOT EXISTS (SELECT 1 FROM d b
+        |  WHERE b.n_orders >= a.n_orders AND b.spend >= a.spend
+        |    AND (b.n_orders > a.n_orders OR b.spend > a.spend))
+        |ORDER BY n_orders DESC""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -1912,6 +1912,30 @@ object SparkEntry {
       MetricOps.tukeyOutliers(Tables.events(s, d), "event_type", "value")
         .orderBy("event_type")),
 
+    // L126 — CUSUM change-point audit of daily mean event value per
+    // type (Page's test via the cumsum − running-min closed form; the
+    // windows run on the calendar-bounded daily series).
+    "q175_cusum" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(round(avg(col("value")), 6).as("m"))
+      MetricOps.changePointCusum(daily, "event_type", "day", "m")
+        .orderBy("event_type")
+    }),
+
+    // L127 — Pareto frontier of per-customer (order count, exact spend):
+    // the distributed skyline sweep (range-partitioned prefix max).
+    "q176_pareto_frontier" -> ((s, d) => {
+      val pts = Tables.orders(s, d).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      RelationalOps.skyline2D(pts, "n_orders", "spend")
+        .withColumn("spend", col("spend").cast("double"))
+        .orderBy(col("n_orders").desc)
+    }),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

@@ -655,6 +655,44 @@ object MetricOps {
         round(expr(s"regr_r2($yCol, $xCol)"), roundTo).as("r2"),
         expr(s"regr_count($yCol, $xCol)").cast("long").as("n"))
 
+  /** One-sided CUSUM change-point audit per group (Page's test, both
+    * directions) over an ordered series.
+    *
+    * The reset-at-zero recursion S_t = max(0, S_{t−1} + z_t − k) is not
+    * a plain prefix sum, but it has the closed form
+    * S_t = C_t − min(0, min_{j≤t} C_j) with C the cumulative sum of
+    * (z − k) — so the whole statistic is two per-group running windows
+    * (cumsum + running min), no recursion, no UDAF, no driver loop.
+    * The input contract matches [[theilSen]]: `series` is an
+    * ALREADY-AGGREGATED (group, bucket, value) table, so every window
+    * is bounded by the calendar. Baseline μ/σ are the group's own
+    * mean/stddev snapped to 6 dp (and z with them), which makes the
+    * sequential window accumulation bit-identical across engines.
+    * Alarms fire where either direction exceeds `h` (in σ units).
+    */
+  def changePointCusum(series: DataFrame, groupCol: String, xCol: String,
+                       yCol: String, k: Double = 0.5,
+                       h: Double = 4.0): DataFrame = {
+    val st = series.groupBy(col(groupCol))
+      .agg(round(avg(col(yCol)), 6).as("__mu"),
+        round(stddev_samp(col(yCol)), 6).as("__sd"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val s = series.join(broadcast(st), groupCol)
+      .withColumn("__z", (col(yCol) - col("__mu")) / col("__sd"))
+      .withColumn("__ch", sum(col("__z") - lit(k)).over(w))
+      .withColumn("__cl", sum(col("__z") + lit(k)).over(w))
+      .withColumn("__shi", col("__ch") - least(min(col("__ch")).over(w), lit(0.0)))
+      .withColumn("__slo", greatest(max(col("__cl")).over(w), lit(0.0)) - col("__cl"))
+    val alarm = col("__shi") > h || col("__slo") > h
+    s.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_buckets"),
+        round(max(col("__shi")), 4).as("max_hi"),
+        round(max(col("__slo")), 4).as("max_lo"),
+        sum(when(alarm, 1L).otherwise(0L)).as("n_alarm"),
+        min(when(alarm, col(xCol))).as("first_alarm"))
+  }
+
   /** Tukey-fence outlier audit per group: rows outside
     * [Q1 − k·IQR, Q3 + k·IQR] with exact quartiles.
     *

@@ -379,4 +379,47 @@ object RelationalOps {
     channels.reduce(_.unionByName(_))
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col(scoreCol)).as(scoreCol))
+
+  /** 2-D Pareto frontier (skyline, maximizing both columns): the
+    * distinct (x, y) points not dominated by any point with ≥ in both
+    * dimensions and > in at least one.
+    *
+    * The classic sweep — sort by x desc and keep points whose y exceeds
+    * the running max of everything seen so far — would be one
+    * UNPARTITIONED window. Instead the sweep is distributed the same
+    * way as [[MetricOps.globalRank]]'s cumulative sum:
+    * `repartitionByRange` on x desc, the running max WITHIN each range
+    * partition, plus each partition's prefix max from earlier (higher-x)
+    * partitions via a broadcast triangular join on the partition id —
+    * O(partitions²) pairs, bounded by config, never by data. The
+    * partition ids are pinned with `localCheckpoint` for the same
+    * reason as in rangeCumSum: the id feeds two consumers, and
+    * re-derived sampled range boundaries are only identical while
+    * exchange reuse happens to dedup them.
+    *
+    * Ties: duplicates collapse via the distinct; equal-x points sort by
+    * y desc within the sweep, so the lower-y twin sees its dominator's
+    * y as running max and drops; equal-y points with smaller x see
+    * `y > runmax` fail and drop. The frontier is a unique set — order
+    * and partitioning never change it.
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull).distinct()
+    val parts = pts.repartitionByRange(col("x").desc, col("y").desc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(col("x").desc, col("y").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ptot = parts.groupBy(col("__pid")).agg(max(col("y")).as("__pmax"))
+    val pbefore = ptot.as("pa")
+      .join(broadcast(ptot.as("pb")), col("pb.__pid") < col("pa.__pid"), "left")
+      .groupBy(col("pa.__pid").as("__pid"))
+      .agg(max(col("pb.__pmax")).as("__before"))
+    parts.join(broadcast(pbefore), "__pid")
+      .withColumn("__rm", greatest(max(col("y")).over(w), col("__before")))
+      .filter(col("__rm").isNull || col("y") > col("__rm"))
+      .select(col("x").as(xCol), col("y").as(yCol))
+  }
 }

@@ -357,6 +357,18 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bhj.nonEmpty, "src-row totals must broadcast")
   }
 
+  test("q175/q176: every window is partitioned (CUSUM by group, skyline by range pid)") {
+    for (name <- Seq("q175_cusum", "q176_pareto_frontier")) {
+      val df = plan(name)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"$name must not run an unpartitioned window")
+    }
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {

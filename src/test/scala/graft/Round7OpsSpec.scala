@@ -819,4 +819,76 @@ class Round7OpsSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Double, Double)].head()
     assert(out._3 == 0L && out._5 == 5.0 && out._6 == 5.0)
   }
+
+  // ----------------------------------------------------- changePointCusum
+
+  test("changePointCusum: closed form equals the reset-at-zero recursion") {
+    val r = new scala.util.Random(11)
+    val ys = (0 until 60).map(i =>
+      if (i < 40) r.nextGaussian() else 3.0 + r.nextGaussian())
+    val df = ys.zipWithIndex.map { case (y, i) => ("g", i.toLong, y) }
+      .toDF("grp", "x", "y")
+    val out = MetricOps.changePointCusum(df, "grp", "x", "y")
+      .as[(String, Long, Double, Double, Long, Option[Long])].head()
+    // direct recursion with the same 6-dp-snapped baseline
+    val mu = BigDecimal(ys.sum / ys.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sd0 = math.sqrt(ys.map(y => (y - ys.sum / ys.size) *
+      (y - ys.sum / ys.size)).sum / (ys.size - 1))
+    val sd = BigDecimal(sd0).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    var shi = 0.0; var slo = 0.0; var maxHi = 0.0; var maxLo = 0.0
+    var firstAlarm = Option.empty[Long]; var nAlarm = 0L
+    ys.zipWithIndex.foreach { case (y, i) =>
+      val z = (y - mu) / sd
+      shi = math.max(0.0, shi + z - 0.5)
+      slo = math.max(0.0, slo - z - 0.5)
+      maxHi = math.max(maxHi, shi); maxLo = math.max(maxLo, slo)
+      if (shi > 4.0 || slo > 4.0) {
+        nAlarm += 1; if (firstAlarm.isEmpty) firstAlarm = Some(i.toLong)
+      }
+    }
+    assert(math.abs(out._3 - BigDecimal(maxHi).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, s"$out vs $maxHi")
+    assert(math.abs(out._4 - BigDecimal(maxLo).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out._5 == nAlarm && out._6 == firstAlarm)
+    assert(nAlarm > 0, "the planted level shift must alarm")
+  }
+
+  test("changePointCusum: stationary series stays quiet") {
+    val ys = (0 until 50).map(i => math.sin(i * 0.7)) // bounded, no drift
+    val df = ys.zipWithIndex.map { case (y, i) => ("g", i.toLong, y) }
+      .toDF("grp", "x", "y")
+    val out = MetricOps.changePointCusum(df, "grp", "x", "y")
+      .as[(String, Long, Double, Double, Long, Option[Long])].head()
+    assert(out._5 == 0L && out._6.isEmpty)
+  }
+
+  // ------------------------------------------------------------ skyline2D
+
+  test("skyline2D: hand case — dominated and tied points drop") {
+    import graft.operators.RelationalOps
+    val pts = Seq((5, 1), (4, 4), (4, 2), (2, 4), (1, 6), (3, 3), (5, 1))
+      .toDF("x", "y")
+    val out = RelationalOps.skyline2D(pts, "x", "y")
+      .as[(Int, Int)].collect().toSet
+    // (4,2) dominated by (4,4); (2,4) by (4,4); (3,3) by (4,4)
+    assert(out == Set((5, 1), (4, 4), (1, 6)))
+  }
+
+  test("skyline2D: equals brute force on random points; partition-invariant") {
+    val r = new scala.util.Random(7)
+    val pts = (0 until 400).map(_ => (r.nextInt(50), r.nextInt(50)))
+    def dominated(p: (Int, Int)) = pts.exists(q =>
+      q._1 >= p._1 && q._2 >= p._2 && (q._1 > p._1 || q._2 > p._2))
+    val expect = pts.distinct.filterNot(dominated).toSet
+    import graft.operators.RelationalOps
+    for (parts <- Seq(1, 3, 32)) {
+      val out = RelationalOps.skyline2D(
+          pts.toDF("x", "y").repartition(parts), "x", "y")
+        .as[(Int, Int)].collect().toSet
+      assert(out == expect, s"parts=$parts")
+    }
+  }
 }
