@@ -2513,6 +2513,200 @@ object OracleSql {
         |    AND (b.n_orders > a.n_orders OR b.spend > a.spend))
         |ORDER BY n_orders DESC""".stripMargin,
 
+    "q177_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ci FROM it
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |f AS (SELECT it.b, it.i, ic.ci FROM it JOIN ic USING (i)),
+        |co AS (SELECT a.i AS ant, b2.i AS cons,
+        |    CAST(count(*) AS BIGINT) AS co,
+        |    max(a.ci) AS ca, max(b2.ci) AS cc
+        |  FROM f a JOIN f b2 ON a.b = b2.b AND a.i < b2.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n
+        |  FROM lineitem)
+        |SELECT ant, cons, co, round(co / n, 6) AS support,
+        |  round(CAST(co AS DOUBLE) / ca, 6) AS conf_ac,
+        |  round(CAST(co AS DOUBLE) / cc, 6) AS conf_ca,
+        |  round(co * n / (ca * cc), 6) AS lift
+        |FROM co, nb ORDER BY ant, cons""".stripMargin,
+
+    "q178_interarrival" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts))
+        |      OVER (PARTITION BY user_id ORDER BY ts) AS gap
+        |  FROM events),
+        |s AS (SELECT user_id, CAST(count(gap) AS BIGINT) AS n_gaps,
+        |    round(avg(gap) / 1e6, 4) AS mean_gap_s,
+        |    round(stddev_samp(gap) / 1e6, 4) AS sd_gap_s
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1
+        |  HAVING count(gap) >= 4)
+        |SELECT user_id, n_gaps, mean_gap_s, sd_gap_s,
+        |  CASE WHEN mean_gap_s > 0
+        |    THEN round(sd_gap_s / mean_gap_s, 4) END AS cv,
+        |  CASE WHEN sd_gap_s + mean_gap_s > 0
+        |    THEN round((sd_gap_s - mean_gap_s)
+        |      / (sd_gap_s + mean_gap_s), 4) END AS burstiness
+        |FROM s ORDER BY user_id""".stripMargin,
+
+    "q179_rolling_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    round(avg(value), 6) AS m
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, day, m,
+        |    count(m) OVER win AS n,
+        |    round(avg(m) OVER win, 6) AS mu,
+        |    round(stddev_samp(m) OVER win, 6) AS sd
+        |  FROM daily WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day, m, mu AS baseline_mu,
+        |  round((m - mu) / sd, 4) AS z
+        |FROM w WHERE n >= 4 AND sd > 0
+        |  AND abs(round((m - mu) / sd, 4)) > 2
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q180_jaro_winkler" ->
+      """WITH p AS (SELECT DISTINCT p_brand, p_size, p_name FROM part)
+        |SELECT a.p_brand, a.p_size, a.p_name AS name_a,
+        |  b.p_name AS name_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM p a JOIN p b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_name < b.p_name
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.8
+        |ORDER BY 1, 2, 3, 4""".stripMargin,
+
+    "q181_autocorr" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT cur.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(corr(cur.n, prev.n), 4) AS acf_1
+        |FROM daily cur JOIN daily prev
+        |  ON cur.event_type = prev.event_type
+        |  AND cur.day = prev.day + 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q182_rbo" ->
+      """WITH rev AS (SELECT c_nationkey, l_partkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount)
+        |      AS DECIMAL(18,4))) AS r
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |nat AS (SELECT c_nationkey, l_partkey,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY r DESC, l_partkey) AS ra
+        |  FROM rev QUALIFY ra <= 10),
+        |grev AS (SELECT l_partkey, sum(r) AS g FROM rev GROUP BY 1),
+        |gtop AS (SELECT l_partkey,
+        |    row_number() OVER (ORDER BY g DESC, l_partkey) AS rb
+        |  FROM grev QUALIFY rb <= 10),
+        |j AS (SELECT nat.c_nationkey, greatest(nat.ra, gtop.rb) AS m
+        |  FROM nat JOIN gtop USING (l_partkey)),
+        |d AS (SELECT c_nationkey, CAST(u.d AS BIGINT) AS d
+        |  FROM j, unnest(generate_series(j.m, 10)) AS u(d)),
+        |ov AS (SELECT c_nationkey, d, CAST(count(*) AS DOUBLE) AS ov
+        |  FROM d GROUP BY 1, 2)
+        |SELECT c_nationkey,
+        |  round((1 - 0.9) * sum(ov / d * power(0.9, d - 1)), 6) AS rbo
+        |FROM ov GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q183_kaplan_meier" ->
+      """WITH subj AS (SELECT user_id,
+        |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+        |      CAST(coalesce(min(ts) FILTER (event_type = 'purchase'),
+        |        max(ts)) AS DATE)) AS BIGINT) AS dur,
+        |    CASE WHEN min(ts) FILTER (event_type = 'purchase')
+        |      IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1),
+        |r AS (SELECT t, d, c,
+        |    CAST((SELECT count(*) FROM subj)
+        |      - (sum(d + c) OVER w - (d + c)) AS BIGINT) AS n_risk
+        |  FROM h WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT t, d, c, n_risk,
+        |    CAST(CASE WHEN d > 0 AND d < n_risk
+        |      THEN round(ln(1 - CAST(d AS DOUBLE) / n_risk), 12)
+        |      ELSE 0 END AS DECIMAL(28,14)) AS lnf,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS z
+        |  FROM r),
+        |s AS (SELECT t, n_risk, d, c, sum(lnf) OVER w AS cl,
+        |    sum(z) OVER w AS cz
+        |  FROM f WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t, n_risk, d, c,
+        |  CASE WHEN cz > 0 THEN 0.0
+        |    ELSE round(exp(CAST(cl AS DOUBLE)), 6) END AS survival
+        |FROM s ORDER BY t""".stripMargin,
+
+    "q184_wasserstein" ->
+      """WITH q AS (SELECT round(value, 4) AS v, event_type
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |h AS (SELECT v,
+        |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS na,
+        |    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS nb
+        |  FROM q GROUP BY 1),
+        |c AS (SELECT v, sum(na) OVER w AS ca, sum(nb) OVER w AS cb,
+        |    lead(v) OVER (ORDER BY v) AS vn
+        |  FROM h WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |t AS (SELECT CAST(sum(na) AS DECIMAL(18,0)) AS tna,
+        |    CAST(sum(nb) AS DECIMAL(18,0)) AS tnb FROM h)
+        |SELECT round(CAST(sum(CAST(round(
+        |    CAST(abs(CAST(ca AS DECIMAL(18,0)) * tnb
+        |      - CAST(cb AS DECIMAL(18,0)) * tna) AS DOUBLE)
+        |    / CAST(tna * tnb AS DOUBLE) * (vn - v), 12)
+        |    AS DECIMAL(28,14))) AS DOUBLE), 6) AS wasserstein,
+        |  CAST(max(tna) AS BIGINT) AS n_a, CAST(max(tnb) AS BIGINT) AS n_b
+        |FROM c, t WHERE vn IS NOT NULL""".stripMargin,
+
+    "q185_assortativity" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |dl AS (SELECT l, CAST(count(*) AS BIGINT) AS degl FROM e GROUP BY 1),
+        |dr AS (SELECT r, CAST(count(*) AS BIGINT) AS degr FROM e GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  round(corr(CAST(degl AS DOUBLE), CAST(degr AS DOUBLE)), 4)
+        |    AS assortativity
+        |FROM e JOIN dl USING (l) JOIN dr USING (r)""".stripMargin,
+
+    "q186_chi_square" ->
+      """WITH base AS (SELECT event_type AS x,
+        |    CASE WHEN value > 100 THEN 'high' ELSE 'low' END AS y
+        |  FROM events),
+        |cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS o
+        |  FROM base GROUP BY 1, 2),
+        |rm AS (SELECT x, sum(o) AS rx FROM cells GROUP BY 1),
+        |cm AS (SELECT y, sum(o) AS cy FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS DOUBLE) AS tn,
+        |    count(DISTINCT x) AS nr, count(DISTINCT y) AS nc FROM cells),
+        |grid AS (SELECT rm.x, cm.y, rm.rx, cm.cy,
+        |    coalesce(cells.o, 0) AS o
+        |  FROM rm CROSS JOIN cm
+        |  LEFT JOIN cells ON cells.x = rm.x AND cells.y = cm.y),
+        |terms AS (SELECT CAST(round(
+        |      pow(o - CAST(rx AS DOUBLE) * cy / tn, 2)
+        |        / (CAST(rx AS DOUBLE) * cy / tn), 12)
+        |    AS DECIMAL(28,14)) AS term, tn, nr, nc
+        |  FROM grid, tot)
+        |SELECT CAST(max(tn) AS BIGINT) AS n,
+        |  CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS chi2,
+        |  round(sqrt(CAST(sum(term) AS DOUBLE)
+        |    / (max(tn) * least(max(nr) - 1, max(nc) - 1))), 6)
+        |    AS cramers_v
+        |FROM terms""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -1936,6 +1936,127 @@ object SparkEntry {
         .orderBy(col("n_orders").desc)
     }),
 
+    // L128 — pairwise association rules over order baskets (support /
+    // directional confidence / lift; apriori-pruned before the
+    // per-basket pair self-join).
+    "q177_assoc_rules" -> ((s, d) =>
+      MetricOps.assocRules(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+          minCo = 2)
+        .orderBy("ant", "cons")),
+
+    // L129 — per-user inter-arrival burstiness (Goh–Barabási
+    // (σ−μ)/(σ+μ) + CV over exact-microsecond gaps; one lag window).
+    "q178_interarrival" -> ((s, d) =>
+      MetricOps.interArrival(Tables.events(s, d), "user_id", "ts",
+          minEvents = 5)
+        .orderBy("user_id")),
+
+    // L130 — rolling-baseline anomaly flags on the daily mean event
+    // value per type (trailing-7 z-score, baseline never includes the
+    // current bucket).
+    "q179_rolling_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(round(avg(col("value")), 6).as("m"))
+      MetricOps.rollingAnomaly(daily, "event_type", "day", "m")
+        .orderBy("event_type", "day")
+    }),
+
+    // L131 — blocked entity-resolution join: Jaro–Winkler ≥ 0.8
+    // between part names sharing (brand, size), on the codegen'd
+    // graft_jw expression.
+    "q180_jaro_winkler" -> ((s, d) =>
+      TextOps.fuzzyBlockJoin(Tables.part(s, d), Seq("p_brand", "p_size"),
+          "p_name", minSim = 0.8)
+        .orderBy("p_brand", "p_size", "name_a", "name_b")),
+
+    // L132 — lag-1 autocorrelation of the daily event count per type
+    // (calendar self-join, gap-safe; corr rounded like q68).
+    "q181_autocorr" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          datediff(col("ts").cast("date"), lit("1970-01-01").cast("date"))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+      MetricOps.autocorr(daily, "event_type", "day", "n", lagK = 1,
+          roundTo = 4)
+        .orderBy("event_type")
+    }),
+
+    // L133 — rank-biased overlap (p=0.9, k=10) between each nation's
+    // top-10 parts by revenue and the global top-10 (assortment-drift
+    // audit; k²-bounded depth spine, never data-sized).
+    "q182_rbo" -> ((s, d) => {
+      // Both ranking branches consume the 3-way revenue join; Spark's
+      // ReuseExchange dedups the shared agg subplan (verified — pinning
+      // it bought nothing), so no checkpoint here.
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).as("r"))
+      val wN = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("r").desc, col("l_partkey"))
+      val natTop = rev.withColumn("rk", row_number().over(wN))
+        .filter(col("rk") <= 10)
+        .select(col("c_nationkey"), col("l_partkey"), col("rk"))
+      // Global ranking: aggregate (|parts| rows), then TakeOrdered — the
+      // unpartitioned window runs over only the 10 surviving rows.
+      val glob = rev.groupBy(col("l_partkey")).agg(sum(col("r")).as("g"))
+        .orderBy(col("g").desc, col("l_partkey")).limit(10)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("g").desc, col("l_partkey"))))
+        .select(col("l_partkey"), col("rk"))
+      val globPerNation = natTop.select(col("c_nationkey")).distinct()
+        .crossJoin(broadcast(glob))
+      MetricOps.rbo(natTop, globPerNation, "c_nationkey", "l_partkey",
+          rankCol = "rk", k = 10, p = 0.9)
+        .orderBy("c_nationkey")
+    }),
+
+    // L134 — Kaplan–Meier survival with right censoring: days from a
+    // user's first event to first purchase, censored at last activity
+    // (duration histogram + two rangeCumSum passes; decimal ln-sums).
+    "q183_kaplan_meier" -> ((s, d) => {
+      val subj = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("__tp"),
+          max(col("ts")).as("__tmax"))
+        .select(datediff(coalesce(col("__tp"), col("__tmax")).cast("date"),
+            col("__t0").cast("date")).cast("long").as("dur"),
+          when(col("__tp").isNotNull, 1).otherwise(0).as("ev"))
+      MetricOps.kaplanMeier(subj, "dur", "ev").orderBy("t")
+    }),
+
+    // L135 — 1-D Wasserstein (earth-mover) drift between click and
+    // view value distributions (exact-integer ECDF gap over the
+    // quantized support histogram).
+    "q184_wasserstein" -> ((s, d) =>
+      MetricOps.wasserstein1D(Tables.events(s, d), "value", "event_type",
+        "click", "view")),
+
+    // L136 — degree assortativity of the customer–supplier bipartite
+    // graph induced by orders (hub-hub vs hub-leaf mixing, one corr
+    // over the deduplicated edge list).
+    "q185_assortativity" -> ((s, d) => {
+      val e = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey"))
+      GraphOps.degreeAssortativity(e, "o_custkey", "l_suppkey")
+    }),
+
+    // L137 — chi-square independence + Cramér's V for event_type ×
+    // value bucket (categorical drift companion to KS/PSI/W₁).
+    "q186_chi_square" -> ((s, d) =>
+      MetricOps.chiSquare(Tables.events(s, d)
+        .withColumn("bucket",
+          when(col("value") > 100, "high").otherwise("low")),
+        "event_type", "bucket")),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

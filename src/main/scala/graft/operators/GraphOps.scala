@@ -340,4 +340,28 @@ object GraphOps {
         round(col("n").cast("double") / col("__t").cast("double"),
           roundTo).as("p"))
   }
+
+  /** Degree assortativity of a bipartite edge list: the Pearson
+    * correlation between the two endpoints' degrees, taken over EDGES
+    * (Newman 2002's mixing coefficient, bipartite form) — positive
+    * when busy left nodes attach to busy right nodes (hub-hub mixing),
+    * negative for hub-to-leaf structure.
+    *
+    * Shape discipline: edges are deduplicated first; each side's
+    * degree table is an aggregate on that side's key, joined back on
+    * the same keys (both joins shuffle-or-broadcast on a key, never
+    * all-pairs); the correlation is one `corr` aggregate over the edge
+    * list. Rounded like the other corr surfaces (q68).
+    */
+  def degreeAssortativity(edges: DataFrame, leftCol: String,
+                          rightCol: String, roundTo: Int = 4): DataFrame = {
+    val e = edges.select(col(leftCol).as("__l"), col(rightCol).as("__r"))
+      .distinct()
+    val dl = e.groupBy(col("__l")).agg(count(lit(1)).as("__dl"))
+    val dr = e.groupBy(col("__r")).agg(count(lit(1)).as("__dr"))
+    e.join(dl, "__l").join(dr, "__r")
+      .agg(count(lit(1)).as("n_edges"),
+        round(corr(col("__dl").cast("double"), col("__dr").cast("double")),
+          roundTo).as("assortativity"))
+  }
 }

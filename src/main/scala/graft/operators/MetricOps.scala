@@ -704,6 +704,285 @@ object MetricOps {
     * per-group stats frame is a handful of rows and broadcasts back
     * onto the data — one full scan, one tiny agg, no global sort.
     */
+  /** Per-user inter-arrival burstiness audit: gap statistics (mean,
+    * stddev, coefficient of variation, Goh–Barabási burstiness
+    * (σ−μ)/(σ+μ)) over consecutive event gaps.
+    *
+    * Gaps come from one per-user `lag` window over integer
+    * MICROSECONDS (exact long arithmetic until the final rounded
+    * stats). Ties in `tsCol` are benign: any ordering of equal
+    * timestamps yields the same gap multiset, so no tiebreaker column
+    * is needed for determinism. CV and burstiness are computed from
+    * the ALREADY-ROUNDED mean/σ (the engine-parity snap used across
+    * this file) so the derived ratios are bit-identical vs the oracle.
+    * Users with fewer than `minEvents` events are dropped — below
+    * that, σ over ≤1 gap is undefined (and Spark would emit NaN where
+    * SQL engines emit NULL).
+    */
+  def interArrival(df: DataFrame, userCol: String, tsCol: String,
+                   minEvents: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col("__us"))
+    val g = df.select(col(userCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__gap", col("__us") - lag(col("__us"), 1).over(w))
+      .filter(col("__gap").isNotNull)
+    g.groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("__gap")) / 1e6, 4).as("mean_gap_s"),
+        round(stddev_samp(col("__gap")) / 1e6, 4).as("sd_gap_s"))
+      .filter(col("n_gaps") >= minEvents - 1)
+      .withColumn("cv", when(col("mean_gap_s") > 0,
+        round(col("sd_gap_s") / col("mean_gap_s"), 4)))
+      .withColumn("burstiness", when(col("sd_gap_s") + col("mean_gap_s") > 0,
+        round((col("sd_gap_s") - col("mean_gap_s")) /
+          (col("sd_gap_s") + col("mean_gap_s")), 4)))
+  }
+
+  /** Rolling-baseline anomaly flags over an ordered per-group series:
+    * z-score of each bucket against the TRAILING `win` buckets
+    * (ROWS win PRECEDING .. 1 PRECEDING — the current point never
+    * contaminates its own baseline). Emits only the flagged rows.
+    *
+    * Input contract matches [[changePointCusum]]: `series` is an
+    * already-aggregated (group, bucket, value) table, so the windows
+    * are calendar-bounded (≤ ~buckets rows per group) regardless of
+    * raw-data scale. Baseline mean/σ are snapped to 6 dp before the
+    * z-score so the flag comparison is bit-identical across engines;
+    * buckets with fewer than `minBase` baseline points or σ=0 are
+    * never flagged (cold-start and constant-series guards).
+    */
+  def rollingAnomaly(series: DataFrame, groupCol: String, xCol: String,
+                     yCol: String, win: Int = 7, minBase: Int = 4,
+                     zThresh: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(xCol))
+      .rowsBetween(-win, -1)
+    series
+      .withColumn("__n", count(col(yCol)).over(w))
+      .withColumn("__mu", round(avg(col(yCol)).over(w), 6))
+      .withColumn("__sd", round(stddev_samp(col(yCol)).over(w), 6))
+      .filter(col("__n") >= minBase && col("__sd") > 0)
+      .withColumn("z", round((col(yCol) - col("__mu")) / col("__sd"), 4))
+      .filter(abs(col("z")) > zThresh)
+      .select(col(groupCol), col(xCol), col(yCol),
+        col("__mu").as("baseline_mu"), col("z"))
+  }
+
+  /** Per-group lag-k autocorrelation of a bucketed series, via a
+    * CALENDAR self-join (bucket = bucket+k on the same group) + the
+    * built-in `corr` aggregate — robust to gaps in the bucket sequence
+    * (a row-offset `lag` window would silently pair across holes).
+    * Both sides come from the same already-aggregated series table, so
+    * the join is bucket-count sized, never raw-data sized.
+    */
+  def autocorr(series: DataFrame, groupCol: String, xCol: String,
+               yCol: String, lagK: Int = 1, roundTo: Int = 6): DataFrame = {
+    val cur = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("double").as("__y"))
+    val prev = series.select(col(groupCol).as("__g"),
+      (col(xCol).cast("long") + lagK).as("__x"),
+      col(yCol).cast("double").as("__yl"))
+    cur.join(prev, Seq("__g", "__x"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("__y"), col("__yl")), roundTo).as(s"acf_$lagK"))
+  }
+
+  /** Rank-biased overlap (Webber et al. 2010, truncated form) between
+    * two top-`k` rankings:
+    *   RBO@k = (1−p) · Σ_{d=1..k} (|A₁..d ∩ B₁..d| / d) · p^(d−1).
+    *
+    * An item present in both lists at ranks (ra, rb) contributes to
+    * every depth d ≥ max(ra, rb), so the overlap-at-depth table is an
+    * inner join of the two rankings + an exploded `sequence(1,k)` depth
+    * spine — k² pair-depth rows per group at most, never data-sized.
+    * The per-depth weight p^(d−1) is a literal power of the depth
+    * column; rounding absorbs the float-sum ordering.
+    *
+    * Inputs are (group, item, rank) tables with rank 1..k; `a` and `b`
+    * must cover the same group universe (missing groups yield no row).
+    */
+  def rbo(a: DataFrame, b: DataFrame, groupCol: String, itemCol: String,
+          rankCol: String, k: Int, p: Double = 0.9,
+          roundTo: Int = 6): DataFrame = {
+    val ra = a.select(col(groupCol).as("__g"), col(itemCol).as("__i"),
+      col(rankCol).cast("long").as("__ra"))
+    val rb = b.select(col(groupCol).as("__g"), col(itemCol).as("__i"),
+      col(rankCol).cast("long").as("__rb"))
+    val joined = ra.join(rb, Seq("__g", "__i"))
+      .withColumn("__m", greatest(col("__ra"), col("__rb")))
+    val depths = joined.select(col("__g"), col("__m"),
+      explode(sequence(col("__m"), lit(k.toLong))).as("__d"))
+    depths.groupBy(col("__g"), col("__d"))
+      .agg(count(lit(1)).cast("double").as("__ov"))
+      .withColumn("__term",
+        col("__ov") / col("__d") * pow(lit(p), col("__d") - 1))
+      .groupBy(col("__g").as(groupCol))
+      .agg(round(lit(1 - p) * sum(col("__term")), roundTo).as("rbo"))
+  }
+
+  /** Pairwise association rules over baskets (market-basket form):
+    * support, directional confidences, and lift for item pairs
+    * co-occurring in at least `minCo` baskets.
+    *
+    * The candidate space is pruned by the apriori property BEFORE the
+    * per-basket pair explosion: a pair in ≥ minCo baskets forces each
+    * item into ≥ minCo baskets, so rare items are dropped first
+    * (output-neutral, and it bounds the O(Σ basket²) self-join by the
+    * surviving-item basket sizes). Item and pair counts are exact;
+    * all ratios derive from exact longs + one rounded division.
+    */
+  def assocRules(baskets: DataFrame, basketCol: String, itemCol: String,
+                 minCo: Int = 3, roundTo: Int = 6): DataFrame = {
+    val items = baskets.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+    val itemCnt = items.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
+      .filter(col("__ci") >= minCo)
+    // Keep only baskets' occurrences of frequent items (apriori prune).
+    val freq = items.join(itemCnt, "__i")
+    val co = freq.select(col("__b"), col("__i").as("ant"), col("__ci").as("__ca"))
+      .join(freq.select(col("__b"), col("__i").as("cons"), col("__ci").as("__cc")),
+        "__b")
+      .filter(col("ant") < col("cons"))
+      .groupBy(col("ant"), col("cons"))
+      .agg(count(lit(1)).as("co"), first(col("__ca")).as("__ca"),
+        first(col("__cc")).as("__cc"))
+      .filter(col("co") >= minCo)
+    // Basket universe size as a broadcast 1-row frame, not a driver
+    // count() — the whole rule table stays one lazy plan.
+    val total = baskets.select(col(basketCol).as("__b")).distinct()
+      .agg(count(lit(1)).cast("double").as("__nb"))
+    co.crossJoin(broadcast(total))
+      .select(col("ant"), col("cons"), col("co"),
+        round(col("co") / col("__nb"), roundTo).as("support"),
+        round(col("co") / col("__ca"), roundTo).as("conf_ac"),
+        round(col("co") / col("__cc"), roundTo).as("conf_ca"),
+        round(col("co") * col("__nb") / (col("__ca") * col("__cc")),
+          roundTo).as("lift"))
+  }
+
+  /** Kaplan–Meier survival curve with right censoring, fully
+    * distributed: one row per distinct duration with the risk set,
+    * event/censor counts, and the product-limit estimate Ŝ(t).
+    *
+    * Input is one row per subject: (`durCol` — integer time bucket,
+    * `eventCol` — 1 event observed, 0 censored). The curve computes on
+    * the DURATION HISTOGRAM (bounded by the calendar, never
+    * subject-count sized): risk sets come from one [[rangeCumSum]]
+    * (n_t = N − all-subjects-gone-before-t), and the product limit
+    * Π(1 − d/n) is a SECOND rangeCumSum of ln factors — each factor
+    * snapped to 12 dp and accumulated as DECIMAL(28,14) so the product
+    * is partition-order-independent (the [[graft.operators.TextOps.zipfFit]]
+    * moment discipline), then one exp at the end. A saturated step
+    * (d = n, survival hits exact 0) would make ln(0) = −∞ poison the
+    * decimal sum, so zero-crossing is tracked as a separate cumulated
+    * indicator and Ŝ is forced to 0 from that step on.
+    */
+  def kaplanMeier(df: DataFrame, durCol: String, eventCol: String,
+                  roundTo: Int = 6): DataFrame = {
+    val hist = df.groupBy(col(durCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
+        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("c"))
+      .withColumn("__all", col("d") + col("c"))
+    val cum = rangeCumSum(hist, "t", Seq("__all"))
+    val tot = hist.agg(sum(col("__all")).as("__N"))
+    val risk = cum.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("__N") - (col("__cum___all") - col("__all")))
+      .withColumn("__lnf", when(col("d") > 0 && col("d") < col("n_risk"),
+          round(log(lit(1.0) - col("d") / col("n_risk")), 12))
+        .otherwise(lit(0.0)).cast("decimal(28,14)"))
+      .withColumn("__zero", when(col("d") === col("n_risk"), 1L)
+        .otherwise(0L))
+      .select(col("t"), col("d"), col("c"), col("n_risk"),
+        col("__lnf"), col("__zero"))
+    rangeCumSum(risk, "t", Seq("__lnf", "__zero"))
+      .withColumn("survival", when(col("__cum___zero") > 0, lit(0.0))
+        .otherwise(round(exp(col("__cum___lnf").cast("double")), roundTo)))
+      .select(col("t"), col("n_risk"), col("d"), col("c"), col("survival"))
+  }
+
+  /** 1-D Wasserstein (earth-mover) distance between the value
+    * distributions of two sides — the drift metric that, unlike
+    * KS/PSI/JS, weighs HOW FAR mass moved, not just whether it did:
+    * W₁ = ∫ |F_a(x) − F_b(x)| dx over the merged support.
+    *
+    * Values are quantized to 4 dp so the support histogram is bounded
+    * (the [[globalRank]] discipline — ~10⁶ rows max, broadcastable)
+    * regardless of raw-row scale; both ECDFs then come from ONE
+    * [[rangeCumSum]] pass (two value columns + a ones column whose
+    * cumsum is the rank), and consecutive support points pair by an
+    * equi-join on rank+1. |F_a−F_b| is computed EXACTLY as
+    * |cum_a·N_b − cum_b·N_a| in DECIMAL(38,0) (long·long overflows
+    * past ~3·10⁹ rows/side) over the common denominator N_a·N_b;
+    * per-segment terms snap to 12 dp and sum as DECIMAL so the
+    * integral is partition-order-independent.
+    */
+  def wasserstein1D(df: DataFrame, valueCol: String, sideCol: String,
+                    sideA: Any, sideB: Any, roundTo: Int = 6): DataFrame = {
+    val hist = df.filter(col(sideCol).isin(sideA, sideB))
+      .withColumn("__v", round(col(valueCol).cast("double"), 4))
+      .groupBy(col("__v"))
+      .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__na"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("__nb"))
+      .withColumn("__one", lit(1L))
+    val cum = rangeCumSum(hist, "__v", Seq("__na", "__nb", "__one"))
+      .select(col("__v"), col("__cum___na").as("__ca"),
+        col("__cum___nb").as("__cb"), col("__cum___one").as("__r"))
+    val tot = hist.agg(sum(col("__na")).cast("decimal(38,0)").as("__Na"),
+      sum(col("__nb")).cast("decimal(38,0)").as("__Nb"))
+    val nxt = cum.select((col("__r") - 1).as("__r"), col("__v").as("__vn"))
+    cum.join(nxt, "__r")
+      .crossJoin(broadcast(tot))
+      .withColumn("__num",
+        abs(col("__ca").cast("decimal(38,0)") * col("__Nb") -
+          col("__cb").cast("decimal(38,0)") * col("__Na")).cast("double"))
+      .withColumn("__term", round(col("__num") /
+          (col("__Na") * col("__Nb")).cast("double") *
+          (col("__vn") - col("__v")), 12).cast("decimal(28,14)"))
+      .agg(round(sum(col("__term")).cast("double"), roundTo)
+          .as("wasserstein"),
+        first(col("__Na")).cast("long").as("n_a"),
+        first(col("__Nb")).cast("long").as("n_b"))
+  }
+
+  /** Chi-square test of independence over a two-column contingency
+    * table, plus Cramér's V (the [0,1] effect size) — the categorical
+    * companion to the numeric drift family (KS/PSI/W₁).
+    *
+    * Margins are two tiny aggregates broadcast back onto the r·c cell
+    * table; the Σ(o−e)²/e accumulation snaps each cell term to 12 dp
+    * and sums as DECIMAL (partition-order-independent, same discipline
+    * as the other moment sums). Output: one row (n, dof, chi2,
+    * cramers_v).
+    */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String,
+                roundTo: Int = 6): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__o"))
+    val rm = cells.groupBy(col("__x")).agg(sum(col("__o")).as("__rx"))
+    val cm = cells.groupBy(col("__y")).agg(sum(col("__o")).as("__cy"))
+    val tot = cells.agg(sum(col("__o")).cast("double").as("__N"),
+      countDistinct(col("__x")).as("__r"), countDistinct(col("__y")).as("__c"))
+    // The FULL r·c grid (margins cross-joined), not just observed cells:
+    // an empty cell still contributes (0−e)²/e, and dropping it
+    // understates χ² exactly when the association is strongest.
+    rm.crossJoin(broadcast(cm))
+      .join(broadcast(cells), Seq("__x", "__y"), "left")
+      .withColumn("__o", coalesce(col("__o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      // rx·cy as DOUBLE: a long·long product overflows past ~3·10⁹-row
+      // margins; doubles are exact to 2^53 and match the oracle's cast.
+      .withColumn("__e", col("__rx").cast("double") * col("__cy") / col("__N"))
+      .withColumn("__term", round(pow(col("__o") - col("__e"), 2)
+          / col("__e"), 12)
+        .cast("decimal(28,14)"))
+      .agg(first(col("__N")).cast("long").as("n"),
+        ((first(col("__r")) - 1) * (first(col("__c")) - 1)).as("dof"),
+        round(sum(col("__term")).cast("double"), roundTo).as("chi2"),
+        round(sqrt(sum(col("__term")).cast("double") /
+          (first(col("__N")) *
+            least(first(col("__r")) - 1, first(col("__c")) - 1))),
+          roundTo).as("cramers_v"))
+  }
+
   def tukeyOutliers(df: DataFrame, groupCol: String, valCol: String,
                     k: Double = 1.5): DataFrame = {
     val st = df.groupBy(col(groupCol))

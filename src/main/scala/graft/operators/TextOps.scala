@@ -539,6 +539,32 @@ object TextOps {
     subs.unionAll(indel).distinct()
   }
 
+  /** Blocked fuzzy self-join: Jaro–Winkler similarity ≥ `minSim`
+    * between distinct strings sharing a blocking key — the classic
+    * entity-resolution shape (block → pair → score → threshold).
+    *
+    * Scoring runs on the codegen'd [[graft.functions.JaroWinkler]]
+    * expression (`graft_jw` — Spark ships only `levenshtein`), so the
+    * pair scorer stays inside whole-stage codegen. Scale discipline:
+    * the equi-join on the block key is the ONLY pair generator — cost
+    * is Σ block², bounded by the blocking scheme, never corpus²; the
+    * string table is deduplicated per block before pairing so repeated
+    * values can't square the bucket. The JW score is rounded to 6 dp
+    * before the threshold so the kept-pair set is bit-identical vs the
+    * oracle's `jaro_winkler_similarity`.
+    */
+  def fuzzyBlockJoin(df: DataFrame, blockCols: Seq[String], strCol: String,
+                     minSim: Double = 0.8): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val base = df.select(blockCols.map(col) :+ col(strCol): _*).distinct()
+    val a = base.withColumnRenamed(strCol, "name_a")
+    val b = base.withColumnRenamed(strCol, "name_b")
+    a.join(b, blockCols)
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw", round(expr("graft_jw(name_a, name_b)"), 6))
+      .filter(col("jw") >= minSim)
+  }
+
   /** Zipf-law fit of the corpus unigram distribution: OLS slope and
     * intercept of ln(freq) against ln(rank) — the one-number corpus
     * health readout (natural text sits near slope −1; synthetic or

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, JaroWinkler}
 
 /** Engine extensions, registered via the public
   * `SparkSessionExtensions` hook
@@ -15,6 +15,8 @@ import graft.functions.DotProduct
   * Surface:
   *   - graft_dot(array<double>, array<double>) → double (native codegen
   *     expression — the similarity hot loop);
+  *   - graft_jw(string, string) → double (Jaro–Winkler similarity,
+  *     codegen'd — the blocked entity-resolution primitive);
   *   - graft_asof(leftTs, rightTs) — join-condition marker planned by
   *     [[AsOfJoinStrategy]] into the native sort-merge [[AsOfJoinExec]];
   *     usable from SQL: `a JOIN b ON a.k = b.k AND graft_asof(a.ts, b.ts)`.
@@ -23,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.asofFunction)
+    ext.injectFunction(GraftExtensions.jwFunction)
     ext.injectPlannerStrategy(AsOfJoinStrategy)
   }
 }
@@ -38,13 +41,18 @@ object GraftExtensions {
     new ExpressionInfo(classOf[AsOfMarker].getName, "graft_asof"),
     (children: Seq[Expression]) => AsOfMarker(children(0), children(1)))
 
+  private val jwFunction = (
+    new FunctionIdentifier("graft_jw"),
+    new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jw"),
+    (children: Seq[Expression]) => JaroWinkler(children(0), children(1)))
+
   /** Idempotent in-session registration — lets library entry points
     * guarantee the functions and the as-of planner strategy exist
     * regardless of how the session was built (`extraStrategies` is the
     * public post-construction planner hook).
     */
   def register(spark: SparkSession): Unit = {
-    Seq(dotFunction, asofFunction).foreach { f =>
+    Seq(dotFunction, asofFunction, jwFunction).foreach { f =>
       spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
     }
     val es = spark.experimental.extraStrategies

@@ -369,6 +369,38 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q178: one hash exchange for the gap window + agg, plus the final sort") {
+    // The lag window partitions by user and the per-user agg reuses that
+    // partitioning — a second hash exchange would mean the agg re-shuffles
+    // what the window already co-located.
+    val ex = shuffles(plan("q178_interarrival"))
+    assert(ex.length <= 2, s"unexpected exchanges: ${ex.map(_.outputPartitioning)}")
+    assert(ex.exists(_.outputPartitioning.toString.contains("hashpartitioning")))
+  }
+
+  test("q180: fuzzy join pairs only through the block-key equi-join") {
+    val df = plan("q180_jaro_winkler")
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "JW candidates must come from the blocking equi-join, never all-pairs")
+    assert(s.contains("graft_jw"), "scorer must be the native expression")
+  }
+
+  test("q182: global ranking is take-ordered; only the ≤10-row window is unpartitioned") {
+    val df = plan("q182_rbo")
+    df.count()
+    val exec = df.queryExecution.executedPlan
+    assert(exec.toString.contains("TakeOrderedAndProject"),
+      "global top-10 must be TakeOrderedAndProject, not a full sort")
+    val wins = collectWithSubqueries(exec) { case w: WindowExec => w }
+    // natTop's window partitions by nation; the single unpartitioned one
+    // ranks only the 10 rows surviving the limit.
+    assert(wins.count(_.partitionSpec.isEmpty) <= 1,
+      s"unexpected unpartitioned windows: ${wins.map(_.partitionSpec)}")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {

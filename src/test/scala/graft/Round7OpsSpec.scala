@@ -891,4 +891,215 @@ class Round7OpsSpec extends SparkSpec {
       assert(out == expect, s"parts=$parts")
     }
   }
+
+  // ---------------------------------------------------------- JaroWinkler
+
+  test("JaroWinkler: canonical Winkler-paper and edge values") {
+    import graft.functions.JaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String) =
+      JaroWinkler.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-15)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15)
+    // odd mismatch count → INTEGER half-transpositions (DuckDB parity)
+    assert(math.abs(jw("abcdef", "bcadef") - 0.9444444444444445) < 1e-15)
+    // DuckDB empty-side convention: 0.0, even for two empties
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0 && jw("", "a") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("a", "b") == 0.0) // window 0, no matches
+  }
+
+  test("JaroWinkler: codegen path (expr) agrees with static compute") {
+    graft.plans.GraftExtensions.register(spark)
+    val pairs = Seq(("MARTHA", "MARHTA"), ("DWAYNE", "DUANE"),
+      ("small ring", "small bolt"), ("", "x"), ("same", "same"))
+    val out = pairs.toDF("a", "b")
+      .withColumn("jw", expr("graft_jw(a, b)"))
+      .as[(String, String, Double)].collect()
+    import org.apache.spark.unsafe.types.UTF8String
+    out.foreach { case (a, b, v) =>
+      val e = graft.functions.JaroWinkler.compute(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(v == e, s"($a,$b): $v vs $e")
+    }
+  }
+
+  test("fuzzyBlockJoin: pairs stay inside blocks, threshold applies") {
+    val df = Seq(
+      ("B1", "small ring"), ("B1", "small bolt"), ("B1", "zzz"),
+      ("B2", "small ring") // same name, other block — must not pair
+    ).toDF("blk", "name")
+    val out = TextOps.fuzzyBlockJoin(df, Seq("blk"), "name", 0.8)
+      .select("blk", "name_a", "name_b")
+      .as[(String, String, String)].collect().toSet
+    assert(out == Set(("B1", "small bolt", "small ring")))
+  }
+
+  // ---------------------------------------------------------- interArrival
+
+  test("interArrival: hand gaps; min-events filter; rounded-snap ratios") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: events at 0,10,30,60,100 → gaps 10,20,30,40
+    val rows = Seq(0L, 10L, 30L, 60L, 100L).map(s => (1L, ts(s))) ++
+      Seq((2L, ts(0L)), (2L, ts(5L))) // 2 events → filtered (min 5)
+    val out = MetricOps.interArrival(rows.toDF("user_id", "ts"),
+        "user_id", "ts", minEvents = 5)
+      .as[(Long, Long, Double, Double, Option[Double], Option[Double])]
+      .collect()
+    assert(out.length == 1 && out.head._1 == 1L)
+    val (_, n, mean, sd, cv, b) = out.head
+    assert(n == 4 && mean == 25.0)
+    // sd_samp of 10,20,30,40 s (in µs → s) = 12.9099 (4 dp)
+    assert(sd == 12.9099)
+    assert(cv.contains(BigDecimal(12.9099 / 25.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(b.contains(BigDecimal((12.9099 - 25.0) / (12.9099 + 25.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  // -------------------------------------------------------- rollingAnomaly
+
+  test("rollingAnomaly: planted spike flags, cold-start and flat guards") {
+    val series = (0L until 20L).map(d =>
+      ("g", d, if (d == 15L) 100.0 else 10.0 + (d % 3))) // spike at d=15
+    val out = MetricOps.rollingAnomaly(series.toDF("grp", "x", "y"),
+        "grp", "x", "y", win = 7, minBase = 4, zThresh = 2.0)
+      .select("x").as[Long].collect().toSet
+    assert(out == Set(15L), s"flags: $out")
+    // constant series: σ=0 everywhere → no flags, no div-by-zero
+    val flat = (0L until 20L).map(d => ("g", d, 5.0))
+    assert(MetricOps.rollingAnomaly(flat.toDF("grp", "x", "y"),
+      "grp", "x", "y").count() == 0L)
+  }
+
+  // -------------------------------------------------------------- autocorr
+
+  test("autocorr: alternating series → −1; calendar join skips gaps") {
+    val alt = (0L until 20L).map(d => ("g", d, if (d % 2 == 0) 1.0 else 0.0))
+    val out = MetricOps.autocorr(alt.toDF("grp", "x", "y"),
+        "grp", "x", "y", lagK = 1)
+      .as[(String, Long, Double)].head()
+    assert(out._2 == 19 && out._3 == -1.0)
+    // drop bucket 10: pairs (10,9) and (11,10) must disappear
+    val gappy = alt.filterNot(_._2 == 10L)
+    val out2 = MetricOps.autocorr(gappy.toDF("grp", "x", "y"),
+      "grp", "x", "y", lagK = 1).as[(String, Long, Double)].head()
+    assert(out2._2 == 17)
+  }
+
+  // ------------------------------------------------------------------ rbo
+
+  test("rbo: identical lists → 1−p^k; shifted overlap matches closed form") {
+    val a = (1 to 10).map(r => ("g", s"i$r", r.toLong)).toDF("g", "i", "r")
+    val out = MetricOps.rbo(a, a, "g", "i", "r", k = 10, p = 0.9)
+      .as[(String, Double)].head()
+    val expect = BigDecimal(1.0 - math.pow(0.9, 10))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out._2 == expect, s"${out._2} vs $expect")
+    // disjoint lists: no overlap row at all (inner-join contract)
+    val b = (1 to 10).map(r => ("g", s"j$r", r.toLong)).toDF("g", "i", "r")
+    assert(MetricOps.rbo(a, b, "g", "i", "r", 10).count() == 0L)
+    // same set, reversed order: overlap at depth d is max(d, k−d)… spot-
+    // check against a direct computation of the truncated formula
+    val rev = (1 to 10).map(r => ("g", s"i${11 - r}", r.toLong))
+      .toDF("g", "i", "r")
+    val got = MetricOps.rbo(a, rev, "g", "i", "r", 10).as[(String, Double)]
+      .head()._2
+    val direct = (1 to 10).map { d =>
+      val ov = (1 to 10).count(r => r <= d && (11 - r) <= d)
+      ov.toDouble / d * math.pow(0.9, d - 1)
+    }.sum * (1 - 0.9)
+    assert(got == BigDecimal(direct)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  // ----------------------------------------------------------- kaplanMeier
+
+  test("kaplanMeier: textbook product-limit curve with censoring") {
+    val subj = Seq((1L, 1), (2L, 1), (3L, 0), (4L, 1), (5L, 0))
+      .toDF("dur", "ev")
+    val out = MetricOps.kaplanMeier(subj, "dur", "ev")
+      .orderBy("t").as[(Long, Long, Long, Long, Double)].collect()
+    // (t, n_risk, d, c, S): S steps only at event times
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq ==
+      Seq((1L, 5L, 1L, 0L), (2L, 4L, 1L, 0L), (3L, 3L, 0L, 1L),
+        (4L, 2L, 1L, 0L), (5L, 1L, 0L, 1L)))
+    val s = out.map(_._5)
+    assert(s(0) == 0.8 && s(1) == 0.6 && s(2) == 0.6)
+    assert(s(3) == 0.3 && s(4) == 0.3)
+  }
+
+  test("kaplanMeier: saturated step pins survival to exact 0 afterward") {
+    val subj = Seq((1L, 1), (2L, 1), (2L, 1)).toDF("dur", "ev")
+    val out = MetricOps.kaplanMeier(subj, "dur", "ev")
+      .orderBy("t").as[(Long, Long, Long, Long, Double)].collect()
+    assert(out(0)._5 == BigDecimal(2.0 / 3)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out(1)._5 == 0.0) // d = n_risk → ln(0) path never taken
+  }
+
+  // --------------------------------------------------------- wasserstein1D
+
+  test("wasserstein1D: unit shift of a two-point distribution → W₁ = 1") {
+    val df = (Seq(0.0, 1.0).map(("a", _)) ++ Seq(1.0, 2.0).map(("b", _)))
+      .toDF("side", "v")
+    val out = MetricOps.wasserstein1D(df, "v", "side", "a", "b")
+      .as[(Double, Long, Long)].head()
+    assert(out == ((1.0, 2L, 2L)))
+    // symmetry
+    val rev = MetricOps.wasserstein1D(df, "v", "side", "b", "a")
+      .as[(Double, Long, Long)].head()
+    assert(rev._1 == 1.0)
+    // identical distributions → 0
+    val same = (Seq(1.0, 5.0, 9.0).map(("a", _)) ++
+      Seq(1.0, 5.0, 9.0).map(("b", _))).toDF("side", "v")
+    assert(MetricOps.wasserstein1D(same, "v", "side", "a", "b")
+      .as[(Double, Long, Long)].head()._1 == 0.0)
+  }
+
+  // ------------------------------------------------------------- chiSquare
+
+  test("chiSquare: independence → 0; perfect association → V = 1") {
+    val indep = Seq.fill(5)(("a", "c")) ++ Seq.fill(5)(("a", "d")) ++
+      Seq.fill(5)(("b", "c")) ++ Seq.fill(5)(("b", "d"))
+    val o1 = MetricOps.chiSquare(indep.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Double, Double)].head()
+    assert(o1 == ((20L, 1L, 0.0, 0.0)))
+    val assoc = Seq.fill(10)(("a", "c")) ++ Seq.fill(10)(("b", "d"))
+    val o2 = MetricOps.chiSquare(assoc.toDF("x", "y"), "x", "y")
+      .as[(Long, Long, Double, Double)].head()
+    assert(o2._1 == 20L && o2._3 == 20.0 && o2._4 == 1.0)
+  }
+
+  // -------------------------------------------------- degreeAssortativity
+
+  test("degreeAssortativity: hand case −0.5; duplicate edges collapse") {
+    import graft.operators.GraphOps
+    val edges = Seq(("A", "X"), ("A", "Y"), ("B", "X"), ("B", "X"))
+      .toDF("l", "r") // dup (B,X) must not change degrees
+    val out = GraphOps.degreeAssortativity(edges, "l", "r")
+      .as[(Long, Option[Double])].head()
+    assert(out._1 == 3L && out._2.contains(-0.5))
+  }
+
+  // ------------------------------------------------------------ assocRules
+
+  test("assocRules: hand baskets — apriori prune, support/conf/lift") {
+    val baskets = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "D"),
+      (4L, "C"), (4L, "D"), (4L, "D") // dup item in basket: counted once
+    ).toDF("b", "i")
+    val out = MetricOps.assocRules(baskets, "b", "i", minCo = 2)
+      .as[(String, String, Long, Double, Double, Double, Double)].collect()
+    assert(out.length == 1)
+    val (ant, cons, co, sup, cab, cba, lift) = out.head
+    assert(ant == "A" && cons == "B" && co == 3)
+    assert(sup == 0.75 && cab == 1.0 && cba == 1.0)
+    assert(lift == BigDecimal(3.0 * 4 / (3 * 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
