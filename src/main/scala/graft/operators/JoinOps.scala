@@ -65,27 +65,27 @@ object JoinOps {
     * explode, no extra shuffle of the probe side.
     */
   def bloomPrefilterJoin(probe: DataFrame, build: DataFrame, keyCol: String,
-                         words: Int = 1024): DataFrame = {
-    // the Bloom probe hashes the key's STRING form on each side; with
+                         words: Int = 1024, hash: String = "xx"): DataFrame = {
+    // the Bloom probe hashes the key's encoded form on each side; with
     // different key types the real join would coerce (5.00 = 5) while
-    // "5.00" and "5" hash apart — a silent FALSE NEGATIVE, so unequal
-    // types are rejected instead of documented away
+    // the hashes differ — a silent FALSE NEGATIVE, so unequal types
+    // are rejected instead of documented away
     require(probe.schema(keyCol).dataType == build.schema(keyCol).dataType,
       s"bloomPrefilterJoin: $keyCol types differ (" +
         s"${probe.schema(keyCol).dataType} vs ${build.schema(keyCol).dataType})" +
-        " — string-hash probes would miss coerced matches")
+        " — hash probes would miss coerced matches")
     val mBits = words * 32
-    def position(dig: org.apache.spark.sql.Column, i: Int) =
-      pmod(conv(substring(dig, i * 8 + 1, 8), 16, 10).cast("long"), lit(mBits))
-    // materialized once (≤ `words` rows); the 4 probe joins below read
-    // the pinned table instead of re-deriving the build aggregate 4×
-    val filterWords = SketchOps.bloomFilterWords(build, keyCol, words)
-    // one digest per probe row, shared by all four position checks
-    val prefiltered = (0 until 4).foldLeft(
-      probe.withColumn("__dig", md5(col(keyCol).cast("string")))) { (df, i) =>
+    // Default hash is xxhash64 (one codegen'd mix per position); the
+    // md5 family stays available for parity with oracle-pinned filters.
+    // The oracle for the JOIN checks output semantics, and the Bloom
+    // no-false-negative guarantee needs only build/probe consistency —
+    // which bloomFilterWords(hash) shares.
+    val filterWords = SketchOps.bloomFilterWords(build, keyCol, words, hash)
+    val pos = SketchOps.bloomPositions(col(keyCol), mBits, hash)
+    val prefiltered = (0 until 4).foldLeft(probe) { (df, i) =>
       val w = filterWords.select(col("__w").as(s"__w$i"),
         col("__mask").as(s"__mask$i"))
-      df.withColumn(s"__p$i", position(col("__dig"), i))
+      df.withColumn(s"__p$i", pos(i))
         .withColumn(s"__w$i", (col(s"__p$i") / 32).cast("long"))
         .join(broadcast(w), Seq(s"__w$i"), "left")
         .filter(coalesce(col(s"__mask$i").bitwiseAND(
@@ -93,6 +93,6 @@ object JoinOps {
           lit(false)))
         .drop(s"__p$i", s"__w$i", s"__mask$i")
     }
-    prefiltered.drop("__dig").join(build, Seq(keyCol))
+    prefiltered.join(build, Seq(keyCol))
   }
 }

@@ -292,20 +292,34 @@ object SketchOps {
     * tiny build output, no shuffle of the probe table.
     */
   /** Bloom word-mask table over `build`'s distinct keys: at most
-    * `words` rows of (word index, OR-ed 32-bit mask), 4 md5-slice bit
-    * positions per key. MATERIALIZED (localCheckpoint) because
-    * consumers probe it from several join branches — without pinning,
-    * each branch would re-derive the build-side scan+aggregate.
+    * `words` rows of (word index, OR-ed 32-bit mask), 4 bit positions
+    * per key. MATERIALIZED (localCheckpoint) because consumers probe it
+    * from several join branches — without pinning, each branch would
+    * re-derive the build-side scan+aggregate.
     * Shared by [[bloomMembership]] and `JoinOps.bloomPrefilterJoin`.
+    *
+    * Two hash families, chosen per call site (build and probe MUST
+    * agree — the no-false-negative guarantee only needs consistency):
+    *  - `md5` (default): 8-hex-char md5 slices — replicable in the
+    *    DuckDB oracle (q124 pins these exact bit positions in SQL);
+    *  - `xx`: `xxhash64(key, i)` — one codegen'd 64-bit mix per
+    *    position vs md5's digest + hex substring + base-16 parse;
+    *    for hot paths whose oracle checks semantics, not positions.
     */
+  def bloomPositions(key: org.apache.spark.sql.Column, mBits: Int,
+                     hash: String): Seq[org.apache.spark.sql.Column] =
+    (0 until 4).map { i =>
+      if (hash == "xx") pmod(xxhash64(key, lit(i)), lit(mBits.toLong))
+      else pmod(conv(substring(md5(key.cast("string")), i * 8 + 1, 8),
+        16, 10).cast("long"), lit(mBits))
+    }
+
   def bloomFilterWords(build: DataFrame, keyCol: String,
-                       words: Int): DataFrame = {
+                       words: Int, hash: String = "md5"): DataFrame = {
     val mBits = words * 32
     build.select(col(keyCol).as("__k")).distinct()
-      .withColumn("__p", explode(array((0 until 4).map { i =>
-        pmod(conv(substring(md5(col("__k").cast("string")), i * 8 + 1, 8),
-          16, 10).cast("long"), lit(mBits))
-      }: _*)))
+      .withColumn("__p",
+        explode(array(bloomPositions(col("__k"), mBits, hash): _*)))
       .select((col("__p") / 32).cast("long").as("__w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(__p % 32 AS INT))").as("__m"))
       .groupBy("__w").agg(bit_or(col("__m")).as("__mask"))

@@ -401,6 +401,21 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"unexpected unpartitioned windows: ${wins.map(_.partitionSpec)}")
   }
 
+  test("q183/q184: survival and Wasserstein keep every window partitioned") {
+    // Both ride rangeCumSum — the whole point is that neither the
+    // duration histogram nor the value support ever funnels through a
+    // single-partition window.
+    for (name <- Seq("q183_kaplan_meier", "q184_wasserstein")) {
+      val df = plan(name)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"$name must not run an unpartitioned window")
+    }
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {

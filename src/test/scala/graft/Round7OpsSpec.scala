@@ -1084,6 +1084,22 @@ class Round7OpsSpec extends SparkSpec {
     assert(out._1 == 3L && out._2.contains(-0.5))
   }
 
+  // ------------------------------------------------- bloom hash families
+
+  test("bloomPrefilterJoin: xx and md5 hash families join identically") {
+    import graft.operators.JoinOps
+    val probe = (1L to 500L).map(k => (k, s"p$k")).toDF("k", "pv")
+    val build = (1L to 500L by 7).map(k => (k, s"b$k")).toDF("k", "bv")
+    val md5Out = JoinOps.bloomPrefilterJoin(probe, build, "k", 64, "md5")
+      .select("k").as[Long].collect().sorted.toSeq
+    val xxOut = JoinOps.bloomPrefilterJoin(probe, build, "k", 64, "xx")
+      .select("k").as[Long].collect().sorted.toSeq
+    val expect = (1L to 500L by 7).toSeq
+    // both families must be supersets-free: the final equi-join removes
+    // false positives, so the OUTPUT is exact either way
+    assert(md5Out == expect && xxOut == expect)
+  }
+
   // ------------------------------------------------------------ assocRules
 
   test("assocRules: hand baskets — apriori prune, support/conf/lift") {
