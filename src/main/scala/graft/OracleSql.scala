@@ -2707,6 +2707,137 @@ object OracleSql {
         |    AS cramers_v
         |FROM terms""".stripMargin,
 
+    "q187_mann_whitney" ->
+      """WITH q AS (SELECT round(value, 4) AS v, event_type
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |h AS (SELECT v,
+        |    CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS na,
+        |    CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS nb
+        |  FROM q GROUP BY 1),
+        |c AS (SELECT v, na, nb, na + nb AS t,
+        |    sum(na + nb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) - (na + nb) AS bef
+        |  FROM h),
+        |s AS (SELECT
+        |    CAST(sum(CAST(na AS DECIMAL(38,0)) * (2 * bef + t + 1))
+        |      AS DECIMAL(38,0)) AS ra2,
+        |    CAST(sum(na) AS DECIMAL(38,0)) AS qa,
+        |    CAST(sum(nb) AS DECIMAL(38,0)) AS qb,
+        |    CAST(sum(CAST(t AS DECIMAL(38,0)) * t * t - t)
+        |      AS DECIMAL(38,0)) AS ties
+        |  FROM c)
+        |SELECT CAST(qa AS BIGINT) AS n_a, CAST(qb AS BIGINT) AS n_b,
+        |  round(CAST(ra2 - qa * (qa + 1) AS DOUBLE) / 2, 4) AS u_a,
+        |  CASE WHEN CAST(qa AS DOUBLE) * CAST(qb AS DOUBLE) / 12.0 *
+        |      ((CAST(qa AS DOUBLE) + CAST(qb AS DOUBLE)) + 1
+        |        - CAST(ties AS DOUBLE) /
+        |        ((CAST(qa AS DOUBLE) + CAST(qb AS DOUBLE)) *
+        |          ((CAST(qa AS DOUBLE) + CAST(qb AS DOUBLE)) - 1))) > 0
+        |    THEN round((CAST(ra2 - qa * (qa + 1) AS DOUBLE) / 2
+        |        - CAST(qa AS DOUBLE) * CAST(qb AS DOUBLE) / 2) /
+        |      sqrt(CAST(qa AS DOUBLE) * CAST(qb AS DOUBLE) / 12.0 *
+        |        ((CAST(qa AS DOUBLE) + CAST(qb AS DOUBLE)) + 1
+        |          - CAST(ties AS DOUBLE) /
+        |          ((CAST(qa AS DOUBLE) + CAST(qb AS DOUBLE)) *
+        |            ((CAST(qa AS DOUBLE) + CAST(qb AS DOUBLE)) - 1)))), 6)
+        |  END AS z
+        |FROM s""".stripMargin,
+
+    "q188_winsorize" ->
+      """WITH f AS (SELECT c_mktsegment,
+        |    round(quantile_cont(c_acctbal, 0.05), 6) AS lo,
+        |    round(quantile_cont(c_acctbal, 0.95), 6) AS hi
+        |  FROM customer GROUP BY 1),
+        |w AS (SELECT c.c_mktsegment, c_acctbal, lo, hi,
+        |    CAST(round(least(greatest(CAST(c_acctbal AS DOUBLE), lo),
+        |      hi), 6) AS DECIMAL(12,6)) AS wv,
+        |    CAST(round(CAST(c_acctbal AS DOUBLE), 6) AS DECIMAL(12,6))
+        |      AS rv
+        |  FROM customer c JOIN f ON c.c_mktsegment = f.c_mktsegment)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (c_acctbal < lo) AS BIGINT) AS n_clip_lo,
+        |  CAST(count(*) FILTER (c_acctbal > hi) AS BIGINT) AS n_clip_hi,
+        |  round(min(lo), 6) AS lo_fence, round(min(hi), 6) AS hi_fence,
+        |  round(CAST(sum(wv) AS DOUBLE) / count(*), 6) AS win_mean,
+        |  round(CAST(sum(rv) AS DOUBLE) / count(*), 6) AS raw_mean,
+        |  CASE WHEN count(*) > 1 THEN round(sqrt(greatest(
+        |      (CAST(sum(CAST(wv AS DECIMAL(20,6)) * wv) AS DOUBLE)
+        |        - CAST(sum(wv) AS DOUBLE) *
+        |        CAST(sum(wv) AS DOUBLE) / count(*)) / (count(*) - 1),
+        |      0.0)), 6)
+        |  END AS win_std
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q189_bh_fdr" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS dw,
+        |    CAST(round(CAST(value AS DOUBLE), 4) AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |cell AS (SELECT event_type, dw, CAST(count(*) AS BIGINT) AS n,
+        |    sum(v) AS s, sum(v * v) AS ss
+        |  FROM e GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tn,
+        |    sum(s) AS tsum, sum(ss) AS tss FROM cell GROUP BY 1),
+        |t1 AS (SELECT event_type, dw, n, tn - n AS nr,
+        |    CAST(s AS DOUBLE) / n AS md,
+        |    CAST(tsum - s AS DOUBLE) / (tn - n) AS mr,
+        |    (CAST(ss AS DOUBLE) - n * (CAST(s AS DOUBLE) / n) *
+        |      (CAST(s AS DOUBLE) / n)) / (n - 1) AS vd,
+        |    (CAST(tss - ss AS DOUBLE) - (tn - n) *
+        |      (CAST(tsum - s AS DOUBLE) / (tn - n)) *
+        |      (CAST(tsum - s AS DOUBLE) / (tn - n))) / (tn - n - 1) AS vr
+        |  FROM cell JOIN tot USING (event_type)
+        |  WHERE n > 1 AND tn - n > 1),
+        |t2 AS (SELECT event_type || '#' || CAST(dw AS VARCHAR) AS test_id,
+        |    CASE WHEN sqrt(vd / n + vr / nr) > 0
+        |      THEN round((md - mr) / sqrt(vd / n + vr / nr), 6)
+        |    END AS z
+        |  FROM t1),
+        |t3 AS (SELECT test_id,
+        |    round(2.0 / (1.0 + exp(1.702 * abs(z))), 6) AS p FROM t2),
+        |rk AS (SELECT test_id, p,
+        |    CAST(row_number() OVER (ORDER BY round(p, 6) ASC NULLS LAST,
+        |      test_id) AS BIGINT) AS r,
+        |    CAST(count(p) OVER () AS BIGINT) AS m
+        |  FROM t3),
+        |cr AS (SELECT test_id, p, r, round(CAST(r AS DOUBLE) *
+        |    CAST(0.1 AS DOUBLE) / m, 12) AS crit
+        |  FROM rk),
+        |ks AS (SELECT max(r) FILTER (p <= crit) AS k FROM cr)
+        |SELECT test_id, p, r, crit,
+        |  CAST(CASE WHEN r <= coalesce(k, 0) THEN 1 ELSE 0 END AS INT)
+        |    AS is_reject
+        |FROM cr, ks ORDER BY test_id""".stripMargin,
+
+    "q190_mann_kendall" ->
+      """WITH m AS (SELECT o_orderpriority,
+        |    CAST(date_diff('month', TIMESTAMP '1992-01-01', o_orderdate)
+        |      AS BIGINT) AS mi,
+        |    CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT a.o_orderpriority,
+        |    CAST(sum(CAST(sign(b.cnt - a.cnt) AS BIGINT)) AS BIGINT)
+        |      AS sstat
+        |  FROM m a JOIN m b ON a.o_orderpriority = b.o_orderpriority
+        |    AND b.mi > a.mi GROUP BY 1),
+        |base AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |  FROM m GROUP BY 1),
+        |tg AS (SELECT o_orderpriority,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+        |  FROM (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS t
+        |    FROM m GROUP BY o_orderpriority, cnt) GROUP BY 1)
+        |SELECT b.o_orderpriority, b.n, coalesce(sstat, 0) AS s_stat,
+        |  CASE WHEN CAST(b.n * (b.n - 1) * (2 * b.n + 5) - tt AS DOUBLE)
+        |      / 18.0 > 0
+        |    THEN round(CAST(coalesce(sstat, 0)
+        |        - sign(coalesce(sstat, 0)) AS DOUBLE) /
+        |      sqrt(CAST(b.n * (b.n - 1) * (2 * b.n + 5) - tt AS DOUBLE)
+        |        / 18.0), 6)
+        |  END AS z
+        |FROM base b LEFT JOIN s USING (o_orderpriority)
+        |  JOIN tg USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

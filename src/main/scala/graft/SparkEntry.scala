@@ -2057,6 +2057,77 @@ object SparkEntry {
           when(col("value") > 100, "high").otherwise("low")),
         "event_type", "bucket")),
 
+    // L138 — Mann–Whitney U rank-sum drift test, click vs view value
+    // (nonparametric twin of q184's W₁: same bounded-histogram +
+    // rangeCumSum rank machinery, rank units instead of value units).
+    "q187_mann_whitney" -> ((s, d) =>
+      MetricOps.mannWhitney(Tables.events(s, d), "value", "event_type",
+        "click", "view")),
+
+    // L139 — winsorized per-segment account-balance stats (p05/p95
+    // clip; robust-vs-raw mean and the clipped sample stddev from
+    // exact decimal moments).
+    "q188_winsorize" -> ((s, d) =>
+      EncodeOps.winsorizedStats(Tables.customer(s, d), "c_mktsegment",
+          "c_acctbal")
+        .orderBy("c_mktsegment")),
+
+    // L140 — Benjamini–Hochberg FDR over 35 simultaneous Welch tests
+    // (each event_type × day-of-week mean value vs the rest of its
+    // type; exact decimal moments → z → logistic-approx two-sided p →
+    // distributed BH rank/threshold).
+    "q189_bh_fdr" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("dw", dayofweek(col("ts")))
+        .withColumn("__v", round(col("value").cast("double"), 4)
+          .cast("decimal(18,4)"))
+      val cell = e.groupBy(col("event_type"), col("dw"))
+        .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"),
+          sum(col("__v") * col("__v")).as("__ss"))
+      val tot = cell.groupBy(col("event_type"))
+        .agg(sum(col("__n")).as("__tn"), sum(col("__s")).as("__ts"),
+          sum(col("__ss")).as("__tss"))
+      val tests = cell.join(broadcast(tot), "event_type")
+        .withColumn("__nr", col("__tn") - col("__n"))
+        .filter(col("__n") > 1 && col("__nr") > 1)
+        .withColumn("__md", col("__s").cast("double") / col("__n"))
+        .withColumn("__mr",
+          (col("__ts") - col("__s")).cast("double") / col("__nr"))
+        .withColumn("__vd", (col("__ss").cast("double") -
+          col("__n") * col("__md") * col("__md")) / (col("__n") - 1))
+        .withColumn("__vr", ((col("__tss") - col("__ss")).cast("double") -
+          col("__nr") * col("__mr") * col("__mr")) / (col("__nr") - 1))
+        .withColumn("__den",
+          sqrt(col("__vd") / col("__n") + col("__vr") / col("__nr")))
+        .withColumn("z", when(col("__den") > 0,
+          round((col("__md") - col("__mr")) / col("__den"), 6)))
+        // logistic approximation of the two-sided normal p-value
+        // (Φ(z) ≈ 1/(1+e^{−1.702z}) — engine-portable closed form,
+        // no erf in either engine's SQL surface)
+        .withColumn("p", round(lit(2.0) /
+          (lit(1.0) + exp(lit(1.702) * abs(col("z")))), 6))
+        .withColumn("test_id",
+          concat(col("event_type"), lit("#"), col("dw").cast("string")))
+      MetricOps.bhFdr(tests.select("test_id", "p"), "test_id", "p",
+          alpha = 0.1)
+        .select("test_id", "p", "r", "crit", "is_reject")
+        .orderBy("test_id")
+    }),
+
+    // L141 — Mann–Kendall monotone-trend test on the monthly order
+    // count per priority (nonparametric twin of q171's Theil–Sen —
+    // same bounded-series pair-join contract, S/z instead of the
+    // median slope).
+    "q190_mann_kendall" -> ((s, d) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          months_between(date_trunc("month", col("o_orderdate")),
+            lit("1992-01-01").cast("timestamp")).cast("long").as("mi"))
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      MetricOps.mannKendall(monthly, "o_orderpriority", "mi", "cnt")
+        .orderBy("o_orderpriority")
+    }),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

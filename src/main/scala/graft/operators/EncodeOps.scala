@@ -113,4 +113,48 @@ object EncodeOps {
           round((col(valueCol) - col("__med")) / col("__iqr"), 4)))
       .drop("__med", "__iqr")
   }
+
+  /** Per-group winsorized statistics — the AGGREGATE companion to the
+    * row-level [[winsorize]]: clip `valueCol` at the group's `lo`/`hi`
+    * percentiles and report the clipped mean/stddev next to the raw
+    * ones — the outlier-robust summary a feature-quality audit reads
+    * before trusting a z-score scaler. Fences round to 6 dp BEFORE
+    * clipping so the clip predicate is engine-portable; clipped values
+    * aggregate as 6-dp-rounded DECIMAL so the moments are
+    * partition-order-independent. One stats broadcast, one pass over
+    * the rows — the operator never shuffles the input on value.
+    */
+  def winsorizedStats(df: DataFrame, groupCol: String, valueCol: String,
+                      lo: Double = 0.05, hi: Double = 0.95): DataFrame = {
+    val fences = df.groupBy(col(groupCol)).agg(
+      round(percentile(col(valueCol), lit(lo)), 6).as("__lo"),
+      round(percentile(col(valueCol), lit(hi)), 6).as("__hi"))
+    df.join(broadcast(fences), groupCol)
+      .withColumn("__w", round(least(greatest(
+        col(valueCol).cast("double"), col("__lo")), col("__hi")), 6)
+        .cast("decimal(18,6)"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(valueCol) < col("__lo"), 1L).otherwise(0L))
+          .as("n_clip_lo"),
+        sum(when(col(valueCol) > col("__hi"), 1L).otherwise(0L))
+          .as("n_clip_hi"),
+        round(first(col("__lo")), 6).as("lo_fence"),
+        round(first(col("__hi")), 6).as("hi_fence"),
+        sum(col("__w")).as("__s"),
+        sum(col("__w") * col("__w")).as("__ss"),
+        sum(round(col(valueCol).cast("double"), 6)
+          .cast("decimal(18,6)")).as("__rs"))
+      .withColumn("win_mean",
+        round(col("__s").cast("double") / col("n"), 6))
+      .withColumn("raw_mean",
+        round(col("__rs").cast("double") / col("n"), 6))
+      // sample variance from exact decimal moments; a singleton or
+      // fully-clipped-constant group yields null, not NaN
+      .withColumn("win_std", when(col("n") > 1, round(sqrt(greatest(
+          (col("__ss").cast("double") - col("__s").cast("double") *
+            col("__s").cast("double") / col("n")) / (col("n") - 1),
+          lit(0.0))), 6)))
+      .drop("__s", "__ss", "__rs")
+  }
 }

@@ -983,6 +983,127 @@ object MetricOps {
           roundTo).as("cramers_v"))
   }
 
+  /** Mann–Whitney U rank-sum test between two sides — the
+    * NONPARAMETRIC companion to the Welch/t family: does one side's
+    * value distribution stochastically dominate the other, with no
+    * normality assumption (pairs with [[wasserstein1D]], which weighs
+    * the same shift in value units instead of rank units).
+    *
+    * Distributed by the [[globalRank]] discipline: values quantize to
+    * 4 dp so the joint histogram is bounded (~10⁶ rows) regardless of
+    * raw-row scale, ranks come from ONE [[rangeCumSum]] over it, and
+    * each tie block contributes its average rank in closed form
+    * (rows-before + (t+1)/2). Ranks are DOUBLED so the rank sum
+    * accumulates EXACTLY as DECIMAL(38,0) (the spearman doubled-rank
+    * discipline — no float-order noise between engines); the final
+    * z uses the tie-corrected variance
+    * nₐn_b/12 · (N+1 − Σ(t³−t)/(N(N−1))), no continuity correction.
+    * A degenerate pool (all values tied → zero variance) yields null
+    * z rather than ±∞.
+    */
+  def mannWhitney(df: DataFrame, valueCol: String, sideCol: String,
+                  sideA: Any, sideB: Any, roundTo: Int = 6): DataFrame = {
+    val hist = df.filter(col(sideCol).isin(sideA, sideB))
+      .withColumn("__v", round(col(valueCol).cast("double"), 4))
+      .groupBy(col("__v"))
+      .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__na"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("__nb"))
+      .withColumn("__t", col("__na") + col("__nb"))
+    val cum = rangeCumSum(hist, "__v", Seq("__na", "__nb"))
+    val s = cum
+      .withColumn("__before",
+        col("__cum___na") + col("__cum___nb") - col("__t"))
+      // doubled average rank of the tie block — integral, so the
+      // rank-sum moment is exact in DECIMAL(38,0)
+      .withColumn("__ar2", lit(2) * col("__before") + col("__t") + 1)
+      .agg(sum(col("__na").cast("decimal(38,0)") *
+          col("__ar2").cast("decimal(38,0)")).as("__ra2"),
+        sum(col("__na")).cast("decimal(38,0)").as("__qa"),
+        sum(col("__nb")).cast("decimal(38,0)").as("__qb"),
+        sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t")
+          - col("__t")).as("__ties"))
+    s.withColumn("__u",
+        (col("__ra2") - col("__qa") * (col("__qa") + 1)).cast("double") / 2)
+      .withColumn("__nn", (col("__qa") + col("__qb")).cast("double"))
+      .withColumn("__var",
+        col("__qa").cast("double") * col("__qb").cast("double") / 12.0 *
+          (col("__nn") + 1 - col("__ties").cast("double") /
+            (col("__nn") * (col("__nn") - 1))))
+      .select(col("__qa").cast("long").as("n_a"),
+        col("__qb").cast("long").as("n_b"),
+        round(col("__u"), 4).as("u_a"),
+        when(col("__var") > 0, round(
+          (col("__u") - col("__qa").cast("double") *
+            col("__qb").cast("double") / 2) / sqrt(col("__var")), roundTo))
+          .as("z"))
+  }
+
+  /** Mann–Kendall trend test per group — the nonparametric twin of
+    * [[theilSen]] (same input contract: an ALREADY-AGGREGATED
+    * (group, x, y) series with distinct x per group, bounded by the
+    * calendar, so the within-group pair join is |group|·n² over a
+    * SMALL n — never raw-row-sized). S = Σ sign(y_j − y_i) over
+    * x_j > x_i pairs; z uses the tie-corrected variance
+    * [n(n−1)(2n+5) − Σt(t−1)(2t+5)]/18 and the ±1 continuity
+    * correction (z = (S − sign(S))/σ). Degenerate groups (constant
+    * series → zero variance, or a single point) yield null z.
+    */
+  def mannKendall(series: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, roundTo: Int = 6): DataFrame = {
+    val a = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("double").as("__xa"), col(yCol).cast("double").as("__ya"))
+    val b = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("double").as("__xb"), col(yCol).cast("double").as("__yb"))
+    val sTab = a.join(b, "__g").filter(col("__xb") > col("__xa"))
+      .groupBy(col("__g"))
+      .agg(sum(signum(col("__yb") - col("__ya")).cast("long")).as("__s"))
+    val base = series.groupBy(col(groupCol).as("__g"))
+      .agg(count(lit(1)).as("__n"))
+    val ties = series.groupBy(col(groupCol).as("__g"),
+        col(yCol).cast("double").as("__y"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__t") * (col("__t") - 1) * (lit(2) * col("__t") + 5))
+        .as("__tt"))
+    base.join(sTab, Seq("__g"), "left").join(ties, Seq("__g"))
+      .withColumn("__var",
+        (col("__n") * (col("__n") - 1) * (lit(2) * col("__n") + 5) -
+          col("__tt")).cast("double") / 18.0)
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        coalesce(col("__s"), lit(0L)).as("s_stat"),
+        when(col("__var") > 0,
+          round((coalesce(col("__s"), lit(0L)) -
+              signum(coalesce(col("__s"), lit(0L)))).cast("double") /
+            sqrt(col("__var")), roundTo)).as("z"))
+  }
+
+  /** Benjamini–Hochberg FDR control over a table of (test id,
+    * p-value) rows: rank tests by p ascending, find the largest k with
+    * p₍k₎ ≤ k·α/m, reject ranks 1..k. The one "global" object is the
+    * rank — computed by [[globalRank]] (histogram + partitioned
+    * window, no single-reducer stage), so the operator holds at
+    * millions of simultaneous tests. k* itself is a 1-row aggregate
+    * broadcast back.
+    *
+    * CONTRACT: `pCol` must be pre-rounded to ≤6 dp (globalRank
+    * quantizes scores to 6 dp; a p-value distinguished only past the
+    * 6th decimal would tie-break by id instead of by p). Null
+    * p-values rank last and are never rejected.
+    */
+  def bhFdr(tests: DataFrame, idCol: String, pCol: String,
+            alpha: Double = 0.05): DataFrame = {
+    val m = tests.agg(count(col(pCol)).as("__m"))
+    val ranked = globalRank(tests, pCol, idCol)
+      .crossJoin(broadcast(m))
+      .withColumn("crit", round(col("r") * lit(alpha) / col("__m"), 12))
+    val kStar = ranked.agg(
+      max(when(col(pCol) <= col("crit"), col("r"))).as("__k"))
+    ranked.crossJoin(broadcast(kStar))
+      .withColumn("is_reject",
+        when(col("r") <= coalesce(col("__k"), lit(0L)), 1).otherwise(0))
+      .drop("__m", "__k")
+  }
+
   def tukeyOutliers(df: DataFrame, groupCol: String, valCol: String,
                     k: Double = 1.5): DataFrame = {
     val st = df.groupBy(col(groupCol))

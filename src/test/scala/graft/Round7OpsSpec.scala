@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{GraphOps, MetricOps, SimilarityOps, TextOps}
+import graft.operators.{EncodeOps, GraphOps, MetricOps, SimilarityOps, TextOps}
 
 /** Round-7 operator specs: RAG chunking coverage invariants, the
   * duplicated-span (substring-dedup) signal, JL random projection
@@ -1098,6 +1098,100 @@ class Round7OpsSpec extends SparkSpec {
     // both families must be supersets-free: the final equi-join removes
     // false positives, so the OUTPUT is exact either way
     assert(md5Out == expect && xxOut == expect)
+  }
+
+  // ------------------------------------------------------- mannWhitney
+
+  test("mannWhitney: hand sample — tie-averaged ranks, tie-corrected z") {
+    // A={1,2,3}, B={2,4,5,6}: ranks 1, {2.5,2.5}, 4, 5, 6, 7
+    // R_A = 1+2.5+4 = 7.5, U_A = 7.5 − 6 = 1.5; one tie block t=2
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 4.0), ("b", 5.0), ("b", 6.0)).toDF("side", "v")
+    val r = MetricOps.mannWhitney(df, "v", "side", "a", "b").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 1.5)
+    val varU = 3.0 * 4 / 12.0 * ((7 + 1) - 6.0 / (7 * 6))
+    val expZ = math.rint((1.5 - 6.0) / math.sqrt(varU) * 1e6) / 1e6
+    assert(math.abs(r.getDouble(3) - expZ) < 1e-9, s"z=${r.getDouble(3)}")
+  }
+
+  test("mannWhitney: all values tied → null z, exact U") {
+    val df = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0)).toDF("side", "v")
+    val r = MetricOps.mannWhitney(df, "v", "side", "a", "b").collect().head
+    // both A rows take the average rank 2 → R_A = 4, U = 4 − 3 = 1
+    assert(r.getDouble(2) == 1.0 && r.isNullAt(3))
+  }
+
+  // --------------------------------------------------- winsorizedStats
+
+  test("winsorizedStats: fences, clip counts, clipped moments") {
+    // 1..10 plus outlier 100: p05 = 1.5, p95 = 55 (interpolated)
+    val df = ((1 to 10).map(_.toDouble) :+ 100.0).map(("g", _))
+      .toDF("g", "v")
+    val r = EncodeOps.winsorizedStats(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n") == 11L)
+    assert(r.getAs[Long]("n_clip_lo") == 1L &&
+      r.getAs[Long]("n_clip_hi") == 1L)
+    assert(r.getAs[Double]("lo_fence") == 1.5 &&
+      r.getAs[Double]("hi_fence") == 55.0)
+    val w = Seq(1.5) ++ (2 to 10).map(_.toDouble) ++ Seq(55.0)
+    val expMean = math.rint(w.sum / 11 * 1e6) / 1e6
+    assert(r.getAs[Double]("win_mean") == expMean)
+    assert(r.getAs[Double]("raw_mean") ==
+      math.rint((55.0 + 100.0) / 11 * 1e6) / 1e6)
+    val expStd = math.sqrt((w.map(x => x * x).sum -
+      w.sum * w.sum / 11) / 10)
+    assert(math.abs(r.getAs[Double]("win_std") - expStd) < 1e-6)
+  }
+
+  // -------------------------------------------------------------- bhFdr
+
+  test("bhFdr: textbook step-up — k* past a local violation") {
+    // crit = r·0.05/5 = .01 .02 .03 .04 .05: ranks 1,2 pass, 3,4,5 fail
+    val tests = Seq(("t1", 0.001), ("t2", 0.008), ("t3", 0.039),
+      ("t4", 0.041), ("t5", 0.2)).toDF("id", "p")
+    val out = MetricOps.bhFdr(tests, "id", "p", alpha = 0.05)
+      .select("id", "r", "is_reject").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(out == Seq(("t1", 1L, 1), ("t2", 2L, 1), ("t3", 3L, 0),
+      ("t4", 4L, 0), ("t5", 5L, 0)))
+  }
+
+  test("bhFdr: step-up rejects BELOW a passing rank; null p ranks last") {
+    // p = .01 .04 .03(×wait sorted) — use p where rank 3 passes but
+    // rank 2 alone fails: p=(.005,.02,.021): crit=(.0166,.033,.05):
+    // r1 pass, r2 pass, r3 pass → all rejected; add null p → never
+    val tests = Seq(("a", Some(0.005)), ("b", Some(0.02)),
+      ("c", Some(0.021)), ("d", None))
+      .toDF("id", "p")
+    val out = MetricOps.bhFdr(tests, "id", "p", alpha = 0.05)
+      .select("id", "r", "is_reject").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+    assert(out == Seq(("a", 1L, 1), ("b", 2L, 1), ("c", 3L, 1),
+      ("d", 4L, 0)))
+  }
+
+  // -------------------------------------------------------- mannKendall
+
+  test("mannKendall: monotone, tied, and constant series") {
+    val series = (
+      (1 to 5).map(i => ("up", i.toDouble, i.toDouble)) ++
+      Seq(("tie", 1.0, 1.0), ("tie", 2.0, 2.0), ("tie", 3.0, 2.0),
+        ("tie", 4.0, 3.0)) ++
+      (1 to 4).map(i => ("const", i.toDouble, 7.0))
+    ).toDF("g", "x", "y")
+    val out = MetricOps.mannKendall(series, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // up: S = 10, var = 5·4·15/18; z = 9/sqrt(var)
+    assert(out("up").getLong(2) == 10L)
+    val zUp = math.rint(9.0 / math.sqrt(5.0 * 4 * 15 / 18) * 1e6) / 1e6
+    assert(math.abs(out("up").getDouble(3) - zUp) < 1e-9)
+    // tie: S = 5, var = (4·3·13 − 2·1·9)/18; z = 4/sqrt(var)
+    assert(out("tie").getLong(2) == 5L)
+    val zTie = math.rint(4.0 / math.sqrt((156.0 - 18) / 18) * 1e6) / 1e6
+    assert(math.abs(out("tie").getDouble(3) - zTie) < 1e-9)
+    // const: S = 0 and zero variance → null z
+    assert(out("const").getLong(2) == 0L && out("const").isNullAt(3))
   }
 
   // ------------------------------------------------------------ assocRules
