@@ -2838,6 +2838,66 @@ object OracleSql {
         |  JOIN tg USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
 
+    "q191_mutual_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        |  FROM e),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM n a, n b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p),
+        |t AS (SELECT vec_id, neighbor_id, sim FROM r WHERE rn <= 5)
+        |SELECT a.vec_id AS id_a, a.neighbor_id AS id_b,
+        |  round(a.sim, 6) AS sim
+        |FROM t a JOIN t b ON a.vec_id = b.neighbor_id
+        |  AND a.neighbor_id = b.vec_id
+        |WHERE a.vec_id < a.neighbor_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q192_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM toks, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(string_split(text, ' '))) FROM documents)))
+        |    AS i)
+        |  WHERE i + 2 <= len(t)),
+        |df AS (SELECT gram, count(*) AS dfreq FROM g GROUP BY 1)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (df.dfreq = 1) AS BIGINT) AS n_novel,
+        |  round(CAST(count(*) FILTER (df.dfreq = 1) AS DOUBLE)
+        |    / count(*), 6) AS novel_frac
+        |FROM g JOIN df ON g.gram = df.gram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "q193_seasonal_dow" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(dayofweek(CAST(ts AS DATE)) + 1 AS INT) AS dow,
+        |    CAST(sum(CAST(round(CAST(value AS DOUBLE), 4)
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS daily
+        |  FROM events GROUP BY 1, 2, 3),
+        |t AS (SELECT event_type, day, dow,
+        |    CAST(round(daily, 6) AS DECIMAL(18,6)) AS v
+        |  FROM daily),
+        |m AS (SELECT event_type, dow, v,
+        |    CAST(sum(v) OVER w AS DECIMAL(24,6)) *
+        |      CAST(420 / (count(*) OVER w) AS DECIMAL(3,0)) AS tn
+        |  FROM t WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+        |SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+        |  round((CAST(sum(v) AS DOUBLE) - CAST(sum(tn) AS DOUBLE) / 420)
+        |    / count(*), 6) AS effect,
+        |  round(CAST(sum(tn) AS DOUBLE) / 420 / count(*), 6)
+        |    AS trend_mean
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

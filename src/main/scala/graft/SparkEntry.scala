@@ -2128,6 +2128,35 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // L142 — mutual k-NN pairs over embeddings (reciprocal-neighbor
+    // filter on the exact top-k survivor table; the clustering seed
+    // graph — hub vectors survive only where affinity is mutual).
+    "q191_mutual_knn" -> ((s, d) =>
+      SimilarityOps.mutualKnn(Tables.embeddings(s, d), "vec_id",
+          "embedding", 5)
+        .orderBy("id_a", "id_b")),
+
+    // L143 — per-doc n-gram novelty (fraction of distinct 3-grams with
+    // global df = 1 — the inverse of q164's boilerplate signal).
+    "q192_ngram_novelty" -> ((s, d) =>
+      TextOps.ngramNovelty(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // L144 — day-of-week seasonal effect per event type: centered
+    // 7-point moving-average trend on the daily series, mean residual
+    // per (type, dow) — STL-lite over the calendar-bounded aggregate.
+    "q193_seasonal_dow" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .withColumn("day", datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("dow", dayofweek(col("ts").cast("date")))
+        .groupBy(col("event_type"), col("day"), col("dow"))
+        .agg(sum(round(col("value").cast("double"), 4)
+          .cast("decimal(18,4)")).cast("double").as("daily"))
+      MetricOps.seasonalEffect(daily, "event_type", "day", "dow", "daily")
+        .orderBy("event_type", "dow")
+    }),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

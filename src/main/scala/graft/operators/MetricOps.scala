@@ -1104,6 +1104,52 @@ object MetricOps {
       .drop("__m", "__k")
   }
 
+  /** Trend/seasonality split of a per-group daily series: trend is
+    * the centered (2·halfWin+1)-point moving average (partial frames
+    * at the series edges), the seasonal effect is the mean residual
+    * per (group, `seasonCol`) — STL-lite, the audit an ops dashboard
+    * reads before calling a weekday dip "drift". Input contract
+    * matches [[theilSen]]/[[cusum]]: an ALREADY-AGGREGATED
+    * (group, day, season, value) series bounded by the calendar, so
+    * the moving-average window partitions BY GROUP — never a
+    * single-partition funnel — and the frame is rows-based (gap days
+    * simply don't contribute). Values enter as 6-dp DECIMAL and every
+    * sum stays DECIMAL-EXACT end to end: per-day trends are carried
+    * as frame-sum · (LCM/frameCount) — integral, because any window
+    * of h+1 consecutive integers contains a multiple of every
+    * possible frame count — so no per-day quotient is ever rounded
+    * (a 6-dp round of sum/count lands on half-boundaries where
+    * Spark's BigDecimal and DuckDB's FP round disagree by 1 ulp).
+    * Each output column divides exactly once, in double, at the end.
+    */
+  def seasonalEffect(series: DataFrame, groupCol: String, dayCol: String,
+                     seasonCol: String, valCol: String,
+                     halfWin: Int = 3): DataFrame = {
+    require(halfWin >= 1 && halfWin <= 12,
+      "halfWin outside the exact-LCM range")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcm = (halfWin + 1 to 2 * halfWin + 1)
+      .foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val mulType = s"decimal(${lcm.toString.length},0)"
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__d")).rowsBetween(-halfWin, halfWin)
+    series.select(col(groupCol), col(dayCol).cast("long").as("__d"),
+        col(seasonCol).as("__season"),
+        round(col(valCol).cast("double"), 6).cast("decimal(18,6)")
+          .as("__v"))
+      // trend numerator: frame sum scaled to the common denominator
+      // LCM — exact decimal, no per-day division
+      .withColumn("__tn", sum(col("__v")).over(w).cast("decimal(24,6)") *
+        (lit(lcm) / count(lit(1)).over(w)).cast(mulType))
+      .groupBy(col(groupCol), col("__season").as(seasonCol))
+      .agg(count(lit(1)).as("n_days"),
+        round((sum(col("__v")).cast("double") -
+          sum(col("__tn")).cast("double") / lcm) / count(lit(1)), 6)
+          .as("effect"),
+        round(sum(col("__tn")).cast("double") / lcm / count(lit(1)), 6)
+          .as("trend_mean"))
+  }
+
   def tukeyOutliers(df: DataFrame, groupCol: String, valCol: String,
                     k: Double = 1.5): DataFrame = {
     val st = df.groupBy(col(groupCol))

@@ -86,6 +86,27 @@ object SimilarityOps {
     selectTopK(pairSim(n, n), k)
   }
 
+  /** Mutual k-NN pairs: (a, b) kept iff b is in a's cosine top-k AND
+    * a is in b's — the symmetric-neighborhood filter that seeds
+    * clustering/agreement graphs (hub vectors survive only where the
+    * affinity is reciprocal). Built on [[cosineTopK]]'s survivor table
+    * (k·|vectors| rows), so the mutual check is a self-join of that
+    * SMALL table on (a,b) = (b,a) — never a second pair sweep. Cosine
+    * is symmetric here bit-for-bit (the codegen'd dot accumulates in
+    * index order on both sides; double multiply commutes), so each
+    * surviving pair carries one sim.
+    */
+  def mutualKnn(df: DataFrame, idCol: String, embCol: String,
+                k: Int): DataFrame = {
+    val top = cosineTopK(df, idCol, embCol, k)
+    val rev = top.select(col("neighbor_id").as("vec_id"),
+      col("vec_id").as("neighbor_id"))
+    top.join(rev, Seq("vec_id", "neighbor_id"), "left_semi")
+      .filter(col("vec_id") < col("neighbor_id"))
+      .select(col("vec_id").as("id_a"), col("neighbor_id").as("id_b"),
+        col("sim"))
+  }
+
   /** Embedding-cosine near-dup: all pairs above a similarity threshold
     * (id_a < id_b). Same signature table; at scale the pair generation
     * swaps to `annTopK`'s bucketed join or LSH.

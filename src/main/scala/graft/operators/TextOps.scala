@@ -489,6 +489,37 @@ object TextOps {
         round(col("n_boiler").cast("double") / col("n_grams"), 6))
   }
 
+  /** N-gram novelty score per document: the fraction of the doc's
+    * DISTINCT word n-grams that occur in no other document (global
+    * df = 1) — high novelty marks fresh content, low marks templated
+    * or copied text (the inverse signal of [[boilerplateGrams]],
+    * which flags per-source df ≥ minDocs). Same machinery: one
+    * explode into distinct (doc, gram) rows, one gram hash agg for
+    * df, one join back + per-doc agg. A hot cross-corpus gram only
+    * feeds partial-agg counts — never a pair join.
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    require(n > 0)
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__nt", size(col("__t")))
+    val g = base.filter(col("__nt") >= n)
+      .select(col(idCol),
+        explode(sequence(lit(1), col("__nt") - lit(n - 1))).as("__pos"),
+        col("__t"))
+      .select(col(idCol),
+        array_join(slice(col("__t"), col("__pos"), lit(n)), " ").as("__g"))
+      .distinct()
+    val dfreq = g.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    g.join(dfreq, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_novel"))
+      .withColumn("novel_frac",
+        round(col("n_novel").cast("double") / col("n_grams"), 6))
+  }
+
   /** Edit-distance-1 pair mining over a string column (vocabulary
     * typo clustering / entity-name near-dup) via SymSpell deletion
     * neighborhoods, refined so every candidate is ed = 1 BY

@@ -417,7 +417,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
-    val allowed = Set("q26_cosine_topk", "q34_embedding_neardup")
+    val allowed = Set("q26_cosine_topk", "q34_embedding_neardup",
+      "q191_mutual_knn")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val df = fn(spark, dir)
       val s = df.queryExecution.executedPlan.toString

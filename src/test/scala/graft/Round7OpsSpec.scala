@@ -1194,6 +1194,62 @@ class Round7OpsSpec extends SparkSpec {
     assert(out("const").getLong(2) == 0L && out("const").isNullAt(3))
   }
 
+  // ---------------------------------------------------------- mutualKnn
+
+  test("mutualKnn: reciprocal pairs only") {
+    import graft.operators.SimilarityOps
+    // a↔b are each other's top-1; c's top-1 is b, but b prefers a —
+    // so (b,c) must NOT survive the mutual filter
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.95, 0.3)), (3L, Seq(0.6, 0.8))
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.mutualKnn(vecs, "vec_id", "embedding", 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L)))
+    // with k=2 every neighborhood contains every other vector → all 3
+    val all = SimilarityOps.mutualKnn(vecs, "vec_id", "embedding", 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq.sorted
+    assert(all == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  // -------------------------------------------------------- ngramNovelty
+
+  test("ngramNovelty: df=1 grams per doc; short docs drop out") {
+    val docs = Seq(
+      (1L, "a b c d"),   // grams: "a b c"(df2), "b c d"(df1)
+      (2L, "a b c x"),   // grams: "a b c"(df2), "b c x"(df1)
+      (3L, "z z z z z"), // one distinct gram "z z z", df1
+      (4L, "q w")        // shorter than n → no rows
+    ).toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5),
+      (3L, 1L, 1L, 1.0)))
+  }
+
+  // ------------------------------------------------------ seasonalEffect
+
+  test("seasonalEffect: spike series — partial edge frames, residual means") {
+    // one spike of 7 at day 4; trend = centered 7-pt MA with partial
+    // frames: [1.75, 1.4, 7/6, 1, 7/6, 1.4, 1.75]; each day its own
+    // season so effect = value − trend exactly
+    val series = (1 to 7).map(day =>
+      ("g", day.toLong, s"s$day", if (day == 4) 7.0 else 0.0))
+      .toDF("g", "day", "season", "v")
+    val out = MetricOps.seasonalEffect(series, "g", "day", "season", "v")
+      .collect().map(r => r.getString(1) -> r.getDouble(3)).toMap
+    assert(out("s1") == -1.75 && out("s7") == -1.75)
+    assert(out("s4") == 6.0)
+    assert(math.abs(out("s3") - (-math.rint(7.0 / 6 * 1e6) / 1e6)) < 1e-9)
+    // constant series → zero effect everywhere
+    val const = (1 to 7).map(day => ("c", day.toLong, s"s$day", 10.0))
+      .toDF("g", "day", "season", "v")
+    val zero = MetricOps.seasonalEffect(const, "g", "day", "season", "v")
+      .collect().map(_.getDouble(3)).toSeq
+    assert(zero.forall(_ == 0.0))
+  }
+
   // ------------------------------------------------------------ assocRules
 
   test("assocRules: hand baskets — apriori prune, support/conf/lift") {
