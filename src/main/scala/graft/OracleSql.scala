@@ -2898,6 +2898,115 @@ object OracleSql {
         |    AS trend_mean
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q194_label_prop" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        |  FROM e),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM n a, n b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p),
+        |t AS (SELECT vec_id, neighbor_id FROM r WHERE rn <= 5),
+        |mk AS (SELECT a.vec_id AS s, a.neighbor_id AS d
+        |  FROM t a JOIN t b ON a.vec_id = b.neighbor_id
+        |    AND a.neighbor_id = b.vec_id
+        |  WHERE a.vec_id < a.neighbor_id),
+        |und AS (SELECT s, d FROM mk UNION ALL SELECT d AS s, s AS d
+        |  FROM mk),
+        |l0 AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl,
+        |    0 AS rnd
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |v1 AS (SELECT und.s AS id, l0.lbl, count(*) AS c
+        |  FROM und JOIN l0 ON und.d = l0.id
+        |  WHERE und.s NOT IN (SELECT id FROM l0) GROUP BY 1, 2),
+        |p1 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number() OVER
+        |    (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM v1)
+        |  WHERE rn = 1),
+        |l1 AS (SELECT * FROM l0
+        |  UNION ALL SELECT id, lbl, 1 AS rnd FROM p1),
+        |v2 AS (SELECT und.s AS id, l1.lbl, count(*) AS c
+        |  FROM und JOIN l1 ON und.d = l1.id
+        |  WHERE und.s NOT IN (SELECT id FROM l1) GROUP BY 1, 2),
+        |p2 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number() OVER
+        |    (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM v2)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT * FROM l1
+        |  UNION ALL SELECT id, lbl, 2 AS rnd FROM p2)
+        |SELECT id AS vec_id, lbl AS label_pred, CAST(rnd AS INT)
+        |  AS round
+        |FROM l2 ORDER BY vec_id""".stripMargin,
+
+    "q195_kmv_jaccard" ->
+      """WITH hf AS (SELECT
+        |    ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT AS u,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ia,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ib
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |ka AS (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM hf
+        |  WHERE ia = 1),
+        |sa AS (SELECT CAST(count(*) FILTER (rn <= 64) AS BIGINT) AS nka,
+        |    max(u) FILTER (rn <= 64) AS uak FROM ka),
+        |kb AS (SELECT u, row_number() OVER (ORDER BY u) AS rn FROM hf
+        |  WHERE ib = 1),
+        |sb AS (SELECT CAST(count(*) FILTER (rn <= 64) AS BIGINT) AS nkb,
+        |    max(u) FILTER (rn <= 64) AS ubk FROM kb),
+        |un AS (SELECT u, ia, ib, row_number() OVER (ORDER BY u) AS rn
+        |  FROM hf),
+        |su AS (SELECT CAST(count(*) FILTER (rn <= 64) AS BIGINT) AS ku,
+        |    max(u) FILTER (rn <= 64) AS uk FROM un),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+        |    CAST(sum(ia * ib) AS BIGINT) AS exact_inter FROM hf),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS c FROM un, sa, sb
+        |  WHERE un.rn <= 64 AND ia = 1 AND ib = 1
+        |    AND (nka < 64 OR u <= uak) AND (nkb < 64 OR u <= ubk)),
+        |du AS (SELECT ku, CASE WHEN ku < 64 THEN CAST(ku AS DOUBLE)
+        |    ELSE CAST(63 AS DOUBLE) * 281474976710656 / uk END AS d
+        |  FROM su)
+        |SELECT ku AS k_used, round(d, 4) AS union_est,
+        |  CASE WHEN ku > 0 THEN round(CAST(c AS DOUBLE) / ku, 6)
+        |    END AS jaccard_est,
+        |  CASE WHEN ku > 0 THEN round(CAST(c AS DOUBLE) / ku * d, 4)
+        |    END AS inter_est,
+        |  exact_union, exact_inter,
+        |  CASE WHEN exact_union > 0
+        |    THEN round(CAST(exact_inter AS DOUBLE) / exact_union, 6)
+        |    END AS exact_jaccard
+        |FROM c, du, ex""".stripMargin,
+
+    "q196_sax" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(CAST(value AS DOUBLE), 4)
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS daily
+        |  FROM events GROUP BY 1, 2),
+        |base AS (SELECT event_type, day,
+        |    CAST(round(daily, 6) AS DECIMAL(18,6)) AS v,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily),
+        |sm AS (SELECT event_type, ((rn - 1) * 8) // n AS sg,
+        |    CAST(sum(v) AS DOUBLE) / count(*) AS m
+        |  FROM base GROUP BY 1, 2),
+        |br AS (SELECT event_type,
+        |    round(quantile_cont(CAST(v AS DOUBLE), 0.25), 6) AS q1,
+        |    round(quantile_cont(CAST(v AS DOUBLE), 0.5), 6) AS q2,
+        |    round(quantile_cont(CAST(v AS DOUBLE), 0.75), 6) AS q3
+        |  FROM base GROUP BY 1),
+        |sym AS (SELECT sm.event_type, sg,
+        |    CASE WHEN m < q1 THEN 'a' WHEN m < q2 THEN 'b'
+        |      WHEN m < q3 THEN 'c' ELSE 'd' END AS y
+        |  FROM sm JOIN br ON sm.event_type = br.event_type)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_segments,
+        |  string_agg(y, '' ORDER BY sg) AS sax
+        |FROM sym GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

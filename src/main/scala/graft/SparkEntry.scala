@@ -2157,6 +2157,40 @@ object SparkEntry {
         .orderBy("event_type", "dow")
     }),
 
+    // L145 — two-round label propagation over the mutual-kNN graph:
+    // every-third vector seeds its label; unlabeled vectors adopt the
+    // neighbor majority (ties → smallest label) round by round.
+    "q194_label_prop" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val mk = SimilarityOps.mutualKnn(emb, "vec_id", "embedding", 5)
+      val seeds = emb.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id"), col("label"))
+      GraphOps.labelPropagate(mk, "id_a", "id_b", seeds, "vec_id",
+          "label")
+        .orderBy("vec_id")
+    }),
+
+    // L146 — KMV set algebra: Jaccard + intersection estimates between
+    // click and view user sets from bottom-64 sketches, next to the
+    // exact values (the kmvDistinct calibration discipline).
+    "q195_kmv_jaccard" -> ((s, d) =>
+      SketchOps.kmvJaccard(Tables.events(s, d), "event_type",
+        "click", "view", "user_id", 64)),
+
+    // L147 — SAX symbolization of each event type's daily-value
+    // series: 8 equal-count PAA segments, 4-letter alphabet by the
+    // type's own quartiles.
+    "q196_sax" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .withColumn("day", datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(round(col("value").cast("double"), 4)
+          .cast("decimal(18,4)")).cast("double").as("daily"))
+      MetricOps.saxSymbols(daily, "event_type", "day", "daily")
+        .orderBy("event_type")
+    }),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

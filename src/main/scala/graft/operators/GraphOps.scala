@@ -114,6 +114,54 @@ object GraphOps {
     e.groupBy(col("a").as("node")).agg(count(lit(1)).cast("long").as("degree"))
   }
 
+  /** Barrier-synchronous semi-supervised label propagation over an
+    * undirected edge list: seed nodes carry fixed labels; each round,
+    * every STILL-UNLABELED node adopts the majority label among its
+    * already-labeled neighbors (ties → smallest label; isolated or
+    * all-unlabeled-neighbor nodes stay unlabeled and may label in a
+    * later round). Round r reads only round r−1's assignment, so the
+    * result is deterministic under any partitioning — the fixed-round
+    * cousin of [[kCore]]'s peel loop, one hash join + one count agg +
+    * one argmax agg per round, label state localCheckpoint'd per round
+    * (the iterative lineage discipline).
+    *
+    * `edges` must already be UNIQUE UNDIRECTED pairs (src < dst, e.g.
+    * [[graft.operators.SimilarityOps.mutualKnn]] output); the operator
+    * symmetrizes internally. Output: (node id, label, round labeled)
+    * for every node labeled within `rounds` rounds — seeds at round 0.
+    */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: DataFrame, idCol: String, labelCol: String,
+                     rounds: Int = 2): DataFrame = {
+    val dir = edges.select(col(srcCol).cast("long").as("__s"),
+      col(dstCol).cast("long").as("__d"))
+    val und = dir.unionAll(dir.select(col("__d").as("__s"),
+        col("__s").as("__d")))
+      .localCheckpoint(true) // read every round
+    var labeled = seeds.select(col(idCol).cast("long").as("__id"),
+        col(labelCol).cast("long").as("__lbl"),
+        lit(0).as("round"))
+      .localCheckpoint(true)
+    for (r <- 1 to rounds) {
+      val votes = und
+        .join(labeled.select(col("__id").as("__d"), col("__lbl")),
+          Seq("__d"))
+        .join(labeled.select(col("__id").as("__s")), Seq("__s"),
+          "left_anti")
+        .groupBy(col("__s"), col("__lbl"))
+        .agg(count(lit(1)).as("__c"))
+      val newly = votes
+        .groupBy(col("__s"))
+        .agg(max(struct(col("__c").as("c"),
+          (-col("__lbl")).as("nl"))).as("__m"))
+        .select(col("__s").as("__id"), (-col("__m.nl")).as("__lbl"),
+          lit(r).as("round"))
+      labeled = labeled.unionAll(newly).localCheckpoint(true)
+    }
+    labeled.select(col("__id").as(idCol),
+      col("__lbl").as("label_pred"), col("round"))
+  }
+
   /** Cross-engine-deterministic PageRank, Pregel-as-joins shape (per
     * iteration: contributions = edges ⋈ ranks on the source key, then a
     * hash aggregation on dst; out-degrees computed once and

@@ -1150,6 +1150,54 @@ object MetricOps {
           .as("trend_mean"))
   }
 
+  /** SAX symbolization of a per-group series: PAA-compress the
+    * ordered series into `segments` equal-count segments (by rank, so
+    * calendar gaps don't skew segment sizes), then map each segment
+    * mean to a 4-letter alphabet by the GROUP'S OWN quartiles — the
+    * symbolic form that makes shape queries (motifs, anomaly grammar)
+    * string problems. Same bounded-series contract as [[theilSen]] /
+    * [[seasonalEffect]].
+    *
+    * Determinism: segment ids are integer math ((rank−1)·S div n);
+    * segment means are one exact-decimal sum divided once into a
+    * double (never round-then-compare — the q193 1-ulp lesson);
+    * quartile breakpoints round to 6 dp (shared-constant rule) before
+    * the `<` comparisons. Windows partition by group; the quartile agg
+    * broadcasts.
+    */
+  def saxSymbols(series: DataFrame, groupCol: String, dayCol: String,
+                 valCol: String, segments: Int = 8): DataFrame = {
+    require(segments >= 1 && segments <= 64)
+    val wr = Window.partitionBy(col(groupCol)).orderBy(col("__d"))
+    val base = series.select(col(groupCol),
+        col(dayCol).cast("long").as("__d"),
+        round(col(valCol).cast("double"), 6).cast("decimal(18,6)")
+          .as("__v"))
+      .withColumn("__rn", row_number().over(wr))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col(groupCol))))
+      .withColumn("__seg",
+        expr(s"CAST((( __rn - 1) * $segments) DIV __n AS INT)"))
+    val segMeans = base.groupBy(col(groupCol), col("__seg"))
+      .agg((sum(col("__v")).cast("double") / count(lit(1))).as("__m"))
+    val breaks = base.groupBy(col(groupCol)).agg(
+      round(percentile(col("__v").cast("double"), lit(0.25)), 6)
+        .as("__q1"),
+      round(percentile(col("__v").cast("double"), lit(0.5)), 6)
+        .as("__q2"),
+      round(percentile(col("__v").cast("double"), lit(0.75)), 6)
+        .as("__q3"))
+    segMeans.join(broadcast(breaks), groupCol)
+      .withColumn("__sym", when(col("__m") < col("__q1"), "a")
+        .when(col("__m") < col("__q2"), "b")
+        .when(col("__m") < col("__q3"), "c").otherwise("d"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_segments"),
+        concat_ws("", transform(array_sort(collect_list(
+            struct(col("__seg").as("s"), col("__sym").as("y")))),
+          x => x.getField("y"))).as("sax"))
+  }
+
   def tukeyOutliers(df: DataFrame, groupCol: String, valCol: String,
                     k: Double = 1.5): DataFrame = {
     val st = df.groupBy(col(groupCol))

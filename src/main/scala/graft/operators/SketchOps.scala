@@ -56,6 +56,68 @@ object SketchOps {
           col("exact_distinct"), 4))
   }
 
+  /** KMV set algebra between two sides: Jaccard and intersection-size
+    * ESTIMATES from bottom-k sketches, next to the exact values (the
+    * [[kmvDistinct]] calibration discipline). The union's bottom-k is
+    * a uniform sample of the union, so the fraction of its members
+    * present in BOTH sides' bottom-k sketches estimates J(A,B); the
+    * intersection estimate is J · D̂(union) with the (k−1)·2^48/h_(k)
+    * union-cardinality estimate. Below capacity everything degrades
+    * to exact. At cluster scale each bottom-k is a TakeOrdered
+    * (distributed heap top-k — no global sort, no single-partition
+    * window); the per-hash membership-flag table is the only full
+    * shuffle, and the arithmetic reads three ≤k-row/1-row broadcasts.
+    */
+  def kmvJaccard(df: DataFrame, sideCol: String, sideA: Any, sideB: Any,
+                 valCol: String, k: Int): DataFrame = {
+    require(k >= 3, "KMV needs k >= 3 for a finite-variance estimate")
+    // one row per distinct hash with side-membership flags
+    val hf = df.filter(col(sideCol).isin(sideA, sideB))
+      .select(conv(substring(md5(col(valCol).cast("string")), 1, 12),
+          16, 10).cast("long").as("__u"),
+        when(col(sideCol) === sideA, 1).otherwise(0).as("__pa"),
+        when(col(sideCol) === sideB, 1).otherwise(0).as("__pb"))
+      .groupBy(col("__u"))
+      .agg(max(col("__pa")).as("__ia"), max(col("__pb")).as("__ib"))
+      .localCheckpoint(true) // feeds 3 bottom-k selections + exact agg
+    def kthStats(flag: Option[String]) = {
+      val side = flag.fold(hf)(f => hf.filter(col(f) === 1))
+      side.orderBy(col("__u")).limit(k)
+        .agg(count(lit(1)).as("n"), max(col("__u")).as("kth"))
+    }
+    val sa = kthStats(Some("__ia"))
+      .select(col("n").as("__nka"), col("kth").as("__uak"))
+    val sb = kthStats(Some("__ib"))
+      .select(col("n").as("__nkb"), col("kth").as("__ubk"))
+    val su = kthStats(None).select(col("n").as("__ku"),
+      col("kth").as("__uk"))
+    val exact = hf.agg(count(lit(1)).as("exact_union"),
+      sum((col("__ia") * col("__ib")).cast("long")).as("exact_inter"))
+    // c: union-sketch members present in BOTH side sketches (a side
+    // below capacity admits all of its hashes)
+    val c = hf.orderBy(col("__u")).limit(k)
+      .crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .filter(col("__ia") === 1 && col("__ib") === 1 &&
+        (col("__nka") < k || col("__u") <= col("__uak")) &&
+        (col("__nkb") < k || col("__u") <= col("__ubk")))
+      .agg(count(lit(1)).as("__c"))
+    c.crossJoin(broadcast(su)).crossJoin(broadcast(exact))
+      .withColumn("__du", when(col("__ku") < k,
+          col("__ku").cast("double"))
+        .otherwise(lit((k - 1).toDouble * (1L << 48).toDouble) /
+          col("__uk").cast("double")))
+      .select(col("__ku").cast("long").as("k_used"),
+        round(col("__du"), 4).as("union_est"),
+        when(col("__ku") > 0, round(col("__c").cast("double") /
+          col("__ku"), 6)).as("jaccard_est"),
+        when(col("__ku") > 0, round(col("__c").cast("double") /
+          col("__ku") * col("__du"), 4)).as("inter_est"),
+        col("exact_union"), col("exact_inter"),
+        when(col("exact_union") > 0,
+          round(col("exact_inter").cast("double") /
+            col("exact_union"), 6)).as("exact_jaccard"))
+  }
+
   /** Expand each row into `depth` (row-index, bucket) pairs — columns
     * `__d`, `__b` — using 8-hex-char slices of ONE md5 per key (same
     * one-digest slicing as the MinHash signature — one hash evaluation

@@ -418,7 +418,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup",
-      "q191_mutual_knn")
+      "q191_mutual_knn", "q194_label_prop")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val df = fn(spark, dir)
       val s = df.queryExecution.executedPlan.toString

@@ -1250,6 +1250,76 @@ class Round7OpsSpec extends SparkSpec {
     assert(zero.forall(_ == 0.0))
   }
 
+  // ------------------------------------------------------ labelPropagate
+
+  test("labelPropagate: chain spread, majority tie → smallest label") {
+    // 1(seed 7)—2—3—4(seed 9), 5(seed 3)—6, and 10 with two equal-vote
+    // seed neighbors 11(5)/12(2) → tie breaks to 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L),
+      (10L, 11L), (10L, 12L)).toDF("a", "b")
+    val seeds = Seq((1L, 7), (4L, 9), (5L, 3), (11L, 5), (12L, 2))
+      .toDF("id", "lbl")
+    val out = GraphOps.labelPropagate(edges, "a", "b", seeds, "id", "lbl")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2)))
+      .toMap
+    assert(out(1L) == (7L, 0) && out(4L) == (9L, 0) && out(5L) == (3L, 0))
+    // node 2 sees only seed 1 in round 1 (3 is unlabeled yet)
+    assert(out(2L) == (7L, 1))
+    // node 3 sees only seed 4 in round 1
+    assert(out(3L) == (9L, 1))
+    assert(out(6L) == (3L, 1))
+    assert(out(10L) == (2L, 1), "equal votes must take the smaller label")
+    // seeds 11/12 keep their own labels
+    assert(out(11L) == (5L, 0) && out(12L) == (2L, 0))
+  }
+
+  // --------------------------------------------------------- kmvJaccard
+
+  test("kmvJaccard: below capacity everything is exact") {
+    import graft.operators.SketchOps
+    val rows = (1 to 30).map(u => ("a", u.toLong)) ++
+      (16 to 45).map(u => ("b", u.toLong))
+    val df = rows.toDF("side", "user")
+    val r = SketchOps.kmvJaccard(df, "side", "a", "b", "user", 64)
+      .collect().head
+    assert(r.getAs[Long]("k_used") == 45L)
+    assert(r.getAs[Double]("union_est") == 45.0)
+    assert(r.getAs[Long]("exact_union") == 45L &&
+      r.getAs[Long]("exact_inter") == 15L)
+    assert(r.getAs[Double]("jaccard_est") ==
+      r.getAs[Double]("exact_jaccard"))
+    assert(r.getAs[Double]("inter_est") == 15.0)
+  }
+
+  test("kmvJaccard: sketch path bounds at capacity") {
+    import graft.operators.SketchOps
+    val rows = (1 to 400).map(u => ("a", u.toLong)) ++
+      (201 to 600).map(u => ("b", u.toLong))
+    val df = rows.toDF("side", "user")
+    val r = SketchOps.kmvJaccard(df, "side", "a", "b", "user", 16)
+      .collect().head
+    assert(r.getAs[Long]("k_used") == 16L)
+    val j = r.getAs[Double]("jaccard_est")
+    assert(j >= 0.0 && j <= 1.0)
+    // true J = 200/600 = 1/3; a k=16 sketch is within ±4σ ≈ ±0.5 —
+    // this is a smoke bound, the determinism is pinned by the oracle
+    assert(math.abs(j - 1.0 / 3) < 0.5)
+    assert(r.getAs[Long]("exact_inter") == 200L)
+  }
+
+  // --------------------------------------------------------- saxSymbols
+
+  test("saxSymbols: step series → quartile symbols in segment order") {
+    // 8 days at 1 then 8 days at 100, 4 segments of 4 days:
+    // means [1,1,100,100]; quartiles q1=1, q2=50.5, q3=100 → "bbdd"
+    val series = (1 to 16).map(dy =>
+      ("g", dy.toLong, if (dy <= 8) 1.0 else 100.0)).toDF("g", "day", "v")
+    val out = MetricOps.saxSymbols(series, "g", "day", "v", 4)
+      .collect().head
+    assert(out.getAs[Long]("n_segments") == 4L)
+    assert(out.getAs[String]("sax") == "bbdd")
+  }
+
   // ------------------------------------------------------------ assocRules
 
   test("assocRules: hand baskets — apriori prune, support/conf/lift") {
