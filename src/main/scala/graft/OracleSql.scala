@@ -3007,6 +3007,122 @@ object OracleSql {
         |  string_agg(y, '' ORDER BY sg) AS sax
         |FROM sym GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q197_anova_f" ->
+      """WITH v AS (SELECT event_type AS g,
+        |    CAST(round(value, 4) AS DECIMAL(18,4)) AS v FROM events),
+        |gr AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
+        |    sum(v * v) AS q
+        |  FROM v GROUP BY 1),
+        |g2 AS (SELECT g, n, s, q,
+        |    CAST(round(pow(CAST(s AS DOUBLE), 2) / n, 12)
+        |      AS DECIMAL(38,12)) AS sb
+        |  FROM gr),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS kk,
+        |    CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(s) AS DOUBLE) AS ts, CAST(sum(q) AS DOUBLE) AS tq,
+        |    CAST(sum(sb) AS DOUBLE) AS tb
+        |  FROM g2)
+        |SELECT kk AS k, nn AS n,
+        |  round(tb - ts * ts / nn, 6) AS ss_between,
+        |  round(tq - tb, 6) AS ss_within,
+        |  CASE WHEN kk > 1 AND nn > kk AND tq - tb > 0
+        |    THEN round(((tb - ts * ts / nn) / (kk - 1)) /
+        |      ((tq - tb) / (nn - kk)), 6) END AS f_stat,
+        |  CASE WHEN tq - ts * ts / nn > 0
+        |    THEN round((tb - ts * ts / nn) / (tq - ts * ts / nn), 6)
+        |    END AS eta_sq
+        |FROM t""".stripMargin,
+
+    "q198_kruskal_wallis" ->
+      """WITH obs AS (SELECT event_type AS g, round(value, 4) AS v
+        |  FROM events),
+        |cells AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1, 2),
+        |hv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t
+        |  FROM cells GROUP BY 1),
+        |r AS (SELECT v, t, sum(t) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) - t AS bef FROM hv),
+        |ar AS (SELECT v, 2 * bef + t + 1 AS ar2 FROM r),
+        |grp AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CAST(c AS DECIMAL(38,0)) * ar2) AS DECIMAL(38,0))
+        |      AS r2
+        |  FROM cells JOIN ar USING (v) GROUP BY 1),
+        |gt AS (SELECT g, n, r2,
+        |    CAST(round(pow(CAST(r2 AS DOUBLE), 2) / (4.0 * n), 12)
+        |      AS DECIMAL(38,12)) AS term
+        |  FROM grp),
+        |ties AS (SELECT CAST(sum(CAST(t AS DECIMAL(38,0)) * t * t - t)
+        |    AS DECIMAL(38,0)) AS tt FROM hv),
+        |agg AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(count(*) AS BIGINT) AS kk,
+        |    CAST(sum(term) AS DOUBLE) AS s4 FROM gt)
+        |SELECT nn AS n, kk AS k,
+        |  CASE WHEN nn > 1 THEN round(12.0 * s4 /
+        |    (CAST(nn AS DOUBLE) * (nn + 1)) - 3 * (nn + 1), 6) END AS h,
+        |  CASE WHEN nn > 1 AND 1.0 - CAST(tt AS DOUBLE) /
+        |      (CAST(nn AS DOUBLE) * nn * nn - nn) > 0
+        |    THEN round((12.0 * s4 / (CAST(nn AS DOUBLE) * (nn + 1))
+        |        - 3 * (nn + 1)) /
+        |      (1.0 - CAST(tt AS DOUBLE) /
+        |        (CAST(nn AS DOUBLE) * nn * nn - nn)), 6) END AS h_adj
+        |FROM agg, ties""".stripMargin,
+
+    "q199_brown_forsythe" ->
+      """WITH med AS (SELECT event_type AS mg,
+        |    round(quantile_cont(value, 0.5), 6) AS med
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT event_type AS g,
+        |    CAST(round(abs(value - med), 4) AS DECIMAL(18,4)) AS v
+        |  FROM events JOIN med ON event_type = mg),
+        |gr AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
+        |    sum(v * v) AS q
+        |  FROM v GROUP BY 1),
+        |g2 AS (SELECT g, n, s, q,
+        |    CAST(round(pow(CAST(s AS DOUBLE), 2) / n, 12)
+        |      AS DECIMAL(38,12)) AS sb
+        |  FROM gr),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS kk,
+        |    CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(s) AS DOUBLE) AS ts, CAST(sum(q) AS DOUBLE) AS tq,
+        |    CAST(sum(sb) AS DOUBLE) AS tb
+        |  FROM g2)
+        |SELECT kk AS k, nn AS n,
+        |  round(tb - ts * ts / nn, 6) AS ss_between,
+        |  round(tq - tb, 6) AS ss_within,
+        |  CASE WHEN kk > 1 AND nn > kk AND tq - tb > 0
+        |    THEN round(((tb - ts * ts / nn) / (kk - 1)) /
+        |      ((tq - tb) / (nn - kk)), 6) END AS f_stat,
+        |  CASE WHEN tq - ts * ts / nn > 0
+        |    THEN round((tb - ts * ts / nn) / (tq - ts * ts / nn), 6)
+        |    END AS eta_sq
+        |FROM t""".stripMargin,
+
+    "q200_jarque_bera" ->
+      """WITH v AS (SELECT event_type AS g,
+        |    CAST(round(value, 4) AS DECIMAL(18,4)) AS v FROM events),
+        |m AS (SELECT g AS mg, CAST(sum(v) AS DOUBLE) / count(*) AS mean
+        |  FROM v GROUP BY 1),
+        |d AS (SELECT g, CAST(v AS DOUBLE) - mean AS d
+        |  FROM v JOIN m ON g = mg),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(round(d * d, 8) AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(round(d * d * d, 8) AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(round(d * d * d * d, 8) AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS s4
+        |  FROM d GROUP BY 1),
+        |b AS (SELECT g, n, s2 / n AS m2, s3, s4 FROM a),
+        |c AS (SELECT g, n,
+        |    CASE WHEN m2 > 0 THEN s3 / n / pow(m2, 1.5) END AS sk,
+        |    CASE WHEN m2 > 0 THEN s4 / n / (m2 * m2) END AS ku
+        |  FROM b)
+        |SELECT g AS event_type, n, round(sk, 6) AS skewness,
+        |  round(ku, 6) AS kurtosis,
+        |  round(CAST(n AS DOUBLE) / 6 *
+        |    (sk * sk + pow(ku - 3, 2) / 4), 6) AS jb
+        |FROM c ORDER BY 1""".stripMargin,
+
     "q38_request_response" ->
       """WITH requests AS (SELECT '{"userid": ' || c_custkey || '}' AS req_json
         |  FROM customer WHERE c_custkey < 100),

@@ -2191,6 +2191,30 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // L148 — one-way ANOVA across the five event types' value
+    // distributions: does mean value differ by type (F + η² effect
+    // size, one moment pass).
+    "q197_anova_f" -> ((s, d) =>
+      MetricOps.anovaF(Tables.events(s, d), "event_type", "value")),
+
+    // L149 — Kruskal–Wallis: the rank-based twin of q197 on the same
+    // pool (no normality assumption; histogram ranks, no raw sort).
+    "q198_kruskal_wallis" -> ((s, d) =>
+      MetricOps.kruskalWallis(Tables.events(s, d), "event_type",
+        "value")),
+
+    // L150 — Brown–Forsythe: do the event types' value SPREADS
+    // differ (median-centered Levene; precondition for pooled tests).
+    "q199_brown_forsythe" -> ((s, d) =>
+      MetricOps.brownForsythe(Tables.events(s, d), "event_type",
+        "value")),
+
+    // L151 — per-type Jarque–Bera normality screen (skew, kurtosis,
+    // JB) over event values.
+    "q200_jarque_bera" -> ((s, d) =>
+      MetricOps.jarqueBera(Tables.events(s, d), "event_type",
+        "value")),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

@@ -1077,6 +1077,161 @@ object MetricOps {
             sqrt(col("__var")), roundTo)).as("z"))
   }
 
+  /** One-way ANOVA over k groups: F statistic + η² effect size from
+    * ONE pass of per-group moment sums — the k-sample parametric
+    * completion of the two-sample Welch family. Values quantize to
+    * 4 dp decimals so Σv and Σv² accumulate EXACTLY (the spearman
+    * moment discipline); the per-group s²/n terms snap to 12 dp and
+    * sum as DECIMAL(38,12) (partition-order-independent, the
+    * [[chiSquare]] term discipline — valid while each group's
+    * (Σv)²/n < 10²⁶, far past any real fact table). Degenerate
+    * inputs (k < 2, N ≤ k, zero within-variance) yield null F.
+    * Output: one row (k, n, ss_between, ss_within, f_stat, eta_sq).
+    */
+  def anovaF(df: DataFrame, groupCol: String, valCol: String,
+             roundTo: Int = 6): DataFrame = {
+    val g = df
+      .select(col(groupCol).as("__g"),
+        round(col(valCol).cast("double"), 4).cast("decimal(18,4)")
+          .as("__v"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__q"))
+      .withColumn("__sb", round(pow(col("__s").cast("double"), 2) /
+          col("__n"), 12).cast("decimal(38,12)"))
+    val tot = g.agg(count(lit(1)).as("__k"), sum(col("__n")).as("__N"),
+      sum(col("__s")).cast("double").as("__S"),
+      sum(col("__q")).cast("double").as("__Q"),
+      sum(col("__sb")).cast("double").as("__SB"))
+    tot
+      .withColumn("__cf", col("__S") * col("__S") / col("__N"))
+      .withColumn("__ssb", col("__SB") - col("__cf"))
+      .withColumn("__ssw", col("__Q") - col("__SB"))
+      .withColumn("__sst", col("__Q") - col("__cf"))
+      .select(col("__k").as("k"), col("__N").as("n"),
+        round(col("__ssb"), roundTo).as("ss_between"),
+        round(col("__ssw"), roundTo).as("ss_within"),
+        when(col("__k") > 1 && col("__N") > col("__k") &&
+            col("__ssw") > 0,
+          round((col("__ssb") / (col("__k") - 1)) /
+            (col("__ssw") / (col("__N") - col("__k"))), roundTo))
+          .as("f_stat"),
+        when(col("__sst") > 0,
+          round(col("__ssb") / col("__sst"), roundTo)).as("eta_sq"))
+  }
+
+  /** Kruskal–Wallis H over k groups — the rank-based (nonparametric)
+    * twin of [[anovaF]], distributed by the [[mannWhitney]] histogram
+    * discipline: values quantize to 4 dp so the joint histogram is
+    * bounded regardless of raw-row scale, DOUBLED tie-averaged ranks
+    * come from ONE [[rangeCumSum]] over it (exact integers), and each
+    * group's rank-sum moment accumulates as DECIMAL(38,0). The
+    * per-group R²/n terms snap to 12 dp and sum as DECIMAL(38,12)
+    * (the [[chiSquare]] discipline — valid while R2² /4n < 10²⁶,
+    * i.e. group sizes below ~10⁸ rows at N ~ 10⁹; document-scale
+    * safe, and the bound is per GROUP, not per table). `h_adj`
+    * divides by the tie correction 1 − Σ(t³−t)/(N³−N); an all-tied
+    * pool (correction 0) yields null. Output: one row (n, k, h,
+    * h_adj).
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valCol: String,
+                    roundTo: Int = 6): DataFrame = {
+    val obs = df.select(col(groupCol).as("__g"),
+      round(col(valCol).cast("double"), 4).as("__v"))
+    val cells = obs.groupBy(col("__v"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // feeds the value histogram + the rank join
+    val histv = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    val ranked = rangeCumSum(histv, "__v", Seq("__t"))
+      // doubled tie-averaged rank of the block — integral
+      .withColumn("__ar2",
+        lit(2) * (col("__cum___t") - col("__t")) + col("__t") + 1)
+    val grp = cells.join(ranked.select(col("__v"), col("__ar2")), "__v")
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c").cast("decimal(38,0)") *
+          col("__ar2").cast("decimal(38,0)")).as("__r2"))
+      .withColumn("__term",
+        round(pow(col("__r2").cast("double"), 2) /
+          (lit(4.0) * col("__n")), 12).cast("decimal(38,12)"))
+    val ties = histv.agg(sum(col("__t").cast("decimal(38,0)") *
+      col("__t") * col("__t") - col("__t")).as("__ties"))
+    grp.agg(sum(col("__n")).as("__N"), count(lit(1)).as("__k"),
+        sum(col("__term")).cast("double").as("__S4"))
+      .crossJoin(broadcast(ties))
+      .withColumn("__Nd", col("__N").cast("double"))
+      .withColumn("__h", lit(12.0) * col("__S4") /
+        (col("__Nd") * (col("__Nd") + 1)) - lit(3) * (col("__Nd") + 1))
+      .withColumn("__corr", lit(1.0) - col("__ties").cast("double") /
+        (col("__Nd") * col("__Nd") * col("__Nd") - col("__Nd")))
+      .select(col("__N").as("n"), col("__k").as("k"),
+        when(col("__N") > 1, round(col("__h"), roundTo)).as("h"),
+        when(col("__N") > 1 && col("__corr") > 0,
+          round(col("__h") / col("__corr"), roundTo)).as("h_adj"))
+  }
+
+  /** Brown–Forsythe homogeneity-of-variance test: [[anovaF]] on the
+    * absolute deviations |v − median(group)| — the robust (median-
+    * centered) Levene form. Medians are one percentile aggregate
+    * (rounded to 6 dp, the shared-constant rule) broadcast back onto
+    * the facts; everything after is the ANOVA machinery, so the same
+    * moment/term disciplines and degenerate-input guards apply.
+    * A significant F means the groups' SPREADS differ — the
+    * precondition check for pooled-variance tests upstream.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, valCol: String,
+                    roundTo: Int = 6): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(round(percentile(col(valCol).cast("double"), lit(0.5)), 6)
+        .as("__med"))
+    val dev = df.join(broadcast(med), groupCol)
+      .withColumn("__dev",
+        abs(col(valCol).cast("double") - col("__med")))
+    anovaF(dev, groupCol, "__dev", roundTo)
+  }
+
+  /** Per-group Jarque–Bera normality screen: skewness, excess-free
+    * kurtosis, and JB = n/6·(S² + (K−3)²/4) from central-moment sums.
+    * Two passes: group means broadcast back (exact-decimal Σv / n as
+    * ONE double division), then each row's d², d³, d⁴ snap to 8 dp
+    * and sum as DECIMAL(38,8) — per-ROW term snapping (bounded |d| ≤
+    * value range keeps d⁴ < 10¹² per row; the decimal sum is
+    * partition-order-independent at any row count). A constant group
+    * (m₂ = 0) yields null skew/kurtosis/JB.
+    */
+  def jarqueBera(df: DataFrame, groupCol: String, valCol: String,
+                 roundTo: Int = 6): DataFrame = {
+    val v = df.select(col(groupCol).as("__g"),
+      round(col(valCol).cast("double"), 4).cast("decimal(18,4)")
+        .as("__v"))
+    val means = v.groupBy(col("__g"))
+      .agg((sum(col("__v")).cast("double") / count(lit(1)))
+        .as("__mean"))
+    val d = v.join(broadcast(means), "__g")
+      .withColumn("__d", col("__v").cast("double") - col("__mean"))
+    d.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(round(col("__d") * col("__d"), 8).cast("decimal(38,8)"))
+          .cast("double").as("__s2"),
+        sum(round(col("__d") * col("__d") * col("__d"), 8)
+          .cast("decimal(38,8)")).cast("double").as("__s3"),
+        sum(round(col("__d") * col("__d") * col("__d") * col("__d"), 8)
+          .cast("decimal(38,8)")).cast("double").as("__s4"))
+      .withColumn("__m2", col("__s2") / col("__n"))
+      .withColumn("__sk", when(col("__m2") > 0,
+        col("__s3") / col("__n") / pow(col("__m2"), 1.5)))
+      .withColumn("__ku", when(col("__m2") > 0,
+        col("__s4") / col("__n") / (col("__m2") * col("__m2"))))
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        round(col("__sk"), roundTo).as("skewness"),
+        round(col("__ku"), roundTo).as("kurtosis"),
+        round(col("__n").cast("double") / 6 *
+          (col("__sk") * col("__sk") +
+            pow(col("__ku") - 3, 2) / 4), roundTo).as("jb"))
+      .orderBy(groupCol)
+  }
+
   /** Benjamini–Hochberg FDR control over a table of (test id,
     * p-value) rows: rank tests by p ascending, find the largest k with
     * p₍k₎ ≤ k·α/m, reject ranks 1..k. The one "global" object is the

@@ -1338,4 +1338,88 @@ class Round7OpsSpec extends SparkSpec {
     assert(lift == BigDecimal(3.0 * 4 / (3 * 3))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  // --------------------------------------------------------------- anovaF
+
+  test("anovaF: hand-computed three-group F, eta²; degenerate guards") {
+    // a=(1,2,3) b=(4,5,6) c=(7,8,9): SSB=54, SSW=6, F=(54/2)/(6/6)=27
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0),
+      ("b", 5.0), ("b", 6.0), ("c", 7.0), ("c", 8.0), ("c", 9.0))
+      .toDF("g", "v")
+    val r = MetricOps.anovaF(df, "g", "v").collect().head
+    assert(r.getAs[Long]("k") == 3 && r.getAs[Long]("n") == 9)
+    assert(r.getAs[Double]("ss_between") == 54.0)
+    assert(r.getAs[Double]("ss_within") == 6.0)
+    assert(r.getAs[Double]("f_stat") == 27.0)
+    assert(r.getAs[Double]("eta_sq") == 0.9)
+    // constant groups → SSW = 0 → null F, eta² = 1
+    val const = Seq(("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0))
+      .toDF("g", "v")
+    val rc = MetricOps.anovaF(const, "g", "v").collect().head
+    assert(rc.isNullAt(rc.fieldIndex("f_stat")))
+    assert(rc.getAs[Double]("eta_sq") == 1.0)
+    // single group → null F AND null eta² (SST = SSW > 0, SSB = 0 ok)
+    val one = Seq(("a", 1.0), ("a", 2.0)).toDF("g", "v")
+    val ro = MetricOps.anovaF(one, "g", "v").collect().head
+    assert(ro.isNullAt(ro.fieldIndex("f_stat")))
+  }
+
+  // ------------------------------------------------------- kruskalWallis
+
+  test("kruskalWallis: tie-free hand H; tie correction direction") {
+    // ranks 1..9 by group thirds: H = 12/90·(12²+15²·…)… = 7.2 exactly
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 4.0),
+      ("b", 5.0), ("b", 6.0), ("c", 7.0), ("c", 8.0), ("c", 9.0))
+      .toDF("g", "v")
+    val r = MetricOps.kruskalWallis(df, "g", "v").collect().head
+    assert(r.getAs[Long]("n") == 9 && r.getAs[Long]("k") == 3)
+    assert(r.getAs[Double]("h") == 7.2)
+    assert(r.getAs[Double]("h_adj") == 7.2) // no ties → same
+    // with ties h_adj > h (correction divisor < 1); all-tied → null
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("g", "v")
+    val rt = MetricOps.kruskalWallis(tied, "g", "v").collect().head
+    assert(rt.getAs[Double]("h_adj") > rt.getAs[Double]("h"))
+    val allTied = Seq(("a", 5.0), ("b", 5.0)).toDF("g", "v")
+    val ra = MetricOps.kruskalWallis(allTied, "g", "v").collect().head
+    assert(ra.isNullAt(ra.fieldIndex("h_adj")))
+  }
+
+  // ------------------------------------------------------ brownForsythe
+
+  test("brownForsythe: equal spreads → F 0; hand-computed unequal") {
+    val same = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 11.0),
+      ("b", 12.0), ("b", 13.0)).toDF("g", "v")
+    val rs = MetricOps.brownForsythe(same, "g", "v").collect().head
+    assert(rs.getAs[Double]("f_stat") == 0.0)
+    // a=(0,5,10) dev(5,0,5), b=(4,5,6) dev(1,0,1):
+    // SSB=32/3, SSW=52/3, F=(32/3)/(52/3/4)=32/13
+    val diff = Seq(("a", 0.0), ("a", 5.0), ("a", 10.0), ("b", 4.0),
+      ("b", 5.0), ("b", 6.0)).toDF("g", "v")
+    val rd = MetricOps.brownForsythe(diff, "g", "v").collect().head
+    assert(math.abs(rd.getAs[Double]("f_stat") - 32.0 / 13) < 1e-5)
+  }
+
+  // --------------------------------------------------------- jarqueBera
+
+  test("jarqueBera: symmetric skew 0, hand kurtosis/JB; constant null") {
+    // (1,2,3): m2=2/3, skew 0, kurt=(2/3)/(4/9)=1.5,
+    // JB = 3/6·(0+(1.5−3)²/4) = 0.28125
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("c", 9.0), ("c", 9.0)).toDF("g", "v")
+    val out = MetricOps.jarqueBera(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ra = out("a")
+    assert(ra.getAs[Double]("skewness") == 0.0)
+    assert(ra.getAs[Double]("kurtosis") == 1.5)
+    assert(ra.getAs[Double]("jb") == 0.28125)
+    val rc = out("c") // constant group → null moments
+    assert(rc.isNullAt(rc.fieldIndex("skewness")) &&
+      rc.isNullAt(rc.fieldIndex("jb")))
+    // right-skewed sample skews positive
+    val sk = Seq(("a", 1.0), ("a", 1.0), ("a", 1.0), ("a", 10.0))
+      .toDF("g", "v")
+    assert(MetricOps.jarqueBera(sk, "g", "v").collect()
+      .head.getAs[Double]("skewness") > 1.0)
+  }
 }
