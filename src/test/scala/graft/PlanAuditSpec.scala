@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SortExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
@@ -414,6 +415,40 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
         s"$name must not run an unpartitioned window")
     }
+  }
+
+  test("q195: every bottom-k sketch selection is a TakeOrdered heap, never a global sort") {
+    val df = plan("q195_kmv_jaccard")
+    df.count()
+    val exec = df.queryExecution.executedPlan
+    assert(exec.toString.contains("TakeOrderedAndProject"),
+      "bottom-k must plan as TakeOrderedAndProject")
+    val sorts = collectWithSubqueries(exec) { case s: SortExec => s }
+    assert(sorts.forall(!_.global),
+      s"no global SortExec allowed: ${sorts.map(_.global)}")
+  }
+
+  test("q197/q199/q200: the stat-test family runs windowless (pure moment aggregations)") {
+    for (name <- Seq("q197_anova_f", "q199_brown_forsythe",
+        "q200_jarque_bera")) {
+      val df = plan(name)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty,
+        s"$name must aggregate moments, not rank rows: found ${wins.size} windows")
+    }
+  }
+
+  test("q198: Kruskal-Wallis ranks ride rangeCumSum — every window partitioned") {
+    val df = plan("q198_kruskal_wallis")
+    df.count()
+    val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "the rank histogram must never funnel through one partition")
   }
 
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
