@@ -2649,6 +2649,132 @@ object OracleSql {
         |    ELSE round(exp(CAST(cl AS DOUBLE)), 6) END AS survival
         |FROM s ORDER BY t""".stripMargin,
 
+    "q201_logrank" ->
+      """WITH subj AS (SELECT user_id,
+        |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+        |      CAST(coalesce(min(ts) FILTER (event_type = 'purchase'),
+        |        max(ts)) AS DATE)) AS BIGINT) AS dur,
+        |    CASE WHEN min(ts) FILTER (event_type = 'purchase')
+        |      IS NOT NULL THEN 1 ELSE 0 END AS ev,
+        |    CAST(user_id % 2 AS INT) AS side
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT dur AS t,
+        |    CAST(sum(ev) FILTER (side = 0) AS BIGINT) AS da,
+        |    CAST(sum(ev) FILTER (side = 1) AS BIGINT) AS db,
+        |    CAST(count(*) FILTER (side = 0) AS BIGINT) AS aa,
+        |    CAST(count(*) FILTER (side = 1) AS BIGINT) AS ab
+        |  FROM subj GROUP BY 1),
+        |tot AS (SELECT CAST(sum(aa) AS BIGINT) AS na,
+        |    CAST(sum(ab) AS BIGINT) AS nb FROM h),
+        |r AS (SELECT t, coalesce(da, 0) AS da, coalesce(db, 0) AS db,
+        |    na - (sum(aa) OVER w - aa) AS nra,
+        |    nb - (sum(ab) OVER w - ab) AS nrb
+        |  FROM h, tot WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT da, db,
+        |    CAST(nra + nrb AS DOUBLE) AS n, da + db AS d,
+        |    CAST(nra AS DOUBLE) / (nra + nrb) AS ra
+        |  FROM r WHERE da + db > 0),
+        |g AS (SELECT da,
+        |    CAST(round(CAST(d AS DOUBLE) * ra, 12)
+        |      AS DECIMAL(38,12)) AS e,
+        |    CAST(CASE WHEN n > 1 THEN round(CAST(d AS DOUBLE) * ra *
+        |        (1.0 - ra) * (n - d) / (n - 1), 12)
+        |      ELSE 0 END AS DECIMAL(38,12)) AS v
+        |  FROM f),
+        |s AS (SELECT CAST(sum(da) AS BIGINT) AS oa,
+        |    CAST(sum(e) AS DOUBLE) AS ea,
+        |    CAST(sum(v) AS DOUBLE) AS vv FROM g)
+        |SELECT na AS n_a, nb AS n_b, oa AS obs_a,
+        |  round(ea, 4) AS exp_a,
+        |  CASE WHEN vv > 0 THEN round((oa - ea) / sqrt(vv), 6) END AS z,
+        |  CASE WHEN vv > 0 THEN round(pow(oa - ea, 2) / vv, 6)
+        |    END AS chi2
+        |FROM s, tot""".stripMargin,
+
+    "q202_pettitt" ->
+      """WITH daily AS (SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CAST(round(CAST(value AS DOUBLE), 4)
+        |      AS DECIMAL(18,4))) AS DOUBLE) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT g, x,
+        |    rank() OVER (PARTITION BY g ORDER BY y)
+        |      + count(*) OVER (PARTITION BY g ORDER BY y
+        |        RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS r2
+        |  FROM daily),
+        |tm AS (SELECT g, x, r2,
+        |    row_number() OVER (PARTITION BY g ORDER BY x) AS t,
+        |    sum(r2) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w2,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM rk),
+        |u AS (SELECT g, x, n, w2 - t * (n + 1) AS u, t
+        |  FROM tm WHERE t < n),
+        |pick AS (SELECT g, x, n, u, abs(u) AS k,
+        |    row_number() OVER (PARTITION BY g
+        |      ORDER BY abs(u) DESC, t) AS rn
+        |  FROM u)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  x AS t_star, CAST(k AS BIGINT) AS k_stat,
+        |  CAST(u AS BIGINT) AS u_star,
+        |  round(2.0 * exp(-6.0 * CAST(k AS DOUBLE) * k /
+        |    (pow(CAST(n AS DOUBLE), 3) + n * n)), 6) AS p_approx
+        |FROM pick WHERE rn = 1 ORDER BY 1""".stripMargin,
+
+    "q203_diversity" ->
+      """WITH c AS (SELECT event_type AS g, user_id AS u,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS richness,
+        |    CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0))
+        |      AS s2,
+        |    CAST(sum(CAST(round(CAST(c AS DOUBLE) *
+        |        ln(CAST(c AS DOUBLE)), 8) AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS cl
+        |  FROM c GROUP BY 1),
+        |b AS (SELECT g, n, richness,
+        |    CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE) * n) AS simp,
+        |    ln(CAST(n AS DOUBLE)) - cl / n AS h
+        |  FROM a)
+        |SELECT g AS event_type, n, richness,
+        |  round(simp, 6) AS simpson,
+        |  round(1.0 / simp, 6) AS inv_simpson,
+        |  round(h, 6) AS shannon, round(exp(h), 6) AS hill1
+        |FROM b ORDER BY 1""".stripMargin,
+
+    "q204_grubbs" ->
+      """WITH v AS (SELECT c_mktsegment AS g,
+        |    CAST(round(CAST(c_acctbal AS DOUBLE), 4) AS DECIMAL(18,4))
+        |      AS v
+        |  FROM customer),
+        |st AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
+        |    sum(v * v) AS q
+        |  FROM v GROUP BY 1),
+        |m AS (SELECT g, n, CAST(s AS DOUBLE) / n AS mean,
+        |    CASE WHEN n > 1 THEN (CAST(q AS DOUBLE)
+        |      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)
+        |      END AS var
+        |  FROM st),
+        |sd AS (SELECT g, n, mean,
+        |    CASE WHEN var > 0 THEN sqrt(var) END AS sd FROM m),
+        |d AS (SELECT v.g, n, mean, sd,
+        |    abs(CAST(v AS DOUBLE) - mean) AS dev,
+        |    CAST(v AS DOUBLE) AS vd,
+        |    row_number() OVER (PARTITION BY v.g
+        |      ORDER BY abs(CAST(v AS DOUBLE) - mean) DESC,
+        |        CAST(v AS DOUBLE) DESC) AS rn
+        |  FROM v JOIN sd ON v.g = sd.g)
+        |SELECT g AS c_mktsegment, n, round(mean, 6) AS mean,
+        |  round(sd, 6) AS sd,
+        |  CASE WHEN sd IS NOT NULL THEN round(dev / sd, 6)
+        |    END AS g_stat,
+        |  round(vd, 4) AS outlier_value
+        |FROM d WHERE rn = 1 ORDER BY 1""".stripMargin,
+
     "q184_wasserstein" ->
       """WITH q AS (SELECT round(value, 4) AS v, event_type
         |  FROM events WHERE event_type IN ('click', 'view')),

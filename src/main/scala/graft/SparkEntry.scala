@@ -2215,6 +2215,48 @@ object SparkEntry {
       MetricOps.jarqueBera(Tables.events(s, d), "event_type",
         "value")),
 
+    // L152 — log-rank test: do even- and odd-id users reach their
+    // first purchase on the same survival curve (q183's subjects,
+    // split by id parity)?
+    "q201_logrank" -> ((s, d) => {
+      val subj = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("__tp"),
+          max(col("ts")).as("__tmax"))
+        .select(datediff(coalesce(col("__tp"), col("__tmax")).cast("date"),
+            col("__t0").cast("date")).cast("long").as("dur"),
+          when(col("__tp").isNotNull, 1).otherwise(0).as("ev"),
+          (col("user_id") % 2).cast("int").as("side"))
+      MetricOps.logRank(subj, "dur", "ev", "side", 0, 1)
+    }),
+
+    // L153 — Pettitt change point on each event type's daily-sum
+    // series: where does the level shift, and is the shift
+    // significant?
+    "q202_pettitt" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .withColumn("day", datediff(col("ts").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(round(col("value").cast("double"), 4)
+          .cast("decimal(18,4)")).cast("double").as("daily"))
+      MetricOps.pettitt(daily, "event_type", "day", "daily")
+        .orderBy("event_type")
+    }),
+
+    // L154 — user-participation diversity per event type: richness,
+    // Simpson/inverse-Simpson, Shannon, Hill N₁ (the concentration
+    // dual of q157's Gini).
+    "q203_diversity" -> ((s, d) =>
+      MetricOps.diversity(Tables.events(s, d), "event_type",
+        "user_id")),
+
+    // L155 — Grubbs most-extreme-value screen on account balances per
+    // market segment (parametric companion to q174's Tukey fences).
+    "q204_grubbs" -> ((s, d) =>
+      MetricOps.grubbs(Tables.customer(s, d), "c_mktsegment",
+        "c_acctbal")),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

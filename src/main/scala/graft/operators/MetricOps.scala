@@ -899,6 +899,183 @@ object MetricOps {
       .select(col("t"), col("n_risk"), col("d"), col("c"), col("survival"))
   }
 
+  /** Two-group log-rank test — the inferential companion to
+    * [[kaplanMeier]]: are the two sides' survival curves the same?
+    * At each event time the observed events in side A are compared to
+    * the hypergeometric expectation d·n_A/n given the pooled risk
+    * set; Z = Σ(O−E)/√ΣV, χ² = Z².
+    *
+    * Same machinery as the curve itself: everything computes on the
+    * per-side DURATION HISTOGRAM (calendar-bounded, never
+    * subject-count sized), risk sets come from ONE [[rangeCumSum]],
+    * and the per-time E and V terms snap to 12 dp and accumulate as
+    * DECIMAL(38,12) (the [[chiSquare]] term discipline). Times with
+    * no events contribute nothing; a single-subject risk set (n ≤ 1)
+    * has zero variance and is skipped. Zero total variance (e.g. one
+    * side empty) yields null z/chi2.
+    */
+  def logRank(df: DataFrame, durCol: String, eventCol: String,
+              sideCol: String, sideA: Any, sideB: Any,
+              roundTo: Int = 6): DataFrame = {
+    val hist = df.filter(col(sideCol).isin(sideA, sideB))
+      .groupBy(col(durCol).cast("long").as("t"))
+      .agg(sum(when(col(sideCol) === sideA && col(eventCol) === 1, 1L)
+          .otherwise(0L)).as("__da"),
+        sum(when(col(sideCol) === sideB && col(eventCol) === 1, 1L)
+          .otherwise(0L)).as("__db"),
+        sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__aa"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("__ab"))
+    val cum = rangeCumSum(hist, "t", Seq("__aa", "__ab"))
+    val tot = hist.agg(sum(col("__aa")).as("__Na"),
+      sum(col("__ab")).as("__Nb"))
+    val risk = cum.crossJoin(broadcast(tot))
+      .withColumn("__nra",
+        col("__Na") - (col("__cum___aa") - col("__aa")))
+      .withColumn("__nrb",
+        col("__Nb") - (col("__cum___ab") - col("__ab")))
+      .withColumn("__d", col("__da") + col("__db"))
+      .withColumn("__n", (col("__nra") + col("__nrb")).cast("double"))
+      .filter(col("__d") > 0)
+      .withColumn("__ra", col("__nra").cast("double") / col("__n"))
+      .withColumn("__e", round(col("__d").cast("double") * col("__ra"),
+        12).cast("decimal(38,12)"))
+      .withColumn("__v", when(col("__n") > 1,
+          round(col("__d").cast("double") * col("__ra") *
+            (lit(1.0) - col("__ra")) *
+            (col("__n") - col("__d")) / (col("__n") - 1), 12))
+        .otherwise(lit(0.0)).cast("decimal(38,12)"))
+    risk.agg(sum(col("__da")).as("__Oa"),
+        sum(col("__e")).cast("double").as("__Ea"),
+        sum(col("__v")).cast("double").as("__V"))
+      .crossJoin(broadcast(tot))
+      .select(col("__Na").as("n_a"), col("__Nb").as("n_b"),
+        col("__Oa").as("obs_a"),
+        round(col("__Ea"), 4).as("exp_a"),
+        when(col("__V") > 0, round((col("__Oa") - col("__Ea")) /
+          sqrt(col("__V")), roundTo)).as("z"),
+        when(col("__V") > 0, round(
+          pow(col("__Oa") - col("__Ea"), 2) / col("__V"), roundTo))
+          .as("chi2"))
+  }
+
+  /** Pettitt change-point test per group — the rank-based (abrupt
+    * mean-shift) companion to [[cusum]]: U_t = 2W_t − t(n+1) where
+    * W_t is the running sum of midranks, K = max|U_t|, t* the
+    * earliest argmax, with the standard significance approximation
+    * p ≈ 2·exp(−6K²/(n³+n²)).
+    *
+    * Bounded-series contract ([[theilSen]]): the input is an
+    * ALREADY-AGGREGATED (group, x, y) daily series, so every window
+    * here is per-group over calendar-bounded rows. DOUBLED midranks
+    * R2 = rank + count(≤) keep W exact-integral under ties (the
+    * spearman discipline — U_t = ΣR2 − t(n+1) directly); ties break
+    * to the EARLIEST t. Output: (group, n, t_star x-value, k_stat,
+    * u_star, p_approx); a 1-point series produces no row (it has no
+    * interior split).
+    */
+  def pettitt(series: DataFrame, groupCol: String, xCol: String,
+              yCol: String, roundTo: Int = 6): DataFrame = {
+    val wv = Window.partitionBy(col("__g")).orderBy(col("__y"))
+    val wt = Window.partitionBy(col("__g")).orderBy(col("__x"))
+    val u = series.select(col(groupCol).as("__g"),
+        col(xCol).cast("long").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      // doubled midrank = rank + |{≤ y}| (RANGE frame counts peers)
+      .withColumn("__r2", rank().over(wv) + count(lit(1)).over(wv))
+      .withColumn("__t", row_number().over(wt))
+      .withColumn("__w2", sum(col("__r2")).over(wt))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .filter(col("__t") < col("__n")) // U_n ≡ 0 by construction
+      .withColumn("__u", col("__w2") - col("__t") * (col("__n") + 1))
+    u.groupBy(col("__g"))
+      .agg(max(col("__n")).as("__nn"),
+        max(struct(abs(col("__u")).as("k"), (-col("__t")).as("nt"),
+          col("__x").as("x"), col("__u").as("u"))).as("__m"))
+      .select(col("__g").as(groupCol), col("__nn").as("n"),
+        col("__m.x").as("t_star"), col("__m.k").as("k_stat"),
+        col("__m.u").as("u_star"),
+        round(lit(2.0) * exp(lit(-6.0) *
+          col("__m.k").cast("double") * col("__m.k") /
+          (pow(col("__nn").cast("double"), 3) +
+            col("__nn") * col("__nn"))), roundTo).as("p_approx"))
+  }
+
+  /** Ecological diversity profile per group over a unit histogram:
+    * richness (distinct units), Simpson concentration λ = Σp², its
+    * inverse (Hill N₂ — "effective number of units"), Shannon entropy
+    * H, and Hill N₁ = e^H — the abundance-weighted companions to
+    * [[graft.operators.TextOps.tokenEntropy]]'s token view and the
+    * concentration dual of gini.
+    *
+    * One (group, unit) hash agg then a per-group reduce over unit
+    * counts: λ computes EXACTLY as Σc²/N² with Σc² in DECIMAL(38,0);
+    * H = ln N − (Σ c·ln c)/N with each c·ln c term snapped to 8 dp
+    * and summed as DECIMAL(38,8) (order-independent; c = 1 terms are
+    * exactly 0). Single-unit groups: λ = 1, H = 0, hills = 1.
+    */
+  def diversity(df: DataFrame, groupCol: String, unitCol: String,
+                roundTo: Int = 6): DataFrame = {
+    val c = df.groupBy(col(groupCol).as("__g"), col(unitCol).as("__u"))
+      .agg(count(lit(1)).as("__c"))
+    c.groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"),
+        count(lit(1)).as("richness"),
+        sum(col("__c").cast("decimal(38,0)") * col("__c")).as("__s2"),
+        sum(round(col("__c").cast("double") *
+            log(col("__c").cast("double")), 8).cast("decimal(38,8)"))
+          .cast("double").as("__cl"))
+      .withColumn("__nd", col("__n").cast("double"))
+      .withColumn("__simp", col("__s2").cast("double") /
+        (col("__nd") * col("__nd")))
+      .withColumn("__h", log(col("__nd")) - col("__cl") / col("__nd"))
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        col("richness"),
+        round(col("__simp"), roundTo).as("simpson"),
+        round(lit(1.0) / col("__simp"), roundTo).as("inv_simpson"),
+        round(col("__h"), roundTo).as("shannon"),
+        round(exp(col("__h")), roundTo).as("hill1"))
+      .orderBy(groupCol)
+  }
+
+  /** Grubbs outlier statistic per group: G = max|v − mean|/sd — the
+    * PARAMETRIC (normal-theory) companion to [[tukeyOutliers]]' IQR
+    * fences, flagging the single most extreme value. Two passes like
+    * [[jarqueBera]]: exact-decimal moment sums give mean/sd (one
+    * double division each), broadcast back; the argmax is ONE
+    * max(struct) aggregate — deviation ties break to the LARGER
+    * value, deterministically. Degenerate groups (n ≤ 1 or sd = 0)
+    * yield null G.
+    */
+  def grubbs(df: DataFrame, groupCol: String, valCol: String,
+             roundTo: Int = 6): DataFrame = {
+    val v = df.select(col(groupCol).as("__g"),
+      round(col(valCol).cast("double"), 4).cast("decimal(18,4)")
+        .as("__v"))
+    val st = v.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__q"))
+      .withColumn("__mean", col("__s").cast("double") / col("__n"))
+      .withColumn("__var", when(col("__n") > 1,
+        (col("__q").cast("double") -
+          col("__s").cast("double") * col("__s").cast("double") /
+            col("__n")) / (col("__n") - 1)))
+      .withColumn("__sd", when(col("__var") > 0, sqrt(col("__var"))))
+    v.join(broadcast(st), "__g")
+      .withColumn("__dev", abs(col("__v").cast("double") - col("__mean")))
+      .groupBy(col("__g"))
+      .agg(first(col("__n")).as("__nn"), first(col("__mean")).as("__m"),
+        first(col("__sd")).as("__stdev"),
+        max(struct(col("__dev").as("d"),
+          col("__v").cast("double").as("v"))).as("__mx"))
+      .select(col("__g").as(groupCol), col("__nn").as("n"),
+        round(col("__m"), roundTo).as("mean"),
+        round(col("__stdev"), roundTo).as("sd"),
+        when(col("__stdev").isNotNull,
+          round(col("__mx.d") / col("__stdev"), roundTo)).as("g_stat"),
+        round(col("__mx.v"), 4).as("outlier_value"))
+      .orderBy(groupCol)
+  }
+
   /** 1-D Wasserstein (earth-mover) distance between the value
     * distributions of two sides — the drift metric that, unlike
     * KS/PSI/JS, weighs HOW FAR mass moved, not just whether it did:

@@ -430,7 +430,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("q197/q199/q200: the stat-test family runs windowless (pure moment aggregations)") {
     for (name <- Seq("q197_anova_f", "q199_brown_forsythe",
-        "q200_jarque_bera")) {
+        "q200_jarque_bera", "q203_diversity", "q204_grubbs")) {
       val df = plan(name)
       df.count()
       val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
@@ -441,14 +441,19 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
-  test("q198: Kruskal-Wallis ranks ride rangeCumSum — every window partitioned") {
-    val df = plan("q198_kruskal_wallis")
-    df.count()
-    val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
-      case w: WindowExec => w
+  test("q198/q201/q202: rank and risk-set windows all partitioned") {
+    // q198/q201 ride rangeCumSum (histogram/duration-bounded);
+    // q202's windows are per-group over the calendar-bounded series.
+    for (name <- Seq("q198_kruskal_wallis", "q201_logrank",
+        "q202_pettitt")) {
+      val df = plan(name)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"$name must never funnel rows through one partition")
     }
-    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
-      "the rank histogram must never funnel through one partition")
   }
 
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {

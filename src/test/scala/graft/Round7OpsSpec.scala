@@ -1422,4 +1422,95 @@ class Round7OpsSpec extends SparkSpec {
     assert(MetricOps.jarqueBera(sk, "g", "v").collect()
       .head.getAs[Double]("skewness") > 1.0)
   }
+
+  // ------------------------------------------------------------- logRank
+
+  test("logRank: hand-computed two-group O/E/V; chi2 = 49/17") {
+    // A events at t=1,2; B at t=3,4 (all observed):
+    // E_A = 1/2 + 1/3 = 5/6, V = 1/4 + 2/9 = 17/36, chi2 = 49/17
+    val subj = Seq((1L, 1, "A"), (2L, 1, "A"), (3L, 1, "B"),
+      (4L, 1, "B")).toDF("dur", "ev", "side")
+    val r = MetricOps.logRank(subj, "dur", "ev", "side", "A", "B")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2 && r.getAs[Long]("n_b") == 2)
+    assert(r.getAs[Long]("obs_a") == 2)
+    assert(r.getAs[Double]("exp_a") == 0.8333)
+    assert(r.getAs[Double]("chi2") ==
+      BigDecimal(49.0 / 17).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getAs[Double]("z") > 0) // A dies earlier → positive O−E
+    // one side empty → zero variance → null z
+    val solo = Seq((1L, 1, "A"), (2L, 1, "A")).toDF("dur", "ev", "side")
+    val rs = MetricOps.logRank(solo, "dur", "ev", "side", "A", "B")
+      .collect().head
+    assert(rs.isNullAt(rs.fieldIndex("z")))
+  }
+
+  // ------------------------------------------------------------- pettitt
+
+  test("pettitt: hand U-series, earliest-t tiebreak, midrank ties") {
+    // y=[1,2,10,11]: U = [-3,-4,-3] → K=4 at t=2, p=2e^{-1.2}
+    val s1 = Seq(("g", 1L, 1.0), ("g", 2L, 2.0), ("g", 3L, 10.0),
+      ("g", 4L, 11.0)).toDF("g", "x", "y")
+    val r = MetricOps.pettitt(s1, "g", "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 4)
+    assert(r.getAs[Long]("t_star") == 2L)
+    assert(r.getAs[Long]("k_stat") == 4L)
+    assert(r.getAs[Long]("u_star") == -4L)
+    assert(r.getAs[Double]("p_approx") ==
+      BigDecimal(2.0 * math.exp(-1.2)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // tied values use midranks: y=[5,5,1] → R2=[5,5,2], U=[1,2]
+    val s2 = Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 1.0))
+      .toDF("g", "x", "y")
+    val r2 = MetricOps.pettitt(s2, "g", "x", "y").collect().head
+    assert(r2.getAs[Long]("k_stat") == 2L &&
+      r2.getAs[Long]("t_star") == 2L)
+    // single-point series → no row
+    val s3 = Seq(("g", 1L, 5.0)).toDF("g", "x", "y")
+    assert(MetricOps.pettitt(s3, "g", "x", "y").count() == 0)
+  }
+
+  // ----------------------------------------------------------- diversity
+
+  test("diversity: hand Simpson/Shannon/Hill; single-unit group") {
+    // counts a×4, b×1: λ=17/25, N₂=25/17, H=ln5−(4ln4)/5
+    val df = Seq.fill(4)(("g", "a")) ++ Seq(("g", "b")) ++
+      Seq(("solo", "z"), ("solo", "z"))
+    val out = MetricOps.diversity(df.toDF("g", "u"), "g", "u")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rg = out("g")
+    assert(rg.getAs[Long]("n") == 5 && rg.getAs[Long]("richness") == 2)
+    assert(rg.getAs[Double]("simpson") == 0.68)
+    assert(rg.getAs[Double]("inv_simpson") ==
+      BigDecimal(25.0 / 17).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(math.abs(rg.getAs[Double]("shannon") - 0.500402) < 1e-6)
+    assert(math.abs(rg.getAs[Double]("hill1") -
+      math.exp(0.500402)) < 1e-4)
+    val rs = out("solo") // one unit: λ=1, H=0, both Hills 1
+    assert(rs.getAs[Double]("simpson") == 1.0 &&
+      rs.getAs[Double]("shannon") == 0.0 &&
+      rs.getAs[Double]("hill1") == 1.0)
+  }
+
+  // -------------------------------------------------------------- grubbs
+
+  test("grubbs: hand G; constant group null; tie → larger value") {
+    // [1,2,3,10]: mean 4, sd √(50/3), G = 6/sd
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 10.0),
+      ("c", 7.0), ("c", 7.0)).toDF("g", "v")
+    val out = MetricOps.grubbs(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val rg = out("g")
+    assert(rg.getAs[Double]("mean") == 4.0)
+    assert(math.abs(rg.getAs[Double]("g_stat") - 1.469694) < 1e-6)
+    assert(rg.getAs[Double]("outlier_value") == 10.0)
+    val rc = out("c")
+    assert(rc.isNullAt(rc.fieldIndex("g_stat")))
+    // symmetric deviations tie → the larger VALUE wins
+    val sym = Seq(("s", -5.0), ("s", 0.0), ("s", 5.0)).toDF("g", "v")
+    assert(MetricOps.grubbs(sym, "g", "v").collect()
+      .head.getAs[Double]("outlier_value") == 5.0)
+  }
 }
