@@ -2649,6 +2649,81 @@ object OracleSql {
         |    ELSE round(exp(CAST(cl AS DOUBLE)), 6) END AS survival
         |FROM s ORDER BY t""".stripMargin,
 
+    "q205_tpch_q2" ->
+      """WITH es AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |ep AS (SELECT p_partkey FROM part
+        |  WHERE p_size = 3 AND p_type = 'STANDARD'),
+        |pairs AS (SELECT l_partkey, l_suppkey,
+        |    min(round(l_extendedprice / l_quantity, 4)) AS cost
+        |  FROM lineitem JOIN ep ON l_partkey = p_partkey
+        |  JOIN es ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |mc AS (SELECT l_partkey AS mk, min(cost) AS mcost
+        |  FROM pairs GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, cost
+        |FROM pairs JOIN mc ON l_partkey = mk AND cost = mcost
+        |JOIN es ON l_suppkey = s_suppkey
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q206_tpch_q9" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |      AS DECIMAL(18,4))
+        |    - CAST(round(p_retailprice * 0.6, 4) AS DECIMAL(18,4))
+        |      * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_profit
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+
+    "q207_tpch_q11" ->
+      """WITH vals AS (SELECT n_name, l_partkey,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |      AS DECIMAL(18,4))) AS v
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT sum(v) AS t FROM vals)
+        |SELECT n_name, l_partkey, CAST(v AS DOUBLE) AS value
+        |FROM vals, tot WHERE v * 10000 > t
+        |ORDER BY value DESC, n_name, l_partkey""".stripMargin,
+
+    "q208_tpch_q16" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey
+        |  FROM lineitem)
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'SMALL%'
+        |  AND p_size IN (1, 2, 3, 4, 5)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |    WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q209_tpch_q20" ->
+      """WITH ex AS (SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qt,
+        |    CAST(sum(CASE WHEN year(l_shipdate) = 1996
+        |      THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+        |      AS qy
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |  GROUP BY 1, 2),
+        |sup AS (SELECT DISTINCT l_suppkey FROM ex WHERE qy * 2 > qt)
+        |SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |JOIN sup ON s_suppkey = l_suppkey
+        |WHERE n_name = 'NATION_3'
+        |ORDER BY s_name""".stripMargin,
+
     "q201_logrank" ->
       """WITH subj AS (SELECT user_id,
         |    CAST(date_diff('day', CAST(min(ts) AS DATE),

@@ -2257,6 +2257,138 @@ object SparkEntry {
       MetricOps.grubbs(Tables.customer(s, d), "c_mktsegment",
         "c_acctbal")),
 
+    // OLAP — TPC-H Q2 shape (minimum-cost supplier): the correlated
+    // scalar-min subquery becomes a per-part min agg joined back on
+    // (part, cost); the partsupp analogue is the observed
+    // (part, supplier) pair table with cost = min unit price shipped.
+    // All dims broadcast; the pair agg is the only fact shuffle.
+    "q205_tpch_q2" -> ((s, d) => {
+      val eligSupp = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+      val eligPart = broadcast(Tables.part(s, d)
+        .filter(col("p_size") === 3 && col("p_type") === "STANDARD")
+        .select(col("p_partkey")))
+      val pairs = Tables.lineitem(s, d)
+        .join(eligPart, col("l_partkey") === col("p_partkey"))
+        .join(eligSupp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(round(col("l_extendedprice") / col("l_quantity"), 4))
+          .as("cost"))
+        .localCheckpoint(false) // feeds the min agg AND the equi-join back
+      val minCost = pairs.groupBy(col("l_partkey").as("__mk"))
+        .agg(min(col("cost")).as("__mc"))
+      pairs
+        .join(minCost, col("l_partkey") === col("__mk") &&
+          col("cost") === col("__mc"))
+        .join(eligSupp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // OLAP — TPC-H Q9 shape (product-type profit by nation × year):
+    // profit = revenue − 0.6·retailprice·qty (the supplycost
+    // analogue), summed as exact decimals. Part/supplier/nation
+    // broadcast; the one wide exchange is lineitem ⋈ orders on
+    // orderkey.
+    "q206_tpch_q9" -> ((s, d) => {
+      val rev = expr(
+        "CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))")
+      val cost = expr(
+        "CAST(round(p_retailprice * 0.6, 4) AS DECIMAL(18,4)) * CAST(l_quantity AS BIGINT)")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_name").like("%gear%"))
+            .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"),
+          (rev - cost).as("__amount"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(col("__amount")).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // OLAP — TPC-H Q11 shape (important stock values): per
+    // (nation, part) shipped value vs a scalar fraction of the global
+    // total — the HAVING-subquery compares in multiply form against a
+    // broadcast 1-row total (no engine division).
+    "q207_tpch_q11" -> ((s, d) => {
+      val rev = expr(
+        "CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))")
+      val vals = Tables.lineitem(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("l_partkey"))
+        .agg(sum(rev).as("__v"))
+        .localCheckpoint(false) // feeds the scalar total AND the filter
+      val tot = vals.agg(sum(col("__v")).as("__tot"))
+      vals.crossJoin(broadcast(tot))
+        .filter(col("__v") * 10000 > col("__tot"))
+        .select(col("n_name"), col("l_partkey"),
+          col("__v").cast("double").as("value"))
+        .orderBy(col("value").desc, col("n_name"), col("l_partkey"))
+    }),
+
+    // OLAP — TPC-H Q16 shape (supplier count by part attribute): the
+    // NOT-IN complaint subquery is an anti join; the partsupp
+    // analogue is the distinct observed (part, supplier) pair; count
+    // is distinct suppliers per attribute triple.
+    "q208_tpch_q16" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") =!= "Brand#1" &&
+              !col("p_type").like("SMALL%") &&
+              col("p_size").isin(1, 2, 3, 4, 5))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)
+            .filter(col("s_acctbal") < 0).select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"),
+          col("p_type"), col("p_size"))
+    }),
+
+    // OLAP — TPC-H Q20 shape (excess-stock suppliers): the nested
+    // EXISTS chain becomes pair-level aggregation (1996 quantity vs
+    // HALF the all-time quantity, compared 2q > t in integer form) →
+    // semi join up to suppliers of one nation.
+    "q209_tpch_q20" -> ((s, d) => {
+      val excess = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_name").like("small%"))
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("__qt"),
+          sum(when(year(col("l_shipdate")) === 1996,
+            col("l_quantity").cast("long")).otherwise(0L)).as("__qy"))
+        .filter(col("__qy") * 2 > col("__qt"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), round(col("s_acctbal"), 2).as("s_acctbal"))
+        .orderBy(col("s_name"))
+    }),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).
