@@ -31,9 +31,16 @@ object StreamPipeline {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file-stream source wants a directory: stream the sf dir, filtered
     // to the events table
+    // ts physical type varies by generator vintage: raw nanos (read as
+    // long) divide down; TIMESTAMP_NTZ micros cast through the pinned
+    // UTC session zone — same normalization as Tables.events.
+    val tsMicro = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
     val events = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-      .withColumn("ts_micro", expr("ts div 1000"))
+      .withColumn("ts_micro", tsMicro)
       .withColumn("label", when(col("value") > 100, 1).otherwise(0))
 
     // ST1: bounded-state PIT

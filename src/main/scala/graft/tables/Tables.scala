@@ -29,12 +29,15 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** Events stream table. The parquet `ts` is TIMESTAMP(NANOS), which
-    * Spark's parquet reader rejects; read it as raw nanos
-    * (`nanosAsLong`) and truncate to a microsecond session-TZ TIMESTAMP
-    * with exact integer division — bit-identical to how DuckDB coerces
-    * the same column to its microsecond TIMESTAMP, so cross-engine
-    * ordering and interval arithmetic agree.
+  /** Events stream table, `ts` normalized to a microsecond session-TZ
+    * TIMESTAMP whatever the file encodes. Generators have shipped two
+    * physical types: TIMESTAMP(NANOS) — which Spark's reader rejects, so
+    * it's read as raw nanos (`nanosAsLong`) and truncated with exact
+    * integer division — and TIMESTAMP(MICROS) without UTC adjustment,
+    * which lands as TIMESTAMP_NTZ and casts losslessly under the pinned
+    * UTC session zone. Both normalizations are bit-identical to DuckDB's
+    * coercion of the same column to its microsecond TIMESTAMP, so
+    * cross-engine ordering and interval arithmetic agree.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // Owned sessions (Verify/Bench/Pipeline/specs) set nanosAsLong in
@@ -43,7 +46,13 @@ object Tables {
     // session config on every read.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already a session-TZ TIMESTAMP
+    }
   }
 }
