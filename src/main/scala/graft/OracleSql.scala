@@ -2724,6 +2724,226 @@ object OracleSql {
         |WHERE n_name = 'NATION_3'
         |ORDER BY s_name""".stripMargin,
 
+    "q210_woe_iv" ->
+      """WITH e AS (SELECT event_type AS f,
+        |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS label FROM events),
+        |lv AS (SELECT f, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(label) AS BIGINT) AS p FROM e GROUP BY 1),
+        |lv2 AS (SELECT f, n, p, n - p AS ng FROM lv),
+        |tot AS (SELECT CAST(sum(p) AS BIGINT) AS pt,
+        |    CAST(sum(ng) AS BIGINT) AS nt FROM lv2),
+        |sc AS (SELECT f, n, p, ng,
+        |    CAST(p AS DOUBLE) / pt AS pr, CAST(ng AS DOUBLE) / nt AS nr,
+        |    ln(((p + 0.5) / pt) / ((ng + 0.5) / nt)) AS woe
+        |  FROM lv2, tot),
+        |sc2 AS (SELECT f, n, p, ng, woe,
+        |    CAST(round((pr - nr) * woe, 12) AS DECIMAL(38,12)) AS iv12
+        |  FROM sc),
+        |ivt AS (SELECT sum(iv12) AS t FROM sc2)
+        |SELECT f AS event_type, n, p AS pos, ng AS neg,
+        |  round(woe, 6) AS woe, round(CAST(iv12 AS DOUBLE), 6) AS iv,
+        |  round(CAST(t AS DOUBLE), 6) AS iv_total
+        |FROM sc2, ivt ORDER BY 1""".stripMargin,
+
+    "q211_avg_precision" ->
+      """WITH u AS (SELECT user_id, user_id % 2 AS cohort,
+        |    CAST(count(*) AS BIGINT) AS score,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS label
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT cohort, round(CAST(score AS DOUBLE), 6) AS s,
+        |    CAST(sum(label) AS BIGINT) AS ps,
+        |    CAST(count(*) AS BIGINT) AS ts
+        |  FROM u GROUP BY 1, 2),
+        |c AS (SELECT cohort, ps, ts,
+        |    sum(ps) OVER (PARTITION BY cohort ORDER BY s DESC) AS cp,
+        |    sum(ts) OVER (PARTITION BY cohort ORDER BY s DESC) AS ct,
+        |    sum(ps) OVER (PARTITION BY cohort) AS np FROM h)
+        |SELECT cohort, CAST(sum(ts) AS BIGINT) AS n,
+        |  CAST(max(np) AS BIGINT) AS npos,
+        |  CASE WHEN max(np) > 0 THEN round(CAST(sum(
+        |    CAST(round(CASE WHEN np > 0 THEN
+        |        (CAST(ps AS DOUBLE) / np) * (CAST(cp AS DOUBLE) / ct)
+        |      END, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) END AS ap
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q212_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(count(*) AS BIGINT) AS sz,
+        |    CAST(count(DISTINCT CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS ldiv
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  min(sz) AS min_group_size,
+        |  CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_lt_k,
+        |  CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+        |    AS rows_lt_k,
+        |  min(ldiv) AS min_l_diversity,
+        |  round(CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+        |    / sum(sz), 6) AS at_risk_frac
+        |FROM g""".stripMargin,
+
+    "q213_local_clustering" ->
+      """WITH raw AS (SELECT l1.l_suppkey AS sa, l2.l_suppkey AS sb
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_suppkey < l2.l_suppkey
+        |  WHERE (l1.l_suppkey * 31 + l2.l_suppkey) % 20 = 0),
+        |e AS (SELECT DISTINCT least(sa, sb) AS a, greatest(sa, sb) AS b
+        |  FROM raw WHERE sa <> sb),
+        |deg AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS degree FROM
+        |  (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |o AS (SELECT CASE WHEN da.degree < db.degree
+        |      OR (da.degree = db.degree AND e.a < e.b)
+        |    THEN e.a ELSE e.b END AS src,
+        |  CASE WHEN da.degree < db.degree
+        |      OR (da.degree = db.degree AND e.a < e.b)
+        |    THEN e.b ELSE e.a END AS dst
+        |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+        |wg AS (SELECT o1.src, o1.dst AS v, o2.dst AS w FROM o o1
+        |  JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+        |tri AS (SELECT src, v, w FROM wg
+        |  WHERE EXISTS (SELECT 1 FROM e
+        |    WHERE e.a = wg.v AND e.b = wg.w)),
+        |tpn AS (SELECT n AS node, CAST(count(*) AS BIGINT) AS triangles
+        |  FROM (SELECT src AS n FROM tri UNION ALL SELECT v FROM tri
+        |    UNION ALL SELECT w FROM tri) GROUP BY 1)
+        |SELECT deg.node, deg.degree,
+        |  coalesce(tpn.triangles, 0) AS triangles,
+        |  CASE WHEN deg.degree >= 2 THEN
+        |    round(CAST(coalesce(tpn.triangles, 0) AS DOUBLE) * 2
+        |      / (deg.degree * (deg.degree - 1)), 6) END AS lcc
+        |FROM deg LEFT JOIN tpn ON deg.node = tpn.node
+        |ORDER BY 1""".stripMargin,
+
+    "q214_wilcoxon" ->
+      """WITH r AS (SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM events),
+        |p AS (SELECT user_id,
+        |    max(CASE WHEN rn = 1 THEN value END) AS first_v,
+        |    max(CASE WHEN rn = n THEN value END) AS last_v
+        |  FROM r WHERE n >= 2 GROUP BY 1),
+        |d AS (SELECT round(CAST(first_v AS DOUBLE)
+        |      - CAST(last_v AS DOUBLE), 4) AS d FROM p),
+        |dd AS (SELECT d FROM d WHERE d IS NOT NULL AND d <> 0),
+        |h AS (SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM dd GROUP BY 1),
+        |c AS (SELECT pos, t, sum(t) OVER (ORDER BY ad) AS cum FROM h),
+        |s AS (SELECT
+        |    sum(CAST(pos AS DECIMAL(38,0)) *
+        |      CAST(2 * (cum - t) + t + 1 AS DECIMAL(38,0))) AS wp2,
+        |    CAST(sum(t) AS DECIMAL(38,0)) AS n,
+        |    sum(CAST(t AS DECIMAL(38,0)) * t * t - t) AS ties
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round(CAST(wp2 AS DOUBLE) / 2, 4) AS w_plus,
+        |  CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+        |      * (2 * CAST(n AS DOUBLE) + 1) / 24.0
+        |      - CAST(ties AS DOUBLE) / 48.0 > 0
+        |    THEN round((CAST(wp2 AS DOUBLE) / 2
+        |        - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 4)
+        |      / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+        |        * (2 * CAST(n AS DOUBLE) + 1) / 24.0
+        |        - CAST(ties AS DOUBLE) / 48.0), 6) END AS z
+        |FROM s""".stripMargin,
+
+    "q215_jackknife" ->
+      """WITH e AS (SELECT dayofweek(ts) AS g,
+        |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS label FROM events),
+        |gt AS (SELECT g, CAST(sum(label) AS BIGINT) AS c,
+        |    CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ct,
+        |    CAST(sum(n) AS BIGINT) AS nt,
+        |    CAST(count(*) AS BIGINT) AS gc FROM gt),
+        |loo AS (SELECT CAST(round(CAST(ct - c AS DOUBLE) / (nt - n), 12)
+        |      AS DECIMAL(38,12)) AS th, ct, nt, gc
+        |  FROM gt, tot),
+        |m AS (SELECT CAST(round(CAST(sum(th) AS DOUBLE) / any_value(gc),
+        |    12) AS DECIMAL(38,12)) AS thbar FROM loo)
+        |SELECT any_value(gc) AS n_groups,
+        |  round(CAST(any_value(ct) AS DOUBLE) / any_value(nt), 6)
+        |    AS theta,
+        |  round(any_value(gc) * (CAST(any_value(ct) AS DOUBLE)
+        |      / any_value(nt))
+        |    - (any_value(gc) - 1) * CAST(any_value(thbar) AS DOUBLE), 6)
+        |    AS theta_jack,
+        |  CASE WHEN any_value(gc) > 1 THEN round(sqrt(CAST(sum(
+        |      CAST(round(CAST(th - thbar AS DOUBLE)
+        |        * CAST(th - thbar AS DOUBLE), 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) * (any_value(gc) - 1) / any_value(gc)), 6)
+        |    END AS jk_se
+        |FROM loo, m""".stripMargin,
+
+    "q216_key_skew" ->
+      """WITH pk AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT c, CAST(count(*) AS BIGINT) AS f FROM pk GROUP BY 1),
+        |cum AS (SELECT c, f, sum(f) OVER (ORDER BY c) AS cf FROM h),
+        |tot AS (SELECT CAST(sum(f) AS BIGINT) AS kk,
+        |    CAST(sum(c * f) AS BIGINT) AS rw, max(c) AS mx FROM h)
+        |SELECT any_value(rw) AS n_rows, any_value(kk) AS n_keys,
+        |  any_value(mx) AS max_count,
+        |  min(CASE WHEN cf * 2 >= kk + 1 THEN c END) AS p50_count,
+        |  min(CASE WHEN cf * 10 >= kk * 9 THEN c END) AS p90_count,
+        |  min(CASE WHEN cf * 100 >= kk * 99 THEN c END) AS p99_count,
+        |  round(CAST(any_value(rw) AS DOUBLE) / any_value(kk), 6)
+        |    AS avg_count,
+        |  round(CAST(any_value(mx) AS DOUBLE) * any_value(kk)
+        |    / any_value(rw), 6) AS skew_ratio,
+        |  round(CAST(any_value(mx) AS DOUBLE) / any_value(rw), 6)
+        |    AS top1_share
+        |FROM cum, tot""".stripMargin,
+
+    "q217_effect_sizes" ->
+      """WITH e AS (SELECT round(CAST(value AS DOUBLE), 4) AS v,
+        |    user_id % 2 AS side FROM events),
+        |h AS (SELECT v,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT v, na, nb,
+        |    sum(nb) OVER (ORDER BY v) AS cb FROM h),
+        |t AS (SELECT CAST(sum(nb) AS BIGINT) AS nbt FROM h),
+        |s AS (SELECT CAST(sum(na) AS DECIMAL(38,0)) AS qa,
+        |    CAST(sum(nb) AS DECIMAL(38,0)) AS qb,
+        |    sum(CAST(na AS DECIMAL(38,0))
+        |      * CAST(cb - nb AS DECIMAL(38,0))) AS gt,
+        |    sum(CAST(na AS DECIMAL(38,0))
+        |      * CAST(nbt - cb AS DECIMAL(38,0))) AS lt,
+        |    sum(CAST(v AS DECIMAL(18,4)) * na) AS sa,
+        |    sum(CAST(v AS DECIMAL(18,4)) * nb) AS sb,
+        |    sum(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4)) * na)
+        |      AS ssa,
+        |    sum(CAST(v AS DECIMAL(18,4)) * CAST(v AS DECIMAL(18,4)) * nb)
+        |      AS ssb
+        |  FROM c, t),
+        |f AS (SELECT qa, qb, gt, lt,
+        |    CAST(sa AS DOUBLE) / CAST(qa AS DOUBLE) AS ma,
+        |    CAST(sb AS DOUBLE) / CAST(qb AS DOUBLE) AS mb,
+        |    CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+        |      / CAST(qa AS DOUBLE) AS va,
+        |    CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+        |      / CAST(qb AS DOUBLE) AS vb
+        |  FROM s)
+        |SELECT CAST(qa AS BIGINT) AS n_a, CAST(qb AS BIGINT) AS n_b,
+        |  round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+        |  round(CAST(gt - lt AS DOUBLE) / CAST(qa * qb AS DOUBLE), 6)
+        |    AS cliffs_delta,
+        |  CASE WHEN qa + qb > 2 AND (va + vb)
+        |      / CAST(qa + qb - 2 AS DOUBLE) > 0
+        |    THEN round((ma - mb)
+        |      / sqrt((va + vb) / CAST(qa + qb - 2 AS DOUBLE)), 6)
+        |    END AS cohens_d
+        |FROM f""".stripMargin,
+
     "q201_logrank" ->
       """WITH subj AS (SELECT user_id,
         |    CAST(date_diff('day', CAST(min(ts) AS DATE),

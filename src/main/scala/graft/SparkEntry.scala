@@ -2389,6 +2389,82 @@ object SparkEntry {
         .orderBy(col("s_name"))
     }),
 
+    // L156 — WOE / information value of event_type against the click
+    // label (categorical feature screening; credit-scoring staple).
+    "q210_woe_iv" -> ((s, d) =>
+      MetricOps.woeIv(labeled(s, d), "event_type", "label")),
+
+    // L157 — average precision (PR-AUC step form) of an
+    // activity-count ranker for purchase propensity, per parity
+    // cohort: tie-robust by construction (distinct scores step once).
+    "q211_avg_precision" -> ((s, d) => {
+      val peruser = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("label"))
+        .withColumn("cohort", col("user_id") % 2)
+      MetricOps.averagePrecision(peruser, "cohort", "score", "label")
+    }),
+
+    // L158 — k-anonymity / l-diversity release audit: customers keyed
+    // by the (nation, segment) quasi-identifier, balance sign as the
+    // sensitive attribute, k = 5.
+    "q212_k_anonymity" -> ((s, d) =>
+      QualityChecks.kAnonymity(
+        Tables.customer(s, d)
+          .withColumn("bal_sign", when(col("c_acctbal") >= 0, 1).otherwise(0)),
+        Seq("c_nationkey", "c_mktsegment"), "bal_sign", k = 5)),
+
+    // L159 — local clustering coefficient per supplier over the q135
+    // co-order graph: the per-node refinement of the triangle census
+    // (same degree-oriented O(E^1.5) wedge join).
+    "q213_local_clustering" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d).alias("l1")
+        .join(Tables.lineitem(s, d).alias("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_suppkey") < col("l2.l_suppkey"))
+        .select(col("l1.l_suppkey").as("sa"), col("l2.l_suppkey").as("sb"))
+        .filter((col("sa") * 31 + col("sb")) % 20 === 0)
+      GraphOps.localClustering(edges, "sa", "sb")
+    }),
+
+    // L160 — Wilcoxon signed-rank on paired per-user values: first vs
+    // last event value (did within-user value drift?), the paired
+    // companion to q187's Mann–Whitney.
+    "q214_wilcoxon" -> ((s, d) => {
+      val paired = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("first_v"),
+          max_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("last_v"),
+          count(lit(1)).as("__n"))
+        .filter(col("__n") >= 2)
+      MetricOps.wilcoxonSignedRank(paired, "first_v", "last_v")
+    }),
+
+    // L161 — leave-one-group-out jackknife SE for the overall click
+    // rate, groups = day-of-week: deterministic resampling-free error
+    // bars on a ratio-of-sums metric.
+    "q215_jackknife" -> ((s, d) =>
+      MetricOps.jackknifeRatio(
+        labeled(s, d).withColumn("dow", dayofweek(col("ts")))
+          .withColumn("one", lit(1L)), // den = 1 per event → θ is a rate
+        "dow", "label", "one")),
+
+    // L162 — per-key skew profile of the events join key: the advisor
+    // a 100 TB shuffle consults before choosing salting vs AQE hints.
+    "q216_key_skew" -> ((s, d) =>
+      MetricOps.keySkewProfile(Tables.events(s, d), "user_id")),
+
+    // L163 — Cliff's delta + Cohen's d between parity cohorts on event
+    // value: the effect-size readout that accompanies a significant
+    // rank test.
+    "q217_effect_sizes" -> ((s, d) =>
+      MetricOps.effectSizes(
+        Tables.events(s, d).withColumn("cohort", col("user_id") % 2),
+        "value", "cohort", 0L, 1L)),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

@@ -412,4 +412,55 @@ object GraphOps {
         round(corr(col("__dl").cast("double"), col("__dr").cast("double")),
           roundTo).as("assortativity"))
   }
+
+  /** Local clustering coefficient per node: C(v) = 2·T(v)/(d(v)·(d(v)−1)),
+    * the fraction of v's neighbor pairs that are themselves connected —
+    * the per-node refinement of [[triangleCount]]'s global census.
+    *
+    * Same O(|E|^1.5) discipline: canonical edges once, degree-ordered
+    * orientation (out-degree ≤ √(2E) under any hub skew), wedge
+    * equi-join on the oriented source, closure probe against the
+    * canonical edge set. Each closed wedge IS one triangle (counted
+    * once), and it credits all three corners: explode the (src, v, w)
+    * triple and count per node. Degree-0/1 nodes get null C (no
+    * neighbor pair to close).
+    */
+  def localClustering(edges: DataFrame, srcCol: String, dstCol: String,
+                      roundTo: Int = 6): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // degrees + orientation + probe reuse it
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val withDeg = canon
+      .join(deg.select(col("node").as("a"), col("degree").as("__da")), "a")
+      .join(deg.select(col("node").as("b"), col("degree").as("__db")), "b")
+    val oriented = withDeg.select(
+        when(col("__da") < col("__db") ||
+          (col("__da") === col("__db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true)
+    val wedges = oriented.select(col("src"), col("dst").as("v"))
+      .join(oriented.select(col("src"), col("dst").as("w")), Seq("src"))
+      .filter(col("v") < col("w"))
+    val triangles = wedges
+      .join(canon.select(col("a").as("v"), col("b").as("w")),
+        Seq("v", "w"), "left_semi")
+    val triPerNode = triangles
+      .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        when(col("degree") >= 2,
+          round(coalesce(col("triangles"), lit(0L)).cast("double") * 2 /
+            (col("degree") * (col("degree") - 1)), roundTo)).as("lcc"))
+      .orderBy("node")
+  }
 }

@@ -1547,4 +1547,271 @@ object MetricOps {
         round(first(col("__lo")), 6).as("lo_fence"),
         round(first(col("__hi")), 6).as("hi_fence"))
   }
+
+  /** Weight-of-evidence / information-value encoding of a categorical
+    * feature against a binary label (the credit-scoring staple for
+    * feature screening): per level,
+    * WOE = ln(((pos+0.5)/posTot) / ((neg+0.5)/negTot)) — the 0.5
+    * Laplace shift keeps one-sided levels finite — and
+    * IV_i = (pos/posTot − neg/negTot)·WOE, with the feature's total IV
+    * repeated per row.
+    *
+    * Scale shape: ONE hash agg to the |levels|-row table; class totals
+    * are a 1-row broadcast. Per-level IV terms snap to 12 dp and sum as
+    * DECIMAL(38,12) (the chiSquare discipline) so the total is
+    * order-independent — a raw double Σ over levels would tie the last
+    * ulp to partial-agg order.
+    */
+  def woeIv(df: DataFrame, featureCol: String, labelCol: String,
+            roundTo: Int = 6): DataFrame = {
+    val lv = df.groupBy(col(featureCol).as("__f"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(labelCol).cast("long")).as("__p"))
+      .withColumn("__ng", col("n") - col("__p"))
+    val tot = lv.agg(sum(col("__p")).as("__pt"), sum(col("__ng")).as("__nt"))
+    val scored = lv.crossJoin(broadcast(tot))
+      .withColumn("__pr", col("__p").cast("double") / col("__pt"))
+      .withColumn("__nr", col("__ng").cast("double") / col("__nt"))
+      .withColumn("__woe",
+        log(((col("__p") + 0.5) / col("__pt")) /
+          ((col("__ng") + 0.5) / col("__nt"))))
+      .withColumn("__iv12",
+        round((col("__pr") - col("__nr")) * col("__woe"), 12)
+          .cast("decimal(38,12)"))
+      .localCheckpoint(false) // feeds the IV total AND the output rows
+    val ivTot = scored.agg(sum(col("__iv12")).as("__ivt"))
+    scored.crossJoin(broadcast(ivTot))
+      .select(col("__f").as(featureCol), col("n"), col("__p").as("pos"),
+        col("__ng").as("neg"), round(col("__woe"), roundTo).as("woe"),
+        round(col("__iv12").cast("double"), roundTo).as("iv"),
+        round(col("__ivt").cast("double"), roundTo).as("iv_total"))
+      .orderBy(featureCol)
+  }
+
+  /** Average precision (area under the precision–recall step curve,
+    * sklearn's `average_precision_score` definition) per group:
+    * AP = Σ_s (ΔR_s)·P_s over DISTINCT scores s descending, where
+    * ΔR_s = pos_s/P and P_s = cumPos_s/cumTot_s. Tie-robust by
+    * construction — ties share one step, no within-tie order enters.
+    *
+    * Scale shape: the [[globalRank]] discipline — scores quantize to
+    * 6 dp, so the per-(group, score) histogram is the only object the
+    * cumulative window sees (≤10⁶ rows per group, partitioned BY
+    * GROUP — never a raw-row or single-partition window). Step terms
+    * snap to 12 dp and sum as DECIMAL(38,12), keeping AP independent
+    * of partial-agg order.
+    */
+  def averagePrecision(df: DataFrame, groupCol: String, scoreCol: String,
+                       labelCol: String, roundTo: Int = 6): DataFrame = {
+    val hist = df
+      .select(col(groupCol).as("__g"),
+        round(col(scoreCol).cast("double"), 6).as("__s"),
+        col(labelCol).cast("long").as("__l"))
+      .groupBy(col("__g"), col("__s"))
+      .agg(sum(col("__l")).as("__ps"), count(lit(1)).as("__ts"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__s").desc)
+    val wAll = Window.partitionBy(col("__g"))
+    hist
+      .withColumn("__cp", sum(col("__ps")).over(w))
+      .withColumn("__ct", sum(col("__ts")).over(w))
+      .withColumn("__np", sum(col("__ps")).over(wAll))
+      .groupBy(col("__g"))
+      .agg(sum(col("__ts")).as("n"), max(col("__np")).as("npos"),
+        sum(round(when(col("__np") > 0,
+            (col("__ps").cast("double") / col("__np")) *
+              (col("__cp").cast("double") / col("__ct"))), 12)
+          .cast("decimal(38,12)")).as("__ap"))
+      .select(col("__g").as(groupCol), col("n"), col("npos"),
+        when(col("npos") > 0,
+          round(col("__ap").cast("double"), roundTo)).as("ap"))
+      .orderBy(groupCol)
+  }
+
+  /** Wilcoxon signed-rank test over PAIRED samples (one row per
+    * subject, columns a and b) — the paired companion to
+    * [[mannWhitney]]: does the within-subject difference distribution
+    * center on zero? Differences quantize to 4 dp; exact zeros drop
+    * (the standard treatment); |d| ranks come from ONE [[rangeCumSum]]
+    * over the bounded |d| histogram with tie-block average ranks in
+    * closed form, DOUBLED so the W⁺ moment accumulates exactly as
+    * DECIMAL(38,0). z uses the tie-corrected normal approximation
+    * var = n(n+1)(2n+1)/24 − Σ(t³−t)/48; an all-tied pool (zero
+    * variance) yields null z.
+    */
+  def wilcoxonSignedRank(df: DataFrame, aCol: String, bCol: String,
+                         roundTo: Int = 6): DataFrame = {
+    val d = df.select(round(col(aCol).cast("double") -
+        col(bCol).cast("double"), 4).as("__d"))
+      .filter(col("__d") =!= 0.0 && col("__d").isNotNull)
+    val hist = d.groupBy(abs(col("__d")).as("__ad"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__pos"))
+    val cum = rangeCumSum(hist, "__ad", Seq("__t"))
+    val s = cum
+      .withColumn("__before", col("__cum___t") - col("__t"))
+      .withColumn("__ar2", lit(2) * col("__before") + col("__t") + 1)
+      .agg(sum(col("__pos").cast("decimal(38,0)") *
+          col("__ar2").cast("decimal(38,0)")).as("__wp2"),
+        sum(col("__t")).cast("decimal(38,0)").as("__n"),
+        sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t")
+          - col("__t")).as("__ties"))
+    s.withColumn("__nn", col("__n").cast("double"))
+      .withColumn("__wp", col("__wp2").cast("double") / 2)
+      .withColumn("__var",
+        col("__nn") * (col("__nn") + 1) * (col("__nn") * 2 + 1) / 24.0 -
+          col("__ties").cast("double") / 48.0)
+      .select(col("__n").cast("long").as("n"),
+        round(col("__wp"), 4).as("w_plus"),
+        when(col("__var") > 0, round(
+          (col("__wp") - col("__nn") * (col("__nn") + 1) / 4) /
+            sqrt(col("__var")), roundTo)).as("z"))
+  }
+
+  /** Leave-one-group-out jackknife for a ratio-of-sums estimator
+    * θ = Σnum/Σden (CTR, conversion, revenue-per-event …): the
+    * standard-error machinery that needs NO resampling randomness —
+    * deterministic, partition-independent, and exactly mirrorable in
+    * SQL. Per group g, θ₋g = (C−c_g)/(N−n_g); the jackknife SE is
+    * √((G−1)/G · Σ(θ₋g − θ̄)²) and the bias-corrected point estimate
+    * is G·θ − (G−1)·θ̄.
+    *
+    * Scale shape: ONE hash agg to the G-row group table; totals are a
+    * 1-row broadcast. θ₋g values and squared deviations snap to 12 dp
+    * and sum as DECIMAL(38,12) so both reductions are order-exact.
+    */
+  def jackknifeRatio(df: DataFrame, groupCol: String, numCol: String,
+                     denCol: String, roundTo: Int = 6): DataFrame = {
+    val g = df.groupBy(col(groupCol).as("__g"))
+      .agg(sum(col(numCol).cast("long")).as("__c"),
+        sum(col(denCol).cast("long")).as("__n"))
+    val tot = g.agg(sum(col("__c")).as("__ct"), sum(col("__n")).as("__nt"),
+      count(lit(1)).as("__gc"))
+    val loo = g.crossJoin(broadcast(tot))
+      .withColumn("__th",
+        round((col("__ct") - col("__c")).cast("double") /
+          (col("__nt") - col("__n")), 12).cast("decimal(38,12)"))
+      .localCheckpoint(false) // feeds the mean AND the deviation pass
+    val mean = loo.agg((sum(col("__th")) / first(col("__gc")))
+      .cast("decimal(38,12)").as("__thbar"))
+    loo.crossJoin(broadcast(mean))
+      .agg(first(col("__gc")).as("__gcnt"),
+        first(col("__ct")).as("__ctt"), first(col("__nt")).as("__ntt"),
+        first(col("__thbar")).as("__tb"),
+        sum(round(
+            (col("__th") - col("__thbar")).cast("double") *
+              (col("__th") - col("__thbar")).cast("double"), 12)
+          .cast("decimal(38,12)")).as("__ss"))
+      .select(col("__gcnt").as("n_groups"),
+        round(col("__ctt").cast("double") / col("__ntt"), roundTo)
+          .as("theta"),
+        round((col("__gcnt") * (col("__ctt").cast("double") /
+            col("__ntt")) - (col("__gcnt") - 1) *
+          col("__tb").cast("double")), roundTo).as("theta_jack"),
+        when(col("__gcnt") > 1, round(
+          sqrt(col("__ss").cast("double") *
+            (col("__gcnt") - 1) / col("__gcnt")), roundTo)).as("jk_se"))
+  }
+
+  /** Per-key cardinality-skew profile — the shuffle-planning advisor a
+    * 100 TB join runs BEFORE picking a strategy (plain hash join vs
+    * salting vs AQE skew hints): exact max/percentile per-key counts,
+    * the heavy-key share, and the max/mean ratio that decides whether
+    * a key needs salting.
+    *
+    * Two bounded reductions: keys collapse to a per-key count (the
+    * only raw-row shuffle), counts collapse to a count-of-counts
+    * histogram (≤ |distinct count values| rows — the [[rangeCumSum]]
+    * discipline keeps its cumulation partitioned). Percentiles are
+    * inverse-CDF lower values at ⌈q·K⌉, computed with integer
+    * arithmetic — no float quantile estimation anywhere.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String,
+                     roundTo: Int = 6): DataFrame = {
+    val perKey = df.groupBy(col(keyCol).as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val hist = perKey.groupBy(col("__c")).agg(count(lit(1)).as("__f"))
+    val cum = rangeCumSum(hist, "__c", Seq("__f"))
+    val tot = hist.agg(sum(col("__f")).as("__kk"),
+      sum(col("__c") * col("__f")).as("__rows"), max(col("__c")).as("__mx"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first(col("__rows")).as("n_rows"),
+        first(col("__kk")).as("n_keys"),
+        first(col("__mx")).as("max_count"),
+        min(when(col("__cum___f") * 2 >= col("__kk") + 1, col("__c")))
+          .as("p50_count"),
+        min(when(col("__cum___f") * 10 >= col("__kk") * 9, col("__c")))
+          .as("p90_count"),
+        min(when(col("__cum___f") * 100 >= col("__kk") * 99, col("__c")))
+          .as("p99_count"))
+      .select(col("n_rows"), col("n_keys"), col("max_count"),
+        col("p50_count"), col("p90_count"), col("p99_count"),
+        round(col("n_rows").cast("double") / col("n_keys"), roundTo)
+          .as("avg_count"),
+        round(col("max_count").cast("double") * col("n_keys") /
+          col("n_rows"), roundTo).as("skew_ratio"),
+        round(col("max_count").cast("double") / col("n_rows"), roundTo)
+          .as("top1_share"))
+  }
+
+  /** Two-sample effect sizes between sides A and B: Cliff's delta
+    * δ = (#(a>b) − #(a<b)) / (nₐ·n_b) — the ORDINAL effect size, exact
+    * from pair counts — and Cohen's d on the pooled-SD scale — the
+    * PARAMETRIC one. Reporting both is the standard practice when a
+    * [[mannWhitney]] z says "significant" and the question becomes
+    * "how big".
+    *
+    * No pair is ever materialized: values quantize to 4 dp, ONE
+    * histogram carries (nₐ, n_b) per value, [[rangeCumSum]] gives each
+    * value's below-count for the cross-pair sums (exact integers in
+    * DECIMAL(38,0)), and the moment sums for d come off the same
+    * histogram as exact decimals.
+    */
+  def effectSizes(df: DataFrame, valueCol: String, sideCol: String,
+                  sideA: Any, sideB: Any, roundTo: Int = 6): DataFrame = {
+    val hist = df.filter(col(sideCol).isin(sideA, sideB))
+      .withColumn("__v", round(col(valueCol).cast("double"), 4))
+      .groupBy(col("__v"))
+      .agg(sum(when(col(sideCol) === sideA, 1L).otherwise(0L)).as("__na"),
+        sum(when(col(sideCol) === sideB, 1L).otherwise(0L)).as("__nb"))
+    val cum = rangeCumSum(hist, "__v", Seq("__na", "__nb"))
+    val totB = hist.agg(sum(col("__nb")).as("__nbt"))
+    val vd = cum.crossJoin(broadcast(totB))
+      .withColumn("__vd", col("__v").cast("decimal(18,4)"))
+    vd.agg(
+        sum(col("__na")).cast("decimal(38,0)").as("__qa"),
+        sum(col("__nb")).cast("decimal(38,0)").as("__qb"),
+        // #(a>b): each a-row beats every b strictly below its value
+        sum(col("__na").cast("decimal(38,0)") *
+          (col("__cum___nb") - col("__nb")).cast("decimal(38,0)"))
+          .as("__gt"),
+        // #(a<b): each a-row loses to every b strictly above
+        sum(col("__na").cast("decimal(38,0)") *
+          (col("__nbt") - col("__cum___nb")).cast("decimal(38,0)"))
+          .as("__lt"),
+        sum(col("__vd") * col("__na")).as("__sa"),
+        sum(col("__vd") * col("__nb")).as("__sb"),
+        sum(col("__vd") * col("__vd") * col("__na")).as("__ssa"),
+        sum(col("__vd") * col("__vd") * col("__nb")).as("__ssb"))
+      .withColumn("__ma", col("__sa").cast("double") / col("__qa"))
+      .withColumn("__mb", col("__sb").cast("double") / col("__qb"))
+      .withColumn("__va",
+        (col("__ssa").cast("double") - col("__sa").cast("double") *
+          col("__sa").cast("double") / col("__qa")))
+      .withColumn("__vb",
+        (col("__ssb").cast("double") - col("__sb").cast("double") *
+          col("__sb").cast("double") / col("__qb")))
+      .withColumn("__sp", when(col("__qa") + col("__qb") > 2,
+        sqrt((col("__va") + col("__vb")) /
+          (col("__qa") + col("__qb") - 2).cast("double"))))
+      .select(col("__qa").cast("long").as("n_a"),
+        col("__qb").cast("long").as("n_b"),
+        round(col("__ma"), roundTo).as("mean_a"),
+        round(col("__mb"), roundTo).as("mean_b"),
+        round((col("__gt") - col("__lt")).cast("double") /
+          (col("__qa") * col("__qb")).cast("double"), roundTo)
+          .as("cliffs_delta"),
+        when(col("__sp") > 0, round(
+          (col("__ma") - col("__mb")) / col("__sp"), roundTo))
+          .as("cohens_d"))
+  }
 }

@@ -127,6 +127,37 @@ object QualityChecks {
           col("n_orphans"))
     }.reduce(_ unionByName _)
 
+  /** k-anonymity / l-diversity audit over a quasi-identifier tuple —
+    * the privacy gate a training-data release runs before shipping:
+    * every row should hide in a quasi-identifier group of ≥ k rows
+    * (re-identification resistance), and each group should carry ≥ l
+    * distinct sensitive values (attribute-disclosure resistance).
+    *
+    * One hash agg to the |groups|-row table (size + distinct-sensitive
+    * per group), one tiny agg to the 1-row report — the raw table is
+    * scanned once and never re-shuffled. `rows_lt_k / n_rows` is the
+    * share of rows that would need suppression or generalization.
+    */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String, k: Int,
+                 roundTo: Int = 6): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns given")
+    val groups = df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__sz"),
+        countDistinct(col(sensitiveCol)).as("__ldiv"))
+    groups.agg(
+      sum(col("__sz")).as("n_rows"),
+      count(lit(1)).as("n_groups"),
+      min(col("__sz")).as("min_group_size"),
+      sum(when(col("__sz") < k, 1L).otherwise(0L)).as("groups_lt_k"),
+      sum(when(col("__sz") < k, col("__sz")).otherwise(0L)).as("rows_lt_k"),
+      min(col("__ldiv")).as("min_l_diversity"))
+    .select(col("n_rows"), col("n_groups"), col("min_group_size"),
+      col("groups_lt_k"), col("rows_lt_k"), col("min_l_diversity"),
+      round(col("rows_lt_k").cast("double") / col("n_rows"), roundTo)
+        .as("at_risk_frac"))
+  }
+
   def enforce(df: DataFrame, expectations: Seq[Expectation]): Unit = {
     val bad = report(df, expectations).filter(col("pass") === 0)
       .select("name", "violations").collect()

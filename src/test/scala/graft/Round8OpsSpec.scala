@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphOps, MetricOps, QualityChecks}
+
+/** Round-8 operator specs: WOE/IV against hand-computed tables,
+  * average precision vs the closed-form step curve (tie-robustness,
+  * degenerate all-negative groups), k-anonymity report invariants, and
+  * local clustering coefficient on graphs with known closure structure.
+  */
+class Round8OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------------------- woeIv
+
+  test("woeIv: hand-computed WOE and IV on a 2-level feature") {
+    // level a: 3 pos, 1 neg; level b: 1 pos, 3 neg → pt=4, nt=4
+    val df = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 0),
+      ("b", 1), ("b", 0), ("b", 0), ("b", 0)).toDF("f", "label")
+    val out = MetricOps.woeIv(df, "f", "label").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = out(0)
+    assert(a.getLong(1) == 4 && a.getLong(2) == 3 && a.getLong(3) == 1)
+    val woeA = math.log((3.5 / 4.0) / (1.5 / 4.0))
+    val ivA = (3.0 / 4 - 1.0 / 4) * woeA
+    assert(math.abs(a.getDouble(4) - woeA) < 1e-6)
+    assert(math.abs(a.getDouble(5) - ivA) < 1e-6)
+    // symmetric levels → iv_total = 2·ivA on every row
+    assert(math.abs(a.getDouble(6) - 2 * ivA) < 1e-6)
+    assert(math.abs(out(1).getDouble(4) + woeA) < 1e-6) // woe_b = −woe_a
+  }
+
+  test("woeIv: one-sided level stays finite via the 0.5 shift") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 0)).toDF("f", "label")
+    val out = MetricOps.woeIv(df, "f", "label").collect()
+    assert(out.forall(r => !r.isNullAt(4) &&
+      !r.getDouble(4).isInfinite && !r.getDouble(4).isNaN))
+  }
+
+  // --------------------------------------------------- averagePrecision
+
+  test("averagePrecision: perfect, inverted and tied rankers") {
+    // perfect: positives hold the top scores → AP = 1
+    val perfect = Seq((0L, 3.0, 1), (0L, 2.0, 1), (0L, 1.0, 0), (0L, 0.5, 0))
+    // inverted: positives at the bottom → AP = Σ ΔR·P = .5·(1/3)+.5·(2/4)
+    val inverted = Seq((1L, 3.0, 0), (1L, 2.0, 0), (1L, 1.0, 1), (1L, 0.5, 1))
+    val out = MetricOps.averagePrecision(
+        (perfect ++ inverted).toDF("g", "score", "label"),
+        "g", "score", "label")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(math.abs(out(0L) - 1.0) < 1e-6)
+    assert(math.abs(out(1L) - (0.5 / 3 + 0.5 * 2 / 4)) < 1e-6)
+  }
+
+  test("averagePrecision: ties form one step; all-negative group null") {
+    // one score bucket holds 1 pos + 1 neg: AP = P at that step = 2/3... no:
+    // steps: s=2 (1 pos of 2) → ΔR=1/2·? hand-compute:
+    //   s=3: pos=1, cum=(1,1) → term (1/2)·(1/1)
+    //   s=2: pos=1 tot=2, cum=(2,3) → term (1/2)·(2/3)
+    val tied = Seq((0L, 3.0, 1), (0L, 2.0, 1), (0L, 2.0, 0))
+    val neg = Seq((1L, 1.0, 0), (1L, 2.0, 0))
+    val out = MetricOps.averagePrecision(
+        (tied ++ neg).toDF("g", "score", "label"), "g", "score", "label")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(math.abs(out(0L).get - (0.5 + 0.5 * 2 / 3)) < 1e-6)
+    assert(out(1L).isEmpty)
+  }
+
+  // ----------------------------------------------------------- kAnonymity
+
+  test("kAnonymity: group sizes, risk share, l-diversity") {
+    val df = Seq(
+      ("us", "a", "x"), ("us", "a", "y"), ("us", "a", "x"), // size 3, l=2
+      ("us", "b", "x"),                                     // size 1, l=1
+      ("de", "a", "x"), ("de", "a", "x")                    // size 2, l=1
+    ).toDF("country", "seg", "diag")
+    val r = QualityChecks.kAnonymity(df, Seq("country", "seg"), "diag", 3)
+      .collect().head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 3)  // n_rows, n_groups
+    assert(r.getLong(2) == 1)                        // min size
+    assert(r.getLong(3) == 2 && r.getLong(4) == 3)   // groups/rows < k
+    assert(r.getLong(5) == 1)                        // min l-diversity
+    assert(math.abs(r.getDouble(6) - 0.5) < 1e-9)    // 3 of 6 rows at risk
+  }
+
+  // ------------------------------------------------------ localClustering
+
+  test("localClustering: triangle+pendant graph has known coefficients") {
+    // K3 on {1,2,3} plus pendant edge 3–4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = GraphOps.localClustering(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 1L, 1.0)))
+    assert(out(2L) == ((2L, 1L, 1.0)))
+    assert(out(3L) == ((3L, 1L, 0.333333))) // 2·1/(3·2) at 6 dp
+    assert(out(4L) == ((1L, 0L, -1.0))) // degree-1 → null coefficient
+  }
+
+  test("localClustering: K4 is fully clustered; sum T(v) = 3·triangles") {
+    val k4 = (for { a <- 1 to 4; b <- (a + 1) to 4 } yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val out = GraphOps.localClustering(k4, "a", "b").collect()
+    assert(out.length == 4)
+    assert(out.forall(r => r.getDouble(3) == 1.0 && r.getLong(1) == 3))
+    // K4 has 4 triangles; each of the 4 nodes sits in C(3,2)=3 of them
+    assert(out.map(_.getLong(2)).sum == 12)
+    // duplicate + reversed edges must not change anything
+    val noisy = GraphOps.localClustering(
+      k4.unionAll(k4.select(col("b").as("a"), col("a").as("b"))), "a", "b")
+      .collect()
+    assert(noisy.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq == out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  // ---------------------------------------------------- wilcoxonSignedRank
+
+  test("wilcoxonSignedRank: hand W+, zero-diff drop, tie ranks") {
+    // diffs 1, −2, 3, 4 → ranks 1..4, W+ = 1+3+4 = 8; plus one zero
+    // pair that must drop from n
+    val df = Seq((2.0, 1.0), (1.0, 3.0), (4.0, 1.0), (9.0, 5.0), (5.0, 5.0))
+      .toDF("a", "b")
+    val r = MetricOps.wilcoxonSignedRank(df, "a", "b").collect().head
+    assert(r.getLong(0) == 4)
+    assert(r.getDouble(1) == 8.0)
+    val z = (8.0 - 5.0) / math.sqrt(4.0 * 5 * 9 / 24)
+    assert(math.abs(r.getDouble(2) - z) < 1e-6)
+
+    // tied |d|: 1, −1, 2 → avg rank 1.5 each, W+ = 1.5 + 3 = 4.5
+    val tied = Seq((2.0, 1.0), (1.0, 2.0), (5.0, 3.0)).toDF("a", "b")
+    val rt = MetricOps.wilcoxonSignedRank(tied, "a", "b").collect().head
+    assert(rt.getLong(0) == 3 && rt.getDouble(1) == 4.5)
+  }
+
+  // ------------------------------------------------------- jackknifeRatio
+
+  test("jackknifeRatio: two-group closed form") {
+    // g1: 1/2, g2: 3/4 → θ = 4/6; θ₋1 = 3/4, θ₋2 = 1/2, θ̄ = 5/8
+    val df = Seq(("g1", 1L, 1L), ("g1", 0L, 1L),
+      ("g2", 1L, 1L), ("g2", 1L, 1L), ("g2", 1L, 1L), ("g2", 0L, 1L))
+      .toDF("g", "num", "den")
+    val r = MetricOps.jackknifeRatio(df, "g", "num", "den").collect().head
+    assert(r.getLong(0) == 2)
+    assert(math.abs(r.getDouble(1) - 4.0 / 6) < 1e-6)
+    assert(math.abs(r.getDouble(2) - (2 * 4.0 / 6 - 0.625)) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 0.125) < 1e-6)
+  }
+
+  // ------------------------------------------------------- keySkewProfile
+
+  test("keySkewProfile: percentiles and skew on a hot-key layout") {
+    // 4 singleton keys + one 6-row hot key
+    val rows = (Seq.fill(6)("hot") ++ Seq("a", "b", "c", "d")).toDF("k")
+    val r = MetricOps.keySkewProfile(rows, "k").collect().head
+    assert(r.getLong(0) == 10 && r.getLong(1) == 5 && r.getLong(2) == 6)
+    assert(r.getLong(3) == 1 && r.getLong(4) == 6 && r.getLong(5) == 6)
+    assert(r.getDouble(6) == 2.0)     // avg
+    assert(r.getDouble(7) == 3.0)     // max/avg
+    assert(r.getDouble(8) == 0.6)     // top1 share
+  }
+
+  // ---------------------------------------------------------- effectSizes
+
+  test("effectSizes: hand Cliff's delta and Cohen's d") {
+    // A = {1,2}, B = {1,3}: #(a>b)=1, #(a<b)=2 → δ = −1/4;
+    // d = (1.5−2)/√((0.5+2)/2)
+    val df = Seq((0, 1.0), (0, 2.0), (1, 1.0), (1, 3.0)).toDF("side", "v")
+    val r = MetricOps.effectSizes(df, "v", "side", 0, 1).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 1.5 && r.getDouble(3) == 2.0)
+    assert(math.abs(r.getDouble(4) + 0.25) < 1e-9)
+    assert(math.abs(r.getDouble(5) - (-0.5 / math.sqrt(1.25))) < 1e-6)
+  }
+
+  test("effectSizes: identical sides → delta 0, d null") {
+    val df = Seq((0, 1.0), (0, 2.0), (1, 1.0), (1, 2.0)).toDF("side", "v")
+    val r = MetricOps.effectSizes(df, "v", "side", 0, 1).collect().head
+    assert(r.getDouble(4) == 0.0)
+    assert(!r.isNullAt(5) && math.abs(r.getDouble(5)) < 1e-9)
+    // degenerate: all values equal → pooled sd 0 → d null
+    val const = Seq((0, 1.0), (0, 1.0), (1, 1.0)).toDF("side", "v")
+    assert(MetricOps.effectSizes(const, "v", "side", 0, 1)
+      .collect().head.isNullAt(5))
+  }
+}
