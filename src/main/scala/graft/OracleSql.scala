@@ -2944,6 +2944,117 @@ object OracleSql {
         |    END AS cohens_d
         |FROM f""".stripMargin,
 
+    "q218_rec_list_metrics" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        |  FROM e),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM n a, n b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p),
+        |recs AS (SELECT vec_id AS lst, neighbor_id AS item FROM r
+        |  WHERE rn <= 5),
+        |pop AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM recs
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt,
+        |    CAST(count(*) AS BIGINT) AS ni FROM pop),
+        |nov AS (SELECT any_value(tt) AS nrec, any_value(ni) AS nd,
+        |    sum(CAST(round(c * -log2(CAST(c AS DOUBLE) / tt), 12)
+        |      AS DECIMAL(38,12))) AS nv
+        |  FROM pop, tot),
+        |cat AS (SELECT CAST(count(*) AS BIGINT) AS catn FROM embeddings),
+        |pr AS (SELECT ra.lst, ra.item AS ia, rb.item AS ib
+        |  FROM recs ra JOIN recs rb
+        |    ON ra.lst = rb.lst AND ra.item < rb.item),
+        |ps AS (SELECT pr.lst,
+        |    list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) AS sim
+        |  FROM pr JOIN n na ON pr.ia = na.vec_id
+        |    JOIN n nb ON pr.ib = nb.vec_id),
+        |lm AS (SELECT lst, CAST(sum(CAST(round(sim, 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+        |  FROM ps GROUP BY 1),
+        |ils AS (SELECT CAST(count(*) AS BIGINT) AS nl,
+        |    sum(CAST(round(m, 12) AS DECIMAL(38,12))) AS s FROM lm)
+        |SELECT ils.nl AS n_lists, nov.nrec AS n_recs,
+        |  round(CAST(nov.nd AS DOUBLE) / cat.catn, 6) AS coverage,
+        |  round(CAST(nov.nv AS DOUBLE) / nov.nrec, 6) AS novelty,
+        |  round(CAST(ils.s AS DOUBLE) / ils.nl, 6) AS ils
+        |FROM nov, ils, cat""".stripMargin,
+
+    "q219_textrank" -> {
+      def iter(i: Int) =
+        s"""c$i AS (SELECT e.ed AS node,
+           |  sum(CAST(round(r.rank / dg.deg, 14) AS DECIMAL(30,16))) AS s
+           |  FROM edg e JOIN r${i - 1} r ON r.node = e.es
+           |  JOIN dg ON dg.node = e.es
+           |  GROUP BY e.ed),
+           |r$i AS (SELECT n.node,
+           |  round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+           |    coalesce(CAST(c.s AS DOUBLE), 0), 12) AS rank
+           |  FROM nd n CROSS JOIN nn LEFT JOIN c$i c ON c.node = n.node)"""
+          .stripMargin
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents),
+         |bg AS (SELECT DISTINCT least(t[i], t[i + 1]) AS a,
+         |    greatest(t[i], t[i + 1]) AS b
+         |  FROM toks, (SELECT unnest(generate_series(1,
+         |    (SELECT max(len(string_split(text, ' '))) FROM documents)))
+         |    AS i)
+         |  WHERE i + 1 <= len(t) AND t[i] <> t[i + 1]),
+         |edg AS (SELECT a AS es, b AS ed FROM bg
+         |        UNION ALL SELECT b, a FROM bg),
+         |nd AS (SELECT DISTINCT unnest(t) AS node FROM toks),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+         |dg AS (SELECT es AS node, CAST(count(*) AS DOUBLE) AS deg
+         |       FROM edg GROUP BY es),
+         |r0 AS (SELECT node, round(CAST(1 AS DOUBLE) / nn.n, 12) AS rank
+         |       FROM nd CROSS JOIN nn),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node AS token, round(rank, 6) AS rank
+         |FROM r3 ORDER BY 2 DESC, 1 LIMIT 30""".stripMargin
+    },
+
+    "q220_mcnemar" ->
+      """WITH u AS (SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS b
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c
+        |  FROM u)
+        |SELECT n_pairs, b, c,
+        |  CASE WHEN b + c > 0 THEN round(
+        |    CAST(abs(b - c) - 1 AS DOUBLE) * (abs(b - c) - 1)
+        |      / (b + c), 6) END AS chi2,
+        |  CASE WHEN b + c > 0 THEN round(
+        |    CAST(b - c AS DOUBLE) / sqrt(CAST(b + c AS DOUBLE)), 6)
+        |    END AS z
+        |FROM s""".stripMargin,
+
+    "q221_readability" ->
+      """WITH s AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+        |      AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN round(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+        |    END AS flesch
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "q201_logrank" ->
       """WITH subj AS (SELECT user_id,
         |    CAST(date_diff('day', CAST(min(ts) AS DATE),

@@ -2465,6 +2465,51 @@ object SparkEntry {
         Tables.events(s, d).withColumn("cohort", col("user_id") % 2),
         "value", "cohort", 0L, 1L)),
 
+    // L164 — rec-list quality beyond accuracy: coverage / novelty /
+    // intra-list similarity of the q26 cosine top-5 lists.
+    "q218_rec_list_metrics" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val recs = SimilarityOps.cosineTopK(emb, "vec_id", "embedding", 5)
+      SimilarityOps.recListMetrics(recs, "vec_id", "neighbor_id",
+        emb, "vec_id", "embedding")
+    }),
+
+    // L165 — TextRank keyword ranking: deterministic PageRank over the
+    // adjacent-token co-occurrence graph (undirected), top 30 tokens.
+    "q219_textrank" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "i", "tok")
+      val w = Window.partitionBy("doc_id").orderBy("i")
+      val bi = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+        .select(least(col("tok"), col("nxt")).as("a"),
+          greatest(col("tok"), col("nxt")).as("b"))
+        .distinct()
+      val edges = bi.unionAll(bi.select(col("b").as("a"), col("a").as("b")))
+      val nodes = toks.select(col("tok")).distinct()
+      GraphOps.pageRankPortable(nodes, "tok", edges, "a", "b", 3)
+        .select(col("node").as("token"), col("rank"))
+        .orderBy(col("rank").desc, col("token")).limit(30)
+    }),
+
+    // L166 — McNemar paired marginal test: within-user, does clicking
+    // co-move with purchasing? Only the discordant users matter.
+    "q220_mcnemar" -> ((s, d) =>
+      MetricOps.mcnemar(
+        Tables.events(s, d).groupBy(col("user_id"))
+          .agg(max(when(col("event_type") === "click", 1).otherwise(0))
+              .as("has_click"),
+            max(when(col("event_type") === "purchase", 1).otherwise(0))
+              .as("has_purchase")),
+        "has_click", "has_purchase")),
+
+    // L167 — Flesch reading ease per document (vowel-run syllable
+    // approximation; map-only, codegen'd).
+    "q221_readability" -> ((s, d) =>
+      TextOps.readability(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

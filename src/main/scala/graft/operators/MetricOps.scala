@@ -1814,4 +1814,29 @@ object MetricOps {
           (col("__ma") - col("__mb")) / col("__sp"), roundTo))
           .as("cohens_d"))
   }
+
+  /** McNemar's test over PAIRED binary outcomes (one row per subject,
+    * two 0/1 columns): did the marginal rate change within subjects?
+    * Only the discordant cells matter — b = #(a=1,b=0), c = #(a=0,b=1);
+    * χ² uses the continuity-corrected (|b−c|−1)²/(b+c) and z is the
+    * matching signed normal (b−c)/√(b+c). ONE aggregate over the
+    * subject table; concordant-only input (b+c = 0) yields nulls
+    * rather than 0/0.
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String,
+              roundTo: Int = 6): DataFrame = {
+    val s = df.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col(aCol).cast("int") === 1 && col(bCol).cast("int") === 0,
+        1L).otherwise(0L)).as("b"),
+      sum(when(col(aCol).cast("int") === 0 && col(bCol).cast("int") === 1,
+        1L).otherwise(0L)).as("c"))
+    s.select(col("n_pairs"), col("b"), col("c"),
+      when(col("b") + col("c") > 0, round(
+        (abs(col("b") - col("c")) - 1).cast("double") *
+          (abs(col("b") - col("c")) - 1) / (col("b") + col("c")),
+        roundTo)).as("chi2"),
+      when(col("b") + col("c") > 0, round(
+        (col("b") - col("c")).cast("double") /
+          sqrt((col("b") + col("c")).cast("double")), roundTo)).as("z"))
+  }
 }

@@ -294,4 +294,58 @@ object SimilarityOps {
         round(sqrt(sum(round(col("__b.__d2"), 12).cast("decimal(28,14)"))
           .cast("double")), 6).as("recon_err"): _*)
   }
+
+  /** Recommendation-list quality beyond accuracy — the serving-side
+    * audit triple over a (list, item) table plus the item embeddings:
+    * catalog coverage (share of the catalog any list surfaces),
+    * novelty (mean −log₂ popularity-share of a recommended item — high
+    * when lists escape the head), and intra-list similarity (mean
+    * pairwise cosine within a list — the diversity dual).
+    *
+    * Scale shape: the rec table collapses once per metric family —
+    * popularity is a hash agg on item (novelty is then a closed form
+    * over the |items|-row table), ILS pairs are the within-list k²
+    * self-join of the SMALL rec table (k per list, never the catalog),
+    * with embeddings joined by item key. Every floating reduction snaps
+    * to 12 dp and sums as DECIMAL (order-independent).
+    */
+  def recListMetrics(recs: DataFrame, listCol: String, itemCol: String,
+                     items: DataFrame, itemIdCol: String, embCol: String,
+                     roundTo: Int = 6): DataFrame = {
+    val r = recs.select(col(listCol).as("__list"), col(itemCol).as("__item"))
+      .localCheckpoint(true) // feeds popularity, coverage AND the pair join
+    val catalog = items.agg(count(lit(1)).as("__cat"))
+    val pop = r.groupBy(col("__item")).agg(count(lit(1)).as("__c"))
+    val tot = pop.agg(sum(col("__c")).as("__tot"),
+      count(lit(1)).as("__ni")) // pop rows ARE the distinct items
+    val novelty = pop.crossJoin(broadcast(tot))
+      .agg(first(col("__tot")).as("__nrec"), first(col("__ni")).as("__nd"),
+        sum(round(col("__c") * -log2(col("__c").cast("double") /
+            col("__tot")), 12).cast("decimal(38,12)")).as("__nv"))
+    val n = normalized(items, itemIdCol, embCol)
+    val pairs = r.alias("ra").join(r.alias("rb"),
+        col("ra.__list") === col("rb.__list") &&
+          col("ra.__item") < col("rb.__item"))
+      .select(col("ra.__list").as("__list"), col("ra.__item").as("__ia"),
+        col("rb.__item").as("__ib"))
+      .join(n.select(col("id").as("__ia"), col("emb").as("__ea"),
+        col("nrm").as("__na")), "__ia")
+      .join(n.select(col("id").as("__ib"), col("emb").as("__eb"),
+        col("nrm").as("__nb")), "__ib")
+      .withColumn("__sim",
+        expr("graft_dot(__ea, __eb)") / (col("__na") * col("__nb")))
+    val ils = pairs.groupBy(col("__list"))
+      .agg((sum(round(col("__sim"), 12).cast("decimal(38,12)"))
+        .cast("double") / count(lit(1))).as("__lm"))
+      .agg(count(lit(1)).as("__nl"),
+        sum(round(col("__lm"), 12).cast("decimal(38,12)")).as("__ils"))
+    novelty.crossJoin(broadcast(ils)).crossJoin(broadcast(catalog))
+      .select(col("__nl").as("n_lists"), col("__nrec").as("n_recs"),
+        round(col("__nd").cast("double") / col("__cat"), roundTo)
+          .as("coverage"),
+        round(col("__nv").cast("double") / col("__nrec"), roundTo)
+          .as("novelty"),
+        round(col("__ils").cast("double") / col("__nl"), roundTo)
+          .as("ils"))
+  }
 }

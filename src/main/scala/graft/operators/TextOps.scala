@@ -665,4 +665,30 @@ object TextOps {
     half.agg(max("__na").as("n_tokens_a"), max("__nb").as("n_tokens_b"),
       round(sum("__term").cast("double"), 6).as("js_nats"))
   }
+
+  /** Flesch reading-ease per document — the classic readability screen
+    * a curation pipeline uses next to [[qualityScore]]:
+    * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    * syllables approximated as vowel-group runs ([aeiouy]+). All three
+    * counts are per-row regex/array expressions — map-only, no shuffle,
+    * fully codegen'd; vowel runs never span the space delimiter, so the
+    * doc-level count equals the per-word sum without an explode.
+    * Sentence count floors at 1 (fragments still read as one sentence).
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String,
+                  roundTo: Int = 4): DataFrame = {
+    val words = size(tokens(col(textCol))).cast("long")
+    val sents = greatest(
+      size(regexp_extract_all(col(textCol), lit("[.!?]"), lit(0)))
+        .cast("long"), lit(1L))
+    val syl = size(regexp_extract_all(lower(col(textCol)),
+      lit("[aeiouy]+"), lit(0))).cast("long")
+    df.select(col(idCol), words.as("n_words"), sents.as("n_sentences"),
+        syl.as("n_syllables"))
+      .withColumn("flesch", when(col("n_words") > 0, round(
+        lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+        roundTo)))
+  }
 }

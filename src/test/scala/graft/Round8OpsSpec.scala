@@ -183,4 +183,53 @@ class Round8OpsSpec extends SparkSpec {
     assert(MetricOps.effectSizes(const, "v", "side", 0, 1)
       .collect().head.isNullAt(5))
   }
+
+  // -------------------------------------------------------------- mcnemar
+
+  test("mcnemar: discordant-cell closed form; concordant-only null") {
+    val df = Seq((1, 0), (1, 0), (1, 0), (0, 1), (1, 1), (1, 1))
+      .toDF("a", "b")
+    val r = MetricOps.mcnemar(df, "a", "b").collect().head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 3 && r.getLong(2) == 1)
+    assert(r.getDouble(3) == 0.25) // (|3−1|−1)²/4
+    assert(r.getDouble(4) == 1.0)  // 2/√4
+    val conc = Seq((1, 1), (0, 0)).toDF("a", "b")
+    val rc = MetricOps.mcnemar(conc, "a", "b").collect().head
+    assert(rc.isNullAt(3) && rc.isNullAt(4))
+  }
+
+  // ---------------------------------------------------------- readability
+
+  test("readability: vowel-run syllables, sentence floor") {
+    val docs = Seq((1L, "the cat sat. it ran!"), (2L, "bcd"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextOps.readability(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getLong(1) == 5 && d1.getLong(2) == 2 && d1.getLong(3) == 5)
+    assert(d1.getDouble(4) == 119.6975) // (206.835 − 1.015·2.5 − 84.6) at 4 dp
+    // no vowels, no punctuation → sentence floor 1, zero syllables
+    val d2 = out(2L)
+    assert(d2.getLong(1) == 1 && d2.getLong(2) == 1 && d2.getLong(3) == 0)
+  }
+
+  // ------------------------------------------------------- recListMetrics
+
+  test("recListMetrics: hand coverage/novelty/ILS on orthogonal vectors") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    // lists: L1 = {1,2}, L2 = {2,3}; pop = (1:1, 2:2, 3:1), 4 recs
+    val recs = Seq((10L, 1L), (10L, 2L), (20L, 2L), (20L, 3L))
+      .toDF("lst", "item")
+    val r = graft.operators.SimilarityOps.recListMetrics(
+      recs, "lst", "item", emb, "vec_id", "embedding").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 0.75) // 3 of 4 catalog items surfaced
+    // novelty = (1·2 + 2·1 + 1·2)/4 bits
+    assert(math.abs(r.getDouble(3) - 1.5) < 1e-9)
+    // both in-list pairs are orthogonal → ILS 0
+    assert(math.abs(r.getDouble(4)) < 1e-9)
+  }
 }
