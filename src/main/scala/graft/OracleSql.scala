@@ -2733,8 +2733,10 @@ object OracleSql {
         |tot AS (SELECT CAST(sum(p) AS BIGINT) AS pt,
         |    CAST(sum(ng) AS BIGINT) AS nt FROM lv2),
         |sc AS (SELECT f, n, p, ng,
-        |    CAST(p AS DOUBLE) / pt AS pr, CAST(ng AS DOUBLE) / nt AS nr,
-        |    ln(((p + 0.5) / pt) / ((ng + 0.5) / nt)) AS woe
+        |    CASE WHEN pt > 0 THEN CAST(p AS DOUBLE) / pt END AS pr,
+        |    CASE WHEN nt > 0 THEN CAST(ng AS DOUBLE) / nt END AS nr,
+        |    CASE WHEN pt > 0 AND nt > 0 THEN
+        |      ln(((p + 0.5) / pt) / ((ng + 0.5) / nt)) END AS woe
         |  FROM lv2, tot),
         |sc2 AS (SELECT f, n, p, ng, woe,
         |    CAST(round((pr - nr) * woe, 12) AS DECIMAL(38,12)) AS iv12
@@ -2861,8 +2863,9 @@ object OracleSql {
         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ct,
         |    CAST(sum(n) AS BIGINT) AS nt,
         |    CAST(count(*) AS BIGINT) AS gc FROM gt),
-        |loo AS (SELECT CAST(round(CAST(ct - c AS DOUBLE) / (nt - n), 12)
-        |      AS DECIMAL(38,12)) AS th, ct, nt, gc
+        |loo AS (SELECT CAST(CASE WHEN nt > n THEN
+        |      round(CAST(ct - c AS DOUBLE) / (nt - n), 12)
+        |      END AS DECIMAL(38,12)) AS th, ct, nt, gc
         |  FROM gt, tot),
         |m AS (SELECT CAST(round(CAST(sum(th) AS DOUBLE) / any_value(gc),
         |    12) AS DECIMAL(38,12)) AS thbar FROM loo)

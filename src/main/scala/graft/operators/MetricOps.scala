@@ -1569,12 +1569,16 @@ object MetricOps {
         sum(col(labelCol).cast("long")).as("__p"))
       .withColumn("__ng", col("n") - col("__p"))
     val tot = lv.agg(sum(col("__p")).as("__pt"), sum(col("__ng")).as("__nt"))
+    // one-class degenerate input (a class total of 0) nulls the scores
+    // instead of dividing by zero under ANSI
     val scored = lv.crossJoin(broadcast(tot))
-      .withColumn("__pr", col("__p").cast("double") / col("__pt"))
-      .withColumn("__nr", col("__ng").cast("double") / col("__nt"))
-      .withColumn("__woe",
+      .withColumn("__pr",
+        when(col("__pt") > 0, col("__p").cast("double") / col("__pt")))
+      .withColumn("__nr",
+        when(col("__nt") > 0, col("__ng").cast("double") / col("__nt")))
+      .withColumn("__woe", when(col("__pt") > 0 && col("__nt") > 0,
         log(((col("__p") + 0.5) / col("__pt")) /
-          ((col("__ng") + 0.5) / col("__nt"))))
+          ((col("__ng") + 0.5) / col("__nt")))))
       .withColumn("__iv12",
         round((col("__pr") - col("__nr")) * col("__woe"), 12)
           .cast("decimal(38,12)"))
@@ -1686,10 +1690,12 @@ object MetricOps {
         sum(col(denCol).cast("long")).as("__n"))
     val tot = g.agg(sum(col("__c")).as("__ct"), sum(col("__n")).as("__nt"),
       count(lit(1)).as("__gc"))
+    // a single-group input leaves θ₋g with an empty complement — null
+    // it (and everything downstream) instead of dividing by zero
     val loo = g.crossJoin(broadcast(tot))
-      .withColumn("__th",
+      .withColumn("__th", when(col("__nt") > col("__n"),
         round((col("__ct") - col("__c")).cast("double") /
-          (col("__nt") - col("__n")), 12).cast("decimal(38,12)"))
+          (col("__nt") - col("__n")), 12)).cast("decimal(38,12)"))
       .localCheckpoint(false) // feeds the mean AND the deviation pass
     val mean = loo.agg((sum(col("__th")) / first(col("__gc")))
       .cast("decimal(38,12)").as("__thbar"))

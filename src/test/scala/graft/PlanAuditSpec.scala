@@ -456,9 +456,60 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q205: TPC-H Q2's dimension chain broadcasts; one fact pair agg") {
+    val df = plan("q205_tpch_q2")
+    df.count()
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.length >= 3,
+      s"part/supplier dims must broadcast into the fact scan, got ${bhj.length}")
+  }
+
+  test("q211/q214/q216/q217: histogram-rank machinery keeps every window partitioned") {
+    for (name <- Seq("q211_avg_precision", "q214_wilcoxon",
+        "q216_key_skew", "q217_effect_sizes")) {
+      val df = plan(name)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$name must never funnel rows through one partition")
+      val badSingles = shuffles(df).filter(s =>
+        s.outputPartitioning.numPartitions == 1 &&
+          !s.child.toString.contains("HashAggregate"))
+      assert(badSingles.isEmpty,
+        s"$name: non-aggregate single-partition exchange: $badSingles")
+    }
+  }
+
+  test("q213: local clustering pairs only through wedge/closure equi-joins") {
+    val df = plan("q213_local_clustering")
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "wedge + closure must be key equi-joins, never all-pairs")
+    val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(wins.isEmpty, "per-node coefficients are aggregates, not ranks")
+  }
+
+  test("q218: ILS pairs stay within-list; reductions merge as aggregates") {
+    val df = plan("q218_rec_list_metrics")
+    df.count()
+    val badSingles = shuffles(df).filter(s =>
+      s.outputPartitioning.numPartitions == 1 &&
+        !s.child.toString.contains("HashAggregate"))
+    assert(badSingles.isEmpty,
+      s"non-aggregate single-partition exchange: $badSingles")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup",
-      "q191_mutual_knn", "q194_label_prop")
+      "q191_mutual_knn", "q194_label_prop", "q218_rec_list_metrics")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val df = fn(spark, dir)
       val s = df.queryExecution.executedPlan.toString
