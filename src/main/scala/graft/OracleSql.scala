@@ -45,6 +45,26 @@ object OracleSql {
     s"sig AS (SELECT doc_id, $aggs FROM sh GROUP BY doc_id)"
   }
 
+  /** Hilbert xy→d bit walk as a chain of star-REPLACE CTEs (h0..h{bits-1});
+    * expects the FROM source to carry x, y and d = 0 (plus untouched
+    * copies of any columns the final SELECT needs). Mirrors
+    * LayoutOps.hilbertKey level by level.
+    */
+  private def hilbertCte(bits: Int, from: String): String = {
+    val n1 = (1L << bits) - 1
+    (bits - 1 to 0 by -1).zipWithIndex.map { case (i, idx) =>
+      val s = 1L << i
+      val prev = if (idx == 0) from else s"h${idx - 1}"
+      s"""h$idx AS (SELECT * REPLACE (
+         |  d + ${s * s} * xor(3 * ((x >> $i) & 1), (y >> $i) & 1) AS d,
+         |  CASE WHEN ((y >> $i) & 1) = 0 THEN CASE WHEN ((x >> $i) & 1) = 1
+         |    THEN $n1 - y ELSE y END ELSE x END AS x,
+         |  CASE WHEN ((y >> $i) & 1) = 0 THEN CASE WHEN ((x >> $i) & 1) = 1
+         |    THEN $n1 - x ELSE x END ELSE y END AS y) FROM $prev)"""
+        .stripMargin
+    }.mkString(",\n")
+  }
+
   private def minhashPairs(bands: Int, rows: Int): String =
     (0 until bands).map { b =>
       val on = (0 until rows).map(r => s"a.h_${b}_$r = b.h_${b}_$r").mkString(" AND ")
@@ -3057,6 +3077,70 @@ object OracleSql {
         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
         |    END AS flesch
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q222_hilbert_layout" ->
+      s"""WITH src AS (SELECT c_custkey, c_custkey % 256 AS x,
+         |    ((CAST(floor(c_acctbal) AS BIGINT) % 256) + 256) % 256 AS y,
+         |    c_custkey % 256 AS ox,
+         |    ((CAST(floor(c_acctbal) AS BIGINT) % 256) + 256) % 256 AS oy,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM customer),
+         |${hilbertCte(8, "src")}
+         |SELECT c_custkey, ox AS x, oy AS y, d AS hkey FROM h7
+         |ORDER BY hkey, c_custkey""".stripMargin,
+
+    "q223_prune_sim" -> {
+      val zExpr = (0 until 8).map(i =>
+        s"(((ox >> $i) & 1) << ${2 * i}) + (((oy >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      // per-file zone maps then the 1-row report, per layout
+      def full(name: String, key: String) =
+        s"""SELECT '$name' AS layout,
+           |  CAST(count(*) AS BIGINT) AS n_files,
+           |  CAST(sum(CASE WHEN mn <= 47 AND mx >= 32 THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS files_hit,
+           |  round(1.0 - CAST(sum(CASE WHEN mn <= 47 AND mx >= 32
+           |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS prune_frac
+           |FROM (SELECT min(oy) AS mn, max(oy) AS mx
+           |  FROM (SELECT (row_number() OVER (ORDER BY $key, c_custkey) - 1)
+           |      * 32 // (SELECT count(*) FROM h7) AS f, oy
+           |    FROM h7)
+           |  GROUP BY f)"""
+      s"""WITH src AS (SELECT c_custkey, c_custkey % 256 AS x,
+         |    ((CAST(floor(c_acctbal) AS BIGINT) % 256) + 256) % 256 AS y,
+         |    c_custkey % 256 AS ox,
+         |    ((CAST(floor(c_acctbal) AS BIGINT) % 256) + 256) % 256 AS oy,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM customer),
+         |${hilbertCte(8, "src")}
+         |${full("hilbert", "d")}
+         |UNION ALL ${full("natural", "c_custkey")}
+         |UNION ALL ${full("zorder", s"($zExpr)")}
+         |ORDER BY layout""".stripMargin
+    },
+
+    "q224_incremental_agg" ->
+      """WITH v AS (SELECT event_type,
+        |    CAST(round(CAST(value AS DOUBLE), 4) AS DECIMAL(28,4)) AS v
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS DOUBLE) AS sum_v,
+        |  CAST(min(v) AS DOUBLE) AS min_v,
+        |  CAST(max(v) AS DOUBLE) AS max_v,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS avg_v
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q225_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |v AS (SELECT w, CAST(count(*) AS BIGINT) AS wf FROM w
+        |  WHERE len(w) >= 2 GROUP BY 1),
+        |p AS (SELECT substr(w, i, 2) AS pair, wf
+        |  FROM v, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(w)) FROM v) - 1)) AS i)
+        |  WHERE i <= len(w) - 1)
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS freq FROM p
+        |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 30""".stripMargin,
 
     "q201_logrank" ->
       """WITH subj AS (SELECT user_id,

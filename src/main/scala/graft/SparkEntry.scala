@@ -2510,6 +2510,54 @@ object SparkEntry {
       TextOps.readability(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // L168 — Hilbert clustering key on the (custkey-mod, balance-bin)
+    // grid: the seamless layout key (q116's Z-order is the Morton
+    // twin); map-only integer bit walk.
+    "q222_hilbert_layout" -> ((s, d) =>
+      LayoutOps.hilbertKey(
+          Tables.customer(s, d)
+            .withColumn("x", col("c_custkey") % 256)
+            .withColumn("y",
+              ((floor(col("c_acctbal")).cast("long") % 256) + 256) % 256),
+          "x", "y", 8, "hkey")
+        .select(col("c_custkey"), col("x"), col("y"), col("hkey"))
+        .orderBy("hkey", "c_custkey")),
+
+    // L169 — file-skipping simulator: natural vs Z-order vs Hilbert
+    // layout of customer, zone-map prune fraction for a balance-bin
+    // range predicate. The advisor a 100 TB OPTIMIZE consults first.
+    "q223_prune_sim" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+        .withColumn("x", col("c_custkey") % 256)
+        .withColumn("y",
+          ((floor(col("c_acctbal")).cast("long") % 256) + 256) % 256)
+      val withH = LayoutOps.hilbertKey(c, "x", "y", 8, "__hk")
+      LayoutOps.pruneSimulation(withH,
+        Seq("natural" -> col("c_custkey"),
+          "zorder" -> LayoutOps.zValue(col("x"), col("y"), 8),
+          "hilbert" -> col("__hk")),
+        "c_custkey", "y", lo = 32, hi = 47, nFiles = 32)
+        .orderBy("layout")
+    }),
+
+    // L170 — incremental aggregation: per-type value state from two
+    // half-batches merged ≡ the full recompute (the oracle IS the full
+    // aggregation — materialized-view maintenance, proven equal).
+    "q224_incremental_agg" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val a = RelationalOps.aggState(
+        e.filter(col("event_id") % 2 === 0), "event_type", "value")
+      val b = RelationalOps.aggState(
+        e.filter(col("event_id") % 2 === 1), "event_type", "value")
+      RelationalOps.finalizeAggState(
+        RelationalOps.mergeAggStates(Seq(a, b)), "event_type")
+    }),
+
+    // L171 — BPE merge-pair mining: top adjacent character pairs
+    // weighted by word frequency, over the distinct vocabulary only.
+    "q225_bpe_pairs" -> ((s, d) =>
+      TextOps.bpePairs(Tables.documents(s, d), "text", 30)),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

@@ -41,4 +41,74 @@ object LayoutOps {
       .agg(count(lit(1)).as("n"),
         min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
         min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
+
+  /** Hilbert-curve index of (x, y) on a 2^bits × 2^bits grid — the
+    * stronger clustering key: unlike the Morton [[zValue]], consecutive
+    * Hilbert indices are ALWAYS grid-adjacent (no 2^k "seam jumps"), so
+    * range boxes touch fewer key runs and file-level min/max stats
+    * prune harder on both dimensions.
+    *
+    * The standard top-down quadrant walk (d += s²·((3rx)⊕ry), then
+    * reflect about the full grid and swap when ry = 0) unrolled over
+    * bit levels as a LINEAR chain of column expressions — pure integer
+    * shifts/xors, identical in any engine, fully codegen'd, map-only.
+    * Input columns must already lie in [0, 2^bits).
+    */
+  def hilbertKey(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                 outCol: String): DataFrame = {
+    val nMinus1 = (1L << bits) - 1
+    var cur = df
+      .withColumn("__hx", col(xCol).cast("long"))
+      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn(outCol, lit(0L))
+    for (i <- bits - 1 to 0 by -1) {
+      val s = 1L << i
+      val rx = shiftright(col("__hx"), i).bitwiseAND(lit(1L))
+      val ry = shiftright(col("__hy"), i).bitwiseAND(lit(1L))
+      cur = cur
+        .withColumn(outCol, col(outCol) +
+          lit(s * s) * (rx * 3).bitwiseXOR(ry))
+        .withColumn("__nx", when(ry === 0,
+            when(rx === 1, lit(nMinus1) - col("__hy"))
+              .otherwise(col("__hy"))).otherwise(col("__hx")))
+        .withColumn("__hy", when(ry === 0,
+            when(rx === 1, lit(nMinus1) - col("__hx"))
+              .otherwise(col("__hx"))).otherwise(col("__hy")))
+        .withColumn("__hx", col("__nx"))
+    }
+    cur.drop("__hx", "__hy", "__nx")
+  }
+
+  /** File-skipping simulator — the advisor that QUANTIFIES a layout
+    * before an expensive rewrite: rows are ranked by each candidate
+    * clustering key, tiled into `nFiles` equal files (exactly what a
+    * `repartitionByRange(key).sortWithinPartitions(key)` write
+    * produces), per-file min/max zone maps are computed for the filter
+    * column, and the report says what fraction of files a range
+    * predicate [lo, hi] skips under each layout.
+    *
+    * Ranking rides [[MetricOps.globalRank]] (range-partitioned — no
+    * single-partition window at any table size); file ids are exact
+    * integer math ((r−1)·F div N); zone maps are one hash agg on the
+    * file id; the final report is F rows per layout.
+    */
+  def pruneSimulation(df: DataFrame, layouts: Seq[(String, Column)],
+                      tieCol: String, statCol: String, lo: Long, hi: Long,
+                      nFiles: Int): DataFrame =
+    layouts.map { case (name, key) =>
+      val keyed = df.withColumn("__lk", key.cast("long"))
+      val n = keyed.agg(count(lit(1)).as("__N"))
+      val files = MetricOps.globalRank(keyed, "__lk", tieCol)
+        .crossJoin(broadcast(n))
+        .withColumn("__file",
+          expr(s"(r - 1) * $nFiles div __N").cast("long"))
+        .groupBy(col("__file"))
+        .agg(min(col(statCol)).as("__mn"), max(col(statCol)).as("__mx"))
+      files.agg(count(lit(1)).as("n_files"),
+          sum(when(col("__mn") <= hi && col("__mx") >= lo, 1L)
+            .otherwise(0L)).as("files_hit"))
+        .select(lit(name).as("layout"), col("n_files"), col("files_hit"),
+          round(lit(1.0) - col("files_hit").cast("double") /
+            col("n_files"), 6).as("prune_frac"))
+    }.reduce(_ unionAll _)
 }

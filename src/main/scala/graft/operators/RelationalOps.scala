@@ -422,4 +422,42 @@ object RelationalOps {
       .filter(col("__rm").isNull || col("y") > col("__rm"))
       .select(col("x").as(xCol), col("y").as(yCol))
   }
+
+  /** Mergeable aggregation state — the materialized-view-maintenance
+    * primitive: collapse a batch to per-key ALGEBRAIC state
+    * (count / decimal sum / min / max) whose merge is just re-
+    * aggregation, so an incremental pipeline folds a delta batch into
+    * yesterday's state instead of recomputing the world. The value
+    * quantizes to 4 dp so the sum is an exact decimal — merge order
+    * (and therefore partitioning, batch boundaries, replay) cannot
+    * change a single bit of the result.
+    */
+  def aggState(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.select(col(keyCol).as("__k"),
+        round(col(valCol).cast("double"), 4).cast("decimal(28,4)")
+          .as("__v"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"),
+        min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+
+  /** Merge any number of [[aggState]] batches. Associative and
+    * commutative by construction (sum of decimal sums, min of mins …) —
+    * merge(a, b) ≡ aggState(a ∪ b) bit-for-bit.
+    */
+  def mergeAggStates(states: Seq[DataFrame]): DataFrame =
+    states.reduce(_ unionAll _)
+      .groupBy(col("__k"))
+      .agg(sum(col("__n")).as("__n"), sum(col("__s")).as("__s"),
+        min(col("__mn")).as("__mn"), max(col("__mx")).as("__mx"))
+
+  /** Present merged state as the final aggregate view (adds the mean —
+    * the one non-algebraic output, derived at read time).
+    */
+  def finalizeAggState(state: DataFrame, keyName: String): DataFrame =
+    state.select(col("__k").as(keyName), col("__n").as("n"),
+        col("__s").cast("double").as("sum_v"),
+        col("__mn").cast("double").as("min_v"),
+        col("__mx").cast("double").as("max_v"),
+        round(col("__s").cast("double") / col("__n"), 6).as("avg_v"))
+      .orderBy(keyName)
 }

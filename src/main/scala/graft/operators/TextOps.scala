@@ -675,6 +675,30 @@ object TextOps {
     * doc-level count equals the per-word sum without an explode.
     * Sentence count floors at 1 (fragments still read as one sentence).
     */
+  /** BPE merge-pair mining — the first training iteration of a
+    * byte-pair-encoding tokenizer: count adjacent CHARACTER pairs
+    * inside words, weighted by corpus word frequency, and surface the
+    * top merge candidates.
+    *
+    * Scale discipline: the corpus collapses to the |vocab|-row word-
+    * frequency table FIRST; the per-character explode then runs over
+    * distinct words only (bounded by vocabulary × word length, never
+    * corpus size), with each pair weighted by the word's frequency.
+    */
+  def bpePairs(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val vocab = df
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) >= 2)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__wf"))
+    vocab
+      .select(col("__w"), col("__wf"),
+        explode(sequence(lit(1), length(col("__w")) - 1)).as("__i"))
+      .select(expr("substr(__w, __i, 2)").as("pair"), col("__wf"))
+      .groupBy(col("pair")).agg(sum(col("__wf")).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(topK)
+  }
+
   def readability(df: DataFrame, idCol: String, textCol: String,
                   roundTo: Int = 4): DataFrame = {
     val words = size(tokens(col(textCol))).cast("long")

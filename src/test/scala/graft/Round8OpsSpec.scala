@@ -232,4 +232,86 @@ class Round8OpsSpec extends SparkSpec {
     // both in-list pairs are orthogonal → ILS 0
     assert(math.abs(r.getDouble(4)) < 1e-9)
   }
+
+  // ----------------------------------------------------------- hilbertKey
+
+  /** Reference xy→d walk (top-down quadrant, full-grid reflection). */
+  private def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    val n1 = (1L << bits) - 1
+    for (i <- bits - 1 to 0 by -1) {
+      val s = 1L << i
+      val rx = (x >> i) & 1; val ry = (y >> i) & 1
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { val nx = n1 - y; y = n1 - x; x = nx }
+        else { val t = x; x = y; y = t }
+      }
+    }
+    d
+  }
+
+  test("hilbertKey: matches reference walk; bijective; unit-step curve") {
+    val grid = (for { x <- 0 until 16; y <- 0 until 16 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val out = graft.operators.LayoutOps.hilbertKey(grid, "x", "y", 4, "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // order-1 base quadrants land in the canonical 0-1-2-3 walk
+    assert(out((0L, 0L)) < out((0L, 15L)))
+    for (((x, y), d) <- out) assert(d == xy2d(4, x, y), s"($x,$y)")
+    // bijective onto 0..255
+    assert(out.values.toSet == (0L until 256L).toSet)
+    // consecutive indices are grid-adjacent (the Hilbert property
+    // Morton lacks)
+    val byD = out.toSeq.sortBy(_._2).map(_._1)
+    for (Seq((x1, y1), (x2, y2)) <- byD.sliding(2))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"seam jump between d=${out((x1, y1))} and d=${out((x2, y2))}")
+  }
+
+  // ------------------------------------------------------ pruneSimulation
+
+  test("pruneSimulation: clustered layout prunes, scattered layout doesn't") {
+    val rows = (0L until 16L).toDF("y").withColumn("id", col("y"))
+    val out = graft.operators.LayoutOps.pruneSimulation(rows,
+        Seq("by_y" -> col("y"), "scatter" -> (col("y") * 7) % 16),
+        "id", "y", lo = 0, hi = 3, nFiles = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("by_y") == ((4L, 1L, 0.75))) // one 4-row file covers 0..3
+    // key 7y mod 16 ⇒ files hold y = {0,7,14,5}, {12,3,10,1},
+    // {8,15,6,13}, {4,11,2,9}: only the third misses [0,3]
+    assert(out("scatter") == ((4L, 3L, 0.25)))
+  }
+
+  // ------------------------------------------------------------- aggState
+
+  test("aggState: merge of disjoint batches equals full recompute") {
+    import graft.operators.RelationalOps
+    val df = Seq(("a", 1.0), ("a", 2.5), ("a", -1.0), ("b", 4.0), ("b", 0.5))
+      .toDF("k", "v")
+    val full = RelationalOps.finalizeAggState(
+      RelationalOps.aggState(df, "k", "v"), "k").collect()
+    val merged = RelationalOps.finalizeAggState(
+      RelationalOps.mergeAggStates(Seq(
+        RelationalOps.aggState(df.filter(col("v") > 1), "k", "v"),
+        RelationalOps.aggState(df.filter(col("v") <= 1), "k", "v"))),
+      "k").collect()
+    assert(merged.toSeq == full.toSeq)
+    val a = full.find(_.getString(0) == "a").get
+    assert(a.getLong(1) == 3 && a.getDouble(2) == 2.5 &&
+      a.getDouble(3) == -1.0 && a.getDouble(4) == 2.5)
+    assert(math.abs(a.getDouble(5) - 2.5 / 3) < 1e-6)
+  }
+
+  // ------------------------------------------------------------- bpePairs
+
+  test("bpePairs: frequency-weighted adjacent char pairs over the vocab") {
+    val docs = Seq((1L, "aa ab aa"), (2L, "abc x")).toDF("id", "text")
+    val out = graft.operators.TextOps.bpePairs(docs, "text", 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "aa"×2 → pair aa:2; "ab"×1 + "abc"×1 → ab:2; "abc" → bc:1;
+    // "x" is sub-pair-length and drops
+    assert(out == Map("aa" -> 2L, "ab" -> 2L, "bc" -> 1L))
+  }
 }
