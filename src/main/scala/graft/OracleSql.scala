@@ -3142,6 +3142,86 @@ object OracleSql {
         |SELECT pair, CAST(sum(wf) AS BIGINT) AS freq FROM p
         |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 30""".stripMargin,
 
+    "q226_rendezvous" ->
+      """WITH k AS (SELECT c_custkey FROM customer),
+        |a8 AS (SELECT c_custkey, arg_max(w, md5(
+        |    CAST(c_custkey AS VARCHAR) || ':' || CAST(w AS VARCHAR)))
+        |    AS w8
+        |  FROM k, (SELECT unnest(generate_series(0, 7)) AS w)
+        |  GROUP BY c_custkey),
+        |a9 AS (SELECT c_custkey, arg_max(w, md5(
+        |    CAST(c_custkey AS VARCHAR) || ':' || CAST(w AS VARCHAR)))
+        |    AS w9
+        |  FROM k, (SELECT unnest(generate_series(0, 8)) AS w)
+        |  GROUP BY c_custkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN w8 <> w9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS moved,
+        |  round(CAST(sum(CASE WHEN w8 <> w9 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS moved_frac
+        |FROM a8 JOIN a9 USING (c_custkey)""".stripMargin,
+
+    "q227_log_odds" ->
+      """WITH d AS (SELECT text,
+        |    CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0
+        |      ELSE 1 END AS side
+        |  FROM documents),
+        |t AS (SELECT unnest(string_split(text, ' ')) AS tok, side
+        |  FROM d),
+        |c AS (SELECT tok,
+        |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ya,
+        |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS yb
+        |  FROM t GROUP BY 1),
+        |tt AS (SELECT CAST(sum(ya) AS BIGINT) AS na,
+        |    CAST(sum(yb) AS BIGINT) AS nb,
+        |    CAST(count(*) AS BIGINT) AS v FROM c),
+        |zz AS (SELECT tok, ya, yb,
+        |    ln((ya + 0.01) / (na + 0.01 * v - ya - 0.01))
+        |      - ln((yb + 0.01) / (nb + 0.01 * v - yb - 0.01)) AS delta
+        |  FROM c, tt)
+        |SELECT tok AS token, ya AS count_a, yb AS count_b,
+        |  round(delta, 6) AS delta,
+        |  round(delta / sqrt(1.0 / (ya + 0.01) + 1.0 / (yb + 0.01)), 6)
+        |    AS z
+        |FROM zz ORDER BY 5 DESC, 1 LIMIT 30""".stripMargin,
+
+    "q228_good_turing" ->
+      """WITH d AS (SELECT source, text FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |tf AS (SELECT source AS g, tok, CAST(count(*) AS BIGINT) AS r
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |    FROM d) GROUP BY 1, 2),
+        |fof AS (SELECT g, r, CAST(count(*) AS BIGINT) AS nr FROM tf
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT g, CAST(sum(r * nr) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN r = 1 THEN nr ELSE 0 END) AS BIGINT)
+        |      AS n1
+        |  FROM fof GROUP BY 1)
+        |SELECT f.g AS source, f.r, f.nr AS n_r,
+        |  round((f.r + 1) * CAST(f2.nr AS DOUBLE) / f.nr, 6) AS r_star,
+        |  round(CAST(t.n1 AS DOUBLE) / t.n, 6) AS p0
+        |FROM fof f LEFT JOIN fof f2 ON f.g = f2.g AND f2.r = f.r + 1
+        |JOIN tot t ON t.g = f.g
+        |WHERE f.r <= 50 ORDER BY 1, 2""".stripMargin,
+
+    "q229_dim_profile" ->
+      """WITH e AS (SELECT
+        |    CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+        |      AS DECIMAL(18,6)) AS v
+        |  FROM embeddings),
+        |st AS (SELECT dim, CAST(count(*) AS BIGINT) AS n, sum(v) AS s,
+        |    sum(v * v) AS q, min(v) AS mn, max(v) AS mx
+        |  FROM e GROUP BY 1)
+        |SELECT dim, n, round(CAST(s AS DOUBLE) / n, 6) AS mean,
+        |  CASE WHEN n > 1 THEN round(sqrt((CAST(q AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6)
+        |    END AS std,
+        |  CAST(mn AS DOUBLE) AS min_v, CAST(mx AS DOUBLE) AS max_v
+        |FROM st ORDER BY dim""".stripMargin,
+
     "q201_logrank" ->
       """WITH subj AS (SELECT user_id,
         |    CAST(date_diff('day', CAST(min(ts) AS DATE),

@@ -2558,6 +2558,43 @@ object SparkEntry {
     "q225_bpe_pairs" -> ((s, d) =>
       TextOps.bpePairs(Tables.documents(s, d), "text", 30)),
 
+    // L172 — rendezvous-placement rebalance audit: md5 highest-random-
+    // weight assignment of customers to 8 vs 9 workers; the moved
+    // share should sit near the minimal 1/9 (mod-hashing moves ~8/9).
+    "q226_rendezvous" -> ((s, d) => {
+      val k = Tables.customer(s, d).select(col("c_custkey"))
+      val a = LayoutOps.rendezvousAssign(k, "c_custkey", 8, "w8")
+      val b = LayoutOps.rendezvousAssign(k, "c_custkey", 9, "w9")
+      a.join(b, "c_custkey")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("w8") =!= col("w9"), 1L).otherwise(0L)).as("moved"))
+        .select(col("n_keys"), col("moved"),
+          round(col("moved").cast("double") / col("n_keys"), 6)
+            .as("moved_frac"))
+    }),
+
+    // L173 — "fightin' words": Dirichlet-prior log-odds z per token
+    // between source halves (which vocabulary characterizes src0-9 vs
+    // src10-19), top 30 side-A words.
+    "q227_log_odds" -> ((s, d) =>
+      TextOps.logOddsZ(
+        Tables.documents(s, d).withColumn("side",
+          when(substring(col("source"), 4, 10).cast("int") < 10, 0)
+            .otherwise(1)),
+        "text", "side", alpha = 0.01, topK = 30)),
+
+    // L174 — Good–Turing unseen-mass estimate per source: P0 = N1/N
+    // and smoothed r* for r ≤ 50 (corpus coverage dial).
+    "q228_good_turing" -> ((s, d) =>
+      TextOps.goodTuring(
+        Tables.documents(s, d).filter(col("source").isin("src0", "src1")),
+        "source", "text", maxR = 50)),
+
+    // L175 — per-dimension embedding profile: mean/std/min/max per
+    // coordinate — the vector-feature drift monitor.
+    "q229_dim_profile" -> ((s, d) =>
+      SimilarityOps.dimProfile(Tables.embeddings(s, d), "embedding")),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

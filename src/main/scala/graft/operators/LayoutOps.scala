@@ -111,4 +111,28 @@ object LayoutOps {
           round(lit(1.0) - col("files_hit").cast("double") /
             col("n_files"), 6).as("prune_frac"))
     }.reduce(_ unionAll _)
+
+  /** Rendezvous (highest-random-weight) placement: each key goes to the
+    * worker with the max md5(key:worker) score — the consistent-
+    * placement scheme whose defining property is MINIMAL MOVEMENT:
+    * growing N workers to N+1 relocates only ~1/(N+1) of keys (modulo
+    * hashing reshuffles ~all of them). md5-only, so the assignment is
+    * identical in any engine and across any partitioning.
+    *
+    * Scale shape: keys × workers is a broadcast nested-loop over an
+    * N-row worker list (N is the CLUSTER size, not data size) followed
+    * by one argmax hash agg on the key.
+    */
+  def rendezvousAssign(df: DataFrame, keyCol: String, nWorkers: Int,
+                       outCol: String): DataFrame = {
+    val workers = df.sparkSession.range(nWorkers)
+      .select(col("id").cast("long").as("__w"))
+    df.crossJoin(broadcast(workers))
+      .withColumn("__score", md5(concat(col(keyCol).cast("string"),
+        lit(":"), col("__w").cast("string"))))
+      .groupBy(df.columns.map(col): _*)
+      .agg(max(struct(col("__score"), col("__w"))).as("__m"))
+      .withColumn(outCol, col("__m.__w"))
+      .drop("__m")
+  }
 }

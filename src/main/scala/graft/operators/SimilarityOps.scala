@@ -348,4 +348,37 @@ object SimilarityOps {
         round(col("__ils").cast("double") / col("__nl"), roundTo)
           .as("ils"))
   }
+
+  /** Per-dimension profile of an embedding column (mean / std / min /
+    * max per coordinate) — the drift monitor for vector features: a
+    * collapsed encoder dimension, a normalization regression, or a
+    * quantization bias shows up here before any similarity metric
+    * moves.
+    *
+    * One posexplode to (dim, value) rows — |rows|·d, the unavoidable
+    * read — then ONE hash agg on dim (d output rows). Values quantize
+    * to 6 dp so moment sums are exact decimals (order-independent);
+    * mean/std are the usual one-division closed forms off exact sums.
+    */
+  def dimProfile(df: DataFrame, embCol: String,
+                 roundTo: Int = 6): DataFrame = {
+    val v = df
+      .select(posexplode(expr(s"transform($embCol, x -> CAST(x AS DOUBLE))")))
+      .toDF("dim", "__x")
+      .select(col("dim"),
+        round(col("__x"), 6).cast("decimal(18,6)").as("__v"))
+    v.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__q"),
+        min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        round(col("__s").cast("double") / col("n"), roundTo).as("mean"),
+        when(col("n") > 1, round(sqrt(
+          (col("__q").cast("double") - col("__s").cast("double") *
+            col("__s").cast("double") / col("n")) / (col("n") - 1)),
+          roundTo)).as("std"),
+        col("__mn").cast("double").as("min_v"),
+        col("__mx").cast("double").as("max_v"))
+      .orderBy("dim")
+  }
 }

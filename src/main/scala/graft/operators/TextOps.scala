@@ -666,6 +666,74 @@ object TextOps {
       round(sum("__term").cast("double"), 6).as("js_nats"))
   }
 
+  /** "Fightin' words" corpus comparison (Monroe–Colaresi–Quinn log-odds
+    * with an informative Dirichlet prior): per token,
+    * δ = ln((yₐ+α)/(nₐ+αV−yₐ−α)) − ln((y_b+α)/(n_b+αV−y_b−α)) with
+    * σ² ≈ 1/(yₐ+α) + 1/(y_b+α), z = δ/σ — the statistically-grounded
+    * "which words characterize side A vs side B" screen (raw
+    * frequency ratios overweight rare words; this doesn't).
+    *
+    * One token hash agg carrying both sides' counts; totals and vocab
+    * size are a 1-row broadcast; z is a fixed double formula over exact
+    * integer counts. Top-k by z (side-A-characteristic first).
+    */
+  def logOddsZ(df: DataFrame, textCol: String, sideCol: String,
+               alpha: Double, topK: Int, roundTo: Int = 6): DataFrame = {
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("__t"),
+        col(sideCol).cast("int").as("__s"))
+      .groupBy(col("__t"))
+      .agg(sum(when(col("__s") === 0, 1L).otherwise(0L)).as("__ya"),
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).as("__yb"))
+    val tot = counts.agg(sum(col("__ya")).as("__na"),
+      sum(col("__yb")).as("__nb"), count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__d",
+        log((col("__ya") + alpha) /
+            (col("__na") + lit(alpha) * col("__v") - col("__ya") - alpha)) -
+          log((col("__yb") + alpha) /
+            (col("__nb") + lit(alpha) * col("__v") - col("__yb") - alpha)))
+      .withColumn("__z", col("__d") /
+        sqrt(lit(1.0) / (col("__ya") + alpha) +
+          lit(1.0) / (col("__yb") + alpha)))
+      .select(col("__t").as("token"), col("__ya").as("count_a"),
+        col("__yb").as("count_b"), round(col("__d"), roundTo).as("delta"),
+        round(col("__z"), roundTo).as("z"))
+      .orderBy(col("z").desc, col("token"))
+      .limit(topK)
+  }
+
+  /** Good–Turing frequency-of-frequencies per group: the unseen-mass
+    * estimate P₀ = N₁/N (what share of the next batch's tokens will be
+    * NEW — the coverage dial a corpus curator watches) plus the
+    * smoothed counts r* = (r+1)·N_{r+1}/N_r for small r.
+    *
+    * Two bounded collapses: corpus → per-(group, token) counts →
+    * count-of-counts (≤ max-frequency rows per group). The r* join is
+    * on (group, r+1) — tiny by construction.
+    */
+  def goodTuring(df: DataFrame, groupCol: String, textCol: String,
+                 maxR: Int, roundTo: Int = 6): DataFrame = {
+    val tf = df
+      .select(col(groupCol).as("__g"), explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("__g"), col("__t")).agg(count(lit(1)).as("__r"))
+    val fof = tf.groupBy(col("__g"), col("__r"))
+      .agg(count(lit(1)).as("__nr"))
+    val tot = fof.groupBy(col("__g"))
+      .agg(sum(col("__r") * col("__nr")).as("__n"),
+        sum(when(col("__r") === 1, col("__nr")).otherwise(0L)).as("__n1"))
+    fof.filter(col("__r") <= maxR)
+      .join(fof.select(col("__g"), (col("__r") - 1).as("__r"),
+        col("__nr").as("__nr1")), Seq("__g", "__r"), "left")
+      .join(broadcast(tot), "__g")
+      .select(col("__g").as(groupCol), col("__r").as("r"),
+        col("__nr").as("n_r"),
+        round((col("__r") + 1) * col("__nr1").cast("double") /
+          col("__nr"), roundTo).as("r_star"),
+        round(col("__n1").cast("double") / col("__n"), roundTo).as("p0"))
+      .orderBy(groupCol, "r")
+  }
+
   /** Flesch reading-ease per document — the classic readability screen
     * a curation pipeline uses next to [[qualityScore]]:
     * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with

@@ -314,4 +314,72 @@ class Round8OpsSpec extends SparkSpec {
     // "x" is sub-pair-length and drops
     assert(out == Map("aa" -> 2L, "ab" -> 2L, "bc" -> 1L))
   }
+
+  // ----------------------------------------------------- rendezvousAssign
+
+  test("rendezvousAssign: deterministic argmax; minimal movement on grow") {
+    import graft.operators.LayoutOps
+    val keys = spark.range(200).toDF("k")
+    val a4 = LayoutOps.rendezvousAssign(keys, "k", 4, "w4")
+    // determinism across evaluations
+    assert(a4.collect().sortBy(_.getLong(0)).toSeq ==
+      LayoutOps.rendezvousAssign(keys, "k", 4, "w4")
+        .collect().sortBy(_.getLong(0)).toSeq)
+    // hand-check one key against the same md5 argmax
+    val k0 = a4.filter(col("k") === 7L).collect().head.getLong(1)
+    val exp = (0 until 4).maxBy(w =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7:$w".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(k0 == exp)
+    // growing 4 → 5 moves ~1/5 of keys (mod-hash would move ~4/5)
+    val moved = a4
+      .join(LayoutOps.rendezvousAssign(keys, "k", 5, "w5"), "k")
+      .filter(col("w4") =!= col("w5")).count()
+    assert(moved > 0 && moved < 80, s"moved $moved of 200")
+  }
+
+  // ------------------------------------------------------------ logOddsZ
+
+  test("logOddsZ: hand-computed Dirichlet log-odds on a toy corpus") {
+    import graft.operators.TextOps
+    val docs = Seq((0, "a a b"), (1, "b c")).toDF("side", "text")
+    val out = TextOps.logOddsZ(docs, "text", "side", alpha = 0.5, topK = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    // token a: ya=2, yb=0; na=3, nb=2, V=3
+    val d = math.log(2.5 / (3 + 1.5 - 2 - 0.5)) -
+      math.log(0.5 / (2 + 1.5 - 0 - 0.5))
+    val z = d / math.sqrt(1 / 2.5 + 1 / 0.5)
+    assert(out("a")._1 == 2 && out("a")._2 == 0)
+    assert(math.abs(out("a")._3 - z) < 1e-6)
+    // side-A words rank above side-B words
+    assert(out("a")._3 > out("c")._3)
+  }
+
+  // ----------------------------------------------------------- goodTuring
+
+  test("goodTuring: freq-of-freq, unseen mass, smoothed r*") {
+    import graft.operators.TextOps
+    val docs = Seq(("g", "x y y z z")).toDF("src", "text")
+    val out = TextOps.goodTuring(docs, "src", "text", maxR = 5)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // r: x=1, y=2, z=2 → N1=1, N2=2; N=5 tokens → P0 = 0.2
+    assert(out(1L).getLong(2) == 1 && out(2L).getLong(2) == 2)
+    assert(out(1L).getDouble(4) == 0.2)
+    assert(out(1L).getDouble(3) == 4.0) // r*=2·N2/N1
+    assert(out(2L).isNullAt(3))         // no N3 → null r*
+  }
+
+  // ----------------------------------------------------------- dimProfile
+
+  test("dimProfile: per-dimension moments on a 2×2 fixture") {
+    val emb = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.SimilarityOps.dimProfile(emb, "embedding")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(1) == 2 && out(0L).getDouble(2) == 2.0)
+    assert(math.abs(out(0L).getDouble(3) - math.sqrt(2)) < 1e-6)
+    assert(out(0L).getDouble(4) == 1.0 && out(0L).getDouble(5) == 3.0)
+    assert(out(1L).getDouble(2) == 3.0)
+  }
 }
