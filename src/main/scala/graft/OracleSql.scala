@@ -3222,6 +3222,75 @@ object OracleSql {
         |  CAST(mn AS DOUBLE) AS min_v, CAST(mx AS DOUBLE) AS max_v
         |FROM st ORDER BY dim""".stripMargin,
 
+    "q230_retention_plan" ->
+      """WITH r AS (SELECT user_id, ts, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |f AS (SELECT CASE WHEN rn > 5
+        |    AND ts < TIMESTAMP '2024-01-20 00:00:00' THEN 1 ELSE 0 END
+        |    AS rec FROM r)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+        |    AS n_keys,
+        |  CAST(sum(rec) AS BIGINT) AS reclaimable,
+        |  CAST(count(*) - sum(rec) AS BIGINT) AS kept,
+        |  round(CAST(sum(rec) AS DOUBLE) / count(*), 6) AS reclaim_frac
+        |FROM f""".stripMargin,
+
+    "q231_compaction_plan" ->
+      """WITH f AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) * 128 AS BIGINT) AS b FROM events GROUP BY 1),
+        |c AS (SELECT day, b, sum(b) OVER (ORDER BY day) AS cum FROM f),
+        |bins AS (SELECT (cum - b) // 131072 AS bin,
+        |    CAST(sum(b) AS BIGINT) AS bb FROM c GROUP BY 1),
+        |fs AS (SELECT CAST(count(*) AS BIGINT) AS n_files,
+        |    CAST(sum(CASE WHEN b * 2 < 131072 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_small,
+        |    CAST(sum(b) AS BIGINT) AS total_bytes FROM f),
+        |bs AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |    CAST(max(bb) AS BIGINT) AS max_bin_bytes FROM bins)
+        |SELECT n_files, n_small, total_bytes, n_bins, max_bin_bytes,
+        |  round(CAST(total_bytes AS DOUBLE) / (n_bins * 131072), 6)
+        |    AS fill_frac
+        |FROM fs, bs""".stripMargin,
+
+    "q232_watermark_advisor" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS t FROM events),
+        |r AS (SELECT (max(t) OVER (ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t)
+        |    // 1000000 AS l FROM e),
+        |h AS (SELECT l, CAST(count(*) AS BIGINT) AS f FROM r GROUP BY 1),
+        |c AS (SELECT l, f, sum(f) OVER (ORDER BY l) AS cf FROM h),
+        |t AS (SELECT CAST(sum(f) AS BIGINT) AS nn, max(l) AS mx FROM h)
+        |SELECT any_value(nn) AS n_events,
+        |  min(CASE WHEN cf * 2 >= nn + 1 THEN l END) AS p50_late_s,
+        |  min(CASE WHEN cf * 20 >= nn * 19 THEN l END) AS p95_late_s,
+        |  min(CASE WHEN cf * 100 >= nn * 99 THEN l END) AS p99_late_s,
+        |  any_value(mx) AS max_late_s,
+        |  min(CASE WHEN cf * 100 >= nn * 99 THEN l END)
+        |    AS suggested_watermark_s
+        |FROM c, t""".stripMargin,
+
+    "q233_seq_rules" ->
+      """WITH f AS (SELECT user_id AS e, event_type AS st, min(ts) AS ts
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(DISTINCT e) AS BIGINT) AS n FROM f),
+        |m AS (SELECT st, CAST(count(*) AS BIGINT) AS us FROM f
+        |  GROUP BY 1),
+        |p AS (SELECT a.st AS antecedent, b.st AS consequent,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM f a JOIN f b ON a.e = b.e AND a.st <> b.st
+        |    AND a.ts < b.ts
+        |  GROUP BY 1, 2)
+        |SELECT antecedent, consequent, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / t.n, 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) / ma.us, 6) AS confidence,
+        |  round(CAST(n_ab AS DOUBLE) * t.n / CAST(ma.us * mb.us
+        |    AS DOUBLE), 6) AS lift
+        |FROM p JOIN m ma ON ma.st = p.antecedent
+        |JOIN m mb ON mb.st = p.consequent, tot t
+        |ORDER BY 1, 2""".stripMargin,
+
     "q201_logrank" ->
       """WITH subj AS (SELECT user_id,
         |    CAST(date_diff('day', CAST(min(ts) AS DATE),

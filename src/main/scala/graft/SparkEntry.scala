@@ -2595,6 +2595,34 @@ object SparkEntry {
     "q229_dim_profile" -> ((s, d) =>
       SimilarityOps.dimProfile(Tables.embeddings(s, d), "embedding")),
 
+    // L176 — version-retention planner: keep newest 5 events per user
+    // plus everything from Jan 20 on; how much is reclaimable?
+    "q230_retention_plan" -> ((s, d) =>
+      RelationalOps.retentionPlan(Tables.events(s, d), "user_id", "ts",
+        "event_id", keepLast = 5,
+        cutoff = to_timestamp(lit("2024-01-20 00:00:00")))),
+
+    // L177 — small-file compaction planner over per-day event "files"
+    // (bytes ≈ 128·rows): how many files fold into 128 KiB bins?
+    "q231_compaction_plan" -> ((s, d) => {
+      val files = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg((count(lit(1)) * 128).as("bytes"))
+      LayoutOps.compactionPlan(files, "day", "bytes",
+        targetBytes = 131072L)
+    }),
+
+    // L178 — watermark advisor: event-time lateness vs event_id
+    // arrival order, integer-second percentiles; suggest the p99.
+    "q232_watermark_advisor" -> ((s, d) =>
+      MetricOps.watermarkAdvisor(Tables.events(s, d), "event_id", "ts")),
+
+    // L179 — sequential A→B rules on first occurrences per user:
+    // support/confidence/lift of "first a precedes first b".
+    "q233_seq_rules" -> ((s, d) =>
+      RelationalOps.seqRules(Tables.events(s, d), "user_id", "ts",
+        "event_type")),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

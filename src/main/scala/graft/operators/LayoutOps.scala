@@ -123,6 +123,38 @@ object LayoutOps {
     * N-row worker list (N is the CLUSTER size, not data size) followed
     * by one argmax hash agg on the key.
     */
+  /** Small-file compaction planner: pack files (in layout-key order, so
+    * compaction preserves clustering) into ≈`targetBytes` bins by the
+    * running-sum rule bin = ⌊(cum − size)/target⌋ (a bin may overflow
+    * by at most one trailing file — the rule never splits one) — one
+    * [[MetricOps.rangeCumSum]] pass (range-partitioned, no global
+    * window), one hash agg on the bin id, one report row. The advisor
+    * a 100 TB table runs before an OPTIMIZE/compact pass: how many
+    * files fold into how many bins, and how full the bins come out.
+    * Files larger than the target each keep their own bin(s) — the
+    * rule never splits a file.
+    */
+  def compactionPlan(files: DataFrame, fileCol: String, bytesCol: String,
+                     targetBytes: Long, roundTo: Int = 6): DataFrame = {
+    val f = files.select(col(fileCol).as("__f"),
+      col(bytesCol).cast("long").as("__b"))
+    val cum = MetricOps.rangeCumSum(f, "__f", Seq("__b"))
+      .withColumn("__bin",
+        expr(s"(__cum___b - __b) div ${targetBytes}L"))
+    val bins = cum.groupBy(col("__bin"))
+      .agg(sum(col("__b")).as("__bb"))
+    val fileStats = f.agg(count(lit(1)).as("n_files"),
+      sum(col("__b")).as("total_bytes"),
+      sum(when(col("__b") * 2 < targetBytes, 1L).otherwise(0L))
+        .as("n_small"))
+    fileStats.crossJoin(broadcast(
+        bins.agg(count(lit(1)).as("n_bins"), max(col("__bb")).as("max_bin_bytes"))))
+      .select(col("n_files"), col("n_small"), col("total_bytes"),
+        col("n_bins"), col("max_bin_bytes"),
+        round(col("total_bytes").cast("double") /
+          (col("n_bins") * targetBytes), roundTo).as("fill_frac"))
+  }
+
   def rendezvousAssign(df: DataFrame, keyCol: String, nWorkers: Int,
                        outCol: String): DataFrame = {
     val workers = df.sparkSession.range(nWorkers)

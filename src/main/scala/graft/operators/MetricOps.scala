@@ -1821,6 +1821,54 @@ object MetricOps {
           .as("cohens_d"))
   }
 
+  /** Watermark advisor: the out-of-orderness profile a Structured
+    * Streaming job needs BEFORE choosing `withWatermark` — lateness of
+    * each event = running max of event time in ARRIVAL order minus its
+    * own event time, summarized as integer-second percentiles. Suggest
+    * the p99: a tighter watermark drops >1% of events, a looser one
+    * holds state longer for no coverage gain.
+    *
+    * The running max distributes like [[rangeCumSum]] (the skyline
+    * sweep): range-repartition by arrival, in-partition running max,
+    * plus each partition's prefix max via the broadcast triangular
+    * partition join — no unpartitioned window at any volume. Lateness
+    * seconds then collapse to a histogram and percentiles are integer
+    * inverse-CDF picks (the [[keySkewProfile]] discipline).
+    */
+  def watermarkAdvisor(df: DataFrame, arrivalCol: String,
+                       tsCol: String): DataFrame = {
+    val ev = df.select(col(arrivalCol).as("__a"),
+      unix_micros(col(tsCol)).as("__t"))
+    val parts = ev.repartitionByRange(col("__a").asc)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__a").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ptot = parts.groupBy(col("__pid")).agg(max(col("__t")).as("__pmax"))
+    val pbefore = ptot.as("pa")
+      .join(broadcast(ptot.as("pb")), col("pb.__pid") < col("pa.__pid"),
+        "left")
+      .groupBy(col("pa.__pid").as("__pid"))
+      .agg(max(col("pb.__pmax")).as("__before"))
+    val late = parts.join(broadcast(pbefore), "__pid")
+      .withColumn("__rm",
+        greatest(max(col("__t")).over(w), col("__before")))
+      .select(expr("(__rm - __t) div 1000000").as("__l"))
+    val hist = late.groupBy(col("__l")).agg(count(lit(1)).as("__f"))
+    val cum = rangeCumSum(hist, "__l", Seq("__f"))
+    val tot = hist.agg(sum(col("__f")).as("__nn"), max(col("__l")).as("__mx"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first(col("__nn")).as("n_events"),
+        min(when(col("__cum___f") * 2 >= col("__nn") + 1, col("__l")))
+          .as("p50_late_s"),
+        min(when(col("__cum___f") * 20 >= col("__nn") * 19, col("__l")))
+          .as("p95_late_s"),
+        min(when(col("__cum___f") * 100 >= col("__nn") * 99, col("__l")))
+          .as("p99_late_s"),
+        first(col("__mx")).as("max_late_s"))
+      .withColumn("suggested_watermark_s", col("p99_late_s"))
+  }
+
   /** McNemar's test over PAIRED binary outcomes (one row per subject,
     * two 0/1 columns): did the marginal rate change within subjects?
     * Only the discordant cells matter — b = #(a=1,b=0), c = #(a=0,b=1);

@@ -460,4 +460,72 @@ object RelationalOps {
         col("__mx").cast("double").as("max_v"),
         round(col("__s").cast("double") / col("__n"), 6).as("avg_v"))
       .orderBy(keyName)
+
+  /** Version-retention / GC planner for an append-only versioned table:
+    * under the standard policy "keep the newest `keepLast` versions per
+    * key, plus everything at or after `cutoff`", how much is
+    * reclaimable? The per-key version rank is one window PARTITIONED BY
+    * KEY (state bounded by versions-per-key, never table size); the
+    * report is one aggregate.
+    */
+  def retentionPlan(df: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, keepLast: Int, cutoff: Column,
+                    roundTo: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn("__reclaim",
+        when(col("__rn") > keepLast && col(tsCol) < cutoff, 1L)
+          .otherwise(0L))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(keyCol)).as("n_keys"),
+        sum(col("__reclaim")).as("reclaimable"))
+      .select(col("n_rows"), col("n_keys"), col("reclaimable"),
+        (col("n_rows") - col("reclaimable")).as("kept"),
+        round(col("reclaimable").cast("double") / col("n_rows"), roundTo)
+          .as("reclaim_frac"))
+  }
+
+  /** Sequential association rules over first occurrences: for states
+    * a ≠ b, in how many entities does a's FIRST occurrence precede
+    * b's? support = n_ab/N, confidence = n_ab/n_a, lift =
+    * confidence/(n_b/N) — the order-aware cousin of basket rules
+    * (q177), and the statistical summary behind funnel intuition.
+    *
+    * The corpus collapses to one (entity, state, first-ts) row per
+    * pair — the within-entity pair join is |states|² per entity,
+    * bounded by the state vocabulary, never event volume. Equal first
+    * timestamps count in neither direction (strict precedence, so the
+    * rule set is deterministic under ties). Margins broadcast.
+    */
+  def seqRules(df: DataFrame, entityCol: String, tsCol: String,
+               stateCol: String, roundTo: Int = 6): DataFrame = {
+    val first = df.groupBy(col(entityCol).as("__e"), col(stateCol).as("__st"))
+      .agg(min(col(tsCol)).as("__ts"))
+      .localCheckpoint(true) // feeds margins AND the pair join
+    val tot = first.agg(countDistinct(col("__e")).as("__n"))
+    val marg = first.groupBy(col("__st")).agg(count(lit(1)).as("__us"))
+    val pairs = first.select(col("__e"), col("__st").as("antecedent"),
+        col("__ts").as("__ta"))
+      .join(first.select(col("__e"), col("__st").as("consequent"),
+        col("__ts").as("__tb")), "__e")
+      .filter(col("antecedent") =!= col("consequent") &&
+        col("__ta") < col("__tb"))
+      .groupBy(col("antecedent"), col("consequent"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(marg.select(col("__st").as("antecedent"),
+        col("__us").as("__ua"))), "antecedent")
+      .join(broadcast(marg.select(col("__st").as("consequent"),
+        col("__us").as("__ub"))), "consequent")
+      .crossJoin(broadcast(tot))
+      .select(col("antecedent"), col("consequent"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("__n"), roundTo)
+          .as("support"),
+        round(col("n_ab").cast("double") / col("__ua"), roundTo)
+          .as("confidence"),
+        round(col("n_ab").cast("double") * col("__n") /
+          (col("__ua") * col("__ub")).cast("double"), roundTo).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
 }

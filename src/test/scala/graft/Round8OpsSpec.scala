@@ -382,4 +382,68 @@ class Round8OpsSpec extends SparkSpec {
     assert(out(0L).getDouble(4) == 1.0 && out(0L).getDouble(5) == 3.0)
     assert(out(1L).getDouble(2) == 3.0)
   }
+
+  // -------------------------------------------------------- retentionPlan
+
+  test("retentionPlan: keep-last-N plus recency floor") {
+    import graft.operators.RelationalOps
+    val rows = (1 to 8).map(i => (1L, i.toLong, i.toLong))
+      .toDF("k", "ts", "id")
+    val r = RelationalOps.retentionPlan(rows, "k", "ts", "id",
+      keepLast = 3, cutoff = lit(4L)).collect().head
+    // rn > 3 keeps ts 6,7,8; cutoff keeps ts >= 4 → reclaim ts 1,2,3
+    assert(r.getLong(0) == 8 && r.getLong(1) == 1)
+    assert(r.getLong(2) == 3 && r.getLong(3) == 5)
+    assert(r.getDouble(4) == 0.375)
+  }
+
+  // ------------------------------------------------------- compactionPlan
+
+  test("compactionPlan: running-sum bins, overflow-by-one semantics") {
+    import graft.operators.LayoutOps
+    val files = Seq((1, 60L), (2, 60L), (3, 60L), (4, 100L), (5, 10L))
+      .toDF("f", "b")
+    val r = LayoutOps.compactionPlan(files, "f", "b", targetBytes = 100L)
+      .collect().head
+    // cum−b = 0,60,120,180,280 → bins 0,0,1,1,2 → {120,160,10}
+    assert(r.getLong(0) == 5 && r.getLong(1) == 1) // only the 10-byte file is "small"
+    assert(r.getLong(2) == 290 && r.getLong(3) == 3 && r.getLong(4) == 160)
+    assert(math.abs(r.getDouble(5) - 290.0 / 300) < 1e-6)
+  }
+
+  // ----------------------------------------------------- watermarkAdvisor
+
+  test("watermarkAdvisor: lateness percentiles vs arrival order") {
+    import graft.operators.MetricOps
+    val us = 1000000L
+    val ev = Seq((1L, 10 * us), (2L, 5 * us), (3L, 20 * us),
+      (4L, 15 * us), (5L, 25 * us))
+      .toDF("arr", "tsu")
+      .withColumn("ts", timestamp_micros(col("tsu")))
+    val r = MetricOps.watermarkAdvisor(ev, "arr", "ts").collect().head
+    // running max 10,10,20,20,25 → lateness 0,5,0,5,0 seconds
+    assert(r.getLong(0) == 5)
+    assert(r.getLong(1) == 0 && r.getLong(2) == 5 && r.getLong(3) == 5)
+    assert(r.getLong(4) == 5 && r.getLong(5) == 5)
+  }
+
+  // ------------------------------------------------------------- seqRules
+
+  test("seqRules: first-occurrence precedence with margins") {
+    import graft.operators.RelationalOps
+    val ev = Seq((1L, 1L, "a"), (1L, 2L, "b"),
+      (2L, 1L, "a"), (2L, 3L, "b"), (2L, 2L, "c"),
+      (3L, 1L, "b"))
+      .toDF("u", "ts", "st")
+    val out = RelationalOps.seqRules(ev, "u", "ts", "st").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out(("a", "b"))._1 == 2)
+    assert(math.abs(out(("a", "b"))._2 - 2.0 / 3) < 1e-6)
+    assert(out(("a", "b"))._3 == 1.0)  // confidence: both a-users convert
+    assert(out(("a", "b"))._4 == 1.0)  // lift: b covers every user
+    assert(out(("a", "c")) == ((1L, 0.333333, 0.5, 1.5)))
+    assert(out(("c", "b"))._1 == 1 && !out.contains(("b", "c")))
+  }
 }
