@@ -3291,6 +3291,128 @@ object OracleSql {
         |JOIN m mb ON mb.st = p.consequent, tot t
         |ORDER BY 1, 2""".stripMargin,
 
+    "q234_cuped" ->
+      """WITH ev AS (SELECT user_id, ts,
+        |    CAST(round(CAST(value AS DOUBLE), 4) AS DECIMAL(18,4)) AS v
+        |  FROM events),
+        |u AS (SELECT user_id, user_id % 2 AS arm,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN v END) AS sx,
+        |    count(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 END)
+        |      AS nx,
+        |    sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN v END)
+        |      AS sy,
+        |    count(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 END)
+        |      AS ny
+        |  FROM ev GROUP BY 1, 2),
+        |p AS (SELECT arm, CAST(sx AS DOUBLE) / nx AS x,
+        |    CAST(sy AS DOUBLE) / ny AS y
+        |  FROM u WHERE nx > 0 AND ny > 0),
+        |q AS (SELECT arm, CAST(round(y, 4) AS DECIMAL(18,4)) AS yy,
+        |    CAST(round(x, 4) AS DECIMAL(18,4)) AS xx FROM p),
+        |mm AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, sum(yy) AS sy,
+        |    sum(yy * yy) AS qy, sum(xx) AS sx, sum(xx * xx) AS qx,
+        |    sum(xx * yy) AS sxy
+        |  FROM q GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS n, sum(sy) AS sy,
+        |    sum(qy) AS qy, sum(sx) AS sx, sum(qx) AS qx,
+        |    sum(sxy) AS sxy FROM mm),
+        |g2 AS (SELECT n, CAST(sx AS DOUBLE) / n AS mx,
+        |    (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+        |      * CAST(sy AS DOUBLE) / n) / n AS cov,
+        |    (CAST(qx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |      * CAST(sx AS DOUBLE) / n) / n AS vx,
+        |    (CAST(qy AS DOUBLE) - CAST(sy AS DOUBLE)
+        |      * CAST(sy AS DOUBLE) / n) / n AS vy
+        |  FROM g),
+        |g3 AS (SELECT mx, cov, vx, vy,
+        |    CASE WHEN vx > 0 THEN cov / vx ELSE 0 END AS k FROM g2),
+        |ar AS (SELECT arm, n AS na, CAST(sy AS DOUBLE) / n AS my,
+        |    CAST(sy AS DOUBLE) / n
+        |      - g3.k * (CAST(sx AS DOUBLE) / n - g3.mx) AS madj
+        |  FROM mm, g3)
+        |SELECT a0.na AS n_0, a1.na AS n_1,
+        |  round(g3.k, 6) AS theta_k,
+        |  round(a1.my - a0.my, 6) AS effect_raw,
+        |  round(a1.madj - a0.madj, 6) AS effect_cuped,
+        |  CASE WHEN g3.vx > 0 AND g3.vy > 0 THEN
+        |    round(g3.cov * g3.cov / (g3.vx * g3.vy), 6)
+        |    END AS var_reduction
+        |FROM (SELECT * FROM ar WHERE arm = 0) a0,
+        |  (SELECT * FROM ar WHERE arm = 1) a1, g3""".stripMargin,
+
+    "q235_srm_power" ->
+      """WITH e AS (SELECT user_id % 2 AS arm,
+        |    CAST(round(CAST(CASE WHEN value > 100 THEN 1 ELSE 0 END
+        |      AS DOUBLE), 4) AS DECIMAL(18,4)) AS y
+        |  FROM events),
+        |m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, sum(y) AS s,
+        |    sum(y * y) AS q FROM e GROUP BY 1),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT)
+        |      AS n0,
+        |    CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT)
+        |      AS n1,
+        |    sum(q) AS q, sum(s) AS s, CAST(sum(n) AS BIGINT) AS nn
+        |  FROM m),
+        |v AS (SELECT n0, n1, CASE WHEN nn > 1 THEN (CAST(q AS DOUBLE)
+        |    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / nn) / (nn - 1)
+        |    END AS var FROM t)
+        |SELECT n0 AS n_0, n1 AS n_1,
+        |  round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1), 6)
+        |    AS srm_chi2,
+        |  CASE WHEN var > 0 AND n0 > 0 AND n1 > 0 THEN
+        |    round(2.801585 * sqrt(var * (1.0 / n0 + 1.0 / n1)), 6)
+        |    END AS mde
+        |FROM v""".stripMargin,
+
+    "q236_conformal" ->
+      """WITH e AS (SELECT event_type, CAST(event_id % 2 AS INT) AS sp,
+        |    CAST(value AS DOUBLE) AS y FROM events),
+        |mdl AS (SELECT event_type,
+        |    CAST(sum(CAST(round(y, 4) AS DECIMAL(18,4))) AS DOUBLE)
+        |      / count(*) AS pred
+        |  FROM e WHERE sp = 0 GROUP BY 1),
+        |r AS (SELECT e.sp, round(abs(e.y - mdl.pred), 4) AS res
+        |  FROM e JOIN mdl USING (event_type)),
+        |h AS (SELECT res, CAST(count(*) AS BIGINT) AS f FROM r
+        |  WHERE sp = 0 GROUP BY 1),
+        |c AS (SELECT res, f, sum(f) OVER (ORDER BY res) AS cf FROM h),
+        |nc AS (SELECT CAST(sum(f) AS BIGINT) AS n FROM h),
+        |qq AS (SELECT any_value(nc.n) AS n_calib,
+        |    min(CASE WHEN cf >= ceil(0.9 * (nc.n + 1)) THEN res END)
+        |      AS qh
+        |  FROM c, nc)
+        |SELECT qq.n_calib, CAST(count(*) AS BIGINT) AS n_test,
+        |  round(qq.qh, 4) AS qhat,
+        |  round(CAST(sum(CASE WHEN r.res <= qq.qh THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS coverage
+        |FROM r, qq WHERE r.sp = 1 GROUP BY qq.n_calib, qq.qh"""
+        .stripMargin,
+
+    "q237_offpolicy" ->
+      """WITH b AS (SELECT event_type AS a,
+        |    CAST(CASE WHEN value > 100 THEN 1 ELSE 0 END AS DOUBLE)
+        |      AS r
+        |  FROM events),
+        |pr AS (SELECT a, CAST(count(*) AS BIGINT) AS na FROM b
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS n FROM pr),
+        |w AS (SELECT b.r, CASE WHEN b.a = 'click' THEN
+        |      CAST(t.n AS DOUBLE) / pr.na ELSE 0.0 END AS w
+        |  FROM b JOIN pr USING (a), t),
+        |w2 AS (SELECT r, w, least(w, 10.0) AS wc FROM w)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(sum(CAST(round(r * w, 12) AS DECIMAL(38,12)))
+        |    AS DOUBLE) / count(*), 6) AS ips,
+        |  CASE WHEN CAST(sum(CAST(round(w, 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) > 0 THEN
+        |    round(CAST(sum(CAST(round(r * w, 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) / CAST(sum(CAST(round(w, 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE), 6) END AS snips,
+        |  round(CAST(sum(CAST(round(r * wc, 12) AS DECIMAL(38,12)))
+        |    AS DOUBLE) / count(*), 6) AS ips_clipped
+        |FROM w2""".stripMargin,
+
     "q201_logrank" ->
       """WITH subj AS (SELECT user_id,
         |    CAST(date_diff('day', CAST(min(ts) AS DATE),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
-import graft.operators.{AsOfJoin, DedupOps, EncodeOps, GraphOps, JoinOps, LayoutOps, MetricOps, MixtureOps, QualityChecks, RelationalOps, RetrievalOps, SamplingOps, SimilarityOps, SketchOps, TextOps}
+import graft.operators.{AsOfJoin, DedupOps, EncodeOps, ExperimentOps, GraphOps, JoinOps, LayoutOps, MetricOps, MixtureOps, QualityChecks, RelationalOps, RetrievalOps, SamplingOps, SimilarityOps, SketchOps, TextOps}
 
 /** Driver contract (SURVEY.md §7): named deterministic queries over the
   * testdata tables, each with a DuckDB-oracle SQL twin. Query keys map to
@@ -2622,6 +2622,55 @@ object SparkEntry {
     "q233_seq_rules" -> ((s, d) =>
       RelationalOps.seqRules(Tables.events(s, d), "user_id", "ts",
         "event_type")),
+
+    // L180 — CUPED variance reduction: per-user second-half value
+    // adjusted by the first-half covariate, arms = user parity.
+    "q234_cuped" -> ((s, d) => {
+      val mid = to_timestamp(lit("2024-01-16 00:00:00"))
+      val u = Tables.events(s, d)
+        .select(col("user_id"), col("ts"),
+          round(col("value").cast("double"), 4).cast("decimal(18,4)")
+            .as("v"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("ts") < mid, col("v"))).as("sx"),
+          count(when(col("ts") < mid, 1)).as("nx"),
+          sum(when(col("ts") >= mid, col("v"))).as("sy"),
+          count(when(col("ts") >= mid, 1)).as("ny"))
+        .filter(col("nx") > 0 && col("ny") > 0)
+        .select((col("user_id") % 2).as("arm"),
+          (col("sx").cast("double") / col("nx")).as("x"),
+          (col("sy").cast("double") / col("ny")).as("y"))
+      ExperimentOps.cuped(u, "arm", "y", "x")
+    }),
+
+    // L181 — experiment guardrails: sample-ratio-mismatch χ² and the
+    // minimal detectable effect on the click label, arms = user parity.
+    "q235_srm_power" -> ((s, d) =>
+      ExperimentOps.srmAndPower(
+        labeled(s, d).withColumn("arm", col("user_id") % 2),
+        "arm", "label")),
+
+    // L182 — split conformal interval around the per-type mean
+    // predictor: q̂ from the calibration half, coverage audited on the
+    // held-out half (should sit at ~0.9).
+    "q236_conformal" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"), (col("event_id") % 2).cast("int")
+          .as("sp"), col("value"))
+      val model = e.filter(col("sp") === 0)
+        .groupBy(col("event_type"))
+        .agg((sum(round(col("value").cast("double"), 4)
+            .cast("decimal(18,4)")).cast("double") / count(lit(1)))
+          .as("pred"))
+      ExperimentOps.conformal(e.join(broadcast(model), "event_type"),
+        "sp", "value", "pred", level = 0.9)
+    }),
+
+    // L183 — off-policy value of the "always recommend click" policy
+    // from logged uniform-ish feedback: IPS / SNIPS / clipped IPS.
+    "q237_offpolicy" -> ((s, d) =>
+      ExperimentOps.offPolicyValue(labeled(s, d), "event_type", "label",
+        targetAction = "click", clipAt = 10.0)),
 
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form

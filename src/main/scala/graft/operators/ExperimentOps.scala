@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Experimentation / policy-evaluation operators: the A/B analysis a
+  * recommendation platform runs on top of the metric layer — variance
+  * reduction (CUPED), guardrails (sample-ratio mismatch), sensitivity
+  * (minimal detectable effect), distribution-free intervals (split
+  * conformal), and counterfactual value (IPS/SNIPS off-policy).
+  *
+  * Shared discipline: every operator collapses the unit table to
+  * per-arm (or per-action) moment rows in ONE hash aggregation —
+  * values quantize to 4 dp so Σv/Σv² accumulate as exact decimals —
+  * and the statistics are fixed double formulas over those exact sums.
+  * Nothing here ever windows or re-shuffles raw rows.
+  */
+object ExperimentOps {
+
+  private def moments(df: DataFrame, armCol: String, yCol: String,
+                      xCol: Option[String]) = {
+    val base = df.select(col(armCol).cast("int").as("__arm"),
+      round(col(yCol).cast("double"), 4).cast("decimal(18,4)").as("__y"),
+      round(col(xCol.getOrElse(yCol)).cast("double"), 4)
+        .cast("decimal(18,4)").as("__x"))
+    base.groupBy(col("__arm"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__y")).as("__sy"), sum(col("__y") * col("__y")).as("__qy"),
+        sum(col("__x")).as("__sx"), sum(col("__x") * col("__x")).as("__qx"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+  }
+
+  /** CUPED (controlled-experiment using pre-experiment data): adjust
+    * the metric with the pre-period covariate, θ = ȳ − k(x̄ − x̄_all),
+    * k = cov(x, y)/var(x) pooled over BOTH arms. Because the
+    * adjustment is linear, the adjusted per-arm means come off the
+    * same moment sums — no second pass over rows. Reports the raw and
+    * adjusted effects and the theoretical variance-reduction factor
+    * ρ²(x, y).
+    */
+  def cuped(df: DataFrame, armCol: String, yCol: String, xCol: String,
+            roundTo: Int = 6): DataFrame = {
+    val m = moments(df, armCol, yCol, Some(xCol)).localCheckpoint(true)
+    val g = m.agg(sum(col("__n")).as("n"),
+        sum(col("__sy")).as("sy"), sum(col("__qy")).as("qy"),
+        sum(col("__sx")).as("sx"), sum(col("__qx")).as("qx"),
+        sum(col("__sxy")).as("sxy"))
+      .withColumn("__mx", col("sx").cast("double") / col("n"))
+      .withColumn("__cov", (col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double") / col("n")) /
+        col("n"))
+      .withColumn("__vx", (col("qx").cast("double") -
+        col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+        col("n"))
+      .withColumn("__vy", (col("qy").cast("double") -
+        col("sy").cast("double") * col("sy").cast("double") / col("n")) /
+        col("n"))
+      .withColumn("__k", when(col("__vx") > 0,
+        col("__cov") / col("__vx")).otherwise(lit(0.0)))
+    val arms = m.crossJoin(broadcast(g.select(col("__mx"), col("__k"),
+        col("__cov"), col("__vx"), col("__vy"))))
+      .withColumn("__my", col("__sy").cast("double") / col("__n"))
+      .withColumn("__madj", col("__my") - col("__k") *
+        (col("__sx").cast("double") / col("__n") - col("__mx")))
+    val a0 = arms.filter(col("__arm") === 0).select(
+      col("__n").as("n_0"), col("__my").as("__my0"),
+      col("__madj").as("__ma0"), col("__k"), col("__cov"), col("__vx"),
+      col("__vy"))
+    val a1 = arms.filter(col("__arm") === 1).select(
+      col("__n").as("n_1"), col("__my").as("__my1"),
+      col("__madj").as("__ma1"))
+    a0.crossJoin(broadcast(a1))
+      .select(col("n_0"), col("n_1"),
+        round(col("__k"), roundTo).as("theta_k"),
+        round(col("__my1") - col("__my0"), roundTo).as("effect_raw"),
+        round(col("__ma1") - col("__ma0"), roundTo).as("effect_cuped"),
+        when(col("__vx") > 0 && col("__vy") > 0, round(
+          col("__cov") * col("__cov") / (col("__vx") * col("__vy")),
+          roundTo)).as("var_reduction"))
+  }
+
+  /** Experiment guardrails: sample-ratio-mismatch χ² against the
+    * intended 50/50 split ((n₀−n₁)²/(n₀+n₁), 1 df — SRM is the single
+    * most common invalidator of A/B readouts) plus the minimal
+    * detectable effect at α = 0.05 two-sided, power 0.80:
+    * MDE = (z₀.₉₇₅ + z₀.₈₀)·√(s²·(1/n₀ + 1/n₁)) with the pooled
+    * variance, z-sum constant 1.959964 + 0.841621 = 2.801585.
+    */
+  def srmAndPower(df: DataFrame, armCol: String, yCol: String,
+                  roundTo: Int = 6): DataFrame = {
+    val zSum = 2.801585
+    moments(df, armCol, yCol, None)
+      .agg(sum(when(col("__arm") === 0, col("__n")).otherwise(0L)).as("n_0"),
+        sum(when(col("__arm") === 1, col("__n")).otherwise(0L)).as("n_1"),
+        sum(col("__qy")).as("__q"), sum(col("__sy")).as("__s"),
+        sum(col("__n")).as("__nn"))
+      .withColumn("__var", when(col("__nn") > 1,
+        (col("__q").cast("double") - col("__s").cast("double") *
+          col("__s").cast("double") / col("__nn")) / (col("__nn") - 1)))
+      .select(col("n_0"), col("n_1"),
+        round(((col("n_0") - col("n_1")) * (col("n_0") - col("n_1")))
+          .cast("double") / (col("n_0") + col("n_1")), roundTo)
+          .as("srm_chi2"),
+        when(col("__var") > 0 && col("n_0") > 0 && col("n_1") > 0,
+          round(lit(zSum) * sqrt(col("__var") *
+            (lit(1.0) / col("n_0") + lit(1.0) / col("n_1"))), roundTo))
+          .as("mde"))
+  }
+
+  /** Split conformal prediction interval: fit any point predictor on
+    * the calibration half (here the caller supplies per-row
+    * predictions), take the ⌈(1−α)(n+1)⌉-th smallest absolute residual
+    * as the interval half-width q̂, and audit empirical coverage on the
+    * held-out half — distribution-free ≥(1−α) coverage by exchange-
+    * ability, no normality anywhere.
+    *
+    * Residuals quantize to 4 dp into a histogram; q̂ is an integer
+    * inverse-CDF pick off ONE [[MetricOps.rangeCumSum]]; coverage is
+    * one aggregate over the test half.
+    */
+  def conformal(df: DataFrame, splitCol: String, yCol: String,
+                predCol: String, level: Double,
+                roundTo: Int = 6): DataFrame = {
+    val r = df.select(col(splitCol).cast("int").as("__sp"),
+      round(abs(col(yCol).cast("double") - col(predCol).cast("double")),
+        4).as("__r"))
+    val hist = r.filter(col("__sp") === 0)
+      .groupBy(col("__r")).agg(count(lit(1)).as("__f"))
+    val cum = MetricOps.rangeCumSum(hist, "__r", Seq("__f"))
+    val nCal = hist.agg(sum(col("__f")).as("__nc"))
+    val qhat = cum.crossJoin(broadcast(nCal))
+      .agg(first(col("__nc")).as("n_calib"),
+        min(when(col("__cum___f") >=
+          ceil(lit(level) * (col("__nc") + 1)), col("__r")))
+          .as("__qh"))
+    val test = r.filter(col("__sp") === 1)
+    test.crossJoin(broadcast(qhat))
+      .agg(first(col("n_calib")).as("n_calib"),
+        count(lit(1)).as("n_test"), first(col("__qh")).as("__q"),
+        sum(when(col("__r") <= col("__qh"), 1L).otherwise(0L)).as("__cov"))
+      .select(col("n_calib"), col("n_test"),
+        round(col("__q"), 4).as("qhat"),
+        round(col("__cov").cast("double") / col("n_test"), roundTo)
+          .as("coverage"))
+  }
+
+  /** Off-policy evaluation of a deterministic target policy from
+    * logged feedback: IPS V̂ = mean(r·w), SNIPS = Σrw/Σw (the self-
+    * normalized form that kills propensity-scale variance), and
+    * clipped IPS (w capped — the standard bias/variance dial).
+    * Propensities are the EMPIRICAL logging rates P(a) (one broadcast
+    * margin table), w = 1[a = π]/P(a).
+    */
+  def offPolicyValue(df: DataFrame, actionCol: String, rewardCol: String,
+                     targetAction: String, clipAt: Double,
+                     roundTo: Int = 6): DataFrame = {
+    val base = df.select(col(actionCol).as("__a"),
+      col(rewardCol).cast("double").as("__r"))
+    val prop = base.groupBy(col("__a")).agg(count(lit(1)).as("__na"))
+    val tot = prop.agg(sum(col("__na")).as("__n"))
+    val w = base.join(broadcast(prop), "__a")
+      .crossJoin(broadcast(tot))
+      .withColumn("__w", when(col("__a") === targetAction,
+        col("__n").cast("double") / col("__na")).otherwise(lit(0.0)))
+      .withColumn("__wc", least(col("__w"), lit(clipAt)))
+    w.agg(count(lit(1)).as("n"),
+        sum(round(col("__r") * col("__w"), 12).cast("decimal(38,12)"))
+          .as("__rw"),
+        sum(round(col("__w"), 12).cast("decimal(38,12)")).as("__sw"),
+        sum(round(col("__r") * col("__wc"), 12).cast("decimal(38,12)"))
+          .as("__rwc"))
+      .select(col("n"),
+        round(col("__rw").cast("double") / col("n"), roundTo).as("ips"),
+        when(col("__sw").cast("double") > 0, round(
+          col("__rw").cast("double") / col("__sw").cast("double"),
+          roundTo)).as("snips"),
+        round(col("__rwc").cast("double") / col("n"), roundTo)
+          .as("ips_clipped"))
+  }
+}

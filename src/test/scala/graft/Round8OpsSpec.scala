@@ -446,4 +446,60 @@ class Round8OpsSpec extends SparkSpec {
     assert(out(("a", "c")) == ((1L, 0.333333, 0.5, 1.5)))
     assert(out(("c", "b"))._1 == 1 && !out.contains(("b", "c")))
   }
+
+  // ---------------------------------------------------------------- cuped
+
+  test("cuped: hand-computed k, adjusted effect, variance reduction") {
+    import graft.operators.ExperimentOps
+    val df = Seq((0, 1.0, 1.0), (0, 2.0, 2.0), (1, 3.0, 4.0), (1, 4.0, 5.0))
+      .toDF("arm", "x", "y")
+    val r = ExperimentOps.cuped(df, "arm", "y", "x").collect().head
+    // pooled: cov=1.75, vx=1.25 → k=1.4; raw=3; adj: 2.9 vs 3.1 → 0.2
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(math.abs(r.getDouble(2) - 1.4) < 1e-6)
+    assert(math.abs(r.getDouble(3) - 3.0) < 1e-6)
+    assert(math.abs(r.getDouble(4) - 0.2) < 1e-6)
+    assert(math.abs(r.getDouble(5) - 0.98) < 1e-6) // ρ² = 3.0625/3.125
+  }
+
+  // ---------------------------------------------------------- srmAndPower
+
+  test("srmAndPower: SRM chi2 and pooled-variance MDE") {
+    import graft.operators.ExperimentOps
+    val df = Seq((0, 0.0), (0, 1.0), (0, 1.0), (1, 1.0), (1, 1.0))
+      .toDF("arm", "y")
+    val r = ExperimentOps.srmAndPower(df, "arm", "y").collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(math.abs(r.getDouble(2) - 0.2) < 1e-9)
+    assert(math.abs(r.getDouble(3) -
+      2.801585 * math.sqrt(0.2 * (1.0 / 3 + 1.0 / 2))) < 1e-6)
+  }
+
+  // ------------------------------------------------------------ conformal
+
+  test("conformal: order-statistic qhat and held-out coverage") {
+    import graft.operators.ExperimentOps
+    val calib = (1 to 9).map(i => (0, i.toDouble, 0.0))
+    val test = Seq((1, 5.0, 0.0), (1, 10.0, 0.0))
+    val r = ExperimentOps.conformal((calib ++ test).toDF("sp", "y", "pred"),
+      "sp", "y", "pred", level = 0.8).collect().head
+    // k = ceil(0.8·10) = 8 → qhat = 8; test residuals 5 (in), 10 (out)
+    assert(r.getLong(0) == 9 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 8.0)
+    assert(r.getDouble(3) == 0.5)
+  }
+
+  // ------------------------------------------------------- offPolicyValue
+
+  test("offPolicyValue: IPS/SNIPS/clipped with empirical propensities") {
+    import graft.operators.ExperimentOps
+    val logged = Seq(("a", 1), ("a", 0), ("b", 1), ("b", 0))
+      .toDF("action", "reward")
+    val r = ExperimentOps.offPolicyValue(logged, "action", "reward",
+      targetAction = "a", clipAt = 1.5).collect().head
+    // p(a)=1/2 → w=2 on a-rows: IPS = 2/4, SNIPS = 2/4, clipped 1.5/4
+    assert(r.getLong(0) == 4)
+    assert(r.getDouble(1) == 0.5 && r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 0.375)
+  }
 }
