@@ -3413,6 +3413,98 @@ object OracleSql {
         |    AS DOUBLE) / count(*), 6) AS ips_clipped
         |FROM w2""".stripMargin,
 
+    "q238_ece" ->
+      """WITH e AS (SELECT event_type, CAST(event_id % 2 AS INT) AS sp,
+        |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS label
+        |  FROM events),
+        |mdl AS (SELECT event_type,
+        |    CAST(sum(label) AS DOUBLE) / count(*) AS pred
+        |  FROM e WHERE sp = 0 GROUP BY 1),
+        |b AS (SELECT CAST(round(pred, 6) AS DECIMAL(18,6)) AS p,
+        |    label AS l
+        |  FROM e JOIN mdl USING (event_type) WHERE sp = 1),
+        |b2 AS (SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin,
+        |    p, l FROM b),
+        |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |    sum(p) AS sp2, CAST(sum(l) AS BIGINT) AS sl
+        |  FROM b2 GROUP BY 1),
+        |g AS (SELECT bin, n, CAST(sp2 AS DOUBLE) / n AS conf,
+        |    CAST(sl AS DOUBLE) / n AS acc FROM bins)
+        |SELECT CAST(sum(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_bins_used,
+        |  round(CAST(sum(CAST(round(abs(acc - conf) * n, 12)
+        |    AS DECIMAL(38,12))) AS DOUBLE) / sum(n), 6) AS ece,
+        |  max(round(abs(acc - conf), 6)) AS mce
+        |FROM g""".stripMargin,
+
+    "q239_lift_ci" ->
+      """WITH e AS (SELECT user_id % 2 AS arm,
+        |    CAST(round(CAST(CASE WHEN value > 100 THEN 1 ELSE 0 END
+        |      AS DOUBLE), 4) AS DECIMAL(18,4)) AS y FROM events),
+        |m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, sum(y) AS s,
+        |    sum(y * y) AS q FROM e GROUP BY 1),
+        |m2 AS (SELECT arm, n, CAST(s AS DOUBLE) / n AS mm,
+        |    CASE WHEN n > 1 THEN (CAST(q AS DOUBLE) - CAST(s AS DOUBLE)
+        |      * CAST(s AS DOUBLE) / n) / (n - 1) END AS var FROM m),
+        |a0 AS (SELECT n AS n0, mm AS m0, var AS v0 FROM m2
+        |  WHERE arm = 0),
+        |a1 AS (SELECT n AS n1, mm AS m1, var AS v1 FROM m2
+        |  WHERE arm = 1),
+        |lft AS (SELECT n0, n1, m0, m1,
+        |    CASE WHEN m0 <> 0 THEN m1 / m0 - 1 END AS lift,
+        |    CASE WHEN m0 <> 0 AND v0 IS NOT NULL AND v1 IS NOT NULL
+        |      THEN sqrt(v1 / (n1 * m0 * m0)
+        |        + m1 * m1 * v0 / (n0 * m0 * m0 * m0 * m0)) END AS se
+        |  FROM a0, a1)
+        |SELECT n0 AS n_0, n1 AS n_1, round(m0, 6) AS mean_0,
+        |  round(m1, 6) AS mean_1, round(lift, 6) AS lift,
+        |  round(lift - 1.959964 * se, 6) AS ci_lo,
+        |  round(lift + 1.959964 * se, 6) AS ci_hi
+        |FROM lft""".stripMargin,
+
+    "q240_reconciliation" ->
+      """WITH s AS (SELECT l_orderkey AS k,
+        |    sum(CAST(round(CAST(l_extendedprice AS DOUBLE), 4)
+        |      AS DECIMAL(28,4))) AS cs
+        |  FROM lineitem GROUP BY 1),
+        |p AS (SELECT o_orderkey AS k,
+        |    CAST(round(CAST(o_totalprice AS DOUBLE), 4)
+        |      AS DECIMAL(28,4)) AS t
+        |  FROM orders),
+        |j AS (SELECT p.k, p.t, s.cs,
+        |    CASE WHEN s.cs IS NOT NULL AND p.t <> 0 THEN
+        |      abs(CAST(s.cs - p.t AS DOUBLE))
+        |        / abs(CAST(p.t AS DOUBLE)) END AS rd
+        |  FROM p LEFT JOIN s ON p.k = s.k)
+        |SELECT CAST(count(*) AS BIGINT) AS n_parents,
+        |  CAST(sum(CASE WHEN cs IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_childless,
+        |  CAST(sum(CASE WHEN rd <= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_within_tol,
+        |  round(CAST(sum(CAST(round(rd, 12) AS DECIMAL(38,12)))
+        |    AS DOUBLE) / (count(*) - sum(CASE WHEN cs IS NULL THEN 1
+        |    ELSE 0 END)), 6) AS mean_rel_diff,
+        |  max(round(rd, 6)) AS max_rel_diff
+        |FROM j""".stripMargin,
+
+    "q241_volume_anomaly" ->
+      """WITH daily AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2),
+        |r AS (SELECT g, d, c, count(c) OVER w AS n, sum(c) OVER w AS s,
+        |    sum(c * c) OVER w AS q
+        |  FROM daily WINDOW w AS (PARTITION BY g ORDER BY d
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT g, d, c, CAST(s AS DOUBLE) / n AS mean,
+        |    (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+        |      / n) / (n - 1) AS var
+        |  FROM r WHERE n >= 2)
+        |SELECT g AS event_type, CAST(d AS VARCHAR) AS day, c AS n_rows,
+        |  round(mean, 6) AS baseline_mean,
+        |  round((c - mean) / sqrt(var), 6) AS z
+        |FROM z WHERE var > 0
+        |  AND abs((c - mean) / sqrt(var)) >= 2.0
+        |ORDER BY 1, 2""".stripMargin,
+
     "q201_logrank" ->
       """WITH subj AS (SELECT user_id,
         |    CAST(date_diff('day', CAST(min(ts) AS DATE),

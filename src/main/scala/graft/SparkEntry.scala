@@ -2672,6 +2672,40 @@ object SparkEntry {
       ExperimentOps.offPolicyValue(labeled(s, d), "event_type", "label",
         targetAction = "click", clipAt = 10.0)),
 
+    // L184 — expected calibration error of the per-type CTR predictor
+    // (trained on the even half, audited on the odd half, 10 bins).
+    "q238_ece" -> ((s, d) => {
+      val e = labeled(s, d)
+        .withColumn("sp", (col("event_id") % 2).cast("int"))
+      val model = e.filter(col("sp") === 0)
+        .groupBy(col("event_type"))
+        .agg((sum(col("label")).cast("double") / count(lit(1)))
+          .as("pred"))
+      ExperimentOps.ece(
+        e.filter(col("sp") === 1).join(broadcast(model), "event_type"),
+        "pred", "label", nBins = 10)
+    }),
+
+    // L185 — delta-method relative-lift CI on the click label between
+    // parity arms: the "+x% ± y%" experiment readout.
+    "q239_lift_ci" -> ((s, d) =>
+      ExperimentOps.liftCi(
+        labeled(s, d).withColumn("arm", col("user_id") % 2),
+        "arm", "label")),
+
+    // L186 — order-value reconciliation: lineitem extendedprice sums
+    // vs o_totalprice, relative-difference profile at 5% tolerance.
+    "q240_reconciliation" -> ((s, d) =>
+      QualityChecks.reconcile(Tables.orders(s, d), "o_orderkey",
+        "o_totalprice", Tables.lineitem(s, d), "l_orderkey",
+        "l_extendedprice", tolerance = 0.05)),
+
+    // L187 — day-over-day volume anomaly screen per event type:
+    // trailing-7-day baseline, |z| ≥ 2 tripwire.
+    "q241_volume_anomaly" -> ((s, d) =>
+      MetricOps.volumeAnomaly(Tables.events(s, d), "event_type", "ts",
+        window = 7, zCut = 2.0)),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

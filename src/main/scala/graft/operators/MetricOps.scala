@@ -1821,6 +1821,49 @@ object MetricOps {
           .as("cohens_d"))
   }
 
+  /** Day-over-day volume anomaly screen per group: each day's row
+    * count against the trailing `window`-day mean/std (frame ends at
+    * the PREVIOUS day, so the tested day never contaminates its own
+    * baseline), z-scored and filtered to |z| ≥ `zCut` — the partition-
+    * volume tripwire an ingest pipeline runs before anything
+    * downstream trusts the batch.
+    *
+    * The raw table collapses to (group, day) counts first; the rolling
+    * window runs over that calendar-bounded series (per-group
+    * partitioned, ≤ window rows of state). Counts are integers, so the
+    * rolling sums are exact; z is one double formula per day.
+    */
+  def volumeAnomaly(df: DataFrame, groupCol: String, tsCol: String,
+                    window: Int, zCut: Double,
+                    roundTo: Int = 6): DataFrame = {
+    val daily = df.groupBy(col(groupCol).as("__g"),
+        col(tsCol).cast("date").as("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("__g"))
+      .orderBy(col("__d"))
+      .rowsBetween(-window, -1)
+    daily
+      .withColumn("__n", count(col("__c")).over(w))
+      .withColumn("__s", sum(col("__c")).over(w))
+      .withColumn("__q", sum(col("__c") * col("__c")).over(w))
+      .filter(col("__n") >= 2)
+      .withColumn("__mean", col("__s").cast("double") / col("__n"))
+      .withColumn("__var",
+        (col("__q").cast("double") - col("__s").cast("double") *
+          col("__s").cast("double") / col("__n")) / (col("__n") - 1))
+      .filter(col("__var") > 0)
+      .withColumn("__z",
+        (col("__c") - col("__mean")) / sqrt(col("__var")))
+      .filter(abs(col("__z")) >= zCut)
+      // day as an ISO string: a DATE column round-trips differently
+      // through parquet/pandas on each engine (date32 vs timestamp64)
+      // and breaks value canonicalization even when days are equal
+      .select(col("__g").as(groupCol), col("__d").cast("string").as("day"),
+        col("__c").as("n_rows"), round(col("__mean"), roundTo)
+          .as("baseline_mean"), round(col("__z"), roundTo).as("z"))
+      .orderBy(groupCol, "day")
+  }
+
   /** Watermark advisor: the out-of-orderness profile a Structured
     * Streaming job needs BEFORE choosing `withWatermark` — lateness of
     * each event = running max of event time in ARRIVAL order minus its

@@ -158,6 +158,42 @@ object QualityChecks {
         .as("at_risk_frac"))
   }
 
+  /** Cross-table VALUE reconciliation (the dollars-and-cents audit
+    * that [[riAudit]]'s key checks can't see): per parent key, compare
+    * the child-side decimal sum against the parent's recorded total
+    * and report the relative-difference profile. Child sums are exact
+    * decimals (4 dp), the relative diff is one double division per
+    * parent, and the report is one aggregate — parents with no child
+    * rows are counted separately (they have no ratio to average).
+    */
+  def reconcile(parent: DataFrame, parentKey: String, totalCol: String,
+                child: DataFrame, childKey: String, valueCol: String,
+                tolerance: Double, roundTo: Int = 6): DataFrame = {
+    val sums = child.groupBy(col(childKey).as("__k"))
+      .agg(sum(round(col(valueCol).cast("double"), 4)
+        .cast("decimal(28,4)")).as("__cs"))
+    val joined = parent.select(col(parentKey).as("__k"),
+        round(col(totalCol).cast("double"), 4).cast("decimal(28,4)")
+          .as("__t"))
+      .join(sums, Seq("__k"), "left")
+      .withColumn("__rd", when(col("__cs").isNotNull &&
+          col("__t") =!= lit(0).cast("decimal(28,4)"),
+        abs((col("__cs") - col("__t")).cast("double")) /
+          abs(col("__t").cast("double"))))
+    joined.agg(count(lit(1)).as("n_parents"),
+        sum(when(col("__cs").isNull, 1L).otherwise(0L))
+          .as("n_childless"),
+        sum(when(col("__rd") <= tolerance, 1L).otherwise(0L))
+          .as("n_within_tol"),
+        sum(round(col("__rd"), 12).cast("decimal(38,12)")).as("__srd"),
+        max(round(col("__rd"), roundTo)).as("max_rel_diff"))
+      .select(col("n_parents"), col("n_childless"), col("n_within_tol"),
+        round(col("__srd").cast("double") /
+          (col("n_parents") - col("n_childless")), roundTo)
+          .as("mean_rel_diff"),
+        col("max_rel_diff"))
+  }
+
   def enforce(df: DataFrame, expectations: Seq[Expectation]): Unit = {
     val bad = report(df, expectations).filter(col("pass") === 0)
       .select("name", "violations").collect()

@@ -502,4 +502,66 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.getDouble(1) == 0.5 && r.getDouble(2) == 0.5)
     assert(r.getDouble(3) == 0.375)
   }
+
+  // ------------------------------------------------------------------ ece
+
+  test("ece: two-bin hand computation") {
+    import graft.operators.ExperimentOps
+    val df = Seq((0.1, 0), (0.1, 1), (0.9, 1), (0.9, 1))
+      .toDF("pred", "label")
+    val r = ExperimentOps.ece(df, "pred", "label", nBins = 2)
+      .collect().head
+    // bin0: conf .1 acc .5 gap .4; bin1: conf .9 acc 1 gap .1
+    assert(r.getLong(0) == 4 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.25 && r.getDouble(3) == 0.4)
+  }
+
+  // --------------------------------------------------------------- liftCi
+
+  test("liftCi: delta-method interval, hand-checked") {
+    import graft.operators.ExperimentOps
+    val df = Seq((0, 1.0), (0, 1.0), (0, 2.0), (1, 2.0), (1, 2.0), (1, 2.0))
+      .toDF("arm", "y")
+    val r = ExperimentOps.liftCi(df, "arm", "y").collect().head
+    // m0=4/3, m1=2 → lift .5; v0=1/3, v1=0 → se = √(4·(1/3)/(3·(4/3)⁴))
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-6)
+    val se = math.sqrt(4.0 * (1.0 / 3) / (3 * math.pow(4.0 / 3, 4)))
+    assert(math.abs(r.getDouble(5) - (0.5 - 1.959964 * se)) < 1e-5)
+    assert(math.abs(r.getDouble(6) - (0.5 + 1.959964 * se)) < 1e-5)
+  }
+
+  // ------------------------------------------------------------ reconcile
+
+  test("reconcile: per-parent value sums vs recorded totals") {
+    import graft.operators.QualityChecks
+    val parents = Seq((1L, 10.0), (2L, 20.0), (3L, 5.0)).toDF("k", "tot")
+    val children = Seq((1L, 5.0), (1L, 5.0), (2L, 19.0)).toDF("k", "v")
+    val r = QualityChecks.reconcile(parents, "k", "tot",
+      children, "k", "v", tolerance = 0.05).collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 1) // order 3 childless
+    assert(r.getLong(2) == 2)                       // rd 0 and 0.05 pass
+    assert(math.abs(r.getDouble(3) - 0.025) < 1e-9)
+    assert(r.getDouble(4) == 0.05)
+  }
+
+  // -------------------------------------------------------- volumeAnomaly
+
+  test("volumeAnomaly: spike against the trailing baseline") {
+    import graft.operators.MetricOps
+    val us = 86400L * 1000000
+    val rows = ((1 to 8).flatMap(d =>
+      Seq.fill(if (d % 2 == 0) 12 else 10)(d)) ++ Seq.fill(30)(9))
+      .map(d => ("g", d.toLong * us))
+      .toDF("g", "tsu")
+      .withColumn("ts", timestamp_micros(col("tsu")))
+    val out = MetricOps.volumeAnomaly(rows, "g", "ts", window = 7,
+      zCut = 2.0).collect()
+    // alternating 10/12 days stay under |z| 2; only the day-9 spike
+    // fires: baseline mean 78/7, sd √(48/42) → z ≈ 17.64
+    assert(out.length == 1)
+    val spike = out.head
+    assert(spike.getLong(2) == 30 && spike.getString(1) == "1970-01-10")
+    assert(math.abs(spike.getDouble(4) - 17.639242) < 1e-6)
+  }
 }
