@@ -3505,6 +3505,108 @@ object OracleSql {
         |  AND abs((c - mean) / sqrt(var)) >= 2.0
         |ORDER BY 1, 2""".stripMargin,
 
+    "q242_dup_matrix" ->
+      s"""WITH $shinglesCte,
+         |${minhashSig(4, 2)},
+         |pairs AS (${minhashPairs(4, 2)})
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM pairs JOIN documents da ON pairs.doc_a = da.doc_id
+         |JOIN documents db ON pairs.doc_b = db.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q243_fd_audit" -> {
+      def fd(table: String, det: String, dep: String) =
+        s"""SELECT '$table' AS table_name, '$det' AS determinant,
+           |  '$dep' AS dependent, CAST(count(*) AS BIGINT) AS n_det,
+           |  CAST(sum(nd) AS BIGINT) AS n_pairs,
+           |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS violating_keys,
+           |  sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0 AS holds
+           |FROM (SELECT $det, count(DISTINCT $dep) AS nd FROM $table
+           |  GROUP BY 1)""".stripMargin
+      s"""SELECT * FROM (
+         |${fd("customer", "c_custkey", "c_mktsegment")}
+         |UNION ALL ${fd("customer", "c_nationkey", "c_mktsegment")}
+         |UNION ALL ${fd("orders", "o_orderkey", "o_custkey")}
+         |UNION ALL ${fd("lineitem", "l_orderkey", "l_suppkey")})
+         |ORDER BY table_name, determinant, dependent""".stripMargin
+    },
+
+    "q244_sketch_accuracy" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, exact_distinct, kmv_est,
+           |  kmv_rel_err, hll_est, hll_rel_err FROM (
+           |WITH dh AS (SELECT DISTINCT
+           |    ('0x' || substr(md5($c::VARCHAR), 1, 12))::BIGINT AS u
+           |  FROM events),
+           |kth AS (SELECT u AS uk FROM (SELECT u, row_number() OVER
+           |    (ORDER BY u) AS rn FROM dh) WHERE rn = 64),
+           |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct
+           |  FROM dh),
+           |kmv AS (SELECT exact_distinct,
+           |    CASE WHEN (SELECT uk FROM kth) IS NULL
+           |      THEN CAST(exact_distinct AS DOUBLE)
+           |      ELSE round(CAST(63 AS DOUBLE) * 281474976710656
+           |        / (SELECT uk FROM kth), 4) END AS kmv_est
+           |  FROM ex),
+           |slots AS (SELECT u // 1099511627776 AS b,
+           |    u % 1099511627776 AS rem FROM dh),
+           |regs AS (SELECT b, max(CASE WHEN rem = 0 THEN 41
+           |    ELSE 41 - length(bin(rem)) END) AS r
+           |  FROM slots GROUP BY 1),
+           |agg AS (SELECT count(*) AS nregs,
+           |    CAST(sum(1::BIGINT << (41 - r)) AS BIGINT) AS s
+           |  FROM regs),
+           |hll AS (SELECT 256 - nregs AS v,
+           |    0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+           |      * 2199023255552.0
+           |      / (s + (256 - nregs) * 2199023255552.0) AS e_raw
+           |  FROM agg),
+           |hf AS (SELECT round(CASE WHEN v > 0 AND e_raw <= 640.0
+           |    THEN 256.0 * ln(256.0 / v) ELSE e_raw END, 4)
+           |    AS hll_est FROM hll)
+           |SELECT ex.exact_distinct, kmv.kmv_est,
+           |  round(abs(kmv.kmv_est - ex.exact_distinct)
+           |    / ex.exact_distinct, 4) AS kmv_rel_err,
+           |  hf.hll_est, round(abs(hf.hll_est - ex.exact_distinct)
+           |    / ex.exact_distinct, 4) AS hll_rel_err
+           |FROM ex, kmv, hf)""".stripMargin
+      s"""SELECT * FROM (
+         |${one("event_id")}
+         |UNION ALL ${one("event_type")}
+         |UNION ALL ${one("user_id")})
+         |ORDER BY col_name""".stripMargin
+    },
+
+    "q245_npmi" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS a
+        |  FROM documents),
+        |t1 AS (SELECT unnest(a) AS t FROM toks),
+        |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS n FROM t1
+        |  GROUP BY 1),
+        |arr AS (SELECT a FROM toks WHERE len(a) >= 2),
+        |bi AS (SELECT a[i] AS x, a[i + 1] AS y
+        |  FROM arr, (SELECT unnest(generate_series(1,
+        |    (SELECT max(len(a)) FROM arr))) AS i)
+        |  WHERE i + 1 <= len(a)),
+        |bic AS (SELECT x, y, CAST(count(*) AS BIGINT) AS nab FROM bi
+        |  GROUP BY 1, 2),
+        |tb AS (SELECT CAST(sum(nab) AS BIGINT) AS tb FROM bic),
+        |tu AS (SELECT CAST(sum(n) AS BIGINT) AS tu FROM uni),
+        |sc AS (SELECT x, y, nab,
+        |    CAST(nab AS DOUBLE) / tb.tb AS pab,
+        |    ln((CAST(nab AS DOUBLE) / tb.tb)
+        |      / ((CAST(ux.n AS DOUBLE) / tu.tu)
+        |        * (CAST(uy.n AS DOUBLE) / tu.tu))) AS pmi
+        |  FROM bic JOIN uni ux ON ux.t = bic.x
+        |    JOIN uni uy ON uy.t = bic.y, tb, tu
+        |  WHERE nab >= 20)
+        |SELECT x AS token_a, y AS token_b, nab AS n_pair,
+        |  round(pmi, 6) AS pmi, round(pmi / -ln(pab), 6) AS npmi
+        |FROM sc ORDER BY 5 DESC, 1, 2 LIMIT 30""".stripMargin,
+
     "q201_logrank" ->
       """WITH subj AS (SELECT user_id,
         |    CAST(date_diff('day', CAST(min(ts) AS DATE),

@@ -2706,6 +2706,59 @@ object SparkEntry {
       MetricOps.volumeAnomaly(Tables.events(s, d), "event_type", "ts",
         window = 7, zCut = 2.0)),
 
+    // L188 — cross-source duplication matrix: MinHash candidate pairs
+    // rolled up to (source, source) — the corpus-governance heat map.
+    "q242_dup_matrix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = DedupOps.minhashCandidates(DedupOps.minhashSignature(
+        DedupOps.shingles(docs, "doc_id", "text"), "doc_id", 4, 2),
+        "doc_id", 4, 2)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("sb")), "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    // L189 — functional-dependency audit across candidate keys: the
+    // profiling step behind key discovery and normalization.
+    "q243_fd_audit" -> ((s, d) =>
+      QualityChecks.fdAudit(Tables.customer(s, d), "customer",
+          Seq("c_custkey" -> "c_mktsegment",
+            "c_nationkey" -> "c_mktsegment"))
+        .unionAll(QualityChecks.fdAudit(Tables.orders(s, d), "orders",
+          Seq("o_orderkey" -> "o_custkey")))
+        .unionAll(QualityChecks.fdAudit(Tables.lineitem(s, d), "lineitem",
+          Seq("l_orderkey" -> "l_suppkey")))
+        .orderBy("table_name", "determinant", "dependent")),
+
+    // L190 — sketch-accuracy calibration: KMV and HLL distinct
+    // estimates vs exact, per column — the QA report that says which
+    // sketch to trust at which cardinality.
+    "q244_sketch_accuracy" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      Seq("event_id", "event_type", "user_id").map { c =>
+        val tagged = e.select(lit(c).as("col_name"), col(c))
+        SketchOps.kmvDistinct(tagged, "col_name", c, 64)
+          .select(col("col_name"), col("exact_distinct"), col("kmv_est"),
+            col("rel_err").as("kmv_rel_err"))
+          .join(SketchOps.hllDistinct(tagged, "col_name", c, 8)
+            .select(col("col_name"), col("hll_est"),
+              col("rel_err").as("hll_rel_err")), "col_name")
+      }.reduce(_ unionAll _).orderBy("col_name")
+    }),
+
+    // L191 — collocation mining: normalized PMI of adjacent token
+    // pairs (≥ 20 occurrences), top 30.
+    "q245_npmi" -> ((s, d) =>
+      TextOps.npmiCollocations(Tables.documents(s, d), "text",
+        minCount = 20L, topK = 30)),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

@@ -194,6 +194,26 @@ object QualityChecks {
         col("max_rel_diff"))
   }
 
+  /** Functional-dependency audit (the data-profiling step behind
+    * normalization and key discovery): for each candidate A → B, one
+    * hash agg on A counting distinct B values — the FD holds iff every
+    * determinant maps to exactly one dependent. Reports determinant
+    * cardinality, pair cardinality, and the violating-key count per
+    * candidate.
+    */
+  def fdAudit(df: DataFrame, tableName: String,
+              candidates: Seq[(String, String)]): DataFrame =
+    candidates.map { case (det, dep) =>
+      df.groupBy(col(det)).agg(countDistinct(col(dep)).as("__nd"))
+        .agg(count(lit(1)).as("n_det"), sum(col("__nd")).as("n_pairs"),
+          sum(when(col("__nd") > 1, 1L).otherwise(0L))
+            .as("violating_keys"))
+        .select(lit(tableName).as("table_name"),
+          lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_det"), col("n_pairs"), col("violating_keys"),
+          (col("violating_keys") === 0).as("holds"))
+    }.reduce(_ unionAll _)
+
   def enforce(df: DataFrame, expectations: Seq[Expectation]): Unit = {
     val bad = report(df, expectations).filter(col("pass") === 0)
       .select("name", "violations").collect()

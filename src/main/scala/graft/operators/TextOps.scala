@@ -734,6 +734,50 @@ object TextOps {
       .orderBy(groupCol, "r")
   }
 
+  /** Normalized PMI of adjacent token pairs — collocation mining:
+    * npmi = ln(p(ab)/(p(a)p(b))) / (−ln p(ab)) ∈ [−1, 1], the
+    * frequency-bias-corrected association score (raw PMI overweights
+    * rare pairs; npmi = 1 iff the tokens only occur together).
+    *
+    * Scale: one bigram hash agg + one unigram hash agg (both
+    * vocabulary-bounded), totals broadcast; `minCount` prunes the
+    * noise tail before ranking.
+    */
+  def npmiCollocations(df: DataFrame, textCol: String, minCount: Long,
+                       topK: Int, roundTo: Int = 6): DataFrame = {
+    val toks = df
+      .select(posexplode(tokens(col(textCol)))).toDF("__doc_pos", "__t")
+    // positions restart per row, so pair tokens via a per-document
+    // window would need the doc id; use the split-array adjacency
+    val arr = df.select(tokens(col(textCol)).as("__a"))
+      .filter(size(col("__a")) >= 2) // sequence() must not descend
+    val bi = arr
+      .select(col("__a"),
+        explode(sequence(lit(0), size(col("__a")) - 2)).as("__i"))
+      .select(col("__a").getItem(col("__i")).as("__x"),
+        col("__a").getItem(col("__i") + 1).as("__y"))
+      .groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__nab"))
+    val uni = toks.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+    val totB = bi.agg(sum(col("__nab")).as("__tb"))
+    val totU = uni.agg(sum(col("__n")).as("__tu"))
+    bi.filter(col("__nab") >= minCount)
+      .join(broadcast(uni.select(col("__t").as("__x"),
+        col("__n").as("__nx"))), "__x")
+      .join(broadcast(uni.select(col("__t").as("__y"),
+        col("__n").as("__ny"))), "__y")
+      .crossJoin(broadcast(totB)).crossJoin(broadcast(totU))
+      .withColumn("__pab", col("__nab").cast("double") / col("__tb"))
+      .withColumn("__pmi", log(col("__pab") /
+        ((col("__nx").cast("double") / col("__tu")) *
+          (col("__ny").cast("double") / col("__tu")))))
+      .withColumn("__npmi", col("__pmi") / -log(col("__pab")))
+      .select(col("__x").as("token_a"), col("__y").as("token_b"),
+        col("__nab").as("n_pair"), round(col("__pmi"), roundTo).as("pmi"),
+        round(col("__npmi"), roundTo).as("npmi"))
+      .orderBy(col("npmi").desc, col("token_a"), col("token_b"))
+      .limit(topK)
+  }
+
   /** Flesch reading-ease per document — the classic readability screen
     * a curation pipeline uses next to [[qualityScore]]:
     * 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with

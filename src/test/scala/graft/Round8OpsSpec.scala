@@ -564,4 +564,39 @@ class Round8OpsSpec extends SparkSpec {
     assert(spike.getLong(2) == 30 && spike.getString(1) == "1970-01-10")
     assert(math.abs(spike.getDouble(4) - 17.639242) < 1e-6)
   }
+
+  // -------------------------------------------------------------- fdAudit
+
+  test("fdAudit: holding and violated dependencies") {
+    import graft.operators.QualityChecks
+    val df = Seq((1, "x", "p"), (1, "x", "q"), (2, "y", "p"), (3, "y", "p"))
+      .toDF("a", "b", "c")
+    val out = QualityChecks.fdAudit(df, "t",
+        Seq("a" -> "b", "a" -> "c", "b" -> "a"))
+      .collect().map(r => (r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))))
+      .toMap
+    assert(out(("a", "b")) == ((3L, 3L, 0L, true)))  // a → b holds
+    assert(out(("a", "c")) == ((3L, 4L, 1L, false))) // key 1 → {p,q}
+    assert(out(("b", "a")) == ((2L, 3L, 1L, false))) // y → {2,3}
+  }
+
+  // ---------------------------------------------------- npmiCollocations
+
+  test("npmiCollocations: hand npmi; minCount prunes; singles drop") {
+    import graft.operators.TextOps
+    val docs = Seq((1L, "x y x y"), (2L, "x y"), (3L, "z"))
+      .toDF("id", "text")
+    val out = TextOps.npmiCollocations(docs, "text", minCount = 2,
+      topK = 10).collect()
+    // bigrams: (x,y)×3, (y,x)×1 → only (x,y) survives; unigrams
+    // x:3 y:3 z:1, T=7, B=4: pmi = ln((3/4)/((3/7)²))
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "x" && r.getString(1) == "y" &&
+      r.getLong(2) == 3)
+    val pmi = math.log((3.0 / 4) / ((3.0 / 7) * (3.0 / 7)))
+    assert(math.abs(r.getDouble(3) - pmi) < 1e-6)
+    assert(math.abs(r.getDouble(4) - pmi / -math.log(3.0 / 4)) < 1e-6)
+  }
 }
