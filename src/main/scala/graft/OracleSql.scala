@@ -3607,6 +3607,84 @@ object OracleSql {
         |  round(pmi, 6) AS pmi, round(pmi / -ln(pab), 6) AS npmi
         |FROM sc ORDER BY 5 DESC, 1, 2 LIMIT 30""".stripMargin,
 
+    "q246_survivorship" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |${minhashSig(4, 2)},
+         |pairs AS (${minhashPairs(4, 2)}),
+         |ed AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.anc FROM reach r JOIN ed e ON e.s = r.node),
+         |cl AS (SELECT node AS doc_id, min(anc) AS cluster_id FROM reach
+         |  GROUP BY node),
+         |j AS (SELECT cl.cluster_id, d.doc_id, d.n_chars, d.lang
+         |  FROM cl JOIN documents d USING (doc_id)),
+         |agg AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars FROM j GROUP BY 1),
+         |canon AS (SELECT cluster_id, doc_id, n_chars, row_number() OVER (
+         |  PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+         |  FROM j),
+         |lc AS (SELECT cluster_id, lang, count(*) AS c FROM j GROUP BY 1, 2),
+         |lm AS (SELECT cluster_id, lang, row_number() OVER (
+         |  PARTITION BY cluster_id ORDER BY c DESC, lang) AS rn FROM lc)
+         |SELECT a.cluster_id, a.n_members, a.total_chars,
+         |  c.doc_id AS canonical_doc,
+         |  CAST(c.n_chars AS BIGINT) AS canonical_chars,
+         |  l.lang AS merged_lang
+         |FROM agg a
+         |JOIN canon c ON c.cluster_id = a.cluster_id AND c.rn = 1
+         |JOIN lm l ON l.cluster_id = a.cluster_id AND l.rn = 1
+         |ORDER BY a.cluster_id""".stripMargin,
+
+    "q247_incremental_join" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q248_ucb1" ->
+      """WITH a AS (SELECT event_type AS arm,
+        |    CAST(count(*) AS BIGINT) AS n_pulls,
+        |    sum(CAST(round(value, 4) AS DECIMAL(28,4))) AS sr
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pulls) AS BIGINT) AS nt FROM a)
+        |SELECT arm, n_pulls,
+        |  round(CAST(sr AS DOUBLE) / n_pulls, 6) AS mean_reward,
+        |  round(sqrt(2 * ln(nt) / n_pulls), 6) AS explore_bonus,
+        |  round(CAST(sr AS DOUBLE) / n_pulls
+        |    + sqrt(2 * ln(nt) / n_pulls), 6) AS ucb_score
+        |FROM a, t ORDER BY 5 DESC, 1""".stripMargin,
+
+    "q249_kendall_tau" ->
+      """WITH h AS (SELECT l_returnflag AS g, round(l_quantity, 4) AS x,
+        |    round(l_discount, 4) AS y, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |cd AS (SELECT a.g,
+        |    CAST(sum(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM h a JOIN h b ON a.g = b.g AND a.x < b.x GROUP BY 1),
+        |t1 AS (SELECT g, CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n1
+        |  FROM (SELECT g, x, sum(n) AS t FROM h GROUP BY 1, 2) GROUP BY 1),
+        |t2 AS (SELECT g, CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n2
+        |  FROM (SELECT g, y, sum(n) AS t FROM h GROUP BY 1, 2) GROUP BY 1),
+        |nt AS (SELECT g, CAST(sum(n) AS BIGINT) AS n FROM h GROUP BY 1)
+        |SELECT nt.g AS l_returnflag, nt.n,
+        |  coalesce(cd.c, 0) AS concordant, coalesce(cd.d, 0) AS discordant,
+        |  CASE WHEN (nt.n * (nt.n - 1) / 2 - t1.n1)
+        |         * (nt.n * (nt.n - 1) / 2 - t2.n2) > 0
+        |    THEN round((coalesce(cd.c, 0) - coalesce(cd.d, 0))
+        |      / sqrt(CAST(nt.n * (nt.n - 1) / 2 - t1.n1 AS DOUBLE)
+        |           * CAST(nt.n * (nt.n - 1) / 2 - t2.n2 AS DOUBLE)), 6)
+        |  END AS tau_b
+        |FROM nt LEFT JOIN cd ON cd.g = nt.g
+        |JOIN t1 ON t1.g = nt.g JOIN t2 ON t2.g = nt.g
+        |ORDER BY 1""".stripMargin,
+
     "q201_logrank" ->
       """WITH subj AS (SELECT user_id,
         |    CAST(date_diff('day', CAST(min(ts) AS DATE),

@@ -2759,6 +2759,65 @@ object SparkEntry {
       TextOps.npmiCollocations(Tables.documents(s, d), "text",
         minCount = 20L, topK = 30)),
 
+    // L192 — survivorship / golden-record merge over the MinHash dup
+    // clusters: canonical member by (n_chars, min doc_id), cluster
+    // mode of lang — aggregate-only, no per-cluster member sort.
+    "q246_survivorship" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val clusters = GraphOps.connectedComponents(
+        docs.select("doc_id"), "doc_id",
+        DedupOps.minhashCandidates(DedupOps.minhashSignature(
+          DedupOps.shingles(docs, "doc_id", "text"), "doc_id", 4, 2),
+          "doc_id", 4, 2), "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      DedupOps.survivorship(
+          docs.join(clusters, "doc_id"),
+          "cluster_id", "doc_id", "n_chars", "lang")
+        .select(col("cluster_id"), col("n_members"), col("total_size")
+            .as("total_chars"),
+          col("canonical_id").as("canonical_doc"),
+          col("canonical_size").as("canonical_chars"),
+          col("mode_attr").as("merged_lang"))
+        .orderBy("cluster_id")
+    }),
+
+    // L193 — incremental join maintenance: the materialized base join
+    // plus three |Δ|-proportional delta joins must equal the full
+    // recompute (which is exactly what the oracle runs).
+    "q247_incremental_join" -> ((s, d) => {
+      val cut = "1999-01-01"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_orderdate")
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount"), col("l_shipdate"))
+      val (o0, dO) = (o.filter(col("o_orderdate") < lit(cut)),
+        o.filter(col("o_orderdate") >= lit(cut)))
+      val (l0, dL) = (l.filter(col("l_shipdate") < lit(cut)),
+        l.filter(col("l_shipdate") >= lit(cut)))
+      // the "stored" materialization: pinned once, streamed not rebuilt
+      val base = o0.join(l0, "o_orderkey").localCheckpoint(true)
+      JoinOps.incrementalJoin(base, o0, dO, l0, dL, Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(round(l_extendedprice * (1 - l_discount), 4) AS DECIMAL(18,4))"))
+            .cast("double").as("revenue"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // L194 — UCB1 bandit index per event-type arm from the logged
+    // reward stream (deterministic exploration bonus, ranked output).
+    "q248_ucb1" -> ((s, d) =>
+      ExperimentOps.ucb1(Tables.events(s, d), "event_type", "value")
+        .orderBy(col("ucb_score").desc, col("arm"))),
+
+    // L195 — Kendall τ-b per returnflag between quantity and discount:
+    // joint-histogram pair counts (|cells|² ≤ 550², never n²).
+    "q249_kendall_tau" -> ((s, d) =>
+      MetricOps.kendallTau(Tables.lineitem(s, d), "l_returnflag",
+          "l_quantity", "l_discount")
+        .orderBy("l_returnflag")),
+
     // L108 — Gini concentration of per-user activity within each
     // event type (popularity-inequality audit; histogram-closed-form
     // Lorenz sum, no raw-key sort).

@@ -442,4 +442,46 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         round(col("__inter").cast("double") / col("__na"), 6).as("containment"))
   }
+
+  /** Survivorship / golden-record merge: given per-record cluster
+    * labels (e.g. [[graft.operators.GraphOps.connectedComponents]]
+    * over MinHash candidate pairs), collapse each cluster to ONE
+    * canonical row — the entity-resolution step after "which records
+    * are the same thing" is answered.
+    *
+    * Rules are the standard deterministic survivorship pair:
+    *   - canonical record = the member with the largest `sizeCol`
+    *     (completeness proxy), ties to the SMALLEST id — computed as
+    *     one `max(struct(size, −id))` aggregate, so no per-cluster
+    *     window ever sorts member rows (a hub cluster of a million
+    *     records costs one agg key, not a million-row sort);
+    *   - merged categorical = the cluster mode of `attrCol`, ties to
+    *     the lexicographically smallest value — `min(struct(−count,
+    *     attr))` over the (cluster, attr) count table, same
+    *     aggregate-only discipline.
+    *
+    * `df` must already carry the cluster label (join your cluster
+    * table before calling). Output: one row per cluster with
+    * (cluster, n_members, total `sizeCol`, canonical id + its size,
+    * mode attr).
+    */
+  def survivorship(df: DataFrame, clusterCol: String, idCol: String,
+                   sizeCol: String, attrCol: String): DataFrame = {
+    val base = df.select(col(clusterCol).as("cluster_id"),
+      col(idCol).cast("long").as("__id"),
+      col(sizeCol).cast("long").as("__sz"), col(attrCol).as("__attr"))
+    val canon = base.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("__sz")).as("total_size"),
+        max(struct(col("__sz"), (-col("__id")).as("__nid"))).as("__c"))
+      .select(col("cluster_id"), col("n_members"), col("total_size"),
+        (-col("__c.__nid")).as("canonical_id"),
+        col("__c.__sz").as("canonical_size"))
+    val mode = base.groupBy("cluster_id", "__attr")
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy("cluster_id")
+      .agg(min(struct((-col("__cnt")).as("__neg"), col("__attr"))).as("__m"))
+      .select(col("cluster_id"), col("__m.__attr").as("mode_attr"))
+    canon.join(mode, "cluster_id")
+  }
 }

@@ -244,4 +244,38 @@ object ExperimentOps {
         round(col("__rwc").cast("double") / col("n"), roundTo)
           .as("ips_clipped"))
   }
+
+  /** UCB1 bandit scores from logged pulls: per arm, the optimistic
+    * index  ucb = mean(reward) + √(2·ln N / n)  that the classic
+    * upper-confidence-bound policy would rank arms by on the next
+    * pull (Auer et al. 2002's deterministic exploration bonus — no
+    * randomness, so the score table is exactly reproducible from the
+    * log).
+    *
+    * Same shape discipline as the rest of this file: one hash
+    * aggregation to |arms| moment rows (rewards quantized to 4 dp so
+    * Σr is an exact decimal), the 1-row total-pulls table broadcast
+    * back, and the index one double formula per arm. The output also
+    * carries the exploration bonus separately so a dashboard can show
+    * exploit vs explore contributions.
+    */
+  def ucb1(df: DataFrame, armCol: String, rewardCol: String,
+           roundTo: Int = 6): DataFrame = {
+    val arms = df.select(col(armCol).as("arm"),
+        round(col(rewardCol).cast("double"), 4).cast("decimal(28,4)")
+          .as("__r"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_pulls"), sum(col("__r")).as("__sr"))
+    val tot = arms.agg(sum(col("n_pulls")).as("__nt"))
+    arms.crossJoin(broadcast(tot))
+      .withColumn("__mean",
+        col("__sr").cast("double") / col("n_pulls").cast("double"))
+      .withColumn("__bonus",
+        sqrt(lit(2.0) * log(col("__nt").cast("double")) /
+          col("n_pulls").cast("double")))
+      .select(col("arm"), col("n_pulls"),
+        round(col("__mean"), roundTo).as("mean_reward"),
+        round(col("__bonus"), roundTo).as("explore_bonus"),
+        round(col("__mean") + col("__bonus"), roundTo).as("ucb_score"))
+  }
 }

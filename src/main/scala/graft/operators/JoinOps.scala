@@ -95,4 +95,32 @@ object JoinOps {
     }
     prefiltered.join(build, Seq(keyCol))
   }
+
+  /** Incremental (delta) join maintenance: given the previously
+    * MATERIALIZED join of the base sides and this batch's deltas,
+    * produce the maintained join
+    *   J' = J₀ ∪ (ΔA ⋈ B₀) ∪ (A₀ ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+    * — the algebraic identity (A₀∪ΔA) ⋈ (B₀∪ΔB) expanded so the
+    * base-base term is READ from storage instead of recomputed. At
+    * 100 TB this is the difference between re-shuffling two full fact
+    * tables every batch and shuffling only |Δ|-proportional rows: the
+    * three delta joins each carry at least one delta side, and the
+    * stored J₀ streams through untouched (no exchange — it is already
+    * the answer for the old rows).
+    *
+    * Inputs must share the join-key columns `keys`; the non-key
+    * columns of A and B must be disjoint (usual join contract). The
+    * caller aggregates downstream (and at scale stores J' partitioned
+    * the same way as J₀ so the union is a file append, not a rewrite).
+    * Correctness contract (oracle-checked): J' row-for-row equals the
+    * full recompute join of (A₀∪ΔA) with (B₀∪ΔB).
+    */
+  def incrementalJoin(baseJoined: DataFrame,
+                      baseA: DataFrame, deltaA: DataFrame,
+                      baseB: DataFrame, deltaB: DataFrame,
+                      keys: Seq[String]): DataFrame =
+    baseJoined
+      .unionByName(deltaA.join(baseB, keys))
+      .unionByName(baseA.join(deltaB, keys))
+      .unionByName(deltaA.join(deltaB, keys))
 }

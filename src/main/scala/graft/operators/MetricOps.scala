@@ -1936,4 +1936,61 @@ object MetricOps {
         (col("b") - col("c")).cast("double") /
           sqrt((col("b") + col("c")).cast("double")), roundTo)).as("z"))
   }
+
+  /** Kendall's τ-b per group — the rank correlation that [[spearman]]
+    * complements: τ counts concordant vs discordant PAIRS, with the
+    * `-b` tie correction  τ_b = (C−D) / √((n₀−n₁)(n₀−n₂)),
+    * n₀ = n(n−1)/2, n₁/n₂ = Σ t(t−1)/2 over x/y tie groups.
+    *
+    * No data pair is ever materialized: the rows collapse to the
+    * (x, y) JOINT HISTOGRAM (values quantized to 4 dp) in one hash
+    * aggregation, and C/D come from the histogram's self-join on
+    * (group, x_a < x_b) — each cross-cell product counted once, cost
+    * |cells|² per group, never n². The tie terms are one aggregate
+    * each over the x / y marginals of the same histogram. That makes
+    * this the BOUNDED-CARDINALITY contract (the theilSen/q233 family):
+    * right for ordinal scales, star ratings, bucketed quantities —
+    * τ over two continuous columns should quantize coarser first.
+    * All pair counts accumulate as exact DECIMAL(38,0); τ is one
+    * double formula at the end.
+    */
+  def kendallTau(df: DataFrame, groupCol: String, xCol: String,
+                 yCol: String, roundTo: Int = 6): DataFrame = {
+    val hist = df.groupBy(col(groupCol).as("grp"),
+        round(col(xCol).cast("double"), 4).as("__x"),
+        round(col(yCol).cast("double"), 4).as("__y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"))
+      .localCheckpoint(true) // read 4× (pair sides + two marginals)
+    val a = hist.select(col("grp"), col("__x").as("__xa"),
+      col("__y").as("__ya"), col("__n").as("__na"))
+    val b = hist.select(col("grp"), col("__x").as("__xb"),
+      col("__y").as("__yb"), col("__n").as("__nb"))
+    val cd = a.join(b, Seq("grp")).filter(col("__xa") < col("__xb"))
+      .groupBy("grp")
+      .agg(sum(when(col("__yb") > col("__ya"), col("__na") * col("__nb"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__c"),
+        sum(when(col("__yb") < col("__ya"), col("__na") * col("__nb"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__d"))
+    def tiePairs(vCol: String, out: String) = hist
+      .groupBy(col("grp"), col(vCol)).agg(sum(col("__n")).as("__t"))
+      .groupBy("grp")
+      .agg((sum(col("__t") * (col("__t") - 1)) / 2).cast("decimal(38,0)")
+        .as(out))
+    val nTot = hist.groupBy("grp").agg(sum(col("__n")).as("__nt"))
+    nTot.join(cd, Seq("grp"), "left")
+      .join(tiePairs("__x", "__n1"), "grp")
+      .join(tiePairs("__y", "__n2"), "grp")
+      .withColumn("__n0",
+        (col("__nt") * (col("__nt") - 1) / 2).cast("decimal(38,0)"))
+      .withColumn("__den",
+        sqrt((col("__n0") - col("__n1")).cast("double") *
+          (col("__n0") - col("__n2")).cast("double")))
+      .select(col("grp").as(groupCol), col("__nt").cast("long").as("n"),
+        coalesce(col("__c"), lit(0)).cast("long").as("concordant"),
+        coalesce(col("__d"), lit(0)).cast("long").as("discordant"),
+        when(col("__den") > 0, round(
+          (coalesce(col("__c"), lit(0).cast("decimal(38,0)")) -
+            coalesce(col("__d"), lit(0).cast("decimal(38,0)")))
+            .cast("double") / col("__den"), roundTo)).as("tau_b"))
+  }
 }

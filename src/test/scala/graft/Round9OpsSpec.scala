@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, ExperimentOps, JoinOps, MetricOps}
+
+/** Round-9 operator specs: survivorship tie-break rules, incremental
+  * join ≡ full recompute, UCB1 against the hand formula, and Kendall
+  * τ-b against hand-counted concordances (with and without ties).
+  */
+class Round9OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --------------------------------------------------------- survivorship
+
+  test("survivorship: canonical by (size desc, id asc), mode ties to min") {
+    val df = Seq(
+      // cluster 1: sizes 10,10,3 → canonical = id 1 (size tie → min id);
+      // langs en,en,de → mode en
+      (1L, 1L, 10L, "en"), (1L, 2L, 10L, "en"), (1L, 3L, 3L, "de"),
+      // cluster 2: lang tie de/fr 1-1 → min lang de; canonical id 5
+      (2L, 5L, 7L, "fr"), (2L, 4L, 2L, "de"))
+      .toDF("cluster", "id", "sz", "lang")
+    val out = DedupOps.survivorship(df, "cluster", "id", "sz", "lang")
+      .orderBy("cluster_id").collect()
+    assert(out.length == 2)
+    val c1 = out(0)
+    assert(c1.getLong(1) == 3 && c1.getLong(2) == 23)
+    assert(c1.getLong(3) == 1L && c1.getLong(4) == 10L)
+    assert(c1.getString(5) == "en")
+    val c2 = out(1)
+    assert(c2.getLong(3) == 5L && c2.getString(5) == "de")
+  }
+
+  test("survivorship: singleton cluster is its own canonical") {
+    val df = Seq((9L, 42L, 5L, "it")).toDF("cluster", "id", "sz", "lang")
+    val r = DedupOps.survivorship(df, "cluster", "id", "sz", "lang")
+      .collect()(0)
+    assert(r.getLong(1) == 1 && r.getLong(3) == 42L &&
+      r.getString(5) == "it")
+  }
+
+  // ------------------------------------------------------ incrementalJoin
+
+  test("incrementalJoin: base + deltas equals full recompute") {
+    val a = Seq((1L, "a1"), (2L, "a2"), (3L, "a3"), (3L, "a3b"))
+      .toDF("k", "va")
+    val b = Seq((1L, "b1"), (2L, "b2"), (2L, "b2b"), (4L, "b4"))
+      .toDF("k", "vb")
+    // split each side arbitrarily into base/delta
+    val (a0, da) = (a.filter(col("va") < "a3"), a.filter(col("va") >= "a3"))
+    val (b0, db) = (b.filter(col("vb") =!= "b2b"), b.filter(col("vb") === "b2b"))
+    val inc = JoinOps.incrementalJoin(
+      a0.join(b0, Seq("k")), a0, da, b0, db, Seq("k"))
+    val full = a.join(b, Seq("k"))
+    assert(inc.count() == full.count())
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
+
+  test("incrementalJoin: empty deltas reproduce the base join exactly") {
+    val a = Seq((1L, "x")).toDF("k", "va")
+    val b = Seq((1L, "y")).toDF("k", "vb")
+    val empty = (va: String) => a.filter(col("va") === "never")
+    val inc = JoinOps.incrementalJoin(a.join(b, Seq("k")),
+      a, a.limit(0), b, b.limit(0), Seq("k"))
+    assert(inc.count() == 1)
+  }
+
+  // ----------------------------------------------------------------- ucb1
+
+  test("ucb1: hand formula on two arms") {
+    val df = Seq(("a", 1.0), ("a", 0.0), ("b", 1.0), ("b", 1.0))
+      .toDF("arm", "r")
+    val out = ExperimentOps.ucb1(df, "arm", "r")
+      .orderBy("arm").collect()
+    val bonus = math.sqrt(2 * math.log(4.0) / 2)
+    assert(out(0).getLong(1) == 2)
+    assert(math.abs(out(0).getDouble(2) - 0.5) < 1e-6)
+    assert(math.abs(out(0).getDouble(3) - bonus) < 1e-6)
+    assert(math.abs(out(0).getDouble(4) - (0.5 + bonus)) < 1e-6)
+    assert(math.abs(out(1).getDouble(4) - (1.0 + bonus)) < 1e-6)
+  }
+
+  // ------------------------------------------------------------ kendallTau
+
+  test("kendallTau: perfect agreement and perfect inversion") {
+    val up = (1 to 5).map(i => ("up", i.toDouble, i.toDouble))
+    val dn = (1 to 5).map(i => ("dn", i.toDouble, (6 - i).toDouble))
+    val out = MetricOps.kendallTau((up ++ dn).toDF("g", "x", "y"),
+      "g", "x", "y").orderBy("g").collect()
+    // dn: all 10 pairs discordant → τ = −1
+    assert(out(0).getLong(2) == 0 && out(0).getLong(3) == 10)
+    assert(math.abs(out(0).getDouble(4) + 1.0) < 1e-6)
+    // up: all 10 pairs concordant → τ = +1
+    assert(out(1).getLong(2) == 10 && out(1).getLong(3) == 0)
+    assert(math.abs(out(1).getDouble(4) - 1.0) < 1e-6)
+  }
+
+  test("kendallTau: tie correction matches the hand-computed τ-b") {
+    // x: 1,1,2,3  y: 1,2,2,3 → n0=6, n1(x ties)=1, n2(y ties)=1
+    // pairs with x strictly <: (1,2)x{...}: C = pairs (x<x', y<y'):
+    //   (1,1)-(2,2):C (1,1)-(3,3):C (1,2)-(2,2):tie-y (1,2)-(3,3):C
+    //   (2,2)-(3,3):C → C=4, D=0 → τb = 4/√(5·5) = 0.8
+    val df = Seq(("g", 1.0, 1.0), ("g", 1.0, 2.0), ("g", 2.0, 2.0),
+      ("g", 3.0, 3.0)).toDF("g", "x", "y")
+    val r = MetricOps.kendallTau(df, "g", "x", "y").collect()(0)
+    assert(r.getLong(1) == 4)
+    assert(r.getLong(2) == 4 && r.getLong(3) == 0)
+    assert(math.abs(r.getDouble(4) - 0.8) < 1e-6)
+  }
+
+  test("kendallTau: all-tied x yields null τ (zero denominator)") {
+    val df = Seq(("g", 1.0, 1.0), ("g", 1.0, 2.0)).toDF("g", "x", "y")
+    val r = MetricOps.kendallTau(df, "g", "x", "y").collect()(0)
+    assert(r.isNullAt(4) && r.getLong(2) == 0 && r.getLong(3) == 0)
+  }
+}
