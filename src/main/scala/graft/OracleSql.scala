@@ -3607,6 +3607,124 @@ object OracleSql {
         |  round(pmi, 6) AS pmi, round(pmi / -ln(pab), 6) AS npmi
         |FROM sc ORDER BY 5 DESC, 1, 2 LIMIT 30""".stripMargin,
 
+    "q250_interval_coverage" ->
+      """WITH b AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 300 AS hi FROM events),
+        |s AS (SELECT user_id, event_id, lo, hi, max(hi) OVER (
+        |    PARTITION BY user_id ORDER BY lo, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM b),
+        |f AS (SELECT user_id, event_id, lo, hi,
+        |    CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END AS nb
+        |  FROM s),
+        |g AS (SELECT user_id, lo, hi, sum(nb) OVER (
+        |    PARTITION BY user_id ORDER BY lo, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+        |  FROM f),
+        |sg AS (SELECT user_id, seg, count(*) AS n, min(lo) AS slo,
+        |    max(hi) AS shi
+        |  FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  CAST(sum(shi - slo) AS BIGINT) AS covered_s
+        |FROM sg GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q251_adamic_adar" ->
+      """WITH e AS (SELECT l1.l_suppkey AS sa, l2.l_suppkey AS sb
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey
+        |   AND l1.l_suppkey < l2.l_suppkey
+        |  WHERE (l1.l_suppkey * 31 + l2.l_suppkey) % 20 = 0),
+        |canon AS (SELECT DISTINCT least(sa, sb) AS a,
+        |    greatest(sa, sb) AS b FROM e WHERE sa <> sb),
+        |und AS (SELECT a AS w, b AS nb FROM canon
+        |        UNION ALL SELECT b, a FROM canon),
+        |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS dg FROM und
+        |  GROUP BY 1),
+        |ctr AS (SELECT u.w, u.nb, d.dg FROM und u JOIN deg d USING (w)
+        |  WHERE d.dg BETWEEN 2 AND 64),
+        |wd AS (SELECT c1.w, c1.dg, c1.nb AS u, c2.nb AS v
+        |  FROM ctr c1 JOIN ctr c2 ON c1.w = c2.w AND c1.nb < c2.nb),
+        |sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS n_common,
+        |    sum(CAST(round(1.0 / ln(dg), 12) AS DECIMAL(38,12))) AS aa
+        |  FROM wd GROUP BY 1, 2),
+        |fin AS (SELECT u, v, n_common,
+        |    round(CAST(aa AS DOUBLE), 6) AS aa_score
+        |  FROM sc ANTI JOIN canon ON sc.u = canon.a AND sc.v = canon.b)
+        |SELECT u, v, n_common, aa_score FROM fin
+        |ORDER BY aa_score DESC, u, v LIMIT 30""".stripMargin,
+
+    "q252_durbin_watson" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |m AS (SELECT g, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy
+        |  FROM s GROUP BY 1),
+        |cb AS (SELECT g, n, sx, sy,
+        |    CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |      THEN CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n * sxx - sx * sx AS DOUBLE)
+        |      ELSE 0 END AS b
+        |  FROM m),
+        |c2 AS (SELECT g, n, b,
+        |    (CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) AS a
+        |  FROM cb),
+        |r AS (SELECT s.g, s.x,
+        |    round(CAST(s.y AS DOUBLE) - c2.a - c2.b * s.x, 6) AS e
+        |  FROM s JOIN c2 USING (g)),
+        |l AS (SELECT g, x, e,
+        |    lag(e) OVER (PARTITION BY g ORDER BY x) AS ep FROM r),
+        |t AS (SELECT g,
+        |    sum(CAST(round((e - ep) * (e - ep), 12) AS DECIMAL(38,12)))
+        |      AS num,
+        |    sum(CAST(round(e * e, 12) AS DECIMAL(38,12))) AS den
+        |  FROM l GROUP BY 1)
+        |SELECT t.g AS event_type, CAST(c2.n AS BIGINT) AS n,
+        |  round(c2.b, 6) AS slope,
+        |  CASE WHEN CAST(den AS DOUBLE) > 0 THEN
+        |    round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |  END AS dw
+        |FROM t JOIN c2 USING (g) ORDER BY 1""".stripMargin,
+
+    "q253_fisher_exact" ->
+      """WITH base AS (SELECT event_type AS g,
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN value > 50 THEN 1 ELSE 0 END AS b FROM events),
+        |cells AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a) AS BIGINT) AS r1, CAST(sum(b) AS BIGINT) AS c1,
+        |    CAST(sum(a * b) AS BIGINT) AS a11
+        |  FROM base GROUP BY 1),
+        |li AS (SELECT unnest(generate_series(1,
+        |    (SELECT max(n) FROM cells))) AS i),
+        |lf0 AS (SELECT i, sum(CAST(round(ln(i), 12) AS DECIMAL(38,12)))
+        |    OVER (ORDER BY i) AS lf FROM li),
+        |lf AS (SELECT * FROM lf0
+        |       UNION ALL SELECT 0, CAST(0 AS DECIMAL(38,12))),
+        |ks AS (SELECT g, n, r1, c1, a11,
+        |    unnest(generate_series(a11, least(r1, c1))) AS k FROM cells),
+        |lp AS (SELECT ks.g, ks.k,
+        |    f1.lf - f2.lf - f3.lf + f4.lf - f5.lf - f6.lf - f7.lf
+        |      + f8.lf + f9.lf AS logp
+        |  FROM ks
+        |  JOIN lf f1 ON f1.i = ks.r1 JOIN lf f2 ON f2.i = ks.k
+        |  JOIN lf f3 ON f3.i = ks.r1 - ks.k
+        |  JOIN lf f4 ON f4.i = ks.n - ks.r1
+        |  JOIN lf f5 ON f5.i = ks.c1 - ks.k
+        |  JOIN lf f6 ON f6.i = ks.n - ks.r1 - ks.c1 + ks.k
+        |  JOIN lf f7 ON f7.i = ks.n JOIN lf f8 ON f8.i = ks.c1
+        |  JOIN lf f9 ON f9.i = ks.n - ks.c1),
+        |tl AS (SELECT g, sum(CAST(round(exp(CAST(logp AS DOUBLE)), 12)
+        |    AS DECIMAL(38,12))) AS p FROM lp GROUP BY 1)
+        |SELECT cells.g AS event_type, n, r1, c1, a11,
+        |  round(CAST(r1 AS DOUBLE) * c1 / n, 6) AS expected_a11,
+        |  least(CAST(round(p, 6) AS DOUBLE), 1.0) AS p_upper
+        |FROM cells JOIN tl USING (g) ORDER BY 1""".stripMargin,
+
     "q246_survivorship" ->
       s"""WITH RECURSIVE $shinglesCte,
          |${minhashSig(4, 2)},

@@ -2759,6 +2759,47 @@ object SparkEntry {
       TextOps.npmiCollocations(Tables.documents(s, d), "text",
         minCount = 20L, topK = 30)),
 
+    // L196 — per-user interval-union coverage: 5-minute activity
+    // windows merged into segments; effective active seconds per user.
+    "q250_interval_coverage" -> ((s, d) =>
+      RelationalOps.intervalCoverage(Tables.events(s, d), "user_id",
+          "ts", "event_id", durS = 300L)
+        .orderBy("user_id")),
+
+    // L197 — Adamic–Adar link prediction over the q135 supplier
+    // co-order graph: top-30 unlinked pairs by shared-neighbor score.
+    "q251_adamic_adar" -> ((s, d) => {
+      val edges = Tables.lineitem(s, d).alias("l1")
+        .join(Tables.lineitem(s, d).alias("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_suppkey") < col("l2.l_suppkey"))
+        .select(col("l1.l_suppkey").as("sa"), col("l2.l_suppkey").as("sb"))
+        .filter((col("sa") * 31 + col("sb")) % 20 === 0)
+      GraphOps.adamicAdar(edges, "sa", "sb", topK = 30)
+    }),
+
+    // L198 — Durbin–Watson serial-correlation diagnostic on the OLS
+    // residuals of each event type's daily-count trend.
+    "q252_durbin_watson" -> ((s, d) =>
+      MetricOps.durbinWatson(
+          Tables.events(s, d)
+            .groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          "event_type", "day", "y")
+        .orderBy("event_type")),
+
+    // L199 — Fisher's exact test per event type: is (even user id) ×
+    // (value > 50) independent? Upper-tail hypergeometric p from the
+    // decimal log-factorial table.
+    "q253_fisher_exact" -> ((s, d) =>
+      MetricOps.fisherExact(
+          Tables.events(s, d)
+            .withColumn("a", (col("user_id") % 2 === 0).cast("int"))
+            .withColumn("b", (col("value") > 50).cast("int")),
+          "event_type", "a", "b")
+        .orderBy("event_type")),
+
     // L192 — survivorship / golden-record merge over the MinHash dup
     // clusters: canonical member by (n_chars, min doc_id), cluster
     // mode of lang — aggregate-only, no per-cluster member sort.

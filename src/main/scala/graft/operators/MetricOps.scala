@@ -1993,4 +1993,145 @@ object MetricOps {
             coalesce(col("__d"), lit(0).cast("decimal(38,0)")))
             .cast("double") / col("__den"), roundTo)).as("tau_b"))
   }
+
+  /** Durbin–Watson autocorrelation check on per-group OLS residuals
+    * over an ALREADY-AGGREGATED (group, x, y) series (the
+    * [[theilSen]]/CUSUM bounded-series contract — x a calendar bucket,
+    * y its aggregate): fit y = a + b·x from EXACT integer/decimal
+    * moments (one hash aggregation; no `regr_*` float partials), join
+    * the k-row coefficient table back broadcast, and report
+    * DW = Σ(eₜ−eₜ₋₁)² / Σeₜ² from the lag-1 window over the bounded
+    * series. DW ≈ 2 means uncorrelated residuals; → 0 positive, → 4
+    * negative serial correlation — the standard "is a trend line
+    * even the right model" diagnostic after [[olsTrend]].
+    *
+    * Determinism discipline: moments accumulate as DECIMAL(38,0)
+    * (order-independent), a/b are one double formula from those exact
+    * sums, residuals snap to 6 dp, and the DW numerator/denominator
+    * terms snap to 12 dp and sum as exact decimals.
+    */
+  def durbinWatson(series: DataFrame, groupCol: String, xCol: String,
+                   yCol: String, roundTo: Int = 6): DataFrame = {
+    val base = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val mom = base.groupBy("__g").agg(
+      count(lit(1)).cast("decimal(38,0)").as("__n"),
+      sum(col("__x")).cast("decimal(38,0)").as("__sx"),
+      sum(col("__y")).cast("decimal(38,0)").as("__sy"),
+      sum(col("__x") * col("__x")).cast("decimal(38,0)").as("__sxx"),
+      sum(col("__x") * col("__y")).cast("decimal(38,0)").as("__sxy"))
+    val coef = mom
+      .withColumn("__den", (col("__n") * col("__sxx") -
+        col("__sx") * col("__sx")).cast("double"))
+      .withColumn("__b", when(col("__den") > 0,
+        (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast("double") / col("__den")).otherwise(lit(0.0)))
+      .withColumn("__a",
+        (col("__sy").cast("double") - col("__b") * col("__sx").cast("double"))
+          / col("__n").cast("double"))
+      .select(col("__g"), col("__n"), col("__b"), col("__a"))
+    val resid = base.join(broadcast(coef), "__g")
+      .withColumn("__e", round(col("__y").cast("double") - col("__a") -
+        col("__b") * col("__x").cast("double"), 6))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__x"))
+    resid.withColumn("__ep", lag(col("__e"), 1).over(w))
+      .groupBy(col("__g").as(groupCol))
+      .agg(first(col("__n")).cast("long").as("n"),
+        round(first(col("__b")), roundTo).as("slope"),
+        sum(round(pow(col("__e") - col("__ep"), 2), 12)
+          .cast("decimal(38,12)")).as("__num"),
+        sum(round(pow(col("__e"), 2), 12).cast("decimal(38,12)"))
+          .as("__den2"))
+      .select(col(groupCol), col("n"), col("slope"),
+        when(col("__den2") > 0, round(col("__num").cast("double") /
+          col("__den2").cast("double"), roundTo)).as("dw"))
+  }
+
+  /** Fisher's EXACT test (one-sided, upper tail) on a per-group 2×2
+    * table of two 0/1 columns: p = P[X ≥ a₁₁] under the
+    * hypergeometric null with the observed margins — the
+    * small-sample independence test a χ² approximation can't cover.
+    *
+    * No factorial is ever formed: a LOG-FACTORIAL table
+    * lf[i] = Σ_{j≤i} round(ln j, 12) is built once up to the largest
+    * group size (each ln snapped to 12 dp so the cumulative sum is an
+    * EXACT decimal — order-independent and engine-identical;
+    * cumulation rides [[rangeCumSum]], so no single-partition window
+    * even for a 10⁸-row table). Each group explodes into its
+    * min(r1,c1)−a₁₁+1 tail terms, each term into 9 (idx, ±) rows
+    * that hit the lf table in ONE broadcast equi-join, and
+    * log p_k = Σ ± lf re-aggregates exactly; the final tail sum
+    * snaps each exp(log p_k) to 12 dp and adds exact decimals.
+    *
+    * Scale contract: work per group is O(min(r1,c1)) tail terms —
+    * exact tests are for BOUNDED group sizes by nature (at 10⁹ rows
+    * per group use [[chiSquare]]; the answer is 'yes' anyway). The lf
+    * table is |max n| rows and must fit a broadcast (~10⁶ rows fine).
+    *
+    * p reports at 6 dp while terms accumulate at 12 dp: a JVM-vs-libm
+    * exp() ulp can flip one term's 12th digit (observed at sf0.001),
+    * so the report keeps 6 digits of headroom above that noise floor.
+    */
+  def fisherExact(df: DataFrame, groupCol: String, aCol: String,
+                  bCol: String, roundTo: Int = 6): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("__g")).agg(
+        count(lit(1)).as("__n"),
+        sum(col(aCol).cast("long")).as("__r1"),
+        sum(col(bCol).cast("long")).as("__c1"),
+        sum((col(aCol).cast("long") * col(bCol).cast("long")))
+          .as("__a11"))
+      .localCheckpoint(true) // sizes the lf table + feeds the terms
+    // driver-side scalar for SIZING the generated ln table (the same
+    // sanctioned planning read as Pipeline's constant-prune pass)
+    val maxN = cells.agg(max(col("__n"))).first().getLong(0)
+    val spark = df.sparkSession
+    val lnRows = spark.range(1, maxN + 1)
+      .select(col("id").as("__i"),
+        round(log(col("id").cast("double")), 12).cast("decimal(38,12)")
+          .as("__ln"))
+    val lf = rangeCumSum(lnRows, "__i", Seq("__ln"))
+      .select(col("__i"), col("__cum___ln").as("__lf"))
+      .unionAll(spark.range(1).select(lit(0L).as("__i"),
+        lit(0).cast("decimal(38,12)").as("__lf")))
+      .localCheckpoint(true)
+    val ks = cells
+      .withColumn("__k",
+        explode(sequence(col("__a11"), least(col("__r1"), col("__c1")))))
+    // log p_k = lf(r1) − lf(k) − lf(r1−k) + lf(n−r1) − lf(c1−k)
+    //         − lf(n−r1−c1+k) − lf(n) + lf(c1) + lf(n−c1)
+    val idx = ks.select(col("__g"), col("__k"), explode(array(
+      struct(col("__r1").as("__i"), lit(1L).as("__s")),
+      struct(col("__k").as("__i"), lit(-1L).as("__s")),
+      struct((col("__r1") - col("__k")).as("__i"), lit(-1L).as("__s")),
+      struct((col("__n") - col("__r1")).as("__i"), lit(1L).as("__s")),
+      struct((col("__c1") - col("__k")).as("__i"), lit(-1L).as("__s")),
+      struct((col("__n") - col("__r1") - col("__c1") + col("__k"))
+        .as("__i"), lit(-1L).as("__s")),
+      struct(col("__n").cast("long").as("__i"), lit(-1L).as("__s")),
+      struct(col("__c1").as("__i"), lit(1L).as("__s")),
+      struct((col("__n") - col("__c1")).as("__i"), lit(1L).as("__s"))))
+      .as("__t"))
+      .select(col("__g"), col("__k"), col("__t.__i").as("__i"),
+        col("__t.__s").as("__s"))
+    // sign by conditional NEGATION, not multiply: decimal(38,12) × long
+    // would overflow the 38-precision cap and silently drop the scale
+    // to 6 (Spark's allowPrecisionLoss), quantizing log p
+    val logp = idx.join(broadcast(lf), "__i")
+      .groupBy("__g", "__k")
+      .agg(sum(when(col("__s") === 1L, col("__lf"))
+        .otherwise(-col("__lf"))).as("__logp"))
+    val tail = logp.groupBy("__g")
+      .agg(sum(round(exp(col("__logp").cast("double")), 12)
+        .cast("decimal(38,12)")).as("__p"))
+    cells.join(tail, "__g")
+      .select(col("__g").as(groupCol), col("__n").as("n"),
+        col("__r1").as("r1"), col("__c1").as("c1"), col("__a11").as("a11"),
+        round(col("__r1").cast("double") * col("__c1").cast("double") /
+          col("__n").cast("double"), 6).as("expected_a11"),
+        // round the EXACT decimal, then go double: casting first can
+        // land the double a half-ulp across a 9-dp boundary and flip
+        // the last digit differently per engine
+        least(round(col("__p"), roundTo).cast("double"), lit(1.0))
+          .as("p_upper"))
+  }
 }

@@ -528,4 +528,42 @@ object RelationalOps {
           (col("__ua") * col("__ub")).cast("double"), roundTo).as("lift"))
       .orderBy("antecedent", "consequent")
   }
+
+  /** Per-key interval-union coverage: each row opens the half-open
+    * interval [ts, ts+`durS`), overlapping/contiguous intervals merge,
+    * and the output reports per key how many merged segments remain
+    * and how many seconds they cover — the "effective active time"
+    * reduction behind session-length billing, uptime SLAs, and
+    * overlap-free exposure measurement.
+    *
+    * Classic sweep, done with per-key windows only (the PIT
+    * discipline — one hash exchange on the key, frames never grow
+    * with data): a row starts a new segment iff its `lo` exceeds the
+    * running max of all previous `hi` (half-open ⇒ touching intervals
+    * merge); the segment id is the running sum of those start flags;
+    * segments then collapse to (min lo, max hi) and each key to one
+    * row. Integer-second arithmetic throughout — no FP anywhere.
+    */
+  def intervalCoverage(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, durS: Long): DataFrame = {
+    val base = df.select(col(keyCol),
+      unix_timestamp(col(tsCol)).as("__lo"), col(tieCol).as("__tie"))
+      .withColumn("__hi", col("__lo") + durS)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("__lo"), col("__tie"))
+    val prevMax = max(col("__hi"))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val seg = base
+      .withColumn("__new",
+        when(prevMax.isNull || col("__lo") > prevMax, 1L).otherwise(0L))
+      .withColumn("__seg", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    seg.groupBy(col(keyCol), col("__seg"))
+      .agg(count(lit(1)).as("__n"), min(col("__lo")).as("__slo"),
+        max(col("__hi")).as("__shi"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("__n")).as("n_events"),
+        count(lit(1)).as("n_segments"),
+        sum(col("__shi") - col("__slo")).as("covered_s"))
+  }
 }

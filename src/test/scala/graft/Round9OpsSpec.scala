@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps, ExperimentOps, JoinOps, MetricOps}
+import graft.operators.{DedupOps, ExperimentOps, GraphOps, JoinOps,
+  MetricOps, RelationalOps}
 
 /** Round-9 operator specs: survivorship tie-break rules, incremental
   * join ≡ full recompute, UCB1 against the hand formula, and Kendall
@@ -112,5 +113,121 @@ class Round9OpsSpec extends SparkSpec {
     val df = Seq(("g", 1.0, 1.0), ("g", 1.0, 2.0)).toDF("g", "x", "y")
     val r = MetricOps.kendallTau(df, "g", "x", "y").collect()(0)
     assert(r.isNullAt(4) && r.getLong(2) == 0 && r.getLong(3) == 0)
+  }
+
+  // ----------------------------------------------------- intervalCoverage
+
+  test("intervalCoverage: overlap merges, touch merges, gap splits") {
+    // key u: [0,10) [5,15) overlap → one segment [0,15); [15,25) touches
+    // → still one segment [0,25); [100,110) separate → 2 segments, 35 s
+    val df = Seq((1L, 0L, 1L), (1L, 5L, 2L), (1L, 15L, 3L), (1L, 100L, 4L))
+      .toDF("u", "sec", "id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = RelationalOps.intervalCoverage(df, "u", "ts", "id", 10L)
+      .collect()(0)
+    assert(r.getLong(1) == 4 && r.getLong(2) == 2 && r.getLong(3) == 35L)
+  }
+
+  test("intervalCoverage: fully nested intervals count once") {
+    val df = Seq((1L, 0L, 1L), (1L, 2L, 2L)).toDF("u", "sec", "id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val r = RelationalOps.intervalCoverage(df, "u", "ts", "id", 100L)
+      .collect()(0)
+    assert(r.getLong(2) == 1 && r.getLong(3) == 102L)
+  }
+
+  // ----------------------------------------------------------- adamicAdar
+
+  test("adamicAdar: square graph scores the two diagonals") {
+    // cycle a-b-c-d-a: unlinked pairs (a,c) and (b,d), each with two
+    // degree-2 common neighbors → score = 2/ln(2)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("s", "t")
+    val out = GraphOps.adamicAdar(edges, "s", "t", topK = 10)
+      .orderBy("u", "v").collect()
+    assert(out.length == 2)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 3L), (2L, 4L)))
+    out.foreach { r =>
+      assert(r.getLong(2) == 2)
+      assert(math.abs(r.getDouble(3) - 2.0 / math.log(2.0)) < 1e-5)
+    }
+  }
+
+  test("adamicAdar: hub centers above maxDegree are excluded") {
+    // star center 0 with 5 leaves; maxDegree=4 excludes it → no pairs
+    val edges = (1L to 5L).map(i => (0L, i)).toDF("s", "t")
+    assert(GraphOps.adamicAdar(edges, "s", "t", 10, maxDegree = 4)
+      .isEmpty)
+    // with the cap lifted the 10 leaf pairs score 1/ln(5)
+    val out = GraphOps.adamicAdar(edges, "s", "t", 20, maxDegree = 10)
+      .collect()
+    assert(out.length == 10)
+    assert(math.abs(out.head.getDouble(3) - 1 / math.log(5.0)) < 1e-5)
+  }
+
+  // --------------------------------------------------------- durbinWatson
+
+  test("durbinWatson: perfect linear fit yields null (zero residuals)") {
+    val df = (1L to 10L).map(t => ("g", t, 2 * t + 3)).toDF("g", "x", "y")
+    val r = MetricOps.durbinWatson(df, "g", "x", "y").collect()(0)
+    assert(r.isNullAt(3))
+    assert(math.abs(r.getDouble(2) - 2.0) < 1e-6)
+  }
+
+  test("durbinWatson: alternating residuals land near 4, trend near 0") {
+    // y alternates ±1 → strongly negative serial correlation (DW → 4);
+    // expected value computed by direct OLS+DW replication
+    val xs = (0L until 10L).toArray
+    val ys = xs.map(t => if (t % 2 == 0) 1.0 else -1.0)
+    val n = xs.length
+    val (sx, sy) = (xs.sum.toDouble, ys.sum)
+    val sxx = xs.map(x => x.toDouble * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val a = (sy - b * sx) / n
+    val e = xs.zip(ys).map { case (x, y) =>
+      BigDecimal(y - a - b * x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val num = e.sliding(2).map { case Array(p, c) => (c - p) * (c - p) }.sum
+    val den = e.map(v => v * v).sum
+    val expect = num / den
+    assert(expect > 3.0) // sanity: strongly negative autocorrelation
+    val df = xs.zip(ys).map { case (x, y) => ("g", x, y.toLong) }
+      .toSeq.toDF("g", "x", "y")
+    val r = MetricOps.durbinWatson(df, "g", "x", "y").collect()(0)
+    assert(math.abs(r.getDouble(3) - expect) < 1e-4)
+  }
+
+  // ---------------------------------------------------------- fisherExact
+
+  test("fisherExact: lady-tasting-tea tail probabilities") {
+    // n=8, r1=c1=4: P[X ≥ 4] = 1/70; with one miss P[X ≥ 3] = 17/70
+    def table(a11: Int) = {
+      val rows = for {
+        i <- 0 until 8
+        a = if (i < 4) 1 else 0
+        b = if (a == 1) (if (i < a11) 1 else 0)
+            else (if (i - 4 < 4 - a11) 1 else 0)
+      } yield ("g", a, b)
+      rows.toDF("g", "a", "b")
+    }
+    val p4 = MetricOps.fisherExact(table(4), "g", "a", "b")
+      .collect()(0).getDouble(6)
+    assert(math.abs(p4 - 1.0 / 70) < 1e-6)
+    val p3 = MetricOps.fisherExact(table(3), "g", "a", "b")
+      .collect()(0).getDouble(6)
+    assert(math.abs(p3 - 17.0 / 70) < 1e-6)
+  }
+
+  test("fisherExact: independent margins give p near the expected mass") {
+    // certain containment: a11 = min(r1,c1) → single term; p ≤ 1
+    val df = Seq(("g", 1, 1), ("g", 1, 1), ("g", 0, 0), ("g", 0, 0))
+      .toDF("g", "a", "b")
+    val r = MetricOps.fisherExact(df, "g", "a", "b").collect()(0)
+    assert(r.getLong(4) == 2)
+    // P[X ≥ 2] with n=4, r1=c1=2 → C(2,2)/C(4,2) = 1/6
+    assert(math.abs(r.getDouble(6) - 1.0 / 6) < 1e-6)
   }
 }
