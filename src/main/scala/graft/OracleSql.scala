@@ -3607,6 +3607,105 @@ object OracleSql {
         |  round(pmi, 6) AS pmi, round(pmi / -ln(pab), 6) AS npmi
         |FROM sc ORDER BY 5 DESC, 1, 2 LIMIT 30""".stripMargin,
 
+    "q254_ewma_anomaly" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |r AS (SELECT g, x, y,
+        |    row_number() OVER (PARTITION BY g ORDER BY x) AS rn FROM s),
+        |ew AS (SELECT a.g, a.rn,
+        |    CAST(sum(h.y * (CAST(1 AS BIGINT)
+        |        << CAST(8 - (a.rn - h.rn) AS INT))) AS DOUBLE)
+        |    / CAST(sum(CAST(1 AS BIGINT)
+        |        << CAST(8 - (a.rn - h.rn) AS INT)) AS DOUBLE) AS ewma
+        |  FROM r a JOIN r h
+        |    ON a.g = h.g AND h.rn BETWEEN a.rn - 8 AND a.rn - 1
+        |  GROUP BY 1, 2),
+        |d AS (SELECT r.g, r.x, r.y, ew.ewma,
+        |    round(r.y - ew.ewma, 6) AS dv
+        |  FROM r LEFT JOIN ew ON r.g = ew.g AND r.rn = ew.rn),
+        |sp AS (SELECT g, count(dv) AS nd,
+        |    sum(CAST(dv AS DECIMAL(38,6))) AS sd,
+        |    sum(CAST(dv * dv AS DECIMAL(38,12))) AS sdd
+        |  FROM d WHERE dv IS NOT NULL GROUP BY 1),
+        |sp2 AS (SELECT g, CAST(sd AS DOUBLE) / nd AS mu,
+        |    sqrt(greatest(CAST(sdd AS DOUBLE) / nd
+        |      - (CAST(sd AS DOUBLE) / nd) * (CAST(sd AS DOUBLE) / nd),
+        |      0)) AS sig
+        |  FROM sp)
+        |SELECT d.g AS event_type, d.x AS day, d.y AS y,
+        |  round(d.ewma, 6) AS ewma_prev,
+        |  round((d.dv - mu) / sig, 6) AS z
+        |FROM d JOIN sp2 ON d.g = sp2.g
+        |WHERE sig > 0 AND abs((d.dv - mu) / sig) >= 1.5
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q255_friedman" ->
+      """WITH s AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS b,
+        |    event_type AS t,
+        |    round(CAST(count(*) AS DOUBLE), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |k AS (SELECT count(DISTINCT t) AS k FROM s),
+        |c AS (SELECT s.*, count(*) OVER (PARTITION BY b) AS bn FROM s),
+        |f AS (SELECT c.* FROM c, k WHERE bn = k.k),
+        |rk AS (SELECT b, t,
+        |    rank() OVER (PARTITION BY b ORDER BY v) * 2
+        |      + count(*) OVER (PARTITION BY b, v) - 1 AS r2 FROM f),
+        |pt AS (SELECT t,
+        |    CAST(CAST(sum(r2) AS DECIMAL(38,0)) / 2 AS DECIMAL(38,1))
+        |      AS rsum,
+        |    CAST(count(*) AS BIGINT) AS nb FROM rk GROUP BY 1),
+        |st AS (SELECT max(nb) AS bb, CAST(count(*) AS BIGINT) AS kk,
+        |    sum(rsum * rsum) AS ssq FROM pt)
+        |SELECT pt.t AS event_type, nb AS n_blocks,
+        |  CAST(rsum AS DOUBLE) AS rank_sum,
+        |  round(CAST(rsum AS DOUBLE) / nb, 6) AS mean_rank, kk AS k,
+        |  round(12.0 * CAST(ssq AS DOUBLE) / (bb * kk * (kk + 1))
+        |    - 3.0 * (bb * (kk + 1)), 6) AS chi2_f
+        |FROM pt, st ORDER BY 1""".stripMargin,
+
+    "q256_systematic_sample" ->
+      """WITH rk AS (SELECT c_custkey, c_mktsegment, row_number() OVER (
+        |    ORDER BY ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+        |      1, 4))::INT, c_custkey) AS r FROM customer)
+        |SELECT c_custkey, c_mktsegment, r AS sample_rank FROM rk
+        |WHERE (r - 1) % 20 = 0 ORDER BY 1""".stripMargin,
+
+    "q257_theil" ->
+      """WITH u AS (SELECT user_id, event_type AS g,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |gr AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(x) AS DECIMAL(38,0)) AS sg
+        |  FROM u WHERE x > 0 GROUP BY 1),
+        |tt AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS DECIMAL(38,0)) AS s FROM gr),
+        |wm AS (SELECT u.g, u.x, gr.ng, gr.sg,
+        |    CAST(gr.sg AS DOUBLE) / gr.ng AS mug, tt.n AS nn, tt.s AS ss
+        |  FROM u JOIN gr USING (g), tt WHERE u.x > 0),
+        |terms AS (SELECT g, ng, sg, mug, nn, ss,
+        |    CAST(round(CAST(x AS DOUBLE) / CAST(sg AS DOUBLE)
+        |      * ln(CAST(x AS DOUBLE) / mug), 12) AS DECIMAL(38,12))
+        |      AS term
+        |  FROM wm),
+        |pg AS (SELECT g, max(ng) AS n, max(sg) AS sgd, max(mug) AS mug,
+        |    max(nn) AS nn, max(ss) AS ss, sum(term) AS tg
+        |  FROM terms GROUP BY g),
+        |pg2 AS (SELECT g, n,
+        |    CAST(sgd AS DOUBLE) / CAST(ss AS DOUBLE) AS share, mug,
+        |    CAST(ss AS DOUBLE) / nn AS mu, tg FROM pg),
+        |st AS (SELECT
+        |    sum(CAST(round(share * CAST(tg AS DOUBLE), 12)
+        |      AS DECIMAL(38,12))) AS tw,
+        |    sum(CAST(round(share * ln(mug / mu), 12)
+        |      AS DECIMAL(38,12))) AS tb FROM pg2)
+        |SELECT g AS event_type, n, round(mug, 6) AS mean_value,
+        |  round(share, 6) AS value_share,
+        |  round(CAST(tg AS DOUBLE), 6) AS t_group,
+        |  round(CAST(tw AS DOUBLE), 6) AS t_within,
+        |  round(CAST(tb AS DOUBLE), 6) AS t_between,
+        |  round(CAST(tw + tb AS DOUBLE), 6) AS t_total
+        |FROM pg2, st ORDER BY 1""".stripMargin,
+
     "q250_interval_coverage" ->
       """WITH b AS (SELECT user_id, event_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) AS lo,

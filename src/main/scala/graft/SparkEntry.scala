@@ -2759,6 +2759,46 @@ object SparkEntry {
       TextOps.npmiCollocations(Tables.documents(s, d), "text",
         minCount = 20L, topK = 30)),
 
+    // L200 — truncated-EWMA (α=½, dyadic weights) forecast anomaly
+    // screen on each event type's daily counts.
+    "q254_ewma_anomaly" -> ((s, d) =>
+      MetricOps.ewmaAnomaly(
+          Tables.events(s, d)
+            .groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          "event_type", "day", "y", win = 8, zCut = 1.5)
+        .orderBy("event_type", "day")),
+
+    // L201 — Friedman repeated-measures rank test: do the event types
+    // differ in daily volume, with each day as its own control block?
+    "q255_friedman" -> ((s, d) =>
+      MetricOps.friedman(
+          Tables.events(s, d)
+            .groupBy(to_date(col("ts")).cast("string").as("day"),
+              col("event_type"))
+            .agg(count(lit(1)).as("y")),
+          "day", "event_type", "y")
+        .orderBy("event_type")),
+
+    // L202 — deterministic 1-in-20 systematic audit sample of the
+    // customer table (md5 total order, exact stride).
+    "q256_systematic_sample" -> ((s, d) =>
+      SamplingOps.systematicSample(Tables.customer(s, d), "c_custkey",
+          every = 20)
+        .select(col("c_custkey"), col("c_mktsegment"), col("sample_rank"))
+        .orderBy("c_custkey")),
+
+    // L203 — Theil T inequality decomposition of (user, event-type)
+    // activity: how much volume concentration is within vs between
+    // event types.
+    "q257_theil" -> ((s, d) =>
+      MetricOps.theilDecomposition(
+          Tables.events(s, d).groupBy("user_id", "event_type")
+            .agg(count(lit(1)).as("x")),
+          "event_type", "x")
+        .orderBy("event_type")),
+
     // L196 — per-user interval-union coverage: 5-minute activity
     // windows merged into segments; effective active seconds per user.
     "q250_interval_coverage" -> ((s, d) =>

@@ -1937,6 +1937,182 @@ object MetricOps {
           sqrt((col("b") + col("c")).cast("double")), roundTo)).as("z"))
   }
 
+  /** Truncated-EWMA forecast anomaly screen per group over an
+    * ALREADY-AGGREGATED (group, bucket, value) series (the
+    * [[theilSen]]/CUSUM bounded-series contract): each bucket's value
+    * is compared against the exponentially-weighted mean of the
+    * PREVIOUS `win` buckets (α = ½, so weights are exact dyadic
+    * 2^(win−1−lag) integers — no `pow`, no FP weight drift), and
+    * buckets whose deviation z-scores beyond `zCut` against the
+    * group's own deviation spread are reported.
+    *
+    * The rolling part is a bounded self-join on per-group row numbers
+    * (history rn ∈ [rn−win, rn−1]) over the aggregated series — the
+    * same |group|·win-bounded shape as the MK/Theil-Sen pair joins,
+    * never a raw-row window. Weighted sums accumulate as exact
+    * integers; the EWMA normalizes by the sum of the weights actually
+    * present, so the series head (fewer than `win` predecessors) is
+    * exact, not zero-padded. Deviations snap to 6 dp; spread moments
+    * accumulate as exact decimals.
+    */
+  def ewmaAnomaly(series: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, win: Int = 32, zCut: Double = 2.0,
+                  roundTo: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col("__g")).orderBy(col("__x"))
+    val base = series.select(col(groupCol).as("__g"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .withColumn("__rn", row_number().over(w))
+      .localCheckpoint(true) // current + history sides of the self-join
+    val hist = base.select(col("__g").as("__hg"),
+      col("__rn").as("__hrn"), col("__y").as("__hy"))
+    val ew = base.join(hist,
+        col("__g") === col("__hg") &&
+          col("__hrn") >= col("__rn") - win &&
+          col("__hrn") <= col("__rn") - 1)
+      .drop("__hg")
+      .withColumn("__lag", (col("__rn") - col("__hrn")).cast("int"))
+      .withColumn("__wt",
+        expr(s"shiftleft(CAST(1 AS BIGINT), $win - __lag)"))
+      .groupBy("__g", "__rn")
+      .agg(sum(col("__hy") * col("__wt")).as("__num"),
+        sum(col("__wt")).as("__den"))
+      .withColumn("__ewma",
+        col("__num").cast("double") / col("__den").cast("double"))
+      .select(col("__g"), col("__rn"), col("__ewma"))
+    val dev = base.join(ew, Seq("__g", "__rn"), "left")
+      .withColumn("__d", round(col("__y") - col("__ewma"), 6))
+    val spread = dev.filter(col("__d").isNotNull).groupBy("__g")
+      .agg(count(lit(1)).as("__nd"),
+        sum(col("__d").cast("decimal(38,6)")).as("__sd"),
+        sum((col("__d") * col("__d")).cast("decimal(38,12)")).as("__sdd"))
+      .withColumn("__mu", col("__sd").cast("double") / col("__nd"))
+      .withColumn("__sig", sqrt(greatest(
+        col("__sdd").cast("double") / col("__nd") -
+          col("__mu") * col("__mu"), lit(0.0))))
+      .select(col("__g"), col("__mu"), col("__sig"))
+    dev.join(broadcast(spread), "__g")
+      .withColumn("__z", when(col("__sig") > 0,
+        (col("__d") - col("__mu")) / col("__sig")))
+      .filter(abs(col("__z")) >= zCut)
+      .select(col("__g").as(groupCol), col("__x").as(xCol),
+        col("__y").as(yCol), round(col("__ewma"), roundTo).as("ewma_prev"),
+        round(col("__z"), roundTo).as("z"))
+  }
+
+  /** Friedman test: the k-treatment repeated-measures rank test over
+    * (block, treatment, value) rows — "do the treatments differ, once
+    * each block serves as its own control". Within each COMPLETE block
+    * (all k treatments present; incomplete blocks are dropped — the
+    * standard requirement) values get average ranks, the per-treatment
+    * rank sums R_j accumulate, and
+    * χ²_F = 12/(b·k·(k+1)) · ΣR_j² − 3·b·(k+1).
+    *
+    * Every window is bounded by k rows per block (the treatment
+    * vocabulary, never data volume); average ranks have exact .5
+    * granularity and sum as DECIMAL(38,1); the statistic is one double
+    * formula. Output: one row per treatment with its rank sum and mean
+    * rank, the shared (b, k, χ²_F) repeated on every row (the
+    * [[woeIv]] reporting shape).
+    */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+               valCol: String, roundTo: Int = 6): DataFrame = {
+    val base = df.select(col(blockCol).as("__b"), col(treatCol).as("__t"),
+      round(col(valCol).cast("double"), 4).as("__v"))
+    val k = base.agg(countDistinct(col("__t")).as("__k"))
+    val complete = base
+      .withColumn("__bn", count(lit(1))
+        .over(Window.partitionBy(col("__b"))))
+      .crossJoin(broadcast(k))
+      .filter(col("__bn") === col("__k"))
+    val wb = Window.partitionBy(col("__b"))
+    val ranked = complete
+      .withColumn("__rnk", rank().over(wb.orderBy(col("__v"))))
+      .withColumn("__tie", count(lit(1))
+        .over(Window.partitionBy(col("__b"), col("__v"))))
+      // average rank over a tie run: rank() + (ties−1)/2, doubled to
+      // keep integer arithmetic (granularity .5 → decimal scale 1)
+      .withColumn("__r2", col("__rnk") * 2 + col("__tie") - 1)
+    val perTreat = ranked.groupBy(col("__t"))
+      .agg((sum(col("__r2")).cast("decimal(38,0)") / 2)
+        .cast("decimal(38,1)").as("__rsum"),
+        count(lit(1)).as("__b_count"))
+      .localCheckpoint(true) // consumed by the stat and the report
+    val stat = perTreat.agg(
+        first(col("__b_count")).as("__bb"),
+        count(lit(1)).as("__kk"),
+        sum(col("__rsum") * col("__rsum")).as("__ssq"))
+      .withColumn("chi2_f", round(
+        lit(12.0) * col("__ssq").cast("double") /
+          (col("__bb") * col("__kk") * (col("__kk") + 1)).cast("double") -
+          lit(3.0) * (col("__bb") * (col("__kk") + 1)).cast("double"),
+        roundTo))
+    perTreat.crossJoin(broadcast(stat))
+      .select(col("__t").as(treatCol), col("__b_count").as("n_blocks"),
+        col("__rsum").cast("double").as("rank_sum"),
+        round(col("__rsum").cast("double") / col("__b_count"), roundTo)
+          .as("mean_rank"),
+        col("__kk").cast("long").as("k"), col("chi2_f"))
+  }
+
+  /** Theil T inequality index with within/between decomposition: for
+    * positive unit values x grouped by `groupCol`,
+    * T = Σ (x/Σx)·ln(x/μ) decomposes EXACTLY into
+    * T_within = Σ_g s_g·T_g (s_g = group's value share) plus
+    * T_between = Σ_g s_g·ln(μ_g/μ) — the concentration audit that,
+    * unlike Gini, says how much inequality lives INSIDE groups vs
+    * ACROSS group means.
+    *
+    * One hash aggregation to per-group exact moments (values are
+    * integers — counts, bytes, revenue cents), the 1-row global total
+    * broadcast back, per-unit ln terms snapped to 12 dp and summed as
+    * exact decimals in a second pass over the unit table (two scans,
+    * zero shuffles beyond the group agg). Output: per group n, mean,
+    * share, T_g, with the shared (t_within, t_between, t_total)
+    * repeated per row.
+    */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+                         valCol: String, roundTo: Int = 6): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      col(valCol).cast("long").as("__x")).filter(col("__x") > 0)
+    val grp = base.groupBy("__g")
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("__x")).cast("decimal(38,0)").as("__sg"))
+      .localCheckpoint(true) // sized k rows; 3 consumers below
+    val tot = grp.agg(sum(col("__ng")).as("__n"),
+      sum(col("__sg")).cast("decimal(38,0)").as("__s"))
+    val withMeans = base.join(grp, "__g").crossJoin(broadcast(tot))
+      .withColumn("__mug", col("__sg").cast("double") / col("__ng"))
+      // per-unit contribution to group Theil: (x/Sg)·ln(x/μg)
+      .withColumn("__term", round(
+        col("__x").cast("double") / col("__sg").cast("double") *
+          log(col("__x").cast("double") / col("__mug")), 12)
+        .cast("decimal(38,12)"))
+    val perGroup = withMeans.groupBy("__g")
+      .agg(first(col("__ng")).as("n"), first(col("__sg")).as("__sgd"),
+        first(col("__mug")).as("__mug"), first(col("__n")).as("__nn"),
+        first(col("__s")).as("__ss"),
+        sum(col("__term")).as("__tg"))
+      .withColumn("__share",
+        col("__sgd").cast("double") / col("__ss").cast("double"))
+      .withColumn("__mu", col("__ss").cast("double") / col("__nn"))
+      .localCheckpoint(true) // stat + report both read it
+    val stat = perGroup.agg(
+        sum(round(col("__share") * col("__tg").cast("double"), 12)
+          .cast("decimal(38,12)")).as("__tw"),
+        sum(round(col("__share") * log(col("__mug") / col("__mu")), 12)
+          .cast("decimal(38,12)")).as("__tb"))
+      .select(round(col("__tw").cast("double"), roundTo).as("t_within"),
+        round(col("__tb").cast("double"), roundTo).as("t_between"),
+        round((col("__tw") + col("__tb")).cast("double"), roundTo)
+          .as("t_total"))
+    perGroup.crossJoin(broadcast(stat))
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__mug"), roundTo).as("mean_value"),
+        round(col("__share"), roundTo).as("value_share"),
+        round(col("__tg").cast("double"), roundTo).as("t_group"),
+        col("t_within"), col("t_between"), col("t_total"))
+  }
+
   /** Kendall's τ-b per group — the rank correlation that [[spearman]]
     * complements: τ counts concordant vs discordant PAIRS, with the
     * `-b` tie correction  τ_b = (C−D) / √((n₀−n₁)(n₀−n₂)),

@@ -109,4 +109,28 @@ object SamplingOps {
       .filter(col("__rn") <= quota)
       .drop("__rn")
   }
+
+  /** Deterministic 1-in-`every` systematic sample: rows get a stable
+    * pseudo-random total order (md5 [[hashUnit]] of the key, key as
+    * tiebreak) and every `every`-th rank starting at `offset` + 1
+    * survives. Systematic sampling's guarantee over Bernoulli is the
+    * EXACT sample size (⌈n/every⌉ per offset) with per-key stability
+    * across reruns — the audit-sample / golden-set construction.
+    *
+    * The global rank rides [[MetricOps.globalRank]] (range-partitioned
+    * histogram cumsum — no single-partition window at any scale); the
+    * output keeps the rank as `sample_rank` so a reader can verify the
+    * stride.
+    */
+  def systematicSample(df: DataFrame, keyCol: String, every: Int,
+                       offset: Int = 0): DataFrame = {
+    require(every > 0 && offset >= 0 && offset < every,
+      "need 0 <= offset < every")
+    MetricOps.globalRank(
+        df.withColumn("__h", hashUnit(col(keyCol)).cast("double")),
+        "__h", keyCol)
+      .filter((col("r") - 1 - offset) % every === 0)
+      .withColumnRenamed("r", "sample_rank")
+      .drop("__h")
+  }
 }

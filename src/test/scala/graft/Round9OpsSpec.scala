@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{DedupOps, ExperimentOps, GraphOps, JoinOps,
-  MetricOps, RelationalOps}
+  MetricOps, RelationalOps, SamplingOps}
 
 /** Round-9 operator specs: survivorship tie-break rules, incremental
   * join ≡ full recompute, UCB1 against the hand formula, and Kendall
@@ -219,6 +219,96 @@ class Round9OpsSpec extends SparkSpec {
     val p3 = MetricOps.fisherExact(table(3), "g", "a", "b")
       .collect()(0).getDouble(6)
     assert(math.abs(p3 - 17.0 / 70) < 1e-6)
+  }
+
+  // ---------------------------------------------------------- ewmaAnomaly
+
+  test("ewmaAnomaly: constant series raises nothing; spike is flagged") {
+    val flat = (1L to 20L).map(x => ("g", x, 10L)).toDF("g", "x", "y")
+    assert(MetricOps.ewmaAnomaly(flat, "g", "x", "y", win = 4).isEmpty)
+    val spike = (1L to 20L)
+      .map(x => ("g", x, if (x == 15L) 100L else 10L))
+      .toDF("g", "x", "y")
+    val out = MetricOps.ewmaAnomaly(spike, "g", "x", "y", win = 4,
+      zCut = 2.0).collect()
+    assert(out.map(_.getLong(1)).contains(15L))
+  }
+
+  test("ewmaAnomaly: short history normalizes by present weights") {
+    // row 2 has ONE predecessor (y=4) → ewma_prev = 4 exactly
+    val df = Seq(("g", 1L, 4L), ("g", 2L, 8L), ("g", 3L, 4L),
+      ("g", 4L, 4L)).toDF("g", "x", "y")
+    val ew = MetricOps.ewmaAnomaly(df, "g", "x", "y", win = 2,
+        zCut = 0.0)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(math.abs(ew(2L) - 4.0) < 1e-9)
+    // row 3: weights 2·y₂ + 1·y₁ over 3 → (16+4)/3
+    assert(math.abs(ew(3L) - 20.0 / 3) < 1e-6)
+  }
+
+  // ------------------------------------------------------------- friedman
+
+  test("friedman: consistent ordering across blocks, hand χ²") {
+    // k=3 treatments, b=2 blocks, same order in both → R=(2,4,6),
+    // χ² = 12/(2·3·4)·56 − 3·2·4 = 4
+    val df = Seq(("b1", "t1", 1.0), ("b1", "t2", 2.0), ("b1", "t3", 3.0),
+      ("b2", "t1", 1.5), ("b2", "t2", 2.5), ("b2", "t3", 3.5))
+      .toDF("blk", "trt", "v")
+    val out = MetricOps.friedman(df, "blk", "trt", "v")
+      .orderBy("trt").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getDouble(2)).toSeq == Seq(2.0, 4.0, 6.0))
+    assert(out.forall(r => math.abs(r.getDouble(5) - 4.0) < 1e-9))
+    assert(out.forall(r => r.getLong(1) == 2 && r.getLong(4) == 3))
+  }
+
+  test("friedman: incomplete blocks are dropped; ties average") {
+    val df = Seq(
+      ("b1", "t1", 1.0), ("b1", "t2", 1.0), // tie → ranks 1.5/1.5
+      ("b2", "t1", 2.0), ("b2", "t2", 1.0),
+      ("b3", "t1", 9.9)) // incomplete → dropped
+      .toDF("blk", "trt", "v")
+    val out = MetricOps.friedman(df, "blk", "trt", "v")
+      .orderBy("trt").collect()
+    assert(out.forall(_.getLong(1) == 2)) // b3 gone
+    // t1: 1.5 + 2 = 3.5 ; t2: 1.5 + 1 = 2.5
+    assert(out.map(_.getDouble(2)).toSeq == Seq(3.5, 2.5))
+  }
+
+  // ----------------------------------------------------- systematicSample
+
+  test("systematicSample: exact stride, offsets partition the table") {
+    val df = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+    val s0 = SamplingOps.systematicSample(df, "k", 10)
+    assert(s0.count() == 10)
+    val ranks = s0.select("sample_rank").collect().map(_.getLong(0)).sorted
+    assert(ranks.toSeq == (0 until 10).map(i => i * 10L + 1))
+    // offsets 0..9 partition the table exactly
+    val total = (0 until 10)
+      .map(o => SamplingOps.systematicSample(df, "k", 10, o).count()).sum
+    assert(total == 100)
+    // deterministic across reruns
+    val again = SamplingOps.systematicSample(df, "k", 10)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(again == s0.select("k").collect().map(_.getLong(0)).toSet)
+  }
+
+  // ------------------------------------------------- theilDecomposition
+
+  test("theilDecomposition: equality → 0; pure between-group case") {
+    val eq = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+      .toDF("g", "x")
+    val r0 = MetricOps.theilDecomposition(eq, "g", "x").collect()
+    assert(r0.forall(r => math.abs(r.getDouble(7)) < 1e-9))
+    // within-constant groups: a=10,10; b=30,30 → T_within=0,
+    // T_between = .25·ln(.5) + .75·ln(1.5)
+    val df = Seq(("a", 10L), ("a", 10L), ("b", 30L), ("b", 30L))
+      .toDF("g", "x")
+    val r = MetricOps.theilDecomposition(df, "g", "x").collect()(0)
+    val expect = 0.25 * math.log(0.5) + 0.75 * math.log(1.5)
+    assert(math.abs(r.getDouble(5)) < 1e-9) // t_within
+    assert(math.abs(r.getDouble(6) - expect) < 1e-6) // t_between
+    assert(math.abs(r.getDouble(7) - expect) < 1e-6) // t_total
   }
 
   test("fisherExact: independent margins give p near the expected mass") {
