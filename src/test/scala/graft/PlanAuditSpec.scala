@@ -507,6 +507,58 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"non-aggregate single-partition exchange: $badSingles")
   }
 
+  test("q246: survivorship merges by aggregate only — no per-cluster member sort") {
+    val df = plan("q246_survivorship")
+    df.count()
+    val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(wins.isEmpty,
+      "canonical + mode picks must be max/min-struct aggregates, not windows")
+  }
+
+  test("q249: Kendall pair counts join the histogram on the group key") {
+    val df = plan("q249_kendall_tau")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      "cell pairs must come from a per-group equi-join of the histogram")
+  }
+
+  test("q250: interval coverage windows are keyed (never empty partitionBy)") {
+    val df = plan("q250_interval_coverage")
+    df.count()
+    val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "sweep windows must partition by the key")
+  }
+
+  test("q251: Adamic-Adar wedges are center-key equi-joins, no all-pairs") {
+    val df = plan("q251_adamic_adar")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"),
+      "wedge enumeration must equi-join on the center node")
+  }
+
+  test("q253: Fisher log-factorial table joins broadcast") {
+    val df = plan("q253_fisher_exact")
+    df.count()
+    val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "lf probes must be broadcast hash joins")
+  }
+
+  test("q254: EWMA history join is a per-group equi-join on the series") {
+    val df = plan("q254_ewma_anomaly")
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct"),
+      "rolling frame must join history rows by group key")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup",
       "q191_mutual_knn", "q194_label_prop", "q218_rec_list_metrics")
