@@ -3607,6 +3607,86 @@ object OracleSql {
         |  round(pmi, 6) AS pmi, round(pmi / -ln(pab), 6) AS npmi
         |FROM sc ORDER BY 5 DESC, 1, 2 LIMIT 30""".stripMargin,
 
+    "q258_ccf" ->
+      """WITH daily AS (SELECT
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS views,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS purchases
+        |  FROM events GROUP BY 1),
+        |lags AS (SELECT unnest(generate_series(-5, 5)) AS lg),
+        |j AS (SELECT l.lg, a.views AS va, b.purchases AS pb
+        |  FROM lags l JOIN daily a ON TRUE
+        |  JOIN daily b ON a.day = b.day - l.lg)
+        |SELECT lg AS "lag", CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(corr(CAST(va AS DOUBLE), CAST(pb AS DOUBLE)), 6) AS ccf
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q259_calendar_gaps" ->
+      """WITH obs AS (SELECT DISTINCT event_type AS g,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |span AS (SELECT g, min(day) AS lo, max(day) AS hi,
+        |    CAST(count(*) AS BIGINT) AS nobs FROM obs GROUP BY 1),
+        |expd AS (SELECT g, unnest(generate_series(lo, hi)) AS day
+        |  FROM span),
+        |miss AS (SELECT e.g, e.day FROM expd e
+        |  ANTI JOIN obs ON e.g = obs.g AND e.day = obs.day),
+        |ms AS (SELECT g, CAST(count(*) AS BIGINT) AS nmiss,
+        |    min(day) AS fm FROM miss GROUP BY 1)
+        |SELECT span.g AS event_type, hi - lo + 1 AS span_days,
+        |  nobs AS observed_days, coalesce(nmiss, 0) AS missing_days,
+        |  CAST(DATE '1970-01-01' + CAST(fm AS INT) AS VARCHAR)
+        |    AS first_missing_day
+        |FROM span LEFT JOIN ms USING (g) ORDER BY 1""".stripMargin,
+
+    "q260_percentile_bands" ->
+      """WITH h AS (SELECT event_type,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+        |      AS wk,
+        |    round(value, 2) AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |c2 AS (SELECT event_type, wk, v, c,
+        |    sum(c) OVER (PARTITION BY event_type, wk ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(c) OVER (PARTITION BY event_type, wk) AS n FROM h)
+        |SELECT event_type, wk, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum * 10 >= n THEN v END) AS p10,
+        |  min(CASE WHEN cum * 2 >= n THEN v END) AS p50,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90
+        |FROM c2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q261_ljung_box" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |mom AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS DECIMAL(38,0)) AS sy FROM s GROUP BY 1),
+        |dev AS (SELECT s.g, s.x,
+        |    round(CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n, 6) AS d
+        |  FROM s JOIN mom USING (g)),
+        |den AS (SELECT g, sum(CAST(round(d * d, 12) AS DECIMAL(38,12)))
+        |    AS ss FROM dev GROUP BY 1),
+        |lags AS (SELECT unnest(generate_series(1, 5)) AS lg),
+        |nm AS (SELECT c.g, l.lg,
+        |    sum(CAST(round(c.d * p.d, 12) AS DECIMAL(38,12))) AS num
+        |  FROM lags l JOIN dev c ON TRUE
+        |  JOIN dev p ON p.g = c.g AND c.x = p.x + l.lg
+        |  GROUP BY 1, 2),
+        |r2 AS (SELECT nm.g, lg, CASE WHEN CAST(ss AS DOUBLE) > 0
+        |    THEN CAST(num AS DOUBLE) / CAST(ss AS DOUBLE)
+        |    ELSE 0 END AS rho
+        |  FROM nm JOIN den USING (g)),
+        |q AS (SELECT r2.g, max(n) AS n,
+        |    round(CAST(max(n) AS DOUBLE) * (max(n) + 2)
+        |      * CAST(sum(CAST(round(rho * rho / (n - lg), 12)
+        |        AS DECIMAL(38,12))) AS DOUBLE), 6) AS q_stat
+        |  FROM r2 JOIN mom USING (g) GROUP BY 1)
+        |SELECT r2.g AS event_type, lg AS "lag", round(rho, 6) AS rho,
+        |  CAST(q.n AS BIGINT) AS n, q.q_stat
+        |FROM r2 JOIN q USING (g) ORDER BY 1, 2""".stripMargin,
+
     "q254_ewma_anomaly" ->
       """WITH s AS (SELECT event_type AS g,
         |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,

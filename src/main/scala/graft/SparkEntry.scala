@@ -2759,6 +2759,48 @@ object SparkEntry {
       TextOps.npmiCollocations(Tables.documents(s, d), "text",
         minCount = 20L, topK = 30)),
 
+    // L204 — lead–lag cross-correlation: do daily views predict daily
+    // purchases (and at which lag)?
+    "q258_ccf" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("views"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("purchases"))
+      MetricOps.crossCorrelation(daily, "day", "views", "purchases",
+          maxLag = 5)
+        .orderBy("lag")
+    }),
+
+    // L205 — calendar-gap audit: missing ingest days per event type
+    // between each type's first and last active day.
+    "q259_calendar_gaps" -> ((s, d) =>
+      QualityChecks.calendarGaps(Tables.events(s, d), "event_type", "ts")
+        .orderBy("event_type")),
+
+    // L206 — weekly value percentile bands per event type (exact
+    // inverse-CDF picks off the quantized histogram, no raw-row sort).
+    "q260_percentile_bands" -> ((s, d) =>
+      MetricOps.percentileBands(
+          Tables.events(s, d)
+            .withColumn("wk",
+              (datediff(to_date(col("ts")), lit("1970-01-01"))
+                .cast("long") / 7L).cast("long")),
+          Seq("event_type", "wk"), "value")
+        .orderBy("event_type", "wk")),
+
+    // L207 — Ljung–Box portmanteau: joint lag-1..5 serial correlation
+    // of each event type's daily counts.
+    "q261_ljung_box" -> ((s, d) =>
+      MetricOps.ljungBox(
+          Tables.events(s, d)
+            .groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          "event_type", "day", "y", m = 5)
+        .orderBy("event_type", "lag")),
+
     // L200 — truncated-EWMA (α=½, dyadic weights) forecast anomaly
     // screen on each event type's daily counts.
     "q254_ewma_anomaly" -> ((s, d) =>

@@ -1937,6 +1937,124 @@ object MetricOps {
           sqrt((col("b") + col("c")).cast("double")), roundTo)).as("z"))
   }
 
+  /** Cross-correlation function (lead–lag screen) between two bucketed
+    * series sharing the same bucket column: for every lag l in
+    * [−maxLag, +maxLag], the Pearson correlation of (a_t, b_{t−l}).
+    * Positive-lag peaks mean `a` LEADS `b` by l buckets — the
+    * does-views-predict-purchases question asked symmetrically in one
+    * pass.
+    *
+    * The lag spine is an exploded literal sequence (2·maxLag+1 rows)
+    * joined against the CALENDAR (a_t pairs with b at bucket t+l, the
+    * [[autocorr]] gap-robust contract), so the join is
+    * |lags|·|buckets| rows — bounded by the calendar, never data
+    * volume. `corr` is the built-in co-moment aggregate; rounding
+    * absorbs its partial-merge float noise.
+    */
+  def crossCorrelation(series: DataFrame, xCol: String, aCol: String,
+                       bCol: String, maxLag: Int = 3,
+                       roundTo: Int = 6): DataFrame = {
+    val cur = series.select(col(xCol).cast("long").as("__x"),
+      col(aCol).cast("double").as("__a"))
+    val lagged = series.select(col(xCol).cast("long").as("__bx"),
+        col(bCol).cast("double").as("__b"))
+      .crossJoin(broadcast(
+        series.sparkSession.range(1).select(explode(sequence(
+          lit(-maxLag.toLong), lit(maxLag.toLong))).as("lag"))))
+      .withColumn("__x", col("__bx") - col("lag"))
+    cur.join(lagged, Seq("__x"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("__a"), col("__b")), roundTo).as("ccf"))
+  }
+
+  /** Ljung–Box portmanteau test per group: are the first `m`
+    * autocorrelations of a bucketed series jointly zero?
+    * Q = n(n+2)·Σ_{k=1..m} ρ̂_k²/(n−k), χ² with m df under the null —
+    * the standard "is there ANY serial structure left" gate after
+    * detrending ([[durbinWatson]] asks it for lag 1 only).
+    *
+    * ρ̂_k uses the conventional ACF estimator (global mean and
+    * variance): deviations snap to 6 dp off exact integer moments,
+    * the per-lag products come from ONE calendar join of the deviation
+    * table against itself under an exploded 1..m lag spine
+    * (m·|buckets| rows, the [[crossCorrelation]] shape), and both the
+    * numerator products and the denominator squares accumulate as
+    * 12-dp-snapped exact decimals. Output: per (group, lag) ρ̂_k with
+    * the shared Q and n repeated (the [[woeIv]] reporting shape).
+    */
+  def ljungBox(series: DataFrame, groupCol: String, xCol: String,
+               yCol: String, m: Int = 5, roundTo: Int = 6): DataFrame = {
+    val base = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val mom = base.groupBy("__g").agg(
+      count(lit(1)).as("__n"),
+      sum(col("__y")).cast("decimal(38,0)").as("__sy"))
+    val dev = base.join(broadcast(mom), "__g")
+      .withColumn("__d", round(col("__y").cast("double") -
+        col("__sy").cast("double") / col("__n"), 6))
+      .select(col("__g"), col("__x"), col("__d"))
+      .localCheckpoint(true) // current + lagged + denominator read it
+    val den = dev.groupBy("__g")
+      .agg(sum(round(col("__d") * col("__d"), 12).cast("decimal(38,12)"))
+        .as("__ss"))
+    val spine = series.sparkSession.range(1).select(
+      explode(sequence(lit(1L), lit(m.toLong))).as("lag"))
+    val lagged = dev.select(col("__g"), col("__x").as("__lx"),
+        col("__d").as("__dl"))
+      .crossJoin(broadcast(spine))
+      .withColumn("__x", col("__lx") + col("lag"))
+    val rho = dev.join(lagged, Seq("__g", "__x"))
+      .groupBy("__g", "lag")
+      .agg(sum(round(col("__d") * col("__dl"), 12).cast("decimal(38,12)"))
+        .as("__num"))
+      .join(den, "__g")
+      .withColumn("rho", when(col("__ss") > 0,
+        col("__num").cast("double") / col("__ss").cast("double"))
+        .otherwise(lit(0.0)))
+    val q = rho.join(broadcast(mom), "__g")
+      .groupBy(col("__g"))
+      .agg(first(col("__n")).as("__nn"),
+        sum(round(col("rho") * col("rho") /
+          (col("__n") - col("lag")).cast("double"), 12)
+          .cast("decimal(38,12)")).as("__qsum"))
+      .select(col("__g"),
+        col("__nn").cast("long").as("n"),
+        round(col("__nn").cast("double") * (col("__nn") + 2) *
+          col("__qsum").cast("double"), roundTo).as("q_stat"))
+    rho.join(broadcast(q), "__g")
+      .select(col("__g").as(groupCol), col("lag"),
+        round(col("rho"), roundTo).as("rho"), col("n"), col("q_stat"))
+  }
+
+  /** Exact percentile bands per group: the P10/P50/P90 of a quantized
+    * value column by integer inverse-CDF over the per-group value
+    * histogram — the weekly "candlestick" a metrics warehouse
+    * publishes without ever sorting raw rows. Windows run over the
+    * DISTINCT quantized values of each group only (the [[spearman]]
+    * histogram-rank discipline); the picks are the smallest value
+    * whose cumulative count reaches ⌈q·n⌉ (lower inverse CDF — an
+    * integer comparison, no interpolation, engine-exact).
+    */
+  def percentileBands(df: DataFrame, groupCols: Seq[String],
+                      valCol: String): DataFrame = {
+    val hist = df.groupBy(
+        (groupCols.map(col) :+
+          round(col(valCol).cast("double"), 2).as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__v")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c"))
+        .over(Window.partitionBy(groupCols.map(col): _*)))
+    cum.groupBy(groupCols.map(col): _*)
+      .agg(first(col("__n")).as("n"),
+        min(when(col("__cum") * 10 >= col("__n"), col("__v"))).as("p10"),
+        min(when(col("__cum") * 2 >= col("__n"), col("__v"))).as("p50"),
+        min(when(col("__cum") * 10 >= col("__n") * 9, col("__v")))
+          .as("p90"))
+  }
+
   /** Truncated-EWMA forecast anomaly screen per group over an
     * ALREADY-AGGREGATED (group, bucket, value) series (the
     * [[theilSen]]/CUSUM bounded-series contract): each bucket's value

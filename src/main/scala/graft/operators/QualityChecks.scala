@@ -221,4 +221,41 @@ object QualityChecks {
       "quality expectations failed: " +
         bad.map(r => s"${r.getString(0)} (${r.getLong(1)} rows)").mkString(", "))
   }
+
+  /** Calendar-gap audit per group: between each group's first and last
+    * active day, how many days are MISSING — the silent-ingest-failure
+    * tripwire a batch pipeline runs before trusting any daily rollup
+    * (a day with zero rows is indistinguishable from a day the loader
+    * skipped unless someone counts the calendar).
+    *
+    * The expected-day spine is `sequence(min_day, max_day)` exploded
+    * per group — bounded by the calendar span, never data volume — and
+    * missing days are one anti-join against the observed (group, day)
+    * table. Output: per group the span, observed/missing counts, and
+    * the first missing day (null when the calendar is complete).
+    */
+  def calendarGaps(df: DataFrame, groupCol: String,
+                   tsCol: String): DataFrame = {
+    val obs = df.select(col(groupCol).as("__g"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).as("__day"))
+      .distinct()
+      .localCheckpoint(true) // spine + anti-join probe both read it
+    val span = obs.groupBy("__g")
+      .agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"),
+        count(lit(1)).as("__nobs"))
+    val expected = span.select(col("__g"), col("__nobs"),
+      col("__lo"), col("__hi"),
+      explode(sequence(col("__lo"), col("__hi"))).as("__day"))
+    val missing = expected.join(obs, Seq("__g", "__day"), "left_anti")
+    span
+      .join(missing.groupBy("__g")
+          .agg(count(lit(1)).as("__nmiss"), min(col("__day")).as("__first")),
+        Seq("__g"), "left")
+      .select(col("__g").as(groupCol),
+        (col("__hi") - col("__lo") + 1).cast("long").as("span_days"),
+        col("__nobs").as("observed_days"),
+        coalesce(col("__nmiss"), lit(0L)).as("missing_days"),
+        date_add(lit("1970-01-01").cast("date"),
+          col("__first").cast("int")).cast("string").as("first_missing_day"))
+  }
 }

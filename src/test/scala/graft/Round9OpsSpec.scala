@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.operators.{DedupOps, ExperimentOps, GraphOps, JoinOps,
-  MetricOps, RelationalOps, SamplingOps}
+  MetricOps, QualityChecks, RelationalOps, SamplingOps}
 
 /** Round-9 operator specs: survivorship tie-break rules, incremental
   * join ≡ full recompute, UCB1 against the hand formula, and Kendall
@@ -198,6 +198,67 @@ class Round9OpsSpec extends SparkSpec {
       .toSeq.toDF("g", "x", "y")
     val r = MetricOps.durbinWatson(df, "g", "x", "y").collect()(0)
     assert(math.abs(r.getDouble(3) - expect) < 1e-4)
+  }
+
+  // ----------------------------------------------------- crossCorrelation
+
+  test("crossCorrelation: a leading b by 2 peaks at lag +2") {
+    // b_t = a_{t-2}: a happens first → positive-lag convention
+    val a = (1L to 30L).map(t => (t, math.sin(t * 0.7) * 10))
+    val df = a.map { case (t, v) =>
+      (t, v, a.find(_._1 == t - 2).map(_._2).getOrElse(0.0))
+    }.toDF("x", "a", "b")
+    val ccf = MetricOps.crossCorrelation(df.filter(col("x") > 2),
+        "x", "a", "b", maxLag = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(math.abs(ccf(2L) - 1.0) < 1e-6)
+    assert(ccf(0L) < 0.9 && ccf(-2L) < 0.9)
+  }
+
+  // --------------------------------------------------------- calendarGaps
+
+  test("calendarGaps: missing days counted, first gap reported") {
+    val df = Seq(0, 1, 3, 5).map(day =>
+      ("g", java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(1970, 1, 1 + day, 12, 0))))
+      .toDF("g", "ts")
+    val r = QualityChecks.calendarGaps(df, "g", "ts").collect()(0)
+    assert(r.getLong(1) == 6 && r.getLong(2) == 4 && r.getLong(3) == 2)
+    assert(r.getString(4) == "1970-01-03")
+  }
+
+  test("calendarGaps: complete calendar reports zero missing, null first") {
+    val df = (0 to 4).map(day =>
+      ("g", java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(1970, 1, 1 + day, 3, 0))))
+      .toDF("g", "ts")
+    val r = QualityChecks.calendarGaps(df, "g", "ts").collect()(0)
+    assert(r.getLong(3) == 0 && r.isNullAt(4))
+  }
+
+  // ----------------------------------------------------- percentileBands
+
+  test("percentileBands: lower inverse-CDF picks on a known histogram") {
+    // 10 values 1..10 → p10 = 1 (cum 1 ≥ 1), p50 = 5, p90 = 9
+    val df = (1 to 10).map(v => ("g", 0L, v.toDouble)).toDF("g", "wk", "v")
+    val r = MetricOps.percentileBands(df, Seq("g", "wk"), "v")
+      .collect()(0)
+    assert(r.getLong(2) == 10)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 5.0 &&
+      r.getDouble(5) == 9.0)
+  }
+
+  // ------------------------------------------------------------- ljungBox
+
+  test("ljungBox: constant series → zero rhos and Q; ramp → strong lag-1") {
+    val flat = (1L to 20L).map(x => ("g", x, 7L)).toDF("g", "x", "y")
+    val f = MetricOps.ljungBox(flat, "g", "x", "y", m = 3).collect()
+    assert(f.length == 3)
+    assert(f.forall(r => r.getDouble(2) == 0.0 && r.getDouble(4) == 0.0))
+    val ramp = (1L to 40L).map(x => ("g", x, x)).toDF("g", "x", "y")
+    val out = MetricOps.ljungBox(ramp, "g", "x", "y", m = 3)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    assert(out(1L) > 0.8 && out(1L) > out(3L))
   }
 
   // ---------------------------------------------------------- fisherExact
