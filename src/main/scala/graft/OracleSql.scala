@@ -4599,6 +4599,227 @@ object OracleSql {
         |  FROM cand)
         |SELECT user_id, event_type, score, rn,
         |  '{"userid":' || user_id || ',"itemid":"' || event_type || '","score":' || score || '}' AS resp
-        |FROM r WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+        |FROM r WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q262_cochran_q" ->
+      """WITH cells AS (SELECT user_id AS b, event_type AS t,
+        |    max(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS x
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (SELECT bb.b, tt.t, coalesce(c.x, 0) AS x
+        |  FROM (SELECT DISTINCT b FROM cells) bb
+        |  CROSS JOIN (SELECT DISTINCT t FROM cells) tt
+        |  LEFT JOIN cells c ON c.b = bb.b AND c.t = tt.t),
+        |rws AS (SELECT b, sum(x) AS bi FROM grid GROUP BY 1),
+        |rs AS (SELECT count(*) AS n_blocks, sum(bi) AS tt,
+        |    sum(bi * bi) AS b2 FROM rws),
+        |cls AS (SELECT t, sum(x) AS gj FROM grid GROUP BY 1),
+        |cs AS (SELECT count(*) AS k, sum(gj * gj) AS g2 FROM cls)
+        |SELECT CAST(k AS BIGINT) AS k, n_blocks,
+        |  CAST(tt AS BIGINT) AS t_total, CAST(k - 1 AS BIGINT) AS df,
+        |  CASE WHEN k * tt - b2 > 0 THEN
+        |    round(CAST((k - 1) * (k * g2 - tt * tt) AS DOUBLE)
+        |      / CAST(k * tt - b2 AS DOUBLE), 6) END AS q_stat
+        |FROM rs CROSS JOIN cs""".stripMargin,
+
+    "q263_cochran_armitage" ->
+      """WITH s AS (SELECT o_orderpriority AS g,
+        |    CAST(month(o_orderdate) AS BIGINT) AS s,
+        |    count(*) AS n,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS r
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT g, sum(n) AS nn, sum(r) AS rr, sum(s * n) AS s1,
+        |    sum(s * s * n) AS s2, sum(s * r) AS sr
+        |  FROM s GROUP BY 1)
+        |SELECT g AS o_orderpriority, CAST(nn AS BIGINT) AS n,
+        |  CAST(rr AS BIGINT) AS positives,
+        |  round(CAST(sr AS DOUBLE) - CAST(rr AS DOUBLE)
+        |    * CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS t_stat,
+        |  CASE WHEN rr > 0 AND rr < nn AND nn * s2 - s1 * s1 > 0 THEN
+        |    round(CAST(nn * sr - rr * s1 AS DOUBLE)
+        |      / sqrt(CAST(rr * (nn - rr) AS DOUBLE)
+        |        * CAST(nn * s2 - s1 * s1 AS DOUBLE)
+        |        / CAST(nn AS DOUBLE)), 6) END AS z
+        |FROM m ORDER BY 1""".stripMargin,
+
+    "q264_runs_test" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    round(CAST(count(*) AS DOUBLE), 4) AS y
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT g, y, count(*) AS c FROM s GROUP BY 1, 2),
+        |hc AS (SELECT g, y, sum(c) OVER (PARTITION BY g ORDER BY y)
+        |    AS cum, sum(c) OVER (PARTITION BY g) AS n FROM h),
+        |med AS (SELECT g, min(CASE WHEN cum * 2 >= n THEN y END)
+        |    AS med FROM hc GROUP BY 1),
+        |sg AS (SELECT s.g, s.x,
+        |    CASE WHEN s.y > m.med THEN 1 ELSE 0 END AS sgn
+        |  FROM s JOIN med m ON s.g = m.g WHERE s.y <> m.med),
+        |ch AS (SELECT g, x, sgn,
+        |    CASE WHEN lag(sgn) OVER (PARTITION BY g ORDER BY x) IS NULL
+        |      OR lag(sgn) OVER (PARTITION BY g ORDER BY x) <> sgn
+        |      THEN 1 ELSE 0 END AS chg FROM sg),
+        |ag AS (SELECT g, sum(sgn) AS n_above, sum(1 - sgn) AS n_below,
+        |    sum(chg) AS runs FROM ch GROUP BY 1),
+        |fin AS (SELECT g, n_above, n_below, runs,
+        |    n_above + n_below AS n,
+        |    2.0 * n_above * n_below / (n_above + n_below) + 1.0 AS mu,
+        |    2.0 * n_above * n_below
+        |      * (2.0 * n_above * n_below - (n_above + n_below))
+        |      / (CAST(n_above + n_below AS DOUBLE) * (n_above + n_below)
+        |        * (n_above + n_below - 1)) AS s2
+        |  FROM ag)
+        |SELECT g AS event_type, CAST(n_above AS BIGINT) AS n_above,
+        |  CAST(n_below AS BIGINT) AS n_below, CAST(runs AS BIGINT)
+        |    AS runs,
+        |  round(mu, 6) AS expected_runs,
+        |  CASE WHEN n_above > 0 AND n_below > 0 AND s2 > 0 THEN
+        |    round((runs - mu) / sqrt(s2), 6) END AS z
+        |FROM fin ORDER BY 1""".stripMargin,
+
+    "q265_energy_distance" ->
+      """WITH h AS (SELECT
+        |    CAST(round(value * 100, 0) AS DECIMAL(38,0)) AS v,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS cb
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |c AS (SELECT v, ca, cb, ca * v AS sa, cb * v AS sb,
+        |    sum(ca) OVER (ORDER BY v) AS cca,
+        |    sum(cb) OVER (ORDER BY v) AS ccb,
+        |    sum(ca * v) OVER (ORDER BY v) AS csa,
+        |    sum(cb * v) OVER (ORDER BY v) AS csb FROM h),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb, sum(ca * v) AS ta,
+        |    sum(cb * v) AS tb FROM h),
+        |p AS (SELECT
+        |    sum(ca * (v * (ccb - cb) - (csb - sb)
+        |      + (tb - csb) - v * (nb - ccb))) AS pab,
+        |    sum(ca * (v * (cca - ca) - (csa - sa)
+        |      + (ta - csa) - v * (na - cca))) AS paa,
+        |    sum(cb * (v * (ccb - cb) - (csb - sb)
+        |      + (tb - csb) - v * (nb - ccb))) AS pbb
+        |  FROM c CROSS JOIN t),
+        |e AS (SELECT
+        |    CAST(pab AS DOUBLE) / CAST(na * nb AS DOUBLE) / 100.0
+        |      AS exy,
+        |    CAST(paa AS DOUBLE) / CAST(na * na AS DOUBLE) / 100.0
+        |      AS exx,
+        |    CAST(pbb AS DOUBLE) / CAST(nb * nb AS DOUBLE) / 100.0
+        |      AS eyy,
+        |    CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b
+        |  FROM p CROSS JOIN t)
+        |SELECT n_a, n_b, round(exy, 6) AS e_xy, round(exx, 6) AS e_xx,
+        |  round(eyy, 6) AS e_yy,
+        |  round(2.0 * exy - exx - eyy, 6) AS energy_dist
+        |FROM e""".stripMargin,
+
+    "q266_modularity" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        |  FROM e),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM n a, n b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p),
+        |t AS (SELECT vec_id, neighbor_id FROM r WHERE rn <= 5),
+        |mk AS (SELECT a.vec_id AS s, a.neighbor_id AS d
+        |  FROM t a JOIN t b ON a.vec_id = b.neighbor_id
+        |    AND a.neighbor_id = b.vec_id
+        |  WHERE a.vec_id < a.neighbor_id),
+        |und AS (SELECT s, d FROM mk UNION ALL SELECT d AS s, s AS d
+        |  FROM mk),
+        |l0 AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl,
+        |    0 AS rnd
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |v1 AS (SELECT und.s AS id, l0.lbl, count(*) AS c
+        |  FROM und JOIN l0 ON und.d = l0.id
+        |  WHERE und.s NOT IN (SELECT id FROM l0) GROUP BY 1, 2),
+        |p1 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number() OVER
+        |    (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM v1)
+        |  WHERE rn = 1),
+        |l1 AS (SELECT * FROM l0
+        |  UNION ALL SELECT id, lbl, 1 AS rnd FROM p1),
+        |v2 AS (SELECT und.s AS id, l1.lbl, count(*) AS c
+        |  FROM und JOIN l1 ON und.d = l1.id
+        |  WHERE und.s NOT IN (SELECT id FROM l1) GROUP BY 1, 2),
+        |p2 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number() OVER
+        |    (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM v2)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT * FROM l1
+        |  UNION ALL SELECT id, lbl, 2 AS rnd FROM p2),
+        |te AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |  FROM mk WHERE s <> d),
+        |tg AS (SELECT te.a, te.b, la.lbl AS la, lb.lbl AS lb
+        |  FROM te JOIN l2 la ON te.a = la.id
+        |  JOIN l2 lb ON te.b = lb.id),
+        |mm AS (SELECT count(*) AS m FROM tg),
+        |i AS (SELECT la AS c, count(*) AS lc FROM tg WHERE la = lb
+        |  GROUP BY 1),
+        |dm AS (SELECT c, count(*) AS dc FROM
+        |  (SELECT la AS c FROM tg UNION ALL SELECT lb FROM tg)
+        |  GROUP BY 1),
+        |np AS (SELECT lbl AS c, count(*) AS n_nodes FROM l2 GROUP BY 1)
+        |SELECT np.c AS community, n_nodes,
+        |  CAST(coalesce(lc, 0) AS BIGINT) AS internal_edges,
+        |  CAST(coalesce(dc, 0) AS BIGINT) AS degree_mass,
+        |  round(CAST(coalesce(lc, 0) AS DOUBLE) / m
+        |    - (CAST(coalesce(dc, 0) AS DOUBLE) / (2.0 * m))
+        |      * (CAST(coalesce(dc, 0) AS DOUBLE) / (2.0 * m)), 6)
+        |    AS q_contrib
+        |FROM np LEFT JOIN dm ON np.c = dm.c LEFT JOIN i ON np.c = i.c
+        |CROSS JOIN mm ORDER BY 1""".stripMargin,
+
+    "q267_neyman_allocation" ->
+      """WITH s AS (SELECT c_mktsegment AS stratum, count(*) AS n_h,
+        |    sum(CAST(round(c_acctbal, 4) AS DECIMAL(28,4))) AS sv,
+        |    sum(CAST(round(c_acctbal, 4) AS DECIMAL(28,4))
+        |      * CAST(round(c_acctbal, 4) AS DECIMAL(28,4))) AS qv
+        |  FROM customer GROUP BY 1),
+        |sd AS (SELECT stratum, n_h,
+        |    round(sqrt(greatest(CAST(qv AS DOUBLE) / n_h
+        |      - (CAST(sv AS DOUBLE) / n_h) * (CAST(sv AS DOUBLE) / n_h),
+        |      0)), 6) AS sd_h FROM s),
+        |t AS (SELECT sum(n_h) AS nn,
+        |    sum(CAST(round(n_h * sd_h, 6) AS DECIMAL(38,6))) AS w
+        |  FROM sd)
+        |SELECT stratum, CAST(n_h AS BIGINT) AS n_h, sd_h,
+        |  round(1000.0 * n_h / nn, 2) AS prop_alloc,
+        |  CASE WHEN w > 0 THEN
+        |    round(1000.0 * n_h * sd_h / CAST(w AS DOUBLE), 2)
+        |    END AS neyman_alloc
+        |FROM sd CROSS JOIN t ORDER BY 1""".stripMargin,
+
+    "q268_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS group_size,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |    AS BIGINT) AS l_distinct
+        |FROM customer
+        |GROUP BY 1, 2
+        |HAVING count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |  < 8
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q269_quantile_normalize" ->
+      """WITH b AS (SELECT event_type AS g, round(value, 2) AS v
+        |  FROM events),
+        |h AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |gc AS (SELECT g, v,
+        |    sum(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+        |    sum(c) OVER (PARTITION BY g) AS n FROM h),
+        |qs AS (SELECT CAST(unnest(generate_series(1, 9)) AS INT) AS q),
+        |gq AS (SELECT g, q, min(v) AS group_q
+        |  FROM gc CROSS JOIN qs WHERE cum * 10 >= q * n GROUP BY 1, 2),
+        |p AS (SELECT v, sum(c) AS c FROM h GROUP BY 1),
+        |pc AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM p),
+        |pt AS (SELECT sum(c) AS nn FROM p),
+        |pq AS (SELECT q, min(v) AS pooled_q
+        |  FROM pc CROSS JOIN pt CROSS JOIN qs
+        |  WHERE cum * 10 >= q * nn GROUP BY 1)
+        |SELECT g AS event_type, gq.q, group_q, pooled_q
+        |FROM gq JOIN pq ON gq.q = pq.q ORDER BY 1, 2""".stripMargin
   )
 }

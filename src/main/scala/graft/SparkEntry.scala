@@ -2970,7 +2970,80 @@ object SparkEntry {
             lit(",\"itemid\":\""), col("event_type"),
             lit("\",\"score\":"), col("score").cast("string"), lit("}")).as("resp"))
         .orderBy("user_id", "rn")
-    })
+    }),
+
+    // L208 — Cochran's Q: are the k event types equally likely to
+    // produce a high-value event for the same user (matched blocks)?
+    "q262_cochran_q" -> ((s, d) =>
+      MetricOps.cochranQ(
+        Tables.events(s, d)
+          .withColumn("x", (col("value") > 50).cast("int")),
+        "user_id", "event_type", "x")),
+
+    // L209 — Cochran–Armitage trend: does the F-status rate trend
+    // across order months, per priority tier?
+    "q263_cochran_armitage" -> ((s, d) =>
+      MetricOps.cochranArmitage(
+          Tables.orders(s, d)
+            .withColumn("score", month(col("o_orderdate")))
+            .withColumn("y", (col("o_orderstatus") === "F").cast("int")),
+          "o_orderpriority", "score", "y")
+        .orderBy("o_orderpriority")),
+
+    // L210 — Wald–Wolfowitz runs test on each event type's daily
+    // counts: do above/below-median days cluster into regimes?
+    "q264_runs_test" -> ((s, d) =>
+      MetricOps.runsTest(
+          Tables.events(s, d)
+            .groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          "event_type", "day", "y")
+        .orderBy("event_type")),
+
+    // L211 — exact 1-D energy distance between the view and purchase
+    // value distributions (integer-exact pair sums off one histogram).
+    "q265_energy_distance" -> ((s, d) =>
+      MetricOps.energyDistance(Tables.events(s, d), "event_type",
+        "value", "view", "purchase")),
+
+    // L212 — Newman modularity of the label-propagation communities
+    // over the mutual-kNN embedding graph (q194's partition, scored).
+    "q266_modularity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val mk = SimilarityOps.mutualKnn(emb, "vec_id", "embedding", 5)
+      val seeds = emb.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id"), col("label"))
+      val communities = GraphOps.labelPropagate(mk, "id_a", "id_b",
+        seeds, "vec_id", "label")
+      GraphOps.modularity(mk, "id_a", "id_b", communities, "vec_id",
+          "label_pred")
+        .orderBy("community")
+    }),
+
+    // L213 — Neyman allocation: optimal vs proportional stratified-
+    // sample budget split across market segments by acctbal spread.
+    "q267_neyman_allocation" -> ((s, d) =>
+      SamplingOps.neymanAllocation(Tables.customer(s, d),
+          "c_mktsegment", "c_acctbal", 1000L)
+        .orderBy("stratum")),
+
+    // L214 — l-diversity audit: quasi-identifier groups whose
+    // sensitive attribute (acctbal band) shows < l distinct values.
+    "q268_l_diversity" -> ((s, d) =>
+      QualityChecks.lDiversityAudit(
+          Tables.customer(s, d)
+            .withColumn("bal_band",
+              floor(col("c_acctbal") / 1000).cast("long")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band", 8)
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // L215 — quantile-normalization decile map: each event type's
+    // deciles against the pooled reference deciles.
+    "q269_quantile_normalize" -> ((s, d) =>
+      EncodeOps.quantileNormalizeMap(Tables.events(s, d),
+          "event_type", "value")
+        .orderBy("event_type", "q"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Supervised feature-encoding operators for training-data prep —
@@ -156,5 +157,48 @@ object EncodeOps {
             col("__s").cast("double") / col("n")) / (col("n") - 1),
           lit(0.0))), 6)))
       .drop("__s", "__ss", "__rs")
+  }
+
+  /** Quantile-normalization map at the deciles: for each group and
+    * q ∈ 1..9, the group's q-th decile next to the POOLED decile at
+    * the same rank — the lookup that maps any group's values onto the
+    * reference distribution (batch-effect correction across sources;
+    * a microarray-era classic that data pipelines still use to align
+    * per-source score scales).
+    *
+    * Both sides are lower-inverse-CDF picks off 2 dp-quantized value
+    * histograms (the [[MetricOps.percentileBands]] discipline): group
+    * quantiles window over per-group DISTINCT values, pooled
+    * cumulation rides [[MetricOps.rangeCumSum]] — no raw-row sort, no
+    * unpartitioned window at any cardinality.
+    */
+  def quantileNormalizeMap(df: DataFrame, groupCol: String,
+                           valCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"),
+      round(col(valCol).cast("double"), 2).as("__v"))
+    val hist = base.groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // group picks + pooled histogram read it
+    val spine = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("q"))
+    val wg = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val gcum = hist.withColumn("__cum", sum(col("__c")).over(wg))
+      .withColumn("__n", sum(col("__c"))
+        .over(Window.partitionBy(col("__g"))))
+    val gq = gcum.crossJoin(broadcast(spine))
+      .filter(col("__cum") * 10 >= col("q") * col("__n"))
+      .groupBy(col("__g"), col("q"))
+      .agg(min(col("__v")).as("group_q"))
+    val pooled = hist.groupBy(col("__v")).agg(sum(col("__c")).as("__c"))
+    val pcum = MetricOps.rangeCumSum(pooled, "__v", Seq("__c"))
+    val ptot = broadcast(pooled.agg(sum(col("__c")).as("__N")))
+    val pq = pcum.crossJoin(ptot).crossJoin(broadcast(spine))
+      .filter(col("__cum___c") * 10 >= col("q") * col("__N"))
+      .groupBy(col("q"))
+      .agg(min(col("__v")).as("pooled_q"))
+    gq.join(broadcast(pq), "q")
+      .select(col("__g").as(groupCol), col("q"), col("group_q"),
+        col("pooled_q"))
   }
 }

@@ -510,4 +510,53 @@ object GraphOps {
       .orderBy(col("aa_score").desc, col("u"), col("v"))
       .limit(topK)
   }
+
+  /** Newman modularity of a node partition: per community c,
+    * Q_c = L_c/m − (d_c/2m)² where L_c = internal edges, d_c = degree
+    * mass, m = total edges — the "is this clustering better than
+    * random" score for the communities [[labelPropagate]] (or any
+    * other assignment) produced. Σ_c Q_c is the global Q.
+    *
+    * Edges canonicalize once (a<b, distinct); labels join onto both
+    * endpoints (two equi-joins — the only shuffles that scale with
+    * |E|); L_c and d_c are exact integer sums; the two-scalar total
+    * (m) broadcasts. Output per community with its Q contribution at
+    * `roundTo` dp — one extra agg gives the global score.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 labels: DataFrame, nodeCol: String, labelCol: String,
+                 roundTo: Int = 6): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val lab = labels.select(col(nodeCol).as("__node"),
+      col(labelCol).as("__lab"))
+    val tagged = canon
+      .join(lab.select(col("__node").as("a"), col("__lab").as("__la")), "a")
+      .join(lab.select(col("__node").as("b"), col("__lab").as("__lb")), "b")
+      .localCheckpoint(true) // m + internal + degree mass read it
+    val m = tagged.agg(count(lit(1)).as("__m"))
+    val internal = tagged.filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("__c")).agg(count(lit(1)).as("__lc"))
+    val degMass = tagged
+      .select(explode(array(col("__la"), col("__lb"))).as("__c"))
+      .groupBy("__c").agg(count(lit(1)).as("__dc"))
+    val nodesPer = lab.groupBy(col("__lab").as("__c"))
+      .agg(count(lit(1)).as("n_nodes"))
+    nodesPer
+      .join(degMass, Seq("__c"), "left")
+      .join(internal, Seq("__c"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("__c").as("community"), col("n_nodes"),
+        coalesce(col("__lc"), lit(0L)).as("internal_edges"),
+        coalesce(col("__dc"), lit(0L)).as("degree_mass"),
+        round(coalesce(col("__lc"), lit(0L)).cast("double") /
+            col("__m").cast("double") -
+          (coalesce(col("__dc"), lit(0L)).cast("double") /
+            (lit(2.0) * col("__m"))) *
+          (coalesce(col("__dc"), lit(0L)).cast("double") /
+            (lit(2.0) * col("__m"))), roundTo).as("q_contrib"))
+  }
 }

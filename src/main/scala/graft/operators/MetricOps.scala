@@ -2377,7 +2377,8 @@ object MetricOps {
       .localCheckpoint(true) // sizes the lf table + feeds the terms
     // driver-side scalar for SIZING the generated ln table (the same
     // sanctioned planning read as Pipeline's constant-prune pass)
-    val maxN = cells.agg(max(col("__n"))).first().getLong(0)
+    val maxN = cells.agg(coalesce(max(col("__n")), lit(0L)))
+      .first().getLong(0)
     val spark = df.sparkSession
     val lnRows = spark.range(1, maxN + 1)
       .select(col("id").as("__i"),
@@ -2427,5 +2428,197 @@ object MetricOps {
         // the last digit differently per engine
         least(round(col("__p"), roundTo).cast("double"), lit(1.0))
           .as("p_upper"))
+  }
+
+  /** Cochran's Q test: are k matched binary treatments equally
+    * effective? Blocks (subjects) × treatments with a 0/1 outcome per
+    * cell; Q = (k−1)(k·ΣG_j² − T²)/(kT − ΣB_i²) ~ χ²(k−1) under the
+    * null — the k-treatment generalization of [[mcnemar]].
+    *
+    * The cell table aggregates raw rows to one 0/1 per
+    * (block, treatment) (`max` — "did it happen at least once"), the
+    * complete grid comes from blocks × the BROADCAST k-row treatment
+    * list (missing cell = 0), and every moment (row totals B_i, column
+    * totals G_j, T, ΣB², ΣG²) is an exact integer sum — the statistic
+    * is one double division at the end. Work is |blocks|·k rows; no
+    * windows, no raw-row re-shuffles.
+    */
+  def cochranQ(df: DataFrame, blockCol: String, treatCol: String,
+               xCol: String, roundTo: Int = 6): DataFrame = {
+    val cells = df.groupBy(col(blockCol).as("__b"), col(treatCol).as("__t"))
+      .agg(max(col(xCol).cast("long")).as("__x"))
+    val treats = cells.select("__t").distinct()
+    val grid = cells.select("__b").distinct()
+      .crossJoin(broadcast(treats))
+      .join(cells, Seq("__b", "__t"), "left")
+      .na.fill(0L, Seq("__x"))
+    val rowStats = grid.groupBy("__b").agg(sum(col("__x")).as("__bi"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("__bi")).as("__T"),
+        sum(col("__bi") * col("__bi")).as("__B2"))
+    val colStats = grid.groupBy("__t").agg(sum(col("__x")).as("__gj"))
+      .agg(count(lit(1)).as("__k"), sum(col("__gj") * col("__gj")).as("__G2"))
+    rowStats.crossJoin(broadcast(colStats))
+      .select(col("__k").cast("long").as("k"), col("n_blocks"),
+        col("__T").cast("long").as("t_total"),
+        (col("__k") - 1).cast("long").as("df"),
+        when(col("__k") * col("__T") - col("__B2") > 0,
+          round(((col("__k") - 1) * (col("__k") * col("__G2") -
+            col("__T") * col("__T"))).cast("double") /
+            (col("__k") * col("__T") - col("__B2")).cast("double"),
+            roundTo)).as("q_stat"))
+  }
+
+  /** Cochran–Armitage trend test: is a binary rate monotone in an
+    * ORDERED integer score (dose, priority tier, bucket index)?
+    * T = Σ s_i r_i − R·Σ s_i n_i/N with variance
+    * p̄(1−p̄)(Σ s_i²n_i − (Σ s_i n_i)²/N); reported
+    * z = (N·Sr − R·S1)/√(R(N−R)(N·S2 − S1²)/N) — the χ² test ignores
+    * the ordering, this is the 1-df test that uses it.
+    *
+    * One hash aggregation to per-score (n_i, r_i) rows, one scalar
+    * merge; every moment is an exact integer, the z is one double
+    * expression. Per-group form keyed by `groupCol`.
+    */
+  def cochranArmitage(df: DataFrame, groupCol: String, scoreCol: String,
+                      yCol: String, roundTo: Int = 6): DataFrame = {
+    val sc = df.groupBy(col(groupCol).as("__g"),
+        col(scoreCol).cast("long").as("__s"))
+      .agg(count(lit(1)).as("__n"), sum(col(yCol).cast("long")).as("__r"))
+    sc.groupBy("__g")
+      .agg(sum(col("__n")).as("__N"), sum(col("__r")).as("__R"),
+        sum(col("__s") * col("__n")).as("__S1"),
+        sum(col("__s") * col("__s") * col("__n")).as("__S2"),
+        sum(col("__s") * col("__r")).as("__Sr"))
+      .select(col("__g").as(groupCol), col("__N").as("n"),
+        col("__R").as("positives"),
+        round((col("__Sr").cast("double") -
+          col("__R").cast("double") * col("__S1").cast("double") /
+            col("__N").cast("double")), roundTo).as("t_stat"),
+        when(col("__R") > 0 && col("__R") < col("__N") &&
+            col("__N") * col("__S2") - col("__S1") * col("__S1") > 0,
+          round((col("__N") * col("__Sr") - col("__R") * col("__S1"))
+            .cast("double") /
+            sqrt((col("__R") * (col("__N") - col("__R"))).cast("double") *
+              (col("__N") * col("__S2") - col("__S1") * col("__S1"))
+                .cast("double") / col("__N").cast("double")),
+            roundTo)).as("z"))
+  }
+
+  /** Wald–Wolfowitz runs test per group: is the sequence of
+    * above/below-median signs of a bucketed series random, or does it
+    * cluster (trend / regime persistence the mean-based tests miss)?
+    * R = observed runs among the n₁ above + n₂ below rows (ties at
+    * the median drop, the standard dichotomization);
+    * z = (R − μ)/σ with μ = 2n₁n₂/n + 1,
+    * σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)).
+    *
+    * The median is the lower inverse CDF picked off the per-group
+    * DISTINCT-value histogram (the [[percentileBands]] discipline) —
+    * never a raw-row sort; the sign-change scan is one lag window
+    * over the already-bounded (group, bucket) series.
+    */
+  def runsTest(series: DataFrame, groupCol: String, xCol: String,
+               yCol: String, roundTo: Int = 6): DataFrame = {
+    val base = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"),
+      round(col(yCol).cast("double"), 4).as("__y"))
+    val hist = base.groupBy(col("__g"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
+    val wv = Window.partitionBy(col("__g")).orderBy(col("__y"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val med = hist.withColumn("__cum", sum(col("__c")).over(wv))
+      .withColumn("__n", sum(col("__c"))
+        .over(Window.partitionBy(col("__g"))))
+      .groupBy("__g")
+      .agg(min(when(col("__cum") * 2 >= col("__n"), col("__y")))
+        .as("__med"))
+    val signed = base.join(broadcast(med), "__g")
+      .filter(col("__y") =!= col("__med"))
+      .withColumn("__sgn", (col("__y") > col("__med")).cast("int"))
+    val wx = Window.partitionBy(col("__g")).orderBy(col("__x"))
+    signed.withColumn("__chg",
+        when(lag(col("__sgn"), 1).over(wx).isNull ||
+          lag(col("__sgn"), 1).over(wx) =!= col("__sgn"), 1L)
+          .otherwise(0L))
+      .groupBy(col("__g").as(groupCol))
+      .agg(sum(col("__sgn")).as("n_above"),
+        sum(lit(1L) - col("__sgn")).as("n_below"),
+        sum(col("__chg")).as("runs"))
+      .withColumn("__n", col("n_above") + col("n_below"))
+      .withColumn("__mu", lit(2.0) * col("n_above") * col("n_below") /
+        col("__n") + 1.0)
+      .withColumn("__s2", when(col("__n") > 1,
+        lit(2.0) * col("n_above") * col("n_below") *
+          (lit(2.0) * col("n_above") * col("n_below") - col("__n")) /
+          (col("__n").cast("double") * col("__n") * (col("__n") - 1))))
+      .select(col(groupCol), col("n_above"), col("n_below"), col("runs"),
+        round(col("__mu"), roundTo).as("expected_runs"),
+        when(col("n_above") > 0 && col("n_below") > 0 && col("__s2") > 0,
+          round((col("runs") - col("__mu")) / sqrt(col("__s2")), roundTo))
+          .as("z"))
+  }
+
+  /** Exact 1-D energy distance between two samples:
+    * D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′| — the distribution-drift
+    * metric that, unlike KS, weights HOW FAR apart the mass sits (and
+    * unlike [[wasserstein]]'s W₁, is a proper squared metric usable as
+    * a two-sample statistic).
+    *
+    * Values quantize to 2 dp and scale to INTEGERS (×100), the two
+    * samples collapse to ONE value histogram with per-side counts, and
+    * each pair sum Σᵢⱼ cᵢcⱼ|vᵢ−vⱼ| comes from the cumulative
+    * count/sum identity Σ_v c_v·(v·C_<v − S_<v + S_>v − v·C_>v) —
+    * exact integer arithmetic end to end (≤ n²·Δmax ≈ 10¹⁶ at sf0.1,
+    * inside DECIMAL(38,0)), with the cumulations riding
+    * [[rangeCumSum]] so no unpartitioned window at any histogram size.
+    * One double division per expectation at the very end.
+    */
+  def energyDistance(df: DataFrame, sideCol: String, valCol: String,
+                     sideA: String, sideB: String,
+                     roundTo: Int = 6): DataFrame = {
+    val hist = df.filter(col(sideCol).isin(sideA, sideB))
+      .select(round(col(valCol).cast("double") * 100, 0)
+          .cast("decimal(38,0)").as("__v"),
+        (col(sideCol) === sideA).cast("long").as("__ia"))
+      .groupBy("__v")
+      .agg(sum(col("__ia")).as("__ca"), sum(lit(1L) - col("__ia")).as("__cb"))
+      .withColumn("__sa", col("__ca") * col("__v"))
+      .withColumn("__sb", col("__cb") * col("__v"))
+    val cum = rangeCumSum(hist, "__v",
+      Seq("__ca", "__cb", "__sa", "__sb"))
+    val tot = hist.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"),
+      sum(col("__sa")).as("__ta"), sum(col("__sb")).as("__tb"))
+    // below-exclusive cumulants per distinct value; above = total−cum
+    val terms = cum.crossJoin(broadcast(tot))
+      .withColumn("__calt", col("__cum___ca") - col("__ca"))
+      .withColumn("__cblt", col("__cum___cb") - col("__cb"))
+      .withColumn("__salt", col("__cum___sa") - col("__sa"))
+      .withColumn("__sblt", col("__cum___sb") - col("__sb"))
+      .withColumn("__cagt", col("__na") - col("__cum___ca"))
+      .withColumn("__cbgt", col("__nb") - col("__cum___cb"))
+      .withColumn("__sagt", col("__ta") - col("__cum___sa"))
+      .withColumn("__sbgt", col("__tb") - col("__cum___sb"))
+    val sums = terms.agg(
+      sum(col("__ca") * (col("__v") * col("__cblt") - col("__sblt") +
+        col("__sbgt") - col("__v") * col("__cbgt"))).as("__pab"),
+      sum(col("__ca") * (col("__v") * col("__calt") - col("__salt") +
+        col("__sagt") - col("__v") * col("__cagt"))).as("__paa"),
+      sum(col("__cb") * (col("__v") * col("__cblt") - col("__sblt") +
+        col("__sbgt") - col("__v") * col("__cbgt"))).as("__pbb"))
+    sums.crossJoin(broadcast(tot))
+      .withColumn("__exy", col("__pab").cast("double") /
+        (col("__na") * col("__nb")).cast("double") / 100.0)
+      .withColumn("__exx", col("__paa").cast("double") /
+        (col("__na") * col("__na")).cast("double") / 100.0)
+      .withColumn("__eyy", col("__pbb").cast("double") /
+        (col("__nb") * col("__nb")).cast("double") / 100.0)
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        round(col("__exy"), roundTo).as("e_xy"),
+        round(col("__exx"), roundTo).as("e_xx"),
+        round(col("__eyy"), roundTo).as("e_yy"),
+        round(lit(2.0) * col("__exy") - col("__exx") - col("__eyy"),
+          roundTo).as("energy_dist"))
   }
 }

@@ -158,6 +158,21 @@ object QualityChecks {
         .as("at_risk_frac"))
   }
 
+  /** Per-group l-diversity audit — the table [[kAnonymity]]'s global
+    * summary points at: the quasi-identifier groups whose sensitive
+    * attribute shows fewer than `l` distinct values (re-identification
+    * risk even when the group is k-large). One hash aggregation; the
+    * well-represented groups never leave the reducers.
+    */
+  def lDiversityAudit(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns given")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .filter(col("l_distinct") < l)
+  }
+
   /** Cross-table VALUE reconciliation (the dollars-and-cents audit
     * that [[riAudit]]'s key checks can't see): per parent key, compare
     * the child-side decimal sum against the parent's recorded total

@@ -133,4 +133,42 @@ object SamplingOps {
       .withColumnRenamed("r", "sample_rank")
       .drop("__h")
   }
+
+  /** Neyman (optimal) stratified-sample allocation: given a total
+    * budget of `totalN` rows, allocate n_h ∝ N_h·σ_h — strata that are
+    * big AND internally variable get more of the budget than
+    * proportional allocation would give (the design that minimizes
+    * the variance of the stratified mean). Reports both allocations
+    * side by side so the caller sees where they diverge.
+    *
+    * One hash aggregation to per-stratum (N_h, Σv, Σv²) with values
+    * quantized to 4 dp (exact decimal moments — the [[ExperimentOps]]
+    * discipline), σ_h the population sd snapped to 6 dp, and the
+    * allocation shares are double arithmetic over the k-row stratum
+    * table. Fractional allocations report at 2 dp — integer rounding
+    * is the caller's (half-up boundary behavior differs per engine).
+    */
+  def neymanAllocation(df: DataFrame, stratumCol: String, valCol: String,
+                       totalN: Long): DataFrame = {
+    val strata = df.select(col(stratumCol).as("stratum"),
+        round(col(valCol).cast("double"), 4).cast("decimal(28,4)")
+          .as("__v"))
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_h"), sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__q"))
+      .withColumn("sd_h", round(sqrt(greatest(
+        col("__q").cast("double") / col("n_h") -
+          (col("__s").cast("double") / col("n_h")) *
+          (col("__s").cast("double") / col("n_h")), lit(0.0))), 6))
+    val tot = strata.agg(sum(col("n_h")).as("__N"),
+      sum(round(col("n_h") * col("sd_h"), 6).cast("decimal(38,6)"))
+        .as("__W"))
+    strata.crossJoin(broadcast(tot))
+      .select(col("stratum"), col("n_h"), col("sd_h"),
+        round(lit(totalN.toDouble) * col("n_h") / col("__N"), 2)
+          .as("prop_alloc"),
+        when(col("__W") > 0,
+          round(lit(totalN.toDouble) * col("n_h") * col("sd_h") /
+            col("__W").cast("double"), 2)).as("neyman_alloc"))
+  }
 }

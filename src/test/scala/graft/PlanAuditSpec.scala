@@ -559,9 +559,46 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "rolling frame must join history rows by group key")
   }
 
+  test("q262/q263: matched-binary and trend tests run windowless " +
+    "(grid + moment aggregations only)") {
+    for (q <- Seq("q262_cochran_q", "q263_cochran_armitage")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty, s"$q must not window raw rows")
+    }
+  }
+
+  test("q264/q269: runs-test and quantile-map windows are keyed or " +
+    "ride rangeCumSum's pid partitions") {
+    for (q <- Seq("q264_runs_test", "q269_quantile_normalize")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.nonEmpty)
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$q windows must be partitioned")
+    }
+  }
+
+  test("q265: energy-distance cumulations are partitioned (rangeCumSum)") {
+    val df = plan("q265_energy_distance")
+    df.count()
+    val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "histogram cumsum must never run in a single partition")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup",
-      "q191_mutual_knn", "q194_label_prop", "q218_rec_list_metrics")
+      "q191_mutual_knn", "q194_label_prop", "q218_rec_list_metrics",
+      "q266_modularity")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val df = fn(spark, dir)
       val s = df.queryExecution.executedPlan.toString
