@@ -4820,6 +4820,262 @@ object OracleSql {
         |  FROM pc CROSS JOIN pt CROSS JOIN qs
         |  WHERE cum * 10 >= q * nn GROUP BY 1)
         |SELECT g AS event_type, gq.q, group_q, pooled_q
-        |FROM gq JOIN pq ON gq.q = pq.q ORDER BY 1, 2""".stripMargin
+        |FROM gq JOIN pq ON gq.q = pq.q ORDER BY 1, 2""".stripMargin,
+
+    "q270_mase" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |j AS (SELECT c.g, c.x, c.y, p1.y AS y1, ps.y AS ys
+        |  FROM s c JOIN s p1 ON c.g = p1.g AND c.x = p1.x + 1
+        |  JOIN s ps ON c.g = ps.g AND c.x = ps.x + 7)
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_eval,
+        |  round(CAST(sum(abs(y - ys)) AS DOUBLE) / count(*), 6)
+        |    AS mae_seasonal,
+        |  round(CAST(sum(abs(y - y1)) AS DOUBLE) / count(*), 6)
+        |    AS mae_naive,
+        |  CASE WHEN sum(abs(y - y1)) > 0 THEN
+        |    round(CAST(sum(abs(y - ys)) AS DOUBLE)
+        |      / CAST(sum(abs(y - y1)) AS DOUBLE), 6) END AS mase
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q271_cvm_drift" ->
+      """WITH h AS (SELECT round(value, 4) AS v,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |c AS (SELECT v, ca, cb,
+        |    sum(ca) OVER (ORDER BY v) AS cca,
+        |    sum(cb) OVER (ORDER BY v) AS ccb FROM h),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM h),
+        |p AS (SELECT sum(d * d * (ca + cb)) AS s FROM
+        |  (SELECT CAST(cca * nb - ccb * na AS HUGEINT) AS d, ca, cb
+        |   FROM c CROSS JOIN t))
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |  round(CAST(s AS DOUBLE)
+        |    / CAST((na + nb) * (na + nb) AS DOUBLE)
+        |    / CAST(na AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS cvm_stat
+        |FROM p CROSS JOIN t""".stripMargin,
+
+    "q272_pacf" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |mom AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(y) AS DECIMAL(38,0)) AS sy FROM s GROUP BY 1),
+        |dev AS (SELECT s.g, s.x,
+        |    round(CAST(y AS DOUBLE) - CAST(sy AS DOUBLE) / n, 6) AS d
+        |  FROM s JOIN mom USING (g)),
+        |den AS (SELECT g, sum(CAST(round(d * d, 12) AS DECIMAL(38,12)))
+        |    AS ss FROM dev GROUP BY 1),
+        |lags AS (SELECT unnest(generate_series(1, 3)) AS lg),
+        |nm AS (SELECT c.g, l.lg,
+        |    sum(CAST(round(c.d * p.d, 12) AS DECIMAL(38,12))) AS num
+        |  FROM lags l JOIN dev c ON TRUE
+        |  JOIN dev p ON p.g = c.g AND c.x = p.x + l.lg
+        |  GROUP BY 1, 2),
+        |rh AS (SELECT nm.g, lg, CASE WHEN CAST(ss AS DOUBLE) > 0
+        |    THEN round(CAST(num AS DOUBLE) / CAST(ss AS DOUBLE), 6)
+        |    ELSE 0 END AS rho
+        |  FROM nm JOIN den USING (g)),
+        |piv AS (SELECT g,
+        |    max(CASE WHEN lg = 1 THEN rho END) AS r1,
+        |    max(CASE WHEN lg = 2 THEN rho END) AS r2,
+        |    max(CASE WHEN lg = 3 THEN rho END) AS r3
+        |  FROM rh GROUP BY 1),
+        |p2t AS (SELECT g, r1, r2, r3, 1.0 - r1 * r1 AS den2 FROM piv),
+        |p3t AS (SELECT *, CASE WHEN abs(den2) > 1e-12 THEN
+        |    (r2 - r1 * r1) / den2 END AS p2 FROM p2t),
+        |p4t AS (SELECT *, r1 * (1.0 - p2) AS p21 FROM p3t),
+        |p5t AS (SELECT *, 1.0 - p21 * r1 - p2 * r2 AS den3 FROM p4t),
+        |p6t AS (SELECT *, CASE WHEN abs(den3) > 1e-12 THEN
+        |    (r3 - p21 * r2 - p2 * r1) / den3 END AS p3 FROM p5t)
+        |SELECT g AS event_type, 1 AS "lag", round(r1, 6) AS pacf
+        |  FROM p6t
+        |UNION ALL SELECT g, 2, round(p2, 6) FROM p6t
+        |UNION ALL SELECT g, 3, round(p3, 6) FROM p6t
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q273_profile_drift" ->
+      """WITH a AS (SELECT * FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1995-07-01'),
+        |b AS (SELECT * FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-07-01'),
+        |pa AS (
+        |  SELECT 'o_orderstatus' AS col_name, count(*) AS n_a,
+        |    round(CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1
+        |      ELSE 0 END) AS DOUBLE) / greatest(count(*), 1), 6)
+        |      AS null_frac_a,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS distinct_a,
+        |    CAST(NULL AS DOUBLE) AS mean_a FROM a
+        |  UNION ALL SELECT 'o_totalprice', count(*),
+        |    round(CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1
+        |      ELSE 0 END) AS DOUBLE) / greatest(count(*), 1), 6),
+        |    CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |    round(avg(o_totalprice), 6) FROM a
+        |  UNION ALL SELECT 'o_orderpriority', count(*),
+        |    round(CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1
+        |      ELSE 0 END) AS DOUBLE) / greatest(count(*), 1), 6),
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |    CAST(NULL AS DOUBLE) FROM a),
+        |pb AS (
+        |  SELECT 'o_orderstatus' AS col_name, count(*) AS n_b,
+        |    round(CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1
+        |      ELSE 0 END) AS DOUBLE) / greatest(count(*), 1), 6)
+        |      AS null_frac_b,
+        |    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS distinct_b,
+        |    CAST(NULL AS DOUBLE) AS mean_b FROM b
+        |  UNION ALL SELECT 'o_totalprice', count(*),
+        |    round(CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1
+        |      ELSE 0 END) AS DOUBLE) / greatest(count(*), 1), 6),
+        |    CAST(count(DISTINCT o_totalprice) AS BIGINT),
+        |    round(avg(o_totalprice), 6) FROM b
+        |  UNION ALL SELECT 'o_orderpriority', count(*),
+        |    round(CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1
+        |      ELSE 0 END) AS DOUBLE) / greatest(count(*), 1), 6),
+        |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        |    CAST(NULL AS DOUBLE) FROM b)
+        |SELECT pa.col_name, n_a, null_frac_a, distinct_a, mean_a,
+        |  n_b, null_frac_b, distinct_b, mean_b,
+        |  round(mean_b - mean_a, 6) AS mean_shift
+        |FROM pa JOIN pb ON pa.col_name = pb.col_name
+        |ORDER BY 1""".stripMargin,
+
+    "q274_jonckheere" ->
+      """WITH b AS (SELECT CAST(quarter(o_orderdate) AS BIGINT) AS g,
+        |    round(o_totalprice, -2) AS v FROM orders),
+        |h AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |f AS (SELECT gg.g, vv.v, coalesce(h.c, 0) AS c
+        |  FROM (SELECT DISTINCT g FROM h) gg
+        |  CROSS JOIN (SELECT DISTINCT v FROM h) vv
+        |  LEFT JOIN h ON h.g = gg.g AND h.v = vv.v),
+        |cum AS (SELECT g, v, c, coalesce(sum(c) OVER (PARTITION BY g
+        |    ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING), 0) AS lt FROM f),
+        |jt AS (SELECT coalesce(sum(2 * j.c * i.lt + j.c * i.c), 0)
+        |    AS jt2
+        |  FROM cum i JOIN h j ON i.v = j.v AND i.g < j.g),
+        |sz AS (SELECT g, count(*) AS n FROM b GROUP BY 1),
+        |szs AS (SELECT count(*) AS k, sum(n) AS nn,
+        |    sum(n * n) AS s2,
+        |    sum(CAST(n * n AS HUGEINT) * (2 * n + 3)) AS s3 FROM sz)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  CAST(jt2 AS DOUBLE) / 2 AS jt_stat,
+        |  CAST(nn * nn - s2 AS DOUBLE) / 4 AS e_jt,
+        |  CASE WHEN CAST(CAST(nn * nn AS HUGEINT) * (2 * nn + 3) - s3
+        |      AS DOUBLE) / 72.0 > 0 THEN
+        |    round((CAST(jt2 AS DOUBLE)
+        |        - CAST(nn * nn - s2 AS DOUBLE) / 2)
+        |      / (2.0 * sqrt(CAST(CAST(nn * nn AS HUGEINT)
+        |        * (2 * nn + 3) - s3 AS DOUBLE) / 72.0)), 6) END AS z
+        |FROM jt CROSS JOIN szs""".stripMargin,
+
+    "q275_page_trend" ->
+      """WITH s AS (SELECT CAST(floor(date_diff('day',
+        |      DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS b,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      % 7 AS BIGINT) AS t,
+        |    round(CAST(count(*) AS DOUBLE), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |k AS (SELECT count(DISTINCT t) AS k FROM s),
+        |c AS (SELECT s.*, count(*) OVER (PARTITION BY b) AS bn FROM s),
+        |f AS (SELECT c.* FROM c, k WHERE bn = k.k),
+        |r AS (SELECT b, t, v,
+        |    rank() OVER (PARTITION BY b ORDER BY v) AS rnk,
+        |    count(*) OVER (PARTITION BY b, v) AS tie FROM f),
+        |r2 AS (SELECT b, t, rnk * 2 + tie - 1 AS rr FROM r),
+        |pt AS (SELECT t, sum(rr) AS rs2, count(*) AS bc FROM r2
+        |  GROUP BY 1),
+        |pts AS (SELECT p.t, p.rs2, p.bc, count(*) AS s
+        |  FROM pt p JOIN pt q ON q.t <= p.t GROUP BY 1, 2, 3),
+        |st AS (SELECT max(bc) AS bb, count(*) AS kk,
+        |    sum(s * rs2) AS l2 FROM pts)
+        |SELECT CAST(bb AS BIGINT) AS n_blocks, CAST(kk AS BIGINT) AS k,
+        |  CAST(l2 AS DOUBLE) / 2 AS l_stat,
+        |  round(CAST(bb * kk * (kk + 1) * (kk + 1) AS DOUBLE) / 2 / 2,
+        |    6) AS e_l,
+        |  CASE WHEN CAST(bb * kk * kk * (kk + 1) * (kk + 1) * (kk - 1)
+        |      AS DOUBLE) / 144.0 > 0 THEN
+        |    round((CAST(l2 AS DOUBLE)
+        |      - CAST(bb * kk * (kk + 1) * (kk + 1) AS DOUBLE) / 2)
+        |      / (2.0 * sqrt(CAST(bb * kk * kk * (kk + 1) * (kk + 1)
+        |        * (kk - 1) AS DOUBLE) / 144.0)), 6) END AS z
+        |FROM st""".stripMargin,
+
+    "q276_siegel_slope" ->
+      """WITH m AS (SELECT o_orderpriority,
+        |    CAST(date_diff('month', TIMESTAMP '1992-01-01', o_orderdate)
+        |      AS BIGINT) AS mi,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT a.o_orderpriority, a.mi,
+        |    (b.n - a.n) / CAST(b.mi - a.mi AS DOUBLE) AS slope
+        |  FROM m a JOIN m b ON a.o_orderpriority = b.o_orderpriority
+        |    AND b.mi <> a.mi),
+        |i AS (SELECT o_orderpriority, mi,
+        |    round(quantile_cont(slope, 0.5), 6) AS med_i
+        |  FROM p GROUP BY 1, 2)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_points,
+        |  round(quantile_cont(med_i, 0.5), 6) AS siegel_slope
+        |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q277_stl_anomaly" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2),
+        |tr AS (SELECT g, x, y,
+        |    round(quantile_cont(y, 0.5) OVER (PARTITION BY g ORDER BY x
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 6) AS trend
+        |  FROM s),
+        |dt AS (SELECT g, x, y, trend, round(y - trend, 6) AS det,
+        |    x % 7 AS dow FROM tr),
+        |se AS (SELECT g, dow, round(quantile_cont(det, 0.5), 6) AS seas
+        |  FROM dt GROUP BY 1, 2),
+        |re AS (SELECT dt.g, dt.x, dt.y, dt.trend, se.seas,
+        |    round(dt.det - se.seas, 6) AS resid
+        |  FROM dt JOIN se ON dt.g = se.g AND dt.dow = se.dow),
+        |md AS (SELECT g, round(quantile_cont(abs(resid), 0.5), 6)
+        |    AS mad FROM re GROUP BY 1)
+        |SELECT re.g AS event_type, re.x AS bucket, round(re.y, 6) AS y,
+        |  re.trend AS trend, re.seas AS seasonal,
+        |  re.resid AS remainder,
+        |  round(abs(re.resid) / mad, 6) AS mad_ratio
+        |FROM re JOIN md ON re.g = md.g
+        |WHERE mad > 0 AND abs(resid) > 2.0 * mad
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q278_bootstrap_ci" ->
+      """WITH r AS (SELECT CAST(unnest(generate_series(0, 31)) AS INT)
+        |    AS rp),
+        |b AS (SELECT o_orderpriority AS g,
+        |    CAST(o_orderkey AS VARCHAR) AS id,
+        |    CAST(round(o_totalprice, 4) AS DECIMAL(28,4)) AS v
+        |  FROM orders),
+        |u AS (SELECT g, v, rp,
+        |    ('0x' || substr(md5(id || '|' || CAST(rp AS VARCHAR)),
+        |      1, 4))::INT AS uu
+        |  FROM b CROSS JOIN r),
+        |w AS (SELECT g, v, rp,
+        |    CASE WHEN uu < 24112 THEN 0 WHEN uu < 48224 THEN 1
+        |      WHEN uu < 60281 THEN 2 WHEN uu < 64299 THEN 3
+        |      WHEN uu < 65296 THEN 4 WHEN uu < 65497 THEN 5
+        |      WHEN uu < 65530 THEN 6 ELSE 7 END AS wt FROM u),
+        |rm AS (SELECT g, rp, sum(wt) AS wn, sum(v * wt) AS ws
+        |  FROM w GROUP BY 1, 2 HAVING sum(wt) > 0),
+        |rm2 AS (SELECT g, rp,
+        |    round(CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE), 6) AS m
+        |  FROM rm),
+        |band AS (SELECT g, CAST(count(*) AS BIGINT) AS n_boot,
+        |    round(quantile_cont(m, 0.05), 6) AS boot_lo,
+        |    round(quantile_cont(m, 0.95), 6) AS boot_hi
+        |  FROM rm2 GROUP BY 1),
+        |ov AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS mean
+        |  FROM b GROUP BY 1)
+        |SELECT ov.g AS o_orderpriority, n, mean, n_boot, boot_lo,
+        |  boot_hi
+        |FROM ov JOIN band ON ov.g = band.g ORDER BY 1""".stripMargin
   )
 }

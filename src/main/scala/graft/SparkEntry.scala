@@ -3043,7 +3043,98 @@ object SparkEntry {
     "q269_quantile_normalize" -> ((s, d) =>
       EncodeOps.quantileNormalizeMap(Tables.events(s, d),
           "event_type", "value")
-        .orderBy("event_type", "q"))
+        .orderBy("event_type", "q")),
+
+    // L216 — MASE backtest: does day-of-week seasonality beat plain
+    // persistence for each event type's daily volume?
+    "q270_mase" -> ((s, d) =>
+      MetricOps.maseBacktest(
+          Tables.events(s, d)
+            .groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          "event_type", "day", "y", season = 7)
+        .orderBy("event_type")),
+
+    // L217 — two-sample Cramér–von Mises: whole-CDF drift between the
+    // click and view value distributions.
+    "q271_cvm_drift" -> ((s, d) =>
+      MetricOps.cvmTwoSample(Tables.events(s, d), "event_type",
+        "value", "click", "view")),
+
+    // L218 — PACF (lags 1..3) of each event type's daily counts:
+    // the AR-order fingerprint behind q181's raw ACF.
+    "q272_pacf" -> ((s, d) =>
+      MetricOps.pacf(
+          Tables.events(s, d)
+            .groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          "event_type", "day", "y")
+        .orderBy("event_type", "lag")),
+
+    // L219 — snapshot profile drift: per-column stats of early vs
+    // late orders, the which-column-moved triage.
+    "q273_profile_drift" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      QualityChecks.profileDrift(
+          o.filter(col("o_orderdate") < lit("1995-07-01")),
+          o.filter(col("o_orderdate") >= lit("1995-07-01")),
+          Seq("o_orderstatus", "o_totalprice", "o_orderpriority"))
+        .orderBy("col_name")
+    }),
+
+    // L220 — Jonckheere–Terpstra: does order value trend upward
+    // across the four order-date quarters (ordered doses)?
+    "q274_jonckheere" -> ((s, d) =>
+      MetricOps.jonckheereTerpstra(
+        Tables.orders(s, d)
+          .withColumn("qtr", quarter(col("o_orderdate"))),
+        "qtr", "o_totalprice", roundVals = -2)),
+
+    // L221 — Page's trend test: do daily volumes rise monotonically
+    // across the week (dow-ordered treatments, week blocks)?
+    "q275_page_trend" -> ((s, d) =>
+      MetricOps.pageTrend(
+          Tables.events(s, d)
+            .groupBy(floor(datediff(to_date(col("ts")), lit("1970-01-01"))
+                / 7L).cast("long").as("wk"),
+              pmod(datediff(to_date(col("ts")), lit("1970-01-01"))
+                .cast("long"), lit(7L)).as("dow"))
+            .agg(count(lit(1)).as("y")),
+          "wk", "dow", "y")),
+
+    // L222 — Siegel repeated-medians trend of monthly order volumes
+    // per priority: the 50%-breakdown upgrade of q171's Theil–Sen.
+    "q276_siegel_slope" -> ((s, d) =>
+      MetricOps.siegelSlope(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"),
+              months_between(date_trunc("month", col("o_orderdate")),
+                lit("1992-01-01").cast("timestamp")).cast("long")
+                .as("mi"))
+            .agg(count(lit(1)).cast("double").as("n")),
+          "o_orderpriority", "mi", "n")
+        .orderBy("o_orderpriority")),
+
+    // L223 — STL-lite anomaly screen: rolling-median trend + dow
+    // seasonal medians; report days beyond 2× the median absolute
+    // remainder.
+    "q277_stl_anomaly" -> ((s, d) =>
+      MetricOps.stlAnomalies(
+          Tables.events(s, d)
+            .groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          "event_type", "day", "y", halfWin = 3, k = 2.0)
+        .orderBy("event_type", "bucket")),
+
+    // L224 — deterministic Poisson-bootstrap CI for mean order value
+    // per priority (md5-thresholded Poisson(1) weights, 32 replicas).
+    "q278_bootstrap_ci" -> ((s, d) =>
+      ExperimentOps.poissonBootstrapCi(Tables.orders(s, d),
+          "o_orderpriority", "o_orderkey", "o_totalprice", nBoot = 32)
+        .orderBy("o_orderpriority"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -278,4 +278,54 @@ object ExperimentOps {
         round(col("__bonus"), roundTo).as("explore_bonus"),
         round(col("__mean") + col("__bonus"), roundTo).as("ucb_score"))
   }
+
+  /** Deterministic Poisson-bootstrap confidence interval for the
+    * per-group mean: each of `nBoot` replicas weights every row by an
+    * independent Poisson(1) draw — THE scale-correct bootstrap (one
+    * pass, no global resampling; each row's weights depend only on
+    * its own id, so the replica estimates are exact weighted means
+    * under any partitioning).
+    *
+    * Draws are md5-derived, not RNG: u = hash(id|replica) ∈ [0,65536)
+    * against PRECOMPUTED integer thresholds of the Poisson(1) CDF
+    * (⌊65536·P(X≤j)⌋ for j=0..6, tail capped at 7) — engine-identical
+    * integer comparisons, fully reproducible. Replica means are exact
+    * decimal-weighted sums; the 5%/95% band is an exact percentile
+    * over the `nBoot` 6 dp-snapped means.
+    */
+  def poissonBootstrapCi(df: DataFrame, groupCol: String, idCol: String,
+                         valCol: String, nBoot: Int = 32,
+                         roundTo: Int = 6): DataFrame = {
+    val reps = df.sparkSession.range(0, nBoot.toLong)
+      .select(col("id").cast("int").as("__r"))
+    val base = df.select(col(groupCol).as("__g"),
+      col(idCol).cast("string").as("__id"),
+      round(col(valCol).cast("double"), 4).cast("decimal(28,4)").as("__v"))
+    // ⌊65536·P(X≤j)⌋, X ~ Poisson(1): j = 0..6
+    val cdf = Seq(24112L, 48224L, 60281L, 64299L, 65296L, 65497L, 65530L)
+    val weighted = base.crossJoin(broadcast(reps))
+      .withColumn("__u", SamplingOps.hashUnit(
+        concat(col("__id"), lit("|"), col("__r").cast("string"))))
+      .withColumn("__w", cdf.zipWithIndex.foldRight(lit(7L)) {
+        case ((thr, j), elseExpr) =>
+          when(col("__u") < thr, j.toLong).otherwise(elseExpr)
+      })
+    val repMeans = weighted.groupBy("__g", "__r")
+      .agg(sum(col("__w")).as("__wn"),
+        sum(col("__v") * col("__w")).as("__ws"))
+      .filter(col("__wn") > 0)
+      .withColumn("__m", round(col("__ws").cast("double") /
+        col("__wn").cast("double"), 6))
+    val band = repMeans.groupBy("__g")
+      .agg(count(lit(1)).as("n_boot"),
+        round(expr("percentile(__m, 0.05)"), roundTo).as("boot_lo"),
+        round(expr("percentile(__m, 0.95)"), roundTo).as("boot_hi"))
+    base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__v")).cast("double") / count(lit(1)), roundTo)
+          .as("mean"))
+      .join(band, "__g")
+      .select(col("__g").as(groupCol), col("n"), col("mean"),
+        col("n_boot"), col("boot_lo"), col("boot_hi"))
+  }
 }

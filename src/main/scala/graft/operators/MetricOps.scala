@@ -2621,4 +2621,335 @@ object MetricOps {
         round(lit(2.0) * col("__exy") - col("__exx") - col("__eyy"),
           roundTo).as("energy_dist"))
   }
+
+  /** MASE backtest of the seasonal-naive forecaster per group:
+    * forecast_t = y_{t−season}, scaled by the one-step naive
+    * y_{t−1} — MASE = Σ|y_t − y_{t−season}| / Σ|y_t − y_{t−1}| over
+    * the buckets where BOTH references exist. < 1 means seasonality
+    * carries real signal beyond persistence; the standard scale-free
+    * forecast-quality gate (Hyndman & Koehler 2006).
+    *
+    * Two calendar self-joins on (group, bucket±lag) — the [[autocorr]]
+    * gap-robust shape, |buckets|-bounded — and exact integer
+    * absolute-error sums; one double division at the end.
+    */
+  def maseBacktest(series: DataFrame, groupCol: String, xCol: String,
+                   yCol: String, season: Int = 7,
+                   roundTo: Int = 6): DataFrame = {
+    val cur = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val l1 = series.select(col(groupCol).as("__g"),
+      (col(xCol).cast("long") + 1).as("__x"),
+      col(yCol).cast("long").as("__y1"))
+    val ls = series.select(col(groupCol).as("__g"),
+      (col(xCol).cast("long") + season).as("__x"),
+      col(yCol).cast("long").as("__ys"))
+    cur.join(l1, Seq("__g", "__x")).join(ls, Seq("__g", "__x"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("__y") - col("__ys"))).as("__ss"),
+        sum(abs(col("__y") - col("__y1"))).as("__sn"))
+      .select(col(groupCol), col("n_eval"),
+        round(col("__ss").cast("double") / col("n_eval"), roundTo)
+          .as("mae_seasonal"),
+        round(col("__sn").cast("double") / col("n_eval"), roundTo)
+          .as("mae_naive"),
+        when(col("__sn") > 0, round(col("__ss").cast("double") /
+          col("__sn").cast("double"), roundTo)).as("mase"))
+  }
+
+  /** Two-sample Cramér–von Mises statistic (discrete form):
+    * T = Σ_v w_v·(F_a(v) − G_b(v))² · n_a·n_b / N² over the pooled
+    * value histogram — the whole-CDF drift test that, unlike KS's
+    * single supremum, integrates every gap between the two empirical
+    * CDFs.
+    *
+    * Engine-exact: the CDF gap clears denominators —
+    * (CA·n_b − CB·n_a)² stays an INTEGER (squared inside
+    * DECIMAL(38,0); a 64-bit square overflows at ~3·10⁹ rows) — and
+    * the final statistic is one double division by N²·n_a·n_b.
+    * Cumulations ride [[rangeCumSum]]; values quantize to 4 dp.
+    */
+  def cvmTwoSample(df: DataFrame, sideCol: String, valCol: String,
+                   sideA: String, sideB: String,
+                   roundTo: Int = 6): DataFrame = {
+    val hist = df.filter(col(sideCol).isin(sideA, sideB))
+      .select(round(col(valCol).cast("double"), 4).as("__v"),
+        (col(sideCol) === sideA).cast("long").as("__ia"))
+      .groupBy("__v")
+      .agg(sum(col("__ia")).as("__ca"),
+        sum(lit(1L) - col("__ia")).as("__cb"))
+    val cum = rangeCumSum(hist, "__v", Seq("__ca", "__cb"))
+    val tot = hist.agg(sum(col("__ca")).as("__na"),
+      sum(col("__cb")).as("__nb"))
+    val terms = cum.crossJoin(broadcast(tot))
+      .withColumn("__d", (col("__cum___ca") * col("__nb") -
+        col("__cum___cb") * col("__na")).cast("decimal(38,0)"))
+      .agg(sum(col("__d") * col("__d") * (col("__ca") + col("__cb")))
+        .as("__s"))
+    // T = S / (N²·n_a·n_b): the CDF gaps were cleared of their
+    // denominators inside S, so this restores (F−G)²·(n_a n_b/N²)·w
+    terms.crossJoin(broadcast(tot))
+      .select(col("__na").cast("long").as("n_a"),
+        col("__nb").cast("long").as("n_b"),
+        round(col("__s").cast("double") /
+          ((col("__na") + col("__nb")) * (col("__na") + col("__nb")))
+            .cast("double") /
+          col("__na").cast("double") / col("__nb").cast("double"),
+          roundTo).as("cvm_stat"))
+  }
+
+  /** Partial autocorrelation (lags 1..3) per group via the
+    * Durbin–Levinson closed form over the conventional ACF estimates:
+    * φ₁₁ = ρ₁, φ₂₂ = (ρ₂ − ρ₁²)/(1 − ρ₁²),
+    * φ₃₃ = (ρ₃ − φ₂₁ρ₂ − φ₂₂ρ₁)/(1 − φ₂₁ρ₁ − φ₂₂ρ₂) with
+    * φ₂₁ = ρ₁(1 − φ₂₂) — the AR-order fingerprint the raw ACF can't
+    * show (an AR(1) has geometric ACF but a single PACF spike).
+    *
+    * ρ̂_k comes from the [[ljungBox]] machinery (global-mean
+    * deviations snapped to 6 dp, one calendar lag-spine join, exact
+    * decimal moment sums); ρ̂ snaps to 6 dp BEFORE the recursion so
+    * both engines run the identical double arithmetic. Degenerate
+    * denominators (|·| ≤ 1e-12: constant or perfectly correlated
+    * series) yield null, not ±Inf.
+    */
+  def pacf(series: DataFrame, groupCol: String, xCol: String,
+           yCol: String, roundTo: Int = 6): DataFrame = {
+    val base = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+    val mom = base.groupBy("__g").agg(
+      count(lit(1)).as("__n"),
+      sum(col("__y")).cast("decimal(38,0)").as("__sy"))
+    val dev = base.join(broadcast(mom), "__g")
+      .withColumn("__d", round(col("__y").cast("double") -
+        col("__sy").cast("double") / col("__n"), 6))
+      .select(col("__g"), col("__x"), col("__d"))
+      .localCheckpoint(true) // current + lagged + denominator read it
+    val den = dev.groupBy("__g")
+      .agg(sum(round(col("__d") * col("__d"), 12).cast("decimal(38,12)"))
+        .as("__ss"))
+    val spine = series.sparkSession.range(1).select(
+      explode(sequence(lit(1L), lit(3L))).as("lag"))
+    val lagged = dev.select(col("__g"), col("__x").as("__lx"),
+        col("__d").as("__dl"))
+      .crossJoin(broadcast(spine))
+      .withColumn("__x", col("__lx") + col("lag"))
+    val rho = dev.join(lagged, Seq("__g", "__x"))
+      .groupBy("__g", "lag")
+      .agg(sum(round(col("__d") * col("__dl"), 12).cast("decimal(38,12)"))
+        .as("__num"))
+      .join(den, "__g")
+      .withColumn("rho", when(col("__ss") > 0,
+        round(col("__num").cast("double") / col("__ss").cast("double"), 6))
+        .otherwise(lit(0.0)))
+    val piv = rho.groupBy("__g").agg(
+      max(when(col("lag") === 1, col("rho"))).as("__r1"),
+      max(when(col("lag") === 2, col("rho"))).as("__r2"),
+      max(when(col("lag") === 3, col("rho"))).as("__r3"))
+    val ph = piv
+      .withColumn("__p1", col("__r1"))
+      .withColumn("__den2", lit(1.0) - col("__r1") * col("__r1"))
+      .withColumn("__p2", when(abs(col("__den2")) > 1e-12,
+        (col("__r2") - col("__r1") * col("__r1")) / col("__den2")))
+      .withColumn("__p21", col("__r1") * (lit(1.0) - col("__p2")))
+      .withColumn("__den3", lit(1.0) - col("__p21") * col("__r1") -
+        col("__p2") * col("__r2"))
+      .withColumn("__p3", when(abs(col("__den3")) > 1e-12,
+        (col("__r3") - col("__p21") * col("__r2") -
+          col("__p2") * col("__r1")) / col("__den3")))
+    ph.select(col("__g"), explode(array(
+        struct(lit(1).as("lag"), round(col("__p1"), roundTo).as("pacf")),
+        struct(lit(2).as("lag"), round(col("__p2"), roundTo).as("pacf")),
+        struct(lit(3).as("lag"), round(col("__p3"), roundTo).as("pacf"))))
+        .as("__t"))
+      .select(col("__g").as(groupCol), col("__t.lag").as("lag"),
+        col("__t.pacf").as("pacf"))
+  }
+
+  /** Jonckheere–Terpstra trend test: with groups ORDERED by an integer
+    * dose/tier column, JT = Σ_{i<j} U_ij (U_ij = pairs with the
+    * lower-group value below the higher-group value, ties counting
+    * half) against its null mean (N² − Σnᵢ²)/4 — the k-sample test
+    * that uses the group ORDERING (Kruskal–Wallis throws it away).
+    *
+    * Never touches raw pairs: per-group cumulative counts over the
+    * POOLED quantized-value spine (k·|values| rows, windows keyed by
+    * group), one value-equi-join between lower-group cumulants and
+    * higher-group counts, and DOUBLED counts keep the tie half-units
+    * integer. The z uses the standard no-tie variance
+    * (N²(2N+3) − Σnᵢ²(2nᵢ+3))/72, documented approximation under
+    * heavy ties. Quantization (`roundVals` dp) is the histogram-size
+    * dial.
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String, valCol: String,
+                         roundVals: Int = 2, roundTo: Int = 6): DataFrame = {
+    val base = df.select(col(groupCol).cast("long").as("__g"),
+      round(col(valCol).cast("double"), roundVals).as("__v"))
+    val hist = base.groupBy("__g", "__v").agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // spine + j-side + sizes read it
+    val spineV = hist.select("__v").distinct()
+    val full = hist.select("__g").distinct().crossJoin(spineV)
+      .join(hist, Seq("__g", "__v"), "left")
+      .na.fill(0L, Seq("__c"))
+    val wlt = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = full.withColumn("__lt",
+      coalesce(sum(col("__c")).over(wlt), lit(0L)))
+    val jt2 = cum.select(col("__g").as("__gi"), col("__v"),
+        col("__lt"), col("__c").as("__ci"))
+      .join(hist.select(col("__g").as("__gj"), col("__v"),
+        col("__c").as("__cj")), Seq("__v"))
+      .filter(col("__gi") < col("__gj"))
+      .agg(coalesce(sum(lit(2L) * col("__cj") * col("__lt") +
+        col("__cj") * col("__ci")), lit(0L)).as("__jt2"))
+    val sizes = base.groupBy("__g").agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__k"),
+        sum(col("__n")).as("__N"),
+        sum(col("__n") * col("__n")).as("__s2"),
+        sum((col("__n") * col("__n")).cast("decimal(38,0)") *
+          (lit(2L) * col("__n") + 3)).as("__s3"))
+    jt2.crossJoin(broadcast(sizes))
+      .withColumn("__e2", ((col("__N") * col("__N") - col("__s2"))
+        .cast("decimal(38,0)") / 2).cast("decimal(38,1)"))
+      .withColumn("__var",
+        ((col("__N") * col("__N")).cast("decimal(38,0)") *
+          (lit(2L) * col("__N") + 3) - col("__s3")).cast("double") / 72.0)
+      .select(col("__N").cast("long").as("n"),
+        col("__k").cast("long").as("k"),
+        (col("__jt2").cast("decimal(38,0)") / 2).cast("decimal(38,1)")
+          .cast("double").as("jt_stat"),
+        // __e2 is the DOUBLED null mean 2E; report E itself
+        (col("__e2").cast("double") / 2).as("e_jt"),
+        // jt2 and e2 are BOTH doubled → their gap is 2(JT−E)
+        when(col("__var") > 0, round(
+          (col("__jt2").cast("double") - col("__e2").cast("double")) /
+            (lit(2.0) * sqrt(col("__var"))), roundTo)).as("z"))
+  }
+
+  /** Page's trend test: Friedman's blocked ranks scored against an
+    * a-priori TREATMENT ORDER — L = Σ_j s_j·R_j (s_j the 1..k order,
+    * R_j the rank sums), z = (L − b·k(k+1)²/4)/√(b·k²(k+1)²(k−1)/144).
+    * Detects a monotone treatment effect Friedman's omnibus χ² dilutes
+    * across all alternatives.
+    *
+    * Reuses the [[friedman]] rank discipline: complete blocks only,
+    * per-block windows, doubled average ranks for exact integer tie
+    * handling. The treatment order is the ascending ORDER of the
+    * treatment column itself (pass an integer dose/position column);
+    * s_j is a row_number over the k-row treatment table.
+    */
+  def pageTrend(df: DataFrame, blockCol: String, treatCol: String,
+                valCol: String, roundTo: Int = 6): DataFrame = {
+    val base = df.select(col(blockCol).as("__b"),
+      col(treatCol).cast("long").as("__t"),
+      round(col(valCol).cast("double"), 4).as("__v"))
+    val k = base.agg(countDistinct(col("__t")).as("__k"))
+    val complete = base
+      .withColumn("__bn", count(lit(1))
+        .over(Window.partitionBy(col("__b"))))
+      .crossJoin(broadcast(k))
+      .filter(col("__bn") === col("__k"))
+    val wb = Window.partitionBy(col("__b"))
+    val ranked = complete
+      .withColumn("__rnk", rank().over(wb.orderBy(col("__v"))))
+      .withColumn("__tie", count(lit(1))
+        .over(Window.partitionBy(col("__b"), col("__v"))))
+      .withColumn("__r2", col("__rnk") * 2 + col("__tie") - 1)
+    val perTreat0 = ranked.groupBy(col("__t"))
+      .agg(sum(col("__r2")).as("__rs2"), count(lit(1)).as("__bc"))
+    // order index s_j via a broadcast triangular self-join on the
+    // k-row treatment table — no unpartitioned window, ever
+    val perTreat = perTreat0
+      .join(broadcast(perTreat0.select(col("__t").as("__t2"))),
+        col("__t2") <= col("__t"))
+      .groupBy(col("__t"), col("__rs2"), col("__bc"))
+      .agg(count(lit(1)).as("__s"))
+    val stat = perTreat.agg(
+        first(col("__bc")).as("__bb"), count(lit(1)).as("__kk"),
+        sum(col("__s") * col("__rs2")).as("__l2"))
+      .withColumn("__e2", (col("__bb") * col("__kk") *
+        (col("__kk") + 1) * (col("__kk") + 1)).cast("double") / 2)
+      .withColumn("__var", (col("__bb") * col("__kk") * col("__kk") *
+        (col("__kk") + 1) * (col("__kk") + 1) * (col("__kk") - 1))
+        .cast("double") / 144.0)
+    stat.select(col("__bb").cast("long").as("n_blocks"),
+      col("__kk").cast("long").as("k"),
+      (col("__l2").cast("double") / 2).as("l_stat"),
+      round(col("__e2") / 2, roundTo).as("e_l"),
+      when(col("__var") > 0, round(
+        (col("__l2").cast("double") - col("__e2")) /
+          (lit(2.0) * sqrt(col("__var"))), roundTo)).as("z"))
+  }
+
+  /** Siegel repeated-medians slope per group: median over points i of
+    * (median over j≠i of the pairwise slope) — breakdown point 50%,
+    * twice [[theilSen]]'s 29%: up to half the points can be arbitrary
+    * outliers before the trend estimate moves.
+    *
+    * Same bounded-series contract as theilSen (an ALREADY-AGGREGATED
+    * (group, bucket, value) series — pair joins are |buckets|²,
+    * never data-sized); inner medians are exact `percentile` per
+    * (group, anchor point) snapped to 6 dp, the outer median one more
+    * exact percentile over |buckets| rows.
+    */
+  def siegelSlope(series: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, roundTo: Int = 6): DataFrame = {
+    val a = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("double").as("__xa"),
+      col(yCol).cast("double").as("__ya"))
+    val b = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("double").as("__xb"),
+      col(yCol).cast("double").as("__yb"))
+    val inner = a.join(b, "__g").filter(col("__xb") =!= col("__xa"))
+      .withColumn("__slope",
+        (col("__yb") - col("__ya")) / (col("__xb") - col("__xa")))
+      .groupBy(col("__g"), col("__xa"))
+      .agg(round(expr("percentile(__slope, 0.5)"), 6).as("__med_i"))
+    inner.groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_points"),
+        round(expr("percentile(__med_i, 0.5)"), roundTo)
+          .as("siegel_slope"))
+  }
+
+  /** STL-lite seasonal anomaly screen per group over a daily series:
+    * trend = centered rolling MEDIAN (±`halfWin` buckets), seasonal =
+    * per-(group, bucket mod 7) median of the detrended values,
+    * remainder = y − trend − seasonal, and buckets with
+    * |remainder| > `k`·(median absolute remainder) are reported — the
+    * robust decomposition that keeps one spike from polluting either
+    * the trend (median, not mean) or its own detection (MAD, not sd).
+    *
+    * Medians are exact `percentile`s, every intermediate snaps to
+    * 6 dp (shared-constant discipline), and all windows/groups are
+    * keyed by the group (and dow) — the input is an
+    * ALREADY-AGGREGATED bounded series, the [[theilSen]] contract.
+    */
+  def stlAnomalies(series: DataFrame, groupCol: String, xCol: String,
+                   yCol: String, halfWin: Int = 3, k: Double = 3.0,
+                   roundTo: Int = 6): DataFrame = {
+    val base = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"),
+      col(yCol).cast("double").as("__y"))
+    val wT = Window.partitionBy(col("__g")).orderBy(col("__x"))
+      .rowsBetween(-halfWin, halfWin)
+    val tr = base
+      .withColumn("__trend",
+        round(expr("percentile(__y, 0.5)").over(wT), 6))
+      .withColumn("__det", round(col("__y") - col("__trend"), 6))
+      .withColumn("__dow", pmod(col("__x"), lit(7L)))
+    val seas = tr.groupBy("__g", "__dow")
+      .agg(round(expr("percentile(__det, 0.5)"), 6).as("__seas"))
+    val resid = tr.join(seas, Seq("__g", "__dow"))
+      .withColumn("__resid", round(col("__det") - col("__seas"), 6))
+      .localCheckpoint(true) // spread + report read it
+    val spread = resid.groupBy("__g")
+      .agg(round(expr("percentile(abs(__resid), 0.5)"), 6).as("__mad"))
+    resid.join(broadcast(spread), "__g")
+      .filter(col("__mad") > 0 && abs(col("__resid")) > lit(k) * col("__mad"))
+      .select(col("__g").as(groupCol), col("__x").as("bucket"),
+        round(col("__y"), roundTo).as("y"),
+        col("__trend").as("trend"), col("__seas").as("seasonal"),
+        col("__resid").as("remainder"),
+        round(abs(col("__resid")) / col("__mad"), roundTo).as("mad_ratio"))
+  }
 }

@@ -173,6 +173,46 @@ object QualityChecks {
       .filter(col("l_distinct") < l)
   }
 
+  /** Side-by-side statistical profile of two snapshots of the same
+    * table (time windows, sources, pipeline versions): per column,
+    * row count, null fraction, distinct count, and mean (numeric
+    * columns) for each side plus the mean shift — the drift triage
+    * that says WHICH column moved before a PSI/KS deep-dive says how.
+    *
+    * ONE aggregation pass per side computes every column's moments
+    * (multi-distinct goes through Spark's Expand — still a single
+    * scan), then a literal-struct explode melts the 1-row result to
+    * per-column rows and the sides join on column name. Nothing
+    * shuffles but two 1-row frames.
+    */
+  def profileDrift(a: DataFrame, b: DataFrame, cols: Seq[String],
+                   roundTo: Int = 6): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val aggs = (count(lit(1)).as("__n") +: cols.flatMap { c =>
+        val numeric = df.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType]
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nul_$c"),
+          countDistinct(col(c)).as(s"__dst_$c"),
+          (if (numeric) round(avg(col(c).cast("double")), roundTo)
+           else lit(null).cast("double")).as(s"__avg_$c"))
+      }).toList
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col("__n").as(s"n_$tag"),
+          round(col(s"__nul_$c").cast("double") /
+            greatest(col("__n"), lit(1L)), roundTo).as(s"null_frac_$tag"),
+          col(s"__dst_$c").as(s"distinct_$tag"),
+          col(s"__avg_$c").as(s"mean_$tag"))): _*)).as("__p"))
+        .select(col("__p.*"))
+    }
+    side(a, "a").join(side(b, "b"), "col_name")
+      .withColumn("mean_shift",
+        round(col("mean_b") - col("mean_a"), roundTo))
+  }
+
   /** Cross-table VALUE reconciliation (the dollars-and-cents audit
     * that [[riAudit]]'s key checks can't see): per parent key, compare
     * the child-side decimal sum against the parent's recorded total

@@ -595,6 +595,28 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "histogram cumsum must never run in a single partition")
   }
 
+  test("q270/q262-style moment tests run windowless; q271/q274/q275/" +
+    "q277 windows all keyed") {
+    for (q <- Seq("q270_mase")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty, s"$q must not window (calendar joins + aggs)")
+    }
+    for (q <- Seq("q271_cvm_drift", "q274_jonckheere", "q275_page_trend",
+        "q277_stl_anomaly", "q278_bootstrap_ci")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$q must keep every window partitioned")
+    }
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup",
       "q191_mutual_knn", "q194_label_prop", "q218_rec_list_metrics",

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{EncodeOps, GraphOps, MetricOps, QualityChecks,
-  SamplingOps}
+import graft.operators.{EncodeOps, ExperimentOps, GraphOps, MetricOps,
+  QualityChecks, SamplingOps}
 
 /** Round-10 operator specs: Cochran's Q / Cochran–Armitage against the
   * hand formulas, runs-test against a hand-counted sign sequence,
@@ -191,5 +191,165 @@ class Round10OpsSpec extends SparkSpec {
       r.getAs[Int]("q") == 9).get
     assert(math.abs(b9.getAs[Double]("group_q") - 19.0) < 1e-9)
     assert(math.abs(b9.getAs[Double]("pooled_q") - 18.0) < 1e-9)
+  }
+
+  // ----------------------------------------------------------------- mase
+
+  test("maseBacktest: linear ramp vs season-2 naive gives MASE 2") {
+    // y = day on days 1..5, season 2: |y−y₋₂| = 2, |y−y₋₁| = 1
+    val df = (1L to 5L).map(d => ("g", d, d)).toDF("grp", "day", "y")
+    val r = MetricOps.maseBacktest(df, "grp", "day", "y", season = 2)
+      .collect()(0)
+    assert(r.getAs[Long]("n_eval") == 3L)
+    assert(math.abs(r.getAs[Double]("mae_seasonal") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mae_naive") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("mase") - 2.0) < 1e-9)
+  }
+
+  // ------------------------------------------------------------------ cvm
+
+  test("cvmTwoSample: hand-computed discrete statistic on {1,2} vs " +
+    "{1,3}") {
+    // pooled CDF gaps: only v=2 differs (F=1, G=1/2), weight 1 →
+    // T = (2·2/16)·(1/4) = 0.0625
+    val df = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 3.0))
+      .toDF("side", "v")
+    val r = MetricOps.cvmTwoSample(df, "side", "v", "a", "b").collect()(0)
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(math.abs(r.getAs[Double]("cvm_stat") - 0.0625) < 1e-9)
+  }
+
+  test("cvmTwoSample: identical samples give 0") {
+    val df = Seq(("a", 1.0), ("a", 5.0), ("b", 1.0), ("b", 5.0))
+      .toDF("side", "v")
+    val r = MetricOps.cvmTwoSample(df, "side", "v", "a", "b").collect()(0)
+    assert(math.abs(r.getAs[Double]("cvm_stat")) < 1e-9)
+  }
+
+  // ----------------------------------------------------------------- pacf
+
+  test("pacf: alternating series matches the Durbin–Levinson recursion " +
+    "run on its own ACF") {
+    // y = 1,2,1,2,1,2 → ρ₁ = −5/6, ρ₂ = 2/3, ρ₃ = −1/2 (snapped 6 dp)
+    val df = (1L to 6L).map(d => ("g", d, if (d % 2 == 0) 2L else 1L))
+      .toDF("grp", "day", "y")
+    val out = MetricOps.pacf(df, "grp", "day", "y")
+      .orderBy("lag").collect()
+    val r1 = BigDecimal(-1.25 / 1.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r2 = BigDecimal(1.0 / 1.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r3 = BigDecimal(-0.75 / 1.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val p21 = r1 * (1.0 - p2)
+    val p3 = (r3 - p21 * r2 - p2 * r1) / (1.0 - p21 * r1 - p2 * r2)
+    assert(math.abs(out(0).getAs[Double]("pacf") - r1) < 1e-9)
+    assert(math.abs(out(1).getAs[Double]("pacf") - p2) < 1e-6)
+    assert(math.abs(out(2).getAs[Double]("pacf") - p3) < 1e-6)
+  }
+
+  // --------------------------------------------------------- jonckheere
+
+  test("jonckheereTerpstra: fully separated ordered groups") {
+    // {1,2} < {3,4} entirely: JT = 4, E = 2, Var = 120/72
+    val df = Seq((1L, 1.0), (1L, 2.0), (2L, 3.0), (2L, 4.0))
+      .toDF("g", "v")
+    val r = MetricOps.jonckheereTerpstra(df, "g", "v", roundVals = 2)
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("k") == 2L)
+    assert(math.abs(r.getAs[Double]("jt_stat") - 4.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("e_jt") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z") -
+      2.0 / math.sqrt(120.0 / 72.0)) < 1e-6)
+  }
+
+  test("jonckheereTerpstra: cross-group tie counts half") {
+    val df = Seq((1L, 5.0), (2L, 5.0)).toDF("g", "v")
+    val r = MetricOps.jonckheereTerpstra(df, "g", "v").collect()(0)
+    assert(math.abs(r.getAs[Double]("jt_stat") - 0.5) < 1e-9)
+  }
+
+  // ----------------------------------------------------------- page trend
+
+  test("pageTrend: perfectly monotone blocks give z = 2") {
+    // 2 blocks × 3 ordered treatments, values rise with treatment:
+    // L = 1·2 + 2·4 + 3·6 = 28, E = 24, Var = 4 → z = 2
+    val df = Seq(
+      (1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 3.0),
+      (2L, 1L, 1.0), (2L, 2L, 2.0), (2L, 3L, 3.0))
+      .toDF("blk", "trt", "v")
+    val r = MetricOps.pageTrend(df, "blk", "trt", "v").collect()(0)
+    assert(r.getAs[Long]("n_blocks") == 2L && r.getAs[Long]("k") == 3L)
+    assert(math.abs(r.getAs[Double]("l_stat") - 28.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("e_l") - 24.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("z") - 2.0) < 1e-9)
+  }
+
+  // --------------------------------------------------------- siegel slope
+
+  test("siegelSlope: one wild point cannot move the repeated-medians " +
+    "slope") {
+    val df = (Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0),
+      (5L, 100.0))).map { case (x, y) => ("g", x, y) }
+      .toDF("grp", "x", "y")
+    val r = MetricOps.siegelSlope(df, "grp", "x", "y").collect()(0)
+    assert(r.getAs[Long]("n_points") == 5L)
+    assert(math.abs(r.getAs[Double]("siegel_slope") - 1.0) < 1e-9)
+  }
+
+  // ------------------------------------------------------- stl anomalies
+
+  test("stlAnomalies: an isolated spike is the top-ratio anomaly") {
+    val df = (0L to 20L).map(d =>
+      ("g", d, (10 + (d % 2) * 2 + (if (d == 10) 90 else 0)).toDouble))
+      .toDF("grp", "day", "y")
+    val out = MetricOps.stlAnomalies(df, "grp", "day", "y",
+      halfWin = 3, k = 2.0).collect()
+    assert(out.nonEmpty, "spike must be reported")
+    val top = out.maxBy(_.getAs[Double]("mad_ratio"))
+    assert(top.getAs[Long]("bucket") == 10L)
+  }
+
+  // --------------------------------------------------- poisson bootstrap
+
+  test("poissonBootstrapCi: constant values collapse the band to the " +
+    "mean") {
+    val df = (1L to 50L).map(i => ("g", i, 5.0)).toDF("grp", "id", "v")
+    val r = ExperimentOps.poissonBootstrapCi(df, "grp", "id", "v",
+      nBoot = 16).collect()(0)
+    assert(r.getAs[Long]("n") == 50L)
+    assert(math.abs(r.getAs[Double]("mean") - 5.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("boot_lo") - 5.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("boot_hi") - 5.0) < 1e-9)
+  }
+
+  test("poissonBootstrapCi: spread values straddle the mean") {
+    val df = (0L until 100L).map(i => ("g", i, i.toDouble))
+      .toDF("grp", "id", "v")
+    val r = ExperimentOps.poissonBootstrapCi(df, "grp", "id", "v",
+      nBoot = 32).collect()(0)
+    assert(r.getAs[Double]("boot_lo") < r.getAs[Double]("mean"))
+    assert(r.getAs[Double]("boot_hi") > r.getAs[Double]("mean"))
+  }
+
+  // -------------------------------------------------------- profile drift
+
+  test("profileDrift: per-column nulls, distincts, and mean shift") {
+    val a = Seq[(java.lang.Long, String)]((1L, "x"), (2L, "x"),
+      (null, "x")).toDF("v", "s")
+    val b = Seq[(java.lang.Long, String)]((4L, "y"), (4L, "y"),
+      (4L, "y"), (4L, "y")).toDF("v", "s")
+    val out = QualityChecks.profileDrift(a, b, Seq("v", "s"))
+      .orderBy("col_name").collect()
+    val sv = out.find(_.getAs[String]("col_name") == "v").get
+    assert(sv.getAs[Long]("n_a") == 3L && sv.getAs[Long]("n_b") == 4L)
+    assert(math.abs(sv.getAs[Double]("null_frac_a") - 0.333333) < 1e-9)
+    assert(sv.getAs[Long]("distinct_a") == 2L)
+    assert(math.abs(sv.getAs[Double]("mean_a") - 1.5) < 1e-9)
+    assert(math.abs(sv.getAs[Double]("mean_shift") - 2.5) < 1e-9)
+    val ss = out.find(_.getAs[String]("col_name") == "s").get
+    assert(ss.isNullAt(ss.fieldIndex("mean_a")))
+    assert(ss.getAs[Long]("distinct_b") == 1L)
   }
 }
