@@ -5076,6 +5076,143 @@ object OracleSql {
         |  FROM b GROUP BY 1)
         |SELECT ov.g AS o_orderpriority, n, mean, n_boot, boot_lo,
         |  boot_hi
-        |FROM ov JOIN band ON ov.g = band.g ORDER BY 1""".stripMargin
+        |FROM ov JOIN band ON ov.g = band.g ORDER BY 1""".stripMargin,
+
+    "q279_pinball" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2),
+        |fc AS (SELECT g, x % 7 AS slot,
+        |    round(quantile_cont(y, 0.1), 6) AS q1,
+        |    round(quantile_cont(y, 0.5), 6) AS q2,
+        |    round(quantile_cont(y, 0.9), 6) AS q3
+        |  FROM s WHERE x < 19744 GROUP BY 1, 2),
+        |m AS (SELECT g, slot, 0.1 AS tau, q1 AS q FROM fc
+        |  UNION ALL SELECT g, slot, 0.5, q2 FROM fc
+        |  UNION ALL SELECT g, slot, 0.9, q3 FROM fc),
+        |j AS (SELECT te.g, m.tau, te.y, m.q
+        |  FROM (SELECT g, x % 7 AS slot, y FROM s WHERE x >= 19744) te
+        |  JOIN m ON te.g = m.g AND te.slot = m.slot),
+        |t AS (SELECT g, tau, CAST(round(greatest(tau * (y - q),
+        |      (tau - 1) * (y - q)), 12) AS DECIMAL(28,14)) AS term,
+        |    CASE WHEN y <= q THEN 1 ELSE 0 END AS cov FROM j)
+        |SELECT g AS event_type, CAST(tau AS DOUBLE) AS tau,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS pinball_loss,
+        |  round(CAST(sum(cov) AS DOUBLE) / count(*), 6) AS coverage
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q280_mood_median" ->
+      """WITH vv AS (SELECT o_orderpriority AS g,
+        |    round(o_totalprice, 2) AS v FROM orders),
+        |cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS n
+        |  FROM vv GROUP BY 1, 2),
+        |hist AS (SELECT v, sum(n) AS hn FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(hn) AS nn FROM hist),
+        |cum AS (SELECT v, sum(hn) OVER (ORDER BY v) AS c FROM hist),
+        |med AS (SELECT min(v) AS med FROM cum, tot WHERE 2 * c >= nn),
+        |g AS (SELECT g AS grp,
+        |    sum(CASE WHEN v > med THEN n ELSE 0 END) AS a,
+        |    sum(CASE WHEN v <= med THEN n ELSE 0 END) AS b
+        |  FROM cells, med GROUP BY 1),
+        |mg AS (SELECT sum(a) AS ta, sum(b) AS tb, count(*) AS k FROM g),
+        |t AS (SELECT CASE WHEN ta > 0 AND tb > 0 THEN CAST(round(
+        |      pow(a - CAST(a + b AS DOUBLE) * ta / (ta + tb), 2)
+        |        / (CAST(a + b AS DOUBLE) * ta / (ta + tb))
+        |      + pow(b - CAST(a + b AS DOUBLE) * tb / (ta + tb), 2)
+        |        / (CAST(a + b AS DOUBLE) * tb / (ta + tb)), 12)
+        |    AS DECIMAL(28,14)) END AS term, ta, tb, k
+        |  FROM g, mg)
+        |SELECT CAST(max(ta) + max(tb) AS BIGINT) AS n,
+        |  CAST(max(k) AS BIGINT) AS k, CAST(max(k) - 1 AS BIGINT) AS dof,
+        |  round((SELECT med FROM med), 2) AS grand_median,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS chi2
+        |FROM t""".stripMargin,
+
+    "q281_t_closeness" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bin
+        |  FROM customer),
+        |cells AS (SELECT c_nationkey, c_mktsegment, bin,
+        |    CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3),
+        |grp AS (SELECT c_nationkey, c_mktsegment, sum(c) AS gn
+        |  FROM cells GROUP BY 1, 2),
+        |bins AS (SELECT bin, sum(c) AS bn FROM cells GROUP BY 1),
+        |tot AS (SELECT sum(c) AS nn, count(DISTINCT bin) AS m
+        |  FROM cells),
+        |grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.gn, bins.bin,
+        |    bins.bn, coalesce(cells.c, 0) AS c
+        |  FROM grp g CROSS JOIN bins
+        |  LEFT JOIN cells ON cells.c_nationkey = g.c_nationkey
+        |    AND cells.c_mktsegment = g.c_mktsegment
+        |    AND cells.bin = bins.bin),
+        |cum AS (SELECT c_nationkey, c_mktsegment, gn,
+        |    abs(CAST(sum(c) OVER w AS HUGEINT) * nn
+        |      - CAST(sum(bn) OVER w AS HUGEINT) * gn) AS diff
+        |  FROM grid, tot
+        |  WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment
+        |    ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(max(gn) AS BIGINT) AS group_size,
+        |  round(CAST(sum(diff) AS DOUBLE)
+        |    / (CAST(max(gn) AS DOUBLE)
+        |      * (SELECT CAST(nn AS DOUBLE) FROM tot)
+        |      * ((SELECT m FROM tot) - 1)), 6) AS t_closeness
+        |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q282_pr_curve" ->
+      """WITH h AS (SELECT round(round(value, 1), 6) AS s,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS pos,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT sum(pos) AS p FROM h),
+        |c AS (SELECT s, sum(pos) OVER (ORDER BY s DESC) AS tp,
+        |    sum(n) OVER (ORDER BY s DESC) AS cn FROM h)
+        |SELECT s AS threshold, CAST(tp AS BIGINT) AS tp,
+        |  CAST(cn - tp AS BIGINT) AS fp,
+        |  round(CAST(tp AS DOUBLE) / cn, 6) AS prec,
+        |  round(CAST(tp AS DOUBLE) / p, 6) AS recall,
+        |  round(CAST(2 AS DOUBLE) * tp / (cn + p), 6) AS f1
+        |FROM c, tot ORDER BY 1""".stripMargin,
+
+    "q283_lorenz" ->
+      """WITH h AS (SELECT round(c_acctbal, 2) AS v,
+        |    CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1),
+        |h2 AS (SELECT v, n, CAST(round(v * 100) AS HUGEINT) AS iv
+        |  FROM h),
+        |c AS (SELECT v, n, iv,
+        |    sum(n) OVER (ORDER BY v) AS cn,
+        |    sum(iv * n) OVER (ORDER BY v) AS cnv FROM h2),
+        |tot AS (SELECT sum(n) AS nn, sum(iv * n) AS s FROM h2),
+        |g AS (SELECT range AS d FROM range(1, 11))
+        |SELECT d AS point, round(CAST(d AS DOUBLE) / 10, 6) AS pop_frac,
+        |  CAST(d * nn // 10 AS BIGINT) AS units,
+        |  round(CAST(cnv - (cn - d * nn // 10) * iv AS DOUBLE)
+        |    / CAST(s AS DOUBLE), 6) AS value_share
+        |FROM c, tot, g
+        |WHERE (cn - n) * 10 < d * nn AND d * nn <= cn * 10
+        |ORDER BY 1""".stripMargin,
+
+    "q284_g_test" ->
+      """WITH cells AS (SELECT o_orderpriority AS x, o_orderstatus AS y,
+        |    CAST(count(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2),
+        |rm AS (SELECT x, sum(o) AS rx FROM cells GROUP BY 1),
+        |cm AS (SELECT y, sum(o) AS cy FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS DOUBLE) AS tn,
+        |    count(DISTINCT x) AS nr, count(DISTINCT y) AS nc
+        |  FROM cells),
+        |t AS (SELECT CAST(round(o * ln(o * tn
+        |      / (CAST(rx AS DOUBLE) * cy)), 12)
+        |    AS DECIMAL(28,14)) AS term, tn, nr, nc
+        |  FROM cells JOIN rm USING (x) JOIN cm USING (y), tot)
+        |SELECT CAST(max(tn) AS BIGINT) AS n,
+        |  CAST((max(nr) - 1) * (max(nc) - 1) AS BIGINT) AS dof,
+        |  round(CAST(2 AS DOUBLE) * CAST(sum(term) AS DOUBLE), 6)
+        |    AS g_stat,
+        |  round(CAST(sum(term) AS DOUBLE) / max(tn), 6) AS mi_nats
+        |FROM t""".stripMargin
   )
 }

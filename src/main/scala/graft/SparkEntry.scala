@@ -3134,7 +3134,60 @@ object SparkEntry {
     "q278_bootstrap_ci" -> ((s, d) =>
       ExperimentOps.poissonBootstrapCi(Tables.orders(s, d),
           "o_orderpriority", "o_orderkey", "o_totalprice", nBoot = 32)
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // L225 — pinball-loss backtest: per-dow train quantiles of each
+    // event type's daily volume, scored on the last 9 days (loss +
+    // coverage per τ) — the quantile companion to q270's MASE.
+    "q279_pinball" -> ((s, d) =>
+      MetricOps.pinballEval(
+          Tables.events(s, d)
+            .groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          "event_type", "day", "y", splitX = 19744L, season = 7)
+        .orderBy("event_type", "tau")),
+
+    // L226 — Mood's median test: do the five order priorities share a
+    // common median order value? (robust cross-check for q197/q198)
+    "q280_mood_median" -> ((s, d) =>
+      MetricOps.moodMedianTest(Tables.orders(s, d),
+        "o_orderpriority", "o_totalprice")),
+
+    // L227 — t-closeness: EMD between each (nation, segment) cell's
+    // balance-band distribution and the global one — the release gate
+    // l-diversity (q268) can't see.
+    "q281_t_closeness" -> ((s, d) =>
+      QualityChecks.tCloseness(
+          Tables.customer(s, d)
+            .withColumn("bal_band",
+              floor(col("c_acctbal") / 2000).cast("long")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band")
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // L228 — precision–recall curve for purchase propensity by event
+    // value (thresholds = distinct 1-dp values, descending cums via
+    // rangeCumSum — the imbalance-aware twin of q25's AUC).
+    "q282_pr_curve" -> ((s, d) =>
+      MetricOps.prCurve(
+          Tables.events(s, d)
+            .withColumn("label",
+              when(col("event_type") === "purchase", 1).otherwise(0))
+            .withColumn("score", round(col("value"), 1)),
+          "label", "score")
+        .orderBy("threshold")),
+
+    // L229 — Lorenz curve of customer balances at population deciles:
+    // the curve behind q157's Gini scalar.
+    "q283_lorenz" -> ((s, d) =>
+      MetricOps.lorenzCurve(Tables.customer(s, d), "c_acctbal")
+        .orderBy("point")),
+
+    // L230 — G-test of independence, order priority × status: the
+    // additive log-likelihood twin of q186's chi-square (= 2N·MI).
+    "q284_g_test" -> ((s, d) =>
+      MetricOps.gTest(Tables.orders(s, d),
+        "o_orderpriority", "o_orderstatus"))
   )
 
   // ------------------------------------------------------------- oracles

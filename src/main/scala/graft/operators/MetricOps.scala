@@ -2952,4 +2952,223 @@ object MetricOps {
         col("__resid").as("remainder"),
         round(abs(col("__resid")) / col("__mad"), roundTo).as("mad_ratio"))
   }
+
+  /** Pinball (quantile) loss backtest — the quantile-forecast
+    * companion to [[maseBacktest]]'s point-forecast eval: a seasonal
+    * quantile forecast (per-season-slot train quantiles, e.g. per
+    * day-of-week) is scored on the holdout with the pinball loss
+    * L_τ = mean(max(τ·(y−q), (τ−1)·(y−q))) and its empirical coverage
+    * P(y ≤ q) — the calibration readout (coverage ≈ τ means the
+    * quantile band is honest).
+    *
+    * Scale contract mirrors the trend ops: `series` is an
+    * ALREADY-AGGREGATED series (one row per (group, bucket)), so the
+    * quantile table is |groups|·season rows — broadcast onto the test
+    * slice. Exact `percentile` interpolates identically to DuckDB's
+    * quantile_cont; loss terms snap to 12 dp and accumulate as
+    * DECIMAL (partition-order-independent).
+    */
+  def pinballEval(series: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, splitX: Long, season: Int,
+                  taus: Seq[Double] = Seq(0.1, 0.5, 0.9),
+                  roundTo: Int = 6): DataFrame = {
+    require(taus.nonEmpty, "at least one quantile level required")
+    val base = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("double").as("__y"))
+      .withColumn("__slot", pmod(col("__x"), lit(season.toLong)))
+    val fc = base.filter(col("__x") < splitX)
+      .groupBy(col("__g"), col("__slot"))
+      .agg(taus.zipWithIndex.map { case (t, i) =>
+        round(expr(s"percentile(__y, $t)"), 6).as(s"__q$i") }.head,
+        taus.zipWithIndex.tail.map { case (t, i) =>
+          round(expr(s"percentile(__y, $t)"), 6).as(s"__q$i") }: _*)
+      // melt the per-slot quantile row to (slot, tau, q) so the eval
+      // joins once and aggregates per (group, tau)
+      .select(col("__g"), col("__slot"), explode(array(
+        taus.zipWithIndex.map { case (t, i) =>
+          struct(lit(t).as("tau"), col(s"__q$i").as("q")) }: _*)).as("__f"))
+      .select(col("__g"), col("__slot"),
+        col("__f.tau").as("__tau"), col("__f.q").as("__q"))
+    base.filter(col("__x") >= splitX)
+      .join(broadcast(fc), Seq("__g", "__slot"))
+      .withColumn("__term", round(greatest(
+          col("__tau") * (col("__y") - col("__q")),
+          (col("__tau") - 1) * (col("__y") - col("__q"))), 12)
+        .cast("decimal(28,14)"))
+      .groupBy(col("__g").as(groupCol), col("__tau").as("tau"))
+      .agg(count(lit(1)).as("n_test"),
+        round(sum(col("__term")).cast("double") / count(lit(1)), roundTo)
+          .as("pinball_loss"),
+        round(sum(when(col("__y") <= col("__q"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), roundTo).as("coverage"))
+  }
+
+  /** Mood's median test — the k-sample sibling of the sign test: do
+    * the groups share a common median? Counts each group's rows above
+    * vs not-above the GRAND median and runs the 2×k chi-square on the
+    * resulting table. Far blunter than Kruskal–Wallis but immune to
+    * any tail behavior — the classic robustness cross-check when
+    * [[mannWhitney]]/KW disagree with ANOVA.
+    *
+    * Distribution discipline: values quantize to `roundVals` dp so the
+    * value histogram is bounded; the grand median comes from ONE
+    * [[rangeCumSum]] over it (weighted lower median: the smallest value
+    * with 2·cum ≥ N — no raw-row sort at any scale); the per-group
+    * above/below counts aggregate off the same (group, value) cell
+    * table the histogram folded from. Chi-square terms snap to 12 dp
+    * and accumulate as DECIMAL. Degenerate pools (a side with zero
+    * margin) yield null chi2 rather than a division blow-up.
+    */
+  def moodMedianTest(df: DataFrame, groupCol: String, valueCol: String,
+                     roundVals: Int = 2, roundTo: Int = 6): DataFrame = {
+    val cells = df.select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double"), roundVals).as("__v"))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // histogram + group counts both read it
+    val hist = cells.groupBy(col("__v")).agg(sum(col("__n")).as("__hn"))
+    val tot = hist.agg(sum(col("__hn")).as("__N"))
+    val med = rangeCumSum(hist, "__v", Seq("__hn"))
+      .crossJoin(broadcast(tot))
+      .filter(lit(2) * col("__cum___hn") >= col("__N"))
+      .agg(min(col("__v")).as("__med"))
+    val g = cells.crossJoin(broadcast(med))
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__v") > col("__med"), col("__n")).otherwise(0L))
+          .as("__a"),
+        sum(when(col("__v") <= col("__med"), col("__n")).otherwise(0L))
+          .as("__b"))
+    val margins = g.agg(sum(col("__a")).as("__ma"), sum(col("__b")).as("__mb"),
+      count(lit(1)).as("__k"))
+    g.crossJoin(broadcast(margins)).crossJoin(broadcast(med))
+      .withColumn("__ni", col("__a") + col("__b"))
+      .withColumn("__ea", col("__ni").cast("double") * col("__ma") /
+        (col("__ma") + col("__mb")))
+      .withColumn("__eb", col("__ni").cast("double") * col("__mb") /
+        (col("__ma") + col("__mb")))
+      .withColumn("__term", when(col("__ma") > 0 && col("__mb") > 0,
+        round(pow(col("__a") - col("__ea"), 2) / col("__ea") +
+          pow(col("__b") - col("__eb"), 2) / col("__eb"), 12))
+        .cast("decimal(28,14)"))
+      .agg((first(col("__ma")) + first(col("__mb"))).cast("long").as("n"),
+        first(col("__k")).cast("long").as("k"),
+        (first(col("__k")) - 1).cast("long").as("dof"),
+        round(first(col("__med")), roundVals).as("grand_median"),
+        round(sum(col("__term")).cast("double"), roundTo).as("chi2"))
+  }
+
+  /** Precision–recall curve table: one row per distinct (quantized)
+    * score threshold, descending — TP/FP at "predict positive when
+    * score ≥ t", precision, recall, and F1. The threshold-sweep
+    * companion to [[auc]] (ROC ranks) and [[decileLift]] (fixed-width
+    * buckets): PR is the readout that matters under class imbalance.
+    *
+    * Same bounded-histogram discipline as [[globalRank]]: scores
+    * quantize to 6 dp, the per-score (pos, n) histogram is the only
+    * shuffled object, and the descending cumulative TP/FP comes from
+    * ONE [[rangeCumSum]] over the NEGATED score (no single-partition
+    * window at any scale). Output rows = |distinct scores| — bounded
+    * by quantization, not by data.
+    */
+  def prCurve(df: DataFrame, labelCol: String, scoreCol: String,
+              roundTo: Int = 6): DataFrame = {
+    val hist = df.select(
+        round(col(scoreCol).cast("double"), 6).as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__n"))
+      .withColumn("__neg", -col("__s"))
+    val tot = hist.agg(sum(col("__pos")).as("__P"))
+    rangeCumSum(hist, "__neg", Seq("__pos", "__n"))
+      .crossJoin(broadcast(tot))
+      .select(col("__s").as("threshold"),
+        col("__cum___pos").cast("long").as("tp"),
+        (col("__cum___n") - col("__cum___pos")).cast("long").as("fp"),
+        // "prec": `precision` collides with the DOUBLE PRECISION
+        // keyword in ANSI engines, so the portable name wins
+        round(col("__cum___pos").cast("double") / col("__cum___n"), roundTo)
+          .as("prec"),
+        round(col("__cum___pos").cast("double") / col("__P"), roundTo)
+          .as("recall"),
+        round(lit(2.0) * col("__cum___pos") /
+          (col("__cum___n") + col("__P")), roundTo).as("f1"))
+  }
+
+  /** Lorenz curve at fixed population fractions — the curve behind
+    * [[giniConcentration]]'s scalar: for each d/`nPoints` of the
+    * population (sorted by value ascending), the cumulative share of
+    * total value held. Negative values are kept (the curve may dip
+    * below zero — standard for wealth-style columns).
+    *
+    * Never sorts raw rows: values quantize to `roundVals` dp into a
+    * histogram, ONE [[rangeCumSum]] yields cumulative units and
+    * cumulative value (as DECIMAL — exact), and each of the `nPoints`
+    * grid points resolves to the one histogram row containing its
+    * boundary unit via a broadcast range join (grid side = `nPoints`
+    * rows). Tie blocks split pro-rata in closed form: share at unit k
+    * inside a block of n equal values v is cumv − (cumn−k)·v.
+    */
+  def lorenzCurve(df: DataFrame, valueCol: String, nPoints: Int = 10,
+                  roundVals: Int = 2, roundTo: Int = 6): DataFrame = {
+    val scale = math.pow(10, roundVals).toLong
+    val hist = df.select(round(col(valueCol).cast("double"), roundVals)
+        .as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+      // integer-scaled value → n·v sums exactly as DECIMAL(38,0)
+      .withColumn("__iv", round(col("__v") * scale).cast("decimal(38,0)"))
+      .withColumn("__nv", col("__iv") * col("__n"))
+    val tot = hist.agg(sum(col("__n")).as("__tn"),
+      sum(col("__nv")).as("__ts"))
+    val cum = rangeCumSum(hist, "__v", Seq("__n", "__nv"))
+    val grid = df.sparkSession.range(1, nPoints + 1)
+      .select(col("id").cast("long").as("__d"))
+    cum.crossJoin(broadcast(tot))
+      .join(broadcast(grid),
+        // row contains boundary unit k_d = floor(d·N/nPoints):
+        // units before < k_d ≤ units through this row
+        (col("__cum___n") - col("__n")) * nPoints < col("__d") * col("__tn")
+          && col("__d") * col("__tn") <= col("__cum___n") * nPoints)
+      // integer DIV: d·N may exceed 2^53, double division would wobble
+      .withColumn("__k", expr(s"__d * __tn DIV $nPoints"))
+      .withColumn("__shareNum",
+        col("__cum___nv") - (col("__cum___n") - col("__k")) * col("__iv"))
+      .select(col("__d").cast("long").as("point"),
+        round(col("__d").cast("double") / nPoints, roundTo)
+          .as("pop_frac"),
+        col("__k").cast("long").as("units"),
+        round(col("__shareNum").cast("double") /
+          col("__ts").cast("double"), roundTo).as("value_share"))
+  }
+
+  /** G-test of independence (log-likelihood ratio) — [[chiSquare]]'s
+    * information-theoretic twin: G = 2·Σ O·ln(O·N/(rowΣ·colΣ)),
+    * asymptotically χ²(dof) but additive across table partitions and
+    * exactly 2N·MI_nats (ties the testing family to [[mutualInfo]]).
+    * Empty cells contribute 0 (O·ln O → 0), so unlike chi-square the
+    * observed-cell table suffices — no full r·c grid.
+    *
+    * Margins are two tiny aggregates broadcast onto the observed-cell
+    * table; terms snap to 12 dp and accumulate as DECIMAL.
+    */
+  def gTest(df: DataFrame, xCol: String, yCol: String,
+            roundTo: Int = 6): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__o"))
+    val rm = cells.groupBy(col("__x")).agg(sum(col("__o")).as("__rx"))
+    val cm = cells.groupBy(col("__y")).agg(sum(col("__o")).as("__cy"))
+    val tot = cells.agg(sum(col("__o")).cast("double").as("__N"),
+      countDistinct(col("__x")).as("__r"),
+      countDistinct(col("__y")).as("__c"))
+    cells.join(broadcast(rm), "__x").join(broadcast(cm), "__y")
+      .crossJoin(broadcast(tot))
+      .withColumn("__term", round(col("__o") *
+          log(col("__o") * col("__N") /
+            (col("__rx").cast("double") * col("__cy"))), 12)
+        .cast("decimal(28,14)"))
+      .agg(first(col("__N")).cast("long").as("n"),
+        ((first(col("__r")) - 1) * (first(col("__c")) - 1)).as("dof"),
+        round(lit(2.0) * sum(col("__term")).cast("double"), roundTo)
+          .as("g_stat"),
+        round(sum(col("__term")).cast("double") / first(col("__N")),
+          roundTo).as("mi_nats"))
+  }
 }

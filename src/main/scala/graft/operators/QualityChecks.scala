@@ -313,4 +313,53 @@ object QualityChecks {
         date_add(lit("1970-01-01").cast("date"),
           col("__first").cast("int")).cast("string").as("first_missing_day"))
   }
+
+  /** t-closeness audit — the third rung of the release-privacy ladder
+    * after [[kAnonymity]] and [[lDiversityAudit]]: per quasi-identifier
+    * group, the Earth-Mover's Distance between the group's sensitive-
+    * attribute distribution and the GLOBAL one. l-diversity only counts
+    * distinct sensitive values; t-closeness catches the group whose
+    * values are distinct but all clustered at one end. For an ORDERED
+    * sensitive attribute (the `binCol` contract: pre-binned ordinal,
+    * e.g. balance bands) with unit ground distance,
+    * EMD = Σ|cumulative pmf diff| / (m−1) ∈ [0,1].
+    *
+    * Shapes: one cell aggregate (quasi × bin), the global bin pmf is a
+    * tiny broadcast, the full group×bin grid comes from a broadcast
+    * cross join (missing bins must contribute their zero pmf to the
+    * cumulative diff), and the per-group cumulative runs in a window
+    * partitioned BY GROUP over ≤ m bin rows — bounded by the bin
+    * vocabulary, never by data. The cumulative diff is EXACT:
+    * |cumCnt·N − cumBn·gn| in DECIMAL(38,0) over the common
+    * denominator gn·N, one division at the end.
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String], binCol: String,
+                 roundTo: Int = 6): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns given")
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.groupBy((quasiCols :+ binCol).map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // groups + global margin both read it
+    val groups = cells.groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__c")).as("__gn"))
+    val bins = cells.groupBy(col(binCol)).agg(sum(col("__c")).as("__bn"))
+    val tot = cells.agg(sum(col("__c")).as("__N"),
+      countDistinct(col(binCol)).as("__m"))
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+      .orderBy(col(binCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    groups.crossJoin(broadcast(bins))
+      .join(cells, quasiCols :+ binCol, "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__diff",
+        abs(sum(col("__c")).over(w).cast("decimal(38,0)") * col("__N") -
+          sum(col("__bn")).over(w).cast("decimal(38,0)") * col("__gn")))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(first(col("__gn")).cast("long").as("group_size"),
+        round(sum(col("__diff")).cast("double") /
+          (first(col("__gn")).cast("double") *
+            first(col("__N")).cast("double") *
+            (first(col("__m")) - 1)), roundTo).as("t_closeness"))
+  }
 }
