@@ -5213,6 +5213,235 @@ object OracleSql {
         |  round(CAST(2 AS DOUBLE) * CAST(sum(term) AS DOUBLE), 6)
         |    AS g_stat,
         |  round(CAST(sum(term) AS DOUBLE) / max(tn), 6) AS mi_nats
-        |FROM t""".stripMargin
+        |FROM t""".stripMargin,
+
+    "q285_ordinal_assoc" ->
+      """WITH h AS (SELECT l_returnflag AS g, round(l_quantity, 4) AS x,
+        |    round(l_discount, 4) AS y, CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |cd AS (SELECT a.g,
+        |    CAST(sum(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END)
+        |      AS BIGINT) AS d
+        |  FROM h a JOIN h b ON a.g = b.g AND a.x < b.x GROUP BY 1),
+        |t1 AS (SELECT g, CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n1
+        |  FROM (SELECT g, x, sum(n) AS t FROM h GROUP BY 1, 2) GROUP BY 1),
+        |t2 AS (SELECT g, CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n2
+        |  FROM (SELECT g, y, sum(n) AS t FROM h GROUP BY 1, 2) GROUP BY 1),
+        |nt AS (SELECT g, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(count(DISTINCT x) AS BIGINT) AS rx,
+        |    CAST(count(DISTINCT y) AS BIGINT) AS ry FROM h GROUP BY 1),
+        |j AS (SELECT nt.g, nt.n, coalesce(cd.c, 0) AS c,
+        |    coalesce(cd.d, 0) AS d, t1.n1, t2.n2,
+        |    nt.n * (nt.n - 1) / 2 AS n0, least(nt.rx, nt.ry) AS m
+        |  FROM nt LEFT JOIN cd ON cd.g = nt.g
+        |  JOIN t1 ON t1.g = nt.g JOIN t2 ON t2.g = nt.g)
+        |SELECT g AS l_returnflag, n, c AS concordant, d AS discordant,
+        |  CASE WHEN c + d > 0
+        |    THEN round(CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE), 6)
+        |  END AS gamma,
+        |  CASE WHEN n0 > n1 THEN round(CAST(c - d AS DOUBLE)
+        |    / CAST(n0 - n1 AS DOUBLE), 6) END AS somers_d_yx,
+        |  CASE WHEN n0 > n2 THEN round(CAST(c - d AS DOUBLE)
+        |    / CAST(n0 - n2 AS DOUBLE), 6) END AS somers_d_xy,
+        |  CASE WHEN m > 1 THEN round(2.0 * m * CAST(c - d AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * (m - 1)), 6)
+        |  END AS tau_c
+        |FROM j ORDER BY 1""".stripMargin,
+
+    "q286_dunn" ->
+      """WITH obs AS (SELECT event_type AS g, round(value, 4) AS v
+        |  FROM events),
+        |cells AS (SELECT v, g, CAST(count(*) AS BIGINT) AS c
+        |  FROM obs GROUP BY 1, 2),
+        |hv AS (SELECT v, CAST(sum(c) AS BIGINT) AS t
+        |  FROM cells GROUP BY 1),
+        |r AS (SELECT v, t, sum(t) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) - t AS bef FROM hv),
+        |ar AS (SELECT v, 2 * bef + t + 1 AS ar2 FROM r),
+        |grp AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(CAST(c AS DECIMAL(38,0)) * ar2) AS DECIMAL(38,0))
+        |      AS r2
+        |  FROM cells JOIN ar USING (v) GROUP BY 1),
+        |mr AS (SELECT g, n, CAST(r2 AS DOUBLE) / (2.0 * n) AS mr
+        |  FROM grp),
+        |ties AS (SELECT CAST(sum(CAST(t AS DECIMAL(38,0)) * t * t - t)
+        |    AS DECIMAL(38,0)) AS tt FROM hv),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM grp),
+        |s AS (SELECT CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1) / 12
+        |    - CAST(tt AS DOUBLE) / (12.0 * (CAST(nn AS DOUBLE) - 1))
+        |    AS s2 FROM tot, ties)
+        |SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+        |  round(a.mr - b.mr, 6) AS mean_rank_diff,
+        |  CASE WHEN s2 > 0 AND a.n > 0 AND b.n > 0
+        |    THEN round((a.mr - b.mr)
+        |      / sqrt(s2 * (1.0 / a.n + 1.0 / b.n)), 6) END AS z
+        |FROM mr a JOIN mr b ON a.g < b.g, s ORDER BY 1, 2""".stripMargin,
+
+    "q287_bartlett" ->
+      """WITH v AS (SELECT event_type AS g,
+        |    CAST(round(value, 4) AS DECIMAL(18,4)) AS v FROM events),
+        |g AS (SELECT g, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(v) AS DECIMAL(38,4)) AS sv,
+        |    CAST(sum(v * v) AS DECIMAL(38,8)) AS svv
+        |  FROM v GROUP BY 1),
+        |g2 AS (SELECT *, CAST(n * svv - sv * sv AS DOUBLE)
+        |    / CAST(n * (n - 1) AS DOUBLE) AS s2 FROM g),
+        |a AS (SELECT CAST(sum(n) AS DOUBLE) AS nn,
+        |    CAST(count(*) AS DOUBLE) AS k,
+        |    CAST(min(n) AS BIGINT) AS minn, min(s2) AS mins2,
+        |    sum(CAST(round(CAST(n * svv - sv * sv AS DOUBLE)
+        |      / CAST(n AS DOUBLE), 8) AS DECIMAL(38,12))) AS ss,
+        |    sum(CASE WHEN n > 1 AND s2 > 0
+        |      THEN CAST(round(CAST(n - 1 AS DOUBLE) * ln(s2), 12)
+        |        AS DECIMAL(38,12)) END) AS slog,
+        |    sum(CASE WHEN n > 1
+        |      THEN CAST(round(1.0 / CAST(n - 1 AS DOUBLE), 12)
+        |        AS DECIMAL(38,12)) END) AS sinv
+        |  FROM g2),
+        |b AS (SELECT *, nn - k AS dofp,
+        |    CAST(ss AS DOUBLE) / (nn - k) AS sp2 FROM a)
+        |SELECT CAST(nn AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  CAST(k - 1 AS BIGINT) AS dof,
+        |  CASE WHEN minn > 1 AND mins2 > 0 AND k > 1 AND dofp > 0
+        |      AND sp2 > 0
+        |    THEN round((dofp * ln(sp2) - CAST(slog AS DOUBLE))
+        |      / (1.0 + (CAST(sinv AS DOUBLE) - 1.0 / dofp)
+        |        / (3.0 * (k - 1))), 6) END AS chi2
+        |FROM b""".stripMargin,
+
+    "q288_brier" ->
+      """WITH e AS (SELECT event_type, user_id % 8 AS ub,
+        |    event_id % 2 AS sp,
+        |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS y FROM events),
+        |m AS (SELECT event_type, ub, sum(y) * 10000 // count(*) AS p4
+        |  FROM e WHERE sp = 0 GROUP BY 1, 2),
+        |t AS (SELECT CAST(p4 AS DOUBLE) / 10000 AS pred, y
+        |  FROM e JOIN m USING (event_type, ub) WHERE sp = 1),
+        |bins AS (SELECT CAST(round(pred, 4) AS DECIMAL(9,4)) AS f,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM t GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |    CAST(sum(pos) AS BIGINT) AS p FROM bins),
+        |x AS (SELECT f, n, pos, CAST(p AS DOUBLE) / nn AS obar,
+        |    CAST(pos AS DOUBLE) / n AS ok,
+        |    CAST(f * f * n - CAST(2 AS DECIMAL(9,4)) * f * pos + pos
+        |      AS DECIMAL(38,8)) AS br,
+        |    nn FROM bins, tot),
+        |x2 AS (SELECT *,
+        |    CAST(round(n * pow(CAST(f AS DOUBLE) - ok, 2), 12)
+        |      AS DECIMAL(38,12)) AS rel,
+        |    CAST(round(n * pow(ok - obar, 2), 12)
+        |      AS DECIMAL(38,12)) AS res FROM x)
+        |SELECT max(nn) AS n, CAST(count(*) AS BIGINT) AS n_bins,
+        |  round(CAST(sum(br) AS DOUBLE) / max(nn), 6) AS brier,
+        |  round(CAST(sum(rel) AS DOUBLE) / max(nn), 6) AS reliability,
+        |  round(CAST(sum(res) AS DOUBLE) / max(nn), 6) AS resolution,
+        |  round(max(obar) * (1.0 - max(obar)), 6) AS uncertainty
+        |FROM x2""".stripMargin,
+
+    "q289_hosmer_lemeshow" ->
+      """WITH e AS (SELECT event_type, user_id % 8 AS ub,
+        |    event_id % 2 AS sp,
+        |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS y FROM events),
+        |m AS (SELECT event_type, ub, sum(y) * 10000 // count(*) AS p4
+        |  FROM e WHERE sp = 0 GROUP BY 1, 2),
+        |t AS (SELECT CAST(p4 AS DOUBLE) / 10000 AS pred, y
+        |  FROM e JOIN m USING (event_type, ub) WHERE sp = 1),
+        |hist AS (SELECT CAST(round(pred, 4) AS DECIMAL(9,4)) AS f,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+        |  FROM t GROUP BY 1),
+        |h2 AS (SELECT f, n, pos, CAST(f * n AS DECIMAL(38,4)) AS sf
+        |  FROM hist),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM hist),
+        |c AS (SELECT *, sum(n) OVER (ORDER BY f ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cn FROM h2),
+        |b AS (SELECT (cn - n) * 10 // nn AS bin, n, pos, sf
+        |  FROM c, tot),
+        |g AS (SELECT bin, CAST(sum(n) AS BIGINT) AS ng,
+        |    CAST(sum(pos) AS BIGINT) AS o1,
+        |    CAST(sum(sf) AS DOUBLE) AS e1 FROM b GROUP BY 1),
+        |tr AS (SELECT ng, CASE WHEN e1 > 0 AND e1 < ng
+        |    THEN CAST(round(pow(o1 - e1, 2) * ng / (e1 * (ng - e1)), 12)
+        |      AS DECIMAL(38,12)) END AS term FROM g)
+        |SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(count(*) - 2 AS BIGINT) AS dof,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS hl_chi2,
+        |  CAST(sum(CASE WHEN term IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS degenerate_bins
+        |FROM tr""".stripMargin,
+
+    "q290_nelson_aalen" ->
+      """WITH subj AS (SELECT user_id,
+        |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+        |      CAST(coalesce(min(ts) FILTER (event_type = 'purchase'),
+        |        max(ts)) AS DATE)) AS BIGINT) AS dur,
+        |    CASE WHEN min(ts) FILTER (event_type = 'purchase')
+        |      IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1),
+        |r AS (SELECT t, d, c,
+        |    CAST((SELECT count(*) FROM subj)
+        |      - (sum(d + c) OVER w - (d + c)) AS BIGINT) AS n_risk
+        |  FROM h WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT t, d, c, n_risk,
+        |    CAST(CASE WHEN n_risk > 0
+        |      THEN round(CAST(d AS DOUBLE) / n_risk, 12)
+        |      ELSE 0 END AS DECIMAL(28,14)) AS hz
+        |  FROM r),
+        |s AS (SELECT t, n_risk, d, c, sum(hz) OVER w AS ch
+        |  FROM f WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT t, n_risk, d, c,
+        |  round(CAST(ch AS DOUBLE), 6) AS cum_hazard,
+        |  round(exp(-CAST(ch AS DOUBLE)), 6) AS s_na
+        |FROM s ORDER BY t""".stripMargin,
+
+    "q291_rmst" ->
+      """WITH subj AS (SELECT user_id,
+        |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+        |      CAST(coalesce(min(ts) FILTER (event_type = 'purchase'),
+        |        max(ts)) AS DATE)) AS BIGINT) AS dur,
+        |    CASE WHEN min(ts) FILTER (event_type = 'purchase')
+        |      IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1),
+        |r AS (SELECT t, d, c,
+        |    CAST((SELECT count(*) FROM subj)
+        |      - (sum(d + c) OVER w - (d + c)) AS BIGINT) AS n_risk
+        |  FROM h WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT t, d, n_risk,
+        |    CAST(CASE WHEN d > 0 AND d < n_risk
+        |      THEN round(ln(1 - CAST(d AS DOUBLE) / n_risk), 12)
+        |      ELSE 0 END AS DECIMAL(28,14)) AS lnf,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS z
+        |  FROM r),
+        |s AS (SELECT t, d, n_risk, lnf, z, sum(lnf) OVER w AS cl,
+        |    sum(z) OVER w AS cz
+        |  FROM f WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cc AS (SELECT t, d, n_risk,
+        |    CASE WHEN cz - z > 0 THEN 0.0
+        |      ELSE exp(CAST(cl - lnf AS DOUBLE)) END AS sprev,
+        |    CASE WHEN cz > 0 THEN 0.0
+        |      ELSE exp(CAST(cl AS DOUBLE)) END AS sv
+        |  FROM s),
+        |d2 AS (SELECT t, CAST(round(CASE WHEN d = n_risk THEN sprev
+        |      ELSE sv * d / (n_risk - d) END, 12) AS DECIMAL(28,14))
+        |    AS dr FROM cc),
+        |tau AS (SELECT max(t) AS tau FROM d2)
+        |SELECT CAST(tau AS BIGINT) AS tau,
+        |  round(CAST(tau AS DOUBLE) - CAST(sum(CAST(round(
+        |      CAST(dr AS DOUBLE) * CAST(tau - t AS DOUBLE), 12)
+        |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS rmst
+        |FROM d2, tau GROUP BY tau""".stripMargin
   )
 }

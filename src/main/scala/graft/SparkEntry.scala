@@ -3187,7 +3187,90 @@ object SparkEntry {
     // additive log-likelihood twin of q186's chi-square (= 2N·MI).
     "q284_g_test" -> ((s, d) =>
       MetricOps.gTest(Tables.orders(s, d),
-        "o_orderpriority", "o_orderstatus"))
+        "o_orderpriority", "o_orderstatus")),
+
+    // L231 — gamma / Somers' D / tau-c per returnflag: q249's pair
+    // counts read out with the three classical tie treatments.
+    "q285_ordinal_assoc" -> ((s, d) =>
+      MetricOps.ordinalAssociation(Tables.lineitem(s, d), "l_returnflag",
+          "l_quantity", "l_discount")
+        .orderBy("l_returnflag")),
+
+    // L232 — Dunn's post-hoc: WHICH event-type pairs differ in value
+    // rank after q198's significant Kruskal–Wallis.
+    "q286_dunn" -> ((s, d) =>
+      MetricOps.dunnTest(Tables.events(s, d), "event_type", "value")
+        .orderBy("g1", "g2")),
+
+    // L233 — Bartlett's equal-variance test on the same pool (the
+    // normal-theory sibling of q199's Brown–Forsythe).
+    "q287_bartlett" -> ((s, d) =>
+      MetricOps.bartlett(Tables.events(s, d), "event_type", "value")),
+
+    // Shared input for q288/q289: a per-(type, user-bucket) base-rate
+    // model fit on even event_ids, scored on odd ones. The forecast is
+    // an INTEGER-DIV 4-dp quantile (pos·10⁴ div n) so both engines
+    // derive the identical decimal — never round(sum/count) (the q193
+    // 1-ulp class).
+    "q288_brier" -> ((s, d) => {
+      val e = labeled(s, d)
+        .withColumn("ub", (col("user_id") % 8).cast("long"))
+        .withColumn("sp", (col("event_id") % 2).cast("int"))
+      val model = e.filter(col("sp") === 0)
+        .groupBy(col("event_type"), col("ub"))
+        .agg(sum(col("label")).as("__pos"), count(lit(1)).as("__cnt"))
+        .withColumn("__p4", expr("(__pos * 10000) div __cnt"))
+        .drop("__pos", "__cnt")
+      MetricOps.brierDecomposition(
+        e.filter(col("sp") === 1).join(broadcast(model),
+          Seq("event_type", "ub"))
+          .withColumn("pred", col("__p4").cast("double") / 10000),
+        "pred", "label")
+    }),
+
+    // L234 — Hosmer–Lemeshow decile-calibration χ² on the same
+    // forecasts (the deploy gate behind q288's decomposition).
+    "q289_hosmer_lemeshow" -> ((s, d) => {
+      val e = labeled(s, d)
+        .withColumn("ub", (col("user_id") % 8).cast("long"))
+        .withColumn("sp", (col("event_id") % 2).cast("int"))
+      val model = e.filter(col("sp") === 0)
+        .groupBy(col("event_type"), col("ub"))
+        .agg(sum(col("label")).as("__pos"), count(lit(1)).as("__cnt"))
+        .withColumn("__p4", expr("(__pos * 10000) div __cnt"))
+        .drop("__pos", "__cnt")
+      MetricOps.hosmerLemeshow(
+        e.filter(col("sp") === 1).join(broadcast(model),
+          Seq("event_type", "ub"))
+          .withColumn("pred", col("__p4").cast("double") / 10000),
+        "pred", "label")
+    }),
+
+    // L235 — Nelson–Aalen cumulative hazard on q183's first-purchase
+    // subjects (the additive twin of the KM curve).
+    "q290_nelson_aalen" -> ((s, d) => {
+      val subj = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("__tp"),
+          max(col("ts")).as("__tmax"))
+        .select(datediff(coalesce(col("__tp"), col("__tmax")).cast("date"),
+            col("__t0").cast("date")).cast("long").as("dur"),
+          when(col("__tp").isNotNull, 1).otherwise(0).as("ev"))
+      MetricOps.nelsonAalen(subj, "dur", "ev").orderBy("t")
+    }),
+
+    // L236 — restricted mean survival time of the same curve: average
+    // days-to-first-purchase within the observation horizon.
+    "q291_rmst" -> ((s, d) => {
+      val subj = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("__tp"),
+          max(col("ts")).as("__tmax"))
+        .select(datediff(coalesce(col("__tp"), col("__tmax")).cast("date"),
+            col("__t0").cast("date")).cast("long").as("dur"),
+          when(col("__tp").isNotNull, 1).otherwise(0).as("ev"))
+      MetricOps.rmst(subj, "dur", "ev")
+    })
   )
 
   // ------------------------------------------------------------- oracles

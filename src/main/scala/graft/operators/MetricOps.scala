@@ -3171,4 +3171,343 @@ object MetricOps {
         round(sum(col("__term")).cast("double") / first(col("__N")),
           roundTo).as("mi_nats"))
   }
+
+  /** Ordinal-association family — [[kendallTau]]'s machinery (joint-
+    * histogram concordant/discordant pair counts) read out as the three
+    * classical tie-handling alternatives: Goodman–Kruskal gamma
+    * (C−D)/(C+D) (ignores all ties), Somers' D in both directions
+    * (C−D over pairs untied on the PREDICTOR — the asymmetric "does x
+    * order y" statistic behind the c-index), and Stuart's tau-c
+    * 2m(C−D)/(n²(m−1)) (the rectangular-table correction).
+    *
+    * Same scale contract as tau-b: values quantize to 4 dp, pair
+    * counts come from the |cells|² joint-histogram self-join (bounded
+    * by the quantized vocabulary, never n²), and every count
+    * accumulates as DECIMAL(38,0).
+    */
+  def ordinalAssociation(df: DataFrame, groupCol: String, xCol: String,
+                         yCol: String, roundTo: Int = 6): DataFrame = {
+    val hist = df.groupBy(col(groupCol).as("grp"),
+        round(col(xCol).cast("double"), 4).as("__x"),
+        round(col(yCol).cast("double"), 4).as("__y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"))
+      .localCheckpoint(true) // pair sides + three marginals read it
+    val a = hist.select(col("grp"), col("__x").as("__xa"),
+      col("__y").as("__ya"), col("__n").as("__na"))
+    val b = hist.select(col("grp"), col("__x").as("__xb"),
+      col("__y").as("__yb"), col("__n").as("__nb"))
+    val cd = a.join(b, Seq("grp")).filter(col("__xa") < col("__xb"))
+      .groupBy("grp")
+      .agg(sum(when(col("__yb") > col("__ya"), col("__na") * col("__nb"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__c"),
+        sum(when(col("__yb") < col("__ya"), col("__na") * col("__nb"))
+          .otherwise(lit(0).cast("decimal(38,0)"))).as("__d"))
+    def tiePairs(vCol: String, out: String) = hist
+      .groupBy(col("grp"), col(vCol)).agg(sum(col("__n")).as("__t"))
+      .groupBy("grp")
+      .agg((sum(col("__t") * (col("__t") - 1)) / 2).cast("decimal(38,0)")
+        .as(out))
+    val marg = hist.groupBy("grp").agg(sum(col("__n")).as("__nt"),
+      countDistinct(col("__x")).as("__rx"),
+      countDistinct(col("__y")).as("__ry"))
+    marg.join(cd, Seq("grp"), "left")
+      .join(tiePairs("__x", "__n1"), "grp")
+      .join(tiePairs("__y", "__n2"), "grp")
+      .withColumn("__cc", coalesce(col("__c"), lit(0).cast("decimal(38,0)")))
+      .withColumn("__dd", coalesce(col("__d"), lit(0).cast("decimal(38,0)")))
+      .withColumn("__s", (col("__cc") - col("__dd")).cast("double"))
+      .withColumn("__n0",
+        (col("__nt") * (col("__nt") - 1) / 2).cast("decimal(38,0)"))
+      .withColumn("__m", least(col("__rx"), col("__ry")))
+      .select(col("grp").as(groupCol), col("__nt").cast("long").as("n"),
+        col("__cc").cast("long").as("concordant"),
+        col("__dd").cast("long").as("discordant"),
+        when(col("__cc") + col("__dd") > 0, round(col("__s") /
+          (col("__cc") + col("__dd")).cast("double"), roundTo)).as("gamma"),
+        when(col("__n0") > col("__n1"), round(col("__s") /
+          (col("__n0") - col("__n1")).cast("double"), roundTo))
+          .as("somers_d_yx"),
+        when(col("__n0") > col("__n2"), round(col("__s") /
+          (col("__n0") - col("__n2")).cast("double"), roundTo))
+          .as("somers_d_xy"),
+        when(col("__m") > 1, round(lit(2.0) * col("__m") * col("__s") /
+          (col("__nt").cast("double") * col("__nt").cast("double") *
+            (col("__m") - 1)), roundTo)).as("tau_c"))
+  }
+
+  /** Dunn's post-hoc test — the pairwise follow-up to a significant
+    * [[kruskalWallis]]: for every group pair, the standardized mean-
+    * rank difference z = (R̄ᵢ−R̄ⱼ)/√(σ²·(1/nᵢ+1/nⱼ)) with the pooled
+    * tie-corrected variance σ² = N(N+1)/12 − Σ(t³−t)/(12(N−1)). Which
+    * event types actually differ, not just "some do".
+    *
+    * Identical distribution shape to KW: mid-ranks come from ONE
+    * [[rangeCumSum]] over the value histogram (doubled ranks stay
+    * integral), per-group rank sums are exact DECIMAL, and the
+    * pairwise stage is a self-join of the k-row group table — k², not
+    * n², pairs.
+    */
+  def dunnTest(df: DataFrame, groupCol: String, valCol: String,
+               roundTo: Int = 6): DataFrame = {
+    val obs = df.select(col(groupCol).as("__g"),
+      round(col(valCol).cast("double"), 4).as("__v"))
+    val cells = obs.groupBy(col("__v"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // value histogram + rank join both read it
+    val histv = cells.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    val ranked = rangeCumSum(histv, "__v", Seq("__t"))
+      .withColumn("__ar2",
+        lit(2) * (col("__cum___t") - col("__t")) + col("__t") + 1)
+    val grp = cells.join(ranked.select(col("__v"), col("__ar2")), "__v")
+      .groupBy(col("__g"))
+      .agg(sum(col("__c")).as("__n"),
+        sum(col("__c").cast("decimal(38,0)") *
+          col("__ar2").cast("decimal(38,0)")).as("__r2"))
+      // doubled-rank sums are integral; the mean rank is ONE division
+      .withColumn("__mr", col("__r2").cast("double") /
+        (lit(2.0) * col("__n")))
+    val ties = histv.agg(sum(col("__t").cast("decimal(38,0)") *
+      col("__t") * col("__t") - col("__t")).as("__ties"))
+    val tot = grp.agg(sum(col("__n")).as("__N"))
+    val ga = grp.select(col("__g").as("g1"), col("__n").as("__n1"),
+      col("__mr").as("__mr1"))
+    val gb = grp.select(col("__g").as("g2"), col("__n").as("__n2"),
+      col("__mr").as("__mr2"))
+    ga.join(gb, col("g1") < col("g2"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
+      .withColumn("__Nd", col("__N").cast("double"))
+      .withColumn("__s2", col("__Nd") * (col("__Nd") + 1) / 12 -
+        col("__ties").cast("double") / (lit(12.0) * (col("__Nd") - 1)))
+      .select(col("g1"), col("g2"),
+        col("__n1").cast("long").as("n1"), col("__n2").cast("long").as("n2"),
+        round(col("__mr1") - col("__mr2"), roundTo).as("mean_rank_diff"),
+        when(col("__s2") > 0 && col("__n1") > 0 && col("__n2") > 0,
+          round((col("__mr1") - col("__mr2")) /
+            sqrt(col("__s2") * (lit(1.0) / col("__n1") +
+              lit(1.0) / col("__n2"))), roundTo)).as("z"))
+  }
+
+  /** Bartlett's test of equal variances — the parametric (normal-
+    * theory) sibling of [[brownForsythe]]: more powerful when the
+    * groups really are normal, famously fragile otherwise (run both;
+    * if they disagree, trust BF). T = ((N−k)·ln s²ₚ − Σ(nᵢ−1)·ln s²ᵢ)
+    * / (1 + (Σ1/(nᵢ−1) − 1/(N−k)) / (3(k−1))), asymptotically χ²(k−1).
+    *
+    * One moment pass: values quantize to 4 dp DECIMAL, per-group
+    * n/Σv/Σv² accumulate exactly, every variance is a single double
+    * formula (n·Σv² − (Σv)²)/(n(n−1)) from those exact sums, and the
+    * k-group ln/1-dof terms snap to 12 dp and sum as DECIMAL.
+    * Degenerate groups (n ≤ 1 or zero variance) null the statistic —
+    * ln(0) must not poison the sum.
+    */
+  def bartlett(df: DataFrame, groupCol: String, valCol: String,
+               roundTo: Int = 6): DataFrame = {
+    val v = df.select(col(groupCol).as("__g"),
+      round(col(valCol).cast("double"), 4).cast("decimal(18,4)").as("__v"))
+    val g = v.groupBy("__g").agg(
+        count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__v")).cast("decimal(38,4)").as("__sv"),
+        sum(col("__v") * col("__v")).cast("decimal(38,8)").as("__svv"))
+      .withColumn("__s2", (col("__n") * col("__svv") -
+          col("__sv") * col("__sv")).cast("double") /
+        (col("__n") * (col("__n") - 1)).cast("double"))
+    g.agg(sum(col("__n")).cast("double").as("__N"),
+        count(lit(1)).cast("double").as("__k"),
+        min(col("__n")).cast("long").as("__minN"),
+        min(col("__s2")).as("__minS2"),
+        // Σ(nᵢ−1)s²ᵢ re-derived from the same exact sums so the pooled
+        // variance needs no second pass
+        sum(round((col("__n") * col("__svv") - col("__sv") * col("__sv"))
+            .cast("double") / col("__n").cast("double"), 8)
+          .cast("decimal(38,12)")).as("__ss"),
+        sum(when(col("__n") > 1 && col("__s2") > 0,
+            round((col("__n") - 1).cast("double") * log(col("__s2")), 12))
+          .cast("decimal(38,12)")).as("__slog"),
+        sum(when(col("__n") > 1,
+            round(lit(1.0) / (col("__n") - 1).cast("double"), 12))
+          .cast("decimal(38,12)")).as("__sinv"))
+      .withColumn("__dofp", col("__N") - col("__k"))
+      .withColumn("__sp2", col("__ss").cast("double") / col("__dofp"))
+      .select(col("__N").cast("long").as("n"),
+        col("__k").cast("long").as("k"),
+        (col("__k") - 1).cast("long").as("dof"),
+        when(col("__minN") > 1 && col("__minS2") > 0 && col("__k") > 1 &&
+          col("__dofp") > 0 && col("__sp2") > 0,
+          round((col("__dofp") * log(col("__sp2")) -
+              col("__slog").cast("double")) /
+            (lit(1.0) + (col("__sinv").cast("double") -
+              lit(1.0) / col("__dofp")) / (lit(3.0) * (col("__k") - 1))),
+            roundTo)).as("chi2"))
+  }
+
+  /** Murphy decomposition of the Brier score — the calibration triple
+    * behind [[graft.operators.ExperimentOps]]'s ECE scalar:
+    * Brier = reliability − resolution + uncertainty, where reliability
+    * is the calibration gap Σnₖ(fₖ−ōₖ)²/N (smaller better), resolution
+    * the sharpness Σnₖ(ōₖ−ō)²/N (bigger better), and uncertainty the
+    * irreducible ō(1−ō). Tells you WHY a Brier score is bad — the
+    * model lies (reliability) or merely hedges (no resolution).
+    *
+    * Forecasts quantize to 4 dp, so the decomposition identity holds
+    * EXACTLY (the forecast is constant within each bin): per-bin
+    * (n, Σy) is the only shuffled object, the Brier sum
+    * Σ(nf² − 2f·pos + pos) accumulates as exact DECIMAL (f² at 4 dp is
+    * 8-dp exact), and rel/res terms snap to 12 dp.
+    */
+  def brierDecomposition(df: DataFrame, predCol: String, labelCol: String,
+                         roundTo: Int = 6): DataFrame = {
+    val bins = df.select(
+        round(col(predCol).cast("double"), 4).cast("decimal(9,4)").as("__f"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("__f"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
+    // names stay case-distinct from bins' __n — Spark resolves columns
+    // case-insensitively, so "__N" would be ambiguous after the join
+    val tot = bins.agg(sum(col("__n")).as("__tn"),
+      sum(col("__pos")).as("__tp"))
+    bins.crossJoin(broadcast(tot))
+      .withColumn("__obar", col("__tp").cast("double") / col("__tn"))
+      .withColumn("__ok", col("__pos").cast("double") / col("__n"))
+      .withColumn("__brier", (col("__f") * col("__f") * col("__n") -
+          lit(2).cast("decimal(9,4)") * col("__f") * col("__pos") +
+          col("__pos")).cast("decimal(38,8)"))
+      .withColumn("__rel", round(col("__n") *
+        pow(col("__f").cast("double") - col("__ok"), 2), 12)
+        .cast("decimal(38,12)"))
+      .withColumn("__res", round(col("__n") *
+        pow(col("__ok") - col("__obar"), 2), 12).cast("decimal(38,12)"))
+      .agg(first(col("__tn")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_bins"),
+        round(sum(col("__brier")).cast("double") /
+          first(col("__tn")), roundTo).as("brier"),
+        round(sum(col("__rel")).cast("double") / first(col("__tn")),
+          roundTo).as("reliability"),
+        round(sum(col("__res")).cast("double") / first(col("__tn")),
+          roundTo).as("resolution"),
+        round(first(col("__obar")) * (lit(1.0) - first(col("__obar"))),
+          roundTo).as("uncertainty"))
+  }
+
+  /** Hosmer–Lemeshow goodness-of-fit — the χ² companion to
+    * [[brierDecomposition]]: rank the population into `nBins` equal-
+    * count risk bins and compare observed vs expected positives,
+    * HL = Σ (O₁−E₁)²·n/(E₁(n−E₁)), asymptotically χ²(bins−2). The
+    * standard "is this probability model calibrated enough to deploy"
+    * gate.
+    *
+    * Deterministic decile assignment without a raw-row sort: forecasts
+    * quantize to 4 dp, ONE [[rangeCumSum]] over the (f, n, Σy, Σf)
+    * histogram yields cumulative population, and a distinct-forecast
+    * block lands wholly in the bin containing its FIRST unit
+    * (⌊before·nBins/N⌋ — ties never straddle engines). E₁ sums the
+    * quantized forecasts as exact DECIMAL.
+    */
+  def hosmerLemeshow(df: DataFrame, predCol: String, labelCol: String,
+                     nBins: Int = 10, roundTo: Int = 6): DataFrame = {
+    val hist = df.select(
+        round(col(predCol).cast("double"), 4).cast("decimal(9,4)").as("__f"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("__f"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
+      .withColumn("__sf", (col("__f") * col("__n")).cast("decimal(38,4)"))
+    val tot = hist.agg(sum(col("__n")).as("__tn"))
+    rangeCumSum(hist, "__f", Seq("__n"))
+      .crossJoin(broadcast(tot))
+      // block's first unit index is cum−n; integer DIV keeps bins exact
+      .withColumn("__bin",
+        expr(s"(__cum___n - __n) * $nBins DIV __tn"))
+      .groupBy(col("__bin"))
+      .agg(sum(col("__n")).as("__ng"), sum(col("__pos")).as("__o1"),
+        sum(col("__sf")).as("__e1"))
+      .withColumn("__e1d", col("__e1").cast("double"))
+      .withColumn("__term", when(
+          col("__e1d") > 0 && col("__e1d") < col("__ng"),
+          round(pow(col("__o1") - col("__e1d"), 2) * col("__ng") /
+            (col("__e1d") * (col("__ng") - col("__e1d"))), 12))
+        .cast("decimal(38,12)"))
+      .agg(sum(col("__ng")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_bins"),
+        (count(lit(1)) - 2).cast("long").as("dof"),
+        round(sum(col("__term")).cast("double"), roundTo).as("hl_chi2"),
+        sum(when(col("__term").isNull, 1L).otherwise(0L)).cast("long")
+          .as("degenerate_bins"))
+  }
+
+  /** Nelson–Aalen cumulative hazard — [[kaplanMeier]]'s additive twin:
+    * Ĥ(t) = Σ_{s≤t} d_s/n_s with the Fleming–Harrington survival
+    * readout Ŝ = e^{−Ĥ} (slightly biased up vs product-limit, far
+    * stabler in small risk sets; also the quantity Cox models work in).
+    *
+    * Same duration-histogram machinery as KM: risk sets from one
+    * [[rangeCumSum]], hazard increments snapped to 12 dp and cumulated
+    * as DECIMAL by a second — never a subject-sized window.
+    */
+  def nelsonAalen(df: DataFrame, durCol: String, eventCol: String,
+                  roundTo: Int = 6): DataFrame = {
+    val hist = df.groupBy(col(durCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
+        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("c"))
+      .withColumn("__all", col("d") + col("c"))
+    val cum = rangeCumSum(hist, "t", Seq("__all"))
+    val tot = hist.agg(sum(col("__all")).as("__N"))
+    val risk = cum.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("__N") - (col("__cum___all") - col("__all")))
+      .withColumn("__h", when(col("n_risk") > 0,
+          round(col("d").cast("double") / col("n_risk"), 12))
+        .otherwise(lit(0.0)).cast("decimal(28,14)"))
+      .select(col("t"), col("d"), col("c"), col("n_risk"), col("__h"))
+    rangeCumSum(risk, "t", Seq("__h"))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        round(col("__cum___h").cast("double"), roundTo).as("cum_hazard"),
+        round(exp(-col("__cum___h").cast("double")), roundTo).as("s_na"))
+  }
+
+  /** Restricted mean survival time — the scalar the KM curve is
+    * usually bought for: E[min(T, τ)] = ∫₀^τ Ŝ(t)dt with τ = the last
+    * observed duration, i.e. "average days survived in the first τ
+    * days". The preferred effect-size readout when proportional
+    * hazards fails and a median never gets reached.
+    *
+    * Lag-free closed form: with δᵢ the KM drop at event time tᵢ,
+    * ∫₀^τ Ŝ = τ − Σ δᵢ·(τ−tᵢ), and δᵢ = Sᵢ·dᵢ/(nᵢ−dᵢ) comes from the
+    * SAME row (no window over the curve): S_prev·d/n = S·(d/n)/(1−d/n).
+    * A saturated step (d = n, Ŝ hits 0) takes δ = S_prev directly from
+    * the ln-sum minus its own factor. Drops snap to 12 dp and sum as
+    * DECIMAL; the whole curve machinery is [[kaplanMeier]]'s.
+    */
+  def rmst(df: DataFrame, durCol: String, eventCol: String,
+           roundTo: Int = 6): DataFrame = {
+    val hist = df.groupBy(col(durCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
+        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("c"))
+      .withColumn("__all", col("d") + col("c"))
+    val cum = rangeCumSum(hist, "t", Seq("__all"))
+    val tot = hist.agg(sum(col("__all")).as("__N"))
+    val risk = cum.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("__N") - (col("__cum___all") - col("__all")))
+      .withColumn("__lnf", when(col("d") > 0 && col("d") < col("n_risk"),
+          round(log(lit(1.0) - col("d") / col("n_risk")), 12))
+        .otherwise(lit(0.0)).cast("decimal(28,14)"))
+      .withColumn("__zero", when(col("d") === col("n_risk"), 1L)
+        .otherwise(0L))
+      .select(col("t"), col("d"), col("n_risk"), col("__lnf"), col("__zero"))
+    val curve = rangeCumSum(risk, "t", Seq("__lnf", "__zero"))
+      // S_prev excludes this row's own factor AND its own zero-crossing
+      .withColumn("__sprev",
+        when(col("__cum___zero") - col("__zero") > 0, lit(0.0))
+          .otherwise(exp((col("__cum___lnf") - col("__lnf")).cast("double"))))
+      .withColumn("__s", when(col("__cum___zero") > 0, lit(0.0))
+        .otherwise(exp(col("__cum___lnf").cast("double"))))
+      .withColumn("__drop", round(when(col("d") === col("n_risk"),
+          col("__sprev"))
+        .otherwise(col("__s") * col("d") /
+          (col("n_risk") - col("d"))), 12).cast("decimal(28,14)"))
+    val tau = curve.agg(max(col("t")).as("__tau"))
+    curve.crossJoin(broadcast(tau))
+      .agg(first(col("__tau")).cast("long").as("tau"),
+        round(first(col("__tau")).cast("double") -
+          sum(round(col("__drop").cast("double") *
+              (col("__tau") - col("t")).cast("double"), 12)
+            .cast("decimal(38,12)")).cast("double"), roundTo).as("rmst"))
+  }
 }
