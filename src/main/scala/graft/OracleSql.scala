@@ -5442,6 +5442,243 @@ object OracleSql {
         |  round(CAST(tau AS DOUBLE) - CAST(sum(CAST(round(
         |      CAST(dr AS DOUBLE) * CAST(tau - t AS DOUBLE), 12)
         |    AS DECIMAL(38,12))) AS DOUBLE), 6) AS rmst
-        |FROM d2, tau GROUP BY tau""".stripMargin
+        |FROM d2, tau GROUP BY tau""".stripMargin,
+
+    "q292_anderson_darling" ->
+      """WITH h AS (SELECT round(value, 4) AS v,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS la,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS lb
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |h2 AS (SELECT v, la, lb, la + lb AS l FROM h),
+        |tot AS (SELECT CAST(sum(la) AS BIGINT) AS na,
+        |    CAST(sum(lb) AS BIGINT) AS nb,
+        |    CAST(sum(l) AS BIGINT) AS nn FROM h2),
+        |c AS (SELECT v, l, la, lb, sum(l) OVER w AS cl,
+        |    sum(la) OVER w AS cla, sum(lb) OVER w AS clb
+        |  FROM h2 WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |x AS (SELECT l, la, lb, na, nb, nn,
+        |    2 * (cl - l) + l AS b2, 2 * cla - la AS m2a,
+        |    2 * clb - lb AS m2b FROM c, tot),
+        |x2 AS (SELECT *, CAST(CAST(b2 AS DECIMAL(38,0))
+        |      * (2 * nn - b2) - CAST(nn AS DECIMAL(38,0)) * l
+        |    AS DOUBLE) AS den FROM x),
+        |t AS (SELECT na, nb, nn,
+        |    CASE WHEN den > 0 THEN CAST(round(l / CAST(nn AS DOUBLE)
+        |      * pow(CAST(CAST(nn AS DECIMAL(38,0)) * m2a
+        |        - CAST(b2 AS DECIMAL(38,0)) * na AS DOUBLE), 2)
+        |      / den, 12) AS DECIMAL(38,12)) END AS ta,
+        |    CASE WHEN den > 0 THEN CAST(round(l / CAST(nn AS DOUBLE)
+        |      * pow(CAST(CAST(nn AS DECIMAL(38,0)) * m2b
+        |        - CAST(b2 AS DECIMAL(38,0)) * nb AS DOUBLE), 2)
+        |      / den, 12) AS DECIMAL(38,12)) END AS tb
+        |  FROM x2)
+        |SELECT max(na) AS n_a, max(nb) AS n_b,
+        |  CASE WHEN max(na) > 0 AND max(nb) > 0 AND max(nn) > 1
+        |    THEN round(CAST(max(nn) - 1 AS DOUBLE) / max(nn)
+        |      * (CAST(sum(ta) AS DOUBLE) / max(na)
+        |        + CAST(sum(tb) AS DOUBLE) / max(nb)), 6) END AS a2
+        |FROM t""".stripMargin,
+
+    "q293_fleiss_kappa" ->
+      """WITH r AS (SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |sel AS (SELECT user_id AS i, event_type AS c FROM r
+        |  WHERE rn <= 4),
+        |cells AS (SELECT i, c, CAST(count(*) AS BIGINT) AS n
+        |  FROM sel GROUP BY 1, 2),
+        |items AS (SELECT i, sum(n) AS tot,
+        |    CAST(sum(n * n) AS DECIMAL(38,0)) AS sq
+        |  FROM cells GROUP BY 1),
+        |drp AS (SELECT CAST(count(*) AS BIGINT) AS d FROM items
+        |  WHERE tot <> 4),
+        |keep AS (SELECT * FROM items WHERE tot = 4),
+        |cats AS (SELECT c, CAST(sum(n) AS DECIMAL(38,0)) AS nc
+        |  FROM cells JOIN keep USING (i) GROUP BY 1),
+        |s2 AS (SELECT CAST(sum(nc * nc) AS DECIMAL(38,0)) AS s2
+        |  FROM cats),
+        |s1 AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS ii,
+        |    CAST(sum(sq - 4) AS DECIMAL(38,0)) AS s1 FROM keep),
+        |p AS (SELECT ii, d, CAST(s1 AS DOUBLE)
+        |    / CAST(ii * 4 * 3 AS DOUBLE) AS pbar,
+        |    CAST(s2 AS DOUBLE)
+        |    / CAST((ii * 4) * (ii * 4) AS DOUBLE) AS pe
+        |  FROM s1, s2, drp)
+        |SELECT CAST(ii AS BIGINT) AS n_items,
+        |  CAST(4 AS BIGINT) AS n_raters, d AS dropped_items,
+        |  round(pbar, 6) AS p_bar, round(pe, 6) AS p_e,
+        |  CASE WHEN pe < 1
+        |    THEN round((pbar - pe) / (1.0 - pe), 6) END AS kappa
+        |FROM p""".stripMargin,
+
+    "q294_msprt" ->
+      """WITH e AS (SELECT CAST(user_id % 2 AS INT) AS arm,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(CASE WHEN value > 100.0 THEN 1 ELSE 0 END
+        |      AS DECIMAL(18,4)) AS y
+        |  FROM events),
+        |sig AS (SELECT CAST(CAST(count(*) AS DECIMAL(38,0))
+        |      * CAST(sum(y * y) AS DECIMAL(38,8))
+        |      - CAST(sum(y) AS DECIMAL(38,4))
+        |        * CAST(sum(y) AS DECIMAL(38,4)) AS DOUBLE)
+        |    / CAST(CAST(count(*) AS DECIMAL(38,0))
+        |      * (CAST(count(*) AS DECIMAL(38,0)) - 1) AS DOUBLE)
+        |    AS sig2 FROM e),
+        |d AS (SELECT x,
+        |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb,
+        |    CAST(sum(CASE WHEN arm = 0 THEN y
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4))
+        |      AS sa,
+        |    CAST(sum(CASE WHEN arm = 1 THEN y
+        |      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4))
+        |      AS sb
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT x, sum(na) OVER w AS cna, sum(nb) OVER w AS cnb,
+        |    sum(sa) OVER w AS csa, sum(sb) OVER w AS csb
+        |  FROM d WINDOW w AS (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT x, cna, cnb,
+        |    CAST(csa AS DOUBLE) / cna - CAST(csb AS DOUBLE) / cnb
+        |      AS diff,
+        |    sig2 * (1.0 / cna + 1.0 / cnb) AS vn
+        |  FROM c, sig WHERE cna > 0 AND cnb > 0),
+        |g AS (SELECT x, cna, cnb, diff, CASE WHEN vn > 0 THEN
+        |    round(0.5 * ln(vn / (vn
+        |        + CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE)))
+        |      + diff * diff
+        |        * (CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))
+        |        / (2.0 * vn * (vn
+        |          + CAST(0.1 AS DOUBLE) * CAST(0.1 AS DOUBLE))), 6)
+        |    END AS llr FROM f)
+        |SELECT x AS day, CAST(cna AS BIGINT) AS n_a,
+        |  CAST(cnb AS BIGINT) AS n_b,
+        |  round(diff, 6) AS mean_diff, llr AS log_lambda,
+        |  CASE WHEN llr >= 2.995732 THEN 1 ELSE 0 END AS crossed
+        |FROM g ORDER BY 1""".stripMargin,
+
+    "q295_dp_counts" ->
+      """WITH g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS tc
+        |  FROM customer GROUP BY 1),
+        |h AS (SELECT c_mktsegment, tc,
+        |    ('0x' || substr(md5(c_mktsegment || '|graft'), 1, 12))
+        |      ::BIGINT AS hh FROM g),
+        |n AS (SELECT *, (hh + 0.5) / 281474976710656.0 - 0.5 AS cc
+        |  FROM h)
+        |SELECT c_mktsegment, tc AS true_count,
+        |  round(tc + (-sign(cc) * ln(1.0 - 2.0 * abs(cc)) / 1.0), 3)
+        |    AS noisy_count,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |FROM n ORDER BY 1""".stripMargin,
+
+    "q296_ses_backtest" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(count(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2),
+        |tm AS (SELECT g, max(x) AS tmx FROM s WHERE x < 19744
+        |  GROUP BY 1),
+        |lv AS (SELECT s.g,
+        |    CAST(sum(CAST(round(y, 6) AS DECIMAL(28,6))
+        |      * (CAST(1 AS BIGINT) << CAST(15 - (tmx - x) AS INT)))
+        |      AS DOUBLE)
+        |    / CAST(sum(CAST(1 AS BIGINT)
+        |      << CAST(15 - (tmx - x) AS INT)) AS DOUBLE) AS f
+        |  FROM s JOIN tm ON s.g = tm.g
+        |  WHERE x < 19744 AND tmx - x < 16 GROUP BY 1),
+        |t AS (SELECT s.g, y, f, abs(y - f) AS ae
+        |  FROM s JOIN lv ON s.g = lv.g WHERE x >= 19744)
+        |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_test,
+        |  round(max(f), 6) AS forecast,
+        |  round(CAST(sum(CAST(round(CASE WHEN abs(y) + abs(f) > 0
+        |      THEN 2.0 * ae / (abs(y) + abs(f)) ELSE 0 END, 12)
+        |    AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS smape,
+        |  round(CAST(sum(CAST(round(ae, 6) AS DECIMAL(38,6)))
+        |      AS DOUBLE)
+        |    / CAST(sum(CAST(round(abs(y), 6) AS DECIMAL(38,6)))
+        |      AS DOUBLE), 6) AS wape
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q297_candidate_keys" ->
+      """WITH k1 AS (SELECT count(*) AS c FROM orders
+        |  GROUP BY o_orderkey),
+        |k2 AS (SELECT count(*) AS c FROM orders GROUP BY o_custkey),
+        |k3 AS (SELECT count(*) AS c FROM orders
+        |  GROUP BY o_orderstatus),
+        |k4 AS (SELECT count(*) AS c FROM orders
+        |  GROUP BY o_custkey, o_orderdate)
+        |SELECT 'o_orderkey' AS combo, CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_keys,
+        |  CAST(max(c) AS BIGINT) AS max_group,
+        |  CASE WHEN sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0
+        |    THEN 1 ELSE 0 END AS is_key FROM k1
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(sum(c) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(max(c) AS BIGINT),
+        |  CASE WHEN sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0
+        |    THEN 1 ELSE 0 END FROM k2
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(sum(c) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(max(c) AS BIGINT),
+        |  CASE WHEN sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0
+        |    THEN 1 ELSE 0 END FROM k3
+        |UNION ALL
+        |SELECT 'o_custkey,o_orderdate', CAST(sum(c) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  CAST(max(c) AS BIGINT),
+        |  CASE WHEN sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0
+        |    THEN 1 ELSE 0 END FROM k4
+        |ORDER BY combo""".stripMargin,
+
+    "q298_rfm" ->
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS md FROM events),
+        |u AS (SELECT user_id,
+        |    CAST(date_diff('day', max(CAST(ts AS DATE)),
+        |      (SELECT md FROM mx)) AS BIGINT) AS rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2)))
+        |      AS DECIMAL(38,2)) AS mon
+        |  FROM events GROUP BY 1),
+        |rh AS (SELECT rec AS v, CAST(count(*) AS BIGINT) AS n
+        |  FROM u GROUP BY 1),
+        |rt AS (SELECT sum(n) AS tq FROM rh),
+        |rc AS (SELECT v, CAST((sum(n) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) - n) * 5 // tq
+        |    AS INT) AS q FROM rh, rt),
+        |fh AS (SELECT freq AS v, CAST(count(*) AS BIGINT) AS n
+        |  FROM u GROUP BY 1),
+        |ft AS (SELECT sum(n) AS tq FROM fh),
+        |fc AS (SELECT v, CAST((sum(n) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) - n) * 5 // tq
+        |    AS INT) AS q FROM fh, ft),
+        |mh AS (SELECT mon AS v, CAST(count(*) AS BIGINT) AS n
+        |  FROM u GROUP BY 1),
+        |mt AS (SELECT sum(n) AS tq FROM mh),
+        |mc AS (SELECT v, CAST((sum(n) OVER (ORDER BY v ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) - n) * 5 // tq
+        |    AS INT) AS q FROM mh, mt),
+        |j AS (SELECT u.mon, rc.q AS rq, fc.q AS fq, mc.q AS mq
+        |  FROM u JOIN rc ON u.rec = rc.v JOIN fc ON u.freq = fc.v
+        |  JOIN mc ON u.mon = mc.v)
+        |SELECT rq AS r_q, fq AS f_q, mq AS m_q,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST((2 * CAST(sum(mon) * 100 AS HUGEINT) + count(*))
+        |    // (2 * count(*)) AS DOUBLE) / 100 AS avg_monetary,
+        |  round(CAST(sum(mon) AS DOUBLE), 2) AS total_monetary
+        |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -3270,7 +3270,70 @@ object SparkEntry {
             col("__t0").cast("date")).cast("long").as("dur"),
           when(col("__tp").isNotNull, 1).otherwise(0).as("ev"))
       MetricOps.rmst(subj, "dur", "ev")
-    })
+    }),
+
+    // L237 — two-sample Anderson–Darling (tie-adjusted midrank form):
+    // the tail-sensitive drift test next to q148's KS and q264's CvM.
+    "q292_anderson_darling" -> ((s, d) =>
+      MetricOps.andersonDarlingTwoSample(Tables.events(s, d),
+        "event_type", "value", "click", "view")),
+
+    // L238 — Fleiss' kappa over each user's first four event types
+    // (users as items, their four events as "raters"): multi-rater
+    // agreement next to q151's two-rater Cohen κ.
+    "q293_fleiss_kappa" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      MetricOps.fleissKappa(
+        Tables.events(s, d).withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4),
+        "user_id", "event_type", nRaters = 4)
+    }),
+
+    // L239 — mSPRT always-valid experiment monitor: daily cumulative
+    // click-rate diff between parity arms vs the ln(1/α) boundary.
+    "q294_msprt" -> ((s, d) =>
+      ExperimentOps.msprt(
+          labeled(s, d)
+            .withColumn("arm", (col("user_id") % 2).cast("int"))
+            .withColumn("day",
+              datediff(to_date(col("ts")), lit("1970-01-01"))),
+          "arm", "day", "label", 0, 1, tau = 0.1)
+        .orderBy("day")),
+
+    // L240 — DP noisy counts: seeded-Laplace release of per-segment
+    // customer counts (ε = 1), the privacy-release rung after q281.
+    "q295_dp_counts" -> ((s, d) =>
+      QualityChecks.dpNoisyCounts(Tables.customer(s, d),
+          Seq("c_mktsegment"), epsilon = 1.0)
+        .orderBy("c_mktsegment")),
+
+    // L241 — SES (α=½) flat-forecast backtest with sMAPE/WAPE on the
+    // q279 daily series — the third forecast-eval lens after
+    // MASE (q270) and pinball (q279).
+    "q296_ses_backtest" -> ((s, d) =>
+      MetricOps.sesBacktest(
+          Tables.events(s, d)
+            .groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          "event_type", "day", "y", splitX = 19744L, win = 16)
+        .orderBy("event_type")),
+
+    // L242 — candidate-key discovery on orders: which single columns /
+    // pairs are merge-safe identities.
+    "q297_candidate_keys" -> ((s, d) =>
+      QualityChecks.candidateKeys(Tables.orders(s, d), Seq(
+          Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderstatus"),
+          Seq("o_custkey", "o_orderdate")))
+        .orderBy("combo")),
+
+    // L243 — RFM segmentation of event users into 5×5×5 quantile
+    // bands with per-segment population and spend.
+    "q298_rfm" -> ((s, d) =>
+      EncodeOps.rfmSegments(Tables.events(s, d), "user_id", "ts",
+          "value")
+        .orderBy("r_q", "f_q", "m_q"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -201,4 +201,59 @@ object EncodeOps {
       .select(col("__g").as(groupCol), col("q"), col("group_q"),
         col("pooled_q"))
   }
+
+  /** RFM segmentation — the classic recency/frequency/monetary
+    * customer grid: per user, days-since-last-event (vs the corpus
+    * max date), event count, and 2-dp spend; each metric coded into
+    * `nQ` equal-count quantile bands; output one row per (r,f,m)
+    * segment with its population and spend. Codes ascend with the
+    * VALUE: r_q 0 = most recent band (best), f_q/m_q nQ−1 = most
+    * frequent / highest spend (best).
+    *
+    * Deterministic banding without a raw sort: each metric's histogram
+    * goes through ONE range-partitioned cumsum and a distinct value
+    * lands wholly in the band holding its first unit (the
+    * Hosmer–Lemeshow / decile-lift rule, so ties never straddle
+    * engines). The three code maps join back by metric value —
+    * histogram-sized equi-joins, never a global window.
+    */
+  def rfmSegments(df: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String, nQ: Int = 5,
+                  roundTo: Int = 2): DataFrame = {
+    val maxd = df.agg(max(to_date(col(tsCol))).as("__maxd"))
+    val users = df.groupBy(col(userCol).as("__u"))
+      .agg(max(to_date(col(tsCol))).as("__last"),
+        count(lit(1)).as("__freq"),
+        sum(round(col(valueCol).cast("double"), 2)
+          .cast("decimal(18,2)")).cast("decimal(38,2)").as("__mon"))
+      .crossJoin(broadcast(maxd))
+      .withColumn("__rec", datediff(col("__maxd"), col("__last"))
+        .cast("long"))
+      .drop("__maxd", "__last")
+      .localCheckpoint(true) // three band maps + the final join read it
+    def codeMap(vCol: String, out: String): DataFrame = {
+      val hist = users.groupBy(col(vCol).as("__v"))
+        .agg(count(lit(1)).as("__n"))
+      val tot = hist.agg(sum(col("__n")).as("__tq"))
+      MetricOps.rangeCumSum(hist, "__v", Seq("__n"))
+        .crossJoin(broadcast(tot))
+        .withColumn(out, expr(s"(__cum___n - __n) * $nQ DIV __tq")
+          .cast("int"))
+        .select(col("__v").as(vCol), col(out))
+    }
+    users
+      .join(codeMap("__rec", "r_q"), "__rec")
+      .join(codeMap("__freq", "f_q"), "__freq")
+      .join(codeMap("__mon", "m_q"), "__mon")
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        // exact half-up mean in cent integers: a quotient landing on a
+        // .xx5 boundary must not split an ulp between engines (the q193
+        // class). Non-negative spend contract (DIV truncates toward 0).
+        (expr("CAST((2 * CAST(sum(__mon) * 100 AS DECIMAL(38,0)) " +
+          "+ count(1)) DIV (2 * count(1)) AS DOUBLE)") / 100)
+          .as("avg_monetary"),
+        round(sum(col("__mon")).cast("double"), roundTo)
+          .as("total_monetary"))
+  }
 }

@@ -328,4 +328,66 @@ object ExperimentOps {
       .select(col("__g").as(groupCol), col("n"), col("mean"),
         col("n_boot"), col("boot_lo"), col("boot_hi"))
   }
+
+  /** Mixture sequential probability ratio test (mSPRT) — the always-
+    * valid "peek whenever you like" companion to the fixed-horizon
+    * [[liftCi]]: per time bucket, the normal-mixture likelihood ratio
+    * of the running two-arm mean difference,
+    * ln Λₜ = ½·ln(Vₜ/(Vₜ+τ²)) + δ̂ₜ²·τ²/(2·Vₜ·(Vₜ+τ²)) with
+    * Vₜ = σ²·(1/n_A + 1/n_B), flagged against the ln(1/α) boundary.
+    * Λ is a martingale under H₀, so the FIRST crossing is a valid
+    * stopping rule no matter how often the dashboard refreshes.
+    *
+    * One daily aggregate per arm is the only shuffled object;
+    * cumulative counts/sums ride [[graft.operators.MetricOps]]'s
+    * range-partitioned cumsum via pivoted arm columns (exact DECIMAL
+    * sums), σ² is one pooled-moment broadcast, and both the statistic
+    * and the boundary are ROUNDED to 6 dp before the crossing compare
+    * so a libm ulp cannot flip the flag between engines.
+    */
+  def msprt(df: DataFrame, armCol: String, xCol: String, yCol: String,
+            armA: Any, armB: Any, tau: Double, alpha: Double = 0.05,
+            roundTo: Int = 6): DataFrame = {
+    val base = df.filter(col(armCol).isin(armA, armB))
+      .select(col(xCol).cast("long").as("__x"),
+        when(col(armCol) === lit(armA), 1L).otherwise(0L).as("__ia"),
+        round(col(yCol).cast("double"), 4).cast("decimal(18,4)").as("__y"))
+    val sig = base.agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__y")).cast("decimal(38,4)").as("__s"),
+        sum(col("__y") * col("__y")).cast("decimal(38,8)").as("__ss"))
+      .select((( col("__n") * col("__ss") - col("__s") * col("__s"))
+        .cast("double") /
+        (col("__n") * (col("__n") - 1)).cast("double")).as("__sig2"))
+    val daily = base.groupBy(col("__x"))
+      .agg(sum(col("__ia")).as("__na"),
+        sum(lit(1L) - col("__ia")).as("__nb"),
+        sum(when(col("__ia") === 1, col("__y"))
+          .otherwise(lit(0).cast("decimal(18,4)")))
+          .cast("decimal(38,4)").as("__sa"),
+        sum(when(col("__ia") === 0, col("__y"))
+          .otherwise(lit(0).cast("decimal(18,4)")))
+          .cast("decimal(38,4)").as("__sb"))
+    val tau2 = tau * tau
+    val bound = BigDecimal(math.log(1.0 / alpha))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    MetricOps.rangeCumSum(daily, "__x",
+        Seq("__na", "__nb", "__sa", "__sb"))
+      .crossJoin(broadcast(sig))
+      .filter(col("__cum___na") > 0 && col("__cum___nb") > 0)
+      .withColumn("__diff",
+        col("__cum___sa").cast("double") / col("__cum___na") -
+          col("__cum___sb").cast("double") / col("__cum___nb"))
+      .withColumn("__vn", col("__sig2") *
+        (lit(1.0) / col("__cum___na") + lit(1.0) / col("__cum___nb")))
+      .withColumn("__llr", when(col("__vn") > 0,
+        round(lit(0.5) * log(col("__vn") / (col("__vn") + tau2)) +
+          col("__diff") * col("__diff") * tau2 /
+            (lit(2.0) * col("__vn") * (col("__vn") + tau2)), roundTo)))
+      .select(col("__x").as(xCol),
+        col("__cum___na").cast("long").as("n_a"),
+        col("__cum___nb").cast("long").as("n_b"),
+        round(col("__diff"), roundTo).as("mean_diff"),
+        col("__llr").as("log_lambda"),
+        when(col("__llr") >= bound, 1).otherwise(0).as("crossed"))
+  }
 }

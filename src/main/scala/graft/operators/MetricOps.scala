@@ -3510,4 +3510,157 @@ object MetricOps {
               (col("__tau") - col("t")).cast("double"), 12)
             .cast("decimal(38,12)")).cast("double"), roundTo).as("rmst"))
   }
+
+  /** Two-sample Anderson–Darling statistic (Scholz–Stephens A²ₐₖₙ,
+    * the tie-adjusted midrank form scipy's `anderson_ksamp` computes)
+    * — the tail-sensitive alternative to [[ksStatistic]]/[[cvmTwoSample]]:
+    * AD weights ECDF discrepancies by 1/(F(1−F)), so a drift that only
+    * lives in the distribution tails still registers.
+    *
+    * Doubled-midrank trick keeps every ingredient integral: with
+    * B2ⱼ = 2·(pooled count before block j) + lⱼ and
+    * M2ⱼ = 2·(side count through j) − fⱼ, the per-block term
+    * lⱼ/N · (N·M2ⱼ − B2ⱼ·nᵢ)² / (B2ⱼ·(2N−B2ⱼ) − N·lⱼ) is exact in
+    * the integers (the ¼ factors cancel). The value histogram (4 dp)
+    * is the only shuffled object; cumulatives ride [[rangeCumSum]];
+    * terms snap to 12 dp and sum as DECIMAL. The squared numerator is
+    * formed in DOUBLE from an exact DECIMAL difference — per-side
+    * totals beyond ~10¹⁵ rows would lose ulps there (same documented
+    * bound class as [[spearman]]).
+    */
+  def andersonDarlingTwoSample(df: DataFrame, sideCol: String,
+                               valCol: String, sideA: Any, sideB: Any,
+                               roundTo: Int = 6): DataFrame = {
+    val hist = df.filter(col(sideCol).isin(sideA, sideB))
+      .select(round(col(valCol).cast("double"), 4).as("__v"),
+        when(col(sideCol) === lit(sideA), 1L).otherwise(0L).as("__ia"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__ia")).as("__la"),
+        sum(lit(1L) - col("__ia")).as("__lb"))
+      .withColumn("__l", col("__la") + col("__lb"))
+    val tot = hist.agg(sum(col("__la")).as("__na"),
+      sum(col("__lb")).as("__nb"), sum(col("__l")).as("__nn"))
+    val cum = rangeCumSum(hist, "__v", Seq("__l", "__la", "__lb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__b2",
+        lit(2) * (col("__cum___l") - col("__l")) + col("__l"))
+      .withColumn("__m2a",
+        lit(2) * col("__cum___la") - col("__la"))
+      .withColumn("__m2b",
+        lit(2) * col("__cum___lb") - col("__lb"))
+      .withColumn("__den", (col("__b2").cast("decimal(38,0)") *
+        (lit(2) * col("__nn") - col("__b2")) -
+        col("__nn").cast("decimal(38,0)") * col("__l")).cast("double"))
+    def sideSum(m2: String, n: String) = sum(when(col("__den") > 0,
+        round(col("__l") / col("__nn").cast("double") *
+          pow((col("__nn").cast("decimal(38,0)") * col(m2) -
+            col("__b2").cast("decimal(38,0)") * col(n)).cast("double"), 2)
+          / col("__den"), 12)).cast("decimal(38,12)"))
+    cum.agg(first(col("__na")).cast("long").as("n_a"),
+        first(col("__nb")).cast("long").as("n_b"),
+        sideSum("__m2a", "__na").as("__sa"),
+        sideSum("__m2b", "__nb").as("__sb"),
+        first(col("__nn")).as("__N"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 && col("__N") > 1,
+          round((col("__N") - 1).cast("double") / col("__N") *
+            (col("__sa").cast("double") / col("n_a") +
+              col("__sb").cast("double") / col("n_b")), roundTo))
+          .as("a2"))
+  }
+
+  /** Fleiss' kappa — chance-corrected agreement for MANY raters (the
+    * multi-rater generalization of Cohen's κ at MetricOps.scala:444):
+    * each item carries exactly `nRaters` categorical ratings;
+    * κ = (P̄−P̄ₑ)/(1−P̄ₑ) with P̄ the mean pairwise within-item
+    * agreement and P̄ₑ the squared category shares. Items with any
+    * other rating count are DROPPED (the classical balanced-panel
+    * requirement), and the dropped count is reported.
+    *
+    * Everything is exact-integer until two final divisions:
+    * Σᵢ(Σ_c n²ᵢ_c − n) has fixed denominator I·n·(n−1) and
+    * Σ_c(Σᵢ nᵢ_c)² has (I·n)² — both accumulate as DECIMAL(38,0), so
+    * the statistic is partition-order-independent at any item count.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String,
+                  nRaters: Int, roundTo: Int = 6): DataFrame = {
+    val cells = df.groupBy(col(itemCol).as("__i"), col(catCol).as("__c"))
+      .agg(count(lit(1)).as("__n"))
+    val items = cells.groupBy(col("__i"))
+      .agg(sum(col("__n")).as("__tot"),
+        sum(col("__n") * col("__n")).cast("decimal(38,0)").as("__sq"))
+      .localCheckpoint(true) // balanced filter feeds cats + the P̄ sum
+    val dropped = items.filter(col("__tot") =!= nRaters)
+      .agg(count(lit(1)).as("__drop"))
+    val keep = items.filter(col("__tot") === nRaters)
+    val cats = cells.join(keep.select(col("__i")), "__i")
+      .groupBy(col("__c"))
+      .agg(sum(col("__n")).cast("decimal(38,0)").as("__nc"))
+    val catSq = cats.agg(
+      sum(col("__nc") * col("__nc")).cast("decimal(38,0)").as("__s2"))
+    keep.agg(count(lit(1)).cast("decimal(38,0)").as("__I"),
+        sum(col("__sq") - nRaters).cast("decimal(38,0)").as("__s1"))
+      .crossJoin(broadcast(catSq)).crossJoin(broadcast(dropped))
+      .withColumn("__pbar", col("__s1").cast("double") /
+        (col("__I") * nRaters * (nRaters - 1)).cast("double"))
+      .withColumn("__pe", col("__s2").cast("double") /
+        ((col("__I") * nRaters) * (col("__I") * nRaters)).cast("double"))
+      .select(col("__I").cast("long").as("n_items"),
+        lit(nRaters).cast("long").as("n_raters"),
+        col("__drop").cast("long").as("dropped_items"),
+        round(col("__pbar"), roundTo).as("p_bar"),
+        round(col("__pe"), roundTo).as("p_e"),
+        when(col("__pe") < 1, round((col("__pbar") - col("__pe")) /
+          (lit(1.0) - col("__pe")), roundTo)).as("kappa"))
+  }
+
+  /** Simple-exponential-smoothing backtest (α = ½) with sMAPE and
+    * WAPE — the flat-forecast companion to [[maseBacktest]]'s seasonal
+    * naive: the level is a binary-weighted mean of the last `win`
+    * train buckets (weight 2^(win−lag), the [[ewmaAnomaly]] exact-
+    * integer trick — no pow(double) anywhere, so both engines derive
+    * the identical level), scored on the holdout with
+    * sMAPE = mean(2|y−f|/(|y|+|f|)) and WAPE = Σ|y−f|/Σ|y|.
+    *
+    * Series contract as the trend family: ALREADY-AGGREGATED
+    * (group, x, y) rows, so the level table is |groups| rows,
+    * broadcast onto the holdout slice. Terms snap to 12 dp and sum as
+    * DECIMAL.
+    */
+  def sesBacktest(series: DataFrame, groupCol: String, xCol: String,
+                  yCol: String, splitX: Long, win: Int = 16,
+                  roundTo: Int = 6): DataFrame = {
+    require(win >= 1 && win <= 62, "win must fit a long weight")
+    val base = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("double").as("__y"))
+    val trainMax = base.filter(col("__x") < splitX)
+      .groupBy("__g").agg(max(col("__x")).as("__tm"))
+    val level = base.filter(col("__x") < splitX)
+      .join(broadcast(trainMax), "__g")
+      .withColumn("__lag", (col("__tm") - col("__x")).cast("int"))
+      .filter(col("__lag") < win)
+      .withColumn("__wt",
+        expr(s"shiftleft(CAST(1 AS BIGINT), $win - 1 - __lag)"))
+      .groupBy("__g")
+      .agg(sum(col("__wt")).as("__den"),
+        sum(round(col("__y"), 6).cast("decimal(28,6)") * col("__wt"))
+          .as("__num"))
+      .withColumn("__f", col("__num").cast("double") /
+        col("__den").cast("double"))
+      .select(col("__g"), col("__f"))
+    base.filter(col("__x") >= splitX)
+      .join(broadcast(level), "__g")
+      .withColumn("__ae", abs(col("__y") - col("__f")))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n_test"),
+        round(first(col("__f")), roundTo).as("forecast"),
+        round(sum(round(when(abs(col("__y")) + abs(col("__f")) > 0,
+            lit(2.0) * col("__ae") / (abs(col("__y")) + abs(col("__f"))))
+            .otherwise(lit(0.0)), 12).cast("decimal(38,12)"))
+          .cast("double") / count(lit(1)), roundTo).as("smape"),
+        (round(sum(round(col("__ae"), 6).cast("decimal(38,6)"))
+          .cast("double") /
+          sum(round(abs(col("__y")), 6).cast("decimal(38,6)"))
+            .cast("double"), roundTo)).as("wape"))
+  }
 }

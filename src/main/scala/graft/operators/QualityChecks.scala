@@ -362,4 +362,60 @@ object QualityChecks {
             first(col("__N")).cast("double") *
             (first(col("__m")) - 1)), roundTo).as("t_closeness"))
   }
+
+  /** Differentially-private noisy count release — seeded Laplace
+    * mechanism for per-group counts (sensitivity 1): noise =
+    * −(1/ε)·sign(u−½)·ln(1−2|u−½|) with u drawn deterministically from
+    * md5(groupkey|seed) (48 bits → (0,1); the repo-wide md5-only
+    * hashing rule, so the release is reproducible run-to-run and
+    * engine-to-engine — a REAL deployment would swap in a fresh
+    * cryptographic draw per release and keep an ε ledger across them).
+    * `true_count` is reported for calibration audits; the RELEASE is
+    * the noisy column only.
+    *
+    * One hash aggregation; the noise is a per-row column expression
+    * (no shuffle beyond the count).
+    */
+  def dpNoisyCounts(df: DataFrame, groupCols: Seq[String],
+                    epsilon: Double, seed: String = "graft",
+                    roundTo: Int = 3): DataFrame = {
+    require(groupCols.nonEmpty && epsilon > 0)
+    val key = concat_ws("|",
+      groupCols.map(c => col(c).cast("string")) :+ lit(seed): _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("true_count"))
+      .withColumn("__h",
+        conv(substring(md5(key), 1, 12), 16, 10).cast("long"))
+      .withColumn("__c",
+        (col("__h") + 0.5) / lit(281474976710656.0) - 0.5)
+      .withColumn("__noise", -signum(col("__c")) *
+        log(lit(1.0) - lit(2.0) * abs(col("__c"))) / epsilon)
+      .select(groupCols.map(col) ++ Seq(col("true_count"),
+        round(col("true_count") + col("__noise"), roundTo)
+          .as("noisy_count"),
+        lit(epsilon).as("epsilon")): _*)
+  }
+
+  /** Candidate-key discovery: for each declared column combination,
+    * one profile row — total rows, distinct combinations, duplicated
+    * combinations, the largest duplicate group, and an is_key flag.
+    * The audit behind "can we merge on this" / "is this safe as a
+    * dedup identity" decisions, and the input to [[riAudit]]'s parent
+    * side.
+    *
+    * Each combo is one hash aggregation (k combos → k parallel
+    * branches of one lazy union plan — no driver loop over data).
+    */
+  def candidateKeys(df: DataFrame, combos: Seq[Seq[String]]): DataFrame = {
+    require(combos.nonEmpty, "no column combinations given")
+    combos.map { cols =>
+      df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__c"))
+        .agg(count(lit(1)).as("n_distinct"), sum(col("__c")).as("n_rows"),
+          sum(when(col("__c") > 1, 1L).otherwise(0L)).as("dup_keys"),
+          max(col("__c")).as("max_group"))
+        .select(lit(cols.mkString(",")).as("combo"), col("n_rows"),
+          col("n_distinct"), col("dup_keys"), col("max_group"),
+          when(col("dup_keys") === 0, 1).otherwise(0).as("is_key"))
+    }.reduce(_ unionAll _)
+  }
 }
