@@ -3273,7 +3273,9 @@ object MetricOps {
       col("__mr").as("__mr1"))
     val gb = grp.select(col("__g").as("g2"), col("__n").as("__n2"),
       col("__mr").as("__mr2"))
-    ga.join(gb, col("g1") < col("g2"))
+    // inequality-only pair join of two k-row frames: broadcast one side
+    // so the plan is a BroadcastNestedLoopJoin, never CartesianProduct
+    ga.join(broadcast(gb), col("g1") < col("g2"))
       .crossJoin(broadcast(tot)).crossJoin(broadcast(ties))
       .withColumn("__Nd", col("__N").cast("double"))
       .withColumn("__s2", col("__Nd") * (col("__Nd") + 1) / 12 -

@@ -617,6 +617,33 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q279-q298 family: every window keyed or pid-partitioned; " +
+    "forecast tables broadcast") {
+    for (q <- Seq("q279_pinball", "q280_mood_median", "q281_t_closeness",
+        "q282_pr_curve", "q283_lorenz", "q286_dunn",
+        "q289_hosmer_lemeshow", "q290_nelson_aalen", "q291_rmst",
+        "q292_anderson_darling", "q293_fleiss_kappa", "q294_msprt",
+        "q296_ses_backtest", "q298_rfm")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$q must keep every window partitioned")
+    }
+    // the per-slot quantile table and the SES level table are
+    // |groups|-bounded and must reach the holdout as broadcasts
+    for (q <- Seq("q279_pinball", "q296_ses_backtest")) {
+      val df = plan(q)
+      df.count()
+      val bhj = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case b: BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty, s"$q forecast join must broadcast")
+    }
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup",
       "q191_mutual_knn", "q194_label_prop", "q218_rec_list_metrics",
