@@ -5679,6 +5679,317 @@ object OracleSql {
         |  CAST((2 * CAST(sum(mon) * 100 AS HUGEINT) + count(*))
         |    // (2 * count(*)) AS DOUBLE) / 100 AS avg_monetary,
         |  round(CAST(sum(mon) AS DOUBLE), 2) AS total_monetary
-        |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+        |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q299_km_ci" ->
+      """WITH subj AS (SELECT user_id,
+        |    CAST(date_diff('day', CAST(min(ts) AS DATE),
+        |      CAST(coalesce(min(ts) FILTER (event_type = 'purchase'),
+        |        max(ts)) AS DATE)) AS BIGINT) AS dur,
+        |    CASE WHEN min(ts) FILTER (event_type = 'purchase')
+        |      IS NOT NULL THEN 1 ELSE 0 END AS ev
+        |  FROM events GROUP BY 1),
+        |h AS (SELECT dur AS t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM subj GROUP BY 1),
+        |r AS (SELECT t, d, c,
+        |    CAST((SELECT count(*) FROM subj)
+        |      - (sum(d + c) OVER w - (d + c)) AS BIGINT) AS n_risk
+        |  FROM h WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT t, d, c, n_risk,
+        |    CAST(CASE WHEN d > 0 AND d < n_risk
+        |      THEN round(ln(1 - CAST(d AS DOUBLE) / n_risk), 12)
+        |      ELSE 0 END AS DECIMAL(28,14)) AS lnf,
+        |    CAST(CASE WHEN d > 0 AND d < n_risk
+        |      THEN round(CAST(d AS DOUBLE)
+        |        / (CAST(n_risk AS DOUBLE) * (n_risk - d)), 12)
+        |      ELSE 0 END AS DECIMAL(28,14)) AS gw,
+        |    CASE WHEN d = n_risk THEN 1 ELSE 0 END AS z
+        |  FROM r),
+        |s AS (SELECT t, n_risk, d, c, sum(lnf) OVER w AS cl,
+        |    sum(gw) OVER w AS cg, sum(z) OVER w AS cz
+        |  FROM f WINDOW w AS (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |o AS (SELECT t, n_risk, d, c,
+        |    CASE WHEN cz > 0 THEN 0.0
+        |      ELSE exp(CAST(cl AS DOUBLE)) END AS sv,
+        |    CASE WHEN cz > 0 THEN 0.0
+        |      ELSE exp(CAST(cl AS DOUBLE))
+        |        * sqrt(CAST(cg AS DOUBLE)) END AS se
+        |  FROM s)
+        |SELECT t, n_risk, d, c, round(sv, 6) AS survival,
+        |  round(se, 6) AS se,
+        |  round(greatest(sv - 1.96 * se, 0.0), 6) AS lo,
+        |  round(least(sv + 1.96 * se, 1.0), 6) AS hi
+        |FROM o ORDER BY t""".stripMargin,
+
+    "q300_granger" ->
+      """WITH s AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS y,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT a.y AS y, b.y AS l, b.x AS m
+        |  FROM s a JOIN s b ON a.t = b.t + 1),
+        |mom AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+        |    CAST(sum(l) AS DECIMAL(38,0)) AS sl,
+        |    CAST(sum(m) AS DECIMAL(38,0)) AS sm,
+        |    CAST(sum(y * y) AS DECIMAL(38,0)) AS syy,
+        |    CAST(sum(y * l) AS DECIMAL(38,0)) AS syl,
+        |    CAST(sum(y * m) AS DECIMAL(38,0)) AS sym,
+        |    CAST(sum(l * l) AS DECIMAL(38,0)) AS sll,
+        |    CAST(sum(m * m) AS DECIMAL(38,0)) AS smm,
+        |    CAST(sum(l * m) AS DECIMAL(38,0)) AS slm FROM j),
+        |c AS (SELECT n,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+        |    CAST(n * syl - sy * sl AS DOUBLE) AS cyl,
+        |    CAST(n * sym - sy * sm AS DOUBLE) AS cym,
+        |    CAST(n * sll - sl * sl AS DOUBLE) AS cll,
+        |    CAST(n * smm - sm * sm AS DOUBLE) AS cmm,
+        |    CAST(n * slm - sl * sm AS DOUBLE) AS clm FROM mom),
+        |f AS (SELECT n, cll * cmm - clm * clm AS det, cyy, cyl, cym,
+        |    cll, cmm, clm,
+        |    CASE WHEN cll > 0 THEN (cyy - cyl * cyl / cll)
+        |      / CAST(n AS DOUBLE) END AS rssr FROM c),
+        |g AS (SELECT n, rssr,
+        |    CASE WHEN det > 0 THEN (cyy
+        |      - ((cyl * cmm - cym * clm) / det) * cyl
+        |      - ((cym * cll - cyl * clm) / det) * cym)
+        |      / CAST(n AS DOUBLE) END AS rssu FROM f)
+        |SELECT 'corpus' AS g, CAST(n AS BIGINT) AS n,
+        |  round(rssr, 6) AS rss_restricted,
+        |  round(rssu, 6) AS rss_unrestricted,
+        |  CASE WHEN rssu > 0 AND n > 3
+        |    THEN round((rssr - rssu) * CAST(n - 3 AS DOUBLE) / rssu, 6)
+        |  END AS granger_f
+        |FROM g""".stripMargin,
+
+    "q301_dr_offpolicy" ->
+      """WITH e AS (SELECT event_type AS a,
+        |    CAST(CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS DOUBLE)
+        |      AS r,
+        |    event_id % 2 AS sp FROM events),
+        |q AS (SELECT a, round(CAST(sum(CAST(round(r, 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS q
+        |  FROM e WHERE sp = 0 GROUP BY 1),
+        |qt AS (SELECT q AS qt FROM q WHERE a = 'click'),
+        |ev AS (SELECT a, r FROM e WHERE sp = 1),
+        |pr AS (SELECT a, CAST(count(*) AS BIGINT) AS na FROM ev
+        |  GROUP BY 1),
+        |tt AS (SELECT CAST(sum(na) AS BIGINT) AS nt FROM pr),
+        |w AS (SELECT ev.r, q.q, qt.qt,
+        |    CASE WHEN ev.a = 'click'
+        |      THEN least(CAST(nt AS DOUBLE) / na, 10.0) ELSE 0.0 END
+        |      AS rho
+        |  FROM ev LEFT JOIN q USING (a) JOIN pr USING (a), tt, qt),
+        |t AS (SELECT CAST(round(qt + rho * (r - coalesce(q, 0.0)), 12)
+        |      AS DECIMAL(38,12)) AS term,
+        |    CAST(round(rho * r, 12) AS DECIMAL(38,12)) AS ipst, qt
+        |  FROM w)
+        |SELECT CAST(count(*) AS BIGINT) AS n_eval,
+        |  round(max(qt), 6) AS direct_method,
+        |  round(CAST(sum(ipst) AS DOUBLE) / count(*), 6)
+        |    AS ips_clipped,
+        |  round(CAST(sum(term) AS DOUBLE) / count(*), 6) AS dr
+        |FROM t""".stripMargin,
+
+    "q302_hellinger" ->
+      """WITH h AS (SELECT round(value, 1) AS v,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS nb
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |a AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |    CAST(sum(nb) AS BIGINT) AS tb,
+        |    sum(CAST(round(sqrt(CAST(na * nb AS DOUBLE)), 12)
+        |      AS DECIMAL(38,12))) AS bcn FROM h),
+        |b AS (SELECT ta, tb, least(CAST(bcn AS DOUBLE)
+        |    / sqrt(CAST(ta AS DOUBLE) * tb), 1.0) AS bc FROM a)
+        |SELECT ta AS n_a, tb AS n_b, round(bc, 6) AS bc,
+        |  round(sqrt(1.0 - bc), 6) AS hellinger,
+        |  CASE WHEN bc > 0 THEN round(-ln(bc), 6) END
+        |    AS bhattacharyya
+        |FROM b""".stripMargin,
+
+    "q303_cmh" ->
+      """WITH e AS (SELECT event_type AS s,
+        |    CAST(user_id % 2 AS INT) AS x,
+        |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |g AS (SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS r1, CAST(sum(y) AS BIGINT) AS c1,
+        |    CAST(sum(x * y) AS BIGINT) AS a FROM e GROUP BY 1),
+        |t AS (SELECT *, r1 - a AS b, c1 - a AS c,
+        |    n - r1 - c1 + a AS d, CAST(n AS DOUBLE) AS nd FROM g),
+        |u AS (SELECT *, CAST(r1 AS DOUBLE) * c1 / nd AS e,
+        |    CASE WHEN n > 1 THEN CAST(r1 AS DOUBLE) * (n - r1) * c1
+        |      * (n - c1) / (nd * nd * (nd - 1)) END AS v FROM t),
+        |z AS (SELECT CAST(count(*) AS BIGINT) AS k_strata,
+        |    CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN v > 0 THEN CAST(round(a - e, 12)
+        |      AS DECIMAL(38,12)) END) AS DOUBLE) AS num,
+        |    CAST(sum(CASE WHEN v > 0 THEN CAST(round(v, 12)
+        |      AS DECIMAL(38,12)) END) AS DOUBLE) AS den,
+        |    CAST(sum(CASE WHEN n > 0 THEN CAST(round(
+        |      CAST(a AS DOUBLE) * d / nd, 12) AS DECIMAL(38,12)) END)
+        |      AS DOUBLE) AS orn,
+        |    CAST(sum(CASE WHEN n > 0 THEN CAST(round(
+        |      CAST(b AS DOUBLE) * c / nd, 12) AS DECIMAL(38,12)) END)
+        |      AS DOUBLE) AS ord FROM u)
+        |SELECT k_strata, n,
+        |  CASE WHEN den > 0 THEN round(pow(num, 2) / den, 6) END
+        |    AS cmh_chi2,
+        |  CASE WHEN ord > 0 THEN round(orn / ord, 6) END AS or_mh
+        |FROM z""".stripMargin,
+
+    "q304_morans_i" ->
+      """WITH nd AS (SELECT s_nationkey AS id,
+        |    CAST(sum(CAST(round(s_acctbal, 2) AS DECIMAL(18,2)))
+        |      AS DOUBLE) / count(*) AS x
+        |  FROM supplier GROUP BY 1),
+        |mb AS (SELECT round(CAST(sum(CAST(round(x, 6)
+        |      AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS xb
+        |  FROM nd),
+        |dv AS (SELECT id, x - xb AS d FROM nd, mb),
+        |den AS (SELECT sum(CAST(round(d * d, 12) AS DECIMAL(38,12)))
+        |    AS dd, CAST(count(*) AS BIGINT) AS nn FROM dv),
+        |ed AS (SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+        |  FROM nation a JOIN nation b
+        |    ON a.n_regionkey = b.n_regionkey
+        |  WHERE a.n_nationkey <> b.n_nationkey),
+        |nm AS (SELECT CAST(count(*) AS BIGINT) AS w,
+        |    sum(CAST(round(i.d * j.d, 12) AS DECIMAL(38,12))) AS cr
+        |  FROM ed JOIN dv i ON ed.src = i.id
+        |  JOIN dv j ON ed.dst = j.id)
+        |SELECT nn AS n_nodes, w AS n_edges,
+        |  CASE WHEN w > 0 AND CAST(dd AS DOUBLE) > 0
+        |    THEN round(CAST(nn AS DOUBLE) / w * CAST(cr AS DOUBLE)
+        |      / CAST(dd AS DOUBLE), 6) END AS morans_i
+        |FROM nm, den""".stripMargin,
+
+    "q305_info_gain" ->
+      """WITH e AS (SELECT
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    user_id % 8 AS ub,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) % 7 AS dow,
+        |    CAST(floor(value / 50) AS BIGINT) AS vb FROM events),
+        |c1 AS (SELECT ub AS x, y, CAST(count(*) AS BIGINT) AS nxy
+        |  FROM e GROUP BY 1, 2),
+        |mx1 AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM c1
+        |  GROUP BY 1),
+        |my1 AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM c1
+        |  GROUP BY 1),
+        |n1 AS (SELECT CAST(sum(nxy) AS BIGINT) AS nt FROM c1),
+        |h1 AS (SELECT sum(CAST(round(-(CAST(nx AS DOUBLE) / nt)
+        |    * ln(CAST(nx AS DOUBLE) / nt), 12) AS DECIMAL(28,14)))
+        |    AS hx FROM mx1, n1),
+        |m1 AS (SELECT sum(CAST(round((CAST(nxy AS DOUBLE) / nt)
+        |    * ln(CAST(nxy AS DOUBLE) * nt / (CAST(nx AS DOUBLE) * ny)),
+        |    12) AS DECIMAL(28,14))) AS mi, max(nt) AS nr
+        |  FROM c1 JOIN mx1 USING (x) JOIN my1 USING (y), n1),
+        |c2 AS (SELECT dow AS x, y, CAST(count(*) AS BIGINT) AS nxy
+        |  FROM e GROUP BY 1, 2),
+        |mx2 AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM c2
+        |  GROUP BY 1),
+        |my2 AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM c2
+        |  GROUP BY 1),
+        |n2 AS (SELECT CAST(sum(nxy) AS BIGINT) AS nt FROM c2),
+        |h2 AS (SELECT sum(CAST(round(-(CAST(nx AS DOUBLE) / nt)
+        |    * ln(CAST(nx AS DOUBLE) / nt), 12) AS DECIMAL(28,14)))
+        |    AS hx FROM mx2, n2),
+        |m2 AS (SELECT sum(CAST(round((CAST(nxy AS DOUBLE) / nt)
+        |    * ln(CAST(nxy AS DOUBLE) * nt / (CAST(nx AS DOUBLE) * ny)),
+        |    12) AS DECIMAL(28,14))) AS mi, max(nt) AS nr
+        |  FROM c2 JOIN mx2 USING (x) JOIN my2 USING (y), n2),
+        |c3 AS (SELECT vb AS x, y, CAST(count(*) AS BIGINT) AS nxy
+        |  FROM e GROUP BY 1, 2),
+        |mx3 AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM c3
+        |  GROUP BY 1),
+        |my3 AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM c3
+        |  GROUP BY 1),
+        |n3 AS (SELECT CAST(sum(nxy) AS BIGINT) AS nt FROM c3),
+        |h3 AS (SELECT sum(CAST(round(-(CAST(nx AS DOUBLE) / nt)
+        |    * ln(CAST(nx AS DOUBLE) / nt), 12) AS DECIMAL(28,14)))
+        |    AS hx FROM mx3, n3),
+        |m3 AS (SELECT sum(CAST(round((CAST(nxy AS DOUBLE) / nt)
+        |    * ln(CAST(nxy AS DOUBLE) * nt / (CAST(nx AS DOUBLE) * ny)),
+        |    12) AS DECIMAL(28,14))) AS mi, max(nt) AS nr
+        |  FROM c3 JOIN mx3 USING (x) JOIN my3 USING (y), n3)
+        |SELECT 'ub' AS feature, nr AS n_rows,
+        |  round(CAST(mi AS DOUBLE), 6) AS mi_nats,
+        |  round(CAST(hx AS DOUBLE), 6) AS h_feature,
+        |  CASE WHEN CAST(hx AS DOUBLE) > 0 THEN
+        |    round(CAST(mi AS DOUBLE) / CAST(hx AS DOUBLE), 6) END
+        |    AS ig_ratio FROM m1, h1
+        |UNION ALL
+        |SELECT 'dow', nr, round(CAST(mi AS DOUBLE), 6),
+        |  round(CAST(hx AS DOUBLE), 6),
+        |  CASE WHEN CAST(hx AS DOUBLE) > 0 THEN
+        |    round(CAST(mi AS DOUBLE) / CAST(hx AS DOUBLE), 6) END
+        |  FROM m2, h2
+        |UNION ALL
+        |SELECT 'vb', nr, round(CAST(mi AS DOUBLE), 6),
+        |  round(CAST(hx AS DOUBLE), 6),
+        |  CASE WHEN CAST(hx AS DOUBLE) > 0 THEN
+        |    round(CAST(mi AS DOUBLE) / CAST(hx AS DOUBLE), 6) END
+        |  FROM m3, h3
+        |ORDER BY feature""".stripMargin,
+
+    "q306_chow" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |b AS (SELECT g, x, y,
+        |    CASE WHEN x < 19744 THEN 0 ELSE 1 END AS seg FROM s),
+        |sm AS (SELECT g, seg, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+        |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+        |    CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+        |    CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+        |  FROM b GROUP BY 1, 2),
+        |sr AS (SELECT g, seg, n,
+        |    CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+        |      (CAST(n * syy - sy * sy AS DOUBLE)
+        |        - pow(CAST(n * sxy - sx * sy AS DOUBLE), 2)
+        |          / CAST(n * sxx - sx * sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) END AS rss FROM sm),
+        |sg AS (SELECT g, CAST(count(*) AS BIGINT) AS nseg,
+        |    sum(CASE WHEN seg = 0 THEN n END) AS n1,
+        |    sum(CASE WHEN seg = 1 THEN n END) AS n2,
+        |    min(n) AS minn,
+        |    sum(CAST(round(rss, 8) AS DECIMAL(38,12))) AS rsum
+        |  FROM sr GROUP BY 1),
+        |pm AS (SELECT g, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+        |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+        |    CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+        |    CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+        |  FROM b GROUP BY 1),
+        |pr AS (SELECT g,
+        |    CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0 THEN
+        |      (CAST(n * syy - sy * sy AS DOUBLE)
+        |        - pow(CAST(n * sxy - sx * sy AS DOUBLE), 2)
+        |          / CAST(n * sxx - sx * sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE) END AS rssp FROM pm)
+        |SELECT sg.g AS event_type, CAST(n1 AS BIGINT) AS n1,
+        |  CAST(n2 AS BIGINT) AS n2, round(rssp, 6) AS rss_pooled,
+        |  round(CAST(rsum AS DOUBLE), 6) AS rss_split,
+        |  CASE WHEN nseg = 2 AND minn > 2
+        |      AND CAST(rsum AS DOUBLE) > 0
+        |      AND CAST(n1 + n2 AS DOUBLE) > 4
+        |    THEN round((rssp - CAST(rsum AS DOUBLE)) / 2
+        |      / (CAST(rsum AS DOUBLE)
+        |        / (CAST(n1 + n2 AS DOUBLE) - 4)), 6) END AS chow_f
+        |FROM sg JOIN pr ON sg.g = pr.g ORDER BY 1""".stripMargin
   )
 }

@@ -3333,7 +3333,99 @@ object SparkEntry {
     "q298_rfm" -> ((s, d) =>
       EncodeOps.rfmSegments(Tables.events(s, d), "user_id", "ts",
           "value")
-        .orderBy("r_q", "f_q", "m_q"))
+        .orderBy("r_q", "f_q", "m_q")),
+
+    // L244 — KM curve with Greenwood bands on q183's subjects: the
+    // release-grade survival readout (point estimate ± band).
+    "q299_km_ci" -> ((s, d) => {
+      val subj = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(min(col("ts")).as("__t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("__tp"),
+          max(col("ts")).as("__tmax"))
+        .select(datediff(coalesce(col("__tp"), col("__tmax")).cast("date"),
+            col("__t0").cast("date")).cast("long").as("dur"),
+          when(col("__tp").isNotNull, 1).otherwise(0).as("ev"))
+      MetricOps.kaplanMeierCi(subj, "dur", "ev").orderBy("t")
+    }),
+
+    // L245 — Granger lag-1 F: do yesterday's clicks explain today's
+    // purchases beyond yesterday's purchases? (q258 CCF's follow-up)
+    "q300_granger" -> ((s, d) =>
+      MetricOps.grangerCausality(
+          Tables.events(s, d)
+            .groupBy(datediff(to_date(col("ts")), lit("1970-01-01"))
+              .as("day"))
+            .agg(sum(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("y"),
+              sum(when(col("event_type") === "click", 1L)
+                .otherwise(0L)).as("x"))
+            .withColumn("g", lit("corpus")),
+          "g", "day", "y", "x")),
+
+    // L246 — doubly-robust off-policy value of always-click, next to
+    // q237's IPS/SNIPS (model split = even event ids).
+    "q301_dr_offpolicy" -> ((s, d) =>
+      ExperimentOps.doublyRobust(
+        labeled(s, d).withColumn("sp", (col("event_id") % 2).cast("int")),
+        "event_type", "label", "sp", targetAction = "click",
+        clipAt = 10.0)),
+
+    // L247 — Hellinger/Bhattacharyya distance between click and view
+    // value histograms: the bounded drift metric next to PSI (q106),
+    // JS (q122), W₁ (q184).
+    "q302_hellinger" -> ((s, d) =>
+      MetricOps.hellingerDrift(Tables.events(s, d), "event_type",
+        "value", "click", "view")),
+
+    // L248 — CMH stratified 2×2: user-parity exposure vs label outcome
+    // holding event type fixed (the Simpson-proof pooled test).
+    "q303_cmh" -> ((s, d) =>
+      MetricOps.cmhTest(
+        labeled(s, d)
+          .withColumn("exposed", (col("user_id") % 2).cast("int")),
+        "event_type", "exposed", "label")),
+
+    // L249 — Moran's I of mean supplier balance over the same-region
+    // nation graph: do neighboring nations hold similar balances?
+    "q304_morans_i" -> ((s, d) => {
+      val nodes = Tables.supplier(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg((sum(round(col("s_acctbal"), 2).cast("decimal(18,2)"))
+          .cast("double") / count(lit(1))).as("xbar"))
+      val nat = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val edges = nat.select(col("n_nationkey").as("src"),
+          col("n_regionkey").as("rk"))
+        .join(nat.select(col("n_nationkey").as("dst"),
+          col("n_regionkey").as("rk")), "rk")
+        .select(col("src"), col("dst"))
+      GraphOps.moransI(nodes, "s_nationkey", "xbar", edges, "src", "dst")
+    }),
+
+    // L250 — information-gain ranking of three candidate features for
+    // the purchase label (C4.5 gain ratio, before any training).
+    "q305_info_gain" -> ((s, d) =>
+      MetricOps.featureInfoGain(
+          Tables.events(s, d)
+            .withColumn("label",
+              when(col("event_type") === "purchase", 1).otherwise(0))
+            .withColumn("ub", (col("user_id") % 8).cast("long"))
+            .withColumn("dow",
+              pmod(datediff(to_date(col("ts")), lit("1970-01-01")), lit(7)))
+            .withColumn("vb", floor(col("value") / 50).cast("long")),
+          "label", Seq("ub", "dow", "vb"))
+        .orderBy("feature")),
+
+    // L251 — Chow break test at the q279/q296 split day: does each
+    // event type's daily-volume trend line break at the holdout?
+    "q306_chow" -> ((s, d) =>
+      MetricOps.chowTest(
+          Tables.events(s, d)
+            .groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          "event_type", "day", "y", breakX = 19744L)
+        .orderBy("event_type"))
   )
 
   // ------------------------------------------------------------- oracles

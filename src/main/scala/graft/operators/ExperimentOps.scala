@@ -390,4 +390,50 @@ object ExperimentOps {
         col("__llr").as("log_lambda"),
         when(col("__llr") >= bound, 1).otherwise(0).as("crossed"))
   }
+
+  /** Doubly-robust off-policy estimate — [[offPolicyValue]]'s IPS
+    * with a direct-method control variate: on the eval split,
+    * DR = mean( q̂(target) + ρ·(r − q̂(a)) ) with q̂ the per-action
+    * mean reward fit on the MODEL split and ρ the clipped inverse
+    * propensity. Unbiased if EITHER the model or the propensities are
+    * right, and far lower variance than IPS when rewards are
+    * predictable — the estimator production off-policy evals default
+    * to.
+    *
+    * The q̂ table is |actions| rows, ROUNDED to 6 dp (the shared-
+    * constant rule) and broadcast; propensities come from the eval
+    * split itself; per-row terms snap to 12 dp and decimal-sum.
+    */
+  def doublyRobust(df: DataFrame, actionCol: String, rewardCol: String,
+                   splitCol: String, targetAction: String,
+                   clipAt: Double, roundTo: Int = 6): DataFrame = {
+    val base = df.select(col(actionCol).as("__a"),
+      col(rewardCol).cast("double").as("__r"),
+      col(splitCol).cast("int").as("__sp"))
+    val qhat = base.filter(col("__sp") === 0)
+      .groupBy(col("__a"))
+      .agg(round(sum(round(col("__r"), 6).cast("decimal(28,6)"))
+        .cast("double") / count(lit(1)), 6).as("__q"))
+    val qt = qhat.filter(col("__a") === targetAction)
+      .select(col("__q").as("__qt"))
+    val ev = base.filter(col("__sp") === 1)
+    val prop = ev.groupBy(col("__a")).agg(count(lit(1)).as("__na"))
+    val tot = prop.agg(sum(col("__na")).as("__nt"))
+    ev.join(broadcast(qhat), Seq("__a"), "left")
+      .join(broadcast(prop), "__a")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(qt))
+      .withColumn("__rho", when(col("__a") === targetAction,
+        least(col("__nt").cast("double") / col("__na"), lit(clipAt)))
+        .otherwise(lit(0.0)))
+      .withColumn("__term", round(col("__qt") +
+        col("__rho") * (col("__r") - coalesce(col("__q"), lit(0.0))),
+        12).cast("decimal(38,12)"))
+      .agg(count(lit(1)).as("n_eval"),
+        round(first(col("__qt")), roundTo).as("direct_method"),
+        round(sum(round(col("__rho") * col("__r"), 12)
+          .cast("decimal(38,12)")).cast("double") / count(lit(1)),
+          roundTo).as("ips_clipped"),
+        round(sum(col("__term")).cast("double") / count(lit(1)),
+          roundTo).as("dr"))
+  }
 }

@@ -559,4 +559,47 @@ object GraphOps {
           (coalesce(col("__dc"), lit(0L)).cast("double") /
             (lit(2.0) * col("__m"))), roundTo).as("q_contrib"))
   }
+
+  /** Moran's I spatial/network autocorrelation: for a node attribute
+    * x and a 0/1 adjacency edge list, I = (n/W)·Σ_{ij} w_ij·dᵢ·dⱼ /
+    * Σᵢ dᵢ² with d = x − x̄ — "do connected nodes carry similar
+    * values?" Positive I = homophily, negative = checkerboard. The
+    * scalar companion to [[assortativity]] (which correlates degrees;
+    * this correlates any attribute).
+    *
+    * x̄ is one broadcast aggregate ROUNDED at 6 dp (shared-constant
+    * rule); the numerator is TWO hash joins of the edge list against
+    * the |nodes| deviation table (never node²); cross-products snap
+    * to 12 dp and decimal-sum.
+    */
+  def moransI(nodes: DataFrame, idCol: String, valCol: String,
+              edges: DataFrame, srcCol: String, dstCol: String,
+              roundTo: Int = 6): DataFrame = {
+    val v = nodes.select(col(idCol).as("__id"),
+      col(valCol).cast("double").as("__x"))
+    val mean = v.agg(round(sum(round(col("__x"), 6)
+        .cast("decimal(28,6)")).cast("double") / count(lit(1)), 6)
+      .as("__xb"))
+    val dev = v.crossJoin(broadcast(mean))
+      .select(col("__id"), (col("__x") - col("__xb")).as("__d"))
+      .localCheckpoint(true) // both edge endpoints + the Σd² read it
+    val den = dev.agg(sum(round(col("__d") * col("__d"), 12)
+        .cast("decimal(38,12)")).as("__dd"),
+      count(lit(1)).as("__nn"))
+    val num = edges.filter(col(srcCol) =!= col(dstCol))
+      .join(dev.select(col("__id").as("__s"), col("__d").as("__di")),
+        col(srcCol) === col("__s"))
+      .join(dev.select(col("__id").as("__t"), col("__d").as("__dj")),
+        col(dstCol) === col("__t"))
+      .agg(count(lit(1)).as("__w"),
+        sum(round(col("__di") * col("__dj"), 12)
+          .cast("decimal(38,12)")).as("__cross"))
+    num.crossJoin(broadcast(den))
+      .select(col("__nn").cast("long").as("n_nodes"),
+        col("__w").cast("long").as("n_edges"),
+        when(col("__w") > 0 && col("__dd").cast("double") > 0,
+          round(col("__nn").cast("double") / col("__w") *
+            col("__cross").cast("double") /
+            col("__dd").cast("double"), roundTo)).as("morans_i"))
+  }
 }

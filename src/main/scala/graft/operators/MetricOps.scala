@@ -3665,4 +3665,317 @@ object MetricOps {
           sum(round(abs(col("__y")), 6).cast("decimal(38,6)"))
             .cast("double"), roundTo)).as("wape"))
   }
+
+  /** Kaplan–Meier with Greenwood confidence bands — [[kaplanMeier]]
+    * plus the variance readout a release decision needs: Greenwood's
+    * Var[Ŝ] = Ŝ²·Σ d/(n(n−d)), se = Ŝ·√Σ, and the plain linear
+    * z-band clamped to [0,1] (the log-log transform is prettier near
+    * the edges but the linear band is the one every engine computes
+    * identically). After a saturated step (Ŝ = 0) the band collapses
+    * to 0.
+    *
+    * Third cumulated column on the same duration-histogram machinery
+    * (risk sets + ln-product + Greenwood terms all ride
+    * [[rangeCumSum]]); Greenwood increments snap to 12 dp.
+    */
+  def kaplanMeierCi(df: DataFrame, durCol: String, eventCol: String,
+                    z: Double = 1.96, roundTo: Int = 6): DataFrame = {
+    val hist = df.groupBy(col(durCol).cast("long").as("t"))
+      .agg(sum(when(col(eventCol) === 1, 1L).otherwise(0L)).as("d"),
+        sum(when(col(eventCol) === 1, 0L).otherwise(1L)).as("c"))
+      .withColumn("__all", col("d") + col("c"))
+    val cum = rangeCumSum(hist, "t", Seq("__all"))
+    val tot = hist.agg(sum(col("__all")).as("__N"))
+    val risk = cum.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("__N") - (col("__cum___all") - col("__all")))
+      .withColumn("__lnf", when(col("d") > 0 && col("d") < col("n_risk"),
+          round(log(lit(1.0) - col("d") / col("n_risk")), 12))
+        .otherwise(lit(0.0)).cast("decimal(28,14)"))
+      .withColumn("__gw", when(col("d") > 0 && col("d") < col("n_risk"),
+          round(col("d").cast("double") /
+            (col("n_risk").cast("double") * (col("n_risk") - col("d"))),
+            12))
+        .otherwise(lit(0.0)).cast("decimal(28,14)"))
+      .withColumn("__zero", when(col("d") === col("n_risk"), 1L)
+        .otherwise(0L))
+      .select(col("t"), col("d"), col("c"), col("n_risk"),
+        col("__lnf"), col("__gw"), col("__zero"))
+    rangeCumSum(risk, "t", Seq("__lnf", "__gw", "__zero"))
+      .withColumn("__s", when(col("__cum___zero") > 0, lit(0.0))
+        .otherwise(exp(col("__cum___lnf").cast("double"))))
+      .withColumn("__se", when(col("__cum___zero") > 0, lit(0.0))
+        .otherwise(col("__s") * sqrt(col("__cum___gw").cast("double"))))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        round(col("__s"), roundTo).as("survival"),
+        round(col("__se"), roundTo).as("se"),
+        round(greatest(col("__s") - lit(z) * col("__se"), lit(0.0)), roundTo)
+          .as("lo"),
+        round(least(col("__s") + lit(z) * col("__se"), lit(1.0)), roundTo)
+          .as("hi"))
+  }
+
+  /** Granger-causality F (lag-1) on a pair of ALREADY-AGGREGATED
+    * series: does yesterday's x improve today's y beyond yesterday's
+    * y? Restricted model yₜ ~ yₜ₋₁ vs unrestricted yₜ ~ yₜ₋₁ + xₜ₋₁,
+    * F = (RSSᵣ−RSSᵤ)·(n−3)/RSSᵤ with 1 numerator dof — the
+    * inferential follow-up to [[crossCorrelation]]'s descriptive CCF.
+    *
+    * The lag is an EQUI-JOIN on t = t+1 (never a window), the 10 raw
+    * moments accumulate as exact DECIMAL, and the normal equations
+    * solve in closed form (2×2 after centering) as one deterministic
+    * double formula — both engines run the identical arithmetic.
+    */
+  def grangerCausality(series: DataFrame, groupCol: String, xCol: String,
+                       yCol: String, driverCol: String,
+                       roundTo: Int = 6): DataFrame = {
+    val base = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__t"),
+      col(yCol).cast("long").as("__y"),
+      col(driverCol).cast("long").as("__z"))
+    val prev = base.select(col("__g"), (col("__t") + 1).as("__t"),
+      col("__y").as("__l"), col("__z").as("__m"))
+    val mom = base.join(prev, Seq("__g", "__t"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__y")).cast("decimal(38,0)").as("__sy"),
+        sum(col("__l")).cast("decimal(38,0)").as("__sl"),
+        sum(col("__m")).cast("decimal(38,0)").as("__sm"),
+        sum(col("__y") * col("__y")).cast("decimal(38,0)").as("__syy"),
+        sum(col("__y") * col("__l")).cast("decimal(38,0)").as("__syl"),
+        sum(col("__y") * col("__m")).cast("decimal(38,0)").as("__sym"),
+        sum(col("__l") * col("__l")).cast("decimal(38,0)").as("__sll"),
+        sum(col("__m") * col("__m")).cast("decimal(38,0)").as("__smm"),
+        sum(col("__l") * col("__m")).cast("decimal(38,0)").as("__slm"))
+    mom
+      .withColumn("__cyy", (col("__n") * col("__syy") -
+        col("__sy") * col("__sy")).cast("double"))
+      .withColumn("__cyl", (col("__n") * col("__syl") -
+        col("__sy") * col("__sl")).cast("double"))
+      .withColumn("__cym", (col("__n") * col("__sym") -
+        col("__sy") * col("__sm")).cast("double"))
+      .withColumn("__cll", (col("__n") * col("__sll") -
+        col("__sl") * col("__sl")).cast("double"))
+      .withColumn("__cmm", (col("__n") * col("__smm") -
+        col("__sm") * col("__sm")).cast("double"))
+      .withColumn("__clm", (col("__n") * col("__slm") -
+        col("__sl") * col("__sm")).cast("double"))
+      .withColumn("__det", col("__cll") * col("__cmm") -
+        col("__clm") * col("__clm"))
+      .withColumn("__rssr", when(col("__cll") > 0,
+        (col("__cyy") - col("__cyl") * col("__cyl") / col("__cll")) /
+          col("__n").cast("double")))
+      .withColumn("__b", when(col("__det") > 0,
+        (col("__cyl") * col("__cmm") - col("__cym") * col("__clm")) /
+          col("__det")))
+      .withColumn("__c2", when(col("__det") > 0,
+        (col("__cym") * col("__cll") - col("__cyl") * col("__clm")) /
+          col("__det")))
+      .withColumn("__rssu", when(col("__det") > 0,
+        (col("__cyy") - col("__b") * col("__cyl") -
+          col("__c2") * col("__cym")) / col("__n").cast("double")))
+      .select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
+        round(col("__rssr"), roundTo).as("rss_restricted"),
+        round(col("__rssu"), roundTo).as("rss_unrestricted"),
+        when(col("__rssu") > 0 && col("__n") > 3,
+          round((col("__rssr") - col("__rssu")) *
+            (col("__n") - 3).cast("double") / col("__rssu"), roundTo))
+          .as("granger_f"))
+  }
+
+  /** Hellinger / Bhattacharyya distribution distance between two
+    * sides' value histograms — the bounded-metric companion to PSI
+    * (unbounded logs) and Wasserstein (scale-dependent):
+    * BC = Σ√(pᵢqᵢ) ∈ [0,1], H = √(1−BC), D_B = −ln BC.
+    *
+    * One quantized histogram with per-side counts is the only
+    * shuffled object. √(nᵃᵢ·nᵇᵢ) terms are exact-integer inputs to a
+    * correctly-rounded IEEE sqrt (identical across engines), snapped
+    * to 12 dp and decimal-summed; ONE division by √(Nₐ·N_b) at the
+    * end.
+    */
+  def hellingerDrift(df: DataFrame, sideCol: String, valCol: String,
+                     sideA: Any, sideB: Any, roundVals: Int = 1,
+                     roundTo: Int = 6): DataFrame = {
+    val hist = df.filter(col(sideCol).isin(sideA, sideB))
+      .select(round(col(valCol).cast("double"), roundVals).as("__v"),
+        when(col(sideCol) === lit(sideA), 1L).otherwise(0L).as("__ia"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__ia")).as("__na"),
+        sum(lit(1L) - col("__ia")).as("__nb"))
+    hist.agg(sum(col("__na")).as("__ta"), sum(col("__nb")).as("__tb"),
+        sum(round(sqrt((col("__na") * col("__nb")).cast("double")), 12)
+          .cast("decimal(38,12)")).as("__bcn"))
+      .withColumn("__bc", least(col("__bcn").cast("double") /
+        sqrt(col("__ta").cast("double") * col("__tb")), lit(1.0)))
+      .select(col("__ta").cast("long").as("n_a"),
+        col("__tb").cast("long").as("n_b"),
+        round(col("__bc"), roundTo).as("bc"),
+        round(sqrt(lit(1.0) - col("__bc")), roundTo).as("hellinger"),
+        when(col("__bc") > 0, round(-log(col("__bc")), roundTo))
+          .as("bhattacharyya"))
+  }
+
+  /** Cochran–Mantel–Haenszel test + MH pooled odds ratio: the
+    * stratified 2×2 family — "is exposure associated with outcome
+    * once the stratifying confounder is held fixed?" CMH =
+    * (Σ(aₖ−Eₖ))²/ΣVₖ with the hypergeometric Eₖ = r₁c₁/n and
+    * Vₖ = r₁r₀c₁c₀/(n²(n−1)); OR_MH = Σ(a·d/n)/Σ(b·c/n). The
+    * Simpson's-paradox-proof readout [[chiSquare]] on the pooled
+    * table cannot give.
+    *
+    * One aggregate per stratum; all four per-stratum terms snap to
+    * 12 dp and sum as DECIMAL. Degenerate strata (n ≤ 1 or an empty
+    * margin ⇒ V = 0) contribute nothing to either sum — the standard
+    * convention.
+    */
+  def cmhTest(df: DataFrame, strataCol: String, exposureCol: String,
+              outcomeCol: String, roundTo: Int = 6): DataFrame = {
+    val s = df.groupBy(col(strataCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(exposureCol).cast("long")).as("__r1"),
+        sum(col(outcomeCol).cast("long")).as("__c1"),
+        sum((col(exposureCol).cast("long") *
+          col(outcomeCol).cast("long"))).as("__a"))
+      .withColumn("__b", col("__r1") - col("__a"))
+      .withColumn("__c", col("__c1") - col("__a"))
+      .withColumn("__d",
+        col("__n") - col("__r1") - col("__c1") + col("__a"))
+      .withColumn("__nd", col("__n").cast("double"))
+      .withColumn("__e", col("__r1").cast("double") * col("__c1") /
+        col("__nd"))
+      .withColumn("__v", when(col("__n") > 1,
+        col("__r1").cast("double") * (col("__n") - col("__r1")) *
+          col("__c1") * (col("__n") - col("__c1")) /
+          (col("__nd") * col("__nd") * (col("__nd") - 1))))
+    s.agg(count(lit(1)).cast("long").as("k_strata"),
+        sum(col("__n")).cast("long").as("n"),
+        sum(when(col("__v") > 0, round(col("__a") - col("__e"), 12))
+          .cast("decimal(38,12)")).as("__num"),
+        sum(when(col("__v") > 0, round(col("__v"), 12))
+          .cast("decimal(38,12)")).as("__den"),
+        sum(when(col("__n") > 0, round(col("__a").cast("double") *
+            col("__d") / col("__nd"), 12)).cast("decimal(38,12)"))
+          .as("__orn"),
+        sum(when(col("__n") > 0, round(col("__b").cast("double") *
+            col("__c") / col("__nd"), 12)).cast("decimal(38,12)"))
+          .as("__ord"))
+      .select(col("k_strata"), col("n"),
+        when(col("__den").cast("double") > 0,
+          round(pow(col("__num").cast("double"), 2) /
+            col("__den").cast("double"), roundTo)).as("cmh_chi2"),
+        when(col("__ord").cast("double") > 0,
+          round(col("__orn").cast("double") /
+            col("__ord").cast("double"), roundTo)).as("or_mh"))
+  }
+
+  /** Information-gain feature ranking — [[mutualInfo]] swept across a
+    * feature list and normalized by each feature's own entropy
+    * (IG ratio ∈ [0,1], the C4.5 split criterion): which columns are
+    * worth a model's attention for this label, before any training
+    * run.
+    *
+    * One contingency aggregate per feature (a lazy union of k
+    * branches, like [[graft.operators.QualityChecks.candidateKeys]]);
+    * marginals broadcast; MI and H(X) terms snap to 12 dp and
+    * decimal-sum.
+    */
+  def featureInfoGain(df: DataFrame, labelCol: String,
+                      featureCols: Seq[String],
+                      roundTo: Int = 6): DataFrame = {
+    require(featureCols.nonEmpty, "no feature columns given")
+    featureCols.map { f =>
+      val joint = df.groupBy(col(f).cast("string").as("__x"),
+          col(labelCol).cast("string").as("__y"))
+        .agg(count(lit(1)).as("__nxy"))
+        .localCheckpoint(true) // marginals + total re-read it
+      val mx = joint.groupBy("__x")
+        .agg(sum("__nxy").cast("long").as("__nx"))
+      val my = joint.groupBy("__y")
+        .agg(sum("__nxy").cast("long").as("__ny"))
+      val n = joint.agg(sum("__nxy").cast("long").as("__nt"))
+      val hx = mx.crossJoin(broadcast(n))
+        .agg(sum(round(-(col("__nx").cast("double") / col("__nt")) *
+            log(col("__nx").cast("double") / col("__nt")), 12)
+          .cast("decimal(28,14)")).as("__hx"))
+      joint.join(broadcast(mx), "__x").join(broadcast(my), "__y")
+        .crossJoin(broadcast(n))
+        .withColumn("__term",
+          round((col("__nxy").cast("double") / col("__nt")) *
+            log(col("__nxy").cast("double") * col("__nt") /
+              (col("__nx").cast("double") * col("__ny"))), 12)
+            .cast("decimal(28,14)"))
+        .agg(sum(col("__term")).as("__mi"), max(col("__nt")).as("__nr"))
+        .crossJoin(broadcast(hx))
+        .select(lit(f).as("feature"), col("__nr").as("n_rows"),
+          round(col("__mi").cast("double"), roundTo).as("mi_nats"),
+          round(col("__hx").cast("double"), roundTo).as("h_feature"),
+          when(col("__hx").cast("double") > 0,
+            round(col("__mi").cast("double") /
+              col("__hx").cast("double"), roundTo)).as("ig_ratio"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Chow structural-break F-test at a KNOWN breakpoint on an
+    * ALREADY-AGGREGATED (group, x, y) series — do the two segments
+    * want different regression lines? F = ((RSSₚ−RSS₁−RSS₂)/2) /
+    * ((RSS₁+RSS₂)/(n₁+n₂−4)). The confirmatory follow-up to the
+    * change-DETECTION family (CUSUM/Pettitt), which hunts the
+    * breakpoint this test then judges.
+    *
+    * Per-(group, segment) exact-DECIMAL moment rows (≤ 2 per group);
+    * every RSS is the same closed-form double formula from those
+    * sums; degenerate segments (n ≤ 2 or zero x-variance) null the
+    * statistic.
+    */
+  def chowTest(series: DataFrame, groupCol: String, xCol: String,
+               yCol: String, breakX: Long, roundTo: Int = 6): DataFrame = {
+    val base = series.select(col(groupCol).as("__g"),
+      col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .withColumn("__seg", when(col("__x") < breakX, 0).otherwise(1))
+    def rssCol(pfx: String) = when(
+      (col(s"${pfx}n") * col(s"${pfx}sxx") -
+        col(s"${pfx}sx") * col(s"${pfx}sx")).cast("double") > 0,
+      ((col(s"${pfx}n") * col(s"${pfx}syy") -
+        col(s"${pfx}sy") * col(s"${pfx}sy")).cast("double") -
+        pow((col(s"${pfx}n") * col(s"${pfx}sxy") -
+          col(s"${pfx}sx") * col(s"${pfx}sy")).cast("double"), 2) /
+        (col(s"${pfx}n") * col(s"${pfx}sxx") -
+          col(s"${pfx}sx") * col(s"${pfx}sx")).cast("double")) /
+        col(s"${pfx}n").cast("double"))
+    def moments(d: DataFrame, keys: Seq[String], pfx: String) =
+      d.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).cast("decimal(38,0)").as(s"${pfx}n"),
+          sum(col("__x")).cast("decimal(38,0)").as(s"${pfx}sx"),
+          sum(col("__y")).cast("decimal(38,0)").as(s"${pfx}sy"),
+          sum(col("__x") * col("__x")).cast("decimal(38,0)")
+            .as(s"${pfx}sxx"),
+          sum(col("__x") * col("__y")).cast("decimal(38,0)")
+            .as(s"${pfx}sxy"),
+          sum(col("__y") * col("__y")).cast("decimal(38,0)")
+            .as(s"${pfx}syy"))
+    val segs = moments(base, Seq("__g", "__seg"), "__s")
+      .withColumn("__rss", rssCol("__s"))
+      .groupBy("__g")
+      .agg(count(lit(1)).as("__nseg"),
+        sum(when(col("__seg") === 0, col("__sn"))).as("__n1"),
+        sum(when(col("__seg") === 1, col("__sn"))).as("__n2"),
+        min(col("__sn")).as("__minn"),
+        sum(round(col("__rss"), 8).cast("decimal(38,12)")).as("__rsum"))
+    val pooled = moments(base, Seq("__g"), "__p")
+      .withColumn("__rssp", rssCol("__p"))
+      .select(col("__g"), col("__rssp"))
+    segs.join(pooled, "__g")
+      .withColumn("__ntot", (col("__n1") + col("__n2")).cast("double"))
+      .withColumn("__rs", col("__rsum").cast("double"))
+      .select(col("__g").as(groupCol),
+        col("__n1").cast("long").as("n1"),
+        col("__n2").cast("long").as("n2"),
+        round(col("__rssp"), roundTo).as("rss_pooled"),
+        round(col("__rs"), roundTo).as("rss_split"),
+        when(col("__nseg") === 2 && col("__minn") > 2 &&
+          col("__rs") > 0 && col("__ntot") > 4,
+          round((col("__rssp") - col("__rs")) / 2 /
+            (col("__rs") / (col("__ntot") - 4)), roundTo))
+          .as("chow_f"))
+  }
 }

@@ -623,7 +623,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         "q282_pr_curve", "q283_lorenz", "q286_dunn",
         "q289_hosmer_lemeshow", "q290_nelson_aalen", "q291_rmst",
         "q292_anderson_darling", "q293_fleiss_kappa", "q294_msprt",
-        "q296_ses_backtest", "q298_rfm")) {
+        "q296_ses_backtest", "q298_rfm", "q299_km_ci")) {
       val df = plan(q)
       df.count()
       val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
@@ -631,6 +631,16 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       }
       assert(wins.forall(_.partitionSpec.nonEmpty),
         s"$q must keep every window partitioned")
+    }
+    // moment-only tests must stay windowless: the Granger lag is an
+    // equi-join, the Chow segments are plain aggregates
+    for (q <- Seq("q300_granger", "q303_cmh", "q306_chow")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty, s"$q must not plan any window")
     }
     // the per-slot quantile table and the SES level table are
     // |groups|-bounded and must reach the holdout as broadcasts
