@@ -5990,6 +5990,238 @@ object OracleSql {
         |    THEN round((rssp - CAST(rsum AS DOUBLE)) / 2
         |      / (CAST(rsum AS DOUBLE)
         |        / (CAST(n1 + n2 AS DOUBLE) - 4)), 6) END AS chow_f
-        |FROM sg JOIN pr ON sg.g = pr.g ORDER BY 1""".stripMargin
+        |FROM sg JOIN pr ON sg.g = pr.g ORDER BY 1""".stripMargin,
+
+    "q307_kuiper" ->
+      """WITH h AS (SELECT round(value, 4) AS v,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS la,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS lb
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(la) AS BIGINT) AS ta,
+        |    CAST(sum(lb) AS BIGINT) AS tb FROM h),
+        |c AS (SELECT sum(la) OVER w AS cla, sum(lb) OVER w AS clb
+        |  FROM h WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT CAST(cla AS DECIMAL(38,0)) * tb
+        |    - CAST(clb AS DECIMAL(38,0)) * ta AS gap, ta, tb
+        |  FROM c, tot),
+        |a AS (SELECT max(ta) AS ta, max(tb) AS tb,
+        |    greatest(max(gap), CAST(0 AS DECIMAL(38,0))) AS dp,
+        |    greatest(max(-gap), CAST(0 AS DECIMAL(38,0))) AS dm
+        |  FROM g)
+        |SELECT ta AS n_a, tb AS n_b,
+        |  CASE WHEN ta > 0 AND tb > 0 THEN round(CAST(dp AS DOUBLE)
+        |    / (CAST(ta AS DOUBLE) * tb), 6) END AS d_plus,
+        |  CASE WHEN ta > 0 AND tb > 0 THEN round(CAST(dm AS DOUBLE)
+        |    / (CAST(ta AS DOUBLE) * tb), 6) END AS d_minus,
+        |  CASE WHEN ta > 0 AND tb > 0 THEN round(CAST(dp + dm
+        |    AS DOUBLE) / (CAST(ta AS DOUBLE) * tb), 6) END AS v_stat
+        |FROM a""".stripMargin,
+
+    "q308_cronbach" ->
+      """WITH r AS (SELECT user_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |sel AS (SELECT user_id AS s, rn AS i,
+        |    CAST(round(value, 4) AS DECIMAL(18,4)) AS v FROM r
+        |  WHERE rn <= 4),
+        |subj AS (SELECT s, count(*) AS cnt,
+        |    CAST(sum(v) AS DECIMAL(38,4)) AS sm FROM sel GROUP BY 1),
+        |keep AS (SELECT s, sm FROM subj WHERE cnt = 4),
+        |items AS (SELECT i, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(v) AS DECIMAL(38,4)) AS sv,
+        |    CAST(sum(v * v) AS DECIMAL(38,8)) AS svv
+        |  FROM sel JOIN keep USING (s) GROUP BY 1),
+        |iv AS (SELECT CAST(count(*) AS BIGINT) AS ki,
+        |    sum(CAST(round(CAST(n * svv - sv * sv AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE), 8) AS DECIMAL(38,12)))
+        |      AS sumv FROM items),
+        |tv AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(sm) AS DECIMAL(38,4)) AS sv,
+        |    CAST(sum(sm * sm) AS DECIMAL(38,8)) AS svv FROM keep),
+        |tt AS (SELECT CAST(n AS BIGINT) AS ns,
+        |    CAST(n * svv - sv * sv AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE) AS vart FROM tv)
+        |SELECT ns AS n_subjects, ki AS k_items,
+        |  round(vart, 6) AS var_total,
+        |  CASE WHEN vart > 0 AND ki = 4 AND ns > 1
+        |    THEN round(CAST(4 AS DOUBLE) / 3
+        |      * (1.0 - CAST(sumv AS DOUBLE) / vart), 6) END AS alpha
+        |FROM tt, iv""".stripMargin,
+
+    "q309_chapman" ->
+      """WITH f AS (SELECT user_id,
+        |    max(CASE WHEN CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS ha,
+        |    max(CASE WHEN CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS hb
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(sum(ha) AS BIGINT) AS n_a,
+        |  CAST(sum(hb) AS BIGINT) AS n_b,
+        |  CAST(sum(ha * hb) AS BIGINT) AS n_both,
+        |  CAST(count(*) AS BIGINT) AS n_observed,
+        |  round(CAST(sum(ha) + 1 AS DOUBLE) * (sum(hb) + 1)
+        |    / (sum(ha * hb) + 1) - 1, 2) AS n_hat
+        |FROM f""".stripMargin,
+
+    "q310_gumbel" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |mx AS (SELECT g, x - x % 7 AS b, max(y) AS m
+        |  FROM s GROUP BY 1, 2),
+        |mom AS (SELECT g, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(m) AS DECIMAL(38,0)) AS sm,
+        |    CAST(sum(m * m) AS DECIMAL(38,0)) AS smm
+        |  FROM mx GROUP BY 1),
+        |f AS (SELECT g, n, CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS mean,
+        |    CAST(n * smm - sm * sm AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE) AS var FROM mom),
+        |p AS (SELECT g, n, mean, CASE WHEN var > 0
+        |    THEN sqrt(var * 6) / pi() END AS beta FROM f),
+        |q AS (SELECT g, n, beta,
+        |    mean - 0.5772156649015329 * beta AS mu FROM p)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n_blocks,
+        |  round(mu, 6) AS mu, round(beta, 6) AS beta,
+        |  CASE WHEN beta > 0 THEN round(1.0
+        |    - exp(-exp(-(500.0 - mu) / beta)), 6) END AS p_exceed
+        |FROM q ORDER BY 1""".stripMargin,
+
+    "q311_partial_corr" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_quantity, 4) AS DECIMAL(28,4)) AS x,
+        |    CAST(round(l_extendedprice, 4) AS DECIMAL(28,4)) AS y,
+        |    CAST(round(l_discount, 4) AS DECIMAL(28,4)) AS z
+        |  FROM lineitem),
+        |m AS (SELECT g, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(x) AS DECIMAL(38,4)) AS sx,
+        |    CAST(sum(y) AS DECIMAL(38,4)) AS sy,
+        |    CAST(sum(z) AS DECIMAL(38,4)) AS sz,
+        |    CAST(sum(x * y) AS DECIMAL(38,8)) AS sxy,
+        |    CAST(sum(x * z) AS DECIMAL(38,8)) AS sxz,
+        |    CAST(sum(y * z) AS DECIMAL(38,8)) AS syz,
+        |    CAST(sum(x * x) AS DECIMAL(38,8)) AS sxx,
+        |    CAST(sum(y * y) AS DECIMAL(38,8)) AS syy,
+        |    CAST(sum(z * z) AS DECIMAL(38,8)) AS szz
+        |  FROM v GROUP BY 1),
+        |c AS (SELECT g, n,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) AS cxx,
+        |    CAST(n * syy - sy * sy AS DOUBLE) AS cyy,
+        |    CAST(n * szz - sz * sz AS DOUBLE) AS czz,
+        |    CAST(n * sxy - sx * sy AS DOUBLE) AS cxy,
+        |    CAST(n * sxz - sx * sz AS DOUBLE) AS cxz,
+        |    CAST(n * syz - sy * sz AS DOUBLE) AS cyz FROM m),
+        |r AS (SELECT g, n,
+        |    CASE WHEN cxx > 0 AND cyy > 0
+        |      THEN cxy / sqrt(cxx * cyy) END AS rxy,
+        |    CASE WHEN cxx > 0 AND czz > 0
+        |      THEN cxz / sqrt(cxx * czz) END AS rxz,
+        |    CASE WHEN cyy > 0 AND czz > 0
+        |      THEN cyz / sqrt(cyy * czz) END AS ryz FROM c),
+        |d AS (SELECT *, (1.0 - rxz * rxz) * (1.0 - ryz * ryz) AS den
+        |  FROM r)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(rxy, 6) AS r_xy, round(rxz, 6) AS r_xz,
+        |  round(ryz, 6) AS r_yz,
+        |  CASE WHEN den > 0 THEN round((rxy - rxz * ryz)
+        |    / sqrt(den), 6) END AS r_xy_given_z
+        |FROM d ORDER BY 1""".stripMargin,
+
+    "q312_epi" ->
+      """WITH e AS (SELECT CAST(user_id % 2 AS INT) AS x,
+        |    CASE WHEN value > 100.0 THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |t AS (SELECT
+        |    CAST(sum(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS d FROM e),
+        |u AS (SELECT *, a > 0 AND b > 0 AND c > 0 AND d > 0 AS ok,
+        |    CAST(a AS DOUBLE) / (a + b) AS p1,
+        |    CAST(c AS DOUBLE) / (c + d) AS p0 FROM t),
+        |w AS (SELECT *,
+        |    CASE WHEN ok THEN CAST(a AS DOUBLE) * d
+        |      / (CAST(b AS DOUBLE) * c) END AS orr,
+        |    CASE WHEN ok THEN sqrt(1.0 / a + 1.0 / b + 1.0 / c
+        |      + 1.0 / d) END AS seor,
+        |    CASE WHEN ok THEN p1 / p0 END AS rr,
+        |    CASE WHEN ok THEN sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c
+        |      - 1.0 / (c + d)) END AS serr FROM u)
+        |SELECT a AS n11, b AS n10, c AS n01, d AS n00,
+        |  round(p1 - p0, 6) AS risk_diff,
+        |  round(orr, 6) AS odds_ratio,
+        |  round(exp(ln(orr) - 1.96 * seor), 6) AS or_lo,
+        |  round(exp(ln(orr) + 1.96 * seor), 6) AS or_hi,
+        |  round(rr, 6) AS relative_risk,
+        |  round(exp(ln(rr) - 1.96 * serr), 6) AS rr_lo,
+        |  round(exp(ln(rr) + 1.96 * serr), 6) AS rr_hi,
+        |  round(2.0 * asin(sqrt(p1)) - 2.0 * asin(sqrt(p0)), 6)
+        |    AS cohen_h
+        |FROM w""".stripMargin,
+
+    "q313_bowker" ->
+      """WITH r AS (SELECT user_id, event_type, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |f AS (SELECT user_id, event_type AS frm FROM r WHERE rn = 1),
+        |t2 AS (SELECT user_id, event_type AS tto FROM r WHERE rn = 2),
+        |p AS (SELECT frm, tto FROM f JOIN t2 USING (user_id)
+        |  WHERE frm <> tto),
+        |cells AS (SELECT frm AS i, tto AS j,
+        |    CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+        |jj AS (SELECT coalesce(a.i, b.i) AS i, coalesce(a.j, b.j) AS j,
+        |    coalesce(a.n, 0) AS nn, coalesce(b.n2, 0) AS mm
+        |  FROM cells a FULL JOIN (SELECT j AS i, i AS j, n AS n2
+        |    FROM cells) b ON a.i = b.i AND a.j = b.j),
+        |q AS (SELECT nn, mm, CASE WHEN nn + mm > 0
+        |    THEN CAST(round(pow(nn - mm, 2) / (nn + mm), 12)
+        |      AS DECIMAL(38,12)) END AS term
+        |  FROM jj WHERE i < j)
+        |SELECT CAST(sum(nn + mm) AS BIGINT) AS n_offdiag,
+        |  CAST(sum(CASE WHEN term IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS dof,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS bowker_chi2
+        |FROM q""".stripMargin,
+
+    "q314_seasonal_mk" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |b AS (SELECT g, x, x % 7 AS slot, CAST(y AS DOUBLE) AS y
+        |  FROM s),
+        |st AS (SELECT a.g,
+        |    CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT)
+        |      AS sstat
+        |  FROM b a JOIN b b ON a.g = b.g AND a.slot = b.slot
+        |    AND b.x > a.x GROUP BY 1),
+        |ps AS (SELECT g, slot, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |ti AS (SELECT g, slot,
+        |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tt
+        |  FROM (SELECT g, slot, y, CAST(count(*) AS BIGINT) AS t
+        |    FROM b GROUP BY 1, 2, 3) GROUP BY 1, 2),
+        |vt AS (SELECT g, CAST(sum(n) AS BIGINT) AS ntot,
+        |    CAST(sum(n * (n - 1) * (2 * n + 5) - tt) AS BIGINT)
+        |      AS v18
+        |  FROM ps JOIN ti USING (g, slot) GROUP BY 1)
+        |SELECT vt.g AS event_type, ntot AS n,
+        |  coalesce(sstat, 0) AS s_stat,
+        |  CASE WHEN CAST(v18 AS DOUBLE) / 18.0 > 0
+        |    THEN round(CAST(coalesce(sstat, 0)
+        |        - sign(coalesce(sstat, 0)) AS DOUBLE)
+        |      / sqrt(CAST(v18 AS DOUBLE) / 18.0), 6) END AS z
+        |FROM vt LEFT JOIN st ON vt.g = st.g ORDER BY 1""".stripMargin
   )
 }

@@ -3425,6 +3425,84 @@ object SparkEntry {
               datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
             .agg(count(lit(1)).as("y")),
           "event_type", "day", "y", breakX = 19744L)
+        .orderBy("event_type")),
+
+    // L252 — Kuiper two-sample V on the click/view value histograms:
+    // the tail-AND-middle-sensitive sibling of KS (q148) / AD (q292).
+    "q307_kuiper" -> ((s, d) =>
+      MetricOps.kuiperTwoSample(Tables.events(s, d), "event_type",
+        "value", "click", "view")),
+
+    // L253 — Cronbach's α over each user's first four event values as
+    // a 4-item scale: are they one consistent "engagement" measure?
+    "q308_cronbach" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      MetricOps.cronbachAlpha(
+        Tables.events(s, d).withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 4),
+        "user_id", "rn", "value", k = 4)
+    }),
+
+    // L254 — Chapman capture–recapture: even-day vs odd-day user
+    // snapshots → how many users exist that neither window saw?
+    "q309_chapman" -> ((s, d) =>
+      QualityChecks.chapmanEstimate(
+        Tables.events(s, d).withColumn("side",
+          pmod(datediff(to_date(col("ts")), lit("1970-01-01")), lit(2))),
+        "user_id", "side", 0, 1)),
+
+    // L255 — Gumbel block-maxima fit of weekly peak daily volume per
+    // event type, with P(week peak > 500) capacity readout.
+    "q310_gumbel" -> ((s, d) =>
+      MetricOps.gumbelFit(
+          Tables.events(s, d)
+            .groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          "event_type", "day", "y", blockSize = 7, level = 500.0)
+        .orderBy("event_type")),
+
+    // L256 — partial correlation qty~price | discount per returnflag:
+    // is the qty/price association real once discount is held fixed?
+    "q311_partial_corr" -> ((s, d) =>
+      MetricOps.partialCorrelation(Tables.lineitem(s, d), "l_returnflag",
+          "l_quantity", "l_extendedprice", "l_discount")
+        .orderBy("l_returnflag")),
+
+    // L257 — 2×2 epi readout (OR/RR/risk-diff/Cohen h + Wald CIs) for
+    // parity exposure vs click label: effect sizes behind q303's CMH.
+    "q312_epi" -> ((s, d) =>
+      MetricOps.epiTable(
+        labeled(s, d)
+          .withColumn("exposed", (col("user_id") % 2).cast("int")),
+        "exposed", "label")),
+
+    // L258 — Bowker symmetry of each user's first→second event-type
+    // transition: is category churn directionally balanced?
+    "q313_bowker" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val r = Tables.events(s, d).withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+      MetricOps.bowkerSymmetry(
+        r.filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("frm"))
+          .join(r.filter(col("rn") === 2)
+            .select(col("user_id"), col("event_type").as("tto")),
+            "user_id"),
+        "frm", "tto")
+    }),
+
+    // L259 — seasonal Mann–Kendall (dow-matched pairs) on daily
+    // volume per event type: the trend test weekly cycles can't fool.
+    "q314_seasonal_mk" -> ((s, d) =>
+      MetricOps.seasonalMannKendall(
+          Tables.events(s, d)
+            .groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          "event_type", "day", "y", season = 7)
         .orderBy("event_type"))
   )
 

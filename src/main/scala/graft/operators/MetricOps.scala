@@ -3978,4 +3978,324 @@ object MetricOps {
             (col("__rs") / (col("__ntot") - 4)), roundTo))
           .as("chow_f"))
   }
+
+  /** Kuiper two-sample test V = D⁺ + D⁻ — the rotation-invariant KS
+    * variant: equally sensitive at the distribution's ends and middle
+    * (KS's D = max|F₁−F₂| under-weights the tails; AD over-weights
+    * them; Kuiper is the circular-data / "shift anywhere" compromise).
+    *
+    * ECDF gaps stay EXACT integers: at each support point the signed
+    * gap numerator is cla·N_b − clb·N_a (DECIMAL), maxed directly —
+    * one quantized histogram, one [[rangeCumSum]], one aggregate.
+    */
+  def kuiperTwoSample(df: DataFrame, sideCol: String, valCol: String,
+                      sideA: Any, sideB: Any, roundTo: Int = 6): DataFrame = {
+    val hist = df.filter(col(sideCol).isin(sideA, sideB))
+      .select(round(col(valCol).cast("double"), 4).as("__v"),
+        when(col(sideCol) === lit(sideA), 1L).otherwise(0L).as("__ia"))
+      .groupBy(col("__v"))
+      .agg(sum(col("__ia")).as("__la"),
+        sum(lit(1L) - col("__ia")).as("__lb"))
+    val tot = hist.agg(sum(col("__la")).as("__ta"),
+      sum(col("__lb")).as("__tb"))
+    rangeCumSum(hist, "__v", Seq("__la", "__lb"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__gap",
+        col("__cum___la").cast("decimal(38,0)") * col("__tb") -
+          col("__cum___lb").cast("decimal(38,0)") * col("__ta"))
+      .agg(first(col("__ta")).cast("long").as("n_a"),
+        first(col("__tb")).cast("long").as("n_b"),
+        greatest(max(col("__gap")), lit(0).cast("decimal(38,0)"))
+          .as("__dp"),
+        greatest(max(-col("__gap")), lit(0).cast("decimal(38,0)"))
+          .as("__dm"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, round(
+          col("__dp").cast("double") /
+            (col("n_a").cast("double") * col("n_b")), roundTo))
+          .as("d_plus"),
+        when(col("n_a") > 0 && col("n_b") > 0, round(
+          col("__dm").cast("double") /
+            (col("n_a").cast("double") * col("n_b")), roundTo))
+          .as("d_minus"),
+        when(col("n_a") > 0 && col("n_b") > 0, round(
+          (col("__dp") + col("__dm")).cast("double") /
+            (col("n_a").cast("double") * col("n_b")), roundTo))
+          .as("v_stat"))
+  }
+
+  /** Cronbach's alpha — internal-consistency reliability of a k-item
+    * scale: α = k/(k−1)·(1 − Σᵢ s²ᵢ / s²_total), with s²_total the
+    * variance of per-subject item SUMS. The "do these k measurements
+    * measure one thing" gate before averaging them into a score.
+    * Subjects missing any item are dropped (balanced-panel rule, as
+    * [[fleissKappa]]).
+    *
+    * Everything is one pass over (subject, item, value): per-item
+    * moment rows (k of them) and per-subject sums whose OWN moments
+    * fold to one row; values quantize to 4 dp so every Σ is an exact
+    * DECIMAL; the α formula is one double expression.
+    */
+  def cronbachAlpha(df: DataFrame, subjectCol: String, itemCol: String,
+                    valCol: String, k: Int, roundTo: Int = 6): DataFrame = {
+    val base = df.select(col(subjectCol).as("__s"), col(itemCol).as("__i"),
+      round(col(valCol).cast("double"), 4).cast("decimal(18,4)").as("__v"))
+    val subj = base.groupBy("__s")
+      .agg(count(lit(1)).as("__cnt"), sum(col("__v")).as("__sum"))
+      .filter(col("__cnt") === k)
+      .localCheckpoint(true) // balanced filter feeds items + totals
+    val keep = base.join(subj.select(col("__s")), "__s")
+    val items = keep.groupBy(col("__i"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__v")).cast("decimal(38,4)").as("__sv"),
+        sum(col("__v") * col("__v")).cast("decimal(38,8)").as("__svv"))
+      .withColumn("__var", (col("__n") * col("__svv") -
+          col("__sv") * col("__sv")).cast("double") /
+        (col("__n") * (col("__n") - 1)).cast("double"))
+      .agg(count(lit(1)).cast("long").as("__ki"),
+        sum(round(col("__var"), 8).cast("decimal(38,12)")).as("__sumv"))
+    val tot = subj
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__sum")).cast("decimal(38,4)").as("__sv"),
+        sum(col("__sum") * col("__sum")).cast("decimal(38,8)")
+          .as("__svv"))
+      .withColumn("__vart", (col("__n") * col("__svv") -
+          col("__sv") * col("__sv")).cast("double") /
+        (col("__n") * (col("__n") - 1)).cast("double"))
+      .select(col("__n").cast("long").as("n_subjects"), col("__vart"))
+    tot.crossJoin(broadcast(items))
+      .select(col("n_subjects"), col("__ki").as("k_items"),
+        round(col("__vart"), roundTo).as("var_total"),
+        when(col("__vart") > 0 && col("__ki") === k && col("n_subjects") > 1,
+          round(lit(k.toDouble) / (k - 1) *
+            (lit(1.0) - col("__sumv").cast("double") / col("__vart")),
+            roundTo)).as("alpha"))
+  }
+
+  /** Gumbel (EV-I) block-maxima fit by the method of moments — the
+    * "what daily volume should we provision for" tail model: block
+    * maxima m_b → β̂ = s·√6/π, μ̂ = m̄ − γ·β̂, and the exceedance
+    * probability P(max > level) = 1 − exp(−exp(−(level−μ̂)/β̂)) for a
+    * declared capacity level. Method-of-moments (not ML) because it
+    * is a closed form both engines compute identically.
+    *
+    * Series contract: ALREADY-AGGREGATED (group, x, y); blocks are
+    * x div blockSize; maxima moments quantize/accumulate exactly.
+    */
+  def gumbelFit(series: DataFrame, groupCol: String, xCol: String,
+                yCol: String, blockSize: Int, level: Double,
+                roundTo: Int = 6): DataFrame = {
+    val gamma = 0.5772156649015329
+    val maxima = series.select(col(groupCol).as("__g"),
+        (col(xCol).cast("long") - pmod(col(xCol).cast("long"),
+          lit(blockSize.toLong))).as("__b"), // exact integer block id
+        col(yCol).cast("long").as("__y"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(max(col("__y")).as("__m"))
+    maxima.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__m")).cast("decimal(38,0)").as("__sm"),
+        sum(col("__m") * col("__m")).cast("decimal(38,0)").as("__smm"))
+      .withColumn("__mean",
+        col("__sm").cast("double") / col("__n").cast("double"))
+      .withColumn("__var", (col("__n") * col("__smm") -
+          col("__sm") * col("__sm")).cast("double") /
+        (col("__n") * (col("__n") - 1)).cast("double"))
+      .withColumn("__beta", when(col("__var") > 0,
+        sqrt(col("__var") * 6) / lit(math.Pi)))
+      .withColumn("__mu", col("__mean") - lit(gamma) * col("__beta"))
+      .select(col("__g").as(groupCol), col("__n").cast("long")
+        .as("n_blocks"),
+        round(col("__mu"), roundTo).as("mu"),
+        round(col("__beta"), roundTo).as("beta"),
+        when(col("__beta") > 0, round(lit(1.0) -
+          exp(-exp(-(lit(level) - col("__mu")) / col("__beta"))),
+          roundTo)).as("p_exceed"))
+  }
+
+  /** First-order partial correlation r_xy·z — the association between
+    * x and y once z is held fixed, from the three pairwise Pearson
+    * r's: (r_xy − r_xz·r_yz)/√((1−r²_xz)(1−r²_yz)). The one-line
+    * confounder check before anyone reads [[mutualInfo]] or a plain
+    * correlation causally.
+    *
+    * One exact-DECIMAL moment pass per group (9 sums); every r and
+    * the partial are single double formulas from those sums.
+    */
+  def partialCorrelation(df: DataFrame, groupCol: String, xCol: String,
+                         yCol: String, zCol: String,
+                         roundTo: Int = 6): DataFrame = {
+    val v = df.select(col(groupCol).as("__g"),
+      round(col(xCol).cast("double"), 4).cast("decimal(18,4)").as("__x"),
+      round(col(yCol).cast("double"), 4).cast("decimal(18,4)").as("__y"),
+      round(col(zCol).cast("double"), 4).cast("decimal(18,4)").as("__z"))
+    v.groupBy("__g")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__x")).cast("decimal(38,4)").as("__sx"),
+        sum(col("__y")).cast("decimal(38,4)").as("__sy"),
+        sum(col("__z")).cast("decimal(38,4)").as("__sz"),
+        sum(col("__x") * col("__y")).cast("decimal(38,8)").as("__sxy"),
+        sum(col("__x") * col("__z")).cast("decimal(38,8)").as("__sxz"),
+        sum(col("__y") * col("__z")).cast("decimal(38,8)").as("__syz"),
+        sum(col("__x") * col("__x")).cast("decimal(38,8)").as("__sxx"),
+        sum(col("__y") * col("__y")).cast("decimal(38,8)").as("__syy"),
+        sum(col("__z") * col("__z")).cast("decimal(38,8)").as("__szz"))
+      .withColumn("__cxx", (col("__n") * col("__sxx") -
+        col("__sx") * col("__sx")).cast("double"))
+      .withColumn("__cyy", (col("__n") * col("__syy") -
+        col("__sy") * col("__sy")).cast("double"))
+      .withColumn("__czz", (col("__n") * col("__szz") -
+        col("__sz") * col("__sz")).cast("double"))
+      .withColumn("__cxy", (col("__n") * col("__sxy") -
+        col("__sx") * col("__sy")).cast("double"))
+      .withColumn("__cxz", (col("__n") * col("__sxz") -
+        col("__sx") * col("__sz")).cast("double"))
+      .withColumn("__cyz", (col("__n") * col("__syz") -
+        col("__sy") * col("__sz")).cast("double"))
+      .withColumn("__rxy", when(col("__cxx") > 0 && col("__cyy") > 0,
+        col("__cxy") / sqrt(col("__cxx") * col("__cyy"))))
+      .withColumn("__rxz", when(col("__cxx") > 0 && col("__czz") > 0,
+        col("__cxz") / sqrt(col("__cxx") * col("__czz"))))
+      .withColumn("__ryz", when(col("__cyy") > 0 && col("__czz") > 0,
+        col("__cyz") / sqrt(col("__cyy") * col("__czz"))))
+      .withColumn("__den", (lit(1.0) - col("__rxz") * col("__rxz")) *
+        (lit(1.0) - col("__ryz") * col("__ryz")))
+      .select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
+        round(col("__rxy"), roundTo).as("r_xy"),
+        round(col("__rxz"), roundTo).as("r_xz"),
+        round(col("__ryz"), roundTo).as("r_yz"),
+        when(col("__den") > 0, round(
+          (col("__rxy") - col("__rxz") * col("__ryz")) /
+            sqrt(col("__den")), roundTo)).as("r_xy_given_z"))
+  }
+
+  /** 2×2 epidemiology readout — odds ratio, relative risk, risk
+    * difference, Cohen's h, each with its Wald 95% interval where one
+    * exists: the effect-size table for a binary exposure/outcome that
+    * [[chiSquare]]'s p-value alone never gives.
+    *
+    * One 4-cell aggregate; CIs are the standard ln-scale Wald forms
+    * exp(ln θ ± 1.96·se). Any empty margin nulls the ratios (no
+    * Haldane fudge — the caller should know the table is degenerate).
+    */
+  def epiTable(df: DataFrame, exposureCol: String, outcomeCol: String,
+               roundTo: Int = 6): DataFrame = {
+    df.agg(
+        sum(when(col(exposureCol) === 1 && col(outcomeCol) === 1, 1L)
+          .otherwise(0L)).as("__a"),
+        sum(when(col(exposureCol) === 1 && col(outcomeCol) === 0, 1L)
+          .otherwise(0L)).as("__b"),
+        sum(when(col(exposureCol) === 0 && col(outcomeCol) === 1, 1L)
+          .otherwise(0L)).as("__c"),
+        sum(when(col(exposureCol) === 0 && col(outcomeCol) === 0, 1L)
+          .otherwise(0L)).as("__d"))
+      .withColumn("__ok", col("__a") > 0 && col("__b") > 0 &&
+        col("__c") > 0 && col("__d") > 0)
+      .withColumn("__p1", col("__a").cast("double") /
+        (col("__a") + col("__b")))
+      .withColumn("__p0", col("__c").cast("double") /
+        (col("__c") + col("__d")))
+      .withColumn("__or", when(col("__ok"),
+        col("__a").cast("double") * col("__d") /
+          (col("__b").cast("double") * col("__c"))))
+      .withColumn("__seor", when(col("__ok"), sqrt(
+        lit(1.0) / col("__a") + lit(1.0) / col("__b") +
+          lit(1.0) / col("__c") + lit(1.0) / col("__d"))))
+      .withColumn("__rr", when(col("__ok"), col("__p1") / col("__p0")))
+      .withColumn("__serr", when(col("__ok"), sqrt(
+        lit(1.0) / col("__a") - lit(1.0) / (col("__a") + col("__b")) +
+          lit(1.0) / col("__c") - lit(1.0) / (col("__c") + col("__d")))))
+      .select(col("__a").as("n11"), col("__b").as("n10"),
+        col("__c").as("n01"), col("__d").as("n00"),
+        round(col("__p1") - col("__p0"), roundTo).as("risk_diff"),
+        round(col("__or"), roundTo).as("odds_ratio"),
+        round(exp(log(col("__or")) - lit(1.96) * col("__seor")), roundTo)
+          .as("or_lo"),
+        round(exp(log(col("__or")) + lit(1.96) * col("__seor")), roundTo)
+          .as("or_hi"),
+        round(col("__rr"), roundTo).as("relative_risk"),
+        round(exp(log(col("__rr")) - lit(1.96) * col("__serr")), roundTo)
+          .as("rr_lo"),
+        round(exp(log(col("__rr")) + lit(1.96) * col("__serr")), roundTo)
+          .as("rr_hi"),
+        round(lit(2.0) * asin(sqrt(col("__p1"))) -
+          lit(2.0) * asin(sqrt(col("__p0"))), roundTo).as("cohen_h"))
+  }
+
+  /** Bowker symmetry test — McNemar's k×k generalization on a
+    * transition table: χ² = Σ_{i<j} (nᵢⱼ−nⱼᵢ)²/(nᵢⱼ+nⱼᵢ), dof = the
+    * number of off-diagonal pairs with traffic. "Is the i→j flow the
+    * mirror of j→i" — the drift test for transition matrices
+    * (category churn, state machines) that marginal tests miss.
+    *
+    * One cell aggregate, self-joined TRANSPOSED on the bounded
+    * category×category table; terms snap to 12 dp and decimal-sum.
+    */
+  def bowkerSymmetry(df: DataFrame, fromCol: String, toCol: String,
+                     roundTo: Int = 6): DataFrame = {
+    val cells = df.filter(col(fromCol) =!= col(toCol))
+      .groupBy(col(fromCol).as("__i"), col(toCol).as("__j"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // both orientations of the pair join
+    val t = cells.select(col("__i").as("__j"), col("__j").as("__i"),
+      col("__n").as("__nt"))
+    cells.join(t, Seq("__i", "__j"), "full")
+      .withColumn("__nn", coalesce(col("__n"), lit(0L)))
+      .withColumn("__mm", coalesce(col("__nt"), lit(0L)))
+      .filter(col("__i") < col("__j"))
+      .withColumn("__term", when(col("__nn") + col("__mm") > 0,
+        round(pow(col("__nn") - col("__mm"), 2) /
+          (col("__nn") + col("__mm")), 12)).cast("decimal(38,12)"))
+      .agg(sum(col("__nn") + col("__mm")).cast("long")
+          .as("n_offdiag"),
+        sum(when(col("__term").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("dof"),
+        round(sum(col("__term")).cast("double"), roundTo)
+          .as("bowker_chi2"))
+  }
+
+  /** Seasonal Mann–Kendall — [[mannKendall]] restricted to
+    * within-season-slot pairs (Jan-vs-Jan, Monday-vs-Monday):
+    * S = Σ_slots S_slot, Var = Σ_slots Var_slot, z = (S−sign S)/√Var.
+    * The trend test that a seasonal cycle cannot fool.
+    *
+    * Same bounded-series pair contract as the parent: the self-join
+    * adds the slot to the equi-key, so pair counts shrink by ~1/season.
+    */
+  def seasonalMannKendall(series: DataFrame, groupCol: String,
+                          xCol: String, yCol: String, season: Int,
+                          roundTo: Int = 6): DataFrame = {
+    val base = series.select(col(groupCol).as("__g"),
+        col(xCol).cast("long").as("__x"),
+        col(yCol).cast("double").as("__y"))
+      .withColumn("__slot", pmod(col("__x"), lit(season.toLong)))
+    val a = base.select(col("__g"), col("__slot"),
+      col("__x").as("__xa"), col("__y").as("__ya"))
+    val b = base.select(col("__g"), col("__slot"),
+      col("__x").as("__xb"), col("__y").as("__yb"))
+    val sTab = a.join(b, Seq("__g", "__slot"))
+      .filter(col("__xb") > col("__xa"))
+      .groupBy(col("__g"))
+      .agg(sum(signum(col("__yb") - col("__ya")).cast("long")).as("__s"))
+    val perSlot = base.groupBy(col("__g"), col("__slot"))
+      .agg(count(lit(1)).as("__n"))
+    val ties = base.groupBy(col("__g"), col("__slot"), col("__y"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("__g"), col("__slot"))
+      .agg(sum(col("__t") * (col("__t") - 1) * (lit(2) * col("__t") + 5))
+        .as("__tt"))
+    val varTab = perSlot.join(ties, Seq("__g", "__slot"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__n")).as("__ntot"),
+        sum((col("__n") * (col("__n") - 1) * (lit(2) * col("__n") + 5) -
+          col("__tt"))).as("__v18"))
+    varTab.join(sTab, Seq("__g"), "left")
+      .withColumn("__var", col("__v18").cast("double") / 18.0)
+      .select(col("__g").as(groupCol), col("__ntot").as("n"),
+        coalesce(col("__s"), lit(0L)).as("s_stat"),
+        when(col("__var") > 0,
+          round((coalesce(col("__s"), lit(0L)) -
+              signum(coalesce(col("__s"), lit(0L)))).cast("double") /
+            sqrt(col("__var")), roundTo)).as("z"))
+  }
 }

@@ -418,4 +418,33 @@ object QualityChecks {
           when(col("dup_keys") === 0, 1).otherwise(0).as("is_key"))
     }.reduce(_ unionAll _)
   }
+
+  /** Chapman capture–recapture estimate — how many units exist that
+    * NEITHER window saw: with n₁ units in capture window A, n₂ in B,
+    * and m in both, N̂ = (n₁+1)(n₂+1)/(m+1) − 1 (the bias-corrected
+    * Lincoln–Petersen). The audit for "how complete is our entity
+    * table really" when two independent snapshots exist.
+    *
+    * One pass: per-unit presence flags, then a 1-row aggregate; the
+    * estimate is a single double formula from exact counts.
+    */
+  def chapmanEstimate(df: DataFrame, unitCol: String,
+                      sideCol: String, sideA: Any, sideB: Any,
+                      roundTo: Int = 2): DataFrame = {
+    val flags = df.filter(col(sideCol).isin(sideA, sideB))
+      .groupBy(col(unitCol))
+      .agg(max(when(col(sideCol) === lit(sideA), 1L).otherwise(0L))
+          .as("__ha"),
+        max(when(col(sideCol) === lit(sideB), 1L).otherwise(0L))
+          .as("__hb"))
+    flags.agg(sum(col("__ha")).as("__n1"), sum(col("__hb")).as("__n2"),
+        sum(col("__ha") * col("__hb")).as("__m"),
+        count(lit(1)).as("__obs"))
+      .select(col("__n1").cast("long").as("n_a"),
+        col("__n2").cast("long").as("n_b"),
+        col("__m").cast("long").as("n_both"),
+        col("__obs").cast("long").as("n_observed"),
+        round((col("__n1") + 1).cast("double") * (col("__n2") + 1) /
+          (col("__m") + 1) - 1, roundTo).as("n_hat"))
+  }
 }
