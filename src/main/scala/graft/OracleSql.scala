@@ -5054,8 +5054,8 @@ object OracleSql {
         |    CAST(round(o_totalprice, 4) AS DECIMAL(28,4)) AS v
         |  FROM orders),
         |u AS (SELECT g, v, rp,
-        |    ('0x' || substr(md5(id || '|' || CAST(rp AS VARCHAR)),
-        |      1, 4))::INT AS uu
+        |    ('0x' || substr(md5(id || '|' || CAST(rp // 8 AS VARCHAR)),
+        |      1 + 4 * CAST(rp % 8 AS INT), 4))::INT AS uu
         |  FROM b CROSS JOIN r),
         |w AS (SELECT g, v, rp,
         |    CASE WHEN uu < 24112 THEN 0 WHEN uu < 48224 THEN 1
