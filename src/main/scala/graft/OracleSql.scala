@@ -6222,6 +6222,118 @@ object OracleSql {
         |    THEN round(CAST(coalesce(sstat, 0)
         |        - sign(coalesce(sstat, 0)) AS DOUBLE)
         |      / sqrt(CAST(v18 AS DOUBLE) / 18.0), 6) END AS z
-        |FROM vt LEFT JOIN st ON vt.g = st.g ORDER BY 1""".stripMargin
+        |FROM vt LEFT JOIN st ON vt.g = st.g ORDER BY 1""".stripMargin,
+
+    "q315_yuen" ->
+      """WITH base AS (SELECT CASE WHEN event_type = 'click' THEN 0
+        |    ELSE 1 END AS s, value AS v FROM events
+        |  WHERE event_type IN ('click', 'view')),
+        |bounds AS (SELECT s, round(quantile_cont(v, 0.1), 6) AS lo,
+        |    round(quantile_cont(v, 0.9), 6) AS hi FROM base
+        |  GROUP BY 1),
+        |w AS (SELECT base.s, v, v >= lo AND v <= hi AS inb,
+        |    CAST(round(greatest(least(v, hi), lo), 4)
+        |      AS DECIMAL(18,4)) AS wv
+        |  FROM base JOIN bounds USING (s)),
+        |st AS (SELECT s, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(CASE WHEN inb THEN 1 ELSE 0 END)
+        |      AS DECIMAL(38,0)) AS h,
+        |    CAST(sum(CASE WHEN inb THEN CAST(round(v, 4)
+        |      AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+        |      AS DECIMAL(38,4)) AS stt,
+        |    CAST(sum(wv) AS DECIMAL(38,4)) AS sw,
+        |    CAST(sum(wv * wv) AS DECIMAL(38,8)) AS sww
+        |  FROM w GROUP BY 1),
+        |f AS (SELECT s, n, h,
+        |    CAST(stt AS DOUBLE) / CAST(h AS DOUBLE) AS mt,
+        |    CAST(n * sww - sw * sw AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE) AS vw FROM st),
+        |g AS (SELECT s, h, mt, CASE WHEN h > 1
+        |    THEN vw * CAST(n - 1 AS DOUBLE)
+        |      / CAST(h * (h - 1) AS DOUBLE) END AS d FROM f)
+        |SELECT CAST(a.h AS BIGINT) AS h_a, CAST(b.h AS BIGINT) AS h_b,
+        |  round(a.mt, 6) AS trimmed_mean_a,
+        |  round(b.mt, 6) AS trimmed_mean_b,
+        |  CASE WHEN a.d + b.d > 0 THEN round((a.mt - b.mt)
+        |    / sqrt(a.d + b.d), 6) END AS yuen_t
+        |FROM g a, g b WHERE a.s = 0 AND b.s = 1""".stripMargin,
+
+    "q316_dispersion" ->
+      """WITH s AS (SELECT event_type AS g,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        |m AS (SELECT g, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(y) AS DECIMAL(38,0)) AS sm,
+        |    CAST(sum(y * y) AS DECIMAL(38,0)) AS ss
+        |  FROM s GROUP BY 1),
+        |f AS (SELECT g, n, CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)
+        |    AS mean,
+        |    CAST(n * ss - sm * sm AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE) AS var FROM m)
+        |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+        |  round(mean, 6) AS mean, round(var, 6) AS variance,
+        |  CASE WHEN mean > 0 AND n > 1
+        |    THEN round(var / mean, 6) END AS vmr,
+        |  CASE WHEN mean > 0 AND n > 1
+        |    THEN round(CAST(n - 1 AS DOUBLE) * var / mean, 6) END
+        |    AS chi2
+        |FROM f ORDER BY 1""".stripMargin,
+
+    "q317_temperature" ->
+      """WITH c AS (SELECT source AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+        |p AS (SELECT d, n, CAST(n AS DOUBLE) / nn AS p,
+        |    round(pow(CAST(n AS DOUBLE) / nn, 0.7), 12) AS w
+        |  FROM c, t),
+        |z AS (SELECT sum(CAST(w AS DECIMAL(38,12))) AS z FROM p)
+        |SELECT d AS source, n, round(p, 6) AS p_natural,
+        |  round(w / CAST(z AS DOUBLE), 6) AS weight,
+        |  round(w / CAST(z AS DOUBLE) * 100000, 2)
+        |    AS expected_samples
+        |FROM p, z ORDER BY 1""".stripMargin,
+
+    "q318_psi_period" ->
+      """WITH b AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) // 7 AS per,
+        |    CAST(least(floor(value / 50), 9) AS INT) AS bin
+        |  FROM events),
+        |cells AS (SELECT per, bin, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |bp AS (SELECT min(per) AS bp FROM cells),
+        |base AS (SELECT bin, n AS nb FROM cells, bp WHERE per = bp),
+        |bt AS (SELECT CAST(sum(nb) AS BIGINT) AS tb FROM base),
+        |pt AS (SELECT per, CAST(sum(n) AS BIGINT) AS tp FROM cells
+        |  GROUP BY 1),
+        |grid AS (SELECT pt.per, pt.tp, base.bin, base.nb,
+        |    coalesce(cells.n, 0) AS n
+        |  FROM pt CROSS JOIN base LEFT JOIN cells
+        |    ON cells.per = pt.per AND cells.bin = base.bin),
+        |t2 AS (SELECT per, tp, CAST(round(
+        |    (CAST(n + 1 AS DOUBLE) / (tp + 10)
+        |      - CAST(nb + 1 AS DOUBLE) / (tb + 10))
+        |    * ln((CAST(n + 1 AS DOUBLE) / (tp + 10))
+        |      / (CAST(nb + 1 AS DOUBLE) / (tb + 10))), 10)
+        |    AS DECIMAL(28,12)) AS term FROM grid, bt)
+        |SELECT per AS week, CAST(max(tp) AS BIGINT) AS n,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |FROM t2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q319_weighted_median" ->
+      """WITH h AS (SELECT l_returnflag AS g,
+        |    round(l_extendedprice, 2) AS v,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS gw
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(sum(gw) AS BIGINT) AS tw FROM h
+        |  GROUP BY 1),
+        |c AS (SELECT g, v, sum(gw) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM h)
+        |SELECT c.g AS l_returnflag,
+        |  CAST(max(t.tw) AS BIGINT) AS total_weight,
+        |  min(v) AS weighted_median
+        |FROM c JOIN t ON c.g = t.g WHERE 2 * cum >= tw
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

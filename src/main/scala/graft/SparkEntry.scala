@@ -3503,7 +3503,48 @@ object SparkEntry {
               datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
             .agg(count(lit(1)).as("y")),
           "event_type", "day", "y", season = 7)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // L260 — Yuen's trimmed t between click and view values: the
+    // outlier-proof mean comparison next to q187's Mann–Whitney.
+    "q315_yuen" -> ((s, d) =>
+      MetricOps.yuenTrimmedTest(Tables.events(s, d), "event_type",
+        "value", "click", "view")),
+
+    // L261 — variance-to-mean dispersion screen on daily volume per
+    // type: Poisson-ish or bursty? (precondition for rate models)
+    "q316_dispersion" -> ((s, d) =>
+      MetricOps.dispersionIndex(
+          Tables.events(s, d)
+            .groupBy(col("event_type"),
+              datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+            .agg(count(lit(1)).as("y")),
+          "event_type", "y")
+        .orderBy("event_type")),
+
+    // L262 — temperature-scaled (α=0.7) corpus-mixing weights per
+    // document source, with expected samples at a 100k budget.
+    "q317_temperature" -> ((s, d) =>
+      MetricOps.temperatureWeights(Tables.documents(s, d), "source",
+          alpha = 0.7, budget = 100000L)
+        .orderBy("source")),
+
+    // L263 — weekly PSI of event values vs the first week: WHEN did
+    // the value distribution drift (q106's scalar, per period).
+    "q318_psi_period" -> ((s, d) =>
+      MetricOps.psiByPeriod(
+          Tables.events(s, d)
+            .withColumn("week",
+              expr("datediff(to_date(ts), DATE'1970-01-01') div 7")),
+          "value", "week", binWidth = 50.0, nBins = 10)
+        .orderBy("week")),
+
+    // L264 — quantity-weighted median extended price per returnflag:
+    // the center of shipped MASS, not of line rows.
+    "q319_weighted_median" -> ((s, d) =>
+      MetricOps.weightedMedian(Tables.lineitem(s, d), "l_returnflag",
+          "l_extendedprice", "l_quantity")
+        .orderBy("l_returnflag"))
   )
 
   // ------------------------------------------------------------- oracles

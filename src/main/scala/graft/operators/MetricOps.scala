@@ -4298,4 +4298,198 @@ object MetricOps {
               signum(coalesce(col("__s"), lit(0L)))).cast("double") /
             sqrt(col("__var")), roundTo)).as("z"))
   }
+
+  /** Yuen's trimmed-mean two-sample test (threshold form): compare the
+    * central mass of two heavy-tailed distributions — trimmed means
+    * over [P_trim, P_1−trim], winsorized variances, and
+    * t = (m̄t₁−m̄t₂)/√(d₁+d₂) with dᵢ = s²w,ᵢ·(nᵢ−1)/(hᵢ(hᵢ−1)).
+    * The robust alternative when [[effectSizes]]' plain Welch t is
+    * dragged around by outliers. Trimming is by VALUE THRESHOLD
+    * (the 6-dp-rounded per-side percentiles, broadcast) — with heavy
+    * ties the trimmed count h can differ from ⌈trim·n⌉, which is the
+    * deterministic engine-portable variant of the textbook rank trim.
+    *
+    * One percentile broadcast + one moment pass; winsorized values
+    * quantize to 4 dp so moments are exact DECIMAL.
+    */
+  def yuenTrimmedTest(df: DataFrame, sideCol: String, valCol: String,
+                      sideA: Any, sideB: Any, trim: Double = 0.1,
+                      roundTo: Int = 6): DataFrame = {
+    val base = df.filter(col(sideCol).isin(sideA, sideB))
+      .select(when(col(sideCol) === lit(sideA), 0).otherwise(1).as("__s"),
+        col(valCol).cast("double").as("__v"))
+    val bounds = base.groupBy("__s")
+      .agg(round(percentile(col("__v"), lit(trim)), 6).as("__lo"),
+        round(percentile(col("__v"), lit(1 - trim)), 6).as("__hi"))
+    val w = base.join(broadcast(bounds), "__s")
+      .withColumn("__in",
+        col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+      .withColumn("__wv", round(greatest(least(col("__v"), col("__hi")),
+        col("__lo")), 4).cast("decimal(18,4)"))
+    val stats = w.groupBy("__s")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(when(col("__in"), 1L).otherwise(0L)).cast("decimal(38,0)")
+          .as("__h"),
+        sum(when(col("__in"), round(col("__v"), 4)
+          .cast("decimal(18,4)")).otherwise(lit(0).cast("decimal(18,4)")))
+          .cast("decimal(38,4)").as("__st"),
+        sum(col("__wv")).cast("decimal(38,4)").as("__sw"),
+        sum(col("__wv") * col("__wv")).cast("decimal(38,8)").as("__sww"))
+      .withColumn("__mt", col("__st").cast("double") /
+        col("__h").cast("double"))
+      .withColumn("__vw", (col("__n") * col("__sww") -
+          col("__sw") * col("__sw")).cast("double") /
+        (col("__n") * (col("__n") - 1)).cast("double"))
+      .withColumn("__d", when(col("__h") > 1,
+        col("__vw") * (col("__n") - 1).cast("double") /
+          (col("__h") * (col("__h") - 1)).cast("double")))
+    val a = stats.filter(col("__s") === 0)
+      .select(col("__h").as("__h1"), col("__mt").as("__m1"),
+        col("__d").as("__d1"))
+    val b = stats.filter(col("__s") === 1)
+      .select(col("__h").as("__h2"), col("__mt").as("__m2"),
+        col("__d").as("__d2"))
+    a.crossJoin(broadcast(b))
+      .select(col("__h1").cast("long").as("h_a"),
+        col("__h2").cast("long").as("h_b"),
+        round(col("__m1"), roundTo).as("trimmed_mean_a"),
+        round(col("__m2"), roundTo).as("trimmed_mean_b"),
+        when(col("__d1") + col("__d2") > 0,
+          round((col("__m1") - col("__m2")) /
+            sqrt(col("__d1") + col("__d2")), roundTo)).as("yuen_t"))
+  }
+
+  /** Index of dispersion (variance-to-mean ratio) per group with the
+    * χ² = (n−1)·s²/m̄ overdispersion readout: is a count series
+    * Poisson-ish (VMR ≈ 1), clumped (≫1, burst days), or
+    * under-dispersed (≪1, throttled)? The one-line screen before
+    * anyone fits a Poisson-assuming model to event volumes.
+    * Series contract: ALREADY-AGGREGATED (group, bucket, count) rows.
+    */
+  def dispersionIndex(series: DataFrame, groupCol: String, yCol: String,
+                      roundTo: Int = 6): DataFrame = {
+    series.select(col(groupCol).as("__g"),
+        col(yCol).cast("long").as("__y"))
+      .groupBy("__g")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(col("__y")).cast("decimal(38,0)").as("__s"),
+        sum(col("__y") * col("__y")).cast("decimal(38,0)").as("__ss"))
+      .withColumn("__mean", col("__s").cast("double") /
+        col("__n").cast("double"))
+      .withColumn("__var", (col("__n") * col("__ss") -
+          col("__s") * col("__s")).cast("double") /
+        (col("__n") * (col("__n") - 1)).cast("double"))
+      .select(col("__g").as(groupCol), col("__n").cast("long").as("n"),
+        round(col("__mean"), roundTo).as("mean"),
+        round(col("__var"), roundTo).as("variance"),
+        when(col("__mean") > 0 && col("__n") > 1,
+          round(col("__var") / col("__mean"), roundTo)).as("vmr"),
+        when(col("__mean") > 0 && col("__n") > 1,
+          round((col("__n") - 1).cast("double") * col("__var") /
+            col("__mean"), roundTo)).as("chi2"))
+  }
+
+  /** Temperature-scaled mixture weights — the multinomial sampling
+    * distribution for corpus mixing: wᵢ ∝ pᵢ^α with α ∈ (0,1]
+    * up-weighting rare domains (α = 1 is proportional, α → 0 uniform;
+    * GPT-3/PaLM-style data mixing). Reports each domain's natural
+    * share, its tempered weight, and the expected sample count for a
+    * declared budget.
+    *
+    * One domain-count aggregate; p^α terms snap to 12 dp and
+    * decimal-sum so the normalizer is order-independent.
+    */
+  def temperatureWeights(df: DataFrame, domainCol: String, alpha: Double,
+                         budget: Long, roundTo: Int = 6): DataFrame = {
+    val counts = df.groupBy(col(domainCol).as("__d"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // the normalizer and the rows both read it
+    val tot = counts.agg(sum(col("__n")).as("__tn"))
+    val withP = counts.crossJoin(broadcast(tot))
+      .withColumn("__p", col("__n").cast("double") / col("__tn"))
+      .withColumn("__w", round(pow(col("__p"), alpha), 12))
+    val norm = withP.agg(sum(col("__w").cast("decimal(38,12)"))
+      .as("__z"))
+    withP.crossJoin(broadcast(norm))
+      .select(col("__d").as(domainCol), col("__n").cast("long").as("n"),
+        round(col("__p"), roundTo).as("p_natural"),
+        round(col("__w") / col("__z").cast("double"), roundTo)
+          .as("weight"),
+        round(col("__w") / col("__z").cast("double") * budget, 2)
+          .as("expected_samples"))
+  }
+
+  /** Rolling PSI — [[psi]] swept across time periods against the
+    * corpus's FIRST period as the fixed baseline: one drift scalar
+    * per period, the "when did the distribution move" readout a
+    * single end-to-end PSI cannot give.
+    *
+    * One (period, bin) aggregate; the baseline period's bin counts
+    * and the per-period totals are broadcast; Laplace-smoothed
+    * (n+1)/(N+bins) terms snap to 10 dp and decimal-sum per period.
+    */
+  def psiByPeriod(df: DataFrame, valueCol: String, periodCol: String,
+                  binWidth: Double, nBins: Int,
+                  roundTo: Int = 6): DataFrame = {
+    val binned = df.select(col(periodCol).cast("long").as("__per"),
+      least(floor(col(valueCol) / binWidth), lit(nBins - 1)).cast("int")
+        .as("__bin"))
+    val cells = binned.groupBy(col("__per"), col("__bin"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // baseline slice + per-period totals
+    val basePer = cells.agg(min(col("__per")).as("__bp"))
+    val baseline = cells.join(broadcast(basePer),
+        col("__per") === col("__bp"))
+      .select(col("__bin"), col("__n").as("__nb"))
+    val baseTot = baseline.agg(sum(col("__nb")).as("__tb"))
+    val perTot = cells.groupBy(col("__per"))
+      .agg(sum(col("__n")).as("__tp"))
+    // full period×bin grid: a missing bin must still contribute its
+    // smoothed term, as in [[psi]]
+    val grid = perTot.crossJoin(baseline.select(col("__bin"),
+        col("__nb")))
+      .join(cells, Seq("__per", "__bin"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+      .crossJoin(broadcast(baseTot))
+      .withColumn("__q",
+        (col("__nb") + lit(1)).cast("double") / (col("__tb") + lit(nBins)))
+      .withColumn("__p",
+        (col("__n") + lit(1)).cast("double") / (col("__tp") + lit(nBins)))
+      .withColumn("__term",
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q")),
+          10).cast("decimal(28,12)"))
+    grid.groupBy(col("__per").as(periodCol))
+      .agg(first(col("__tp")).cast("long").as("n"),
+        round(sum(col("__term")).cast("double"), roundTo).as("psi"))
+  }
+
+  /** Weighted median per group — the center of MASS, not of rows:
+    * the smallest value whose cumulative weight reaches half the
+    * group total (weighted lower median). "Median order price
+    * weighted by quantity" instead of per-row medians that a few
+    * 1-unit orders can drag.
+    *
+    * One (group, value) weight histogram; the per-group cumulative
+    * runs in a window over that group's DISTINCT values (bounded by
+    * the quantized value vocabulary, never row count); integer/4-dp
+    * weights keep the crossing test exact.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valCol: String,
+                     weightCol: String, roundTo: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(col(groupCol).as("__g"),
+        round(col(valCol).cast("double"), roundTo).as("__v"),
+        col(weightCol).cast("long").as("__w"))
+      .groupBy(col("__g"), col("__v"))
+      .agg(sum(col("__w")).as("__gw"))
+    val tot = hist.groupBy("__g").agg(sum(col("__gw")).as("__tw"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("__cum", sum(col("__gw")).over(w))
+      .join(broadcast(tot), "__g")
+      .filter(lit(2) * col("__cum") >= col("__tw"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(first(col("__tw")).cast("long").as("total_weight"),
+        min(col("__v")).as("weighted_median"))
+  }
 }
