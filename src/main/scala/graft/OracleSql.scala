@@ -6334,6 +6334,92 @@ object OracleSql {
         |  CAST(max(t.tw) AS BIGINT) AS total_weight,
         |  min(v) AS weighted_median
         |FROM c JOIN t ON c.g = t.g WHERE 2 * cum >= tw
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q320_kendall_w" ->
+      """WITH s AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(ts AS DATE)) AS BIGINT) // 7 AS b,
+        |    event_type AS t, round(CAST(count(*) AS DOUBLE), 4) AS v
+        |  FROM events GROUP BY 1, 2),
+        |k AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM s),
+        |comp AS (SELECT s.* FROM s JOIN (SELECT b,
+        |      CAST(count(*) AS BIGINT) AS bn FROM s GROUP BY 1) c
+        |    ON s.b = c.b, k WHERE c.bn = k.k),
+        |rk AS (SELECT b, t, v,
+        |    rank() OVER (PARTITION BY b ORDER BY v) AS rnk,
+        |    count(*) OVER (PARTITION BY b, v) AS tie FROM comp),
+        |r2 AS (SELECT t, rnk * 2 + tie - 1 AS r2 FROM rk),
+        |pi AS (SELECT t, CAST(CAST(sum(r2) AS DECIMAL(38,0)) / 2
+        |      AS DECIMAL(38,1)) AS rsum,
+        |    CAST(count(*) AS BIGINT) AS m FROM r2 GROUP BY 1),
+        |ts AS (SELECT CAST(sum(tt * tt * tt - tt) AS DECIMAL(38,0))
+        |    AS tsum
+        |  FROM (SELECT b, v, CAST(count(*) AS BIGINT) AS tt
+        |    FROM comp GROUP BY 1, 2)),
+        |a AS (SELECT CAST(max(m) AS DECIMAL(38,0)) AS mm,
+        |    CAST(count(*) AS DECIMAL(38,0)) AS nn,
+        |    CAST(sum(rsum * rsum) AS DECIMAL(38,2)) AS ssq FROM pi),
+        |f AS (SELECT mm, nn, ssq, tsum,
+        |    CAST(mm * mm * nn * (nn * nn - 1) - mm * tsum AS DOUBLE)
+        |      AS den FROM a, ts),
+        |w AS (SELECT mm, nn, CASE WHEN den > 0 THEN round(
+        |    (12.0 * CAST(ssq AS DOUBLE) - 3.0 * CAST(mm * mm * nn
+        |      * (nn + 1) * (nn + 1) AS DOUBLE)) / den, 6) END AS w
+        |  FROM f)
+        |SELECT CAST(mm AS BIGINT) AS m_raters,
+        |  CAST(nn AS BIGINT) AS n_items, w,
+        |  CASE WHEN w IS NOT NULL THEN round(CAST(mm AS DOUBLE)
+        |    * CAST(nn - 1 AS DOUBLE) * w, 6) END AS chi2
+        |FROM w""".stripMargin,
+
+    "q321_gini_split" ->
+      """WITH h AS (SELECT round(value, 4) AS f,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS pos
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(sum(pos) AS BIGINT) AS tp FROM h),
+        |c AS (SELECT f, sum(n) OVER w AS cn0, sum(pos) OVER w AS cp0
+        |  FROM h WINDOW w AS (ORDER BY f
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |cand AS (SELECT f, CAST(cn0 AS BIGINT) AS cnl,
+        |    CAST(cp0 AS BIGINT) AS cpl,
+        |    CAST(cn0 AS DOUBLE) AS cn, CAST(cp0 AS DOUBLE) AS cp,
+        |    CAST(tn - cn0 AS DOUBLE) AS rn,
+        |    CAST(tp - cp0 AS DOUBLE) AS rp, tn, tp
+        |  FROM c, tot WHERE cn0 < tn),
+        |g AS (SELECT f, cnl, cpl, round(
+        |    2.0 * tp * (tn - tp) / (CAST(tn AS DOUBLE) * tn)
+        |    - (2.0 * cp * (cn - cp) / cn
+        |      + 2.0 * rp * (rn - rp) / rn) / CAST(tn AS DOUBLE), 10)
+        |    AS gain FROM cand),
+        |b AS (SELECT max(gain) AS best FROM g)
+        |SELECT min(f) AS threshold, round(max(best), 6) AS gain,
+        |  CAST(arg_min(cnl, f) AS BIGINT) AS n_left,
+        |  CAST(arg_min(cpl, f) AS BIGINT) AS pos_left
+        |FROM g, b WHERE gain = best""".stripMargin,
+
+    "q322_youden" ->
+      """WITH h AS (SELECT round(round(value, 1), 6) AS s,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(pos) AS BIGINT) AS tp,
+        |    CAST(sum(n) AS BIGINT) AS tn FROM h),
+        |c AS (SELECT s, sum(pos) OVER w AS cp, sum(n) OVER w AS cn
+        |  FROM h WINDOW w AS (ORDER BY s DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |j AS (SELECT s, CAST(cp AS DOUBLE) / tp AS tpr,
+        |    CAST(cn - cp AS DOUBLE) / (tn - tp) AS fpr,
+        |    round(CAST(cp AS DOUBLE) / tp
+        |      - CAST(cn - cp AS DOUBLE) / (tn - tp), 10) AS jj
+        |  FROM c, tot WHERE tp > 0 AND tn > tp),
+        |b AS (SELECT max(jj) AS best FROM j)
+        |SELECT max(s) AS threshold, round(max(best), 6) AS j_stat,
+        |  round(arg_max(tpr, s), 6) AS tpr,
+        |  round(arg_max(fpr, s), 6) AS fpr
+        |FROM j, b WHERE jj = best""".stripMargin
   )
 }

@@ -3544,7 +3544,36 @@ object SparkEntry {
     "q319_weighted_median" -> ((s, d) =>
       MetricOps.weightedMedian(Tables.lineitem(s, d), "l_returnflag",
           "l_extendedprice", "l_quantity")
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // L265 — Kendall's W: do the weeks agree on the event-type volume
+    // ranking? (the agreement readout behind q255's Friedman)
+    "q320_kendall_w" -> ((s, d) =>
+      MetricOps.kendallW(
+        Tables.events(s, d)
+          .groupBy(expr("datediff(to_date(ts), DATE'1970-01-01') div 7")
+            .as("week"), col("event_type"))
+          .agg(count(lit(1)).as("y")),
+        "week", "event_type", "y")),
+
+    // L266 — CART best Gini split of event value for the purchase
+    // label: the tree-builder primitive as one histogram pass.
+    "q321_gini_split" -> ((s, d) =>
+      MetricOps.bestGiniSplit(
+        Tables.events(s, d)
+          .withColumn("label",
+            when(col("event_type") === "purchase", 1).otherwise(0)),
+        "value", "label")),
+
+    // L267 — Youden's J optimal threshold on the same score: the
+    // deployment cut the q282 PR curve doesn't pick for you.
+    "q322_youden" -> ((s, d) =>
+      MetricOps.youdenThreshold(
+        Tables.events(s, d)
+          .withColumn("label",
+            when(col("event_type") === "purchase", 1).otherwise(0))
+          .withColumn("score", round(col("value"), 1)),
+        "label", "score"))
   )
 
   // ------------------------------------------------------------- oracles

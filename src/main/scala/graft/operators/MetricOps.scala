@@ -4492,4 +4492,146 @@ object MetricOps {
       .agg(first(col("__tw")).cast("long").as("total_weight"),
         min(col("__v")).as("weighted_median"))
   }
+
+  /** Kendall's W coefficient of concordance (tie-corrected) — do m
+    * raters agree on the ORDER of n items? W ∈ [0,1] =
+    * (12·ΣRᵢ² − 3m²n(n+1)²)/(m²n(n²−1) − m·ΣT), χ² = m(n−1)W. The
+    * agreement statistic behind [[friedman]] (which asks the inverse
+    * question), here with raters-as-blocks ranking the item slate.
+    * Raters with an incomplete slate are dropped (balanced panel).
+    *
+    * Same machinery as friedman: per-rater windows bounded by the
+    * n-item slate, doubled tie-average ranks (integer granularity .5),
+    * rank sums and their squares as exact DECIMAL.
+    */
+  def kendallW(df: DataFrame, raterCol: String, itemCol: String,
+               valCol: String, roundTo: Int = 6): DataFrame = {
+    val base = df.select(col(raterCol).as("__b"), col(itemCol).as("__t"),
+      round(col(valCol).cast("double"), 4).as("__v"))
+    val k = base.agg(countDistinct(col("__t")).as("__k"))
+    val complete = base
+      .withColumn("__bn", count(lit(1))
+        .over(Window.partitionBy(col("__b"))))
+      .crossJoin(broadcast(k))
+      .filter(col("__bn") === col("__k"))
+      .localCheckpoint(true) // rank windows + tie correction read it
+    val wb = Window.partitionBy(col("__b"))
+    val ranked = complete
+      .withColumn("__rnk", rank().over(wb.orderBy(col("__v"))))
+      .withColumn("__tie", count(lit(1))
+        .over(Window.partitionBy(col("__b"), col("__v"))))
+      .withColumn("__r2", col("__rnk") * 2 + col("__tie") - 1)
+    val perItem = ranked.groupBy(col("__t"))
+      .agg((sum(col("__r2")).cast("decimal(38,0)") / 2)
+        .cast("decimal(38,1)").as("__rsum"),
+        count(lit(1)).as("__m"))
+    val tieSum = complete.groupBy(col("__b"), col("__v"))
+      .agg(count(lit(1)).as("__tt"))
+      .agg(sum(col("__tt") * col("__tt") * col("__tt") - col("__tt"))
+        .cast("decimal(38,0)").as("__T"))
+    perItem.agg(first(col("__m")).cast("decimal(38,0)").as("__mm"),
+        count(lit(1)).cast("decimal(38,0)").as("__nn"),
+        sum(col("__rsum") * col("__rsum")).cast("decimal(38,2)")
+          .as("__ssq"))
+      .crossJoin(broadcast(tieSum))
+      .withColumn("__den", (col("__mm") * col("__mm") * col("__nn") *
+        (col("__nn") * col("__nn") - 1) - col("__mm") * col("__T"))
+        .cast("double"))
+      .withColumn("__w", when(col("__den") > 0, round(
+        (lit(12.0) * col("__ssq").cast("double") -
+          lit(3.0) * (col("__mm") * col("__mm") * col("__nn") *
+            (col("__nn") + 1) * (col("__nn") + 1)).cast("double")) /
+          col("__den"), roundTo)))
+      .select(col("__mm").cast("long").as("m_raters"),
+        col("__nn").cast("long").as("n_items"), col("__w").as("w"),
+        when(col("__w").isNotNull, round(col("__mm").cast("double") *
+          (col("__nn") - 1).cast("double") * col("__w"), roundTo))
+          .as("chi2"))
+  }
+
+  /** Best binary Gini split for a numeric feature — the CART split
+    * finder as a set operation: for every candidate threshold
+    * (distinct quantized feature value), the weighted Gini impurity of
+    * the ≤/> partition, reported as the single best (max-gain, then
+    * lowest-threshold) split. The decision-tree primitive a feature
+    * pipeline wants BEFORE handing columns to a trainer.
+    *
+    * With binary labels 1−p²−q² = 2pq, so every impurity is the exact
+    * rational 2·pos·(n−pos)/n² — the scan is ONE histogram +
+    * [[rangeCumSum]] prefix counts, gains snap to 10 dp, and the
+    * argmax is a broadcast max-join (no sort).
+    */
+  def bestGiniSplit(df: DataFrame, featureCol: String, labelCol: String,
+                    roundTo: Int = 6): DataFrame = {
+    val hist = df.select(
+        round(col(featureCol).cast("double"), 4).as("__f"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("__f"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__pos"))
+    val tot = hist.agg(sum(col("__n")).as("__tn"),
+      sum(col("__pos")).as("__tp"))
+    val cand = rangeCumSum(hist, "__f", Seq("__n", "__pos"))
+      .crossJoin(broadcast(tot))
+      .filter(col("__cum___n") < col("__tn")) // last row splits nothing
+      .withColumn("__cn", col("__cum___n").cast("double"))
+      .withColumn("__cp", col("__cum___pos").cast("double"))
+      .withColumn("__rn", (col("__tn") - col("__cum___n")).cast("double"))
+      .withColumn("__rp", (col("__tp") - col("__cum___pos")).cast("double"))
+      .withColumn("__gain", round(
+        lit(2.0) * col("__tp") * (col("__tn") - col("__tp")) /
+          (col("__tn").cast("double") * col("__tn")) -
+          (lit(2.0) * col("__cp") * (col("__cn") - col("__cp")) /
+            col("__cn") +
+            lit(2.0) * col("__rp") * (col("__rn") - col("__rp")) /
+              col("__rn")) / col("__tn").cast("double"), 10))
+      .localCheckpoint(true) // the argmax and the pick both read it
+    val best = cand.agg(max(col("__gain")).as("__best"))
+    cand.join(broadcast(best), col("__gain") === col("__best"))
+      .groupBy(col("__best"))
+      .agg(min(col("__f")).as("threshold"),
+        min(struct(col("__f"), col("__cum___n"), col("__cum___pos")))
+          .as("__pick"))
+      .select(col("threshold"),
+        round(col("__best"), roundTo).as("gain"),
+        col("__pick.__cum___n").cast("long").as("n_left"),
+        col("__pick.__cum___pos").cast("long").as("pos_left"))
+  }
+
+  /** Youden's J optimal threshold — the ROC point maximizing
+    * TPR − FPR, i.e. the cut a balanced-cost deployment should use
+    * (the scalar [[prCurve]]/[[auc]] don't pick for you). Ties go to
+    * the HIGHEST threshold (the conservative cut).
+    *
+    * Same bounded-histogram shape as [[prCurve]]: descending
+    * cumulatives via ONE [[rangeCumSum]] on the negated score;
+    * J snaps to 10 dp; the argmax is a broadcast max-join.
+    */
+  def youdenThreshold(df: DataFrame, labelCol: String, scoreCol: String,
+                      roundTo: Int = 6): DataFrame = {
+    val hist = df.select(
+        round(col(scoreCol).cast("double"), 6).as("__s"),
+        col(labelCol).cast("long").as("__y"))
+      .groupBy(col("__s"))
+      .agg(sum(col("__y")).as("__pos"), count(lit(1)).as("__n"))
+      .withColumn("__neg", -col("__s"))
+    val tot = hist.agg(sum(col("__pos")).as("__tp"),
+      sum(col("__n")).as("__tn"))
+    val cand = rangeCumSum(hist, "__neg", Seq("__pos", "__n"))
+      .crossJoin(broadcast(tot))
+      .filter(col("__tp") > 0 && col("__tn") > col("__tp"))
+      .withColumn("__tpr", col("__cum___pos").cast("double") / col("__tp"))
+      .withColumn("__fpr",
+        (col("__cum___n") - col("__cum___pos")).cast("double") /
+          (col("__tn") - col("__tp")))
+      .withColumn("__j", round(col("__tpr") - col("__fpr"), 10))
+      .localCheckpoint(true) // argmax + pick
+    val best = cand.agg(max(col("__j")).as("__best"))
+    cand.join(broadcast(best), col("__j") === col("__best"))
+      .agg(max(col("__s")).as("threshold"),
+        round(first(col("__best")), roundTo).as("j_stat"),
+        round(max(struct(col("__s"), col("__tpr")))("__tpr"), roundTo)
+          .as("tpr"),
+        round(max(struct(col("__s"), col("__fpr")))("__fpr"), roundTo)
+          .as("fpr"))
+  }
 }
