@@ -4634,4 +4634,35 @@ object MetricOps {
         round(max(struct(col("__s"), col("__fpr")))("__fpr"), roundTo)
           .as("fpr"))
   }
+
+  /** PSI from two PRE-BUILT bin-count histograms (expected baseline
+    * vs actual) — the scoring half of [[psi]] factored out so a
+    * STREAMING histogram snapshot (graft.streaming.StreamingDrift)
+    * can be scored against a frozen baseline without re-reading raw
+    * rows. Same Laplace smoothing (n+1)/(N+bins) over the full
+    * 0..nBins−1 grid, terms snapped to 10 dp and decimal-summed.
+    */
+  def psiFromCounts(expected: DataFrame, actual: DataFrame,
+                    nBins: Int, roundTo: Int = 6): DataFrame = {
+    val grid = expected.sparkSession.range(0, nBins.toLong)
+      .select(col("id").cast("int").as("__bin"))
+    val e = expected.select(col("bin").cast("int").as("__bin"),
+      col("n").cast("long").as("__ne"))
+    val a = actual.select(col("bin").cast("int").as("__bin"),
+      col("n").cast("long").as("__na"))
+    val te = e.agg(sum(col("__ne")).as("__te"))
+    val ta = a.agg(sum(col("__na")).as("__ta"))
+    grid.join(broadcast(e), Seq("__bin"), "left")
+      .join(broadcast(a), Seq("__bin"), "left")
+      .crossJoin(broadcast(te)).crossJoin(broadcast(ta))
+      .withColumn("__q", (coalesce(col("__ne"), lit(0L)) + 1)
+        .cast("double") / (col("__te") + nBins))
+      .withColumn("__p", (coalesce(col("__na"), lit(0L)) + 1)
+        .cast("double") / (col("__ta") + nBins))
+      .withColumn("__term",
+        round((col("__p") - col("__q")) * log(col("__p") / col("__q")),
+          10).cast("decimal(28,12)"))
+      .agg(first(col("__ta")).cast("long").as("n_actual"),
+        round(sum(col("__term")).cast("double"), roundTo).as("psi"))
+  }
 }
