@@ -6420,6 +6420,39 @@ object OracleSql {
         |SELECT max(s) AS threshold, round(max(best), 6) AS j_stat,
         |  round(arg_max(tpr, s), 6) AS tpr,
         |  round(arg_max(fpr, s), 6) AS fpr
-        |FROM j, b WHERE jj = best""".stripMargin
+        |FROM j, b WHERE jj = best""".stripMargin,
+
+    "q323_hhi" ->
+      """WITH cells AS (SELECT o_orderpriority AS g, o_custkey AS e,
+        |    CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2)))
+        |      AS DECIMAL(38,2)) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(sum(v) AS DECIMAL(38,2)) AS tv,
+        |    CAST(count(*) AS BIGINT) AS ne FROM cells GROUP BY 1),
+        |s AS (SELECT cells.g, ne,
+        |    CAST(v AS DOUBLE) / CAST(tv AS DOUBLE) AS sh
+        |  FROM cells JOIN t ON cells.g = t.g),
+        |a AS (SELECT g, max(ne) AS ne,
+        |    CAST(sum(CAST(round(sh * sh, 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE) AS h FROM s GROUP BY 1)
+        |SELECT g AS o_orderpriority, ne AS n_entities,
+        |  round(h, 6) AS hhi,
+        |  CASE WHEN ne > 1 THEN round((h - 1.0 / ne)
+        |    / (1.0 - 1.0 / ne), 6) END AS hhi_normalized
+        |FROM a ORDER BY 1""".stripMargin,
+
+    "q324_qq" ->
+      """WITH a AS (SELECT unnest(quantile_cont(value,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS qa,
+        |    CAST(unnest(generate_series(0, 8)) AS INT) AS i
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT unnest(quantile_cont(value,
+        |      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS qb,
+        |    CAST(unnest(generate_series(0, 8)) AS INT) AS i
+        |  FROM events WHERE event_type = 'view')
+        |SELECT round(CAST(a.i + 1 AS DOUBLE) / 10, 1) AS quantile,
+        |  round(qa, 6) AS q_a, round(qb, 6) AS q_b,
+        |  round(qb - qa, 6) AS gap
+        |FROM a JOIN b ON a.i = b.i ORDER BY 1""".stripMargin
   )
 }

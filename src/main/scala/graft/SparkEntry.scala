@@ -3573,7 +3573,21 @@ object SparkEntry {
           .withColumn("label",
             when(col("event_type") === "purchase", 1).otherwise(0))
           .withColumn("score", round(col("value"), 1)),
-        "label", "score"))
+        "label", "score")),
+
+    // L268 — Herfindahl concentration of order value by customer
+    // within each priority: is one buyer dominating a class?
+    "q323_hhi" -> ((s, d) =>
+      MetricOps.herfindahl(Tables.orders(s, d), "o_orderpriority",
+          "o_custkey", "o_totalprice")
+        .orderBy("o_orderpriority")),
+
+    // L269 — Q-Q decile table, click vs view values: WHERE in the
+    // distribution the drift scalars (q106/q184/q302) live.
+    "q324_qq" -> ((s, d) =>
+      MetricOps.qqTable(Tables.events(s, d), "event_type", "value",
+          "click", "view")
+        .orderBy("quantile"))
   )
 
   // ------------------------------------------------------------- oracles

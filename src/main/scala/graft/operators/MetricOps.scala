@@ -4665,4 +4665,66 @@ object MetricOps {
       .agg(first(col("__ta")).cast("long").as("n_actual"),
         round(sum(col("__term")).cast("double"), roundTo).as("psi"))
   }
+
+  /** Herfindahl–Hirschman concentration index per group: Σ share²
+    * over entities, plus the size-corrected normalized form
+    * (H − 1/n)/(1 − 1/n) ∈ [0,1]. The market-concentration scalar
+    * next to [[giniConcentration]] (dispersion) and
+    * [[theilDecomposition]] (within/between) — the one regulators
+    * quote, and the "is one customer/source dominating this
+    * partition" audit.
+    *
+    * One (group, entity) value aggregate (exact 2-dp cents), group
+    * totals joined back on the group key, share² terms snapped to
+    * 12 dp and decimal-summed per group.
+    */
+  def herfindahl(df: DataFrame, groupCol: String, entityCol: String,
+                 valCol: String, roundTo: Int = 6): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("__g"),
+        col(entityCol).as("__e"))
+      .agg(sum(round(col(valCol).cast("double"), 2)
+        .cast("decimal(18,2)")).cast("decimal(38,2)").as("__v"))
+    val totals = cells.groupBy("__g")
+      .agg(sum(col("__v")).as("__tv"), count(lit(1)).as("__ne"))
+    cells.join(broadcast(totals), "__g")
+      .withColumn("__s", col("__v").cast("double") /
+        col("__tv").cast("double"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(first(col("__ne")).cast("long").as("n_entities"),
+        round(sum(round(col("__s") * col("__s"), 12)
+          .cast("decimal(38,12)")).cast("double"), roundTo).as("hhi"),
+        when(first(col("__ne")) > 1, round(
+          (sum(round(col("__s") * col("__s"), 12)
+            .cast("decimal(38,12)")).cast("double") -
+            lit(1.0) / first(col("__ne"))) /
+            (lit(1.0) - lit(1.0) / first(col("__ne"))), roundTo))
+          .as("hhi_normalized"))
+  }
+
+  /** Q–Q decile table between two samples — the data behind a QQ
+    * plot: interior deciles of each side, paired, with the gap. Where
+    * a scalar drift stat (PSI/KS/W₁) says "something moved", the QQ
+    * table says WHERE in the distribution it moved.
+    *
+    * One percentile aggregate per side (exact interpolated
+    * percentiles, the [[graft.operators.ExperimentOps]] convention),
+    * exploded against the 9-row decile grid — no raw-row sort.
+    */
+  def qqTable(df: DataFrame, sideCol: String, valCol: String,
+              sideA: Any, sideB: Any, roundTo: Int = 6): DataFrame = {
+    val qs = (1 to 9).map(_ / 10.0)
+    val base = df.filter(col(sideCol).isin(sideA, sideB))
+      .select(when(col(sideCol) === lit(sideA), 0).otherwise(1).as("__s"),
+        col(valCol).cast("double").as("__v"))
+    def side(tag: Int, out: String) = base.filter(col("__s") === tag)
+      .agg(percentile(col("__v"),
+        array(qs.map(lit): _*)).as("__qs"))
+      .select(posexplode(col("__qs")).as(Seq("__i", out)))
+    side(0, "__qa").join(side(1, "__qb"), "__i")
+      .select(round((col("__i") + 1).cast("double") / 10, 1)
+          .as("quantile"),
+        round(col("__qa"), roundTo).as("q_a"),
+        round(col("__qb"), roundTo).as("q_b"),
+        round(col("__qb") - col("__qa"), roundTo).as("gap"))
+  }
 }
