@@ -6453,6 +6453,88 @@ object OracleSql {
         |SELECT round(CAST(a.i + 1 AS DOUBLE) / 10, 1) AS quantile,
         |  round(qa, 6) AS q_a, round(qb, 6) AS q_b,
         |  round(qb - qa, 6) AS gap
-        |FROM a JOIN b ON a.i = b.i ORDER BY 1""".stripMargin
+        |FROM a JOIN b ON a.i = b.i ORDER BY 1""".stripMargin,
+
+    "q325_entropy_rate" ->
+      """WITH r AS (SELECT user_id, event_type, lead(event_type)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |cells AS (SELECT event_type AS i, nxt AS j,
+        |    CAST(count(*) AS BIGINT) AS n FROM r
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |rm AS (SELECT i, CAST(sum(n) AS BIGINT) AS ni FROM cells
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(count(DISTINCT i) AS BIGINT) AS k FROM cells),
+        |t AS (SELECT CAST(round(-(CAST(n AS DOUBLE) / tn)
+        |      * ln(CAST(n AS DOUBLE) / ni), 12) AS DECIMAL(28,14))
+        |    AS term, tn, k
+        |  FROM cells JOIN rm USING (i), tot)
+        |SELECT max(tn) AS n_transitions, max(k) AS n_states,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS entropy_rate_nats,
+        |  round(exp(CAST(sum(term) AS DOUBLE)), 6) AS perplexity
+        |FROM t""".stripMargin,
+
+    "q326_hill" ->
+      """WITH cells AS (SELECT event_type AS g, user_id AS e,
+        |    CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(sum(n) AS BIGINT) AS tn,
+        |    CAST(count(*) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |s AS (SELECT cells.g, r, CAST(n AS DOUBLE) / tn AS p
+        |  FROM cells JOIN t ON cells.g = t.g),
+        |a AS (SELECT g, max(r) AS r,
+        |    sum(CAST(round(-p * ln(p), 12) AS DECIMAL(28,14))) AS h,
+        |    sum(CAST(round(p * p, 12) AS DECIMAL(28,14))) AS simp
+        |  FROM s GROUP BY 1)
+        |SELECT g AS event_type, r AS d0_richness,
+        |  round(exp(CAST(h AS DOUBLE)), 6) AS d1_shannon,
+        |  round(1.0 / CAST(simp AS DOUBLE), 6) AS d2_simpson,
+        |  CASE WHEN r > 1 THEN round(CAST(h AS DOUBLE)
+        |    / ln(CAST(r AS DOUBLE)), 6) END AS evenness
+        |FROM a ORDER BY 1""".stripMargin,
+
+    "q327_mahalanobis" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_quantity, 4) AS DECIMAL(18,4)) AS v0,
+        |    CAST(round(l_extendedprice, 4) AS DECIMAL(18,4)) AS v1,
+        |    CAST(round(l_discount, 4) AS DECIMAL(18,4)) AS v2
+        |  FROM lineitem),
+        |m AS (SELECT g, CAST(count(*) AS DECIMAL(38,0)) AS n,
+        |    CAST(sum(v0) AS DECIMAL(38,4)) AS s0,
+        |    CAST(sum(CAST(v0 AS DECIMAL(28,4))
+        |      * CAST(v0 AS DECIMAL(28,4))) AS DECIMAL(38,8)) AS ss0,
+        |    CAST(sum(v1) AS DECIMAL(38,4)) AS s1,
+        |    CAST(sum(CAST(v1 AS DECIMAL(28,4))
+        |      * CAST(v1 AS DECIMAL(28,4))) AS DECIMAL(38,8)) AS ss1,
+        |    CAST(sum(v2) AS DECIMAL(38,4)) AS s2,
+        |    CAST(sum(CAST(v2 AS DECIMAL(28,4))
+        |      * CAST(v2 AS DECIMAL(28,4))) AS DECIMAL(38,8)) AS ss2
+        |  FROM b GROUP BY 1),
+        |st AS (SELECT g,
+        |    round(CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS m0,
+        |    round(sqrt(greatest(CAST(n * ss0 - s0 * s0 AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE), 0.0)), 6) AS sd0,
+        |    round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS m1,
+        |    round(sqrt(greatest(CAST(n * ss1 - s1 * s1 AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE), 0.0)), 6) AS sd1,
+        |    round(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS m2,
+        |    round(sqrt(greatest(CAST(n * ss2 - s2 * s2 AS DOUBLE)
+        |      / CAST(n * (n - 1) AS DOUBLE), 0.0)), 6) AS sd2
+        |  FROM m),
+        |d AS (SELECT b.g, round(
+        |    (CASE WHEN sd0 > 0 THEN pow((CAST(v0 AS DOUBLE) - m0)
+        |      / sd0, 2) ELSE 0.0 END)
+        |    + (CASE WHEN sd1 > 0 THEN pow((CAST(v1 AS DOUBLE) - m1)
+        |      / sd1, 2) ELSE 0.0 END)
+        |    + (CASE WHEN sd2 > 0 THEN pow((CAST(v2 AS DOUBLE) - m2)
+        |      / sd2, 2) ELSE 0.0 END), 8) AS d2
+        |  FROM b JOIN st ON b.g = st.g)
+        |SELECT g AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN d2 > 16.27 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  round(CAST(sum(CASE WHEN d2 > 16.27 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS outlier_rate,
+        |  round(max(d2), 6) AS max_d2
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -3587,7 +3587,29 @@ object SparkEntry {
     "q324_qq" -> ((s, d) =>
       MetricOps.qqTable(Tables.events(s, d), "event_type", "value",
           "click", "view")
-        .orderBy("quantile"))
+        .orderBy("quantile")),
+
+    // L270 — Markov entropy rate of per-user event-type sequences:
+    // how predictable is the next action? (q173's matrix as a scalar)
+    "q325_entropy_rate" -> ((s, d) =>
+      MetricOps.markovEntropyRate(Tables.events(s, d), "user_id",
+        Seq(col("ts"), col("event_id")), "event_type")),
+
+    // L271 — Hill diversity numbers (D0/D1/D2 + evenness) of user
+    // participation per event type: 1/D2 is q323's HHI.
+    "q326_hill" -> ((s, d) =>
+      MetricOps.hillNumbers(Tables.events(s, d), "event_type",
+          "user_id")
+        .orderBy("event_type")),
+
+    // L272 — diagonal-Mahalanobis joint-outlier audit over lineitem
+    // (qty, price, discount) per returnflag at the chi2_3 99.9% cut.
+    "q327_mahalanobis" -> ((s, d) =>
+      MetricOps.mahalanobisOutliers(Tables.lineitem(s, d),
+          "l_returnflag",
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          cut = 16.27)
+        .orderBy("l_returnflag"))
   )
 
   // ------------------------------------------------------------- oracles

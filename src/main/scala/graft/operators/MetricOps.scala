@@ -4727,4 +4727,127 @@ object MetricOps {
         round(col("__qb"), roundTo).as("q_b"),
         round(col("__qb") - col("__qa"), roundTo).as("gap"))
   }
+
+  /** Empirical Markov entropy rate of a categorical event sequence:
+    * H = −Σᵢⱼ (nᵢⱼ/N)·ln(nᵢⱼ/nᵢ·) over observed transitions, with the
+    * perplexity readout e^H ("effectively how many next-states does a
+    * user choose from"). The predictability scalar over the
+    * transition matrix the Markov-chain op (q173) materializes.
+    *
+    * Transitions come from a per-entity lag window (keyed, bounded by
+    * the entity's own rows); the (from, to) cell table is the only
+    * shuffled object; terms snap to 12 dp and decimal-sum.
+    */
+  def markovEntropyRate(df: DataFrame, entityCol: String,
+                        orderCols: Seq[org.apache.spark.sql.Column],
+                        stateCol: String,
+                        roundTo: Int = 6): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(orderCols: _*)
+    val cells = df
+      .withColumn("__next", lead(col(stateCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("__i"), col("__next").as("__j"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // row margins + total re-read it
+    val rowm = cells.groupBy("__i").agg(sum(col("__n")).as("__ni"))
+    val tot = cells.agg(sum(col("__n")).as("__tn"),
+      countDistinct(col("__i")).as("__k"))
+    cells.join(broadcast(rowm), "__i")
+      .crossJoin(broadcast(tot))
+      .withColumn("__term", round(
+        -(col("__n").cast("double") / col("__tn")) *
+          log(col("__n").cast("double") / col("__ni")), 12)
+        .cast("decimal(28,14)"))
+      .agg(first(col("__tn")).cast("long").as("n_transitions"),
+        first(col("__k")).cast("long").as("n_states"),
+        round(sum(col("__term")).cast("double"), roundTo)
+          .as("entropy_rate_nats"),
+        round(exp(sum(col("__term")).cast("double")), roundTo)
+          .as("perplexity"))
+  }
+
+  /** Hill diversity numbers per group — the ecology readout of a
+    * share distribution at three orders: D₀ = richness, D₁ = e^H
+    * (Shannon's effective count), D₂ = 1/Σp² (Simpson's, = 1/HHI),
+    * plus Pielou evenness H/ln D₀. One table answers "how many
+    * sources/users effectively feed this partition" at tail-
+    * sensitivity levels a single scalar can't.
+    *
+    * One (group, entity) count aggregate; group totals joined back;
+    * both entropy and Simpson terms snap to 12 dp and decimal-sum.
+    */
+  def hillNumbers(df: DataFrame, groupCol: String, entityCol: String,
+                  roundTo: Int = 6): DataFrame = {
+    val cells = df.groupBy(col(groupCol).as("__g"),
+        col(entityCol).as("__e"))
+      .agg(count(lit(1)).as("__n"))
+    val totals = cells.groupBy("__g")
+      .agg(sum(col("__n")).as("__tn"), count(lit(1)).as("__r"))
+    cells.join(broadcast(totals), "__g")
+      .withColumn("__p", col("__n").cast("double") / col("__tn"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(first(col("__r")).cast("long").as("d0_richness"),
+        sum(round(-col("__p") * log(col("__p")), 12)
+          .cast("decimal(28,14)")).as("__h"),
+        sum(round(col("__p") * col("__p"), 12).cast("decimal(28,14)"))
+          .as("__simp"))
+      .select(col(groupCol), col("d0_richness"),
+        round(exp(col("__h").cast("double")), roundTo).as("d1_shannon"),
+        round(lit(1.0) / col("__simp").cast("double"), roundTo)
+          .as("d2_simpson"),
+        when(col("d0_richness") > 1, round(col("__h").cast("double") /
+          log(col("d0_richness").cast("double")), roundTo))
+          .as("evenness"))
+  }
+
+  /** Diagonal-covariance Mahalanobis outlier audit over k numeric
+    * columns: per group, z-score each column against the group's own
+    * moments, d² = Σzᵢ², and report how many rows exceed the declared
+    * χ²_k cut — the multivariate "weird row" screen a per-column
+    * [[tukeyOutliers]] pass misses (jointly-unusual but marginally-
+    * normal rows). Diagonal covariance by design: exact, closed-form,
+    * and the right first screen before anyone pays for a full matrix.
+    *
+    * One exact-DECIMAL moment pass (means/stds ROUNDED to 6 dp — the
+    * shared-constant rule), broadcast back; the second pass is
+    * map-only. Output: per group n, n_outliers, outlier_rate, max d².
+    */
+  def mahalanobisOutliers(df: DataFrame, groupCol: String,
+                          valCols: Seq[String], cut: Double,
+                          roundTo: Int = 6): DataFrame = {
+    require(valCols.nonEmpty, "no value columns given")
+    val base = valCols.zipWithIndex.foldLeft(
+      df.select(col(groupCol).as("__g") +:
+        valCols.zipWithIndex.map { case (c, i) =>
+          round(col(c).cast("double"), 4).cast("decimal(18,4)")
+            .as(s"__v$i") }: _*))((d, _) => d)
+    val mom = base.groupBy("__g")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        valCols.indices.flatMap(i => Seq(
+          sum(col(s"__v$i")).cast("decimal(38,4)").as(s"__s$i"),
+          sum(col(s"__v$i") * col(s"__v$i")).cast("decimal(38,8)")
+            .as(s"__ss$i"))): _*)
+    val stats = valCols.indices.foldLeft(mom)((d, i) => d
+        .withColumn(s"__m$i", round(col(s"__s$i").cast("double") /
+          col("__n").cast("double"), 6))
+        .withColumn(s"__sd$i", round(sqrt(greatest(
+          (col("__n") * col(s"__ss$i") - col(s"__s$i") * col(s"__s$i"))
+            .cast("double") /
+            (col("__n") * (col("__n") - 1)).cast("double"),
+          lit(0.0))), 6)))
+      .select(col("__g") +: valCols.indices.flatMap(i =>
+        Seq(col(s"__m$i"), col(s"__sd$i"))): _*)
+    val d2 = valCols.indices.map(i =>
+      when(col(s"__sd$i") > 0, pow(
+        (col(s"__v$i").cast("double") - col(s"__m$i")) / col(s"__sd$i"),
+        2)).otherwise(lit(0.0))).reduce(_ + _)
+    base.join(broadcast(stats), "__g")
+      .withColumn("__d2", round(d2, 8))
+      .groupBy(col("__g").as(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__d2") > cut, 1L).otherwise(0L)).as("n_outliers"),
+        round(sum(when(col("__d2") > cut, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)), roundTo).as("outlier_rate"),
+        round(max(col("__d2")), roundTo).as("max_d2"))
+  }
 }
