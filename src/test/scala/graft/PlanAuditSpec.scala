@@ -623,7 +623,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
         "q282_pr_curve", "q283_lorenz", "q286_dunn",
         "q289_hosmer_lemeshow", "q290_nelson_aalen", "q291_rmst",
         "q292_anderson_darling", "q293_fleiss_kappa", "q294_msprt",
-        "q296_ses_backtest", "q298_rfm", "q299_km_ci")) {
+        "q296_ses_backtest", "q298_rfm", "q299_km_ci", "q307_kuiper",
+        "q313_bowker", "q319_weighted_median", "q320_kendall_w",
+        "q321_gini_split", "q322_youden", "q325_entropy_rate")) {
       val df = plan(q)
       df.count()
       val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
@@ -634,7 +636,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
     // moment-only tests must stay windowless: the Granger lag is an
     // equi-join, the Chow segments are plain aggregates
-    for (q <- Seq("q300_granger", "q303_cmh", "q306_chow")) {
+    for (q <- Seq("q300_granger", "q303_cmh", "q306_chow",
+        "q316_dispersion", "q317_temperature", "q323_hhi",
+        "q326_hill", "q327_mahalanobis")) {
       val df = plan(q)
       df.count()
       val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
