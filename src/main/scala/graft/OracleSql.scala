@@ -6535,6 +6535,29 @@ object OracleSql {
         |  round(CAST(sum(CASE WHEN d2 > 16.27 THEN 1 ELSE 0 END)
         |    AS DOUBLE) / count(*), 6) AS outlier_rate,
         |  round(max(d2), 6) AS max_d2
-        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q328_benford2" ->
+      """WITH obs AS (SELECT CAST(substr(CAST(CAST(round(
+        |      o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 2, 1)
+        |      AS INT) AS digit,
+        |    CAST(count(*) AS BIGINT) AS n_obs
+        |  FROM orders WHERE o_totalprice > 0
+        |    AND CAST(round(o_totalprice * 100, 0) AS BIGINT) >= 10
+        |  GROUP BY 1),
+        |e AS (SELECT d.d AS digit, CAST(sum(CAST(round(log10(
+        |      1.0 + 1.0 / (10 * k.k + d.d)), 12) AS DECIMAL(28,14)))
+        |    AS DOUBLE) AS p
+        |  FROM (SELECT unnest(generate_series(0, 9)) AS d) d
+        |  CROSS JOIN (SELECT unnest(generate_series(1, 9)) AS k) k
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS DOUBLE) AS tn FROM obs)
+        |SELECT e.digit, coalesce(n_obs, 0) AS n_obs,
+        |  round(tn * p, 4) AS exp_n,
+        |  round((coalesce(n_obs, 0) - tn * p)
+        |    * (coalesce(n_obs, 0) - tn * p) / (tn * p), 4)
+        |    AS chi2_term
+        |FROM e LEFT JOIN obs ON e.digit = obs.digit, t
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -3609,7 +3609,14 @@ object SparkEntry {
           "l_returnflag",
           Seq("l_quantity", "l_extendedprice", "l_discount"),
           cut = 16.27)
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // L273 — Benford second-digit audit of order values: the
+    // fabrication screen q167's first-digit curve can't see.
+    "q328_benford2" -> ((s, d) =>
+      QualityChecks.benfordSecondDigit(Tables.orders(s, d),
+          "o_totalprice")
+        .orderBy("digit"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -447,4 +447,43 @@ object QualityChecks {
         round((col("__n1") + 1).cast("double") * (col("__n2") + 1) /
           (col("__m") + 1) - 1, roundTo).as("n_hat"))
   }
+
+  /** Benford SECOND-digit audit — the forensic follow-up to
+    * [[benfordAudit]]: second digits are far flatter
+    * (P(d) = Σ_{k=1..9} log₁₀(1+1/(10k+d))) and therefore the better
+    * fabrication screen — humans who fake plausible FIRST digits
+    * rarely get the second-digit curve right. Values too small to
+    * have a second digit at the audit scale are excluded.
+    *
+    * The 10-row expected distribution is derived in-plan from a
+    * 90-cell literal grid (terms snapped to 12 dp, decimal-summed) —
+    * no hard-coded float table to drift between engines.
+    */
+  def benfordSecondDigit(df: DataFrame, valCol: String,
+                         scale: Int = 2): DataFrame = {
+    val mult = math.pow(10.0, scale)
+    val obs = df.filter(col(valCol) > 0)
+      .select(round(col(valCol) * mult, 0).cast("long").as("__i"))
+      .filter(col("__i") >= 10)
+      .select(substring(col("__i").cast("string"), 2, 1).cast("int")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spark = df.sparkSession
+    val exp = spark.range(0, 10)
+      .select(col("id").cast("int").as("digit"))
+      .crossJoin(spark.range(1, 10).select(col("id").as("__k")))
+      .withColumn("__term", round(log10(lit(1.0) + lit(1.0) /
+        (lit(10) * col("__k") + col("digit"))), 12)
+        .cast("decimal(28,14)"))
+      .groupBy("digit").agg(sum(col("__term")).cast("double").as("__p"))
+    val tot = obs.agg(sum(col("n_obs")).cast("double").as("__tn"))
+    exp.join(obs, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("__exp", col("__tn") * col("__p"))
+      .select(col("digit"), col("n_obs"),
+        round(col("__exp"), 4).as("exp_n"),
+        round((col("n_obs") - col("__exp")) * (col("n_obs") - col("__exp"))
+          / col("__exp"), 4).as("chi2_term"))
+  }
 }

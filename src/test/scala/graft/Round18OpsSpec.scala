@@ -50,4 +50,18 @@ class Round18OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_outliers") == 1L)
     assert(r.getAs[Double]("max_d2") > 13.8)
   }
+
+  test("benfordSecondDigit: expected mass sums to N with the known " +
+    "0.12/0.085 endpoints; sub-2-digit values are excluded") {
+    val df = (10 to 99).map(v => v / 100.0).toDF("v") // uniform d2
+      .unionAll(Seq(0.05).toDF("v")) // one digit only at scale 2
+    val r = graft.operators.QualityChecks.benfordSecondDigit(df, "v")
+      .orderBy("digit").collect()
+    assert(r.length == 10)
+    assert(r.map(_.getAs[Long]("n_obs")).sum == 90L)
+    assert(math.abs(r.map(_.getAs[Double]("exp_n")).sum - 90.0) < 0.01)
+    // P(d2=0) = 0.11968, P(d2=9) = 0.08500 (Newcomb-Benford table)
+    assert(math.abs(r(0).getAs[Double]("exp_n") - 90 * 0.11968) < 0.01)
+    assert(math.abs(r(9).getAs[Double]("exp_n") - 90 * 0.08500) < 0.01)
+  }
 }
