@@ -2450,7 +2450,7 @@ object OracleSql {
         |  FROM m a JOIN m b ON a.o_orderpriority = b.o_orderpriority
         |    AND b.mi > a.mi)
         |SELECT o_orderpriority,
-        |  round(quantile_cont(slope, 0.5), 6) AS ts_slope,
+        |  round(quantile_cont(slope, 0.5), 6) + 0.0 AS ts_slope,
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM p GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
@@ -2763,8 +2763,9 @@ object OracleSql {
         |  FROM sc),
         |ivt AS (SELECT sum(iv12) AS t FROM sc2)
         |SELECT f AS event_type, n, p AS pos, ng AS neg,
-        |  round(woe, 6) AS woe, round(CAST(iv12 AS DOUBLE), 6) AS iv,
-        |  round(CAST(t AS DOUBLE), 6) AS iv_total
+        |  round(woe, 6) + 0.0 AS woe,
+        |  round(CAST(iv12 AS DOUBLE), 6) + 0.0 AS iv,
+        |  round(CAST(t AS DOUBLE), 6) + 0.0 AS iv_total
         |FROM sc2, ivt ORDER BY 1""".stripMargin,
 
     "q211_avg_precision" ->
@@ -3726,8 +3727,9 @@ object OracleSql {
         |    round(CAST(count(*) AS DOUBLE), 4) AS v
         |  FROM events GROUP BY 1, 2),
         |k AS (SELECT count(DISTINCT t) AS k FROM s),
-        |c AS (SELECT s.*, count(*) OVER (PARTITION BY b) AS bn FROM s),
-        |f AS (SELECT c.* FROM c, k WHERE bn = k.k),
+        |c AS (SELECT s.*, count(*) OVER (PARTITION BY b) AS bn,
+        |    count(DISTINCT t) OVER (PARTITION BY b) AS bd FROM s),
+        |f AS (SELECT c.* FROM c, k WHERE bn = k.k AND bd = k.k),
         |rk AS (SELECT b, t,
         |    rank() OVER (PARTITION BY b ORDER BY v) * 2
         |      + count(*) OVER (PARTITION BY b, v) - 1 AS r2 FROM f),
@@ -4716,11 +4718,19 @@ object OracleSql {
     "q266_modularity" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
         |  FROM e),
+        |pb AS (SELECT vec_id, emb, nrm,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n),
         |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
         |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
-        |  FROM n a, n b WHERE a.vec_id <> b.vec_id),
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id),
         |r AS (SELECT vec_id, neighbor_id,
         |    row_number() OVER (PARTITION BY vec_id
         |      ORDER BY sim DESC, neighbor_id) AS rn
@@ -4979,8 +4989,9 @@ object OracleSql {
         |    round(CAST(count(*) AS DOUBLE), 4) AS v
         |  FROM events GROUP BY 1, 2),
         |k AS (SELECT count(DISTINCT t) AS k FROM s),
-        |c AS (SELECT s.*, count(*) OVER (PARTITION BY b) AS bn FROM s),
-        |f AS (SELECT c.* FROM c, k WHERE bn = k.k),
+        |c AS (SELECT s.*, count(*) OVER (PARTITION BY b) AS bn,
+        |    count(DISTINCT t) OVER (PARTITION BY b) AS bd FROM s),
+        |f AS (SELECT c.* FROM c, k WHERE bn = k.k AND bd = k.k),
         |r AS (SELECT b, t, v,
         |    rank() OVER (PARTITION BY b ORDER BY v) AS rnk,
         |    count(*) OVER (PARTITION BY b, v) AS tie FROM f),
@@ -5017,7 +5028,7 @@ object OracleSql {
         |    round(quantile_cont(slope, 0.5), 6) AS med_i
         |  FROM p GROUP BY 1, 2)
         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_points,
-        |  round(quantile_cont(med_i, 0.5), 6) AS siegel_slope
+        |  round(quantile_cont(med_i, 0.5), 6) + 0.0 AS siegel_slope
         |FROM i GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q277_stl_anomaly" ->
@@ -5575,7 +5586,7 @@ object OracleSql {
         |SELECT c_mktsegment, tc AS true_count,
         |  round(tc + (-sign(cc) * ln(1.0 - 2.0 * abs(cc)) / 1.0), 3)
         |    AS noisy_count,
-        |  CAST(1.0 AS DOUBLE) AS epsilon
+        |  CAST(1.0 AS DOUBLE) AS epsilon_nominal
         |FROM n ORDER BY 1""".stripMargin,
 
     "q296_ses_backtest" ->
@@ -6302,7 +6313,10 @@ object OracleSql {
         |cells AS (SELECT per, bin, CAST(count(*) AS BIGINT) AS n
         |  FROM b GROUP BY 1, 2),
         |bp AS (SELECT min(per) AS bp FROM cells),
-        |base AS (SELECT bin, n AS nb FROM cells, bp WHERE per = bp),
+        |bins AS (SELECT CAST(range AS INT) AS bin FROM range(0, 10)),
+        |base AS (SELECT bins.bin, coalesce(b0.nb, 0) AS nb FROM bins
+        |  LEFT JOIN (SELECT bin, n AS nb FROM cells, bp WHERE per = bp)
+        |    b0 ON b0.bin = bins.bin),
         |bt AS (SELECT CAST(sum(nb) AS BIGINT) AS tb FROM base),
         |pt AS (SELECT per, CAST(sum(n) AS BIGINT) AS tp FROM cells
         |  GROUP BY 1),
@@ -6343,8 +6357,10 @@ object OracleSql {
         |  FROM events GROUP BY 1, 2),
         |k AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM s),
         |comp AS (SELECT s.* FROM s JOIN (SELECT b,
-        |      CAST(count(*) AS BIGINT) AS bn FROM s GROUP BY 1) c
-        |    ON s.b = c.b, k WHERE c.bn = k.k),
+        |      CAST(count(*) AS BIGINT) AS bn,
+        |      CAST(count(DISTINCT t) AS BIGINT) AS bd
+        |      FROM s GROUP BY 1) c
+        |    ON s.b = c.b, k WHERE c.bn = k.k AND c.bd = k.k),
         |rk AS (SELECT b, t, v,
         |    rank() OVER (PARTITION BY b ORDER BY v) AS rnk,
         |    count(*) OVER (PARTITION BY b, v) AS tie FROM comp),
@@ -6558,6 +6574,132 @@ object OracleSql {
         |    * (coalesce(n_obs, 0) - tn * p) / (tn * p), 4)
         |    AS chi2_term
         |FROM e LEFT JOIN obs ON e.digit = obs.digit, t
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+
+    "q329_mutual_knn_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |pb AS (SELECT vec_id, emb, nrm,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p),
+        |t AS (SELECT vec_id, neighbor_id, sim FROM r WHERE rn <= 5)
+        |SELECT a.vec_id AS id_a, a.neighbor_id AS id_b,
+        |  round(a.sim, 6) AS sim
+        |FROM t a JOIN t b ON a.vec_id = b.neighbor_id
+        |  AND a.neighbor_id = b.vec_id
+        |WHERE a.vec_id < a.neighbor_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q330_label_prop_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |pb AS (SELECT vec_id, emb, nrm,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p),
+        |t AS (SELECT vec_id, neighbor_id FROM r WHERE rn <= 5),
+        |mk AS (SELECT a.vec_id AS s, a.neighbor_id AS d
+        |  FROM t a JOIN t b ON a.vec_id = b.neighbor_id
+        |    AND a.neighbor_id = b.vec_id
+        |  WHERE a.vec_id < a.neighbor_id),
+        |und AS (SELECT s, d FROM mk UNION ALL SELECT d AS s, s AS d
+        |  FROM mk),
+        |l0 AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl,
+        |    0 AS rnd
+        |  FROM embeddings WHERE vec_id % 3 = 0),
+        |v1 AS (SELECT und.s AS id, l0.lbl, count(*) AS c
+        |  FROM und JOIN l0 ON und.d = l0.id
+        |  WHERE und.s NOT IN (SELECT id FROM l0) GROUP BY 1, 2),
+        |p1 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number() OVER
+        |    (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM v1)
+        |  WHERE rn = 1),
+        |l1 AS (SELECT * FROM l0
+        |  UNION ALL SELECT id, lbl, 1 AS rnd FROM p1),
+        |v2 AS (SELECT und.s AS id, l1.lbl, count(*) AS c
+        |  FROM und JOIN l1 ON und.d = l1.id
+        |  WHERE und.s NOT IN (SELECT id FROM l1) GROUP BY 1, 2),
+        |p2 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number() OVER
+        |    (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM v2)
+        |  WHERE rn = 1),
+        |l2 AS (SELECT * FROM l1
+        |  UNION ALL SELECT id, lbl, 2 AS rnd FROM p2)
+        |SELECT id AS vec_id, lbl AS label_pred, CAST(rnd AS INT)
+        |  AS round
+        |FROM l2 ORDER BY vec_id""".stripMargin,
+
+    "q331_rec_list_ann" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |pb AS (SELECT vec_id, emb, nrm,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p),
+        |recs AS (SELECT vec_id AS lst, neighbor_id AS item FROM r
+        |  WHERE rn <= 5),
+        |pop AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM recs
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt,
+        |    CAST(count(*) AS BIGINT) AS ni FROM pop),
+        |nov AS (SELECT any_value(tt) AS nrec, any_value(ni) AS nd,
+        |    sum(CAST(round(c * -log2(CAST(c AS DOUBLE) / tt), 12)
+        |      AS DECIMAL(38,12))) AS nv
+        |  FROM pop, tot),
+        |cat AS (SELECT CAST(count(*) AS BIGINT) AS catn FROM embeddings),
+        |pr AS (SELECT ra.lst, ra.item AS ia, rb.item AS ib
+        |  FROM recs ra JOIN recs rb
+        |    ON ra.lst = rb.lst AND ra.item < rb.item),
+        |ps AS (SELECT pr.lst,
+        |    list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) AS sim
+        |  FROM pr JOIN n na ON pr.ia = na.vec_id
+        |    JOIN n nb ON pr.ib = nb.vec_id),
+        |lm AS (SELECT lst, CAST(sum(CAST(round(sim, 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
+        |  FROM ps GROUP BY 1),
+        |ils AS (SELECT CAST(count(*) AS BIGINT) AS nl,
+        |    sum(CAST(round(m, 12) AS DECIMAL(38,12))) AS s FROM lm)
+        |SELECT ils.nl AS n_lists, nov.nrec AS n_recs,
+        |  round(CAST(nov.nd AS DOUBLE) / cat.catn, 6) AS coverage,
+        |  round(CAST(nov.nv AS DOUBLE) / nov.nrec, 6) AS novelty,
+        |  round(CAST(ils.s AS DOUBLE) / ils.nl, 6) AS ils
+        |FROM nov, ils, cat""".stripMargin
   )
 }

@@ -3008,10 +3008,14 @@ object SparkEntry {
         "value", "view", "purchase")),
 
     // L212 — Newman modularity of the label-propagation communities
-    // over the mutual-kNN embedding graph (q194's partition, scored).
+    // over the mutual-kNN embedding graph. Driven by the BUCKETED
+    // mutual-kNN edge list (the 100 TB composition — equi-joins only,
+    // no cross join in the executed plan); the exact-crossJoin form is
+    // a unit fixture in Round19OpsSpec.
     "q266_modularity" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val mk = SimilarityOps.mutualKnn(emb, "vec_id", "embedding", 5)
+      val mk = SimilarityOps.mutualKnnBucketed(emb, "vec_id",
+        "embedding", 5, 4)
       val seeds = emb.filter(col("vec_id") % 3 === 0)
         .select(col("vec_id"), col("label"))
       val communities = GraphOps.labelPropagate(mk, "id_a", "id_b",
@@ -3616,7 +3620,39 @@ object SparkEntry {
     "q328_benford2" -> ((s, d) =>
       QualityChecks.benfordSecondDigit(Tables.orders(s, d),
           "o_totalprice")
-        .orderBy("digit"))
+        .orderBy("digit")),
+
+    // L274 — mutual k-NN over the multi-probe IVF candidate lists:
+    // q191's 100 TB twin — the pair stage is an equi-join on the sign-
+    // bucket cell (never a cross join), the reciprocal check identical.
+    "q329_mutual_knn_ann" -> ((s, d) =>
+      SimilarityOps.mutualKnnBucketed(Tables.embeddings(s, d), "vec_id",
+          "embedding", 5, 4)
+        .orderBy("id_a", "id_b")),
+
+    // L275 — label propagation over the BUCKETED mutual-kNN graph:
+    // q194's scale twin, same seeds, equi-join-only edge list.
+    "q330_label_prop_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val mk = SimilarityOps.mutualKnnBucketed(emb, "vec_id",
+        "embedding", 5, 4)
+      val seeds = emb.filter(col("vec_id") % 3 === 0)
+        .select(col("vec_id"), col("label"))
+      GraphOps.labelPropagate(mk, "id_a", "id_b", seeds, "vec_id",
+          "label")
+        .orderBy("vec_id")
+    }),
+
+    // L276 — rec-list quality metrics over the multi-probe ANN top-5
+    // lists: q218's scale twin (candidate lists from the bucketed
+    // equi-join; the ILS pair stage stays the small k² self-join).
+    "q331_rec_list_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val recs = SimilarityOps.annTopKMultiProbe(emb, "vec_id",
+        "embedding", 5, 4)
+      SimilarityOps.recListMetrics(recs, "vec_id", "neighbor_id",
+        emb, "vec_id", "embedding")
+    })
   )
 
   // ------------------------------------------------------------- oracles

@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   */
 object MetricOps {
 
+  /** Pin the sign of zero to +0.0 — a no-op for every nonzero value.
+    * A rounded DIFFERENCE (slope, delta, WOE/IV term) that lands on
+    * zero is -0.0 under a sign-preserving FP round (DuckDB) but +0.0
+    * under BigDecimal HALF_UP (Spark); the driver's hash is bit-level
+    * and distinguishes them (the r6 q210 red row). Apply to any
+    * rounded output that can be a rounded difference, and mirror with
+    * `+ 0.0` in the oracle SQL.
+    */
+  private[operators] def normZero(c: Column): Column =
+    when(c === 0.0, lit(0.0)).otherwise(c)
+
   /** Global tie-broken rank per row, distributed (see object doc).
     * Output adds `r` = 1-based rank by (score, tiebreak).
     *
@@ -634,7 +645,8 @@ object MetricOps {
       .withColumn("__slope",
         (col("__yb") - col("__ya")) / (col("__xb") - col("__xa")))
       .groupBy(col("__g").as(groupCol))
-      .agg(round(expr("percentile(__slope, 0.5)"), roundTo).as("ts_slope"),
+      .agg(normZero(round(expr("percentile(__slope, 0.5)"), roundTo))
+        .as("ts_slope"),
         count(lit(1)).as("n_pairs"))
   }
 
@@ -1584,11 +1596,13 @@ object MetricOps {
           .cast("decimal(38,12)"))
       .localCheckpoint(false) // feeds the IV total AND the output rows
     val ivTot = scored.agg(sum(col("__iv12")).as("__ivt"))
+    // rounded differences can land on zero — pin to +0.0 (see [[normZero]];
+    // the r6 q210 hash mismatch)
     scored.crossJoin(broadcast(ivTot))
       .select(col("__f").as(featureCol), col("n"), col("__p").as("pos"),
-        col("__ng").as("neg"), round(col("__woe"), roundTo).as("woe"),
-        round(col("__iv12").cast("double"), roundTo).as("iv"),
-        round(col("__ivt").cast("double"), roundTo).as("iv_total"))
+        col("__ng").as("neg"), normZero(round(col("__woe"), roundTo)).as("woe"),
+        normZero(round(col("__iv12").cast("double"), roundTo)).as("iv"),
+        normZero(round(col("__ivt").cast("double"), roundTo)).as("iv_total"))
       .orderBy(featureCol)
   }
 
@@ -2137,11 +2151,17 @@ object MetricOps {
     val base = df.select(col(blockCol).as("__b"), col(treatCol).as("__t"),
       round(col(valCol).cast("double"), 4).as("__v"))
     val k = base.agg(countDistinct(col("__t")).as("__k"))
+    // complete block = every treatment EXACTLY once: require distinct
+    // treatment count == k as well as row count == k, else a block
+    // with a duplicate treatment + a missing one passes on row count
+    // alone (the kendallW fix, applied to the whole rank family)
     val complete = base
       .withColumn("__bn", count(lit(1))
         .over(Window.partitionBy(col("__b"))))
+      .withColumn("__bd", size(collect_set(col("__t"))
+        .over(Window.partitionBy(col("__b")))))
       .crossJoin(broadcast(k))
-      .filter(col("__bn") === col("__k"))
+      .filter(col("__bn") === col("__k") && col("__bd") === col("__k"))
     val wb = Window.partitionBy(col("__b"))
     val ranked = complete
       .withColumn("__rnk", rank().over(wb.orderBy(col("__v"))))
@@ -2844,11 +2864,14 @@ object MetricOps {
       col(treatCol).cast("long").as("__t"),
       round(col(valCol).cast("double"), 4).as("__v"))
     val k = base.agg(countDistinct(col("__t")).as("__k"))
+    // complete block = every treatment exactly once (see [[friedman]])
     val complete = base
       .withColumn("__bn", count(lit(1))
         .over(Window.partitionBy(col("__b"))))
+      .withColumn("__bd", size(collect_set(col("__t"))
+        .over(Window.partitionBy(col("__b")))))
       .crossJoin(broadcast(k))
-      .filter(col("__bn") === col("__k"))
+      .filter(col("__bn") === col("__k") && col("__bd") === col("__k"))
     val wb = Window.partitionBy(col("__b"))
     val ranked = complete
       .withColumn("__rnk", rank().over(wb.orderBy(col("__v"))))
@@ -2907,7 +2930,7 @@ object MetricOps {
       .agg(round(expr("percentile(__slope, 0.5)"), 6).as("__med_i"))
     inner.groupBy(col("__g").as(groupCol))
       .agg(count(lit(1)).as("n_points"),
-        round(expr("percentile(__med_i, 0.5)"), roundTo)
+        normZero(round(expr("percentile(__med_i, 0.5)"), roundTo))
           .as("siegel_slope"))
   }
 
@@ -4444,10 +4467,18 @@ object MetricOps {
     val baseTot = baseline.agg(sum(col("__nb")).as("__tb"))
     val perTot = cells.groupBy(col("__per"))
       .agg(sum(col("__n")).as("__tp"))
-    // full period×bin grid: a missing bin must still contribute its
-    // smoothed term, as in [[psi]]
-    val grid = perTot.crossJoin(baseline.select(col("__bin"),
-        col("__nb")))
+    // full period×bin grid over the WHOLE 0..nBins-1 range (the
+    // [[psiFromCounts]] convention): a bin missing from EITHER the
+    // baseline or a period must still contribute its smoothed term —
+    // gridding over baseline bins only would silently drop drift into
+    // novel bins.
+    val allBins = df.sparkSession.range(0, nBins.toLong)
+      .select(col("id").cast("int").as("__bin"))
+    val baseFull = allBins
+      .join(broadcast(baseline.select(col("__bin"), col("__nb"))),
+        Seq("__bin"), "left")
+      .withColumn("__nb", coalesce(col("__nb"), lit(0L)))
+    val grid = perTot.crossJoin(broadcast(baseFull))
       .join(cells, Seq("__per", "__bin"), "left")
       .withColumn("__n", coalesce(col("__n"), lit(0L)))
       .crossJoin(broadcast(baseTot))
@@ -4509,11 +4540,19 @@ object MetricOps {
     val base = df.select(col(raterCol).as("__b"), col(itemCol).as("__t"),
       round(col(valCol).cast("double"), 4).as("__v"))
     val k = base.agg(countDistinct(col("__t")).as("__k"))
+    // Balanced panel means the rater rated EVERY item EXACTLY ONCE: a
+    // row count alone lets a rater with a duplicate item + a missing
+    // item slip through (same total), leaving items with unequal m and
+    // a wrong first(__m) in the W denominator — so require distinct
+    // item count == k AND row count == k. collect_set over the rater
+    // window is bounded by the n-item slate, never row count.
     val complete = base
       .withColumn("__bn", count(lit(1))
         .over(Window.partitionBy(col("__b"))))
+      .withColumn("__bd", size(collect_set(col("__t"))
+        .over(Window.partitionBy(col("__b")))))
       .crossJoin(broadcast(k))
-      .filter(col("__bn") === col("__k"))
+      .filter(col("__bn") === col("__k") && col("__bd") === col("__k"))
       .localCheckpoint(true) // rank windows + tie correction read it
     val wb = Window.partitionBy(col("__b"))
     val ranked = complete
@@ -4816,11 +4855,10 @@ object MetricOps {
                           valCols: Seq[String], cut: Double,
                           roundTo: Int = 6): DataFrame = {
     require(valCols.nonEmpty, "no value columns given")
-    val base = valCols.zipWithIndex.foldLeft(
-      df.select(col(groupCol).as("__g") +:
-        valCols.zipWithIndex.map { case (c, i) =>
-          round(col(c).cast("double"), 4).cast("decimal(18,4)")
-            .as(s"__v$i") }: _*))((d, _) => d)
+    val base = df.select(col(groupCol).as("__g") +:
+      valCols.zipWithIndex.map { case (c, i) =>
+        round(col(c).cast("double"), 4).cast("decimal(18,4)")
+          .as(s"__v$i") }: _*)
     val mom = base.groupBy("__g")
       .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
         valCols.indices.flatMap(i => Seq(

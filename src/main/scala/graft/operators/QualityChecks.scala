@@ -371,7 +371,11 @@ object QualityChecks {
     * engine-to-engine — a REAL deployment would swap in a fresh
     * cryptographic draw per release and keep an ε ledger across them).
     * `true_count` is reported for calibration audits; the RELEASE is
-    * the noisy column only.
+    * the noisy column only. Because the noise is seeded (an adversary
+    * who knows the seed can subtract it exactly), the output column is
+    * named `epsilon_nominal`: it records the MECHANISM's calibration,
+    * not a provided privacy guarantee — consumers must not treat this
+    * as a calibrated DP release.
     *
     * One hash aggregation; the noise is a per-row column expression
     * (no shuffle beyond the count).
@@ -393,7 +397,7 @@ object QualityChecks {
       .select(groupCols.map(col) ++ Seq(col("true_count"),
         round(col("true_count") + col("__noise"), roundTo)
           .as("noisy_count"),
-        lit(epsilon).as("epsilon")): _*)
+        lit(epsilon).as("epsilon_nominal")): _*)
   }
 
   /** Candidate-key discovery: for each declared column combination,

@@ -97,8 +97,30 @@ object SimilarityOps {
     * surviving pair carries one sim.
     */
   def mutualKnn(df: DataFrame, idCol: String, embCol: String,
-                k: Int): DataFrame = {
-    val top = cosineTopK(df, idCol, embCol, k)
+                k: Int): DataFrame =
+    mutualPairs(cosineTopK(df, idCol, embCol, k))
+
+  /** Mutual k-NN over the multi-probe IVF candidate lists —
+    * [[mutualKnn]]'s 100 TB form: the top-k survivor table comes from
+    * [[annTopKMultiProbe]] (equi-join on the sign-bucket cell id, no
+    * all-pairs sweep anywhere), then the identical reciprocal check.
+    * The candidate set is deterministic (data-independent sign
+    * quantizer), so the result is exactly reproducible cross-engine —
+    * the property that lets this scale path carry its own oracle
+    * instead of leaning on the exact baseline. Downstream graph ops
+    * (label propagation, modularity, rec-list metrics) compose on this
+    * edge list unchanged.
+    */
+  def mutualKnnBucketed(df: DataFrame, idCol: String, embCol: String,
+                        k: Int, signBits: Int = 4): DataFrame =
+    mutualPairs(annTopKMultiProbe(df, idCol, embCol, k, signBits))
+
+  /** Reciprocal-neighbor filter shared by the exact and bucketed
+    * mutual-kNN forms: keep (a,b) iff both directions survive the
+    * top-k, emitting each undirected pair once (id_a < id_b). The
+    * self-join runs on the SMALL k·|vectors| survivor table.
+    */
+  private def mutualPairs(top: DataFrame): DataFrame = {
     val rev = top.select(col("neighbor_id").as("vec_id"),
       col("vec_id").as("neighbor_id"))
     top.join(rev, Seq("vec_id", "neighbor_id"), "left_semi")

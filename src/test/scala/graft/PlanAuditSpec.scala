@@ -659,9 +659,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
+    // Only the declared EXACT-baseline forms may cross-join; their
+    // bucketed scale twins (q329-q331, and q266 since round 7) must
+    // plan equi-joins only and are swept like everything else.
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup",
-      "q191_mutual_knn", "q194_label_prop", "q218_rec_list_metrics",
-      "q266_modularity")
+      "q191_mutual_knn", "q194_label_prop", "q218_rec_list_metrics")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val df = fn(spark, dir)
       val s = df.queryExecution.executedPlan.toString

@@ -68,7 +68,9 @@ class Round12OpsSpec extends SparkSpec {
       val noise = r.getAs[Double]("noisy_count") -
         r.getAs[Long]("true_count")
       assert(math.abs(noise) < 35.0) // |ln(2^-48)| bound at ε=1
-      assert(r.getAs[Double]("epsilon") == 1.0)
+      // epsilon_nominal: mechanism calibration, NOT a privacy guarantee
+      // (seeded noise) — the name is part of the output contract
+      assert(r.getAs[Double]("epsilon_nominal") == 1.0)
     }
     // different seed → different draw
     val c = QualityChecks.dpNoisyCounts(df, Seq("g"), 1.0, seed = "x")

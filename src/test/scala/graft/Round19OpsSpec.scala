@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphOps, MetricOps, SimilarityOps}
+import graft.tables.Tables
+
+/** Round-19 specs: the -0.0 normalization class, the full-grid
+  * per-period PSI, the exactly-once balanced-panel filter for the
+  * blocked-rank family, and the bucketed mutual-kNN scale twin
+  * (including the exact-crossJoin modularity composition demoted from
+  * q266's declared form to this fixture).
+  */
+class Round19OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("woeIv: zero-valued woe/iv outputs carry a positive sign bit") {
+    // symmetric level: pos == neg within 'b' makes its WOE/IV round to
+    // zero; the output must be +0.0 bit-for-bit (doubleToRawLongBits)
+    val df = Seq(("a", 1), ("a", 1), ("a", 0),
+      ("b", 1), ("b", 0)).toDF("f", "y")
+    val rows = MetricOps.woeIv(df, "f", "y").collect()
+    for (r <- rows; c <- Seq("woe", "iv", "iv_total")) {
+      val v = r.getAs[Double](c)
+      if (v == 0.0)
+        assert(java.lang.Double.doubleToRawLongBits(v) == 0L,
+          s"$c is -0.0")
+    }
+  }
+
+  test("siegelSlope/theilSen: a flat series yields +0.0 slope bits") {
+    val flat = (0 to 5).map(i => ("g", i.toDouble, 7.0))
+      .toDF("g", "x", "y")
+    val s = MetricOps.siegelSlope(flat, "g", "x", "y").collect()(0)
+    assert(java.lang.Double.doubleToRawLongBits(
+      s.getAs[Double]("siegel_slope")) == 0L)
+    val t = MetricOps.theilSen(flat, "g", "x", "y").collect()(0)
+    assert(java.lang.Double.doubleToRawLongBits(
+      t.getAs[Double]("ts_slope")) == 0L)
+  }
+
+  test("psiByPeriod: drift into a bin ABSENT from the baseline is " +
+    "counted (full 0..nBins-1 grid, the psiFromCounts convention)") {
+    // baseline week 0 lives in bin 0; week 1 entirely in bin 3
+    val df = (Seq.fill(8)((0L, 1.0)) ++ Seq.fill(8)((1L, 35.0)))
+      .toDF("per", "v")
+    val out = MetricOps.psiByPeriod(df, "v", "per", binWidth = 10.0,
+      nBins = 4).orderBy("per").collect()
+    assert(out.length == 2)
+    val psiSelf = out(0).getAs[Double]("psi")
+    val psiDrift = out(1).getAs[Double]("psi")
+    assert(psiSelf == 0.0)
+    // hand value over the full 4-bin grid, N=8, smoothing (n+1)/(N+4):
+    // bins {0,3} swap 9/12 <-> 1/12, bins {1,2} identical -> terms 0
+    val hi = 9.0 / 12.0; val lo = 1.0 / 12.0
+    val expected = 2.0 * (hi - lo) * math.log(hi / lo)
+    assert(math.abs(psiDrift - expected) < 1e-6,
+      s"psi=$psiDrift expected=$expected")
+  }
+
+  test("kendallW/friedman: a rater with a duplicate item AND a missing " +
+    "item is excluded even though its row count matches the slate") {
+    // slate = {i1, i2}; rater r3 rates i1 twice and i2 never
+    val df = Seq(
+      ("r1", "i1", 1.0), ("r1", "i2", 2.0),
+      ("r2", "i1", 2.0), ("r2", "i2", 1.0),
+      ("r3", "i1", 3.0), ("r3", "i1", 4.0)).toDF("r", "i", "v")
+    val w = MetricOps.kendallW(df, "r", "i", "v").collect()(0)
+    assert(w.getAs[Long]("m_raters") == 2L, "r3 must be dropped")
+    assert(w.getAs[Long]("n_items") == 2L)
+    // r1 and r2 disagree perfectly on 2 items -> W = 0
+    assert(w.getAs[Double]("w") == 0.0)
+    val f = MetricOps.friedman(df, "r", "i", "v")
+      .agg(max("n_blocks")).collect()(0).getLong(0)
+    assert(f == 2L, "friedman must drop the duplicate/missing block")
+  }
+
+  test("robustScale/tokenEntropy: degenerate inputs hit the zero-IQR " +
+    "and single-token guards on the declared q127/q121 shapes") {
+    val const = Seq(("s", 5.0), ("s", 5.0), ("s", 5.0),
+      ("t", 1.0), ("t", 2.0), ("t", 3.0), ("t", 4.0)).toDF("g", "v")
+    val rs = graft.operators.EncodeOps.robustScale(const, "g", "v")
+    val sRows = rs.filter(col("g") === "s").collect()
+    assert(sRows.nonEmpty && sRows.forall(_.isNullAt(
+      rs.columns.indexOf("v_robust"))), "zero IQR must null, not +/-Inf")
+    assert(rs.filter(col("g") === "t" && col("v_robust").isNotNull)
+      .count() == 4L)
+    val te = graft.operators.TextOps.tokenEntropy(
+      Seq("tok tok tok").toDF("text"), "text").collect()(0)
+    assert(te.getAs[Long]("n_distinct") == 1L)
+    assert(te.getAs[Double]("entropy_nats") == 0.0)
+    assert(te.isNullAt(te.fieldIndex("norm_entropy")),
+      "ln(1) divisor must null norm_entropy")
+  }
+
+  test("mutualKnnBucketed: pairs are a subset of the exact mutual-kNN " +
+    "pairs with identical sims, and recall is high on the fixture") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exact = SimilarityOps.mutualKnn(emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val ann = SimilarityOps.mutualKnnBucketed(emb, "vec_id",
+      "embedding", 5, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every ANN pair is mutual in SOME candidate sense; sims of pairs
+    // present in both must agree bit-for-bit (same dot, same round)
+    for ((k, v) <- ann if exact.contains(k))
+      assert(exact(k) == v, s"sim mismatch at $k")
+    // multi-probe recall on the 490-vector fixture: signBits=4 is the
+    // documented ~0.48 recall@10 operating point (LshRecallSpec's
+    // dial); mutual pairs track it. Pin the floor just under it so a
+    // quantizer regression (e.g. a broken probe list) still fails.
+    val hit = ann.keySet.count(exact.contains)
+    assert(hit >= (0.40 * exact.size).toInt,
+      s"recall ${hit.toDouble / exact.size} too low")
+    assert(ann.nonEmpty)
+  }
+
+  test("exact modularity composition (q266's pre-round-7 form) still " +
+    "holds as a fixture: q_contrib sums into (-0.5, 1]") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val mk = SimilarityOps.mutualKnn(emb, "vec_id", "embedding", 5)
+    val seeds = emb.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id"), col("label"))
+    val communities = GraphOps.labelPropagate(mk, "id_a", "id_b",
+      seeds, "vec_id", "label")
+    val q = GraphOps.modularity(mk, "id_a", "id_b", communities,
+        "vec_id", "label_pred")
+      .agg(sum("q_contrib")).collect()(0).getDouble(0)
+    assert(q > -0.5 && q <= 1.0, s"modularity $q out of range")
+  }
+}

@@ -33,13 +33,18 @@ def canon(v):
     if isinstance(v, (float, np.floating)):
         if np.isnan(v):
             return (0, "")
-        return (1, round(float(v), 9))
+        r = round(float(v), 9)
+        # Bit-faithful zero: the driver's hash distinguishes -0.0 from
+        # +0.0 (it bit-hashes the raw value), while Python's == does
+        # not. Tag the sign of zero so the local gate fails exactly
+        # where the driver would (caused the only r6 red row, q210).
+        return (1, r, 1 if (r == 0.0 and np.signbit(r)) else 0)
     if isinstance(v, decimal.Decimal):
-        return (1, round(float(v), 9))
+        return (1, round(float(v), 9), 0)
     if isinstance(v, (bool, np.bool_)):
-        return (1, int(v))
+        return (1, int(v), 0)
     if isinstance(v, (int, np.integer)):
-        return (1, int(v))
+        return (1, int(v), 0)
     return (2, str(v))
 
 def rows(df):
