@@ -186,7 +186,7 @@ object OracleSql {
         |       ELSE round(stddev_samp(l_extendedprice), 6) END AS sd
         |  FROM lineitem WHERE l_returnflag <> 'R')
         |SELECT l_orderkey, l_linenumber,
-        |  round((l_extendedprice - s.m) / s.sd, 4) AS z
+        |  round((l_extendedprice - s.m) / s.sd, 4) + 0.0 AS z
         |FROM lineitem, s ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q15_const_prune" -> {
@@ -6700,6 +6700,32 @@ object OracleSql {
         |  round(CAST(nov.nd AS DOUBLE) / cat.catn, 6) AS coverage,
         |  round(CAST(nov.nv AS DOUBLE) / nov.nrec, 6) AS novelty,
         |  round(CAST(ils.s AS DOUBLE) / ils.nl, 6) AS ils
-        |FROM nov, ils, cat""".stripMargin
+        |FROM nov, ils, cat""".stripMargin,
+
+    "q332_ann_h2" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |pb AS (SELECT vec_id, emb, nrm,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8), xor(bucket, 3), xor(bucket, 5),
+        |          xor(bucket, 9), xor(bucket, 6), xor(bucket, 10),
+        |          xor(bucket, 12)]) AS bucket
+        |  FROM n),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM r
+        |WHERE rn <= 3
+        |ORDER BY vec_id, neighbor_id""".stripMargin
   )
 }

@@ -3652,7 +3652,15 @@ object SparkEntry {
         "embedding", 5, 4)
       SimilarityOps.recListMetrics(recs, "vec_id", "neighbor_id",
         emb, "vec_id", "embedding")
-    })
+    }),
+
+    // L277 — Hamming-<=2 multi-probe ANN top-3: the next notch of the
+    // recall/cost dial (q35 is nprobe=1, q60/q329 are Hamming-1) —
+    // same equi-join-on-cell plan, ~0.9 recall at signBits=4.
+    "q332_ann_h2" -> ((s, d) =>
+      SimilarityOps.annTopKMultiProbe2(Tables.embeddings(s, d),
+          "vec_id", "embedding", 3, 4)
+        .orderBy("vec_id", "neighbor_id"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -216,6 +216,35 @@ object SimilarityOps {
     selectTopK(pairs, k)
   }
 
+  /** Hamming-≤2 multi-probe IVF ANN — the next notch of the
+    * recall/cost dial after [[annTopKMultiProbe]]: each query vector
+    * probes its own cell, every Hamming-1 cell, AND every Hamming-2
+    * cell (1 + b + b(b−1)/2 probes), so only neighbors straddling ≥3
+    * quantization hyperplanes are missed. Still a pure equi-join on
+    * the cell id — the probe list explodes on the query side only, the
+    * index side is stored once. At small signBits this approaches
+    * brute-force cost (11/16 cells at b=4); the production setting is
+    * b=8..12 where (1+b+b(b−1)/2)/2^b stays ≤ 0.2 — the dial is
+    * signBits, H≤2 buys the recall at a fixed multiple.
+    */
+  def annTopKMultiProbe2(df: DataFrame, idCol: String, embCol: String,
+                         k: Int, signBits: Int = 4): DataFrame = {
+    val n = normalized(df, idCol, embCol).withColumn("bucket", signBucket(signBits))
+    val h1 = (0 until signBits).map(j => s"CAST(bucket AS INT) ^ ${1 << j}")
+    val h2 = for {
+      i <- 0 until signBits; j <- i + 1 until signBits
+    } yield s"CAST(bucket AS INT) ^ ${(1 << i) | (1 << j)}"
+    val probes = expr(s"array(bucket, ${(h1 ++ h2).mkString(", ")})")
+    val a = n.select(col("id").as("vec_id"), col("emb").as("a_emb"),
+      col("nrm").as("a_nrm"), explode(probes).as("bucket"))
+    val b = n.select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
+      col("nrm").as("b_nrm"), col("bucket"))
+    val pairs = a.join(b, "bucket")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+    selectTopK(pairs, k)
+  }
+
   /** IVF-style ANN: partition vectors into 2^`signBits` coarse cells by
     * the sign pattern of the leading dimensions (a deterministic,
     * data-independent quantizer), then exact cosine top-k WITHIN each

@@ -53,6 +53,12 @@ class LshRecallSpec extends SparkSpec {
     assert(m2 > m4, f"recall must grow as the budget does ($m2%.3f vs $m4%.3f)")
     assert(m2 >= 0.75, f"signBits=2 multi-probe recall $m2%.3f below its band")
     assert(m4 >= 0.40, f"signBits=4 multi-probe recall $m4%.3f below its band")
+    // Hamming-<=2 probing at the same signBits: the next notch of the
+    // dial — must strictly beat Hamming-1 and clear ~0.8 on the fixture
+    val h2 = recall(topSets(
+      SimilarityOps.annTopKMultiProbe2(emb, "vec_id", "embedding", K, 4)))
+    assert(h2 > m4, f"H<=2 probing ($h2%.3f) must beat H<=1 ($m4%.3f)")
+    assert(h2 >= 0.75, f"signBits=4 H<=2 recall $h2%.3f below its band")
   }
 
   test("banded MinHash recall vs exact Jaccard pairs, and vs MLlib MinHashLSH") {
