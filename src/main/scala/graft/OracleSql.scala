@@ -6726,6 +6726,152 @@ object OracleSql {
         |  FROM p)
         |SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM r
         |WHERE rn <= 3
-        |ORDER BY vec_id, neighbor_id""".stripMargin
+        |ORDER BY vec_id, neighbor_id""".stripMargin,
+
+    "q333_importance_weights" ->
+      """WITH toks AS (SELECT doc_id,
+        |  CAST(source IN ('src0', 'src1', 'src2') AS INT) AS tgt,
+        |  string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, tgt,
+        |  ('0x' || substr(md5(b), 1, 8))::BIGINT % 256 AS k
+        |  FROM (SELECT doc_id, tgt,
+        |    unnest(list_transform(range(len(t) - 1),
+        |      i -> t[i + 1] || ' ' || t[i + 2])) AS b
+        |    FROM toks WHERE len(t) >= 2)),
+        |db AS (SELECT doc_id, tgt, k, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+        |hist AS (SELECT k,
+        |  sum(CASE WHEN tgt = 1 THEN c ELSE 0 END) AS ct,
+        |  sum(c) AS cr FROM db GROUP BY k),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM hist),
+        |lr AS (SELECT k, round(ln((ct + 1)::DOUBLE * (tr + 256) /
+        |    ((cr + 1)::DOUBLE * (tt + 256))), 12) AS lr FROM hist, tot),
+        |s AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    sum(round(c * lr.lr, 12)::DECIMAL(38,12)) AS s
+        |  FROM db JOIN lr USING (k) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(CAST(s AS DOUBLE) / n_bigrams, 6) + 0.0 AS iw
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q334_dsir_gate" ->
+      """WITH toks AS (SELECT doc_id,
+        |  CAST(source IN ('src0', 'src1', 'src2') AS INT) AS tgt,
+        |  string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, tgt,
+        |  ('0x' || substr(md5(b), 1, 8))::BIGINT % 256 AS k
+        |  FROM (SELECT doc_id, tgt,
+        |    unnest(list_transform(range(len(t) - 1),
+        |      i -> t[i + 1] || ' ' || t[i + 2])) AS b
+        |    FROM toks WHERE len(t) >= 2)),
+        |db AS (SELECT doc_id, tgt, k, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+        |hist AS (SELECT k,
+        |  sum(CASE WHEN tgt = 1 THEN c ELSE 0 END) AS ct,
+        |  sum(c) AS cr FROM db GROUP BY k),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM hist),
+        |lr AS (SELECT k, round(ln((ct + 1)::DOUBLE * (tr + 256) /
+        |    ((cr + 1)::DOUBLE * (tt + 256))), 12) AS lr FROM hist, tot),
+        |iw AS (SELECT doc_id, round(CAST(s AS DOUBLE) / n_bigrams, 6) + 0.0 AS iw
+        |  FROM (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |      sum(round(c * lr.lr, 12)::DECIMAL(38,12)) AS s
+        |    FROM db JOIN lr USING (k) GROUP BY doc_id)),
+        |sc AS (SELECT iw.doc_id, d.source, iw.iw
+        |  FROM iw JOIN documents d ON iw.doc_id = d.doc_id),
+        |thr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(quantile_cont(iw, CAST(0.8 AS DOUBLE)), 6) AS thr
+        |  FROM sc GROUP BY source),
+        |kept AS (SELECT sc.source, CAST(count(*) AS BIGINT) AS n_keep,
+        |  CAST(sum(sc.doc_id) AS BIGINT) AS id_sum
+        |  FROM sc JOIN thr ON sc.source = thr.source
+        |  WHERE sc.iw >= thr.thr GROUP BY sc.source)
+        |SELECT thr.source, n_docs, thr,
+        |  CAST(coalesce(n_keep, 0) AS BIGINT) AS n_keep,
+        |  CAST(coalesce(id_sum, 0) AS BIGINT) AS id_sum
+        |FROM thr LEFT JOIN kept ON thr.source = kept.source
+        |ORDER BY thr.source""".stripMargin,
+
+    "q335_kcenter" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+        |  FROM e),
+        |c0 AS (SELECT min(vec_id) AS id FROM n),
+        |d0 AS (SELECT a.vec_id,
+        |    1 - list_dot_product(a.emb, c.emb) / (a.nrm * c.nrm) AS d
+        |  FROM n a JOIN n c ON c.vec_id = (SELECT id FROM c0)),
+        |p1 AS (SELECT vec_id, d FROM d0
+        |  WHERE vec_id <> (SELECT id FROM c0)
+        |  ORDER BY d DESC, vec_id LIMIT 1),
+        |d1 AS (SELECT a.vec_id,
+        |    least(d0.d, 1 - list_dot_product(a.emb, c.emb) / (a.nrm * c.nrm)) AS d
+        |  FROM n a JOIN d0 ON a.vec_id = d0.vec_id
+        |    JOIN n c ON c.vec_id = (SELECT vec_id FROM p1)),
+        |p2 AS (SELECT vec_id, d FROM d1 WHERE vec_id NOT IN
+        |    ((SELECT id FROM c0), (SELECT vec_id FROM p1))
+        |  ORDER BY d DESC, vec_id LIMIT 1),
+        |d2 AS (SELECT a.vec_id,
+        |    least(d1.d, 1 - list_dot_product(a.emb, c.emb) / (a.nrm * c.nrm)) AS d
+        |  FROM n a JOIN d1 ON a.vec_id = d1.vec_id
+        |    JOIN n c ON c.vec_id = (SELECT vec_id FROM p2)),
+        |p3 AS (SELECT vec_id, d FROM d2 WHERE vec_id NOT IN
+        |    ((SELECT id FROM c0), (SELECT vec_id FROM p1),
+        |     (SELECT vec_id FROM p2))
+        |  ORDER BY d DESC, vec_id LIMIT 1),
+        |d3 AS (SELECT a.vec_id,
+        |    least(d2.d, 1 - list_dot_product(a.emb, c.emb) / (a.nrm * c.nrm)) AS d
+        |  FROM n a JOIN d2 ON a.vec_id = d2.vec_id
+        |    JOIN n c ON c.vec_id = (SELECT vec_id FROM p3)),
+        |p4 AS (SELECT vec_id, d FROM d3 WHERE vec_id NOT IN
+        |    ((SELECT id FROM c0), (SELECT vec_id FROM p1),
+        |     (SELECT vec_id FROM p2), (SELECT vec_id FROM p3))
+        |  ORDER BY d DESC, vec_id LIMIT 1),
+        |d4 AS (SELECT a.vec_id,
+        |    least(d3.d, 1 - list_dot_product(a.emb, c.emb) / (a.nrm * c.nrm)) AS d
+        |  FROM n a JOIN d3 ON a.vec_id = d3.vec_id
+        |    JOIN n c ON c.vec_id = (SELECT vec_id FROM p4)),
+        |p5 AS (SELECT vec_id, d FROM d4 WHERE vec_id NOT IN
+        |    ((SELECT id FROM c0), (SELECT vec_id FROM p1),
+        |     (SELECT vec_id FROM p2), (SELECT vec_id FROM p3),
+        |     (SELECT vec_id FROM p4))
+        |  ORDER BY d DESC, vec_id LIMIT 1)
+        |SELECT 0 AS sel_round, (SELECT id FROM c0) AS vec_id,
+        |  CAST(NULL AS DOUBLE) AS dist
+        |UNION ALL SELECT 1, vec_id, round(d, 6) + 0.0 FROM p1
+        |UNION ALL SELECT 2, vec_id, round(d, 6) + 0.0 FROM p2
+        |UNION ALL SELECT 3, vec_id, round(d, 6) + 0.0 FROM p3
+        |UNION ALL SELECT 4, vec_id, round(d, 6) + 0.0 FROM p4
+        |UNION ALL SELECT 5, vec_id, round(d, 6) + 0.0 FROM p5
+        |ORDER BY sel_round""".stripMargin,
+
+    "q336_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+        |      AS ch
+        |  FROM documents),
+        |dw AS (SELECT doc_id, w, count(*) AS c FROM
+        |    (SELECT doc_id, unnest(tk) AS w FROM t) GROUP BY doc_id, w),
+        |ds AS (SELECT doc_id, max(c) AS maxc, count(*) AS ndw,
+        |    sum(CASE WHEN w IN ('the', 'a') THEN c ELSE 0 END) AS nstop
+        |  FROM dw GROUP BY doc_id),
+        |per AS (SELECT
+        |    CAST(t.n < 30 OR t.n > 80 AS BIGINT) AS f1,
+        |    CAST(t.ch * 2 < t.n * 7 OR t.ch * 2 > t.n * 12 AS BIGINT) AS f2,
+        |    CAST(ds.maxc * 5 > t.n AS BIGINT) AS f3,
+        |    CAST(ds.nstop = 0 AS BIGINT) AS f4,
+        |    CAST(ds.ndw * 5 < t.n * 2 AS BIGINT) AS f5
+        |  FROM t JOIN ds USING (doc_id)),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+        |    sum(f1) AS s1, sum(f2) AS s2, sum(f3) AS s3, sum(f4) AS s4,
+        |    sum(f5) AS s5,
+        |    sum(CAST(f1 + f2 + f3 + f4 + f5 > 0 AS BIGINT)) AS sa
+        |  FROM per)
+        |SELECT rule, CAST(n AS BIGINT) AS n_docs,
+        |  round(CAST(n AS DOUBLE) / nd, 6) AS rate
+        |FROM (
+        |  SELECT 'r1_word_count' AS rule, s1 AS n, nd FROM ag
+        |  UNION ALL SELECT 'r2_mean_word_len', s2, nd FROM ag
+        |  UNION ALL SELECT 'r3_top_word_share', s3, nd FROM ag
+        |  UNION ALL SELECT 'r4_has_stopword', s4, nd FROM ag
+        |  UNION ALL SELECT 'r5_distinct_ratio', s5, nd FROM ag
+        |  UNION ALL SELECT 'all_pass', nd - sa, nd FROM ag)
+        |ORDER BY rule""".stripMargin
   )
 }

@@ -3660,7 +3660,44 @@ object SparkEntry {
     "q332_ann_h2" -> ((s, d) =>
       SimilarityOps.annTopKMultiProbe2(Tables.embeddings(s, d),
           "vec_id", "embedding", 3, 4)
-        .orderBy("vec_id", "neighbor_id"))
+        .orderBy("vec_id", "neighbor_id")),
+
+    // L278 — DSIR importance weights (Xie et al. 2023): per-doc average
+    // hashed-bigram log-likelihood ratio, target domain = src0-2 vs the
+    // raw corpus. One corpus shuffle; 256-bucket models broadcast.
+    "q333_importance_weights" -> ((s, d) =>
+      SamplingOps.importanceWeights(Tables.documents(s, d), "doc_id",
+          "text", col("source").isin("src0", "src1", "src2"))
+        .orderBy("doc_id")),
+
+    // L279 — importance RESAMPLING end-to-end: the q333 weights gated
+    // at each source's own 0.8-quantile (quantileGate), i.e. keep the
+    // most target-like 20% per source — corpus never shuffles in the
+    // gate, thresholds broadcast.
+    "q334_dsir_gate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val iw = SamplingOps.importanceWeights(docs, "doc_id", "text",
+          col("source").isin("src0", "src1", "src2"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      MixtureOps.quantileGate(iw, "source", "doc_id", "iw", 0.8)
+        .orderBy("source")
+    }),
+
+    // L280 — greedy k-center coreset (Gonzalez farthest-point): 6
+    // diversity-maximizing centers over the embedding corpus, with the
+    // coverage radius as each is added. k broadcast passes, no window.
+    "q335_kcenter" -> ((s, d) =>
+      SimilarityOps.kCenterSelect(Tables.embeddings(s, d),
+          "vec_id", "embedding", 6)
+        .orderBy("sel_round")),
+
+    // L281 — Gopher-style composite quality-rule report: per-rule
+    // violation counts/rates + the all-pass row, every guard an exact
+    // integer cross-multiplication.
+    "q336_gopher_rules" -> ((s, d) =>
+      TextOps.gopherRules(Tables.documents(s, d), "doc_id", "text",
+          STOPWORDS)
+        .orderBy("rule"))
   )
 
   // ------------------------------------------------------------- oracles

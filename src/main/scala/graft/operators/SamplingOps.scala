@@ -171,4 +171,59 @@ object SamplingOps {
           round(lit(totalN.toDouble) * col("n_h") * col("sd_h") /
             col("__W").cast("double"), 2)).as("neyman_alloc"))
   }
+
+  /** DSIR-style importance weight per document (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * each document by the AVERAGE log-likelihood ratio of its hashed
+    * bigram features under a target-domain bag-of-bigrams model vs the
+    * raw-corpus model, add-one smoothed over the hashed vocabulary:
+    * iw(d) = (1/|d|) Σ_b c_db · ln[(ct_b+1)(R+B) / (cr_b+1)(T+B)].
+    * Selecting on the weight (e.g. [[MixtureOps.quantileGate]] or
+    * [[weightedSample]] downstream) IS importance resampling — this op
+    * produces the weights. Documents with fewer than two tokens carry
+    * no bigram evidence and are dropped.
+    *
+    * Scale: the corpus shuffles ONCE, as (doc, bucket) bigram counts.
+    * Both model histograms live on the fixed `buckets`-row grid (the
+    * hashing trick caps vocabulary state regardless of corpus size),
+    * the log-ratio table BROADCASTS back onto the per-doc counts, and
+    * the per-doc reduce is one hash agg. Determinism: buckets come
+    * from [[featureHash]] (md5 — engine/partition-invariant), each
+    * c·lr term snaps to 12 dp and accumulates as DECIMAL(38,12), so
+    * the weights reproduce across engines, re-runs, and local[N].
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        targetCol: Column, buckets: Int = 256): DataFrame = {
+    val bg = df
+      .withColumn("__tgt", targetCol.cast("int"))
+      .withColumn("__t", split(col(textCol), " "))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), col("__tgt"), explode(expr(
+        "transform(sequence(0, size(__t) - 2), i -> concat(__t[i], ' ', __t[i+1]))"))
+        .as("__b"))
+      .withColumn("__k", featureHash(col("__b"), buckets))
+    val db = bg.groupBy(col(idCol), col("__tgt"), col("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val hist = db.groupBy(col("__k")).agg(
+      sum(when(col("__tgt") === 1, col("__c")).otherwise(lit(0L))).as("__ct"),
+      sum(col("__c")).as("__cr"))
+    val tot = hist.agg(sum(col("__ct")).as("__tt"), sum(col("__cr")).as("__tr"))
+    // identical double-arithmetic order to the oracle:
+    // (ct+1)·(R+B) / ((cr+1)·(T+B)), ln, snap to 12 dp
+    val lr = hist.crossJoin(broadcast(tot))
+      .withColumn("__lr", round(log(
+        (col("__ct") + 1).cast("double") * (col("__tr") + buckets) /
+          ((col("__cr") + 1).cast("double") * (col("__tt") + buckets))), 12))
+      .select(col("__k"), col("__lr"))
+    db.join(broadcast(lr), Seq("__k"))
+      .withColumn("__term",
+        round(col("__c") * col("__lr"), 12).cast("decimal(38,12)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_bigrams"), sum(col("__term")).as("__s"))
+      // iw is a rounded difference metric — pin zero to +0.0 (the
+      // −0.0 hash class; see MetricOps.normZero)
+      .withColumn("iw", MetricOps.normZero(
+        round(col("__s").cast("double") / col("n_bigrams"), 6)))
+      .select(col(idCol), col("n_bigrams"), col("iw"))
+  }
 }

@@ -266,6 +266,67 @@ object SimilarityOps {
     selectTopK(pairs, k)
   }
 
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal; the diversity-driven data-selection baseline — e.g.
+    * coreset selection for efficient training): seed with the minimum
+    * id, then repeatedly add the vector whose cosine distance to its
+    * NEAREST already-chosen center is largest (ties → smallest id).
+    * The k centers cover the corpus within 2× the optimal k-center
+    * radius — the classic guarantee — and `dist` reports the coverage
+    * radius as each center is added (monotone non-increasing: the
+    * radius the corpus would have if selection stopped there).
+    *
+    * Scale: k passes over the corpus, each one a BROADCAST of the ≤k
+    * chosen centers + a map-side min + one argmax agg (max of a
+    * (dist, −id) struct — order-independent, no window, no sort). The
+    * only driver-side reads are k single-row argmax results (the
+    * sanctioned tiny-scalar class). Distances compare RAW doubles —
+    * graft_dot is bit-identical to the oracle's list_dot_product, so
+    * the argmax agrees across engines (the q26 ordering precedent);
+    * only the reported radius is rounded (6 dp, zero pinned to +0.0).
+    */
+  def kCenterSelect(df: DataFrame, idCol: String, embCol: String,
+                    k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = normalized(df, idCol, embCol)
+    val seedRow = n.agg(min(col("id"))).head()
+    if (seedRow.isNullAt(0))
+      return Seq.empty[(Int, Long, Option[Double])]
+        .toDF("sel_round", "vec_id", "dist")
+    var ids = Vector(seedRow.getLong(0))
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Double])](
+      (0, ids.head, None))
+    var r = 1
+    var exhausted = false
+    while (r < k && !exhausted) {
+      val centers = n.filter(col("id").isin(ids: _*))
+        .select(col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+      val dmin = n.crossJoin(broadcast(centers))
+        .withColumn("__d",
+          lit(1.0) - dot("emb", "c_emb") / (col("nrm") * col("c_nrm")))
+        .groupBy(col("id")).agg(min(col("__d")).as("__d"))
+      val top = dmin.filter(!col("id").isin(ids: _*))
+        .agg(max(struct(col("__d"), (-col("id")).as("__nid"))).as("m"))
+        .head()
+      if (top.isNullAt(0)) exhausted = true
+      else {
+        val m = top.getStruct(0)
+        val (d, id) = (m.getDouble(0), -m.getLong(1))
+        ids = ids :+ id
+        // rounded difference — pin −0.0 (sim can exceed 1 by an ulp);
+        // NaN (zero-norm input) passes through, it only arises in
+        // degenerate sweeps where no oracle runs
+        val dr = if (java.lang.Double.isNaN(d)) Double.NaN
+          else BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble
+        out += ((r, id, Some(if (dr == 0.0) 0.0 else dr)))
+        r += 1
+      }
+    }
+    out.toSeq.toDF("sel_round", "vec_id", "dist")
+  }
+
   /** Johnson–Lindenstrauss random projection to `outDim` dims with a
     * ±1 sign matrix (Achlioptas 2003: database-friendly random
     * projections — sign matrices preserve distances like Gaussians at

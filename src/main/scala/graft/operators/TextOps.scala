@@ -827,4 +827,59 @@ object TextOps {
           lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
         roundTo)))
   }
+
+  /** Gopher-style composite quality-rule report (Rae et al. 2021,
+    * Gopher §A1.1 document filters, adapted to the corpus at hand):
+    * five hard rules per document —
+    *   r1_word_count:     30 ≤ |words| ≤ 80
+    *   r2_mean_word_len:  3.5 ≤ chars/word ≤ 6   (7n ≤ 2c ≤ 12n)
+    *   r3_top_word_share: most-frequent word ≤ 20%  (5·max ≤ n)
+    *   r4_has_stopword:   ≥ 1 stopword present
+    *   r5_distinct_ratio: distinct/total ≥ 40%   (5·d ≥ 2n)
+    * reported as per-rule violation counts + rates and an `all_pass`
+    * row. Every guard is an EXACT integer cross-multiplication — no
+    * float thresholds, no rounding boundaries, engine-identical.
+    *
+    * Scale: one token shuffle (the (doc, word) histogram) feeding a
+    * per-doc agg, then a single global reduce to the 6-row report —
+    * the corpus never moves twice and no window ever appears.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String]): DataFrame = {
+    val t = df
+      .withColumn("__tk", split(col(textCol), " "))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .withColumn("__ch",
+        (length(col(textCol)) - (col("__n") - 1)).cast("long"))
+    val dw = t.select(col(idCol), explode(col("__tk")).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+    val ds = dw.groupBy(col(idCol)).agg(
+      max(col("__c")).as("__maxc"),
+      count(lit(1)).as("__nd"),
+      sum(when(col("__w").isin(stopwords: _*), col("__c"))
+        .otherwise(lit(0L))).as("__nstop"))
+    val per = t.select(col(idCol), col("__n"), col("__ch"))
+      .join(ds, Seq(idCol))
+      .select(
+        (col("__n") < 30 || col("__n") > 80).cast("long").as("f1"),
+        (col("__ch") * 2 < col("__n") * 7 ||
+          col("__ch") * 2 > col("__n") * 12).cast("long").as("f2"),
+        (col("__maxc") * 5 > col("__n")).cast("long").as("f3"),
+        (col("__nstop") === 0).cast("long").as("f4"),
+        (col("__nd") * 5 < col("__n") * 2).cast("long").as("f5"))
+      .withColumn("fa",
+        (col("f1") + col("f2") + col("f3") + col("f4") + col("f5") > 0)
+          .cast("long"))
+    per.agg(count(lit(1)).as("nd"), sum(col("f1")).as("s1"),
+        sum(col("f2")).as("s2"), sum(col("f3")).as("s3"),
+        sum(col("f4")).as("s4"), sum(col("f5")).as("s5"),
+        sum(col("fa")).as("sa"))
+      .selectExpr("nd", """stack(6,
+        'r1_word_count', s1, 'r2_mean_word_len', s2,
+        'r3_top_word_share', s3, 'r4_has_stopword', s4,
+        'r5_distinct_ratio', s5, 'all_pass', nd - sa)
+        AS (rule, n)""")
+      .select(col("rule"), col("n").as("n_docs"),
+        round(col("n").cast("double") / col("nd"), 6).as("rate"))
+  }
 }

@@ -638,7 +638,7 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // equi-join, the Chow segments are plain aggregates
     for (q <- Seq("q300_granger", "q303_cmh", "q306_chow",
         "q316_dispersion", "q317_temperature", "q323_hhi",
-        "q326_hill", "q327_mahalanobis")) {
+        "q326_hill", "q327_mahalanobis", "q336_gopher_rules")) {
       val df = plan(q)
       df.count()
       val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
@@ -656,6 +656,17 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       }
       assert(bhj.nonEmpty, s"$q forecast join must broadcast")
     }
+  }
+
+  test("q333: DSIR log-ratio model joins back as a broadcast; no windows") {
+    val df = plan("q333_importance_weights")
+    df.count()
+    val ex = df.queryExecution.executedPlan
+    val bhj = collectWithSubqueries(ex) { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty,
+      "the bounded-bucket log-ratio table must broadcast onto the doc counts")
+    val wins = collectWithSubqueries(ex) { case w: WindowExec => w }
+    assert(wins.isEmpty, "DSIR weights must not plan any window")
   }
 
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {

@@ -130,4 +130,119 @@ class Round19OpsSpec extends SparkSpec {
       .agg(sum("q_contrib")).collect()(0).getDouble(0)
     assert(q > -0.5 && q <= 1.0, s"modularity $q out of range")
   }
+
+  test("importanceWeights matches a literal driver-side DSIR " +
+    "reimplementation and ranks target-vocabulary docs on top") {
+    val docs = Seq(
+      (0L, "alpha beta alpha beta alpha beta", "t"),
+      (1L, "alpha beta gamma delta alpha beta", "t"),
+      (2L, "omega psi omega psi omega psi", "r"),
+      (3L, "omega psi chi phi omega psi", "r"),
+      (4L, "alpha beta omega psi", "r"),
+      (5L, "solo", "r") // < 2 tokens: no bigram evidence, dropped
+    ).toDF("doc_id", "text", "grp")
+    val B = 32
+    val got = operators.SamplingOps.importanceWeights(
+        docs, "doc_id", "text", col("grp") === "t", B)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+
+    // literal reimplementation: md5 bucket, add-one smoothed
+    // log-ratio, 12-dp snapped terms, BigDecimal sum, 6-dp average
+    def bucket(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % B
+    }
+    val corpus = Seq(
+      (0L, "alpha beta alpha beta alpha beta", true),
+      (1L, "alpha beta gamma delta alpha beta", true),
+      (2L, "omega psi omega psi omega psi", false),
+      (3L, "omega psi chi phi omega psi", false),
+      (4L, "alpha beta omega psi", false))
+    val perDoc = corpus.map { case (id, txt, tgt) =>
+      val toks = txt.split(" ")
+      val ks = toks.sliding(2).map(p => bucket(p.mkString(" "))).toSeq
+      (id, tgt, ks.groupBy(identity).view.mapValues(_.size.toLong).toMap)
+    }
+    val ct = perDoc.filter(_._2).flatMap(_._3).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val cr = perDoc.flatMap(_._3).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sum).toMap
+    val (tt, tr) = (ct.values.sum, cr.values.sum)
+    def snap(v: Double, dp: Int): Double =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lr = cr.keys.map { k =>
+      k -> snap(math.log((ct.getOrElse(k, 0L) + 1).toDouble * (tr + B) /
+        ((cr(k) + 1).toDouble * (tt + B))), 12)
+    }.toMap
+    for ((id, _, ks) <- perDoc) {
+      val n = ks.values.sum
+      val s = ks.map { case (k, c) => BigDecimal(snap(c * lr(k), 12)) }
+        .sum
+      val want = snap(s.toDouble / n, 6)
+      val (gotN, gotIw) = got(id)
+      assert(gotN == n, s"doc $id n_bigrams $gotN != $n")
+      assert(gotIw == want, s"doc $id iw $gotIw != $want")
+    }
+    assert(!got.contains(5L), "a 1-token doc must carry no weight")
+    // target-vocabulary docs outrank raw-vocabulary docs; the mixed
+    // doc 4 sits between the two blocks
+    assert(got(0L)._2 > got(4L)._2 && got(1L)._2 > got(4L)._2)
+    assert(got(4L)._2 > got(2L)._2 && got(4L)._2 > got(3L)._2)
+  }
+
+  test("kCenterSelect walks the farthest-point order on a hand case " +
+    "and the coverage radius never increases") {
+    // four axis points + one near-duplicate of the seed: the traversal
+    // must pick the opposite pole first (d=2), then the orthogonals
+    // (d=1, min-id tiebreak), and never the near-duplicate
+    val pts = Seq(
+      (10L, Seq(1.0, 0.0, 0.0)),
+      (11L, Seq(0.99, 0.14, 0.0)), // ~8° from seed — picked last
+      (20L, Seq(-1.0, 0.0, 0.0)),
+      (30L, Seq(0.0, 1.0, 0.0)),
+      (31L, Seq(0.0, -1.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = operators.SimilarityOps.kCenterSelect(
+        pts, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    assert(got.map(_._2).toSeq == Seq(10L, 20L, 30L, 31L, 11L),
+      s"selection order was ${got.map(_._2).toSeq}")
+    assert(got(0)._3.isEmpty, "seed carries no radius")
+    val radii = got.drop(1).flatMap(_._3)
+    assert(radii.head == 2.0, "opposite pole is at cosine distance 2")
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"radius must be non-increasing: ${radii.toSeq}")
+    // fewer vectors than k: stops early, no crash
+    val short = operators.SimilarityOps.kCenterSelect(
+      pts.limit(2), "vec_id", "embedding", 5).collect()
+    assert(short.length == 2)
+  }
+
+  test("gopherRules reports hand-counted violations per rule") {
+    val docs = Seq(
+      // 40 in-range words, mean len 5, no word > 20%, has 'the',
+      // 40 distinct — passes everything
+      (1L, (1 to 39).map(i => f"alp$i%02d").mkString(" ") + " the"),
+      // 5 words (mean len 4 — r2 passes): fails r1 (count), r3
+      // (share 3/5), r4 (no stopword)
+      (2L, "zipp zipp zipp zapp zopp"),
+      // 31 one-char words: fails r2 (mean len 1), r3 (all same),
+      // r4, r5 (1 distinct)
+      (3L, Seq.fill(31)("x").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = operators.TextOps.gopherRules(docs, "doc_id", "text",
+        Seq("the", "a"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got("r1_word_count") == ((1L, 0.333333)))
+    assert(got("r2_mean_word_len") == ((1L, 0.333333)))
+    assert(got("r3_top_word_share") == ((2L, 0.666667)))
+    assert(got("r4_has_stopword") == ((2L, 0.666667)))
+    assert(got("r5_distinct_ratio") == ((1L, 0.333333)))
+    assert(got("all_pass") == ((1L, 0.333333)))
+  }
 }
