@@ -194,27 +194,13 @@ object SamplingOps {
     */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         targetCol: Column, buckets: Int = 256): DataFrame = {
-    val bg = df
-      .withColumn("__tgt", targetCol.cast("int"))
-      .withColumn("__t", split(col(textCol), " "))
-      .filter(size(col("__t")) >= 2)
-      .select(col(idCol), col("__tgt"), explode(expr(
-        "transform(sequence(0, size(__t) - 2), i -> concat(__t[i], ' ', __t[i+1]))"))
-        .as("__b"))
-      .withColumn("__k", featureHash(col("__b"), buckets))
+    val bg = bigramBuckets(df, textCol, targetCol, buckets, Seq(idCol))
     val db = bg.groupBy(col(idCol), col("__tgt"), col("__k"))
       .agg(count(lit(1)).as("__c"))
     val hist = db.groupBy(col("__k")).agg(
       sum(when(col("__tgt") === 1, col("__c")).otherwise(lit(0L))).as("__ct"),
       sum(col("__c")).as("__cr"))
-    val tot = hist.agg(sum(col("__ct")).as("__tt"), sum(col("__cr")).as("__tr"))
-    // identical double-arithmetic order to the oracle:
-    // (ct+1)·(R+B) / ((cr+1)·(T+B)), ln, snap to 12 dp
-    val lr = hist.crossJoin(broadcast(tot))
-      .withColumn("__lr", round(log(
-        (col("__ct") + 1).cast("double") * (col("__tr") + buckets) /
-          ((col("__cr") + 1).cast("double") * (col("__tt") + buckets))), 12))
-      .select(col("__k"), col("__lr"))
+    val lr = logRatio(hist, buckets)
     db.join(broadcast(lr), Seq("__k"))
       .withColumn("__term",
         round(col("__c") * col("__lr"), 12).cast("decimal(38,12)"))
@@ -225,5 +211,56 @@ object SamplingOps {
       .withColumn("iw", MetricOps.normZero(
         round(col("__s").cast("double") / col("n_bigrams"), 6)))
       .select(col(idCol), col("n_bigrams"), col("iw"))
+  }
+
+  /** The frozen DSIR model as an exportable table: one (bucket, lr)
+    * row per observed hash bucket (≤ `buckets` rows by construction)
+    * plus a sentinel bucket = −1 row carrying the add-one-smoothed
+    * EMPTY-bucket ratio ln((R+B)/(T+B)) — the fallback a live scorer
+    * applies to buckets the training corpus never produced. Identical
+    * arithmetic to [[importanceWeights]]' internal model stage (shared
+    * [[logRatio]]); collect it driver-side to fold into a literal map
+    * for map-only stream scoring
+    * ([[graft.streaming.StreamingScore.importanceScore]]).
+    */
+  def importanceModel(df: DataFrame, textCol: String, targetCol: Column,
+                      buckets: Int = 256): DataFrame = {
+    val bg = bigramBuckets(df, textCol, targetCol, buckets, Nil)
+    val hist = bg.groupBy(col("__k")).agg(
+      sum(when(col("__tgt") === 1, lit(1L)).otherwise(lit(0L))).as("__ct"),
+      count(lit(1)).as("__cr"))
+    val tot = hist.agg(sum(col("__ct")).as("__tt"), sum(col("__cr")).as("__tr"))
+    val default = tot.select(lit(-1L).as("__k"), round(log(
+      (col("__tr") + buckets).cast("double") /
+        (col("__tt") + buckets).cast("double")), 12).as("__lr"))
+    logRatio(hist, buckets).unionByName(default)
+      .select(col("__k").as("bucket"), col("__lr").as("lr"))
+  }
+
+  /** (carry…, __tgt, __k) bigram-occurrence table: the shared front of
+    * the DSIR family — whitespace bigrams hashed by [[featureHash]].
+    */
+  private def bigramBuckets(df: DataFrame, textCol: String,
+                            targetCol: Column, buckets: Int,
+                            carry: Seq[String]): DataFrame =
+    df.withColumn("__tgt", targetCol.cast("int"))
+      .withColumn("__t", split(col(textCol), " "))
+      .filter(size(col("__t")) >= 2)
+      .select(carry.map(col) ++ Seq(col("__tgt"), explode(expr(
+        "transform(sequence(0, size(__t) - 2), i -> concat(__t[i], ' ', __t[i+1]))"))
+        .as("__b")): _*)
+      .withColumn("__k", featureHash(col("__b"), buckets))
+
+  /** Add-one-smoothed log-likelihood ratio per bucket, identical
+    * double-arithmetic order to the oracle:
+    * ln[(ct+1)·(R+B) / ((cr+1)·(T+B))], snapped to 12 dp.
+    */
+  private def logRatio(hist: DataFrame, buckets: Int): DataFrame = {
+    val tot = hist.agg(sum(col("__ct")).as("__tt"), sum(col("__cr")).as("__tr"))
+    hist.crossJoin(broadcast(tot))
+      .withColumn("__lr", round(log(
+        (col("__ct") + 1).cast("double") * (col("__tr") + buckets) /
+          ((col("__cr") + 1).cast("double") * (col("__tt") + buckets))), 12))
+      .select(col("__k"), col("__lr"))
   }
 }
