@@ -6872,6 +6872,31 @@ object OracleSql {
         |  UNION ALL SELECT 'r4_has_stopword', s4, nd FROM ag
         |  UNION ALL SELECT 'r5_distinct_ratio', s5, nd FROM ag
         |  UNION ALL SELECT 'all_pass', nd - sa, nd FROM ag)
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+
+    "q337_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, emb,
+        |  sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |pb AS (SELECT vec_id, label, emb, nrm,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id AND a.label <> b.label),
+        |r AS (SELECT vec_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM r
+        |WHERE rn <= 3
+        |ORDER BY vec_id, neighbor_id""".stripMargin
   )
 }

@@ -3697,7 +3697,15 @@ object SparkEntry {
     "q336_gopher_rules" -> ((s, d) =>
       TextOps.gopherRules(Tables.documents(s, d), "doc_id", "text",
           STOPWORDS)
-        .orderBy("rule"))
+        .orderBy("rule")),
+
+    // L282 — hard-negative mining: top-3 most-similar DIFFERENT-label
+    // neighbors per anchor from the multi-probe sign-bucket candidates
+    // (contrastive training-pair construction; equi-join only).
+    "q337_hard_negatives" -> ((s, d) =>
+      SimilarityOps.hardNegatives(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", 3, 4)
+        .orderBy("vec_id", "neighbor_id"))
   )
 
   // ------------------------------------------------------------- oracles

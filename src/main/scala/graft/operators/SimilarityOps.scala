@@ -266,6 +266,37 @@ object SimilarityOps {
     selectTopK(pairs, k)
   }
 
+  /** Hard-negative mining for contrastive training-pair construction:
+    * for each anchor, the k most-similar vectors carrying a DIFFERENT
+    * label — the negatives that sit closest to the decision boundary
+    * and teach a contrastive/triplet objective the most (the standard
+    * in-batch-negatives upgrade). Candidates come from the same
+    * Hamming-≤1 multi-probe sign-bucket equi-join as
+    * [[annTopKMultiProbe]] — never an all-pairs sweep — with the
+    * label-mismatch filter applied BEFORE top-k selection, so the k
+    * slots are spent on true negatives only.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, embCol: String,
+                    labelCol: String, k: Int, signBits: Int = 4): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val n = df.select(col(idCol).as("id"), col(labelCol).as("lbl"),
+        expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("emb"))
+      .withColumn("nrm", sqrt(dot("emb", "emb")))
+      .withColumn("bucket", signBucket(signBits))
+    val h1 = (0 until signBits).map(j => s"CAST(bucket AS INT) ^ ${1 << j}")
+    val probes = expr(s"array(bucket, ${h1.mkString(", ")})")
+    val a = n.select(col("id").as("vec_id"), col("lbl").as("a_lbl"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm"),
+      explode(probes).as("bucket"))
+    val b = n.select(col("id").as("neighbor_id"), col("lbl").as("b_lbl"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"), col("bucket"))
+    val pairs = a.join(b, "bucket")
+      .filter(col("vec_id") =!= col("neighbor_id") &&
+        col("a_lbl") =!= col("b_lbl"))
+      .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+    selectTopK(pairs, k)
+  }
+
   /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
     * traversal; the diversity-driven data-selection baseline — e.g.
     * coreset selection for efficient training): seed with the minimum

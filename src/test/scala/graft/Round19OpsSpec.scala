@@ -222,6 +222,31 @@ class Round19OpsSpec extends SparkSpec {
     assert(short.length == 2)
   }
 
+  test("hardNegatives never pairs same-label vectors and keeps <= k " +
+    "descending-sim rows per anchor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val hn = SimilarityOps.hardNegatives(emb, "vec_id", "embedding",
+      "label", 3, 4)
+    val lab = emb.select(col("vec_id"), col("label"))
+    val joined = hn
+      .join(lab.withColumnRenamed("label", "a_lbl"), Seq("vec_id"))
+      .join(lab.select(col("vec_id").as("neighbor_id"),
+        col("label").as("b_lbl")), Seq("neighbor_id"))
+      .collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r =>
+      r.getAs[Int]("a_lbl") != r.getAs[Int]("b_lbl")),
+      "a hard negative must carry a different label")
+    val byAnchor = joined.groupBy(_.getAs[Long]("vec_id"))
+    assert(byAnchor.forall(_._2.length <= 3))
+    // within an anchor, rows ordered by sim desc after the declared sort
+    for ((_, rows) <- byAnchor) {
+      val sims = rows.sortBy(_.getAs[Long]("neighbor_id"))
+        .map(_.getAs[Double]("sim"))
+      assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+    }
+  }
+
   test("gopherRules reports hand-counted violations per rule") {
     val docs = Seq(
       // 40 in-range words, mean len 5, no word > 20%, has 'the',
