@@ -6897,6 +6897,39 @@ object OracleSql {
         |  FROM p)
         |SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM r
         |WHERE rn <= 3
-        |ORDER BY vec_id, neighbor_id""".stripMargin
+        |ORDER BY vec_id, neighbor_id""".stripMargin,
+
+    "q338_lsh_advisor" -> {
+      val slices = (0 until 8)
+        .map(i => s"min(substr(md5(s), ${i * 4 + 1}, 4)) AS m$i")
+        .mkString(", ")
+      val cfgs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+      val longSel = cfgs.flatMap { case (b, r) =>
+        (0 until b).map { bi =>
+          val key = (bi * r until bi * r + r).map(i => s"m$i")
+            .mkString(" || '|' || ")
+          s"SELECT $b AS bands, $bi AS band, $key AS key FROM sig8"
+        }
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $shinglesCte,
+         |sig8 AS (SELECT doc_id, $slices FROM sh GROUP BY doc_id),
+         |lng AS (
+         |  $longSel),
+         |stats AS (SELECT bands, CAST(count(*) AS BIGINT) AS n_buckets,
+         |    CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS est_pairs
+         |  FROM (SELECT bands, band, key, count(*) AS n FROM lng
+         |        GROUP BY bands, band, key)
+         |  GROUP BY bands),
+         |curve AS (SELECT * FROM (VALUES
+         |  (1, 8), (2, 4), (4, 2), (8, 1)) c(bands, rows_per_band))
+         |SELECT c.bands, c.rows_per_band,
+         |  round(power(1.0 / c.bands, 1.0 / c.rows_per_band), 6) AS s_curve,
+         |  round(1.0 - power(1.0 - power(0.5, c.rows_per_band), c.bands), 6)
+         |    AS p_at_target,
+         |  coalesce(n_buckets, 0) AS n_buckets,
+         |  coalesce(est_pairs, 0) AS est_pairs
+         |FROM curve c LEFT JOIN stats ON c.bands = stats.bands
+         |ORDER BY c.bands""".stripMargin
+    }
   )
 }

@@ -3705,7 +3705,17 @@ object SparkEntry {
     "q337_hard_negatives" -> ((s, d) =>
       SimilarityOps.hardNegatives(Tables.embeddings(s, d),
           "vec_id", "embedding", "label", 3, 4)
-        .orderBy("vec_id", "neighbor_id"))
+        .orderBy("vec_id", "neighbor_id")),
+
+    // L283 — LSH banding advisor: per (bands, rows) factorization, the
+    // closed-form S-curve numbers AND the measured candidate workload
+    // on the actual corpus (the knob report consulted before a 100 TB
+    // dedup run). Target Jaccard 0.5.
+    "q338_lsh_advisor" -> ((s, d) =>
+      DedupOps.lshBandingAdvisor(
+          DedupOps.shingles(Tables.documents(s, d), "doc_id", "text"),
+          "doc_id", 0.5)
+        .orderBy("bands"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -484,4 +484,59 @@ object DedupOps {
       .select(col("cluster_id"), col("__m.__attr").as("mode_attr"))
     canon.join(mode, "cluster_id")
   }
+
+  /** LSH banding advisor: the dial everyone mis-sets at 100 TB. For
+    * every (bands, rows) factorization of the 8-slice signature it
+    * reports BOTH halves of the decision:
+    *  - the closed-form S-curve numbers — `s_curve` = (1/b)^(1/r),
+    *    the Jaccard level where P(candidate) crosses ~50%, and
+    *    `p_at_target` = 1 − (1 − t^r)^b, the capture probability at
+    *    the caller's target similarity; and
+    *  - the MEASURED candidate workload on the actual corpus —
+    *    `n_buckets` and `est_pairs` = Σ n·(n−1)/2 over that banding's
+    *    band-buckets, which is exactly the number of pair rows the
+    *    candidate equi-join would emit (a pair agreeing in several
+    *    bands is counted once per band, as the join would).
+    * Choosing (b, r) is then reading the row where p_at_target is
+    * acceptable and est_pairs is affordable.
+    *
+    * Scale: the 8 slice-minima are computed ONCE (one shingle-table
+    * agg — the md5 hot loop is not repeated per config); each doc then
+    * melts to Σb = 15 (config, band, key) rows and ONE hash agg counts
+    * every banding's buckets. The 4-row curve table is driver-built
+    * constants (pure math, no data) joined broadcast.
+    */
+  def lshBandingAdvisor(sh: DataFrame, idCol: String,
+                        targetJaccard: Double): DataFrame = {
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val cfgs = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+    val sig = minhashSignature(sh, idCol, 8, 1) // h_i_0 = slice i min
+    val bandStructs = cfgs.flatMap { case (b, r) =>
+      (0 until b).map { bi =>
+        val keys = (bi * r until bi * r + r).map(i => col(s"h_${i}_0"))
+        struct(lit(b).as("bands"), lit(bi).as("band"),
+          concat_ws("|", keys: _*).as("key"))
+      }
+    }
+    val long = sig.select(explode(array(bandStructs: _*)).as("bk"))
+      .select(col("bk.bands").as("bands"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val stats = long.groupBy("bands", "band", "key")
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("bands").agg(
+        count(lit(1)).as("n_buckets"),
+        sum(expr("__n * (__n - 1) div 2")).as("est_pairs"))
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val curve = cfgs.map { case (b, r) =>
+      (b, r, r6(math.pow(1.0 / b, 1.0 / r)),
+        r6(1.0 - math.pow(1.0 - math.pow(targetJaccard, r), b)))
+    }.toDF("bands", "rows_per_band", "s_curve", "p_at_target")
+    curve.join(broadcast(stats), Seq("bands"), "left")
+      .select(col("bands"), col("rows_per_band"), col("s_curve"),
+        col("p_at_target"),
+        coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
+        coalesce(col("est_pairs"), lit(0L)).as("est_pairs"))
+  }
 }

@@ -247,6 +247,31 @@ class Round19OpsSpec extends SparkSpec {
     }
   }
 
+  test("lshBandingAdvisor: hand-checked S-curve numbers and bucket " +
+    "workload on an identical-trio fixture") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "omega psi chi phi upsilon")
+    ).toDF("doc_id", "text")
+    val sh = operators.DedupOps.shingles(docs, "doc_id", "text")
+    val got = operators.DedupOps.lshBandingAdvisor(sh, "doc_id", 0.5)
+      .collect().map(r => r.getInt(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3),
+          r.getLong(4), r.getLong(5))).toMap
+    // closed forms: s* = (1/b)^(1/r); p = 1 - (1 - 0.5^r)^b
+    assert(got(8) == ((1, 0.125, 0.996094, 16L, 24L)),
+      s"b=8 row was ${got(8)}")
+    assert(got(1)._2 == 1.0 && got(1)._3 == 0.003906)
+    // identical trio: every band bucket holds {1,2,3} (3 pairs) plus
+    // doc 4 alone -> n_buckets = 2b, est_pairs = 3b for every banding
+    for ((b, (_, _, _, nb, ep)) <- got) {
+      assert(nb == 2L * b, s"b=$b n_buckets $nb")
+      assert(ep == 3L * b, s"b=$b est_pairs $ep")
+    }
+  }
+
   test("gopherRules reports hand-counted violations per rule") {
     val docs = Seq(
       // 40 in-range words, mean len 5, no word > 20%, has 'the',
