@@ -6930,6 +6930,55 @@ object OracleSql {
          |  coalesce(est_pairs, 0) AS est_pairs
          |FROM curve c LEFT JOIN stats ON c.bands = stats.bands
          |ORDER BY c.bands""".stripMargin
+    },
+
+    "q339_dedup_threshold_sweep" ->
+      s"""WITH $shinglesCte,
+         |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |${minhashSig(4, 2)},
+         |cand AS (${minhashPairs(4, 2)}),
+         |com AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY c.doc_a, c.doc_b),
+         |jac AS (SELECT com.doc_a, com.doc_b,
+         |  round(CAST(com.c AS DOUBLE) / (sa.n + sb.n - com.c), 6) AS jaccard
+         |  FROM com
+         |  JOIN szs sa ON sa.doc_id = com.doc_a
+         |  JOIN szs sb ON sb.doc_id = com.doc_b),
+         |grid AS (SELECT unnest(range(10)) AS tidx),
+         |f AS (SELECT g.tidx, j.doc_a, j.doc_b FROM grid g
+         |  JOIN jac j ON j.jaccard >= g.tidx / 10.0),
+         |p AS (SELECT tidx, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM f GROUP BY tidx),
+         |d AS (SELECT tidx, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs
+         |  FROM (SELECT tidx, doc_a AS doc FROM f
+         |        UNION ALL SELECT tidx, doc_b FROM f) GROUP BY tidx)
+         |SELECT CAST(g.tidx AS BIGINT) AS tidx,
+         |  round(g.tidx / 10.0, 1) AS threshold,
+         |  coalesce(n_pairs, 0) AS n_pairs,
+         |  coalesce(n_docs, 0) AS n_docs
+         |FROM grid g LEFT JOIN p ON g.tidx = p.tidx
+         |  LEFT JOIN d ON g.tidx = d.tidx
+         |ORDER BY tidx""".stripMargin,
+
+    "q340_ivf_advisor" -> {
+      val perB = (1 to 6).map { b =>
+        val cell = (0 until b)
+          .map(j => s"CAST(emb[${j + 1}] > 0 AS INT) * ${1 << j}")
+          .mkString(" + ")
+        s"SELECT $b AS sign_bits, $cell AS cell FROM e"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+         |lng AS (
+         |  $perB),
+         |cells AS (SELECT sign_bits, cell, count(*) AS n FROM lng
+         |  GROUP BY sign_bits, cell)
+         |SELECT sign_bits, CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(max(n) AS BIGINT) AS max_cell,
+         |  CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS est_pairs
+         |FROM cells GROUP BY sign_bits ORDER BY sign_bits""".stripMargin
     }
   )
 }

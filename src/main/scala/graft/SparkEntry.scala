@@ -3715,7 +3715,25 @@ object SparkEntry {
       DedupOps.lshBandingAdvisor(
           DedupOps.shingles(Tables.documents(s, d), "doc_id", "text"),
           "doc_id", 0.5)
-        .orderBy("bands"))
+        .orderBy("bands")),
+
+    // L284 — dedup threshold sweep: pairs/docs removed at each Jaccard
+    // cutoff over the verified near-dup pairs (the dedup aggressiveness
+    // curve read before committing a threshold).
+    "q339_dedup_threshold_sweep" -> ((s, d) =>
+      DedupOps.dedupThresholdSweep(
+          DedupOps.shingles(Tables.documents(s, d), "doc_id", "text"),
+          "doc_id")
+        .orderBy("tidx")),
+
+    // L285 — IVF cell-balance advisor: per quantizer width, non-empty
+    // cells, largest cell, and the within-cell pair work annTopK would
+    // evaluate (the signBits dial's workload half; recall is pinned by
+    // LshRecallSpec).
+    "q340_ivf_advisor" -> ((s, d) =>
+      SimilarityOps.ivfCellAdvisor(Tables.embeddings(s, d),
+          "vec_id", "embedding", 6)
+        .orderBy("sign_bits"))
   )
 
   // ------------------------------------------------------------- oracles

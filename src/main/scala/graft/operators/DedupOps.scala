@@ -485,6 +485,40 @@ object DedupOps {
     canon.join(mode, "cluster_id")
   }
 
+  /** Dedup threshold sweep: the OTHER dedup dial — given the verified
+    * near-dup pairs ([[lshJaccard]]), how much of the corpus does each
+    * Jaccard cutoff actually remove? One row per candidate threshold
+    * t ∈ {0.0, 0.1, …, 0.9}: the pairs at or above t and the distinct
+    * documents those pairs touch (the upper bound on removals — the
+    * per-cluster keep-one step removes touched − clusters docs).
+    * Reading the curve before committing a threshold prevents both
+    * under-dedup (t too high, near-dups survive) and corpus collapse
+    * (t too low, templated families merge).
+    *
+    * Scale: the pair table is already the bounded LSH-verified set;
+    * the 10-threshold grid EXPLODES row-locally (sequence + filter —
+    * no join), and both reductions are hash aggs on the ≤10-row grid
+    * key. Nothing corpus-sized moves.
+    */
+  def dedupThresholdSweep(sh: DataFrame, idCol: String,
+                          bands: Int = 4, rows: Int = 2): DataFrame = {
+    val j = lshJaccard(sh, idCol, bands, rows)
+    val f = j.select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(expr("sequence(0, 9)")).as("tidx"))
+      .filter(col("jaccard") >= col("tidx") / lit(10.0))
+    val pairs = f.groupBy("tidx").agg(count(lit(1)).as("n_pairs"))
+    val docs = f.select(col("tidx"),
+        explode(array(col("doc_a"), col("doc_b"))).as("__doc"))
+      .groupBy("tidx").agg(countDistinct(col("__doc")).as("n_docs"))
+    val grid = sh.sparkSession.range(10)
+      .select(col("id").cast("int").as("tidx"))
+    grid.join(pairs, Seq("tidx"), "left").join(docs, Seq("tidx"), "left")
+      .select(col("tidx").cast("long").as("tidx"),
+        round(col("tidx") / lit(10.0), 1).as("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+  }
+
   /** LSH banding advisor: the dial everyone mis-sets at 100 TB. For
     * every (bands, rows) factorization of the 8-slice signature it
     * reports BOTH halves of the decision:

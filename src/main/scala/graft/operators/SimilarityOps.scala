@@ -266,6 +266,35 @@ object SimilarityOps {
     selectTopK(pairs, k)
   }
 
+  /** IVF cell-balance advisor: the signBits dial's workload report.
+    * For each quantizer width b ∈ 1..`maxBits`, the sign-pattern cells
+    * the corpus actually lands in: non-empty cell count, the largest
+    * cell, and the within-cell pair work Σ n·(n−1)/2 — exactly the
+    * pair rows [[annTopK]]'s equi-join evaluates at that width. The
+    * caller reads off the b where pair work is affordable and the max
+    * cell is not a de-facto cross join, then cross-references the
+    * recall curve (LshRecallSpec) for the quality side of the trade.
+    *
+    * Scale: one pass — each vector emits `maxBits` (width, cell) rows
+    * (a row-local explode of nested sign prefixes, no shuffle until
+    * the one (width, cell) hash agg), then a `maxBits`-row reduce.
+    */
+  def ivfCellAdvisor(df: DataFrame, idCol: String, embCol: String,
+                     maxBits: Int = 6): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val n = normalized(df, idCol, embCol)
+    val cfgs = (1 to maxBits).map { b =>
+      struct(lit(b).as("sign_bits"), signBucket(b).as("cell"))
+    }
+    n.select(explode(array(cfgs: _*)).as("c"))
+      .select(col("c.sign_bits").as("sign_bits"), col("c.cell").as("cell"))
+      .groupBy("sign_bits", "cell").agg(count(lit(1)).as("__n"))
+      .groupBy("sign_bits").agg(
+        count(lit(1)).as("n_cells"),
+        max(col("__n")).as("max_cell"),
+        sum(expr("__n * (__n - 1) div 2")).as("est_pairs"))
+  }
+
   /** Hard-negative mining for contrastive training-pair construction:
     * for each anchor, the k most-similar vectors carrying a DIFFERENT
     * label — the negatives that sit closest to the decision boundary

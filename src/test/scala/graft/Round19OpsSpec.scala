@@ -272,6 +272,46 @@ class Round19OpsSpec extends SparkSpec {
     }
   }
 
+  test("dedupThresholdSweep: identical-trio pairs survive every " +
+    "threshold; the curve is monotone non-increasing") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "omega psi chi phi upsilon")
+    ).toDF("doc_id", "text")
+    val sh = operators.DedupOps.shingles(docs, "doc_id", "text")
+    val got = operators.DedupOps.dedupThresholdSweep(sh, "doc_id")
+      .orderBy("tidx").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.length == 10)
+    // identical docs share every band key: the 3 trio pairs (j = 1.0)
+    // survive even the 0.9 cutoff
+    assert(got.last._2 == 3L && got.last._3 == 3L)
+    for (Seq((_, p1, d1), (_, p2, d2)) <- got.toSeq.sliding(2)) {
+      assert(p2 <= p1 && d2 <= d1, "sweep must be non-increasing")
+    }
+  }
+
+  test("ivfCellAdvisor: hand-checked cells on explicit sign patterns") {
+    val vecs = Seq(
+      (1L, Seq(1.0, 1.0, 0.5)),
+      (2L, Seq(1.0, -1.0, 0.5)),
+      (3L, Seq(-1.0, 1.0, 0.5)),
+      (4L, Seq(0.5, 0.5, -1.0))
+    ).toDF("vec_id", "embedding")
+    val got = operators.SimilarityOps.ivfCellAdvisor(
+        vecs, "vec_id", "embedding", 2)
+      .orderBy("sign_bits").collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // b=1: cells by dim-0 sign — {+: 1,2,4} {−: 3} → 2 cells, max 3,
+    // pairs 3; b=2: {(+,+): 1,4} {(+,−): 2} {(−,+): 3} → 3 cells,
+    // max 2, pairs 1
+    assert(got(1) == ((2L, 3L, 3L)), s"b=1 was ${got(1)}")
+    assert(got(2) == ((3L, 2L, 1L)), s"b=2 was ${got(2)}")
+  }
+
   test("gopherRules reports hand-counted violations per rule") {
     val docs = Seq(
       // 40 in-range words, mean len 5, no word > 20%, has 'the',
