@@ -6979,6 +6979,29 @@ object OracleSql {
          |  CAST(max(n) AS BIGINT) AS max_cell,
          |  CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS est_pairs
          |FROM cells GROUP BY sign_bits ORDER BY sign_bits""".stripMargin
-    }
+    },
+
+    "q341_gopher_flags" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+        |      AS ch
+        |  FROM documents),
+        |m AS (SELECT doc_id, n, ch,
+        |  CAST(list_aggregate(list_transform(list_distinct(tk),
+        |    w -> len(list_filter(tk, x -> x = w))), 'max') AS BIGINT)
+        |    AS maxc,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS nd,
+        |  CAST(len(list_filter(tk, x -> list_contains(['the', 'a'], x)))
+        |    AS BIGINT) AS nstop
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(n < 30 OR n > 80 AS BIGINT) AS f_word_count,
+        |  CAST(ch * 2 < n * 7 OR ch * 2 > n * 12 AS BIGINT)
+        |    AS f_mean_word_len,
+        |  CAST(maxc * 5 > n AS BIGINT) AS f_top_word_share,
+        |  CAST(nstop = 0 AS BIGINT) AS f_no_stopword,
+        |  CAST(nd * 5 < n * 2 AS BIGINT) AS f_distinct_ratio
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

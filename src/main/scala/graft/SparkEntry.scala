@@ -3733,7 +3733,15 @@ object SparkEntry {
     "q340_ivf_advisor" -> ((s, d) =>
       SimilarityOps.ivfCellAdvisor(Tables.embeddings(s, d),
           "vec_id", "embedding", 6)
-        .orderBy("sign_bits"))
+        .orderBy("sign_bits")),
+
+    // L286 — per-doc Gopher rule flags in pure row-local expression
+    // form (array HOFs, no token shuffle) — the stream-ready twin of
+    // q336's aggregate report; flag agreement proven in Round19OpsSpec.
+    "q341_gopher_flags" -> ((s, d) =>
+      TextOps.gopherFlags(Tables.documents(s, d), "doc_id", "text",
+          STOPWORDS)
+        .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -844,6 +844,47 @@ object TextOps {
     * per-doc agg, then a single global reduce to the 6-row report —
     * the corpus never moves twice and no window ever appears.
     */
+  /** Per-document Gopher rule flags in PURE row-local expression form:
+    * the same five rules as [[gopherRules]] (identical integer
+    * cross-multiplied guards) but computed entirely within one
+    * projection — the top-word count, distinct count, and stopword
+    * count come from array higher-order functions over the token list
+    * instead of the (doc, word) shuffle. That makes the gate usable
+    * unchanged on a STREAM (no state, no shuffle, no watermark — the
+    * live ingestion filter) and as a map-only batch pre-filter; the
+    * aggregate report form stays [[gopherRules]], and
+    * Round19OpsSpec proves flag-for-flag agreement between the two.
+    * O(n²) worst-case in tokens per doc (distinct × filter) — fine for
+    * document-sized rows; the shuffle form wins only when single rows
+    * are megabyte-scale.
+    */
+  def gopherFlags(df: DataFrame, idCol: String, textCol: String,
+                  stopwords: Seq[String]): DataFrame = {
+    val sw = stopwords.map(s => s"'$s'").mkString(", ")
+    df.withColumn("__tk", split(col(textCol), " "))
+      .withColumn("__n", size(col("__tk")).cast("long"))
+      .withColumn("__ch",
+        (length(col(textCol)) - (col("__n") - 1)).cast("long"))
+      .withColumn("__maxc", expr(
+        """CAST(array_max(transform(array_distinct(__tk),
+          |  w -> size(filter(__tk, x -> x = w)))) AS LONG)""".stripMargin))
+      .withColumn("__nd",
+        size(array_distinct(col("__tk"))).cast("long"))
+      .withColumn("__nstop", expr(
+        s"CAST(size(filter(__tk, x -> array_contains(array($sw), x))) AS LONG)"))
+      .select(col(idCol),
+        (col("__n") < 30 || col("__n") > 80).cast("long")
+          .as("f_word_count"),
+        (col("__ch") * 2 < col("__n") * 7 ||
+          col("__ch") * 2 > col("__n") * 12).cast("long")
+          .as("f_mean_word_len"),
+        (col("__maxc") * 5 > col("__n")).cast("long")
+          .as("f_top_word_share"),
+        (col("__nstop") === 0).cast("long").as("f_no_stopword"),
+        (col("__nd") * 5 < col("__n") * 2).cast("long")
+          .as("f_distinct_ratio"))
+  }
+
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
                   stopwords: Seq[String]): DataFrame = {
     val t = df

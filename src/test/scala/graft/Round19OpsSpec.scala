@@ -312,6 +312,25 @@ class Round19OpsSpec extends SparkSpec {
     assert(got(2) == ((3L, 2L, 1L)), s"b=2 was ${got(2)}")
   }
 
+  test("gopherFlags (row-local HOF form) agrees flag-for-flag with " +
+    "gopherRules' shuffle-form counts on real documents") {
+    val docs = Tables.documents(spark, sfDir)
+    val sums = operators.TextOps.gopherFlags(docs, "doc_id", "text",
+        Seq("the", "a"))
+      .agg(sum("f_word_count"), sum("f_mean_word_len"),
+        sum("f_top_word_share"), sum("f_no_stopword"),
+        sum("f_distinct_ratio"))
+      .collect()(0)
+    val report = operators.TextOps.gopherRules(docs, "doc_id", "text",
+        Seq("the", "a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.getLong(0) == report("r1_word_count"))
+    assert(sums.getLong(1) == report("r2_mean_word_len"))
+    assert(sums.getLong(2) == report("r3_top_word_share"))
+    assert(sums.getLong(3) == report("r4_has_stopword"))
+    assert(sums.getLong(4) == report("r5_distinct_ratio"))
+  }
+
   test("gopherRules reports hand-counted violations per rule") {
     val docs = Seq(
       // 40 in-range words, mean len 5, no word > 20%, has 'the',
