@@ -7002,6 +7002,28 @@ object OracleSql {
         |  CAST(maxc * 5 > n AS BIGINT) AS f_top_word_share,
         |  CAST(nstop = 0 AS BIGINT) AS f_no_stopword,
         |  CAST(nd * 5 < n * 2 AS BIGINT) AS f_distinct_ratio
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q342_packing_advisor" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT source, n,
+        |  coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS bfr
+        |  FROM t),
+        |l AS (SELECT CAST(b.budget AS BIGINT) AS budget, c.source, c.n,
+        |    c.bfr // b.budget AS bin
+        |  FROM c CROSS JOIN
+        |    (SELECT unnest([512, 1024, 2048, 4096]) AS budget) b),
+        |g AS (SELECT budget, source, bin, count(*) AS nd, sum(n) AS nt
+        |  FROM l GROUP BY budget, source, bin)
+        |SELECT budget, CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(sum(nd) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(nt) AS DOUBLE) / (count(*) * budget), 6)
+        |    AS fill_rate
+        |FROM g GROUP BY budget ORDER BY budget""".stripMargin
   )
 }

@@ -3741,7 +3741,15 @@ object SparkEntry {
     "q341_gopher_flags" -> ((s, d) =>
       TextOps.gopherFlags(Tables.documents(s, d), "doc_id", "text",
           STOPWORDS)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // L287 — packing-budget advisor: bins + fill rate per candidate
+    // context length (one running-sum pass, bins derived per budget by
+    // integer division — the q111 packing's dial report).
+    "q342_packing_advisor" -> ((s, d) =>
+      TextOps.packingAdvisor(Tables.documents(s, d), "source", "doc_id",
+          "text", Seq(512L, 1024L, 2048L, 4096L))
+        .orderBy("budget"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -254,6 +254,41 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_tokens"))
   }
 
+  /** Packing-budget advisor: the context-length dial for
+    * [[packSequences]]. For each candidate token budget it reports the
+    * bins the greedy contiguous packing would produce and the fill
+    * rate Σtokens / (bins·budget) — the utilization a training run
+    * would actually see at that sequence length (straddling docs keep
+    * the earlier bin, so the last bin per group may overfill slightly
+    * and the rate can graze 1). Reading the table picks the budget
+    * where utilization stays high before committing a corpus-wide
+    * repack.
+    *
+    * Scale: the per-group running token total is computed ONCE (the
+    * same per-group window as packSequences — never a global cumsum);
+    * each row then explodes to |budgets| rows with bins derived by
+    * integer division from the SAME running sum, and two hash aggs
+    * reduce to the |budgets|-row report.
+    */
+  def packingAdvisor(df: DataFrame, grpCol: String, idCol: String,
+                     textCol: String, budgets: Seq[Long]): DataFrame = {
+    val w = Window.partitionBy(col(grpCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__n", size(tokens(col(textCol))).cast("long"))
+      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col(grpCol), col("__n"), col("__before"),
+        explode(array(budgets.map(lit(_)): _*)).as("budget"))
+      .withColumn("__bin", expr("__before div budget"))
+      .groupBy(col("budget"), col(grpCol), col("__bin"))
+      .agg(count(lit(1)).as("__nd"), sum(col("__n")).as("__nt"))
+      .groupBy(col("budget")).agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("__nd")).as("n_docs"),
+        sum(col("__nt")).as("n_tokens"))
+      .withColumn("fill_rate", round(
+        col("n_tokens").cast("double") / (col("n_bins") * col("budget")), 6))
+  }
+
   /** TF-IDF per (document, token): tf × ln(N / df). Three hash
     * aggregations (doc-term tf, term df, corpus N) and one equi-join on
     * the term key — df and N are tiny relative to the tf table, and the

@@ -331,6 +331,29 @@ class Round19OpsSpec extends SparkSpec {
     assert(sums.getLong(4) == report("r5_distinct_ratio"))
   }
 
+  test("packingAdvisor: hand-walked bins per budget, and agreement " +
+    "with packSequences at the same budget") {
+    val docs = Seq(
+      ("g", 1L, "a b c d e"),      // 5 tokens, before 0  -> bin 0 @6
+      ("g", 2L, "a b c d"),        // 4 tokens, before 5  -> bin 0
+      ("g", 3L, "a b c"),          // 3 tokens, before 9  -> bin 1
+      ("g", 4L, "a b")             // 2 tokens, before 12 -> bin 2
+    ).toDF("source", "doc_id", "text")
+    val got = operators.TextOps.packingAdvisor(docs, "source", "doc_id",
+        "text", Seq(6L, 100L))
+      .orderBy("budget").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(6L) == ((3L, 4L, 14L, 0.777778)), s"b=6 was ${got(6L)}")
+    assert(got(100L) == ((1L, 4L, 14L, 0.14)), s"b=100 was ${got(100L)}")
+    // the advisor's per-budget totals must equal packSequences' own
+    val ps = operators.TextOps.packSequences(docs, "source", "doc_id",
+        "text", 6L)
+      .agg(count(lit(1)), sum("n_docs"), sum("n_tokens"))
+      .collect()(0)
+    assert((ps.getLong(0), ps.getLong(1), ps.getLong(2)) == ((3L, 4L, 14L)))
+  }
+
   test("gopherRules reports hand-counted violations per rule") {
     val docs = Seq(
       // 40 in-range words, mean len 5, no word > 20%, has 'the',
