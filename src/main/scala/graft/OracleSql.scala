@@ -7024,6 +7024,37 @@ object OracleSql {
         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
         |  round(CAST(sum(nt) AS DOUBLE) / (count(*) * budget), 6)
         |    AS fill_rate
-        |FROM g GROUP BY budget ORDER BY budget""".stripMargin
+        |FROM g GROUP BY budget ORDER BY budget""".stripMargin,
+
+    "q343_label_agreement" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, label, emb,
+        |  sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |pb AS (SELECT vec_id, label, emb, nrm,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n),
+        |p AS (SELECT a.vec_id AS vec_id, a.label AS al,
+        |    b.vec_id AS neighbor_id, b.label AS bl,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, al, bl,
+        |  row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p)
+        |SELECT vec_id, al AS label,
+        |  CAST(count(*) AS BIGINT) AS n_neighbors,
+        |  CAST(sum(CASE WHEN al = bl THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_same,
+        |  round(CAST(sum(CASE WHEN al = bl THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS agreement
+        |FROM r WHERE rn <= 5
+        |GROUP BY vec_id, al ORDER BY vec_id""".stripMargin
   )
 }

@@ -3749,7 +3749,15 @@ object SparkEntry {
     "q342_packing_advisor" -> ((s, d) =>
       TextOps.packingAdvisor(Tables.documents(s, d), "source", "doc_id",
           "text", Seq(512L, 1024L, 2048L, 4096L))
-        .orderBy("budget"))
+        .orderBy("budget")),
+
+    // L288 — kNN label-agreement audit: per-vector same-label fraction
+    // of the multi-probe ANN top-5 — the noisy-label screen (low
+    // agreement = review-first candidates).
+    "q343_label_agreement" -> ((s, d) =>
+      SimilarityOps.labelAgreement(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label", 5, 4)
+        .orderBy("vec_id"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -266,6 +266,35 @@ object SimilarityOps {
     selectTopK(pairs, k)
   }
 
+  /** kNN label-agreement audit — the noisy-label screen (the
+    * neighborhood-consensus signal behind confident-learning-style
+    * cleaning): for each vector, what fraction of its approximate
+    * nearest neighbors carries the SAME label? Rows with low agreement
+    * are the mislabeled-example candidates a labeling pass reviews
+    * first. Neighbors come from the Hamming-≤1 multi-probe sign-bucket
+    * candidates ([[annTopKMultiProbe]] — equi-join, never all-pairs);
+    * the label comparison and per-anchor reduce are one broadcast-free
+    * co-keyed join plus one hash agg.
+    */
+  def labelAgreement(df: DataFrame, idCol: String, embCol: String,
+                     labelCol: String, k: Int,
+                     signBits: Int = 4): DataFrame = {
+    val nn = annTopKMultiProbe(df, idCol, embCol, k, signBits)
+    val lab = df.select(col(idCol), col(labelCol))
+    nn.join(lab.select(col(idCol).as("vec_id"),
+        col(labelCol).as("__al")), Seq("vec_id"))
+      .join(lab.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__bl")), Seq("neighbor_id"))
+      .groupBy(col("vec_id"), col("__al"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__al") === col("__bl"), lit(1L)).otherwise(lit(0L)))
+          .as("n_same"))
+      .select(col("vec_id"), col("__al").as("label"),
+        col("n_neighbors"), col("n_same"),
+        round(col("n_same").cast("double") / col("n_neighbors"), 6)
+          .as("agreement"))
+  }
+
   /** IVF cell-balance advisor: the signBits dial's workload report.
     * For each quantizer width b ∈ 1..`maxBits`, the sign-pattern cells
     * the corpus actually lands in: non-empty cell count, the largest

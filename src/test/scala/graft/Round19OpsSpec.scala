@@ -354,6 +354,33 @@ class Round19OpsSpec extends SparkSpec {
     assert((ps.getLong(0), ps.getLong(1), ps.getLong(2)) == ((3L, 4L, 14L)))
   }
 
+  test("labelAgreement: clean clusters score 1.0; one mislabeled " +
+    "vector scores 0 and drags its neighbors to 2/3") {
+    def cluster(base: Double, ids: Seq[Long], lbl: Int) =
+      ids.map(i => (i, Seq(base, base, base, base + i * 1e-3), lbl))
+    val clean = (cluster(1.0, Seq(1L, 2L, 3L, 4L), 1) ++
+        cluster(-1.0, Seq(11L, 12L, 13L, 14L), 2))
+      .toDF("vec_id", "embedding", "label")
+    val a1 = operators.SimilarityOps.labelAgreement(
+        clean, "vec_id", "embedding", "label", 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(a1.size == 8 && a1.values.forall(_ == 1.0),
+      s"clean clusters must agree fully: $a1")
+
+    val noisy = (cluster(1.0, Seq(1L, 2L, 3L), 1) ++
+        cluster(1.0, Seq(4L), 2) ++ // mislabeled member of cluster A
+        cluster(-1.0, Seq(11L, 12L, 13L, 14L), 2))
+      .toDF("vec_id", "embedding", "label")
+    val a2 = operators.SimilarityOps.labelAgreement(
+        noisy, "vec_id", "embedding", "label", 3, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(a2(4L) == 0.0, "the mislabeled vector sees no same-label neighbor")
+    for (id <- Seq(1L, 2L, 3L))
+      assert(a2(id) == 0.666667, s"vec $id agreement ${a2(id)}")
+    for (id <- Seq(11L, 12L, 13L, 14L))
+      assert(a2(id) == 1.0, "the far cluster is untouched")
+  }
+
   test("gopherRules reports hand-counted violations per rule") {
     val docs = Seq(
       // 40 in-range words, mean len 5, no word > 20%, has 'the',
