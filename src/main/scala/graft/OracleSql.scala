@@ -7055,6 +7055,47 @@ object OracleSql {
         |  round(CAST(sum(CASE WHEN al = bl THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS agreement
         |FROM r WHERE rn <= 5
-        |GROUP BY vec_id, al ORDER BY vec_id""".stripMargin
+        |GROUP BY vec_id, al ORDER BY vec_id""".stripMargin,
+
+    "q344_corpus_datasheet" ->
+      """WITH t AS (SELECT source, doc_id, text, lang,
+        |    string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(length(text) - (len(string_split(text, ' ')) - 1) AS BIGINT)
+        |      AS ch
+        |  FROM documents),
+        |m AS (SELECT source, lang, text, n,
+        |  CAST(list_aggregate(list_transform(list_distinct(tk),
+        |    w -> len(list_filter(tk, x -> x = w))), 'max') AS BIGINT)
+        |    AS maxc,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS nd,
+        |  CAST(len(list_filter(tk, x -> list_contains(['the', 'a'], x)))
+        |    AS BIGINT) AS nstop, ch
+        |  FROM t),
+        |p AS (SELECT source, lang, text, n,
+        |  CAST((n >= 30 AND n <= 80) AND (ch * 2 >= n * 7 AND ch * 2 <= n * 12)
+        |    AND maxc * 5 <= n AND nstop > 0 AND nd * 5 >= n * 2 AS BIGINT)
+        |    AS pass
+        |  FROM m),
+        |dup AS (SELECT source,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs
+        |  FROM (SELECT source, md5(text) AS h, count(*) AS c FROM t
+        |        GROUP BY source, md5(text))
+        |  GROUP BY source),
+        |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST((sum(n) * 200 + count(*)) // (2 * count(*)) AS DOUBLE) / 100
+        |    AS mean_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(pass) AS BIGINT) AS n_pass
+        |  FROM p GROUP BY source)
+        |SELECT agg.source, n_docs, n_tokens, n_chars, mean_tokens, n_langs,
+        |  n_dup_docs,
+        |  round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
+        |  round(CAST(n_pass AS DOUBLE) / n_docs, 6) AS gopher_pass_rate
+        |FROM agg JOIN dup ON agg.source = dup.source
+        |ORDER BY agg.source""".stripMargin
   )
 }

@@ -3757,7 +3757,15 @@ object SparkEntry {
     "q343_label_agreement" -> ((s, d) =>
       SimilarityOps.labelAgreement(Tables.embeddings(s, d),
           "vec_id", "embedding", "label", 5, 4)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // L289 — per-source corpus datasheet: volume, language spread,
+    // exact-dup load, Gopher pass rate — the one-stop audit table a
+    // mixture design reads first.
+    "q344_corpus_datasheet" -> ((s, d) =>
+      TextOps.corpusDatasheet(Tables.documents(s, d), "source",
+          "doc_id", "text", "lang", STOPWORDS)
+        .orderBy("source"))
   )
 
   // ------------------------------------------------------------- oracles

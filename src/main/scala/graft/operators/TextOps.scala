@@ -289,6 +289,57 @@ object TextOps {
         col("n_tokens").cast("double") / (col("n_bins") * col("budget")), 6))
   }
 
+  /** Per-source corpus datasheet — the one-stop summary shipped with
+    * a training corpus (the "datasheet for datasets" habit, Gebru et
+    * al. 2021, reduced to what is computable from the data alone):
+    * volume (docs/tokens/chars, mean tokens per doc), language spread
+    * (distinct langs), exact-duplicate load (docs whose text appears
+    * more than once WITHIN the source, and the rate), and the
+    * quality-gate pass rate under the [[gopherFlags]] rules. One row
+    * per source; the table a mixture design ([[MixtureOps]]) or a
+    * data audit reads first.
+    *
+    * Scale: the corpus is read once with row-local flag/token exprs;
+    * the only keyed shuffles are the (source, text-hash) duplicate agg
+    * and the final per-source reduce — both corpus-key bounded, no
+    * windows, no joins wider than source.
+    */
+  def corpusDatasheet(df: DataFrame, srcCol: String, idCol: String,
+                      textCol: String, langCol: String,
+                      stopwords: Seq[String]): DataFrame = {
+    val flags = gopherFlags(df, idCol, textCol, stopwords)
+    val base = df.join(flags, Seq(idCol))
+      .withColumn("__tok", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("__pass",
+        (col("f_word_count") + col("f_mean_word_len") +
+          col("f_top_word_share") + col("f_no_stopword") +
+          col("f_distinct_ratio") === 0).cast("long"))
+    val dup = df.groupBy(col(srcCol), md5(col(textCol)).as("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(srcCol))
+      .agg(sum(when(col("__c") > 1, col("__c")).otherwise(lit(0L)))
+        .as("__dup_docs"))
+    base.groupBy(col(srcCol)).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        countDistinct(col(langCol)).as("n_langs"),
+        sum(col("__pass")).as("n_pass"))
+      // half-up mean at 2 dp via exact integer division — a double
+      // quotient rounded post-hoc splits an ulp between engines (the
+      // divide-then-round class); (200S + N) div 2N never does
+      .withColumn("mean_tokens", expr(
+        "CAST((n_tokens * 200 + n_docs) div (2 * n_docs) AS DOUBLE) / 100"))
+      .join(dup, Seq(srcCol))
+      .select(col(srcCol), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("mean_tokens"), col("n_langs"),
+        col("__dup_docs").as("n_dup_docs"),
+        round(col("__dup_docs").cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        round(col("n_pass").cast("double") / col("n_docs"), 6)
+          .as("gopher_pass_rate"))
+  }
+
   /** TF-IDF per (document, token): tf × ln(N / df). Three hash
     * aggregations (doc-term tf, term df, corpus N) and one equi-join on
     * the term key — df and N are tiny relative to the tf table, and the

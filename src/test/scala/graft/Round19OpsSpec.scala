@@ -381,6 +381,31 @@ class Round19OpsSpec extends SparkSpec {
       assert(a2(id) == 1.0, "the far cluster is untouched")
   }
 
+  test("corpusDatasheet: hand-counted per-source volume, dup load, " +
+    "and pass rate") {
+    val passDoc = (1 to 39).map(i => f"alp$i%02d").mkString(" ") + " the"
+    val docs = Seq(
+      ("A", 1L, passDoc, "en"),
+      ("A", 2L, "zipp zipp zipp zapp zopp", "en"),
+      ("A", 3L, "zipp zipp zipp zapp zopp", "de"),
+      ("B", 4L, "x", "en")
+    ).toDF("source", "doc_id", "text", "lang")
+    val got = operators.TextOps.corpusDatasheet(docs, "source", "doc_id",
+        "text", "lang", Seq("the", "a"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("A")
+    assert(a.getLong(1) == 3L && a.getLong(2) == 50L &&
+      a.getLong(3) == 285L, s"A volume was $a")
+    assert(a.getAs[Long]("n_langs") == 2L, "A has 2 langs")
+    assert(a.getAs[Double]("mean_tokens") == 16.67) // half-up 50/3
+    assert(a.getAs[Long]("n_dup_docs") == 2L &&
+      a.getAs[Double]("dup_rate") == 0.666667)
+    assert(a.getAs[Double]("gopher_pass_rate") == 0.333333)
+    val b = got("B")
+    assert(b.getLong(1) == 1L && b.getAs[Long]("n_dup_docs") == 0L &&
+      b.getAs[Double]("gopher_pass_rate") == 0.0)
+  }
+
   test("gopherRules reports hand-counted violations per rule") {
     val docs = Seq(
       // 40 in-range words, mean len 5, no word > 20%, has 'the',
