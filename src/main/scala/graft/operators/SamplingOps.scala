@@ -183,7 +183,10 @@ object SamplingOps {
     * produces the weights. Documents with fewer than two tokens carry
     * no bigram evidence and are dropped.
     *
-    * Scale: the corpus shuffles ONCE, as (doc, bucket) bigram counts.
+    * Scale: the corpus shuffles ONCE, as (doc, bucket) bigram counts —
+    * a lazy localCheckpoint cuts the lineage there, so the model
+    * histogram, its total, and the final per-doc join all re-read the
+    * materialized counts instead of re-running the corpus scan.
     * Both model histograms live on the fixed `buckets`-row grid (the
     * hashing trick caps vocabulary state regardless of corpus size),
     * the log-ratio table BROADCASTS back onto the per-doc counts, and
@@ -197,9 +200,16 @@ object SamplingOps {
     val bg = bigramBuckets(df, textCol, targetCol, buckets, Seq(idCol))
     val db = bg.groupBy(col(idCol), col("__tgt"), col("__k"))
       .agg(count(lit(1)).as("__c"))
+      // LAZY localCheckpoint (house pattern, see DedupOps): three
+      // subplans read db — the bucket histogram, the histogram total
+      // inside logRatio, and the final per-doc join. Without the cut
+      // the full corpus tokenize+shuffle would run once per subplan.
+      .localCheckpoint(false)
     val hist = db.groupBy(col("__k")).agg(
       sum(when(col("__tgt") === 1, col("__c")).otherwise(lit(0L))).as("__ct"),
       sum(col("__c")).as("__cr"))
+      // ≤ `buckets` rows, read twice inside logRatio (total + join).
+      .localCheckpoint(false)
     val lr = logRatio(hist, buckets)
     db.join(broadcast(lr), Seq("__k"))
       .withColumn("__term",
@@ -229,6 +239,11 @@ object SamplingOps {
     val hist = bg.groupBy(col("__k")).agg(
       sum(when(col("__tgt") === 1, lit(1L)).otherwise(lit(0L))).as("__ct"),
       count(lit(1)).as("__cr"))
+      // LAZY localCheckpoint: the corpus-wide bigram scan collapses to
+      // this ≤ `buckets`-row table, which three subplans read (model
+      // total, sentinel row, logRatio). Cut here so the corpus
+      // tokenizes ONCE.
+      .localCheckpoint(false)
     val tot = hist.agg(sum(col("__ct")).as("__tt"), sum(col("__cr")).as("__tr"))
     val default = tot.select(lit(-1L).as("__k"), round(log(
       (col("__tr") + buckets).cast("double") /

@@ -914,22 +914,6 @@ object TextOps {
         roundTo)))
   }
 
-  /** Gopher-style composite quality-rule report (Rae et al. 2021,
-    * Gopher §A1.1 document filters, adapted to the corpus at hand):
-    * five hard rules per document —
-    *   r1_word_count:     30 ≤ |words| ≤ 80
-    *   r2_mean_word_len:  3.5 ≤ chars/word ≤ 6   (7n ≤ 2c ≤ 12n)
-    *   r3_top_word_share: most-frequent word ≤ 20%  (5·max ≤ n)
-    *   r4_has_stopword:   ≥ 1 stopword present
-    *   r5_distinct_ratio: distinct/total ≥ 40%   (5·d ≥ 2n)
-    * reported as per-rule violation counts + rates and an `all_pass`
-    * row. Every guard is an EXACT integer cross-multiplication — no
-    * float thresholds, no rounding boundaries, engine-identical.
-    *
-    * Scale: one token shuffle (the (doc, word) histogram) feeding a
-    * per-doc agg, then a single global reduce to the 6-row report —
-    * the corpus never moves twice and no window ever appears.
-    */
   /** Per-document Gopher rule flags in PURE row-local expression form:
     * the same five rules as [[gopherRules]] (identical integer
     * cross-multiplied guards) but computed entirely within one
@@ -946,7 +930,6 @@ object TextOps {
     */
   def gopherFlags(df: DataFrame, idCol: String, textCol: String,
                   stopwords: Seq[String]): DataFrame = {
-    val sw = stopwords.map(s => s"'$s'").mkString(", ")
     df.withColumn("__tk", split(col(textCol), " "))
       .withColumn("__n", size(col("__tk")).cast("long"))
       .withColumn("__ch",
@@ -956,8 +939,8 @@ object TextOps {
           |  w -> size(filter(__tk, x -> x = w)))) AS LONG)""".stripMargin))
       .withColumn("__nd",
         size(array_distinct(col("__tk"))).cast("long"))
-      .withColumn("__nstop", expr(
-        s"CAST(size(filter(__tk, x -> array_contains(array($sw), x))) AS LONG)"))
+      .withColumn("__nstop", size(filter(col("__tk"),
+        x => array_contains(typedLit(stopwords), x))).cast("long"))
       .select(col(idCol),
         (col("__n") < 30 || col("__n") > 80).cast("long")
           .as("f_word_count"),
@@ -971,6 +954,22 @@ object TextOps {
           .as("f_distinct_ratio"))
   }
 
+  /** Gopher-style composite quality-rule report (Rae et al. 2021,
+    * Gopher §A1.1 document filters, adapted to the corpus at hand):
+    * five hard rules per document —
+    *   r1_word_count:     30 ≤ |words| ≤ 80
+    *   r2_mean_word_len:  3.5 ≤ chars/word ≤ 6   (7n ≤ 2c ≤ 12n)
+    *   r3_top_word_share: most-frequent word ≤ 20%  (5·max ≤ n)
+    *   r4_has_stopword:   ≥ 1 stopword present
+    *   r5_distinct_ratio: distinct/total ≥ 40%   (5·d ≥ 2n)
+    * reported as per-rule violation counts + rates and an `all_pass`
+    * row. Every guard is an EXACT integer cross-multiplication — no
+    * float thresholds, no rounding boundaries, engine-identical.
+    *
+    * Scale: one token shuffle (the (doc, word) histogram) feeding a
+    * per-doc agg, then a single global reduce to the 6-row report —
+    * the corpus never moves twice and no window ever appears.
+    */
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
                   stopwords: Seq[String]): DataFrame = {
     val t = df

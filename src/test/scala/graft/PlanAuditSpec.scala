@@ -667,6 +667,16 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "the bounded-bucket log-ratio table must broadcast onto the doc counts")
     val wins = collectWithSubqueries(ex) { case w: WindowExec => w }
     assert(wins.isEmpty, "DSIR weights must not plan any window")
+    // Single-pass claim (r7 ADVICE): the corpus tokenize+shuffle is cut
+    // by a lazy localCheckpoint at the (doc, bucket) counts, so the
+    // final plan reads checkpointed RDDs — the documents parquet scan
+    // must not appear in the plan at all (it lives INSIDE the
+    // checkpointed lineage, which runs once).
+    val s = ex.toString
+    assert(s.contains("ExistingRDD") || s.contains("Scan ExistingRDD"),
+      "DSIR weights must read the checkpointed bigram counts")
+    assert(!s.contains("documents"),
+      "the corpus scan must be behind the checkpoint, not re-planned per subplan")
   }
 
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {

@@ -4,7 +4,7 @@ DuckDB against the sf tables, load the Spark parquet dump, sort columns by
 name + rows, and compare values and schema. Usage:
   python3 tools/compare.py <sfdir> <verify_out_dir> [query ...]
 """
-import sys, glob, json, os
+import sys, glob, json, os, math
 import duckdb
 import pandas as pd
 import numpy as np
@@ -40,7 +40,14 @@ def canon(v):
         # where the driver would (caused the only r6 red row, q210).
         return (1, r, 1 if (r == 0.0 and np.signbit(r)) else 0)
     if isinstance(v, decimal.Decimal):
-        return (1, round(float(v), 9), 0)
+        # Same bit-faithful zero rule as the float branch: DuckDB can
+        # surface a rounded difference as DECIMAL('-0.000000'), which
+        # the driver's bit-level hash distinguishes from +0.0.
+        f = float(v)
+        if math.isnan(f):
+            return (0, "")
+        r = round(f, 9)
+        return (1, r, 1 if (r == 0.0 and math.copysign(1.0, f) < 0) else 0)
     if isinstance(v, (bool, np.bool_)):
         return (1, int(v), 0)
     if isinstance(v, (int, np.integer)):

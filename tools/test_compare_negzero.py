@@ -34,4 +34,22 @@ with tempfile.TemporaryDirectory() as td:
         [sys.executable, f"{root}/tools/compare.py", sfdir, outdir],
         capture_output=True, text=True)
     assert r2.returncode == 0, f"matching +0.0 must pass:\n{r2.stdout}"
-print("OK: compare.py distinguishes -0.0 from +0.0 and passes +0.0==+0.0")
+    # Decimal pairing (the r7 ADVICE gap): a Spark-side -0.0 double vs a
+    # DuckDB DECIMAL zero must fail (sign tags differ), while +0.0 vs
+    # the same DECIMAL zero must pass.
+    json.dump({"qz_negzero": "SELECT 0.000000::DECIMAL(18,6) AS v"},
+              open(f"{outdir}/oracle_sql.json", "w"))
+    pd.DataFrame({"v": [-0.0]}).to_parquet(
+        f"{outdir}/qz_negzero/part-0.parquet")
+    r3 = subprocess.run(
+        [sys.executable, f"{root}/tools/compare.py", sfdir, outdir],
+        capture_output=True, text=True)
+    assert r3.returncode == 1, f"-0.0 vs DECIMAL 0 must fail:\n{r3.stdout}"
+    pd.DataFrame({"v": [0.0]}).to_parquet(
+        f"{outdir}/qz_negzero/part-0.parquet")
+    r4 = subprocess.run(
+        [sys.executable, f"{root}/tools/compare.py", sfdir, outdir],
+        capture_output=True, text=True)
+    assert r4.returncode == 0, f"+0.0 vs DECIMAL 0 must pass:\n{r4.stdout}"
+print("OK: compare.py distinguishes -0.0 from +0.0 (float AND decimal "
+      "pairings) and passes matching zeros")
