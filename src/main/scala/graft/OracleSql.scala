@@ -7096,6 +7096,374 @@ object OracleSql {
         |  round(CAST(n_dup_docs AS DOUBLE) / n_docs, 6) AS dup_rate,
         |  round(CAST(n_pass AS DOUBLE) / n_docs, 6) AS gopher_pass_rate
         |FROM agg JOIN dup ON agg.source = dup.source
-        |ORDER BY agg.source""".stripMargin
+        |ORDER BY agg.source""".stripMargin,
+
+    "q345_trigram_backoff" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |occ AS (SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+        |    i -> {'w1': t[i + 1], 'w2': t[i + 2], 'w3': t[i + 3]})) AS g
+        |  FROM toks WHERE len(t) >= 3),
+        |o AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM occ),
+        |tr AS (SELECT * FROM o WHERE doc_id % 2 = 0),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS m3 FROM tr GROUP BY 1, 2, 3),
+        |n3 AS (SELECT w1, w2, count(*) AS k3 FROM tr GROUP BY 1, 2),
+        |c2 AS (SELECT w2, w3, count(*) AS m2 FROM tr GROUP BY 1, 2),
+        |n2 AS (SELECT w2, count(*) AS k2 FROM tr GROUP BY 1),
+        |c1 AS (SELECT w3, count(*) AS m1 FROM tr GROUP BY 1),
+        |tot AS (SELECT count(*) AS nn, count(DISTINCT w3) AS vv FROM tr),
+        |sc AS (SELECT doc_id, round(ln(CASE
+        |    WHEN m3 IS NOT NULL THEN CAST(m3 AS DOUBLE) / k3
+        |    WHEN m2 IS NOT NULL THEN 0.4 * (CAST(m2 AS DOUBLE) / k2)
+        |    ELSE 0.16 * (CAST(coalesce(m1, 0) + 1 AS DOUBLE)
+        |      / CAST(nn + vv AS DOUBLE))
+        |  END), 12)::DECIMAL(38,12) AS lp
+        |  FROM o LEFT JOIN c3 USING (w1, w2, w3)
+        |    LEFT JOIN n3 USING (w1, w2)
+        |    LEFT JOIN c2 USING (w2, w3) LEFT JOIN n2 USING (w2)
+        |    LEFT JOIN c1 USING (w3) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+        |  round(-(CAST(sum(lp) AS DOUBLE)) / count(*), 6) + 0.0 AS xent
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q346_semdedup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8 AS bucket
+        |  FROM e),
+        |dv AS (SELECT bucket, unnest(list_transform(range(len(emb)),
+        |    i -> {'dim': i, 'v': emb[i + 1]})) AS s FROM n),
+        |cd AS (SELECT bucket, s.dim AS dim, round(avg(s.v), 6) AS c
+        |  FROM dv GROUP BY bucket, s.dim),
+        |cent AS (SELECT bucket, list(c ORDER BY dim) AS cent
+        |  FROM cd GROUP BY bucket),
+        |j AS (SELECT vec_id, n.bucket AS bucket, emb, nrm,
+        |  list_dot_product(emb, cent)
+        |    / (nrm * sqrt(list_dot_product(cent, cent))) AS s2c
+        |  FROM n JOIN cent ON n.bucket = cent.bucket),
+        |dup AS (SELECT DISTINCT a.vec_id FROM j a JOIN j b
+        |  ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+        |  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)
+        |      > CAST(0.3 AS DOUBLE)
+        |    AND (b.s2c < a.s2c OR (b.s2c = a.s2c AND b.vec_id < a.vec_id)))
+        |SELECT j.vec_id, CAST(j.bucket AS INT) AS bucket,
+        |  round(s2c, 6) + 0.0 AS sim_centroid,
+        |  CAST(CASE WHEN dup.vec_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_dup
+        |FROM j LEFT JOIN dup ON j.vec_id = dup.vec_id
+        |ORDER BY j.vec_id""".stripMargin,
+
+    "q347_davies_bouldin" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  CAST(label AS BIGINT) AS lbl FROM embeddings),
+        |dv AS (SELECT lbl, unnest(list_transform(range(len(emb)),
+        |    i -> {'dim': i, 'v': emb[i + 1]})) AS s FROM e),
+        |cd AS (SELECT lbl, s.dim AS dim, round(avg(s.v), 6) AS c
+        |  FROM dv GROUP BY lbl, s.dim),
+        |cent AS (SELECT lbl, list(c ORDER BY dim) AS cent FROM cd GROUP BY lbl),
+        |scat AS (SELECT e.lbl AS lbl, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(avg(sqrt(list_dot_product(
+        |    list_transform(range(len(emb)), i -> emb[i + 1] - cent[i + 1]),
+        |    list_transform(range(len(emb)), i -> emb[i + 1] - cent[i + 1])
+        |  ))), 6) AS s
+        |  FROM e JOIN cent ON e.lbl = cent.lbl GROUP BY e.lbl),
+        |pair AS (SELECT a.lbl AS li, b.lbl AS lj,
+        |  sqrt(list_dot_product(
+        |    list_transform(range(len(a.cent)), i -> a.cent[i + 1] - b.cent[i + 1]),
+        |    list_transform(range(len(a.cent)), i -> a.cent[i + 1] - b.cent[i + 1])
+        |  )) AS m
+        |  FROM cent a, cent b WHERE a.lbl <> b.lbl),
+        |r AS (SELECT li, round(max((si.s + sj.s) / m), 6) AS r_max
+        |  FROM pair JOIN scat si ON pair.li = si.lbl
+        |    JOIN scat sj ON pair.lj = sj.lbl
+        |  WHERE m > 0 GROUP BY li)
+        |SELECT scat.lbl AS label, n_vecs, scat.s AS scatter, r.r_max
+        |FROM scat LEFT JOIN r ON scat.lbl = r.li
+        |ORDER BY label""".stripMargin,
+
+    "q348_epoch_capped_mix" ->
+      """WITH t AS (SELECT source,
+        |  CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+        |    AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM t),
+        |base AS (SELECT source, tokens,
+        |  CAST((12 * tt) // 10 AS BIGINT) AS budget,
+        |  round(pow(CAST(tokens AS DOUBLE), 0.5), 6)::DECIMAL(28,6) AS w
+        |  FROM t CROSS JOIN tot),
+        |sw AS (SELECT sum(w) AS swv FROM base),
+        |g1 AS (SELECT source, tokens, budget, w,
+        |  CAST(budget AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(swv AS DOUBLE))
+        |    AS want,
+        |  1.25 * CAST(tokens AS DOUBLE) AS cap
+        |  FROM base CROSS JOIN sw),
+        |g2 AS (SELECT *, (want > cap) AS capped,
+        |  CASE WHEN want > cap THEN cap ELSE want END AS g FROM g1),
+        |agg2 AS (SELECT sum(round(g, 6)::DECIMAL(38,6)) AS sg,
+        |  sum(CASE WHEN NOT capped THEN w ELSE 0::DECIMAL(28,6) END) AS swu
+        |  FROM g2),
+        |fin AS (SELECT source, tokens, w, capped,
+        |  CASE WHEN capped THEN cap
+        |       WHEN swu > 0 THEN least(cap, want
+        |         + (CAST(w AS DOUBLE) / CAST(swu AS DOUBLE))
+        |           * greatest(CAST(budget AS DOUBLE) - CAST(sg AS DOUBLE),
+        |                      0.0))
+        |       ELSE g END AS f
+        |  FROM g2 CROSS JOIN agg2)
+        |SELECT source, tokens, CAST(w AS DOUBLE) AS weight,
+        |  CAST(CAST(round(f * 100, 0) AS HUGEINT) AS DOUBLE) / 100
+        |    AS alloc_tokens,
+        |  CAST((CAST(round(f * 100, 0) AS HUGEINT) * 200 + tokens)
+        |    // (2 * tokens) AS DOUBLE) / 10000 AS epochs_used,
+        |  CAST(capped AS BIGINT) AS capped
+        |FROM fin ORDER BY source""".stripMargin,
+
+    "q349_token_fertility" ->
+      """WITH d AS (SELECT lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS b,
+        |  CAST(strlen(text) AS BIGINT) AS c FROM documents),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS words,
+        |  CAST(sum(b) AS BIGINT) AS bpe_tokens,
+        |  CAST(sum(c) AS BIGINT) AS bytes FROM d GROUP BY lang)
+        |SELECT lang, n_docs, words, bpe_tokens, bytes,
+        |  CAST((CAST(bpe_tokens AS HUGEINT) * 2000000 + words)
+        |    // (2 * words) AS DOUBLE) / 1000000 AS fertility,
+        |  CAST((CAST(bytes AS HUGEINT) * 2000000 + bpe_tokens)
+        |    // (2 * bpe_tokens) AS DOUBLE) / 1000000 AS bytes_per_token,
+        |  CAST((CAST(bytes AS HUGEINT) * 2000000 + words)
+        |    // (2 * words) AS DOUBLE) / 1000000 AS chars_per_word
+        |FROM a ORDER BY lang""".stripMargin,
+
+    "q350_contamination_spans" ->
+      """WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source, unnest(list_transform(range(len(t) - 2),
+        |    i -> {'p': i,
+        |          's': t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]})) AS g
+        |  FROM toks WHERE len(t) >= 3),
+        |ss AS (SELECT doc_id, source, g.p AS pos, g.s AS s FROM sh),
+        |bench AS (SELECT DISTINCT s FROM ss WHERE source = 'src0'),
+        |rest AS (SELECT doc_id, pos, s FROM ss WHERE source <> 'src0'),
+        |m AS (SELECT doc_id, pos FROM rest
+        |  WHERE s IN (SELECT s FROM bench)),
+        |isl AS (SELECT doc_id,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM m),
+        |rg AS (SELECT doc_id, isl, count(*) AS r FROM isl GROUP BY doc_id, isl),
+        |agg AS (SELECT doc_id, CAST(sum(r) AS BIGINT) AS n_matched,
+        |  CAST(max(r) AS BIGINT) AS longest_run FROM rg GROUP BY doc_id),
+        |np AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos
+        |  FROM rest GROUP BY doc_id)
+        |SELECT np.doc_id, n_pos,
+        |  coalesce(n_matched, 0) AS n_matched,
+        |  coalesce(longest_run, 0) AS longest_run,
+        |  CAST((coalesce(n_matched, 0) * 2000000 + n_pos) // (2 * n_pos)
+        |    AS DOUBLE) / 1000000 AS contamination
+        |FROM np LEFT JOIN agg ON np.doc_id = agg.doc_id
+        |ORDER BY np.doc_id""".stripMargin,
+
+    "q351_ccnet_buckets" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |    i -> {'w1': t[i + 1], 'w2': t[i + 2]})) AS b
+        |  FROM toks WHERE len(t) >= 2),
+        |bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+        |c2 AS (SELECT w1, w2, count(*) AS c12 FROM bb GROUP BY w1, w2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY w1),
+        |ce AS (SELECT bb.doc_id,
+        |  round(-avg(ln(CAST(c12 AS DOUBLE) / c1)), 6) AS xe
+        |  FROM bb JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  GROUP BY bb.doc_id),
+        |l AS (SELECT ce.doc_id, xe, lang,
+        |  ntile(3) OVER (PARTITION BY lang ORDER BY xe, ce.doc_id) AS tercile
+        |  FROM ce JOIN documents USING (doc_id))
+        |SELECT lang, CAST(tercile AS INT) AS tercile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(xe) AS min_xent, max(xe) AS max_xent,
+        |  CAST((sum(CAST(round(xe * 1000000, 0) AS HUGEINT)) * 2 + count(*))
+        |    // (2 * count(*)) AS DOUBLE) / 1000000 AS mean_xent
+        |FROM l GROUP BY lang, tercile ORDER BY lang, tercile""".stripMargin,
+
+    "q352_shard_plan" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS tokens
+        |  FROM documents),
+        |r AS (SELECT tokens,
+        |  row_number() OVER (ORDER BY tokens DESC, doc_id) - 1 AS idx
+        |  FROM t),
+        |sa AS (SELECT tokens, CASE WHEN (idx // 8) % 2 = 0 THEN idx % 8
+        |    ELSE 7 - (idx % 8) END AS shard FROM r),
+        |a AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tokens) AS BIGINT) AS tokens FROM sa GROUP BY shard),
+        |tt AS (SELECT sum(tokens) AS tt FROM a)
+        |SELECT CAST(shard AS INT) AS shard, n_docs, tokens,
+        |  CAST((tokens * 2000000 + tt) // (2 * tt) AS BIGINT)
+        |    AS share_ppm
+        |FROM a CROSS JOIN tt ORDER BY shard""".stripMargin,
+
+    "q353_freq_spectrum" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' '))
+        |    AS token FROM documents),
+        |c AS (SELECT source, token, count(*) AS c
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT source, CAST(length(bin(c)) - 1 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin,
+
+    "q354_moore_lewis" ->
+      """WITH toks AS (SELECT doc_id, source = 'src0' AS ind,
+        |    string_split(text, ' ') AS t FROM documents),
+        |og AS (SELECT doc_id, ind, unnest(list_transform(range(len(t) - 1),
+        |    i -> {'w1': t[i + 1], 'w2': t[i + 2]})) AS b
+        |  FROM toks WHERE len(t) >= 2),
+        |o AS (SELECT doc_id, ind, b.w1 AS w1, b.w2 AS w2 FROM og),
+        |i2 AS (SELECT w1, w2, count(*) AS i12 FROM o WHERE ind
+        |  GROUP BY 1, 2),
+        |i1 AS (SELECT w1, count(*) AS i1 FROM o WHERE ind GROUP BY 1),
+        |g2 AS (SELECT w1, w2, count(*) AS g12 FROM o GROUP BY 1, 2),
+        |g1 AS (SELECT w1, count(*) AS g1 FROM o GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w2) AS vv FROM o),
+        |sc AS (SELECT doc_id,
+        |  round(ln(CAST(coalesce(i12, 0) + 1 AS DOUBLE)
+        |      / CAST(coalesce(i1, 0) + vv AS DOUBLE))
+        |    - ln(CAST(g12 + 1 AS DOUBLE) / CAST(g1 + vv AS DOUBLE)),
+        |    12)::DECIMAL(38,12) AS ld
+        |  FROM o LEFT JOIN i2 USING (w1, w2) LEFT JOIN i1 USING (w1)
+        |    JOIN g2 USING (w1, w2) JOIN g1 USING (w1) CROSS JOIN v),
+        |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(ld) AS DOUBLE) / count(*), 6) + 0.0 AS score
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_pos, score,
+        |  CAST(score > 0 AS BIGINT) AS selected
+        |FROM ag ORDER BY doc_id""".stripMargin,
+
+    "q355_silhouette" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |  CAST(label AS BIGINT) AS lbl FROM embeddings),
+        |dv AS (SELECT lbl, unnest(list_transform(range(len(emb)),
+        |    i -> {'dim': i, 'v': emb[i + 1]})) AS s FROM e),
+        |cd AS (SELECT lbl, s.dim AS dim, round(avg(s.v), 6) AS c
+        |  FROM dv GROUP BY lbl, s.dim),
+        |cent AS (SELECT lbl AS cl, list(c ORDER BY dim) AS cent
+        |  FROM cd GROUP BY lbl),
+        |d AS (SELECT vec_id, lbl, cl,
+        |  sqrt(list_dot_product(
+        |    list_transform(range(len(emb)), i -> emb[i + 1] - cent[i + 1]),
+        |    list_transform(range(len(emb)), i -> emb[i + 1] - cent[i + 1])
+        |  )) AS dd
+        |  FROM e CROSS JOIN cent),
+        |ab AS (SELECT vec_id, lbl,
+        |  min(CASE WHEN lbl = cl THEN dd END) AS a,
+        |  min(CASE WHEN lbl <> cl THEN dd END) AS b
+        |  FROM d GROUP BY vec_id, lbl),
+        |s AS (SELECT vec_id, lbl,
+        |  CASE WHEN b IS NULL OR greatest(a, b) = 0 THEN 0.0
+        |       ELSE (b - a) / greatest(a, b) END AS sv
+        |  FROM ab)
+        |SELECT lbl AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(sum(round(sv, 12)::DECIMAL(38,12)) AS DOUBLE)
+        |    / count(*), 6) + 0.0 AS mean_sil,
+        |  round(min(sv), 6) + 0.0 AS min_sil,
+        |  round(max(sv), 6) + 0.0 AS max_sil
+        |FROM s GROUP BY lbl ORDER BY label""".stripMargin,
+
+    "q356_knn_outlier" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |pb AS (SELECT vec_id, emb, nrm,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, sim,
+        |  row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p),
+        |kd AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_cand,
+        |  round(1.0 - min(round(sim, 6)), 6) + 0.0 AS kth_dist
+        |  FROM r WHERE rn <= 5 GROUP BY vec_id)
+        |SELECT e.vec_id, coalesce(n_cand, 0) AS n_cand, kth_dist,
+        |  CAST(coalesce(n_cand, 0) < 5 OR kth_dist > 0.7 AS BIGINT)
+        |    AS is_outlier
+        |FROM e LEFT JOIN kd ON e.vec_id = kd.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
+
+    "q357_yield_funnel" ->
+      """WITH t AS (SELECT source, doc_id, text, lang,
+        |    string_split(text, ' ') AS tk FROM documents),
+        |m AS (SELECT source, doc_id, text, lang,
+        |  CAST(len(tk) AS BIGINT) AS n,
+        |  CAST(length(text) - (len(tk) - 1) AS BIGINT) AS ch,
+        |  CAST(list_aggregate(list_transform(list_distinct(tk),
+        |    w -> len(list_filter(tk, x -> x = w))), 'max') AS BIGINT)
+        |    AS maxc,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS nd,
+        |  CAST(len(list_filter(tk, x -> list_contains(['the', 'a'], x)))
+        |    AS BIGINT) AS nstop
+        |  FROM t),
+        |f AS (SELECT source, doc_id, n AS tok, md5(text) AS h,
+        |  list_contains(['en', 'de', 'es'], lang) AS g1,
+        |  (list_contains(['en', 'de', 'es'], lang)
+        |    AND (n >= 30 AND n <= 80)
+        |    AND (ch * 2 >= n * 7 AND ch * 2 <= n * 12) AND maxc * 5 <= n
+        |    AND nstop > 0 AND nd * 5 >= n * 2) AS g2
+        |  FROM m),
+        |k AS (SELECT h, min(doc_id) AS mid FROM f WHERE g2 GROUP BY h)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(sum(tok) AS BIGINT) AS tok_raw,
+        |  CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+        |  CAST(sum(CASE WHEN g1 THEN tok ELSE 0 END) AS BIGINT)
+        |    AS tok_lang,
+        |  CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quality,
+        |  CAST(sum(CASE WHEN g2 THEN tok ELSE 0 END) AS BIGINT)
+        |    AS tok_quality,
+        |  CAST(sum(CASE WHEN g2 AND doc_id = mid THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dedup,
+        |  CAST(sum(CASE WHEN g2 AND doc_id = mid THEN tok ELSE 0 END)
+        |    AS BIGINT) AS tok_dedup
+        |FROM f LEFT JOIN k USING (h) GROUP BY source
+        |ORDER BY source""".stripMargin,
+
+    "q358_pair_qa" ->
+      s"""WITH $shinglesCte,
+         |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |${minhashSig(4, 2)},
+         |cand AS (${minhashPairs(4, 2)}),
+         |com AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pq AS (SELECT com.c AS c, sa.n + sb.n - com.c AS u,
+         |    least(sa.n, sb.n) AS mn, greatest(sa.n, sb.n) AS mx
+         |  FROM com
+         |  JOIN szs sa ON sa.doc_id = com.doc_a
+         |  JOIN szs sb ON sb.doc_id = com.doc_b),
+         |b AS (SELECT CAST(least(9, (c * 10) // u) AS INT) AS decile,
+         |    (c * 2000000 + u) // (2 * u) AS jppm,
+         |    (c * 2000000 + mn) // (2 * mn) AS cppm,
+         |    (mn * 2000000 + mx) // (2 * mx) AS rppm
+         |  FROM pq)
+         |SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST((sum(jppm) * 2 + count(*)) // (2 * count(*)) AS DOUBLE)
+         |    / 1000000 AS mean_jaccard,
+         |  CAST((sum(cppm) * 2 + count(*)) // (2 * count(*)) AS DOUBLE)
+         |    / 1000000 AS mean_containment,
+         |  CAST((sum(rppm) * 2 + count(*)) // (2 * count(*)) AS DOUBLE)
+         |    / 1000000 AS mean_size_ratio
+         |FROM b GROUP BY decile ORDER BY decile""".stripMargin
   )
 }

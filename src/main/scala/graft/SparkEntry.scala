@@ -3765,7 +3765,114 @@ object SparkEntry {
     "q344_corpus_datasheet" -> ((s, d) =>
       TextOps.corpusDatasheet(Tables.documents(s, d), "source",
           "doc_id", "text", "lang", STOPWORDS)
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // L290 — trigram "stupid backoff" cross-entropy (Brants et al.
+    // 2007): model trained on the even-doc_id half, scored on every
+    // doc, unseen n-grams back off 0.4 → 0.16·add-one — the held-out
+    // perplexity gate (q93's bigram form never backs off).
+    "q345_trigram_backoff" -> ((s, d) =>
+      TextOps.trigramBackoffXent(Tables.documents(s, d), "doc_id",
+          "text")
+        .orderBy("doc_id")),
+
+    // L291 — SemDeDup (Abbas et al. 2023): semantic near-dup flags
+    // inside sign-bucket cells, keep-the-farthest-from-centroid rule;
+    // pair stage is the q60 equi-join shape, centroids broadcast.
+    "q346_semdedup" -> ((s, d) =>
+      SimilarityOps.semDedup(Tables.embeddings(s, d), "vec_id",
+          "embedding", 0.3, 4)
+        .orderBy("vec_id")),
+
+    // L292 — Davies–Bouldin cluster-quality report per label: scatter
+    // + worst separation ratio; k² centroid cross only, corpus never
+    // self-joins.
+    "q347_davies_bouldin" -> ((s, d) =>
+      SimilarityOps.daviesBouldin(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label")
+        .orderBy("label")),
+
+    // L293 — epoch-capped mixture allocation (LLaMA-style repetition
+    // caps): temperature weights, 1.2-epoch corpus budget, per-source
+    // cap at 1.25 epochs, one redistribution round. |sources|-row math.
+    "q348_epoch_capped_mix" -> ((s, d) =>
+      MixtureOps.epochCappedMix(Tables.documents(s, d), "source",
+          "text")
+        .orderBy("source")),
+
+    // L294 — tokenizer-fertility report per language: tokens/word,
+    // bytes/token, chars/word as exact half-up divisions (the
+    // per-language compute-cost table a mixture owner reads).
+    "q349_token_fertility" -> ((s, d) =>
+      TextOps.tokenFertility(Tables.documents(s, d), "lang", "text")
+        .orderBy("lang")),
+
+    // L295 — contamination SPANS vs the src0 benchmark: per-doc
+    // matched-position count + longest consecutive run (verbatim
+    // leakage detector; q94 reports only the aggregate hit rate).
+    "q350_contamination_spans" -> ((s, d) =>
+      DedupOps.contaminationSpans(Tables.documents(s, d), "doc_id",
+          "text", col("source") === "src0")
+        .orderBy("doc_id")),
+
+    // L296 — CCNet perplexity terciles per language (Wenzek et al.
+    // 2020): head/middle/tail thirds by bigram cross-entropy,
+    // per-language windows only; the keep-head+middle prune table.
+    "q351_ccnet_buckets" -> ((s, d) =>
+      TextOps.ccnetBuckets(Tables.documents(s, d), "doc_id", "text",
+          "lang")
+        .orderBy("lang", "tercile")),
+
+    // L297 — balanced output-shard plan (snake deal over the global
+    // size order): the manifest a 100 TB corpus write is planned from;
+    // globalRank histogram, never a single-partition window.
+    "q352_shard_plan" -> ((s, d) =>
+      MixtureOps.shardPlan(Tables.documents(s, d), "doc_id", "text", 8)
+        .orderBy("shard")),
+
+    // L298 — log2-bucketed unigram count-of-counts per source (the
+    // Good–Turing front-end; bucket 0 = hapax mass). Bit-length
+    // bucketing — an exact integer path, ≤64 rows/source at any scale.
+    "q353_freq_spectrum" -> ((s, d) =>
+      TextOps.freqSpectrum(Tables.documents(s, d), "source", "text")
+        .orderBy("source", "bucket")),
+
+    // L299 — Moore–Lewis cross-entropy-difference selection: in-domain
+    // (src0) vs corpus bigram models, add-one smoothed over the shared
+    // vocabulary; selected = score > 0.
+    "q354_moore_lewis" -> ((s, d) =>
+      TextOps.mooreLewis(Tables.documents(s, d), "doc_id", "text",
+          col("source") === "src0")
+        .orderBy("doc_id")),
+
+    // L300 — simplified (centroid) silhouette per label: the O(n·k)
+    // cluster-quality score standing in for O(n²) Rousseeuw at scale.
+    "q355_silhouette" -> ((s, d) =>
+      SimilarityOps.simplifiedSilhouette(Tables.embeddings(s, d),
+          "vec_id", "embedding", "label")
+        .orderBy("label")),
+
+    // L301 — k-NN-distance outlier flags over the multi-probe ANN
+    // candidate set (LOF's k-dist on the deterministic sign buckets).
+    "q356_knn_outlier" -> ((s, d) =>
+      SimilarityOps.knnDistOutlier(Tables.embeddings(s, d), "vec_id",
+          "embedding")
+        .orderBy("vec_id")),
+
+    // L302 — per-source yield funnel: docs+tokens surviving raw →
+    // lang allowlist → Gopher pass → exact dedup keep-first.
+    "q357_yield_funnel" -> ((s, d) =>
+      TextOps.yieldFunnel(Tables.documents(s, d), "source", "doc_id",
+          "text", "lang", Seq("en", "de", "es"), STOPWORDS)
+        .orderBy("source")),
+
+    // L303 — near-dup pair QA: verified LSH pairs by Jaccard decile
+    // with containment and size-ratio means (the banding audit).
+    "q358_pair_qa" -> ((s, d) =>
+      DedupOps.pairQaReport(
+          DedupOps.shingles(Tables.documents(s, d), "doc_id", "text"),
+          "doc_id")
+        .orderBy("decile"))
   )
 
   // ------------------------------------------------------------- oracles

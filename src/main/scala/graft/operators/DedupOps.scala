@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline: exact hash
@@ -572,5 +573,108 @@ object DedupOps {
         col("p_at_target"),
         coalesce(col("n_buckets"), lit(0L)).as("n_buckets"),
         coalesce(col("est_pairs"), lit(0L)).as("est_pairs"))
+  }
+
+  /** Benchmark-contamination SPAN report — the per-document sequel to
+    * the hit-count check (q94 / GPT-3 appendix C dedup): for every
+    * non-benchmark document, how many of its n-gram positions match a
+    * benchmark shingle AND the longest CONSECUTIVE matched run. A long
+    * run is verbatim leakage a position-count alone can't distinguish
+    * from scattered common phrases — the run length is what decides
+    * "drop the doc" vs "ignore".
+    *
+    * Scale: one tokenize pass (localCheckpoint'd — benchmark and
+    * corpus sides both read it), the match is a semi-join on the
+    * shingle string, and runs come from the gaps-and-islands trick
+    * under a per-DOCUMENT window (pos − row_number — never a global
+    * sort). The contamination rate is an exact half-up division.
+    */
+  def contaminationSpans(df: DataFrame, idCol: String, textCol: String,
+                         benchCol: Column, n: Int = 3): DataFrame = {
+    val grams = (0 until n).map(j => s"t[i + $j]").mkString(", ")
+    val sh = df.withColumn("__e", benchCol)
+      .withColumn("t", split(col(textCol), " "))
+      .filter(size(col("t")) >= n)
+      .select(col(idCol), col("__e"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $n), " +
+          s"i -> concat_ws(' ', $grams))")).as(Seq("pos", "s")))
+      // LAZY localCheckpoint: the benchmark shingle set and the corpus
+      // positions both read the tokenize pass.
+      .localCheckpoint(false)
+    val bench = sh.filter(col("__e")).select("s").distinct()
+    val rest = sh.filter(!col("__e"))
+    val runs = rest.join(bench, Seq("s"), "left_semi")
+      .withColumn("__isl", col("pos") - row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(count(lit(1)).as("__r"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__r")).as("n_matched"),
+        max(col("__r")).as("longest_run"))
+    rest.groupBy(col(idCol)).agg(count(lit(1)).as("n_pos"))
+      .join(runs, Seq(idCol), "left")
+      .select(col(idCol), col("n_pos"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+      .withColumn("contamination", expr(
+        "CAST((n_matched * 2000000 + n_pos) div (2 * n_pos) AS DOUBLE)" +
+          " / 1000000"))
+  }
+
+  /** Near-dup pair QA report — the audit table read before trusting a
+    * dedup run: the LSH-verified candidate pairs bucketed by Jaccard
+    * decile, with per-decile pair counts, mean containment
+    * (|∩|/min(|A|,|B|) — how asymmetric the overlaps are) and mean
+    * size ratio (min/max shingle-set sizes — are we matching equals or
+    * swallowing fragments). A healthy corpus shows mass in the top
+    * deciles with size ratio near 1; mass in low deciles with small
+    * ratios means the banding is admitting fragment noise — the
+    * empirical companion to [[lshBandingAdvisor]]'s S-curve.
+    *
+    * Scale: the same banded equi-join + persisted-array verify as
+    * [[lshJaccard]] (Σ bucket² candidates, one extra shingle scan);
+    * the decile index and both per-pair ratios are exact integer
+    * half-up divisions, and per-decile means average those exact ppm
+    * integers — no float boundary anywhere.
+    */
+  def pairQaReport(sh: DataFrame, idCol: String,
+                   bands: Int = 4, rows: Int = 2): DataFrame = {
+    val cand = minhashCandidates(
+      minhashSignature(sh, idCol, bands, rows), idCol, bands, rows)
+    val arr = sh.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("__arr"))
+      .withColumn("__n", size(col("__arr")).cast("long"))
+      .localCheckpoint(false)
+    cand
+      .join(arr.select(col(idCol).as("doc_a"), col("__arr").as("__aa"),
+        col("__n").as("__na")), "doc_a")
+      .join(arr.select(col(idCol).as("doc_b"), col("__arr").as("__ab"),
+        col("__n").as("__nb")), "doc_b")
+      .withColumn("__c",
+        size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
+      .filter(col("__c") > 0)
+      .withColumn("__u", col("__na") + col("__nb") - col("__c"))
+      .withColumn("__mn", least(col("__na"), col("__nb")))
+      .withColumn("__mx", greatest(col("__na"), col("__nb")))
+      // decile = floor(10·j) exactly: integer div of the rational form
+      .withColumn("decile",
+        least(lit(9L), expr("(__c * 10) div __u")).cast("int"))
+      .withColumn("__jppm", expr(
+        "(__c * 2000000 + __u) div (2 * __u)"))
+      .withColumn("__cppm", expr(
+        "(__c * 2000000 + __mn) div (2 * __mn)"))
+      .withColumn("__rppm", expr(
+        "(__mn * 2000000 + __mx) div (2 * __mx)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__jppm")).as("__sj"), sum(col("__cppm")).as("__sc"),
+        sum(col("__rppm")).as("__sr"))
+      .select(col("decile"), col("n_pairs"),
+        expr("CAST((__sj * 2 + n_pairs) div (2 * n_pairs) AS DOUBLE)" +
+          " / 1000000").as("mean_jaccard"),
+        expr("CAST((__sc * 2 + n_pairs) div (2 * n_pairs) AS DOUBLE)" +
+          " / 1000000").as("mean_containment"),
+        expr("CAST((__sr * 2 + n_pairs) div (2 * n_pairs) AS DOUBLE)" +
+          " / 1000000").as("mean_size_ratio"))
   }
 }

@@ -91,4 +91,104 @@ object MixtureOps {
         coalesce(col("n_keep"), lit(0L)).as("n_keep"),
         coalesce(col("id_sum"), lit(0L)).as("id_sum"))
   }
+
+  /** Epoch-capped mixture allocation — the LLaMA-style budget split:
+    * per-source token counts Tₛ get temperature weights Tₛ^α
+    * (α = 0.5 up-weights small sources), a total budget of
+    * B = (12·ΣT) div 10 tokens (1.2 epochs corpus-wide) is split
+    * proportionally to the weights, and no source may be up-sampled
+    * past `epochs` passes over its own data (alloc ≤ epochs·Tₛ — the
+    * repetition cap that keeps rare domains from memorization-grade
+    * duplication). Budget freed by capped sources is redistributed in
+    * ONE round, proportionally to the uncapped sources' weights, and
+    * re-capped — the documented fixed-point approximation (full
+    * water-filling iterates to convergence; one round is within a cap
+    * of it and stays a closed-form plan).
+    *
+    * Scale: everything after the one per-source hash agg happens on a
+    * |sources|-row table (eager-checkpointed; scalars broadcast). The
+    * weight snaps to 6 dp pre-sum (DECIMAL(28,6) normalizers), the
+    * allocation is pinned at whole "cents" (round(x·100)), and
+    * epochs_used is an exact half-up division — engine-identical.
+    */
+  def epochCappedMix(df: DataFrame, srcCol: String, textCol: String,
+                     epochs: Double = 1.25,
+                     alpha: Double = 0.5): DataFrame = {
+    val t = df.select(col(srcCol).as("source"),
+        ceil(length(col(textCol)) / 4.0).cast("long").as("__tok"))
+      .groupBy("source").agg(sum(col("__tok")).as("tokens"))
+      .localCheckpoint(true) // the total and the rows both read it
+    val tot = t.agg(sum(col("tokens")).as("__tt"))
+    val base = t.crossJoin(broadcast(tot))
+      .withColumn("__budget", expr("CAST((12 * __tt) div 10 AS LONG)"))
+      .withColumn("__w",
+        round(pow(col("tokens").cast("double"), lit(alpha)), 6)
+          .cast("decimal(28,6)"))
+      .localCheckpoint(true) // weight normalizer + rows
+    val sw = base.agg(sum(col("__w")).as("__sw"))
+    val g1 = base.crossJoin(broadcast(sw))
+      .withColumn("__want", col("__budget").cast("double") *
+        (col("__w").cast("double") / col("__sw").cast("double")))
+      .withColumn("__cap", lit(epochs) * col("tokens").cast("double"))
+      .withColumn("__capped", col("__want") > col("__cap"))
+      .withColumn("__g1",
+        when(col("__capped"), col("__cap")).otherwise(col("__want")))
+      .localCheckpoint(true) // leftover/uncapped sums + rows
+    val agg2 = g1.agg(
+      sum(round(col("__g1"), 6).cast("decimal(38,6)")).as("__sg"),
+      sum(when(!col("__capped"), col("__w"))
+        .otherwise(lit(0).cast("decimal(28,6)"))).as("__swu"))
+    g1.crossJoin(broadcast(agg2))
+      .withColumn("__l", greatest(
+        col("__budget").cast("double") - col("__sg").cast("double"),
+        lit(0.0)))
+      .withColumn("__fin", when(col("__capped"), col("__cap"))
+        .otherwise(when(col("__swu") > 0, least(col("__cap"),
+          col("__want") + (col("__w").cast("double") /
+            col("__swu").cast("double")) * col("__l")))
+          .otherwise(col("__g1"))))
+      .withColumn("__cents", round(col("__fin") * 100)
+        .cast("decimal(38,0)"))
+      .select(col("source"), col("tokens"),
+        col("__w").cast("double").as("weight"),
+        (col("__cents").cast("double") / 100).as("alloc_tokens"),
+        expr("CAST((__cents * 200 + tokens) div (2 * tokens) AS DOUBLE)" +
+          " / 10000").as("epochs_used"),
+        col("__capped").cast("long").as("capped"))
+  }
+
+  /** Output-shard plan for writing a curated corpus: documents are
+    * ranked by token count (descending, doc-id tie-break) and dealt to
+    * `nShards` shards in BOUSTROPHEDON (snake) order — shard 0..S−1
+    * left-to-right, then S−1..0, … — the classic LPT-style greedy that
+    * keeps every shard within one max-document of perfectly even when
+    * sizes are sorted. The report is the shard manifest a 100 TB write
+    * job is planned from: per shard the doc count, token total, and
+    * exact ppm share of the corpus.
+    *
+    * Scale: the global order comes from [[MetricOps.globalRank]] — a
+    * bounded token-count histogram broadcast back, NEVER a
+    * single-partition window — then one hash aggregation per shard.
+    * share_ppm is an exact half-up integer division.
+    */
+  def shardPlan(df: DataFrame, idCol: String, textCol: String,
+                nShards: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      ceil(length(col(textCol)) / 4.0).cast("long").as("tokens"))
+      .withColumn("__neg", -col("tokens"))
+    val ranked = MetricOps.globalRank(toks, "__neg", idCol)
+      .withColumn("__idx", col("r") - 1)
+      .withColumn("__pos", col("__idx") % nShards)
+      .withColumn("shard",
+        when(expr(s"__idx div $nShards") % 2 === 0, col("__pos"))
+          .otherwise(lit(nShards - 1) - col("__pos"))
+          .cast("int"))
+    val agg = ranked.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("tokens"))
+    val tot = agg.agg(sum(col("tokens")).as("__tt"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("tokens"),
+        expr("CAST((tokens * 2000000 + __tt) div (2 * __tt) AS BIGINT)")
+          .as("share_ppm"))
+  }
 }

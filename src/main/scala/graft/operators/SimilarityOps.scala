@@ -582,4 +582,186 @@ object SimilarityOps {
         col("__mx").cast("double").as("max_v"))
       .orderBy("dim")
   }
+
+  /** (key, cent, cnrm) centroid-array table over a keyed signature
+    * frame (the [[normalized]] shape + a grouping column): per-dim
+    * means rounded to 6 dp — the rounding PINS the centroid
+    * cross-engine, so every downstream dot against it is sequential
+    * deterministic arithmetic. ≤ |keys| rows; always broadcast by
+    * callers.
+    */
+  private def centroidArrays(n: DataFrame, keyCol: String): DataFrame =
+    n.select(col(keyCol), posexplode(col("emb")).as(Seq("dim", "v")))
+      .groupBy(col(keyCol), col("dim"))
+      .agg(round(avg(col("v")), 6).as("c"))
+      .groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("dim"), col("c"))))
+        .as("__dc"))
+      .withColumn("cent", expr("transform(__dc, x -> x.c)"))
+      .withColumn("cnrm", sqrt(expr("graft_dot(cent, cent)")))
+      .drop("__dc")
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication inside
+    * coarse embedding clusters. Vectors are bucketed by the sign-bit
+    * quantizer, each bucket gets a 6 dp-pinned centroid, and within a
+    * bucket a vector is a DUPLICATE iff some other member is more
+    * than `tau` cosine-similar AND sits strictly farther from the
+    * centroid (ties on the centroid similarity break by smaller id) —
+    * so of any duplicate clique exactly the farthest-from-centroid
+    * member survives, the paper's keep-the-outlier rule (it preserves
+    * the cluster's diversity better than keeping the medoid).
+    *
+    * Scale: the pair stage is an equi-join on the bucket id (Σ cell²,
+    * never all-pairs — the q60 shape), centroids broadcast, and the
+    * signature table localCheckpoints once for its three consumers.
+    * Output: every vector with its bucket, centroid similarity, and
+    * is_dup flag (drop `is_dup = 1` to apply the dedup).
+    */
+  def semDedup(df: DataFrame, idCol: String, embCol: String,
+               tau: Double, signBits: Int = 4): DataFrame = {
+    val n = normalized(df, idCol, embCol)
+      .withColumn("bucket", signBucket(signBits))
+    val cent = centroidArrays(n, "bucket")
+    val j = n.join(broadcast(cent), Seq("bucket"))
+      .withColumn("s2c",
+        expr("graft_dot(emb, cent)") / (col("nrm") * col("cnrm")))
+      .select(col("id"), col("bucket"), col("emb"), col("nrm"),
+        col("s2c"))
+      // LAZY localCheckpoint: both pair sides + the final projection.
+      .localCheckpoint(false)
+    val a = j.select(col("id").as("vec_id"), col("bucket"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm"),
+      col("s2c").as("a_s"))
+    val b = j.select(col("id").as("__oid"), col("bucket"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"),
+      col("s2c").as("b_s"))
+    val dup = a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("__oid"))
+      .filter(expr("graft_dot(a_emb, b_emb)") /
+        (col("a_nrm") * col("b_nrm")) > tau)
+      .filter(col("b_s") < col("a_s") ||
+        (col("b_s") === col("a_s") && col("__oid") < col("vec_id")))
+      .select(col("vec_id")).distinct()
+      .withColumn("__d", lit(1L))
+    j.join(dup, col("id") === col("vec_id"), "left")
+      .select(col("id").as("vec_id"), col("bucket").cast("int").as("bucket"),
+        MetricOps.normZero(round(col("s2c"), 6)).as("sim_centroid"),
+        coalesce(col("__d"), lit(0L)).as("is_dup"))
+  }
+
+  /** Davies–Bouldin cluster-quality report over a labeled embedding
+    * table (Davies & Bouldin 1979): per cluster i the scatter
+    * Sᵢ = mean ‖x − cᵢ‖ (centroids 6 dp-pinned, distances sequential
+    * deterministic), and Rᵢ = maxⱼ≠ᵢ (Sᵢ+Sⱼ)/‖cᵢ−cⱼ‖ — the worst
+    * separation ratio; the DB index is the mean of the Rᵢ. Reading it
+    * per label shows WHICH classes blur together (the embedding-audit
+    * companion to [[labelAgreement]]).
+    *
+    * Scale: one posexplode hash-agg for the centroids (k·dims rows),
+    * one broadcast join for the member distances, and the Rᵢ sweep is
+    * a k² broadcast cross of the k-row centroid table — the corpus
+    * never self-joins.
+    */
+  def daviesBouldin(df: DataFrame, idCol: String, embCol: String,
+                    labelCol: String): DataFrame = {
+    val n = normalized(df, idCol, embCol)
+      .join(df.select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("lbl")), Seq("id"))
+    val cent = centroidArrays(n, "lbl")
+    val scat = n.join(broadcast(cent), Seq("lbl"))
+      .withColumn("__dv", expr("zip_with(emb, cent, (x, y) -> x - y)"))
+      .withColumn("__d", sqrt(expr("graft_dot(__dv, __dv)")))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("__d")), 6).as("s"))
+    val ci = cent.select(col("lbl").as("li"), col("cent").as("ci"))
+    val cj = cent.select(col("lbl").as("lj"), col("cent").as("cj"))
+    val si = scat.select(col("lbl").as("li"), col("s").as("si"))
+    val sj = scat.select(col("lbl").as("lj"), col("s").as("sj"))
+    val r = ci.crossJoin(broadcast(cj)).filter(col("li") =!= col("lj"))
+      .withColumn("__mv", expr("zip_with(ci, cj, (x, y) -> x - y)"))
+      .withColumn("__m", sqrt(expr("graft_dot(__mv, __mv)")))
+      .join(broadcast(si), Seq("li")).join(broadcast(sj), Seq("lj"))
+      .filter(col("__m") > 0)
+      .groupBy(col("li"))
+      .agg(round(max((col("si") + col("sj")) / col("__m")), 6)
+        .as("r_max"))
+    scat.join(r, col("lbl") === col("li"), "left")
+      .select(col("lbl").as("label"), col("n_vecs"),
+        col("s").as("scatter"), col("r_max"))
+  }
+
+  /** Simplified silhouette per label (Hruschka et al. 2004 — the
+    * centroid form of Rousseeuw's silhouette): for every vector,
+    * a = distance to its OWN label centroid, b = distance to the
+    * nearest OTHER centroid, s = (b − a)/max(a, b) ∈ [−1, 1]; the
+    * per-label mean says how cleanly that class separates. The full
+    * silhouette is O(n²) pairwise; the centroid form is the standard
+    * 100 TB substitute — map-only against a broadcast k-row centroid
+    * table, and the quality ordering it induces matches in practice.
+    *
+    * Scale: centroids 6 dp-pinned ([[centroidArrays]]) and broadcast;
+    * the per-vector sweep is one BroadcastNestedLoop over k rows (k =
+    * |labels|), then one hash aggregation. s snaps to 12 dp pre-sum;
+    * means round half-up at 6 dp sign-pinned. Degenerate guards:
+    * max(a,b) = 0 (coincident vector and centroids) and single-label
+    * corpora (no "other" centroid) both score s = 0.
+    */
+  def simplifiedSilhouette(df: DataFrame, idCol: String, embCol: String,
+                           labelCol: String): DataFrame = {
+    val n = normalized(df, idCol, embCol)
+      .join(df.select(col(idCol).as("id"),
+        col(labelCol).cast("long").as("lbl")), Seq("id"))
+    val cent = centroidArrays(n, "lbl")
+      .select(col("lbl").as("__cl"), col("cent"))
+    val s = n.crossJoin(broadcast(cent))
+      .withColumn("__dv", expr("zip_with(emb, cent, (x, y) -> x - y)"))
+      .withColumn("__d", sqrt(expr("graft_dot(__dv, __dv)")))
+      .groupBy(col("id"), col("lbl"))
+      .agg(min(when(col("lbl") === col("__cl"), col("__d"))).as("__a"),
+        min(when(col("lbl") =!= col("__cl"), col("__d"))).as("__b"))
+      .withColumn("__s", when(col("__b").isNull ||
+          greatest(col("__a"), col("__b")) === 0, lit(0.0))
+        .otherwise((col("__b") - col("__a")) /
+          greatest(col("__a"), col("__b"))))
+    s.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("__s"), 12).cast("decimal(38,12)")).as("__ss"),
+        min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
+      .select(col("lbl").as("label"), col("n_vecs"),
+        MetricOps.normZero(round(col("__ss").cast("double") /
+          col("n_vecs"), 6)).as("mean_sil"),
+        MetricOps.normZero(round(col("__mn"), 6)).as("min_sil"),
+        MetricOps.normZero(round(col("__mx"), 6)).as("max_sil"))
+  }
+
+  /** k-NN-distance outlier score over the multi-probe ANN candidates:
+    * for every vector, the cosine DISTANCE to its k-th nearest probed
+    * neighbor (the classic k-dist of LOF/DBSCAN, here on the
+    * deterministic sign-bucket candidate set). A vector is flagged
+    * `is_outlier` when its k-dist exceeds `tau` OR its probed cells
+    * hold fewer than k candidates at all — isolation in the coarse
+    * quantizer is itself an outlier signal. The embedding-space
+    * companion to the text quality gates: prototypical points score
+    * near 0, mislabeled/garbage embeddings float away.
+    *
+    * Scale: candidates come from [[annTopKMultiProbe]] (equi-joins on
+    * the probed cell id, Σ cell² pairs, never all-pairs; bounded top-k
+    * via the TopKAggregator hash agg); one count/min aggregation and a
+    * left join back to the id spine for zero-candidate vectors.
+    */
+  def knnDistOutlier(df: DataFrame, idCol: String, embCol: String,
+                     k: Int = 5, tau: Double = 0.7,
+                     signBits: Int = 4): DataFrame = {
+    val kd = annTopKMultiProbe(df, idCol, embCol, k, signBits)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        MetricOps.normZero(round(lit(1.0) - min(col("sim")), 6))
+          .as("kth_dist"))
+    df.select(col(idCol).as("vec_id")).join(kd, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("kth_dist"),
+        (coalesce(col("n_cand"), lit(0L)) < k ||
+          col("kth_dist") > tau).cast("long").as("is_outlier"))
+  }
 }

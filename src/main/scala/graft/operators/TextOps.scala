@@ -222,6 +222,10 @@ object TextOps {
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
         .as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      // LAZY localCheckpoint: three subplans read the tokenized corpus
+      // (bigram counts, context counts, the scoring join) — cut the
+      // lineage so it tokenizes once (same shape as the r7 DSIR fix).
+      .localCheckpoint(false)
     val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -1007,5 +1011,255 @@ object TextOps {
         AS (rule, n)""")
       .select(col("rule"), col("n").as("n_docs"),
         round(col("n").cast("double") / col("nd"), 6).as("rate"))
+  }
+
+  /** Per-document trigram cross-entropy under a held-out "stupid
+    * backoff" model (Brants et al. 2007, large-LM MT): the model trains
+    * on the EVEN-doc_id half of the corpus, scores every document, and
+    * unseen trigrams back off with fixed weight 0.4 —
+    *   s(w3|w1w2) = c3/ctx3           if the trigram was seen,
+    *              = 0.4·c2/ctx2       else if the (w2,w3) pair was,
+    *              = 0.16·(c1+1)/(N+V) else (add-one unigram floor),
+    * all counts taken over the train half's trigram positions (one
+    * count source ⇒ the chain is self-consistent). The held-out split
+    * is what makes backoff live: a corpus scored under its own counts
+    * never leaves the first branch (cf. [[bigramCrossEntropy]]).
+    *
+    * Scale: the tokenized trigram-position table localCheckpoints once
+    * and feeds all six consumers (five count tables + the scoring
+    * join); every join is an equi-join on n-gram keys, the two scalars
+    * broadcast. Each ln s snaps to 12 dp and sums as DECIMAL(38,12);
+    * the per-doc mean rounds to 6 dp with the zero sign pinned
+    * (an all-seen doc's −0.0 is the q210 hash class).
+    */
+  def trigramBackoffXent(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val occ = df.withColumn("t", split(col(textCol), " "))
+      .filter(size(col("t")) >= 3)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> struct(" +
+          "t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3))")).as("g"))
+      .select(col(idCol), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+      // LAZY localCheckpoint: six subplans read the trigram positions.
+      .localCheckpoint(false)
+    val tr = occ.filter(col(idCol) % 2 === 0)
+    val c3 = tr.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("m3"))
+    val n3 = tr.groupBy("w1", "w2").agg(count(lit(1)).as("k3"))
+    val c2 = tr.groupBy("w2", "w3").agg(count(lit(1)).as("m2"))
+    val n2 = tr.groupBy("w2").agg(count(lit(1)).as("k2"))
+    val c1 = tr.groupBy("w3").agg(count(lit(1)).as("m1"))
+    val tot = tr.agg(count(lit(1)).as("nn"),
+      countDistinct(col("w3")).as("vv"))
+    val score =
+      when(col("m3").isNotNull, col("m3").cast("double") / col("k3"))
+        .when(col("m2").isNotNull,
+          lit(0.4) * (col("m2").cast("double") / col("k2")))
+        .otherwise(lit(0.16) *
+          ((coalesce(col("m1"), lit(0L)) + 1).cast("double") /
+            (col("nn") + col("vv")).cast("double")))
+    occ.join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(n3, Seq("w1", "w2"), "left")
+      .join(c2, Seq("w2", "w3"), "left")
+      .join(n2, Seq("w2"), "left")
+      .join(c1, Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("__lp", round(log(score), 12).cast("decimal(38,12)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pos"), sum(col("__lp")).as("__s"))
+      .select(col(idCol), col("n_pos"),
+        MetricOps.normZero(round(-col("__s").cast("double") /
+          col("n_pos"), 6)).as("xent"))
+  }
+
+  /** Tokenizer-fertility report per language: whitespace words, BPE
+    * token estimate (ceil(chars/4), the [[tokenStats]] convention),
+    * and raw bytes per document, aggregated to per-language ratios —
+    * tokens/word (fertility), bytes/token, and chars/word, the
+    * numbers a tokenizer/mixture owner reads before setting
+    * per-language sampling (high-fertility languages pay more compute
+    * per word). One hash aggregation; every ratio is an exact
+    * integer half-up division at 6 dp (the `(2a·10⁶+b) div 2b` house
+    * trick) — no float boundary can split engines.
+    */
+  def tokenFertility(df: DataFrame, langCol: String,
+                     textCol: String): DataFrame = {
+    def ratio6(num: String, den: String): Column = expr(
+      s"CAST((CAST($num AS DECIMAL(38,0)) * 2000000 + $den) " +
+        s"div (2 * $den) AS DOUBLE) / 1000000")
+    df.select(col(langCol).as("lang"),
+        size(tokens(col(textCol))).cast("long").as("__w"),
+        ceil(length(col(textCol)) / 4.0).cast("long").as("__b"),
+        octet_length(col(textCol)).cast("long").as("__c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("__w")).as("words"),
+        sum(col("__b")).as("bpe_tokens"), sum(col("__c")).as("bytes"))
+      .select(col("lang"), col("n_docs"), col("words"),
+        col("bpe_tokens"), col("bytes"),
+        ratio6("bpe_tokens", "words").as("fertility"),
+        ratio6("bytes", "bpe_tokens").as("bytes_per_token"),
+        ratio6("bytes", "words").as("chars_per_word"))
+  }
+
+  /** CCNet-style perplexity terciles (Wenzek et al. 2020): score every
+    * document with [[bigramCrossEntropy]], then split EACH language
+    * into head/middle/tail thirds by cross-entropy (ntile(3) ordered
+    * by (xent, doc_id) — the tie-break makes the assignment a total
+    * order, hence engine-identical). Reports per (lang, tercile) the
+    * doc count and the min/max/mean cross-entropy — the table read
+    * before keeping "head+middle" as CCNet does.
+    *
+    * Scale: the xent scores carry one window per LANGUAGE partition
+    * (never global), and the tercile stats are one hash agg. The mean
+    * re-quantizes the 6 dp scores to integer micro-units and divides
+    * half-up, so it is exact in both engines.
+    */
+  def ccnetBuckets(df: DataFrame, idCol: String, textCol: String,
+                   langCol: String): DataFrame = {
+    val ce = bigramCrossEntropy(df, idCol, textCol)
+      .join(df.select(col(idCol), col(langCol).as("lang")), Seq(idCol))
+    val b = ce.withColumn("tercile", ntile(3).over(
+      Window.partitionBy("lang")
+        .orderBy(col("cross_entropy"), col(idCol))))
+    b.groupBy("lang", "tercile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("cross_entropy")).as("min_xent"),
+        max(col("cross_entropy")).as("max_xent"),
+        sum(round(col("cross_entropy") * 1000000).cast("decimal(38,0)"))
+          .as("__s6"))
+      .select(col("lang"), col("tercile"), col("n_docs"),
+        col("min_xent"), col("max_xent"),
+        expr("CAST((__s6 * 2 + n_docs) div (2 * n_docs) AS DOUBLE)" +
+          " / 1000000").as("mean_xent"))
+  }
+
+  /** Log₂-bucketed unigram frequency spectrum per source — the
+    * count-of-counts table (the Good–Turing front-end): for every
+    * source, how many token TYPES fall in each frequency octave
+    * [2^b, 2^{b+1}) and how much token MASS they carry. Bucket 0 is the
+    * hapax legomena — their type count n₁ is the Good–Turing estimate
+    * of unseen-mass (P₀ ≈ n₁/N), the standard "how much novelty is
+    * left in this source" dial a mixture owner reads next to [[zipfFit]].
+    *
+    * Scale: one token explode + two hash aggregations ((source, token)
+    * then (source, bucket)); output is ≤ 64 rows per source whatever
+    * the vocabulary size — the octave bucketing is what keeps the
+    * report bounded at 100 TB. The bucket index is the BIT LENGTH of
+    * the count (length(bin(c)) − 1), an exact integer path — never
+    * floor(log2) whose FP boundary at exact powers of two could split
+    * engines.
+    */
+  def freqSpectrum(df: DataFrame, srcCol: String,
+                   textCol: String): DataFrame =
+    df.select(col(srcCol).as("source"),
+        explode(split(col(textCol), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("__c"))
+      .withColumn("bucket", (length(bin(col("__c"))) - 1).cast("int"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_types"), sum(col("__c")).as("n_tokens"))
+
+  /** Moore–Lewis cross-entropy-difference selection (Moore & Lewis
+    * 2010): score every document by
+    *   mean[ ln P_in(w2|w1) − ln P_gen(w2|w1) ]
+    * under add-one-smoothed bigram models — P_in trained on the
+    * in-domain slice (`inDomainCol`), P_gen on the whole corpus, both
+    * sharing the corpus successor vocabulary V as the smoothing
+    * denominator. Positive score = the in-domain model likes the doc
+    * more than the background model does — the classic "select web
+    * data that looks like my target domain" filter; `selected` is the
+    * score > 0 cut.
+    *
+    * Scale: the tokenized bigram-position table localCheckpoints once
+    * and feeds all five count tables + the scoring join; every join is
+    * an equi-join on the bigram/unigram key and the vocabulary scalar
+    * broadcasts. Per-position log terms snap to 12 dp and sum as
+    * DECIMAL(38,12); the per-doc mean rounds to 6 dp sign-pinned.
+    */
+  def mooreLewis(df: DataFrame, idCol: String, textCol: String,
+                 inDomainCol: Column): DataFrame = {
+    val occ = df.withColumn("__in", inDomainCol)
+      .withColumn("t", split(col(textCol), " "))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), col("__in"), explode(expr(
+        "transform(sequence(0, size(t) - 2), " +
+          "i -> struct(t[i] AS w1, t[i+1] AS w2))")).as("b"))
+      .select(col(idCol), col("__in"), col("b.w1").as("w1"),
+        col("b.w2").as("w2"))
+      // LAZY localCheckpoint: five count tables + the scoring join all
+      // read the tokenized positions.
+      .localCheckpoint(false)
+    val ind = occ.filter(col("__in"))
+    val ci2 = ind.groupBy("w1", "w2").agg(count(lit(1)).as("i12"))
+    val ci1 = ind.groupBy("w1").agg(count(lit(1)).as("i1"))
+    val cg2 = occ.groupBy("w1", "w2").agg(count(lit(1)).as("g12"))
+    val cg1 = occ.groupBy("w1").agg(count(lit(1)).as("g1"))
+    val voc = occ.agg(countDistinct(col("w2")).as("vv"))
+    occ.join(ci2, Seq("w1", "w2"), "left")
+      .join(ci1, Seq("w1"), "left")
+      .join(cg2, Seq("w1", "w2"))
+      .join(cg1, Seq("w1"))
+      .crossJoin(broadcast(voc))
+      .withColumn("__ld", round(
+        log((coalesce(col("i12"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("i1"), lit(0L)) + col("vv")).cast("double")) -
+          log((col("g12") + 1).cast("double") /
+            (col("g1") + col("vv")).cast("double")), 12)
+        .cast("decimal(38,12)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_pos"), sum(col("__ld")).as("__s"))
+      .select(col(idCol), col("n_pos"),
+        MetricOps.normZero(round(col("__s").cast("double") /
+          col("n_pos"), 6)).as("score"))
+      .withColumn("selected", (col("score") > 0).cast("long"))
+  }
+
+  /** Per-source yield funnel — the curation dashboard: how many
+    * documents and tokens survive each gate of the standard pipeline
+    * (raw → language allowlist → Gopher quality pass → exact dedup
+    * keep-first). The tokens column is what matters at 100 TB: a
+    * source whose token yield collapses at the quality gate is
+    * mis-crawled, one that collapses at dedup is a mirror — the two
+    * cases read identically in a doc-count-only report.
+    *
+    * Scale: ONE corpus pass computes every row-local flag (the Gopher
+    * predicate is [[gopherFlags]], row-local HOFs), localCheckpointed
+    * because the keep-first table and the final aggregate both read
+    * it; dedup is a (hash → min id) hash aggregation joined back on
+    * the hash — never a window over the corpus.
+    */
+  def yieldFunnel(df: DataFrame, srcCol: String, idCol: String,
+                  textCol: String, langCol: String,
+                  allowedLangs: Seq[String],
+                  stopwords: Seq[String]): DataFrame = {
+    val flags = gopherFlags(df, idCol, textCol, stopwords)
+    val base = df.join(flags, Seq(idCol))
+      .withColumn("__tok", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("__g1",
+        array_contains(typedLit(allowedLangs), col(langCol)))
+      .withColumn("__g2", col("__g1") &&
+        (col("f_word_count") + col("f_mean_word_len") +
+          col("f_top_word_share") + col("f_no_stopword") +
+          col("f_distinct_ratio") === 0))
+      .withColumn("__h", md5(col(textCol)))
+      .select(col(srcCol).as("source"), col(idCol).as("__id"),
+        col("__tok"), col("__g1"), col("__g2"), col("__h"))
+      // LAZY localCheckpoint: the keep-first table and the final
+      // aggregate both read the flagged corpus.
+      .localCheckpoint(false)
+    val keep = base.filter(col("__g2"))
+      .groupBy(col("__h")).agg(min(col("__id")).as("__mid"))
+    base.join(keep, Seq("__h"), "left")
+      .withColumn("__g3", col("__g2") && col("__id") === col("__mid"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_raw"), sum(col("__tok")).as("tok_raw"),
+        sum(col("__g1").cast("long")).as("n_lang"),
+        sum(when(col("__g1"), col("__tok")).otherwise(lit(0L)))
+          .as("tok_lang"),
+        sum(col("__g2").cast("long")).as("n_quality"),
+        sum(when(col("__g2"), col("__tok")).otherwise(lit(0L)))
+          .as("tok_quality"),
+        sum(col("__g3").cast("long")).as("n_dedup"),
+        sum(when(col("__g3"), col("__tok")).otherwise(lit(0L)))
+          .as("tok_dedup"))
   }
 }

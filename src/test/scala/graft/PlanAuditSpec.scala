@@ -679,6 +679,60 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "the corpus scan must be behind the checkpoint, not re-planned per subplan")
   }
 
+  test("q345/q350: the tokenize pass is checkpointed once; windows " +
+    "stay per-document; scalars broadcast") {
+    // q345: six subplans (five count tables + the scoring join) read
+    // the trigram positions — the documents scan must be behind the
+    // lazy localCheckpoint, exactly the q333 DSIR contract.
+    for (q <- Seq("q345_trigram_backoff", "q350_contamination_spans")) {
+      val df = plan(q)
+      df.count()
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("ExistingRDD"),
+        s"$q must read the checkpointed n-gram positions")
+      assert(!s.contains("documents"),
+        s"$q: the corpus scan must be behind the checkpoint")
+    }
+    val wins = {
+      val df = plan("q350_contamination_spans"); df.count()
+      collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "q350's gaps-and-islands window must partition by document")
+    val noWin = {
+      val df = plan("q345_trigram_backoff"); df.count()
+      collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+    }
+    assert(noWin.isEmpty, "q345 must not plan any window")
+  }
+
+  test("q346/q347: centroid tables broadcast; the SemDeDup pair stage " +
+    "is a bucket equi-join (no cartesian)") {
+    for (q <- Seq("q346_semdedup", "q347_davies_bouldin")) {
+      val df = plan(q)
+      df.count()
+      val ex = df.queryExecution.executedPlan
+      val bhj = collectWithSubqueries(ex) { case b: BroadcastHashJoinExec => b }
+      assert(bhj.nonEmpty, s"$q centroid join must broadcast")
+      assert(!ex.toString.contains("CartesianProduct"),
+        s"$q must never plan a cartesian product")
+    }
+  }
+
+  test("q351: the CCNet tercile window partitions by language") {
+    val df = plan("q351_ccnet_buckets")
+    df.count()
+    val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "ntile must run per language, never a global sort")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     // Only the declared EXACT-baseline forms may cross-join; their
     // bucketed scale twins (q329-q331, and q266 since round 7) must
