@@ -733,6 +733,48 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "ntile must run per language, never a global sort")
   }
 
+  test("q352-q358 family: checkpointed single scans, partitioned " +
+    "windows, broadcast scalar/centroid tables") {
+    // q354/q357/q358 read a checkpointed corpus pass — the documents
+    // scan must be behind the checkpoint (the q333 DSIR contract)
+    for (q <- Seq("q354_moore_lewis", "q357_yield_funnel")) {
+      val df = plan(q)
+      df.count()
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("ExistingRDD"),
+        s"$q must read the checkpointed corpus pass")
+      assert(!s.contains("documents"),
+        s"$q: the corpus scan must be behind the checkpoint")
+    }
+    // moment-only shapes must not plan any window
+    for (q <- Seq("q353_freq_spectrum", "q354_moore_lewis",
+        "q355_silhouette", "q356_knn_outlier", "q357_yield_funnel",
+        "q358_pair_qa")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty, s"$q must not plan any window")
+    }
+    // q352's global order rides globalRank: every window partitioned
+    // (the per-score tie-break), never a single-partition sort-rank
+    val sp = plan("q352_shard_plan")
+    sp.count()
+    val spw = collectWithSubqueries(sp.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(spw.nonEmpty && spw.forall(_.partitionSpec.nonEmpty),
+      "q352 must rank via partitioned windows only (globalRank)")
+    // centroid/scalar tables broadcast onto the corpus side
+    for (q <- Seq("q355_silhouette", "q352_shard_plan")) {
+      val df = plan(q)
+      df.count()
+      val ex = df.queryExecution.executedPlan.toString
+      assert(ex.contains("Broadcast"), s"$q small side must broadcast")
+    }
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     // Only the declared EXACT-baseline forms may cross-join; their
     // bucketed scale twins (q329-q331, and q266 since round 7) must
