@@ -7464,6 +7464,129 @@ object OracleSql {
          |    / 1000000 AS mean_containment,
          |  CAST((sum(rppm) * 2 + count(*)) // (2 * count(*)) AS DOUBLE)
          |    / 1000000 AS mean_size_ratio
-         |FROM b GROUP BY decile ORDER BY decile""".stripMargin
+         |FROM b GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q359_dup_flow" ->
+      """WITH t AS (SELECT source AS s, string_split(text, ' ') AS t
+        |  FROM documents),
+        |u AS (SELECT s, md5(array_to_string(
+        |    t[i * 20 + 1 : i * 20 + 20], ' ')) AS h
+        |  FROM t, unnest(range((len(t) - 1) // 20 + 1)) AS g(i)),
+        |d AS (SELECT h, s, count(*) AS c FROM u GROUP BY 1, 2),
+        |dup AS (SELECT h, s, c FROM
+        |  (SELECT h, s, c, sum(c) OVER (PARTITION BY h) AS tc FROM d)
+        |  WHERE tc > 1)
+        |SELECT a.s AS source_a, b.s AS source_b,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN a.s = b.s THEN (a.c * (a.c - 1)) // 2
+        |    ELSE a.c * b.c END) AS BIGINT) AS n_unit_pairs
+        |FROM dup a JOIN dup b ON a.h = b.h AND a.s <= b.s
+        |WHERE a.s <> b.s OR a.c >= 2
+        |GROUP BY a.s, b.s ORDER BY source_a, source_b""".stripMargin,
+
+    "q360_cdc_chunks" ->
+      """WITH p AS (SELECT doc_id, unnest(list_transform(range(len(t)),
+        |    i -> {'pos': i, 'w': t[i + 1]})) AS u
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |        FROM documents)),
+        |q AS (SELECT doc_id, u.pos AS pos, u.w AS w,
+        |  CASE WHEN substr(md5(u.w), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+        |  FROM p),
+        |ck AS (SELECT doc_id, pos, w,
+        |  coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS chunk FROM q),
+        |ch AS (SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS sz,
+        |  md5(string_agg(w, ' ' ORDER BY pos)) AS chash
+        |  FROM ck GROUP BY doc_id, chunk),
+        |cen AS (SELECT chash, count(*) AS n FROM ch GROUP BY chash)
+        |SELECT ch.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST((sum(sz) * 200 + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    / 100 AS mean_chunk_tokens,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks,
+        |  CAST((sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) * 2000000
+        |    + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000
+        |    AS dup_chunk_rate
+        |FROM ch JOIN cen USING (chash) GROUP BY ch.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q361_rank_blend" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |sigs AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+        |  round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+        |    AS dr,
+        |  round(CAST(len(list_filter(tk,
+        |    x -> list_contains(['the', 'a'], x))) AS DOUBLE) / len(tk),
+        |    6) AS sr
+        |  FROM base),
+        |nn AS (SELECT count(*) AS nn FROM sigs),
+        |r1 AS (SELECT doc_id, (row_number() OVER (ORDER BY
+        |    round(CAST(n AS DOUBLE), 6), doc_id) * 1000000) // nn
+        |    AS pct_len FROM sigs CROSS JOIN nn),
+        |r2 AS (SELECT doc_id, (row_number() OVER (ORDER BY
+        |    round(dr, 6), doc_id) * 1000000) // nn
+        |    AS pct_distinct FROM sigs CROSS JOIN nn),
+        |r3 AS (SELECT doc_id, (row_number() OVER (ORDER BY
+        |    round(-sr, 6), doc_id) * 1000000) // nn
+        |    AS pct_stop FROM sigs CROSS JOIN nn)
+        |SELECT doc_id, pct_len, pct_distinct, pct_stop,
+        |  ((pct_len + pct_distinct + pct_stop) * 2 + 3) // 6
+        |    AS blend_ppm,
+        |  CAST(((pct_len + pct_distinct + pct_stop) * 2 + 3) // 6
+        |    >= 750000 AS BIGINT) AS selected
+        |FROM r1 JOIN r2 USING (doc_id) JOIN r3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q362_bpe_merges" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |pr AS (SELECT unnest(list_transform(range(len(w) - 1),
+        |    i -> substr(w, i + 1, 2))) AS pair
+        |  FROM w WHERE len(w) >= 2),
+        |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM pr GROUP BY pair),
+        |t AS (SELECT sum(n_occ) AS t FROM c)
+        |SELECT pair, n_occ,
+        |  CAST((n_occ * 2000000 + t) // (2 * t) AS BIGINT) AS share_ppm
+        |FROM c CROSS JOIN t ORDER BY n_occ DESC, pair
+        |LIMIT 20""".stripMargin,
+
+    "q363_mixture_correction" ->
+      """WITH g AS (SELECT source, md5(text) AS h, count(*) AS c,
+        |  min(CAST(len(string_split(text, ' ')) AS BIGINT)) AS tg
+        |  FROM documents GROUP BY source, md5(text)),
+        |t AS (SELECT source, CAST(sum(tg * c) AS BIGINT) AS tokens_raw,
+        |  CAST(sum(tg) AS BIGINT) AS tokens_dedup FROM g
+        |  GROUP BY source),
+        |w AS (SELECT source, tokens_raw, tokens_dedup,
+        |  round(pow(CAST(tokens_raw AS DOUBLE), 0.5), 6)
+        |    ::DECIMAL(28,6) AS w FROM t),
+        |b AS (SELECT min(CAST(tokens_dedup AS DOUBLE)
+        |  / CAST(w AS DOUBLE)) AS b FROM w)
+        |SELECT source, tokens_raw, tokens_dedup,
+        |  CAST(w AS DOUBLE) AS weight,
+        |  round(CAST(w AS DOUBLE) * b / tokens_dedup, 6) AS rate,
+        |  CAST(floor(CAST(w AS DOUBLE) * b) AS BIGINT) AS alloc_tokens
+        |FROM w CROSS JOIN b ORDER BY source""".stripMargin,
+
+    "q364_kl_novelty" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' '))
+        |    AS w FROM documents),
+        |tf AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |cw AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+        |nd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nd FROM tf
+        |  GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM tok),
+        |terms AS (SELECT tf.doc_id AS doc_id,
+        |  round((CAST(c AS DOUBLE) / nd)
+        |    * ln(CAST(c * n AS DOUBLE) / CAST(nd * cw AS DOUBLE)), 12)
+        |    ::DECIMAL(38,12) AS term, nd
+        |  FROM tf JOIN cw USING (w) JOIN nd USING (doc_id)
+        |    CROSS JOIN nn)
+        |SELECT doc_id, CAST(max(nd) AS BIGINT) AS n_tokens,
+        |  round(CAST(sum(term) AS DOUBLE), 6) + 0.0 AS kl
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

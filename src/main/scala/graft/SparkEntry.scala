@@ -3872,7 +3872,47 @@ object SparkEntry {
       DedupOps.pairQaReport(
           DedupOps.shingles(Tables.documents(s, d), "doc_id", "text"),
           "doc_id")
-        .orderBy("decile"))
+        .orderBy("decile")),
+
+    // L304 — cross-source duplicate-flow matrix at 20-token chunk
+    // granularity: which source pairs share duplicated passages
+    // (dedup provenance; diagonal = within-source mirrors).
+    "q359_dup_flow" -> ((s, d) =>
+      DedupOps.dupFlowMatrix(Tables.documents(s, d), "source",
+          "text", 20)
+        .orderBy("source_a", "source_b")),
+
+    // L305 — content-defined chunking (rolling-cut boundaries on token
+    // hashes): per-doc chunk profile + cross-doc duplicate-chunk load,
+    // robust to edits where fixed windows shift.
+    "q360_cdc_chunks" -> ((s, d) =>
+      TextOps.cdcChunks(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // L306 — rank-average quality ensemble: three signals blended as
+    // exact ppm percentiles (globalRank histograms), top quartile kept.
+    "q361_rank_blend" -> ((s, d) =>
+      TextOps.rankBlend(Tables.documents(s, d), "doc_id", "text",
+          STOPWORDS)
+        .orderBy("doc_id")),
+
+    // L307 — first-iteration BPE merge table: top-20 adjacent char
+    // pairs with exact corpus share (the tokenizer-training preview).
+    "q362_bpe_merges" -> ((s, d) =>
+      TextOps.bpeMergeStats(Tables.documents(s, d), "text")),
+
+    // L308 — post-dedup mixture correction: survivor token counts,
+    // feasible budget, corrective per-source sampling rates.
+    "q363_mixture_correction" -> ((s, d) =>
+      MixtureOps.mixtureCorrection(Tables.documents(s, d), "source",
+          "text")
+        .orderBy("source")),
+
+    // L309 — per-doc KL novelty vs the corpus unigram background (the
+    // diversity-aware selection signal).
+    "q364_kl_novelty" -> ((s, d) =>
+      TextOps.klNovelty(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -637,6 +637,58 @@ object DedupOps {
     * half-up divisions, and per-decile means average those exact ppm
     * integers — no float boundary anywhere.
     */
+  /** Cross-source duplicate-flow matrix — dedup PROVENANCE: for every
+    * (source_a ≤ source_b) pair, how many duplicated text units span
+    * the two sources and how many unit pairs that is. The unit is the
+    * whole document (`chunkTokens` = 0, exact-dup flow) or a fixed
+    * `chunkTokens`-token chunk (boilerplate/syndication flow — shared
+    * passages show up long before whole documents collide). The
+    * diagonal (a = b) is within-source duplication (a mirror or a
+    * crawler loop); heavy off-diagonal cells are syndication between
+    * sources — the table that says WHERE the dup load of the corpus
+    * datasheet comes from.
+    *
+    * Scale: one (source, unit-hash) hash aggregation; only hash groups
+    * with a duplicate survive to the self-join (bounded by the dup
+    * load, not the corpus), and the join is an equi-join on the hash.
+    * Unit-pair counts are exact: c·(c−1)/2 on the diagonal, c_a·c_b
+    * off it.
+    */
+  def dupFlowMatrix(df: DataFrame, srcCol: String, textCol: String,
+                    chunkTokens: Int = 0): DataFrame = {
+    val units =
+      if (chunkTokens <= 0)
+        df.select(col(srcCol).as("__s"), md5(col(textCol)).as("__h"))
+      else
+        df.withColumn("t", split(col(textCol), " "))
+          .select(col(srcCol).as("__s"), explode(expr(
+            s"transform(sequence(0, (size(t) - 1) div $chunkTokens), " +
+              s"i -> concat_ws(' ', slice(t, i * $chunkTokens + 1, " +
+              s"$chunkTokens)))")).as("__u"))
+          .select(col("__s"), md5(col("__u")).as("__h"))
+    val d = units.groupBy(col("__h"), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+    // keep only hashes that can form a pair (≥2 docs total)
+    val dup = d.withColumn("__tc",
+        sum(col("__c")).over(Window.partitionBy(col("__h"))))
+      .filter(col("__tc") > 1)
+      .localCheckpoint(false)
+    val a = dup.select(col("__h"), col("__s").as("source_a"),
+      col("__c").as("__ca"))
+    val b = dup.select(col("__h"), col("__s").as("source_b"),
+      col("__c").as("__cb"))
+    a.join(b, Seq("__h"))
+      .filter(col("source_a") <= col("source_b"))
+      .filter(col("source_a") =!= col("source_b") || col("__ca") >= 2)
+      .withColumn("__pairs",
+        when(col("source_a") === col("source_b"),
+          expr("(__ca * (__ca - 1)) div 2"))
+          .otherwise(col("__ca") * col("__cb")).cast("long"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__pairs")).as("n_unit_pairs"))
+  }
+
   def pairQaReport(sh: DataFrame, idCol: String,
                    bands: Int = 4, rows: Int = 2): DataFrame = {
     val cand = minhashCandidates(

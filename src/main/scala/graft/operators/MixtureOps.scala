@@ -157,6 +157,50 @@ object MixtureOps {
         col("__capped").cast("long").as("capped"))
   }
 
+  /** Post-dedup mixture correction: the raw corpus sets the TARGET mix
+    * (temperature weights w_s = T_s^α over raw token counts), but
+    * dedup removes tokens unevenly — a mirror-heavy source loses most
+    * of its mass — so sampling the SURVIVORS at the raw proportions is
+    * wrong. This computes, per source, the survivor token count D_s
+    * (exact keep-first dedup), the largest total budget B = min_s
+    * (D_s/w_s) every source can still supply, and the corrective
+    * sampling rate w_s·B/D_s over the survivors. The post-dedup twin
+    * of [[mixtureSample]]'s row-count logic, in token units.
+    *
+    * Scale: one (source, text-hash) aggregation for survivors, then
+    * |sources|-row arithmetic (checkpointed; scalar broadcast). The
+    * weight and rate snap to 6 dp (DECIMAL normalizers), alloc pins at
+    * whole tokens — engine-identical.
+    */
+  def mixtureCorrection(df: DataFrame, srcCol: String,
+                        textCol: String,
+                        alpha: Double = 0.5): DataFrame = {
+    // keep-first exact dedup per (source, text-hash): duplicates share
+    // the text, hence the token count — min(tok) IS the survivor's.
+    // (within-source dedup; the cross-source view is dupFlowMatrix)
+    val t = df.select(col(srcCol).as("source"),
+        md5(col(textCol)).as("__h"),
+        size(split(col(textCol), " ")).cast("long").as("__tok"))
+      .groupBy(col("source"), col("__h"))
+      .agg(count(lit(1)).as("__c"), min(col("__tok")).as("__tg"))
+      .groupBy(col("source"))
+      .agg(sum(col("__tg") * col("__c")).as("tokens_raw"),
+        sum(col("__tg")).as("tokens_dedup"))
+      .withColumn("weight",
+        round(pow(col("tokens_raw").cast("double"), lit(alpha)), 6)
+          .cast("decimal(28,6)"))
+      .localCheckpoint(true) // the feasibility scalar + rows read it
+    val feasible = t.agg(min(col("tokens_dedup").cast("double") /
+      col("weight").cast("double")).as("__b"))
+    t.crossJoin(broadcast(feasible))
+      .select(col("source"), col("tokens_raw"), col("tokens_dedup"),
+        col("weight").cast("double").as("weight"),
+        round(col("weight").cast("double") * col("__b") /
+          col("tokens_dedup"), 6).as("rate"),
+        floor(col("weight").cast("double") * col("__b"))
+          .cast("long").as("alloc_tokens"))
+  }
+
   /** Output-shard plan for writing a curated corpus: documents are
     * ranked by token count (descending, doc-id tie-break) and dealt to
     * `nShards` shards in BOUSTROPHEDON (snake) order — shard 0..S−1

@@ -1262,4 +1262,171 @@ object TextOps {
         sum(when(col("__g3"), col("__tok")).otherwise(lit(0L)))
           .as("tok_dedup"))
   }
+
+  /** Content-defined chunking (the rsync/LBFS rolling-cut idea, on
+    * token hashes): a chunk boundary falls AFTER every token whose
+    * md5 starts with hex '0' (p = 1/16 ⇒ ~16-token expected chunks),
+    * so chunk limits depend only on CONTENT — an insertion early in a
+    * document shifts fixed-window chunks everywhere but re-aligns CDC
+    * chunks at the next cut point, which is what makes cross-doc chunk
+    * dedup robust to edits (the failure mode of [[DedupOps.chunkDedup]]'s
+    * fixed windows). Reports per document the chunk count, mean chunk
+    * size, and how many of its chunks also appear elsewhere.
+    *
+    * Scale: one token explode; the chunk index is a cumulative
+    * boundary count under a per-DOCUMENT window, chunks re-assemble by
+    * (doc, chunk) hash agg, and the cross-doc check is a count on the
+    * chunk hash — never a self-join. Mean chunk size is an exact
+    * half-up division at 2 dp.
+    */
+  def cdcChunks(df: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val pos = df.select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "w")))
+      .withColumn("__b",
+        (substring(md5(col("w")), 1, 1) === "0").cast("long"))
+      .withColumn("__chunk", coalesce(sum(col("__b")).over(
+        Window.partitionBy(col(idCol)).orderBy(col("pos"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val chunks = pos.groupBy(col(idCol), col("__chunk"))
+      .agg(count(lit(1)).as("__sz"),
+        md5(concat_ws(" ", sort_array(collect_list(
+          struct(col("pos"), col("w")))).getField("w"))).as("__ch"))
+      // LAZY localCheckpoint: the cross-doc chunk census and the
+      // per-doc report both read the chunk table.
+      .localCheckpoint(false)
+    val census = chunks.groupBy(col("__ch"))
+      .agg(count(lit(1)).as("__n"))
+    chunks.join(census, Seq("__ch"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("__sz")).as("__tok"),
+        sum((col("__n") > 1).cast("long")).as("n_dup_chunks"))
+      .select(col(idCol), col("n_chunks"),
+        expr("CAST((__tok * 200 + n_chunks) div (2 * n_chunks)" +
+          " AS DOUBLE) / 100").as("mean_chunk_tokens"),
+        col("n_dup_chunks"),
+        expr("CAST((n_dup_chunks * 2000000 + n_chunks)" +
+          " div (2 * n_chunks) AS DOUBLE) / 1000000")
+          .as("dup_chunk_rate"))
+  }
+
+  /** Rank-average quality ensemble: three row-local signals — token
+    * count, distinct-token ratio, stopword rate — each converted to a
+    * global percentile via [[MetricOps.globalRank]] (token count and
+    * distinct ratio rank ascending = longer/more-diverse is better;
+    * stopword rate ranks descending = fewer is better), then averaged.
+    * Rank-averaging is the standard way to blend signals with
+    * incomparable scales (no z-score assumptions, immune to outliers);
+    * `selected` keeps the top quartile of the blend.
+    *
+    * Scale: three bounded-histogram global ranks (broadcast back, no
+    * single-partition window) over one row-local signal pass. All
+    * percentiles are exact integer ppm (r·10⁶ div N); the blend is
+    * their exact mean — no float appears anywhere.
+    */
+  def rankBlend(df: DataFrame, idCol: String,
+                textCol: String, stopwords: Seq[String]): DataFrame = {
+    val base = df.withColumn("__tk", split(col(textCol), " "))
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("__n"),
+        round(size(array_distinct(col("__tk"))).cast("double") /
+          size(col("__tk")), 6).as("__dr"),
+        round(size(filter(col("__tk"),
+            x => array_contains(typedLit(stopwords), x))).cast("double") /
+          size(col("__tk")), 6).as("__sr"))
+      // LAZY localCheckpoint: three rank passes read the signal table.
+      .localCheckpoint(false)
+    def pct(scored: DataFrame, out: String): DataFrame =
+      scored.withColumn(out, expr("(r * 1000000) div __nn")).drop("r")
+    val n = base.agg(count(lit(1)).as("__nn"))
+    val r1 = pct(MetricOps.globalRank(
+      base.select(col(idCol), col("__n").cast("double").as("__s1"))
+        .crossJoin(broadcast(n)), "__s1", idCol), "pct_len")
+      .select(col(idCol), col("pct_len"))
+    val r2 = pct(MetricOps.globalRank(
+      base.select(col(idCol), col("__dr").as("__s2"))
+        .crossJoin(broadcast(n)), "__s2", idCol), "pct_distinct")
+      .select(col(idCol), col("pct_distinct"))
+    val r3 = pct(MetricOps.globalRank(
+      base.select(col(idCol), (-col("__sr")).as("__s3"))
+        .crossJoin(broadcast(n)), "__s3", idCol), "pct_stop")
+      .select(col(idCol), col("pct_stop"))
+    base.select(col(idCol))
+      .join(r1, Seq(idCol)).join(r2, Seq(idCol)).join(r3, Seq(idCol))
+      .withColumn("blend_ppm", expr(
+        "((pct_len + pct_distinct + pct_stop) * 2 + 3) div 6"))
+      .withColumn("selected", (col("blend_ppm") >= 750000L).cast("long"))
+  }
+
+  /** First-iteration BPE merge statistics: the global adjacent
+    * CHARACTER-pair counts inside whitespace tokens — exactly the
+    * table byte-pair encoding consults for its first merge (Sennrich
+    * et al. 2016). Reports the top 20 pairs with exact corpus share;
+    * reading it per corpus shows what the first merges of a tokenizer
+    * trained HERE would be — the sanity check before spending a real
+    * BPE run on 100 TB.
+    *
+    * Scale: token explode → row-local char-pair explode → one hash
+    * aggregation (key space bounded by the alphabet², not the corpus);
+    * the top-20 is a TakeOrderedAndProject (bounded k, never a global
+    * sort materialization). Ties break by pair string so the cut is
+    * total-ordered.
+    */
+  def bpeMergeStats(df: DataFrame, textCol: String,
+                    topK: Int = 20): DataFrame = {
+    val pairs = df.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), " +
+          "i -> substring(w, i, 2))")).as("pair"))
+    val counts = pairs.groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occ"))
+    val tot = counts.agg(sum(col("n_occ")).as("__t"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("share_ppm", expr(
+        "CAST((n_occ * 2000000 + __t) div (2 * __t) AS BIGINT)"))
+      .select(col("pair"), col("n_occ"), col("share_ppm"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(topK)
+  }
+
+  /** Per-document KL novelty: KL(doc unigram ‖ corpus unigram) =
+    * Σ_w (c_dw/n_d)·ln(c_dw·N / (n_d·c_w)) — how far a document's
+    * word distribution sits from the corpus background. Low-KL docs
+    * are boilerplate-average; high-KL docs are novel (or garbage —
+    * read it against the quality gates). The diversity-aware
+    * counterpart to frequency-only filters, used to keep selection
+    * from collapsing onto the corpus mode.
+    *
+    * Scale: doc-term tf + corpus term counts (two hash aggs over one
+    * token explode, lineage cut once), an equi-join on the term, and
+    * the N scalar broadcast. Every vocabulary term of the doc
+    * contributes exactly once; terms snap to 12 dp and sum as
+    * DECIMAL(38,12), the result rounds half-up at 6 dp sign-pinned.
+    */
+  def klNovelty(df: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(split(col(textCol), " ")).as("w"))
+      // LAZY localCheckpoint: tf, corpus counts, and N all read it.
+      .localCheckpoint(false)
+    val tf = tok.groupBy(col(idCol), col("w"))
+      .agg(count(lit(1)).as("__c"))
+    val cw = tok.groupBy(col("w")).agg(count(lit(1)).as("__cw"))
+    val nd = tf.groupBy(col(idCol)).agg(sum(col("__c")).as("__nd"))
+    val nn = tok.agg(count(lit(1)).as("__N"))
+    tf.join(cw, Seq("w")).join(nd, Seq(idCol))
+      .crossJoin(broadcast(nn))
+      .withColumn("__term", round(
+        (col("__c").cast("double") / col("__nd")) *
+          log((col("__c") * col("__N")).cast("double") /
+            (col("__nd") * col("__cw")).cast("double")), 12)
+        .cast("decimal(38,12)"))
+      .groupBy(col(idCol))
+      .agg(max(col("__nd")).as("n_tokens"),
+        sum(col("__term")).as("__s"))
+      .select(col(idCol), col("n_tokens"),
+        MetricOps.normZero(round(col("__s").cast("double"), 6))
+          .as("kl"))
+  }
 }

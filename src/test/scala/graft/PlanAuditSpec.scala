@@ -775,6 +775,63 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q359-q364 family: keyed windows only, checkpointed single " +
+    "scans, bounded top-k never a global sort") {
+    // q359's dup-survivor window (keyed on the unit hash) and q360's
+    // chunk-index window (keyed on the document) both sit BEHIND the
+    // lazy localCheckpoint that cuts the shared lineage, so the final
+    // plan must read the checkpoint (ExistingRDD) and carry no window
+    // of its own — and never re-scan the corpus.
+    for (q <- Seq("q359_dup_flow", "q360_cdc_chunks")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty,
+        s"$q: the keyed window must be behind the checkpoint")
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("ExistingRDD"),
+        s"$q must read its checkpointed dup/chunk pass")
+      assert(!s.contains("documents"),
+        s"$q: the corpus scan must be behind the checkpoint")
+    }
+    // moment-only shapes: no window anywhere (q361 rides globalRank's
+    // partitioned tie-break windows, checked as partitioned)
+    for (q <- Seq("q362_bpe_merges", "q363_mixture_correction",
+        "q364_kl_novelty")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty, s"$q must not plan any window")
+    }
+    val rb = plan("q361_rank_blend")
+    rb.count()
+    val rbw = collectWithSubqueries(rb.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(rbw.nonEmpty && rbw.forall(_.partitionSpec.nonEmpty),
+      "q361's three ranks must ride partitioned windows (globalRank)")
+    // q361/q364 read a checkpointed signal/token pass
+    for (q <- Seq("q361_rank_blend", "q364_kl_novelty")) {
+      val df = plan(q)
+      df.count()
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("ExistingRDD"),
+        s"$q must read its checkpointed pass")
+      assert(!s.contains("documents"),
+        s"$q: the corpus scan must be behind the checkpoint")
+    }
+    // q362's top-20 must be a bounded TakeOrdered, not a global sort
+    val bp = plan("q362_bpe_merges")
+    bp.count()
+    assert(bp.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "q362 top-k must plan TakeOrderedAndProject")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     // Only the declared EXACT-baseline forms may cross-join; their
     // bucketed scale twins (q329-q331, and q266 since round 7) must
