@@ -7587,6 +7587,156 @@ object OracleSql {
         |    CROSS JOIN nn)
         |SELECT doc_id, CAST(max(nd) AS BIGINT) AS n_tokens,
         |  round(CAST(sum(term) AS DOUBLE), 6) + 0.0 AS kl
-        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q365_prefix_dup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    md5(array_to_string(tk[1:15], ' ')) AS ph,
+        |    md5(array_to_string(tk[-15:], ' ')) AS sh
+        |  FROM t WHERE len(tk) >= 15),
+        |pg AS (SELECT ph, count(*) AS c FROM f GROUP BY ph),
+        |l AS (SELECT a.doc_id AS ad, b.doc_id AS bd FROM f a JOIN f b
+        |  ON a.sh = b.ph AND a.doc_id <> b.doc_id),
+        |oc AS (SELECT ad, count(*) AS c FROM l GROUP BY ad),
+        |ic AS (SELECT bd, count(*) AS c FROM l GROUP BY bd)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(pg.c, 0) AS BIGINT) AS prefix_group_size,
+        |  CAST(coalesce(pg.c, 0) > 1 AS BIGINT) AS shares_prefix,
+        |  CAST(coalesce(oc.c, 0) AS BIGINT) AS cont_out,
+        |  CAST(coalesce(ic.c, 0) AS BIGINT) AS cont_in
+        |FROM documents d
+        |LEFT JOIN f ON d.doc_id = f.doc_id
+        |LEFT JOIN pg ON f.ph = pg.ph
+        |LEFT JOIN oc ON d.doc_id = oc.ad
+        |LEFT JOIN ic ON d.doc_id = ic.bd
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q366_heaps_law" ->
+      """WITH sig AS (SELECT source,
+        |    round(ln(CAST(len(tk) AS DOUBLE)), 12) AS x,
+        |    round(ln(CAST(len(list_distinct(tk)) AS DOUBLE)), 12) AS y
+        |  FROM (SELECT source, string_split(text, ' ') AS tk
+        |        FROM documents)
+        |  WHERE len(tk) >= 1),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    sum(round(x, 12)::DECIMAL(38,12)) AS sx,
+        |    sum(round(y, 12)::DECIMAL(38,12)) AS sy,
+        |    sum(round(x * y, 12)::DECIMAL(38,12)) AS sxy,
+        |    sum(round(x * x, 12)::DECIMAL(38,12)) AS sxx,
+        |    sum(round(y * y, 12)::DECIMAL(38,12)) AS syy
+        |  FROM sig GROUP BY source),
+        |d AS (SELECT source, n_docs,
+        |    CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS dx,
+        |    CAST(n_docs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS dy,
+        |    CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cv
+        |  FROM m)
+        |SELECT source, n_docs,
+        |  CASE WHEN dx > 0 THEN round(cv / dx, 6) END AS beta,
+        |  CASE WHEN dx > 0 AND dy > 0
+        |    THEN round(cv * cv / (dx * dy), 6) END AS r2,
+        |  CASE WHEN dx > 0 THEN round(power(10.0, cv / dx), 6) END
+        |    AS growth_10x
+        |FROM d ORDER BY source""".stripMargin,
+
+    "q367_selfrep" ->
+      """WITH tri AS (SELECT source, doc_id,
+        |    array_to_string(tk[i:i + 2], ' ') AS g
+        |  FROM (SELECT source, doc_id, string_split(text, ' ') AS tk
+        |        FROM documents),
+        |    unnest(range(1, len(tk) - 1)) AS r(i)
+        |  WHERE len(tk) >= 3),
+        |pd AS (SELECT source, g, doc_id, count(*) AS c FROM tri
+        |  GROUP BY 1, 2, 3),
+        |pt AS (SELECT source, g, count(*) AS nd, sum(c) AS occ
+        |  FROM pd GROUP BY 1, 2)
+        |SELECT source, CAST(sum(occ) AS BIGINT) AS n_trigram_occ,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_trigrams,
+        |  CAST((sum(CASE WHEN nd > 1 THEN occ ELSE 0 END) * 2000000
+        |    + sum(occ)) // (2 * sum(occ)) AS BIGINT) AS selfrep_ppm
+        |FROM pt GROUP BY source ORDER BY source""".stripMargin,
+
+    "q368_truncation_loss" ->
+      """WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+        |    AS n FROM documents),
+        |e AS (SELECT n.n AS n, CAST(c.cap AS BIGINT) AS cap FROM n,
+        |  (VALUES (16), (32), (64), (128), (256)) AS c(cap)),
+        |a AS (SELECT cap, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN n > cap THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS docs_truncated,
+        |    CAST(sum(least(n, cap)) AS BIGINT) AS tokens_kept,
+        |    CAST(sum(greatest(n - cap, 0)) AS BIGINT) AS tokens_lost
+        |  FROM e GROUP BY cap)
+        |SELECT cap, n_docs, docs_truncated, tokens_kept, tokens_lost,
+        |  CAST((tokens_lost * 2000000 + tokens_kept + tokens_lost)
+        |    // (2 * (tokens_kept + tokens_lost)) AS BIGINT) AS loss_ppm
+        |FROM a ORDER BY cap""".stripMargin,
+
+    "q369_isotropy" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS ed
+        |  FROM embeddings),
+        |w AS (SELECT label, ed,
+        |    sqrt(list_dot_product(ed, ed)) AS nrm FROM e
+        |  WHERE sqrt(list_dot_product(ed, ed)) > 0),
+        |st AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    sum(round(nrm, 12)::DECIMAL(38,12)) AS snrm
+        |  FROM w GROUP BY label),
+        |dv AS (SELECT label, unnest(list_transform(range(len(ed)),
+        |    i -> {'d': i, 'u': ed[i + 1] / nrm})) AS s FROM w),
+        |sd AS (SELECT label, s.d AS d,
+        |    sum(round(s.u, 12)::DECIMAL(38,12)) AS sd
+        |  FROM dv GROUP BY label, s.d),
+        |ss AS (SELECT label, sum(round(CAST(sd AS DOUBLE)
+        |    * CAST(sd AS DOUBLE), 12)::DECIMAL(38,12)) AS ss
+        |  FROM sd GROUP BY label)
+        |SELECT st.label, n_vecs,
+        |  round(CAST(snrm AS DOUBLE) / n_vecs, 6) AS mean_norm,
+        |  CASE WHEN n_vecs > 1 THEN
+        |    round((CAST(ss AS DOUBLE) - n_vecs)
+        |      / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6) + 0.0
+        |  END AS mean_pairwise_cos
+        |FROM st JOIN ss ON st.label = ss.label
+        |ORDER BY st.label""".stripMargin,
+
+    "q370_interleave" ->
+      """WITH b AS (SELECT doc_id, source AS s,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 8 AS INT) AS shard,
+        |    md5('o:' || CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        |r AS (SELECT shard, s, doc_id, ord,
+        |    CASE WHEN lag(s) OVER w IS NULL OR lag(s) OVER w <> s
+        |      THEN 1 ELSE 0 END AS chg
+        |  FROM b WINDOW w AS (PARTITION BY shard ORDER BY ord, doc_id)),
+        |r2 AS (SELECT shard, s, chg, sum(chg) OVER (PARTITION BY shard
+        |    ORDER BY ord, doc_id ROWS UNBOUNDED PRECEDING) AS rid
+        |  FROM r),
+        |rl AS (SELECT shard, rid, count(*) AS rl FROM r2
+        |  GROUP BY shard, rid),
+        |br AS (SELECT shard, CAST(count(*) AS BIGINT) AS runs,
+        |    CAST(max(rl) AS BIGINT) AS max_run FROM rl GROUP BY shard),
+        |sc AS (SELECT shard, s, count(*) AS c FROM b GROUP BY shard, s),
+        |cs AS (SELECT shard, CAST(sum(c) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_sources,
+        |    CAST(sum(c * c) AS BIGINT) AS c2 FROM sc GROUP BY shard)
+        |SELECT cs.shard, n_docs, n_sources, runs, max_run,
+        |  round(1.0 + (CAST(n_docs AS DOUBLE) - 1)
+        |    * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - c2)
+        |    / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6)
+        |    AS expected_runs,
+        |  CASE WHEN 1.0 + (CAST(n_docs AS DOUBLE) - 1)
+        |      * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - c2)
+        |      / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)) > 0
+        |    THEN round(CAST(runs AS DOUBLE)
+        |      / round(1.0 + (CAST(n_docs AS DOUBLE) - 1)
+        |        * (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE) - c2)
+        |        / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6),
+        |      6) END AS interleave_ratio
+        |FROM cs JOIN br ON cs.shard = br.shard
+        |ORDER BY cs.shard""".stripMargin
   )
 }

@@ -3912,7 +3912,47 @@ object SparkEntry {
     // diversity-aware selection signal).
     "q364_kl_novelty" -> ((s, d) =>
       TextOps.klNovelty(Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // L310 — prefix-family / continuation-link duplicate audit on
+    // 15-token boundary hashes (truncated variants + split crawls).
+    "q365_prefix_dup" -> ((s, d) =>
+      DedupOps.prefixSuffixDup(Tables.documents(s, d), "doc_id",
+          "text", 15)
+        .orderBy("doc_id")),
+
+    // L311 — Heaps'-law vocabulary-growth fit per source (β and the
+    // 10×-scale vocabulary multiplier).
+    "q366_heaps_law" -> ((s, d) =>
+      TextOps.heapsLaw(Tables.documents(s, d), "source", "text")
+        .orderBy("source")),
+
+    // L312 — cross-document self-repetition score per source (the
+    // synthetic-data mode-collapse audit).
+    "q367_selfrep" -> ((s, d) =>
+      TextOps.selfRepetition(Tables.documents(s, d), "source",
+          "doc_id", "text")
+        .orderBy("source")),
+
+    // L313 — context-length truncation-loss sweep (tokens lost per
+    // candidate cap, exact ppm).
+    "q368_truncation_loss" -> ((s, d) =>
+      TextOps.truncationLoss(Tables.documents(s, d), "text")
+        .orderBy("cap")),
+
+    // L314 — embedding isotropy audit per label: exact mean pairwise
+    // cosine via the centroid identity (no pair join).
+    "q369_isotropy" -> ((s, d) =>
+      SimilarityOps.isotropyAudit(Tables.embeddings(s, d),
+          "embedding", "label")
+        .orderBy("label")),
+
+    // L315 — per-shard training-order interleave audit (k-category
+    // runs vs the random-interleave expectation).
+    "q370_interleave" -> ((s, d) =>
+      MixtureOps.interleaveAudit(Tables.documents(s, d), "doc_id",
+          "source", 8)
+        .orderBy("shard"))
   )
 
   // ------------------------------------------------------------- oracles

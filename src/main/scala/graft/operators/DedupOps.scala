@@ -729,4 +729,53 @@ object DedupOps {
         expr("CAST((__sr * 2 + n_pairs) div (2 * n_pairs) AS DOUBLE)" +
           " / 1000000").as("mean_size_ratio"))
   }
+
+  /** Prefix/continuation duplicate audit: hashes the first and last
+    * `k` tokens of every (≥ k-token) document. Documents sharing a
+    * PREFIX hash are truncation/variant families (the same article
+    * cut at different lengths — whole-doc hashing misses every one);
+    * a document whose SUFFIX hash equals another document's prefix
+    * hash is a CONTINUATION link (one source document split across
+    * crawl records — training on both teaches the seam twice).
+    * Reports, per document: its prefix-family size, a shares-prefix
+    * flag, and its continuation in/out degrees; short documents keep
+    * zeros.
+    *
+    * Scale: one row-local hash pass (checkpointed once for its four
+    * consumers), one hash aggregation on the prefix hash, and one
+    * equi-join suffix-hash = prefix-hash — candidate volume is the
+    * boundary-hash collision load, never all pairs; the zero-fill is
+    * an id-spine left join.
+    */
+  def prefixSuffixDup(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 15): DataFrame = {
+    val t = df.withColumn("__t", split(col(textCol), " "))
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol),
+        md5(concat_ws(" ", slice(col("__t"), 1, k))).as("__ph"),
+        md5(concat_ws(" ", expr(s"slice(__t, -$k, $k)"))).as("__sh"))
+      // LAZY localCheckpoint: prefix census, both link sides, and the
+      // per-doc join-back all read the boundary-hash table.
+      .localCheckpoint(false)
+    val pg = t.groupBy(col("__ph")).agg(count(lit(1)).as("__pg"))
+    val links = t.select(col(idCol).as("__a"), col("__sh").as("__h"))
+      .join(t.select(col(idCol).as("__b"), col("__ph").as("__h")),
+        Seq("__h"))
+      .filter(col("__a") =!= col("__b"))
+    val outc = links.groupBy(col("__a").as(idCol))
+      .agg(count(lit(1)).as("__out"))
+    val inc = links.groupBy(col("__b").as(idCol))
+      .agg(count(lit(1)).as("__in"))
+    df.select(col(idCol))
+      .join(t.join(pg, Seq("__ph")).select(col(idCol), col("__pg")),
+        Seq(idCol), "left")
+      .join(outc, Seq(idCol), "left")
+      .join(inc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__pg"), lit(0L)).as("prefix_group_size"),
+        (coalesce(col("__pg"), lit(0L)) > 1).cast("long")
+          .as("shares_prefix"),
+        coalesce(col("__out"), lit(0L)).as("cont_out"),
+        coalesce(col("__in"), lit(0L)).as("cont_in"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-mixture construction for training corpora: given target source
@@ -234,5 +235,65 @@ object MixtureOps {
       .select(col("shard"), col("n_docs"), col("tokens"),
         expr("CAST((tokens * 2000000 + __tt) div (2 * __tt) AS BIGINT)")
           .as("share_ppm"))
+  }
+
+  /** Training-order interleave audit: documents are dealt to
+    * `nShards` shards by id hash and ordered inside each shard by an
+    * independent hash (the deterministic global shuffle a 100 TB
+    * write actually performs), then each shard's SOURCE sequence is
+    * scored for clumping — observed same-source runs against the
+    * expected run count 1 + (n−1)(1 − Σ(c_s/n)²) of a random
+    * interleave (the k-category Wald–Wolfowitz mean). A ratio well
+    * under 1, or a max run of hundreds, means consecutive batches
+    * train on one source — the gradient-staleness failure a shuffled
+    * mixture is supposed to prevent.
+    *
+    * Scale: the shard is the parallel unit — every window is keyed by
+    * it (never a global order), the run scan is one lag pass, and the
+    * run lengths re-aggregate from the change-flag cumulative sum.
+    * The hashed pass is checkpointed once for its three consumers.
+    */
+  def interleaveAudit(df: DataFrame, idCol: String, srcCol: String,
+                      nShards: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("__id"),
+        col(srcCol).as("__s"))
+      .withColumn("__shard",
+        (conv(substring(md5(col("__id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % nShards).cast("int"))
+      .withColumn("__ord",
+        md5(concat(lit("o:"), col("__id").cast("string"))))
+      // LAZY localCheckpoint: the run scan and the per-(shard, source)
+      // census both read the hashed pass.
+      .localCheckpoint(false)
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(col("__ord"), col("__id"))
+    val runs = base
+      .withColumn("__chg",
+        when(lag(col("__s"), 1).over(w).isNull ||
+          lag(col("__s"), 1).over(w) =!= col("__s"), 1L)
+          .otherwise(0L))
+      .withColumn("__rid", sum(col("__chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val byRun = runs.groupBy(col("__shard"), col("__rid"))
+      .agg(count(lit(1)).as("__rl"))
+      .groupBy(col("__shard"))
+      .agg(sum(lit(1L)).as("runs"), max(col("__rl")).as("max_run"))
+    val census = base.groupBy(col("__shard"), col("__s"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__shard"))
+      .agg(sum(col("__c")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        sum(col("__c") * col("__c")).as("__c2"))
+    census.join(byRun, Seq("__shard"))
+      .withColumn("__n", col("n_docs").cast("double"))
+      .withColumn("expected_runs", round(lit(1.0) +
+        (col("__n") - 1) * (col("__n") * col("__n") -
+          col("__c2")) / (col("__n") * col("__n")), 6))
+      .select(col("__shard").cast("int").as("shard"), col("n_docs"),
+        col("n_sources"), col("runs"), col("max_run"),
+        col("expected_runs"),
+        when(col("expected_runs") > 0,
+          round(col("runs").cast("double") / col("expected_runs"), 6))
+          .as("interleave_ratio"))
   }
 }

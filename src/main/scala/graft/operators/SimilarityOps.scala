@@ -764,4 +764,55 @@ object SimilarityOps {
         (coalesce(col("n_cand"), lit(0L)) < k ||
           col("kth_dist") > tau).cast("long").as("is_outlier"))
   }
+
+  /** Embedding isotropy audit per label: the EXACT mean pairwise
+    * cosine of a group's unit vectors without any pair join, via the
+    * centroid identity Σ_d(Σ_i u_id)² = n + Σ_{i≠j} uᵢ·uⱼ — so
+    * mean_pairwise_cos = (‖Σu‖² − n)/(n(n−1)). Anisotropic embedding
+    * spaces (mean cosine ≫ 0, Ethayarajh 2019) make every cosine
+    * threshold in the dedup/ANN stack mean less than it reads;
+    * this is the one-table audit that says whether 0.3 is "near" or
+    * "everything". Reports n, mean vector norm, and the mean cosine.
+    *
+    * Scale: the identity turns an O(n²) pair statistic into one
+    * posexplode + a (label, dim) hash aggregation — unit components
+    * snap to 12 dp and sum as DECIMAL(38,12) (order-free exact sums),
+    * the per-dim squares re-snap at 12 dp and sum over ≤dims rows.
+    * No pair of vectors ever meets; no vector crosses the wire whole
+    * after the explode.
+    */
+  def isotropyAudit(df: DataFrame, embCol: String,
+                    labelCol: String): DataFrame = {
+    graft.plans.GraftExtensions.register(df.sparkSession)
+    val base = df.select(col(labelCol).as("label"),
+        expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("__e"))
+      .withColumn("__nrm", sqrt(dot("__e", "__e")))
+      .filter(col("__nrm") > 0)
+      // LAZY localCheckpoint: the norm stats and the dim sums both
+      // read the normalized pass.
+      .localCheckpoint(false)
+    val stats = base.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("__nrm"), 12).cast("decimal(38,12)"))
+          .as("__snrm"))
+    val dims = base
+      .select(col("label"),
+        posexplode(expr("transform(__e, x -> x / __nrm)"))
+          .as(Seq("__d", "__u")))
+      .groupBy(col("label"), col("__d"))
+      .agg(sum(round(col("__u"), 12).cast("decimal(38,12)"))
+        .as("__sd"))
+      .groupBy(col("label"))
+      .agg(sum(round(col("__sd").cast("double") *
+          col("__sd").cast("double"), 12).cast("decimal(38,12)"))
+        .as("__ss"))
+    stats.join(dims, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        round(col("__snrm").cast("double") / col("n_vecs"), 6)
+          .as("mean_norm"),
+        when(col("n_vecs") > 1, MetricOps.normZero(round(
+          (col("__ss").cast("double") - col("n_vecs")) /
+            (col("n_vecs").cast("double") * (col("n_vecs") - 1)), 6)))
+          .as("mean_pairwise_cos"))
+  }
 }

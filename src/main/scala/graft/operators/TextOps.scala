@@ -1429,4 +1429,121 @@ object TextOps {
         MetricOps.normZero(round(col("__s").cast("double"), 6))
           .as("kl"))
   }
+
+  /** Heaps'-law vocabulary-growth fit per source: regress
+    * ln(distinct tokens) on ln(tokens) across the documents of a
+    * source (V = k·nᵝ ⇒ ln V = ln k + β ln n). β near 1 means every
+    * document brings fresh vocabulary; β collapsing toward 0 means
+    * the source repeats itself — and `growth_10x` = 10^β is the
+    * vocabulary multiplier to expect from 10× more data of this
+    * source, the number a 100 TB scale-up plan actually wants.
+    *
+    * Scale: the signals are row-local (one split per document), the
+    * fit is five moment sums per source — per-row terms snap to 12 dp
+    * and sum as DECIMAL(38,12) (the house OLS discipline), the closed
+    * form runs on |sources| rows. Degenerate sources (all documents
+    * the same length) yield null β.
+    */
+  def heapsLaw(df: DataFrame, srcCol: String,
+               textCol: String): DataFrame = {
+    def d12(c: Column): Column = round(c, 12).cast("decimal(38,12)")
+    val sig = df.withColumn("__tk", tokens(col(textCol)))
+      .filter(size(col("__tk")) >= 1)
+      .select(col(srcCol).as("source"),
+        round(log(size(col("__tk")).cast("double")), 12).as("__x"),
+        round(log(size(array_distinct(col("__tk"))).cast("double")),
+          12).as("__y"))
+    sig.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(d12(col("__x"))).as("__sx"),
+        sum(d12(col("__y"))).as("__sy"),
+        sum(d12(col("__x") * col("__y"))).as("__sxy"),
+        sum(d12(col("__x") * col("__x"))).as("__sxx"),
+        sum(d12(col("__y") * col("__y"))).as("__syy"))
+      .withColumn("__n", col("n_docs").cast("double"))
+      .withColumn("__dx", col("__n") * col("__sxx").cast("double") -
+        col("__sx").cast("double") * col("__sx").cast("double"))
+      .withColumn("__dy", col("__n") * col("__syy").cast("double") -
+        col("__sy").cast("double") * col("__sy").cast("double"))
+      .withColumn("__cv", col("__n") * col("__sxy").cast("double") -
+        col("__sx").cast("double") * col("__sy").cast("double"))
+      .withColumn("beta",
+        when(col("__dx") > 0, round(col("__cv") / col("__dx"), 6)))
+      .withColumn("r2", when(col("__dx") > 0 && col("__dy") > 0,
+        round(col("__cv") * col("__cv") / (col("__dx") * col("__dy")),
+          6)))
+      .withColumn("growth_10x", when(col("__dx") > 0,
+        round(pow(lit(10.0), col("__cv") / col("__dx")), 6)))
+      .select(col("source"), col("n_docs"), col("beta"), col("r2"),
+        col("growth_10x"))
+  }
+
+  /** Self-repetition score per source (the mode-collapse audit for
+    * synthetic / over-crawled data): the share of a source's trigram
+    * OCCURRENCES whose trigram also appears in at least one OTHER
+    * document of the same source. Natural text keeps most trigrams
+    * document-local; a generator stuck on its modes (or a crawler
+    * re-reading one template) pushes the share toward 1 long before
+    * whole documents collide — the cross-document counterpart of the
+    * within-document repetition gate.
+    *
+    * Scale: one trigram explode, then two stacked hash aggregations —
+    * (source, trigram, doc) occurrence counts, re-aggregated to
+    * (source, trigram) document spans — so the distinct-document count
+    * is exact without any count-distinct shuffle of raw positions.
+    * The score is an exact half-up integer ppm.
+    */
+  def selfRepetition(df: DataFrame, srcCol: String, idCol: String,
+                     textCol: String): DataFrame = {
+    val tri = df.withColumn("__t", tokens(col(textCol)))
+      .filter(size(col("__t")) >= 3)
+      .select(col(srcCol).as("source"), col(idCol).as("__id"),
+        explode(expr("transform(sequence(1, size(__t) - 2), " +
+          "i -> concat_ws(' ', slice(__t, i, 3)))")).as("__g"))
+    val perDoc = tri.groupBy(col("source"), col("__g"), col("__id"))
+      .agg(count(lit(1)).as("__c"))
+    val perTri = perDoc.groupBy(col("source"), col("__g"))
+      .agg(count(lit(1)).as("__nd"), sum(col("__c")).as("__occ"))
+    perTri.groupBy(col("source"))
+      .agg(sum(col("__occ")).as("n_trigram_occ"),
+        count(lit(1)).as("n_distinct_trigrams"),
+        sum(when(col("__nd") > 1, col("__occ")).otherwise(lit(0L)))
+          .as("__rep"))
+      .select(col("source"), col("n_trigram_occ"),
+        col("n_distinct_trigrams"),
+        expr("CAST((__rep * 2000000 + n_trigram_occ) div " +
+          "(2 * n_trigram_occ) AS BIGINT)").as("selfrep_ppm"))
+  }
+
+  /** Context-length truncation-loss sweep: for each candidate cap,
+    * exactly how many documents would be cut and what fraction of the
+    * corpus' tokens is lost — the table that picks a training context
+    * length (every token past the cap is paid for in storage and
+    * thrown away by the packer). Caps are token counts; loss is an
+    * exact half-up ppm of total tokens.
+    *
+    * Scale: the length signal is one row-local pass; the sweep
+    * explodes a constant |caps|-element array (bounded row growth)
+    * into one hash aggregation keyed by cap — |caps| output rows, no
+    * joins, no windows.
+    */
+  def truncationLoss(df: DataFrame, textCol: String,
+                     caps: Seq[Int] = Seq(16, 32, 64, 128, 256))
+      : DataFrame = {
+    val n = df.select(size(tokens(col(textCol))).cast("long").as("__n"))
+    n.select(col("__n"),
+        explode(typedLit(caps.map(_.toLong))).as("cap"))
+      .groupBy(col("cap"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("__n") > col("cap")).cast("long"))
+          .as("docs_truncated"),
+        sum(least(col("__n"), col("cap"))).as("tokens_kept"),
+        sum(greatest(col("__n") - col("cap"), lit(0L)))
+          .as("tokens_lost"))
+      .select(col("cap"), col("n_docs"), col("docs_truncated"),
+        col("tokens_kept"), col("tokens_lost"),
+        expr("CAST((tokens_lost * 2000000 + tokens_kept + tokens_lost)" +
+          " div (2 * (tokens_kept + tokens_lost)) AS BIGINT)")
+          .as("loss_ppm"))
+  }
 }

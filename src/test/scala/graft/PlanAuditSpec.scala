@@ -832,6 +832,50 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q362 top-k must plan TakeOrderedAndProject")
   }
 
+  test("q365-q370 family: checkpointed hash passes, keyed windows " +
+    "only, moment shapes windowless") {
+    // q365/q369: the boundary-hash / normalized pass is checkpointed
+    // once for its fan-out consumers; no window anywhere. q365's only
+    // base-table scan is the column-pruned id spine; q369's corpus
+    // scan is entirely behind the checkpoint.
+    for (q <- Seq("q365_prefix_dup", "q369_isotropy")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty, s"$q must not plan any window")
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("ExistingRDD"),
+        s"$q must read its checkpointed pass")
+    }
+    assert(!plan("q369_isotropy").queryExecution.executedPlan.toString
+      .contains("embeddings"),
+      "q369: the embeddings scan must be behind the checkpoint")
+    // pure aggregation shapes: no window, no join with the corpus
+    for (q <- Seq("q366_heaps_law", "q367_selfrep",
+        "q368_truncation_loss")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty, s"$q must not plan any window")
+    }
+    // q370: the run scan rides shard-keyed windows over the
+    // checkpointed hashed pass — never a global order
+    val il = plan("q370_interleave")
+    il.count()
+    val ilw = collectWithSubqueries(il.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(ilw.nonEmpty && ilw.forall(_.partitionSpec.nonEmpty),
+      "q370's run windows must be shard-partitioned")
+    val ils = il.queryExecution.executedPlan.toString
+    assert(ils.contains("ExistingRDD") && !ils.contains("documents"),
+      "q370 must read only the checkpointed hashed pass")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     // Only the declared EXACT-baseline forms may cross-join; their
     // bucketed scale twins (q329-q331, and q266 since round 7) must
