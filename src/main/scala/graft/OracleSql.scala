@@ -7737,6 +7737,168 @@ object OracleSql {
         |        / (CAST(n_docs AS DOUBLE) * CAST(n_docs AS DOUBLE)), 6),
         |      6) END AS interleave_ratio
         |FROM cs JOIN br ON cs.shard = br.shard
-        |ORDER BY cs.shard""".stripMargin
+        |ORDER BY cs.shard""".stripMargin,
+
+    "q371_shard_js" ->
+      """WITH tok AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id
+        |      AS VARCHAR)), 1, 8))::BIGINT % 8 AS INT) AS shard,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |st AS (SELECT shard, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT tok, sum(c) AS ct FROM st GROUP BY tok),
+        |ns AS (SELECT shard, sum(c) AS ns FROM st GROUP BY shard),
+        |nn AS (SELECT sum(ct) AS tn FROM ct),
+        |j AS (SELECT shard, ns, ct, tn,
+        |    CAST(c AS DOUBLE) / ns AS p, CAST(ct AS DOUBLE) / tn AS q
+        |  FROM st JOIN ct USING (tok) JOIN ns USING (shard)
+        |    CROSS JOIN nn),
+        |t2 AS (SELECT shard, ns, ct, tn, (p + q) / 2 AS m, p, q FROM j),
+        |t3 AS (SELECT shard, ns, ct, tn,
+        |    round((p * ln(p / m) + q * ln(q / m)) / 2, 12)
+        |      ::DECIMAL(38,12) AS term FROM t2),
+        |g AS (SELECT shard, CAST(max(ns) AS BIGINT) AS n_tokens,
+        |    sum(term) AS s, CAST(sum(ct) AS BIGINT) AS cp,
+        |    CAST(max(tn) AS BIGINT) AS nn2 FROM t3 GROUP BY shard)
+        |SELECT shard, n_tokens,
+        |  round(CAST(s + round(CAST(nn2 - cp AS DOUBLE) / nn2
+        |    * ln(2.0) / 2, 12)::DECIMAL(38,12) AS DOUBLE), 6) + 0.0
+        |    AS js_nats
+        |FROM g ORDER BY shard""".stripMargin,
+
+    "q372_dedup_policy" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |f AS (SELECT doc_id, md5(array_to_string(tk[1:15], ' ')) AS ph,
+        |    CAST(len(tk) AS BIGINT) AS n,
+        |    CAST(len(list_distinct(tk)) AS BIGINT) AS nd
+        |  FROM t WHERE len(tk) >= 15),
+        |r AS (SELECT ph, n,
+        |    row_number() OVER (PARTITION BY ph ORDER BY doc_id) AS rf,
+        |    row_number() OVER (PARTITION BY ph ORDER BY n DESC,
+        |      doc_id) AS rl,
+        |    row_number() OVER (PARTITION BY ph ORDER BY nd DESC,
+        |      doc_id) AS rd,
+        |    count(*) OVER (PARTITION BY ph) AS cnt,
+        |    sum(n) OVER (PARTITION BY ph) AS tot
+        |  FROM f),
+        |cl AS (SELECT ph, max(cnt) AS cnt, max(tot) AS tot,
+        |    max(CASE WHEN rf = 1 THEN n END) AS keep_first,
+        |    max(CASE WHEN rl = 1 THEN n END) AS keep_longest,
+        |    max(CASE WHEN rd = 1 THEN n END) AS keep_dist
+        |  FROM r GROUP BY ph HAVING max(cnt) >= 2),
+        |m AS (
+        |  SELECT 'keep_first' AS policy, keep_first AS kept, cnt, tot
+        |    FROM cl
+        |  UNION ALL SELECT 'keep_longest', keep_longest, cnt, tot
+        |    FROM cl
+        |  UNION ALL SELECT 'keep_most_distinct', keep_dist, cnt, tot
+        |    FROM cl)
+        |SELECT policy, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |  CAST(sum(kept) AS BIGINT) AS tokens_kept,
+        |  CAST(sum(tot - kept) AS BIGINT) AS tokens_dropped,
+        |  CAST((sum(kept) * 2000000 + sum(kept) + sum(tot - kept))
+        |    // (2 * (sum(kept) + sum(tot - kept))) AS BIGINT)
+        |    AS kept_ppm
+        |FROM m GROUP BY policy ORDER BY policy""".stripMargin,
+
+    "q373_burstiness" ->
+      """WITH tf AS (SELECT tok, doc_id, count(*) AS c FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |     FROM documents) GROUP BY tok, doc_id),
+        |st AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(c) AS BIGINT) AS occ,
+        |    CAST(sum(c * c) AS BIGINT) AS c2
+        |  FROM tf GROUP BY tok HAVING count(*) >= 5),
+        |nn AS (SELECT count(*) AS n FROM documents)
+        |SELECT term, df, occ,
+        |  round(CAST(occ AS DOUBLE) / df, 6) AS burst,
+        |  round((CAST(c2 AS DOUBLE) / n
+        |    - (CAST(occ AS DOUBLE) / n) * (CAST(occ AS DOUBLE) / n))
+        |    / (CAST(occ AS DOUBLE) / n), 6) AS vmr
+        |FROM st CROSS JOIN nn ORDER BY term""".stripMargin,
+
+    "q374_vocab_overlap" ->
+      """WITH u AS (SELECT source AS s,
+        |    unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents),
+        |v AS (SELECT DISTINCT s, t FROM u),
+        |sz AS (SELECT s, CAST(count(*) AS BIGINT) AS v FROM v
+        |  GROUP BY s),
+        |p AS (SELECT a.s AS sa, b.s AS sb, CAST(count(*) AS BIGINT)
+        |    AS inter
+        |  FROM v a JOIN v b ON a.t = b.t AND a.s < b.s GROUP BY 1, 2)
+        |SELECT sa AS source_a, sb AS source_b, va.v AS v_a,
+        |  vb.v AS v_b, inter,
+        |  CAST((inter * 2000000 + va.v + vb.v - inter)
+        |    // (2 * (va.v + vb.v - inter)) AS BIGINT) AS jaccard_ppm
+        |FROM p JOIN sz va ON p.sa = va.s JOIN sz vb ON p.sb = vb.s
+        |ORDER BY source_a, source_b""".stripMargin,
+
+    "q375_topic_lang_grid" -> {
+      val profs = Map(
+        "sql" -> Seq("join", "filter", "group", "query", "sort", "agg"),
+        "infra" -> Seq("spark", "stream", "batch", "hash", "merge", "scan"),
+        "data" -> Seq("data", "row", "column", "table", "value", "vector"))
+      val scores = Seq("sql", "infra", "data").map(p =>
+        s"CAST(len(list_filter(tk, x -> list_contains(${profileList(profs(p))}, x))) AS BIGINT) AS score_$p")
+        .mkString(", ")
+      s"""WITH t AS (SELECT lang, string_split(text, ' ') AS tk
+         |  FROM documents),
+         |sc AS (SELECT lang, $scores FROM t),
+         |p AS (SELECT lang,
+         |  CASE WHEN score_sql >= score_infra AND score_sql >= score_data
+         |         THEN 'sql'
+         |       WHEN score_infra >= score_data THEN 'infra'
+         |       ELSE 'data' END AS lang_pred FROM sc),
+         |g AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT)
+         |    AS n_docs FROM p GROUP BY lang, lang_pred),
+         |tt AS (SELECT lang, sum(n_docs) AS t FROM g GROUP BY lang)
+         |SELECT g.lang, lang_pred, n_docs,
+         |  CAST((n_docs * 2000000 + t) // (2 * t) AS BIGINT)
+         |    AS share_ppm
+         |FROM g JOIN tt ON g.lang = tt.lang
+         |ORDER BY g.lang, lang_pred""".stripMargin
+    },
+
+    "q376_gopher_ablation" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(length(text) - (len(string_split(text, ' ')) - 1)
+        |      AS BIGINT) AS ch
+        |  FROM documents),
+        |m0 AS (SELECT doc_id, n, ch,
+        |  CAST(list_aggregate(list_transform(list_distinct(tk),
+        |    w -> len(list_filter(tk, x -> x = w))), 'max') AS BIGINT)
+        |    AS maxc,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS nd,
+        |  CAST(len(list_filter(tk, x -> list_contains(['the', 'a'], x)))
+        |    AS BIGINT) AS nstop
+        |  FROM t),
+        |fl AS (SELECT doc_id, n,
+        |  CAST(n < 30 OR n > 80 AS BIGINT) AS f1,
+        |  CAST(ch * 2 < n * 7 OR ch * 2 > n * 12 AS BIGINT) AS f2,
+        |  CAST(maxc * 5 > n AS BIGINT) AS f3,
+        |  CAST(nstop = 0 AS BIGINT) AS f4,
+        |  CAST(nd * 5 < n * 2 AS BIGINT) AS f5
+        |  FROM m0),
+        |m AS (SELECT n, f1, f2, f3, f4, f5,
+        |  f1 + f2 + f3 + f4 + f5 AS tot FROM fl),
+        |tt AS (SELECT sum(n) AS tt FROM m),
+        |mm AS (
+        |  SELECT 'word_count' AS rule, f1 AS flag, n, tot FROM m
+        |  UNION ALL SELECT 'mean_word_len', f2, n, tot FROM m
+        |  UNION ALL SELECT 'top_word_share', f3, n, tot FROM m
+        |  UNION ALL SELECT 'no_stopword', f4, n, tot FROM m
+        |  UNION ALL SELECT 'distinct_ratio', f5, n, tot FROM m)
+        |SELECT rule, CAST(sum(flag) AS BIGINT) AS docs_fail,
+        |  CAST(sum(CASE WHEN flag = 1 AND tot = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS docs_fail_solo,
+        |  CAST(sum(n * flag) AS BIGINT) AS tokens_lost_any,
+        |  CAST(sum(CASE WHEN flag = 1 AND tot = 1 THEN n ELSE 0 END)
+        |    AS BIGINT) AS tokens_lost_solo,
+        |  CAST((sum(n * flag) * 2000000 + tt) // (2 * tt) AS BIGINT)
+        |    AS lost_any_ppm
+        |FROM mm CROSS JOIN tt GROUP BY rule, tt
+        |ORDER BY rule""".stripMargin
   )
 }

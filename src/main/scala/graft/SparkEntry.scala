@@ -3952,7 +3952,48 @@ object SparkEntry {
     "q370_interleave" -> ((s, d) =>
       MixtureOps.interleaveAudit(Tables.documents(s, d), "doc_id",
           "source", 8)
-        .orderBy("shard"))
+        .orderBy("shard")),
+
+    // L316 — per-shard unigram JS divergence vs the corpus (shard
+    // CONTENT homogeneity; absent-token tail in closed form).
+    "q371_shard_js" -> ((s, d) =>
+      MixtureOps.shardJsAudit(Tables.documents(s, d), "doc_id",
+          "text", 8)
+        .orderBy("shard")),
+
+    // L317 — dedup survivor-policy price comparison over 15-token
+    // prefix families (keep-first / longest / most-distinct).
+    "q372_dedup_policy" -> ((s, d) =>
+      DedupOps.dedupPolicyCompare(Tables.documents(s, d), "doc_id",
+          "text", 15)
+        .orderBy("policy")),
+
+    // L318 — term burstiness table (Church–Gale): conditional mean +
+    // variance-to-mean ratio per df≥5 term.
+    "q373_burstiness" -> ((s, d) =>
+      TextOps.termBurstiness(Tables.documents(s, d), "doc_id",
+          "text", 5)
+        .orderBy("term")),
+
+    // L319 — source-pair vocabulary Jaccard matrix (register-level
+    // overlap; the vocab twin of q359's passage flow).
+    "q374_vocab_overlap" -> ((s, d) =>
+      TextOps.vocabOverlap(Tables.documents(s, d), "source", "text")
+        .orderBy("source_a", "source_b")),
+
+    // L320 — topic × language composition grid with per-language row
+    // shares (coverage audit).
+    "q375_topic_lang_grid" -> ((s, d) =>
+      TextOps.topicLangGrid(Tables.documents(s, d), "lang", "doc_id",
+          "text", LANG_PROFILES)
+        .orderBy("lang", "lang_pred")),
+
+    // L321 — Gopher-rule ablation: solo vs gross doc/token loss per
+    // quality rule (filter-stack tuning table).
+    "q376_gopher_ablation" -> ((s, d) =>
+      TextOps.gopherAblation(Tables.documents(s, d), "doc_id", "text",
+          STOPWORDS)
+        .orderBy("rule"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -778,4 +778,55 @@ object DedupOps {
         coalesce(col("__out"), lit(0L)).as("cont_out"),
         coalesce(col("__in"), lit(0L)).as("cont_in"))
   }
+
+  /** Dedup survivor-policy comparison over prefix families (clusters
+    * of ≥2 documents sharing their first `k` tokens — the truncated-
+    * variant families where, unlike exact-dup clusters, members
+    * actually DIFFER): for keep-first (smallest id — the usual "first
+    * crawl wins"), keep-longest, and keep-most-distinct-tokens, the
+    * tokens a dedup pass would retain vs drop. Exact-dup dedup is
+    * policy-insensitive; prefix-family dedup is NOT, and this is the
+    * table that prices the choice before a 100 TB pass commits to
+    * one.
+    *
+    * Scale: one row-local signal pass, one hash aggregation per
+    * cluster — each policy's survivor is an arg-extreme via struct
+    * min/max (id tie-breaks pinned; never a window, never a self-
+    * join), then a constant 3-way melt onto |policies| rows.
+    */
+  def dedupPolicyCompare(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 15): DataFrame = {
+    val t = df.withColumn("__t", split(col(textCol), " "))
+      .filter(size(col("__t")) >= k)
+      .select(col(idCol).as("__id"),
+        md5(concat_ws(" ", slice(col("__t"), 1, k))).as("__ph"),
+        size(col("__t")).cast("long").as("__n"),
+        size(array_distinct(col("__t"))).cast("long").as("__nd"))
+    val cl = t.groupBy(col("__ph"))
+      .agg(count(lit(1)).as("__cnt"), sum(col("__n")).as("__tot"),
+        min(struct(col("__id"), col("__n").as("__fn"))).as("__first"),
+        max(struct(col("__n"), (-col("__id")).as("__neg")))
+          .as("__long"),
+        max(struct(col("__nd"), (-col("__id")).as("__neg"),
+          col("__n").as("__dn"))).as("__dist"))
+      .filter(col("__cnt") >= 2)
+    cl.select(col("__cnt"), col("__tot"), explode(array(
+        struct(lit("keep_first").as("policy"),
+          col("__first").getField("__fn").as("kept")),
+        struct(lit("keep_longest").as("policy"),
+          col("__long").getField("__n").as("kept")),
+        struct(lit("keep_most_distinct").as("policy"),
+          col("__dist").getField("__dn").as("kept")))).as("__e"))
+      .select(col("__e.policy").as("policy"),
+        col("__e.kept").as("__kept"), col("__cnt"), col("__tot"))
+      .groupBy(col("policy"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("__cnt")).as("n_docs"),
+        sum(col("__kept")).as("tokens_kept"),
+        sum(col("__tot") - col("__kept")).as("tokens_dropped"))
+      .select(col("policy"), col("n_clusters"), col("n_docs"),
+        col("tokens_kept"), col("tokens_dropped"),
+        expr("CAST((tokens_kept * 2000000 + tokens_kept + " +
+          "tokens_dropped) div (2 * (tokens_kept + tokens_dropped)) " +
+          "AS BIGINT)").as("kept_ppm"))
+  }
 }

@@ -296,4 +296,55 @@ object MixtureOps {
           round(col("runs").cast("double") / col("expected_runs"), 6))
           .as("interleave_ratio"))
   }
+
+  /** Per-shard token-distribution homogeneity: Jensen–Shannon
+    * divergence (nats) between each hash-shard's unigram distribution
+    * and the full corpus — the write-validation twin of the interleave
+    * audit (that one checks ORDER inside a shard; this one checks that
+    * every shard CONTAINS the same corpus). A healthy hash shard sits
+    * within sampling noise of 0; a shard writer that accidentally
+    * routes by source or time shows up as an outlier row.
+    *
+    * Scale: one token explode into a (shard, token) hash aggregation
+    * (checkpointed once), corpus marginals by re-aggregation, and the
+    * JS sum runs over PRESENT (shard, token) pairs only — the entire
+    * absent-token tail collapses to the closed form (ln2/2)·(N−C_s)/N
+    * where C_s is the corpus mass of the shard's present tokens, so no
+    * vocab×shards grid is ever materialized. Terms snap to 12 dp and
+    * sum as DECIMAL(38,12).
+    */
+  def shardJsAudit(df: DataFrame, idCol: String, textCol: String,
+                   nShards: Int = 8): DataFrame = {
+    val st = df.select(
+        (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") % nShards).cast("int").as("shard"),
+        explode(split(col(textCol), " ")).as("__tok"))
+      .groupBy(col("shard"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      // LAZY localCheckpoint: corpus marginals, shard totals, and the
+      // JS join all read the (shard, token) counts.
+      .localCheckpoint(false)
+    val ct = st.groupBy(col("__tok")).agg(sum(col("__c")).as("__ct"))
+    val ns = st.groupBy(col("shard")).agg(sum(col("__c")).as("__ns"))
+    val nn = ct.agg(sum(col("__ct")).as("__tn"))
+    st.join(ct, Seq("__tok"))
+      .join(broadcast(ns), Seq("shard"))
+      .crossJoin(broadcast(nn))
+      .withColumn("__p", col("__c").cast("double") / col("__ns"))
+      .withColumn("__q", col("__ct").cast("double") / col("__tn"))
+      .withColumn("__m", (col("__p") + col("__q")) / 2)
+      .withColumn("__term", round(
+        (col("__p") * log(col("__p") / col("__m")) +
+          col("__q") * log(col("__q") / col("__m"))) / 2, 12)
+        .cast("decimal(38,12)"))
+      .groupBy(col("shard"))
+      .agg(max(col("__ns")).as("n_tokens"), sum(col("__term")).as("__s"),
+        sum(col("__ct")).as("__cp"), max(col("__tn")).as("__nn2"))
+      .withColumn("__corr", round(
+        (col("__nn2") - col("__cp")).cast("double") / col("__nn2") *
+          log(lit(2.0)) / 2, 12).cast("decimal(38,12)"))
+      .select(col("shard"), col("n_tokens"),
+        MetricOps.normZero(round(
+          (col("__s") + col("__corr")).cast("double"), 6)).as("js_nats"))
+  }
 }

@@ -54,9 +54,11 @@ object TextOps {
     * Profiles are engine configuration, not data.
     */
   def langId(df: DataFrame, idCol: String, textCol: String,
-             profiles: Seq[(String, Seq[String])]): DataFrame = {
+             profiles: Seq[(String, Seq[String])],
+             keep: Seq[String] = Nil): DataFrame = {
     val t = tokens(col(textCol))
-    val scored = profiles.foldLeft(df.select(col(idCol), t.as("__t"))) {
+    val scored = profiles.foldLeft(
+      df.select(col(idCol) +: keep.map(col) :+ t.as("__t"): _*)) {
       case (d, (name, marks)) =>
         d.withColumn(s"score_$name",
           size(expr(s"filter(__t, x -> array_contains(array(${marks.map(sqlStr).mkString(",")}), x))")).cast("long"))
@@ -933,7 +935,17 @@ object TextOps {
     * are megabyte-scale.
     */
   def gopherFlags(df: DataFrame, idCol: String, textCol: String,
-                  stopwords: Seq[String]): DataFrame = {
+                  stopwords: Seq[String]): DataFrame =
+    gopherSignals(df, idCol, textCol, stopwords).drop("__n")
+
+  /** The row-local Gopher signal pass shared by [[gopherFlags]] and
+    * [[gopherAblation]]: the five rule flags plus the document's token
+    * count (kept as `__n` so the ablation can attribute token loss
+    * without a second corpus scan).
+    */
+  private def gopherSignals(df: DataFrame, idCol: String,
+                            textCol: String,
+                            stopwords: Seq[String]): DataFrame = {
     df.withColumn("__tk", split(col(textCol), " "))
       .withColumn("__n", size(col("__tk")).cast("long"))
       .withColumn("__ch",
@@ -945,7 +957,7 @@ object TextOps {
         size(array_distinct(col("__tk"))).cast("long"))
       .withColumn("__nstop", size(filter(col("__tk"),
         x => array_contains(typedLit(stopwords), x))).cast("long"))
-      .select(col(idCol),
+      .select(col(idCol), col("__n"),
         (col("__n") < 30 || col("__n") > 80).cast("long")
           .as("f_word_count"),
         (col("__ch") * 2 < col("__n") * 7 ||
@@ -1545,5 +1557,148 @@ object TextOps {
         expr("CAST((tokens_lost * 2000000 + tokens_kept + tokens_lost)" +
           " div (2 * (tokens_kept + tokens_lost)) AS BIGINT)")
           .as("loss_ppm"))
+  }
+
+  /** Term burstiness table (Church & Gale): for every term with
+    * document frequency ≥ `minDf`, the conditional mean count per
+    * CONTAINING document (burst = occ/df — "once a document uses the
+    * term, how hard") and the variance-to-mean ratio over ALL
+    * documents (VMR 1 = Poisson scatter; VMR ≫ 1 = the term lives in
+    * template/boilerplate pockets). High-burst terms are what
+    * boilerplate removal and stopword lists should be built FROM,
+    * rather than guessed.
+    *
+    * Scale: one token explode into a (term, doc) hash aggregation,
+    * re-aggregated to per-term moments — the classic two-level count
+    * that never shuffles raw positions; the doc total is a 1-row
+    * broadcast. Exact integer moments; two double divisions at 6 dp
+    * per term at the very end.
+    */
+  def termBurstiness(df: DataFrame, idCol: String, textCol: String,
+                     minDf: Int = 5): DataFrame = {
+    val tf = df.select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col("__id"))
+      .agg(count(lit(1)).as("__c"))
+    val stats = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("__c")).as("occ"),
+        sum(col("__c") * col("__c")).as("__c2"))
+      .filter(col("df") >= minDf)
+    stats.crossJoin(broadcast(df.agg(count(lit(1)).as("__N"))))
+      .withColumn("burst", round(col("occ").cast("double") /
+        col("df"), 6))
+      .withColumn("__mu", col("occ").cast("double") / col("__N"))
+      .withColumn("vmr", round((col("__c2").cast("double") /
+          col("__N") - col("__mu") * col("__mu")) / col("__mu"), 6))
+      .select(col("term"), col("df"), col("occ"), col("burst"),
+        col("vmr"))
+  }
+
+  /** Source-pair vocabulary overlap: Jaccard similarity of the
+    * DISTINCT-token sets of every source pair — the vocabulary-level
+    * companion to the passage-level duplicate-flow matrix (two
+    * sources can share no passages yet be the same register, or share
+    * passages across disjoint vocabularies). Pairs with an empty
+    * intersection are absent (their Jaccard is 0).
+    *
+    * Scale: the unit is the (source, token) DISTINCT pair — one
+    * row-local per-doc dedup, one distinct shuffle, checkpointed once
+    * — and the pair stage is an equi-join on the token, so candidate
+    * volume is Σ_t (sources carrying t)², bounded by |vocab|·S², never
+    * doc-quadratic. Sizes broadcast back; Jaccard is an exact half-up
+    * integer ppm.
+    */
+  def vocabOverlap(df: DataFrame, srcCol: String,
+                   textCol: String): DataFrame = {
+    val v = df.select(col(srcCol).as("__s"),
+        explode(array_distinct(tokens(col(textCol)))).as("__t"))
+      .distinct()
+      // LAZY localCheckpoint: vocab sizes and both pair sides read
+      // the distinct (source, token) table.
+      .localCheckpoint(false)
+    val sz = v.groupBy(col("__s")).agg(count(lit(1)).as("__v"))
+    v.select(col("__t"), col("__s").as("source_a"))
+      .join(v.select(col("__t"), col("__s").as("source_b")),
+        Seq("__t"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sz.select(col("__s").as("source_a"),
+        col("__v").as("v_a"))), Seq("source_a"))
+      .join(broadcast(sz.select(col("__s").as("source_b"),
+        col("__v").as("v_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("v_a"), col("v_b"),
+        col("inter"),
+        expr("CAST((inter * 2000000 + v_a + v_b - inter) div " +
+          "(2 * (v_a + v_b - inter)) AS BIGINT)").as("jaccard_ppm"))
+  }
+
+  /** Topic × language composition grid: the heuristic topic of
+    * [[langId]] crossed with the labeled language — per (lang,
+    * predicted-topic) cell the document count and its exact ppm share
+    * of the language's row. The curation coverage table: a language
+    * whose topic profile diverges from the corpus' is under- or
+    * over-supplied in some domain, which a per-language-only or
+    * per-topic-only count cannot see.
+    *
+    * Scale: the topic signal is row-local (carried through [[langId]]
+    * with the language column kept — no join back to the corpus), the
+    * grid is one hash aggregation on ≤ |langs|·|topics| keys, and row
+    * totals broadcast back.
+    */
+  def topicLangGrid(df: DataFrame, langCol: String, idCol: String,
+                    textCol: String,
+                    profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val pred = langId(df, idCol, textCol, profiles,
+      keep = Seq(langCol))
+    val g = pred.groupBy(col(langCol).as("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = g.groupBy(col("lang")).agg(sum(col("n_docs")).as("__t"))
+    g.join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("lang_pred"), col("n_docs"),
+        expr("CAST((n_docs * 2000000 + __t) div (2 * __t) AS BIGINT)")
+          .as("share_ppm"))
+  }
+
+  /** Gopher-rule ablation: for each of the five quality rules, what it
+    * removes ALONE (docs/tokens failing only that rule — its marginal
+    * contribution) versus at all (its gross reach). The table that
+    * tunes a filter stack: a rule with large gross reach but near-zero
+    * solo loss is redundant with the others; a rule carrying a large
+    * solo loss is the one to re-threshold before shipping.
+    *
+    * Scale: one row-local signal pass (the same five flags as
+    * [[gopherFlags]], checkpointed once for the total and the melt), a
+    * constant 5-way `stack` melt, and one hash aggregation on the rule
+    * name. Loss shares are exact half-up integer ppm of total tokens.
+    */
+  def gopherAblation(df: DataFrame, idCol: String, textCol: String,
+                     stopwords: Seq[String]): DataFrame = {
+    val s = gopherSignals(df, idCol, textCol, stopwords)
+      .withColumn("__tot", col("f_word_count") + col("f_mean_word_len")
+        + col("f_top_word_share") + col("f_no_stopword")
+        + col("f_distinct_ratio"))
+      // LAZY localCheckpoint: the corpus token total and the melt
+      // both read the flag pass.
+      .localCheckpoint(false)
+    val tot = s.agg(sum(col("__n")).as("__tt"))
+    s.select(col("__n"), col("__tot"), expr(
+        "stack(5, 'word_count', f_word_count, " +
+          "'mean_word_len', f_mean_word_len, " +
+          "'top_word_share', f_top_word_share, " +
+          "'no_stopword', f_no_stopword, " +
+          "'distinct_ratio', f_distinct_ratio) AS (rule, flag)"))
+      .groupBy(col("rule"))
+      .agg(sum(col("flag")).as("docs_fail"),
+        sum(when(col("flag") === 1 && col("__tot") === 1, 1L)
+          .otherwise(0L)).as("docs_fail_solo"),
+        sum(col("__n") * col("flag")).as("tokens_lost_any"),
+        sum(when(col("flag") === 1 && col("__tot") === 1, col("__n"))
+          .otherwise(0L)).as("tokens_lost_solo"))
+      .crossJoin(broadcast(tot))
+      .select(col("rule"), col("docs_fail"), col("docs_fail_solo"),
+        col("tokens_lost_any"), col("tokens_lost_solo"),
+        expr("CAST((tokens_lost_any * 2000000 + __tt) div (2 * __tt)" +
+          " AS BIGINT)").as("lost_any_ppm"))
   }
 }

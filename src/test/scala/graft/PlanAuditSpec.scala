@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SortExec
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Physical-plan contracts at sf0.001 — the properties that make these
@@ -874,6 +874,45 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val ils = il.queryExecution.executedPlan.toString
     assert(ils.contains("ExistingRDD") && !ils.contains("documents"),
       "q370 must read only the checkpointed hashed pass")
+  }
+
+  test("q371-q376 family: windowless everywhere, checkpointed " +
+    "fan-out passes, broadcast side tables") {
+    // none of the six plans a window (the dedup-policy arg-extremes
+    // are struct min/max, the JS absent-tail is closed-form)
+    for (q <- Seq("q371_shard_js", "q372_dedup_policy",
+        "q373_burstiness", "q374_vocab_overlap",
+        "q375_topic_lang_grid", "q376_gopher_ablation")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty, s"$q must not plan any window")
+    }
+    // the (shard, token) / (source, token) / flag passes are
+    // checkpointed once; the corpus never re-scans past them
+    for (q <- Seq("q371_shard_js", "q374_vocab_overlap",
+        "q376_gopher_ablation")) {
+      val df = plan(q)
+      df.count()
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("ExistingRDD"),
+        s"$q must read its checkpointed pass")
+      assert(!s.contains("documents"),
+        s"$q: the corpus scan must be behind the checkpoint")
+    }
+    // small side tables ride broadcast joins: q371's shard totals,
+    // q373's doc count, q376's token total
+    for (q <- Seq("q371_shard_js", "q373_burstiness",
+        "q376_gopher_ablation")) {
+      val df = plan(q)
+      df.count()
+      assert(collectWithSubqueries(df.queryExecution.executedPlan) {
+        case b: BroadcastHashJoinExec => b
+        case n: BroadcastNestedLoopJoinExec => n
+      }.nonEmpty, s"$q's scalar/side tables must broadcast")
+    }
   }
 
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
