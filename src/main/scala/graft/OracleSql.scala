@@ -7899,6 +7899,172 @@ object OracleSql {
         |  CAST((sum(n * flag) * 2000000 + tt) // (2 * tt) AS BIGINT)
         |    AS lost_any_ppm
         |FROM mm CROSS JOIN tt GROUP BY rule, tt
-        |ORDER BY rule""".stripMargin
+        |ORDER BY rule""".stripMargin,
+
+    "q377_source_js" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' '))
+        |    AS tok FROM documents),
+        |st AS (SELECT source, tok, count(*) AS c FROM tok
+        |  GROUP BY 1, 2),
+        |ct AS (SELECT tok, sum(c) AS ct FROM st GROUP BY tok),
+        |ns AS (SELECT source, sum(c) AS ns FROM st GROUP BY source),
+        |nn AS (SELECT sum(ct) AS tn FROM ct),
+        |j AS (SELECT source, ns, ct, tn,
+        |    CAST(c AS DOUBLE) / ns AS p, CAST(ct AS DOUBLE) / tn AS q
+        |  FROM st JOIN ct USING (tok) JOIN ns USING (source)
+        |    CROSS JOIN nn),
+        |t2 AS (SELECT source, ns, ct, tn, (p + q) / 2 AS m, p, q
+        |  FROM j),
+        |t3 AS (SELECT source, ns, ct, tn,
+        |    round((p * ln(p / m) + q * ln(q / m)) / 2, 12)
+        |      ::DECIMAL(38,12) AS term FROM t2),
+        |g AS (SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+        |    sum(term) AS s, CAST(sum(ct) AS BIGINT) AS cp,
+        |    CAST(max(tn) AS BIGINT) AS nn2 FROM t3 GROUP BY source)
+        |SELECT source, n_tokens,
+        |  round(CAST(s + round(CAST(nn2 - cp AS DOUBLE) / nn2
+        |    * ln(2.0) / 2, 12)::DECIMAL(38,12) AS DOUBLE), 6) + 0.0
+        |    AS js_nats
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q378_quality_length_grid" ->
+      """WITH base AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS l,
+        |    round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+        |      AS dr
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |        FROM documents) WHERE len(tk) >= 1),
+        |nn AS (SELECT count(*) AS n FROM base),
+        |dl AS (SELECT doc_id, ((row_number() OVER (ORDER BY
+        |    round(CAST(l AS DOUBLE), 6), doc_id) - 1) * 10) // n
+        |    AS len_decile FROM base CROSS JOIN nn),
+        |dq AS (SELECT doc_id, ((row_number() OVER (ORDER BY
+        |    round(dr, 6), doc_id) - 1) * 10) // n
+        |    AS q_decile FROM base CROSS JOIN nn),
+        |g AS (SELECT len_decile, q_decile, CAST(count(*) AS BIGINT)
+        |    AS n_docs FROM dl JOIN dq USING (doc_id) GROUP BY 1, 2),
+        |rt AS (SELECT len_decile, sum(n_docs) AS rt FROM g
+        |  GROUP BY len_decile),
+        |ct AS (SELECT q_decile, sum(n_docs) AS ct FROM g
+        |  GROUP BY q_decile)
+        |SELECT len_decile, q_decile, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) * n
+        |    / (CAST(rt AS DOUBLE) * ct), 6) AS lift
+        |FROM g JOIN rt USING (len_decile) JOIN ct USING (q_decile)
+        |  CROSS JOIN nn
+        |ORDER BY len_decile, q_decile""".stripMargin,
+
+    "q379_dedup_savings" ->
+      """WITH t AS (SELECT doc_id, source, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |cl AS (SELECT h, min(n) AS tg, arg_min(source, doc_id) AS ssrc
+        |  FROM t GROUP BY h),
+        |cs AS (SELECT h, source, count(*) AS c FROM t GROUP BY 1, 2),
+        |j AS (SELECT cs.source AS source, c, tg, ssrc
+        |  FROM cs JOIN cl USING (h))
+        |SELECT source, CAST(sum(c * tg) AS BIGINT) AS tokens_raw,
+        |  CAST(sum((c - 1) * tg) AS BIGINT) AS dup_tokens_within,
+        |  CAST(sum((c - CASE WHEN source = ssrc THEN 1 ELSE 0 END)
+        |      * tg) - sum((c - 1) * tg) AS BIGINT)
+        |    AS dup_tokens_cross_extra,
+        |  CAST((sum((c - CASE WHEN source = ssrc THEN 1 ELSE 0 END)
+        |      * tg) * 2000000 + sum(c * tg)) // (2 * sum(c * tg))
+        |    AS BIGINT) AS savings_ppm
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    "q380_corpus_delta" ->
+      """WITH u AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      / CAST(4294967296 AS DOUBLE) AS mem
+        |  FROM documents),
+        |o AS (SELECT doc_id, source AS so, n AS no FROM u
+        |  WHERE mem < 0.9),
+        |nw AS (SELECT doc_id, source AS sn, n AS nn FROM u
+        |  WHERE mem >= 0.1),
+        |f AS (SELECT coalesce(nw.sn, o.so) AS source, o.so, nw.sn,
+        |    o.no, nw.nn
+        |  FROM o FULL JOIN nw USING (doc_id))
+        |SELECT source,
+        |  CAST(sum(CASE WHEN so IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_added,
+        |  CAST(sum(CASE WHEN sn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_removed,
+        |  CAST(sum(CASE WHEN so IS NOT NULL AND sn IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_common,
+        |  CAST(sum(CASE WHEN so IS NULL THEN nn ELSE 0 END) AS BIGINT)
+        |    AS tokens_added,
+        |  CAST(sum(CASE WHEN sn IS NULL THEN no ELSE 0 END) AS BIGINT)
+        |    AS tokens_removed
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "q381_semdedup_sweep" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb))
+        |    AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |dv AS (SELECT bucket, unnest(list_transform(range(len(emb)),
+        |    i -> {'dim': i, 'v': emb[i + 1]})) AS s FROM n),
+        |cd AS (SELECT bucket, s.dim AS dim, round(avg(s.v), 6) AS c
+        |  FROM dv GROUP BY bucket, s.dim),
+        |cent AS (SELECT bucket, list(c ORDER BY dim) AS cent
+        |  FROM cd GROUP BY bucket),
+        |j AS (SELECT vec_id, n.bucket AS bucket, emb, nrm,
+        |  list_dot_product(emb, cent)
+        |    / (nrm * sqrt(list_dot_product(cent, cent))) AS s2c
+        |  FROM n JOIN cent ON n.bucket = cent.bucket),
+        |m AS (SELECT a.vec_id AS vec_id,
+        |    max(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm))
+        |      AS ms
+        |  FROM j a JOIN j b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id
+        |  WHERE b.s2c < a.s2c OR (b.s2c = a.s2c
+        |    AND b.vec_id < a.vec_id)
+        |  GROUP BY a.vec_id),
+        |tot AS (SELECT count(*) AS nv FROM j),
+        |taus AS (SELECT CAST(tau AS BIGINT) AS tau_pct FROM (VALUES
+        |  (20), (30), (40), (50), (60), (70), (80)) v(tau)),
+        |c AS (SELECT tau_pct, CAST(sum(CASE WHEN ms >
+        |    CAST(tau_pct AS DOUBLE) / 100 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS nd
+        |  FROM taus CROSS JOIN m GROUP BY tau_pct)
+        |SELECT t.tau_pct, CAST(nv AS BIGINT) AS n_vecs,
+        |  coalesce(c.nd, 0) AS n_dup,
+        |  CAST(nv - coalesce(c.nd, 0) AS BIGINT) AS n_survivors,
+        |  CAST((coalesce(c.nd, 0) * 2000000 + nv) // (2 * nv)
+        |    AS BIGINT) AS dup_ppm
+        |FROM taus t LEFT JOIN c USING (tau_pct) CROSS JOIN tot
+        |ORDER BY t.tau_pct""".stripMargin,
+
+    "q382_sttr" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |pref AS (SELECT source,
+        |    (CAST(len(list_distinct(tk[1:30])) AS BIGINT) * 2000000
+        |      + 30) // 60 AS ttr
+        |  FROM t WHERE len(tk) >= 30),
+        |p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_sttr,
+        |    CAST((sum(ttr) * 2 + count(*)) // (2 * count(*))
+        |      AS BIGINT) AS mean_sttr_ppm
+        |  FROM pref GROUP BY source),
+        |tok AS (SELECT source, unnest(string_split(text, ' ')) AS tk2
+        |  FROM documents),
+        |sc AS (SELECT source, tk2, count(*) AS c FROM tok
+        |  GROUP BY 1, 2),
+        |v AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS hapax
+        |  FROM sc GROUP BY source)
+        |SELECT source,
+        |  CAST(coalesce(n_docs_sttr, 0) AS BIGINT) AS n_docs_sttr,
+        |  mean_sttr_ppm, vocab,
+        |  CAST((hapax * 2000000 + vocab) // (2 * vocab) AS BIGINT)
+        |    AS hapax_ppm
+        |FROM p FULL JOIN v USING (source)
+        |ORDER BY source""".stripMargin
   )
 }

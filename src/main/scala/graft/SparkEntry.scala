@@ -3993,7 +3993,52 @@ object SparkEntry {
     "q376_gopher_ablation" -> ((s, d) =>
       TextOps.gopherAblation(Tables.documents(s, d), "doc_id", "text",
           STOPWORDS)
-        .orderBy("rule"))
+        .orderBy("rule")),
+
+    // L322 — per-source unigram JS divergence vs the corpus (which
+    // source pulls the mixture; the ranking is the signal).
+    "q377_source_js" -> ((s, d) =>
+      MixtureOps.sourceJsAudit(Tables.documents(s, d), "source",
+          "text")
+        .orderBy("source")),
+
+    // L323 — quality × length decile copula grid with independence
+    // lift (selection-bias audit).
+    "q378_quality_length_grid" -> ((s, d) =>
+      TextOps.qualityLengthGrid(Tables.documents(s, d), "doc_id",
+          "text")
+        .orderBy("len_decile", "q_decile")),
+
+    // L324 — within- vs cross-source exact-dedup savings projection
+    // (the shuffle-or-not decision table).
+    "q379_dedup_savings" -> ((s, d) =>
+      DedupOps.dedupSavings(Tables.documents(s, d), "doc_id",
+          "source", "text")
+        .orderBy("source")),
+
+    // L325 — crawl-to-crawl corpus delta datasheet over two
+    // deterministic membership snapshots (80% overlap by id hash).
+    "q380_corpus_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      MixtureOps.corpusDelta(
+          docs.filter(MixtureOps.membership("doc_id") < 0.9),
+          docs.filter(MixtureOps.membership("doc_id") >= 0.1),
+          "doc_id", "source", "text")
+        .orderBy("source")
+    }),
+
+    // L326 — SemDeDup tau sweep: drop counts per threshold from ONE
+    // pair pass (integer-percent sweep keys).
+    "q381_semdedup_sweep" -> ((s, d) =>
+      SimilarityOps.semDedupSweep(Tables.embeddings(s, d), "vec_id",
+          "embedding", 4)
+        .orderBy("tau_pct")),
+
+    // L327 — standardized TTR (first-30-token window) + hapax ratio
+    // per source (length-controlled lexical diversity).
+    "q382_sttr" -> ((s, d) =>
+      TextOps.sttr(Tables.documents(s, d), "source", "text", 30)
+        .orderBy("source"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -829,4 +829,46 @@ object DedupOps {
           "tokens_dropped) div (2 * (tokens_kept + tokens_dropped)) " +
           "AS BIGINT)").as("kept_ppm"))
   }
+
+  /** Dedup savings projection per source: the tokens an exact-dedup
+    * pass saves WITHIN each source versus the EXTRA tokens saved only
+    * when dedup crosses source boundaries (global keep-one, survivor
+    * = smallest id) — the cost/benefit table for the most expensive
+    * decision in a 100 TB dedup: whether to shuffle all sources into
+    * one key space or dedup each source independently. Cross-source
+    * drops attribute to the source that loses the copy.
+    *
+    * Scale: one row-local hash pass (checkpointed for its two
+    * aggregations), cluster survivors via struct-min (never a
+    * window), and a cluster-keyed equi-join — all arithmetic is exact
+    * integers.
+    */
+  def dedupSavings(df: DataFrame, idCol: String, srcCol: String,
+                   textCol: String): DataFrame = {
+    val t = df.select(col(idCol).as("__id"), col(srcCol).as("__src"),
+        md5(col(textCol)).as("__h"),
+        size(split(col(textCol), " ")).cast("long").as("__n"))
+      // LAZY localCheckpoint: the cluster table and the
+      // (cluster, source) census both read the hashed pass.
+      .localCheckpoint(false)
+    val cl = t.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__src").as("__ss")))
+        .as("__surv"), min(col("__n")).as("__tg"))
+      .select(col("__h"), col("__surv").getField("__ss").as("__ssrc"),
+        col("__tg"))
+    val cs = t.groupBy(col("__h"), col("__src"))
+      .agg(count(lit(1)).as("__cs"))
+    cs.join(cl, Seq("__h"))
+      .groupBy(col("__src"))
+      .agg(sum(col("__cs") * col("__tg")).as("tokens_raw"),
+        sum((col("__cs") - 1) * col("__tg")).as("dup_tokens_within"),
+        sum((col("__cs") - when(col("__src") === col("__ssrc"), 1L)
+          .otherwise(0L)) * col("__tg")).as("__glob"))
+      .select(col("__src").as("source"), col("tokens_raw"),
+        col("dup_tokens_within"),
+        (col("__glob") - col("dup_tokens_within"))
+          .as("dup_tokens_cross_extra"),
+        expr("CAST((__glob * 2000000 + tokens_raw) div " +
+          "(2 * tokens_raw) AS BIGINT)").as("savings_ppm"))
+  }
 }

@@ -314,21 +314,43 @@ object MixtureOps {
     * sum as DECIMAL(38,12).
     */
   def shardJsAudit(df: DataFrame, idCol: String, textCol: String,
-                   nShards: Int = 8): DataFrame = {
-    val st = df.select(
-        (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
-          .cast("long") % nShards).cast("int").as("shard"),
-        explode(split(col(textCol), " ")).as("__tok"))
-      .groupBy(col("shard"), col("__tok"))
+                   nShards: Int = 8): DataFrame =
+    jsVsCorpus(df.select(
+      (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % nShards).cast("int").as("shard"),
+      explode(split(col(textCol), " ")).as("__tok")), "shard")
+
+  /** Per-SOURCE token-distribution divergence vs the corpus: the same
+    * JS machinery as [[shardJsAudit]], keyed by the source column —
+    * the mixture diagnostic that says WHICH source the corpus
+    * distribution is being pulled away from (or which source is an
+    * outlier register needing its own quality thresholds). Hash
+    * shards should sit at 0; sources are EXPECTED to diverge — the
+    * ranking, not the level, is the signal.
+    */
+  def sourceJsAudit(df: DataFrame, srcCol: String,
+                    textCol: String): DataFrame =
+    jsVsCorpus(df.select(col(srcCol).as("source"),
+      explode(split(col(textCol), " ")).as("__tok")), "source")
+
+  /** Shared JS-vs-corpus core over a (group, token) occurrence frame:
+    * one (group, token) hash aggregation (checkpointed once for its
+    * three consumers), corpus marginals by re-aggregation, terms over
+    * PRESENT pairs only — the absent-token tail collapses to the
+    * closed form (ln2/2)·(N−C_g)/N, so no vocab×groups grid ever
+    * materializes. Terms snap to 12 dp and sum as DECIMAL(38,12).
+    */
+  private def jsVsCorpus(units: DataFrame, grpCol: String): DataFrame = {
+    val st = units.groupBy(col(grpCol), col("__tok"))
       .agg(count(lit(1)).as("__c"))
-      // LAZY localCheckpoint: corpus marginals, shard totals, and the
-      // JS join all read the (shard, token) counts.
+      // LAZY localCheckpoint: corpus marginals, group totals, and the
+      // JS join all read the (group, token) counts.
       .localCheckpoint(false)
     val ct = st.groupBy(col("__tok")).agg(sum(col("__c")).as("__ct"))
-    val ns = st.groupBy(col("shard")).agg(sum(col("__c")).as("__ns"))
+    val ns = st.groupBy(col(grpCol)).agg(sum(col("__c")).as("__ns"))
     val nn = ct.agg(sum(col("__ct")).as("__tn"))
     st.join(ct, Seq("__tok"))
-      .join(broadcast(ns), Seq("shard"))
+      .join(broadcast(ns), Seq(grpCol))
       .crossJoin(broadcast(nn))
       .withColumn("__p", col("__c").cast("double") / col("__ns"))
       .withColumn("__q", col("__ct").cast("double") / col("__tn"))
@@ -337,14 +359,46 @@ object MixtureOps {
         (col("__p") * log(col("__p") / col("__m")) +
           col("__q") * log(col("__q") / col("__m"))) / 2, 12)
         .cast("decimal(38,12)"))
-      .groupBy(col("shard"))
+      .groupBy(col(grpCol))
       .agg(max(col("__ns")).as("n_tokens"), sum(col("__term")).as("__s"),
         sum(col("__ct")).as("__cp"), max(col("__tn")).as("__nn2"))
       .withColumn("__corr", round(
         (col("__nn2") - col("__cp")).cast("double") / col("__nn2") *
           log(lit(2.0)) / 2, 12).cast("decimal(38,12)"))
-      .select(col("shard"), col("n_tokens"),
+      .select(col(grpCol), col("n_tokens"),
         MetricOps.normZero(round(
           (col("__s") + col("__corr")).cast("double"), 6)).as("js_nats"))
+  }
+
+  /** Crawl-to-crawl corpus delta datasheet: per source, the documents
+    * and tokens ADDED (present only in the new snapshot), REMOVED
+    * (only in the old), and COMMON — the first table a recurring
+    * 100 TB ingestion run reads before reprocessing anything (a source
+    * whose delta is ~0 can skip its whole downstream pipeline; one
+    * that churns 50% of its tokens cannot reuse yesterday's dedup
+    * state).
+    *
+    * Scale: one full-outer equi-join on the document id (id-keyed
+    * shuffle, the natural partitioning of both snapshots), flags are
+    * row-local, and the report is one hash aggregation per source.
+    */
+  def corpusDelta(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                  srcCol: String, textCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String): DataFrame =
+      df.select(col(idCol).as("__id"), col(srcCol).as(s"__s$tag"),
+        size(split(col(textCol), " ")).cast("long").as(s"__n$tag"))
+    side(oldDf, "o").join(side(newDf, "n"), Seq("__id"), "full_outer")
+      .withColumn("source", coalesce(col("__sn"), col("__so")))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("__so").isNull, 1L).otherwise(0L)).as("docs_added"),
+        sum(when(col("__sn").isNull, 1L).otherwise(0L))
+          .as("docs_removed"),
+        sum(when(col("__so").isNotNull && col("__sn").isNotNull, 1L)
+          .otherwise(0L)).as("docs_common"),
+        sum(when(col("__so").isNull, col("__nn")).otherwise(0L))
+          .as("tokens_added"),
+        sum(when(col("__sn").isNull, col("__no")).otherwise(0L))
+          .as("tokens_removed"))
   }
 }

@@ -815,4 +815,59 @@ object SimilarityOps {
             (col("n_vecs").cast("double") * (col("n_vecs") - 1)), 6)))
           .as("mean_pairwise_cos"))
   }
+
+  /** SemDeDup threshold sweep: for each candidate `tau` (given in
+    * integer percent so the sweep key is never a float), how many
+    * vectors the keep-the-farthest rule would drop. The pair stage
+    * runs ONCE — per vector the maximum cosine to any bucket-mate
+    * that would out-keep it ([[semDedup]]'s exact rule) — and every
+    * threshold is then a row-local comparison, so sweeping 7 taus
+    * costs one extra aggregation, not 7 pair joins. The knob table
+    * read before committing a 100 TB semantic-dedup pass to a tau.
+    */
+  def semDedupSweep(df: DataFrame, idCol: String, embCol: String,
+                    signBits: Int = 4,
+                    tausPct: Seq[Int] =
+                      Seq(20, 30, 40, 50, 60, 70, 80)): DataFrame = {
+    val n = normalized(df, idCol, embCol)
+      .withColumn("bucket", signBucket(signBits))
+    val cent = centroidArrays(n, "bucket")
+    val j = n.join(broadcast(cent), Seq("bucket"))
+      .withColumn("s2c",
+        expr("graft_dot(emb, cent)") / (col("nrm") * col("cnrm")))
+      .select(col("id"), col("bucket"), col("emb"), col("nrm"),
+        col("s2c"))
+      // LAZY localCheckpoint: both pair sides and the vector total.
+      .localCheckpoint(false)
+    val a = j.select(col("id").as("vec_id"), col("bucket"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm"),
+      col("s2c").as("a_s"))
+    val b = j.select(col("id").as("__oid"), col("bucket"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"),
+      col("s2c").as("b_s"))
+    val m = a.join(b, Seq("bucket"))
+      .filter(col("vec_id") =!= col("__oid"))
+      .filter(col("b_s") < col("a_s") ||
+        (col("b_s") === col("a_s") && col("__oid") < col("vec_id")))
+      .withColumn("__sim", expr("graft_dot(a_emb, b_emb)") /
+        (col("a_nrm") * col("b_nrm")))
+      .groupBy(col("vec_id")).agg(max(col("__sim")).as("__ms"))
+    val tot = j.agg(count(lit(1)).as("__nv"))
+    val taus = j.sparkSession.range(1)
+      .select(explode(typedLit(tausPct.map(_.toLong))).as("tau_pct"))
+    val counts = m
+      .select(explode(typedLit(tausPct.map(_.toLong))).as("tau_pct"),
+        col("__ms"))
+      .groupBy(col("tau_pct"))
+      .agg(sum((col("__ms") > col("tau_pct").cast("double") / 100)
+        .cast("long")).as("__nd"))
+    taus.join(counts, Seq("tau_pct"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("tau_pct"), col("__nv").as("n_vecs"),
+        coalesce(col("__nd"), lit(0L)).as("n_dup"),
+        (col("__nv") - coalesce(col("__nd"), lit(0L)))
+          .as("n_survivors"),
+        expr("CAST((coalesce(__nd, 0) * 2000000 + __nv) div " +
+          "(2 * __nv) AS BIGINT)").as("dup_ppm"))
+  }
 }

@@ -1701,4 +1701,93 @@ object TextOps {
         expr("CAST((tokens_lost_any * 2000000 + __tt) div (2 * __tt)" +
           " AS BIGINT)").as("lost_any_ppm"))
   }
+
+  /** Quality × length copula grid (selection-bias audit): documents
+    * land in a 10×10 grid of (length decile, distinct-ratio decile)
+    * and every cell reports its observed count and its LIFT over the
+    * independence expectation rowtot·coltot/N. A quality filter that
+    * claims to be length-neutral must show lift ≈ 1 down the columns;
+    * the off-diagonal ridge is exactly the bias a length-confounded
+    * "quality" signal smuggles into the corpus.
+    *
+    * Scale: the two deciles are [[MetricOps.globalRank]] histogram
+    * ranks (bounded histograms broadcast back — never a
+    * single-partition window), the signal pass is checkpointed once
+    * for its four consumers, and the grid plus both marginals live on
+    * ≤100 rows.
+    */
+  def qualityLengthGrid(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val base = df.withColumn("__tk", tokens(col(textCol)))
+      .filter(size(col("__tk")) >= 1)
+      .select(col(idCol),
+        size(col("__tk")).cast("long").as("__len"),
+        round(size(array_distinct(col("__tk"))).cast("double") /
+          size(col("__tk")), 6).as("__dr"))
+      // LAZY localCheckpoint: the count, both rank passes, and the
+      // final spine all read the signal table.
+      .localCheckpoint(false)
+    val n = base.agg(count(lit(1)).as("__nn"))
+    def decile(scoreCol: String, out: String): DataFrame =
+      MetricOps.globalRank(
+          base.select(col(idCol), col(scoreCol))
+            .crossJoin(broadcast(n)), scoreCol, idCol)
+        .withColumn(out, expr("((r - 1) * 10) div __nn"))
+        .select(col(idCol), col(out))
+    val g = base.select(col(idCol))
+      .join(decile("__len", "len_decile"), Seq(idCol))
+      .join(decile("__dr", "q_decile"), Seq(idCol))
+      .groupBy(col("len_decile"), col("q_decile"))
+      .agg(count(lit(1)).as("n_docs"))
+      // LAZY localCheckpoint: ≤100 rows feed both marginals and the
+      // final projection.
+      .localCheckpoint(false)
+    val rt = g.groupBy(col("len_decile")).agg(sum(col("n_docs")).as("__rt"))
+    val ct = g.groupBy(col("q_decile")).agg(sum(col("n_docs")).as("__ct"))
+    g.join(broadcast(rt), Seq("len_decile"))
+      .join(broadcast(ct), Seq("q_decile"))
+      .crossJoin(broadcast(n))
+      .select(col("len_decile"), col("q_decile"), col("n_docs"),
+        round(col("n_docs").cast("double") * col("__nn") /
+          (col("__rt").cast("double") * col("__ct")), 6).as("lift"))
+  }
+
+  /** Standardized type-token ratio per source: TTR over the FIRST
+    * `k` tokens of each (≥ k-token) document — the length-controlled
+    * lexical-diversity metric (raw TTR falls with length, so
+    * cross-source raw comparisons are confounded; fixing the window
+    * makes them commensurable) — plus the source's hapax ratio
+    * (share of its vocabulary appearing exactly once; a collapsing
+    * generator loses its hapax mass first, long before mean TTR
+    * moves).
+    *
+    * Scale: the prefix TTR is row-local and aggregates per source;
+    * the hapax side is the standard two-level (source, token) count.
+    * Both ratios and the mean are exact half-up integer ppm.
+    */
+  def sttr(df: DataFrame, srcCol: String, textCol: String,
+           k: Int = 30): DataFrame = {
+    val pref = df.withColumn("__tk", tokens(col(textCol)))
+      .filter(size(col("__tk")) >= k)
+      .select(col(srcCol).as("source"),
+        expr(s"(CAST(size(array_distinct(slice(__tk, 1, $k))) " +
+          s"AS LONG) * 2000000 + $k) div (2 * $k)").as("__ttr"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_sttr"),
+        expr("CAST((sum(__ttr) * 2 + count(1)) div (2 * count(1)) " +
+          "AS BIGINT)").as("mean_sttr_ppm"))
+    val voc = df.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("__t"))
+      .groupBy(col("source"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"),
+        sum((col("__c") === 1).cast("long")).as("__hapax"))
+    pref.join(voc, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("n_docs_sttr"), lit(0L)).as("n_docs_sttr"),
+        col("mean_sttr_ppm"), col("vocab"),
+        expr("CAST((__hapax * 2000000 + vocab) div (2 * vocab) " +
+          "AS BIGINT)").as("hapax_ppm"))
+  }
 }

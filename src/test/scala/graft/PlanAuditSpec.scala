@@ -915,6 +915,45 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("q377-q382 family: windowless except the rank-histogram grid," +
+    " checkpointed pair/signal passes") {
+    // q378's two deciles ride globalRank's keyed tie-break windows;
+    // everything else in the family is windowless (struct-extremes,
+    // hash aggs, the closed-form JS tail, the one-pass tau sweep)
+    for (q <- Seq("q377_source_js", "q379_dedup_savings",
+        "q380_corpus_delta", "q381_semdedup_sweep", "q382_sttr")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty, s"$q must not plan any window")
+    }
+    // q378's globalRank tie-break windows (keyed — audited on q361's
+    // shared machinery) sit BEHIND the checkpointed ≤100-row grid, so
+    // the final plan itself is windowless too
+    val qg = plan("q378_quality_length_grid")
+    qg.count()
+    val qgw = collectWithSubqueries(qg.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(qgw.isEmpty,
+      "q378's rank windows must be behind the grid checkpoint")
+    // checkpointed fan-out passes: q377's (source, token) counts,
+    // q379's hashed pass, q381's pair table, q378's signal table
+    for (q <- Seq("q377_source_js", "q378_quality_length_grid",
+        "q379_dedup_savings", "q381_semdedup_sweep")) {
+      val df = plan(q)
+      df.count()
+      val s = df.queryExecution.executedPlan.toString
+      assert(s.contains("ExistingRDD"),
+        s"$q must read its checkpointed pass")
+    }
+    assert(!plan("q381_semdedup_sweep").queryExecution.executedPlan
+      .toString.contains("embeddings"),
+      "q381: the embeddings scan must be behind the checkpoint")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     // Only the declared EXACT-baseline forms may cross-join; their
     // bucketed scale twins (q329-q331, and q266 since round 7) must
