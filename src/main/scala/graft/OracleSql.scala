@@ -8065,6 +8065,172 @@ object OracleSql {
         |  CAST((hapax * 2000000 + vocab) // (2 * vocab) AS BIGINT)
         |    AS hapax_ppm
         |FROM p FULL JOIN v USING (source)
-        |ORDER BY source""".stripMargin
+        |ORDER BY source""".stripMargin,
+
+    "q383_position_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |p AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n,
+        |    unnest(tk) AS tok, unnest(range(len(tk))) AS pos
+        |  FROM t WHERE len(tk) >= 1),
+        |f AS (SELECT (pos * 10) // n AS decile,
+        |    CASE WHEN row_number() OVER (PARTITION BY doc_id, tok
+        |      ORDER BY pos) = 1 THEN 1 ELSE 0 END AS nw
+        |  FROM p)
+        |SELECT CAST(decile AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nw) AS BIGINT) AS n_new,
+        |  CAST((sum(nw) * 2000000 + count(*)) // (2 * count(*))
+        |    AS BIGINT) AS novelty_ppm
+        |FROM f GROUP BY decile ORDER BY decile""".stripMargin,
+
+    "q384_lang_confusion" -> {
+      val profs = Seq(
+        "sql" -> Seq("join", "filter", "group", "query", "sort", "agg"),
+        "infra" -> Seq("spark", "stream", "batch", "hash", "merge", "scan"),
+        "data" -> Seq("data", "row", "column", "table", "value", "vector"))
+      val scores = profs.map { case (p, ws) =>
+        s"CAST(len(list_filter(tk, x -> list_contains(${profileList(ws)}, x))) AS BIGINT) AS score_$p"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT lang, string_split(text, ' ') AS tk
+         |  FROM documents),
+         |sc AS (SELECT lang, $scores FROM t),
+         |p AS (SELECT lang,
+         |    CASE WHEN score_sql >= score_infra AND score_sql >= score_data
+         |      THEN 'sql'
+         |      WHEN score_infra >= score_data THEN 'infra'
+         |      ELSE 'data' END AS lang_pred FROM sc),
+         |g AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT)
+         |    AS n_docs FROM p GROUP BY 1, 2),
+         |rt AS (SELECT lang, sum(n_docs) AS rt FROM g GROUP BY lang)
+         |SELECT lang, lang_pred, n_docs,
+         |  CAST((n_docs * 2000000 + rt) // (2 * rt) AS BIGINT)
+         |    AS share_ppm
+         |FROM g JOIN rt USING (lang)
+         |ORDER BY lang, lang_pred""".stripMargin
+    },
+
+    "q385_embedding_drift" ->
+      """WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS e,
+        |    ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+        |      / CAST(4294967296 AS DOUBLE) AS mem
+        |  FROM embeddings),
+        |u AS (SELECT 0 AS snap, label, e FROM e0 WHERE mem < 0.9
+        |  UNION ALL
+        |  SELECT 1 AS snap, label, e FROM e0 WHERE mem >= 0.1),
+        |cnt AS (SELECT snap, label, CAST(count(*) AS BIGINT) AS n
+        |  FROM u GROUP BY 1, 2),
+        |d AS (SELECT snap, label, unnest(e) AS v,
+        |    unnest(range(len(e))) AS dim FROM u),
+        |ce AS (SELECT snap, label, dim, round(avg(v), 6) AS c
+        |  FROM d GROUP BY 1, 2, 3),
+        |cl AS (SELECT snap, label, list(c ORDER BY dim) AS cent
+        |  FROM ce GROUP BY 1, 2),
+        |j AS (SELECT cl.snap, cl.label, cent, n
+        |  FROM cl JOIN cnt ON cnt.snap = cl.snap
+        |    AND cnt.label = cl.label),
+        |o AS (SELECT label, cent AS co, n AS n_old FROM j
+        |  WHERE snap = 0),
+        |nw AS (SELECT label, cent AS cn, n AS n_new FROM j
+        |  WHERE snap = 1)
+        |SELECT CAST(label AS BIGINT) AS label, n_old, n_new,
+        |  CASE WHEN sqrt(list_dot_product(co, co)) = 0
+        |      OR sqrt(list_dot_product(cn, cn)) = 0 THEN NULL
+        |    ELSE round(list_dot_product(co, cn) /
+        |      (sqrt(list_dot_product(co, co)) *
+        |       sqrt(list_dot_product(cn, cn))), 6) + 0.0 END
+        |    AS centroid_cos,
+        |  round(sqrt(list_dot_product(cn, cn)) -
+        |    sqrt(list_dot_product(co, co)), 6) + 0.0 AS norm_delta
+        |FROM o JOIN nw USING (label) ORDER BY label""".stripMargin,
+
+    "q386_dup_length_profile" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS n FROM b),
+        |f AS (SELECT doc_id, l,
+        |    CASE WHEN count(*) OVER (PARTITION BY h) > 1 THEN 1
+        |      ELSE 0 END AS dup FROM b),
+        |r AS (SELECT dup, ((row_number() OVER (ORDER BY
+        |    round(CAST(l AS DOUBLE), 6), doc_id) - 1) * 10) // n
+        |    AS len_decile FROM f CROSS JOIN nn),
+        |g AS (SELECT len_decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(dup) AS BIGINT) AS n_dup FROM r GROUP BY 1),
+        |tot AS (SELECT sum(n_docs) AS td, sum(n_dup) AS tdup FROM g)
+        |SELECT CAST(len_decile AS BIGINT) AS len_decile, n_docs, n_dup,
+        |  CAST((n_dup * 2000000 + n_docs) // (2 * n_docs) AS BIGINT)
+        |    AS dup_ppm,
+        |  CASE WHEN tdup = 0 THEN NULL
+        |    ELSE round(CAST(n_dup AS DOUBLE) * td /
+        |      (CAST(n_docs AS DOUBLE) * tdup), 6) END AS lift
+        |FROM g CROSS JOIN tot ORDER BY len_decile""".stripMargin,
+
+    "q387_minhash_fidelity" -> {
+      val slices = for (b <- 0 until 4; r <- 0 until 2) yield s"h_${b}_$r"
+      val mcols = slices.zipWithIndex.map { case (c, i) =>
+        s"CASE WHEN sa.$c = sb.$c THEN 1 ELSE 0 END AS m$i"
+      }.mkString(", ")
+      val cum = Seq(2, 4, 8).map(h =>
+        s"${(0 until h).map(i => s"m$i").mkString(" + ")} AS mt$h")
+        .mkString(", ")
+      s"""WITH $shinglesCte,
+         |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |${minhashSig(4, 2)},
+         |cand AS (${minhashPairs(4, 2)}),
+         |com AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pr AS (SELECT cand.doc_a, cand.doc_b,
+         |    CAST(coalesce(com.c, 0) AS DOUBLE)
+         |      / (sa2.n + sb2.n - coalesce(com.c, 0)) AS j, $mcols
+         |  FROM cand
+         |  LEFT JOIN com ON com.doc_a = cand.doc_a
+         |    AND com.doc_b = cand.doc_b
+         |  JOIN sig sa ON sa.doc_id = cand.doc_a
+         |  JOIN sig sb ON sb.doc_id = cand.doc_b
+         |  JOIN szs sa2 ON sa2.doc_id = cand.doc_a
+         |  JOIN szs sb2 ON sb2.doc_id = cand.doc_b),
+         |mm AS (SELECT j, $cum FROM pr),
+         |sw AS (SELECT CAST(h.n_hashes AS BIGINT) AS n_hashes, j,
+         |    CASE WHEN h.n_hashes = 2 THEN mt2
+         |      WHEN h.n_hashes = 4 THEN mt4 ELSE mt8 END
+         |      / CAST(h.n_hashes AS DOUBLE) AS est
+         |  FROM mm CROSS JOIN
+         |    (SELECT unnest([2, 4, 8]) AS n_hashes) h)
+         |SELECT n_hashes, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(CAST(round(abs(est - j), 12)
+         |    AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS mae,
+         |  round(CAST(sum(CAST(round(est - j, 12)
+         |    AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) + 0.0 AS bias
+         |FROM sw GROUP BY n_hashes ORDER BY n_hashes""".stripMargin
+    },
+
+    "q388_sample_overlap" ->
+      """WITH b AS (SELECT
+        |    ('0x' || substr(md5('a' || '|' || doc_id::VARCHAR), 1, 8))
+        |      ::BIGINT / CAST(4294967296 AS DOUBLE) AS ma,
+        |    ('0x' || substr(md5('b' || '|' || doc_id::VARCHAR), 1, 8))
+        |      ::BIGINT / CAST(4294967296 AS DOUBLE) AS mb
+        |  FROM documents),
+        |m AS (SELECT r.rate_pct, ma, mb FROM b CROSS JOIN
+        |  (SELECT unnest([1, 5, 10, 25]) AS rate_pct) r),
+        |g AS (SELECT rate_pct, CAST(count(*) AS BIGINT) AS nn,
+        |    CAST(sum(CASE WHEN ma < rate_pct / 100.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN mb < rate_pct / 100.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN ma < rate_pct / 100.0
+        |      AND mb < rate_pct / 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_both
+        |  FROM m GROUP BY rate_pct)
+        |SELECT CAST(rate_pct AS BIGINT) AS rate_pct, n_a, n_b, n_both,
+        |  CAST((n_both * 2000000 + nn) // (2 * nn) AS BIGINT)
+        |    AS obs_joint_ppm,
+        |  CAST((n_a::HUGEINT * n_b * 2000000 + nn::HUGEINT * nn)
+        |    // (2 * nn::HUGEINT * nn) AS BIGINT) AS exp_joint_ppm
+        |FROM g ORDER BY rate_pct""".stripMargin
   )
 }

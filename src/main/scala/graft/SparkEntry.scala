@@ -4038,7 +4038,51 @@ object SparkEntry {
     // per source (length-controlled lexical diversity).
     "q382_sttr" -> ((s, d) =>
       TextOps.sttr(Tables.documents(s, d), "source", "text", 30)
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // L328 — within-doc positional novelty curve (mode-collapse /
+    // boilerplate shows as a crashing late-decile novelty rate).
+    "q383_position_novelty" -> ((s, d) =>
+      TextOps.positionNovelty(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("decile")),
+
+    // L329 — declared-vs-predicted language confusion grid (the
+    // mislabeled-feed quarantine evidence table).
+    "q384_lang_confusion" -> ((s, d) =>
+      TextOps.langConfusion(Tables.documents(s, d), "lang", "text",
+          LANG_PROFILES)
+        .orderBy("lang", "lang_pred")),
+
+    // L330 — per-label centroid drift between two membership
+    // snapshots (the re-embed / index-rebuild decision table).
+    "q385_embedding_drift" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      SimilarityOps.embeddingDrift(
+          e.filter(MixtureOps.membership("vec_id") < 0.9),
+          e.filter(MixtureOps.membership("vec_id") >= 0.1),
+          "vec_id", "embedding", "label")
+        .orderBy("label")
+    }),
+
+    // L331 — exact-dup load by length decile (is dedup redundant with
+    // a min-length gate, or complementary?).
+    "q386_dup_length_profile" -> ((s, d) =>
+      DedupOps.dupLengthProfile(Tables.documents(s, d), "doc_id",
+          "text")
+        .orderBy("len_decile")),
+
+    // L332 — MinHash estimate vs exact Jaccard fidelity per signature
+    // size (how many hashes does this corpus need?).
+    "q387_minhash_fidelity" -> ((s, d) =>
+      DedupOps.minhashFidelity(Tables.documents(s, d), "doc_id",
+          "text")
+        .orderBy("n_hashes")),
+
+    // L333 — salted-sampler independence audit across keep rates
+    // (observed vs expected joint ppm from one agg).
+    "q388_sample_overlap" -> ((s, d) =>
+      MixtureOps.sampleOverlap(Tables.documents(s, d), "doc_id")
+        .orderBy("rate_pct"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -871,4 +871,118 @@ object DedupOps {
         expr("CAST((__glob * 2000000 + tokens_raw) div " +
           "(2 * tokens_raw) AS BIGINT)").as("savings_ppm"))
   }
+
+  /** Exact-duplicate load by document-length decile: are the corpus's
+    * copies concentrated in its short (navigation stubs, error pages)
+    * or long tail? Output per length decile: doc count, duplicated-doc
+    * count (md5-of-text group size > 1 — every member counts, not just
+    * the surplus), exact half-up dup ppm, and the lift of the decile's
+    * dup rate over the corpus rate. The table that decides whether a
+    * "drop everything under N tokens" gate and the dedup pass are
+    * redundant or complementary.
+    *
+    * Scale: the fingerprint window partitions on the md5 (group sizes
+    * are duplicate-family sizes — bounded), the decile comes from
+    * [[MetricOps.globalRank]]'s histogram rank (no single-partition
+    * window anywhere), and the final grid is ≤10 rows.
+    */
+  def dupLengthProfile(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val base = df.select(col(idCol), md5(col(textCol)).as("__h"),
+        size(split(col(textCol), " ")).cast("long").as("__len"))
+      // LAZY localCheckpoint: the dup window, the count, and the rank
+      // pass all read the fingerprint table.
+      .localCheckpoint(false)
+    val flagged = base.withColumn("__dup",
+      (count(lit(1)).over(Window.partitionBy(col("__h"))) > 1)
+        .cast("long"))
+    val n = base.agg(count(lit(1)).as("__nn"))
+    val g = MetricOps.globalRank(flagged.crossJoin(broadcast(n)),
+        "__len", idCol)
+      .withColumn("len_decile",
+        expr("CAST(((r - 1) * 10) div __nn AS BIGINT)"))
+      .groupBy(col("len_decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__dup")).as("n_dup"))
+      // ≤10 rows feed the corpus total and the final projection.
+      .localCheckpoint(false)
+    val tot = g.agg(sum(col("n_docs")).as("__td"),
+      sum(col("n_dup")).as("__tdup"))
+    g.crossJoin(broadcast(tot))
+      .select(col("len_decile"), col("n_docs"), col("n_dup"),
+        expr("CAST((n_dup * 2000000 + n_docs) div (2 * n_docs) " +
+          "AS BIGINT)").as("dup_ppm"),
+        when(col("__tdup") === 0, lit(null))
+          .otherwise(round(col("n_dup").cast("double") * col("__td") /
+            (col("n_docs").cast("double") * col("__tdup")), 6))
+          .as("lift"))
+  }
+
+  /** MinHash fidelity audit: over the banded-LSH candidate pairs,
+    * compare the signature's Jaccard ESTIMATE (matching fraction of
+    * the first `h` min-hash slices, for each h in `hs`) against the
+    * exact shingle Jaccard — mean absolute error and signed bias per
+    * signature size. The tuning table for "how many hashes does this
+    * corpus actually need": if MAE at 4 hashes ≈ MAE at 8, half the
+    * signature bytes (and half the band-join shuffle) are free.
+    * Zero-overlap candidates (16-bit band-slice collisions) stay in —
+    * the estimator's collision noise is part of the measured bias.
+    *
+    * Scale: pairs come only from LSH buckets (never n²); the per-pair
+    * error terms snap to 12 dp and accumulate as DECIMAL(38,12), so
+    * the means reproduce across engines and partitionings.
+    */
+  def minhashFidelity(df: DataFrame, idCol: String, textCol: String,
+                      hs: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    require(hs.forall(h => h >= 1 && h <= 8), "slice counts fit md5")
+    val sh = shingles(df, idCol, textCol)
+      // LAZY localCheckpoint: the signature pass and the exact-verify
+      // array build both read the shingle stream.
+      .localCheckpoint(false)
+    val sig = minhashSignature(sh, idCol, 4, 2)
+      // feeds the candidate join (twice) and both per-side slice joins
+      .localCheckpoint(false)
+    val cand = minhashCandidates(sig, idCol, 4, 2)
+    val slices = for (b <- 0 until 4; r <- 0 until 2) yield s"h_${b}_$r"
+    val arr = sh.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("__arr"))
+      .withColumn("__ns", size(col("__arr")).cast("long"))
+      .localCheckpoint(false)
+    def side(tag: String) = sig.select(
+      col(idCol).as(s"doc_$tag") +: slices.map(c => col(c).as(s"${c}_$tag")): _*)
+    val matches = slices.map(c =>
+      (col(s"${c}_a") === col(s"${c}_b")).cast("int"))
+    val pairs = cand
+      .join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .join(arr.select(col(idCol).as("doc_a"), col("__arr").as("__aa"),
+        col("__ns").as("__na")), "doc_a")
+      .join(arr.select(col(idCol).as("doc_b"), col("__arr").as("__ab"),
+        col("__ns").as("__nb")), "doc_b")
+      .withColumn("__c",
+        size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
+      .withColumn("__j", col("__c").cast("double") /
+        (col("__na") + col("__nb") - col("__c")))
+      .withColumn("__m", array(matches: _*))
+      .select(col("__j"), col("__m"))
+      // the bounded pair table feeds one explode per h in `hs`.
+      .localCheckpoint(false)
+    pairs.select(col("__j"), col("__m"),
+        explode(typedLit(hs)).as("n_hashes"))
+      .withColumn("__est",
+        expr("CAST(aggregate(slice(__m, 1, n_hashes), 0, (a, x) -> a + x) " +
+          "AS DOUBLE) / n_hashes")
+      )
+      .withColumn("__err",
+        round(col("__est") - col("__j"), 12).cast("decimal(38,12)"))
+      .withColumn("__abs",
+        round(abs(col("__est") - col("__j")), 12).cast("decimal(38,12)"))
+      .groupBy(col("n_hashes").cast("long").as("n_hashes"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__abs")).as("__sa"),
+        sum(col("__err")).as("__se"))
+      .select(col("n_hashes"), col("n_pairs"),
+        round(col("__sa").cast("double") / col("n_pairs"), 6)
+          .as("mae"),
+        MetricOps.normZero(
+          round(col("__se").cast("double") / col("n_pairs"), 6))
+          .as("bias"))
+  }
 }

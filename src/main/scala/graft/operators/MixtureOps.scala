@@ -401,4 +401,52 @@ object MixtureOps {
         sum(when(col("__sn").isNull, col("__no")).otherwise(0L))
           .as("tokens_removed"))
   }
+
+  /** Salted membership draw: [[membership]] keyed by md5(salt|id) —
+    * the second (third, …) independent deterministic sampler over the
+    * same id space. DuckDB twin:
+    * `('0x' || substr(md5(salt || '|' || id::VARCHAR), 1, 8))::BIGINT
+    * / 2^32`.
+    */
+  def saltedMembership(salt: String,
+                       idCol: String): org.apache.spark.sql.Column =
+    conv(substring(md5(concat_ws("|", lit(salt),
+      col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Sampler-independence audit: two salted deterministic samplers
+    * ('a' and 'b') over the same ids, swept across `ratesPct`
+    * keep-rates. Per rate: each sampler's kept count, the joint count,
+    * and the observed vs expected (n_a·n_b/N²) joint rate in exact
+    * half-up ppm. If md5-salted draws were correlated, every
+    * downstream "independent" holdout built this way would leak —
+    * this is the table that proves they are not (obs ≈ exp).
+    *
+    * Scale: both draws are row-local; the sweep is a constant-array
+    * explode; ONE hash agg produces the whole table. Expected-joint
+    * arithmetic runs in DECIMAL(38,0) — n_a·n_b·2e6 overflows BIGINT
+    * already at ~10⁹ kept rows, which 100 TB reaches trivially.
+    */
+  def sampleOverlap(df: DataFrame, idCol: String,
+                    ratesPct: Seq[Int] = Seq(1, 5, 10, 25)): DataFrame =
+    df.select(saltedMembership("a", idCol).as("__ma"),
+        saltedMembership("b", idCol).as("__mb"))
+      .select(col("__ma"), col("__mb"),
+        explode(typedLit(ratesPct.map(_.toLong))).as("rate_pct"))
+      .groupBy(col("rate_pct"))
+      .agg(count(lit(1)).as("__N"),
+        sum((col("__ma") < col("rate_pct") / 100.0).cast("long"))
+          .as("n_a"),
+        sum((col("__mb") < col("rate_pct") / 100.0).cast("long"))
+          .as("n_b"),
+        sum((col("__ma") < col("rate_pct") / 100.0 &&
+          col("__mb") < col("rate_pct") / 100.0).cast("long"))
+          .as("n_both"))
+      .select(col("rate_pct"), col("n_a"), col("n_b"), col("n_both"),
+        expr("CAST((n_both * 2000000 + __N) div (2 * __N) AS BIGINT)")
+          .as("obs_joint_ppm"),
+        expr("CAST((CAST(n_a AS DECIMAL(38,0)) * n_b * 2000000 + " +
+          "CAST(__N AS DECIMAL(38,0)) * __N) div " +
+          "(2 * CAST(__N AS DECIMAL(38,0)) * __N) AS BIGINT)")
+          .as("exp_joint_ppm"))
 }

@@ -870,4 +870,58 @@ object SimilarityOps {
         expr("CAST((coalesce(__nd, 0) * 2000000 + __nv) div " +
           "(2 * __nv) AS BIGINT)").as("dup_ppm"))
   }
+
+  /** Embedding drift between two corpus snapshots, per label: counts on
+    * each side, the cosine between the snapshots' per-label centroids,
+    * and the centroid-norm delta (new − old). The re-embed audit: after
+    * an encoder upgrade (or a crawl refresh) the per-label centroid
+    * cosine is the first number that says whether downstream ANN
+    * indexes and tau thresholds transfer or must be rebuilt.
+    *
+    * Scale: centroids via one dimension-level explode + hash agg per
+    * side (never a pair join); components pin to 6 dp (the
+    * [[semDedup]] / IVF centroid convention) so the cosine reproduces
+    * across engines; the |labels|-row tables join broadcast-free at
+    * negligible size. Labels present on only one side are dropped
+    * (inner join) — there is no drift to report against nothing.
+    */
+  def embeddingDrift(dfOld: DataFrame, dfNew: DataFrame, idCol: String,
+                     embCol: String, labelCol: String): DataFrame = {
+    graft.plans.GraftExtensions.register(dfOld.sparkSession)
+    def tag(d: DataFrame, t: Int) = d.select(lit(t).as("__snap"),
+      col(labelCol).as("label"),
+      expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("__e"))
+    val u = tag(dfOld, 0).unionByName(tag(dfNew, 1))
+      // LAZY localCheckpoint: counts and centroids both read the
+      // tagged union (each side's lineage would otherwise run twice).
+      .localCheckpoint(false)
+    val cnt = u.groupBy(col("__snap"), col("label"))
+      .agg(count(lit(1)).as("__n"))
+    val cent = u.select(col("__snap"), col("label"),
+        posexplode(col("__e")).as(Seq("__dim", "__v")))
+      .groupBy(col("__snap"), col("label"), col("__dim"))
+      .agg(round(avg(col("__v")), 6).as("__c"))
+      .groupBy(col("__snap"), col("label"))
+      .agg(sort_array(collect_list(struct(col("__dim"), col("__c"))))
+        .as("__s"))
+      .select(col("__snap"), col("label"),
+        expr("transform(__s, x -> x.__c)").as("__cent"))
+    val j = cent.join(cnt, Seq("__snap", "label"))
+      // 2×|labels| rows; both snapshot filters read it — without the
+      // cut the explode+agg centroid lineage would run twice.
+      .localCheckpoint(false)
+    def snap(t: Int, c: String, n: String) = j.filter(col("__snap") === t)
+      .select(col("label"), col("__cent").as(c), col("__n").as(n))
+    snap(0, "__co", "n_old").join(snap(1, "__cn", "n_new"), Seq("label"))
+      .withColumn("__no", sqrt(dot("__co", "__co")))
+      .withColumn("__nn", sqrt(dot("__cn", "__cn")))
+      .select(col("label").cast("long").as("label"), col("n_old"),
+        col("n_new"),
+        when(col("__no") === 0 || col("__nn") === 0, lit(null))
+          .otherwise(MetricOps.normZero(round(
+            dot("__co", "__cn") / (col("__no") * col("__nn")), 6)))
+          .as("centroid_cos"),
+        MetricOps.normZero(round(col("__nn") - col("__no"), 6))
+          .as("norm_delta"))
+  }
 }

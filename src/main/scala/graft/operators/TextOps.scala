@@ -1790,4 +1790,63 @@ object TextOps {
         expr("CAST((__hapax * 2000000 + vocab) div (2 * vocab) " +
           "AS BIGINT)").as("hapax_ppm"))
   }
+
+  /** Within-document positional novelty curve: for every token
+    * occurrence, is it the FIRST in-document occurrence of that token,
+    * bucketed by the occurrence's position decile (0-based position ×
+    * 10 div doc length). A healthy natural corpus keeps introducing
+    * new tokens late in documents; generator mode-collapse (and
+    * template boilerplate) shows up as a novelty curve that crashes
+    * after the first decile — the within-doc complement of the
+    * cross-doc [[selfRepetition]] audit.
+    *
+    * Scale: one token-level explode, one window partitioned by
+    * (doc, token) — per-doc token groups, never a hot partition — and
+    * one 10-row hash agg. The novelty ratio is exact half-up integer
+    * ppm (no FP boundary can split engines).
+    */
+  def positionNovelty(df: DataFrame, idCol: String,
+                      textCol: String): DataFrame = {
+    val t = df.withColumn("__tk", tokens(col(textCol)))
+      .filter(size(col("__tk")) >= 1)
+      .select(col(idCol), size(col("__tk")).cast("long").as("__n"),
+        posexplode(col("__tk")).as(Seq("__pos", "__tok")))
+    val firstW = Window.partitionBy(col(idCol), col("__tok"))
+      .orderBy(col("__pos"))
+    t.withColumn("__new",
+        (row_number().over(firstW) === 1).cast("long"))
+      .withColumn("decile",
+        expr("CAST((CAST(__pos AS BIGINT) * 10) div __n AS BIGINT)"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__new")).as("n_new"))
+      .select(col("decile"), col("n_tokens"), col("n_new"),
+        expr("CAST((n_new * 2000000 + n_tokens) div (2 * n_tokens) " +
+          "AS BIGINT)").as("novelty_ppm"))
+  }
+
+  /** Declared-language vs [[langId]]-predicted confusion grid: one row
+    * per observed (declared, predicted) cell with its count and its
+    * share of the declared language's row (half-up integer ppm). The
+    * composition audit that catches a mislabeled ingest feed: a
+    * declared language whose prediction mass concentrates off-profile
+    * is a feed to quarantine, and the grid is the evidence table.
+    *
+    * Scale: the scoring pass is row-local (array HOFs over the token
+    * split, no join, no shuffle); the grid is |langs × profiles| rows
+    * out of one hash agg, and the row totals broadcast back.
+    */
+  def langConfusion(df: DataFrame, langCol: String, textCol: String,
+                    profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val g = langId(df, langCol, textCol, profiles)
+      .groupBy(col(langCol).as("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+      // LAZY localCheckpoint: the grid feeds both the row totals and
+      // the final projection (bounded: |langs × profiles| rows).
+      .localCheckpoint(false)
+    val rt = g.groupBy(col("lang")).agg(sum(col("n_docs")).as("__rt"))
+    g.join(broadcast(rt), Seq("lang"))
+      .select(col("lang"), col("lang_pred"), col("n_docs"),
+        expr("CAST((n_docs * 2000000 + __rt) div (2 * __rt) " +
+          "AS BIGINT)").as("share_ppm"))
+  }
 }

@@ -954,6 +954,75 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "q381: the embeddings scan must be behind the checkpoint")
   }
 
+  test("q383-q388 family: keyed windows only, checkpointed fan-out " +
+    "passes, one-agg sampler audit") {
+    // q383's first-occurrence window is (doc, token)-keyed — never a
+    // global order
+    locally {
+      val df = plan("q383_position_novelty")
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        "q383's first-occurrence window must be keyed")
+    }
+    // q386's md5-keyed dup window and globalRank tie window sit
+    // BEHIND the ≤10-row grid checkpoint (the q378 convention), so
+    // its final plan is windowless and reads the checkpointed grid
+    locally {
+      val df = plan("q386_dup_length_profile")
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty,
+        "q386's rank/dup windows must be behind the grid checkpoint")
+      assert(df.queryExecution.executedPlan.toString
+        .contains("ExistingRDD"),
+        "q386 must read its checkpointed grid")
+    }
+    // windowless shapes: grid shares, centroid drift, fidelity sweep,
+    // sampler audit
+    for (q <- Seq("q384_lang_confusion", "q385_embedding_drift",
+        "q387_minhash_fidelity", "q388_sample_overlap")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty, s"$q must not plan any window")
+    }
+    // checkpointed fan-out passes: q385's tagged union + label table,
+    // q387's shingle/signature/pair tables
+    for (q <- Seq("q385_embedding_drift", "q387_minhash_fidelity")) {
+      val df = plan(q)
+      df.count()
+      assert(df.queryExecution.executedPlan.toString
+        .contains("ExistingRDD"),
+        s"$q must read its checkpointed pass")
+    }
+    assert(!plan("q385_embedding_drift").queryExecution.executedPlan
+      .toString.contains("embeddings"),
+      "q385: the embeddings scans must be behind the union checkpoint")
+    // q388 is ONE hash agg over a row-local projection: no join
+    // operator of any kind in the executed plan
+    val so = plan("q388_sample_overlap")
+    so.count()
+    assert(collectWithSubqueries(so.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, "q388 must not plan any join")
+    // q384's row totals ride a broadcast join back onto the grid
+    val lc = plan("q384_lang_confusion")
+    lc.count()
+    assert(collectWithSubqueries(lc.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }.nonEmpty, "q384's row totals must broadcast")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     // Only the declared EXACT-baseline forms may cross-join; their
     // bucketed scale twins (q329-q331, and q266 since round 7) must
