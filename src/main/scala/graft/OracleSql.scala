@@ -8231,6 +8231,150 @@ object OracleSql {
         |    AS obs_joint_ppm,
         |  CAST((n_a::HUGEINT * n_b * 2000000 + nn::HUGEINT * nn)
         |    // (2 * nn::HUGEINT * nn) AS BIGINT) AS exp_joint_ppm
-        |FROM g ORDER BY rate_pct""".stripMargin
+        |FROM g ORDER BY rate_pct""".stripMargin,
+
+    "q389_source_cohesion" ->
+      """WITH e AS (SELECT d.source AS label, embedding::DOUBLE[] AS ed
+        |  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id),
+        |w AS (SELECT label, ed,
+        |    sqrt(list_dot_product(ed, ed)) AS nrm FROM e
+        |  WHERE sqrt(list_dot_product(ed, ed)) > 0),
+        |st AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |    sum(round(nrm, 12)::DECIMAL(38,12)) AS snrm
+        |  FROM w GROUP BY label),
+        |dv AS (SELECT label, unnest(list_transform(range(len(ed)),
+        |    i -> {'d': i, 'u': ed[i + 1] / nrm})) AS s FROM w),
+        |sd AS (SELECT label, s.d AS d,
+        |    sum(round(s.u, 12)::DECIMAL(38,12)) AS sd
+        |  FROM dv GROUP BY label, s.d),
+        |ss AS (SELECT label, sum(round(CAST(sd AS DOUBLE)
+        |    * CAST(sd AS DOUBLE), 12)::DECIMAL(38,12)) AS ss
+        |  FROM sd GROUP BY label)
+        |SELECT st.label AS source, n_vecs,
+        |  round(CAST(snrm AS DOUBLE) / n_vecs, 6) AS mean_norm,
+        |  CASE WHEN n_vecs > 1 THEN
+        |    round((CAST(ss AS DOUBLE) - n_vecs)
+        |      / (CAST(n_vecs AS DOUBLE) * (n_vecs - 1)), 6) + 0.0
+        |  END AS mean_pairwise_cos
+        |FROM st JOIN ss ON st.label = ss.label
+        |ORDER BY source""".stripMargin,
+
+    "q390_neardup_cluster_purity" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |${minhashSig(4, 2)},
+         |pairs AS (${minhashPairs(4, 2)}),
+         |ed AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.anc FROM reach r JOIN ed e ON e.s = r.node),
+         |cc AS (SELECT node, min(anc) AS label FROM reach GROUP BY node),
+         |lab AS (SELECT cc.label, d.source FROM cc
+         |  JOIN documents d ON d.doc_id = cc.node),
+         |per AS (SELECT label, source, count(*) AS c FROM lab
+         |  GROUP BY 1, 2),
+         |cl AS (SELECT label, CAST(sum(c) AS BIGINT) AS sz,
+         |    CAST(count(*) AS BIGINT) AS ns FROM per GROUP BY label)
+         |SELECT ns AS n_sources, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(max(sz) AS BIGINT) AS max_cluster
+         |FROM cl WHERE sz > 1 GROUP BY ns
+         |ORDER BY n_sources""".stripMargin,
+
+    "q391_quality_delta" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(length(text) - (len(string_split(text, ' ')) - 1)
+        |      AS BIGINT) AS ch,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      / CAST(4294967296 AS DOUBLE) AS mem
+        |  FROM documents),
+        |m AS (SELECT source, mem,
+        |  CASE WHEN NOT (n < 30 OR n > 80)
+        |    AND NOT (ch * 2 < n * 7 OR ch * 2 > n * 12)
+        |    AND NOT (CAST(list_aggregate(list_transform(list_distinct(tk),
+        |      w -> len(list_filter(tk, x -> x = w))), 'max') AS BIGINT)
+        |      * 5 > n)
+        |    AND len(list_filter(tk, x -> list_contains(['the', 'a'], x)))
+        |      > 0
+        |    AND NOT (CAST(len(list_distinct(tk)) AS BIGINT) * 5 < n * 2)
+        |    THEN 1 ELSE 0 END AS pass
+        |  FROM t),
+        |o AS (SELECT source, CAST(count(*) AS BIGINT) AS n_old,
+        |    CAST(sum(pass) AS BIGINT) AS po FROM m WHERE mem < 0.9
+        |  GROUP BY source),
+        |nw AS (SELECT source, CAST(count(*) AS BIGINT) AS n_new,
+        |    CAST(sum(pass) AS BIGINT) AS pn FROM m WHERE mem >= 0.1
+        |  GROUP BY source)
+        |SELECT source, n_old, n_new,
+        |  CAST((po * 2000000 + n_old) // (2 * n_old) AS BIGINT)
+        |    AS pass_ppm_old,
+        |  CAST((pn * 2000000 + n_new) // (2 * n_new) AS BIGINT)
+        |    AS pass_ppm_new,
+        |  CAST((pn * 2000000 + n_new) // (2 * n_new)
+        |    - (po * 2000000 + n_old) // (2 * n_old) AS BIGINT)
+        |    AS delta_ppm
+        |FROM o JOIN nw USING (source) ORDER BY source""".stripMargin,
+
+    "q392_hubness" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |pb AS (SELECT vec_id, emb, nrm,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p),
+        |t AS (SELECT vec_id, neighbor_id FROM r WHERE rn <= 5),
+        |deg AS (SELECT neighbor_id AS id, CAST(count(*) AS BIGINT)
+        |    AS dg FROM t GROUP BY 1),
+        |sp AS (SELECT vec_id AS id FROM embeddings)
+        |SELECT coalesce(dg, 0) AS in_degree,
+        |  CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM sp LEFT JOIN deg USING (id)
+        |GROUP BY 1 ORDER BY in_degree""".stripMargin,
+
+    "q393_metadata_consistency" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_mismatch,
+        |  CAST((sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+        |    * 2000000 + count(*)) // (2 * count(*)) AS BIGINT)
+        |    AS mismatch_ppm,
+        |  CAST(max(abs(n_chars - length(text))) AS BIGINT)
+        |    AS max_abs_delta
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q394_oov_transfer" ->
+      """WITH u AS (SELECT source, string_split(text, ' ') AS tk,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      / CAST(4294967296 AS DOUBLE) AS mem
+        |  FROM documents),
+        |vt AS (SELECT unnest(tk) AS token FROM u WHERE mem < 0.9),
+        |h AS (SELECT token, count(*) AS tf FROM vt GROUP BY token),
+        |v AS (SELECT token, 1 AS iv FROM
+        |  (SELECT token, row_number() OVER (ORDER BY tf DESC, token)
+        |    AS rk FROM h) WHERE rk <= 100),
+        |et AS (SELECT source, unnest(tk) AS token FROM u
+        |  WHERE mem >= 0.1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST((sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) * 2000000
+        |    + count(*)) // (2 * count(*)) AS BIGINT) AS oov_ppm
+        |FROM et LEFT JOIN v USING (token)
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

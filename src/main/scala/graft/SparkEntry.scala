@@ -4082,7 +4082,64 @@ object SparkEntry {
     // (observed vs expected joint ppm from one agg).
     "q388_sample_overlap" -> ((s, d) =>
       MixtureOps.sampleOverlap(Tables.documents(s, d), "doc_id")
-        .orderBy("rate_pct"))
+        .orderBy("rate_pct")),
+
+    // L334 — per-source embedding cohesion: isotropyAudit keyed by
+    // the documents join (mean pairwise cosine via the centroid
+    // identity — no pair sweep).
+    "q389_source_cohesion" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"),
+        col("source"))
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.isotropyAudit(
+          emb.join(docs, emb("vec_id") === docs("doc_id")),
+          "embedding", "source")
+        .withColumnRenamed("label", "source")
+        .orderBy("source")
+    }),
+
+    // L335 — near-dup cluster source purity: local-boilerplate vs
+    // cross-source syndication (the global-dedup pricing table).
+    "q390_neardup_cluster_purity" -> ((s, d) =>
+      DedupOps.neardupClusterPurity(Tables.documents(s, d), "doc_id",
+          "source", "text")
+        .orderBy("n_sources")),
+
+    // L336 — Gopher pass-rate drift between membership snapshots per
+    // source (the crawl-regression tripwire).
+    "q391_quality_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.qualityDelta(
+          docs.filter(MixtureOps.membership("doc_id") < 0.9),
+          docs.filter(MixtureOps.membership("doc_id") >= 0.1),
+          "source", "doc_id", "text", STOPWORDS)
+        .orderBy("source")
+    }),
+
+    // L337 — ANN kNN-graph in-degree histogram (hubs and anti-hubs in
+    // one table).
+    "q392_hubness" -> ((s, d) =>
+      SimilarityOps.hubnessAudit(Tables.embeddings(s, d), "vec_id",
+          "embedding", 5, 4)
+        .orderBy("in_degree")),
+
+    // L338 — recorded-vs-recomputed char-count consistency per source
+    // (extractor/encoding damage tripwire).
+    "q393_metadata_consistency" -> ((s, d) =>
+      TextOps.metadataConsistency(Tables.documents(s, d), "source",
+          "text", "n_chars")
+        .orderBy("source")),
+
+    // L339 — frozen-vocabulary OOV transfer: top-100 vocab from the
+    // old snapshot, per-source OOV ppm on the new one.
+    "q394_oov_transfer" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.oovTransfer(
+          docs.filter(MixtureOps.membership("doc_id") < 0.9),
+          docs.filter(MixtureOps.membership("doc_id") >= 0.1),
+          "source", "text", 100)
+        .orderBy("source")
+    })
   )
 
   // ------------------------------------------------------------- oracles

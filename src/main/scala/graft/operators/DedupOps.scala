@@ -985,4 +985,38 @@ object DedupOps {
           round(col("__se").cast("double") / col("n_pairs"), 6))
           .as("bias"))
   }
+
+  /** Near-dup cluster source-purity report: connected components over
+    * the banded-LSH candidate graph, multi-doc clusters grouped by how
+    * many distinct sources they span. One-source clusters are a
+    * source's internal boilerplate (dedup locally, no cross-source
+    * shuffle needed); multi-source clusters are syndication/mirror
+    * content whose dedup NEEDS the global pass — this table prices
+    * that decision (the near-dup complement of the exact-hash
+    * [[dedupSavings]] / dup-flow view).
+    *
+    * Scale: candidate pairs only from LSH buckets; components via
+    * [[GraphOps.connectedComponents]] (iterative min-label over the
+    * SMALL edge list, label-sum convergence); the purity rollup is two
+    * bounded hash aggs.
+    */
+  def neardupClusterPurity(df: DataFrame, idCol: String,
+                           srcCol: String, textCol: String): DataFrame = {
+    val pairs = minhashCandidates(
+      minhashSignature(shingles(df, idCol, textCol), idCol, 4, 2),
+      idCol, 4, 2)
+    val cc = GraphOps.connectedComponents(df.select(col(idCol)), idCol,
+      pairs, "doc_a", "doc_b")
+    val per = cc
+      .join(df.select(col(idCol).as("node"), col(srcCol).as("__src")),
+        Seq("node"))
+      .groupBy(col("label"), col("__src"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("label"))
+      .agg(sum(col("__c")).as("__size"), count(lit(1)).as("__ns"))
+      .filter(col("__size") > 1)
+    per.groupBy(col("__ns").as("n_sources"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("__size")).as("n_docs"),
+        max(col("__size")).as("max_cluster"))
+  }
 }

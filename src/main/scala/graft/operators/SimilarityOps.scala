@@ -924,4 +924,29 @@ object SimilarityOps {
         MetricOps.normZero(round(col("__nn") - col("__no"), 6))
           .as("norm_delta"))
   }
+
+  /** Hubness audit: the in-degree histogram of the (multi-probe ANN)
+    * directed kNN graph — for each in-degree, how many vectors are
+    * "pointed at" that many times. High-dimensional embedding
+    * pathologies concentrate in-degree on a few hub vectors (which
+    * then dominate every retrieval list and poison kNN labels);
+    * anti-hubs (in-degree 0) are unreachable by ANN retrieval
+    * entirely. The histogram is the one-table diagnosis for both.
+    *
+    * Scale: rides the bucketed [[annTopKMultiProbe]] survivor table
+    * (k·|vectors| rows — never the pair sweep), one count per
+    * neighbor, a left join onto the column-pruned id spine to keep
+    * the in-degree-0 row honest, and a ≤k·|vectors|-key histogram agg.
+    */
+  def hubnessAudit(df: DataFrame, idCol: String, embCol: String,
+                   k: Int, signBits: Int = 4): DataFrame = {
+    val deg = annTopKMultiProbe(df, idCol, embCol, k, signBits)
+      .groupBy(col("neighbor_id").as("__id"))
+      .agg(count(lit(1)).as("__deg"))
+    df.select(col(idCol).as("__id"))
+      .join(deg, Seq("__id"), "left")
+      .select(coalesce(col("__deg"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
 }

@@ -935,17 +935,21 @@ object TextOps {
     * are megabyte-scale.
     */
   def gopherFlags(df: DataFrame, idCol: String, textCol: String,
-                  stopwords: Seq[String]): DataFrame =
-    gopherSignals(df, idCol, textCol, stopwords).drop("__n")
+                  stopwords: Seq[String],
+                  keep: Seq[String] = Nil): DataFrame =
+    gopherSignals(df, idCol, textCol, stopwords, keep).drop("__n")
 
   /** The row-local Gopher signal pass shared by [[gopherFlags]] and
     * [[gopherAblation]]: the five rule flags plus the document's token
     * count (kept as `__n` so the ablation can attribute token loss
-    * without a second corpus scan).
+    * without a second corpus scan). `keep` carries extra columns
+    * through (the [[langId]] convention) so grouped consumers never
+    * need a join back onto the corpus.
     */
   private def gopherSignals(df: DataFrame, idCol: String,
                             textCol: String,
-                            stopwords: Seq[String]): DataFrame = {
+                            stopwords: Seq[String],
+                            keep: Seq[String] = Nil): DataFrame = {
     df.withColumn("__tk", split(col(textCol), " "))
       .withColumn("__n", size(col("__tk")).cast("long"))
       .withColumn("__ch",
@@ -957,17 +961,17 @@ object TextOps {
         size(array_distinct(col("__tk"))).cast("long"))
       .withColumn("__nstop", size(filter(col("__tk"),
         x => array_contains(typedLit(stopwords), x))).cast("long"))
-      .select(col(idCol), col("__n"),
+      .select(col(idCol) +: keep.map(col) :+ col("__n") :+
         (col("__n") < 30 || col("__n") > 80).cast("long")
-          .as("f_word_count"),
+          .as("f_word_count") :+
         (col("__ch") * 2 < col("__n") * 7 ||
           col("__ch") * 2 > col("__n") * 12).cast("long")
-          .as("f_mean_word_len"),
+          .as("f_mean_word_len") :+
         (col("__maxc") * 5 > col("__n")).cast("long")
-          .as("f_top_word_share"),
-        (col("__nstop") === 0).cast("long").as("f_no_stopword"),
+          .as("f_top_word_share") :+
+        (col("__nstop") === 0).cast("long").as("f_no_stopword") :+
         (col("__nd") * 5 < col("__n") * 2).cast("long")
-          .as("f_distinct_ratio"))
+          .as("f_distinct_ratio"): _*)
   }
 
   /** Gopher-style composite quality-rule report (Rae et al. 2021,
@@ -1848,5 +1852,97 @@ object TextOps {
       .select(col("lang"), col("lang_pred"), col("n_docs"),
         expr("CAST((n_docs * 2000000 + __rt) div (2 * __rt) " +
           "AS BIGINT)").as("share_ppm"))
+  }
+
+  /** Per-source Gopher pass-rate drift between two corpus snapshots:
+    * counts and exact half-up pass ppm on each side, plus the signed
+    * ppm delta. The crawl-regression tripwire — a source whose pass
+    * rate drops between refreshes changed its content mix (or its
+    * extractor broke), and this is the per-source evidence. Sources
+    * present in only one snapshot are dropped (no delta to report).
+    *
+    * Scale: each snapshot is one row-local [[gopherFlags]] pass
+    * (source carried via `keep` — no join back onto the corpus) into
+    * a per-source hash agg; everything after is |sources|-row
+    * arithmetic, all exact integer ppm (deltas can never split a
+    * rounding boundary, and integer zero has no sign).
+    */
+  def qualityDelta(dfOld: DataFrame, dfNew: DataFrame, srcCol: String,
+                   idCol: String, textCol: String,
+                   stopwords: Seq[String]): DataFrame = {
+    def side(d: DataFrame, n: String, p: String) =
+      gopherFlags(d, idCol, textCol, stopwords, keep = Seq(srcCol))
+        .withColumn("__pass",
+          (col("f_word_count") + col("f_mean_word_len") +
+            col("f_top_word_share") + col("f_no_stopword") +
+            col("f_distinct_ratio") === 0).cast("long"))
+        .groupBy(col(srcCol).as("source"))
+        .agg(count(lit(1)).as(n), sum(col("__pass")).as(p))
+    side(dfOld, "n_old", "__po").join(side(dfNew, "n_new", "__pn"),
+        Seq("source"))
+      .select(col("source"), col("n_old"), col("n_new"),
+        expr("CAST((__po * 2000000 + n_old) div (2 * n_old) AS BIGINT)")
+          .as("pass_ppm_old"),
+        expr("CAST((__pn * 2000000 + n_new) div (2 * n_new) AS BIGINT)")
+          .as("pass_ppm_new"))
+      .withColumn("delta_ppm", col("pass_ppm_new") - col("pass_ppm_old"))
+  }
+
+  /** Ingest-metadata consistency audit: per source, how often the
+    * recorded character count disagrees with the recomputed
+    * `length(text)`, and by how much at worst. The cheap tripwire for
+    * extractor truncation, encoding damage, and metadata drift —
+    * recorded-vs-recomputed disagreement is the first symptom of all
+    * three, and it costs one row-local projection to check.
+    *
+    * Scale: row-local delta, one per-source hash agg; mismatch rate is
+    * exact half-up integer ppm.
+    */
+  def metadataConsistency(df: DataFrame, srcCol: String,
+                          textCol: String, charsCol: String): DataFrame =
+    df.select(col(srcCol).as("source"),
+        (col(charsCol).cast("long") - length(col(textCol)).cast("long"))
+          .as("__d"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("__d") =!= 0).cast("long")).as("n_mismatch"),
+        max(abs(col("__d"))).as("max_abs_delta"))
+      .select(col("source"), col("n_docs"), col("n_mismatch"),
+        expr("CAST((n_mismatch * 2000000 + n_docs) div (2 * n_docs) " +
+          "AS BIGINT)").as("mismatch_ppm"),
+        col("max_abs_delta"))
+
+  /** Vocabulary-transfer OOV audit: build the top-`topV` token
+    * vocabulary from one snapshot (count desc, token asc — fully
+    * pinned ranks), then measure each source's out-of-vocabulary token
+    * rate on the other snapshot. The train/serve transfer check for
+    * anything with a frozen vocabulary (tokenizers, hash-free feature
+    * maps, stopword machinery): a source whose OOV rate explodes on
+    * the refresh is drifting away from the vocabulary the deployed
+    * artifact was built on.
+    *
+    * Scale: one (token) count agg on the vocab side ranked via
+    * [[MetricOps.globalRank]]'s histogram rank; the bounded top-V list
+    * BROADCASTS onto the eval side's token stream (left join — OOV =
+    * no match), then one per-source agg. OOV rate is exact half-up
+    * integer ppm.
+    */
+  def oovTransfer(dfVocab: DataFrame, dfEval: DataFrame, srcCol: String,
+                  textCol: String, topV: Int): DataFrame = {
+    val tf = dfVocab.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__tf"))
+    val vocab = MetricOps.globalRank(
+        tf.withColumn("__neg", -col("__tf")), "__neg", "token")
+      .filter(col("r") <= topV)
+      .select(col("token"), lit(1L).as("__in"))
+    dfEval.select(col(srcCol).as("source"),
+        explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        expr("CAST((n_oov * 2000000 + n_tokens) div (2 * n_tokens) " +
+          "AS BIGINT)").as("oov_ppm"))
   }
 }

@@ -1023,6 +1023,45 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.nonEmpty, "q384's row totals must broadcast")
   }
 
+  test("q389-q394 family: windowless audits, keyed rank window only " +
+    "in the OOV vocab, broadcast vocab join, joinless metadata scan") {
+    // windowless shapes: cohesion (centroid identity), cluster purity
+    // (CC + hash aggs), quality delta (row-local gopher via keep),
+    // hubness (TopKAggregator, not a rank window)
+    for (q <- Seq("q389_source_cohesion", "q390_neardup_cluster_purity",
+        "q391_quality_delta", "q392_hubness",
+        "q393_metadata_consistency")) {
+      val df = plan(q)
+      df.count()
+      val wins = collectWithSubqueries(df.queryExecution.executedPlan) {
+        case w: WindowExec => w
+      }
+      assert(wins.isEmpty, s"$q must not plan any window")
+    }
+    // q394's only window is globalRank's score-keyed tie-break over
+    // the vocab histogram; the bounded top-V list must broadcast onto
+    // the eval token stream
+    val oov = plan("q394_oov_transfer")
+    oov.count()
+    val oovWins = collectWithSubqueries(oov.queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(oovWins.forall(_.partitionSpec.nonEmpty),
+      "q394's rank window must be keyed")
+    assert(collectWithSubqueries(oov.queryExecution.executedPlan) {
+      case b: BroadcastHashJoinExec => b
+    }.nonEmpty, "q394's top-V vocab must broadcast")
+    // q393 is ONE hash agg over a row-local projection: no join
+    val mc = plan("q393_metadata_consistency")
+    mc.count()
+    assert(collectWithSubqueries(mc.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+      case j: BroadcastNestedLoopJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }.isEmpty, "q393 must not plan any join")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     // Only the declared EXACT-baseline forms may cross-join; their
     // bucketed scale twins (q329-q331, and q266 since round 7) must
