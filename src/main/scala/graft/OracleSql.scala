@@ -8375,6 +8375,219 @@ object OracleSql {
         |  CAST((sum(CASE WHEN iv IS NULL THEN 1 ELSE 0 END) * 2000000
         |    + count(*)) // (2 * count(*)) AS BIGINT) AS oov_ppm
         |FROM et LEFT JOIN v USING (token)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q395_pack_contamination" ->
+      """WITH t AS (SELECT doc_id % 8 AS shard, doc_id, source,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT shard, source,
+        |    coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS bf
+        |  FROM t),
+        |m AS (SELECT b.budget, shard, source, bf // b.budget AS bin
+        |  FROM c CROSS JOIN
+        |    (SELECT unnest([64, 128, 256]) AS budget) b),
+        |g AS (SELECT budget, shard, bin, count(DISTINCT source) AS ns,
+        |    count(*) AS nd FROM m GROUP BY 1, 2, 3)
+        |SELECT CAST(budget AS BIGINT) AS budget,
+        |  CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(nd) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_mixed,
+        |  CAST((sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) * 2000000
+        |    + count(*)) // (2 * count(*)) AS BIGINT) AS mixed_ppm,
+        |  CAST((sum(ns) * 200 + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    / 100 AS mean_sources
+        |FROM g GROUP BY budget ORDER BY budget""".stripMargin,
+
+    "q396_srp_fidelity" -> {
+      val cosList = (w: Int) =>
+        (0 to w).map(h => Math.cos(Math.PI * h / w))
+          .mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+         |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+         |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+         |    AS bucket
+         |  FROM e),
+         |signs AS (SELECT i, j,
+         |    CASE WHEN substr(md5(i || ':' || j), 1, 1) < '8'
+         |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+         |  FROM (SELECT unnest(range(0, 64)) AS i),
+         |    (SELECT unnest(range(0, 16)) AS j)),
+         |tok AS (SELECT vec_id, generate_subscripts(emb, 1) - 1 AS i,
+         |    unnest(emb) AS x
+         |  FROM e),
+         |bits AS (SELECT vec_id, j,
+         |    CASE WHEN sum(CAST(round(x * s, 8) AS DECIMAL(20,8))) > 0
+         |      THEN 1 ELSE 0 END AS bit
+         |  FROM tok JOIN signs USING (i) GROUP BY vec_id, j),
+         |pb AS (SELECT vec_id, emb, nrm,
+         |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+         |          xor(bucket, 8)]) AS bucket
+         |  FROM n),
+         |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+         |  FROM pb a JOIN n b ON a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0),
+         |hm AS (SELECT p.id_a, p.id_b, p.sim, w.w,
+         |    CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+         |      AS INT) AS h
+         |  FROM p
+         |  JOIN bits ba ON ba.vec_id = p.id_a
+         |  JOIN bits bb ON bb.vec_id = p.id_b AND bb.j = ba.j
+         |  CROSS JOIN (SELECT unnest([4, 8, 16]) AS w) w
+         |  WHERE ba.j < w.w
+         |  GROUP BY 1, 2, 3, 4),
+         |er AS (SELECT w,
+         |    round(est - sim, 12)::DECIMAL(38,12) AS err,
+         |    round(abs(est - sim), 12)::DECIMAL(38,12) AS ab
+         |  FROM (SELECT w, sim,
+         |    CASE WHEN w = 4 THEN (${cosList(4)})[h + 1]
+         |      WHEN w = 8 THEN (${cosList(8)})[h + 1]
+         |      ELSE (${cosList(16)})[h + 1] END AS est FROM hm))
+         |SELECT CAST(w AS BIGINT) AS width,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(ab) AS DOUBLE) / count(*), 6) AS mae,
+         |  round(CAST(sum(err) AS DOUBLE) / count(*), 6) + 0.0 AS bias
+         |FROM er GROUP BY w ORDER BY width""".stripMargin
+    },
+
+    "q397_ann_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |q AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+        |ex AS (SELECT vec_id, neighbor_id FROM (
+        |  SELECT q.vec_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.emb, b.emb) / (q.nrm * b.nrm)
+        |        DESC, b.vec_id) AS rn
+        |  FROM q, n b WHERE b.vec_id <> q.vec_id) WHERE rn <= 5),
+        |pb AS (SELECT vec_id, emb, nrm, unnest([
+        |    {'pb': bucket, 'hd': 0},
+        |    {'pb': xor(bucket, 1), 'hd': 1}, {'pb': xor(bucket, 2), 'hd': 1},
+        |    {'pb': xor(bucket, 4), 'hd': 1}, {'pb': xor(bucket, 8), 'hd': 1},
+        |    {'pb': xor(bucket, 3), 'hd': 2}, {'pb': xor(bucket, 5), 'hd': 2},
+        |    {'pb': xor(bucket, 9), 'hd': 2}, {'pb': xor(bucket, 6), 'hd': 2},
+        |    {'pb': xor(bucket, 10), 'hd': 2}, {'pb': xor(bucket, 12), 'hd': 2}
+        |  ]) AS pr FROM q),
+        |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    min(a.pr.hd) AS hd,
+        |    max(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)) AS sim
+        |  FROM pb a JOIN n b ON b.bucket = a.pr.pb
+        |    AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |lv AS (SELECT l.lvl, vec_id, neighbor_id, sim FROM cand
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS lvl) l
+        |  WHERE hd <= l.lvl),
+        |tk AS (SELECT lvl, vec_id, neighbor_id FROM (
+        |  SELECT lvl, vec_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY lvl, vec_id
+        |      ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM lv) WHERE rn <= 5),
+        |nq AS (SELECT count(*) AS nq FROM q),
+        |h AS (SELECT lvl, count(ex.vec_id) AS n_hits
+        |  FROM tk LEFT JOIN ex ON ex.vec_id = tk.vec_id
+        |    AND ex.neighbor_id = tk.neighbor_id
+        |  GROUP BY lvl)
+        |SELECT CAST(lvl AS BIGINT) AS level,
+        |  CAST(nq AS BIGINT) AS n_queries,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST((n_hits * 2000000 + 5 * nq) // (2 * 5 * nq) AS BIGINT)
+        |    AS recall_ppm
+        |FROM h, nq ORDER BY level""".stripMargin,
+
+    "q398_crosslang_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |pb AS (SELECT vec_id, emb, nrm,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n),
+        |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+        |      AS sim
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) > 0.35),
+        |g AS (SELECT least(la.lang, lb.lang) AS lang_lo,
+        |    greatest(la.lang, lb.lang) AS lang_hi, sim
+        |  FROM p JOIN documents la ON la.doc_id = p.id_a
+        |  JOIN documents lb ON lb.doc_id = p.id_b)
+        |SELECT lang_lo, lang_hi,
+        |  CAST(lang_lo <> lang_hi AS INT) AS is_cross,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(round(sim, 12)::DECIMAL(38,12)) AS DOUBLE)
+        |    / count(*), 6) AS mean_sim
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q399_dedup_transitivity" ->
+      s"""WITH $shinglesCte,
+         |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |${minhashSig(4, 2)},
+         |cand AS (${minhashPairs(4, 2)}),
+         |com AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY c.doc_a, c.doc_b),
+         |ed AS (SELECT com.doc_a AS a, com.doc_b AS b FROM com
+         |  JOIN szs sa ON sa.doc_id = com.doc_a
+         |  JOIN szs sb ON sb.doc_id = com.doc_b
+         |  WHERE round(CAST(com.c AS DOUBLE) / (sa.n + sb.n - com.c), 6)
+         |    >= 0.5),
+         |deg AS (SELECT v, count(*) AS d FROM
+         |  (SELECT a AS v FROM ed UNION ALL SELECT b AS v FROM ed)
+         |  GROUP BY v),
+         |p2 AS (SELECT coalesce(sum(d * (d - 1) // 2), 0) AS n_paths2,
+         |    count(*) AS n_nodes FROM deg),
+         |tri AS (SELECT count(*) AS n_triangles FROM ed e1
+         |  JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+         |  JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |ne AS (SELECT count(*) AS n_edges FROM ed)
+         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(n_edges AS BIGINT) AS n_edges,
+         |  CAST(n_paths2 AS BIGINT) AS n_paths2,
+         |  CAST(n_triangles AS BIGINT) AS n_triangles,
+         |  CASE WHEN n_paths2 > 0 THEN
+         |    CAST((n_triangles * 3 * 2000000 + n_paths2)
+         |      // (2 * n_paths2) AS BIGINT) END AS transitivity_ppm
+         |FROM p2, tri, ne""".stripMargin,
+
+    "q400_char_compressibility" ->
+      """WITH p AS (SELECT source, substr(text, i + 1, 2) AS b
+        |  FROM documents, unnest(range(len(text) - 1)) AS g(i)
+        |  WHERE len(text) >= 2),
+        |bg AS (SELECT source, b, count(*) AS c FROM p GROUP BY 1, 2),
+        |j AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+        |    sum(round(c * ln(c), 12)::DECIMAL(38,12)) AS sj
+        |  FROM bg GROUP BY source),
+        |mg AS (SELECT source, substr(b, 1, 1) AS c1, sum(c) AS m
+        |  FROM bg GROUP BY 1, 2),
+        |m AS (SELECT source, sum(round(m * ln(m), 12)::DECIMAL(38,12))
+        |    AS sm
+        |  FROM mg GROUP BY source)
+        |SELECT j.source AS source, n_bigrams, n_distinct_bigrams,
+        |  round(CAST(sm - sj AS DOUBLE)
+        |    / (CAST(n_bigrams AS DOUBLE) * 0.6931471805599453), 6) + 0.0
+        |    AS cond_bits,
+        |  round(CAST(sm - sj AS DOUBLE)
+        |    / (CAST(n_bigrams AS DOUBLE) * 0.6931471805599453 * 8.0), 6)
+        |    + 0.0 AS compress_ratio
+        |FROM j JOIN m ON m.source = j.source ORDER BY source""".stripMargin
   )
 }

@@ -4139,7 +4139,56 @@ object SparkEntry {
           docs.filter(MixtureOps.membership("doc_id") >= 0.1),
           "source", "text", 100)
         .orderBy("source")
-    })
+    }),
+
+    // L340 — cross-source pack contamination per context budget (the
+    // boundary-masking decision table; per-shard packing, no global
+    // cumsum).
+    "q395_pack_contamination" -> ((s, d) =>
+      TextOps.packContamination(Tables.documents(s, d), "doc_id",
+          "text", "source", Seq(64L, 128L, 256L))
+        .orderBy("budget")),
+
+    // L341 — SRP (SimHash-for-cosine) fidelity per signature width
+    // over bucket candidate pairs; cos lookup from a literal table,
+    // no per-row transcendental.
+    "q396_srp_fidelity" -> ((s, d) =>
+      SimilarityOps.srpFidelity(Tables.embeddings(s, d), "vec_id",
+          "embedding", Seq(4, 8, 16))
+        .orderBy("width")),
+
+    // L342 — measured ANN recall@5 vs the exact top-5 at probe levels
+    // H<=0/1/2 on a 1-in-20 query sample (the recall/cost dial as a
+    // declared query; the sampled brute-force side is the documented
+    // exact-baseline cartesian class).
+    "q397_ann_recall" -> ((s, d) =>
+      SimilarityOps.annRecallAudit(Tables.embeddings(s, d), "vec_id",
+          "embedding", 5, 4, 20)
+        .orderBy("level")),
+
+    // L343 — cross-language near-dup mining (translation pairs /
+    // template spam; invisible to text-shingle dedup).
+    "q398_crosslang_neardup" -> ((s, d) =>
+      SimilarityOps.crossLangNearDup(Tables.embeddings(s, d), "vec_id",
+          "embedding", Tables.documents(s, d), "doc_id", "lang", 0.35, 4)
+        .orderBy("lang_lo", "lang_hi")),
+
+    // L344 — transitivity of the verified near-dup graph (is
+    // "cluster = transitive closure" safe for the survivor policy?).
+    "q399_dedup_transitivity" -> ((s, d) =>
+      GraphOps.transitivity(
+        DedupOps.lshJaccard(
+            DedupOps.shingles(Tables.documents(s, d), "doc_id", "text"),
+            "doc_id", 4, 2)
+          .filter(col("jaccard") >= 0.5),
+        "doc_a", "doc_b")),
+
+    // L345 — per-source char-bigram compressibility (order-1 entropy
+    // rate in bits/char; the storage/IO cost planner).
+    "q400_char_compressibility" -> ((s, d) =>
+      TextOps.charCompressibility(Tables.documents(s, d), "source",
+          "text")
+        .orderBy("source"))
   )
 
   // ------------------------------------------------------------- oracles

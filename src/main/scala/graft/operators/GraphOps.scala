@@ -602,4 +602,44 @@ object GraphOps {
             col("__cross").cast("double") /
             col("__dd").cast("double"), roundTo)).as("morans_i"))
   }
+
+  /** Global transitivity (clustering coefficient) of an undirected
+    * graph: 3·triangles / paths-of-length-2. On a near-dup candidate
+    * graph this is the audit behind the "cluster = transitive closure"
+    * assumption every connected-components dedup makes: transitivity
+    * near 1 means LSH components are genuine copy-families; low
+    * transitivity means chains of marginal pairs are welding unrelated
+    * documents into one cluster and the survivor policy will delete
+    * non-duplicates.
+    *
+    * Scale: triangles via [[triangleCount]]'s degree-oriented wedge
+    * join (O(E^1.5) under any skew); the path-2 denominator
+    * Σ deg·(deg−1)/2 is one extra hash agg over the SMALL edge list —
+    * both reduce to 1-row tables that merge as broadcasts.
+    */
+  def transitivity(edges: DataFrame, srcCol: String,
+                   dstCol: String): DataFrame = {
+    // EAGER localCheckpoint: the edge lineage (e.g. a full LSH
+    // verify) must compute once — triangleCount and the degree pass
+    // both read it; triangleCount's internal re-canonicalization is
+    // idempotent on the already-canonical table.
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val tc = triangleCount(canon, "a", "b")
+    val paths = canon
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+      .agg(coalesce(sum(expr("__deg * (__deg - 1) div 2")), lit(0L))
+        .as("n_paths2"))
+    tc.crossJoin(broadcast(paths))
+      .select(col("n_nodes"), col("n_edges"), col("n_paths2"),
+        col("n_triangles"),
+        when(col("n_paths2") > 0, expr(
+          "CAST((n_triangles * 3 * 2000000 + n_paths2) " +
+            "div (2 * n_paths2) AS BIGINT)")).as("transitivity_ppm"))
+  }
 }

@@ -949,4 +949,216 @@ object SimilarityOps {
       .groupBy(col("in_degree"))
       .agg(count(lit(1)).as("n_vecs"))
   }
+
+  /** Cross-language near-duplicate mining: embedding near-dup pairs
+    * grouped by the (unordered) language pair of the two documents.
+    * Same-language rows are ordinary near-dups; CROSS-language rows
+    * with high cosine are either translation pairs (bitext worth
+    * harvesting for multilingual training) or template spam stamped
+    * across locales — either way the rows a multilingual-corpus owner
+    * triages first, and invisible to every text-shingle dedup.
+    *
+    * Scale: pairs come from the multi-probe sign-bucket equi-join
+    * ([[embeddingNearDupBucketed]] — never an all-pairs sweep); the
+    * language lookup is a co-keyed equi-join on the doc id; per-pair
+    * sims snap to 12 dp and sum DECIMAL(38,12) so the group means
+    * reproduce across engines and partitionings.
+    */
+  def crossLangNearDup(emb: DataFrame, idCol: String, embCol: String,
+                       meta: DataFrame, metaIdCol: String,
+                       langCol: String, threshold: Double,
+                       signBits: Int = 4): DataFrame = {
+    val pairs = embeddingNearDupBucketed(emb, idCol, embCol, threshold,
+      signBits)
+    val l = meta.select(col(metaIdCol), col(langCol))
+    pairs
+      .join(l.select(col(metaIdCol).as("id_a"), col(langCol).as("__la")),
+        Seq("id_a"))
+      .join(l.select(col(metaIdCol).as("id_b"), col(langCol).as("__lb")),
+        Seq("id_b"))
+      .select(least(col("__la"), col("__lb")).as("lang_lo"),
+        greatest(col("__la"), col("__lb")).as("lang_hi"), col("sim"))
+      .groupBy(col("lang_lo"), col("lang_hi"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("sim"), 12).cast("decimal(38,12)")).as("__ss"))
+      .select(col("lang_lo"), col("lang_hi"),
+        (col("lang_lo") =!= col("lang_hi")).cast("int").as("is_cross"),
+        col("n_pairs"),
+        round(col("__ss").cast("double") / col("n_pairs"), 6)
+          .as("mean_sim"))
+  }
+
+  /** Signed-random-projection (SimHash-for-cosine) fidelity audit:
+    * over the multi-probe bucket candidate pairs, compare the SRP
+    * cosine ESTIMATE cos(π·h/w) — h = Hamming distance of the first
+    * `w` sign bits under md5-seeded ±1 hyperplanes (the
+    * [[randomProjection]] convention) — against the exact cosine.
+    * Mean absolute error and signed bias per signature width: the
+    * "how many bits does this embedding space actually need" tuning
+    * table, the cosine-space twin of the MinHash fidelity audit.
+    *
+    * Determinism: projections accumulate 8-dp DECIMAL terms (sign is
+    * then exact); h/w is a dyadic rational and cos(π·h/w) is looked
+    * up from a LITERAL table computed once at plan build — both
+    * engines read the same doubles, so no transcendental call ever
+    * runs per-row. Error terms snap to 12 dp and sum DECIMAL(38,12).
+    */
+  def srpFidelity(df: DataFrame, idCol: String, embCol: String,
+                  widths: Seq[Int] = Seq(4, 8, 16), inDim: Int = 64,
+                  signBits: Int = 4): DataFrame = {
+    require(widths.forall(w => w > 0 && (w & (w - 1)) == 0),
+      "widths must be powers of two so h/w stays exact")
+    val maxW = widths.max
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    // bits pack into ONE int mask per vector, so the per-pair Hamming
+    // is a codegen'd bit_count(xor) — no array work ever runs on the
+    // pair stream. The projection itself is RELATIONAL: posexplode the
+    // vector once, broadcast-join the inDim×maxW sign table, and
+    // hash-aggregate the 8-dp DECIMAL terms per (vector, plane) — a
+    // giant literal sign matrix inlined per plane costs seconds of
+    // codegen compilation per run, while this shape is three cheap
+    // codegen'd operators (and the (id, plane) agg is exactly how the
+    // signature pass distributes at 100 TB).
+    val sess = df.sparkSession
+    import sess.implicits._
+    // sign table pivoted WIDE (one plane-array per dimension): the
+    // per-(vector, dim) stream joins it broadcast and feeds ONE hash
+    // agg computing all maxW plane sums at once — no (vector, plane)
+    // row expansion, no second shuffle
+    val signDf = broadcast((0 until inDim).map(i =>
+      (i, (0 until maxW).map(j => sign(i, j)))).toDF("__i", "__ss"))
+    // hash-spread the vectors BEFORE the dim explode: the maxW-plane
+    // DECIMAL partial agg is the expensive step, and a single parquet
+    // input split would otherwise run it on one thread
+    val base = normalized(df, idCol, embCol).repartition(col("id"))
+    val planeSums = (0 until maxW).map(j =>
+      sum(round(col("__x") * element_at(col("__ss"), j + 1), 8)
+        .cast("decimal(20,8)")).as(s"__p$j"))
+    val masks = base
+      .select(col("id"), posexplode(col("emb")).as(Seq("__i", "__x")))
+      .join(signDf, "__i")
+      .groupBy(col("id"))
+      .agg(planeSums.head, planeSums.tail: _*)
+      .select(col("id"), (0 until maxW).map(j =>
+        when(col(s"__p$j") > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _).cast("int").as("__mask"))
+    val n = base.join(masks, Seq("id"))
+      .withColumn("bucket", signBucket(signBits))
+      // LAZY localCheckpoint: both sides of the candidate join read
+      // the signature table (masks computed once, not once per side).
+      .localCheckpoint(false)
+    val probes = expr(
+      s"array(bucket, ${(0 until signBits).map(j => s"CAST(bucket AS INT) ^ ${1 << j}").mkString(", ")})")
+    val a = n.select(col("id").as("id_a"), col("emb").as("a_emb"),
+      col("nrm").as("a_nrm"), col("__mask").as("__ma"),
+      explode(probes).as("bucket"))
+    val b = n.select(col("id").as("id_b"), col("emb").as("b_emb"),
+      col("nrm").as("b_nrm"), col("__mask").as("__mb"), col("bucket"))
+    // No distinct needed: only the a-side explodes probes, so a pair
+    // (x, y) with Hamming-h buckets (h ≤ 1) matches on exactly ONE
+    // probe cell — the candidate stream is duplicate-free by
+    // construction and flows straight into the width explode without
+    // a wide shuffle or materialization.
+    val pairs = a.join(b, "bucket")
+      // norm guards keep NaN sims (zero vectors) out of the DECIMAL
+      // error terms
+      .filter(col("id_a") < col("id_b") &&
+        col("a_nrm") > 0 && col("b_nrm") > 0)
+      .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+      .withColumn("__x", expr("__ma ^ __mb"))
+    val cosTable: Int => Column = w =>
+      array((0 to w).map(h => lit(Math.cos(Math.PI * h / w))): _*)
+    val est = widths.map(w => (w, cosTable(w))).foldLeft(lit(null).cast("double")) {
+      case (acc, (w, tab)) =>
+        when(col("w") === w, element_at(tab, col("__h") + 1)).otherwise(acc)
+    }
+    // per-width Hamming = bit_count of the masked xor — codegen'd
+    // integer ops per pair, exploded as a tiny (w, h) struct
+    val whArr = array(widths.map(w =>
+      struct(lit(w).as("w"),
+        expr(s"CAST(bit_count(__x & ${(1 << w) - 1}) AS INT)")
+          .as("h"))): _*)
+    pairs
+      .select(col("sim"), explode(whArr).as("wh"))
+      .select(col("sim"), col("wh.w").as("w"), col("wh.h").as("__h"))
+      .withColumn("__est", est)
+      .withColumn("__err", round(col("__est") - col("sim"), 12)
+        .cast("decimal(38,12)"))
+      .withColumn("__abs", round(abs(col("__est") - col("sim")), 12)
+        .cast("decimal(38,12)"))
+      .groupBy(col("w").cast("long").as("width"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__abs")).as("__sa"),
+        sum(col("__err")).as("__se"))
+      .select(col("width"), col("n_pairs"),
+        round(col("__sa").cast("double") / col("n_pairs"), 6).as("mae"),
+        MetricOps.normZero(
+          round(col("__se").cast("double") / col("n_pairs"), 6))
+          .as("bias"))
+  }
+
+  /** Measured ANN recall audit: for a deterministic sample of query
+    * vectors (id mod `sampleMod` = 0), the fraction of the EXACT
+    * cosine top-k recovered by the sign-bucket index at each probe
+    * level (Hamming ≤ 0 / 1 / 2) — the recall/cost dial measured on
+    * THIS corpus as a declared query, not a one-off notebook number.
+    * Reading the table picks the probe level (or says the quantizer
+    * needs more bits) before anyone ships an index.
+    *
+    * Scale: the exact side is a DELIBERATE sampled brute-force
+    * baseline — |queries| = n/sampleMod rows cross the full index
+    * exactly once (the documented exact-kNN cartesian class, sampled
+    * so its cost is n²/sampleMod); the ANN side is the standard probe
+    * equi-join computed ONCE at Hamming ≤ 2 with each candidate
+    * tagged by its minimum probe distance, so the three levels are
+    * filters over one candidate table, not three joins.
+    */
+  def annRecallAudit(df: DataFrame, idCol: String, embCol: String,
+                     k: Int, signBits: Int = 4,
+                     sampleMod: Int = 20): DataFrame = {
+    val n = normalized(df, idCol, embCol)
+      .withColumn("bucket", signBucket(signBits))
+      // LAZY localCheckpoint: the query filter, the exact baseline and
+      // the probe join all read the signature table.
+      .localCheckpoint(false)
+    val q = n.filter(pmod(col("id"), lit(sampleMod)) === 0)
+    val exact = selectTopK(pairSim(q, n), k)
+      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
+    val h1 = (0 until signBits).map(j =>
+      s"struct(CAST(bucket AS INT) ^ ${1 << j} AS pb, 1 AS hd)")
+    val h2 = for {
+      i <- 0 until signBits; j <- i + 1 until signBits
+    } yield s"struct(CAST(bucket AS INT) ^ ${(1 << i) | (1 << j)} AS pb, 2 AS hd)"
+    val probes = expr((Seq("struct(CAST(bucket AS INT) AS pb, 0 AS hd)")
+      ++ h1 ++ h2).mkString("array(", ", ", ")"))
+    val a = q.select(col("id").as("vec_id"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm"), explode(probes).as("p"))
+      .select(col("vec_id"), col("a_emb"), col("a_nrm"),
+        col("p.pb").as("bucket"), col("p.hd").as("hd"))
+    val b = n.select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
+      col("nrm").as("b_nrm"), col("bucket").cast("int").as("bucket"))
+    val cand = a.join(b, "bucket")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+      .groupBy(col("vec_id"), col("neighbor_id"))
+      .agg(min(col("hd")).as("hd"), max(col("sim")).as("sim"))
+      // three level filters read the candidate table.
+      .localCheckpoint(false)
+    val ann = Seq(0, 1, 2).map { lvl =>
+      selectTopK(cand.filter(col("hd") <= lvl)
+          .select(col("vec_id"), col("neighbor_id"), col("sim")), k)
+        .withColumn("level", lit(lvl.toLong))
+    }.reduce(_ unionAll _)
+    val nq = q.agg(count(lit(1)).as("__nq"))
+    ann.join(exact, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy(col("level"))
+      .agg(count(col("__e")).as("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("level"), col("__nq").as("n_queries"), col("n_hits"),
+        expr(s"CAST((n_hits * 2000000 + $k * __nq) " +
+          s"div (2 * $k * __nq) AS BIGINT)").as("recall_ppm"))
+  }
 }

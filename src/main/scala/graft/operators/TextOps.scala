@@ -1945,4 +1945,103 @@ object TextOps {
         expr("CAST((n_oov * 2000000 + n_tokens) div (2 * n_tokens) " +
           "AS BIGINT)").as("oov_ppm"))
   }
+
+  /** Cross-source pack-contamination audit: greedy contiguous packing
+    * (the [[packSequences]] rule) mixes consecutive documents into one
+    * context window, and any window spanning >1 source exposes the
+    * model to cross-document attention between unrelated corpora
+    * unless the trainer masks document boundaries. For each candidate
+    * token budget this reports how many packed windows mix sources
+    * (rate as exact ppm) and the mean distinct sources per window —
+    * the table that decides whether boundary masking (or per-source
+    * repacking) is worth the engineering before a training run.
+    *
+    * Scale: packing is per-SHARD (id mod `nShards` — production packs
+    * per output shard anyway), so the running token total is a keyed
+    * window, never a global cumsum; each row then explodes to
+    * |budgets| rows binned by integer division off the SAME running
+    * sum, and two hash aggs reduce to the |budgets|-row report.
+    * Distinct-source counting happens per (budget, shard, bin) group —
+    * bounded by window capacity, not corpus width.
+    */
+  def packContamination(df: DataFrame, idCol: String, textCol: String,
+                        srcCol: String, budgets: Seq[Long],
+                        nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("__shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__shard", pmod(col(idCol), lit(nShards)))
+      .withColumn("__n", size(tokens(col(textCol))).cast("long"))
+      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .select(col("__shard"), col(srcCol), col("__before"),
+        explode(array(budgets.map(lit(_)): _*)).as("budget"))
+      .withColumn("__bin", expr("__before div budget"))
+      .groupBy(col("budget"), col("__shard"), col("__bin"))
+      .agg(countDistinct(col(srcCol)).as("__ns"), count(lit(1)).as("__nd"))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("__nd")).as("n_docs"),
+        sum((col("__ns") > 1).cast("long")).as("n_mixed"),
+        sum(col("__ns")).as("__ss"))
+      .select(col("budget"), col("n_windows"), col("n_docs"),
+        col("n_mixed"),
+        expr("CAST((n_mixed * 2000000 + n_windows) div (2 * n_windows) " +
+          "AS BIGINT)").as("mixed_ppm"),
+        // half-up mean at 2 dp via exact integer division (the
+        // corpusDatasheet discipline — never divide-then-round)
+        expr("CAST((__ss * 200 + n_windows) div (2 * n_windows) " +
+          "AS DOUBLE) / 100").as("mean_sources"))
+  }
+
+  /** Character-bigram compressibility audit: per source, the
+    * order-1 character entropy rate H(c₂|c₁) in bits/char and the
+    * implied best-case compression ratio against raw 8-bit bytes —
+    * the storage/IO cost planner for a 100 TB corpus (sources with
+    * anomalously low entropy are also a template/mojibake tripwire,
+    * since machine-generated chrome compresses far better than prose).
+    * H(c₂|c₁) = H(pair) − H(first) computed from one bigram count
+    * table: (Σm·ln m − Σc·ln c)/N/ln2, where c are bigram counts and m
+    * their first-char marginals — the log2(N) terms cancel exactly.
+    *
+    * Scale: ONE explode over char positions into a (source, bigram)
+    * hash agg (map-side partials absorb the stream; the result is
+    * bounded by |alphabet|² per source); the marginal re-agg and the
+    * entropy arithmetic run on that bounded table. ln terms snap to
+    * 12 dp and sum as DECIMAL(38,12) (order-independent); the bits
+    * conversion divides by the ln-2 double literal so both engines
+    * share the exact constant.
+    */
+  def charCompressibility(df: DataFrame, srcCol: String,
+                          textCol: String): DataFrame = {
+    val ln2 = 0.6931471805599453 // the ln-2 double, shared with the oracle
+    val bg = df.select(col(srcCol).as("source"), col(textCol).as("__t"))
+      .filter(length(col("__t")) >= 2)
+      .select(col("source"),
+        explode(sequence(lit(1), length(col("__t")) - 1)).as("__p"),
+        col("__t"))
+      .select(col("source"), expr("substr(__t, __p, 2)").as("__b"))
+      .groupBy(col("source"), col("__b")).agg(count(lit(1)).as("__c"))
+      // LAZY localCheckpoint: the joint and marginal passes both read
+      // the bounded bigram count table.
+      .localCheckpoint(false)
+    val joint = bg.groupBy("source").agg(
+      sum(col("__c")).as("n_bigrams"),
+      count(lit(1)).as("n_distinct_bigrams"),
+      sum(round(col("__c").cast("double") * log(col("__c")), 12)
+        .cast("decimal(38,12)")).as("__sj"))
+    val marg = bg
+      .groupBy(col("source"), expr("substr(__b, 1, 1)").as("__c1"))
+      .agg(sum(col("__c")).as("__m"))
+      .groupBy("source").agg(
+        sum(round(col("__m").cast("double") * log(col("__m")), 12)
+          .cast("decimal(38,12)")).as("__sm"))
+    joint.join(marg, Seq("source"))
+      .select(col("source"), col("n_bigrams"), col("n_distinct_bigrams"),
+        MetricOps.normZero(round(
+          (col("__sm") - col("__sj")).cast("double") /
+            (col("n_bigrams").cast("double") * lit(ln2)), 6)).as("cond_bits"),
+        MetricOps.normZero(round(
+          (col("__sm") - col("__sj")).cast("double") /
+            (col("n_bigrams").cast("double") * lit(ln2) * lit(8.0)), 6))
+          .as("compress_ratio"))
+  }
 }

@@ -1062,12 +1062,50 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.isEmpty, "q393 must not plan any join")
   }
 
+  test("q397: exactly ONE unconditioned join (the sampled exact " +
+    "baseline, ideally broadcast); the ANN side joins on the cell id") {
+    val df = plan("q397_ann_recall")
+    df.count()
+    val s = df.queryExecution.executedPlan.toString
+    // the 1-in-20 query sample is small, so Spark broadcasts it under
+    // the brute-force pair sweep (BNLJ) — CartesianProduct only if the
+    // sample side ever outgrows the broadcast threshold. The second
+    // unconditioned join is the 1-row n_queries scalar merge (the
+    // repo-wide crossJoin(broadcast(agg)) pattern).
+    val n = "CartesianProduct".r.findAllIn(s).length +
+      "BroadcastNestedLoopJoin".r.findAllIn(s).length
+    assert(n == 2, s"expected the sampled exact pair sweep + the " +
+      s"1-row scalar merge and nothing else, got $n")
+  }
+
+  test("q396/q398/q399/q400: fidelity/cross-lang/transitivity/" +
+    "compressibility plan no cartesian and no global window") {
+    for (q <- Seq("q396_srp_fidelity", "q398_crosslang_neardup",
+        "q399_dedup_transitivity", "q400_char_compressibility")) {
+      val df = plan(q)
+      df.count()
+      val s = df.queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct"), s"$q plans a cartesian")
+    }
+    // q395's running sums must stay shard-keyed (never a global cumsum)
+    val wins = collectWithSubqueries(
+      plan("q395_pack_contamination").queryExecution.executedPlan) {
+      case w: WindowExec => w
+    }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "q395 must not plan an unpartitioned window")
+  }
+
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
     // Only the declared EXACT-baseline forms may cross-join; their
     // bucketed scale twins (q329-q331, and q266 since round 7) must
     // plan equi-joins only and are swept like everything else.
+    // q397's exact side is a DELIBERATE 1-in-20-sampled brute-force
+    // baseline (the recall audit needs ground truth); its ANN side
+    // stays an equi-join and is covered by its own plan test.
     val allowed = Set("q26_cosine_topk", "q34_embedding_neardup",
-      "q191_mutual_knn", "q194_label_prop", "q218_rec_list_metrics")
+      "q191_mutual_knn", "q194_label_prop", "q218_rec_list_metrics",
+      "q397_ann_recall")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val df = fn(spark, dir)
       val s = df.queryExecution.executedPlan.toString
