@@ -8588,6 +8588,219 @@ object OracleSql {
         |  round(CAST(sm - sj AS DOUBLE)
         |    / (CAST(n_bigrams AS DOUBLE) * 0.6931471805599453 * 8.0), 6)
         |    + 0.0 AS compress_ratio
-        |FROM j JOIN m ON m.source = j.source ORDER BY source""".stripMargin
+        |FROM j JOIN m ON m.source = j.source ORDER BY source""".stripMargin,
+
+    "q401_matryoshka_fidelity" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  sqrt(list_dot_product(emb[1:8], emb[1:8])) AS n8,
+        |  sqrt(list_dot_product(emb[1:16], emb[1:16])) AS n16,
+        |  sqrt(list_dot_product(emb[1:32], emb[1:32])) AS n32,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |pb AS (SELECT vec_id, emb, nrm, n8, n16, n32,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n),
+        |p AS (SELECT a.emb AS ae, b.emb AS be,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim,
+        |    a.n8 AS n8a, b.n8 AS n8b, a.n16 AS n16a, b.n16 AS n16b,
+        |    a.n32 AS n32a, b.n32 AS n32b
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id
+        |  WHERE a.n8 > 0 AND b.n8 > 0),
+        |w AS (SELECT d.d, sim,
+        |    CASE d.d
+        |      WHEN 8 THEN list_dot_product(ae[1:8], be[1:8]) / (n8a * n8b)
+        |      WHEN 16 THEN list_dot_product(ae[1:16], be[1:16])
+        |        / (n16a * n16b)
+        |      ELSE list_dot_product(ae[1:32], be[1:32]) / (n32a * n32b)
+        |    END AS sd
+        |  FROM p CROSS JOIN (SELECT unnest([8, 16, 32]) AS d) d),
+        |er AS (SELECT d, round(sd - sim, 12)::DECIMAL(38,12) AS err,
+        |    round(abs(sd - sim), 12)::DECIMAL(38,12) AS ab FROM w)
+        |SELECT CAST(d AS BIGINT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(ab) AS DOUBLE) / count(*), 6) AS mae,
+        |  round(CAST(sum(err) AS DOUBLE) / count(*), 6) + 0.0 AS bias
+        |FROM er GROUP BY d ORDER BY dim""".stripMargin,
+
+    "q402_split_leakage" ->
+      s"""WITH $shinglesCte,
+         |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |${minhashSig(4, 2)},
+         |cand AS (${minhashPairs(4, 2)}),
+         |com AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY c.doc_a, c.doc_b),
+         |ed AS (SELECT com.doc_a AS a, com.doc_b AS b FROM com
+         |  JOIN szs sa ON sa.doc_id = com.doc_a
+         |  JOIN szs sb ON sb.doc_id = com.doc_b
+         |  WHERE round(CAST(com.c AS DOUBLE) / (sa.n + sb.n - com.c), 6)
+         |    >= 0.5),
+         |lab AS (SELECT doc_id, source,
+         |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+         |      / CAST(4294967296 AS DOUBLE) >= 0.9 AS INT) AS ev
+         |  FROM documents),
+         |dir AS (SELECT a AS s, b AS p FROM ed
+         |  UNION ALL SELECT b AS s, a AS p FROM ed),
+         |lk AS (SELECT DISTINCT d.s FROM dir d
+         |  JOIN lab ls ON ls.doc_id = d.s AND ls.ev = 1
+         |  JOIN lab lp ON lp.doc_id = d.p AND lp.ev = 0)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_eval,
+         |  CAST(count(lk.s) AS BIGINT) AS n_leaked,
+         |  CAST((count(lk.s) * 2000000 + count(*)) // (2 * count(*))
+         |    AS BIGINT) AS leak_ppm
+         |FROM lab LEFT JOIN lk ON lk.s = lab.doc_id
+         |WHERE lab.ev = 1 GROUP BY source ORDER BY source""".stripMargin,
+
+    "q403_trigram_accretion" ->
+      s"""WITH $shinglesCte,
+         |dd AS (SELECT doc_id,
+         |    CAST(floor(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))
+         |      ::BIGINT / CAST(4294967296 AS DOUBLE) * 10) AS INT) AS d
+         |  FROM documents),
+         |fs AS (SELECT sh.s, min(dd.d) AS d FROM sh
+         |  JOIN dd USING (doc_id) GROUP BY sh.s),
+         |fh AS (SELECT d, count(*) AS n_new FROM fs GROUP BY d),
+         |dc AS (SELECT d, count(*) AS n_docs FROM dd GROUP BY d),
+         |g AS (SELECT dc.d, dc.n_docs, coalesce(fh.n_new, 0) AS n_new
+         |  FROM dc LEFT JOIN fh USING (d))
+         |SELECT CAST(d AS BIGINT) AS decile,
+         |  CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_new AS BIGINT) AS n_new_trigrams,
+         |  CAST(sum(n_new) OVER (ORDER BY d) AS BIGINT) AS cum_trigrams
+         |FROM g ORDER BY decile""".stripMargin,
+
+    "q404_filter_bias" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+        |    CAST(length(text) - (len(string_split(text, ' ')) - 1)
+        |      AS BIGINT) AS ch
+        |  FROM documents),
+        |m AS (SELECT tk,
+        |  CAST(n < 30 OR n > 80 AS BIGINT) AS f1,
+        |  CAST(ch * 2 < n * 7 OR ch * 2 > n * 12 AS BIGINT) AS f2,
+        |  CAST(CAST(list_aggregate(list_transform(list_distinct(tk),
+        |    w -> len(list_filter(tk, x -> x = w))), 'max') AS BIGINT)
+        |    * 5 > n AS BIGINT) AS f3,
+        |  CAST(len(list_filter(tk, x -> list_contains(['the', 'a'], x)))
+        |    = 0 AS BIGINT) AS f4,
+        |  CAST(CAST(len(list_distinct(tk)) AS BIGINT) * 5 < n * 2
+        |    AS BIGINT) AS f5
+        |  FROM t),
+        |rt AS (SELECT unnest(tk) AS tok, f1, f2, f3, f4, f5 FROM m),
+        |ru AS (SELECT tok, u.r AS rule FROM rt, unnest([
+        |    {'r': 'word_count', 'p': CASE WHEN f1 = 0 THEN 1 ELSE 0 END},
+        |    {'r': 'mean_word_len',
+        |     'p': CASE WHEN f2 = 0 THEN 1 ELSE 0 END},
+        |    {'r': 'top_word_share',
+        |     'p': CASE WHEN f3 = 0 THEN 1 ELSE 0 END},
+        |    {'r': 'no_stopword', 'p': CASE WHEN f4 = 0 THEN 1 ELSE 0 END},
+        |    {'r': 'distinct_ratio',
+        |     'p': CASE WHEN f5 = 0 THEN 1 ELSE 0 END},
+        |    {'r': 'all_rules',
+        |     'p': CASE WHEN f1 + f2 + f3 + f4 + f5 = 0 THEN 1 ELSE 0 END},
+        |    {'r': 'corpus', 'p': 1}]) AS g(u)
+        |  WHERE u.p = 1),
+        |st AS (SELECT rule, tok, count(*) AS c FROM ru GROUP BY 1, 2),
+        |ct AS (SELECT tok, c AS ct FROM st WHERE rule = 'corpus'),
+        |ns AS (SELECT rule, sum(c) AS ns FROM st WHERE rule <> 'corpus'
+        |  GROUP BY rule),
+        |nn AS (SELECT sum(ct) AS tn FROM ct),
+        |j AS (SELECT rule, ns, ct, tn,
+        |    CAST(c AS DOUBLE) / ns AS p, CAST(ct AS DOUBLE) / tn AS q
+        |  FROM st JOIN ct USING (tok) JOIN ns USING (rule)
+        |    CROSS JOIN nn
+        |  WHERE rule <> 'corpus'),
+        |t3 AS (SELECT rule, ns, ct, tn,
+        |    round((p * ln(p / ((p + q) / 2))
+        |      + q * ln(q / ((p + q) / 2))) / 2, 12)
+        |      ::DECIMAL(38,12) AS term FROM j),
+        |g AS (SELECT rule, CAST(max(ns) AS BIGINT) AS n_tokens,
+        |    sum(term) AS s, CAST(sum(ct) AS BIGINT) AS cp,
+        |    CAST(max(tn) AS BIGINT) AS nn2 FROM t3 GROUP BY rule)
+        |SELECT rule, n_tokens,
+        |  round(CAST(s + round(CAST(nn2 - cp AS DOUBLE) / nn2
+        |    * ln(2.0) / 2, 12)::DECIMAL(38,12) AS DOUBLE), 6) + 0.0
+        |    AS js_nats
+        |FROM g ORDER BY rule""".stripMargin,
+
+    "q405_quant_fidelity" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  list_min(emb) AS mn,
+        |  CASE WHEN list_max(emb) = list_min(emb) THEN CAST(1.0 AS DOUBLE)
+        |       ELSE (list_max(emb) - list_min(emb)) / CAST(15.0 AS DOUBLE)
+        |  END AS s15,
+        |  CASE WHEN list_max(emb) = list_min(emb) THEN CAST(1.0 AS DOUBLE)
+        |       ELSE (list_max(emb) - list_min(emb)) / CAST(255.0 AS DOUBLE)
+        |  END AS s255,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |r AS (SELECT vec_id, emb, nrm, bucket,
+        |  list_transform(emb, x -> CAST(round((x - mn) / s15) AS INT)
+        |    * s15 + mn) AS r15,
+        |  list_transform(emb, x -> CAST(round((x - mn) / s255) AS INT)
+        |    * s255 + mn) AS r255
+        |  FROM s),
+        |n AS (SELECT vec_id, emb, nrm, bucket, r15, r255,
+        |  sqrt(list_dot_product(r15, r15)) AS q15,
+        |  sqrt(list_dot_product(r255, r255)) AS q255
+        |  FROM r),
+        |pb AS (SELECT vec_id, emb, nrm, r15, r255, q15, q255,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n),
+        |p AS (SELECT
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim,
+        |    a.r15 AS r15a, b.r15 AS r15b, a.q15 AS q15a, b.q15 AS q15b,
+        |    a.r255 AS r255a, b.r255 AS r255b,
+        |    a.q255 AS q255a, b.q255 AS q255b
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id < b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0),
+        |w AS (SELECT u.l AS l, sim, u.s AS sq FROM p, unnest([
+        |    {'l': 15, 's': CASE WHEN q15a > 0 AND q15b > 0
+        |      THEN list_dot_product(r15a, r15b) / (q15a * q15b) END},
+        |    {'l': 255, 's': CASE WHEN q255a > 0 AND q255b > 0
+        |      THEN list_dot_product(r255a, r255b) / (q255a * q255b) END}
+        |  ]) AS g(u)
+        |  WHERE u.s IS NOT NULL),
+        |er AS (SELECT l, round(sq - sim, 12)::DECIMAL(38,12) AS err,
+        |    round(abs(sq - sim), 12)::DECIMAL(38,12) AS ab FROM w)
+        |SELECT CAST(l AS BIGINT) AS level,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  round(CAST(sum(ab) AS DOUBLE) / count(*), 6) AS mae,
+        |  round(CAST(sum(err) AS DOUBLE) / count(*), 6) + 0.0 AS bias
+        |FROM er GROUP BY l ORDER BY level""".stripMargin,
+
+    "q406_cluster_spectrum" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |${minhashSig(4, 2)},
+         |pairs AS (${minhashPairs(4, 2)}),
+         |ed AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.anc FROM reach r JOIN ed e ON e.s = r.node),
+         |cc AS (SELECT node, min(anc) AS label FROM reach GROUP BY node),
+         |cl AS (SELECT label, CAST(count(*) AS BIGINT) AS sz FROM cc
+         |  GROUP BY label),
+         |o AS (SELECT CAST(length(bin(sz)) - 1 AS INT) AS octave, sz
+         |  FROM cl WHERE sz > 1)
+         |SELECT octave, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(max(sz) AS BIGINT) AS max_cluster
+         |FROM o GROUP BY octave ORDER BY octave""".stripMargin
   )
 }

@@ -4188,7 +4188,50 @@ object SparkEntry {
     "q400_char_compressibility" -> ((s, d) =>
       TextOps.charCompressibility(Tables.documents(s, d), "source",
           "text")
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // L346 — Matryoshka prefix-dim cosine fidelity per truncation
+    // budget (is 16-of-64 dims safe for retrieval?).
+    "q401_matryoshka_fidelity" -> ((s, d) =>
+      SimilarityOps.matryoshkaFidelity(Tables.embeddings(s, d),
+          "vec_id", "embedding", Seq(8, 16, 32))
+        .orderBy("dim")),
+
+    // L347 — near-dup train/eval split leakage per source (the
+    // memorization-inflation audit of an id-hash split).
+    "q402_split_leakage" -> ((s, d) =>
+      DedupOps.splitLeakage(Tables.documents(s, d), "doc_id",
+          "source", "text", 0.5)
+        .orderBy("source")),
+
+    // L348 — corpus-growth trigram accretion (measured marginal
+    // novelty per 10% growth slice).
+    "q403_trigram_accretion" -> ((s, d) =>
+      DedupOps.trigramAccretion(Tables.documents(s, d), "doc_id",
+          "text", 10)
+        .orderBy("decile")),
+
+    // L349 — per-Gopher-rule filter selection bias: JS divergence of
+    // each rule's survivors vs the corpus (topic-mix resculpting the
+    // pass-rate ablation can't see).
+    "q404_filter_bias" -> ((s, d) =>
+      TextOps.filterBiasAudit(Tables.documents(s, d), "doc_id", "text",
+          STOPWORDS)
+        .orderBy("rule")),
+
+    // L350 — scalar-quantization similarity fidelity (int4/int8
+    // reconstruction cosine vs full precision on candidate pairs).
+    "q405_quant_fidelity" -> ((s, d) =>
+      SimilarityOps.quantFidelity(Tables.embeddings(s, d), "vec_id",
+          "embedding", Seq(15, 255))
+        .orderBy("level")),
+
+    // L351 — near-dup cluster-size spectrum in power-of-two octaves
+    // (the dedup cost-model shape report).
+    "q406_cluster_spectrum" -> ((s, d) =>
+      DedupOps.clusterSizeSpectrum(Tables.documents(s, d), "doc_id",
+          "text")
+        .orderBy("octave"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -1019,4 +1019,110 @@ object DedupOps {
       .agg(count(lit(1)).as("n_clusters"), sum(col("__size")).as("n_docs"),
         max(col("__size")).as("max_cluster"))
   }
+
+  /** Train/eval split-leakage audit: with a deterministic 90/10
+    * membership split (the frozen-eval-set shape), how many EVAL
+    * documents have a verified near-duplicate in TRAIN — per source.
+    * This is the contamination a random split inflicts by
+    * construction: near-dup families straddle any id-hash split, so
+    * eval scores on leaked docs measure memorization, not
+    * generalization. The fix (split by cluster, not by doc) starts
+    * from this table.
+    *
+    * Scale: pairs come only from the banded-LSH verify
+    * ([[lshJaccard]] — never n²); the split/source labels join on the
+    * id key; leaked-eval dedup is one distinct on the (small) leaked
+    * id set; totals are one per-source hash agg over the eval slice.
+    */
+  def splitLeakage(df: DataFrame, idCol: String, srcCol: String,
+                   textCol: String,
+                   threshold: Double = 0.5): DataFrame = {
+    val pairs = lshJaccard(shingles(df, idCol, textCol), idCol, 4, 2)
+      .filter(col("jaccard") >= threshold)
+    val lab = df.select(col(idCol).as("__id"), col(srcCol).as("__src"),
+        (MixtureOps.membership(idCol) >= 0.9).cast("int").as("__ev"))
+      // LAZY localCheckpoint: the subject side, the partner side and
+      // the eval census all read the labeled spine.
+      .localCheckpoint(false)
+    val dir = pairs.select(col("doc_a").as("__s"), col("doc_b").as("__p"))
+      .unionAll(pairs.select(col("doc_b").as("__s"),
+        col("doc_a").as("__p")))
+    val leaked = dir
+      .join(lab.select(col("__id").as("__s"), col("__ev").as("__se")),
+        Seq("__s"))
+      .join(lab.select(col("__id").as("__p"), col("__ev").as("__pe")),
+        Seq("__p"))
+      .filter(col("__se") === 1 && col("__pe") === 0)
+      .select(col("__s")).distinct()
+      .withColumn("__lk", lit(1L))
+    lab.filter(col("__ev") === 1)
+      .join(leaked, col("__id") === col("__s"), "left")
+      .groupBy(col("__src").as("source"))
+      .agg(count(lit(1)).as("n_eval"), count(col("__lk")).as("n_leaked"))
+      .select(col("source"), col("n_eval"), col("n_leaked"),
+        expr("CAST((n_leaked * 2000000 + n_eval) div (2 * n_eval) " +
+          "AS BIGINT)").as("leak_ppm"))
+  }
+
+  /** Corpus-growth trigram accretion: deal documents into `nBuckets`
+    * deterministic growth slices (membership deciles — "the corpus at
+    * 10%, 20%, …"), attribute every distinct trigram to the FIRST
+    * slice that contains it, and report new-vs-cumulative distinct
+    * trigrams per slice. The marginal-novelty curve: when n_new per
+    * added slice flattens, additional same-distribution crawl buys
+    * vocabulary-free repetition — the scaling-decision twin of the
+    * Heaps fit (which extrapolates; this one MEASURES the increments).
+    *
+    * Scale: one (trigram → min slice) hash agg over the shingle
+    * stream, a ≤nBuckets-row histogram, and a bounded self-join for
+    * the running total — no window over raw data anywhere.
+    */
+  def trigramAccretion(df: DataFrame, idCol: String, textCol: String,
+                       nBuckets: Int = 10): DataFrame = {
+    val dec = (MixtureOps.membership(idCol) * nBuckets).cast("int")
+    val firstSeen = shingles(df, idCol, textCol)
+      .withColumn("__d", dec)
+      .groupBy(col("shingle")).agg(min(col("__d")).as("__d"))
+      .groupBy(col("__d")).agg(count(lit(1)).as("n_new_trigrams"))
+    val g = df.select(col(idCol)).withColumn("__d", dec)
+      .groupBy(col("__d")).agg(count(lit(1)).as("n_docs"))
+      .join(firstSeen, Seq("__d"), "left")
+      .select(col("__d").cast("long").as("decile"), col("n_docs"),
+        coalesce(col("n_new_trigrams"), lit(0L)).as("n_new_trigrams"))
+      // ≤nBuckets rows feed the running-total self-join.
+      .localCheckpoint(false)
+    g.join(g.select(col("decile").as("__d2"),
+        col("n_new_trigrams").as("__c2")), col("__d2") <= col("decile"))
+      .groupBy(col("decile"), col("n_docs"), col("n_new_trigrams"))
+      .agg(sum(col("__c2")).as("cum_trigrams"))
+  }
+
+  /** Near-dup cluster-size spectrum: connected components over the
+    * banded-LSH candidate graph, multi-doc cluster sizes bucketed into
+    * power-of-two octaves (bucket = bit-length of the size — integer
+    * structure, never floor(log2) FP). The shape report behind every
+    * dedup cost model: a corpus of pairs dedups embarrassingly; a
+    * giant component (botnet spam, a mirrored site) needs the
+    * survivor policy to act corpus-wide and is where min-label
+    * propagation spends its iterations. Complements the source-purity
+    * view ([[neardupClusterPurity]]) with the size axis.
+    *
+    * Scale: candidates only from LSH buckets; components via
+    * [[GraphOps.connectedComponents]]; the spectrum is two bounded
+    * hash aggs.
+    */
+  def clusterSizeSpectrum(df: DataFrame, idCol: String,
+                          textCol: String): DataFrame = {
+    val pairs = minhashCandidates(
+      minhashSignature(shingles(df, idCol, textCol), idCol, 4, 2),
+      idCol, 4, 2)
+    GraphOps.connectedComponents(df.select(col(idCol)), idCol,
+        pairs, "doc_a", "doc_b")
+      .groupBy(col("label")).agg(count(lit(1)).as("__sz"))
+      .filter(col("__sz") > 1)
+      .withColumn("octave", (length(bin(col("__sz"))) - 1).cast("int"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("__sz")).as("n_docs"),
+        max(col("__sz")).as("max_cluster"))
+  }
 }

@@ -1100,6 +1100,145 @@ object SimilarityOps {
           .as("bias"))
   }
 
+  /** Matryoshka (prefix-dimension) fidelity audit: over the
+    * multi-probe bucket candidate pairs, compare the cosine computed
+    * from only the FIRST `d` dimensions against the full-width cosine,
+    * for each d in `dims` — MAE and signed bias per truncation budget.
+    * The decision table for Matryoshka-style dimension truncation
+    * (Kusupati et al. 2022): if cosine at d=16 tracks d=64, the index,
+    * the pair joins, and the network all shrink 4×. (For embeddings
+    * NOT trained with MRL the early dims carry no special structure —
+    * a large bias here is exactly the evidence that truncation is
+    * unsafe, which is the point of measuring.)
+    *
+    * Scale: prefix norms compute once per VECTOR (before the join);
+    * the pair stage is the standard sign-bucket probe equi-join plus
+    * `|dims|` codegen'd prefix dots per pair; error terms snap to
+    * 12 dp and sum DECIMAL(38,12). `dims` must be ascending so the
+    * smallest prefix norm guards all of them.
+    */
+  def matryoshkaFidelity(df: DataFrame, idCol: String, embCol: String,
+                         dims: Seq[Int] = Seq(8, 16, 32),
+                         signBits: Int = 4): DataFrame = {
+    require(dims == dims.sorted && dims.nonEmpty, "dims ascending")
+    val n = dims.foldLeft(
+        normalized(df, idCol, embCol).withColumn("bucket",
+          signBucket(signBits))) { (acc, d) =>
+        acc.withColumn(s"__n$d",
+          sqrt(expr(s"graft_dot_range(emb, emb, 1, $d)")))
+      }
+      // LAZY localCheckpoint: both sides of the candidate join read
+      // the (emb, norms, bucket) signature table.
+      .localCheckpoint(false)
+    val probes = expr(
+      s"array(bucket, ${(0 until signBits).map(j => s"CAST(bucket AS INT) ^ ${1 << j}").mkString(", ")})")
+    def side(tag: String, probe: Boolean) = {
+      val cols = Seq(col("id").as(s"id_$tag"), col("emb").as(s"${tag}_emb"),
+        col("nrm").as(s"${tag}_nrm")) ++
+        dims.map(d => col(s"__n$d").as(s"__n${d}_$tag")) :+
+        (if (probe) explode(probes).as("bucket") else col("bucket"))
+      n.select(cols: _*)
+    }
+    val minD = dims.head
+    val pairs = side("a", probe = true)
+      .join(side("b", probe = false), "bucket")
+      .filter(col("id_a") < col("id_b") &&
+        col(s"__n${minD}_a") > 0 && col(s"__n${minD}_b") > 0)
+      .withColumn("sim",
+        dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+    // graft_dot_range: the zero-allocation prefix dot (bit-identical
+    // to the sliced form and the oracle's list_dot_product on slices)
+    val dimArr = array(dims.map(d =>
+      struct(lit(d).as("d"),
+        (expr(s"graft_dot_range(a_emb, b_emb, 1, $d)") /
+          (col(s"__n${d}_a") * col(s"__n${d}_b"))).as("s"))): _*)
+    pairs.select(col("sim"), explode(dimArr).as("ds"))
+      .select(col("sim"), col("ds.d").as("d"), col("ds.s").as("__sd"))
+      .withColumn("__err", round(col("__sd") - col("sim"), 12)
+        .cast("decimal(38,12)"))
+      .withColumn("__abs", round(abs(col("__sd") - col("sim")), 12)
+        .cast("decimal(38,12)"))
+      .groupBy(col("d").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__abs")).as("__sa"),
+        sum(col("__err")).as("__se"))
+      .select(col("dim"), col("n_pairs"),
+        round(col("__sa").cast("double") / col("n_pairs"), 6).as("mae"),
+        MetricOps.normZero(
+          round(col("__se").cast("double") / col("n_pairs"), 6))
+          .as("bias"))
+  }
+
+  /** Scalar-quantization similarity fidelity: over the multi-probe
+    * bucket candidate pairs, the cosine computed from int-quantized
+    * reconstructions (per-vector min/max scale, the q91 embedding-
+    * store convention) vs the full-precision cosine, per quantization
+    * level (15 = int4, 255 = int8). The compression decision table in
+    * SIMILARITY space — per-component reconstruction error (q91's
+    * max_err) says little about what retrieval actually loses.
+    *
+    * Scale: reconstructed arrays build once per VECTOR (row-local
+    * HOFs before the join); the pair stage adds one codegen'd dot per
+    * level; error terms snap to 12 dp and sum DECIMAL(38,12).
+    */
+  def quantFidelity(df: DataFrame, idCol: String, embCol: String,
+                    levels: Seq[Int] = Seq(15, 255),
+                    signBits: Int = 4): DataFrame = {
+    val n0 = normalized(df, idCol, embCol)
+      .withColumn("__mn", array_min(col("emb")))
+      .withColumn("__mx", array_max(col("emb")))
+    val n = levels.foldLeft(n0) { (acc, l) =>
+        acc.withColumn(s"__r$l", expr(
+          s"""transform(emb, x -> CAST(round((x - __mn) /
+             |  (CASE WHEN __mx = __mn THEN CAST(1.0 AS DOUBLE)
+             |        ELSE (__mx - __mn) / CAST($l.0 AS DOUBLE) END))
+             |  AS INT)
+             |  * (CASE WHEN __mx = __mn THEN CAST(1.0 AS DOUBLE)
+             |     ELSE (__mx - __mn) / CAST($l.0 AS DOUBLE) END)
+             |  + __mn)""".stripMargin))
+          .withColumn(s"__q$l", sqrt(expr(s"graft_dot(__r$l, __r$l)")))
+      }
+      .withColumn("bucket", signBucket(signBits))
+      // LAZY localCheckpoint: reconstructions build once, both join
+      // sides read them.
+      .localCheckpoint(false)
+    val probes = expr(
+      s"array(bucket, ${(0 until signBits).map(j => s"CAST(bucket AS INT) ^ ${1 << j}").mkString(", ")})")
+    def side(tag: String, probe: Boolean) = {
+      val cols = Seq(col("id").as(s"id_$tag"), col("emb").as(s"${tag}_emb"),
+        col("nrm").as(s"${tag}_nrm")) ++
+        levels.flatMap(l => Seq(col(s"__r$l").as(s"__r${l}_$tag"),
+          col(s"__q$l").as(s"__q${l}_$tag"))) :+
+        (if (probe) explode(probes).as("bucket") else col("bucket"))
+      n.select(cols: _*)
+    }
+    val pairs = side("a", probe = true)
+      .join(side("b", probe = false), "bucket")
+      .filter(col("id_a") < col("id_b") &&
+        col("a_nrm") > 0 && col("b_nrm") > 0)
+      .withColumn("sim",
+        dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+    val lvlArr = array(levels.map(l =>
+      struct(lit(l).as("l"),
+        when(col(s"__q${l}_a") > 0 && col(s"__q${l}_b") > 0,
+          expr(s"graft_dot(__r${l}_a, __r${l}_b)") /
+            (col(s"__q${l}_a") * col(s"__q${l}_b"))).as("s"))): _*)
+    pairs.select(col("sim"), explode(lvlArr).as("ls"))
+      .filter(col("ls.s").isNotNull)
+      .select(col("sim"), col("ls.l").as("l"), col("ls.s").as("__sq"))
+      .withColumn("__err", round(col("__sq") - col("sim"), 12)
+        .cast("decimal(38,12)"))
+      .withColumn("__abs", round(abs(col("__sq") - col("sim")), 12)
+        .cast("decimal(38,12)"))
+      .groupBy(col("l").cast("long").as("level"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__abs")).as("__sa"),
+        sum(col("__err")).as("__se"))
+      .select(col("level"), col("n_pairs"),
+        round(col("__sa").cast("double") / col("n_pairs"), 6).as("mae"),
+        MetricOps.normZero(
+          round(col("__se").cast("double") / col("n_pairs"), 6))
+          .as("bias"))
+  }
+
   /** Measured ANN recall audit: for a deterministic sample of query
     * vectors (id mod `sampleMod` = 0), the fraction of the EXACT
     * cosine top-k recovered by the sign-bucket index at each probe

@@ -1992,6 +1992,74 @@ object TextOps {
           "AS DOUBLE) / 100").as("mean_sources"))
   }
 
+  /** Filter selection-bias audit: for each Gopher quality rule (and
+    * the composite all-rules gate), the Jensen–Shannon divergence
+    * (nats) between the PASSING subset's unigram distribution and the
+    * full corpus — what each filter does to content balance, not just
+    * how much it drops. A rule whose survivors diverge hard from the
+    * corpus isn't trimming noise, it's resculpting the topic mix (the
+    * classic quality-filter side effect), and that's invisible in the
+    * pass-rate ablation.
+    *
+    * Scale: ONE tokenize pass with the five row-local flags carried;
+    * each token emits into its passing rules (plus a 'corpus'
+    * pseudo-rule — the marginal comes from the same single scan, no
+    * second pass); one (rule, token) hash agg bounded by
+    * (rules+2)·|vocab|; JS runs over PRESENT pairs only with the
+    * absent tail in closed form (ln2/2)·(N−C_r)/N (subset support is
+    * contained in corpus support, so only the corpus side has a
+    * tail). Terms snap to 12 dp and sum DECIMAL(38,12) — the
+    * [[MixtureOps]] JS discipline.
+    */
+  def filterBiasAudit(df: DataFrame, idCol: String, textCol: String,
+                      stopwords: Seq[String]): DataFrame = {
+    val flags = Seq("f_word_count", "f_mean_word_len",
+      "f_top_word_share", "f_no_stopword", "f_distinct_ratio")
+    val sig = gopherFlags(df, idCol, textCol, stopwords,
+      keep = Seq(textCol))
+    val ruleArr = array(
+      flags.map(f => struct(lit(f.stripPrefix("f_")).as("r"),
+        (col(f) === 0).cast("int").as("p"))) :+
+        struct(lit("all_rules").as("r"),
+          (flags.map(col).reduce(_ + _) === 0).cast("int").as("p")) :+
+        struct(lit("corpus").as("r"), lit(1).as("p")): _*)
+    val st = sig
+      .select(flags.map(col) :+
+        explode(split(col(textCol), " ")).as("__tok"): _*)
+      .select(col("__tok"), explode(ruleArr).as("__rp"))
+      .filter(col("__rp.p") === 1)
+      .groupBy(col("__rp.r").as("rule"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      // LAZY localCheckpoint: corpus marginals, rule totals, and the
+      // JS join all read the (rule, token) counts.
+      .localCheckpoint(false)
+    val ct = st.filter(col("rule") === "corpus")
+      .select(col("__tok"), col("__c").as("__ct"))
+    val nn = ct.agg(sum(col("__ct")).as("__tn"))
+    val ns = st.filter(col("rule") =!= "corpus")
+      .groupBy(col("rule")).agg(sum(col("__c")).as("__ns"))
+    st.filter(col("rule") =!= "corpus")
+      .join(ct, Seq("__tok"))
+      .join(broadcast(ns), Seq("rule"))
+      .crossJoin(broadcast(nn))
+      .withColumn("__p", col("__c").cast("double") / col("__ns"))
+      .withColumn("__q", col("__ct").cast("double") / col("__tn"))
+      .withColumn("__m", (col("__p") + col("__q")) / 2)
+      .withColumn("__term", round(
+        (col("__p") * log(col("__p") / col("__m")) +
+          col("__q") * log(col("__q") / col("__m"))) / 2, 12)
+        .cast("decimal(38,12)"))
+      .groupBy(col("rule"))
+      .agg(max(col("__ns")).as("n_tokens"), sum(col("__term")).as("__s"),
+        sum(col("__ct")).as("__cp"), max(col("__tn")).as("__nn2"))
+      .withColumn("__corr", round(
+        (col("__nn2") - col("__cp")).cast("double") / col("__nn2") *
+          log(lit(2.0)) / 2, 12).cast("decimal(38,12)"))
+      .select(col("rule"), col("n_tokens"),
+        MetricOps.normZero(round(
+          (col("__s") + col("__corr")).cast("double"), 6)).as("js_nats"))
+  }
+
   /** Character-bigram compressibility audit: per source, the
     * order-1 character entropy rate H(c₂|c₁) in bits/char and the
     * implied best-case compression ratio against raw 8-bit bytes —

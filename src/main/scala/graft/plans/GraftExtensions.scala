@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, JaroWinkler}
+import graft.functions.{DotProduct, DotRange, JaroWinkler}
 
 /** Engine extensions, registered via the public
   * `SparkSessionExtensions` hook
@@ -24,6 +24,7 @@ import graft.functions.{DotProduct, JaroWinkler}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.dotRangeFunction)
     ext.injectFunction(GraftExtensions.asofFunction)
     ext.injectFunction(GraftExtensions.jwFunction)
     ext.injectPlannerStrategy(AsOfJoinStrategy)
@@ -41,6 +42,12 @@ object GraftExtensions {
     new ExpressionInfo(classOf[AsOfMarker].getName, "graft_asof"),
     (children: Seq[Expression]) => AsOfMarker(children(0), children(1)))
 
+  private val dotRangeFunction = (
+    new FunctionIdentifier("graft_dot_range"),
+    new ExpressionInfo(classOf[DotRange].getName, "graft_dot_range"),
+    (children: Seq[Expression]) =>
+      DotRange(children(0), children(1), children(2), children(3)))
+
   private val jwFunction = (
     new FunctionIdentifier("graft_jw"),
     new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jw"),
@@ -52,7 +59,7 @@ object GraftExtensions {
     * public post-construction planner hook).
     */
   def register(spark: SparkSession): Unit = {
-    Seq(dotFunction, asofFunction, jwFunction).foreach { f =>
+    Seq(dotFunction, dotRangeFunction, asofFunction, jwFunction).foreach { f =>
       spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
     }
     val es = spark.experimental.extraStrategies
