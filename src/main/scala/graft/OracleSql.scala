@@ -8801,6 +8801,221 @@ object OracleSql {
          |SELECT octave, CAST(count(*) AS BIGINT) AS n_clusters,
          |  CAST(sum(sz) AS BIGINT) AS n_docs,
          |  CAST(max(sz) AS BIGINT) AS max_cluster
-         |FROM o GROUP BY octave ORDER BY octave""".stripMargin
+         |FROM o GROUP BY octave ORDER BY octave""".stripMargin,
+
+    "q407_quant_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  list_min(emb) AS mn,
+        |  CASE WHEN list_max(emb) = list_min(emb) THEN CAST(1.0 AS DOUBLE)
+        |       ELSE (list_max(emb) - list_min(emb)) / CAST(15.0 AS DOUBLE)
+        |  END AS s15,
+        |  CASE WHEN list_max(emb) = list_min(emb) THEN CAST(1.0 AS DOUBLE)
+        |       ELSE (list_max(emb) - list_min(emb)) / CAST(255.0 AS DOUBLE)
+        |  END AS s255,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |r AS (SELECT vec_id, emb, nrm, bucket,
+        |  list_transform(emb, x -> CAST(round((x - mn) / s15) AS INT)
+        |    * s15 + mn) AS r15,
+        |  list_transform(emb, x -> CAST(round((x - mn) / s255) AS INT)
+        |    * s255 + mn) AS r255
+        |  FROM s),
+        |n AS (SELECT vec_id, emb, nrm, bucket, r15, r255,
+        |  sqrt(list_dot_product(r15, r15)) AS q15,
+        |  sqrt(list_dot_product(r255, r255)) AS q255
+        |  FROM r),
+        |pb AS (SELECT vec_id, emb, nrm, r15, r255, q15, q255,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n),
+        |cand AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim,
+        |    CASE WHEN a.q15 > 0 AND b.q15 > 0
+        |      THEN list_dot_product(a.r15, b.r15) / (a.q15 * b.q15)
+        |    END AS s15,
+        |    CASE WHEN a.q255 > 0 AND b.q255 > 0
+        |      THEN list_dot_product(a.r255, b.r255) / (a.q255 * b.q255)
+        |    END AS s255
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id
+        |  WHERE a.nrm > 0 AND b.nrm > 0),
+        |ft AS (SELECT vec_id, neighbor_id FROM (
+        |  SELECT vec_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM cand) WHERE rn <= 5),
+        |t15 AS (SELECT vec_id, neighbor_id FROM (
+        |  SELECT vec_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY s15 DESC, neighbor_id) AS rn
+        |  FROM cand WHERE s15 IS NOT NULL) WHERE rn <= 5),
+        |t255 AS (SELECT vec_id, neighbor_id FROM (
+        |  SELECT vec_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY s255 DESC, neighbor_id) AS rn
+        |  FROM cand WHERE s255 IS NOT NULL) WHERE rn <= 5),
+        |nt AS (SELECT count(*) AS nt FROM ft),
+        |lv AS (SELECT 15 AS level, count(*) AS n_hits
+        |    FROM t15 JOIN ft USING (vec_id, neighbor_id)
+        |  UNION ALL SELECT 255, count(*)
+        |    FROM t255 JOIN ft USING (vec_id, neighbor_id))
+        |SELECT CAST(level AS BIGINT) AS level,
+        |  CAST(nt AS BIGINT) AS n_top,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  CASE WHEN nt > 0 THEN
+        |    CAST((n_hits * 2000000 + nt) // (2 * nt) AS BIGINT)
+        |  END AS agree_ppm
+        |FROM lv, nt ORDER BY level""".stripMargin,
+
+    "q408_incremental_dedup" ->
+      """WITH lab AS (SELECT source, text,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      / CAST(4294967296 AS DOUBLE) AS mem
+        |  FROM documents),
+        |oldh AS (SELECT DISTINCT md5(text) AS h FROM lab
+        |  WHERE mem < 0.9),
+        |nw AS (SELECT source, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM lab WHERE mem >= 0.9)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_new,
+        |  CAST(count(oldh.h) AS BIGINT) AS n_hit,
+        |  CAST((count(oldh.h) * 2000000 + count(*)) // (2 * count(*))
+        |    AS BIGINT) AS hit_ppm,
+        |  CAST(sum(CASE WHEN oldh.h IS NOT NULL THEN tok ELSE 0 END)
+        |    AS BIGINT) AS tokens_dropped
+        |FROM nw LEFT JOIN oldh USING (h)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q409_dup_position" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |ch AS (SELECT doc_id, (len(t) - 1) // 20 + 1 AS nc, i AS idx,
+        |    md5(array_to_string(t[i * 20 + 1 : i * 20 + 20], ' ')) AS h
+        |  FROM t, unnest(range((len(t) - 1) // 20 + 1)) AS g(i)),
+        |d AS (SELECT idx, nc,
+        |    count(*) OVER (PARTITION BY h) AS f FROM ch),
+        |p AS (SELECT least(9, (idx * 10) // nc) AS pos_decile,
+        |    CASE WHEN f > 1 THEN 1 ELSE 0 END AS dup FROM d)
+        |SELECT CAST(pos_decile AS BIGINT) AS pos_decile,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(dup) AS BIGINT) AS n_dup,
+        |  CAST((sum(dup) * 2000000 + count(*)) // (2 * count(*))
+        |    AS BIGINT) AS dup_ppm
+        |FROM p GROUP BY pos_decile ORDER BY pos_decile""".stripMargin,
+
+    "q410_bloom_dedup_cost" ->
+      """WITH ii AS (SELECT unnest([0, 1, 2, 3]) AS i),
+        |lab AS (SELECT source, text,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      / CAST(4294967296 AS DOUBLE) AS mem
+        |  FROM documents),
+        |bld AS (SELECT DISTINCT md5(text) AS k FROM lab
+        |  WHERE mem < 0.9),
+        |pos AS (SELECT k,
+        |  ('0x' || substr(md5(k), i * 8 + 1, 8))::BIGINT % 8192 AS p
+        |  FROM bld CROSS JOIN ii),
+        |fw AS (SELECT p // 32 AS w,
+        |  bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS mask
+        |  FROM pos GROUP BY p // 32),
+        |nw AS (SELECT md5(text) AS h, source FROM lab WHERE mem >= 0.9),
+        |pr AS (SELECT h, source,
+        |  ('0x' || substr(md5(h), i * 8 + 1, 8))::BIGINT % 8192 AS p
+        |  FROM nw CROSS JOIN ii),
+        |pb AS (SELECT h, source,
+        |  min(CASE WHEN fw.mask IS NOT NULL AND
+        |    (fw.mask & (1::BIGINT << CAST(pr.p % 32 AS INT))) <> 0
+        |    THEN 1 ELSE 0 END) AS pos
+        |  FROM pr LEFT JOIN fw ON fw.w = pr.p // 32
+        |  GROUP BY h, source),
+        |mem_ AS (SELECT pb.source, pb.pos,
+        |  CASE WHEN t.k IS NULL THEN 0 ELSE 1 END AS istrue
+        |  FROM pb LEFT JOIN bld t ON t.k = pb.h),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_probed,
+        |  CAST(sum(pos) AS BIGINT) AS n_bloom_pos,
+        |  CAST(sum(istrue) AS BIGINT) AS n_member,
+        |  CAST(sum(pos) - sum(istrue) AS BIGINT) AS n_false_pos
+        |  FROM mem_ GROUP BY source)
+        |SELECT source, n_probed, n_member, n_bloom_pos, n_false_pos,
+        |  CASE WHEN n_probed > n_member THEN
+        |    CAST((n_false_pos * 2000000 + (n_probed - n_member))
+        |      // (2 * (n_probed - n_member)) AS BIGINT)
+        |  END AS fp_ppm
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q411_candidate_precision" -> {
+      val bandConds = (0 until 4).map { b =>
+        val conds = (0 until 2).map(r =>
+          s"sa.h_${b}_$r = sb.h_${b}_$r").mkString(" AND ")
+        s"(CASE WHEN $conds THEN 1 ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $shinglesCte,
+         |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |${minhashSig(4, 2)},
+         |cand AS (${minhashPairs(4, 2)}),
+         |bb AS (SELECT cand.doc_a, cand.doc_b, $bandConds AS nb
+         |  FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a
+         |  JOIN sig sb ON sb.doc_id = cand.doc_b),
+         |com AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pq AS (SELECT bb.nb, coalesce(com.c, 0) AS c, sa2.n AS na,
+         |    sb2.n AS nb2
+         |  FROM bb
+         |  LEFT JOIN com ON com.doc_a = bb.doc_a
+         |    AND com.doc_b = bb.doc_b
+         |  JOIN szs sa2 ON sa2.doc_id = bb.doc_a
+         |  JOIN szs sb2 ON sb2.doc_id = bb.doc_b),
+         |jj AS (SELECT nb,
+         |    CAST(c AS DOUBLE) / (na + nb2 - c) AS j FROM pq)
+         |SELECT CAST(nb AS BIGINT) AS n_bands,
+         |  CAST(count(*) AS BIGINT) AS n_cands,
+         |  CAST(sum(CASE WHEN round(j, 6) >= 0.5 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_verified,
+         |  CAST((sum(CASE WHEN round(j, 6) >= 0.5 THEN 1 ELSE 0 END)
+         |    * 2000000 + count(*)) // (2 * count(*)) AS BIGINT)
+         |    AS precision_ppm,
+         |  round(CAST(sum(round(j, 12)::DECIMAL(38,12)) AS DOUBLE)
+         |    / count(*), 6) AS mean_jaccard
+         |FROM jj GROUP BY nb ORDER BY n_bands""".stripMargin
+    },
+
+    "q412_chunk_scheme_census" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |fx AS (SELECT 'fixed' AS scheme, doc_id AS doc,
+        |    md5(array_to_string(t[i * 20 + 1 : i * 20 + 20], ' ')) AS h
+        |  FROM t, unnest(range((len(t) - 1) // 20 + 1)) AS g(i)),
+        |p AS (SELECT doc_id, unnest(list_transform(range(len(t)),
+        |    i -> {'pos': i, 'w': t[i + 1]})) AS u FROM t),
+        |q AS (SELECT doc_id, u.pos AS pos, u.w AS w,
+        |  CASE WHEN substr(md5(u.w), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+        |  FROM p),
+        |ck AS (SELECT doc_id, pos, w,
+        |  coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS chunk FROM q),
+        |cd AS (SELECT 'cdc' AS scheme, doc_id AS doc,
+        |  md5(string_agg(w, ' ' ORDER BY pos)) AS h
+        |  FROM ck GROUP BY doc_id, chunk),
+        |al AS (SELECT * FROM fx UNION ALL SELECT * FROM cd),
+        |fam AS (SELECT scheme, h, count(*) AS f FROM al
+        |  GROUP BY scheme, h HAVING count(*) > 1),
+        |cen AS (SELECT scheme, CAST(count(*) AS BIGINT) AS n_families,
+        |  CAST(sum(f) AS BIGINT) AS n_dup_chunks,
+        |  CAST(sum(f * (f - 1) // 2) AS BIGINT) AS n_verify_pairs,
+        |  CAST(max(f) AS BIGINT) AS max_family
+        |  FROM fam GROUP BY scheme),
+        |dt AS (SELECT al.scheme,
+        |    CAST(count(DISTINCT al.doc) AS BIGINT) AS n_docs_touched
+        |  FROM al JOIN fam ON fam.scheme = al.scheme AND fam.h = al.h
+        |  GROUP BY al.scheme)
+        |SELECT cen.scheme AS scheme, n_families, n_dup_chunks,
+        |  coalesce(n_docs_touched, 0) AS n_docs_touched,
+        |  n_verify_pairs, max_family
+        |FROM cen LEFT JOIN dt ON dt.scheme = cen.scheme
+        |ORDER BY scheme""".stripMargin
   )
 }

@@ -4231,7 +4231,58 @@ object SparkEntry {
     "q406_cluster_spectrum" -> ((s, d) =>
       DedupOps.clusterSizeSpectrum(Tables.documents(s, d), "doc_id",
           "text")
-        .orderBy("octave"))
+        .orderBy("octave")),
+
+    // L352 — quantized-index ranking agreement: top-5 overlap of the
+    // int4/int8-reconstructed index vs full precision (the retrieval
+    // cost of compression, in neighbors not sims).
+    "q407_quant_recall" -> ((s, d) =>
+      SimilarityOps.quantRecall(Tables.embeddings(s, d), "vec_id",
+          "embedding", 5, Seq(15, 255))
+        .orderBy("level")),
+
+    // L353 — incremental cross-snapshot exact-dedup hit rate per
+    // source (prices keeping yesterday's fingerprint store warm).
+    "q408_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.incrementalDedupRate(
+          docs.filter(MixtureOps.membership("doc_id") < 0.9),
+          docs.filter(MixtureOps.membership("doc_id") >= 0.9),
+          "source", "text")
+        .orderBy("source")
+    }),
+
+    // L354 — duplicate-chunk position profile (is dup mass leading
+    // boilerplate, trailing footers, or flat syndication?).
+    "q409_dup_position" -> ((s, d) =>
+      DedupOps.dupPositionProfile(Tables.documents(s, d), "doc_id",
+          "text", 20)
+        .orderBy("pos_decile")),
+
+    // L355 — Bloom-filtered incremental dedup FP cost (unique content
+    // a constant-memory fingerprint store would falsely drop).
+    "q410_bloom_dedup_cost" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.bloomDedupCost(
+          docs.filter(MixtureOps.membership("doc_id") < 0.9),
+          docs.filter(MixtureOps.membership("doc_id") >= 0.9),
+          "source", "text", 256)
+        .orderBy("source")
+    }),
+
+    // L356 — LSH candidate precision by band-agreement depth (the
+    // measured complement of the q338 banding S-curve).
+    "q411_candidate_precision" -> ((s, d) =>
+      DedupOps.candidatePrecision(Tables.documents(s, d), "doc_id",
+          "text", 4, 2, 0.5)
+        .orderBy("n_bands")),
+
+    // L357 — chunking-scheme dedup census: fixed windows vs
+    // content-defined cuts, family/pair mass per scheme.
+    "q412_chunk_scheme_census" -> ((s, d) =>
+      TextOps.chunkSchemeCensus(Tables.documents(s, d), "doc_id",
+          "text", 20)
+        .orderBy("scheme"))
   )
 
   // ------------------------------------------------------------- oracles

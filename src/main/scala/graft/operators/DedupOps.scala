@@ -1111,6 +1111,160 @@ object DedupOps {
     * [[GraphOps.connectedComponents]]; the spectrum is two bounded
     * hash aggs.
     */
+  /** Incremental (cross-snapshot) exact dedup hit RATE: how much of
+    * the NEW snapshot's content already exists in the OLD snapshot's
+    * fingerprint store, per source — the audit-summary twin of
+    * [[incrementalDedup]] (which emits the admitted rows themselves).
+    * The table that prices keeping yesterday's dedup state warm: a
+    * source with a high hit rate re-crawls the same pages and its
+    * downstream pipeline can skip them on ingest; one near zero
+    * genuinely churns.
+    *
+    * Scale: the old side reduces to a distinct content-hash set (the
+    * fingerprint store a real incremental pipeline persists); the
+    * check is one hash-keyed left join and one per-source agg.
+    */
+  def incrementalDedupRate(dfOld: DataFrame, dfNew: DataFrame,
+                           srcCol: String, textCol: String): DataFrame = {
+    val oldH = dfOld.select(md5(col(textCol)).as("__h")).distinct()
+      .withColumn("__hit", lit(1L))
+    dfNew.select(col(srcCol).as("source"), md5(col(textCol)).as("__h"),
+        size(split(col(textCol), " ")).cast("long").as("__tok"))
+      .join(oldH, Seq("__h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_new"), count(col("__hit")).as("n_hit"),
+        sum(when(col("__hit").isNotNull, col("__tok")).otherwise(0L))
+          .as("tokens_dropped"))
+      .select(col("source"), col("n_new"), col("n_hit"),
+        expr("CAST((n_hit * 2000000 + n_new) div (2 * n_new) " +
+          "AS BIGINT)").as("hit_ppm"),
+        col("tokens_dropped"))
+  }
+
+  /** Duplicate-chunk position profile: where inside documents does
+    * duplicated content sit? Fixed 20-token chunks (the
+    * [[chunkDedup]] windows) bucketed by their position decile within
+    * the document, with the cross-corpus duplicate rate per decile.
+    * Leading-decile concentration = header/chrome boilerplate (strip
+    * prefixes); trailing = footers/licenses; flat = syndication. The
+    * locality evidence behind choosing a cheap prefix-strip over a
+    * full chunk-dedup pass.
+    *
+    * Scale: one chunk explode; the duplicate flag is a count window
+    * keyed by the chunk hash (group sizes are duplicate-family
+    * sizes — bounded); the profile is a ≤10-row hash agg with exact
+    * half-up ppm.
+    */
+  def dupPositionProfile(df: DataFrame, idCol: String, textCol: String,
+                         w: Int = 20): DataFrame = {
+    val chunks = df.withColumn("t", split(col(textCol), " "))
+      .withColumn("__nc",
+        expr(s"CAST((size(t) - 1) / $w AS INT) + 1").cast("long"))
+      .select(col(idCol), col("__nc"), explode(expr(
+        s"transform(sequence(0, CAST((size(t) - 1) / $w AS INT)), " +
+          s"i -> struct(i AS idx, concat_ws(' ', slice(t, i * $w + 1, $w)) AS chunk))"))
+        .as("c"))
+      .select(col("__nc"), col("c.idx").cast("long").as("__idx"),
+        md5(col("c.chunk")).as("__h"))
+    chunks
+      .withColumn("__dup",
+        (count(lit(1)).over(Window.partitionBy(col("__h"))) > 1)
+          .cast("long"))
+      .withColumn("pos_decile",
+        least(lit(9L), expr(s"(__idx * 10) div __nc")))
+      .groupBy(col("pos_decile"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("__dup")).as("n_dup"))
+      .select(col("pos_decile"), col("n_chunks"), col("n_dup"),
+        expr("CAST((n_dup * 2000000 + n_chunks) div (2 * n_chunks) " +
+          "AS BIGINT)").as("dup_ppm"))
+  }
+
+  /** Bloom-filtered incremental dedup cost: if the OLD snapshot's
+    * content fingerprints lived in a `words`×32-bit Bloom filter (the
+    * constant-memory form of [[incrementalDedup]]'s exact store), how
+    * many of the NEW snapshot's genuinely-new fingerprints would the
+    * filter falsely flag as seen — i.e. unique content dropped by
+    * mistake, per source. The measured (not formula) FP cost that
+    * decides the filter size before anyone ships it.
+    *
+    * Scale: rides [[SketchOps.bloomMembership]] — the filter words
+    * build in one hash agg and BROADCAST to the probe side; the truth
+    * check is the same hash-keyed join the exact path uses.
+    */
+  def bloomDedupCost(dfOld: DataFrame, dfNew: DataFrame,
+                     srcCol: String, textCol: String,
+                     words: Int = 256): DataFrame =
+    SketchOps.bloomMembership(
+        dfOld.select(md5(col(textCol)).as("__h")),
+        "__h",
+        dfNew.select(md5(col(textCol)).as("__h"),
+          col(srcCol).as("source")),
+        "__h", "source", words)
+      .select(col("source"), col("n_probed"), col("n_member"),
+        col("n_bloom_pos"), col("n_false_pos"),
+        when(col("n_probed") > col("n_member"), expr(
+          "CAST((n_false_pos * 2000000 + (n_probed - n_member)) " +
+            "div (2 * (n_probed - n_member)) AS BIGINT)"))
+          .as("fp_ppm"))
+
+  /** LSH candidate precision by band-agreement depth: every banded
+    * MinHash candidate pair, bucketed by HOW MANY of the `bands`
+    * bands agree, with the fraction passing the exact-Jaccard
+    * verify at `threshold` and the mean exact Jaccard per bucket.
+    * The measured complement of the banding advisor's theoretical
+    * S-curve: if 1-band candidates verify at 2% while 4-band ones
+    * verify at 95%, requiring ≥2 agreeing bands halves the verify
+    * bill at negligible recall cost — measured on THIS corpus.
+    *
+    * Scale: candidates only from the banded join; band agreement is
+    * a row expression over the two joined signatures; the verify is
+    * the [[lshJaccard]] compact-array intersect; per-pair Jaccards
+    * snap to 12 dp and sum DECIMAL(38,12).
+    */
+  def candidatePrecision(df: DataFrame, idCol: String, textCol: String,
+                         bands: Int = 4, rows: Int = 2,
+                         threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol).localCheckpoint(false)
+    val sig = minhashSignature(sh, idCol, bands, rows)
+      .localCheckpoint(false)
+    val cand = minhashCandidates(sig, idCol, bands, rows)
+    val slices = for (b <- 0 until bands; r <- 0 until rows)
+      yield s"h_${b}_$r"
+    def side(tag: String) = sig.select(
+      col(idCol).as(s"doc_$tag") +:
+        slices.map(c => col(c).as(s"${c}_$tag")): _*)
+    val bandAgree = (0 until bands).map { b =>
+      (0 until rows).map(r =>
+        col(s"h_${b}_${r}_a") === col(s"h_${b}_${r}_b"))
+        .reduce(_ && _).cast("int")
+    }.reduce(_ + _)
+    val arr = sh.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("__arr"))
+      .withColumn("__ns", size(col("__arr")).cast("long"))
+      .localCheckpoint(false)
+    cand
+      .join(side("a"), "doc_a").join(side("b"), "doc_b")
+      .join(arr.select(col(idCol).as("doc_a"), col("__arr").as("__aa"),
+        col("__ns").as("__na")), "doc_a")
+      .join(arr.select(col(idCol).as("doc_b"), col("__arr").as("__ab"),
+        col("__ns").as("__nb")), "doc_b")
+      .withColumn("__bands", bandAgree)
+      .withColumn("__c",
+        size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
+      .withColumn("__j", col("__c").cast("double") /
+        (col("__na") + col("__nb") - col("__c")))
+      .groupBy(col("__bands").cast("long").as("n_bands"))
+      .agg(count(lit(1)).as("n_cands"),
+        sum((round(col("__j"), 6) >= threshold).cast("long"))
+          .as("n_verified"),
+        sum(round(col("__j"), 12).cast("decimal(38,12)")).as("__sj"))
+      .select(col("n_bands"), col("n_cands"), col("n_verified"),
+        expr("CAST((n_verified * 2000000 + n_cands) div (2 * n_cands) " +
+          "AS BIGINT)").as("precision_ppm"),
+        round(col("__sj").cast("double") / col("n_cands"), 6)
+          .as("mean_jaccard"))
+  }
+
   def clusterSizeSpectrum(df: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
     val pairs = minhashCandidates(

@@ -1239,6 +1239,83 @@ object SimilarityOps {
           .as("bias"))
   }
 
+  /** Quantized-index ranking agreement: within the multi-probe bucket
+    * candidates, the top-k lists ranked by int-quantized cosine
+    * (per-vector min/max reconstruction, the q91 convention) vs the
+    * full-precision top-k — overlap per quantization level. The
+    * RANKING twin of [[quantFidelity]]: pairwise error says how far
+    * sims move; this says whether the index still returns the same
+    * neighbors, which is what retrieval actually pays for.
+    *
+    * Scale: ONE candidate pass computes the exact and per-level
+    * reconstructed sims; each ranking is a TopKAggregator hash agg
+    * (map-side partials, no window); the agreement join runs on the
+    * k·|vectors| survivor tables only.
+    */
+  def quantRecall(df: DataFrame, idCol: String, embCol: String, k: Int,
+                  levels: Seq[Int] = Seq(15, 255),
+                  signBits: Int = 4): DataFrame = {
+    val n0 = normalized(df, idCol, embCol)
+      .withColumn("__mn", array_min(col("emb")))
+      .withColumn("__mx", array_max(col("emb")))
+    val n = levels.foldLeft(n0) { (acc, l) =>
+        acc.withColumn(s"__r$l", expr(
+          s"""transform(emb, x -> CAST(round((x - __mn) /
+             |  (CASE WHEN __mx = __mn THEN CAST(1.0 AS DOUBLE)
+             |        ELSE (__mx - __mn) / CAST($l.0 AS DOUBLE) END))
+             |  AS INT)
+             |  * (CASE WHEN __mx = __mn THEN CAST(1.0 AS DOUBLE)
+             |     ELSE (__mx - __mn) / CAST($l.0 AS DOUBLE) END)
+             |  + __mn)""".stripMargin))
+          .withColumn(s"__q$l", sqrt(expr(s"graft_dot(__r$l, __r$l)")))
+      }
+      .withColumn("bucket", signBucket(signBits))
+      // LAZY localCheckpoint: both join sides read the signature table.
+      .localCheckpoint(false)
+    val probes = expr(
+      s"array(bucket, ${(0 until signBits).map(j => s"CAST(bucket AS INT) ^ ${1 << j}").mkString(", ")})")
+    def side(tag: String, probe: Boolean) = {
+      val cols = Seq(col("id").as(s"id_$tag"), col("emb").as(s"${tag}_emb"),
+        col("nrm").as(s"${tag}_nrm")) ++
+        levels.flatMap(l => Seq(col(s"__r$l").as(s"__r${l}_$tag"),
+          col(s"__q$l").as(s"__q${l}_$tag"))) :+
+        (if (probe) explode(probes).as("bucket") else col("bucket"))
+      n.select(cols: _*)
+    }
+    val simCols = levels.map(l =>
+      when(col(s"__q${l}_a") > 0 && col(s"__q${l}_b") > 0,
+        expr(s"graft_dot(__r${l}_a, __r${l}_b)") /
+          (col(s"__q${l}_a") * col(s"__q${l}_b"))).as(s"__s$l"))
+    val cand = side("a", probe = true)
+      .join(side("b", probe = false), "bucket")
+      .filter(col("id_a") =!= col("id_b") &&
+        col("a_nrm") > 0 && col("b_nrm") > 0)
+      .select(Seq(col("id_a").as("vec_id"),
+        col("id_b").as("neighbor_id"),
+        (dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+          .as("sim")) ++ simCols: _*)
+      // the exact ranking and each level's ranking read the candidates.
+      .localCheckpoint(false)
+    val ft = selectTopK(
+        cand.select(col("vec_id"), col("neighbor_id"), col("sim")), k)
+      .select(col("vec_id"), col("neighbor_id"))
+      .localCheckpoint(false)
+    val nTop = ft.agg(count(lit(1)).as("__nt"))
+    levels.map { l =>
+      val tl = selectTopK(cand.filter(col(s"__s$l").isNotNull)
+        .select(col("vec_id"), col("neighbor_id"),
+          col(s"__s$l").as("sim")), k)
+      tl.join(ft, Seq("vec_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .withColumn("level", lit(l.toLong))
+    }.reduce(_ unionAll _)
+      .crossJoin(broadcast(nTop))
+      .select(col("level"), col("__nt").as("n_top"), col("n_hits"),
+        when(col("__nt") > 0, expr(
+          "CAST((n_hits * 2000000 + __nt) div (2 * __nt) AS BIGINT)"))
+          .as("agree_ppm"))
+  }
+
   /** Measured ANN recall audit: for a deterministic sample of query
     * vectors (id mod `sampleMod` = 0), the fraction of the EXACT
     * cosine top-k recovered by the sign-bucket index at each probe

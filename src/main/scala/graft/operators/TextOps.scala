@@ -1326,6 +1326,65 @@ object TextOps {
           .as("dup_chunk_rate"))
   }
 
+  /** Chunking-scheme dedup census: the same corpus chunked two ways —
+    * fixed `w`-token windows ([[DedupOps.chunkDedup]]'s grid) and
+    * content-defined rolling cuts ([[cdcChunks]]' boundaries) — with
+    * the duplicate-family census per scheme: families, family-member
+    * chunks, distinct documents touched, implied verify pairs
+    * Σ f·(f−1)/2, and the largest family. Fixed windows shatter under
+    * edits (an early insertion shifts every later window) while CDC
+    * re-aligns at the next cut; this table MEASURES how much dup mass
+    * each scheme can actually see on this corpus, which prices the
+    * chunk-dedup design before a 100 TB pass commits to one.
+    *
+    * Scale: each scheme is one explode into a chunk-hash agg (family
+    * sizes, never pair materialization — the pair count is
+    * arithmetic); the docs-touched census is one distinct semi-join
+    * per scheme on the family key.
+    */
+  def chunkSchemeCensus(df: DataFrame, idCol: String, textCol: String,
+                        w: Int = 20): DataFrame = {
+    val fixed = df.withColumn("t", split(col(textCol), " "))
+      .select(col(idCol).as("__doc"), explode(expr(
+        s"transform(sequence(0, CAST((size(t) - 1) / $w AS INT)), " +
+          s"i -> concat_ws(' ', slice(t, i * $w + 1, $w)))")).as("__c"))
+      .select(lit("fixed").as("scheme"), col("__doc"),
+        md5(col("__c")).as("__h"))
+    val cdcPos = df
+      .select(col(idCol).as("__doc"),
+        posexplode(split(col(textCol), " ")).as(Seq("__pos", "__w")))
+      .withColumn("__b",
+        (substring(md5(col("__w")), 1, 1) === "0").cast("long"))
+      .withColumn("__chunk", coalesce(sum(col("__b")).over(
+        Window.partitionBy(col("__doc")).orderBy(col("__pos"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val cdc = cdcPos.groupBy(col("__doc"), col("__chunk"))
+      .agg(md5(concat_ws(" ", sort_array(collect_list(
+        struct(col("__pos"), col("__w")))).getField("__w"))).as("__h"))
+      .select(lit("cdc").as("scheme"), col("__doc"), col("__h"))
+    val all = fixed.unionAll(cdc)
+      // LAZY localCheckpoint: the family census and the docs-touched
+      // semi-join both read the (scheme, doc, hash) stream.
+      .localCheckpoint(false)
+    val fam = all.groupBy(col("scheme"), col("__h"))
+      .agg(count(lit(1)).as("__f"))
+      .filter(col("__f") > 1)
+      .localCheckpoint(false)
+    val census = fam.groupBy(col("scheme"))
+      .agg(count(lit(1)).as("n_families"),
+        sum(col("__f")).as("n_dup_chunks"),
+        sum(expr("__f * (__f - 1) div 2")).as("n_verify_pairs"),
+        max(col("__f")).as("max_family"))
+    val docs = all.join(fam.select(col("scheme"), col("__h")),
+        Seq("scheme", "__h"), "left_semi")
+      .select(col("scheme"), col("__doc")).distinct()
+      .groupBy(col("scheme")).agg(count(lit(1)).as("n_docs_touched"))
+    census.join(docs, Seq("scheme"), "left")
+      .select(col("scheme"), col("n_families"), col("n_dup_chunks"),
+        coalesce(col("n_docs_touched"), lit(0L)).as("n_docs_touched"),
+        col("n_verify_pairs"), col("max_family"))
+  }
+
   /** Rank-average quality ensemble: three row-local signals — token
     * count, distinct-token ratio, stopword rate — each converted to a
     * global percentile via [[MetricOps.globalRank]] (token count and
