@@ -9016,6 +9016,179 @@ object OracleSql {
         |  coalesce(n_docs_touched, 0) AS n_docs_touched,
         |  n_verify_pairs, max_family
         |FROM cen LEFT JOIN dt ON dt.scheme = cen.scheme
-        |ORDER BY scheme""".stripMargin
+        |ORDER BY scheme""".stripMargin,
+
+    "q413_deletion_radius" ->
+      s"""WITH $shinglesCte,
+         |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |${minhashSig(4, 2)},
+         |cand AS (${minhashPairs(4, 2)}),
+         |com AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY c.doc_a, c.doc_b),
+         |ed AS (SELECT com.doc_a AS a, com.doc_b AS b FROM com
+         |  JOIN szs sa ON sa.doc_id = com.doc_a
+         |  JOIN szs sb ON sb.doc_id = com.doc_b
+         |  WHERE round(CAST(com.c AS DOUBLE) / (sa.n + sb.n - com.c), 6)
+         |    >= 0.5),
+         |lab AS (SELECT doc_id, source,
+         |    CAST(('0x' || substr(md5('del' || '|' || doc_id::VARCHAR),
+         |      1, 8))::BIGINT / CAST(4294967296 AS DOUBLE) >= 0.97
+         |      AS INT) AS ev
+         |  FROM documents),
+         |dir AS (SELECT a AS s, b AS p FROM ed
+         |  UNION ALL SELECT b AS s, a AS p FROM ed),
+         |lk AS (SELECT DISTINCT d.s FROM dir d
+         |  JOIN lab ls ON ls.doc_id = d.s AND ls.ev = 1
+         |  JOIN lab lp ON lp.doc_id = d.p AND lp.ev = 0)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_deleted,
+         |  CAST(count(lk.s) AS BIGINT) AS n_residual,
+         |  CAST((count(lk.s) * 2000000 + count(*)) // (2 * count(*))
+         |    AS BIGINT) AS residual_ppm
+         |FROM lab LEFT JOIN lk ON lk.s = lab.doc_id
+         |WHERE lab.ev = 1 GROUP BY source ORDER BY source""".stripMargin,
+
+    "q414_noise_matrix" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |pb AS (SELECT vec_id, emb, nrm,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id),
+        |t AS (SELECT vec_id, neighbor_id FROM (
+        |  SELECT vec_id, neighbor_id, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p) WHERE rn <= 5),
+        |cnt AS (SELECT t.vec_id, lb.label AS nl, count(*) AS c
+        |  FROM t JOIN e lb ON lb.vec_id = t.neighbor_id
+        |  GROUP BY 1, 2),
+        |prd AS (SELECT vec_id, nl AS pred FROM (
+        |  SELECT vec_id, nl, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY c DESC, nl) AS rn FROM cnt) WHERE rn = 1),
+        |j AS (SELECT CAST(g.label AS BIGINT) AS given_label,
+        |    CAST(prd.pred AS BIGINT) AS predicted_label
+        |  FROM prd JOIN e g ON g.vec_id = prd.vec_id),
+        |jc AS (SELECT given_label, predicted_label,
+        |    CAST(count(*) AS BIGINT) AS n_vectors
+        |  FROM j GROUP BY 1, 2),
+        |tt AS (SELECT given_label, sum(n_vectors) AS t FROM jc
+        |  GROUP BY 1)
+        |SELECT jc.given_label, jc.predicted_label, jc.n_vectors,
+        |  CAST((n_vectors * 2000000 + t) // (2 * t) AS BIGINT)
+        |    AS class_share_ppm
+        |FROM jc JOIN tt USING (given_label)
+        |ORDER BY given_label, predicted_label""".stripMargin,
+
+    "q415_temporal_split" ->
+      """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS t
+        |  FROM events),
+        |b AS (SELECT (min(t) + max(t)) // 2 AS mid FROM e),
+        |g AS (SELECT event_type, user_id,
+        |    sum(CASE WHEN t < mid THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN t >= mid THEN 1 ELSE 0 END) AS na
+        |  FROM e, b GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_entities,
+        |  CAST(sum(CASE WHEN nb > 0 AND na > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_straddling,
+        |  CAST((sum(CASE WHEN nb > 0 AND na > 0 THEN 1 ELSE 0 END)
+        |    * 2000000 + count(*)) // (2 * count(*)) AS BIGINT)
+        |    AS straddle_ppm,
+        |  CAST(sum(nb) AS BIGINT) AS n_before,
+        |  CAST(sum(na) AS BIGINT) AS n_after
+        |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q416_cluster_split" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |${minhashSig(4, 2)},
+         |pairs AS (${minhashPairs(4, 2)}),
+         |ed AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+         |       UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.anc FROM reach r JOIN ed e ON e.s = r.node),
+         |cc AS (SELECT node, min(anc) AS label FROM reach GROUP BY node),
+         |lab AS (SELECT d.source,
+         |    CASE WHEN ('0x' || substr(md5(cc.label::VARCHAR), 1, 8))
+         |      ::BIGINT / CAST(4294967296 AS DOUBLE) >= 0.9
+         |      THEN 1 ELSE 0 END AS ev
+         |  FROM documents d JOIN cc ON cc.node = d.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ev) AS BIGINT) AS n_eval,
+         |  CAST((sum(ev) * 2000000 + count(*)) // (2 * count(*))
+         |    AS BIGINT) AS eval_ppm
+         |FROM lab GROUP BY source ORDER BY source""".stripMargin,
+
+    "q417_maxsim" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, vec_id // 4 AS g, emb,
+        |  sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |q AS (SELECT * FROM n WHERE g % 10 = 0),
+        |pb AS (SELECT vec_id, g, emb, nrm,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM q),
+        |cd AS (SELECT a.g AS qgroup, b.g AS cgroup, a.vec_id AS qv,
+        |    max(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)) AS mx
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |  WHERE a.g <> b.g AND a.nrm > 0 AND b.nrm > 0
+        |  GROUP BY 1, 2, 3),
+        |sc AS (SELECT qgroup, cgroup,
+        |    CAST(sum(round(mx, 12)::DECIMAL(38,12)) AS DOUBLE) AS score
+        |  FROM cd GROUP BY 1, 2),
+        |tk AS (SELECT qgroup, cgroup, score FROM (
+        |  SELECT qgroup, cgroup, score, row_number() OVER (
+        |    PARTITION BY qgroup ORDER BY score DESC, cgroup) AS rn
+        |  FROM sc) WHERE rn <= 3)
+        |SELECT qgroup, cgroup, round(score, 6) AS score FROM tk
+        |ORDER BY qgroup, cgroup""".stripMargin,
+
+    "q418_scaling_proxy" ->
+      """WITH dd AS (SELECT CAST(floor(('0x' || substr(
+        |      md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      / CAST(4294967296 AS DOUBLE) * 10) AS INT) AS d, text
+        |  FROM documents),
+        |tok AS (SELECT d, unnest(string_split(text, ' ')) AS tok
+        |  FROM dd),
+        |tr AS (SELECT d, tok, count(*) AS c FROM tok WHERE d < 9
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT sp.s, tr.tok, sum(tr.c) AS cs FROM tr
+        |  JOIN (SELECT unnest(range(9)) AS s) sp ON tr.d <= sp.s
+        |  GROUP BY 1, 2),
+        |ns AS (SELECT s, sum(cs) AS ns FROM cum GROUP BY s),
+        |v AS (SELECT count(DISTINCT tok) AS v FROM tr),
+        |ev AS (SELECT tok, count(*) AS ce FROM tok WHERE d = 9
+        |  GROUP BY tok),
+        |ne AS (SELECT sum(ce) AS ne FROM ev),
+        |m AS (SELECT cum.s, ns.ns, v.v, ne.ne,
+        |    sum(round(ce * ln((cs + 1)::DOUBLE / (ns.ns + v.v + 1)), 12)
+        |      ::DECIMAL(38,12)) AS sm,
+        |    sum(ce) AS me
+        |  FROM cum JOIN ev USING (tok) JOIN ns USING (s)
+        |    CROSS JOIN v CROSS JOIN ne
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT CAST(s AS BIGINT) AS train_slices,
+        |  CAST(ns AS BIGINT) AS n_train_tokens,
+        |  CAST(ne AS BIGINT) AS n_eval_tokens,
+        |  round(-CAST(sm + round((ne - me)
+        |    * ln(CAST(1.0 AS DOUBLE) / (ns + v + 1)), 12)
+        |    ::DECIMAL(38,12) AS DOUBLE) / ne, 6) AS cross_entropy_nats
+        |FROM m ORDER BY train_slices""".stripMargin
   )
 }

@@ -4282,7 +4282,52 @@ object SparkEntry {
     "q412_chunk_scheme_census" -> ((s, d) =>
       TextOps.chunkSchemeCensus(Tables.documents(s, d), "doc_id",
           "text", 20)
-        .orderBy("scheme"))
+        .orderBy("scheme")),
+
+    // L358 — deletion blast radius: deleted docs (3% md5 delete list)
+    // whose content survives as a verified near-dup (cluster-delete
+    // evidence).
+    "q413_deletion_radius" -> ((s, d) =>
+      DedupOps.deletionRadius(Tables.documents(s, d), "doc_id",
+          "source", "text",
+          MixtureOps.saltedMembership("del", "doc_id") >= 0.97, 0.5)
+        .orderBy("source")),
+
+    // L359 — confident-learning noise matrix: kNN-consensus predicted
+    // label × given label joint (the relabeling triage table).
+    "q414_noise_matrix" -> ((s, d) =>
+      SimilarityOps.noiseMatrix(Tables.embeddings(s, d), "vec_id",
+          "embedding", "label", 5, 4)
+        .orderBy("given_label", "predicted_label")),
+
+    // L360 — temporal-split hygiene: entities with activity on both
+    // sides of the midpoint boundary, per event type.
+    "q415_temporal_split" -> ((s, d) =>
+      ExperimentOps.temporalSplitAudit(Tables.events(s, d), "user_id",
+          "ts", "event_type")
+        .orderBy("event_type")),
+
+    // L361 — leakage-safe split builder: train/eval assigned by
+    // near-dup CLUSTER (the fix for q402's finding), achieved eval
+    // fraction per source.
+    "q416_cluster_split" -> ((s, d) =>
+      DedupOps.clusterSplit(Tables.documents(s, d), "doc_id", "source",
+          "text", 0.1)
+        .orderBy("source")),
+
+    // L362 — ColBERT-style multi-vector MaxSim retrieval over the
+    // sign-bucket probe infrastructure (groups of 4 consecutive ids
+    // as multi-vector docs).
+    "q417_maxsim" -> ((s, d) =>
+      SimilarityOps.maxsimRetrieval(Tables.embeddings(s, d), "vec_id",
+          "embedding", 4, 3, 4, 10)
+        .orderBy("qgroup", "cgroup")),
+
+    // L363 — data-scaling proxy: held-out unigram cross-entropy vs
+    // cumulative training slices (measured marginal value of data).
+    "q418_scaling_proxy" -> ((s, d) =>
+      TextOps.scalingProxy(Tables.documents(s, d), "doc_id", "text", 10)
+        .orderBy("train_slices"))
   )
 
   // ------------------------------------------------------------- oracles

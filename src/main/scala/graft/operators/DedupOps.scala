@@ -1036,18 +1036,51 @@ object DedupOps {
     */
   def splitLeakage(df: DataFrame, idCol: String, srcCol: String,
                    textCol: String,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5): DataFrame =
+    flaggedPartnerCensus(df, idCol, srcCol, textCol, threshold,
+      MixtureOps.membership(idCol) >= 0.9,
+      "n_eval", "n_leaked", "leak_ppm")
+
+  /** Deletion blast-radius audit: for a deterministic delete list
+    * (`delFlag` rows — takedowns, opt-outs, right-to-be-forgotten
+    * batches), how many deleted documents leave a verified NEAR-DUP
+    * behind in the surviving corpus, per source. Row deletion is
+    * compliance theater when the content persists as a mirror or a
+    * light rewrite — this table measures that residue, and a nonzero
+    * rate says the deletion pipeline must delete by CLUSTER
+    * ([[GraphOps.connectedComponents]] over the same pair graph), not
+    * by id.
+    *
+    * Scale: identical to [[splitLeakage]]'s census — LSH-verified
+    * pairs only, id-keyed label joins, one per-source agg.
+    */
+  def deletionRadius(df: DataFrame, idCol: String, srcCol: String,
+                     textCol: String, delFlag: Column,
+                     threshold: Double = 0.5): DataFrame =
+    flaggedPartnerCensus(df, idCol, srcCol, textCol, threshold,
+      delFlag, "n_deleted", "n_residual", "residual_ppm")
+
+  /** Shared census: per source, how many FLAGGED documents have a
+    * verified near-dup partner among the UNFLAGGED — the shape behind
+    * both the eval-split leakage audit (flag = eval membership) and
+    * the deletion blast radius (flag = delete list).
+    */
+  private def flaggedPartnerCensus(df: DataFrame, idCol: String,
+                                   srcCol: String, textCol: String,
+                                   threshold: Double, flag: Column,
+                                   nFlagged: String, nHit: String,
+                                   ppm: String): DataFrame = {
     val pairs = lshJaccard(shingles(df, idCol, textCol), idCol, 4, 2)
       .filter(col("jaccard") >= threshold)
     val lab = df.select(col(idCol).as("__id"), col(srcCol).as("__src"),
-        (MixtureOps.membership(idCol) >= 0.9).cast("int").as("__ev"))
+        flag.cast("int").as("__ev"))
       // LAZY localCheckpoint: the subject side, the partner side and
-      // the eval census all read the labeled spine.
+      // the flagged census all read the labeled spine.
       .localCheckpoint(false)
     val dir = pairs.select(col("doc_a").as("__s"), col("doc_b").as("__p"))
       .unionAll(pairs.select(col("doc_b").as("__s"),
         col("doc_a").as("__p")))
-    val leaked = dir
+    val hit = dir
       .join(lab.select(col("__id").as("__s"), col("__ev").as("__se")),
         Seq("__s"))
       .join(lab.select(col("__id").as("__p"), col("__ev").as("__pe")),
@@ -1056,12 +1089,44 @@ object DedupOps {
       .select(col("__s")).distinct()
       .withColumn("__lk", lit(1L))
     lab.filter(col("__ev") === 1)
-      .join(leaked, col("__id") === col("__s"), "left")
+      .join(hit, col("__id") === col("__s"), "left")
       .groupBy(col("__src").as("source"))
-      .agg(count(lit(1)).as("n_eval"), count(col("__lk")).as("n_leaked"))
-      .select(col("source"), col("n_eval"), col("n_leaked"),
-        expr("CAST((n_leaked * 2000000 + n_eval) div (2 * n_eval) " +
-          "AS BIGINT)").as("leak_ppm"))
+      .agg(count(lit(1)).as(nFlagged), count(col("__lk")).as(nHit))
+      .select(col("source"), col(nFlagged), col(nHit),
+        expr(s"CAST(($nHit * 2000000 + $nFlagged) div (2 * $nFlagged) " +
+          "AS BIGINT)").as(ppm))
+  }
+
+  /** Leakage-SAFE split builder: assign train/eval by NEAR-DUP
+    * CLUSTER, not by document — connected components over the banded
+    * MinHash candidate graph, then one deterministic membership draw
+    * per cluster LABEL, so a copy-family can never straddle the
+    * split (the fix for what [[splitLeakage]] measures). Reports the
+    * achieved eval fraction per source: deviation from the target is
+    * the price of cluster-atomic assignment (lumpy families), which
+    * is exactly what the owner needs to see before freezing the
+    * eval set.
+    *
+    * Scale: candidates only from LSH buckets; components via
+    * [[GraphOps.connectedComponents]]; the draw is row-local on the
+    * cluster label; one per-source agg.
+    */
+  def clusterSplit(df: DataFrame, idCol: String, srcCol: String,
+                   textCol: String,
+                   evalFrac: Double = 0.1): DataFrame = {
+    val cc = GraphOps.connectedComponents(df.select(col(idCol)), idCol,
+      minhashCandidates(
+        minhashSignature(shingles(df, idCol, textCol), idCol, 4, 2),
+        idCol, 4, 2), "doc_a", "doc_b")
+    df.select(col(idCol), col(srcCol).as("source"))
+      .join(cc.select(col("node").as(idCol), col("label")), Seq(idCol))
+      .withColumn("__ev",
+        (MixtureOps.membership("label") >= 1.0 - evalFrac).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ev")).as("n_eval"))
+      .select(col("source"), col("n_docs"), col("n_eval"),
+        expr("CAST((n_eval * 2000000 + n_docs) div (2 * n_docs) " +
+          "AS BIGINT)").as("eval_ppm"))
   }
 
   /** Corpus-growth trigram accretion: deal documents into `nBuckets`

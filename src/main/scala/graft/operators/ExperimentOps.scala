@@ -447,4 +447,41 @@ object ExperimentOps {
         round(sum(col("__term")).cast("double") / count(lit(1)),
           roundTo).as("dr"))
   }
+
+  /** Temporal-split hygiene audit: with a time-based train/eval
+    * boundary at the exact midpoint of the event-time range (integer
+    * epoch-micros arithmetic — deterministic, no quantile sketch),
+    * how many ENTITIES have activity on BOTH sides, per event type.
+    * A straddling user leaks future behavior into training whenever
+    * any user-level feature (counts, embeddings, recency) is computed
+    * over the whole history — the temporal twin of the content-level
+    * split-leakage audit, and the reason "split by user, not by
+    * event" exists as a rule.
+    *
+    * Scale: one (type, entity) hash agg with before/after flags; the
+    * boundary is a broadcast 1-row min/max merge; the report is a
+    * |types|-row re-agg with exact half-up ppm.
+    */
+  def temporalSplitAudit(events: DataFrame, entityCol: String,
+                         tsCol: String, typeCol: String): DataFrame = {
+    val b = events.agg(min(unix_micros(col(tsCol))).as("__mn"),
+        max(unix_micros(col(tsCol))).as("__mx"))
+      // integer midpoint — long division, never a double quotient
+      .select(expr("(__mn + __mx) div 2").as("__mid"))
+    events.select(col(typeCol).as("event_type"),
+        col(entityCol).as("__u"), unix_micros(col(tsCol)).as("__t"))
+      .crossJoin(broadcast(b))
+      .groupBy(col("event_type"), col("__u"))
+      .agg(sum((col("__t") < col("__mid")).cast("long")).as("__nb"),
+        sum((col("__t") >= col("__mid")).cast("long")).as("__na"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_entities"),
+        sum((col("__nb") > 0 && col("__na") > 0).cast("long"))
+          .as("n_straddling"),
+        sum(col("__nb")).as("n_before"), sum(col("__na")).as("n_after"))
+      .select(col("event_type"), col("n_entities"), col("n_straddling"),
+        expr("CAST((n_straddling * 2000000 + n_entities) " +
+          "div (2 * n_entities) AS BIGINT)").as("straddle_ppm"),
+        col("n_before"), col("n_after"))
+  }
 }

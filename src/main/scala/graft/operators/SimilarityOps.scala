@@ -1239,6 +1239,105 @@ object SimilarityOps {
           .as("bias"))
   }
 
+  /** Confident-learning noise matrix (the Cleanlab joint, Northcutt
+    * et al. 2021, estimated with kNN consensus instead of a trained
+    * model): each vector's PREDICTED label is the majority label of
+    * its multi-probe ANN top-k neighbors (ties broken toward the
+    * smaller label id); the output is the (given, predicted) joint
+    * census with the within-given-class rate. Off-diagonal mass is
+    * the label-noise estimate per class pair — the table that decides
+    * which (class, class) confusions to send for relabeling, one
+    * level above [[labelAgreement]]'s per-row screen.
+    *
+    * Scale: neighbors from the sign-bucket probe equi-join (never
+    * all-pairs); the majority vote is a (vector, label) hash agg +
+    * one argmax struct-max; the joint is a |labels|²-bounded agg with
+    * class totals joined back broadcast.
+    */
+  def noiseMatrix(df: DataFrame, idCol: String, embCol: String,
+                  labelCol: String, k: Int,
+                  signBits: Int = 4): DataFrame = {
+    val nn = annTopKMultiProbe(df, idCol, embCol, k, signBits)
+    val lab = df.select(col(idCol), col(labelCol))
+    val votes = nn
+      .join(lab.select(col(idCol).as("neighbor_id"),
+        col(labelCol).as("__nl")), Seq("neighbor_id"))
+      .groupBy(col("vec_id"), col("__nl"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("__c"), (-col("__nl")).as("__neg"))).as("__m"))
+      .select(col("vec_id"), (-col("__m.__neg")).as("__pred"))
+    val joint = votes
+      .join(lab.select(col(idCol).as("vec_id"),
+        col(labelCol).as("__given")), Seq("vec_id"))
+      .groupBy(col("__given").cast("long").as("given_label"),
+        col("__pred").cast("long").as("predicted_label"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .localCheckpoint(false)
+    val totals = joint.groupBy(col("given_label"))
+      .agg(sum(col("n_vectors")).as("__t"))
+    joint.join(broadcast(totals), Seq("given_label"))
+      .select(col("given_label"), col("predicted_label"),
+        col("n_vectors"),
+        expr("CAST((n_vectors * 2000000 + __t) div (2 * __t) " +
+          "AS BIGINT)").as("class_share_ppm"))
+  }
+
+  /** Multi-vector late-interaction retrieval (the ColBERT MaxSim
+    * rule, Khattab & Zaharia 2020): documents are GROUPS of vectors
+    * (here `groupSize` consecutive ids — production supplies real
+    * per-token vectors, same plan); a query group scores a candidate
+    * group by Σ over query vectors of the MAX cosine against the
+    * candidate's vectors, and the top-k candidate groups win. MaxSim
+    * keeps per-token granularity that single-vector cosine pools
+    * away — the standard quality jump for retrieval — and this
+    * operator shows it runs on the SAME sign-bucket probe
+    * infrastructure as every other ANN here.
+    *
+    * Scale: vector-level candidates from the multi-probe equi-join
+    * (missing cross-bucket vector pairs lower a group score exactly
+    * like IVF probing misses neighbors — the same recall dial); the
+    * MAX per (query group, candidate group, query vector) and the
+    * Σ per pair are two hash aggs on the bounded candidate stream;
+    * per-vector maxima snap to 12 dp and sum DECIMAL(38,12); the
+    * top-k is the TopKAggregator, never a window.
+    */
+  def maxsimRetrieval(df: DataFrame, idCol: String, embCol: String,
+                      groupSize: Int = 4, k: Int = 3,
+                      signBits: Int = 4,
+                      queryMod: Int = 10): DataFrame = {
+    val n = normalized(df, idCol, embCol)
+      .withColumn("bucket", signBucket(signBits))
+      .withColumn("__g", expr(s"id div $groupSize"))
+      // LAZY localCheckpoint: the query side and the index side both
+      // read the signature table.
+      .localCheckpoint(false)
+    val probes = expr(
+      s"array(bucket, ${(0 until signBits).map(j => s"CAST(bucket AS INT) ^ ${1 << j}").mkString(", ")})")
+    val q = n.filter(pmod(col("__g"), lit(queryMod)) === 0)
+      .select(col("id").as("__qv"), col("__g").as("qgroup"),
+        col("emb").as("a_emb"), col("nrm").as("a_nrm"),
+        explode(probes).as("bucket"))
+    val c = n.select(col("id").as("__cv"), col("__g").as("cgroup"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"), col("bucket"))
+    q.join(c, "bucket")
+      .filter(col("qgroup") =!= col("cgroup") &&
+        col("a_nrm") > 0 && col("b_nrm") > 0)
+      .withColumn("sim",
+        dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+      .groupBy(col("qgroup"), col("cgroup"), col("__qv"))
+      .agg(max(col("sim")).as("__mx"))
+      .groupBy(col("qgroup"), col("cgroup"))
+      .agg(sum(round(col("__mx"), 12).cast("decimal(38,12)"))
+        .as("__score"))
+      .select(col("qgroup").as("vec_id"),
+        col("cgroup").as("neighbor_id"),
+        col("__score").cast("double").as("sim"))
+      .transform(selectTopK(_, k))
+      .select(col("vec_id").as("qgroup"),
+        col("neighbor_id").as("cgroup"), col("sim").as("score"))
+  }
+
   /** Quantized-index ranking agreement: within the multi-probe bucket
     * candidates, the top-k lists ranked by int-quantized cosine
     * (per-vector min/max reconstruction, the q91 convention) vs the

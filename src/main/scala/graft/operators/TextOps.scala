@@ -1326,6 +1326,66 @@ object TextOps {
           .as("dup_chunk_rate"))
   }
 
+  /** Data-scaling proxy curve: held-out unigram cross-entropy as the
+    * training corpus grows through its deterministic membership
+    * slices (train on slices 0..s, evaluate on the last slice, for
+    * every s) — the measured "is more of the same data still buying
+    * loss" curve, the LOSS-space twin of the trigram-accretion
+    * vocabulary curve. Unigram add-one models are crude but
+    * MONOTONE-comparable across slices, which is all a marginal-value
+    * decision needs; the smoothing vocabulary V is the full train
+    * vocabulary, fixed across s, so curves differ only by data.
+    *
+    * Scale: one (slice, token) hash agg over the train side; the
+    * cumulative-by-slice expansion joins the ≤nBuckets-row spine (≤
+    * nBuckets copies of the vocab table, never the corpus); eval
+    * terms join on the token key with the absent-token tail in closed
+    * form (c=0 ⇒ every missing token shares ln 1/(N_s+V+1)). Terms
+    * snap to 12 dp and sum DECIMAL(38,12).
+    */
+  def scalingProxy(df: DataFrame, idCol: String, textCol: String,
+                   nBuckets: Int = 10): DataFrame = {
+    val dec = (MixtureOps.membership(idCol) * nBuckets).cast("int")
+    val toks = df.withColumn("__d", dec)
+      .select(col("__d"), explode(split(col(textCol), " ")).as("__tok"))
+    val evalD = nBuckets - 1
+    val train = toks.filter(col("__d") < evalD)
+      .groupBy(col("__d"), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val spine = train.sparkSession.range(0, evalD.toLong)
+      .select(col("id").cast("int").as("__s"))
+    val cum = train
+      .join(broadcast(spine), col("__d") <= col("__s"))
+      .groupBy(col("__s"), col("__tok"))
+      .agg(sum(col("__c")).as("__cs"))
+      .localCheckpoint(false)
+    val ns = cum.groupBy(col("__s")).agg(sum(col("__cs")).as("__ns"))
+    val v = train.select(col("__tok")).distinct()
+      .agg(count(lit(1)).as("__v"))
+    val ev = toks.filter(col("__d") === evalD)
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__ce"))
+      .localCheckpoint(false)
+    val evTot = ev.agg(sum(col("__ce")).as("__ne"))
+    val matched = cum.join(ev, Seq("__tok"))
+      .join(broadcast(ns), Seq("__s"))
+      .join(broadcast(v).crossJoin(broadcast(evTot)))
+      .withColumn("__term", round(col("__ce") *
+        log((col("__cs") + 1).cast("double") /
+          (col("__ns") + col("__v") + 1)), 12).cast("decimal(38,12)"))
+      .groupBy(col("__s"), col("__ns"), col("__v"), col("__ne"))
+      .agg(sum(col("__term")).as("__sm"),
+        sum(col("__ce")).as("__me"))
+    matched
+      .withColumn("__tail", round((col("__ne") - col("__me")) *
+        log(lit(1.0) / (col("__ns") + col("__v") + 1)), 12)
+        .cast("decimal(38,12)"))
+      .select(col("__s").cast("long").as("train_slices"),
+        col("__ns").as("n_train_tokens"), col("__ne").as("n_eval_tokens"),
+        round(-(col("__sm") + col("__tail")).cast("double") /
+          col("__ne"), 6).as("cross_entropy_nats"))
+  }
+
   /** Chunking-scheme dedup census: the same corpus chunked two ways —
     * fixed `w`-token windows ([[DedupOps.chunkDedup]]'s grid) and
     * content-defined rolling cuts ([[cdcChunks]]' boundaries) — with
