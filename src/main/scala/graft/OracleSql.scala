@@ -9189,6 +9189,187 @@ object OracleSql {
         |  round(-CAST(sm + round((ne - me)
         |    * ln(CAST(1.0 AS DOUBLE) / (ns + v + 1)), 12)
         |    ::DECIMAL(38,12) AS DOUBLE) / ne, 6) AS cross_entropy_nats
-        |FROM m ORDER BY train_slices""".stripMargin
+        |FROM m ORDER BY train_slices""".stripMargin,
+
+    "q419_phrase_merges" -> {
+      def step(i: Int) =
+        s"""b$i AS (SELECT tk[i + 1] AS w1, tk[i + 2] AS w2,
+           |    count(*) AS c
+           |  FROM (SELECT string_split(trim(t), ' ') AS tk FROM c$i),
+           |    unnest(range(len(tk) - 1)) AS g(i)
+           |  WHERE len(tk) >= 2 GROUP BY 1, 2),
+           |t$i AS (SELECT w1, w2, c FROM b$i
+           |  ORDER BY c DESC, w1, w2 LIMIT 1),
+           |c${i + 1} AS (SELECT replace(t,
+           |    ' ' || w1 || ' ' || w2 || ' ',
+           |    ' ' || w1 || '@' || w2 || ' ') AS t
+           |  FROM c$i CROSS JOIN t$i)"""
+          .stripMargin
+      s"""WITH c0 AS (SELECT ' ' || text || ' ' AS t FROM documents),
+         |${(0 until 5).map(step).mkString(",\n")}
+         |${(0 until 5).map(i =>
+             s"SELECT CAST(${i + 1} AS BIGINT) AS step, w1, w2, " +
+               s"CAST(c AS BIGINT) AS n_occ FROM t$i")
+           .mkString("\nUNION ALL ")}
+         |ORDER BY step""".stripMargin
+    },
+
+    "q420_bfs_hops" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |${minhashSig(4, 2)},
+         |pairs AS (${minhashPairs(4, 2)}),
+         |ed AS (SELECT DISTINCT s, d FROM (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs)),
+         |reach(node, h) AS (
+         |  SELECT doc_id, 0 FROM documents WHERE source = 'src0'
+         |  UNION
+         |  SELECT e.d, r.h + 1 FROM reach r JOIN ed e ON e.s = r.node
+         |  WHERE r.h < 3),
+         |hops AS (SELECT node, min(h) AS h FROM reach GROUP BY node)
+         |SELECT CAST(coalesce(h, -1) AS BIGINT) AS hop,
+         |  CAST(count(*) AS BIGINT) AS n_nodes
+         |FROM documents LEFT JOIN hops ON hops.node = documents.doc_id
+         |GROUP BY 1 ORDER BY hop""".stripMargin,
+
+    "q421_source_pagerank" -> {
+      def iter(i: Int) =
+        s"""c$i AS (SELECT e.ed AS node,
+           |  sum(CAST(round(r.rank / dg.deg, 14) AS DECIMAL(30,16))) AS s
+           |  FROM edg e JOIN r${i - 1} r ON r.node = e.es
+           |  JOIN dg ON dg.node = e.es
+           |  GROUP BY e.ed),
+           |r$i AS (SELECT n.node,
+           |  round(CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE) *
+           |    coalesce(CAST(c.s AS DOUBLE), 0), 12) AS rank
+           |  FROM nd n CROSS JOIN nn LEFT JOIN c$i c ON c.node = n.node)"""
+          .stripMargin
+      s"""WITH hs AS (SELECT DISTINCT md5(text) AS h, source
+         |  FROM documents),
+         |edg AS (SELECT DISTINCT a.source AS es, b.source AS ed
+         |  FROM hs a JOIN hs b ON a.h = b.h AND a.source <> b.source),
+         |nd AS (SELECT DISTINCT source AS node FROM documents),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nd),
+         |dg AS (SELECT es AS node, CAST(count(*) AS DOUBLE) AS deg
+         |       FROM edg GROUP BY es),
+         |r0 AS (SELECT node, round(CAST(1 AS DOUBLE) / nn.n, 12) AS rank
+         |       FROM nd CROSS JOIN nn),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT node AS source, round(rank, 6) AS rank
+         |FROM r3 ORDER BY source""".stripMargin
+    },
+
+    "q422_snapshot_rotation" ->
+      """WITH lab AS (SELECT source, text,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      / CAST(4294967296 AS DOUBLE) AS mem
+        |  FROM documents),
+        |o AS (SELECT DISTINCT source, md5(text) AS h FROM lab
+        |  WHERE mem < 0.9),
+        |n AS (SELECT DISTINCT source, md5(text) AS h FROM lab
+        |  WHERE mem >= 0.1),
+        |u AS (SELECT coalesce(o.source, n.source) AS source,
+        |    CASE WHEN o.h IS NULL THEN 0 ELSE 1 END AS io,
+        |    CASE WHEN n.h IS NULL THEN 0 ELSE 1 END AS inw
+        |  FROM o FULL OUTER JOIN n
+        |    ON n.source = o.source AND n.h = o.h)
+        |SELECT source, CAST(sum(io) AS BIGINT) AS n_old,
+        |  CAST(sum(inw) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN io = 1 AND inw = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_common,
+        |  CAST((sum(CASE WHEN io = 1 AND inw = 1 THEN 1 ELSE 0 END)
+        |    * 2000000 + count(*)) // (2 * count(*)) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM u GROUP BY source ORDER BY source""".stripMargin,
+
+    "q423_mmr_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
+        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
+        |    AS bucket
+        |  FROM e),
+        |pb AS (SELECT vec_id, emb, nrm,
+        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+        |          xor(bucket, 8)]) AS bucket
+        |  FROM n),
+        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM pb a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id),
+        |cd AS (SELECT vec_id, neighbor_id,
+        |    CAST(round(round(sim, 6) * 1000000) AS BIGINT) AS sp FROM (
+        |  SELECT vec_id, neighbor_id, sim, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM p) WHERE rn <= 5),
+        |ps AS (SELECT c1.vec_id, c1.neighbor_id AS ca,
+        |    c2.neighbor_id AS cb,
+        |    CAST(round(list_dot_product(na.emb, nb.emb)
+        |      / (na.nrm * nb.nrm) * 1000000) AS BIGINT) AS pp
+        |  FROM cd c1 JOIN cd c2 ON c2.vec_id = c1.vec_id
+        |    AND c1.neighbor_id <> c2.neighbor_id
+        |  JOIN n na ON na.vec_id = c1.neighbor_id
+        |  JOIN n nb ON nb.vec_id = c2.neighbor_id
+        |  WHERE na.nrm > 0 AND nb.nrm > 0),
+        |s1 AS (SELECT vec_id, neighbor_id AS sel, sp * 2 AS u FROM (
+        |  SELECT vec_id, neighbor_id, sp, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY sp DESC, neighbor_id) AS rn
+        |  FROM cd) WHERE rn = 1),
+        |m2 AS (SELECT cd.vec_id, cd.neighbor_id,
+        |    cd.sp * 2 - ps.pp AS u
+        |  FROM cd JOIN s1 ON s1.vec_id = cd.vec_id
+        |    AND cd.neighbor_id <> s1.sel
+        |  JOIN ps ON ps.vec_id = cd.vec_id
+        |    AND ps.ca = cd.neighbor_id AND ps.cb = s1.sel),
+        |s2 AS (SELECT vec_id, neighbor_id AS sel, u FROM (
+        |  SELECT vec_id, neighbor_id, u, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY u DESC, neighbor_id) AS rn
+        |  FROM m2) WHERE rn = 1),
+        |m3 AS (SELECT cd.vec_id, cd.neighbor_id,
+        |    cd.sp * 2 - greatest(p1.pp, p2.pp) AS u
+        |  FROM cd JOIN s1 ON s1.vec_id = cd.vec_id
+        |    AND cd.neighbor_id <> s1.sel
+        |  JOIN s2 ON s2.vec_id = cd.vec_id
+        |    AND cd.neighbor_id <> s2.sel
+        |  JOIN ps p1 ON p1.vec_id = cd.vec_id
+        |    AND p1.ca = cd.neighbor_id AND p1.cb = s1.sel
+        |  JOIN ps p2 ON p2.vec_id = cd.vec_id
+        |    AND p2.ca = cd.neighbor_id AND p2.cb = s2.sel),
+        |s3 AS (SELECT vec_id, neighbor_id AS sel, u FROM (
+        |  SELECT vec_id, neighbor_id, u, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY u DESC, neighbor_id) AS rn
+        |  FROM m3) WHERE rn = 1)
+        |SELECT vec_id, CAST(1 AS BIGINT) AS rank, sel AS selected,
+        |  CAST(u AS DOUBLE) / 2000000 AS score FROM s1
+        |UNION ALL SELECT vec_id, 2, sel, CAST(u AS DOUBLE) / 2000000
+        |  FROM s2
+        |UNION ALL SELECT vec_id, 3, sel, CAST(u AS DOUBLE) / 2000000
+        |  FROM s3
+        |ORDER BY vec_id, rank""".stripMargin,
+
+    "q424_coec" ->
+      """WITH b AS (SELECT event_type AS segment,
+        |    (CAST(json_extract_string(props, '$.k') AS BIGINT) % 100)
+        |      // 10 AS bucket,
+        |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |curve AS (SELECT bucket,
+        |    CAST((sum(y) * 2000000 + count(*)) // (2 * count(*))
+        |      AS BIGINT) AS rate_ppm
+        |  FROM b GROUP BY bucket),
+        |g AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(y) AS BIGINT) AS n_pos,
+        |    CAST(sum(rate_ppm) AS BIGINT) AS expected_ppm_sum
+        |  FROM b JOIN curve USING (bucket) GROUP BY segment)
+        |SELECT segment, n_events, n_pos, expected_ppm_sum,
+        |  CASE WHEN expected_ppm_sum > 0 THEN
+        |    CAST((CAST(n_pos AS HUGEINT) * 1000000 * 2000000
+        |      + expected_ppm_sum) // (2 * CAST(expected_ppm_sum
+        |      AS HUGEINT)) AS BIGINT)
+        |  END AS coec_ppm
+        |FROM g ORDER BY segment""".stripMargin
   )
 }

@@ -4327,7 +4327,74 @@ object SparkEntry {
     // cumulative training slices (measured marginal value of data).
     "q418_scaling_proxy" -> ((s, d) =>
       TextOps.scalingProxy(Tables.documents(s, d), "doc_id", "text", 10)
-        .orderBy("train_slices"))
+        .orderBy("train_slices")),
+
+    // L364 — iterative phrase-merge training (word2phrase/BPE loop at
+    // token granularity): 5 rounds of count → pick → rewrite; the
+    // merge table IS the trained artifact.
+    "q419_phrase_merges" -> ((s, d) =>
+      TextOps.phraseMerges(Tables.documents(s, d), "text", 5)
+        .orderBy("step")),
+
+    // L365 — BFS hop census over the near-dup candidate graph seeded
+    // with src0's documents (syndication reach).
+    "q420_bfs_hops" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      GraphOps.bfsHops(docs.select(col("doc_id")), "doc_id",
+          DedupOps.minhashCandidates(
+            DedupOps.minhashSignature(
+              DedupOps.shingles(docs, "doc_id", "text"), "doc_id", 4, 2),
+            "doc_id", 4, 2),
+          "doc_a", "doc_b",
+          docs.filter(col("source") === "src0").select(col("doc_id")),
+          "doc_id", 3)
+        .orderBy("hop")
+    }),
+
+    // L366 — source syndication PageRank: sources linked by shared
+    // exact-dup content, ranked by the portable PageRank (who
+    // originates vs who mirrors).
+    "q421_source_pagerank" -> ((s, d) => {
+      val hs = Tables.documents(s, d)
+        .select(md5(col("text")).as("__h"), col("source")).distinct()
+      val edges = hs.join(hs.select(col("__h"),
+          col("source").as("__s2")), Seq("__h"))
+        .filter(col("source") =!= col("__s2"))
+        .select(col("source").as("src"), col("__s2").as("dst"))
+        .distinct()
+      GraphOps.pageRankPortable(
+          Tables.documents(s, d).select(col("source")).distinct(),
+          "source", edges, "src", "dst", 3)
+        .select(col("node").as("source"), col("rank"))
+        .orderBy("source")
+    }),
+
+    // L367 — snapshot content-rotation: per-source exact Jaccard of
+    // content-fingerprint sets between crawls (corpusDelta's
+    // content-keyed twin).
+    "q422_snapshot_rotation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.snapshotRotation(
+          docs.filter(MixtureOps.membership("doc_id") < 0.9),
+          docs.filter(MixtureOps.membership("doc_id") >= 0.1),
+          "source", "text")
+        .orderBy("source")
+    }),
+
+    // L368 — MMR diversified rerank of the ANN top-5 (λ = 0.5, 3
+    // greedy rounds unrolled; redundancy out of the result list).
+    "q423_mmr_rerank" -> ((s, d) =>
+      SimilarityOps.mmrRerank(Tables.embeddings(s, d), "vec_id",
+          "embedding", 5, 3, 4)
+        .orderBy("vec_id", "rank")),
+
+    // L369 — COEC position-bias correction per event type (clicks
+    // over position-expected clicks; props.k as the slate position).
+    "q424_coec" -> ((s, d) =>
+      RetrievalOps.positionCoec(Tables.events(s, d), "event_type",
+          get_json_object(col("props"), "$.k").cast("long"),
+          col("value") > CLICK_THRESHOLD)
+        .orderBy("segment"))
   )
 
   // ------------------------------------------------------------- oracles

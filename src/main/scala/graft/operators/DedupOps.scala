@@ -1272,6 +1272,36 @@ object DedupOps {
             "div (2 * (n_probed - n_member)) AS BIGINT)"))
           .as("fp_ppm"))
 
+  /** Snapshot content-rotation audit: per source, the exact Jaccard
+    * between the OLD and NEW snapshots' distinct content-fingerprint
+    * SETS — how much of a source's content actually rotated between
+    * crawls, measured on content (the id-keyed [[MixtureOps.corpusDelta]]
+    * cannot see a re-crawled page under a new id; this can). A source
+    * at Jaccard ~1 re-serves yesterday's bytes; one near 0 churns
+    * everything and invalidates any cached derived state.
+    *
+    * Scale: both sides reduce to distinct (source, hash) sets; the
+    * overlap is one full-outer hash-keyed join and one per-source agg.
+    */
+  def snapshotRotation(dfOld: DataFrame, dfNew: DataFrame,
+                       srcCol: String, textCol: String): DataFrame = {
+    def side(df: DataFrame, tag: String) = df
+      .select(col(srcCol).as("source"), md5(col(textCol)).as("__h"))
+      .distinct().withColumn(s"__$tag", lit(1L))
+    side(dfOld, "o").join(side(dfNew, "n"), Seq("source", "__h"),
+        "full_outer")
+      .groupBy(col("source"))
+      .agg(sum(coalesce(col("__o"), lit(0L))).as("n_old"),
+        sum(coalesce(col("__n"), lit(0L))).as("n_new"),
+        sum(when(col("__o").isNotNull && col("__n").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"),
+        count(lit(1)).as("__u"))
+      .select(col("source"), col("n_old"), col("n_new"),
+        col("n_common"),
+        expr("CAST((n_common * 2000000 + __u) div (2 * __u) " +
+          "AS BIGINT)").as("jaccard_ppm"))
+  }
+
   /** LSH candidate precision by band-agreement depth: every banded
     * MinHash candidate pair, bucketed by HOW MANY of the `bands`
     * bands agree, with the fraction passing the exact-Jaccard

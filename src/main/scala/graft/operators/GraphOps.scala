@@ -617,6 +617,48 @@ object GraphOps {
     * Σ deg·(deg−1)/2 is one extra hash agg over the SMALL edge list —
     * both reduce to 1-row tables that merge as broadcasts.
     */
+  /** Bounded BFS hop census: minimum hop distance (≤ `maxHops`) from
+    * a seed set over an undirected edge list, reported as a histogram
+    * (hop → node count; unreached nodes land in hop −1). On a near-dup
+    * candidate graph seeded with one source's documents this measures
+    * SYNDICATION REACH — how much of the corpus is within h copy-steps
+    * of that source — and on any graph it is the frontier-size profile
+    * that prices an iterative algorithm before running it to
+    * convergence.
+    *
+    * Scale: classic frontier BFS — each round joins the (checkpointed)
+    * edge list against ONLY the previous frontier and left-joins the
+    * distance spine; `maxHops` bounds the rounds, and every
+    * intermediate localCheckpoints eagerly so lineage never stacks.
+    */
+  def bfsHops(nodes: DataFrame, nodeCol: String, edges: DataFrame,
+              srcCol: String, dstCol: String, seeds: DataFrame,
+              seedCol: String, maxHops: Int): DataFrame = {
+    val ed = edges
+      .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .unionAll(edges.select(col(dstCol).as("__s"),
+        col(srcCol).as("__d")))
+      .distinct()
+      .localCheckpoint(true)
+    var dist = nodes.select(col(nodeCol).as("node"))
+      .join(seeds.select(col(seedCol).as("node")).distinct()
+        .withColumn("__h", lit(0)), Seq("node"), "left")
+      .localCheckpoint(true)
+    for (h <- 1 to maxHops) {
+      val frontier = dist.filter(col("__h") === h - 1)
+        .select(col("node").as("__f"))
+      val reached = ed.join(frontier, col("__s") === col("__f"))
+        .select(col("__d").as("node")).distinct()
+        .withColumn("__nh", lit(h))
+      dist = dist.join(reached, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__h"), col("__nh")).as("__h"))
+        .localCheckpoint(true)
+    }
+    dist.groupBy(coalesce(col("__h"), lit(-1)).cast("long").as("hop"))
+      .agg(count(lit(1)).as("n_nodes"))
+  }
+
   def transitivity(edges: DataFrame, srcCol: String,
                    dstCol: String): DataFrame = {
     // EAGER localCheckpoint: the edge lineage (e.g. a full LSH

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -307,5 +307,46 @@ object RetrievalOps {
       .agg(count(lit(1)).as("n_events"), sum("__w").as("decayed_score"))
       .orderBy(col("decayed_score").desc, col(keyCol))
       .limit(topN)
+  }
+
+  /** COEC position-bias correction (clicks over expected clicks,
+    * Chapelle & Zhang 2009 style): build the position→positive-rate
+    * curve from the whole log (position = `posCol` bucketed by 10),
+    * then score each segment by observed positives over the Σ of its
+    * events' position-curve rates. COEC ≈ 1 means the segment
+    * converts exactly as its slate positions predict; above/below is
+    * real quality signal with presentation bias divided out — the
+    * number a ranker should train on instead of raw CTR.
+    *
+    * Scale: the curve is a ≤10-row agg broadcast back onto the log;
+    * the per-segment reduce is one hash agg. Expected clicks stay in
+    * exact integer ppm-sums; the final ratio is an exact half-up
+    * integer division in DECIMAL(38,0) (the ppm·count product
+    * overflows BIGINT at ~1e13 positives).
+    */
+  def positionCoec(events: DataFrame, segCol: String, posCol: Column,
+                   positive: Column): DataFrame = {
+    val base = events.select(col(segCol).as("segment"),
+        (posCol.cast("long") % 100).as("__p"),
+        positive.cast("long").as("__y"))
+      .withColumn("__bucket", expr("__p div 10"))
+      // LAZY localCheckpoint: the curve and the segment reduce both
+      // read the bucketed log.
+      .localCheckpoint(false)
+    val curve = base.groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np"))
+      .select(col("__bucket"),
+        expr("CAST((__np * 2000000 + __n) div (2 * __n) AS BIGINT)")
+          .as("__rate_ppm"))
+    base.join(broadcast(curve), Seq("__bucket"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__y")).as("n_pos"),
+        sum(col("__rate_ppm")).as("expected_ppm_sum"))
+      .select(col("segment"), col("n_events"), col("n_pos"),
+        col("expected_ppm_sum"),
+        when(col("expected_ppm_sum") > 0, expr(
+          "CAST((CAST(n_pos AS DECIMAL(38,0)) * 1000000 * 2000000 " +
+            "+ expected_ppm_sum) div (2 * CAST(expected_ppm_sum " +
+            "AS DECIMAL(38,0))) AS BIGINT)")).as("coec_ppm"))
   }
 }

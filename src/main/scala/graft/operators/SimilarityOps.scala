@@ -1239,6 +1239,86 @@ object SimilarityOps {
           .as("bias"))
   }
 
+  /** MMR diversified rerank (Carbonell & Goldstein 1998): from each
+    * query's multi-probe ANN top-`m` candidates, greedily select `k`
+    * results maximizing `sim − λ·max(sim to already-selected)` — the
+    * standard redundancy-vs-relevance rerank that keeps three copies
+    * of the same page out of one result list. The greedy rounds are
+    * UNROLLED (k is a small constant), each one an argmax struct-max
+    * per query — no window, no per-query loop.
+    *
+    * Scale: candidates ride [[annTopKMultiProbe]] (k·|vectors| rows);
+    * the candidate-candidate sim matrix is bounded by m² per list
+    * (the q218 ILS shape, never the catalog); every argmax is a
+    * map-side-combinable aggregate with ties pinned to the smaller
+    * id. Sims enter at 6 dp (the selectTopK contract) so the MMR
+    * scores are engine-portable doubles.
+    */
+  def mmrRerank(df: DataFrame, idCol: String, embCol: String,
+                m: Int = 5, k: Int = 3,
+                signBits: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 3, "unrolled for k <= 3")
+    // λ is fixed at 1/2 so the MMR score works in EXACT integer
+    // half-ppm units: score_u = 2·sim_ppm − ps_ppm. Rounding the
+    // double form sim₆ − ½·ps₆ lands exactly on half-boundaries
+    // (6-dp inputs, 7-dp result) where engines legally disagree —
+    // the divide-then-round class, designed out as integers.
+    val cand = annTopKMultiProbe(df, idCol, embCol, m, signBits)
+      .withColumn("__sp", expr("CAST(round(sim * 1000000) AS BIGINT)"))
+      // the pair-sim build and every greedy round read the lists.
+      .localCheckpoint(false)
+    val n = normalized(df, idCol, embCol)
+    val ps = cand.select(col("vec_id"), col("neighbor_id").as("__ca"))
+      .join(cand.select(col("vec_id"), col("neighbor_id").as("__cb")),
+        Seq("vec_id"))
+      .filter(col("__ca") =!= col("__cb"))
+      .join(n.select(col("id").as("__ca"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm")), Seq("__ca"))
+      .join(n.select(col("id").as("__cb"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm")), Seq("__cb"))
+      .filter(col("a_nrm") > 0 && col("b_nrm") > 0)
+      .select(col("vec_id"), col("__ca"), col("__cb"),
+        expr("CAST(round(graft_dot(a_emb, b_emb) / (a_nrm * b_nrm) " +
+          "* 1000000) AS BIGINT)").as("__pp"))
+      .localCheckpoint(false)
+    def argmax(d: DataFrame, score: Column): DataFrame = d
+      .groupBy(col("vec_id"))
+      .agg(max(struct(score.as("__sc"),
+        (-col("neighbor_id")).as("__neg"))).as("__m"))
+      .select(col("vec_id"), (-col("__m.__neg")).as("__sel"),
+        col("__m.__sc").as("__score"))
+    def emit(s: DataFrame, rank: Int): DataFrame =
+      s.select(col("vec_id"), lit(rank.toLong).as("rank"),
+        col("__sel").as("selected"),
+        (col("__score").cast("double") / lit(2000000.0)).as("score"))
+    val s1 = argmax(cand, col("__sp") * 2)
+    if (k == 1) return emit(s1, 1)
+    def simTo(selDf: DataFrame, as: String) =
+      ps.join(selDf.select(col("vec_id"), col("__sel").as("__cb")),
+        Seq("vec_id", "__cb"))
+        .select(col("vec_id"), col("__ca").as("neighbor_id"),
+          col("__pp").as(as))
+    val c2 = cand.join(s1.select(col("vec_id"), col("__sel")),
+        Seq("vec_id"))
+      .filter(col("neighbor_id") =!= col("__sel"))
+      .join(simTo(s1, "__p1"), Seq("vec_id", "neighbor_id"))
+      .withColumn("__u", col("__sp") * 2 - col("__p1"))
+    val s2 = argmax(c2, col("__u"))
+    if (k == 2) return emit(s1, 1).unionAll(emit(s2, 2))
+    val c3 = cand.join(s1.select(col("vec_id"),
+        col("__sel").as("__s1")), Seq("vec_id"))
+      .join(s2.select(col("vec_id"), col("__sel").as("__s2")),
+        Seq("vec_id"))
+      .filter(col("neighbor_id") =!= col("__s1") &&
+        col("neighbor_id") =!= col("__s2"))
+      .join(simTo(s1, "__p1"), Seq("vec_id", "neighbor_id"))
+      .join(simTo(s2, "__p2"), Seq("vec_id", "neighbor_id"))
+      .withColumn("__u",
+        col("__sp") * 2 - greatest(col("__p1"), col("__p2")))
+    val s3 = argmax(c3, col("__u"))
+    emit(s1, 1).unionAll(emit(s2, 2)).unionAll(emit(s3, 3))
+  }
+
   /** Confident-learning noise matrix (the Cleanlab joint, Northcutt
     * et al. 2021, estimated with kNN consensus instead of a trained
     * model): each vector's PREDICTED label is the majority label of

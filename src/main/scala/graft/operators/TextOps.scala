@@ -1326,6 +1326,61 @@ object TextOps {
           .as("dup_chunk_rate"))
   }
 
+  /** Iterative phrase-merge training (the word2phrase / BPE training
+    * loop at token granularity): `steps` rounds of [count all adjacent
+    * token pairs → take the most frequent (count desc, pair asc) →
+    * rewrite the corpus joining that pair with '@'], so later rounds
+    * can merge previously-merged units into longer phrases. Returns
+    * the merge table (step, pair, count-at-selection) — the artifact
+    * a tokenizer/phrase vocabulary ships. This is tokenizer TRAINING
+    * expressed as a declarative plan per round, not a specialized
+    * external trainer.
+    *
+    * Scale: each round is one bigram hash agg (map-side partials) and
+    * one row-local rewrite; the corpus localCheckpoints EAGERLY per
+    * round so the rewrite lineage never stacks. The rewrite uses
+    * non-overlapping left-to-right replace with space sentinels —
+    * consecutive overlapping occurrences keep word2phrase's greedy
+    * semantics, identically in both engines. The selected pair is the
+    * ONLY driver-side value per round (one row).
+    */
+  def phraseMerges(df: DataFrame, textCol: String,
+                   steps: Int = 5): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    var corpus = df
+      .select(concat(lit(" "), col(textCol), lit(" ")).as("__t"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, String, Long)]
+    var done = false
+    for (step <- 1 to steps if !done) {
+      val top = corpus
+        .select(split(trim(col("__t")), " ").as("__tk"))
+        .filter(size(col("__tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(__tk) - 2), " +
+            "i -> struct(__tk[i] AS w1, __tk[i + 1] AS w2))")).as("b"))
+        .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .agg(count(lit(1)).as("__c"))
+        .orderBy(col("__c").desc, col("w1"), col("w2"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (w1, w2, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        out += ((step, w1, w2, c))
+        corpus = corpus.select(expr(
+            s"replace(__t, ${sqlStr(s" $w1 $w2 ")}, " +
+              s"${sqlStr(s" $w1@$w2 ")})").as("__t"))
+          .localCheckpoint(true)
+      }
+    }
+    out.toSeq.toDF("step", "w1", "w2", "n_occ")
+      .select(col("step").cast("long").as("step"), col("w1"),
+        col("w2"), col("n_occ"))
+  }
+
   /** Data-scaling proxy curve: held-out unigram cross-entropy as the
     * training corpus grows through its deterministic membership
     * slices (train on slices 0..s, evaluate on the last slice, for
