@@ -9370,6 +9370,153 @@ object OracleSql {
         |      + expected_ppm_sum) // (2 * CAST(expected_ppm_sum
         |      AS HUGEINT)) AS BIGINT)
         |  END AS coec_ppm
-        |FROM g ORDER BY segment""".stripMargin
+        |FROM g ORDER BY segment""".stripMargin,
+
+    "q425_assortativity" ->
+      s"""WITH $shinglesCte,
+         |${minhashSig(4, 2)},
+         |cand AS (${minhashPairs(4, 2)}),
+         |deg AS (SELECT v, count(*) AS d FROM
+         |  (SELECT doc_a AS v FROM cand
+         |   UNION ALL SELECT doc_b AS v FROM cand) GROUP BY v),
+         |sym AS (SELECT da.d AS x, db.d AS y FROM cand
+         |    JOIN deg da ON da.v = cand.doc_a
+         |    JOIN deg db ON db.v = cand.doc_b
+         |  UNION ALL SELECT db.d, da.d FROM cand
+         |    JOIN deg da ON da.v = cand.doc_a
+         |    JOIN deg db ON db.v = cand.doc_b),
+         |m AS (SELECT count(*) AS m,
+         |    sum(x::DECIMAL(38,0)) AS sx,
+         |    sum((x * x)::DECIMAL(38,0)) AS sxx,
+         |    sum((x * y)::DECIMAL(38,0)) AS sxy FROM sym),
+         |nn AS (SELECT count(*) AS n_nodes FROM deg)
+         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(m // 2 AS BIGINT) AS n_edges,
+         |  CASE WHEN m * sxx - sx * sx > 0 THEN
+         |    round(CAST(m * sxy - sx * sx AS DOUBLE)
+         |      / CAST(m * sxx - sx * sx AS DOUBLE), 6) + 0.0
+         |  END AS assortativity
+         |FROM m, nn""".stripMargin,
+
+    "q426_corpus_build" ->
+      s"""WITH RECURSIVE $shinglesCte,
+         |${minhashSig(4, 2)},
+         |prs AS (${minhashPairs(4, 2)}),
+         |ed AS (SELECT doc_a AS s, doc_b AS d FROM prs
+         |       UNION ALL SELECT doc_b, doc_a FROM prs),
+         |reach(node, anc) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.d, r.anc FROM reach r JOIN ed e ON e.s = r.node),
+         |cc AS (SELECT node, min(anc) AS label FROM reach GROUP BY node),
+         |tt AS (SELECT doc_id, source, text, string_split(text, ' ')
+         |    AS tk,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         |    CAST(length(text) - (len(string_split(text, ' ')) - 1)
+         |      AS BIGINT) AS ch
+         |  FROM documents),
+         |pass AS (SELECT doc_id, source, n FROM tt
+         |  WHERE NOT (n < 30 OR n > 80)
+         |    AND NOT (ch * 2 < n * 7 OR ch * 2 > n * 12)
+         |    AND NOT (CAST(list_aggregate(list_transform(
+         |      list_distinct(tk), w -> len(list_filter(tk, x -> x = w))),
+         |      'max') AS BIGINT) * 5 > n)
+         |    AND len(list_filter(tk, x -> list_contains(['the', 'a'], x)))
+         |      > 0
+         |    AND NOT (CAST(len(list_distinct(tk)) AS BIGINT) * 5 < n * 2)),
+         |lab AS (SELECT p.doc_id, p.source, p.n,
+         |    CASE WHEN ('0x' || substr(md5(cc.label::VARCHAR), 1, 8))
+         |      ::BIGINT / CAST(4294967296 AS DOUBLE) >= 0.9
+         |      THEN 1 ELSE 0 END AS ev
+         |  FROM pass p JOIN cc ON cc.node = p.doc_id),
+         |tr AS (SELECT doc_id, source, n FROM lab WHERE ev = 0),
+         |c AS (SELECT source, n,
+         |    coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS bfr
+         |  FROM tr),
+         |bins AS (SELECT source, bfr // 256 AS bin, sum(n) AS nt
+         |  FROM c GROUP BY 1, 2),
+         |pk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_bins,
+         |    CAST(sum(nt) AS BIGINT) AS n_train_tokens
+         |  FROM bins GROUP BY source),
+         |ec AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pass,
+         |    CAST(sum(ev) AS BIGINT) AS n_eval
+         |  FROM lab GROUP BY source)
+         |SELECT source, n_pass, n_pass - n_eval AS n_train, n_eval,
+         |  n_bins, n_train_tokens,
+         |  CAST((n_train_tokens * 2000000 + n_bins * 256)
+         |    // (2 * n_bins * 256) AS BIGINT) AS fill_ppm
+         |FROM pk JOIN ec USING (source) ORDER BY source""".stripMargin,
+
+    "q427_hash_collisions" ->
+      """WITH cr AS (SELECT DISTINCT event_type || '|'
+        |    || CAST(user_id // 10 AS VARCHAR) AS k FROM events),
+        |h AS (SELECT ('0x' || substr(md5(k), 1, 8))::BIGINT AS h
+        |  FROM cr),
+        |x AS (SELECT h, b FROM h CROSS JOIN
+        |  (SELECT unnest([8, 12, 16]) AS b) bb),
+        |g AS (SELECT b, CAST(count(*) AS BIGINT) AS n_crosses,
+        |    CAST(count(DISTINCT h % (1::BIGINT << b)) AS BIGINT)
+        |      AS n_buckets_hit
+        |  FROM x GROUP BY b)
+        |SELECT CAST(b AS BIGINT) AS bits, n_crosses, n_buckets_hit,
+        |  n_crosses - n_buckets_hit AS n_collided,
+        |  CAST(((n_crosses - n_buckets_hit) * 2000000 + n_crosses)
+        |    // (2 * n_crosses) AS BIGINT) AS collision_ppm
+        |FROM g ORDER BY bits""".stripMargin,
+
+    "q428_threshold_transfer" ->
+      """WITH base AS (SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+        |  FROM documents),
+        |g AS (SELECT CAST((sum(CASE WHEN l >= 30 THEN 1 ELSE 0 END)
+        |    * 2000000 + count(*)) // (2 * count(*)) AS BIGINT)
+        |    AS kppm FROM base),
+        |ns AS (SELECT source, count(*) AS ns FROM base
+        |  GROUP BY source),
+        |h AS (SELECT source, l, count(*) AS c FROM base
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT source, l, sum(c) OVER (PARTITION BY source
+        |    ORDER BY l DESC ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS keep FROM h),
+        |q AS (SELECT cum.source, ns.ns, g.kppm, l, keep
+        |  FROM cum JOIN ns USING (source) CROSS JOIN g
+        |  WHERE keep * 1000000 >= kppm * ns)
+        |SELECT source, CAST(ns AS BIGINT) AS n_docs,
+        |  kppm AS global_keep_ppm,
+        |  CAST(l AS BIGINT) AS threshold_tokens,
+        |  CAST((keep * 2000000 + ns) // (2 * ns) AS BIGINT)
+        |    AS achieved_keep_ppm
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY l DESC) AS rn FROM q) WHERE rn = 1
+        |ORDER BY source""".stripMargin,
+
+    "q429_ams_f2" -> {
+      val zs = (0 until 8).map(j =>
+        s"""sum(CASE WHEN substr(md5(k || '|' || $j), 1, 1) < '8'
+           |    THEN c ELSE -c END) AS z$j""".stripMargin).mkString(",\n")
+      val zsq = (0 until 8).map(j =>
+        s"(z$j::DECIMAL(38,0) * z$j::DECIMAL(38,0))").mkString(" + ")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS k
+         |  FROM documents),
+         |c AS (SELECT k, count(*) AS c FROM tok GROUP BY k),
+         |z AS (SELECT sum((c * c)::DECIMAL(38,0)) AS f2,
+         |$zs
+         |  FROM c),
+         |zz AS (SELECT CAST(f2 AS BIGINT) AS exact_f2,
+         |    -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL rounds
+         |    -- the quotient instead of flooring it
+         |    CAST((CAST(($zsq) AS HUGEINT) * 2 + 8) // (2 * 8)
+         |      AS BIGINT) AS est_f2
+         |  FROM z)
+         |SELECT exact_f2, est_f2,
+         |  CASE WHEN exact_f2 > 0 THEN
+         |    CAST(((est_f2 - exact_f2) * 2000000
+         |      + CAST(sign(est_f2 - exact_f2) AS BIGINT) * exact_f2)
+         |      // (2 * exact_f2) AS BIGINT)
+         |  END AS err_ppm
+         |FROM zz""".stripMargin
+    }
   )
 }

@@ -4394,7 +4394,82 @@ object SparkEntry {
       RetrievalOps.positionCoec(Tables.events(s, d), "event_type",
           get_json_object(col("props"), "$.k").cast("long"),
           col("value") > CLICK_THRESHOLD)
-        .orderBy("segment"))
+        .orderBy("segment")),
+
+    // L370 — degree assortativity of the near-dup candidate graph
+    // (template network vs hub-and-mirror topology).
+    "q425_assortativity" -> ((s, d) =>
+      GraphOps.assortativity(
+        DedupOps.minhashCandidates(
+          DedupOps.minhashSignature(
+            DedupOps.shingles(Tables.documents(s, d), "doc_id", "text"),
+            "doc_id", 4, 2),
+          "doc_id", 4, 2), "doc_a", "doc_b")),
+
+    // L371 — end-to-end corpus-build manifest: Gopher gate →
+    // cluster-atomic split → per-source packing at budget 256 (this
+    // round's ops composed into the table a training run reads).
+    "q426_corpus_build" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pass = TextOps.gopherFlags(docs, "doc_id", "text", STOPWORDS,
+          keep = Seq("source", "text"))
+        .filter(col("f_word_count") + col("f_mean_word_len") +
+          col("f_top_word_share") + col("f_no_stopword") +
+          col("f_distinct_ratio") === 0)
+        .select("doc_id", "source", "text")
+      val cc = GraphOps.connectedComponents(docs.select(col("doc_id")),
+        "doc_id",
+        DedupOps.minhashCandidates(
+          DedupOps.minhashSignature(
+            DedupOps.shingles(docs, "doc_id", "text"), "doc_id", 4, 2),
+          "doc_id", 4, 2), "doc_a", "doc_b")
+      val lab = pass
+        .join(cc.select(col("node").as("doc_id"), col("label")),
+          Seq("doc_id"))
+        .withColumn("__ev",
+          (MixtureOps.membership("label") >= 0.9).cast("long"))
+      val packed = TextOps.packSequences(lab.filter(col("__ev") === 0),
+        "source", "doc_id", "text", 256L)
+      val evc = lab.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pass"), sum(col("__ev")).as("n_eval"))
+      packed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(col("n_tokens")).as("n_train_tokens"))
+        .join(evc, Seq("source"))
+        .select(col("source"), col("n_pass"),
+          (col("n_pass") - col("n_eval")).as("n_train"), col("n_eval"),
+          col("n_bins"), col("n_train_tokens"),
+          expr("CAST((n_train_tokens * 2000000 + n_bins * 256) " +
+            "div (2 * n_bins * 256) AS BIGINT)").as("fill_ppm"))
+        .orderBy("source")
+    }),
+
+    // L372 — hashing-trick collision audit for the (type × user-
+    // bucket) feature cross (pick the smallest width the model can
+    // absorb).
+    "q427_hash_collisions" -> ((s, d) =>
+      EncodeOps.hashCollisionAudit(
+          Tables.events(s, d)
+            .withColumn("user_bucket", expr("user_id div 10")),
+          Seq("event_type", "user_bucket"), Seq(8, 12, 16))
+        .orderBy("bits")),
+
+    // L373 — per-source quality-threshold transfer (quantile-matched
+    // min-length cutoffs; the disparate-impact fix for one global
+    // threshold).
+    "q428_threshold_transfer" -> ((s, d) =>
+      TextOps.thresholdTransfer(Tables.documents(s, d), "source",
+          "text", 30)
+        .orderBy("source")),
+
+    // L374 — AMS F2 sketch vs the exact second moment of the token
+    // frequency vector (the self-join-size estimator, deterministic
+    // md5 signs so the estimate itself is oracle-checked).
+    "q429_ams_f2" -> ((s, d) =>
+      SketchOps.amsF2(
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token")),
+        "token", 8))
   )
 
   // ------------------------------------------------------------- oracles

@@ -256,4 +256,38 @@ object EncodeOps {
         round(sum(col("__mon")).cast("double"), roundTo)
           .as("total_monetary"))
   }
+
+  /** Hashing-trick collision audit: for each candidate hash width
+    * b ∈ `bits`, how many DISTINCT feature crosses collide when
+    * bucketed into 2^b md5 buckets — the design table for the feature
+    * hashing every wide-cross model ships with (pick the smallest b
+    * whose collision rate the model can absorb; the formula-free,
+    * measured version of the birthday estimate).
+    *
+    * Scale: the cross table reduces to its distinct keys FIRST (one
+    * hash agg — the only corpus-sized step), then explodes ×|bits|
+    * and re-aggregates per width; collisions = crosses − occupied
+    * buckets, exact integer ppm.
+    */
+  def hashCollisionAudit(df: DataFrame, crossCols: Seq[String],
+                         bits: Seq[Int]): DataFrame = {
+    val key = concat_ws("|", crossCols.map(c => col(c).cast("string")): _*)
+    val crosses = df.select(key.as("__k")).distinct()
+      .withColumn("__h",
+        conv(substring(md5(col("__k")), 1, 8), 16, 10).cast("long"))
+      // LAZY localCheckpoint: every width reads the distinct crosses.
+      .localCheckpoint(false)
+    crosses
+      .select(col("__h"), explode(typedLit(bits)).as("b"))
+      .withColumn("__bucket", pmod(col("__h"),
+        expr("CAST(shiftleft(CAST(1 AS BIGINT), b) AS BIGINT)")))
+      .groupBy(col("b"))
+      .agg(count(lit(1)).as("n_crosses"),
+        countDistinct(col("__bucket")).as("n_buckets_hit"))
+      .select(col("b").cast("long").as("bits"), col("n_crosses"),
+        col("n_buckets_hit"),
+        (col("n_crosses") - col("n_buckets_hit")).as("n_collided"),
+        expr("CAST(((n_crosses - n_buckets_hit) * 2000000 + n_crosses) " +
+          "div (2 * n_crosses) AS BIGINT)").as("collision_ppm"))
+  }
 }

@@ -617,6 +617,49 @@ object GraphOps {
     * Σ deg·(deg−1)/2 is one extra hash agg over the SMALL edge list —
     * both reduce to 1-row tables that merge as broadcasts.
     */
+  /** Degree assortativity of an undirected graph: the Pearson
+    * correlation of endpoint degrees over all (symmetrized) edges
+    * (Newman 2002). On a near-dup graph the sign reads the dup
+    * topology: assortative (hubs link hubs) = template networks that
+    * dedup as blocks; disassortative (hubs link leaves) = hub-and-
+    * mirror syndication where killing the hub's cluster removes most
+    * of the dup mass.
+    *
+    * Scale: degrees are one hash agg over the canonical edge list;
+    * the moment sums (Σx, Σx², Σxy over the 2·E symmetrized endpoint
+    * pairs) accumulate as exact DECIMAL(38,0) integers, so the
+    * correlation is one double formula over exact sums — the repo's
+    * OLS discipline, no float accumulation anywhere.
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // degrees + both endpoint joins read it
+    val deg = canon.select(col("a").as("node"))
+      .unionAll(canon.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("__deg"))
+    val sym = canon.select(col("a"), col("b"))
+      .unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+      .join(deg.select(col("node").as("a"), col("__deg").as("__x")), "a")
+      .join(deg.select(col("node").as("b"), col("__deg").as("__y")), "b")
+    val m = sym.agg(count(lit(1)).as("__m"),
+      sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+      sum((col("__x") * col("__x")).cast("decimal(38,0)")).as("__sxx"),
+      sum((col("__x") * col("__y")).cast("decimal(38,0)")).as("__sxy"))
+    deg.agg(count(lit(1)).as("n_nodes")).crossJoin(broadcast(m))
+      .select(col("n_nodes"), expr("__m div 2").as("n_edges"),
+        when(col("__m") * col("__sxx") - col("__sx") * col("__sx") > 0,
+          MetricOps.normZero(round(
+            (col("__m") * col("__sxy") - col("__sx") * col("__sx"))
+              .cast("double") /
+              (col("__m") * col("__sxx") - col("__sx") * col("__sx"))
+                .cast("double"), 6))).as("assortativity"))
+  }
+
   /** Bounded BFS hop census: minimum hop distance (≤ `maxHops`) from
     * a seed set over an undirected edge list, reported as a histogram
     * (hop → node count; unreached nodes land in hop −1). On a near-dup

@@ -417,4 +417,39 @@ object SketchOps {
         sum("__true").cast("long").as("n_member"),
         (sum("__pos") - sum("__true")).cast("long").as("n_false_pos"))
   }
+
+  /** AMS (Alon–Matias–Szegedy) F₂ sketch: estimate the second
+    * frequency moment Σc² of a key column from `k` ±1-sign linear
+    * sketches Z_j = Σ_key s_j(key)·c_key, est_j = Z_j², averaged —
+    * the join-size / self-join-cost estimator that needs O(k) memory
+    * where the exact answer needs the whole frequency table. Signs
+    * derive from md5(key|j), so the ESTIMATE itself is deterministic
+    * and oracle-checkable (the Bloom/KMV calibration discipline) —
+    * the exact F₂ rides along to show the error.
+    *
+    * Scale: one (key) count agg, then ONE pass computing all k Z's
+    * as exact integer sums (map-side partials); Z² and the mean stay
+    * in DECIMAL(38,0) with a half-up integer mean — no float
+    * anywhere.
+    */
+  def amsF2(df: DataFrame, keyCol: String, k: Int = 8): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val zs = (0 until k).map(j =>
+      sum(when(substring(md5(concat_ws("|", col("__k"), lit(j))), 1, 1)
+        < "8", col("__c")).otherwise(-col("__c"))).as(s"__z$j"))
+    val exact = sum((col("__c") * col("__c")).cast("decimal(38,0)"))
+      .as("__f2")
+    val zsq = (0 until k).map(j =>
+      s"(CAST(__z$j AS DECIMAL(38,0)) * CAST(__z$j AS DECIMAL(38,0)))")
+      .mkString(" + ")
+    counts.agg(exact, zs: _*)
+      .select(col("__f2").cast("bigint").as("exact_f2"),
+        expr(s"CAST((($zsq) * 2 + $k) div (2 * $k) AS BIGINT)")
+          .as("est_f2"))
+      .withColumn("err_ppm", when(col("exact_f2") > 0,
+        expr("CAST(((est_f2 - exact_f2) * 2000000 " +
+          "+ CAST(sign(est_f2 - exact_f2) AS BIGINT) * exact_f2) " +
+          "div (2 * exact_f2) AS BIGINT)")))
+  }
 }

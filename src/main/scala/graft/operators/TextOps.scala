@@ -1326,6 +1326,52 @@ object TextOps {
           .as("dup_chunk_rate"))
   }
 
+  /** Per-source quality-threshold transfer: the GLOBAL min-length
+    * rule (`len ≥ globalMin`) keeps some global fraction g; this
+    * table computes, per source, the strictest length threshold whose
+    * within-source keep rate still ≥ g — i.e. the same selectivity
+    * calibrated to each source's own length distribution. A single
+    * global cutoff silently deletes entire short-form sources (the
+    * disparate-impact failure of one-size thresholds); quantile-
+    * matched per-source thresholds keep the filter's bite without the
+    * skew, and this is the table that ships them.
+    *
+    * Scale: one (source, length) histogram agg; the descending
+    * cumulative runs over that bounded histogram keyed by source
+    * (never raw rows); the threshold pick is one struct-max argmax;
+    * every rate is an exact cross-multiplied integer comparison.
+    */
+  def thresholdTransfer(df: DataFrame, srcCol: String, textCol: String,
+                        globalMin: Int = 30): DataFrame = {
+    val base = df.select(col(srcCol).as("source"),
+        size(split(col(textCol), " ")).cast("long").as("__len"))
+      // LAZY localCheckpoint: the global rate, the per-source totals
+      // and the histogram all read the length pass.
+      .localCheckpoint(false)
+    val g = base.agg(count(lit(1)).as("__n"),
+        sum((col("__len") >= globalMin).cast("long")).as("__kk"))
+      .select(expr("CAST((__kk * 2000000 + __n) div (2 * __n) " +
+        "AS BIGINT)").as("__kppm"))
+    val ns = base.groupBy(col("source")).agg(count(lit(1)).as("__ns"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("__len").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base.groupBy(col("source"), col("__len"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__keep", sum(col("__c")).over(w))
+      .join(ns, Seq("source"))
+      .crossJoin(broadcast(g))
+      // keep-rate ≥ the global rate, exactly (cross-multiplied)
+      .filter(col("__keep") * 1000000 >= col("__kppm") * col("__ns"))
+      .groupBy(col("source"), col("__ns"), col("__kppm"))
+      .agg(max(struct(col("__len"), col("__keep"))).as("__m"))
+      .select(col("source"), col("__ns").as("n_docs"),
+        col("__kppm").as("global_keep_ppm"),
+        col("__m.__len").as("threshold_tokens"),
+        expr("CAST((__m.__keep * 2000000 + __ns) div (2 * __ns) " +
+          "AS BIGINT)").as("achieved_keep_ppm"))
+  }
+
   /** Iterative phrase-merge training (the word2phrase / BPE training
     * loop at token granularity): `steps` rounds of [count all adjacent
     * token pairs → take the most frequent (count desc, pair asc) →
