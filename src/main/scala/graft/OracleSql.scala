@@ -9517,6 +9517,80 @@ object OracleSql {
          |      // (2 * exact_f2) AS BIGINT)
          |  END AS err_ppm
          |FROM zz""".stripMargin
-    }
+    },
+
+    "q430_best_match" ->
+      s"""WITH $shinglesCte,
+         |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |${minhashSig(4, 2)},
+         |cand AS (${minhashPairs(4, 2)}),
+         |com AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY c.doc_a, c.doc_b),
+         |pj AS (SELECT com.doc_a, com.doc_b,
+         |    CAST(round(round(CAST(com.c AS DOUBLE)
+         |      / (sa.n + sb.n - com.c), 6) * 1000000) AS BIGINT) AS jp
+         |  FROM com
+         |  JOIN szs sa ON sa.doc_id = com.doc_a
+         |  JOIN szs sb ON sb.doc_id = com.doc_b),
+         |lab AS (SELECT doc_id, source,
+         |    CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+         |      / CAST(4294967296 AS DOUBLE) >= 0.9 AS INT) AS nw
+         |  FROM documents),
+         |onr AS (SELECT
+         |    CASE WHEN la.nw = 0 THEN pj.doc_a ELSE pj.doc_b END AS o,
+         |    CASE WHEN la.nw = 0 THEN pj.doc_b ELSE pj.doc_a END AS w,
+         |    jp
+         |  FROM pj JOIN lab la ON la.doc_id = pj.doc_a
+         |  JOIN lab lb ON lb.doc_id = pj.doc_b
+         |  WHERE la.nw <> lb.nw),
+         |bo AS (SELECT o, w, jp FROM (SELECT o, w, jp,
+         |    row_number() OVER (PARTITION BY o ORDER BY jp DESC, w)
+         |      AS rn FROM onr) WHERE rn = 1),
+         |bn AS (SELECT o, w FROM (SELECT o, w,
+         |    row_number() OVER (PARTITION BY w ORDER BY jp DESC, o)
+         |      AS rn FROM onr) WHERE rn = 1),
+         |mu AS (SELECT bo.o, bo.jp FROM bo
+         |  JOIN bn ON bn.w = bo.w AND bn.o = bo.o),
+         |old AS (SELECT doc_id, source FROM lab WHERE nw = 0)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_old,
+         |  CAST(count(mu.o) AS BIGINT) AS n_matched,
+         |  CAST((count(mu.o) * 2000000 + count(*)) // (2 * count(*))
+         |    AS BIGINT) AS match_ppm,
+         |  CASE WHEN count(mu.o) > 0 THEN
+         |    CAST((sum(jp) * 2 + count(mu.o)) // (2 * count(mu.o))
+         |      AS BIGINT)
+         |  END AS mean_match_jaccard_ppm
+         |FROM old LEFT JOIN mu ON mu.o = old.doc_id
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q431_stump_split" ->
+      """WITH b AS (SELECT
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS x,
+        |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS y FROM events),
+        |h AS (SELECT x, count(*) AS n, sum(y) AS p FROM b GROUP BY x),
+        |c AS (SELECT x, sum(n) OVER (ORDER BY x) AS cn,
+        |    sum(p) OVER (ORDER BY x) AS cp FROM h),
+        |t AS (SELECT max(cn) AS tn, max(cp) AS tp FROM c),
+        |s AS (SELECT x, cn AS nl, cp AS pl, tn - cn AS nr,
+        |    tp - cp AS pr, tn, tp
+        |  FROM c, t WHERE cn < tn),
+        |g AS (SELECT *,
+        |    round(nl - (pl * pl + (nl - pl) * (nl - pl))::DOUBLE / nl,
+        |      12)::DECIMAL(38,12)
+        |    + round(nr - (pr * pr + (nr - pr) * (nr - pr))::DOUBLE / nr,
+        |      12)::DECIMAL(38,12) AS gg
+        |  FROM s),
+        |w AS (SELECT * FROM g ORDER BY gg, x LIMIT 1)
+        |SELECT CAST(x AS BIGINT) AS threshold,
+        |  CAST(nl AS BIGINT) AS n_left, CAST(pl AS BIGINT) AS n_pos_left,
+        |  CAST(nr AS BIGINT) AS n_right,
+        |  CAST(pr AS BIGINT) AS n_pos_right,
+        |  round(CAST(gg AS DOUBLE) / tn, 6) AS weighted_gini,
+        |  round(CAST(2.0 AS DOUBLE) * tp * (tn - tp) / (tn * tn)
+        |    - CAST(gg AS DOUBLE) / tn, 6) + 0.0 AS gini_gain
+        |FROM w""".stripMargin
   )
 }

@@ -4469,7 +4469,26 @@ object SparkEntry {
       SketchOps.amsF2(
         Tables.documents(s, d)
           .select(explode(split(col("text"), " ")).as("token")),
-        "token", 8))
+        "token", 8)),
+
+    // L375 — cross-crawl reciprocal best match: the id-remap census
+    // (page identity across snapshots via mutual best near-dup).
+    "q430_best_match" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      DedupOps.reciprocalBestMatch(
+          docs.filter(MixtureOps.membership("doc_id") < 0.9),
+          docs.filter(MixtureOps.membership("doc_id") >= 0.9),
+          "doc_id", "source", "text")
+        .orderBy("source")
+    }),
+
+    // L376 — decision-stump split finder: best integer threshold on
+    // props.k for the value>100 label (the CART inner loop as one
+    // histogram pass).
+    "q431_stump_split" -> ((s, d) =>
+      MetricOps.stumpSplit(Tables.events(s, d),
+        get_json_object(col("props"), "$.k").cast("long"),
+        (col("value") > CLICK_THRESHOLD).cast("long")))
   )
 
   // ------------------------------------------------------------- oracles

@@ -1272,6 +1272,69 @@ object DedupOps {
             "div (2 * (n_probed - n_member)) AS BIGINT)"))
           .as("fp_ppm"))
 
+  /** Cross-snapshot reciprocal best match — page identity across
+    * crawls: for every OLD document its best NEW near-dup (highest
+    * exact Jaccard over the banded-LSH candidates, ties to the
+    * smaller id), kept only when the choice is MUTUAL. The admitted
+    * pairs are the id-remap table an incremental pipeline carries so
+    * a re-crawled page keeps its identity (and its dedup/quality
+    * state) when its id changes — entity resolution for documents.
+    *
+    * Scale: candidates only from LSH buckets, restricted to
+    * old→new pairs; both argmaxes are struct-max hash aggs over the
+    * candidate table; the mutual check is a self-join of the two
+    * SMALL best tables.
+    */
+  def reciprocalBestMatch(dfOld: DataFrame, dfNew: DataFrame,
+                          idCol: String, srcCol: String,
+                          textCol: String): DataFrame = {
+    val tagged = dfOld.select(col(idCol), col(srcCol), col(textCol))
+      .withColumn("__new", lit(0))
+      .unionAll(dfNew.select(col(idCol), col(srcCol), col(textCol))
+        .withColumn("__new", lit(1)))
+    val side = tagged.select(col(idCol).as("__id"), col("__new"),
+        col(srcCol).as("__src"))
+      // LAZY localCheckpoint: both pair-side joins and the per-source
+      // totals read the tagged spine.
+      .localCheckpoint(false)
+    val pairs = lshJaccard(shingles(tagged, idCol, textCol), idCol, 4, 2)
+    // orient candidates old → new (either input order)
+    val on = pairs
+      .join(side.select(col("__id").as("doc_a"),
+        col("__new").as("__na")), Seq("doc_a"))
+      .join(side.select(col("__id").as("doc_b"),
+        col("__new").as("__nb")), Seq("doc_b"))
+      .filter(col("__na") =!= col("__nb"))
+      .select(
+        when(col("__na") === 0, col("doc_a")).otherwise(col("doc_b"))
+          .as("__old"),
+        when(col("__na") === 0, col("doc_b")).otherwise(col("doc_a"))
+          .as("__nw"),
+        expr("CAST(round(jaccard * 1000000) AS BIGINT)").as("__jp"))
+      .localCheckpoint(false)
+    def best(key: String, other: String, out: String) = on
+      .groupBy(col(key))
+      .agg(max(struct(col("__jp"), (-col(other)).as("__neg"))).as("__m"))
+      .select(col(key), (-col("__m.__neg")).as(out),
+        col("__m.__jp").as(s"__j$out"))
+    val bo = best("__old", "__nw", "__bn")
+    val bn = best("__nw", "__old", "__bo")
+    val mutual = bo.join(bn,
+        bo("__bn") === bn("__nw") && bn("__bo") === bo("__old"))
+      .select(col("__old"), col("__j__bn").as("__jp"))
+    side.filter(col("__new") === 0)
+      .join(mutual, col("__id") === col("__old"), "left")
+      .groupBy(col("__src").as("source"))
+      .agg(count(lit(1)).as("n_old"), count(col("__old")).as("n_matched"),
+        coalesce(sum(col("__jp")), lit(0L)).as("__sj"))
+      .select(col("source"), col("n_old"), col("n_matched"),
+        expr("CAST((n_matched * 2000000 + n_old) div (2 * n_old) " +
+          "AS BIGINT)").as("match_ppm"),
+        when(col("n_matched") > 0, expr(
+          "CAST((__sj * 2 + n_matched) div (2 * n_matched) AS BIGINT)"))
+          .as("mean_match_jaccard_ppm"))
+  }
+
   /** Snapshot content-rotation audit: per source, the exact Jaccard
     * between the OLD and NEW snapshots' distinct content-fingerprint
     * SETS — how much of a source's content actually rotated between

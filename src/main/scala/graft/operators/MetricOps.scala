@@ -4888,4 +4888,66 @@ object MetricOps {
           .cast("double") / count(lit(1)), roundTo).as("outlier_rate"),
         round(max(col("__d2")), roundTo).as("max_d2"))
   }
+
+  /** Decision-stump split finder (the CART/GBDT inner loop as one
+    * declarative pass): the integer threshold on `xCol` minimizing
+    * weighted Gini impurity of the binary `yCol` split (≤ t goes
+    * left). Candidates are every distinct feature value except the
+    * maximum (an empty right side is no split); the winner reports
+    * both sides' positive rates and the impurity drop vs the root.
+    * This is the primitive a tree trainer evaluates millions of
+    * times — expressed once over a histogram, it prices a feature's
+    * usefulness before any training run.
+    *
+    * Scale: one (value) histogram agg — the only corpus-sized step —
+    * then [[rangeCumSum]] cumulates pos/count WITHOUT a global
+    * window; per-candidate weighted Gini snaps to 12 dp
+    * DECIMAL(38,12) (exact integer numerators over each side's own
+    * denominator), and the argmin is one struct-min with the
+    * smaller-threshold tiebreak.
+    */
+  def stumpSplit(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val base = df.select(xCol.cast("long").as("__x"),
+      yCol.cast("long").as("__y"))
+    val h = base.groupBy(col("__x"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__p"))
+    val cum = rangeCumSum(h, "__x", Seq("__n", "__p"))
+      .localCheckpoint(false)
+    val tot = cum.agg(max(col("__cum___n")).as("__tn"),
+      max(col("__cum___p")).as("__tp"))
+    // weighted Gini of a split at t (≤ t left):
+    //   [nL − (pL² + qL²)/nL + nR − (pR² + qR²)/nR] / N
+    // N is constant — minimize the bracket, each side's term an
+    // exact integer ratio snapped to 12 dp
+    val scored = cum.crossJoin(broadcast(tot))
+      .filter(col("__cum___n") < col("__tn"))
+      .withColumn("__nl", col("__cum___n"))
+      .withColumn("__pl", col("__cum___p"))
+      .withColumn("__nr", col("__tn") - col("__nl"))
+      .withColumn("__pr", col("__tp") - col("__pl"))
+      .withColumn("__g",
+        round(col("__nl") - (col("__pl") * col("__pl") +
+          (col("__nl") - col("__pl")) * (col("__nl") - col("__pl")))
+          .cast("double") / col("__nl"), 12)
+          .cast("decimal(38,12)") +
+        round(col("__nr") - (col("__pr") * col("__pr") +
+          (col("__nr") - col("__pr")) * (col("__nr") - col("__pr")))
+          .cast("double") / col("__nr"), 12)
+          .cast("decimal(38,12)"))
+    scored
+      .groupBy(col("__tn"), col("__tp"))
+      .agg(min(struct(col("__g"), col("__x"), col("__nl"),
+        col("__pl"), col("__nr"), col("__pr"))).as("__m"))
+      .select(col("__m.__x").as("threshold"),
+        col("__m.__nl").as("n_left"), col("__m.__pl").as("n_pos_left"),
+        col("__m.__nr").as("n_right"),
+        col("__m.__pr").as("n_pos_right"),
+        round(col("__m.__g").cast("double") / col("__tn"), 6)
+          .as("weighted_gini"),
+        MetricOps.normZero(round(
+          (lit(2.0) * col("__tp") * (col("__tn") - col("__tp")))
+            .cast("double") / (col("__tn") * col("__tn")) -
+            col("__m.__g").cast("double") / col("__tn"), 6))
+          .as("gini_gain"))
+  }
 }
