@@ -9352,8 +9352,8 @@ object OracleSql {
 
     "q424_coec" ->
       """WITH b AS (SELECT event_type AS segment,
-        |    (CAST(json_extract_string(props, '$.k') AS BIGINT) % 100)
-        |      // 10 AS bucket,
+        |    least(greatest(CAST(json_extract_string(props, '$.k')
+        |      AS BIGINT) // 10, 0), 9) AS bucket,
         |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS y
         |  FROM events),
         |curve AS (SELECT bucket,

@@ -35,9 +35,29 @@ case class DotRange(vecA: Expression, vecB: Expression,
     (vecA.dataType, vecB.dataType, start.dataType, len.dataType) match {
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _),
           IntegerType, IntegerType) =>
-        if (start.foldable && len.foldable) TypeCheckResult.TypeCheckSuccess
-        else TypeCheckResult.TypeCheckFailure(
-          "graft_dot_range requires literal start/len")
+        if (!(start.foldable && len.foldable))
+          TypeCheckResult.TypeCheckFailure(
+            "graft_dot_range requires literal start/len")
+        else (start.eval(), len.eval()) match {
+          // Validate the folded window HERE, not at eval time: a
+          // start<1 would index UnsafeArrayData at negative offsets
+          // (silent garbage), and a len near Int.MaxValue overflows
+          // s0+l0 so the bounds check passes and the loop never runs
+          // (silent 0.0). 1-based start mirrors DuckDB list slicing.
+          case (null, _) | (_, null) => TypeCheckResult.TypeCheckFailure(
+            "graft_dot_range requires non-null start/len")
+          case (s: Integer, l: Integer) =>
+            if (s < 1) TypeCheckResult.TypeCheckFailure(
+              s"graft_dot_range start must be >= 1 (1-based), got $s")
+            else if (l < 0) TypeCheckResult.TypeCheckFailure(
+              s"graft_dot_range len must be >= 0, got $l")
+            else if (s.toLong - 1L + l.toLong > Int.MaxValue)
+              TypeCheckResult.TypeCheckFailure(
+                s"graft_dot_range window end start-1+len=${s.toLong - 1L + l.toLong} exceeds Int range")
+            else TypeCheckResult.TypeCheckSuccess
+          case _ => TypeCheckResult.TypeCheckFailure(
+            "graft_dot_range start/len must fold to ints")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         "graft_dot_range requires (array<double>, array<double>, int, int)")
     }

@@ -1288,28 +1288,35 @@ object DedupOps {
   def reciprocalBestMatch(dfOld: DataFrame, dfNew: DataFrame,
                           idCol: String, srcCol: String,
                           textCol: String): DataFrame = {
+    // Snapshot-tagged composite key 2·id+tag: a page that KEEPS its id
+    // across crawls (the op's motivating scenario) must not collapse
+    // into one shingle spine — without the tag, shingles() would merge
+    // the two documents' shingle sets and the label spine would
+    // duplicate, corrupting jaccard and join fan-out. The mapping is
+    // injective per snapshot; shiftright/&1 decode it (floor semantics
+    // hold for negative ids too).
     val tagged = dfOld.select(col(idCol), col(srcCol), col(textCol))
       .withColumn("__new", lit(0))
       .unionAll(dfNew.select(col(idCol), col(srcCol), col(textCol))
         .withColumn("__new", lit(1)))
-    val side = tagged.select(col(idCol).as("__id"), col("__new"),
-        col(srcCol).as("__src"))
+      .withColumn("__k",
+        col(idCol).cast("long") * 2 + col("__new"))
+    val side = tagged.select(col("__k"), col(idCol).as("__id"),
+        col("__new"), col(srcCol).as("__src"))
       // LAZY localCheckpoint: both pair-side joins and the per-source
       // totals read the tagged spine.
       .localCheckpoint(false)
-    val pairs = lshJaccard(shingles(tagged, idCol, textCol), idCol, 4, 2)
-    // orient candidates old → new (either input order)
+    val pairs = lshJaccard(shingles(tagged, "__k", textCol), "__k", 4, 2)
+    // orient candidates old → new (tag lives in the key's low bit)
     val on = pairs
-      .join(side.select(col("__id").as("doc_a"),
-        col("__new").as("__na")), Seq("doc_a"))
-      .join(side.select(col("__id").as("doc_b"),
-        col("__new").as("__nb")), Seq("doc_b"))
+      .withColumn("__na", col("doc_a").bitwiseAND(1))
+      .withColumn("__nb", col("doc_b").bitwiseAND(1))
       .filter(col("__na") =!= col("__nb"))
       .select(
-        when(col("__na") === 0, col("doc_a")).otherwise(col("doc_b"))
-          .as("__old"),
-        when(col("__na") === 0, col("doc_b")).otherwise(col("doc_a"))
-          .as("__nw"),
+        shiftright(when(col("__na") === 0, col("doc_a"))
+          .otherwise(col("doc_b")), 1).as("__old"),
+        shiftright(when(col("__na") === 0, col("doc_b"))
+          .otherwise(col("doc_a")), 1).as("__nw"),
         expr("CAST(round(jaccard * 1000000) AS BIGINT)").as("__jp"))
       .localCheckpoint(false)
     def best(key: String, other: String, out: String) = on

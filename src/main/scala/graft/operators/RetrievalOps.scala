@@ -311,7 +311,9 @@ object RetrievalOps {
 
   /** COEC position-bias correction (clicks over expected clicks,
     * Chapelle & Zhang 2009 style): build the position→positive-rate
-    * curve from the whole log (position = `posCol` bucketed by 10),
+    * curve from the whole log (position = `posCol` bucketed by 10,
+    * clamped to buckets 0–9: off-slate positions ≥100 fall into the
+    * deepest bucket, negatives into bucket 0 — never wrapped),
     * then score each segment by observed positives over the Σ of its
     * events' position-curve rates. COEC ≈ 1 means the segment
     * converts exactly as its slate positions predict; above/below is
@@ -327,9 +329,14 @@ object RetrievalOps {
   def positionCoec(events: DataFrame, segCol: String, posCol: Column,
                    positive: Column): DataFrame = {
     val base = events.select(col(segCol).as("segment"),
-        (posCol.cast("long") % 100).as("__p"),
+        posCol.cast("long").as("__p"),
         positive.cast("long").as("__y"))
-      .withColumn("__bucket", expr("__p div 10"))
+      // CLAMP, never wrap: positions ≥ 100 land in the deepest bucket
+      // (9) and negatives in bucket 0 — a mod-100 wrap would alias
+      // position 105 into the TOP slate bucket, poisoning the curve
+      // with off-slate events that convert like the fold.
+      .withColumn("__bucket",
+        least(greatest(expr("__p div 10"), lit(0L)), lit(9L)))
       // LAZY localCheckpoint: the curve and the segment reduce both
       // read the bucketed log.
       .localCheckpoint(false)

@@ -1154,6 +1154,11 @@ object SimilarityOps {
           (col(s"__n${d}_a") * col(s"__n${d}_b"))).as("s"))): _*)
     pairs.select(col("sim"), explode(dimArr).as("ds"))
       .select(col("sim"), col("ds.d").as("d"), col("ds.s").as("__sd"))
+      // Embeddings shorter than a requested dim d yield a null prefix
+      // dot (graft_dot_range window-exceeds contract). Drop the row —
+      // otherwise the DECIMAL error sums skip it but count(1) still
+      // counts it, silently deflating mae/bias. Mirrors quantFidelity.
+      .filter(col("__sd").isNotNull)
       .withColumn("__err", round(col("__sd") - col("sim"), 12)
         .cast("decimal(38,12)"))
       .withColumn("__abs", round(abs(col("__sd") - col("sim")), 12)
