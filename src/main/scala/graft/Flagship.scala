@@ -4,73 +4,175 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.RelationalOps
+import graft.operators.{RelationalOps, RetrievalOps, SimilarityOps}
 import graft.tables.Tables
 
-/** Flagship batch-recommendation query (SURVEY §7.1): the reference's
-  * online path (§3.3) collapsed into one lazy Spark plan —
-  * scan → PIT behavior window → candidate join → hybrid score → top-k.
+/** Flagship end-to-end recommend (SURVEY §7.1): the reference's full
+  * online path — recall → rank → respond — collapsed into ONE lazy
+  * Spark plan, with candidates RECALL-BOUNDED exactly like the
+  * reference's ES queries (online/utils/es_caller.py:42 `size=200`):
   *
-  * Structure mirrors online recall/rank
-  * (online/utils/es_caller.py:56-58 hybrid 0.1/0.9 boosts;
-  * online/utils/triton_caller.py:75-76 sort+cut), with the W2 PIT frame
-  * of offline/preprocess/s2_term_trans.py:42-61 providing the user
-  * behavior features.
+  *   1. TERM channel (boost 0.1, es_caller.py:56): user term list ×
+  *      item terms via the posting-list equi-join ([[RetrievalOps
+  *      .termRecall]]), seen items anti-filtered IN the recall
+  *      (es_caller.py:25-36 `must_not terms`), capped per user.
+  *   2. kNN channel (boost 0.9, es_caller.py:57): user embedding ×
+  *      item click-profile cosine over the sign-bucket MULTI-PROBE
+  *      equi-join (the q35/q60 ANN path — never a user×catalog grid),
+  *      seen-filtered, capped per user.
+  *   3. Hybrid union (es_caller.py:56-58): Σ of boosted channel
+  *      scores per (user, item).
+  *   4. Rank: the candidate's point-in-time CTR from the user's last
+  *      ≤10 events — the serving-snapshot state (S7/S8, the W2 frame
+  *      family evaluated at request time) as the ranking model's
+  *      score, exact half-up ppm.
+  *   5. Respond: top-[[Flagship.RESPONSE_K]] per user
+  *      (online/main/s1_server.py:35 sort + cut).
   *
-  * Scale: the only wide exchanges are (a) the user-key shuffle for the
-  * PIT window (bounded ≤10-row frames) and (b) the per-user top-k window;
-  * the candidate "dimension" (per-item global stats) is broadcast.
+  * Declared as oracle query `q432_flagship_recommend`, so every stage
+  * is hash-checked against the DuckDB twin.
+  *
+  * Scale: the term channel shuffles on the term (posting-list shape,
+  * bounded by list sizes); the kNN channel is an equi-join on the
+  * sign-bucket cell id with the tiny item-profile side broadcast; all
+  * window work (per-channel caps, snapshot frame, final top-k) is
+  * hash-partitioned by user with bounded frames. NO stage materializes
+  * users × catalog — the executed plan is swept cartesian-free like
+  * every other declared query (PlanAuditSpec).
   */
 object Flagship {
 
+  /** Item catalog (the testdata event-type vocabulary). */
+  private val ITEMS = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Per-channel recall cap — es_caller.py:42 `size=200`. */
+  val CANDIDATES_PER_CHANNEL = 200
+
+  /** Response size — s1_server.py:35 sort + cut. */
+  val RESPONSE_K = 3
+
+  /** Serving-snapshot frame: candidate CTR over the user's last ≤N
+    * events (the request-time state the W2 PIT family maintains).
+    */
+  val SNAPSHOT_FRAME = 10
+
+  private def bucketExpr(c: String) = expr(
+    s"CAST($c[0] > 0 AS INT) + CAST($c[1] > 0 AS INT) * 2 + " +
+      s"CAST($c[2] > 0 AS INT) * 4 + CAST($c[3] > 0 AS INT) * 8")
+
   def recommend(spark: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
     val ev = Tables.events(spark, dir)
       .withColumn("label", when(col("value") > 100, 1).otherwise(0))
+      // LAZY localCheckpoint: terms, seen, click pairs, and the
+      // snapshot frame all read the labeled log — one scan, 4 readers.
+      .localCheckpoint(false)
 
-    // W1: per-user event index (deterministic tiebreak on event_id).
-    val rn = RelationalOps.rowNumber(ev, "user_id", Seq(col("ts"), col("event_id")))
+    // --- user profile: term list (≥3 interactions) + seen set (the
+    // strong-interaction items the must_not filter excludes).
+    val terms = ev.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 3)
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("terms"))
+    val seen = ev.filter(col("value") > 150)
+      .groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("seen"))
 
-    // W2 (faithful rn-RANGE form, SURVEY §7.5.2): per (user, item) clicks
-    // within the user's previous ≤10 *events* — the frame is defined over
-    // the impression index rn, not over per-item rows, so a RANGE frame on
-    // rn after keying by (user, item) counts exactly the reference's
-    // dequeue semantics.
-    val wPit = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("rn")).rangeBetween(-10, -1)
-    val behavior = rn
-      .withColumn("pit_clk", coalesce(sum(col("label")).over(wPit), lit(0L)))
-      .withColumn("pit_imp", count(lit(1)).over(wPit))
+    // --- channel 1: term recall (posting-list equi-join, boost 0.1).
+    val users = terms.join(seen, Seq("user_id"), "left")
+      .withColumn("seen", coalesce(col("seen"), array()))
+    val items = spark.range(1)
+      .select(explode(array(ITEMS.map(lit): _*)).as("item"))
+      .withColumn("terms", array(col("item")))
+    // Channel scores live in exact integer PPM from here on: summing
+    // 0.1/0.9-boosted doubles pinned at 6 dp puts every odd 6th digit
+    // on a 7th-digit midpoint, exactly where engine round rules
+    // (decimal-repr half-up vs binary round) disagree. Integer
+    // arithmetic has no midpoints.
+    val chanTerm = RetrievalOps.termRecall(users, items,
+        "user_id", "terms", "seen", "item", "terms",
+        0.1, CANDIDATES_PER_CHANNEL)
+      .select(col("user_id"), col("item"),
+        expr("CAST(round(score * 1000000) AS BIGINT)").as("score"))
 
-    // Per-user state snapshot: last row per (user, item) carries the most
-    // recent PIT counters — the serving-snapshot analogue (S7).
-    val lastPerUserItem = Window.partitionBy("user_id", "event_type")
-      .orderBy(col("rn").desc)
-    val userState = behavior
-      .withColumn("__r", row_number().over(lastPerUserItem))
-      .filter(col("__r") === 1)
-      .select(col("user_id"), col("event_type"),
-        col("pit_clk"), col("pit_imp"))
+    // --- channel 2: kNN recall over the sign-bucket multi-probe
+    // equi-join. Item side = per-item click profile (mean embedding
+    // component of the item's clickers, 6 dp-pinned like
+    // SimilarityOps.ivfCentroids); user side probes its own cell plus
+    // the 4 Hamming-1 cells.
+    val uvec = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("user_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("uemb"))
+    val clicks = ev.filter(col("label") === 1)
+      .select(col("user_id"), col("event_type").as("item")).distinct()
+    val prof = clicks.join(uvec, "user_id")
+      .select(col("item"), posexplode(col("uemb")).as(Seq("dim", "v")))
+      .groupBy("item", "dim")
+      // DECIMAL-exact mean: double avg() sums in partition order, so
+      // the two engines can land a half-ulp apart and round(…, 6)
+      // splits at a midpoint (bit us on sf0.01). 12 dp decimal sums
+      // are order-free and exact; the divide is then one double op on
+      // identical operands in both engines.
+      .agg(round(sum(expr("CAST(round(v, 12) AS DECIMAL(38,12))"))
+        .cast("double") / count(lit(1)), 6).as("c"))
+      .groupBy("item")
+      .agg(expr("transform(array_sort(collect_list(struct(dim, c))), " +
+        "s -> s.c)").as("pemb"))
+      .withColumn("pnrm", sqrt(SimilarityOps.dot("pemb", "pemb")))
+      .withColumn("bucket", bucketExpr("pemb"))
+    val uside = uvec
+      .join(ev.select("user_id").distinct(), "user_id")
+      .join(seen, Seq("user_id"), "left")
+      .withColumn("seen", coalesce(col("seen"), array()))
+      .withColumn("unrm", sqrt(SimilarityOps.dot("uemb", "uemb")))
+      .withColumn("__b", bucketExpr("uemb"))
+      .select(col("user_id"), col("uemb"), col("unrm"), col("seen"),
+        explode(expr("array(__b, __b ^ 1, __b ^ 2, __b ^ 4, __b ^ 8)"))
+          .as("bucket"))
+    val chanKnn = RelationalOps.topKPerGroup(
+      uside.join(broadcast(prof), "bucket")
+        .filter(col("unrm") > 0 && col("pnrm") > 0)
+        .filter(!coalesce(array_contains(col("seen"), col("item")),
+          lit(false)))
+        .withColumn("sim",
+          round(SimilarityOps.dot("uemb", "pemb") /
+            (col("unrm") * col("pnrm")), 6))
+        // recall keeps positively-similar candidates only — also what
+        // keeps the ppm arithmetic on nonnegative ints, where Spark's
+        // truncating `div` and DuckDB's flooring `//` agree.
+        .filter(col("sim") > 0)
+        .withColumn("score", expr(
+          "(CAST(round(sim * 1000000) AS BIGINT) * 9 + 5) div 10"))
+        .select(col("user_id"), col("item"), col("score")),
+      "user_id", Seq(col("score").desc, col("item")),
+      CANDIDATES_PER_CHANNEL)
 
-    // Candidate channel A (popularity, boost 0.1): global item CTR.
-    val pop = ev.groupBy("event_type")
-      .agg((sum(col("label")) / count(lit(1))).as("pop_rate"))
+    // --- hybrid union: Σ boosted channel scores per (user, item).
+    val merged = RelationalOps.hybridUnion(Seq(chanTerm, chanKnn),
+      Seq("user_id", "item"), "score")
 
-    // Candidate channel B (personal, boost 0.9): user PIT click rate.
-    val users = ev.select("user_id").distinct()
-    val items = ev.select("event_type").distinct()
-    val cands = users.crossJoin(broadcast(items))
-      .join(userState, Seq("user_id", "event_type"), "left")
-      .join(broadcast(pop), Seq("event_type"), "left")
-      .withColumn("score",
-        lit(0.1) * coalesce(col("pop_rate"), lit(0.0)) +
-          lit(0.9) * coalesce(col("pit_clk") /
-            when(col("pit_imp") > 0, col("pit_imp")), lit(0.0)))
+    // --- rank: serving-snapshot CTR (the user's last ≤10 events) as
+    // the model score, exact half-up ppm; recall score tiebreaks.
+    val rn = RelationalOps.rowNumber(ev, "user_id",
+      Seq(col("ts"), col("event_id")))
+    val snap = rn
+      .withColumn("__mx",
+        max(col("rn")).over(Window.partitionBy("user_id")))
+      .filter(col("rn") > col("__mx") - SNAPSHOT_FRAME)
+      .groupBy(col("user_id"), col("event_type").as("item"))
+      .agg(count(lit(1)).as("imp"), sum(col("label")).as("clk"))
+      .select(col("user_id"), col("item"),
+        expr("CAST((clk * 2000000 + imp) div (2 * imp) AS BIGINT)")
+          .as("rank_ppm"))
 
-    // O2/O3: top-3 per user, deterministic tiebreak.
-    RelationalOps.topKPerGroup(cands, "user_id",
-        Seq(col("score").desc, col("event_type")), 3)
-      .select(col("user_id"), col("event_type").as("item"),
-        round(col("score"), 6).as("score"))
-      .orderBy(col("user_id"), col("score").desc, col("item"))
+    // --- respond: top-k per user, deterministic tiebreak.
+    val ranked = merged.join(snap, Seq("user_id", "item"), "left")
+      .withColumn("rank_ppm", coalesce(col("rank_ppm"), lit(0L)))
+    RelationalOps.topKPerGroup(ranked, "user_id",
+        Seq(col("rank_ppm").desc, col("score").desc, col("item")),
+        RESPONSE_K)
+      .select(col("user_id"), col("item"), col("rank_ppm"),
+        col("score").as("recall_ppm"))
+      .orderBy("user_id", "item")
   }
 }

@@ -9591,6 +9591,97 @@ object OracleSql {
         |  round(CAST(gg AS DOUBLE) / tn, 6) AS weighted_gini,
         |  round(CAST(2.0 AS DOUBLE) * tp * (tn - tp) / (tn * tn)
         |    - CAST(gg AS DOUBLE) / tn, 6) + 0.0 AS gini_gain
-        |FROM w""".stripMargin
+        |FROM w""".stripMargin,
+
+    "q432_flagship_recommend" ->
+      """WITH ev AS (SELECT user_id, event_type, value, ts, event_id,
+        |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS label FROM events),
+        |t AS (SELECT user_id, list(event_type ORDER BY event_type) AS terms
+        |  FROM (SELECT user_id, event_type FROM ev
+        |        GROUP BY user_id, event_type HAVING count(*) >= 3)
+        |  GROUP BY user_id),
+        |sn AS (SELECT user_id, list(et ORDER BY et) AS seen FROM
+        |  (SELECT DISTINCT user_id, event_type AS et FROM ev
+        |   WHERE value > 150) GROUP BY user_id),
+        |u AS (SELECT t.user_id, t.terms, coalesce(sn.seen, []) AS seen
+        |  FROM t LEFT JOIN sn ON t.user_id = sn.user_id),
+        |i AS (SELECT item, [item] AS terms FROM
+        |  (SELECT unnest(['click', 'error', 'purchase', 'signup',
+        |                  'view']) AS item)),
+        |ctc AS (SELECT u.user_id, i.item,
+        |    CAST(round(CAST(len(list_intersect(u.terms, i.terms))
+        |      AS DOUBLE) * CAST(0.1 AS DOUBLE) * 1000000) AS BIGINT)
+        |      AS score
+        |  FROM u JOIN i ON len(list_intersect(u.terms, i.terms)) > 0
+        |  WHERE NOT list_contains(u.seen, i.item)),
+        |ct AS (SELECT user_id, item, score FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY user_id
+        |     ORDER BY score DESC, item) AS rn FROM ctc) WHERE rn <= 200),
+        |uv AS (SELECT vec_id AS user_id, embedding::DOUBLE[] AS uemb
+        |  FROM embeddings),
+        |cl AS (SELECT DISTINCT user_id, event_type AS item FROM ev
+        |  WHERE label = 1),
+        |pc AS (SELECT cl.item,
+        |    CAST(generate_subscripts(uv.uemb, 1) - 1 AS INT) AS dim,
+        |    unnest(uv.uemb) AS v
+        |  FROM cl JOIN uv ON cl.user_id = uv.user_id),
+        |pm AS (SELECT item, dim,
+        |    round(sum(round(v, 12)::DECIMAL(38,12))::DOUBLE
+        |      / count(*), 6) AS c
+        |  FROM pc GROUP BY item, dim),
+        |pr AS (SELECT item, list(c ORDER BY dim) AS pemb FROM pm
+        |  GROUP BY item),
+        |prb AS (SELECT item, pemb,
+        |    sqrt(list_dot_product(pemb, pemb)) AS pnrm,
+        |    CAST(pemb[1] > 0 AS INT) + CAST(pemb[2] > 0 AS INT) * 2
+        |      + CAST(pemb[3] > 0 AS INT) * 4
+        |      + CAST(pemb[4] > 0 AS INT) * 8 AS bucket
+        |  FROM pr),
+        |us0 AS (SELECT uv.user_id, uv.uemb,
+        |    sqrt(list_dot_product(uv.uemb, uv.uemb)) AS unrm,
+        |    coalesce(sn.seen, []) AS seen,
+        |    CAST(uemb[1] > 0 AS INT) + CAST(uemb[2] > 0 AS INT) * 2
+        |      + CAST(uemb[3] > 0 AS INT) * 4
+        |      + CAST(uemb[4] > 0 AS INT) * 8 AS b
+        |  FROM uv JOIN (SELECT DISTINCT user_id FROM ev) e
+        |    ON uv.user_id = e.user_id
+        |  LEFT JOIN sn ON sn.user_id = uv.user_id),
+        |us AS (SELECT user_id, uemb, unrm, seen,
+        |    unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)])
+        |      AS bucket
+        |  FROM us0),
+        |ck0 AS (SELECT us.user_id, prb.item,
+        |    round(list_dot_product(us.uemb, prb.pemb)
+        |      / (us.unrm * prb.pnrm), 6) AS sim
+        |  FROM us JOIN prb ON us.bucket = prb.bucket
+        |  WHERE us.unrm > 0 AND prb.pnrm > 0
+        |    AND NOT list_contains(us.seen, prb.item)),
+        |ckc AS (SELECT user_id, item,
+        |    (CAST(round(sim * 1000000) AS BIGINT) * 9 + 5) // 10
+        |      AS score
+        |  FROM ck0 WHERE sim > 0),
+        |ck AS (SELECT user_id, item, score FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY user_id
+        |     ORDER BY score DESC, item) AS rn FROM ckc) WHERE rn <= 200),
+        |mg AS (SELECT user_id, item, CAST(sum(score) AS BIGINT) AS score
+        |  FROM (SELECT * FROM ct UNION ALL SELECT * FROM ck)
+        |  GROUP BY user_id, item),
+        |r AS (SELECT user_id, event_type AS item, label,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS mx
+        |  FROM ev),
+        |sp AS (SELECT user_id, item,
+        |    CAST((sum(label) * 2000000 + count(*)) // (2 * count(*))
+        |      AS BIGINT) AS rank_ppm
+        |  FROM r WHERE rn > mx - 10 GROUP BY user_id, item),
+        |fin AS (SELECT mg.user_id, mg.item, mg.score,
+        |    coalesce(sp.rank_ppm, 0) AS rank_ppm
+        |  FROM mg LEFT JOIN sp ON sp.user_id = mg.user_id
+        |    AND sp.item = mg.item)
+        |SELECT user_id, item, rank_ppm, score AS recall_ppm
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |   ORDER BY rank_ppm DESC, score DESC, item) AS rn FROM fin)
+        |WHERE rn <= 3 ORDER BY user_id, item""".stripMargin
   )
 }

@@ -4488,7 +4488,14 @@ object SparkEntry {
     "q431_stump_split" -> ((s, d) =>
       MetricOps.stumpSplit(Tables.events(s, d),
         get_json_object(col("props"), "$.k").cast("long"),
-        (col("value") > CLICK_THRESHOLD).cast("long")))
+        (col("value") > CLICK_THRESHOLD).cast("long"))),
+
+    // §7.1 FLAGSHIP — the end-to-end recommend: recall-bounded term +
+    // kNN channels (es_caller.py:42 size=200), hybrid 0.1/0.9 union,
+    // seen anti-filter, serving-snapshot PIT rank, top-k response.
+    // The one composed artifact the reference's online path serves,
+    // declared so every stage is hash-checked.
+    "q432_flagship_recommend" -> ((s, d) => Flagship.recommend(s, d))
   )
 
   // ------------------------------------------------------------- oracles

@@ -1382,13 +1382,21 @@ object TextOps {
     * expressed as a declarative plan per round, not a specialized
     * external trainer.
     *
-    * Scale: each round is one bigram hash agg (map-side partials) and
-    * one row-local rewrite; the corpus localCheckpoints EAGERLY per
-    * round so the rewrite lineage never stacks. The rewrite uses
-    * non-overlapping left-to-right replace with space sentinels —
-    * consecutive overlapping occurrences keep word2phrase's greedy
-    * semantics, identically in both engines. The selected pair is the
-    * ONLY driver-side value per round (one row).
+    * Scale: the corpus is deduplicated ONCE into a
+    * multiplicity-weighted distinct-text table (identical texts
+    * rewrite identically, so weighting each bigram occurrence by the
+    * text's multiplicity yields the exact same pair counts and
+    * therefore the identical merge table, on a corpus-shrunk input).
+    * Each round is one weighted bigram hash agg (map-side partials)
+    * plus a rewrite of ONLY the rows containing the selected pair —
+    * the per-round eager checkpoint holds just that delta, so
+    * materialized volume per round is bounded by affected rows, never
+    * the corpus; untouched rows stay behind the round-0 checkpoint as
+    * row-local `contains` filters. The rewrite uses non-overlapping
+    * left-to-right replace with space sentinels — consecutive
+    * overlapping occurrences keep word2phrase's greedy semantics,
+    * identically in both engines. The selected pair is the ONLY
+    * driver-side value per round (one row).
     */
   def phraseMerges(df: DataFrame, textCol: String,
                    steps: Int = 5): DataFrame = {
@@ -1396,19 +1404,20 @@ object TextOps {
     import sess.implicits._
     var corpus = df
       .select(concat(lit(" "), col(textCol), lit(" ")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__w"))
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer.empty[
       (Int, String, String, Long)]
     var done = false
     for (step <- 1 to steps if !done) {
       val top = corpus
-        .select(split(trim(col("__t")), " ").as("__tk"))
+        .select(split(trim(col("__t")), " ").as("__tk"), col("__w"))
         .filter(size(col("__tk")) >= 2)
-        .select(explode(expr(
+        .select(col("__w"), explode(expr(
           "transform(sequence(0, size(__tk) - 2), " +
             "i -> struct(__tk[i] AS w1, __tk[i + 1] AS w2))")).as("b"))
         .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-        .agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__w")).as("__c"))
         .orderBy(col("__c").desc, col("w1"), col("w2"))
         .limit(1).collect()
       if (top.isEmpty) done = true
@@ -1416,10 +1425,14 @@ object TextOps {
         val (w1, w2, c) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))
         out += ((step, w1, w2, c))
-        corpus = corpus.select(expr(
-            s"replace(__t, ${sqlStr(s" $w1 $w2 ")}, " +
-              s"${sqlStr(s" $w1@$w2 ")})").as("__t"))
+        val pat = s" $w1 $w2 "
+        // Delta-only rewrite: checkpoint just the pair-containing rows.
+        val hit = corpus.filter(col("__t").contains(pat))
+          .select(expr(
+            s"replace(__t, ${sqlStr(pat)}, " +
+              s"${sqlStr(s" $w1@$w2 ")})").as("__t"), col("__w"))
           .localCheckpoint(true)
+        corpus = corpus.filter(!col("__t").contains(pat)).union(hit)
       }
     }
     out.toSeq.toDF("step", "w1", "w2", "n_occ")

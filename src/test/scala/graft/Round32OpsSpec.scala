@@ -34,6 +34,39 @@ class Round32OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "a", "a", 2L), (2L, "a@a", "a", 1L)))
   }
 
+  test("phraseMerges: duplicate texts fold into the weighted distinct " +
+    "table; per-round checkpoints hold only pair-containing rows") {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    // 100 copies of "p q" dominate the pair counts; 50 distinct texts
+    // never contain the selected pairs, so every post-round-0
+    // checkpoint must be bounded by the 1-2 affected DISTINCT rows —
+    // not the 150-row corpus, and not even the 51-row distinct table.
+    val dup = Seq.fill(100)("p q r")
+    val rest = (1 to 50).map(i => s"solo$i")
+    val df = (dup ++ rest).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val out = TextOps.phraseMerges(df, "text", steps = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Long]("step"), r.getAs[String]("w1"),
+        r.getAs[String]("w2"), r.getAs[Long]("n_occ")))
+    // weights carry multiplicity: 100 occurrences each round
+    assert(out.toSeq == Seq((1L, "p", "q", 100L),
+      (2L, "p@q", "r", 100L)))
+    // round-0 distinct table = 51 rows; the 2 per-round deltas = 1 row
+    // each (the single distinct pair-containing text). The async
+    // ContextCleaner may GC-unpersist entries between the run and this
+    // read, so assert removal-monotone bounds rather than the exact
+    // multiset: nothing may exceed the 51-row distinct table (the
+    // 150-row corpus must never checkpoint), and at most ONE
+    // checkpoint (round 0) may exceed the 1-row delta bound.
+    val sizes = spark.sparkContext.getPersistentRDDs.values
+      .map(_.count()).toSeq.sorted
+    assert(sizes.forall(_ <= 51L),
+      s"a checkpoint holds more than the distinct table: $sizes")
+    assert(sizes.count(_ > 1L) <= 1,
+      s"per-round checkpoints must hold only affected rows, got $sizes")
+  }
+
   test("bfsHops: chain distances from the seed; isolates land in -1") {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
