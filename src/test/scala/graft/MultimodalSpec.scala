@@ -33,6 +33,83 @@ class MultimodalSpec extends SparkSpec {
     assert(out == Map(1L -> 32L, 2L -> 4L, 3L -> 0L))
   }
 
+  // --- real codec: hand-assembled 2x2 images, round-tripped through
+  // the binary column. Pixels (top-left origin):
+  //   row 0: red   (255,0,0)   green (0,255,0)
+  //   row 1: blue  (0,0,255)   white (255,255,255)
+  // so each channel mean is exactly 0.5 and luma spans [~0.114, 1.0].
+  private def bmp2x2: Array[Byte] = {
+    val stride = 8                     // ((2*3 + 3)/4)*4
+    val b = new Array[Byte](54 + stride * 2)
+    def i32(o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    i32(2, b.length); i32(10, 54)      // file size, pixel offset
+    i32(14, 40); i32(18, 2); i32(22, 2) // BITMAPINFOHEADER, w, h
+    b(26) = 1; b(28) = 24              // planes, bpp (LE u16 low bytes)
+    i32(30, 0)                         // BI_RGB
+    // bottom-up rows, BGR: file row 0 = image row 1 (blue, white)
+    val px = Seq(
+      (54, Seq(255, 0, 0, 255, 255, 255)),          // blue, white
+      (54 + stride, Seq(0, 0, 255, 0, 255, 0)))     // red, green
+    for ((off, vals) <- px; (v, i) <- vals.zipWithIndex)
+      b(off + i) = v.toByte
+    b
+  }
+
+  private def ppm2x2: Array[Byte] = {
+    val hdr = "P6\n# test comment\n2 2\n255\n".getBytes("US-ASCII")
+    val px = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255)
+      .map(_.toByte)
+    hdr ++ px
+  }
+
+  test("extractFeatures decodes real BMP and PPM payloads to pixel stats") {
+    val df = Seq((1L, bmp2x2), (2L, ppm2x2)).toDF("id", "payload")
+    val f = MultimodalOps.extractFeatures(df, "id", "payload")
+      .collect().map(m => m.id -> m.features).toMap
+    for ((id, fmt) <- Seq(1L -> 1f, 2L -> 2f)) {
+      val v = f(id)
+      assert(v(0) == fmt)                          // format code
+      assert(v(1) == 2f && v(2) == 2f && v(3) == 3f) // w, h, channels
+      for (c <- 4 to 6) assert(math.abs(v(c) - 0.5f) < 1e-6,
+        s"channel mean $c of id $id: ${v(c)}")
+      assert(math.abs(v(10) - 0.114f) < 1e-3)      // min luma = pure blue
+      assert(math.abs(v(11) - 1.0f) < 1e-6)        // max luma = white
+      assert(v(12) == 1f && v(15) == 4f)           // aspect, n_pixels
+    }
+    // identical pixel content → identical stats across formats
+    assert(f(1L).drop(1).toSeq == f(2L).drop(1).toSeq)
+  }
+
+  test("ImageDecoder: top-down BMP (negative height) and maxval-scaled " +
+    "PPM decode; truncated/foreign payloads fall back to histogram") {
+    // top-down: negate the height field; rows now in image order
+    val td = bmp2x2.clone()
+    val hNeg = -2
+    td(22) = hNeg.toByte; td(23) = (hNeg >> 8).toByte
+    td(24) = (hNeg >> 16).toByte; td(25) = (hNeg >> 24).toByte
+    // swap the two pixel rows so the image content stays identical
+    val row0 = td.slice(54, 62); val row1 = td.slice(62, 70)
+    System.arraycopy(row1, 0, td, 54, 8)
+    System.arraycopy(row0, 0, td, 62, 8)
+    // maxval 85: samples in 0..85 scale x3 back to 0..255
+    val ppm85 = "P6\n2 2\n85\n".getBytes("US-ASCII") ++
+      Array(85, 0, 0, 0, 85, 0, 0, 0, 85, 85, 85, 85).map(_.toByte)
+    val df = Seq((1L, bmp2x2), (2L, td), (3L, ppm85),
+        (4L, bmp2x2.take(20)), (5L, "not an image".getBytes))
+      .toDF("id", "payload")
+    val f = MultimodalOps.extractFeatures(df, "id", "payload")
+      .collect().map(m => m.id -> m.features.toSeq).toMap
+    assert(f(2L) == f(1L))                    // top-down ≡ bottom-up
+    assert(f(3L).drop(1) == f(1L).drop(1))    // rescaled ≡ 255-maxval
+    // fallbacks are normalized histograms, not image stats
+    for (id <- Seq(4L, 5L))
+      assert(math.abs(f(id).sum - 1.0) < 1e-6, s"id $id not a histogram")
+  }
+
   test("frameSample keeps every stride-th fixed-size frame") {
     val out = MultimodalOps.frameSample(media.filter($"id" === 1L), "payload",
         frameBytes = 8, stride = 2)
