@@ -359,16 +359,6 @@ object OracleSql {
         |  CAST(len(list_filter(tk, x -> list_contains(['the', 'a'], x))) AS BIGINT) AS n_removed
         |FROM t ORDER BY doc_id""".stripMargin,
 
-    "q34_embedding_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS sim
-        |FROM n a, n b
-        |WHERE a.vec_id < b.vec_id
-        |  AND list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) > CAST(0.35 AS DOUBLE)
-        |ORDER BY id_a, id_b""".stripMargin,
-
     "q60_embedding_neardup_bucketed" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
@@ -2968,46 +2958,6 @@ object OracleSql {
         |    END AS cohens_d
         |FROM f""".stripMargin,
 
-    "q218_rec_list_metrics" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
-        |  FROM e),
-        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
-        |  FROM n a, n b WHERE a.vec_id <> b.vec_id),
-        |r AS (SELECT vec_id, neighbor_id, row_number() OVER (
-        |    PARTITION BY vec_id ORDER BY sim DESC, neighbor_id) AS rn
-        |  FROM p),
-        |recs AS (SELECT vec_id AS lst, neighbor_id AS item FROM r
-        |  WHERE rn <= 5),
-        |pop AS (SELECT item, CAST(count(*) AS BIGINT) AS c FROM recs
-        |  GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tt,
-        |    CAST(count(*) AS BIGINT) AS ni FROM pop),
-        |nov AS (SELECT any_value(tt) AS nrec, any_value(ni) AS nd,
-        |    sum(CAST(round(c * -log2(CAST(c AS DOUBLE) / tt), 12)
-        |      AS DECIMAL(38,12))) AS nv
-        |  FROM pop, tot),
-        |cat AS (SELECT CAST(count(*) AS BIGINT) AS catn FROM embeddings),
-        |pr AS (SELECT ra.lst, ra.item AS ia, rb.item AS ib
-        |  FROM recs ra JOIN recs rb
-        |    ON ra.lst = rb.lst AND ra.item < rb.item),
-        |ps AS (SELECT pr.lst,
-        |    list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) AS sim
-        |  FROM pr JOIN n na ON pr.ia = na.vec_id
-        |    JOIN n nb ON pr.ib = nb.vec_id),
-        |lm AS (SELECT lst, CAST(sum(CAST(round(sim, 12)
-        |      AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m
-        |  FROM ps GROUP BY 1),
-        |ils AS (SELECT CAST(count(*) AS BIGINT) AS nl,
-        |    sum(CAST(round(m, 12) AS DECIMAL(38,12))) AS s FROM lm)
-        |SELECT ils.nl AS n_lists, nov.nrec AS n_recs,
-        |  round(CAST(nov.nd AS DOUBLE) / cat.catn, 6) AS coverage,
-        |  round(CAST(nov.nv AS DOUBLE) / nov.nrec, 6) AS novelty,
-        |  round(CAST(ils.s AS DOUBLE) / ils.nl, 6) AS ils
-        |FROM nov, ils, cat""".stripMargin,
-
     "q219_textrank" -> {
       def iter(i: Int) =
         s"""c$i AS (SELECT e.ed AS node,
@@ -4299,26 +4249,6 @@ object OracleSql {
         |  JOIN tg USING (o_orderpriority)
         |ORDER BY o_orderpriority""".stripMargin,
 
-    "q191_mutual_knn" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
-        |  FROM e),
-        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
-        |  FROM n a, n b WHERE a.vec_id <> b.vec_id),
-        |r AS (SELECT vec_id, neighbor_id, sim,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY sim DESC, neighbor_id) AS rn
-        |  FROM p),
-        |t AS (SELECT vec_id, neighbor_id, sim FROM r WHERE rn <= 5)
-        |SELECT a.vec_id AS id_a, a.neighbor_id AS id_b,
-        |  round(a.sim, 6) AS sim
-        |FROM t a JOIN t b ON a.vec_id = b.neighbor_id
-        |  AND a.neighbor_id = b.vec_id
-        |WHERE a.vec_id < a.neighbor_id
-        |ORDER BY id_a, id_b""".stripMargin,
-
     "q192_ngram_novelty" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |  FROM documents),
@@ -4358,48 +4288,6 @@ object OracleSql {
         |  round(CAST(sum(tn) AS DOUBLE) / 420 / count(*), 6)
         |    AS trend_mean
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q194_label_prop" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
-        |  FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
-        |  FROM e),
-        |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
-        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
-        |  FROM n a, n b WHERE a.vec_id <> b.vec_id),
-        |r AS (SELECT vec_id, neighbor_id,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY sim DESC, neighbor_id) AS rn
-        |  FROM p),
-        |t AS (SELECT vec_id, neighbor_id FROM r WHERE rn <= 5),
-        |mk AS (SELECT a.vec_id AS s, a.neighbor_id AS d
-        |  FROM t a JOIN t b ON a.vec_id = b.neighbor_id
-        |    AND a.neighbor_id = b.vec_id
-        |  WHERE a.vec_id < a.neighbor_id),
-        |und AS (SELECT s, d FROM mk UNION ALL SELECT d AS s, s AS d
-        |  FROM mk),
-        |l0 AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS lbl,
-        |    0 AS rnd
-        |  FROM embeddings WHERE vec_id % 3 = 0),
-        |v1 AS (SELECT und.s AS id, l0.lbl, count(*) AS c
-        |  FROM und JOIN l0 ON und.d = l0.id
-        |  WHERE und.s NOT IN (SELECT id FROM l0) GROUP BY 1, 2),
-        |p1 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number() OVER
-        |    (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM v1)
-        |  WHERE rn = 1),
-        |l1 AS (SELECT * FROM l0
-        |  UNION ALL SELECT id, lbl, 1 AS rnd FROM p1),
-        |v2 AS (SELECT und.s AS id, l1.lbl, count(*) AS c
-        |  FROM und JOIN l1 ON und.d = l1.id
-        |  WHERE und.s NOT IN (SELECT id FROM l1) GROUP BY 1, 2),
-        |p2 AS (SELECT id, lbl FROM (SELECT id, lbl, row_number() OVER
-        |    (PARTITION BY id ORDER BY c DESC, lbl) AS rn FROM v2)
-        |  WHERE rn = 1),
-        |l2 AS (SELECT * FROM l1
-        |  UNION ALL SELECT id, lbl, 2 AS rnd FROM p2)
-        |SELECT id AS vec_id, lbl AS label_pred, CAST(rnd AS INT)
-        |  AS round
-        |FROM l2 ORDER BY vec_id""".stripMargin,
 
     "q195_kmv_jaccard" ->
       """WITH hf AS (SELECT

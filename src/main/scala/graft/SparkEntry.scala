@@ -281,11 +281,9 @@ object SparkEntry {
       TextOps.normalizeText(Tables.documents(s, d), "doc_id", "text", STOPWORDS)
         .orderBy("doc_id")),
 
-    // ops/scale — embedding-cosine near-dup pairs above threshold.
-    "q34_embedding_neardup" -> ((s, d) =>
-      SimilarityOps.embeddingNearDup(Tables.embeddings(s, d), "vec_id",
-          "embedding", 0.35)
-        .orderBy("id_a", "id_b")),
+    // (q34 exact embedding near-dup demoted to a unit fixture in
+    // round 9 — DedupSimilaritySpec covers the all-pairs exact form;
+    // q60 is the declared bucketed scale twin.)
 
     // ops/scale — IVF-bucketed ANN top-3 (sign-pattern coarse quantizer).
     "q35_ann_ivf" -> ((s, d) =>
@@ -2128,13 +2126,10 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
-    // L142 — mutual k-NN pairs over embeddings (reciprocal-neighbor
-    // filter on the exact top-k survivor table; the clustering seed
-    // graph — hub vectors survive only where affinity is mutual).
-    "q191_mutual_knn" -> ((s, d) =>
-      SimilarityOps.mutualKnn(Tables.embeddings(s, d), "vec_id",
-          "embedding", 5)
-        .orderBy("id_a", "id_b")),
+    // (q191 exact mutual-kNN demoted to a unit fixture in round 9 —
+    // Round7OpsSpec/Round19OpsSpec cover the exact form and its
+    // subset relation to the bucketed twin; q329 is the declared
+    // ANN-driven scale twin.)
 
     // L143 — per-doc n-gram novelty (fraction of distinct 3-grams with
     // global df = 1 — the inverse of q164's boilerplate signal).
@@ -2157,18 +2152,9 @@ object SparkEntry {
         .orderBy("event_type", "dow")
     }),
 
-    // L145 — two-round label propagation over the mutual-kNN graph:
-    // every-third vector seeds its label; unlabeled vectors adopt the
-    // neighbor majority (ties → smallest label) round by round.
-    "q194_label_prop" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val mk = SimilarityOps.mutualKnn(emb, "vec_id", "embedding", 5)
-      val seeds = emb.filter(col("vec_id") % 3 === 0)
-        .select(col("vec_id"), col("label"))
-      GraphOps.labelPropagate(mk, "id_a", "id_b", seeds, "vec_id",
-          "label")
-        .orderBy("vec_id")
-    }),
+    // (q194 label propagation over the EXACT mutual-kNN graph demoted
+    // to a unit fixture in round 9 — Round19OpsSpec covers the
+    // composition; q330 is the declared ANN-driven scale twin.)
 
     // L146 — KMV set algebra: Jaccard + intersection estimates between
     // click and view user sets from bottom-64 sketches, next to the
@@ -2465,14 +2451,9 @@ object SparkEntry {
         Tables.events(s, d).withColumn("cohort", col("user_id") % 2),
         "value", "cohort", 0L, 1L)),
 
-    // L164 — rec-list quality beyond accuracy: coverage / novelty /
-    // intra-list similarity of the q26 cosine top-5 lists.
-    "q218_rec_list_metrics" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val recs = SimilarityOps.cosineTopK(emb, "vec_id", "embedding", 5)
-      SimilarityOps.recListMetrics(recs, "vec_id", "neighbor_id",
-        emb, "vec_id", "embedding")
-    }),
+    // (q218 rec-list metrics over the EXACT top-5 lists demoted to a
+    // unit fixture in round 9 — Round8OpsSpec covers recListMetrics;
+    // q331 is the declared ANN-driven scale twin.)
 
     // L165 — TextRank keyword ranking: deterministic PageRank over the
     // adjacent-token co-occurrence graph (undirected), top 30 tokens.

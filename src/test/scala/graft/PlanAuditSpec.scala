@@ -497,8 +497,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(wins.isEmpty, "per-node coefficients are aggregates, not ranks")
   }
 
-  test("q218: ILS pairs stay within-list; reductions merge as aggregates") {
-    val df = plan("q218_rec_list_metrics")
+  test("q331: ILS pairs stay within-list; reductions merge as aggregates") {
+    val df = plan("q331_rec_list_ann")
     df.count()
     val badSingles = shuffles(df).filter(s =>
       s.outputPartitioning.numPartitions == 1 &&
@@ -1097,15 +1097,15 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
-    // Only the declared EXACT-baseline forms may cross-join; their
-    // bucketed scale twins (q329-q331, and q266 since round 7) must
-    // plan equi-joins only and are swept like everything else.
-    // q397's exact side is a DELIBERATE 1-in-20-sampled brute-force
-    // baseline (the recall audit needs ground truth); its ANN side
-    // stays an equi-join and is covered by its own plan test.
-    val allowed = Set("q26_cosine_topk", "q34_embedding_neardup",
-      "q191_mutual_knn", "q194_label_prop", "q218_rec_list_metrics",
-      "q397_ann_recall")
+    // Only THE declared exact-baseline form (q26) may cross-join; the
+    // other exact forms were demoted to unit fixtures in round 9
+    // (q34/q191/q194/q218 — their bucketed scale twins q60/q329-q331
+    // are declared and swept like everything else, as q266 has been
+    // since round 7). q397's exact side is a DELIBERATE
+    // 1-in-20-sampled brute-force baseline (the recall audit needs
+    // ground truth); its ANN side stays an equi-join and is covered by
+    // its own plan test.
+    val allowed = Set("q26_cosine_topk", "q397_ann_recall")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val df = fn(spark, dir)
       val s = df.queryExecution.executedPlan.toString
