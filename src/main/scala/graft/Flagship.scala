@@ -60,9 +60,18 @@ object Flagship {
     s"CAST($c[0] > 0 AS INT) + CAST($c[1] > 0 AS INT) * 2 + " +
       s"CAST($c[2] > 0 AS INT) * 4 + CAST($c[3] > 0 AS INT) * 8")
 
-  def recommend(spark: SparkSession, dir: String): DataFrame = {
+  def recommend(spark: SparkSession, dir: String): DataFrame =
+    recommendFrom(spark, Tables.events(spark, dir),
+      Tables.embeddings(spark, dir))
+
+  /** The recommend pipeline over caller-supplied event/embedding
+    * tables — the offline-eval surface (q435 drives it on
+    * last-event-held-out history).
+    */
+  def recommendFrom(spark: SparkSession, events: DataFrame,
+                    embeddings: DataFrame): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
-    val ev = Tables.events(spark, dir)
+    val ev = events
       .withColumn("label", when(col("value") > 100, 1).otherwise(0))
       // LAZY localCheckpoint: terms, seen, click pairs, and the
       // snapshot frame all read the labeled log — one scan, 4 readers.
@@ -100,7 +109,7 @@ object Flagship {
     // component of the item's clickers, 6 dp-pinned like
     // SimilarityOps.ivfCentroids); user side probes its own cell plus
     // the 4 Hamming-1 cells.
-    val uvec = Tables.embeddings(spark, dir)
+    val uvec = embeddings
       .select(col("vec_id").as("user_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("uemb"))
     val clicks = ev.filter(col("label") === 1)

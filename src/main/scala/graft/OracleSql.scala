@@ -85,6 +85,105 @@ object OracleSql {
        |v AS (SELECT doc_id, $simhashVotes FROM tok GROUP BY doc_id),
        |sg AS (SELECT doc_id, CAST($simhashBits AS BIGINT) AS simhash FROM v)""".stripMargin
 
+  /** Shared flagship CTE chain (q432/q435): labeled log -> term/seen
+    * profiles -> term + multi-probe kNN recall channels (ppm ints) ->
+    * hybrid union -> serving-snapshot rank -> `resp(user_id, item,
+    * rank_ppm, score, rn)` top-3 response. The events SOURCE is
+    * pluggable so q435 can feed the last-event-held-out history.
+    */
+  private def flagshipCtes(evSrc: String): String =
+    s"""ev AS (SELECT user_id, event_type, value, ts, event_id,
+      |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS label
+      |  FROM ($evSrc) __src),
+      |t AS (SELECT user_id, list(event_type ORDER BY event_type) AS terms
+      |  FROM (SELECT user_id, event_type FROM ev
+      |        GROUP BY user_id, event_type HAVING count(*) >= 3)
+      |  GROUP BY user_id),
+      |sn AS (SELECT user_id, list(et ORDER BY et) AS seen FROM
+      |  (SELECT DISTINCT user_id, event_type AS et FROM ev
+      |   WHERE value > 150) GROUP BY user_id),
+      |u AS (SELECT t.user_id, t.terms, coalesce(sn.seen, []) AS seen
+      |  FROM t LEFT JOIN sn ON t.user_id = sn.user_id),
+      |i AS (SELECT item, [item] AS terms FROM
+      |  (SELECT unnest(['click', 'error', 'purchase', 'signup',
+      |                  'view']) AS item)),
+      |ctc AS (SELECT u.user_id, i.item,
+      |    CAST(round(CAST(len(list_intersect(u.terms, i.terms))
+      |      AS DOUBLE) * CAST(0.1 AS DOUBLE) * 1000000) AS BIGINT)
+      |      AS score
+      |  FROM u JOIN i ON len(list_intersect(u.terms, i.terms)) > 0
+      |  WHERE NOT list_contains(u.seen, i.item)),
+      |ct AS (SELECT user_id, item, score FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY user_id
+      |     ORDER BY score DESC, item) AS rn FROM ctc) WHERE rn <= 200),
+      |uv AS (SELECT vec_id AS user_id, embedding::DOUBLE[] AS uemb
+      |  FROM embeddings),
+      |cl AS (SELECT DISTINCT user_id, event_type AS item FROM ev
+      |  WHERE label = 1),
+      |pc AS (SELECT cl.item,
+      |    CAST(generate_subscripts(uv.uemb, 1) - 1 AS INT) AS dim,
+      |    unnest(uv.uemb) AS v
+      |  FROM cl JOIN uv ON cl.user_id = uv.user_id),
+      |pm AS (SELECT item, dim,
+      |    round(sum(round(v, 12)::DECIMAL(38,12))::DOUBLE
+      |      / count(*), 6) AS c
+      |  FROM pc GROUP BY item, dim),
+      |pr AS (SELECT item, list(c ORDER BY dim) AS pemb FROM pm
+      |  GROUP BY item),
+      |prb AS (SELECT item, pemb,
+      |    sqrt(list_dot_product(pemb, pemb)) AS pnrm,
+      |    CAST(pemb[1] > 0 AS INT) + CAST(pemb[2] > 0 AS INT) * 2
+      |      + CAST(pemb[3] > 0 AS INT) * 4
+      |      + CAST(pemb[4] > 0 AS INT) * 8 AS bucket
+      |  FROM pr),
+      |us0 AS (SELECT uv.user_id, uv.uemb,
+      |    sqrt(list_dot_product(uv.uemb, uv.uemb)) AS unrm,
+      |    coalesce(sn.seen, []) AS seen,
+      |    CAST(uemb[1] > 0 AS INT) + CAST(uemb[2] > 0 AS INT) * 2
+      |      + CAST(uemb[3] > 0 AS INT) * 4
+      |      + CAST(uemb[4] > 0 AS INT) * 8 AS b
+      |  FROM uv JOIN (SELECT DISTINCT user_id FROM ev) e
+      |    ON uv.user_id = e.user_id
+      |  LEFT JOIN sn ON sn.user_id = uv.user_id),
+      |us AS (SELECT user_id, uemb, unrm, seen,
+      |    unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)])
+      |      AS bucket
+      |  FROM us0),
+      |ck0 AS (SELECT us.user_id, prb.item,
+      |    round(list_dot_product(us.uemb, prb.pemb)
+      |      / (us.unrm * prb.pnrm), 6) AS sim
+      |  FROM us JOIN prb ON us.bucket = prb.bucket
+      |  WHERE us.unrm > 0 AND prb.pnrm > 0
+      |    AND NOT list_contains(us.seen, prb.item)),
+      |ckc AS (SELECT user_id, item,
+      |    (CAST(round(sim * 1000000) AS BIGINT) * 9 + 5) // 10
+      |      AS score
+      |  FROM ck0 WHERE sim > 0),
+      |ck AS (SELECT user_id, item, score FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY user_id
+      |     ORDER BY score DESC, item) AS rn FROM ckc) WHERE rn <= 200),
+      |mg AS (SELECT user_id, item, CAST(sum(score) AS BIGINT) AS score
+      |  FROM (SELECT * FROM ct UNION ALL SELECT * FROM ck)
+      |  GROUP BY user_id, item),
+      |r AS (SELECT user_id, event_type AS item, label,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS mx
+      |  FROM ev),
+      |sp AS (SELECT user_id, item,
+      |    CAST((sum(label) * 2000000 + count(*)) // (2 * count(*))
+      |      AS BIGINT) AS rank_ppm
+      |  FROM r WHERE rn > mx - 10 GROUP BY user_id, item),
+      |fin AS (SELECT mg.user_id, mg.item, mg.score,
+      |    coalesce(sp.rank_ppm, 0) AS rank_ppm
+      |  FROM mg LEFT JOIN sp ON sp.user_id = mg.user_id
+      |    AND sp.item = mg.item),
+      |resp AS (SELECT user_id, item, rank_ppm, score, rn FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY user_id
+      |     ORDER BY rank_ppm DESC, score DESC, item) AS rn FROM fin)
+      |  WHERE rn <= 3)""".stripMargin
+
+
   private def profileList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -9482,94 +9581,110 @@ object OracleSql {
         |FROM w""".stripMargin,
 
     "q432_flagship_recommend" ->
-      """WITH ev AS (SELECT user_id, event_type, value, ts, event_id,
-        |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS label FROM events),
-        |t AS (SELECT user_id, list(event_type ORDER BY event_type) AS terms
-        |  FROM (SELECT user_id, event_type FROM ev
-        |        GROUP BY user_id, event_type HAVING count(*) >= 3)
-        |  GROUP BY user_id),
-        |sn AS (SELECT user_id, list(et ORDER BY et) AS seen FROM
-        |  (SELECT DISTINCT user_id, event_type AS et FROM ev
-        |   WHERE value > 150) GROUP BY user_id),
-        |u AS (SELECT t.user_id, t.terms, coalesce(sn.seen, []) AS seen
-        |  FROM t LEFT JOIN sn ON t.user_id = sn.user_id),
-        |i AS (SELECT item, [item] AS terms FROM
-        |  (SELECT unnest(['click', 'error', 'purchase', 'signup',
-        |                  'view']) AS item)),
-        |ctc AS (SELECT u.user_id, i.item,
-        |    CAST(round(CAST(len(list_intersect(u.terms, i.terms))
-        |      AS DOUBLE) * CAST(0.1 AS DOUBLE) * 1000000) AS BIGINT)
-        |      AS score
-        |  FROM u JOIN i ON len(list_intersect(u.terms, i.terms)) > 0
-        |  WHERE NOT list_contains(u.seen, i.item)),
-        |ct AS (SELECT user_id, item, score FROM
-        |  (SELECT *, row_number() OVER (PARTITION BY user_id
-        |     ORDER BY score DESC, item) AS rn FROM ctc) WHERE rn <= 200),
-        |uv AS (SELECT vec_id AS user_id, embedding::DOUBLE[] AS uemb
-        |  FROM embeddings),
-        |cl AS (SELECT DISTINCT user_id, event_type AS item FROM ev
-        |  WHERE label = 1),
-        |pc AS (SELECT cl.item,
-        |    CAST(generate_subscripts(uv.uemb, 1) - 1 AS INT) AS dim,
-        |    unnest(uv.uemb) AS v
-        |  FROM cl JOIN uv ON cl.user_id = uv.user_id),
-        |pm AS (SELECT item, dim,
-        |    round(sum(round(v, 12)::DECIMAL(38,12))::DOUBLE
-        |      / count(*), 6) AS c
-        |  FROM pc GROUP BY item, dim),
-        |pr AS (SELECT item, list(c ORDER BY dim) AS pemb FROM pm
-        |  GROUP BY item),
-        |prb AS (SELECT item, pemb,
-        |    sqrt(list_dot_product(pemb, pemb)) AS pnrm,
-        |    CAST(pemb[1] > 0 AS INT) + CAST(pemb[2] > 0 AS INT) * 2
-        |      + CAST(pemb[3] > 0 AS INT) * 4
-        |      + CAST(pemb[4] > 0 AS INT) * 8 AS bucket
-        |  FROM pr),
-        |us0 AS (SELECT uv.user_id, uv.uemb,
-        |    sqrt(list_dot_product(uv.uemb, uv.uemb)) AS unrm,
-        |    coalesce(sn.seen, []) AS seen,
-        |    CAST(uemb[1] > 0 AS INT) + CAST(uemb[2] > 0 AS INT) * 2
-        |      + CAST(uemb[3] > 0 AS INT) * 4
-        |      + CAST(uemb[4] > 0 AS INT) * 8 AS b
-        |  FROM uv JOIN (SELECT DISTINCT user_id FROM ev) e
-        |    ON uv.user_id = e.user_id
-        |  LEFT JOIN sn ON sn.user_id = uv.user_id),
-        |us AS (SELECT user_id, uemb, unrm, seen,
-        |    unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)])
-        |      AS bucket
-        |  FROM us0),
-        |ck0 AS (SELECT us.user_id, prb.item,
-        |    round(list_dot_product(us.uemb, prb.pemb)
-        |      / (us.unrm * prb.pnrm), 6) AS sim
-        |  FROM us JOIN prb ON us.bucket = prb.bucket
-        |  WHERE us.unrm > 0 AND prb.pnrm > 0
-        |    AND NOT list_contains(us.seen, prb.item)),
-        |ckc AS (SELECT user_id, item,
-        |    (CAST(round(sim * 1000000) AS BIGINT) * 9 + 5) // 10
-        |      AS score
-        |  FROM ck0 WHERE sim > 0),
-        |ck AS (SELECT user_id, item, score FROM
-        |  (SELECT *, row_number() OVER (PARTITION BY user_id
-        |     ORDER BY score DESC, item) AS rn FROM ckc) WHERE rn <= 200),
-        |mg AS (SELECT user_id, item, CAST(sum(score) AS BIGINT) AS score
-        |  FROM (SELECT * FROM ct UNION ALL SELECT * FROM ck)
-        |  GROUP BY user_id, item),
-        |r AS (SELECT user_id, event_type AS item, label,
-        |    row_number() OVER (PARTITION BY user_id
-        |      ORDER BY ts, event_id) AS rn,
-        |    count(*) OVER (PARTITION BY user_id) AS mx
-        |  FROM ev),
-        |sp AS (SELECT user_id, item,
-        |    CAST((sum(label) * 2000000 + count(*)) // (2 * count(*))
-        |      AS BIGINT) AS rank_ppm
-        |  FROM r WHERE rn > mx - 10 GROUP BY user_id, item),
-        |fin AS (SELECT mg.user_id, mg.item, mg.score,
-        |    coalesce(sp.rank_ppm, 0) AS rank_ppm
-        |  FROM mg LEFT JOIN sp ON sp.user_id = mg.user_id
-        |    AND sp.item = mg.item)
+      s"""WITH ${flagshipCtes("SELECT * FROM events")}
         |SELECT user_id, item, rank_ppm, score AS recall_ppm
-        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-        |   ORDER BY rank_ppm DESC, score DESC, item) AS rn FROM fin)
-        |WHERE rn <= 3 ORDER BY user_id, item""".stripMargin
+        |FROM resp ORDER BY user_id, item""".stripMargin,
+
+    "q433_phrase_apply" -> {
+      def step(i: Int) =
+        s"""b$i AS (SELECT tk[i + 1] AS w1, tk[i + 2] AS w2,
+           |    count(*) AS c
+           |  FROM (SELECT string_split(trim(t), ' ') AS tk FROM c$i),
+           |    unnest(range(len(tk) - 1)) AS g(i)
+           |  WHERE len(tk) >= 2 GROUP BY 1, 2),
+           |t$i AS (SELECT w1, w2, c FROM b$i
+           |  ORDER BY c DESC, w1, w2 LIMIT 1),
+           |c${i + 1} AS (SELECT source, replace(t,
+           |    ' ' || w1 || ' ' || w2 || ' ',
+           |    ' ' || w1 || '@' || w2 || ' ') AS t
+           |  FROM c$i CROSS JOIN t$i)"""
+          .stripMargin
+      s"""WITH c0 AS (SELECT source, ' ' || text || ' ' AS t
+         |  FROM documents),
+         |${(0 until 5).map(step).mkString(",\n")},
+         |tb AS (SELECT source,
+         |    CAST(sum(len(string_split(trim(t), ' '))) AS BIGINT)
+         |      AS tokens_before
+         |  FROM c0 GROUP BY source),
+         |ta AS (SELECT source,
+         |    CAST(sum(len(string_split(trim(t), ' '))) AS BIGINT)
+         |      AS tokens_after
+         |  FROM c5 GROUP BY source)
+         |SELECT tb.source, tokens_before, tokens_after,
+         |  tokens_before - tokens_after AS merged_occ,
+         |  CAST((tokens_after * 2000000 + tokens_before)
+         |    // (2 * tokens_before) AS BIGINT) AS compression_ppm
+         |FROM tb JOIN ta ON ta.source = tb.source
+         |ORDER BY tb.source""".stripMargin
+    },
+
+    "q434_dedup_method_census" -> {
+      val bandJoin = (0 until 4).map { b =>
+        s"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sg a JOIN sg b " +
+          s"ON ((a.simhash >> ${b * 8}) & 255) = ((b.simhash >> ${b * 8}) & 255) " +
+          s"AND a.doc_id < b.doc_id"
+      }.mkString(" UNION ")
+      s"""WITH $shinglesCte,
+         |szs AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |${minhashSig(4, 2)},
+         |cand AS (${minhashPairs(4, 2)}),
+         |com AS (SELECT c.doc_a, c.doc_b, count(*) AS c
+         |  FROM cand c
+         |  JOIN sh x ON x.doc_id = c.doc_a
+         |  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+         |  GROUP BY c.doc_a, c.doc_b),
+         |mh AS (SELECT com.doc_a AS a, com.doc_b AS b FROM com
+         |  JOIN szs sa ON sa.doc_id = com.doc_a
+         |  JOIN szs sb ON sb.doc_id = com.doc_b
+         |  WHERE 3 * com.c >= sa.n + sb.n),
+         |$simhashCte,
+         |sbands AS ($bandJoin),
+         |sp AS (SELECT DISTINCT p.doc_a AS a, p.doc_b AS b
+         |  FROM sbands p
+         |  JOIN sg s1 ON s1.doc_id = p.doc_a
+         |  JOIN sg s2 ON s2.doc_id = p.doc_b
+         |  WHERE bit_count(xor(s1.simhash, s2.simhash)) <= 3),
+         |ex AS (SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM (SELECT doc_id, md5(text) AS h FROM documents) a
+         |  JOIN (SELECT doc_id, md5(text) AS h FROM documents) b
+         |    ON a.h = b.h AND a.doc_id < b.doc_id),
+         |tagged AS (
+         |  SELECT a, b, 1 AS e, 0 AS m, 0 AS s FROM ex
+         |  UNION ALL SELECT a, b, 0, 1, 0 FROM mh
+         |  UNION ALL SELECT a, b, 0, 0, 1 FROM sp),
+         |flags AS (SELECT a, b, max(e) AS e, max(m) AS m, max(s) AS s
+         |  FROM tagged GROUP BY a, b)
+         |SELECT CAST(e AS BIGINT) AS exact_dup,
+         |  CAST(m AS BIGINT) AS minhash_j05,
+         |  CAST(s AS BIGINT) AS simhash_h3,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM flags GROUP BY e, m, s
+         |ORDER BY exact_dup DESC, minhash_j05 DESC, simhash_h3 DESC"""
+        .stripMargin
+    },
+
+    "q435_flagship_loo_eval" ->
+      s"""WITH b0 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rrn FROM events),
+         |hq AS (SELECT user_id, event_type, value, ts, event_id
+         |  FROM b0 WHERE rrn > 1),
+         |tst AS (SELECT user_id, event_type AS test_item FROM b0
+         |  WHERE rrn = 1),
+         |${flagshipCtes(
+            "SELECT user_id, event_type, value, ts, event_id FROM hq")},
+         |pu AS (SELECT r.user_id,
+         |    max(CASE WHEN r.item = tst.test_item THEN 1 ELSE 0 END)
+         |      AS hit,
+         |    max(CASE WHEN r.item = tst.test_item
+         |        THEN 1000000 // r.rn ELSE 0 END) AS rr
+         |  FROM resp r JOIN tst ON tst.user_id = r.user_id
+         |  GROUP BY r.user_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(hit) AS BIGINT) AS n_hits,
+         |  CAST((sum(hit) * 2000000 + count(*)) // (2 * count(*))
+         |    AS BIGINT) AS hit_rate_ppm,
+         |  CAST((sum(rr) * 2 + count(*)) // (2 * count(*))
+         |    AS BIGINT) AS mrr_ppm
+         |FROM pu""".stripMargin
   )
 }

@@ -4476,7 +4476,57 @@ object SparkEntry {
     // seen anti-filter, serving-snapshot PIT rank, top-k response.
     // The one composed artifact the reference's online path serves,
     // declared so every stage is hash-checked.
-    "q432_flagship_recommend" -> ((s, d) => Flagship.recommend(s, d))
+    "q432_flagship_recommend" -> ((s, d) => Flagship.recommend(s, d)),
+
+    // L280 — tokenizer APPLICATION: the q419-trained phrase merges
+    // applied to the corpus in one row-local projection; per-source
+    // token counts before/after + exact half-up compression ppm (the
+    // "what does the trained vocabulary buy" report).
+    "q433_phrase_apply" -> ((s, d) =>
+      TextOps.phraseApply(Tables.documents(s, d), "source", "text", 5)
+        .orderBy("source")),
+
+    // L281 — cross-method near-dup agreement census: exact-dup vs
+    // MinHash-verified Jaccard >= 1/2 (integer cross-multiplied) vs
+    // SimHash Hamming <= 3 pair universes, one row per flag combo —
+    // which detector finds what.
+    "q434_dedup_method_census" -> ((s, d) =>
+      DedupOps.dedupMethodCensus(Tables.documents(s, d), "doc_id",
+          "text")
+        .orderBy(col("exact_dup").desc, col("minhash_j05").desc,
+          col("simhash_h3").desc)),
+
+    // L282 — flagship OFFLINE EVAL: leave-one-out hit-rate/MRR@3 —
+    // each user's last event held out, the q432 pipeline re-run on the
+    // history only, the held-out item scored against the response
+    // list. Exact integer ppm (1e6 div rank reciprocal ranks).
+    "q435_flagship_loo_eval" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val base = ev.withColumn("__r", row_number().over(w))
+      val hist = base.filter(col("__r") > 1).drop("__r")
+      val test = base.filter(col("__r") === 1)
+        .select(col("user_id"), col("event_type").as("test_item"))
+      val resp = Flagship.recommendFrom(s, hist, Tables.embeddings(s, d))
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("rank_ppm").desc, col("recall_ppm").desc,
+            col("item"))))
+      val perUser = resp.join(test, "user_id")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("item") === col("test_item"), 1L)
+            .otherwise(0L)).as("hit"),
+          max(when(col("item") === col("test_item"),
+            expr("CAST(1000000 div rn AS BIGINT)"))
+            .otherwise(0L)).as("rr"))
+      perUser.agg(count(lit(1)).as("n_users"),
+          sum(col("hit")).as("n_hits"), sum(col("rr")).as("__sr"))
+        .select(col("n_users"), col("n_hits"),
+          expr("CAST((n_hits * 2000000 + n_users) div (2 * n_users) " +
+            "AS BIGINT)").as("hit_rate_ppm"),
+          expr("CAST((__sr * 2 + n_users) div (2 * n_users) " +
+            "AS BIGINT)").as("mrr_ppm"))
+    })
   )
 
   // ------------------------------------------------------------- oracles

@@ -1430,6 +1430,60 @@ object DedupOps {
           .as("mean_jaccard"))
   }
 
+  /** Cross-method near-dup agreement census: the same corpus swept by
+    * three independent detectors — EXACT duplicate (identical text),
+    * banded-MinHash candidates verified at exact Jaccard ≥ 1/2 (the
+    * threshold is integer cross-multiplied, `3·common ≥ n_a + n_b`, so
+    * no FP boundary can split between engines), and SimHash Hamming ≤
+    * `maxHamming` — and the resulting doc-pair universes compared: one
+    * row per detector-flag combination with its pair count. This is
+    * the dedup-engineering "which detector finds what" audit: exact
+    * duplicates should land in all three (short docs excepted — under
+    * 3 tokens they have no shingles, so only the exact detector can
+    * see them), and the off-diagonal masses price each detector's
+    * unique contribution (bit-flip template spam only SimHash catches,
+    * moderate shingle overlap only Jaccard catches).
+    *
+    * Scale: three bounded candidate streams (hash-key equi-joins — the
+    * q24/q29/q69 shapes, never all-pairs) union into ONE (a, b) hash
+    * agg and a ≤7-row census.
+    */
+  def dedupMethodCensus(df: DataFrame, idCol: String, textCol: String,
+                        maxHamming: Int = 3): DataFrame = {
+    val ids = df.select(col(idCol).as("a"), md5(col(textCol)).as("__h"))
+    val exact = ids.join(ids.select(col("a").as("b"), col("__h")), "__h")
+      .filter(col("a") < col("b")).select(col("a"), col("b"))
+    val sh = shingles(df, idCol, textCol)
+    val cand = minhashCandidates(
+      minhashSignature(sh, idCol, 4, 2), idCol, 4, 2)
+    val arr = sh.groupBy(col(idCol))
+      .agg(collect_set(col("shingle")).as("__arr"))
+      .withColumn("__n", size(col("__arr")).cast("long"))
+      .localCheckpoint(false)
+    val mh = cand
+      .join(arr.select(col(idCol).as("doc_a"), col("__arr").as("__aa"),
+        col("__n").as("__na")), "doc_a")
+      .join(arr.select(col(idCol).as("doc_b"), col("__arr").as("__ab"),
+        col("__n").as("__nb")), "doc_b")
+      .withColumn("__c",
+        size(array_intersect(col("__aa"), col("__ab"))).cast("long"))
+      .filter(col("__c") * 3 >= col("__na") + col("__nb"))
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val sp = simhashNearDup(df, idCol, textCol, maxHamming)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val tagged = exact
+      .select(col("a"), col("b"), lit(1L).as("__e"), lit(0L).as("__m"),
+        lit(0L).as("__s"))
+      .unionAll(mh.select(col("a"), col("b"), lit(0L), lit(1L), lit(0L)))
+      .unionAll(sp.select(col("a"), col("b"), lit(0L), lit(0L), lit(1L)))
+    tagged.groupBy(col("a"), col("b"))
+      .agg(max(col("__e")).as("exact_dup"),
+        max(col("__m")).as("minhash_j05"),
+        max(col("__s")).as("simhash_h3"))
+      .groupBy(col("exact_dup"), col("minhash_j05"), col("simhash_h3"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   def clusterSizeSpectrum(df: DataFrame, idCol: String,
                           textCol: String): DataFrame = {
     val pairs = minhashCandidates(

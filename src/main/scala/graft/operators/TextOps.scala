@@ -1402,6 +1402,17 @@ object TextOps {
                    steps: Int = 5): DataFrame = {
     val sess = df.sparkSession
     import sess.implicits._
+    trainMerges(df, textCol, steps).toDF("step", "w1", "w2", "n_occ")
+      .select(col("step").cast("long").as("step"), col("w1"),
+        col("w2"), col("n_occ"))
+  }
+
+  /** Shared trainer for [[phraseMerges]] / [[phraseApply]]: the
+    * weighted distinct-text merge loop. The selected pair is the ONLY
+    * driver-side value per round (one row).
+    */
+  private def trainMerges(df: DataFrame, textCol: String,
+                          steps: Int): Seq[(Int, String, String, Long)] = {
     var corpus = df
       .select(concat(lit(" "), col(textCol), lit(" ")).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__w"))
@@ -1435,9 +1446,39 @@ object TextOps {
         corpus = corpus.filter(!col("__t").contains(pat)).union(hit)
       }
     }
-    out.toSeq.toDF("step", "w1", "w2", "n_occ")
-      .select(col("step").cast("long").as("step"), col("w1"),
-        col("w2"), col("n_occ"))
+    out.toSeq
+  }
+
+  /** Tokenizer APPLICATION: train `steps` phrase merges (the
+    * [[phraseMerges]] loop) and apply the whole merge sequence to the
+    * corpus in ONE row-local projection (the `steps` replaces nest, in
+    * training order, so later merges see earlier merges' output —
+    * exactly the per-round rewrite semantics), reporting per-source
+    * whitespace-token counts before/after and the exact half-up
+    * compression ppm. This is the "what does the trained vocabulary
+    * buy" measurement a tokenizer ships with.
+    *
+    * Scale: training is the weighted distinct-text loop (bounded
+    * per-round deltas); application + the census is one corpus scan
+    * with a per-source hash agg — no joins, no windows.
+    */
+  def phraseApply(df: DataFrame, srcCol: String, textCol: String,
+                  steps: Int = 5): DataFrame = {
+    val merges = trainMerges(df, textCol, steps)
+    val applied = merges.foldLeft(s"concat(' ', $textCol, ' ')") {
+      case (e, (_, w1, w2, _)) =>
+        s"replace($e, ${sqlStr(s" $w1 $w2 ")}, ${sqlStr(s" $w1@$w2 ")})"
+    }
+    df.select(col(srcCol).as("source"),
+        size(split(trim(col(textCol)), " ")).cast("long").as("__tb"),
+        size(split(trim(expr(applied)), " ")).cast("long").as("__ta"))
+      .groupBy(col("source"))
+      .agg(sum(col("__tb")).as("tokens_before"),
+        sum(col("__ta")).as("tokens_after"))
+      .select(col("source"), col("tokens_before"), col("tokens_after"),
+        (col("tokens_before") - col("tokens_after")).as("merged_occ"),
+        expr("CAST((tokens_after * 2000000 + tokens_before) div " +
+          "(2 * tokens_before) AS BIGINT)").as("compression_ppm"))
   }
 
   /** Data-scaling proxy curve: held-out unigram cross-entropy as the
