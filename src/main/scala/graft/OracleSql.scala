@@ -9663,6 +9663,33 @@ object OracleSql {
         .stripMargin
     },
 
+    "q436_ann_adaptive" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |  FROM e),
+        |n AS (SELECT vec_id, emb,
+        |    sqrt(list_dot_product(emb, emb)) AS nrm,
+        |    CAST(list_sum(list_transform(range(bits),
+        |      j -> CASE WHEN emb[j + 1] > 0 THEN 1 << j ELSE 0 END))
+        |      AS INT) AS bucket
+        |  FROM e CROSS JOIN bb),
+        |p AS (SELECT vec_id, emb, nrm,
+        |    unnest(list_concat([bucket], list_transform(range(bits),
+        |      j -> xor(bucket, CAST(1 << j AS INT))))) AS bucket
+        |  FROM n CROSS JOIN bb),
+        |pr AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
+        |  FROM p a JOIN n b ON a.bucket = b.bucket
+        |    AND a.vec_id <> b.vec_id),
+        |r AS (SELECT vec_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM pr)
+        |SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM r
+        |WHERE rn <= 3 ORDER BY vec_id, neighbor_id""".stripMargin,
+
     "q435_flagship_loo_eval" ->
       s"""WITH b0 AS (SELECT *, row_number() OVER (PARTITION BY user_id
          |    ORDER BY ts DESC, event_id DESC) AS rrn FROM events),

@@ -4496,6 +4496,16 @@ object SparkEntry {
         .orderBy(col("exact_dup").desc, col("minhash_j05").desc,
           col("simhash_h3").desc)),
 
+    // L283 — scale-ADAPTIVE multi-probe ANN top-3: the sign-bucket
+    // width follows corpus size (4 bits below 1000 vectors, 6 from
+    // 1000, 8 from 8000 — the measured BENCHLOG dial), so the same
+    // declared query exercises DIFFERENT bucket geometries across the
+    // three gate SFs (500 → 4 bits, 2000 → 6 bits).
+    "q436_ann_adaptive" -> ((s, d) =>
+      SimilarityOps.annTopKAdaptive(Tables.embeddings(s, d), "vec_id",
+          "embedding", 3)
+        .orderBy("vec_id", "neighbor_id")),
+
     // L282 — flagship OFFLINE EVAL: leave-one-out hit-rate/MRR@3 —
     // each user's last event held out, the q432 pipeline re-run on the
     // history only, the held-out item scored against the response

@@ -216,6 +216,26 @@ object SimilarityOps {
     selectTopK(pairs, k)
   }
 
+  /** Scale-ADAPTIVE multi-probe ANN top-k: the sign-bucket width
+    * follows corpus size on the stepped schedule
+    * `bits = 4 (+2 if n ≥ 1000) (+2 if n ≥ 8000)` — the measured
+    * BENCHLOG dial (every +2 bits ≈ 3× cheaper pair stage at equal
+    * output on the test embeddings) applied automatically, so the
+    * candidate stage stays Σ cell²-bounded as the corpus grows instead
+    * of pinning the test-scale geometry. At 100 TB the schedule
+    * continues: bits ≈ log2(n / target_cell_size), recall recovered by
+    * the multi-probe levels (the q332/q340 dial, measured in q397).
+    * The count is ONE driver-side scalar (the planner-statistic read,
+    * same sanctioned class as the 1-row train-stats collects);
+    * everything downstream is the standard probe equi-join.
+    */
+  def annTopKAdaptive(df: DataFrame, idCol: String, embCol: String,
+                      k: Int): DataFrame = {
+    val n = df.count()
+    val bits = 4 + (if (n >= 1000) 2 else 0) + (if (n >= 8000) 2 else 0)
+    annTopKMultiProbe(df, idCol, embCol, k, bits)
+  }
+
   /** Hamming-≤2 multi-probe IVF ANN — the next notch of the
     * recall/cost dial after [[annTopKMultiProbe]]: each query vector
     * probes its own cell, every Hamming-1 cell, AND every Hamming-2

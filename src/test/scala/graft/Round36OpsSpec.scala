@@ -62,6 +62,22 @@ class Round36OpsSpec extends SparkSpec {
     assert(out.filter(_._1._1 == 1L).values.sum == 2L)
   }
 
+  test("annTopKAdaptive: the width schedule steps at 1000 vectors and " +
+    "matches the fixed-width op at each step") {
+    import graft.operators.SimilarityOps
+    val dir = "/root/testdata/sf0.1" // 2000 vectors -> 6 bits
+    val emb = graft.tables.Tables.embeddings(spark, dir)
+    val small = emb.limit(500)       // below the step -> 4 bits
+    assert(SimilarityOps.annTopKAdaptive(small, "vec_id", "embedding", 3)
+      .orderBy("vec_id", "neighbor_id").collect().toSeq ==
+      SimilarityOps.annTopKMultiProbe(small, "vec_id", "embedding", 3, 4)
+        .orderBy("vec_id", "neighbor_id").collect().toSeq)
+    assert(SimilarityOps.annTopKAdaptive(emb, "vec_id", "embedding", 3)
+      .orderBy("vec_id", "neighbor_id").collect().toSeq ==
+      SimilarityOps.annTopKMultiProbe(emb, "vec_id", "embedding", 3, 6)
+        .orderBy("vec_id", "neighbor_id").collect().toSeq)
+  }
+
   test("recommendFrom over the full log equals recommend; LOO eval " +
     "metrics stay in [0, 1e6]") {
     val dir = "/root/testdata/sf0.001"
