@@ -9690,6 +9690,34 @@ object OracleSql {
         |SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM r
         |WHERE rn <= 3 ORDER BY vec_id, neighbor_id""".stripMargin,
 
+    "q437_flagship_ndcg" ->
+      s"""WITH b0 AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |    ORDER BY ts DESC, event_id DESC) AS rrn FROM events),
+         |hq AS (SELECT user_id, event_type, value, ts, event_id
+         |  FROM b0 WHERE rrn > 1),
+         |tst AS (SELECT user_id, event_type AS test_item FROM b0
+         |  WHERE rrn = 1),
+         |${flagshipCtes(
+            "SELECT user_id, event_type, value, ts, event_id FROM hq")},
+         |pu AS (SELECT r.user_id,
+         |    max(CASE WHEN r.item = tst.test_item THEN
+         |      CASE r.rn WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+         |        ELSE 500000 END ELSE 0 END) AS g,
+         |    max(CASE WHEN r.item = tst.test_item THEN r.rn
+         |      ELSE 0 END) AS hr
+         |  FROM resp r JOIN tst ON tst.user_id = r.user_id
+         |  GROUP BY r.user_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(sum(CASE WHEN hr = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hits_at_1,
+         |  CAST(sum(CASE WHEN hr = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hits_at_2,
+         |  CAST(sum(CASE WHEN hr = 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS hits_at_3,
+         |  CAST((sum(g) * 2 + count(*)) // (2 * count(*)) AS BIGINT)
+         |    AS ndcg_ppm
+         |FROM pu""".stripMargin,
+
     "q435_flagship_loo_eval" ->
       s"""WITH b0 AS (SELECT *, row_number() OVER (PARTITION BY user_id
          |    ORDER BY ts DESC, event_id DESC) AS rrn FROM events),

@@ -4506,6 +4506,42 @@ object SparkEntry {
           "embedding", 3)
         .orderBy("vec_id", "neighbor_id")),
 
+    // L284 — flagship nDCG@3 under the same leave-one-out protocol:
+    // single relevant item → per-user nDCG = gain at the hit rank,
+    // with the rank gains 1/log2(1+r) pinned as INTEGER ppm literals
+    // (1000000, 630930, 500000) so both engines sum identical ints —
+    // no transcendental ever evaluates. Also reports hits by rank.
+    "q437_flagship_ndcg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val base = ev.withColumn("__r", row_number().over(w))
+      val hist = base.filter(col("__r") > 1).drop("__r")
+      val test = base.filter(col("__r") === 1)
+        .select(col("user_id"), col("event_type").as("test_item"))
+      val resp = Flagship.recommendFrom(s, hist, Tables.embeddings(s, d))
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("rank_ppm").desc, col("recall_ppm").desc,
+            col("item"))))
+      val gain = expr("CASE rn WHEN 1 THEN 1000000L WHEN 2 THEN 630930L " +
+        "ELSE 500000L END")
+      val perUser = resp.join(test, "user_id")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("item") === col("test_item"), gain)
+            .otherwise(0L)).as("g"),
+          max(when(col("item") === col("test_item"), col("rn"))
+            .otherwise(0)).as("hr"))
+      perUser.agg(count(lit(1)).as("n_users"),
+          sum(when(col("hr") === 1, 1L).otherwise(0L)).as("hits_at_1"),
+          sum(when(col("hr") === 2, 1L).otherwise(0L)).as("hits_at_2"),
+          sum(when(col("hr") === 3, 1L).otherwise(0L)).as("hits_at_3"),
+          sum(col("g")).as("__sg"))
+        .select(col("n_users"), col("hits_at_1"), col("hits_at_2"),
+          col("hits_at_3"),
+          expr("CAST((__sg * 2 + n_users) div (2 * n_users) AS BIGINT)")
+            .as("ndcg_ppm"))
+    }),
+
     // L282 — flagship OFFLINE EVAL: leave-one-out hit-rate/MRR@3 —
     // each user's last event held out, the q432 pipeline re-run on the
     // history only, the held-out item scored against the response
