@@ -4506,6 +4506,15 @@ object SparkEntry {
           "embedding", 3)
         .orderBy("vec_id", "neighbor_id")),
 
+    // L285 — measured recall of the ADAPTIVE-width ANN (q436's safety
+    // certificate): the q397 audit machinery at the corpus's own
+    // bucket width, per probe level H<=0/1/2, vs the 1-in-20-sampled
+    // exact ground truth.
+    "q438_ann_adaptive_recall" -> ((s, d) =>
+      SimilarityOps.annRecallAuditAdaptive(Tables.embeddings(s, d),
+          "vec_id", "embedding", 5, 20)
+        .orderBy("level")),
+
     // L284 — flagship nDCG@3 under the same leave-one-out protocol:
     // single relevant item → per-user nDCG = gain at the hit rank,
     // with the rank gains 1/log2(1+r) pinned as INTEGER ppm literals

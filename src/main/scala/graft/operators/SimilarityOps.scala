@@ -1536,6 +1536,19 @@ object SimilarityOps {
     * tagged by its minimum probe distance, so the three levels are
     * filters over one candidate table, not three joins.
     */
+  /** [[annRecallAudit]] under the [[annTopKAdaptive]] width schedule:
+    * the recall the adaptive dial actually pays at the corpus's own
+    * width, per probe level — q436's measured safety certificate (the
+    * fixed-width audit is q397).
+    */
+  def annRecallAuditAdaptive(df: DataFrame, idCol: String,
+                             embCol: String, k: Int,
+                             sampleMod: Int = 20): DataFrame = {
+    val n = df.count()
+    val bits = 4 + (if (n >= 1000) 2 else 0) + (if (n >= 8000) 2 else 0)
+    annRecallAudit(df, idCol, embCol, k, bits, sampleMod)
+  }
+
   def annRecallAudit(df: DataFrame, idCol: String, embCol: String,
                      k: Int, signBits: Int = 4,
                      sampleMod: Int = 20): DataFrame = {
