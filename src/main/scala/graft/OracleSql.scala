@@ -9772,6 +9772,72 @@ object OracleSql {
         |    AS recall_ppm
         |FROM h CROSS JOIN nq ORDER BY level""".stripMargin,
 
+    "q439_ann_srp_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings),
+        |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |  FROM e),
+        |signs AS (SELECT i, j,
+        |    CASE WHEN substr(md5(i || ':' || j), 1, 1) < '8'
+        |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
+        |  FROM (SELECT unnest(range(0, 64)) AS i),
+        |    (SELECT unnest(range(0, 8)) AS j)),
+        |tok AS (SELECT vec_id, generate_subscripts(emb, 1) - 1 AS i,
+        |    unnest(emb) AS x
+        |  FROM e),
+        |bt AS (SELECT vec_id, j,
+        |    CASE WHEN sum(CAST(round(x * s, 8) AS DECIMAL(20,8))) > 0
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM tok JOIN signs USING (i) CROSS JOIN bb
+        |  WHERE j < bits GROUP BY vec_id, j),
+        |mk AS (SELECT vec_id, CAST(sum(bit * (1 << j)) AS INT) AS bucket
+        |  FROM bt GROUP BY vec_id),
+        |n AS (SELECT e.vec_id, emb,
+        |    sqrt(list_dot_product(emb, emb)) AS nrm, bucket
+        |  FROM e JOIN mk ON mk.vec_id = e.vec_id),
+        |q AS (SELECT * FROM n WHERE vec_id % 20 = 0),
+        |ex AS (SELECT vec_id, neighbor_id FROM (
+        |  SELECT q.vec_id, b.vec_id AS neighbor_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_dot_product(q.emb, b.emb) / (q.nrm * b.nrm)
+        |        DESC, b.vec_id) AS rn
+        |  FROM q, n b WHERE b.vec_id <> q.vec_id) WHERE rn <= 5),
+        |pb AS (SELECT vec_id, emb, nrm, unnest(list_concat(list_concat(
+        |    [{'pb': bucket, 'hd': 0}],
+        |    list_transform(range(bits),
+        |      j -> {'pb': xor(bucket, CAST(1 << j AS INT)), 'hd': 1})),
+        |    flatten(list_transform(range(bits),
+        |      i -> list_transform(range(i),
+        |        j -> {'pb': xor(bucket, CAST((1 << i) | (1 << j) AS INT)),
+        |              'hd': 2})))
+        |  )) AS pr FROM q CROSS JOIN bb),
+        |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id,
+        |    min(a.pr.hd) AS hd,
+        |    max(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)) AS sim
+        |  FROM pb a JOIN n b ON b.bucket = a.pr.pb
+        |    AND b.vec_id <> a.vec_id
+        |  GROUP BY 1, 2),
+        |lv AS (SELECT l.lvl, vec_id, neighbor_id, sim FROM cand
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS lvl) l
+        |  WHERE hd <= l.lvl),
+        |tk AS (SELECT lvl, vec_id, neighbor_id FROM (
+        |  SELECT lvl, vec_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY lvl, vec_id
+        |      ORDER BY sim DESC, neighbor_id) AS rn
+        |  FROM lv) WHERE rn <= 5),
+        |nq AS (SELECT count(*) AS nq FROM q),
+        |h AS (SELECT lvl, count(ex.vec_id) AS n_hits
+        |  FROM tk LEFT JOIN ex ON ex.vec_id = tk.vec_id
+        |    AND ex.neighbor_id = tk.neighbor_id
+        |  GROUP BY lvl)
+        |SELECT CAST(lvl AS BIGINT) AS level,
+        |  CAST(nq AS BIGINT) AS n_queries,
+        |  CAST(n_hits AS BIGINT) AS n_hits,
+        |  CAST((n_hits * 2000000 + 5 * nq) // (2 * 5 * nq) AS BIGINT)
+        |    AS recall_ppm
+        |FROM h CROSS JOIN nq ORDER BY level""".stripMargin,
+
     "q435_flagship_loo_eval" ->
       s"""WITH b0 AS (SELECT *, row_number() OVER (PARTITION BY user_id
          |    ORDER BY ts DESC, event_id DESC) AS rrn FROM events),

@@ -4515,6 +4515,16 @@ object SparkEntry {
           "vec_id", "embedding", 5, 20)
         .orderBy("level")),
 
+    // L286 — the quantizer UPGRADE q438 motivates: the same adaptive
+    // recall audit with SRP hyperplane buckets (md5-seeded planes mix
+    // all 64 dims) instead of leading-dim signs — the q438→q439 recall
+    // gap at equal width and probe level is the measured value of a
+    // better coarse quantizer.
+    "q439_ann_srp_recall" -> ((s, d) =>
+      SimilarityOps.annRecallAuditSrpAdaptive(Tables.embeddings(s, d),
+          "vec_id", "embedding", 5, 20)
+        .orderBy("level")),
+
     // L284 — flagship nDCG@3 under the same leave-one-out protocol:
     // single relevant item → per-user nDCG = gain at the hit rank,
     // with the rank gains 1/log2(1+r) pinned as INTEGER ppm literals

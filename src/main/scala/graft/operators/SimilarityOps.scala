@@ -1557,6 +1557,65 @@ object SimilarityOps {
       // LAZY localCheckpoint: the query filter, the exact baseline and
       // the probe join all read the signature table.
       .localCheckpoint(false)
+    annRecallCore(n, signBits, k, sampleMod)
+  }
+
+  /** Packed SRP sign-mask per vector: `planes` md5-seeded random
+    * hyperplanes (the q396 `srpFidelity` signature stage — same sign
+    * convention, same 8-dp DECIMAL plane sums — exposed as a BUCKET
+    * table for ANN). SRP planes mix ALL dimensions, so at equal width
+    * they quantize cosine far better than the leading-dim signs of
+    * [[signBucket]] — the q438→q439 recall gap measures exactly that.
+    */
+  private def srpMaskTable(df: DataFrame, idCol: String, embCol: String,
+                           planes: Int, inDim: Int = 64): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(i: Int, j: Int): Double = {
+      val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+      if ((h(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    val signDf = broadcast((0 until inDim).map(i =>
+      (i, (0 until planes).map(j => sign(i, j)))).toDF("__i", "__ss"))
+    val planeSums = (0 until planes).map(j =>
+      sum(round(col("__x") * element_at(col("__ss"), j + 1), 8)
+        .cast("decimal(20,8)")).as(s"__p$j"))
+    df.select(col(idCol).as("id"),
+        expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("__e"))
+      .repartition(col("id"))
+      .select(col("id"), posexplode(col("__e")).as(Seq("__i", "__x")))
+      .join(signDf, "__i")
+      .groupBy(col("id"))
+      .agg(planeSums.head, planeSums.tail: _*)
+      .select(col("id"), (0 until planes).map(j =>
+        when(col(s"__p$j") > 0, lit(1 << j)).otherwise(lit(0)))
+        .reduce(_ + _).cast("int").as("bucket"))
+  }
+
+  /** [[annRecallAudit]] with SRP hyperplane buckets at the
+    * [[annTopKAdaptive]] width schedule — the quantizer upgrade the
+    * q438 measurement motivates: same audit, same probe levels, same
+    * sampled exact baseline, buckets from [[srpMaskTable]] instead of
+    * leading-dim signs.
+    */
+  def annRecallAuditSrpAdaptive(df: DataFrame, idCol: String,
+                                embCol: String, k: Int,
+                                sampleMod: Int = 20): DataFrame = {
+    val cnt = df.count()
+    val bits = 4 + (if (cnt >= 1000) 2 else 0) + (if (cnt >= 8000) 2 else 0)
+    val n = normalized(df, idCol, embCol)
+      .join(srpMaskTable(df, idCol, embCol, bits), "id")
+      .localCheckpoint(false)
+    annRecallCore(n, bits, k, sampleMod)
+  }
+
+  /** Shared recall-audit core over any (id, emb, nrm, bucket)
+    * signature table: exact top-k on a 1-in-`sampleMod` query sample
+    * vs the multi-probe candidates at Hamming levels 0/1/2.
+    */
+  private def annRecallCore(n: DataFrame, signBits: Int, k: Int,
+                            sampleMod: Int): DataFrame = {
     val q = n.filter(pmod(col("id"), lit(sampleMod)) === 0)
     val exact = selectTopK(pairSim(q, n), k)
       .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))

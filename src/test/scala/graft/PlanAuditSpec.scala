@@ -1104,10 +1104,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // since round 7). q397's exact side is a DELIBERATE
     // 1-in-20-sampled brute-force baseline (the recall audit needs
     // ground truth); its ANN side stays an equi-join and is covered by
-    // its own plan test. q438 is the same audit machinery at the
-    // adaptive width — same sampled exact side, same whitelist class.
+    // its own plan test. q438/q439 are the same audit machinery at the
+    // adaptive width (leading-dim and SRP buckets) — same sampled
+    // exact side, same whitelist class.
     val allowed = Set("q26_cosine_topk", "q397_ann_recall",
-      "q438_ann_adaptive_recall")
+      "q438_ann_adaptive_recall", "q439_ann_srp_recall")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val df = fn(spark, dir)
       val s = df.queryExecution.executedPlan.toString
