@@ -42,9 +42,6 @@ import graft.tables.Tables
   */
 object Flagship {
 
-  /** Item catalog (the testdata event-type vocabulary). */
-  private val ITEMS = Seq("click", "error", "purchase", "signup", "view")
-
   /** Per-channel recall cap — es_caller.py:42 `size=200`. */
   val CANDIDATES_PER_CHANNEL = 200
 
@@ -67,9 +64,19 @@ object Flagship {
   /** The recommend pipeline over caller-supplied event/embedding
     * tables — the offline-eval surface (q435 drives it on
     * last-event-held-out history).
+    *
+    * `snapshot`: optionally the RANK state maintained ONLINE
+    * ([[graft.streaming.StreamingServingSnapshot]]'s latest version
+    * per user — the Redis-hash-updated-offline, read-online shape of
+    * the reference: offline_to_online/recall/s1_user_to_redis.py:24-36
+    * → online/utils/redis_caller.py:12-37) as a (user_id, item,
+    * rank_ppm) table; None derives the identical state from the event
+    * log in-plan (the batch twin). FlagshipStreamRoundTripSpec proves
+    * the stream-fed response ≡ the batch response on the same prefix.
     */
   def recommendFrom(spark: SparkSession, events: DataFrame,
-                    embeddings: DataFrame): DataFrame = {
+                    embeddings: DataFrame,
+                    snapshot: Option[DataFrame] = None): DataFrame = {
     graft.plans.GraftExtensions.register(spark)
     val ev = events
       .withColumn("label", when(col("value") > 100, 1).otherwise(0))
@@ -90,8 +97,13 @@ object Flagship {
     // --- channel 1: term recall (posting-list equi-join, boost 0.1).
     val users = terms.join(seen, Seq("user_id"), "left")
       .withColumn("seen", coalesce(col("seen"), array()))
-    val items = spark.range(1)
-      .select(explode(array(ITEMS.map(lit): _*)).as("item"))
+    // Item catalog DERIVED from the event log (distinct event_type),
+    // mirroring the reference's table-driven item universe
+    // (offline_to_online/recall/s2_item_to_es.py:28-44 indexes the
+    // item TABLE) — no literal vocabulary, so the term channel can
+    // recall whatever items the log actually contains. Tiny (one row
+    // per item type) and broadcast into the posting-list join.
+    val items = ev.select(col("event_type").as("item")).distinct()
       .withColumn("terms", array(col("item")))
     // Channel scores live in exact integer PPM from here on: summing
     // 0.1/0.9-boosted doubles pinned at 6 dp puts every odd 6th digit
@@ -162,17 +174,20 @@ object Flagship {
 
     // --- rank: serving-snapshot CTR (the user's last ≤10 events) as
     // the model score, exact half-up ppm; recall score tiebreaks.
-    val rn = RelationalOps.rowNumber(ev, "user_id",
-      Seq(col("ts"), col("event_id")))
-    val snap = rn
-      .withColumn("__mx",
-        max(col("rn")).over(Window.partitionBy("user_id")))
-      .filter(col("rn") > col("__mx") - SNAPSHOT_FRAME)
-      .groupBy(col("user_id"), col("event_type").as("item"))
-      .agg(count(lit(1)).as("imp"), sum(col("label")).as("clk"))
-      .select(col("user_id"), col("item"),
-        expr("CAST((clk * 2000000 + imp) div (2 * imp) AS BIGINT)")
-          .as("rank_ppm"))
+    // An online-maintained state table slots in unchanged.
+    val snap = snapshot.getOrElse {
+      val rn = RelationalOps.rowNumber(ev, "user_id",
+        Seq(col("ts"), col("event_id")))
+      rn
+        .withColumn("__mx",
+          max(col("rn")).over(Window.partitionBy("user_id")))
+        .filter(col("rn") > col("__mx") - SNAPSHOT_FRAME)
+        .groupBy(col("user_id"), col("event_type").as("item"))
+        .agg(count(lit(1)).as("imp"), sum(col("label")).as("clk"))
+        .select(col("user_id"), col("item"),
+          expr("CAST((clk * 2000000 + imp) div (2 * imp) AS BIGINT)")
+            .as("rank_ppm"))
+    }
 
     // --- respond: top-k per user, deterministic tiebreak.
     val ranked = merged.join(snap, Seq("user_id", "item"), "left")

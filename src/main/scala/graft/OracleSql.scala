@@ -105,8 +105,7 @@ object OracleSql {
       |u AS (SELECT t.user_id, t.terms, coalesce(sn.seen, []) AS seen
       |  FROM t LEFT JOIN sn ON t.user_id = sn.user_id),
       |i AS (SELECT item, [item] AS terms FROM
-      |  (SELECT unnest(['click', 'error', 'purchase', 'signup',
-      |                  'view']) AS item)),
+      |  (SELECT DISTINCT event_type AS item FROM ev)),
       |ctc AS (SELECT u.user_id, i.item,
       |    CAST(round(CAST(len(list_intersect(u.terms, i.terms))
       |      AS DOUBLE) * CAST(0.1 AS DOUBLE) * 1000000) AS BIGINT)
@@ -4705,15 +4704,18 @@ object OracleSql {
     "q266_modularity" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
-        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
-        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
-        |    AS bucket
+        |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(list_sum(list_transform(range(bits),
+        |    j -> CASE WHEN emb[j + 1] > 0 THEN 1 << j ELSE 0 END))
+        |    AS INT) AS bucket
+        |  FROM e CROSS JOIN bb),
         |pb AS (SELECT vec_id, emb, nrm,
-        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
-        |          xor(bucket, 8)]) AS bucket
-        |  FROM n),
+        |  unnest(list_concat([bucket], list_transform(range(bits),
+        |    j -> xor(bucket, CAST(1 << j AS INT))))) AS bucket
+        |  FROM n CROSS JOIN bb),
         |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
         |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
         |  FROM pb a JOIN n b ON a.bucket = b.bucket
@@ -6566,15 +6568,18 @@ object OracleSql {
     "q329_mutual_knn_ann" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
-        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
-        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
-        |    AS bucket
+        |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(list_sum(list_transform(range(bits),
+        |    j -> CASE WHEN emb[j + 1] > 0 THEN 1 << j ELSE 0 END))
+        |    AS INT) AS bucket
+        |  FROM e CROSS JOIN bb),
         |pb AS (SELECT vec_id, emb, nrm,
-        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
-        |          xor(bucket, 8)]) AS bucket
-        |  FROM n),
+        |  unnest(list_concat([bucket], list_transform(range(bits),
+        |    j -> xor(bucket, CAST(1 << j AS INT))))) AS bucket
+        |  FROM n CROSS JOIN bb),
         |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
         |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
         |  FROM pb a JOIN n b ON a.bucket = b.bucket
@@ -6594,15 +6599,18 @@ object OracleSql {
     "q330_label_prop_ann" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
-        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
-        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
-        |    AS bucket
+        |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(list_sum(list_transform(range(bits),
+        |    j -> CASE WHEN emb[j + 1] > 0 THEN 1 << j ELSE 0 END))
+        |    AS INT) AS bucket
+        |  FROM e CROSS JOIN bb),
         |pb AS (SELECT vec_id, emb, nrm,
-        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
-        |          xor(bucket, 8)]) AS bucket
-        |  FROM n),
+        |  unnest(list_concat([bucket], list_transform(range(bits),
+        |    j -> xor(bucket, CAST(1 << j AS INT))))) AS bucket
+        |  FROM n CROSS JOIN bb),
         |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
         |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
         |  FROM pb a JOIN n b ON a.bucket = b.bucket
@@ -6644,15 +6652,18 @@ object OracleSql {
     "q331_rec_list_ann" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
-        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
-        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
-        |    AS bucket
+        |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(list_sum(list_transform(range(bits),
+        |    j -> CASE WHEN emb[j + 1] > 0 THEN 1 << j ELSE 0 END))
+        |    AS INT) AS bucket
+        |  FROM e CROSS JOIN bb),
         |pb AS (SELECT vec_id, emb, nrm,
-        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
-        |          xor(bucket, 8)]) AS bucket
-        |  FROM n),
+        |  unnest(list_concat([bucket], list_transform(range(bits),
+        |    j -> xor(bucket, CAST(1 << j AS INT))))) AS bucket
+        |  FROM n CROSS JOIN bb),
         |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
         |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
         |  FROM pb a JOIN n b ON a.bucket = b.bucket
@@ -8394,11 +8405,14 @@ object OracleSql {
           .mkString("[", ", ", "]")
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
          |  FROM embeddings),
-         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
-         |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
-         |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
-         |    AS bucket
+         |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
          |  FROM e),
+         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+         |  CAST(list_sum(list_transform(range(bits),
+         |    j -> CASE WHEN emb[j + 1] > 0 THEN 1 << j ELSE 0 END))
+         |    AS INT) AS bucket
+         |  FROM e CROSS JOIN bb),
          |signs AS (SELECT i, j,
          |    CASE WHEN substr(md5(i || ':' || j), 1, 1) < '8'
          |      THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END AS s
@@ -8412,9 +8426,9 @@ object OracleSql {
          |      THEN 1 ELSE 0 END AS bit
          |  FROM tok JOIN signs USING (i) GROUP BY vec_id, j),
          |pb AS (SELECT vec_id, emb, nrm,
-         |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
-         |          xor(bucket, 8)]) AS bucket
-         |  FROM n),
+         |  unnest(list_concat([bucket], list_transform(range(bits),
+         |    j -> xor(bucket, CAST(1 << j AS INT))))) AS bucket
+         |  FROM n CROSS JOIN bb),
          |p AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
          |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
          |  FROM pb a JOIN n b ON a.bucket = b.bucket
@@ -8580,18 +8594,21 @@ object OracleSql {
     "q401_matryoshka_fidelity" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
+        |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |  FROM e),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
         |  sqrt(list_dot_product(emb[1:8], emb[1:8])) AS n8,
         |  sqrt(list_dot_product(emb[1:16], emb[1:16])) AS n16,
         |  sqrt(list_dot_product(emb[1:32], emb[1:32])) AS n32,
-        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
-        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
-        |    AS bucket
-        |  FROM e),
+        |  CAST(list_sum(list_transform(range(bits),
+        |    j -> CASE WHEN emb[j + 1] > 0 THEN 1 << j ELSE 0 END))
+        |    AS INT) AS bucket
+        |  FROM e CROSS JOIN bb),
         |pb AS (SELECT vec_id, emb, nrm, n8, n16, n32,
-        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
-        |          xor(bucket, 8)]) AS bucket
-        |  FROM n),
+        |  unnest(list_concat([bucket], list_transform(range(bits),
+        |    j -> xor(bucket, CAST(1 << j AS INT))))) AS bucket
+        |  FROM n CROSS JOIN bb),
         |p AS (SELECT a.emb AS ae, b.emb AS be,
         |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim,
         |    a.n8 AS n8a, b.n8 AS n8b, a.n16 AS n16a, b.n16 AS n16b,
@@ -8721,6 +8738,9 @@ object OracleSql {
     "q405_quant_fidelity" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
+        |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |  FROM e),
         |s AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
         |  list_min(emb) AS mn,
         |  CASE WHEN list_max(emb) = list_min(emb) THEN CAST(1.0 AS DOUBLE)
@@ -8729,10 +8749,10 @@ object OracleSql {
         |  CASE WHEN list_max(emb) = list_min(emb) THEN CAST(1.0 AS DOUBLE)
         |       ELSE (list_max(emb) - list_min(emb)) / CAST(255.0 AS DOUBLE)
         |  END AS s255,
-        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
-        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
-        |    AS bucket
-        |  FROM e),
+        |  CAST(list_sum(list_transform(range(bits),
+        |    j -> CASE WHEN emb[j + 1] > 0 THEN 1 << j ELSE 0 END))
+        |    AS INT) AS bucket
+        |  FROM e CROSS JOIN bb),
         |r AS (SELECT vec_id, emb, nrm, bucket,
         |  list_transform(emb, x -> CAST(round((x - mn) / s15) AS INT)
         |    * s15 + mn) AS r15,
@@ -8744,9 +8764,9 @@ object OracleSql {
         |  sqrt(list_dot_product(r255, r255)) AS q255
         |  FROM r),
         |pb AS (SELECT vec_id, emb, nrm, r15, r255, q15, q255,
-        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
-        |          xor(bucket, 8)]) AS bucket
-        |  FROM n),
+        |  unnest(list_concat([bucket], list_transform(range(bits),
+        |    j -> xor(bucket, CAST(1 << j AS INT))))) AS bucket
+        |  FROM n CROSS JOIN bb),
         |p AS (SELECT
         |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim,
         |    a.r15 AS r15a, b.r15 AS r15b, a.q15 AS q15a, b.q15 AS q15b,
@@ -8793,6 +8813,9 @@ object OracleSql {
     "q407_quant_recall" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
+        |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |  FROM e),
         |s AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
         |  list_min(emb) AS mn,
         |  CASE WHEN list_max(emb) = list_min(emb) THEN CAST(1.0 AS DOUBLE)
@@ -8801,10 +8824,10 @@ object OracleSql {
         |  CASE WHEN list_max(emb) = list_min(emb) THEN CAST(1.0 AS DOUBLE)
         |       ELSE (list_max(emb) - list_min(emb)) / CAST(255.0 AS DOUBLE)
         |  END AS s255,
-        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
-        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
-        |    AS bucket
-        |  FROM e),
+        |  CAST(list_sum(list_transform(range(bits),
+        |    j -> CASE WHEN emb[j + 1] > 0 THEN 1 << j ELSE 0 END))
+        |    AS INT) AS bucket
+        |  FROM e CROSS JOIN bb),
         |r AS (SELECT vec_id, emb, nrm, bucket,
         |  list_transform(emb, x -> CAST(round((x - mn) / s15) AS INT)
         |    * s15 + mn) AS r15,
@@ -8816,9 +8839,9 @@ object OracleSql {
         |  sqrt(list_dot_product(r255, r255)) AS q255
         |  FROM r),
         |pb AS (SELECT vec_id, emb, nrm, r15, r255, q15, q255,
-        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
-        |          xor(bucket, 8)]) AS bucket
-        |  FROM n),
+        |  unnest(list_concat([bucket], list_transform(range(bits),
+        |    j -> xor(bucket, CAST(1 << j AS INT))))) AS bucket
+        |  FROM n CROSS JOIN bb),
         |cand AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
         |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim,
         |    CASE WHEN a.q15 > 0 AND b.q15 > 0
@@ -9179,6 +9202,10 @@ object OracleSql {
         |FROM m ORDER BY train_slices""".stripMargin,
 
     "q419_phrase_merges" -> {
+      // Empty merge round (corpus ran dry of bigrams): t$i has 0 rows,
+      // so the rewrite must be an IDENTITY (left join + CASE), never a
+      // corpus-annihilating cross join — matches the Spark trainer's
+      // early stop. Same guard in the q433 twin.
       def step(i: Int) =
         s"""b$i AS (SELECT tk[i + 1] AS w1, tk[i + 2] AS w2,
            |    count(*) AS c
@@ -9187,10 +9214,11 @@ object OracleSql {
            |  WHERE len(tk) >= 2 GROUP BY 1, 2),
            |t$i AS (SELECT w1, w2, c FROM b$i
            |  ORDER BY c DESC, w1, w2 LIMIT 1),
-           |c${i + 1} AS (SELECT replace(t,
-           |    ' ' || w1 || ' ' || w2 || ' ',
-           |    ' ' || w1 || '@' || w2 || ' ') AS t
-           |  FROM c$i CROSS JOIN t$i)"""
+           |c${i + 1} AS (SELECT CASE WHEN t$i.w1 IS NULL THEN t
+           |    ELSE replace(t,
+           |      ' ' || t$i.w1 || ' ' || t$i.w2 || ' ',
+           |      ' ' || t$i.w1 || '@' || t$i.w2 || ' ') END AS t
+           |  FROM c$i LEFT JOIN t$i ON TRUE)"""
           .stripMargin
       s"""WITH c0 AS (SELECT ' ' || text || ' ' AS t FROM documents),
          |${(0 until 5).map(step).mkString(",\n")}
@@ -9274,15 +9302,18 @@ object OracleSql {
     "q423_mmr_rerank" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
-        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
-        |  CAST(emb[1] > 0 AS INT) * 1 + CAST(emb[2] > 0 AS INT) * 2
-        |    + CAST(emb[3] > 0 AS INT) * 4 + CAST(emb[4] > 0 AS INT) * 8
-        |    AS bucket
+        |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
+        |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+        |  CAST(list_sum(list_transform(range(bits),
+        |    j -> CASE WHEN emb[j + 1] > 0 THEN 1 << j ELSE 0 END))
+        |    AS INT) AS bucket
+        |  FROM e CROSS JOIN bb),
         |pb AS (SELECT vec_id, emb, nrm,
-        |  unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
-        |          xor(bucket, 8)]) AS bucket
-        |  FROM n),
+        |  unnest(list_concat([bucket], list_transform(range(bits),
+        |    j -> xor(bucket, CAST(1 << j AS INT))))) AS bucket
+        |  FROM n CROSS JOIN bb),
         |p AS (SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
         |    list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS sim
         |  FROM pb a JOIN n b ON a.bucket = b.bucket
@@ -9586,6 +9617,7 @@ object OracleSql {
         |FROM resp ORDER BY user_id, item""".stripMargin,
 
     "q433_phrase_apply" -> {
+      // Same empty-round identity guard as the q419 twin.
       def step(i: Int) =
         s"""b$i AS (SELECT tk[i + 1] AS w1, tk[i + 2] AS w2,
            |    count(*) AS c
@@ -9594,10 +9626,11 @@ object OracleSql {
            |  WHERE len(tk) >= 2 GROUP BY 1, 2),
            |t$i AS (SELECT w1, w2, c FROM b$i
            |  ORDER BY c DESC, w1, w2 LIMIT 1),
-           |c${i + 1} AS (SELECT source, replace(t,
-           |    ' ' || w1 || ' ' || w2 || ' ',
-           |    ' ' || w1 || '@' || w2 || ' ') AS t
-           |  FROM c$i CROSS JOIN t$i)"""
+           |c${i + 1} AS (SELECT source, CASE WHEN t$i.w1 IS NULL THEN t
+           |    ELSE replace(t,
+           |      ' ' || t$i.w1 || ' ' || t$i.w2 || ' ',
+           |      ' ' || t$i.w1 || '@' || t$i.w2 || ' ') END AS t
+           |  FROM c$i LEFT JOIN t$i ON TRUE)"""
           .stripMargin
       s"""WITH c0 AS (SELECT source, ' ' || text || ' ' AS t
          |  FROM documents),

@@ -2991,12 +2991,14 @@ object SparkEntry {
     // L212 — Newman modularity of the label-propagation communities
     // over the mutual-kNN embedding graph. Driven by the BUCKETED
     // mutual-kNN edge list (the 100 TB composition — equi-joins only,
-    // no cross join in the executed plan); the exact-crossJoin form is
-    // a unit fixture in Round19OpsSpec.
+    // no cross join in the executed plan) at the COUNT-STEPPED
+    // adaptive bucket width (the q436 schedule — Σ cell² stays bounded
+    // as the corpus grows); the exact-crossJoin form is a unit fixture
+    // in Round19OpsSpec.
     "q266_modularity" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val mk = SimilarityOps.mutualKnnBucketed(emb, "vec_id",
-        "embedding", 5, 4)
+        "embedding", 5, SimilarityOps.adaptiveSignBits(emb))
       val seeds = emb.filter(col("vec_id") % 3 === 0)
         .select(col("vec_id"), col("label"))
       val communities = GraphOps.labelPropagate(mk, "id_a", "id_b",
@@ -3605,18 +3607,22 @@ object SparkEntry {
 
     // L274 — mutual k-NN over the multi-probe IVF candidate lists:
     // q191's 100 TB twin — the pair stage is an equi-join on the sign-
-    // bucket cell (never a cross join), the reciprocal check identical.
-    "q329_mutual_knn_ann" -> ((s, d) =>
-      SimilarityOps.mutualKnnBucketed(Tables.embeddings(s, d), "vec_id",
-          "embedding", 5, 4)
-        .orderBy("id_a", "id_b")),
+    // bucket cell (never a cross join) at the count-stepped adaptive
+    // width, the reciprocal check identical.
+    "q329_mutual_knn_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.mutualKnnBucketed(emb, "vec_id",
+          "embedding", 5, SimilarityOps.adaptiveSignBits(emb))
+        .orderBy("id_a", "id_b")
+    }),
 
     // L275 — label propagation over the BUCKETED mutual-kNN graph:
-    // q194's scale twin, same seeds, equi-join-only edge list.
+    // q194's scale twin, same seeds, equi-join-only edge list at the
+    // count-stepped adaptive width.
     "q330_label_prop_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val mk = SimilarityOps.mutualKnnBucketed(emb, "vec_id",
-        "embedding", 5, 4)
+        "embedding", 5, SimilarityOps.adaptiveSignBits(emb))
       val seeds = emb.filter(col("vec_id") % 3 === 0)
         .select(col("vec_id"), col("label"))
       GraphOps.labelPropagate(mk, "id_a", "id_b", seeds, "vec_id",
@@ -3630,7 +3636,7 @@ object SparkEntry {
     "q331_rec_list_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val recs = SimilarityOps.annTopKMultiProbe(emb, "vec_id",
-        "embedding", 5, 4)
+        "embedding", 5, SimilarityOps.adaptiveSignBits(emb))
       SimilarityOps.recListMetrics(recs, "vec_id", "neighbor_id",
         emb, "vec_id", "embedding")
     }),
@@ -4133,10 +4139,13 @@ object SparkEntry {
     // L341 — SRP (SimHash-for-cosine) fidelity per signature width
     // over bucket candidate pairs; cos lookup from a literal table,
     // no per-row transcendental.
-    "q396_srp_fidelity" -> ((s, d) =>
-      SimilarityOps.srpFidelity(Tables.embeddings(s, d), "vec_id",
-          "embedding", Seq(4, 8, 16))
-        .orderBy("width")),
+    "q396_srp_fidelity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.srpFidelity(emb, "vec_id",
+          "embedding", Seq(4, 8, 16),
+          signBits = SimilarityOps.adaptiveSignBits(emb))
+        .orderBy("width")
+    }),
 
     // L342 — measured ANN recall@5 vs the exact top-5 at probe levels
     // H<=0/1/2 on a 1-in-20 query sample (the recall/cost dial as a
@@ -4173,10 +4182,13 @@ object SparkEntry {
 
     // L346 — Matryoshka prefix-dim cosine fidelity per truncation
     // budget (is 16-of-64 dims safe for retrieval?).
-    "q401_matryoshka_fidelity" -> ((s, d) =>
-      SimilarityOps.matryoshkaFidelity(Tables.embeddings(s, d),
-          "vec_id", "embedding", Seq(8, 16, 32))
-        .orderBy("dim")),
+    "q401_matryoshka_fidelity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.matryoshkaFidelity(emb,
+          "vec_id", "embedding", Seq(8, 16, 32),
+          signBits = SimilarityOps.adaptiveSignBits(emb))
+        .orderBy("dim")
+    }),
 
     // L347 — near-dup train/eval split leakage per source (the
     // memorization-inflation audit of an id-hash split).
@@ -4202,10 +4214,13 @@ object SparkEntry {
 
     // L350 — scalar-quantization similarity fidelity (int4/int8
     // reconstruction cosine vs full precision on candidate pairs).
-    "q405_quant_fidelity" -> ((s, d) =>
-      SimilarityOps.quantFidelity(Tables.embeddings(s, d), "vec_id",
-          "embedding", Seq(15, 255))
-        .orderBy("level")),
+    "q405_quant_fidelity" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.quantFidelity(emb, "vec_id",
+          "embedding", Seq(15, 255),
+          signBits = SimilarityOps.adaptiveSignBits(emb))
+        .orderBy("level")
+    }),
 
     // L351 — near-dup cluster-size spectrum in power-of-two octaves
     // (the dedup cost-model shape report).
@@ -4217,10 +4232,13 @@ object SparkEntry {
     // L352 — quantized-index ranking agreement: top-5 overlap of the
     // int4/int8-reconstructed index vs full precision (the retrieval
     // cost of compression, in neighbors not sims).
-    "q407_quant_recall" -> ((s, d) =>
-      SimilarityOps.quantRecall(Tables.embeddings(s, d), "vec_id",
-          "embedding", 5, Seq(15, 255))
-        .orderBy("level")),
+    "q407_quant_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.quantRecall(emb, "vec_id",
+          "embedding", 5, Seq(15, 255),
+          signBits = SimilarityOps.adaptiveSignBits(emb))
+        .orderBy("level")
+    }),
 
     // L353 — incremental cross-snapshot exact-dedup hit rate per
     // source (prices keeping yesterday's fingerprint store warm).
@@ -4363,11 +4381,14 @@ object SparkEntry {
     }),
 
     // L368 — MMR diversified rerank of the ANN top-5 (λ = 0.5, 3
-    // greedy rounds unrolled; redundancy out of the result list).
-    "q423_mmr_rerank" -> ((s, d) =>
-      SimilarityOps.mmrRerank(Tables.embeddings(s, d), "vec_id",
-          "embedding", 5, 3, 4)
-        .orderBy("vec_id", "rank")),
+    // greedy rounds unrolled; redundancy out of the result list;
+    // candidates from the count-stepped adaptive bucket width).
+    "q423_mmr_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.mmrRerank(emb, "vec_id",
+          "embedding", 5, 3, SimilarityOps.adaptiveSignBits(emb))
+        .orderBy("vec_id", "rank")
+    }),
 
     // L369 — COEC position-bias correction per event type (clicks
     // over position-expected clicks; props.k as the slate position).

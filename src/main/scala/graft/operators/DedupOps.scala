@@ -162,6 +162,79 @@ object DedupOps {
       .distinct()
   }
 
+  /** Multiplicity collapse for the pair-generating similarity joins:
+    * group documents whose element SETS are identical (md5 fingerprint
+    * of the sorted element list — the same content-identity convention
+    * as [[incrementalDedup]]'s fingerprint store) under one
+    * representative (the smallest id). The candidate/verify machinery
+    * then runs on the DISTINCT-set table only, and id-level pairs are
+    * re-expanded from group membership afterwards — bit-identical
+    * output, but the quadratic candidate stage never sees duplicate
+    * mass. This is the q419 weighted-distinct-corpus trick applied to
+    * pair joins: real corpora are duplicate-HEAVY (that is why dedup
+    * runs at all), so a g-copy family costs g membership rows here
+    * instead of g² candidate pairs (the 10×-replica probe measured the
+    * uncollapsed forms at ×7–×11 before this landed).
+    *
+    * Returns the group table (__fp, __gid, __arr, __n, __ms, __gsz),
+    * lazily checkpointed — the rep-level machinery, the expansion
+    * joins and the within-group pair build all read it.
+    */
+  private def collapseIdenticalSets(arr: DataFrame,
+                                    idCol: String): DataFrame =
+    arr
+      // \u0001 separator: shingles contain spaces, so a space join
+      // would alias {"a b","c"} with {"a","b c"}; control chars never
+      // survive whitespace tokenization.
+      .withColumn("__fp",
+        md5(concat_ws("\u0001",
+          array_sort(col("__arr").cast("array<string>")))))
+      .groupBy(col("__fp"))
+      .agg(min(col(idCol)).as("__gid"),
+        first(col("__arr")).as("__arr"), first(col("__n")).as("__n"),
+        collect_list(col(idCol)).as("__ms"), count(lit(1)).as("__gsz"))
+      .localCheckpoint(false)
+
+  /** Re-expand rep-level verified pairs to id-level pairs: cross-group
+    * pairs via two membership joins (output-sized — never candidate-
+    * sized), within-group pairs as the pair self-join of each size-≥2
+    * group at score exactly 1.0 (identical sets: the uncollapsed
+    * verify computes round(n/n, 6) = 1.0, and identical sets are
+    * always candidates — they share every band / every prefix
+    * element). `oriented = false` re-orients each id pair
+    * (least, greatest) for the symmetric joins and emits each
+    * within-group pair once; `oriented = true` keeps the rep pair's
+    * direction and emits both within-group directions (the asymmetric
+    * containment shape).
+    */
+  private def expandPairs(repPairs: DataFrame, grouped: DataFrame,
+                          scoreCol: String,
+                          oriented: Boolean): DataFrame = {
+    val members = grouped.select(col("__gid"),
+      explode(col("__ms")).as("__m"))
+    val cross = repPairs
+      .join(members.select(col("__gid").as("doc_a"),
+        col("__m").as("__ma")), "doc_a")
+      .join(members.select(col("__gid").as("doc_b"),
+        col("__m").as("__mb")), "doc_b")
+    val crossOut =
+      if (oriented)
+        cross.select(col("__ma").as("doc_a"), col("__mb").as("doc_b"),
+          col(scoreCol))
+      else
+        cross.select(least(col("__ma"), col("__mb")).as("doc_a"),
+          greatest(col("__ma"), col("__mb")).as("doc_b"), col(scoreCol))
+    val m = grouped.filter(col("__gsz") >= 2)
+      .select(col("__fp"), explode(col("__ms")).as("__m"))
+    val within = m
+      .join(m.withColumnRenamed("__m", "__m2"), Seq("__fp"))
+      .filter(if (oriented) col("__m") =!= col("__m2")
+              else col("__m") < col("__m2"))
+      .select(col("__m").as("doc_a"), col("__m2").as("doc_b"),
+        lit(1.0).as(scoreCol))
+    crossOut.unionAll(within)
+  }
+
   /** EXACT set-similarity join via prefix filtering (the PPJoin family):
     * all pairs with Jaccard ≥ t, no probabilistic recall. Each set
     * orders its elements rarest-first (global frequency, element string
@@ -181,20 +254,21 @@ object DedupOps {
                  t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // One pass over the input builds the compact per-set array (rows =
-    // |sets|, each bounded by its own set size) and every later stage —
-    // frequencies, prefix ordering, candidate sides, exact verify —
-    // derives from that persisted table, so the (id, elem) stream is
-    // shuffled once, not once per subplan.
-    val arr = sets.groupBy(col(idCol))
+    // |sets|, each bounded by its own set size), then identical sets
+    // COLLAPSE to one representative (the q419 weighted-distinct
+    // trick): every later stage — frequencies, prefix ordering,
+    // candidate sides, exact verify — runs on the distinct-set table,
+    // and id-level pairs re-expand from group membership at the end
+    // (bit-identical output; the prefix order's frequency basis moves
+    // to distinct sets, which is output-neutral — pigeonhole recall
+    // holds under ANY shared total order). On a duplicate-heavy corpus
+    // the candidate join never sees the g² within-family pair mass.
+    val arr0 = sets.groupBy(col(idCol))
       .agg(collect_set(col(elemCol)).as("__arr"))
       .withColumn("__n", size(col("__arr")).cast("long"))
-      // LAZY localCheckpoint, not persist: CacheManager entries outlive
-      // the query until an explicit clearCache (a leak for every
-      // long-lived session caller); checkpoint blocks are freed by the
-      // ContextCleaner once the plan is unreachable. Lazy (eager=false)
-      // so the array build overlaps the first consumer instead of
-      // running as a separate up-front job.
-      .localCheckpoint(false)
+    val grouped = collapseIdenticalSets(arr0, idCol)
+    val arr = grouped.select(col("__gid").as(idCol), col("__arr"),
+      col("__n"))
     val exploded = arr.select(col(idCol), col("__n"),
       explode(col("__arr")).as(elemCol))
     val freq = exploded.groupBy(col(elemCol)).agg(count(lit(1)).as("__tf"))
@@ -233,7 +307,7 @@ object DedupOps {
       .select("doc_a", "doc_b").distinct()
     // exact verify: codegen'd array intersection per candidate pair —
     // no O(pairs × |set|) join rows
-    cand
+    val repPairs = cand
       .join(arr.select(col(idCol).as("doc_a"), col("__arr").as("__aa"),
         col("__n").as("__na")), "doc_a")
       .join(arr.select(col(idCol).as("doc_b"), col("__arr").as("__ab"),
@@ -244,6 +318,9 @@ object DedupOps {
         round(col("__c").cast("double") /
           (col("__na") + col("__nb") - col("__c")), 6).as("jaccard"))
       .filter(col("jaccard") >= t)
+    // within-group J = 1.0 ≥ t for any t ≤ 1 — always emitted, exactly
+    // as the uncollapsed join did for identical sets.
+    expandPairs(repPairs, grouped, "jaccard", oriented = false)
   }
 
   /** Cross-document chunk-level dedup (the C4/RefinedWeb line-dedup
@@ -295,22 +372,28 @@ object DedupOps {
     */
   def lshJaccard(sh: DataFrame, idCol: String,
                  bands: Int = 4, rows: Int = 2): DataFrame = {
-    val cand = minhashCandidates(
-      minhashSignature(sh, idCol, bands, rows), idCol, bands, rows)
-    // exact verify over a compact persisted per-doc array (one extra
-    // scan of the shingle stream total) with codegen'd array_intersect
-    // — replaces two joins that each carried O(pairs × |doc|) rows
-    val arr = sh.groupBy(col(idCol))
+    // Identical shingle sets COLLAPSE to one representative before
+    // banding (the q419 weighted-distinct trick): minhash signatures,
+    // band buckets and the verify join are deterministic functions of
+    // the shingle SET, so every member of a copy-family has exactly
+    // the representative's candidates — id-level pairs re-expand from
+    // group membership afterwards, bit-identical to the uncollapsed
+    // form (identical sets share every band ⇒ always candidates, with
+    // J = round(n/n, 6) = 1.0). On a duplicate-heavy corpus — the
+    // corpus dedup actually runs on — the banded join never sees the
+    // g² within-family candidate mass.
+    val arr0 = sh.groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("__arr"))
       .withColumn("__n", size(col("__arr")).cast("long"))
-      // LAZY localCheckpoint, not persist: CacheManager entries outlive
-      // the query until an explicit clearCache (a leak for every
-      // long-lived session caller); checkpoint blocks are freed by the
-      // ContextCleaner once the plan is unreachable. Lazy (eager=false)
-      // so the array build overlaps the first consumer instead of
-      // running as a separate up-front job.
-      .localCheckpoint(false)
-    cand
+    val grouped = collapseIdenticalSets(arr0, idCol)
+    val arr = grouped.select(col("__gid").as(idCol), col("__arr"),
+      col("__n"))
+    val repSh = arr.select(col(idCol), explode(col("__arr")).as("shingle"))
+    val cand = minhashCandidates(
+      minhashSignature(repSh, idCol, bands, rows), idCol, bands, rows)
+    // exact verify over the compact per-rep array with codegen'd
+    // array_intersect — never O(pairs × |doc|) join rows
+    val repPairs = cand
       .join(arr.select(col(idCol).as("doc_a"), col("__arr").as("__aa"),
         col("__n").as("__na")), "doc_a")
       .join(arr.select(col(idCol).as("doc_b"), col("__arr").as("__ab"),
@@ -326,6 +409,7 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"),
         round(col("__c").cast("double") /
           (col("__na") + col("__nb") - col("__c")), 6).as("jaccard"))
+    expandPairs(repPairs, grouped, "jaccard", oriented = false)
   }
 
   /** Cluster-representative selection: given per-doc cluster labels
@@ -403,17 +487,20 @@ object DedupOps {
     // EXPLODED stream instead measured slower than re-deriving it under
     // executor memory pressure — compactness is what makes the cache
     // pay for itself.)
-    val arr = shingles(df, idCol, textCol)
+    // Identical shingle sets additionally COLLAPSE to one
+    // representative (the q419 weighted-distinct trick): prefix,
+    // b-side and verify run on distinct sets only, and the directed
+    // id-level pairs re-expand from group membership at the end —
+    // bit-identical output (identical sets: containment = 1.0 both
+    // ways, always candidates), never the g² within-family candidate
+    // mass on a duplicate-heavy corpus.
+    val arr0 = shingles(df, idCol, textCol)
       .groupBy(col(idCol))
       .agg(collect_list(col("shingle")).as("__arr"))
       .withColumn("__n", size(col("__arr")).cast("long"))
-      // LAZY localCheckpoint, not persist: CacheManager entries outlive
-      // the query until an explicit clearCache (a leak for every
-      // long-lived session caller); checkpoint blocks are freed by the
-      // ContextCleaner once the plan is unreachable. Lazy (eager=false)
-      // so the array build overlaps the first consumer instead of
-      // running as a separate up-front job.
-      .localCheckpoint(false)
+    val grouped = collapseIdenticalSets(arr0, idCol)
+    val arr = grouped.select(col("__gid").as(idCol), col("__arr"),
+      col("__n"))
     val exploded = arr.select(col(idCol), col("__n"),
       explode(col("__arr")).as("shingle"))
     val freq = exploded.groupBy(col("shingle")).agg(count(lit(1)).as("__tf"))
@@ -434,7 +521,7 @@ object DedupOps {
       .select("doc_a", "doc_b", "__na").distinct()
     // exact verify: codegen'd array intersection on candidate pairs
     // only — no re-explosion, no O(pairs × |doc|) join rows
-    cand
+    val repPairs = cand
       .join(arr.select(col(idCol).as("doc_a"), col("__arr").as("__aa")), "doc_a")
       .join(arr.select(col(idCol).as("doc_b"), col("__arr").as("__ab")), "doc_b")
       .withColumn("__inter",
@@ -442,6 +529,10 @@ object DedupOps {
       .filter(col("__inter").cast("double") >= lit(t) * col("__na"))
       .select(col("doc_a"), col("doc_b"),
         round(col("__inter").cast("double") / col("__na"), 6).as("containment"))
+    // oriented: containment is asymmetric — keep rep-pair direction
+    // and emit both within-group directions (identical sets contain
+    // each other at exactly 1.0).
+    expandPairs(repPairs, grouped, "containment", oriented = true)
   }
 
   /** Survivorship / golden-record merge: given per-record cluster
@@ -1294,7 +1385,17 @@ object DedupOps {
     // the two documents' shingle sets and the label spine would
     // duplicate, corrupting jaccard and join fan-out. The mapping is
     // injective per snapshot; shiftright/&1 decode it (floor semantics
-    // hold for negative ids too).
+    // hold for negative ids too). FAIL FAST on non-integral id types:
+    // a string id would cast to null and silently corrupt the spine
+    // instead of erroring (|id| must also stay < 2⁶²; doc ids do).
+    Seq(("old", dfOld), ("new", dfNew)).foreach { case (tag, d) =>
+      val dt = d.schema(idCol).dataType
+      require(Seq(org.apache.spark.sql.types.ByteType,
+          org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType,
+          org.apache.spark.sql.types.LongType).contains(dt),
+        s"reciprocalBestMatch needs an integral $idCol ($tag side is $dt)")
+    }
     val tagged = dfOld.select(col(idCol), col(srcCol), col(textCol))
       .withColumn("__new", lit(0))
       .unionAll(dfNew.select(col(idCol), col(srcCol), col(textCol))

@@ -200,27 +200,41 @@ object RetrievalOps {
     * user, `n` items drawn md5-uniformly from the catalog MINUS the
     * user's seen set. The draw order is a per-(user, item) hash, so the
     * sample is stable under re-runs and re-partitioning — resuming a
-    * training job regenerates the same negatives. Pair volume is
-    * users × catalog before the rank filter: broadcast the catalog
-    * (items are the small side in any recsys) and cap with the window —
-    * never materialize the full grid.
+    * training job regenerates the same negatives.
+    *
+    * Scale: the grid STREAMS map-side (broadcast catalog, never
+    * materialized), and the per-user selection is a bounded
+    * [[graft.functions.TopKAggregator]] hash aggregation — ≤ n
+    * candidates per user survive each partition, so nothing ever sorts
+    * or shuffles ~|catalog| rows per user (the window form did). The
+    * aggregator's (score desc, id asc) contract ordered by the NEGATED
+    * hash reproduces the original (hash asc, item asc) draw
+    * bit-for-bit: the 32-bit hash is exact in a double.
     */
   def negativeSample(seen: DataFrame, items: DataFrame, userCol: String,
                      itemCol: String, n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // integral item ids only: the bounded aggregator carries Long ids,
+    // and a silent string cast would null the draw.
+    val itemType = items.schema(itemCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(itemType),
+      s"negativeSample needs an integral $itemCol (got $itemType)")
     val users = seen.select(col(userCol)).distinct()
     // distinct catalog: duplicate item rows would emit duplicate
-    // (user, item) negatives AND burn sample slots (rn counts them)
+    // (user, item) negatives AND burn sample slots
     val grid = users.crossJoin(broadcast(items.select(col(itemCol)).distinct()))
       .join(seen.select(col(userCol), col(itemCol)),
         Seq(userCol, itemCol), "left_anti")
       .withColumn("__u", conv(substring(md5(concat_ws("|",
         col(userCol).cast("string"), col(itemCol).cast("string"))), 1, 8),
         16, 10).cast("long"))
-    grid.withColumn("__rn", row_number().over(Window.partitionBy(col(userCol))
-        .orderBy(col("__u"), col(itemCol))))
-      .filter(col("__rn") <= n)
-      .select(col(userCol), col(itemCol))
+    grid.groupBy(col(userCol))
+      .agg(graft.functions.TopKAggregator.topK(n,
+        -col("__u").cast("double"), col(itemCol).cast("long")).as("__top"))
+      .select(col(userCol), explode(col("__top")).as("__t"))
+      .select(col(userCol), col("__t.id").cast(itemType).as(itemCol))
   }
 
   /** R3: hybrid recall — union channels, sum boosted scores, top-k.

@@ -72,6 +72,25 @@ object SimilarityOps {
       .select(col("vec_id"), col("t.id").as("neighbor_id"),
         round(col("t.score"), 6).as("sim"))
 
+  /** Count-stepped sign-bucket width schedule — THE scale dial every
+    * bucketed ANN consumer rides: `bits = 4 (+2 if n ≥ 1000)
+    * (+2 if n ≥ 8000)`, the measured BENCHLOG trade (each +2 bits ≈ 3×
+    * cheaper pair stage at equal output on the test embeddings; n×10
+    * with cells×64 keeps the candidate stage flat). At 100 TB the
+    * schedule continues as bits ≈ log2(n / target_cell_size), with
+    * recall recovered by the multi-probe levels (measured per corpus by
+    * q438/q439). The count is ONE driver-side scalar (the
+    * planner-statistic read, same sanctioned class as the 1-row
+    * train-stats collects); everything downstream is the standard probe
+    * equi-join. Oracle-deterministic: the DuckDB twins compute the same
+    * width from count(*) (the q436 `bb` CTE), so both engines pick the
+    * same geometry at every SF.
+    */
+  def adaptiveSignBits(df: DataFrame): Int = {
+    val n = df.count()
+    4 + (if (n >= 1000) 2 else 0) + (if (n >= 8000) 2 else 0)
+  }
+
   /** Sign-pattern coarse quantizer over the leading dimensions. */
   private def signBucket(signBits: Int): Column =
     (0 until signBits)
@@ -230,11 +249,8 @@ object SimilarityOps {
     * everything downstream is the standard probe equi-join.
     */
   def annTopKAdaptive(df: DataFrame, idCol: String, embCol: String,
-                      k: Int): DataFrame = {
-    val n = df.count()
-    val bits = 4 + (if (n >= 1000) 2 else 0) + (if (n >= 8000) 2 else 0)
-    annTopKMultiProbe(df, idCol, embCol, k, bits)
-  }
+                      k: Int): DataFrame =
+    annTopKMultiProbe(df, idCol, embCol, k, adaptiveSignBits(df))
 
   /** Hamming-≤2 multi-probe IVF ANN — the next notch of the
     * recall/cost dial after [[annTopKMultiProbe]]: each query vector
@@ -1543,11 +1559,8 @@ object SimilarityOps {
     */
   def annRecallAuditAdaptive(df: DataFrame, idCol: String,
                              embCol: String, k: Int,
-                             sampleMod: Int = 20): DataFrame = {
-    val n = df.count()
-    val bits = 4 + (if (n >= 1000) 2 else 0) + (if (n >= 8000) 2 else 0)
-    annRecallAudit(df, idCol, embCol, k, bits, sampleMod)
-  }
+                             sampleMod: Int = 20): DataFrame =
+    annRecallAudit(df, idCol, embCol, k, adaptiveSignBits(df), sampleMod)
 
   def annRecallAudit(df: DataFrame, idCol: String, embCol: String,
                      k: Int, signBits: Int = 4,
@@ -1583,6 +1596,12 @@ object SimilarityOps {
         .cast("decimal(20,8)")).as(s"__p$j"))
     df.select(col(idCol).as("id"),
         expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("__e"))
+      // NOT for determinism (DECIMAL plane sums are exact and
+      // order-independent): hash-spread the vectors BEFORE the 64-way
+      // dim explode + broadcast join + partial agg — the expensive
+      // stage — so a single small parquet input split doesn't run it
+      // on one thread. Pre-explode rows are 64× cheaper to shuffle
+      // than post-explode; the later groupBy only moves partials.
       .repartition(col("id"))
       .select(col("id"), posexplode(col("__e")).as(Seq("__i", "__x")))
       .join(signDf, "__i")
@@ -1602,8 +1621,7 @@ object SimilarityOps {
   def annRecallAuditSrpAdaptive(df: DataFrame, idCol: String,
                                 embCol: String, k: Int,
                                 sampleMod: Int = 20): DataFrame = {
-    val cnt = df.count()
-    val bits = 4 + (if (cnt >= 1000) 2 else 0) + (if (cnt >= 8000) 2 else 0)
+    val bits = adaptiveSignBits(df)
     val n = normalized(df, idCol, embCol)
       .join(srpMaskTable(df, idCol, embCol, bits), "id")
       .localCheckpoint(false)

@@ -35,10 +35,17 @@ object StreamingServingSnapshot {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, it: Iterator[Ev], state: GroupState[SnapState]) =>
           val st = state.getOption.getOrElse(SnapState(Nil, 0L))
-          var buf = st.events
-          for (e <- it.toSeq.sortBy(e => (e.ts, e.event_id)))
-            buf = (buf :+ ((e.ts, e.event_id, e.item, e.label)))
-              .takeRight(frameLen)
+          // MERGE incoming with the buffered frame by (ts, event_id),
+          // then keep the last frameLen: a late event arriving in a
+          // later micro-batch slots into timestamp order instead of
+          // appending after newer rows — the batch twin orders
+          // globally. Cheap: ≤ frameLen + batch tuples per user.
+          // Lateness beyond the retained frame is unrecoverable by
+          // construction (the ring already forgot that prefix);
+          // within-frame lateness lands exactly where batch puts it.
+          val incoming = it.map(e => (e.ts, e.event_id, e.item, e.label))
+          val buf = (st.events ++ incoming)
+            .sortBy(t => (t._1, t._2)).takeRight(frameLen)
           val ver = st.ver + 1
           state.update(SnapState(buf, ver))
           buf.groupBy(_._3).map { case (item, evs) =>
