@@ -4705,7 +4705,11 @@ object OracleSql {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
         |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
         |  CAST(list_sum(list_transform(range(bits),
@@ -6569,7 +6573,11 @@ object OracleSql {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
         |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
         |  CAST(list_sum(list_transform(range(bits),
@@ -6600,7 +6608,11 @@ object OracleSql {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
         |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
         |  CAST(list_sum(list_transform(range(bits),
@@ -6653,7 +6665,11 @@ object OracleSql {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
         |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
         |  CAST(list_sum(list_transform(range(bits),
@@ -8406,7 +8422,11 @@ object OracleSql {
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
          |  FROM embeddings),
          |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
-         |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+         |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
          |  FROM e),
          |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
          |  CAST(list_sum(list_transform(range(bits),
@@ -8595,7 +8615,11 @@ object OracleSql {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
         |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
         |  sqrt(list_dot_product(emb[1:8], emb[1:8])) AS n8,
@@ -8739,7 +8763,11 @@ object OracleSql {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
         |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
         |s AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
         |  list_min(emb) AS mn,
@@ -8814,7 +8842,11 @@ object OracleSql {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
         |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
         |s AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
         |  list_min(emb) AS mn,
@@ -9303,7 +9335,11 @@ object OracleSql {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
         |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
         |n AS (SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
         |  CAST(list_sum(list_transform(range(bits),
@@ -9700,7 +9736,11 @@ object OracleSql {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
         |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
         |n AS (SELECT vec_id, emb,
         |    sqrt(list_dot_product(emb, emb)) AS nrm,
@@ -9755,7 +9795,11 @@ object OracleSql {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
         |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
         |n AS (SELECT vec_id, emb,
         |    sqrt(list_dot_product(emb, emb)) AS nrm,
@@ -9809,7 +9853,11 @@ object OracleSql {
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
         |  FROM embeddings),
         |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 8000 THEN 2 ELSE 0 END) AS bits
+        |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
         |  FROM e),
         |signs AS (SELECT i, j,
         |    CASE WHEN substr(md5(i || ':' || j), 1, 1) < '8'

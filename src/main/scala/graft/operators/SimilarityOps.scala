@@ -73,22 +73,27 @@ object SimilarityOps {
         round(col("t.score"), 6).as("sim"))
 
   /** Count-stepped sign-bucket width schedule — THE scale dial every
-    * bucketed ANN consumer rides: `bits = 4 (+2 if n ≥ 1000)
-    * (+2 if n ≥ 8000)`, the measured BENCHLOG trade (each +2 bits ≈ 3×
-    * cheaper pair stage at equal output on the test embeddings; n×10
-    * with cells×64 keeps the candidate stage flat). At 100 TB the
-    * schedule continues as bits ≈ log2(n / target_cell_size), with
-    * recall recovered by the multi-probe levels (measured per corpus by
-    * q438/q439). The count is ONE driver-side scalar (the
-    * planner-statistic read, same sanctioned class as the 1-row
-    * train-stats collects); everything downstream is the standard probe
-    * equi-join. Oracle-deterministic: the DuckDB twins compute the same
-    * width from count(*) (the q436 `bb` CTE), so both engines pick the
-    * same geometry at every SF.
+    * bucketed ANN consumer rides: +2 bits at each 4× count threshold
+    * (1e3, 4e3, 16e3, 64e3, 256e3, 1.024e6), so the cell count grows
+    * ∝ n and the average cell stays ~16 vectors at ANY corpus size —
+    * the pair stage is (bits+1)·cell·n ≈ n·log n, never Σ cell² ≈ n².
+    * Round-10 probe: the coarser 4/6/8 schedule capped at 8 bits left
+    * 20k vectors in 78-vector cells and the mutual-kNN pair stage at
+    * ×18-25 per 10× data; per-4× stepping holds the family in the
+    * linear band (BENCHLOG round-10 table). The 16-bit cap (n ≥ 1.024e6)
+    * still fits the 64-dim sign quantizer and the INT bucket id; past
+    * ~4M vectors per index shard, shard the index (the 100 TB layout)
+    * rather than widening further. Recall at the fixed ~16-vector cell
+    * is measured per corpus by q438/q439. The count is ONE driver-side
+    * scalar (the planner-statistic read, same sanctioned class as the
+    * 1-row train-stats collects); everything downstream is the standard
+    * probe equi-join. Oracle-deterministic: the DuckDB twins compute
+    * the same width from count(*) (the q436 `bb` CTE), so both engines
+    * pick the same geometry at every SF.
     */
   def adaptiveSignBits(df: DataFrame): Int = {
     val n = df.count()
-    4 + (if (n >= 1000) 2 else 0) + (if (n >= 8000) 2 else 0)
+    4 + 2 * Seq(1000L, 4000L, 16000L, 64000L, 256000L, 1024000L).count(n >= _)
   }
 
   /** Sign-pattern coarse quantizer over the leading dimensions. */
@@ -1670,5 +1675,152 @@ object SimilarityOps {
       .select(col("level"), col("__nq").as("n_queries"), col("n_hits"),
         expr(s"CAST((n_hits * 2000000 + $k * __nq) " +
           s"div (2 * $k * __nq) AS BIGINT)").as("recall_ppm"))
+  }
+
+  // ------------------------------------------------------------- IVF
+  // Trained coarse quantizer: the data-DEPENDENT counterpart of the
+  // sign-bucket family. Sign buckets are free but geometry-blind; a
+  // k-means codebook adapts cells to the corpus density (the classic
+  // IVF index build). Everything below is exact INTEGER arithmetic on
+  // ppm-quantized embeddings, so the trained codebook — normally a
+  // float-nondeterminism minefield — is bit-reproducible cross-engine
+  // and carries a full DuckDB oracle twin (q440/q441).
+
+  /** (id, emb double[], nrm, qemb bigint[]) signature table: embeddings
+    * quantized to integer micro-units (ppm). Lloyd sums/means over
+    * BIGINT are exact and order-independent — no float accumulation
+    * order, no libm — which is what makes a TRAINED quantizer
+    * oracle-deterministic. ppm resolution (1e-6 of a coordinate) is far
+    * below any embedding's meaningful precision, and 64 dims of
+    * (2e6)²-scale squares stay ≤ 2.6e14 ≪ 2^63 per distance.
+    */
+  private def ppmQuantized(df: DataFrame, idCol: String,
+                           embCol: String): DataFrame =
+    normalized(df, idCol, embCol)
+      .withColumn("qemb",
+        expr("transform(emb, x -> CAST(round(x * 1000000) AS BIGINT))"))
+
+  /** Deterministic IVF seeding: the `kCent` vectors with the smallest
+    * (md5(id), id) — a data-independent uniform draw both engines
+    * replay exactly (the q109/q397 sampling idiom), picked by the
+    * BOUNDED global TopKAggregator, never a global sort.
+    */
+  private def ivfSeeds(e: DataFrame, kCent: Int): DataFrame =
+    e.withColumn("__u",
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .agg(graft.functions.TopKAggregator.topK(kCent,
+        -col("__u").cast("double"), col("id")).as("__top"))
+      .select(explode(col("__top")).as("t"))
+      .select(col("t.id").as("cid"))
+
+  /** Nearest-centroid assignment: one broadcast of the ≤kCent-row
+    * codebook onto the corpus (BroadcastNestedLoopJoin — n·kCent
+    * distance rows, never a shuffle of the corpus), exact integer
+    * squared-L2, argmin as min(struct(dist, cid)) — a hash agg with a
+    * deterministic (dist, cid) tiebreak, no window.
+    */
+  private def ivfAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.select(col("id"), col("qemb")).crossJoin(broadcast(cent))
+      .withColumn("__d", expr(
+        "aggregate(zip_with(qemb, cemb, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, v) -> acc + v)"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("__d"), col("cid"))).as("__m"))
+      .select(col("id"), col("__m.cid").as("cid"))
+
+  /** Lloyd update: per-(cell, dim) BIGINT sums + exact floor division
+    * (s − pmod(s, c)) div c — identical in any engine, unlike float
+    * means or truncating/flooring `/` disagreements. Cells that lost
+    * every member simply drop out of the codebook (standard k-means
+    * attrition; deterministic, mirrored by the oracle).
+    */
+  private def ivfUpdate(e: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.join(e.select(col("id"), col("qemb")), "id")
+      .select(col("cid"), posexplode(col("qemb")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .withColumn("val", expr("(s - pmod(s, c)) DIV c"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, val))), " +
+        "p -> p.val)").as("cemb"))
+
+  /** Train the IVF codebook: md5 seeds + `rounds` exact Lloyd rounds.
+    * Returns (signature table, final centroid table). Each centroid
+    * table is ≤kCent rows — localCheckpointed so the next round's
+    * broadcast replays a materialized table, not the whole lineage.
+    *
+    * Scale: each round is one broadcast-assign (n·kCent distance rows,
+    * map-side) + one (cell, dim) hash agg — linear in n per round. At
+    * 100 TB you train the codebook on an md5-sampled slice (the q397
+    * 1-in-N idiom) and only the final assignment sweeps the full
+    * corpus; kCent follows n/targetListSize like [[adaptiveSignBits]].
+    */
+  private def ivfFit(df: DataFrame, idCol: String, embCol: String,
+                     kCent: Int, rounds: Int): (DataFrame, DataFrame, DataFrame) = {
+    val e = ppmQuantized(df, idCol, embCol).localCheckpoint(false)
+    val c0 = ivfSeeds(e, kCent)
+      .join(e.select(col("id").as("cid"), col("qemb").as("cemb")), Seq("cid"))
+      .localCheckpoint(false)
+    val cents = Iterator.iterate(c0)(c =>
+      ivfUpdate(e, ivfAssign(e, c)).localCheckpoint(false))
+      .take(rounds + 1).toSeq
+    (e, cents(rounds), cents(rounds - 1))
+  }
+
+  /** IVF codebook training census — the trained-quantizer health
+    * report: per surviving cell, its final member count, centroid L1
+    * mass, and the last Lloyd round's L1 movement (the convergence
+    * signal an index build monitors). kCent/rounds are the dials;
+    * outputs are exact BIGINTs.
+    */
+  def ivfTrain(df: DataFrame, idCol: String, embCol: String,
+               kCent: Int, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "ivfTrain needs at least one Lloyd round")
+    val (e, cFinal, cPrev) = ivfFit(df, idCol, embCol, kCent, rounds)
+    val members = ivfAssign(e, cFinal).groupBy(col("cid"))
+      .agg(count(lit(1)).as("__n"))
+    cFinal.join(members, Seq("cid"), "left")
+      .join(cPrev.select(col("cid"), col("cemb").as("__prev")), Seq("cid"))
+      .select(col("cid"), coalesce(col("__n"), lit(0L)).as("n_members"),
+        expr("aggregate(cemb, 0L, (acc, x) -> acc + abs(x))")
+          .as("centroid_l1"),
+        expr("aggregate(zip_with(cemb, __prev, (a, b) -> abs(a - b)), " +
+          "0L, (acc, x) -> acc + x)").as("shift_l1"))
+      .orderBy(col("cid"))
+  }
+
+  /** ANN top-k over the TRAINED quantizer: index side sits in its
+    * nearest cell, query side probes its `nprobe` nearest cells
+    * (bounded TopKAggregator over the n·kCent distance rows), then one
+    * equi-join on the cell id and exact double cosine within — the
+    * same candidate-join discipline as the sign-bucket family, with
+    * data-adapted cells. Recall/cost dial = (kCent, nprobe).
+    */
+  def ivfAnnTopK(df: DataFrame, idCol: String, embCol: String, k: Int,
+                 kCent: Int, nprobe: Int = 2, rounds: Int = 2): DataFrame = {
+    val (e, cFinal, _) = ivfFit(df, idCol, embCol, kCent, rounds)
+    val home = ivfAssign(e, cFinal)
+    val probes = e.select(col("id"), col("qemb"))
+      .crossJoin(broadcast(cFinal))
+      .withColumn("__d", expr(
+        "aggregate(zip_with(qemb, cemb, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, v) -> acc + v)"))
+      .groupBy(col("id"))
+      .agg(graft.functions.TopKAggregator.topK(nprobe,
+        -col("__d").cast("double"), col("cid")).as("__top"))
+      .select(col("id"), explode(col("__top")).as("t"))
+      .select(col("id"), col("t.id").as("cid"))
+    val a = probes.join(e, "id")
+      .select(col("id").as("vec_id"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm"), col("cid"))
+    val b = home.join(e, "id")
+      .select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"), col("cid"))
+    val pairs = a.join(b, "cid")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+      .select(col("vec_id"), col("neighbor_id"), col("sim"))
+    selectTopK(pairs, k)
   }
 }

@@ -1097,6 +1097,23 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("no query's executed plan contains a cartesian product except the exact-kNN baselines") {
+    // q109's reworked draw: the per-user pick is the BOUNDED
+    // TopKAggregator hash agg (n entries of state per user, map-side
+    // partial merge), never a row_number window sorting the whole
+    // anti-joined users×catalog grid per user. The only window-free
+    // sort allowed is the final ORDER BY (rangepartitioning).
+    val neg = plan("q109_negative_sample")
+    neg.count()
+    val negExec = neg.queryExecution.executedPlan
+    assert(collectWithSubqueries(negExec) { case w: WindowExec => w }.isEmpty,
+      "q109 must not rank the users×catalog grid through a window")
+    val gridSorts = collectWithSubqueries(negExec) { case s: SortExec => s }
+      .filterNot(_.outputPartitioning.toString.contains("rangepartitioning"))
+    assert(gridSorts.isEmpty,
+      s"q109 must not sort the anti-joined grid (bounded hash agg only): $gridSorts")
+    assert(negExec.toString.contains("topK"),
+      "q109's per-user pick must be the bounded TopKAggregator")
+
     // Only THE declared exact-baseline form (q26) may cross-join; the
     // other exact forms were demoted to unit fixtures in round 9
     // (q34/q191/q194/q218 — their bucketed scale twins q60/q329-q331

@@ -76,6 +76,13 @@ class Round36OpsSpec extends SparkSpec {
       .orderBy("vec_id", "neighbor_id").collect().toSeq ==
       SimilarityOps.annTopKMultiProbe(emb, "vec_id", "embedding", 3, 6)
         .orderBy("vec_id", "neighbor_id").collect().toSeq)
+    // per-4x steps above the gate SFs: cells grow with n so the average
+    // cell stays ~16 vectors (the round-10 scale-probe fix); cap 16 bits
+    def bitsOf(n: Long): Int =
+      SimilarityOps.adaptiveSignBits(spark.range(n).toDF("x"))
+    assert(Seq(999L -> 4, 1000L -> 6, 3999L -> 6, 4000L -> 8,
+      16000L -> 10, 20000L -> 10, 64000L -> 12, 256000L -> 14,
+      1024000L -> 16, 5000000L -> 16).forall { case (n, b) => bitsOf(n) == b })
   }
 
   test("recommendFrom over the full log equals recommend; LOO eval " +
