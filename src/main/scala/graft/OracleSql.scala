@@ -186,6 +186,70 @@ object OracleSql {
   private def profileList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** q440/q441 shared trainer: exact-integer IVF Lloyd on
+    * ppm-quantized embeddings — md5-ranked seeds (kCent from the same
+    * count-stepped width schedule, kc = 2^(bits/2+1)), two unrolled
+    * rounds of assign (argmin of BIGINT squared-L2, (d, cid) tiebreak)
+    * + update (HUGEINT sums, exact floor-division means — the
+    * `(s − ((s % c + c) % c)) // c` form, since DuckDB `//` floors
+    * while Spark DIV truncates and only exact division agrees), then
+    * the final assignment a3 over the trained codebook c2.
+    */
+  private val ivfCtes =
+    """e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb,
+      |    list_transform(embedding::DOUBLE[],
+      |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qemb
+      |  FROM embeddings),
+      |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
+      |  FROM e),
+      |kk AS (SELECT CAST(1 << (bits // 2 + 1) AS BIGINT) AS kc FROM bb),
+      |rng AS (SELECT unnest(range(64)) AS i),
+      |hh AS (SELECT id, qemb,
+      |    ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT AS u FROM e),
+      |seeds AS (SELECT id AS cid, qemb AS cemb FROM
+      |    (SELECT id, qemb, row_number() OVER (ORDER BY u, id) AS rn
+      |     FROM hh)
+      |    CROSS JOIN kk WHERE rn <= kc),
+      |d1 AS (SELECT e.id, s.cid,
+      |    list_sum(list_transform(range(64), i ->
+      |      (e.qemb[i + 1] - s.cemb[i + 1])
+      |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+      |  FROM e CROSS JOIN seeds s),
+      |a1 AS (SELECT id, cid FROM (SELECT id, cid,
+      |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+      |  FROM d1) WHERE rn = 1),
+      |m1 AS (SELECT a1.cid, r.i AS dim, sum(e.qemb[r.i + 1]) AS s,
+      |    count(*) AS c
+      |  FROM a1 JOIN e USING (id) CROSS JOIN rng r GROUP BY a1.cid, r.i),
+      |c1 AS (SELECT cid, list(CAST((s - (((s % c) + c) % c)) // c
+      |    AS BIGINT) ORDER BY dim) AS cemb FROM m1 GROUP BY cid),
+      |d2 AS (SELECT e.id, s.cid,
+      |    list_sum(list_transform(range(64), i ->
+      |      (e.qemb[i + 1] - s.cemb[i + 1])
+      |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+      |  FROM e CROSS JOIN c1 s),
+      |a2 AS (SELECT id, cid FROM (SELECT id, cid,
+      |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+      |  FROM d2) WHERE rn = 1),
+      |m2 AS (SELECT a2.cid, r.i AS dim, sum(e.qemb[r.i + 1]) AS s,
+      |    count(*) AS c
+      |  FROM a2 JOIN e USING (id) CROSS JOIN rng r GROUP BY a2.cid, r.i),
+      |c2 AS (SELECT cid, list(CAST((s - (((s % c) + c) % c)) // c
+      |    AS BIGINT) ORDER BY dim) AS cemb FROM m2 GROUP BY cid),
+      |d3 AS (SELECT e.id, s.cid,
+      |    list_sum(list_transform(range(64), i ->
+      |      (e.qemb[i + 1] - s.cemb[i + 1])
+      |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+      |  FROM e CROSS JOIN c2 s),
+      |a3 AS (SELECT id, cid FROM (SELECT id, cid,
+      |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+      |  FROM d3) WHERE rn = 1)""".stripMargin
+
   val all: Map[String, String] = ListMap(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
@@ -9941,6 +10005,106 @@ object OracleSql {
          |    AS BIGINT) AS hit_rate_ppm,
          |  CAST((sum(rr) * 2 + count(*)) // (2 * count(*))
          |    AS BIGINT) AS mrr_ppm
-         |FROM pu""".stripMargin
+         |FROM pu""".stripMargin,
+
+    "q440_ivf_train" ->
+      s"""WITH $ivfCtes,
+         |mem AS (SELECT cid, count(*) AS n_members FROM a3 GROUP BY cid)
+         |SELECT c2.cid, coalesce(mem.n_members, 0) AS n_members,
+         |  CAST(list_sum(list_transform(c2.cemb, x -> abs(x)))
+         |    AS BIGINT) AS centroid_l1,
+         |  CAST(list_sum(list_transform(range(64), i ->
+         |    abs(c2.cemb[i + 1] - c1.cemb[i + 1]))) AS BIGINT)
+         |    AS shift_l1
+         |FROM c2 LEFT JOIN mem USING (cid) JOIN c1 USING (cid)
+         |ORDER BY cid""".stripMargin,
+
+    "q441_ivf_ann" ->
+      s"""WITH $ivfCtes,
+         |n AS (SELECT id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+         |  FROM e),
+         |pr AS (SELECT id, cid FROM (SELECT id, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM d3) WHERE rn <= 2),
+         |p AS (SELECT pr.id AS vec_id, a3.id AS neighbor_id,
+         |    list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) AS sim
+         |  FROM pr JOIN a3 ON pr.cid = a3.cid AND pr.id <> a3.id
+         |  JOIN n na ON na.id = pr.id JOIN n nb ON nb.id = a3.id),
+         |r AS (SELECT vec_id, neighbor_id, sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, neighbor_id) AS rn FROM p)
+         |SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM r
+         |WHERE rn <= 5 ORDER BY vec_id, neighbor_id""".stripMargin,
+
+    "q442_dupsubstr_census" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(t) AS n_tokens, t FROM b),
+        |pos AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' ||
+        |      t[i + 4] || ' ' || t[i + 5] AS s
+        |  FROM (SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
+        |        FROM base WHERE len(t) >= 5) z),
+        |dup AS (SELECT s FROM pos GROUP BY s HAVING count(*) >= 2),
+        |dp AS (SELECT p.doc_id, p.pos FROM pos p SEMI JOIN dup USING (s)),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > 4
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id
+        |      ORDER BY pos) AS prev FROM dp) z),
+        |sp AS (SELECT doc_id, g, count(*) AS r,
+        |    max(pos) - min(pos) + 5 AS cov
+        |  FROM isl GROUP BY doc_id, g),
+        |agg AS (SELECT doc_id, count(*) AS n_spans, max(r) AS longest_run,
+        |    sum(cov) AS dup_tokens FROM sp GROUP BY doc_id)
+        |SELECT base.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  coalesce(n_spans, 0) AS n_spans,
+        |  CAST(coalesce(longest_run, 0) AS BIGINT) AS longest_run,
+        |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+        |  CAST((coalesce(dup_tokens, 0) * 2000000 + n_tokens)
+        |    // (2 * n_tokens) AS BIGINT) AS dup_ppm
+        |FROM base LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q443_dupsubstr_excise" ->
+      """WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |base AS (SELECT doc_id, source, len(t) AS n_tokens, t FROM b),
+        |pos AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' ||
+        |      t[i + 4] || ' ' || t[i + 5] AS s
+        |  FROM (SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
+        |        FROM base WHERE len(t) >= 5) z),
+        |k AS (SELECT s, kid, kpos FROM (
+        |    SELECT s, doc_id AS kid, pos AS kpos,
+        |      count(*) OVER (PARTITION BY s) AS c,
+        |      row_number() OVER (PARTITION BY s
+        |        ORDER BY doc_id, pos) AS rn
+        |    FROM pos) z WHERE c >= 2 AND rn = 1),
+        |red AS (SELECT p.doc_id, p.pos FROM pos p JOIN k USING (s)
+        |  WHERE NOT (p.doc_id = k.kid AND p.pos = k.kpos)),
+        |isl AS (SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > 4
+        |        THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id
+        |      ORDER BY pos) AS prev FROM red) z),
+        |exc AS (SELECT doc_id, sum(cov) AS exc FROM (
+        |    SELECT doc_id, g, max(pos) - min(pos) + 5 AS cov
+        |    FROM isl GROUP BY doc_id, g) z GROUP BY doc_id),
+        |roll AS (SELECT source, count(*) AS n_docs,
+        |    sum(CASE WHEN exc IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS docs_affected,
+        |    sum(n_tokens) AS tokens_total,
+        |    sum(coalesce(exc, 0)) AS tokens_excised
+        |  FROM base LEFT JOIN exc USING (doc_id) GROUP BY source)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(docs_affected AS BIGINT) AS docs_affected,
+        |  CAST(tokens_total AS BIGINT) AS tokens_total,
+        |  CAST(tokens_excised AS BIGINT) AS tokens_excised,
+        |  CAST(((tokens_total - tokens_excised) * 2000000 + tokens_total)
+        |    // (2 * tokens_total) AS BIGINT) AS retained_ppm
+        |FROM roll ORDER BY source""".stripMargin
   )
 }

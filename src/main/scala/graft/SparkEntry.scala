@@ -4612,7 +4612,57 @@ object SparkEntry {
             "AS BIGINT)").as("hit_rate_ppm"),
           expr("CAST((__sr * 2 + n_users) div (2 * n_users) " +
             "AS BIGINT)").as("mrr_ppm"))
-    })
+    }),
+
+    // L377 — TRAINED IVF coarse quantizer, exact integer Lloyd: md5
+    // seeds, 2 Lloyd rounds over ppm-quantized embeddings (BIGINT
+    // sums + exact floor-division means, so the trained codebook is
+    // bit-reproducible cross-engine — no float accumulation order),
+    // census per surviving cell: member count, centroid L1 mass, the
+    // last round's L1 shift (the convergence signal). kCent rides the
+    // count-stepped width schedule (2^(bits/2+1): 8 at 500 vectors,
+    // 16 at 2000) — the data-ADAPTED counterpart of the sign-bucket
+    // quantizer.
+    "q440_ivf_train" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val kc = 1 << (SimilarityOps.adaptiveSignBits(emb) / 2 + 1)
+      SimilarityOps.ivfTrain(emb, "vec_id", "embedding", kc)
+    }),
+
+    // L378 — ANN top-5 over the TRAINED quantizer: index side sits in
+    // its nearest trained cell, query side probes its 2 nearest cells
+    // (bounded TopKAggregator over the broadcast codebook distances),
+    // then ONE equi-join on the cell id + exact double cosine within.
+    // Same candidate-join discipline as the sign-bucket family, cells
+    // adapted to corpus density; (kCent, nprobe) is the recall dial.
+    "q441_ivf_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val kc = 1 << (SimilarityOps.adaptiveSignBits(emb) / 2 + 1)
+      SimilarityOps.ivfAnnTopK(emb, "vec_id", "embedding", 5, kc)
+        .orderBy("vec_id", "neighbor_id")
+    }),
+
+    // L379 — corpus-INTERNAL duplicated-substring census (the Lee
+    // et al. 2022 exact-substring dedup signal): 5-gram occurrences
+    // seen ≥2 times anywhere in the corpus, merged per doc into
+    // maximal OVERLAP-aware spans (islands at gap ≤ 4, so the token
+    // coverage is the exact interval union, never > doc length);
+    // per-doc span count, longest span, covered tokens, ppm load.
+    "q442_dupsubstr_census" -> ((s, d) =>
+      DedupOps.dupSubstringCensus(Tables.documents(s, d), "doc_id",
+          "text", 5)
+        .orderBy("doc_id")),
+
+    // L380 — exact-substring EXCISION decision table: a 5-gram
+    // occurrence is redundant iff it is not the corpus-global FIRST
+    // occurrence (min (doc, pos) keeper — deterministic cross-engine);
+    // redundant positions merge into per-doc interval-union spans and
+    // roll up per source to the tokens a substring-dedup pass would
+    // remove — the before/after budget such a run is approved on.
+    "q443_dupsubstr_excise" -> ((s, d) =>
+      DedupOps.dupSubstringExcise(Tables.documents(s, d), "doc_id",
+          "text", "source", 5)
+        .orderBy("source"))
   )
 
   // ------------------------------------------------------------- oracles

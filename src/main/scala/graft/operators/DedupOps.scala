@@ -1599,4 +1599,122 @@ object DedupOps {
       .agg(count(lit(1)).as("n_clusters"), sum(col("__sz")).as("n_docs"),
         max(col("__sz")).as("max_cluster"))
   }
+
+  /** Corpus-INTERNAL duplicated-substring census — the exact-substring
+    * dedup signal of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), re-expressed relationally: an
+    * n-token gram is DUPLICATED if it occurs ≥2 times anywhere in the
+    * corpus (across docs or repeated inside one); per doc, the
+    * duplicated gram positions merge into maximal spans via
+    * gaps-and-islands under the per-DOC window, and the span token
+    * coverage over the doc length is the per-doc duplication load the
+    * excision decision reads. Differs from [[contaminationSpans]]
+    * (matches vs an EXTERNAL benchmark set) — this is the
+    * train-on-itself redundancy measure.
+    *
+    * Scale: one tokenize pass (localCheckpoint'd — the global gram
+    * census and the per-doc positions both read it); "duplicated" is a
+    * groupBy(gram) count + semi-join back (never a pair join — a gram
+    * in g docs costs g rows, not g²); islands are per-doc windows. At
+    * 100 TB the gram census groups on md5(gram) to cut shuffle bytes
+    * (same trick as [[exactDedup]]).
+    */
+  def dupSubstringCensus(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
+    val grams = (0 until n).map(j => s"t[i + $j]").mkString(", ")
+    val base = df.withColumn("t", split(col(textCol), " "))
+      .select(col(idCol), size(col("t")).as("n_tokens"), col("t"))
+      .localCheckpoint(false)
+    val pos = base.filter(col("n_tokens") >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(t) - $n), " +
+          s"i -> concat_ws(' ', $grams))")).as(Seq("pos", "s")))
+      .localCheckpoint(false)
+    val dup = pos.groupBy(col("s")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2).select("s")
+    // islands merge positions whose n-token intervals OVERLAP
+    // (gap ≤ n − 1) — the plain pos − row_number trick would count
+    // overlapping interval tails twice and overshoot the doc length.
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val spans = pos.join(dup, Seq("s"), "left_semi")
+      .withColumn("__new", when(coalesce(col("pos") -
+        lag(col("pos"), 1).over(wDoc), lit(n)) > n - 1, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(count(lit(1)).as("__r"),
+        (max(col("pos")) - min(col("pos")) + n).as("__cov"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"), max(col("__r")).as("longest_run"),
+        sum(col("__cov")).as("dup_tokens"))
+    base.select(col(idCol), col("n_tokens"))
+      .join(spans, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_ppm", expr(
+        "CAST((dup_tokens * 2000000 + n_tokens) div (2 * n_tokens) " +
+          "AS BIGINT)"))
+  }
+
+  /** Exact-substring EXCISION decision table (the other half of Lee
+    * et al.): an n-gram OCCURRENCE is redundant iff it is not the
+    * corpus-global FIRST occurrence of that gram — min(doc, pos) per
+    * gram, a deterministic canonical keeper both engines agree on.
+    * Redundant positions merge into per-doc spans (gaps-and-islands),
+    * and the per-SOURCE roll-up reports how many tokens excising those
+    * spans would remove — the before/after budget a substring-dedup
+    * run is approved on.
+    *
+    * Scale: the keeper is one groupBy(gram) min(struct(doc, pos)) —
+    * again linear in occurrences, never pairwise; everything after is
+    * per-doc windows and one source-level agg.
+    */
+  def dupSubstringExcise(df: DataFrame, idCol: String, textCol: String,
+                         srcCol: String, n: Int = 3): DataFrame = {
+    val grams = (0 until n).map(j => s"t[i + $j]").mkString(", ")
+    val base = df.withColumn("t", split(col(textCol), " "))
+      .select(col(idCol), col(srcCol).as("source"),
+        size(col("t")).as("n_tokens"), col("t"))
+      .localCheckpoint(false)
+    val pos = base.filter(col("n_tokens") >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(t) - $n), " +
+          s"i -> concat_ws(' ', $grams))")).as(Seq("pos", "s")))
+      .localCheckpoint(false)
+    val keeper = pos.groupBy(col("s"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__k"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col("s"), col(s"__k.$idCol").as("__kid"),
+        col("__k.pos").as("__kpos"))
+    val redundant = pos.join(keeper, Seq("s"))
+      .filter(col(idCol) =!= col("__kid") || col("pos") =!= col("__kpos"))
+      .select(col(idCol), col("pos"))
+    // same overlap-aware islands as [[dupSubstringCensus]]: merge
+    // redundant positions whose n-token intervals overlap so the
+    // excised-token count is the exact interval-union size.
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val excised = redundant
+      .withColumn("__new", when(coalesce(col("pos") -
+        lag(col("pos"), 1).over(wDoc), lit(n)) > n - 1, 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg((max(col("pos")) - min(col("pos")) + n).as("__cov"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__cov")).as("__exc"))
+    base.select(col(idCol), col("source"), col("n_tokens"))
+      .join(excised, Seq(idCol), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__exc").isNotNull, 1L).otherwise(0L))
+          .as("docs_affected"),
+        sum(col("n_tokens").cast("long")).as("tokens_total"),
+        sum(coalesce(col("__exc"), lit(0L))).as("tokens_excised"))
+      .withColumn("retained_ppm", expr(
+        "CAST(((tokens_total - tokens_excised) * 2000000 + tokens_total)" +
+          " div (2 * tokens_total) AS BIGINT)"))
+  }
 }

@@ -1107,11 +1107,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val negExec = neg.queryExecution.executedPlan
     assert(collectWithSubqueries(negExec) { case w: WindowExec => w }.isEmpty,
       "q109 must not rank the users×catalog grid through a window")
-    val gridSorts = collectWithSubqueries(negExec) { case s: SortExec => s }
-      .filterNot(_.outputPartitioning.toString.contains("rangepartitioning"))
-    assert(gridSorts.isEmpty,
-      s"q109 must not sort the anti-joined grid (bounded hash agg only): $gridSorts")
-    assert(negExec.toString.contains("topK"),
+    val drawSorts = collectWithSubqueries(negExec) { case s: SortExec => s }
+      .filter(_.sortOrder.toString.contains("__u"))
+    assert(drawSorts.isEmpty,
+      s"q109 must not sort by the md5 draw (bounded hash agg only): $drawSorts")
+    assert(negExec.toString.toLowerCase.contains("topkaggregator"),
       "q109's per-user pick must be the bounded TopKAggregator")
 
     // Only THE declared exact-baseline form (q26) may cross-join; the
