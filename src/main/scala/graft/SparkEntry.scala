@@ -4662,7 +4662,19 @@ object SparkEntry {
     "q443_dupsubstr_excise" -> ((s, d) =>
       DedupOps.dupSubstringExcise(Tables.documents(s, d), "doc_id",
           "text", "source", 5)
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // L381 — measured recall certificate for the TRAINED quantizer
+    // (q440/q441's safety audit, the q438/q439 shape): recall@5 per
+    // nprobe 1/2/3 vs the 1-in-20-sampled exact ground truth. Read
+    // next to q438/q439, it measures whether density-adapted cells
+    // beat the data-independent sign planes at equal candidate cost.
+    "q444_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val kc = 1 << (SimilarityOps.adaptiveSignBits(emb) / 2 + 1)
+      SimilarityOps.ivfRecallAudit(emb, "vec_id", "embedding", 5, kc)
+        .orderBy("nprobe")
+    })
   )
 
   // ------------------------------------------------------------- oracles

@@ -1823,4 +1823,60 @@ object SimilarityOps {
       .select(col("vec_id"), col("neighbor_id"), col("sim"))
     selectTopK(pairs, k)
   }
+
+  /** Measured recall certificate for the TRAINED quantizer — the
+    * q438/q439 audit shape applied to [[ivfAnnTopK]]: recall@k per
+    * nprobe ∈ {1, 2, 3} against the exact top-k of a 1-in-`sampleMod`
+    * md5-class query sample (the sampled brute-force ground truth —
+    * same deliberate-cartesian whitelist class as q397/q438/q439).
+    * Read next to q438/q439 this answers the index-design question
+    * directly: does adapting cells to corpus density buy recall over
+    * the data-independent sign planes at equal candidate cost?
+    */
+  def ivfRecallAudit(df: DataFrame, idCol: String, embCol: String,
+                     k: Int, kCent: Int, sampleMod: Int = 20,
+                     rounds: Int = 2): DataFrame = {
+    val (e, cFinal, _) = ivfFit(df, idCol, embCol, kCent, rounds)
+    val home = ivfAssign(e, cFinal)
+    val q = e.filter(pmod(col("id"), lit(sampleMod)) === 0)
+      .localCheckpoint(false)
+    val exact = selectTopK(pairSim(q, e), k)
+      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
+    val pq = q.select(col("id"), col("qemb"))
+      .crossJoin(broadcast(cFinal))
+      .withColumn("__d", expr(
+        "aggregate(zip_with(qemb, cemb, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, v) -> acc + v)"))
+      .groupBy(col("id"))
+      .agg(graft.functions.TopKAggregator.topK(3,
+        -col("__d").cast("double"), col("cid")).as("__top"))
+      .select(col("id"), posexplode(col("__top")).as(Seq("__p", "t")))
+      .select(col("id").as("vec_id"), col("t.id").as("cid"),
+        (col("__p") + 1).cast("long").as("pr"))
+    val a = pq.join(q.select(col("id").as("vec_id"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm")), Seq("vec_id"))
+    val b = home.join(e, "id")
+      .select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"), col("cid"))
+    val cand = a.join(b, "cid")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+      .groupBy(col("vec_id"), col("neighbor_id"))
+      .agg(min(col("pr")).as("pr"), max(col("sim")).as("sim"))
+      // three nprobe filters read the candidate table.
+      .localCheckpoint(false)
+    val ann = Seq(1, 2, 3).map { lvl =>
+      selectTopK(cand.filter(col("pr") <= lvl)
+          .select(col("vec_id"), col("neighbor_id"), col("sim")), k)
+        .withColumn("nprobe", lit(lvl.toLong))
+    }.reduce(_ unionAll _)
+    val nq = q.agg(count(lit(1)).as("__nq"))
+    ann.join(exact, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(col("__e")).as("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("nprobe"), col("__nq").as("n_queries"), col("n_hits"),
+        expr(s"CAST((n_hits * 2000000 + $k * __nq) " +
+          s"div (2 * $k * __nq) AS BIGINT)").as("recall_ppm"))
+  }
 }

@@ -47,6 +47,20 @@ class IvfSpec extends SparkSpec {
     assert(ann == exact)
   }
 
+  test("ivfRecallAudit: probing every trained cell reaches exact " +
+    "recall; levels are monotone") {
+    val out = SimilarityOps.ivfRecallAudit(df, "vec_id", "embedding",
+        k = 2, kCent = 2, sampleMod = 1)
+      .orderBy("nprobe")
+      .collect().map(r => (r.getAs[Long]("nprobe"),
+        r.getAs[Long]("n_queries"), r.getAs[Long]("recall_ppm")))
+    assert(out.length == 3 && out.forall(_._2 == 6L))
+    // with only 2 trained cells, nprobe >= 2 covers the whole corpus
+    // -> the candidate top-k IS the exact top-k
+    assert(out(1)._3 == 1000000L && out(2)._3 == 1000000L)
+    assert(out(0)._3 <= out(1)._3)
+  }
+
   test("ivfTrain: kCent larger than the corpus keeps every vector a " +
     "surviving singleton cell with zero shift") {
     val out = SimilarityOps.ivfTrain(df, "vec_id", "embedding",

@@ -1123,9 +1123,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // ground truth); its ANN side stays an equi-join and is covered by
     // its own plan test. q438/q439 are the same audit machinery at the
     // adaptive width (leading-dim and SRP buckets) — same sampled
-    // exact side, same whitelist class.
+    // exact side, same whitelist class; q444 is that class again for
+    // the TRAINED quantizer (IVF nprobe recall vs the same 1-in-20
+    // sampled exact baseline).
     val allowed = Set("q26_cosine_topk", "q397_ann_recall",
-      "q438_ann_adaptive_recall", "q439_ann_srp_recall")
+      "q438_ann_adaptive_recall", "q439_ann_srp_recall",
+      "q444_ivf_recall")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val df = fn(spark, dir)
       val s = df.queryExecution.executedPlan.toString
