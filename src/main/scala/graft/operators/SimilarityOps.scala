@@ -1824,6 +1824,16 @@ object SimilarityOps {
     selectTopK(pairs, k)
   }
 
+  /** The trained codebook itself — (cid, cemb bigint[]) after `rounds`
+    * exact Lloyd rounds. ≤kCent rows: this is the artifact a serving
+    * layer freezes and folds into the map-only streaming assigner
+    * ([[graft.streaming.StreamingIvfAssign]]), the same
+    * train-batch / serve-stream split as the DSIR scorer.
+    */
+  def ivfCodebook(df: DataFrame, idCol: String, embCol: String,
+                  kCent: Int, rounds: Int = 2): DataFrame =
+    ivfFit(df, idCol, embCol, kCent, rounds)._2
+
   /** Measured recall certificate for the TRAINED quantizer — the
     * q438/q439 audit shape applied to [[ivfAnnTopK]]: recall@k per
     * nprobe ∈ {1, 2, 3} against the exact top-k of a 1-in-`sampleMod`

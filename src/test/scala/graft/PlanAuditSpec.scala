@@ -1103,7 +1103,9 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // anti-joined users×catalog grid per user. The only window-free
     // sort allowed is the final ORDER BY (rangepartitioning).
     val neg = plan("q109_negative_sample")
-    neg.count()
+    // collect() (not count()) so THIS queryExecution runs and its
+    // exchange metrics populate — count() executes a derived plan.
+    neg.collect()
     val negExec = neg.queryExecution.executedPlan
     assert(collectWithSubqueries(negExec) { case w: WindowExec => w }.isEmpty,
       "q109 must not rank the users×catalog grid through a window")
@@ -1113,6 +1115,28 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"q109 must not sort by the md5 draw (bounded hash agg only): $drawSorts")
     assert(negExec.toString.toLowerCase.contains("topkaggregator"),
       "q109's per-user pick must be the bounded TopKAggregator")
+    // VOLUME contract: the map-side partial topK bounds what the
+    // user-key exchange carries to ≤ k candidates per user per map
+    // task — the naive window form would shuffle the whole anti-joined
+    // users×catalog grid. Measured off the executed plan's shuffle
+    // write metrics (slack ×4 for map-task multiplicity at 4-way
+    // local parallelism).
+    val users = spark.read.parquet(s"$dir/orders.parquet")
+      .filter("o_custkey < 200").select("o_custkey").distinct().count()
+    val catalog = spark.read.parquet(s"$dir/part.parquet")
+      .filter("p_partkey < 500").count()
+    val topkExchanges = collectWithSubqueries(negExec) {
+      case s: ShuffleExchangeLike
+        if s.child.toString.contains("partial_topkaggregator") => s
+    }
+    assert(topkExchanges.nonEmpty, "expected the partial-topK exchange")
+    val written = topkExchanges.map(
+      _.metrics("shuffleRecordsWritten").value).sum
+    assert(written > 0 && written <= users * 5 * 4 * 4,
+      s"partial-topK exchange carried $written rows for $users users")
+    assert(written < users * catalog / 2,
+      s"exchange volume $written must be far below the " +
+        s"${users * catalog}-row grid")
 
     // Only THE declared exact-baseline form (q26) may cross-join; the
     // other exact forms were demoted to unit fixtures in round 9
