@@ -10147,6 +10147,31 @@ object OracleSql {
          |  CAST(n_hits AS BIGINT) AS n_hits,
          |  CAST((n_hits * 2000000 + 5 * nq) // (2 * 5 * nq) AS BIGINT)
          |    AS recall_ppm
-         |FROM h CROSS JOIN nq ORDER BY nprobe""".stripMargin
+         |FROM h CROSS JOIN nq ORDER BY nprobe""".stripMargin,
+
+    "q445_dupsubstr_provenance" ->
+      """WITH b AS (SELECT doc_id, source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, source, CAST(i AS INT) AS pos,
+        |    t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' ||
+        |      t[i + 4] || ' ' || t[i + 5] AS s
+        |  FROM (SELECT doc_id, source, t,
+        |        unnest(range(len(t) - 4)) AS i
+        |        FROM b WHERE len(t) >= 5) z),
+        |k AS (SELECT s, kid, kpos FROM (
+        |    SELECT s, doc_id AS kid, pos AS kpos,
+        |      count(*) OVER (PARTITION BY s) AS c,
+        |      row_number() OVER (PARTITION BY s
+        |        ORDER BY doc_id, pos) AS rn
+        |    FROM pos) z WHERE c >= 2 AND rn = 1),
+        |ks AS (SELECT k.s, k.kid, k.kpos, d.source AS src_from
+        |  FROM k JOIN (SELECT DISTINCT doc_id AS kid, source FROM
+        |    documents) d USING (kid))
+        |SELECT src_from, p.source AS src_to,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT p.s) AS BIGINT) AS n_grams
+        |FROM pos p JOIN ks USING (s)
+        |WHERE NOT (p.doc_id = ks.kid AND p.pos = ks.kpos)
+        |GROUP BY 1, 2 ORDER BY src_from, src_to""".stripMargin
   )
 }

@@ -4674,7 +4674,19 @@ object SparkEntry {
       val kc = 1 << (SimilarityOps.adaptiveSignBits(emb) / 2 + 1)
       SimilarityOps.ivfRecallAudit(emb, "vec_id", "embedding", 5, kc)
         .orderBy("nprobe")
-    })
+    }),
+
+    // L382 — substring PROVENANCE matrix: for every redundant 5-gram
+    // occurrence one (origin, copier) edge, origin = the source
+    // holding the corpus-global first occurrence (the q443 keeper).
+    // Row-heavy sources originate, column-heavy ones mirror — the
+    // DIRECTED, substring-granular sibling of q421's syndication
+    // graph; boilerplate and partial copies show here that whole-doc
+    // fingerprints never see. Linear in occurrences, never pairwise.
+    "q445_dupsubstr_provenance" -> ((s, d) =>
+      DedupOps.dupSubstringProvenance(Tables.documents(s, d), "doc_id",
+          "text", "source", 5)
+        .orderBy("src_from", "src_to"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -1717,4 +1717,47 @@ object DedupOps {
         "CAST(((tokens_total - tokens_excised) * 2000000 + tokens_total)" +
           " div (2 * tokens_total) AS BIGINT)"))
   }
+
+  /** Substring PROVENANCE matrix — the directional who-copies-whom
+    * census over duplicated n-grams: for every redundant occurrence,
+    * one (origin source, copier source) edge, where origin is the
+    * source holding the corpus-global FIRST occurrence of the gram
+    * (the [[dupSubstringExcise]] keeper). The aggregated matrix is the
+    * syndication read: a row-heavy source originates, a column-heavy
+    * one mirrors; the DIRECTED sibling of the exact-dup source graph
+    * (q421's PageRank input), at substring rather than whole-doc
+    * granularity — boilerplate and partial copies show here that
+    * whole-doc fingerprints never see.
+    *
+    * Scale: identical discipline to the excise op — one min(struct)
+    * keeper per gram, one equi-join back, one (from, to) hash agg;
+    * linear in gram occurrences, never pairwise.
+    */
+  def dupSubstringProvenance(df: DataFrame, idCol: String,
+                             textCol: String, srcCol: String,
+                             n: Int = 3): DataFrame = {
+    val grams = (0 until n).map(j => s"t[i + $j]").mkString(", ")
+    val pos = df.withColumn("t", split(col(textCol), " "))
+      .filter(size(col("t")) >= n)
+      .select(col(idCol), col(srcCol).as("__src"), posexplode(expr(
+        s"transform(sequence(0, size(t) - $n), " +
+          s"i -> concat_ws(' ', $grams))")).as(Seq("pos", "s")))
+      .localCheckpoint(false)
+    val keeper = pos.groupBy(col("s"))
+      .agg(min(struct(col(idCol), col("pos"))).as("__k"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") >= 2)
+      .select(col("s"), col(s"__k.$idCol").as("__kid"),
+        col("__k.pos").as("__kpos"))
+      // re-attach the keeper's source via an id-keyed join with the
+      // (small) distinct doc->source table, not by dragging source
+      // through the min(struct) (struct order must stay (doc, pos))
+      .join(df.select(col(idCol).as("__kid"),
+        col(srcCol).as("src_from")).distinct(), Seq("__kid"))
+    pos.join(keeper, Seq("s"))
+      .filter(col(idCol) =!= col("__kid") || col("pos") =!= col("__kpos"))
+      .groupBy(col("src_from"), col("__src").as("src_to"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("s")).as("n_grams"))
+  }
 }

@@ -59,4 +59,20 @@ class DupSubstrSpec extends SparkSpec {
       ("s1", 2L, 0L, 10L, 0L, 1000000L),
       ("s2", 2L, 2L, 13L, 10L, 230769L)))
   }
+
+  test("dupSubstringProvenance: directed origin->copier edges, " +
+    "self-copy kept as a diagonal entry") {
+    val out = DedupOps.dupSubstringProvenance(docs, "doc_id", "text",
+        "source", 5)
+      .orderBy("src_from", "src_to")
+      .collect().map(r => (r.getAs[String]("src_from"),
+        r.getAs[String]("src_to"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Long]("n_grams")))
+    // "a b c d e" originates at (doc1, s1), copied once by doc2 (s2);
+    // "m m m m m" originates at (doc4, s2) and repeats INSIDE doc4 —
+    // a within-source diagonal edge.
+    assert(out.toSeq == Seq(
+      ("s1", "s2", 1L, 1L),
+      ("s2", "s2", 1L, 1L)))
+  }
 }
