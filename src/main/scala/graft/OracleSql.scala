@@ -250,6 +250,39 @@ object OracleSql {
       |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
       |  FROM d3) WHERE rn = 1)""".stripMargin
 
+  /** One q446 ladder rung: the per-n keeper/island CTE chain (the
+    * q443 machinery with `n` inlined and names suffixed so four rungs
+    * coexist in one WITH list).
+    */
+  private def ladderRung(n: Int): String = {
+    val gram = (1 to n).map(j => s"t[i + $j]").mkString(" || ' ' || ")
+    s"""pos$n AS (SELECT doc_id, CAST(i AS INT) AS pos, $gram AS s
+       |  FROM (SELECT doc_id, t, unnest(range(len(t) - ${n - 1})) AS i
+       |        FROM base WHERE len(t) >= $n) z),
+       |k$n AS (SELECT s, kid, kpos FROM (
+       |    SELECT s, doc_id AS kid, pos AS kpos,
+       |      count(*) OVER (PARTITION BY s) AS c,
+       |      row_number() OVER (PARTITION BY s
+       |        ORDER BY doc_id, pos) AS rn
+       |    FROM pos$n) z WHERE c >= 2 AND rn = 1),
+       |red$n AS (SELECT p.doc_id, p.pos FROM pos$n p JOIN k$n USING (s)
+       |  WHERE NOT (p.doc_id = k$n.kid AND p.pos = k$n.kpos)),
+       |isl$n AS (SELECT doc_id, pos,
+       |    sum(CASE WHEN prev IS NULL OR pos - prev > ${n - 1}
+       |        THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS g
+       |  FROM (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id
+       |      ORDER BY pos) AS prev FROM red$n) z),
+       |exc$n AS (SELECT doc_id, g, max(pos) - min(pos) + $n AS cov
+       |  FROM isl$n GROUP BY doc_id, g),
+       |row$n AS (SELECT CAST($n AS BIGINT) AS n,
+       |  (SELECT count(*) FROM k$n) AS n_dup_grams,
+       |  (SELECT count(DISTINCT doc_id) FROM red$n) AS docs_affected,
+       |  tt.tokens_total,
+       |  coalesce((SELECT sum(cov) FROM exc$n), 0) AS tokens_excised
+       |  FROM tt)""".stripMargin
+  }
+
   val all: Map[String, String] = ListMap(
     "q01_scan_filter_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
@@ -10172,6 +10205,39 @@ object OracleSql {
         |  CAST(count(DISTINCT p.s) AS BIGINT) AS n_grams
         |FROM pos p JOIN ks USING (s)
         |WHERE NOT (p.doc_id = ks.kid AND p.pos = ks.kpos)
-        |GROUP BY 1, 2 ORDER BY src_from, src_to""".stripMargin
+        |GROUP BY 1, 2 ORDER BY src_from, src_to""".stripMargin,
+
+    "q446_dupsubstr_ladder" ->
+      s"""WITH b AS (SELECT doc_id, string_split(text, ' ') AS t
+         |  FROM documents),
+         |base AS (SELECT doc_id, len(t) AS n_tokens, t FROM b),
+         |tt AS (SELECT sum(len(t)) AS tokens_total FROM base),
+         |${Seq(3, 5, 7, 9).map(ladderRung).mkString(",\n")},
+         |u AS (SELECT * FROM row3 UNION ALL SELECT * FROM row5
+         |  UNION ALL SELECT * FROM row7 UNION ALL SELECT * FROM row9)
+         |SELECT n, CAST(n_dup_grams AS BIGINT) AS n_dup_grams,
+         |  CAST(docs_affected AS BIGINT) AS docs_affected,
+         |  CAST(tokens_total AS BIGINT) AS tokens_total,
+         |  CAST(tokens_excised AS BIGINT) AS tokens_excised,
+         |  CAST(((tokens_total - tokens_excised) * 2000000 +
+         |    tokens_total) // (2 * tokens_total) AS BIGINT)
+         |    AS retained_ppm
+         |FROM u ORDER BY n""".stripMargin,
+
+    "q447_gram_spectrum" ->
+      """WITH b AS (SELECT doc_id, string_split(text, ' ') AS t
+        |  FROM documents),
+        |pos AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |    t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] || ' ' ||
+        |      t[i + 4] || ' ' || t[i + 5] AS s
+        |  FROM (SELECT doc_id, t, unnest(range(len(t) - 4)) AS i
+        |        FROM b WHERE len(t) >= 5) z),
+        |c AS (SELECT s, count(*) AS c FROM pos GROUP BY s),
+        |o AS (SELECT CAST(length(bin(c)) - 1 AS INT) AS octave, c
+        |  FROM c)
+        |SELECT octave, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(c) AS BIGINT) AS n_occurrences,
+        |  CAST(max(c) AS BIGINT) AS max_count
+        |FROM o GROUP BY octave ORDER BY octave""".stripMargin
   )
 }

@@ -4686,7 +4686,29 @@ object SparkEntry {
     "q445_dupsubstr_provenance" -> ((s, d) =>
       DedupOps.dupSubstringProvenance(Tables.documents(s, d), "doc_id",
           "text", "source", 5)
-        .orderBy("src_from", "src_to"))
+        .orderBy("src_from", "src_to")),
+
+    // L383 — substring-length survival LADDER (the "choose L" table a
+    // substring-dedup run is tuned on): per candidate gram length
+    // n ∈ {3,5,7,9}, the corpus-level excision outcome — dup grams,
+    // docs touched, tokens the keeper excision removes, retention
+    // ppm. Short n over-excises, long n under-detects; the knee is
+    // corpus-specific and this is the q338/q339-style knob report
+    // that finds it.
+    "q446_dupsubstr_ladder" -> ((s, d) =>
+      DedupOps.dupSubstringLadder(Tables.documents(s, d), "doc_id",
+          "text")
+        .orderBy("n")),
+
+    // L384 — gram multiplicity SPECTRUM: octave histogram of per-gram
+    // occurrence counts (octave 0 = unique). The heavy high-octave
+    // tail is the boilerplate mass dedup must handle — the Σ bucket²
+    // blow-up the banding design notes cite, read directly off the
+    // corpus.
+    "q447_gram_spectrum" -> ((s, d) =>
+      DedupOps.gramMultiplicitySpectrum(Tables.documents(s, d),
+          "doc_id", "text", 5)
+        .orderBy("octave"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -1760,4 +1760,90 @@ object DedupOps {
       .agg(count(lit(1)).as("n_occurrences"),
         count_distinct(col("s")).as("n_grams"))
   }
+
+  /** Substring-length survival LADDER — the "choose L" design table a
+    * substring-dedup run is tuned on (Lee et al. used 50-token spans;
+    * the right L is corpus-specific): for each candidate gram length
+    * n, the corpus-level excision outcome — duplicated-gram count,
+    * docs touched, tokens the global-first-keeper excision would
+    * remove, retention ppm. Short n over-excises (every common phrase
+    * matches); long n under-detects; this table shows the knee. The
+    * q338/q339 advisor pattern applied to exact-substring dedup.
+    *
+    * Scale: one tokenize pass shared by every rung (localCheckpoint),
+    * then per rung the same linear keeper/island machinery as
+    * [[dupSubstringExcise]] — |ns| bounded corpus passes, no pair
+    * joins anywhere.
+    */
+  def dupSubstringLadder(df: DataFrame, idCol: String, textCol: String,
+                         ns: Seq[Int] = Seq(3, 5, 7, 9)): DataFrame = {
+    val base = df.withColumn("t", split(col(textCol), " "))
+      .select(col(idCol), size(col("t")).as("n_tokens"), col("t"))
+      .localCheckpoint(false)
+    val total = base.agg(sum(col("n_tokens").cast("long"))
+      .as("tokens_total"))
+    val rungs = ns.map { n =>
+      val grams = (0 until n).map(j => s"t[i + $j]").mkString(", ")
+      val pos = base.filter(col("n_tokens") >= n)
+        .select(col(idCol), posexplode(expr(
+          s"transform(sequence(0, size(t) - $n), " +
+            s"i -> concat_ws(' ', $grams))")).as(Seq("pos", "s")))
+        .localCheckpoint(false)
+      val keeper = pos.groupBy(col("s"))
+        .agg(min(struct(col(idCol), col("pos"))).as("__k"),
+          count(lit(1)).as("__c"))
+        .filter(col("__c") >= 2)
+        .select(col("s"), col(s"__k.$idCol").as("__kid"),
+          col("__k.pos").as("__kpos"))
+      val red = pos.join(keeper, Seq("s"))
+        .filter(col(idCol) =!= col("__kid") ||
+          col("pos") =!= col("__kpos"))
+        .select(col(idCol), col("pos"))
+      val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      val exc = red
+        .withColumn("__new", when(coalesce(col("pos") -
+          lag(col("pos"), 1).over(wDoc), lit(n)) > n - 1, 1L)
+          .otherwise(0L))
+        .withColumn("__isl", sum(col("__new")).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col(idCol), col("__isl"))
+        .agg((max(col("pos")) - min(col("pos")) + n).as("__cov"))
+      keeper.agg(count(lit(1)).as("n_dup_grams"))
+        .crossJoin(red.agg(count_distinct(col(idCol))
+          .as("docs_affected")))
+        .crossJoin(exc.agg(coalesce(sum(col("__cov")), lit(0L))
+          .as("tokens_excised")))
+        .crossJoin(broadcast(total))
+        .select(lit(n.toLong).as("n"), col("n_dup_grams"),
+          col("docs_affected"), col("tokens_total"),
+          col("tokens_excised"),
+          expr("CAST(((tokens_total - tokens_excised) * 2000000 + " +
+            "tokens_total) div (2 * tokens_total) AS BIGINT)")
+            .as("retained_ppm"))
+    }
+    rungs.reduce(_ unionAll _)
+  }
+
+  /** Gram multiplicity SPECTRUM: how duplicated is the corpus at gram
+    * granularity — octave histogram (⌊log2 count⌋ via bin-length, the
+    * [[clusterSizeSpectrum]] idiom) of the per-gram occurrence counts.
+    * Octave 0 = unique grams; a heavy high-octave tail is boilerplate
+    * mass that dedup must handle (and exactly what makes naive
+    * pair-joins explode — the Σ bucket² the banding design notes cite,
+    * read directly off the data).
+    */
+  def gramMultiplicitySpectrum(df: DataFrame, idCol: String,
+                               textCol: String, n: Int = 5): DataFrame = {
+    val grams = (0 until n).map(j => s"t[i + $j]").mkString(", ")
+    df.withColumn("t", split(col(textCol), " "))
+      .filter(size(col("t")) >= n)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(t) - $n), " +
+          s"i -> concat_ws(' ', $grams))")).as(Seq("pos", "s")))
+      .groupBy(col("s")).agg(count(lit(1)).as("__c"))
+      .withColumn("octave", (length(bin(col("__c"))) - 1).cast("int"))
+      .groupBy(col("octave"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("__c")).as("n_occurrences"),
+        max(col("__c")).as("max_count"))
+  }
 }

@@ -75,4 +75,37 @@ class DupSubstrSpec extends SparkSpec {
       ("s1", "s2", 1L, 1L),
       ("s2", "s2", 1L, 1L)))
   }
+
+  test("dupSubstringLadder: shorter grams over-excise, longer ones " +
+    "find nothing — the hand-traced survival curve") {
+    val out = DedupOps.dupSubstringLadder(docs, "doc_id", "text")
+      .orderBy("n")
+      .collect().map(r => (r.getAs[Long]("n"),
+        r.getAs[Long]("n_dup_grams"), r.getAs[Long]("docs_affected"),
+        r.getAs[Long]("tokens_total"), r.getAs[Long]("tokens_excised"),
+        r.getAs[Long]("retained_ppm")))
+    // n=3: dup grams {a b c, b c d, c d e, m m m} -> doc2 positions
+    // {1,2,3} and doc4 {1,2,3} each merge to one 5-token span ->
+    // 10 of 23 excised; n=5: the 2 dup grams excise the SAME 10
+    // tokens; n=7/9: doc1/doc2's single 7-grams differ and nothing
+    // duplicates -> full retention.
+    assert(out.toSeq == Seq(
+      (3L, 4L, 2L, 23L, 10L, 565217L),
+      (5L, 2L, 2L, 23L, 10L, 565217L),
+      (7L, 0L, 0L, 23L, 0L, 1000000L),
+      (9L, 0L, 0L, 23L, 0L, 1000000L)))
+  }
+
+  test("gramMultiplicitySpectrum: octave histogram of gram counts") {
+    val out = DedupOps.gramMultiplicitySpectrum(docs, "doc_id", "text", 5)
+      .orderBy("octave")
+      .collect().map(r => (r.getAs[Int]("octave"),
+        r.getAs[Long]("n_grams"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Long]("max_count")))
+    // 6 distinct 5-grams: 4 unique (octave 0) + 2 seen twice
+    // (octave 1: "a b c d e" cross-doc, "m m m m m" within-doc)
+    assert(out.toSeq == Seq(
+      (0, 4L, 4L, 1L),
+      (1, 2L, 4L, 2L)))
+  }
 }
