@@ -10238,6 +10238,77 @@ object OracleSql {
         |SELECT octave, CAST(count(*) AS BIGINT) AS n_grams,
         |  CAST(sum(c) AS BIGINT) AS n_occurrences,
         |  CAST(max(c) AS BIGINT) AS max_count
-        |FROM o GROUP BY octave ORDER BY octave""".stripMargin
+        |FROM o GROUP BY octave ORDER BY octave""".stripMargin,
+
+    "q448_ivf_sharded_ann" ->
+      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qemb,
+        |    CAST(embedding[1] > 0 AS INT) + CAST(embedding[2] > 0 AS INT) * 2
+        |      + CAST(embedding[3] > 0 AS INT) * 4
+        |      + CAST(embedding[4] > 0 AS INT) * 8 AS shard
+        |  FROM embeddings),
+        |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+        |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
+        |  FROM e),
+        |kk AS (SELECT greatest(2, (1 << (bits // 2 + 1)) // 4) AS kc FROM bb),
+        |hh AS (SELECT id, shard, qemb,
+        |    ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT AS u FROM e),
+        |seeds AS (SELECT shard, id AS cid, qemb AS cemb FROM
+        |    (SELECT shard, id, qemb, row_number() OVER (PARTITION BY shard
+        |       ORDER BY u, id) AS rn FROM hh)
+        |    CROSS JOIN kk WHERE rn <= kc),
+        |d1 AS (SELECT e.id, s.cid,
+        |    list_sum(list_transform(range(64), i ->
+        |      (e.qemb[i + 1] - s.cemb[i + 1]) * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+        |  FROM e JOIN seeds s ON e.shard = s.shard),
+        |a1 AS (SELECT id, cid FROM (SELECT id, cid,
+        |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+        |  FROM d1) z WHERE rn = 1),
+        |m1 AS (SELECT a1.cid, min(e.shard) AS shard, r.i AS dim,
+        |    sum(e.qemb[r.i + 1]) AS s, count(*) AS c
+        |  FROM a1 JOIN e USING (id)
+        |  CROSS JOIN (SELECT unnest(range(64)) AS i) r GROUP BY a1.cid, r.i),
+        |c1 AS (SELECT cid, min(shard) AS shard,
+        |    list(CAST((s - (((s % c) + c) % c)) // c AS BIGINT)
+        |      ORDER BY dim) AS cemb FROM m1 GROUP BY cid),
+        |d2 AS (SELECT e.id, s.cid,
+        |    list_sum(list_transform(range(64), i ->
+        |      (e.qemb[i + 1] - s.cemb[i + 1]) * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+        |  FROM e JOIN c1 s ON e.shard = s.shard),
+        |a2 AS (SELECT id, cid FROM (SELECT id, cid,
+        |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+        |  FROM d2) z WHERE rn = 1),
+        |m2 AS (SELECT a2.cid, min(e.shard) AS shard, r.i AS dim,
+        |    sum(e.qemb[r.i + 1]) AS s, count(*) AS c
+        |  FROM a2 JOIN e USING (id)
+        |  CROSS JOIN (SELECT unnest(range(64)) AS i) r GROUP BY a2.cid, r.i),
+        |c2 AS (SELECT cid, min(shard) AS shard,
+        |    list(CAST((s - (((s % c) + c) % c)) // c AS BIGINT)
+        |      ORDER BY dim) AS cemb FROM m2 GROUP BY cid),
+        |d3 AS (SELECT e.id, s.cid,
+        |    list_sum(list_transform(range(64), i ->
+        |      (e.qemb[i + 1] - s.cemb[i + 1]) * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+        |  FROM e JOIN c2 s ON e.shard = s.shard),
+        |a3 AS (SELECT id, cid FROM (SELECT id, cid,
+        |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+        |  FROM d3) z WHERE rn = 1),
+        |n AS (SELECT id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+        |pr AS (SELECT id, cid FROM (SELECT id, cid,
+        |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+        |  FROM d3) z WHERE rn <= 2),
+        |p AS (SELECT pr.id AS vec_id, a3.id AS neighbor_id,
+        |    list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) AS sim
+        |  FROM pr JOIN a3 ON pr.cid = a3.cid AND pr.id <> a3.id
+        |  JOIN n na ON na.id = pr.id JOIN n nb ON nb.id = a3.id),
+        |r AS (SELECT vec_id, neighbor_id, sim,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY sim DESC, neighbor_id) AS rn FROM p)
+        |SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM r
+        |WHERE rn <= 5 ORDER BY vec_id, neighbor_id""".stripMargin
   )
 }

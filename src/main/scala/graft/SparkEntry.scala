@@ -4708,7 +4708,23 @@ object SparkEntry {
     "q447_gram_spectrum" -> ((s, d) =>
       DedupOps.gramMultiplicitySpectrum(Tables.documents(s, d),
           "doc_id", "text", 5)
-        .orderBy("octave"))
+        .orderBy("octave")),
+
+    // L385 — SHARDED trained-IVF ANN (the IMI-style 100 TB layout of
+    // q441): 4 leading sign bits partition the corpus into 16 shards,
+    // each shard trains its OWN exact-integer codebook, and every
+    // assignment/probe is an equi-join on the shard id — the flat
+    // form's n·kCent broadcast sweep becomes n·kcPerShard with a
+    // bounded per-shard codebook at any corpus size. Search is
+    // shard-local (the standard IMI recall trade, measured per corpus
+    // the q444 way).
+    "q448_ivf_sharded_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val kc = math.max(2,
+        (1 << (SimilarityOps.adaptiveSignBits(emb) / 2 + 1)) / 4)
+      SimilarityOps.ivfAnnTopKSharded(emb, "vec_id", "embedding", 5, kc)
+        .orderBy("vec_id", "neighbor_id")
+    })
   )
 
   // ------------------------------------------------------------- oracles

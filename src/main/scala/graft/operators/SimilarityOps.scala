@@ -1834,6 +1834,89 @@ object SimilarityOps {
                   kCent: Int, rounds: Int = 2): DataFrame =
     ivfFit(df, idCol, embCol, kCent, rounds)._2
 
+  /** Sharded trained-IVF ANN — the IMI-style 100 TB layout for the
+    * q440 family: a data-INDEPENDENT first level (4 leading sign bits
+    * → 16 shards) partitions the corpus, then each shard trains its
+    * OWN exact-integer codebook and every assignment/probe compares a
+    * vector only against its shard's centroids (equi-join on the
+    * shard id — the flat form's broadcast-everything n·kCent sweep
+    * becomes n·kCentPerShard, and each shard's codebook stays bounded
+    * no matter how large the corpus grows; this is how the flat
+    * trainer's measured ×10 probe ratio is paid down at cluster
+    * scale). Search is shard-local (cross-shard neighbors are
+    * foregone, the standard IMI trade — the recall dial is
+    * (kcPerShard, nprobe) within the shard plus the first-level width,
+    * measured per corpus the q444 way). cid = seed vector id stays
+    * globally unique, so downstream joins key on cid alone.
+    */
+  def ivfAnnTopKSharded(df: DataFrame, idCol: String, embCol: String,
+                        k: Int, kcPerShard: Int, nprobe: Int = 2,
+                        rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "ivfAnnTopKSharded needs at least one round")
+    val shardCol = expr("CAST(emb[0] > 0 AS INT) " +
+      "+ CAST(emb[1] > 0 AS INT) * 2 + CAST(emb[2] > 0 AS INT) * 4 " +
+      "+ CAST(emb[3] > 0 AS INT) * 8")
+    val e = ppmQuantized(df, idCol, embCol)
+      .withColumn("shard", shardCol).localCheckpoint(false)
+    val seeds = e.withColumn("__u",
+        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .groupBy(col("shard"))
+      .agg(graft.functions.TopKAggregator.topK(kcPerShard,
+        -col("__u").cast("double"), col("id")).as("__top"))
+      .select(col("shard"), explode(col("__top")).as("t"))
+      .select(col("shard"), col("t.id").as("cid"))
+    val c0 = seeds
+      .join(e.select(col("id").as("cid"), col("qemb").as("cemb")),
+        Seq("cid"))
+      .localCheckpoint(false)
+    val qdist = expr(
+      "aggregate(zip_with(qemb, cemb, (x, y) -> (x - y) * (x - y)), " +
+        "0L, (acc, v) -> acc + v)")
+    def assign(cent: DataFrame): DataFrame =
+      e.select(col("id"), col("shard"), col("qemb"))
+        .join(broadcast(cent), Seq("shard"))
+        .withColumn("__d", qdist)
+        .groupBy(col("id"))
+        .agg(min(struct(col("__d"), col("cid"))).as("__m"))
+        .select(col("id"), col("__m.cid").as("cid"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(e.select(col("id"), col("shard"), col("qemb")), "id")
+        .select(col("cid"), col("shard"),
+          posexplode(col("qemb")).as(Seq("dim", "v")))
+        .groupBy(col("cid"), col("dim"))
+        .agg(min(col("shard")).as("shard"), sum(col("v")).as("s"),
+          count(lit(1)).as("c"))
+        .withColumn("val", expr("(s - pmod(s, c)) DIV c"))
+        .groupBy(col("cid"))
+        .agg(min(col("shard")).as("shard"),
+          expr("transform(array_sort(collect_list(struct(dim, val))), " +
+            "p -> p.val)").as("cemb"))
+    val cFinal = Iterator.iterate(c0)(c =>
+      update(assign(c)).localCheckpoint(false))
+      .drop(rounds).next()
+    val home = assign(cFinal)
+    val probes = e.select(col("id"), col("shard"), col("qemb"))
+      .join(broadcast(cFinal), Seq("shard"))
+      .withColumn("__d", qdist)
+      .groupBy(col("id"))
+      .agg(graft.functions.TopKAggregator.topK(nprobe,
+        -col("__d").cast("double"), col("cid")).as("__top"))
+      .select(col("id"), explode(col("__top")).as("t"))
+      .select(col("id"), col("t.id").as("cid"))
+    val a = probes.join(e, "id")
+      .select(col("id").as("vec_id"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm"), col("cid"))
+    val b = home.join(e, "id")
+      .select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"), col("cid"))
+    val pairs = a.join(b, "cid")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+      .select(col("vec_id"), col("neighbor_id"), col("sim"))
+    selectTopK(pairs, k)
+  }
+
   /** Measured recall certificate for the TRAINED quantizer — the
     * q438/q439 audit shape applied to [[ivfAnnTopK]]: recall@k per
     * nprobe ∈ {1, 2, 3} against the exact top-k of a 1-in-`sampleMod`

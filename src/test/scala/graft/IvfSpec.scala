@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.SimilarityOps
 
 /** Trained-IVF quantizer specs (q440/q441): exact-integer Lloyd on a
@@ -59,6 +61,39 @@ class IvfSpec extends SparkSpec {
     // -> the candidate top-k IS the exact top-k
     assert(out(1)._3 == 1000000L && out(2)._3 == 1000000L)
     assert(out(0)._3 <= out(1)._3)
+  }
+
+  test("ivfAnnTopKSharded: search stays shard-local and, with every " +
+    "shard cell probed, equals the per-shard exact baseline") {
+    // 4-dim vectors in three distinct sign-shards (shard = 4 leading
+    // sign bits) plus one singleton shard with no possible neighbor.
+    val sv = Seq(
+      10L -> Seq(1.0f, 0.1f, 0.1f, 0.1f),    // shard 15
+      11L -> Seq(0.9f, 0.2f, 0.1f, 0.1f),    // shard 15
+      12L -> Seq(1.1f, 0.1f, 0.2f, 0.1f),    // shard 15
+      20L -> Seq(-1.0f, 0.1f, 0.1f, 0.1f),   // shard 14
+      21L -> Seq(-0.9f, 0.2f, 0.1f, 0.1f),   // shard 14
+      30L -> Seq(0.5f, -0.5f, 0.5f, -0.5f),  // shard 5
+      31L -> Seq(0.6f, -0.4f, 0.5f, -0.5f),  // shard 5
+      40L -> Seq(-0.5f, -0.5f, -0.5f, -0.5f)) // shard 0 — alone
+    val sdf = sv.toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfAnnTopKSharded(sdf, "vec_id", "embedding",
+        k = 2, kcPerShard = 2, nprobe = 2)
+      .orderBy("vec_id", "neighbor_id").collect().toSeq
+    // with kcPerShard = 2 and nprobe = 2 every (≤3-vector) shard is
+    // fully probed, so the result must equal the exact cosine top-2
+    // restricted to each shard — and the singleton shard contributes
+    // nothing.
+    val shards = Seq(Seq(10L, 11L, 12L), Seq(20L, 21L), Seq(30L, 31L))
+    val expected = shards.flatMap { ids =>
+      SimilarityOps.cosineTopK(
+          sdf.filter(col("vec_id").isin(ids: _*)), "vec_id",
+          "embedding", 2)
+        .collect().toSeq
+    }.sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))) ==
+      expected.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    assert(!out.exists(r => r.getLong(0) == 40L || r.getLong(1) == 40L))
   }
 
   test("ivfTrain: kCent larger than the corpus keeps every vector a " +
