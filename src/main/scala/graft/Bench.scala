@@ -88,23 +88,25 @@ object Bench {
 
     // The stdout contract line MUST stay short: the harness keeps only the
     // last ~2000 chars of stdout (plus sbt's [success] footer) and parses
-    // the JSON out of that window — a full-name full-precision line with
-    // 100+ queries is ~5 KB and silently fails to parse. Compact keys
-    // (name prefix up to the first '_', e.g. q104) and 2-dp values keep
-    // the line ~1.5 KB; drop to 1 dp if it ever outgrows the window.
+    // the JSON out of that window. At 150+ queries even compact keys +
+    // 1-dp values outgrow it (round-9's line truncated to an unparseable
+    // tail), so the line carries the TOTAL plus the 40 slowest queries —
+    // the profile a reader acts on — and the full full-precision map
+    // stays in target/bench_detail.json (committed per round as
+    // bench_detail_r{N}_full.json).
     def fmt(v: Double, dp: Int): String = {
       val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
       s.bigDecimal.toPlainString
     }
-    def compactLine(dp: Int): String = {
-      val qs = results.map { case (k, v) =>
+    def compactLine(dp: Int, topN: Int): String = {
+      val qs = results.toSeq.sortBy(-_._2).take(topN).map { case (k, v) =>
         val key = k.takeWhile(_ != '_')
         s"\"" + key + "\":" + fmt(v, dp)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
     }
-    val line2 = compactLine(2)
-    println(if (line2.length <= 1800) line2 else compactLine(1))
+    val line2 = compactLine(2, 40)
+    println(if (line2.length <= 1800) line2 else compactLine(1, 25))
     spark.stop()
   }
 }
