@@ -195,7 +195,7 @@ object OracleSql {
     * while Spark DIV truncates and only exact division agrees), then
     * the final assignment a3 over the trained codebook c2.
     */
-  private val ivfCtes =
+  private val ivfBaseCtes =
     """e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb,
       |    list_transform(embedding::DOUBLE[],
       |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qemb
@@ -208,47 +208,158 @@ object OracleSql {
       |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
       |  FROM e),
       |kk AS (SELECT CAST(1 << (bits // 2 + 1) AS BIGINT) AS kc FROM bb),
-      |rng AS (SELECT unnest(range(64)) AS i),
-      |hh AS (SELECT id, qemb,
-      |    ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT AS u FROM e),
-      |seeds AS (SELECT id AS cid, qemb AS cemb FROM
-      |    (SELECT id, qemb, row_number() OVER (ORDER BY u, id) AS rn
-      |     FROM hh)
-      |    CROSS JOIN kk WHERE rn <= kc),
-      |d1 AS (SELECT e.id, s.cid,
-      |    list_sum(list_transform(range(64), i ->
-      |      (e.qemb[i + 1] - s.cemb[i + 1])
-      |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
-      |  FROM e CROSS JOIN seeds s),
-      |a1 AS (SELECT id, cid FROM (SELECT id, cid,
-      |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-      |  FROM d1) WHERE rn = 1),
-      |m1 AS (SELECT a1.cid, r.i AS dim, sum(e.qemb[r.i + 1]) AS s,
-      |    count(*) AS c
-      |  FROM a1 JOIN e USING (id) CROSS JOIN rng r GROUP BY a1.cid, r.i),
-      |c1 AS (SELECT cid, list(CAST((s - (((s % c) + c) % c)) // c
-      |    AS BIGINT) ORDER BY dim) AS cemb FROM m1 GROUP BY cid),
-      |d2 AS (SELECT e.id, s.cid,
-      |    list_sum(list_transform(range(64), i ->
-      |      (e.qemb[i + 1] - s.cemb[i + 1])
-      |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
-      |  FROM e CROSS JOIN c1 s),
-      |a2 AS (SELECT id, cid FROM (SELECT id, cid,
-      |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-      |  FROM d2) WHERE rn = 1),
-      |m2 AS (SELECT a2.cid, r.i AS dim, sum(e.qemb[r.i + 1]) AS s,
-      |    count(*) AS c
-      |  FROM a2 JOIN e USING (id) CROSS JOIN rng r GROUP BY a2.cid, r.i),
-      |c2 AS (SELECT cid, list(CAST((s - (((s % c) + c) % c)) // c
-      |    AS BIGINT) ORDER BY dim) AS cemb FROM m2 GROUP BY cid),
-      |d3 AS (SELECT e.id, s.cid,
-      |    list_sum(list_transform(range(64), i ->
-      |      (e.qemb[i + 1] - s.cemb[i + 1])
-      |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
-      |  FROM e CROSS JOIN c2 s),
-      |a3 AS (SELECT id, cid FROM (SELECT id, cid,
-      |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-      |  FROM d3) WHERE rn = 1)""".stripMargin
+      |rng AS (SELECT unnest(range(64)) AS i)""".stripMargin
+
+  /** The two-round exact-integer Lloyd chain (seeds → d1/a1/m1/c1 →
+    * d2/a2/m2/c2 → d3/a3) over training source `$src` — `$src` aliased
+    * as `e` inside each CTE so the body is identical whether training
+    * sweeps the full corpus (q444's audit, src = e) or the md5-sampled
+    * slice (q440, src = tr).
+    */
+  private def ivfLloydCtes(src: String): String =
+    s"""hh AS (SELECT id, qemb,
+       |    ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT AS u FROM $src),
+       |seeds AS (SELECT id AS cid, qemb AS cemb FROM
+       |    (SELECT id, qemb, row_number() OVER (ORDER BY u, id) AS rn
+       |     FROM hh)
+       |    CROSS JOIN kk WHERE rn <= kc),
+       |d1 AS (SELECT e.id, s.cid,
+       |    list_sum(list_transform(range(64), i ->
+       |      (e.qemb[i + 1] - s.cemb[i + 1])
+       |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+       |  FROM $src e CROSS JOIN seeds s),
+       |a1 AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM d1) WHERE rn = 1),
+       |m1 AS (SELECT a1.cid, r.i AS dim, sum(e.qemb[r.i + 1]) AS s,
+       |    count(*) AS c
+       |  FROM a1 JOIN $src e USING (id) CROSS JOIN rng r GROUP BY a1.cid, r.i),
+       |c1 AS (SELECT cid, list(CAST((s - (((s % c) + c) % c)) // c
+       |    AS BIGINT) ORDER BY dim) AS cemb FROM m1 GROUP BY cid),
+       |d2 AS (SELECT e.id, s.cid,
+       |    list_sum(list_transform(range(64), i ->
+       |      (e.qemb[i + 1] - s.cemb[i + 1])
+       |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+       |  FROM $src e CROSS JOIN c1 s),
+       |a2 AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM d2) WHERE rn = 1),
+       |m2 AS (SELECT a2.cid, r.i AS dim, sum(e.qemb[r.i + 1]) AS s,
+       |    count(*) AS c
+       |  FROM a2 JOIN $src e USING (id) CROSS JOIN rng r GROUP BY a2.cid, r.i),
+       |c2 AS (SELECT cid, list(CAST((s - (((s % c) + c) % c)) // c
+       |    AS BIGINT) ORDER BY dim) AS cemb FROM m2 GROUP BY cid),
+       |d3 AS (SELECT e.id, s.cid,
+       |    list_sum(list_transform(range(64), i ->
+       |      (e.qemb[i + 1] - s.cemb[i + 1])
+       |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+       |  FROM $src e CROSS JOIN c2 s),
+       |a3 AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM d3) WHERE rn = 1)""".stripMargin
+
+  /** Full-corpus training (q444's audit class). */
+  private val ivfCtes = ivfBaseCtes + ",\n" + ivfLloydCtes("e")
+
+  /** md5-sampled training slice (q440): mod = greatest(1, n // (kc·32))
+    * mirrors SimilarityOps.ivfSampleMod; the whole Lloyd chain AND the
+    * census assignment run over `tr`.
+    */
+  private val ivfCtesSampled = ivfBaseCtes + ",\n" +
+    """mm AS (SELECT greatest(1, (SELECT count(*) FROM e) // (kc * 32))
+      |    AS m FROM kk),
+      |tr AS (SELECT e.* FROM e CROSS JOIN mm
+      |  WHERE ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % mm.m
+      |    = 0)""".stripMargin + ",\n" + ivfLloydCtes("tr")
+
+  /** Sharded trained-IVF CTE chain (q441/q448/q449): first-level
+    * sign-shard partition (`sbitsSql` leading sign bits from the bb
+    * count schedule), per-shard md5 seeds (`kcSql` per shard), two
+    * exact-integer Lloyd rounds with shard-local assignment
+    * (equi-join on shard, never a cross join), final assignment a3
+    * and distance table d3 for the probe stage.
+    */
+  private def ivfShardedCtes(sbitsSql: String, kcSql: String): String =
+    s"""e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qemb
+       |  FROM embeddings),
+       |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
+       |  FROM e0),
+       |ss AS (SELECT $sbitsSql AS s FROM bb),
+       |kk AS (SELECT $kcSql AS kc FROM bb),
+       |e AS (SELECT id, emb, qemb,
+       |    CAST(list_sum(list_transform(range(s), j ->
+       |      CASE WHEN emb[j + 1] > 0 THEN 1 << j ELSE 0 END)) AS INT)
+       |      AS shard
+       |  FROM e0 CROSS JOIN ss),
+       |hh AS (SELECT id, shard, qemb,
+       |    ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT AS u FROM e),
+       |seeds AS (SELECT shard, id AS cid, qemb AS cemb FROM
+       |    (SELECT shard, id, qemb, row_number() OVER (PARTITION BY shard
+       |       ORDER BY u, id) AS rn FROM hh)
+       |    CROSS JOIN kk WHERE rn <= kc),
+       |d1 AS (SELECT e.id, s.cid,
+       |    list_sum(list_transform(range(64), i ->
+       |      (e.qemb[i + 1] - s.cemb[i + 1])
+       |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+       |  FROM e JOIN seeds s ON e.shard = s.shard),
+       |a1 AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM d1) z WHERE rn = 1),
+       |m1 AS (SELECT a1.cid, min(e.shard) AS shard, r.i AS dim,
+       |    sum(e.qemb[r.i + 1]) AS s, count(*) AS c
+       |  FROM a1 JOIN e USING (id)
+       |  CROSS JOIN (SELECT unnest(range(64)) AS i) r GROUP BY a1.cid, r.i),
+       |c1 AS (SELECT cid, min(shard) AS shard,
+       |    list(CAST((s - (((s % c) + c) % c)) // c AS BIGINT)
+       |      ORDER BY dim) AS cemb FROM m1 GROUP BY cid),
+       |d2 AS (SELECT e.id, s.cid,
+       |    list_sum(list_transform(range(64), i ->
+       |      (e.qemb[i + 1] - s.cemb[i + 1])
+       |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+       |  FROM e JOIN c1 s ON e.shard = s.shard),
+       |a2 AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM d2) z WHERE rn = 1),
+       |m2 AS (SELECT a2.cid, min(e.shard) AS shard, r.i AS dim,
+       |    sum(e.qemb[r.i + 1]) AS s, count(*) AS c
+       |  FROM a2 JOIN e USING (id)
+       |  CROSS JOIN (SELECT unnest(range(64)) AS i) r GROUP BY a2.cid, r.i),
+       |c2 AS (SELECT cid, min(shard) AS shard,
+       |    list(CAST((s - (((s % c) + c) % c)) // c AS BIGINT)
+       |      ORDER BY dim) AS cemb FROM m2 GROUP BY cid),
+       |d3 AS (SELECT e.id, s.cid,
+       |    list_sum(list_transform(range(64), i ->
+       |      (e.qemb[i + 1] - s.cemb[i + 1])
+       |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+       |  FROM e JOIN c2 s ON e.shard = s.shard),
+       |a3 AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM d3) z WHERE rn = 1)""".stripMargin
+
+  /** The shard-local ANN tail over [[ivfShardedCtes]]: probe the
+    * `nprobe` nearest own-shard cells, exact cosine within, top-k.
+    */
+  private def ivfShardedAnnTail(nprobe: Int, k: Int): String =
+    s"""n AS (SELECT id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+       |pr AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM d3) z WHERE rn <= $nprobe),
+       |p AS (SELECT pr.id AS vec_id, a3.id AS neighbor_id,
+       |    list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) AS sim
+       |  FROM pr JOIN a3 ON pr.cid = a3.cid AND pr.id <> a3.id
+       |  JOIN n na ON na.id = pr.id JOIN n nb ON nb.id = a3.id),
+       |r AS (SELECT vec_id, neighbor_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, neighbor_id) AS rn FROM p)
+       |SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM r
+       |WHERE rn <= $k ORDER BY vec_id, neighbor_id""".stripMargin
 
   /** One q446 ladder rung: the per-n keeper/island CTE chain (the
     * q443 machinery with `n` inlined and names suffixed so four rungs
@@ -10041,7 +10152,7 @@ object OracleSql {
          |FROM pu""".stripMargin,
 
     "q440_ivf_train" ->
-      s"""WITH $ivfCtes,
+      s"""WITH $ivfCtesSampled,
          |mem AS (SELECT cid, count(*) AS n_members FROM a3 GROUP BY cid)
          |SELECT c2.cid, coalesce(mem.n_members, 0) AS n_members,
          |  CAST(list_sum(list_transform(c2.cemb, x -> abs(x)))
@@ -10053,21 +10164,8 @@ object OracleSql {
          |ORDER BY cid""".stripMargin,
 
     "q441_ivf_ann" ->
-      s"""WITH $ivfCtes,
-         |n AS (SELECT id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
-         |  FROM e),
-         |pr AS (SELECT id, cid FROM (SELECT id, cid,
-         |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-         |  FROM d3) WHERE rn <= 2),
-         |p AS (SELECT pr.id AS vec_id, a3.id AS neighbor_id,
-         |    list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) AS sim
-         |  FROM pr JOIN a3 ON pr.cid = a3.cid AND pr.id <> a3.id
-         |  JOIN n na ON na.id = pr.id JOIN n nb ON nb.id = a3.id),
-         |r AS (SELECT vec_id, neighbor_id, sim,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY sim DESC, neighbor_id) AS rn FROM p)
-         |SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM r
-         |WHERE rn <= 5 ORDER BY vec_id, neighbor_id""".stripMargin,
+      s"""WITH ${ivfShardedCtes("greatest(2, bits - 4)", "8")},
+         |${ivfShardedAnnTail(2, 5)}""".stripMargin,
 
     "q442_dupsubstr_census" ->
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -10212,9 +10310,10 @@ object OracleSql {
          |  FROM documents),
          |base AS (SELECT doc_id, len(t) AS n_tokens, t FROM b),
          |tt AS (SELECT sum(len(t)) AS tokens_total FROM base),
-         |${Seq(3, 5, 7, 9).map(ladderRung).mkString(",\n")},
+         |${Seq(3, 5, 7, 9, 25).map(ladderRung).mkString(",\n")},
          |u AS (SELECT * FROM row3 UNION ALL SELECT * FROM row5
-         |  UNION ALL SELECT * FROM row7 UNION ALL SELECT * FROM row9)
+         |  UNION ALL SELECT * FROM row7 UNION ALL SELECT * FROM row9
+         |  UNION ALL SELECT * FROM row25)
          |SELECT n, CAST(n_dup_grams AS BIGINT) AS n_dup_grams,
          |  CAST(docs_affected AS BIGINT) AS docs_affected,
          |  CAST(tokens_total AS BIGINT) AS tokens_total,
@@ -10241,74 +10340,8 @@ object OracleSql {
         |FROM o GROUP BY octave ORDER BY octave""".stripMargin,
 
     "q448_ivf_sharded_ann" ->
-      """WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb,
-        |    list_transform(embedding::DOUBLE[],
-        |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qemb,
-        |    CAST(embedding[1] > 0 AS INT) + CAST(embedding[2] > 0 AS INT) * 2
-        |      + CAST(embedding[3] > 0 AS INT) * 4
-        |      + CAST(embedding[4] > 0 AS INT) * 8 AS shard
-        |  FROM embeddings),
-        |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
-        |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
-        |  FROM e),
-        |kk AS (SELECT greatest(2, (1 << (bits // 2 + 1)) // 4) AS kc FROM bb),
-        |hh AS (SELECT id, shard, qemb,
-        |    ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT AS u FROM e),
-        |seeds AS (SELECT shard, id AS cid, qemb AS cemb FROM
-        |    (SELECT shard, id, qemb, row_number() OVER (PARTITION BY shard
-        |       ORDER BY u, id) AS rn FROM hh)
-        |    CROSS JOIN kk WHERE rn <= kc),
-        |d1 AS (SELECT e.id, s.cid,
-        |    list_sum(list_transform(range(64), i ->
-        |      (e.qemb[i + 1] - s.cemb[i + 1]) * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
-        |  FROM e JOIN seeds s ON e.shard = s.shard),
-        |a1 AS (SELECT id, cid FROM (SELECT id, cid,
-        |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-        |  FROM d1) z WHERE rn = 1),
-        |m1 AS (SELECT a1.cid, min(e.shard) AS shard, r.i AS dim,
-        |    sum(e.qemb[r.i + 1]) AS s, count(*) AS c
-        |  FROM a1 JOIN e USING (id)
-        |  CROSS JOIN (SELECT unnest(range(64)) AS i) r GROUP BY a1.cid, r.i),
-        |c1 AS (SELECT cid, min(shard) AS shard,
-        |    list(CAST((s - (((s % c) + c) % c)) // c AS BIGINT)
-        |      ORDER BY dim) AS cemb FROM m1 GROUP BY cid),
-        |d2 AS (SELECT e.id, s.cid,
-        |    list_sum(list_transform(range(64), i ->
-        |      (e.qemb[i + 1] - s.cemb[i + 1]) * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
-        |  FROM e JOIN c1 s ON e.shard = s.shard),
-        |a2 AS (SELECT id, cid FROM (SELECT id, cid,
-        |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-        |  FROM d2) z WHERE rn = 1),
-        |m2 AS (SELECT a2.cid, min(e.shard) AS shard, r.i AS dim,
-        |    sum(e.qemb[r.i + 1]) AS s, count(*) AS c
-        |  FROM a2 JOIN e USING (id)
-        |  CROSS JOIN (SELECT unnest(range(64)) AS i) r GROUP BY a2.cid, r.i),
-        |c2 AS (SELECT cid, min(shard) AS shard,
-        |    list(CAST((s - (((s % c) + c) % c)) // c AS BIGINT)
-        |      ORDER BY dim) AS cemb FROM m2 GROUP BY cid),
-        |d3 AS (SELECT e.id, s.cid,
-        |    list_sum(list_transform(range(64), i ->
-        |      (e.qemb[i + 1] - s.cemb[i + 1]) * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
-        |  FROM e JOIN c2 s ON e.shard = s.shard),
-        |a3 AS (SELECT id, cid FROM (SELECT id, cid,
-        |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-        |  FROM d3) z WHERE rn = 1),
-        |n AS (SELECT id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
-        |pr AS (SELECT id, cid FROM (SELECT id, cid,
-        |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-        |  FROM d3) z WHERE rn <= 2),
-        |p AS (SELECT pr.id AS vec_id, a3.id AS neighbor_id,
-        |    list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) AS sim
-        |  FROM pr JOIN a3 ON pr.cid = a3.cid AND pr.id <> a3.id
-        |  JOIN n na ON na.id = pr.id JOIN n nb ON nb.id = a3.id),
-        |r AS (SELECT vec_id, neighbor_id, sim,
-        |    row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY sim DESC, neighbor_id) AS rn FROM p)
-        |SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM r
-        |WHERE rn <= 5 ORDER BY vec_id, neighbor_id""".stripMargin
+      s"""WITH ${ivfShardedCtes("4",
+           "greatest(2, (1 << (bits // 2 + 1)) // 4)")},
+         |${ivfShardedAnnTail(2, 5)}""".stripMargin
   )
 }

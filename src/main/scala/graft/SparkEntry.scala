@@ -4518,10 +4518,11 @@ object SparkEntry {
           col("simhash_h3").desc)),
 
     // L283 — scale-ADAPTIVE multi-probe ANN top-3: the sign-bucket
-    // width follows corpus size (4 bits below 1000 vectors, 6 from
-    // 1000, 8 from 8000 — the measured BENCHLOG dial), so the same
-    // declared query exercises DIFFERENT bucket geometries across the
-    // three gate SFs (500 → 4 bits, 2000 → 6 bits).
+    // width follows corpus size on the per-4× stepped schedule (+2
+    // bits at 1e3/4e3/16e3/64e3/256e3/1.024e6 vectors, 16-bit cap —
+    // the round-10 BENCHLOG dial that pins the mean cell at ~16
+    // vectors), so the same declared query exercises DIFFERENT bucket
+    // geometries across the three gate SFs (500 → 4 bits, 2000 → 6).
     "q436_ann_adaptive" -> ((s, d) =>
       SimilarityOps.annTopKAdaptive(Tables.embeddings(s, d), "vec_id",
           "embedding", 3)
@@ -4614,31 +4615,42 @@ object SparkEntry {
             "AS BIGINT)").as("mrr_ppm"))
     }),
 
-    // L377 — TRAINED IVF coarse quantizer, exact integer Lloyd: md5
-    // seeds, 2 Lloyd rounds over ppm-quantized embeddings (BIGINT
-    // sums + exact floor-division means, so the trained codebook is
-    // bit-reproducible cross-engine — no float accumulation order),
-    // census per surviving cell: member count, centroid L1 mass, the
-    // last round's L1 shift (the convergence signal). kCent rides the
-    // count-stepped width schedule (2^(bits/2+1): 8 at 500 vectors,
-    // 16 at 2000) — the data-ADAPTED counterpart of the sign-bucket
-    // quantizer.
+    // L377 — TRAINED IVF coarse quantizer, exact integer Lloyd over an
+    // md5-SAMPLED training slice (~32·kCent vectors via ivfSampleMod,
+    // so each Lloyd round costs ∝ kCent² ∝ n — the round-11 fix for
+    // the flat trainer's measured n^1.5): md5 seeds, 2 rounds over
+    // ppm-quantized embeddings (BIGINT sums + exact floor-division
+    // means, so the trained codebook is bit-reproducible
+    // cross-engine), census per surviving cell OVER THE SLICE: member
+    // count, centroid L1 mass, the last round's L1 shift (the
+    // convergence signal). kCent rides the count-stepped width
+    // schedule (2^(bits/2+1): 8 at 500 vectors, 16 at 2000); the
+    // sample modulus is 1 below ~256·kCent vectors (sf0.001/sf0.01)
+    // and 3 at sf0.1, so the gates pin both regimes.
     "q440_ivf_train" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val kc = 1 << (SimilarityOps.adaptiveSignBits(emb) / 2 + 1)
-      SimilarityOps.ivfTrain(emb, "vec_id", "embedding", kc)
+      val n = emb.count()
+      val kc = 1 << (SimilarityOps.signBitsForCount(n) / 2 + 1)
+      SimilarityOps.ivfTrain(emb, "vec_id", "embedding", kc,
+        sampleMod = SimilarityOps.ivfSampleMod(n, kc))
     }),
 
-    // L378 — ANN top-5 over the TRAINED quantizer: index side sits in
-    // its nearest trained cell, query side probes its 2 nearest cells
-    // (bounded TopKAggregator over the broadcast codebook distances),
-    // then ONE equi-join on the cell id + exact double cosine within.
-    // Same candidate-join discipline as the sign-bucket family, cells
-    // adapted to corpus density; (kCent, nprobe) is the recall dial.
+    // L378 — ANN top-5 over the TRAINED quantizer, SHARDED layout (the
+    // round-11 migration off the flat form, whose full-corpus n·kCent
+    // assignment measured ×10.5 at 10× data): shardBits =
+    // max(2, bits − 4) leading sign bits partition the corpus (shards
+    // ∝ n under the count schedule), each shard trains its OWN
+    // exact-integer codebook of FIXED kcPerShard = 8 cells, and every
+    // assignment/probe is an equi-join on the shard id — n·8 distance
+    // rows per sweep and a mean cell pinned at ~30–60 vectors at ANY
+    // corpus size. Search is shard-local (the IMI trade); q449
+    // measures the recall this layout actually pays at these exact
+    // dials. (kcPerShard, nprobe, shardBits) is the recall/cost dial.
     "q441_ivf_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val kc = 1 << (SimilarityOps.adaptiveSignBits(emb) / 2 + 1)
-      SimilarityOps.ivfAnnTopK(emb, "vec_id", "embedding", 5, kc)
+      val sb = math.max(2, SimilarityOps.adaptiveSignBits(emb) - 4)
+      SimilarityOps.ivfAnnTopKSharded(emb, "vec_id", "embedding", 5,
+          kcPerShard = 8, nprobe = 2, rounds = 2, shardBits = sb)
         .orderBy("vec_id", "neighbor_id")
     }),
 
@@ -4690,11 +4702,13 @@ object SparkEntry {
 
     // L383 — substring-length survival LADDER (the "choose L" table a
     // substring-dedup run is tuned on): per candidate gram length
-    // n ∈ {3,5,7,9}, the corpus-level excision outcome — dup grams,
+    // n ∈ {3,5,7,9,25}, the corpus-level excision outcome — dup grams,
     // docs touched, tokens the keeper excision removes, retention
     // ppm. Short n over-excises, long n under-detects; the knee is
     // corpus-specific and this is the q338/q339-style knob report
-    // that finds it.
+    // that finds it. The n = 25 rung (half Lee et al.'s L = 50; these
+    // docs cap at ~100 tokens) is what the md5-fingerprint shuffle key
+    // makes affordable — 16 bytes per occurrence at any L.
     "q446_dupsubstr_ladder" -> ((s, d) =>
       DedupOps.dupSubstringLadder(Tables.documents(s, d), "doc_id",
           "text")

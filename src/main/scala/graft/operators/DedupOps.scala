@@ -1615,9 +1615,17 @@ object DedupOps {
     * Scale: one tokenize pass (localCheckpoint'd — the global gram
     * census and the per-doc positions both read it); "duplicated" is a
     * groupBy(gram) count + semi-join back (never a pair join — a gram
-    * in g docs costs g rows, not g²); islands are per-doc windows. At
-    * 100 TB the gram census groups on md5(gram) to cut shuffle bytes
-    * (same trick as [[exactDedup]]).
+    * in g docs costs g rows, not g²); islands are per-doc windows. The
+    * gram shuffle key is the 16-byte `unhex(md5(gram))` FINGERPRINT,
+    * not the gram text (same trick as [[exactDedup]]): at Lee et al.'s
+    * L = 50 operating point a raw gram is ~50 tokens of UTF-8 per
+    * occurrence row, the digest is 16 bytes at any L — and since no
+    * output column exposes the gram, results are identical (128-bit
+    * collisions are negligible at any corpus size) and the oracle can
+    * keep grouping on the raw text. ppm note: dup_tokens * 2e6 wraps
+    * int64 only past ~4.6e15 tokens in ONE doc — no document is that
+    * long, so BIGINT is safe here (corpus-level ratios that could wrap
+    * are the q443/q446 roll-ups, bounded the same way per source).
     */
   def dupSubstringCensus(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3): DataFrame = {
@@ -1628,7 +1636,7 @@ object DedupOps {
     val pos = base.filter(col("n_tokens") >= n)
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, size(t) - $n), " +
-          s"i -> concat_ws(' ', $grams))")).as(Seq("pos", "s")))
+          s"i -> unhex(md5(concat_ws(' ', $grams))))")).as(Seq("pos", "s")))
       .localCheckpoint(false)
     val dup = pos.groupBy(col("s")).agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= 2).select("s")
@@ -1669,7 +1677,12 @@ object DedupOps {
     *
     * Scale: the keeper is one groupBy(gram) min(struct(doc, pos)) —
     * again linear in occurrences, never pairwise; everything after is
-    * per-doc windows and one source-level agg.
+    * per-doc windows and one source-level agg. Grams shuffle as 16-byte
+    * md5 fingerprints (see [[dupSubstringCensus]] — identical results,
+    * L-independent shuffle width). ppm note: tokens_total * 2e6 wraps
+    * int64 only past ~4.6e15 tokens in one SOURCE partition — at 100 TB
+    * (~2e13 tokens corpus-wide) every per-source roll-up stays ≥200×
+    * under the bound, so BIGINT ppm stays exact.
     */
   def dupSubstringExcise(df: DataFrame, idCol: String, textCol: String,
                          srcCol: String, n: Int = 3): DataFrame = {
@@ -1681,7 +1694,7 @@ object DedupOps {
     val pos = base.filter(col("n_tokens") >= n)
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, size(t) - $n), " +
-          s"i -> concat_ws(' ', $grams))")).as(Seq("pos", "s")))
+          s"i -> unhex(md5(concat_ws(' ', $grams))))")).as(Seq("pos", "s")))
       .localCheckpoint(false)
     val keeper = pos.groupBy(col("s"))
       .agg(min(struct(col(idCol), col("pos"))).as("__k"),
@@ -1731,7 +1744,9 @@ object DedupOps {
     *
     * Scale: identical discipline to the excise op — one min(struct)
     * keeper per gram, one equi-join back, one (from, to) hash agg;
-    * linear in gram occurrences, never pairwise.
+    * linear in gram occurrences, never pairwise. Grams shuffle as
+    * 16-byte md5 fingerprints (see [[dupSubstringCensus]]); n_grams
+    * counts distinct fingerprints = distinct grams.
     */
   def dupSubstringProvenance(df: DataFrame, idCol: String,
                              textCol: String, srcCol: String,
@@ -1741,7 +1756,7 @@ object DedupOps {
       .filter(size(col("t")) >= n)
       .select(col(idCol), col(srcCol).as("__src"), posexplode(expr(
         s"transform(sequence(0, size(t) - $n), " +
-          s"i -> concat_ws(' ', $grams))")).as(Seq("pos", "s")))
+          s"i -> unhex(md5(concat_ws(' ', $grams))))")).as(Seq("pos", "s")))
       .localCheckpoint(false)
     val keeper = pos.groupBy(col("s"))
       .agg(min(struct(col(idCol), col("pos"))).as("__k"),
@@ -1773,10 +1788,16 @@ object DedupOps {
     * Scale: one tokenize pass shared by every rung (localCheckpoint),
     * then per rung the same linear keeper/island machinery as
     * [[dupSubstringExcise]] — |ns| bounded corpus passes, no pair
-    * joins anywhere.
+    * joins anywhere. The md5-fingerprint shuffle key (see
+    * [[dupSubstringCensus]]) is what makes the LONG rungs affordable:
+    * the n = 25 rung shuffles the same 16 bytes per occurrence as
+    * n = 3, where raw 25-token gram strings would shuffle ~25× the
+    * corpus token mass. ppm note: the roll-up's tokens_total * 2e6
+    * stays exact in int64 until ~4.6e15 corpus tokens (~200× a 100 TB
+    * text corpus).
     */
   def dupSubstringLadder(df: DataFrame, idCol: String, textCol: String,
-                         ns: Seq[Int] = Seq(3, 5, 7, 9)): DataFrame = {
+                         ns: Seq[Int] = Seq(3, 5, 7, 9, 25)): DataFrame = {
     val base = df.withColumn("t", split(col(textCol), " "))
       .select(col(idCol), size(col("t")).as("n_tokens"), col("t"))
       .localCheckpoint(false)
@@ -1787,7 +1808,7 @@ object DedupOps {
       val pos = base.filter(col("n_tokens") >= n)
         .select(col(idCol), posexplode(expr(
           s"transform(sequence(0, size(t) - $n), " +
-            s"i -> concat_ws(' ', $grams))")).as(Seq("pos", "s")))
+            s"i -> unhex(md5(concat_ws(' ', $grams))))")).as(Seq("pos", "s")))
         .localCheckpoint(false)
       val keeper = pos.groupBy(col("s"))
         .agg(min(struct(col(idCol), col("pos"))).as("__k"),
@@ -1830,7 +1851,11 @@ object DedupOps {
     * Octave 0 = unique grams; a heavy high-octave tail is boilerplate
     * mass that dedup must handle (and exactly what makes naive
     * pair-joins explode — the Σ bucket² the banding design notes cite,
-    * read directly off the data).
+    * read directly off the data). Grams shuffle as 16-byte md5
+    * fingerprints (see [[dupSubstringCensus]]) — and the count shuffle
+    * is map-side combined, so shuffle rows track DISTINCT grams, not
+    * occurrences (measured flat from sf0.1 to sf1 on the replicated
+    * probe corpus).
     */
   def gramMultiplicitySpectrum(df: DataFrame, idCol: String,
                                textCol: String, n: Int = 5): DataFrame = {
@@ -1839,7 +1864,7 @@ object DedupOps {
       .filter(size(col("t")) >= n)
       .select(col(idCol), posexplode(expr(
         s"transform(sequence(0, size(t) - $n), " +
-          s"i -> concat_ws(' ', $grams))")).as(Seq("pos", "s")))
+          s"i -> unhex(md5(concat_ws(' ', $grams))))")).as(Seq("pos", "s")))
       .groupBy(col("s")).agg(count(lit(1)).as("__c"))
       .withColumn("octave", (length(bin(col("__c"))) - 1).cast("int"))
       .groupBy(col("octave"))

@@ -91,10 +91,28 @@ object SimilarityOps {
     * the same width from count(*) (the q436 `bb` CTE), so both engines
     * pick the same geometry at every SF.
     */
-  def adaptiveSignBits(df: DataFrame): Int = {
-    val n = df.count()
+  def adaptiveSignBits(df: DataFrame): Int = signBitsForCount(df.count())
+
+  /** The [[adaptiveSignBits]] schedule as a pure function of the count
+    * — for callers that already hold `n` (the IVF dials derive kCent,
+    * shardBits AND the training-sample modulus from one count, not
+    * three scans).
+    */
+  def signBitsForCount(n: Long): Int =
     4 + 2 * Seq(1000L, 4000L, 16000L, 64000L, 256000L, 1024000L).count(n >= _)
-  }
+
+  /** Training-sample modulus for the IVF codebook: keep ~32·kCent
+    * vectors in the md5-sampled Lloyd slice (`u % mod = 0` on the
+    * 32-bit md5 draw — the q397 1-in-N idiom). Under the width
+    * schedule kCent ∝ √n, so the slice grows only ∝ √n and each Lloyd
+    * round costs ~32·kCent² ∝ n distance rows REGARDLESS of how the
+    * corpus grows — the fix for the flat trainer's measured ×10 probe
+    * ratio (n·kCent with kCent ∝ √n is n^1.5 when every round sweeps
+    * the full corpus). mod = 1 below ~256·kCent vectors (the gate
+    * sf0.001/sf0.01 regime), so tiny corpora still train on everything.
+    */
+  def ivfSampleMod(n: Long, kCent: Int): Int =
+    math.max(1L, n / (kCent * 32L)).toInt
 
   /** Sign-pattern coarse quantizer over the leading dimensions. */
   private def signBucket(signBits: Int): Column =
@@ -241,14 +259,15 @@ object SimilarityOps {
   }
 
   /** Scale-ADAPTIVE multi-probe ANN top-k: the sign-bucket width
-    * follows corpus size on the stepped schedule
-    * `bits = 4 (+2 if n ≥ 1000) (+2 if n ≥ 8000)` — the measured
-    * BENCHLOG dial (every +2 bits ≈ 3× cheaper pair stage at equal
-    * output on the test embeddings) applied automatically, so the
-    * candidate stage stays Σ cell²-bounded as the corpus grows instead
-    * of pinning the test-scale geometry. At 100 TB the schedule
-    * continues: bits ≈ log2(n / target_cell_size), recall recovered by
-    * the multi-probe levels (the q332/q340 dial, measured in q397).
+    * follows corpus size on [[adaptiveSignBits]]'s per-4× stepped
+    * schedule — +2 bits at each of 1e3/4e3/16e3/64e3/256e3/1.024e6
+    * vectors, capped at 16 bits — so the cell count grows ∝ n, the
+    * mean cell stays ~16 vectors at any corpus size, and the candidate
+    * stage stays ~n·log n instead of Σ cell² ≈ n² (the round-10
+    * BENCHLOG migration that moved this family from ×9.6–×61 at 10×
+    * data into the ×0.9–×3.8 linear band). Recall at the fixed cell
+    * size is recovered by the multi-probe levels (the q332/q340 dial,
+    * measured in q438); past the 16-bit cap, shard the index (q448).
     * The count is ONE driver-side scalar (the planner-statistic read,
     * same sanctioned class as the 1-row train-stats collects);
     * everything downstream is the standard probe equi-join.
@@ -1700,15 +1719,32 @@ object SimilarityOps {
       .withColumn("qemb",
         expr("transform(emb, x -> CAST(round(x * 1000000) AS BIGINT))"))
 
+  /** [[ppmQuantized]] plus the first-level shard id: the sign pattern
+    * of the `shardBits` leading dimensions (the [[signBucket]]
+    * quantizer reused as an index PARTITIONER). localCheckpointed —
+    * the Lloyd loop, the home assignment and the probe stage all read
+    * it.
+    */
+  private def shardQuantized(df: DataFrame, idCol: String,
+                             embCol: String, shardBits: Int): DataFrame =
+    ppmQuantized(df, idCol, embCol)
+      .withColumn("shard", signBucket(shardBits))
+      .localCheckpoint(false)
+
+  /** 32-bit md5 draw on the id — the shared uniform both engines
+    * replay exactly (`('0x' || substr(md5(id), 1, 8))::BIGINT` in
+    * DuckDB): seeds rank by it, the training slice filters on it.
+    */
+  private def md5U(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
   /** Deterministic IVF seeding: the `kCent` vectors with the smallest
     * (md5(id), id) — a data-independent uniform draw both engines
     * replay exactly (the q109/q397 sampling idiom), picked by the
     * BOUNDED global TopKAggregator, never a global sort.
     */
   private def ivfSeeds(e: DataFrame, kCent: Int): DataFrame =
-    e.withColumn("__u",
-        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
-          .cast("long"))
+    e.withColumn("__u", md5U(col("id")))
       .agg(graft.functions.TopKAggregator.topK(kCent,
         -col("__u").cast("double"), col("id")).as("__top"))
       .select(explode(col("__top")).as("t"))
@@ -1745,40 +1781,60 @@ object SimilarityOps {
       .agg(expr("transform(array_sort(collect_list(struct(dim, val))), " +
         "p -> p.val)").as("cemb"))
 
-  /** Train the IVF codebook: md5 seeds + `rounds` exact Lloyd rounds.
-    * Returns (signature table, final centroid table). Each centroid
-    * table is ≤kCent rows — localCheckpointed so the next round's
-    * broadcast replays a materialized table, not the whole lineage.
+  /** Train the IVF codebook: md5 seeds + `rounds` exact Lloyd rounds
+    * over the `sampleMod`-sampled training slice (`u % mod = 0` on the
+    * md5 draw; mod = 1 trains on everything). Returns (full signature
+    * table, training slice, final centroids, previous-round
+    * centroids). Each centroid table is ≤kCent rows —
+    * localCheckpointed so the next round's broadcast replays a
+    * materialized table, not the whole lineage.
     *
-    * Scale: each round is one broadcast-assign (n·kCent distance rows,
-    * map-side) + one (cell, dim) hash agg — linear in n per round. At
-    * 100 TB you train the codebook on an md5-sampled slice (the q397
-    * 1-in-N idiom) and only the final assignment sweeps the full
-    * corpus; kCent follows n/targetListSize like [[adaptiveSignBits]].
+    * Scale: each round is one broadcast-assign (m·kCent distance rows
+    * over the m-row slice, map-side) + one (cell, dim) hash agg. With
+    * [[ivfSampleMod]]'s ~32·kCent slice the Lloyd cost is ∝ kCent² ∝ n
+    * under the width schedule — training no longer sweeps the corpus,
+    * which is what retired the flat trainer's n^1.5 (measured ×10.2 at
+    * 10× data in round 10). Callers that still assign the FULL corpus
+    * (the flat [[ivfAnnTopK]], q444's audit) pay n·kCent there by
+    * declaration; the declared ANN (q441) is the sharded layout whose
+    * assignment is n·kcPerShard.
     */
   private def ivfFit(df: DataFrame, idCol: String, embCol: String,
-                     kCent: Int, rounds: Int): (DataFrame, DataFrame, DataFrame) = {
+                     kCent: Int, rounds: Int, sampleMod: Int = 1)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // every caller needs cents(rounds - 1); guard HERE so a rounds = 0
+    // call fails with a message, not an IndexOutOfBoundsException
+    require(rounds >= 1, "IVF training needs at least one Lloyd round")
     val e = ppmQuantized(df, idCol, embCol).localCheckpoint(false)
-    val c0 = ivfSeeds(e, kCent)
-      .join(e.select(col("id").as("cid"), col("qemb").as("cemb")), Seq("cid"))
+    val train = if (sampleMod <= 1) e
+      else e.filter(pmod(md5U(col("id")), lit(sampleMod)) === 0)
+        .localCheckpoint(false)
+    val c0 = ivfSeeds(train, kCent)
+      .join(train.select(col("id").as("cid"), col("qemb").as("cemb")),
+        Seq("cid"))
       .localCheckpoint(false)
     val cents = Iterator.iterate(c0)(c =>
-      ivfUpdate(e, ivfAssign(e, c)).localCheckpoint(false))
+      ivfUpdate(train, ivfAssign(train, c)).localCheckpoint(false))
       .take(rounds + 1).toSeq
-    (e, cents(rounds), cents(rounds - 1))
+    (e, train, cents(rounds), cents(rounds - 1))
   }
 
   /** IVF codebook training census — the trained-quantizer health
-    * report: per surviving cell, its final member count, centroid L1
-    * mass, and the last Lloyd round's L1 movement (the convergence
-    * signal an index build monitors). kCent/rounds are the dials;
-    * outputs are exact BIGINTs.
+    * report: per surviving cell, its member count IN THE TRAINING
+    * SLICE, centroid L1 mass, and the last Lloyd round's L1 movement
+    * (the convergence signal an index build monitors). kCent/rounds/
+    * sampleMod are the dials; outputs are exact BIGINTs. With
+    * sampleMod > 1 this is the TRAINER's own health report — member
+    * counts over the data Lloyd actually saw (full-corpus cell loads
+    * belong to the assignment queries); sampleMod = 1 (the default,
+    * and the gate sf0.001/sf0.01 regime under [[ivfSampleMod]])
+    * reproduces the round-10 full-corpus census bit-for-bit.
     */
   def ivfTrain(df: DataFrame, idCol: String, embCol: String,
-               kCent: Int, rounds: Int = 2): DataFrame = {
-    require(rounds >= 1, "ivfTrain needs at least one Lloyd round")
-    val (e, cFinal, cPrev) = ivfFit(df, idCol, embCol, kCent, rounds)
-    val members = ivfAssign(e, cFinal).groupBy(col("cid"))
+               kCent: Int, rounds: Int = 2, sampleMod: Int = 1): DataFrame = {
+    val (_, train, cFinal, cPrev) =
+      ivfFit(df, idCol, embCol, kCent, rounds, sampleMod)
+    val members = ivfAssign(train, cFinal).groupBy(col("cid"))
       .agg(count(lit(1)).as("__n"))
     cFinal.join(members, Seq("cid"), "left")
       .join(cPrev.select(col("cid"), col("cemb").as("__prev")), Seq("cid"))
@@ -1799,7 +1855,7 @@ object SimilarityOps {
     */
   def ivfAnnTopK(df: DataFrame, idCol: String, embCol: String, k: Int,
                  kCent: Int, nprobe: Int = 2, rounds: Int = 2): DataFrame = {
-    val (e, cFinal, _) = ivfFit(df, idCol, embCol, kCent, rounds)
+    val (e, _, cFinal, _) = ivfFit(df, idCol, embCol, kCent, rounds)
     val home = ivfAssign(e, cFinal)
     val probes = e.select(col("id"), col("qemb"))
       .crossJoin(broadcast(cFinal))
@@ -1832,35 +1888,75 @@ object SimilarityOps {
     */
   def ivfCodebook(df: DataFrame, idCol: String, embCol: String,
                   kCent: Int, rounds: Int = 2): DataFrame =
-    ivfFit(df, idCol, embCol, kCent, rounds)._2
+    ivfFit(df, idCol, embCol, kCent, rounds)._3
 
   /** Sharded trained-IVF ANN — the IMI-style 100 TB layout for the
-    * q440 family: a data-INDEPENDENT first level (4 leading sign bits
-    * → 16 shards) partitions the corpus, then each shard trains its
-    * OWN exact-integer codebook and every assignment/probe compares a
-    * vector only against its shard's centroids (equi-join on the
-    * shard id — the flat form's broadcast-everything n·kCent sweep
-    * becomes n·kCentPerShard, and each shard's codebook stays bounded
-    * no matter how large the corpus grows; this is how the flat
-    * trainer's measured ×10 probe ratio is paid down at cluster
-    * scale). Search is shard-local (cross-shard neighbors are
-    * foregone, the standard IMI trade — the recall dial is
-    * (kcPerShard, nprobe) within the shard plus the first-level width,
-    * measured per corpus the q444 way). cid = seed vector id stays
-    * globally unique, so downstream joins key on cid alone.
+    * q440 family: a data-INDEPENDENT first level (`shardBits` leading
+    * sign bits → 2^shardBits shards) partitions the corpus, then each
+    * shard trains its OWN exact-integer codebook and every
+    * assignment/probe compares a vector only against its shard's
+    * centroids (equi-join on the shard id — the flat form's
+    * broadcast-everything n·kCent sweep becomes n·kcPerShard, and each
+    * shard's codebook stays bounded no matter how large the corpus
+    * grows; this is how the flat trainer's measured ×10 probe ratio is
+    * paid down at cluster scale). The FULLY-linear dial setting is the
+    * q441 one: shardBits rides the count schedule
+    * (max(2, [[signBitsForCount]] − 4), so shards ∝ n) with kcPerShard
+    * FIXED — assignment stays n·kcPerShard and the mean cell
+    * n/(2^shardBits·kc) stays bounded (~30–60 vectors) at any corpus
+    * size; q448 keeps the fixed-4-bit first level as the measured IMI
+    * comparison point. Search is shard-local (cross-shard neighbors
+    * are foregone, the standard IMI trade — measured per corpus by
+    * q449's recall certificate, the q444 shape on this layout). cid =
+    * seed vector id stays globally unique, so downstream joins key on
+    * cid alone.
     */
-  def ivfAnnTopKSharded(df: DataFrame, idCol: String, embCol: String,
-                        k: Int, kcPerShard: Int, nprobe: Int = 2,
-                        rounds: Int = 2): DataFrame = {
-    require(rounds >= 1, "ivfAnnTopKSharded needs at least one round")
-    val shardCol = expr("CAST(emb[0] > 0 AS INT) " +
-      "+ CAST(emb[1] > 0 AS INT) * 2 + CAST(emb[2] > 0 AS INT) * 4 " +
-      "+ CAST(emb[3] > 0 AS INT) * 8")
-    val e = ppmQuantized(df, idCol, embCol)
-      .withColumn("shard", shardCol).localCheckpoint(false)
-    val seeds = e.withColumn("__u",
-        conv(substring(md5(col("id").cast("string")), 1, 8), 16, 10)
-          .cast("long"))
+  /** Exact integer squared-L2 between a vector and a centroid. */
+  private val shardQdist = expr(
+    "aggregate(zip_with(qemb, cemb, (x, y) -> (x - y) * (x - y)), " +
+      "0L, (acc, v) -> acc + v)")
+
+  /** Shard-local nearest-cell assignment: each vector compares ONLY
+    * against its own shard's ≤kcPerShard centroids (broadcast of the
+    * bounded codebook, equi-join on shard — n·kcPerShard distance
+    * rows), argmin as the deterministic min(struct(d, cid)).
+    */
+  private def ivfShardedAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.select(col("id"), col("shard"), col("qemb"))
+      .join(broadcast(cent), Seq("shard"))
+      .withColumn("__d", shardQdist)
+      .groupBy(col("id"))
+      .agg(min(struct(col("__d"), col("cid"))).as("__m"))
+      .select(col("id"), col("__m.cid").as("cid"))
+
+  /** Shard-local Lloyd update — the [[ivfUpdate]] math with the shard
+    * id carried through (min(shard) is exact: every member of a cell
+    * is in the seed's shard by construction).
+    */
+  private def ivfShardedUpdate(e: DataFrame, assigned: DataFrame): DataFrame =
+    assigned.join(e.select(col("id"), col("shard"), col("qemb")), "id")
+      .select(col("cid"), col("shard"),
+        posexplode(col("qemb")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(min(col("shard")).as("shard"), sum(col("v")).as("s"),
+        count(lit(1)).as("c"))
+      .withColumn("val", expr("(s - pmod(s, c)) DIV c"))
+      .groupBy(col("cid"))
+      .agg(min(col("shard")).as("shard"),
+        expr("transform(array_sort(collect_list(struct(dim, val))), " +
+          "p -> p.val)").as("cemb"))
+
+  /** Train the per-shard codebooks: per-shard md5 seeds (bounded
+    * TopKAggregator) + `rounds` shard-local exact Lloyd rounds.
+    * Returns (sharded signature table, final (cid, shard, cemb)
+    * codebook).
+    */
+  private def ivfShardedFit(df: DataFrame, idCol: String, embCol: String,
+                            kcPerShard: Int, rounds: Int,
+                            shardBits: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1, "sharded IVF training needs at least one round")
+    val e = shardQuantized(df, idCol, embCol, shardBits)
+    val seeds = e.withColumn("__u", md5U(col("id")))
       .groupBy(col("shard"))
       .agg(graft.functions.TopKAggregator.topK(kcPerShard,
         -col("__u").cast("double"), col("id")).as("__top"))
@@ -1870,40 +1966,33 @@ object SimilarityOps {
       .join(e.select(col("id").as("cid"), col("qemb").as("cemb")),
         Seq("cid"))
       .localCheckpoint(false)
-    val qdist = expr(
-      "aggregate(zip_with(qemb, cemb, (x, y) -> (x - y) * (x - y)), " +
-        "0L, (acc, v) -> acc + v)")
-    def assign(cent: DataFrame): DataFrame =
-      e.select(col("id"), col("shard"), col("qemb"))
-        .join(broadcast(cent), Seq("shard"))
-        .withColumn("__d", qdist)
-        .groupBy(col("id"))
-        .agg(min(struct(col("__d"), col("cid"))).as("__m"))
-        .select(col("id"), col("__m.cid").as("cid"))
-    def update(assigned: DataFrame): DataFrame =
-      assigned.join(e.select(col("id"), col("shard"), col("qemb")), "id")
-        .select(col("cid"), col("shard"),
-          posexplode(col("qemb")).as(Seq("dim", "v")))
-        .groupBy(col("cid"), col("dim"))
-        .agg(min(col("shard")).as("shard"), sum(col("v")).as("s"),
-          count(lit(1)).as("c"))
-        .withColumn("val", expr("(s - pmod(s, c)) DIV c"))
-        .groupBy(col("cid"))
-        .agg(min(col("shard")).as("shard"),
-          expr("transform(array_sort(collect_list(struct(dim, val))), " +
-            "p -> p.val)").as("cemb"))
     val cFinal = Iterator.iterate(c0)(c =>
-      update(assign(c)).localCheckpoint(false))
+      ivfShardedUpdate(e, ivfShardedAssign(e, c)).localCheckpoint(false))
       .drop(rounds).next()
-    val home = assign(cFinal)
-    val probes = e.select(col("id"), col("shard"), col("qemb"))
+    (e, cFinal)
+  }
+
+  /** Per-vector `nprobe` nearest own-shard cells (bounded
+    * TopKAggregator over the shard-local distance rows).
+    */
+  private def ivfShardedProbes(e: DataFrame, cFinal: DataFrame,
+                               nprobe: Int): DataFrame =
+    e.select(col("id"), col("shard"), col("qemb"))
       .join(broadcast(cFinal), Seq("shard"))
-      .withColumn("__d", qdist)
+      .withColumn("__d", shardQdist)
       .groupBy(col("id"))
       .agg(graft.functions.TopKAggregator.topK(nprobe,
         -col("__d").cast("double"), col("cid")).as("__top"))
       .select(col("id"), explode(col("__top")).as("t"))
       .select(col("id"), col("t.id").as("cid"))
+
+  def ivfAnnTopKSharded(df: DataFrame, idCol: String, embCol: String,
+                        k: Int, kcPerShard: Int, nprobe: Int = 2,
+                        rounds: Int = 2, shardBits: Int = 4): DataFrame = {
+    val (e, cFinal) = ivfShardedFit(df, idCol, embCol, kcPerShard,
+      rounds, shardBits)
+    val home = ivfShardedAssign(e, cFinal)
+    val probes = ivfShardedProbes(e, cFinal, nprobe)
     val a = probes.join(e, "id")
       .select(col("id").as("vec_id"), col("emb").as("a_emb"),
         col("nrm").as("a_nrm"), col("cid"))
@@ -1915,6 +2004,77 @@ object SimilarityOps {
       .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
       .select(col("vec_id"), col("neighbor_id"), col("sim"))
     selectTopK(pairs, k)
+  }
+
+  /** The trained PER-SHARD codebook — (shard, cid, cemb bigint[]):
+    * the artifact a serving layer freezes and folds into the map-only
+    * sharded streaming assigner
+    * ([[graft.streaming.StreamingIvfAssign.assignSharded]]), the same
+    * train-batch / serve-stream split as the flat [[ivfCodebook]].
+    */
+  def ivfShardedCodebook(df: DataFrame, idCol: String, embCol: String,
+                         kcPerShard: Int, rounds: Int = 2,
+                         shardBits: Int = 4): DataFrame =
+    ivfShardedFit(df, idCol, embCol, kcPerShard, rounds, shardBits)._2
+      .select(col("shard"), col("cid"), col("cemb"))
+
+  /** Measured recall certificate for the SHARDED trained quantizer
+    * (q449) — [[ivfRecallAudit]]'s shape on [[ivfAnnTopKSharded]]'s
+    * layout at the SAME dials as the declared q441: recall@k per
+    * own-shard nprobe ∈ {1, 2, 3} vs the exact top-k of a
+    * 1-in-`sampleMod` md5-class query sample over the FULL corpus —
+    * so cross-shard true neighbors (the IMI shard-locality trade this
+    * layout deliberately forgoes) count AGAINST recall here; the gap
+    * between this table and q444's flat numbers IS the measured price
+    * of sharding. Same deliberate-cartesian whitelist class as
+    * q397/q438/q439/q444 (the exact side samples the corpus once).
+    */
+  def ivfRecallAuditSharded(df: DataFrame, idCol: String, embCol: String,
+                            k: Int, kcPerShard: Int, shardBits: Int,
+                            sampleMod: Int = 20,
+                            rounds: Int = 2): DataFrame = {
+    val (e, cFinal) = ivfShardedFit(df, idCol, embCol, kcPerShard,
+      rounds, shardBits)
+    val home = ivfShardedAssign(e, cFinal)
+    val q = e.filter(pmod(col("id"), lit(sampleMod)) === 0)
+      .localCheckpoint(false)
+    val exact = selectTopK(pairSim(q, e), k)
+      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
+    val pq = q.select(col("id"), col("shard"), col("qemb"))
+      .join(broadcast(cFinal), Seq("shard"))
+      .withColumn("__d", shardQdist)
+      .groupBy(col("id"))
+      .agg(graft.functions.TopKAggregator.topK(3,
+        -col("__d").cast("double"), col("cid")).as("__top"))
+      .select(col("id"), posexplode(col("__top")).as(Seq("__p", "t")))
+      .select(col("id").as("vec_id"), col("t.id").as("cid"),
+        (col("__p") + 1).cast("long").as("pr"))
+    val a = pq.join(q.select(col("id").as("vec_id"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm")), Seq("vec_id"))
+    val b = home.join(e, "id")
+      .select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"), col("cid"))
+    val cand = a.join(b, "cid")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+      .groupBy(col("vec_id"), col("neighbor_id"))
+      .agg(min(col("pr")).as("pr"), max(col("sim")).as("sim"))
+      // three nprobe filters read the candidate table.
+      .localCheckpoint(false)
+    val ann = Seq(1, 2, 3).map { lvl =>
+      selectTopK(cand.filter(col("pr") <= lvl)
+          .select(col("vec_id"), col("neighbor_id"), col("sim")), k)
+        .withColumn("nprobe", lit(lvl.toLong))
+    }.reduce(_ unionAll _)
+    val nq = q.agg(count(lit(1)).as("__nq"))
+    ann.join(exact, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(col("__e")).as("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(lit(shardBits.toLong).as("shard_bits"), col("nprobe"),
+        col("__nq").as("n_queries"), col("n_hits"),
+        expr(s"CAST((n_hits * 2000000 + $k * __nq) " +
+          s"div (2 * $k * __nq) AS BIGINT)").as("recall_ppm"))
   }
 
   /** Measured recall certificate for the TRAINED quantizer — the
@@ -1929,7 +2089,7 @@ object SimilarityOps {
   def ivfRecallAudit(df: DataFrame, idCol: String, embCol: String,
                      k: Int, kCent: Int, sampleMod: Int = 20,
                      rounds: Int = 2): DataFrame = {
-    val (e, cFinal, _) = ivfFit(df, idCol, embCol, kCent, rounds)
+    val (e, _, cFinal, _) = ivfFit(df, idCol, embCol, kCent, rounds)
     val home = ivfAssign(e, cFinal)
     val q = e.filter(pmod(col("id"), lit(sampleMod)) === 0)
       .localCheckpoint(false)

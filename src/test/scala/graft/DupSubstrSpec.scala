@@ -88,12 +88,14 @@ class DupSubstrSpec extends SparkSpec {
     // {1,2,3} and doc4 {1,2,3} each merge to one 5-token span ->
     // 10 of 23 excised; n=5: the 2 dup grams excise the SAME 10
     // tokens; n=7/9: doc1/doc2's single 7-grams differ and nothing
-    // duplicates -> full retention.
+    // duplicates -> full retention; n=25: no doc reaches 25 tokens,
+    // so the long rung reports an empty-but-well-formed row.
     assert(out.toSeq == Seq(
       (3L, 4L, 2L, 23L, 10L, 565217L),
       (5L, 2L, 2L, 23L, 10L, 565217L),
       (7L, 0L, 0L, 23L, 0L, 1000000L),
-      (9L, 0L, 0L, 23L, 0L, 1000000L)))
+      (9L, 0L, 0L, 23L, 0L, 1000000L),
+      (25L, 0L, 0L, 23L, 0L, 1000000L)))
   }
 
   test("gramMultiplicitySpectrum: octave histogram of gram counts") {
