@@ -10342,6 +10342,49 @@ object OracleSql {
     "q448_ivf_sharded_ann" ->
       s"""WITH ${ivfShardedCtes("4",
            "greatest(2, (1 << (bits // 2 + 1)) // 4)")},
-         |${ivfShardedAnnTail(2, 5)}""".stripMargin
+         |${ivfShardedAnnTail(2, 5)}""".stripMargin,
+
+    "q449_ivf_sharded_recall" ->
+      s"""WITH ${ivfShardedCtes("greatest(2, bits - 4)", "8")},
+         |n AS (SELECT id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+         |  FROM e),
+         |q AS (SELECT * FROM n WHERE id % 20 = 0),
+         |ex AS (SELECT vec_id, neighbor_id FROM (
+         |    SELECT q.id AS vec_id, b.id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.id ORDER BY
+         |        list_dot_product(q.emb, b.emb) / (q.nrm * b.nrm) DESC,
+         |        b.id) AS rn
+         |    FROM q, n b WHERE q.id <> b.id) z WHERE rn <= 5),
+         |pq AS (SELECT id AS vec_id, cid, rn AS pr FROM (
+         |    SELECT id, cid,
+         |      row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |    FROM d3 WHERE id % 20 = 0) z WHERE rn <= 3),
+         |cand AS (SELECT pq.vec_id, a3.id AS neighbor_id,
+         |    min(pq.pr) AS pr,
+         |    max(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm))
+         |      AS sim
+         |  FROM pq JOIN a3 ON pq.cid = a3.cid AND pq.vec_id <> a3.id
+         |  JOIN n na ON na.id = pq.vec_id JOIN n nb ON nb.id = a3.id
+         |  GROUP BY 1, 2),
+         |lv AS (SELECT l.lvl, vec_id, neighbor_id, sim FROM cand
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS lvl) l
+         |  WHERE pr <= l.lvl),
+         |tk AS (SELECT lvl, vec_id, neighbor_id FROM (
+         |    SELECT lvl, vec_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY lvl, vec_id
+         |        ORDER BY sim DESC, neighbor_id) AS rn FROM lv) z
+         |  WHERE rn <= 5),
+         |nq AS (SELECT count(*) AS nq FROM q),
+         |h AS (SELECT lvl, count(ex.vec_id) AS n_hits
+         |  FROM tk LEFT JOIN ex ON ex.vec_id = tk.vec_id
+         |    AND ex.neighbor_id = tk.neighbor_id
+         |  GROUP BY lvl)
+         |SELECT CAST((SELECT s FROM ss) AS BIGINT) AS shard_bits,
+         |  CAST(lvl AS BIGINT) AS nprobe,
+         |  CAST(nq AS BIGINT) AS n_queries,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST((n_hits * 2000000 + 5 * nq) // (2 * 5 * nq) AS BIGINT)
+         |    AS recall_ppm
+         |FROM h CROSS JOIN nq ORDER BY nprobe""".stripMargin
   )
 }

@@ -4738,6 +4738,23 @@ object SparkEntry {
         (1 << (SimilarityOps.adaptiveSignBits(emb) / 2 + 1)) / 4)
       SimilarityOps.ivfAnnTopKSharded(emb, "vec_id", "embedding", 5, kc)
         .orderBy("vec_id", "neighbor_id")
+    }),
+
+    // L386 — measured recall certificate for the SHARDED trained
+    // quantizer (the IMI shard-locality trade the round-10 sharded ANN
+    // named but never measured): recall@5 per own-shard nprobe 1/2/3
+    // at q441's EXACT dials (shardBits = max(2, bits − 4), 8 cells per
+    // shard) vs the 1-in-20-sampled exact ground truth over the FULL
+    // corpus — cross-shard true neighbors count AGAINST recall, so the
+    // gap to q444's flat numbers is the measured price of sharding.
+    // Declared-cartesian whitelist class (sampled exact baseline),
+    // like q397/q438/q439/q444.
+    "q449_ivf_sharded_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val sb = math.max(2, SimilarityOps.adaptiveSignBits(emb) - 4)
+      SimilarityOps.ivfRecallAuditSharded(emb, "vec_id", "embedding", 5,
+          kcPerShard = 8, shardBits = sb)
+        .orderBy("nprobe")
     })
   )
 

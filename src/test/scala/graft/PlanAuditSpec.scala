@@ -1149,10 +1149,11 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // adaptive width (leading-dim and SRP buckets) — same sampled
     // exact side, same whitelist class; q444 is that class again for
     // the TRAINED quantizer (IVF nprobe recall vs the same 1-in-20
-    // sampled exact baseline).
+    // sampled exact baseline), and q449 for the SHARDED trained
+    // quantizer (same exact side; its ANN side is shard equi-joins).
     val allowed = Set("q26_cosine_topk", "q397_ann_recall",
       "q438_ann_adaptive_recall", "q439_ann_srp_recall",
-      "q444_ivf_recall")
+      "q444_ivf_recall", "q449_ivf_sharded_recall")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val df = fn(spark, dir)
       val s = df.queryExecution.executedPlan.toString
