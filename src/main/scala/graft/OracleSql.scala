@@ -195,20 +195,21 @@ object OracleSql {
     * while Spark DIV truncates and only exact division agrees), then
     * the final assignment a3 over the trained codebook c2.
     */
-  private val ivfBaseCtes =
-    """e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb,
-      |    list_transform(embedding::DOUBLE[],
-      |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qemb
-      |  FROM embeddings),
-      |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
-      |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
-      |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
-      |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
-      |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
-      |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
-      |  FROM e),
-      |kk AS (SELECT CAST(1 << (bits // 2 + 1) AS BIGINT) AS kc FROM bb),
-      |rng AS (SELECT unnest(range(64)) AS i)""".stripMargin
+  private def ivfBaseCtes(
+      kkSql: String = "CAST(1 << (bits // 2 + 1) AS BIGINT)"): String =
+    s"""e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb,
+       |    list_transform(embedding::DOUBLE[],
+       |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qemb
+       |  FROM embeddings),
+       |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+       |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
+       |  FROM e),
+       |kk AS (SELECT $kkSql AS kc FROM bb),
+       |rng AS (SELECT unnest(range(64)) AS i)""".stripMargin
 
   /** The two-round exact-integer Lloyd chain (seeds → d1/a1/m1/c1 →
     * d2/a2/m2/c2 → d3/a3) over training source `$src` — `$src` aliased
@@ -259,13 +260,13 @@ object OracleSql {
        |  FROM d3) WHERE rn = 1)""".stripMargin
 
   /** Full-corpus training (q444's audit class). */
-  private val ivfCtes = ivfBaseCtes + ",\n" + ivfLloydCtes("e")
+  private val ivfCtes = ivfBaseCtes() + ",\n" + ivfLloydCtes("e")
 
   /** md5-sampled training slice (q440): mod = greatest(1, n // (kc·32))
     * mirrors SimilarityOps.ivfSampleMod; the whole Lloyd chain AND the
     * census assignment run over `tr`.
     */
-  private val ivfCtesSampled = ivfBaseCtes + ",\n" +
+  private val ivfCtesSampled = ivfBaseCtes() + ",\n" +
     """mm AS (SELECT greatest(1, (SELECT count(*) FROM e) // (kc * 32))
       |    AS m FROM kk),
       |tr AS (SELECT e.* FROM e CROSS JOIN mm
@@ -10385,6 +10386,88 @@ object OracleSql {
          |  CAST(n_hits AS BIGINT) AS n_hits,
          |  CAST((n_hits * 2000000 + 5 * nq) // (2 * 5 * nq) AS BIGINT)
          |    AS recall_ppm
-         |FROM h CROSS JOIN nq ORDER BY nprobe""".stripMargin
+         |FROM h CROSS JOIN nq ORDER BY nprobe""".stripMargin,
+
+    "q450_recall_per_candidate" ->
+      s"""WITH ${ivfBaseCtes("CAST(1 << bits AS BIGINT)")},
+         |${ivfLloydCtes("e")},
+         |n AS (SELECT id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
+         |    CAST(list_sum(list_transform(range(bits), j ->
+         |      CASE WHEN emb[j + 1] > 0 THEN 1 << j ELSE 0 END))
+         |      AS INT) AS bucket
+         |  FROM e CROSS JOIN bb),
+         |q AS (SELECT * FROM n WHERE id % 20 = 0),
+         |ex AS (SELECT vec_id, neighbor_id FROM (
+         |    SELECT q.id AS vec_id, b.id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.id ORDER BY
+         |        list_dot_product(q.emb, b.emb) / (q.nrm * b.nrm) DESC,
+         |        b.id) AS rn
+         |    FROM q, n b WHERE q.id <> b.id) z WHERE rn <= 5),
+         |pb AS (SELECT id, emb, nrm, unnest(list_concat(list_concat(
+         |    [{'pb': bucket, 'hd': 0}],
+         |    list_transform(range(bits),
+         |      j -> {'pb': xor(bucket, CAST(1 << j AS INT)), 'hd': 1})),
+         |    flatten(list_transform(range(bits),
+         |      i -> list_transform(range(i),
+         |        j -> {'pb': xor(bucket, CAST((1 << i) | (1 << j) AS INT)),
+         |              'hd': 2})))
+         |  )) AS pr FROM q CROSS JOIN bb),
+         |scand AS (SELECT a.id AS vec_id, b.id AS neighbor_id,
+         |    min(a.pr.hd) AS lv,
+         |    max(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm)) AS sim
+         |  FROM pb a JOIN n b ON b.bucket = a.pr.pb AND b.id <> a.id
+         |  GROUP BY 1, 2),
+         |pq AS (SELECT id AS vec_id, cid, rn AS pr FROM (
+         |    SELECT id, cid,
+         |      row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |    FROM d3 WHERE id % 20 = 0) z WHERE rn <= 3),
+         |icand AS (SELECT pq.vec_id, a3.id AS neighbor_id,
+         |    min(pq.pr) AS lv,
+         |    max(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm))
+         |      AS sim
+         |  FROM pq JOIN a3 ON pq.cid = a3.cid AND pq.vec_id <> a3.id
+         |  JOIN n na ON na.id = pq.vec_id JOIN n nb ON nb.id = a3.id
+         |  GROUP BY 1, 2),
+         |nq AS (SELECT count(*) AS nq FROM q),
+         |slv AS (SELECT l.lvl, vec_id, neighbor_id, sim FROM scand
+         |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS lvl) l
+         |  WHERE lv <= l.lvl),
+         |stk AS (SELECT lvl, vec_id, neighbor_id FROM (
+         |    SELECT lvl, vec_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY lvl, vec_id
+         |        ORDER BY sim DESC, neighbor_id) AS rn FROM slv) z
+         |  WHERE rn <= 5),
+         |ilv AS (SELECT l.lvl, vec_id, neighbor_id, sim FROM icand
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS lvl) l
+         |  WHERE lv <= l.lvl),
+         |itk AS (SELECT lvl, vec_id, neighbor_id FROM (
+         |    SELECT lvl, vec_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY lvl, vec_id
+         |        ORDER BY sim DESC, neighbor_id) AS rn FROM ilv) z
+         |  WHERE rn <= 5),
+         |u AS (
+         |  SELECT 'sign_bucket' AS method, CAST(l.lvl AS BIGINT) AS setting,
+         |    (SELECT count(*) FROM scand WHERE lv <= l.lvl) AS n_candidates,
+         |    (SELECT count(*) FROM stk JOIN ex
+         |      ON ex.vec_id = stk.vec_id
+         |      AND ex.neighbor_id = stk.neighbor_id
+         |      WHERE stk.lvl = l.lvl) AS n_hits
+         |  FROM (SELECT unnest([0, 1, 2]) AS lvl) l
+         |  UNION ALL
+         |  SELECT 'ivf_trained' AS method, CAST(l.lvl AS BIGINT) AS setting,
+         |    (SELECT count(*) FROM icand WHERE lv <= l.lvl) AS n_candidates,
+         |    (SELECT count(*) FROM itk JOIN ex
+         |      ON ex.vec_id = itk.vec_id
+         |      AND ex.neighbor_id = itk.neighbor_id
+         |      WHERE itk.lvl = l.lvl) AS n_hits
+         |  FROM (SELECT unnest([1, 2, 3]) AS lvl) l)
+         |SELECT method, setting, CAST(nq AS BIGINT) AS n_queries,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST((n_candidates * 2 + nq) // (2 * nq) AS BIGINT)
+         |    AS cand_per_query,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST((n_hits * 2000000 + 5 * nq) // (2 * 5 * nq) AS BIGINT)
+         |    AS recall_ppm
+         |FROM u CROSS JOIN nq ORDER BY method, setting""".stripMargin
   )
 }

@@ -4755,7 +4755,20 @@ object SparkEntry {
       SimilarityOps.ivfRecallAuditSharded(emb, "vec_id", "embedding", 5,
           kcPerShard = 8, shardBits = sb)
         .orderBy("nprobe")
-    })
+    }),
+
+    // L387 — recall-per-CANDIDATE table: sign buckets vs the trained
+    // IVF at IDENTICAL geometry (2^bits cells each), both probed at
+    // their three levels against ONE shared 1-in-20-sampled exact
+    // ground truth, every row carrying the DISTINCT candidate pairs
+    // that level examined next to its recall — the q438-vs-q444
+    // comparison normalized to candidate cost (the SURVEY §2.11
+    // index-design question: does density adaptation beat
+    // data-independent planes on this corpus?). Declared-cartesian
+    // whitelist class (the one shared sampled exact side).
+    "q450_recall_per_candidate" -> ((s, d) =>
+      SimilarityOps.recallPerCandidateAudit(Tables.embeddings(s, d),
+        "vec_id", "embedding", 5))
   )
 
   // ------------------------------------------------------------- oracles

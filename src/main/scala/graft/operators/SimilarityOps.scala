@@ -1656,11 +1656,14 @@ object SimilarityOps {
     * signature table: exact top-k on a 1-in-`sampleMod` query sample
     * vs the multi-probe candidates at Hamming levels 0/1/2.
     */
-  private def annRecallCore(n: DataFrame, signBits: Int, k: Int,
-                            sampleMod: Int): DataFrame = {
-    val q = n.filter(pmod(col("id"), lit(sampleMod)) === 0)
-    val exact = selectTopK(pairSim(q, n), k)
-      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
+  /** Multi-probe (Hamming ≤ 2) candidate-pair table over a sign-bucket
+    * signature table: one row per DISTINCT reachable (query, neighbor)
+    * pair, tagged with its minimum probe distance `hd` and cosine.
+    * localCheckpointed — the per-level recall filters AND q450's
+    * per-level candidate counts all read it.
+    */
+  private def signProbeCands(q: DataFrame, n: DataFrame,
+                             signBits: Int): DataFrame = {
     val h1 = (0 until signBits).map(j =>
       s"struct(CAST(bucket AS INT) ^ ${1 << j} AS pb, 1 AS hd)")
     val h2 = for {
@@ -1674,13 +1677,21 @@ object SimilarityOps {
         col("p.pb").as("bucket"), col("p.hd").as("hd"))
     val b = n.select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
       col("nrm").as("b_nrm"), col("bucket").cast("int").as("bucket"))
-    val cand = a.join(b, "bucket")
+    a.join(b, "bucket")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
       .groupBy(col("vec_id"), col("neighbor_id"))
       .agg(min(col("hd")).as("hd"), max(col("sim")).as("sim"))
-      // three level filters read the candidate table.
       .localCheckpoint(false)
+  }
+
+  private def annRecallCore(n: DataFrame, signBits: Int, k: Int,
+                            sampleMod: Int): DataFrame = {
+    val q = n.filter(pmod(col("id"), lit(sampleMod)) === 0)
+    val exact = selectTopK(pairSim(q, n), k)
+      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
+    // three level filters read the shared candidate table.
+    val cand = signProbeCands(q, n, signBits)
     val ann = Seq(0, 1, 2).map { lvl =>
       selectTopK(cand.filter(col("hd") <= lvl)
           .select(col("vec_id"), col("neighbor_id"), col("sim")), k)
@@ -2086,22 +2097,23 @@ object SimilarityOps {
     * directly: does adapting cells to corpus density buy recall over
     * the data-independent sign planes at equal candidate cost?
     */
-  def ivfRecallAudit(df: DataFrame, idCol: String, embCol: String,
-                     k: Int, kCent: Int, sampleMod: Int = 20,
-                     rounds: Int = 2): DataFrame = {
-    val (e, _, cFinal, _) = ivfFit(df, idCol, embCol, kCent, rounds)
-    val home = ivfAssign(e, cFinal)
-    val q = e.filter(pmod(col("id"), lit(sampleMod)) === 0)
-      .localCheckpoint(false)
-    val exact = selectTopK(pairSim(q, e), k)
-      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
+  /** Multi-probe candidate-pair table over the FLAT trained codebook:
+    * each query's `maxProbe` nearest cells (bounded TopKAggregator
+    * over the broadcast codebook distances) equi-joined to the home
+    * assignments — one row per DISTINCT reachable pair, tagged with
+    * its minimum probe rank `pr` and cosine. localCheckpointed — the
+    * per-nprobe recall filters AND q450's candidate counts read it.
+    */
+  private def ivfProbeCands(q: DataFrame, e: DataFrame, home: DataFrame,
+                            cFinal: DataFrame,
+                            maxProbe: Int = 3): DataFrame = {
     val pq = q.select(col("id"), col("qemb"))
       .crossJoin(broadcast(cFinal))
       .withColumn("__d", expr(
         "aggregate(zip_with(qemb, cemb, (x, y) -> (x - y) * (x - y)), " +
           "0L, (acc, v) -> acc + v)"))
       .groupBy(col("id"))
-      .agg(graft.functions.TopKAggregator.topK(3,
+      .agg(graft.functions.TopKAggregator.topK(maxProbe,
         -col("__d").cast("double"), col("cid")).as("__top"))
       .select(col("id"), posexplode(col("__top")).as(Seq("__p", "t")))
       .select(col("id").as("vec_id"), col("t.id").as("cid"),
@@ -2111,13 +2123,25 @@ object SimilarityOps {
     val b = home.join(e, "id")
       .select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
         col("nrm").as("b_nrm"), col("cid"))
-    val cand = a.join(b, "cid")
+    a.join(b, "cid")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
       .groupBy(col("vec_id"), col("neighbor_id"))
       .agg(min(col("pr")).as("pr"), max(col("sim")).as("sim"))
-      // three nprobe filters read the candidate table.
       .localCheckpoint(false)
+  }
+
+  def ivfRecallAudit(df: DataFrame, idCol: String, embCol: String,
+                     k: Int, kCent: Int, sampleMod: Int = 20,
+                     rounds: Int = 2): DataFrame = {
+    val (e, _, cFinal, _) = ivfFit(df, idCol, embCol, kCent, rounds)
+    val home = ivfAssign(e, cFinal)
+    val q = e.filter(pmod(col("id"), lit(sampleMod)) === 0)
+      .localCheckpoint(false)
+    val exact = selectTopK(pairSim(q, e), k)
+      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
+    // three nprobe filters read the shared candidate table.
+    val cand = ivfProbeCands(q, e, home, cFinal)
     val ann = Seq(1, 2, 3).map { lvl =>
       selectTopK(cand.filter(col("pr") <= lvl)
           .select(col("vec_id"), col("neighbor_id"), col("sim")), k)
@@ -2131,5 +2155,60 @@ object SimilarityOps {
       .select(col("nprobe"), col("__nq").as("n_queries"), col("n_hits"),
         expr(s"CAST((n_hits * 2000000 + $k * __nq) " +
           s"div (2 * $k * __nq) AS BIGINT)").as("recall_ppm"))
+  }
+
+  /** Recall-per-CANDIDATE audit (q450) — the index-design question
+    * q438 vs q444 left open, answered on equal terms: do
+    * density-ADAPTED cells (trained IVF) beat the data-independent
+    * sign planes at equal candidate cost? Both quantizers are built at
+    * the SAME geometry — 2^bits cells, bits = [[adaptiveSignBits]] —
+    * over the same corpus, probed at their three levels (Hamming ≤
+    * 0/1/2; nprobe 1/2/3) against ONE shared 1-in-`sampleMod` exact
+    * ground truth, and every row reports the DISTINCT candidate pairs
+    * that level examined next to its recall — so the reader compares
+    * recall at matched candidates-per-query, not at incomparable
+    * probe-level labels. Same deliberate-cartesian whitelist class as
+    * q397/q438/q444 (one sampled exact side, shared by both methods).
+    */
+  def recallPerCandidateAudit(df: DataFrame, idCol: String,
+                              embCol: String, k: Int,
+                              sampleMod: Int = 20): DataFrame = {
+    val bits = adaptiveSignBits(df)
+    // sign-bucket side: signature, sample, shared exact ground truth
+    val n = normalized(df, idCol, embCol)
+      .withColumn("bucket", signBucket(bits))
+      .localCheckpoint(false)
+    val qs = n.filter(pmod(col("id"), lit(sampleMod)) === 0)
+    val exact = selectTopK(pairSim(qs, n), k)
+      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
+      .localCheckpoint(false)
+    val signCand = signProbeCands(qs, n, bits)
+    // trained-IVF side at the SAME cell count (kCent = 2^bits)
+    val (e, _, cFinal, _) = ivfFit(df, idCol, embCol, 1 << bits, 2)
+    val home = ivfAssign(e, cFinal)
+    val qi = e.filter(pmod(col("id"), lit(sampleMod)) === 0)
+    val ivfCand = ivfProbeCands(qi, e, home, cFinal)
+    val nq = qs.agg(count(lit(1)).as("__nq"))
+    def row(cand: DataFrame, lvlCol: String, lvl: Int,
+            method: String): DataFrame = {
+      val c = cand.filter(col(lvlCol) <= lvl)
+      val hits = selectTopK(c.select(col("vec_id"), col("neighbor_id"),
+          col("sim")), k)
+        .join(exact, Seq("vec_id", "neighbor_id"), "left")
+        .agg(count(col("__e")).as("n_hits"))
+      val ncand = c.agg(count(lit(1)).as("n_candidates"))
+      hits.crossJoin(ncand).crossJoin(broadcast(nq))
+        .select(lit(method).as("method"), lit(lvl.toLong).as("setting"),
+          col("__nq").as("n_queries"), col("n_candidates"),
+          expr("CAST((n_candidates * 2 + __nq) div (2 * __nq) " +
+            "AS BIGINT)").as("cand_per_query"),
+          col("n_hits"),
+          expr(s"CAST((n_hits * 2000000 + $k * __nq) " +
+            s"div (2 * $k * __nq) AS BIGINT)").as("recall_ppm"))
+    }
+    (Seq(0, 1, 2).map(row(signCand, "hd", _, "sign_bucket")
+      ) ++ Seq(1, 2, 3).map(row(ivfCand, "pr", _, "ivf_trained")))
+      .reduce(_ unionAll _)
+      .orderBy(col("method"), col("setting"))
   }
 }

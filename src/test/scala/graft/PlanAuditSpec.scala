@@ -1153,7 +1153,8 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // quantizer (same exact side; its ANN side is shard equi-joins).
     val allowed = Set("q26_cosine_topk", "q397_ann_recall",
       "q438_ann_adaptive_recall", "q439_ann_srp_recall",
-      "q444_ivf_recall", "q449_ivf_sharded_recall")
+      "q444_ivf_recall", "q449_ivf_sharded_recall",
+      "q450_recall_per_candidate")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val df = fn(spark, dir)
       val s = df.queryExecution.executedPlan.toString
