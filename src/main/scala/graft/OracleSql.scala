@@ -10468,6 +10468,30 @@ object OracleSql {
          |  CAST(n_hits AS BIGINT) AS n_hits,
          |  CAST((n_hits * 2000000 + 5 * nq) // (2 * 5 * nq) AS BIGINT)
          |    AS recall_ppm
-         |FROM u CROSS JOIN nq ORDER BY method, setting""".stripMargin
+         |FROM u CROSS JOIN nq ORDER BY method, setting""".stripMargin,
+
+    "q451_negsample_rejection" ->
+      """WITH seen AS (SELECT o_custkey AS custkey, l_partkey AS partkey
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey < 200),
+        |users AS (SELECT DISTINCT custkey FROM seen),
+        |cat AS (SELECT DISTINCT p_partkey AS partkey FROM part
+        |  WHERE p_partkey < 500),
+        |mx AS (SELECT max(partkey) + 1 AS m FROM cat),
+        |cand AS (SELECT custkey, slot,
+        |    ('0x' || substr(md5(custkey::VARCHAR || '|' || slot::VARCHAR),
+        |      1, 8))::BIGINT % m AS v
+        |  FROM users CROSS JOIN (SELECT unnest(range(40)) AS slot) s
+        |  CROSS JOIN mx),
+        |hit AS (SELECT c.custkey, cat.partkey, c.slot
+        |  FROM cand c JOIN cat ON cat.partkey = c.v),
+        |ded AS (SELECT h.custkey, h.partkey, min(h.slot) AS slot
+        |  FROM hit h ANTI JOIN seen s
+        |    ON h.custkey = s.custkey AND h.partkey = s.partkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT custkey, partkey, row_number() OVER
+        |  (PARTITION BY custkey ORDER BY slot, partkey) AS rn FROM ded)
+        |SELECT custkey, partkey FROM r WHERE rn <= 5
+        |ORDER BY custkey, partkey""".stripMargin
   )
 }

@@ -4768,7 +4768,28 @@ object SparkEntry {
     // whitelist class (the one shared sampled exact side).
     "q450_recall_per_candidate" -> ((s, d) =>
       SimilarityOps.recallPerCandidateAudit(Tables.embeddings(s, d),
-        "vec_id", "embedding", 5))
+        "vec_id", "embedding", 5)),
+
+    // L388 — negative sampling WITHOUT the broadcastable-catalog
+    // assumption (q109's 100 TB form, same seen/catalog tables): a
+    // bounded per-user md5 SLOT draw with hash rejection — 40
+    // slots/user each propose item id md5(user|slot) mod (max id + 1),
+    // rejected on catalog miss, seen hit, or repeat; the first 5
+    // survivors (slot order) win. |U|·40 generated rows + equi-joins
+    // only; PlanAuditSpec asserts the executed plan is BNLJ- and
+    // cartesian-free — q109's exact top-n-by-pair-hash semantic
+    // inherently streams |U|·|C| (a per-user MIN over the catalog),
+    // this draw's cost is independent of |C|.
+    "q451_negsample_rejection" -> ((s, d) => {
+      val seen = Tables.orders(s, d).filter(col("o_custkey") < 200)
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("custkey"), col("l_partkey").as("partkey"))
+      val catalog = Tables.part(s, d).filter(col("p_partkey") < 500)
+        .select(col("p_partkey").as("partkey"))
+      RetrievalOps.negativeSampleRejection(seen, catalog, "custkey",
+          "partkey", 5)
+        .orderBy("custkey", "partkey")
+    })
   )
 
   // ------------------------------------------------------------- oracles

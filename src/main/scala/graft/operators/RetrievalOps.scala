@@ -210,6 +210,15 @@ object RetrievalOps {
     * aggregator's (score desc, id asc) contract ordered by the NEGATED
     * hash reproduces the original (hash asc, item asc) draw
     * bit-for-bit: the 32-bit hash is exact in a double.
+    *
+    * Scale boundary: the top-n-by-pair-hash semantic requires the
+    * catalog to be broadcastable (the grid streams |U|·|C| hash
+    * evaluations map-side — inherent to a per-user MIN over the item
+    * set, see [[negativeSampleRejection]]'s doc for why no plan can
+    * avoid it). Faithful to the reference's bounded item universe
+    * (ml-1m's 3,883-movie catalog, offline/recall/s2_vector_recall.py);
+    * at an unbounded catalog use [[negativeSampleRejection]] (q451),
+    * whose cost is |U|·slots regardless of |C|.
     */
   def negativeSample(seen: DataFrame, items: DataFrame, userCol: String,
                      itemCol: String, n: Int): DataFrame = {
@@ -233,6 +242,70 @@ object RetrievalOps {
     grid.groupBy(col(userCol))
       .agg(graft.functions.TopKAggregator.topK(n,
         -col("__u").cast("double"), col(itemCol).cast("long")).as("__top"))
+      .select(col(userCol), explode(col("__top")).as("__t"))
+      .select(col(userCol), col("__t.id").cast(itemType).as(itemCol))
+  }
+
+  /** Deterministic negative sampling WITHOUT the broadcastable-catalog
+    * assumption — [[negativeSample]]'s 100 TB form (q451): a bounded
+    * per-user md5 SLOT draw with hash rejection instead of a per-user
+    * minimum over the whole catalog.
+    *
+    * Why a new semantic rather than a faster plan for the old one:
+    * [[negativeSample]]'s "n smallest md5(user, item) over the unseen
+    * catalog" is a per-user MIN over the full item set, so ANY exact
+    * implementation must evaluate all |U|·|C| pair hashes (md5 cannot
+    * be inverted to enumerate its k smallest preimages) — at a
+    * non-broadcastable catalog the semantic itself is the scale hole,
+    * not the plan. The rejection draw replaces it: `slotFactor·n`
+    * slots per user; slot j proposes item id md5(user|j) mod
+    * (max id + 1); a slot is REJECTED when it misses the catalog (id
+    * gaps), hits a seen item, or repeats an earlier proposal;
+    * survivors keep slot order and the first n win. Each user gets ≤ n
+    * negatives — the underfill probability decays geometrically in
+    * slotFactor (≲ (seen_frac + gap_frac)^(slotFactor·n − n) per user;
+    * < 1e-6 at n = 5, slotFactor = 8, half the catalog seen) and an
+    * underfilled user is VISIBLE (fewer rows), never silently wrong.
+    *
+    * Scale: |U|·slotFactor·n generated rows map-side, ONE equi-join on
+    * the item id (hash-partitioned — works at any catalog size, no
+    * broadcast), one anti-join on (user, item), one min-slot dedupe
+    * and the bounded per-user TopK. Nothing anywhere materializes or
+    * streams |U|·|C| rows; PlanAuditSpec asserts the executed plan is
+    * BNLJ- and cartesian-free. The max-id read is ONE driver-side
+    * scalar (the planner-statistic class, like [[SimilarityOps
+    * .adaptiveSignBits]]'s count), mirrored by the oracle.
+    */
+  def negativeSampleRejection(seen: DataFrame, items: DataFrame,
+                              userCol: String, itemCol: String, n: Int,
+                              slotFactor: Int = 8): DataFrame = {
+    val itemType = items.schema(itemCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(itemType),
+      s"negativeSampleRejection needs an integral $itemCol (got $itemType)")
+    val maxId = items.agg(max(col(itemCol)).cast("long")).head.getLong(0)
+    val m = slotFactor * n
+    val cand = seen.select(col(userCol)).distinct()
+      .select(col(userCol), explode(expr(s"sequence(0, ${m - 1})"))
+        .as("__slot"))
+      .withColumn("__v", pmod(conv(substring(md5(concat_ws("|",
+        col(userCol).cast("string"), col("__slot").cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(maxId + 1)))
+    // duplicate catalog rows must not duplicate draws (the
+    // negativeSample contract): distinct before the id join
+    val hits = cand.join(items.select(col(itemCol)).distinct(),
+      cand("__v") === col(itemCol).cast("long"))
+    val ded = hits
+      .join(seen.select(col(userCol), col(itemCol)),
+        Seq(userCol, itemCol), "left_anti")
+      .groupBy(col(userCol), col(itemCol))
+      .agg(min(col("__slot")).as("__slot"))
+    ded.groupBy(col(userCol))
+      .agg(graft.functions.TopKAggregator.topK(n,
+        -col("__slot").cast("double"), col(itemCol).cast("long"))
+        .as("__top"))
       .select(col(userCol), explode(col("__top")).as("__t"))
       .select(col(userCol), col("__t.id").cast(itemType).as(itemCol))
   }

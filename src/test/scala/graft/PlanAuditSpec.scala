@@ -1138,6 +1138,23 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"exchange volume $written must be far below the " +
         s"${users * catalog}-row grid")
 
+    // q451's rejection draw must never sweep the catalog: no
+    // BroadcastNestedLoopJoin (the q109 grid form's broadcast cross
+    // join) and no cartesian anywhere in the executed plan — every
+    // join is an equi-join, so generated rows are |U|·slots plus the
+    // id-join hits, INDEPENDENT of |C| — and the per-user pick stays
+    // the bounded TopKAggregator, never a window.
+    val rej = plan("q451_negsample_rejection")
+    rej.collect()
+    val rejExec = rej.queryExecution.executedPlan
+    assert(!rejExec.toString.contains("BroadcastNestedLoopJoin") &&
+      !rejExec.toString.contains("CartesianProduct"),
+      "q451 must not plan any non-equi join over the catalog")
+    assert(collectWithSubqueries(rejExec) { case w: WindowExec => w }.isEmpty,
+      "q451 must not rank its draw through a window")
+    assert(rejExec.toString.toLowerCase.contains("topkaggregator"),
+      "q451's per-user pick must be the bounded TopKAggregator")
+
     // Only THE declared exact-baseline form (q26) may cross-join; the
     // other exact forms were demoted to unit fixtures in round 9
     // (q34/q191/q194/q218 — their bucketed scale twins q60/q329-q331

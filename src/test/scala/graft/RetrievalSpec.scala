@@ -54,6 +54,30 @@ class RetrievalSpec extends SparkSpec {
     assert(out.toSet == again)
   }
 
+  test("negativeSampleRejection: never a seen item, at most n per user, " +
+    "distinct draws, re-run stable, duplicate catalog rows harmless") {
+    val seen = Seq((1L, 10L), (1L, 11L), (2L, 10L)).toDF("u", "i")
+    // sparse catalog (gap at 15..19): misses are rejected slots, and a
+    // duplicated row must not duplicate a draw
+    val cat = ((10L until 15L) ++ (20L until 30L) ++ Seq(10L)).toDF("i")
+    val out = RetrievalOps.negativeSampleRejection(seen, cat, "u", "i", 4)
+      .as[(Long, Long)].collect()
+    val byUser = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(byUser.keySet.subsetOf(Set(1L, 2L)))
+    byUser.values.foreach { items =>
+      assert(items.length <= 4 && items.distinct.length == items.length)
+      assert(items.forall(i => (10L until 15L) ++ (20L until 30L) contains i))
+    }
+    assert(!byUser.getOrElse(1L, Array.empty[Long]).exists(i => i == 10L || i == 11L))
+    assert(!byUser.getOrElse(2L, Array.empty[Long]).contains(10L))
+    // 32 slots over a 15-item catalog in a 30-wide id space: both
+    // users must fill all 4 slots with overwhelming margin
+    assert(byUser.values.forall(_.length == 4))
+    val again = RetrievalOps.negativeSampleRejection(seen, cat, "u", "i", 4)
+      .as[(Long, Long)].collect().toSet
+    assert(out.toSet == again)
+  }
+
   test("i2iPmi: frequent co-engagement scores above chance pairings") {
     // items 1,2 co-occur for 4 of 6 users; item 3 floats independently
     val ev = Seq(
