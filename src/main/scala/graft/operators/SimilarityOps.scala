@@ -2029,6 +2029,18 @@ object SimilarityOps {
     ivfShardedFit(df, idCol, embCol, kcPerShard, rounds, shardBits)._2
       .select(col("shard"), col("cid"), col("cemb"))
 
+  /** Batch twin of the sharded STREAMING assigner
+    * ([[graft.streaming.StreamingIvfAssign.assignSharded]]): assign
+    * vectors to the cells of a FROZEN (shard, cid, cemb) codebook — no
+    * training, just the shard routing + shard-local argmin. The spec
+    * pins stream ≡ batch on this pair.
+    */
+  def ivfShardedAssignFrozen(df: DataFrame, idCol: String,
+                             embCol: String, codebook: DataFrame,
+                             shardBits: Int): DataFrame =
+    ivfShardedAssign(shardQuantized(df, idCol, embCol, shardBits),
+      codebook)
+
   /** Measured recall certificate for the SHARDED trained quantizer
     * (q449) — [[ivfRecallAudit]]'s shape on [[ivfAnnTopKSharded]]'s
     * layout at the SAME dials as the declared q441: recall@k per

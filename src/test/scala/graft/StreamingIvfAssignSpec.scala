@@ -59,4 +59,78 @@ class StreamingIvfAssignSpec extends SparkSpec {
       "vec_id", "embedding", codebook.reverse)
     assert(rev.collect().head.getLong(1) == 4L)
   }
+
+  test("assign: a wrong-dimension or null-element vector emits NULL " +
+    "cid/dist2, never a phantom Long.MaxValue cell") {
+    val df = vecs.toDF("vec_id", "embedding")
+    val codebook = SimilarityOps.ivfCodebook(df, "vec_id", "embedding", 2)
+      .collect()
+      .map(r => r.getAs[Long]("cid") ->
+        r.getAs[scala.collection.Seq[Long]]("cemb").toSeq).toSeq
+    val bad = Seq(
+      200L -> Seq(1.0f),                      // too short
+      201L -> Seq(1.0f, 0.0f, 0.0f),          // too long
+      203L -> Seq(1.0f, 0.0f))                // well-formed control
+    val out = StreamingIvfAssign.assign(
+        bad.toDF("vec_id", "embedding"), "vec_id", "embedding", codebook)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(200L).isEmpty && out(201L).isEmpty)
+    assert(out(203L).contains(4L))
+    // a null ELEMENT also nulls out (null-element arithmetic)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val nullElem = spark.createDataFrame(
+      java.util.List.of(Row(202L, Seq[java.lang.Float](1.0f, null))),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType, containsNull = true)))))
+    val o2 = StreamingIvfAssign.assign(nullElem, "vec_id", "embedding",
+      codebook).collect().head
+    assert(o2.isNullAt(1) && o2.isNullAt(2))
+  }
+
+  test("assignSharded: stream == batch on the frozen PER-SHARD " +
+    "codebook; an empty-shard vector emits NULL, not a phantom cell") {
+    // 4-dim vectors in three sign-shards (2 leading bits -> 4 shards);
+    // shard 2 (emb[0] <= 0 < emb[1]) stays EMPTY at train time
+    val sv = Seq(
+      10L -> Seq(1.0f, 0.1f, 0.1f, 0.1f),     // shard 3
+      11L -> Seq(0.9f, 0.2f, 0.1f, 0.1f),     // shard 3
+      12L -> Seq(1.1f, 0.1f, 0.2f, 0.1f),     // shard 3
+      20L -> Seq(0.5f, -0.5f, 0.5f, -0.5f),   // shard 1
+      21L -> Seq(0.6f, -0.4f, 0.5f, -0.5f),   // shard 1
+      40L -> Seq(-0.5f, -0.5f, -0.5f, -0.5f)) // shard 0
+    val sdf = sv.toDF("vec_id", "embedding")
+    val cbDf = SimilarityOps.ivfShardedCodebook(sdf, "vec_id",
+      "embedding", kcPerShard = 2, rounds = 2, shardBits = 2)
+    val codebooks = cbDf.collect()
+      .map(r => (r.getAs[Int]("shard"), (r.getAs[Long]("cid"),
+        r.getAs[scala.collection.Seq[Long]]("cemb").toSeq)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    assert(!codebooks.contains(2), "fixture: shard 2 must be empty")
+    val batch = SimilarityOps.ivfShardedAssignFrozen(sdf, "vec_id",
+        "embedding", cbDf, shardBits = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = StreamingIvfAssign.assignSharded(
+      mem.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      codebooks, shardBits = 2)
+    val q = out.writeStream.format("memory").queryName("ivf_shard_stream")
+      .outputMode("append").start()
+    mem.addData(sv: _*)
+    // a late vector landing in the EMPTY shard 2
+    mem.addData(99L -> Seq(-0.5f, 0.5f, 0.1f, 0.1f))
+    q.processAllAvailable()
+    val rows = spark.table("ivf_shard_stream").collect()
+    q.stop()
+    val streamed = rows.filter(!_.isNullAt(2))
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"stream $streamed must equal batch $batch")
+    val orphan = rows.filter(_.getLong(0) == 99L)
+    assert(orphan.length == 1 && orphan.head.getInt(1) == 2 &&
+      orphan.head.isNullAt(2) && orphan.head.isNullAt(3))
+  }
 }
