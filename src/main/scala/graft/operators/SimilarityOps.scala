@@ -2181,6 +2181,11 @@ object SimilarityOps {
     * recall at matched candidates-per-query, not at incomparable
     * probe-level labels. Same deliberate-cartesian whitelist class as
     * q397/q438/q444 (one sampled exact side, shared by both methods).
+    * Cost note: this is an AUDIT, not a production path — the
+    * equal-geometry requirement makes its IVF training n·2^bits (∝ n²
+    * under the width schedule, like the exact side's n²/sampleMod);
+    * you run it on a dev slice to pick an index design, then ship the
+    * sharded layout (q441) it justifies.
     */
   def recallPerCandidateAudit(df: DataFrame, idCol: String,
                               embCol: String, k: Int,
