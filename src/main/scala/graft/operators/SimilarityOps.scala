@@ -2206,26 +2206,41 @@ object SimilarityOps {
     val qi = e.filter(pmod(col("id"), lit(sampleMod)) === 0)
     val ivfCand = ivfProbeCands(qi, e, home, cFinal)
     val nq = qs.agg(count(lit(1)).as("__nq"))
-    def row(cand: DataFrame, lvlCol: String, lvl: Int,
-            method: String): DataFrame = {
-      val c = cand.filter(col(lvlCol) <= lvl)
-      val hits = selectTopK(c.select(col("vec_id"), col("neighbor_id"),
-          col("sim")), k)
+    // ONE plan, not 12 per-level jobs: per method, the tagged per-level
+    // top-k lists union into a single (method, setting) hits agg, and
+    // the per-level candidate counts come from one pass that explodes
+    // each pair into every level that reaches it (sequence(lvl, max)).
+    def hits(cand: DataFrame, lvlCol: String, lvls: Seq[Int],
+             method: String): DataFrame =
+      lvls.map { lvl =>
+        selectTopK(cand.filter(col(lvlCol) <= lvl)
+            .select(col("vec_id"), col("neighbor_id"), col("sim")), k)
+          .withColumn("setting", lit(lvl.toLong))
+      }.reduce(_ unionAll _)
         .join(exact, Seq("vec_id", "neighbor_id"), "left")
+        .groupBy(col("setting"))
         .agg(count(col("__e")).as("n_hits"))
-      val ncand = c.agg(count(lit(1)).as("n_candidates"))
-      hits.crossJoin(ncand).crossJoin(broadcast(nq))
-        .select(lit(method).as("method"), lit(lvl.toLong).as("setting"),
-          col("__nq").as("n_queries"), col("n_candidates"),
-          expr("CAST((n_candidates * 2 + __nq) div (2 * __nq) " +
-            "AS BIGINT)").as("cand_per_query"),
-          col("n_hits"),
-          expr(s"CAST((n_hits * 2000000 + $k * __nq) " +
-            s"div (2 * $k * __nq) AS BIGINT)").as("recall_ppm"))
-    }
-    (Seq(0, 1, 2).map(row(signCand, "hd", _, "sign_bucket")
-      ) ++ Seq(1, 2, 3).map(row(ivfCand, "pr", _, "ivf_trained")))
-      .reduce(_ unionAll _)
+        .withColumn("method", lit(method))
+    def cands(cand: DataFrame, lvlCol: String, maxLvl: Int,
+              method: String): DataFrame =
+      cand.select(explode(expr(s"sequence(CAST($lvlCol AS BIGINT), " +
+          s"${maxLvl}L)")).as("setting"))
+        .groupBy(col("setting"))
+        .agg(count(lit(1)).as("n_candidates"))
+        .withColumn("method", lit(method))
+    val h = hits(signCand, "hd", Seq(0, 1, 2), "sign_bucket")
+      .unionAll(hits(ivfCand, "pr", Seq(1, 2, 3), "ivf_trained"))
+    val c = cands(signCand, "hd", 2, "sign_bucket")
+      .unionAll(cands(ivfCand, "pr", 3, "ivf_trained"))
+    h.join(c, Seq("method", "setting"))
+      .crossJoin(broadcast(nq))
+      .select(col("method"), col("setting"),
+        col("__nq").as("n_queries"), col("n_candidates"),
+        expr("CAST((n_candidates * 2 + __nq) div (2 * __nq) " +
+          "AS BIGINT)").as("cand_per_query"),
+        col("n_hits"),
+        expr(s"CAST((n_hits * 2000000 + $k * __nq) " +
+          s"div (2 * $k * __nq) AS BIGINT)").as("recall_ppm"))
       .orderBy(col("method"), col("setting"))
   }
 }
