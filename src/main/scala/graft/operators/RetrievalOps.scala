@@ -285,7 +285,12 @@ object RetrievalOps {
         org.apache.spark.sql.types.IntegerType,
         org.apache.spark.sql.types.LongType).contains(itemType),
       s"negativeSampleRejection needs an integral $itemCol (got $itemType)")
-    val maxId = items.agg(max(col(itemCol)).cast("long")).head.getLong(0)
+    val maxRow = items.agg(max(col(itemCol)).cast("long")).head
+    // empty catalog (max over zero rows is NULL): nothing to draw from
+    // — emit the empty (user, item) frame instead of dividing by zero
+    if (maxRow.isNullAt(0))
+      return seen.select(col(userCol), col(itemCol)).limit(0)
+    val maxId = maxRow.getLong(0)
     val m = slotFactor * n
     val cand = seen.select(col(userCol)).distinct()
       .select(col(userCol), explode(expr(s"sequence(0, ${m - 1})"))
