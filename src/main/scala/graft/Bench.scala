@@ -25,6 +25,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // keep localCheckpoint blocks from piling up across 449 queries:
+      // the ContextCleaner only frees them after a full GC, and the
+      // default 30-min periodic GC never fires inside one bench run —
+      // accumulated blocks turn the tail queries into eviction storms
+      // (one plausible mechanism behind round-11's "host weather"
+      // outliers). See the same knob in Verify.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -52,6 +59,16 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { drain(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+      }
+      finally { spark.catalog.clearCache() }
+    }
+
     val results = selected.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -76,6 +93,32 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
 
+    // Weather guard: one GC/compaction storm on a shared host can
+    // poison a single query's committed number (round 11: the driver's
+    // run read q207 at 42.26 s against three independent ~1.8 s
+    // measurements). Against the committed prior-round detail
+    // (bench_prior.json at the repo root, refreshed each round), any
+    // query reading >3× its prior AND >= 1 s is re-timed once at end
+    // of run — the quiet tail, after the storm — and BOTH numbers are
+    // emitted (`retimed`), so a future comparison can spot the
+    // outlier instead of trusting it.
+    val prior: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("bench_prior.json")
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        """"(q[0-9][^"]*)"\s*:\s*([0-9.Ee+-]+)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+    } catch { case _: Throwable => Map.empty }
+    val retimed: Map[String, Double] = results.collect {
+      case (name, t) if t >= 1.0 && prior.getOrElse(name, 0.0) > 0.0 &&
+        t > 3.0 * prior(name) =>
+        name -> timeOnce(name, selected(name))
+    }.toMap
+    val retimedJson = retimed.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
     // Full-precision per-query detail → a file (for BENCHLOG analysis).
     val detail = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -83,7 +126,7 @@ object Bench {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
       java.nio.file.Files.write(
         java.nio.file.Paths.get("target", "bench_detail.json"),
-        s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"sf":"$sfDir"}""".getBytes("UTF-8"))
+        s"""{"metric":"total","value":$total,"unit":"sec","queries":$detail,"retimed":$retimedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () }
 
     // The stdout contract line MUST stay short: the harness keeps only the
@@ -103,7 +146,12 @@ object Bench {
         val key = k.takeWhile(_ != '_')
         s"\"" + key + "\":" + fmt(v, dp)
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      // retimed outliers ride the stdout line too (few or none): a
+      // reader of the contract line sees the weather flag directly
+      val rt = retimed.map { case (k, v) =>
+        s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, dp)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","n_queries":${results.size},"queries":$qs,"retimed":$rt,"sf":"$sfDir"}"""
     }
     val line2 = compactLine(2, 40)
     println(if (line2.length <= 1800) line2 else compactLine(1, 25))

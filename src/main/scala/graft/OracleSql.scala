@@ -214,64 +214,86 @@ object OracleSql {
   /** The two-round exact-integer Lloyd chain (seeds → d1/a1/m1/c1 →
     * d2/a2/m2/c2 → d3/a3) over training source `$src` — `$src` aliased
     * as `e` inside each CTE so the body is identical whether training
-    * sweeps the full corpus (q444's audit, src = e) or the md5-sampled
-    * slice (q440, src = tr).
+    * sweeps the full corpus (q450's dev-slice audit, src = e) or the
+    * md5-sampled slice (q440/q444, src = tr).
     */
-  private def ivfLloydCtes(src: String): String =
-    s"""hh AS (SELECT id, qemb,
+  private def ivfLloydCtes(src: String): String = ivfLloydCtes(src, src)
+
+  /** [[ivfLloydCtes]] with the FINAL assignment's sweep source split
+    * from the training source: the Lloyd rounds (seeds, d1..c2) read
+    * `$src` while d3/a3 read `$asrc` — the q444 shape, where the
+    * codebook trains on the sampled slice but every corpus vector
+    * still gets its home cell. `sfx` suffixes every chain-internal CTE
+    * name (and `kk` names the cell-count CTE) so several chains
+    * coexist in one WITH list (q452's dial sweep).
+    */
+  private def ivfLloydCtes(src: String, asrc: String, sfx: String = "",
+                           kk: String = "kk"): String =
+    s"""hh$sfx AS (SELECT id, qemb,
        |    ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT AS u FROM $src),
-       |seeds AS (SELECT id AS cid, qemb AS cemb FROM
+       |seeds$sfx AS (SELECT id AS cid, qemb AS cemb FROM
        |    (SELECT id, qemb, row_number() OVER (ORDER BY u, id) AS rn
-       |     FROM hh)
-       |    CROSS JOIN kk WHERE rn <= kc),
-       |d1 AS (SELECT e.id, s.cid,
+       |     FROM hh$sfx)
+       |    CROSS JOIN $kk WHERE rn <= kc),
+       |d1$sfx AS (SELECT e.id, s.cid,
        |    list_sum(list_transform(range(64), i ->
        |      (e.qemb[i + 1] - s.cemb[i + 1])
        |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
-       |  FROM $src e CROSS JOIN seeds s),
-       |a1 AS (SELECT id, cid FROM (SELECT id, cid,
+       |  FROM $src e CROSS JOIN seeds$sfx s),
+       |a1$sfx AS (SELECT id, cid FROM (SELECT id, cid,
        |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-       |  FROM d1) WHERE rn = 1),
-       |m1 AS (SELECT a1.cid, r.i AS dim, sum(e.qemb[r.i + 1]) AS s,
+       |  FROM d1$sfx) WHERE rn = 1),
+       |m1$sfx AS (SELECT a1.cid, r.i AS dim, sum(e.qemb[r.i + 1]) AS s,
        |    count(*) AS c
-       |  FROM a1 JOIN $src e USING (id) CROSS JOIN rng r GROUP BY a1.cid, r.i),
-       |c1 AS (SELECT cid, list(CAST((s - (((s % c) + c) % c)) // c
-       |    AS BIGINT) ORDER BY dim) AS cemb FROM m1 GROUP BY cid),
-       |d2 AS (SELECT e.id, s.cid,
+       |  FROM a1$sfx a1 JOIN $src e USING (id) CROSS JOIN rng r GROUP BY a1.cid, r.i),
+       |c1$sfx AS (SELECT cid, list(CAST((s - (((s % c) + c) % c)) // c
+       |    AS BIGINT) ORDER BY dim) AS cemb FROM m1$sfx GROUP BY cid),
+       |d2$sfx AS (SELECT e.id, s.cid,
        |    list_sum(list_transform(range(64), i ->
        |      (e.qemb[i + 1] - s.cemb[i + 1])
        |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
-       |  FROM $src e CROSS JOIN c1 s),
-       |a2 AS (SELECT id, cid FROM (SELECT id, cid,
+       |  FROM $src e CROSS JOIN c1$sfx s),
+       |a2$sfx AS (SELECT id, cid FROM (SELECT id, cid,
        |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-       |  FROM d2) WHERE rn = 1),
-       |m2 AS (SELECT a2.cid, r.i AS dim, sum(e.qemb[r.i + 1]) AS s,
+       |  FROM d2$sfx) WHERE rn = 1),
+       |m2$sfx AS (SELECT a2.cid, r.i AS dim, sum(e.qemb[r.i + 1]) AS s,
        |    count(*) AS c
-       |  FROM a2 JOIN $src e USING (id) CROSS JOIN rng r GROUP BY a2.cid, r.i),
-       |c2 AS (SELECT cid, list(CAST((s - (((s % c) + c) % c)) // c
-       |    AS BIGINT) ORDER BY dim) AS cemb FROM m2 GROUP BY cid),
-       |d3 AS (SELECT e.id, s.cid,
+       |  FROM a2$sfx a2 JOIN $src e USING (id) CROSS JOIN rng r GROUP BY a2.cid, r.i),
+       |c2$sfx AS (SELECT cid, list(CAST((s - (((s % c) + c) % c)) // c
+       |    AS BIGINT) ORDER BY dim) AS cemb FROM m2$sfx GROUP BY cid),
+       |d3$sfx AS (SELECT e.id, s.cid,
        |    list_sum(list_transform(range(64), i ->
        |      (e.qemb[i + 1] - s.cemb[i + 1])
        |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
-       |  FROM $src e CROSS JOIN c2 s),
-       |a3 AS (SELECT id, cid FROM (SELECT id, cid,
+       |  FROM $asrc e CROSS JOIN c2$sfx s),
+       |a3$sfx AS (SELECT id, cid FROM (SELECT id, cid,
        |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-       |  FROM d3) WHERE rn = 1)""".stripMargin
+       |  FROM d3$sfx) WHERE rn = 1)""".stripMargin
 
-  /** Full-corpus training (q444's audit class). */
-  private val ivfCtes = ivfBaseCtes() + ",\n" + ivfLloydCtes("e")
-
-  /** md5-sampled training slice (q440): mod = greatest(1, n // (kc·32))
-    * mirrors SimilarityOps.ivfSampleMod; the whole Lloyd chain AND the
-    * census assignment run over `tr`.
+  /** The q440/q444 md5-sampled training slice: mod =
+    * greatest(1, n // (kc·32)) mirrors SimilarityOps.ivfSampleMod.
     */
-  private val ivfCtesSampled = ivfBaseCtes() + ",\n" +
+  private val ivfTrCtes =
     """mm AS (SELECT greatest(1, (SELECT count(*) FROM e) // (kc * 32))
       |    AS m FROM kk),
       |tr AS (SELECT e.* FROM e CROSS JOIN mm
       |  WHERE ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % mm.m
-      |    = 0)""".stripMargin + ",\n" + ivfLloydCtes("tr")
+      |    = 0)""".stripMargin
+
+  /** md5-sampled training slice (q440): the whole Lloyd chain AND the
+    * census assignment run over `tr`.
+    */
+  private val ivfCtesSampled =
+    ivfBaseCtes() + ",\n" + ivfTrCtes + ",\n" + ivfLloydCtes("tr")
+
+  /** q444's round-12 shape: the Lloyd rounds train on the sampled
+    * slice `tr`, the FINAL d3/a3 home assignment sweeps the full
+    * corpus `e` (every vector needs its home cell for the recall
+    * candidates; only that one sweep plus the declared-quadratic
+    * exact side still read everything).
+    */
+  private val ivfCtesTrainSampled =
+    ivfBaseCtes() + ",\n" + ivfTrCtes + ",\n" + ivfLloydCtes("tr", "e")
 
   /** Sharded trained-IVF CTE chain (q441/q448/q449): first-level
     * sign-shard partition (`sbitsSql` leading sign bits from the bb
@@ -346,12 +368,16 @@ object OracleSql {
 
   /** The shard-local ANN tail over [[ivfShardedCtes]]: probe the
     * `nprobe` nearest own-shard cells, exact cosine within, top-k.
+    * `qWhere` (e.g. " WHERE <cond>") restricts the PROBING side to a
+    * query sample — the q453 serving twin's request stream — while the
+    * index side (a3) stays the full corpus.
     */
-  private def ivfShardedAnnTail(nprobe: Int, k: Int): String =
+  private def ivfShardedAnnTail(nprobe: Int, k: Int,
+                                qWhere: String = ""): String =
     s"""n AS (SELECT id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
        |pr AS (SELECT id, cid FROM (SELECT id, cid,
        |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-       |  FROM d3) z WHERE rn <= $nprobe),
+       |  FROM d3$qWhere) z WHERE rn <= $nprobe),
        |p AS (SELECT pr.id AS vec_id, a3.id AS neighbor_id,
        |    list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm) AS sim
        |  FROM pr JOIN a3 ON pr.cid = a3.cid AND pr.id <> a3.id
@@ -361,6 +387,112 @@ object OracleSql {
        |      ORDER BY sim DESC, neighbor_id) AS rn FROM p)
        |SELECT vec_id, neighbor_id, round(sim, 6) AS sim FROM r
        |WHERE rn <= $k ORDER BY vec_id, neighbor_id""".stripMargin
+
+  /** One shard LEVEL of the q452 dial sweep: the sign-shard partition
+    * at `sbitsSql` bits plus its md5-draw table, every name suffixed
+    * so two levels coexist in one WITH list (e0/bb/rng are shared).
+    */
+  private def ivfShardLevelSfx(sbitsSql: String, sfx: String): String =
+    s"""ss$sfx AS (SELECT $sbitsSql AS s FROM bb),
+       |e$sfx AS (SELECT id, emb, qemb,
+       |    CAST(list_sum(list_transform(range(s), j ->
+       |      CASE WHEN emb[j + 1] > 0 THEN 1 << j ELSE 0 END)) AS INT)
+       |      AS shard
+       |  FROM e0 CROSS JOIN ss$sfx),
+       |hh$sfx AS (SELECT id, shard, qemb,
+       |    ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT AS u
+       |  FROM e$sfx)""".stripMargin
+
+  /** One (shardBits level, kcPerShard) dial of the q452 sweep:
+    * per-shard seeds + two shard-local exact-integer Lloyd rounds +
+    * final assignment, over the level's pre-built sharded table —
+    * kc inlined as a literal, every CTE suffixed.
+    */
+  private def ivfShardedLloydSfx(lvl: String, kc: Int,
+                                 sfx: String): String =
+    s"""seeds$sfx AS (SELECT shard, id AS cid, qemb AS cemb FROM
+       |    (SELECT shard, id, qemb, row_number() OVER (PARTITION BY shard
+       |       ORDER BY u, id) AS rn FROM hh$lvl) WHERE rn <= $kc),
+       |d1$sfx AS (SELECT e.id, s.cid,
+       |    list_sum(list_transform(range(64), i ->
+       |      (e.qemb[i + 1] - s.cemb[i + 1])
+       |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+       |  FROM e$lvl e JOIN seeds$sfx s ON e.shard = s.shard),
+       |a1$sfx AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM d1$sfx) z WHERE rn = 1),
+       |m1$sfx AS (SELECT a1.cid, min(e.shard) AS shard, r.i AS dim,
+       |    sum(e.qemb[r.i + 1]) AS s, count(*) AS c
+       |  FROM a1$sfx a1 JOIN e$lvl e USING (id)
+       |  CROSS JOIN rng r GROUP BY a1.cid, r.i),
+       |c1$sfx AS (SELECT cid, min(shard) AS shard,
+       |    list(CAST((s - (((s % c) + c) % c)) // c AS BIGINT)
+       |      ORDER BY dim) AS cemb FROM m1$sfx GROUP BY cid),
+       |d2$sfx AS (SELECT e.id, s.cid,
+       |    list_sum(list_transform(range(64), i ->
+       |      (e.qemb[i + 1] - s.cemb[i + 1])
+       |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+       |  FROM e$lvl e JOIN c1$sfx s ON e.shard = s.shard),
+       |a2$sfx AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM d2$sfx) z WHERE rn = 1),
+       |m2$sfx AS (SELECT a2.cid, min(e.shard) AS shard, r.i AS dim,
+       |    sum(e.qemb[r.i + 1]) AS s, count(*) AS c
+       |  FROM a2$sfx a2 JOIN e$lvl e USING (id)
+       |  CROSS JOIN rng r GROUP BY a2.cid, r.i),
+       |c2$sfx AS (SELECT cid, min(shard) AS shard,
+       |    list(CAST((s - (((s % c) + c) % c)) // c AS BIGINT)
+       |      ORDER BY dim) AS cemb FROM m2$sfx GROUP BY cid),
+       |d3$sfx AS (SELECT e.id, s.cid,
+       |    list_sum(list_transform(range(64), i ->
+       |      (e.qemb[i + 1] - s.cemb[i + 1])
+       |      * (e.qemb[i + 1] - s.cemb[i + 1]))) AS d
+       |  FROM e$lvl e JOIN c2$sfx s ON e.shard = s.shard),
+       |a3$sfx AS (SELECT id, cid FROM (SELECT id, cid,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM d3$sfx) z WHERE rn = 1)""".stripMargin
+
+  /** One dial's measurement tail for q452: probe ranks from the
+    * dial's d3, the distinct candidate-pair table, per-level top-k,
+    * and the 3 output rows (layout, shard_bits, kc, nprobe,
+    * n_candidates, n_hits) via the always-emitting unnest scaffold.
+    */
+  private def ivfDialRowsSfx(sfx: String, lvls: Seq[Int],
+                             layoutSql: String, sbSql: String,
+                             kcSql: String): String = {
+    val maxNp = lvls.max
+    val lvlList = lvls.mkString("[", ", ", "]")
+    s"""pq$sfx AS (SELECT id AS vec_id, cid, rn AS pr FROM (
+       |    SELECT id, cid,
+       |      row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |    FROM d3$sfx WHERE id % 20 = 0) z WHERE rn <= $maxNp),
+       |cand$sfx AS (SELECT pq.vec_id, a3.id AS neighbor_id,
+       |    min(pq.pr) AS pr,
+       |    max(list_dot_product(na.emb, nb.emb) / (na.nrm * nb.nrm))
+       |      AS sim
+       |  FROM pq$sfx pq JOIN a3$sfx a3
+       |    ON pq.cid = a3.cid AND pq.vec_id <> a3.id
+       |  JOIN n na ON na.id = pq.vec_id JOIN n nb ON nb.id = a3.id
+       |  GROUP BY 1, 2),
+       |lv$sfx AS (SELECT l.lvl, vec_id, neighbor_id, sim FROM cand$sfx
+       |  CROSS JOIN (SELECT unnest($lvlList) AS lvl) l
+       |  WHERE pr <= l.lvl),
+       |tk$sfx AS (SELECT lvl, vec_id, neighbor_id FROM (
+       |    SELECT lvl, vec_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY lvl, vec_id
+       |        ORDER BY sim DESC, neighbor_id) AS rn FROM lv$sfx) z
+       |  WHERE rn <= 5),
+       |row$sfx AS (SELECT $layoutSql AS layout,
+       |    CAST($sbSql AS BIGINT) AS shard_bits,
+       |    CAST($kcSql AS BIGINT) AS kc,
+       |    CAST(l.lvl AS BIGINT) AS nprobe,
+       |    (SELECT count(*) FROM cand$sfx WHERE pr <= l.lvl)
+       |      AS n_candidates,
+       |    (SELECT count(*) FROM tk$sfx t JOIN ex
+       |      ON ex.vec_id = t.vec_id AND ex.neighbor_id = t.neighbor_id
+       |      WHERE t.lvl = l.lvl) AS n_hits
+       |  FROM (SELECT unnest($lvlList) AS lvl) l)""".stripMargin
+  }
 
   /** One q446 ladder rung: the per-n keeper/island CTE chain (the
     * q443 machinery with `n` inlined and names suffixed so four rungs
@@ -10165,8 +10297,8 @@ object OracleSql {
          |ORDER BY cid""".stripMargin,
 
     "q441_ivf_ann" ->
-      s"""WITH ${ivfShardedCtes("greatest(2, bits - 4)", "8")},
-         |${ivfShardedAnnTail(2, 5)}""".stripMargin,
+      s"""WITH ${ivfShardedCtes("greatest(1, bits - 5)", "16")},
+         |${ivfShardedAnnTail(8, 5)}""".stripMargin,
 
     "q442_dupsubstr_census" ->
       """WITH b AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -10240,7 +10372,7 @@ object OracleSql {
         |FROM roll ORDER BY source""".stripMargin,
 
     "q444_ivf_recall" ->
-      s"""WITH $ivfCtes,
+      s"""WITH $ivfCtesTrainSampled,
          |n AS (SELECT id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
          |  FROM e),
          |q AS (SELECT * FROM n WHERE id % 20 = 0),
@@ -10389,7 +10521,23 @@ object OracleSql {
          |FROM h CROSS JOIN nq ORDER BY nprobe""".stripMargin,
 
     "q450_recall_per_candidate" ->
-      s"""WITH ${ivfBaseCtes("CAST(1 << bits AS BIGINT)")},
+      s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb,
+         |    list_transform(embedding::DOUBLE[],
+         |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qemb
+         |  FROM embeddings),
+         |md AS (SELECT greatest(1, count(*) // 1000) AS m FROM e0),
+         |e AS (SELECT e0.* FROM e0 CROSS JOIN md
+         |  WHERE ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % md.m
+         |    = 0),
+         |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
+         |  FROM e),
+         |kk AS (SELECT CAST(1 << bits AS BIGINT) AS kc FROM bb),
+         |rng AS (SELECT unnest(range(64)) AS i),
          |${ivfLloydCtes("e")},
          |n AS (SELECT id, emb, sqrt(list_dot_product(emb, emb)) AS nrm,
          |    CAST(list_sum(list_transform(range(bits), j ->
@@ -10492,6 +10640,74 @@ object OracleSql {
         |r AS (SELECT custkey, partkey, row_number() OVER
         |  (PARTITION BY custkey ORDER BY slot, partkey) AS rn FROM ded)
         |SELECT custkey, partkey FROM r WHERE rn <= 5
-        |ORDER BY custkey, partkey""".stripMargin
+        |ORDER BY custkey, partkey""".stripMargin,
+
+    "q452_ivf_dial_sweep" -> {
+      val shardDials = for {
+        lvl <- Seq("a", "b"); kc <- Seq(8, 16, 32)
+      } yield (lvl, kc)
+      val chains = shardDials.map { case (lvl, kc) =>
+        ivfShardedLloydSfx(lvl, kc, s"_$lvl$kc")
+      }.mkString(",\n")
+      val tails = shardDials.map { case (lvl, kc) =>
+        ivfDialRowsSfx(s"_$lvl$kc", Seq(2, 4, 8), "'sharded'",
+          s"(SELECT s FROM ss$lvl)", kc.toString)
+      }.mkString(",\n")
+      val unions = ("rowf" +: shardDials.map { case (l, kc) => s"row_$l$kc" })
+        .map(r => s"SELECT * FROM $r").mkString("\n  UNION ALL ")
+      s"""WITH e0 AS (SELECT vec_id AS id, embedding::DOUBLE[] AS emb,
+         |    list_transform(embedding::DOUBLE[],
+         |      x -> CAST(round(x * 1000000) AS BIGINT)) AS qemb
+         |  FROM embeddings),
+         |bb AS (SELECT 4 + (CASE WHEN count(*) >= 1000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 4000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 16000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 64000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 256000 THEN 2 ELSE 0 END)
+         |    + (CASE WHEN count(*) >= 1024000 THEN 2 ELSE 0 END) AS bits
+         |  FROM e0),
+         |rng AS (SELECT unnest(range(64)) AS i),
+         |n AS (SELECT id, emb, sqrt(list_dot_product(emb, emb)) AS nrm
+         |  FROM e0),
+         |q AS (SELECT * FROM n WHERE id % 20 = 0),
+         |ex AS (SELECT vec_id, neighbor_id FROM (
+         |    SELECT q.id AS vec_id, b.id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.id ORDER BY
+         |        list_dot_product(q.emb, b.emb) / (q.nrm * b.nrm) DESC,
+         |        b.id) AS rn
+         |    FROM q, n b WHERE q.id <> b.id) z WHERE rn <= 5),
+         |nq AS (SELECT count(*) AS nq FROM q),
+         |${ivfShardLevelSfx("greatest(2, bits - 4)", "a")},
+         |${ivfShardLevelSfx("greatest(1, bits - 5)", "b")},
+         |kkf AS (SELECT CAST(1 << (bits // 2 + 1) AS BIGINT) AS kc
+         |  FROM bb),
+         |mmf AS (SELECT greatest(1, (SELECT count(*) FROM e0)
+         |    // (kc * 32)) AS m FROM kkf),
+         |trf AS (SELECT e0.* FROM e0 CROSS JOIN mmf
+         |  WHERE ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT % mmf.m
+         |    = 0),
+         |${ivfLloydCtes("trf", "e0", "f", "kkf")},
+         |$chains,
+         |${ivfDialRowsSfx("f", Seq(1, 2, 3), "'flat'", "0",
+             "(SELECT kc FROM kkf)")},
+         |$tails,
+         |u AS ($unions)
+         |SELECT layout, shard_bits, kc, nprobe,
+         |  CAST(nq AS BIGINT) AS n_queries,
+         |  CAST(n_candidates AS BIGINT) AS n_candidates,
+         |  CAST((n_candidates * 2 + nq) // (2 * nq) AS BIGINT)
+         |    AS cand_per_query,
+         |  CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST((n_hits * 2000000 + 5 * nq) // (2 * 5 * nq) AS BIGINT)
+         |    AS recall_ppm
+         |FROM u CROSS JOIN nq
+         |ORDER BY layout, shard_bits, kc, nprobe""".stripMargin
+    },
+
+    "q453_ivf_serve" ->
+      s"""WITH ${ivfShardedCtes("greatest(1, bits - 5)", "16")},
+         |${ivfShardedAnnTail(8, 5,
+           " WHERE ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT" +
+           " % 10 = 0")}""".stripMargin
   )
 }

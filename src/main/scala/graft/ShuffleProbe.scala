@@ -14,14 +14,37 @@ import java.util.concurrent.atomic.AtomicLong
   * flat at gate SFs but cuts the substring-dedup family's shuffled
   * bytes by the gram-string/16-byte-digest ratio).
   *
+  * Attribution is BEST-EFFORT: stage-completed events drain through
+  * the async listener bus, so the probe polls the counters until they
+  * are stable for a quiet period (rather than trusting one fixed
+  * sleep) before crediting them to the query — on a loaded host a
+  * straggler stage could otherwise bleed into the next query's row.
+  *
+  * Besides declared SparkEntry queries, the probe accepts the
+  * pseudo-targets `excise_n<3|5|7|9|25>` — the q443 substring-excision
+  * machinery at a single gram length — so the q446 ladder's per-rung
+  * shuffle cost is measurable rung by rung (the BENCHLOG
+  * bytes-per-occurrence table that separates generator replication
+  * artifacts from real superlinearity).
+  *
   * Usage: runMain graft.ShuffleProbe <sfDir> <query> [query ...]
   */
 object ShuffleProbe {
+  /** Per-rung pseudo-queries: the q443 excise plan at one gram length. */
+  private val rungProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Seq(3, 5, 7, 9, 25).map { n =>
+      s"excise_n$n" -> ((s: SparkSession, d: String) =>
+        graft.operators.DedupOps.dupSubstringExcise(
+          graft.tables.Tables.documents(s, d), "doc_id", "text",
+          "source", n))
+    }.toMap
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ShuffleProbe <sfDir> <query> [query ...]")
     val sfDir = args(0)
     val names = args.drop(1)
-    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    val targets = SparkEntry.queries ++ rungProbes
+    val unknown = names.filterNot(targets.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -31,6 +54,8 @@ object ShuffleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bounded block store across probes — see the Verify/Bench note
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val bytes = new AtomicLong(0L)
@@ -47,15 +72,25 @@ object ShuffleProbe {
     names.foreach { name =>
       bytes.set(0L); records.set(0L)
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
+      targets(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       // listener events drain asynchronously (the bus is private[spark],
-      // so no waitUntilEmpty here); the queue empties in milliseconds —
-      // a generous sleep keeps the counters per-query without touching
-      // internals
-      Thread.sleep(1500)
+      // so no waitUntilEmpty here): poll until the counters are stable
+      // for 600 ms (max 10 s) instead of trusting one fixed sleep — a
+      // straggler stage on a loaded host would otherwise be credited
+      // to the NEXT query's row
+      var last = (-1L, -1L)
+      var stableMs = 0
+      var waitedMs = 0
+      while (stableMs < 600 && waitedMs < 10000) {
+        Thread.sleep(100)
+        waitedMs += 100
+        val cur = (bytes.get, records.get)
+        stableMs = if (cur == last) stableMs + 100 else 0
+        last = cur
+      }
       println(f"""{"query":"$name","sec":$sec%.3f,""" +
         s""""shuffle_write_bytes":${bytes.get},""" +
         s""""shuffle_write_records":${records.get}}""")

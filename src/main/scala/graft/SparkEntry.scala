@@ -4637,20 +4637,24 @@ object SparkEntry {
 
     // L378 — ANN top-5 over the TRAINED quantizer, SHARDED layout (the
     // round-11 migration off the flat form, whose full-corpus n·kCent
-    // assignment measured ×10.5 at 10× data): shardBits =
-    // max(2, bits − 4) leading sign bits partition the corpus (shards
-    // ∝ n under the count schedule), each shard trains its OWN
-    // exact-integer codebook of FIXED kcPerShard = 8 cells, and every
-    // assignment/probe is an equi-join on the shard id — n·8 distance
-    // rows per sweep and a mean cell pinned at ~30–60 vectors at ANY
-    // corpus size. Search is shard-local (the IMI trade); q449
-    // measures the recall this layout actually pays at these exact
-    // dials. (kcPerShard, nprobe, shardBits) is the recall/cost dial.
+    // assignment measured ×10.5 at 10× data): shardBits leading sign
+    // bits partition the corpus (shards ∝ n under the count schedule),
+    // each shard trains its OWN exact-integer codebook of FIXED
+    // kcPerShard cells, and every assignment/probe is an equi-join on
+    // the shard id — n·kcPerShard distance rows per sweep and a
+    // bounded mean cell at ANY corpus size. Search is shard-local (the
+    // IMI trade). Round-12 dials = q452's sweep winner: shardBits =
+    // max(1, bits − 5), kcPerShard = 16, nprobe = 8 — measured 47.4%
+    // recall@5 vs the flat layout's 48.2% (0.98×) at 1.34× its
+    // candidate budget (sf0.1), closing the 40-45% relative recall
+    // hole q449 measured at the round-11 dials (sb = bits−4, kc 8,
+    // nprobe 2) while keeping every cost linear: assignment n·16,
+    // ~8·cell ≈ 500 candidates/query, constant in n.
     "q441_ivf_ann" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val sb = math.max(2, SimilarityOps.adaptiveSignBits(emb) - 4)
+      val sb = math.max(1, SimilarityOps.adaptiveSignBits(emb) - 5)
       SimilarityOps.ivfAnnTopKSharded(emb, "vec_id", "embedding", 5,
-          kcPerShard = 8, nprobe = 2, rounds = 2, shardBits = sb)
+          kcPerShard = 16, nprobe = 8, rounds = 2, shardBits = sb)
         .orderBy("vec_id", "neighbor_id")
     }),
 
@@ -4681,10 +4685,17 @@ object SparkEntry {
     // nprobe 1/2/3 vs the 1-in-20-sampled exact ground truth. Read
     // next to q438/q439, it measures whether density-adapted cells
     // beat the data-independent sign planes at equal candidate cost.
+    // Round 12: the Lloyd rounds train on the q440 md5-sampled
+    // ~32·kCent slice (the certificate needs a REPRESENTATIVE
+    // codebook, not one trained on every row) — only the single home
+    // assignment and the declared-quadratic exact side still sweep
+    // the corpus.
     "q444_ivf_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val kc = 1 << (SimilarityOps.adaptiveSignBits(emb) / 2 + 1)
-      SimilarityOps.ivfRecallAudit(emb, "vec_id", "embedding", 5, kc)
+      val n = emb.count()
+      val kc = 1 << (SimilarityOps.signBitsForCount(n) / 2 + 1)
+      SimilarityOps.ivfRecallAudit(emb, "vec_id", "embedding", 5, kc,
+          trainMod = SimilarityOps.ivfSampleMod(n, kc))
         .orderBy("nprobe")
     }),
 
@@ -4743,12 +4754,15 @@ object SparkEntry {
     // L386 — measured recall certificate for the SHARDED trained
     // quantizer (the IMI shard-locality trade the round-10 sharded ANN
     // named but never measured): recall@5 per own-shard nprobe 1/2/3
-    // at q441's EXACT dials (shardBits = max(2, bits − 4), 8 cells per
-    // shard) vs the 1-in-20-sampled exact ground truth over the FULL
-    // corpus — cross-shard true neighbors count AGAINST recall, so the
-    // gap to q444's flat numbers is the measured price of sharding.
-    // Declared-cartesian whitelist class (sampled exact baseline),
-    // like q397/q438/q439/q444.
+    // at the ROUND-11 default dials (shardBits = max(2, bits − 4), 8
+    // cells per shard) vs the 1-in-20-sampled exact ground truth over
+    // the FULL corpus — cross-shard true neighbors count AGAINST
+    // recall, so the gap to q444's flat numbers is the measured price
+    // of sharding at those dials (13-23% vs 19-42%). Kept at the OLD
+    // dials deliberately: this is the "before" row of the q452 dial
+    // sweep, whose winner (bits−5, kc 16, nprobe 8 → 47.4% vs flat
+    // 48.2%) is what q441 now ships. Declared-cartesian whitelist
+    // class (sampled exact baseline), like q397/q438/q439/q444.
     "q449_ivf_sharded_recall" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val sb = math.max(2, SimilarityOps.adaptiveSignBits(emb) - 4)
@@ -4765,7 +4779,13 @@ object SparkEntry {
     // comparison normalized to candidate cost (the SURVEY §2.11
     // index-design question: does density adaptation beat
     // data-independent planes on this corpus?). Declared-cartesian
-    // whitelist class (the one shared sampled exact side).
+    // whitelist class (the one shared sampled exact side). Round 12:
+    // the audit runs on a BOUNDED ~1000-vector md5-sampled dev slice
+    // (geometry from the slice count) — at equal geometry
+    // kCent = 2^bits rides ∝ n, so 32·kCent ≥ n at every size and the
+    // q440 trainer-sampling can never fire; the dev-slice bound is the
+    // only shape that keeps this audit's cost constant in n (it was
+    // the one ∝ n² declared plan, ×80.5 at 10× data in round 11).
     "q450_recall_per_candidate" -> ((s, d) =>
       SimilarityOps.recallPerCandidateAudit(Tables.embeddings(s, d),
         "vec_id", "embedding", 5)),
@@ -4789,6 +4809,51 @@ object SparkEntry {
       RetrievalOps.negativeSampleRejection(seen, catalog, "custkey",
           "partkey", 5)
         .orderBy("custkey", "partkey")
+    }),
+
+    // L389 — sharded-IVF recall-DIAL sweep: the certificate that buys
+    // back q449's measured IMI shard-locality loss (13-23% vs flat
+    // 19-42% at q441's round-11 defaults). Grid = shardBits ∈
+    // {bits−4, bits−5 (floored)} × kcPerShard ∈ {8,16,32} × own-shard
+    // nprobe ∈ {2,4,8}, every dial vs ONE shared 1-in-20 exact ground
+    // truth over the FULL corpus (cross-shard misses count against
+    // recall, as in q449), each row reporting the DISTINCT candidate
+    // pairs that dial examined (the q450 discipline) — so "flat
+    // recall at bounded candidates" is a read-off. Flat reference rows
+    // (q444 geometry, q440 sampled trainer) ride along with their own
+    // candidate budget. This table is what moved q441's defaults to
+    // (bits−5, kc 16, nprobe 8): 47.4% vs flat 48.2% recall@5 at
+    // 506-vs-378 candidates (sf0.1) — and its shard-exhaustive row
+    // (sb=1, kc 8, np 8 → 57.4%) reproduces the independently measured
+    // own-shard ceiling exactly. ES analogue: the explicit
+    // k/num_candidates tuning in s2_item_to_es.py:85-90.
+    "q452_ivf_dial_sweep" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val n = emb.count()
+      val bits = SimilarityOps.signBitsForCount(n)
+      val flatKc = 1 << (bits / 2 + 1)
+      SimilarityOps.ivfDialSweep(emb, "vec_id", "embedding", 5,
+        flatKc, SimilarityOps.ivfSampleMod(n, flatKc),
+        Seq(math.max(2, bits - 4), math.max(1, bits - 5)),
+        Seq(8, 16, 32), Seq(2, 4, 8))
+    }),
+
+    // L390 — sharded-IVF SERVING twin (the 100 TB online-recall
+    // shape): train the q441-dial index once, freeze codebook + home
+    // assignment, then answer a 1-in-10 md5-sampled request stream of
+    // query vectors — route to shard, probe nprobe own-shard cells,
+    // exact cosine, top-5. Per-request cost kcPerShard + nprobe·cell,
+    // independent of corpus size. StreamingIvfServeSpec drives the
+    // SAME search core per rate-limited micro-batch and asserts row
+    // parity with this declared batch plan (stream ≡ batch, the DSIR
+    // scorer discipline).
+    "q453_ivf_serve" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val sb = math.max(1, SimilarityOps.adaptiveSignBits(emb) - 5)
+      SimilarityOps.ivfServeSharded(emb, "vec_id", "embedding", 5,
+          kcPerShard = 16, nprobe = 8, rounds = 2, shardBits = sb,
+          queryMod = 10)
+        .orderBy("vec_id", "neighbor_id")
     })
   )
 

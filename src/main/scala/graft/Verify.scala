@@ -18,6 +18,16 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // localCheckpoint blocks are reclaimed by the ContextCleaner only
+      // after their RDD is GARBAGE-COLLECTED; the default periodic-GC
+      // interval (30 min) is longer than this whole run, so on a big
+      // heap no full GC ever fires naturally and 400+ queries of
+      // checkpoint blocks pile up in the block manager — the tail
+      // queries then crawl through eviction storms (measured: the
+      // checkpoint-heavy q449-q453 tail took minutes in a full run vs
+      // seconds isolated). One minute keeps the store bounded for
+      // ~100 ms/GC — invisible next to per-query times.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1736,8 +1736,9 @@ object SimilarityOps {
     * the Lloyd loop, the home assignment and the probe stage all read
     * it.
     */
-  private def shardQuantized(df: DataFrame, idCol: String,
-                             embCol: String, shardBits: Int): DataFrame =
+  private[graft] def shardQuantized(df: DataFrame, idCol: String,
+                                    embCol: String,
+                                    shardBits: Int): DataFrame =
     ppmQuantized(df, idCol, embCol)
       .withColumn("shard", signBucket(shardBits))
       .localCheckpoint(false)
@@ -1911,14 +1912,16 @@ object SimilarityOps {
     * shard's codebook stays bounded no matter how large the corpus
     * grows; this is how the flat trainer's measured ×10 probe ratio is
     * paid down at cluster scale). The FULLY-linear dial setting is the
-    * q441 one: shardBits rides the count schedule
-    * (max(2, [[signBitsForCount]] − 4), so shards ∝ n) with kcPerShard
-    * FIXED — assignment stays n·kcPerShard and the mean cell
-    * n/(2^shardBits·kc) stays bounded (~30–60 vectors) at any corpus
-    * size; q448 keeps the fixed-4-bit first level as the measured IMI
-    * comparison point. Search is shard-local (cross-shard neighbors
-    * are foregone, the standard IMI trade — measured per corpus by
-    * q449's recall certificate, the q444 shape on this layout). cid =
+    * q441 one: shardBits rides the count schedule (so shards ∝ n) with
+    * kcPerShard FIXED — assignment stays n·kcPerShard and the mean
+    * cell n/(2^shardBits·kc) stays bounded at any corpus size; q448
+    * keeps the fixed-4-bit first level as the measured IMI comparison
+    * point. Search is shard-local (cross-shard neighbors are foregone,
+    * the standard IMI trade — measured per corpus by q449's recall
+    * certificate at the round-11 dials, and DIALED AWAY by q452's
+    * sweep: q441 now ships its winner, shardBits = max(1, bits − 5),
+    * kcPerShard = 16, nprobe = 8, which reads 0.98× the flat layout's
+    * recall@5 at 1.34× its candidates/query on the gate corpus). cid =
     * seed vector id stays globally unique, so downstream joins key on
     * cid alone.
     */
@@ -1965,8 +1968,18 @@ object SimilarityOps {
   private def ivfShardedFit(df: DataFrame, idCol: String, embCol: String,
                             kcPerShard: Int, rounds: Int,
                             shardBits: Int): (DataFrame, DataFrame) = {
-    require(rounds >= 1, "sharded IVF training needs at least one round")
     val e = shardQuantized(df, idCol, embCol, shardBits)
+    (e, ivfShardedFitOn(e, kcPerShard, rounds))
+  }
+
+  /** The Lloyd half of [[ivfShardedFit]] over a pre-built sharded
+    * signature table — factored out so the dial sweep (q452) trains
+    * its three per-shard codebook widths off ONE shardQuantized scan
+    * per shard level instead of re-quantizing the corpus per dial.
+    */
+  private def ivfShardedFitOn(e: DataFrame, kcPerShard: Int,
+                              rounds: Int): DataFrame = {
+    require(rounds >= 1, "sharded IVF training needs at least one round")
     val seeds = e.withColumn("__u", md5U(col("id")))
       .groupBy(col("shard"))
       .agg(graft.functions.TopKAggregator.topK(kcPerShard,
@@ -1977,10 +1990,9 @@ object SimilarityOps {
       .join(e.select(col("id").as("cid"), col("qemb").as("cemb")),
         Seq("cid"))
       .localCheckpoint(false)
-    val cFinal = Iterator.iterate(c0)(c =>
+    Iterator.iterate(c0)(c =>
       ivfShardedUpdate(e, ivfShardedAssign(e, c)).localCheckpoint(false))
       .drop(rounds).next()
-    (e, cFinal)
   }
 
   /** Per-vector `nprobe` nearest own-shard cells (bounded
@@ -1997,14 +2009,24 @@ object SimilarityOps {
       .select(col("id"), explode(col("__top")).as("t"))
       .select(col("id"), col("t.id").as("cid"))
 
-  def ivfAnnTopKSharded(df: DataFrame, idCol: String, embCol: String,
-                        k: Int, kcPerShard: Int, nprobe: Int = 2,
-                        rounds: Int = 2, shardBits: Int = 4): DataFrame = {
-    val (e, cFinal) = ivfShardedFit(df, idCol, embCol, kcPerShard,
-      rounds, shardBits)
-    val home = ivfShardedAssign(e, cFinal)
-    val probes = ivfShardedProbes(e, cFinal, nprobe)
-    val a = probes.join(e, "id")
+  /** Frozen-index sharded SEARCH core: route each query row of `q` (a
+    * sharded signature table — same shape as `e`) to its `nprobe`
+    * nearest own-shard cells, equi-join the cell ids against the
+    * frozen home assignment of the INDEX side `e`, exact double cosine
+    * within, bounded top-k. This is the serving path a 100 TB online
+    * recall layer runs per request micro-batch: per query the cost is
+    * kcPerShard distance rows (route) + nprobe bounded cells
+    * (candidates) — independent of corpus size. Shared by the
+    * full-corpus ANN (q441/q448: q = e), the declared serving twin
+    * ([[ivfServeSharded]], q453) and the streaming micro-batch spec
+    * (StreamingIvfServeSpec drives THIS function per micro-batch and
+    * pins parity against the batch result).
+    */
+  private[graft] def ivfShardedSearch(q: DataFrame, e: DataFrame,
+                                      home: DataFrame, cFinal: DataFrame,
+                                      nprobe: Int, k: Int): DataFrame = {
+    val probes = ivfShardedProbes(q, cFinal, nprobe)
+    val a = probes.join(q, "id")
       .select(col("id").as("vec_id"), col("emb").as("a_emb"),
         col("nrm").as("a_nrm"), col("cid"))
     val b = home.join(e, "id")
@@ -2015,6 +2037,52 @@ object SimilarityOps {
       .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
       .select(col("vec_id"), col("neighbor_id"), col("sim"))
     selectTopK(pairs, k)
+  }
+
+  def ivfAnnTopKSharded(df: DataFrame, idCol: String, embCol: String,
+                        k: Int, kcPerShard: Int, nprobe: Int = 2,
+                        rounds: Int = 2, shardBits: Int = 4): DataFrame = {
+    val (e, cFinal) = ivfShardedFit(df, idCol, embCol, kcPerShard,
+      rounds, shardBits)
+    val home = ivfShardedAssign(e, cFinal)
+    ivfShardedSearch(e, e, home, cFinal, nprobe, k)
+  }
+
+  /** Declared serving twin of the sharded STREAMING recall path
+    * (q453): train the q441-dial index once, freeze it (codebook +
+    * home assignment), then answer a 1-in-`queryMod` md5-sampled
+    * request stream of query vectors through [[ivfShardedSearch]] —
+    * route to shard, probe `nprobe` own-shard cells, exact cosine,
+    * top-k. The md5 draw stands in for the online request sample; the
+    * streaming twin (StreamingIvfServeSpec) drives the SAME search
+    * core per rate-limited micro-batch and asserts row parity with
+    * this batch plan, the stream ≡ batch contract of the DSIR scorer
+    * family. Per-request cost is kcPerShard + nprobe·cell — corpus-
+    * size-independent, the shape that survives 100 TB serving.
+    */
+  def ivfServeSharded(df: DataFrame, idCol: String, embCol: String,
+                      k: Int, kcPerShard: Int, nprobe: Int,
+                      rounds: Int, shardBits: Int,
+                      queryMod: Int): DataFrame = {
+    val (e, home, cFinal) = ivfShardedFreeze(df, idCol, embCol,
+      kcPerShard, rounds, shardBits)
+    val q = e.filter(pmod(md5U(col("id")), lit(queryMod)) === 0)
+    ivfShardedSearch(q, e, home, cFinal, nprobe, k)
+  }
+
+  /** Freeze the sharded index for serving: (sharded signature table,
+    * frozen home assignment, trained codebook) — the artifact set a
+    * serving layer trains once in batch and then drives request
+    * micro-batches against (StreamingIvfServeSpec does exactly that
+    * through [[ivfShardedSearch]]).
+    */
+  private[graft] def ivfShardedFreeze(df: DataFrame, idCol: String,
+                                      embCol: String, kcPerShard: Int,
+                                      rounds: Int, shardBits: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (e, cFinal) = ivfShardedFit(df, idCol, embCol, kcPerShard,
+      rounds, shardBits)
+    (e, ivfShardedAssign(e, cFinal), cFinal)
   }
 
   /** The trained PER-SHARD codebook — (shard, cid, cemb bigint[]):
@@ -2032,14 +2100,33 @@ object SimilarityOps {
   /** Batch twin of the sharded STREAMING assigner
     * ([[graft.streaming.StreamingIvfAssign.assignSharded]]): assign
     * vectors to the cells of a FROZEN (shard, cid, cemb) codebook — no
-    * training, just the shard routing + shard-local argmin. The spec
-    * pins stream ≡ batch on this pair.
+    * training, just the shard routing + shard-local argmin. Output is
+    * the stream's (id, shard, cid, dist2) contract INCLUDING its
+    * dead-letter rows: a vector routed to a shard with no codebook
+    * entry, or one whose distance cannot be computed (malformed /
+    * wrong-dimension embedding), emits NULL cid/dist2 via the LEFT
+    * join — never a silent drop and never a phantom argmin over NULL
+    * distances. The spec pins stream ≡ batch on this pair, dead
+    * letters included. (Training-loop assignment keeps the inner-join
+    * [[ivfShardedAssign]]: there every vector's shard has ≥1 seed by
+    * construction.)
     */
   def ivfShardedAssignFrozen(df: DataFrame, idCol: String,
                              embCol: String, codebook: DataFrame,
-                             shardBits: Int): DataFrame =
-    ivfShardedAssign(shardQuantized(df, idCol, embCol, shardBits),
-      codebook)
+                             shardBits: Int): DataFrame = {
+    val e = shardQuantized(df, idCol, embCol, shardBits)
+    val assigned = e.select(col("id"), col("shard"), col("qemb"))
+      .join(broadcast(codebook), Seq("shard"))
+      .withColumn("__d", shardQdist)
+      .filter(col("__d").isNotNull)
+      .groupBy(col("id"))
+      .agg(min(struct(col("__d"), col("cid"))).as("__m"))
+      .select(col("id"), col("__m.cid").as("cid"),
+        col("__m.__d").as("dist2"))
+    e.select(col("id"), col("shard"))
+      .join(assigned, Seq("id"), "left")
+      .select(col("id"), col("shard"), col("cid"), col("dist2"))
+  }
 
   /** Measured recall certificate for the SHARDED trained quantizer
     * (q449) — [[ivfRecallAudit]]'s shape on [[ivfAnnTopKSharded]]'s
@@ -2143,10 +2230,50 @@ object SimilarityOps {
       .localCheckpoint(false)
   }
 
+  /** [[ivfProbeCands]]'s shape on the SHARDED layout: each query's
+    * `maxProbe` nearest OWN-SHARD cells (equi-join on shard — never
+    * the flat broadcast-everything sweep) equi-joined to the frozen
+    * home assignments; one row per DISTINCT reachable (query,
+    * neighbor) pair tagged with its minimum probe rank and cosine.
+    * localCheckpointed — the dial sweep's per-nprobe recall filters
+    * and candidate counts all read it.
+    */
+  private def ivfShardedProbeCands(q: DataFrame, e: DataFrame,
+                                   home: DataFrame, cFinal: DataFrame,
+                                   maxProbe: Int): DataFrame = {
+    val pq = q.select(col("id"), col("shard"), col("qemb"))
+      .join(broadcast(cFinal), Seq("shard"))
+      .withColumn("__d", shardQdist)
+      .groupBy(col("id"))
+      .agg(graft.functions.TopKAggregator.topK(maxProbe,
+        -col("__d").cast("double"), col("cid")).as("__top"))
+      .select(col("id"), posexplode(col("__top")).as(Seq("__p", "t")))
+      .select(col("id").as("vec_id"), col("t.id").as("cid"),
+        (col("__p") + 1).cast("long").as("pr"))
+    val a = pq.join(q.select(col("id").as("vec_id"),
+      col("emb").as("a_emb"), col("nrm").as("a_nrm")), Seq("vec_id"))
+    val b = home.join(e, "id")
+      .select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"), col("cid"))
+    a.join(b, "cid")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+      .groupBy(col("vec_id"), col("neighbor_id"))
+      .agg(min(col("pr")).as("pr"), max(col("sim")).as("sim"))
+      .localCheckpoint(false)
+  }
+
   def ivfRecallAudit(df: DataFrame, idCol: String, embCol: String,
                      k: Int, kCent: Int, sampleMod: Int = 20,
-                     rounds: Int = 2): DataFrame = {
-    val (e, _, cFinal, _) = ivfFit(df, idCol, embCol, kCent, rounds)
+                     rounds: Int = 2, trainMod: Int = 1): DataFrame = {
+    // trainMod > 1 puts the Lloyd rounds on the q440 md5-sampled slice
+    // (32·kCent vectors) — the round-12 fix for this audit's measured
+    // full-corpus-training drift (×13.7 → ×17.9 at 10× data): the
+    // certificate only needs a REPRESENTATIVE codebook, and only the
+    // one home-assignment sweep plus the declared-quadratic sampled
+    // exact side still read the whole corpus.
+    val (e, _, cFinal, _) = ivfFit(df, idCol, embCol, kCent, rounds,
+      trainMod)
     val home = ivfAssign(e, cFinal)
     val q = e.filter(pmod(col("id"), lit(sampleMod)) === 0)
       .localCheckpoint(false)
@@ -2181,18 +2308,33 @@ object SimilarityOps {
     * recall at matched candidates-per-query, not at incomparable
     * probe-level labels. Same deliberate-cartesian whitelist class as
     * q397/q438/q444 (one sampled exact side, shared by both methods).
-    * Cost note: this is an AUDIT, not a production path — the
-    * equal-geometry requirement makes its IVF training n·2^bits (∝ n²
-    * under the width schedule, like the exact side's n²/sampleMod);
-    * you run it on a dev slice to pick an index design, then ship the
-    * sharded layout (q441) it justifies.
+    *
+    * Cost contract (round 12): the audit runs on a BOUNDED md5-sampled
+    * DEV SLICE of ~`devCap` vectors (1-in-max(1, n/devCap) on the id
+    * draw; mod = 1 at or below the cap, so small corpora audit
+    * everything) and the 2^bits geometry derives from the SLICE count.
+    * This is not an optimization dodge but the only shape under which
+    * the equal-geometry question is answerable at bounded cost: with
+    * kCent = 2^bits the width schedule keeps 32·kCent ≥ n at EVERY
+    * corpus size, so the q440 trainer-sampling fix can never fire here
+    * (its mod is always 1), and a full-corpus run is ∝ n² in training
+    * AND home assignment — the round-11 measured ×80.5 at 10× data.
+    * Picking an index design from a bounded representative sample is
+    * also the actual workflow (the FAISS-guideline shape): the audit
+    * answers "which quantizer family, at what candidate budget", and
+    * the production layout it justifies (q441) then builds on the full
+    * corpus. Every audit cost is now ∝ devCap², constant in n.
     */
   def recallPerCandidateAudit(df: DataFrame, idCol: String,
                               embCol: String, k: Int,
-                              sampleMod: Int = 20): DataFrame = {
-    val bits = adaptiveSignBits(df)
+                              sampleMod: Int = 20,
+                              devCap: Int = 1000): DataFrame = {
+    val devMod = math.max(1L, df.count() / devCap).toInt
+    val dev = if (devMod <= 1) df
+      else df.filter(pmod(md5U(col(idCol)), lit(devMod)) === 0)
+    val bits = adaptiveSignBits(dev)
     // sign-bucket side: signature, sample, shared exact ground truth
-    val n = normalized(df, idCol, embCol)
+    val n = normalized(dev, idCol, embCol)
       .withColumn("bucket", signBucket(bits))
       .localCheckpoint(false)
     val qs = n.filter(pmod(col("id"), lit(sampleMod)) === 0)
@@ -2200,8 +2342,9 @@ object SimilarityOps {
       .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
       .localCheckpoint(false)
     val signCand = signProbeCands(qs, n, bits)
-    // trained-IVF side at the SAME cell count (kCent = 2^bits)
-    val (e, _, cFinal, _) = ivfFit(df, idCol, embCol, 1 << bits, 2)
+    // trained-IVF side at the SAME cell count (kCent = 2^bits), over
+    // the same dev slice
+    val (e, _, cFinal, _) = ivfFit(dev, idCol, embCol, 1 << bits, 2)
     val home = ivfAssign(e, cFinal)
     val qi = e.filter(pmod(col("id"), lit(sampleMod)) === 0)
     val ivfCand = ivfProbeCands(qi, e, home, cFinal)
@@ -2232,15 +2375,128 @@ object SimilarityOps {
       .unionAll(hits(ivfCand, "pr", Seq(1, 2, 3), "ivf_trained"))
     val c = cands(signCand, "hd", 2, "sign_bucket")
       .unionAll(cands(ivfCand, "pr", 3, "ivf_trained"))
-    h.join(c, Seq("method", "setting"))
+    // LEFT-join both aggs onto a literal six-row (method, setting)
+    // scaffold so a probe level with zero candidates still emits its
+    // row with zero counts — the oracle's unnest scaffold always
+    // produces all six rows, and on a tiny/degenerate corpus the
+    // grouped-only form would silently drop levels.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val scaffold = (Seq(0L, 1L, 2L).map(("sign_bucket", _)) ++
+        Seq(1L, 2L, 3L).map(("ivf_trained", _)))
+      .toDF("method", "setting")
+    scaffold.join(h, Seq("method", "setting"), "left")
+      .join(c, Seq("method", "setting"), "left")
       .crossJoin(broadcast(nq))
       .select(col("method"), col("setting"),
-        col("__nq").as("n_queries"), col("n_candidates"),
+        col("__nq").as("n_queries"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        expr("CAST((coalesce(n_candidates, 0) * 2 + __nq) " +
+          "div (2 * __nq) AS BIGINT)").as("cand_per_query"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"CAST((coalesce(n_hits, 0) * 2000000 + $k * __nq) " +
+          s"div (2 * $k * __nq) AS BIGINT)").as("recall_ppm"))
+      .orderBy(col("method"), col("setting"))
+  }
+
+  /** One dial's rows for [[ivfDialSweep]]: per probe level in `lvls`,
+    * the bounded top-k hits against the shared exact side plus the
+    * DISTINCT candidate pairs that level examined, left-joined onto a
+    * literal per-level scaffold (a level with zero candidates still
+    * emits its zero row — the q450 scaffold discipline).
+    */
+  private def dialRows(cand: DataFrame, exact: DataFrame, k: Int,
+                       lvls: Seq[Int], layout: String, sb: Int,
+                       kc: Int): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    val hits = lvls.map { lvl =>
+      selectTopK(cand.filter(col("pr") <= lvl)
+          .select(col("vec_id"), col("neighbor_id"), col("sim")), k)
+        .withColumn("nprobe", lit(lvl.toLong))
+    }.reduce(_ unionAll _)
+      .join(exact, Seq("vec_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(col("__e")).as("n_hits"))
+    // candidate counts: one pass — each pair explodes into every
+    // swept level that reaches it (pr ≤ level), then a per-level count
+    val lvlArr = lvls.map(l => s"${l}L").mkString("array(", ", ", ")")
+    val cnts = cand
+      .select(explode(expr(s"filter($lvlArr, s -> s >= pr)"))
+        .as("nprobe"))
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_candidates"))
+    lvls.map(_.toLong).toDF("nprobe")
+      .join(hits, Seq("nprobe"), "left")
+      .join(cnts, Seq("nprobe"), "left")
+      .select(lit(layout).as("layout"), lit(sb.toLong).as("shard_bits"),
+        lit(kc.toLong).as("kc"), col("nprobe"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
+  /** Recall-DIAL sweep for the sharded trained IVF (q452) — the
+    * certificate that buys back the measured IMI shard-locality loss
+    * (q449: 13-23% @ q441's round-11 default dials vs flat q444's
+    * 19-42%): every (shardBits, kcPerShard, nprobe) combination in the
+    * swept grid is measured against ONE shared 1-in-`sampleMod` exact
+    * ground truth over the FULL corpus — cross-shard true neighbors
+    * count AGAINST recall, exactly as in q449 — and each row reports
+    * the DISTINCT candidate pairs that dial examined (the q450
+    * recall-per-candidate discipline), so "recovers flat recall at
+    * bounded candidate cost" is a read-off, not a narrative. The flat
+    * layout at q444's geometry rides along as the reference rows
+    * (layout = 'flat', shard_bits = 0, trained on the q440 sampled
+    * slice), giving the flat recall AND its candidate budget in the
+    * same table. Reference analogue: the ES kNN check tunes
+    * k/num_candidates explicitly (s2_item_to_es.py:85-90,
+    * online/utils/es_caller.py:43). Same deliberate-cartesian
+    * whitelist class as q444/q449/q450 (the one sampled exact side);
+    * every sharded side is equi-join-bounded: training n·kcPerShard
+    * per round, probes n_q·kcPerShard, candidates nprobe·cell.
+    */
+  def ivfDialSweep(df: DataFrame, idCol: String, embCol: String,
+                   k: Int, flatKc: Int, flatTrainMod: Int,
+                   shardBitsList: Seq[Int], kcs: Seq[Int],
+                   nprobes: Seq[Int], sampleMod: Int = 20): DataFrame = {
+    // shared exact ground truth (the declared-quadratic sampled side)
+    val nn = normalized(df, idCol, embCol).localCheckpoint(false)
+    val qn = nn.filter(pmod(col("id"), lit(sampleMod)) === 0)
+    val exact = selectTopK(pairSim(qn, nn), k)
+      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
+      .localCheckpoint(false)
+    val nq = qn.agg(count(lit(1)).as("__nq"))
+    // flat reference at q444's geometry, q440's sampled trainer
+    val (ef, _, cf, _) = ivfFit(df, idCol, embCol, flatKc, 2,
+      flatTrainMod)
+    val qf = ef.filter(pmod(col("id"), lit(sampleMod)) === 0)
+    val flatRows = dialRows(
+      ivfProbeCands(qf, ef, ivfAssign(ef, cf), cf, 3),
+      exact, k, Seq(1, 2, 3), "flat", 0, flatKc)
+    // sharded grid: one shardQuantized scan per shard level, one
+    // trained codebook per (shardBits, kcPerShard)
+    val shardRows = for {
+      sb <- shardBitsList
+      es = shardQuantized(df, idCol, embCol, sb)
+      qsAll = es.filter(pmod(col("id"), lit(sampleMod)) === 0)
+      kc <- kcs
+    } yield {
+      val cs = ivfShardedFitOn(es, kc, 2)
+      val cand = ivfShardedProbeCands(qsAll, es,
+        ivfShardedAssign(es, cs), cs, nprobes.max)
+      dialRows(cand, exact, k, nprobes, "sharded", sb, kc)
+    }
+    (flatRows +: shardRows).reduce(_ unionAll _)
+      .crossJoin(broadcast(nq))
+      .select(col("layout"), col("shard_bits"), col("kc"),
+        col("nprobe"), col("__nq").as("n_queries"),
+        col("n_candidates"),
         expr("CAST((n_candidates * 2 + __nq) div (2 * __nq) " +
           "AS BIGINT)").as("cand_per_query"),
         col("n_hits"),
         expr(s"CAST((n_hits * 2000000 + $k * __nq) " +
           s"div (2 * $k * __nq) AS BIGINT)").as("recall_ppm"))
-      .orderBy(col("method"), col("setting"))
+      .orderBy(col("layout"), col("shard_bits"), col("kc"),
+        col("nprobe"))
   }
 }

@@ -1168,10 +1168,12 @@ class PlanAuditSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // the TRAINED quantizer (IVF nprobe recall vs the same 1-in-20
     // sampled exact baseline), and q449 for the SHARDED trained
     // quantizer (same exact side; its ANN side is shard equi-joins).
+    // q452 is the dial sweep over that same machinery — ONE shared
+    // 1-in-20 sampled exact side; every dial side is equi-joins.
     val allowed = Set("q26_cosine_topk", "q397_ann_recall",
       "q438_ann_adaptive_recall", "q439_ann_srp_recall",
       "q444_ivf_recall", "q449_ivf_sharded_recall",
-      "q450_recall_per_candidate")
+      "q450_recall_per_candidate", "q452_ivf_dial_sweep")
     for ((name, fn) <- SparkEntry.queries if !allowed(name)) {
       val df = fn(spark, dir)
       val s = df.queryExecution.executedPlan.toString

@@ -108,9 +108,26 @@ class StreamingIvfAssignSpec extends SparkSpec {
         r.getAs[scala.collection.Seq[Long]]("cemb").toSeq)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
     assert(!codebooks.contains(2), "fixture: shard 2 must be empty")
-    val batch = SimilarityOps.ivfShardedAssignFrozen(sdf, "vec_id",
-        "embedding", cbDf, shardBits = 2)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // batch input INCLUDES the empty-shard vector: stream == batch must
+    // hold for dead letters too (the frozen batch assigner left-joins
+    // and emits NULL cid/dist2, mirroring the stream contract — not a
+    // silent drop, not a phantom argmin over NULL distances)
+    val orphanVec = 99L -> Seq(-0.5f, 0.5f, 0.1f, 0.1f)
+    // wrong-dimension vector in a POPULATED shard: every candidate
+    // distance is NULL — must dead-letter, never argmin over NULLs
+    val malformedVec = 98L -> Seq(1.0f, 0.1f)
+    val batchRows = SimilarityOps.ivfShardedAssignFrozen(
+        (sv :+ orphanVec :+ malformedVec).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cbDf, shardBits = 2)
+      .collect()
+    val batch = batchRows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val bOrphan = batchRows.filter(_.getLong(0) == 99L)
+    assert(bOrphan.length == 1 && bOrphan.head.getInt(1) == 2 &&
+      bOrphan.head.isNullAt(2) && bOrphan.head.isNullAt(3),
+      "batch orphan-shard vector must emit a visible NULL dead letter")
+    assert(batch(98L).isEmpty,
+      "batch wrong-dimension vector must dead-letter, not phantom-argmin")
 
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Seq[Float])]
@@ -120,13 +137,15 @@ class StreamingIvfAssignSpec extends SparkSpec {
     val q = out.writeStream.format("memory").queryName("ivf_shard_stream")
       .outputMode("append").start()
     mem.addData(sv: _*)
-    // a late vector landing in the EMPTY shard 2
-    mem.addData(99L -> Seq(-0.5f, 0.5f, 0.1f, 0.1f))
+    // a late vector landing in the EMPTY shard 2, plus the malformed one
+    mem.addData(orphanVec, malformedVec)
     q.processAllAvailable()
     val rows = spark.table("ivf_shard_stream").collect()
     q.stop()
-    val streamed = rows.filter(!_.isNullAt(2))
-      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // FULL-map parity, NULL dead letters included — not just the
+    // assigned subset
+    val streamed = rows.map(r => r.getLong(0) ->
+      (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
     assert(streamed == batch,
       s"stream $streamed must equal batch $batch")
     val orphan = rows.filter(_.getLong(0) == 99L)
