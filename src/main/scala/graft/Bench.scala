@@ -106,9 +106,15 @@ object Bench {
       val p = java.nio.file.Paths.get("bench_prior.json")
       if (java.nio.file.Files.exists(p)) {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        """"(q[0-9][^"]*)"\s*:\s*([0-9.Ee+-]+)""".r
-          .findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // priors only apply at THEIR scale factor: an sf1 probe run
+        // against sf0.1 priors would otherwise re-time everything
+        val priorSf = """"sf"\s*:\s*"([^"]*)"""".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (priorSf.contains(sfDir))
+          """"(q[0-9][^"]*)"\s*:\s*([0-9.Ee+-]+)""".r
+            .findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        else Map.empty
       } else Map.empty
     } catch { case _: Throwable => Map.empty }
     val retimed: Map[String, Double] = results.collect {
