@@ -1770,9 +1770,7 @@ object SimilarityOps {
     */
   private def ivfAssign(e: DataFrame, cent: DataFrame): DataFrame =
     e.select(col("id"), col("qemb")).crossJoin(broadcast(cent))
-      .withColumn("__d", expr(
-        "aggregate(zip_with(qemb, cemb, (x, y) -> (x - y) * (x - y)), " +
-          "0L, (acc, v) -> acc + v)"))
+      .withColumn("__d", expr("graft_sqdist(qemb, cemb)"))
       .groupBy(col("id"))
       .agg(min(struct(col("__d"), col("cid"))).as("__m"))
       .select(col("id"), col("__m.cid").as("cid"))
@@ -1871,9 +1869,7 @@ object SimilarityOps {
     val home = ivfAssign(e, cFinal)
     val probes = e.select(col("id"), col("qemb"))
       .crossJoin(broadcast(cFinal))
-      .withColumn("__d", expr(
-        "aggregate(zip_with(qemb, cemb, (x, y) -> (x - y) * (x - y)), " +
-          "0L, (acc, v) -> acc + v)"))
+      .withColumn("__d", expr("graft_sqdist(qemb, cemb)"))
       .groupBy(col("id"))
       .agg(graft.functions.TopKAggregator.topK(nprobe,
         -col("__d").cast("double"), col("cid")).as("__top"))
@@ -1925,10 +1921,11 @@ object SimilarityOps {
     * seed vector id stays globally unique, so downstream joins key on
     * cid alone.
     */
-  /** Exact integer squared-L2 between a vector and a centroid. */
-  private val shardQdist = expr(
-    "aggregate(zip_with(qemb, cemb, (x, y) -> (x - y) * (x - y)), " +
-      "0L, (acc, v) -> acc + v)")
+  /** Exact integer squared-L2 between a vector and a centroid — the
+    * native codegen'd [[graft.functions.SqDistLong]] (bit-identical to
+    * the HOF chain it replaced; same NULL contract).
+    */
+  private val shardQdist = expr("graft_sqdist(qemb, cemb)")
 
   /** Shard-local nearest-cell assignment: each vector compares ONLY
     * against its own shard's ≤kcPerShard centroids (broadcast of the
@@ -2208,9 +2205,7 @@ object SimilarityOps {
                             maxProbe: Int = 3): DataFrame = {
     val pq = q.select(col("id"), col("qemb"))
       .crossJoin(broadcast(cFinal))
-      .withColumn("__d", expr(
-        "aggregate(zip_with(qemb, cemb, (x, y) -> (x - y) * (x - y)), " +
-          "0L, (acc, v) -> acc + v)"))
+      .withColumn("__d", expr("graft_sqdist(qemb, cemb)"))
       .groupBy(col("id"))
       .agg(graft.functions.TopKAggregator.topK(maxProbe,
         -col("__d").cast("double"), col("cid")).as("__top"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, DotRange, JaroWinkler}
+import graft.functions.{DotProduct, DotRange, JaroWinkler, SqDistLong}
 
 /** Engine extensions, registered via the public
   * `SparkSessionExtensions` hook
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.dotRangeFunction)
+    ext.injectFunction(GraftExtensions.sqDistFunction)
     ext.injectFunction(GraftExtensions.asofFunction)
     ext.injectFunction(GraftExtensions.jwFunction)
     ext.injectPlannerStrategy(AsOfJoinStrategy)
@@ -36,6 +37,11 @@ object GraftExtensions {
     new FunctionIdentifier("graft_dot"),
     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
     (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  private val sqDistFunction = (
+    new FunctionIdentifier("graft_sqdist"),
+    new ExpressionInfo(classOf[SqDistLong].getName, "graft_sqdist"),
+    (children: Seq[Expression]) => SqDistLong(children(0), children(1)))
 
   private val asofFunction = (
     new FunctionIdentifier("graft_asof"),
@@ -59,7 +65,8 @@ object GraftExtensions {
     * public post-construction planner hook).
     */
   def register(spark: SparkSession): Unit = {
-    Seq(dotFunction, dotRangeFunction, asofFunction, jwFunction).foreach { f =>
+    Seq(dotFunction, dotRangeFunction, sqDistFunction, asofFunction,
+        jwFunction).foreach { f =>
       spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
     }
     val es = spark.experimental.extraStrategies
