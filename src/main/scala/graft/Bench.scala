@@ -110,18 +110,30 @@ object Bench {
         // against sf0.1 priors would otherwise re-time everything
         val priorSf = """"sf"\s*:\s*"([^"]*)"""".r
           .findFirstMatchIn(txt).map(_.group(1))
-        if (priorSf.contains(sfDir))
+        if (priorSf.contains(sfDir)) {
+          // Parse q-keys ONLY inside the prior's "queries" object: the
+          // detail file also carries a "retimed" object whose entries
+          // would otherwise shadow the committed times (later-match-wins
+          // toMap), and a failed retime recorded as -1 would then
+          // disable the guard for that query via the prior>0 check.
+          // The queries object is flat (no nested braces), so [^}]* is
+          // exact.
+          val qobj = """"queries"\s*:\s*\{([^}]*)\}""".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
           """"(q[0-9][^"]*)"\s*:\s*([0-9.Ee+-]+)""".r
-            .findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        else Map.empty
+            .findAllMatchIn(qobj)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 > 0.0).toMap
+        } else Map.empty
       } else Map.empty
     } catch { case _: Throwable => Map.empty }
     val retimed: Map[String, Double] = results.collect {
       case (name, t) if t >= 1.0 && prior.getOrElse(name, 0.0) > 0.0 &&
         t > 3.0 * prior(name) =>
         name -> timeOnce(name, selected(name))
-    }.toMap
+    }.toMap.filter(_._2 > 0.0) // a FAILED retime (-1) is not a time —
+    // dropping it keeps the original (suspect) number authoritative
+    // rather than emitting -1 into the detail as if it were fast
     val retimedJson = retimed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
 

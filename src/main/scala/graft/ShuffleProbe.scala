@@ -91,9 +91,17 @@ object ShuffleProbe {
         stableMs = if (cur == last) stableMs + 100 else 0
         last = cur
       }
+      // Snapshot ONCE at poll exit so the printed pair is coherent, and
+      // flag rows where the 10 s cap fired before stability: a straggler
+      // stage completing after the cap still bleeds into the NEXT row
+      // (best-effort attribution) — the flag makes a bled row visible in
+      // the output instead of silently trusted.
+      val (bSnap, rSnap) = (bytes.get, records.get)
+      val capHit = stableMs < 600
       println(f"""{"query":"$name","sec":$sec%.3f,""" +
-        s""""shuffle_write_bytes":${bytes.get},""" +
-        s""""shuffle_write_records":${records.get}}""")
+        s""""shuffle_write_bytes":$bSnap,""" +
+        s""""shuffle_write_records":$rSnap""" +
+        (if (capHit) ""","stability_cap_hit":true}""" else "}"))
     }
     spark.stop()
   }

@@ -55,6 +55,12 @@ class StreamingIvfServeSpec extends SparkSpec {
       .collect()
       .map(r => r.getLong(0) ->
         r.getAs[scala.collection.Seq[Float]]("embedding").toSeq)
+    // the two-micro-batch assertion below needs >= 1 query per batch;
+    // a 1-query sample would make splitAt(0) yield an empty FIRST batch
+    // and fail `afterFirst > 0` spuriously (fixture, not parity)
+    assert(queries.length >= 2,
+      s"fixture: md5 1-in-10 sample yielded ${queries.length} query(s); " +
+        "need >= 2 to exercise two non-empty micro-batches")
     val (batch1, batch2) = queries.splitAt(queries.length / 2)
 
     implicit val sq = spark.sqlContext
