@@ -267,7 +267,7 @@ object SimilarityOps {
     * BENCHLOG migration that moved this family from ×9.6–×61 at 10×
     * data into the ×0.9–×3.8 linear band). Recall at the fixed cell
     * size is recovered by the multi-probe levels (the q332/q340 dial,
-    * measured in q438); past the 16-bit cap, shard the index (q448).
+    * measured in q438); past the 16-bit cap, shard the index (ivfAnnTopKSharded, q441).
     * The count is ONE driver-side scalar (the planner-statistic read,
     * same sanctioned class as the 1-row train-stats collects);
     * everything downstream is the standard probe equi-join.
@@ -1910,7 +1910,7 @@ object SimilarityOps {
     * paid down at cluster scale). The FULLY-linear dial setting is the
     * q441 one: shardBits rides the count schedule (so shards ∝ n) with
     * kcPerShard FIXED — assignment stays n·kcPerShard and the mean
-    * cell n/(2^shardBits·kc) stays bounded at any corpus size; q448
+    * cell n/(2^shardBits·kc) stays bounded at any corpus size; q441
     * keeps the fixed-4-bit first level as the measured IMI comparison
     * point. Search is shard-local (cross-shard neighbors are foregone,
     * the standard IMI trade — measured per corpus by q449's recall
@@ -2014,7 +2014,7 @@ object SimilarityOps {
     * recall layer runs per request micro-batch: per query the cost is
     * kcPerShard distance rows (route) + nprobe bounded cells
     * (candidates) — independent of corpus size. Shared by the
-    * full-corpus ANN (q441/q448: q = e), the declared serving twin
+    * full-corpus ANN (q441: q = e; the demoted q448 fixture in IvfSpec), the declared serving twin
     * ([[ivfServeSharded]], q453) and the streaming micro-batch spec
     * (StreamingIvfServeSpec drives THIS function per micro-batch and
     * pins parity against the batch result).

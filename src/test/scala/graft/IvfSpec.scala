@@ -96,6 +96,30 @@ class IvfSpec extends SparkSpec {
     assert(!out.exists(r => r.getLong(0) == 40L || r.getLong(1) == 40L))
   }
 
+  test("the demoted q448 composition (fixed-4-bit IMI dials) still " +
+    "produces its gate-verified rows at sf0.001") {
+    // q448_ivf_sharded_ann was a DECLARED query through round 12
+    // (green rows+schema+hash vs the DuckDB oracle at all three gate
+    // SFs) and was demoted in round 13: q452's dial table subsumes the
+    // comparison it made, and q441 ships the winning dials. This pin
+    // freezes the exact former composition — shardBits = 4,
+    // kcPerShard = max(2, 2^(bits/2+1)/4), nprobe = 2, k = 5 — against
+    // the checksums of its last gate-verified sf0.001 output (2500
+    // rows; captured from the r13 Verify dump the commit before the
+    // demotion), so the fixed-4-bit semantics stay executable and
+    // regression-guarded without paying a declared super-linear plan.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bits = SimilarityOps.adaptiveSignBits(emb)
+    val kc = math.max(2, (1 << (bits / 2 + 1)) / 4)
+    val rows = SimilarityOps.ivfAnnTopKSharded(emb, "vec_id", "embedding",
+        5, kc)
+      .orderBy("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 2500)
+    assert(rows.map(r => r._1 * 1000003L + r._2).sum == 623752489331L)
+    assert(rows.map(r => math.round(r._3 * 1e6)).sum == 545449788L)
+  }
+
   test("ivfTrain: kCent larger than the corpus keeps every vector a " +
     "surviving singleton cell with zero shift") {
     val out = SimilarityOps.ivfTrain(df, "vec_id", "embedding",
