@@ -10708,6 +10708,108 @@ object OracleSql {
       s"""WITH ${ivfShardedCtes("greatest(1, bits - 5)", "16")},
          |${ivfShardedAnnTail(8, 5,
            " WHERE ('0x' || substr(md5(id::VARCHAR), 1, 8))::BIGINT" +
-           " % 10 = 0")}""".stripMargin
+           " % 10 = 0")}""".stripMargin,
+
+    // q454: the engine serializes REAL BMP/PPM payloads and decodes
+    // them with its codec; the oracle never sees a byte of either —
+    // it recomputes the DECODED pixel values closed-form from the same
+    // md5 seed (BMP: raw ramp; PPM: raw % (maxv+1) then the decoder's
+    // integer maxval rescale ·255//maxv), so the file round-trip is
+    // exactly what the hash gate checks. All-integer outputs.
+    "q454_image_decode_stats" ->
+      """WITH p AS (SELECT doc_id,
+        |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % 100000 AS seed
+        |  FROM documents),
+        |d AS (SELECT doc_id, seed,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS fmt,
+        |    4 + seed % 5 AS w,
+        |    4 + (seed // 7) % 5 AS h,
+        |    CASE WHEN doc_id % 2 = 0 OR seed % 3 <> 0 THEN 255
+        |         ELSE 63 END AS maxv
+        |  FROM p),
+        |gx AS (SELECT d.*, unnest(range(w)) AS x FROM d),
+        |gxy AS (SELECT gx.*, unnest(range(h)) AS y FROM gx),
+        |raw AS (SELECT doc_id, fmt, w, h, maxv, x, y,
+        |    md5(seed::VARCHAR || '_' || (y*w + x)::VARCHAR) AS hx
+        |  FROM gxy),
+        |px AS (SELECT doc_id, fmt, w, h, x, y,
+        |    CASE WHEN fmt = 1 THEN ('0x' || substr(hx, 1, 2))::BIGINT
+        |      ELSE ((('0x' || substr(hx, 1, 2))::BIGINT % (maxv+1))
+        |        * 255) // maxv END AS r,
+        |    CASE WHEN fmt = 1 THEN ('0x' || substr(hx, 3, 2))::BIGINT
+        |      ELSE ((('0x' || substr(hx, 3, 2))::BIGINT % (maxv+1))
+        |        * 255) // maxv END AS g,
+        |    CASE WHEN fmt = 1 THEN ('0x' || substr(hx, 5, 2))::BIGINT
+        |      ELSE ((('0x' || substr(hx, 5, 2))::BIGINT % (maxv+1))
+        |        * 255) // maxv END AS b
+        |  FROM raw)
+        |SELECT doc_id, CAST(fmt AS INT) AS fmt, CAST(w AS INT) AS w,
+        |  CAST(h AS INT) AS h, CAST(w * h AS BIGINT) AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(sum(299*r + 587*g + 114*b) AS BIGINT) AS luma1k,
+        |  CAST(sum((x+1) * (299*r + 587*g + 114*b)) AS BIGINT)
+        |    AS luma1k_xw,
+        |  CAST(sum((y+1) * (299*r + 587*g + 114*b)) AS BIGINT)
+        |    AS luma1k_yw
+        |FROM px GROUP BY doc_id, fmt, w, h
+        |ORDER BY doc_id""".stripMargin,
+
+    // q455: closed-form 8×8 rasters (cluster base seed + per-doc pixel
+    // inversion) → integer aHash as two 32-bit halves → the SAME
+    // banded 16-bit bucket join + bit_count(xor) verify the engine
+    // runs. Candidate generation is mirrored exactly (4 bands,
+    // DISTINCT pairs), so engine and oracle agree row-for-row
+    // regardless of LSH recall.
+    "q455_image_phash_neardup" ->
+      """WITH nn AS (SELECT greatest(1, count(*) // 16) AS nc
+        |  FROM documents),
+        |p AS (SELECT doc_id AS id,
+        |    ('0x' || substr(md5('c' || (doc_id % nc)::VARCHAR), 1, 8))
+        |      ::BIGINT % 100000 AS cseed,
+        |    ('0x' || substr(md5('d' || doc_id::VARCHAR), 1, 8))
+        |      ::BIGINT % 100000 AS pseed,
+        |    (doc_id // nc) % 9 AS noise
+        |  FROM documents CROSS JOIN nn),
+        |g0 AS (SELECT p.*, unnest(range(64)) AS i FROM p),
+        |raw AS (SELECT id, i, noise, pseed,
+        |    md5(cseed::VARCHAR || '_' || i::VARCHAR) AS hx
+        |  FROM g0),
+        |px0 AS (SELECT id, i,
+        |    ('0x' || substr(hx, 1, 2))::BIGINT AS r0,
+        |    ('0x' || substr(hx, 3, 2))::BIGINT AS g0,
+        |    ('0x' || substr(hx, 5, 2))::BIGINT AS b0,
+        |    CASE WHEN (pseed + 31*i) % 64 < noise THEN 1
+        |         ELSE 0 END AS fl
+        |  FROM raw),
+        |lum AS (SELECT id, i,
+        |    299*(CASE WHEN fl = 1 THEN 255 - r0 ELSE r0 END)
+        |    + 587*(CASE WHEN fl = 1 THEN 255 - g0 ELSE g0 END)
+        |    + 114*(CASE WHEN fl = 1 THEN 255 - b0 ELSE b0 END) AS l
+        |  FROM px0),
+        |tot AS (SELECT id, sum(l) AS t FROM lum GROUP BY id),
+        |hs AS (SELECT lum.id,
+        |    CAST(sum(CASE WHEN i < 32 AND l*64 > t
+        |      THEN 1::BIGINT << i ELSE 0 END) AS BIGINT) AS h_lo,
+        |    CAST(sum(CASE WHEN i >= 32 AND l*64 > t
+        |      THEN 1::BIGINT << (i - 32) ELSE 0 END) AS BIGINT) AS h_hi
+        |  FROM lum JOIN tot ON tot.id = lum.id GROUP BY lum.id),
+        |bd AS (SELECT id, unnest([0, 1, 2, 3]) AS bi,
+        |    unnest([h_lo % 65536, h_lo >> 16, h_hi % 65536, h_hi >> 16])
+        |      AS bv
+        |  FROM hs),
+        |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+        |  FROM bd a JOIN bd b
+        |  ON a.bi = b.bi AND a.bv = b.bv AND a.id < b.id)
+        |SELECT doc_a, doc_b,
+        |  CAST(bit_count(xor(ha.h_lo, hb.h_lo))
+        |    + bit_count(xor(ha.h_hi, hb.h_hi)) AS INT) AS hamming
+        |FROM cand JOIN hs ha ON ha.id = doc_a
+        |JOIN hs hb ON hb.id = doc_b
+        |WHERE bit_count(xor(ha.h_lo, hb.h_lo))
+        |  + bit_count(xor(ha.h_hi, hb.h_hi)) <= 6
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.tables.Tables
-import graft.operators.{AsOfJoin, DedupOps, EncodeOps, ExperimentOps, GraphOps, JoinOps, LayoutOps, MetricOps, MixtureOps, QualityChecks, RelationalOps, RetrievalOps, SamplingOps, SimilarityOps, SketchOps, TextOps}
+import graft.operators.{AsOfJoin, DedupOps, EncodeOps, ExperimentOps, GraphOps, JoinOps, LayoutOps, MetricOps, MixtureOps, MultimodalOps, QualityChecks, RelationalOps, RetrievalOps, SamplingOps, SimilarityOps, SketchOps, TextOps}
 
 /** Driver contract (SURVEY.md §7): named deterministic queries over the
   * testdata tables, each with a DuckDB-oracle SQL twin. Query keys map to
@@ -4846,7 +4846,35 @@ object SparkEntry {
           kcPerShard = 16, nprobe = 8, rounds = 2, shardBits = sb,
           queryMod = 10)
         .orderBy("vec_id", "neighbor_id")
-    })
+    }),
+
+    // L388 — REAL-codec image statistics (the multimodal pillar's
+    // pixel-native declared query): per doc an md5-seeded BMP (even
+    // ids; half top-down; stride padding at w ∈ {5,6,7}) or PPM (odd
+    // ids; header comment; maxval-63 rescale on a third) is
+    // serialized, decoded by MultimodalOps.ImageDecoder IN-PLAN, and
+    // reduced to integer raster statistics incl. x/y-weighted luma
+    // sums (the orientation canary). Map-only until the sort; the
+    // oracle mirrors the DECODED pixels closed-form, so any codec
+    // defect (row order, padding, rescale, header parse) is a hash
+    // mismatch. Reference analogue: the modality-blind ES
+    // dense-vector index (offline_to_online/recall/s2_item_to_es
+    // .py:36-41) — pixels are the capability the reference outsources.
+    "q454_image_decode_stats" -> ((s, d) =>
+      MultimodalOps.imageDecodeStats(Tables.documents(s, d), "doc_id")
+        .orderBy("doc_id")),
+
+    // L389 — perceptual-hash image NEAR-dup (multimodal dedup, the
+    // Lee-et-al. question asked of rasters): md5-cluster-seeded 8×8
+    // BMPs whose siblings differ by a bounded pixel inversion, REAL
+    // codec decode in-plan, integer 64-bit aHash as two 32-bit halves,
+    // banded 16-bit Hamming-bucket EQUI-joins (4 bands, any clean band
+    // collides) + bit_count(xor) verify ≤ 6. Cluster count scales with
+    // n (docsPerCluster = 16), so candidates stay linear — never
+    // all-pairs. The q396 bit-packing machinery pointed at pixels.
+    "q455_image_phash_neardup" -> ((s, d) =>
+      MultimodalOps.imagePhashNearDup(Tables.documents(s, d), "doc_id")
+        .orderBy("doc_a", "doc_b"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -262,4 +262,315 @@ object MultimodalOps {
     */
   def rebalance(df: DataFrame, idCol: String, partitions: Int): DataFrame =
     df.repartition(partitions, col(idCol))
+
+  // ---------------------------------------------------------------------
+  // Declared image family (q454/q455): deterministic raster synthesis →
+  // REAL codec decode in-plan → integer statistics / perceptual hash.
+  //
+  // The payloads are CONSTRUCTED from closed-form integer pixel math, so
+  // a DuckDB oracle can mirror the decoded pixel values without a
+  // decoder of its own — which is exactly what makes the real
+  // BMP/PPM codec oracle-checkable: any decode defect (row order,
+  // stride padding, maxval rescale, header parsing) shifts the decoded
+  // integers away from the closed form and fails the hash gate.
+  // Reference analogue: the modality-blind ES dense-vector index
+  // (offline_to_online/recall/s2_item_to_es.py:36-41) — the reference
+  // ships image-less embeddings; this family is the pixel-native
+  // capability a multimodal training-data pipeline adds on top.
+  // ---------------------------------------------------------------------
+
+  /** Synthesis spec: everything the generator needs, one row per image.
+    * `seed`/`pseed` are md5-derived (column-side, the cross-engine md5
+    * recipe); `noise` > 0 inverts pixels where
+    * (pseed + 31·i) % 64 < noise — the perturbation that turns cluster
+    * siblings into NEAR-duplicates instead of exact ones.
+    */
+  case class SynthImageRow(id: Long, seed: Long, pseed: Long, noise: Int,
+                           fmt: Int, w: Int, h: Int, maxv: Int,
+                           topdown: Boolean)
+  case class ImagePayload(id: Long, payload: Array[Byte])
+  case class ImageStats(id: Long, fmt: Int, w: Int, h: Int, n_px: Long,
+                        sum_r: Long, sum_g: Long, sum_b: Long,
+                        luma1k: Long, luma1k_xw: Long, luma1k_yw: Long)
+  case class ImageHash(id: Long, h_lo: Long, h_hi: Long)
+
+  /** Closed-form RAW channel values at image coordinates (x, y): the
+    * first three bytes of md5("<seed>_<i>") with i = y·w + x — the
+    * cross-engine md5 recipe, chosen over arithmetic ramps because any
+    * algebraic structure shared across seeds (mod-2^k gcd artifacts,
+    * affine half-planes) correlates the aHash bits of UNRELATED images
+    * and blew the near-dup pair count superlinear in prototyping; md5
+    * bytes are structure-free, so distinct-seed hashes sit at Hamming
+    * ~32 and cross-seed "near-dups" vanish. All inputs non-negative,
+    * so `%` agrees between Scala, Spark and DuckDB.
+    */
+  private def rawPixel(md: java.security.MessageDigest, seed: Long,
+                       pseed: Long, noise: Int,
+                       w: Int, x: Int, y: Int): (Int, Int, Int) = {
+    val i = y * w + x
+    md.reset()
+    val d = md.digest(s"${seed}_$i".getBytes("US-ASCII"))
+    var r = d(0) & 0xff
+    var g = d(1) & 0xff
+    var b = d(2) & 0xff
+    if (noise > 0 && (pseed + 31L * i) % 64 < noise) {
+      r = 255 - r; g = 255 - g; b = 255 - b
+    }
+    (r, g, b)
+  }
+
+  /** Serialize one 24-bpp uncompressed BMP: BITMAPFILEHEADER (14) +
+    * BITMAPINFOHEADER (40), BGR pixel order, rows padded to 4 bytes,
+    * bottom-up unless `topdown` (negative height field).
+    */
+  private[operators] def writeBmp(spec: SynthImageRow): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val stride = ((spec.w * 3 + 3) / 4) * 4
+    val size = 54 + stride * spec.h
+    val out = new Array[Byte](size)
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    p32(2, size); p32(10, 54); p32(14, 40); p32(18, spec.w)
+    p32(22, if (spec.topdown) -spec.h else spec.h)
+    out(26) = 1 // planes
+    out(28) = 24 // bpp
+    p32(30, 0) // BI_RGB
+    p32(34, stride * spec.h)
+    var y = 0
+    while (y < spec.h) {
+      // file row r holds image row (h-1-r) when bottom-up
+      val imgY = if (spec.topdown) y else spec.h - 1 - y
+      var x = 0
+      val ro = 54 + y * stride
+      while (x < spec.w) {
+        val (r, g, b) = rawPixel(md, spec.seed, spec.pseed, spec.noise,
+          spec.w, x, imgY)
+        out(ro + x * 3) = b.toByte // BGR on disk
+        out(ro + x * 3 + 1) = g.toByte
+        out(ro + x * 3 + 2) = r.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Serialize one binary PPM (P6) with a header comment (exercising
+    * the comment-tolerant parser); stored sample = raw % (maxv+1), so
+    * the decoder's maxval rescale (s·255/maxv, integer) is what the
+    * oracle's closed form must reproduce.
+    */
+  private[operators] def writePpm(spec: SynthImageRow): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val header = s"P6\n# graft synth\n${spec.w} ${spec.h}\n${spec.maxv}\n"
+      .getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + 3 * spec.w * spec.h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var y = 0
+    while (y < spec.h) {
+      var x = 0
+      while (x < spec.w) {
+        val (r, g, b) = rawPixel(md, spec.seed, spec.pseed, spec.noise,
+          spec.w, x, y)
+        val o = header.length + (y * spec.w + x) * 3
+        out(o) = (r % (spec.maxv + 1)).toByte
+        out(o + 1) = (g % (spec.maxv + 1)).toByte
+        out(o + 2) = (b % (spec.maxv + 1)).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Spec rows → real serialized payloads. Map-only (no shuffle): the
+    * bytes are born where the spec rows live, exactly like a production
+    * scan of an image-bearing parquet column.
+    */
+  def synthesizeImages(spec: Dataset[SynthImageRow]): Dataset[ImagePayload] = {
+    implicit val enc = Encoders.product[ImagePayload]
+    spec.map(s => ImagePayload(s.id,
+      if (s.fmt == ImageDecoder.FMT_BMP) writeBmp(s) else writePpm(s)))
+  }
+
+  /** REAL-codec decode → integer raster statistics, batched per
+    * partition like [[extractFeatures]]. Integer-only outputs (channel
+    * sums + plain/x-weighted/y-weighted luma·1000 sums) make the result
+    * hash-exact cross-engine; the coordinate-weighted sums are the
+    * orientation canary — a bottom-up/top-down mix-up permutes rows,
+    * which plain sums cannot see but the (y+1)-weighted sum does.
+    * A payload the codec rejects yields NO row: at the gate that reads
+    * as a row-count mismatch, the loud failure mode.
+    */
+  def decodeStats(payloads: Dataset[ImagePayload],
+                  batchSize: Int = 64): Dataset[ImageStats] = {
+    implicit val enc = Encoders.product[ImageStats]
+    payloads.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { p =>
+          ImageDecoder.decode(p.payload).map { r =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var l = 0L; var lx = 0L; var ly = 0L
+            var i = 0
+            val n = r.width * r.height
+            while (i < n) {
+              val o = i * 3
+              val luma = 299L * r.rgb(o) + 587L * r.rgb(o + 1) +
+                114L * r.rgb(o + 2)
+              sr += r.rgb(o); sg += r.rgb(o + 1); sb += r.rgb(o + 2)
+              l += luma
+              lx += (i % r.width + 1) * luma
+              ly += (i / r.width + 1) * luma
+              i += 1
+            }
+            ImageStats(p.id, r.format, r.width, r.height, n.toLong,
+              sr, sg, sb, l, lx, ly)
+          }
+        }
+      }
+    }
+  }
+
+  /** REAL-codec decode → 64-bit integer average-hash (aHash) as two
+    * 32-bit halves: bit i = luma1k(i)·n > Σ luma1k (strict, integer —
+    * no division, so no rounding divergence), packed little-endian
+    * (pixel 0 = bit 0 of h_lo). Two halves instead of one BIGINT keep
+    * the sign bit out of play in BOTH engines (DuckDB raises on
+    * 1<<63). 8×8 rasters hash directly; larger ones aren't expected
+    * here (the declared query synthesizes 8×8).
+    */
+  def decodeAHash(payloads: Dataset[ImagePayload],
+                  batchSize: Int = 64): Dataset[ImageHash] = {
+    implicit val enc = Encoders.product[ImageHash]
+    payloads.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { p =>
+          ImageDecoder.decode(p.payload).map { r =>
+            val n = r.width * r.height
+            val luma = new Array[Long](n)
+            var tot = 0L
+            var i = 0
+            while (i < n) {
+              val o = i * 3
+              luma(i) = 299L * r.rgb(o) + 587L * r.rgb(o + 1) +
+                114L * r.rgb(o + 2)
+              tot += luma(i)
+              i += 1
+            }
+            var lo = 0L; var hi = 0L
+            i = 0
+            while (i < n && i < 64) {
+              if (luma(i) * n > tot) {
+                if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+              }
+              i += 1
+            }
+            ImageHash(p.id, lo, hi)
+          }
+        }
+      }
+    }
+  }
+
+  /** Declared q454 plan: per doc, an md5-seeded BMP or PPM payload —
+    * BMP for even ids (half of them top-down, exercising both row
+    * orders and the 4-byte stride padding at w ∈ {5, 6, 7}), PPM for
+    * odd ids (header comment; maxval 63 on a third of them, exercising
+    * the integer rescale) — serialized, decoded by the REAL codec
+    * in-plan, reduced to integer raster statistics. Map-only until the
+    * final sort: synthesis and decode are one fused mapPartitions
+    * chain over the doc scan, zero shuffle, so the plan is the
+    * embarrassingly-parallel shape a 100 TB image-stats pass needs.
+    * The oracle recomputes the DECODED pixel values closed-form
+    * (ppm-integer discipline throughout), so every decode defect is a
+    * hash mismatch.
+    */
+  def imageDecodeStats(docs: DataFrame, idCol: String): DataFrame = {
+    implicit val specEnc = Encoders.product[SynthImageRow]
+    implicit val seedEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val seeded = docs.select(
+        col(idCol).cast("long").as("id"),
+        (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100000).as("seed"))
+      .as[(Long, Long)]
+    val spec = seeded.map { case (id, seed) =>
+      val bmp = id % 2 == 0
+      SynthImageRow(id, seed, pseed = 0L, noise = 0,
+        fmt = if (bmp) ImageDecoder.FMT_BMP else ImageDecoder.FMT_PPM,
+        w = 4 + (seed % 5).toInt, h = 4 + ((seed / 7) % 5).toInt,
+        maxv = if (bmp || seed % 3 != 0) 255 else 63,
+        topdown = bmp && id % 4 == 2)
+    }
+    decodeStats(synthesizeImages(spec)).toDF()
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  /** Declared q455 plan: perceptual-hash image near-dup. Docs cluster
+    * by `id % max(1, n/docsPerCluster)` — cluster count scales with the
+    * corpus, so expected candidate pairs stay LINEAR in n (the LSH
+    * family's adaptive-width discipline). Cluster siblings share an
+    * md5 base seed and differ by a per-doc pixel inversion
+    * (`noise = (id / nClusters) % 9` inverted pixels-ish), so their
+    * 8×8 BMPs decode to near-identical rasters; the REAL codec decodes
+    * each payload in-plan, the integer aHash packs 64 mean-threshold
+    * bits into two 32-bit halves (no sign-bit hazard in either
+    * engine), and near-dups surface through a banded 16-bit
+    * Hamming-bucket EQUI-join (4 bands — any unperturbed band
+    * collides) with a bit_count(xor) verify at `maxHamming`. Never
+    * all-pairs: candidates are band-bucket joins, the q27/q69 shape.
+    * The hash table is lazily localCheckpoint'd — it is read four
+    * times (both band sides + both verify sides), and at scale the
+    * decode must run once, not four times.
+    */
+  def imagePhashNearDup(docs: DataFrame, idCol: String,
+                        docsPerCluster: Int = 16,
+                        maxHamming: Int = 6): DataFrame = {
+    implicit val specEnc = Encoders.product[SynthImageRow]
+    implicit val seedEnc =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong)
+    val nClusters = math.max(1L, docs.count() / docsPerCluster)
+    val seeded = docs.select(
+        col(idCol).cast("long").as("id"),
+        (conv(substring(md5(concat(lit("c"),
+            (col(idCol).cast("long") % nClusters).cast("string"))), 1, 8),
+          16, 10).cast("long") % 100000).as("cseed"),
+        (conv(substring(md5(concat(lit("d"),
+            col(idCol).cast("string"))), 1, 8),
+          16, 10).cast("long") % 100000).as("pseed"))
+      .as[(Long, Long, Long)]
+    val spec = seeded.map { case (id, cseed, pseed) =>
+      SynthImageRow(id, cseed, pseed,
+        noise = ((id / nClusters) % 9).toInt,
+        fmt = ImageDecoder.FMT_BMP, w = 8, h = 8, maxv = 255,
+        topdown = false)
+    }
+    val hashes = decodeAHash(synthesizeImages(spec)).toDF()
+      .localCheckpoint(false)
+    val bands = hashes.select(col("id"),
+        explode(array(
+          struct(lit(0).as("bi"), col("h_lo").bitwiseAND(lit(65535L)).as("bv")),
+          struct(lit(1).as("bi"), shiftright(col("h_lo"), 16).as("bv")),
+          struct(lit(2).as("bi"), col("h_hi").bitwiseAND(lit(65535L)).as("bv")),
+          struct(lit(3).as("bi"), shiftright(col("h_hi"), 16).as("bv"))))
+          .as("b"))
+      .select(col("id"), col("b.bi").as("bi"), col("b.bv").as("bv"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    cand
+      .join(hashes.select(col("id").as("doc_a"), col("h_lo").as("lo_a"),
+        col("h_hi").as("hi_a")), "doc_a")
+      .join(hashes.select(col("id").as("doc_b"), col("h_lo").as("lo_b"),
+        col("h_hi").as("hi_b")), "doc_b")
+      .withColumn("hamming",
+        expr("CAST(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
 }

@@ -2082,6 +2082,68 @@ object SimilarityOps {
     (e, ivfShardedAssign(e, cFinal), cFinal)
   }
 
+  /** The 100 TB serving LAYOUT, materialized: freeze the sharded index
+    * and write it as a CELL-PARTITIONED parquet table (partition
+    * column `pcell` = "<shard>_<cid>", ≤ 2^shardBits · kcPerShard
+    * distinct values), repartitioned by pcell first so each cell is a
+    * compact file set. A request then never scans the corpus: the
+    * router probes the broadcast codebook and reads back ONLY its
+    * probed cells via partition-PRUNED point reads — the storage
+    * analogue of an ANN server's in-memory posting lists, and the
+    * mechanism [[ivfServeBatchPruned]] measures (graft.ServeBench).
+    * Returns the frozen codebook for the router.
+    */
+  def ivfServeIndexWrite(df: DataFrame, idCol: String, embCol: String,
+                         kcPerShard: Int, rounds: Int, shardBits: Int,
+                         path: String): DataFrame = {
+    val (e, home, cFinal) = ivfShardedFreeze(df, idCol, embCol,
+      kcPerShard, rounds, shardBits)
+    home.join(e, "id")
+      .select(col("id"), col("emb"), col("nrm"),
+        concat_ws("_", col("shard"), col("cid")).as("pcell"))
+      .repartition(col("pcell"))
+      .write.mode("overwrite").partitionBy("pcell").parquet(path)
+    cFinal
+  }
+
+  /** One serving micro-batch against the [[ivfServeIndexWrite]]
+    * layout: route each request to its `nprobe` nearest own-shard
+    * cells (kcPerShard broadcast distances per request — the
+    * graft_sqdist kernel), collect the tiny distinct probed-cell list
+    * (the router's request-path lookup, ≤ batch·nprobe values), and
+    * read ONLY those cells back through the parquet partition filter —
+    * per-batch data touched is Σ probed cell sizes, independent of
+    * corpus row count. Exact double cosine within the candidates,
+    * bounded top-k. Rows are identical to [[ivfShardedSearch]] on the
+    * same frozen index (ServeBench asserts that parity before
+    * timing).
+    */
+  def ivfServeBatchPruned(requests: DataFrame, idCol: String,
+                          embCol: String, indexPath: String,
+                          cFinal: DataFrame, shardBits: Int,
+                          nprobe: Int, k: Int): DataFrame = {
+    val spark = requests.sparkSession
+    val q = shardQuantized(requests, idCol, embCol, shardBits)
+    val probes = ivfShardedProbes(q, cFinal, nprobe)
+      .join(q.select(col("id"), col("shard")), "id")
+      .withColumn("pcell", concat_ws("_", col("shard"), col("cid")))
+    val cells = probes.select("pcell").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("pcell").isin(cells: _*))
+    val a = probes.join(q, "id")
+      .select(col("id").as("vec_id"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm"), col("pcell"))
+    val b = idx.select(col("id").as("neighbor_id"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"), col("pcell"))
+    val pairs = a.join(b, "pcell")
+      .filter(col("vec_id") =!= col("neighbor_id"))
+      .withColumn("sim",
+        dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
+      .select(col("vec_id"), col("neighbor_id"), col("sim"))
+    selectTopK(pairs, k)
+  }
+
   /** The trained PER-SHARD codebook — (shard, cid, cemb bigint[]):
     * the artifact a serving layer freezes and folds into the map-only
     * sharded streaming assigner

@@ -133,4 +133,103 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L) == ((1000, 500)))
     assert(out(2L) == ((100, 50)))
   }
+
+  // --- declared image family machinery (q454/q455): the synthesized
+  // payloads must DECODE back to the md5 closed form the oracle
+  // computes — this is the round-trip (serializer + real codec) the
+  // declared gate rides on, checked here against an INDEPENDENT
+  // in-test reimplementation of the pixel math.
+
+  /** Independent pixel reference: first three md5 bytes of
+    * "<seed>_<i>", optional inversion, optional PPM store+rescale.
+    */
+  private def refPixel(seed: Long, pseed: Long, noise: Int, w: Int,
+                       x: Int, y: Int, maxv: Int, ppm: Boolean): (Int, Int, Int) = {
+    val i = y * w + x
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${seed}_$i".getBytes("US-ASCII"))
+    var (r, g, b) = (d(0) & 0xff, d(1) & 0xff, d(2) & 0xff)
+    if (noise > 0 && (pseed + 31L * i) % 64 < noise) {
+      r = 255 - r; g = 255 - g; b = 255 - b
+    }
+    if (ppm) (r % (maxv + 1) * 255 / maxv, g % (maxv + 1) * 255 / maxv,
+      b % (maxv + 1) * 255 / maxv)
+    else (r, g, b)
+  }
+
+  private def specs = Seq(
+    // padded stride (w=5), bottom-up BMP
+    MultimodalOps.SynthImageRow(1L, 123L, 0L, 0, 1, 5, 4, 255, topdown = false),
+    // top-down BMP, square
+    MultimodalOps.SynthImageRow(2L, 9876L, 0L, 0, 1, 4, 6, 255, topdown = true),
+    // PPM identity maxval
+    MultimodalOps.SynthImageRow(3L, 55L, 0L, 0, 2, 7, 5, 255, topdown = false),
+    // PPM maxval-63 rescale + perturbation
+    MultimodalOps.SynthImageRow(4L, 7L, 42L, 5, 2, 8, 8, 63, topdown = false))
+
+  test("synthesizeImages -> decodeStats round-trips the md5 closed form " +
+    "through real BMP/PPM bytes (both row orders, padding, rescale)") {
+    val out = MultimodalOps.decodeStats(
+        MultimodalOps.synthesizeImages(specs.toDS()), batchSize = 2)
+      .collect().map(s => s.id -> s).toMap
+    for (sp <- specs) {
+      val px = for (y <- 0 until sp.h; x <- 0 until sp.w)
+        yield (x, y, refPixel(sp.seed, sp.pseed, sp.noise, sp.w, x, y,
+          sp.maxv, sp.fmt == 2))
+      val st = out(sp.id)
+      assert((st.fmt, st.w, st.h, st.n_px) ==
+        ((sp.fmt, sp.w, sp.h, (sp.w * sp.h).toLong)), s"id ${sp.id} shape")
+      assert(st.sum_r == px.map(_._3._1.toLong).sum, s"id ${sp.id} sum_r")
+      assert(st.sum_g == px.map(_._3._2.toLong).sum, s"id ${sp.id} sum_g")
+      assert(st.sum_b == px.map(_._3._3.toLong).sum, s"id ${sp.id} sum_b")
+      def luma(p: (Int, Int, Int)) = 299L * p._1 + 587L * p._2 + 114L * p._3
+      assert(st.luma1k == px.map(p => luma(p._3)).sum, s"id ${sp.id} luma")
+      // the orientation canaries: x- and y-weighted sums see row order
+      assert(st.luma1k_xw == px.map(p => (p._1 + 1) * luma(p._3)).sum,
+        s"id ${sp.id} xw")
+      assert(st.luma1k_yw == px.map(p => (p._2 + 1) * luma(p._3)).sum,
+        s"id ${sp.id} yw")
+    }
+  }
+
+  test("decodeAHash: unperturbed siblings hash identically, bounded " +
+    "noise stays near, a different seed lands far") {
+    def spec(id: Long, seed: Long, pseed: Long, noise: Int) =
+      MultimodalOps.SynthImageRow(id, seed, pseed, noise, 1, 8, 8, 255,
+        topdown = false)
+    val hs = MultimodalOps.decodeAHash(MultimodalOps.synthesizeImages(Seq(
+        spec(1L, 777L, 0L, 0), spec(2L, 777L, 1L, 0),
+        spec(3L, 777L, 31337L, 4), spec(4L, 778L, 0L, 0)).toDS()))
+      .collect().map(h => h.id -> ((h.h_lo, h.h_hi))).toMap
+    def ham(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    assert(hs(1L) == hs(2L), "noise 0 must ignore pseed entirely")
+    // halves are 32-bit: the sign bit never engages in either engine
+    hs.values.foreach { case (lo, hi) =>
+      assert(lo >= 0L && lo < (1L << 32) && hi >= 0L && hi < (1L << 32))
+    }
+    val near = ham(hs(1L), hs(3L))
+    assert(near > 0 && near <= 8,
+      s"noise-4 sibling should be a near-dup, hamming $near")
+    assert(ham(hs(1L), hs(4L)) > 8,
+      s"different seed should be far, hamming ${ham(hs(1L), hs(4L))}")
+  }
+
+  test("imagePhashNearDup: sibling pairs surface through the band join, " +
+    "batch independence holds, and no cross-seed pair appears") {
+    // 48 docs, docsPerCluster 16 -> 3 clusters of 16 siblings each
+    val docs = (0L until 48L).toDF("doc_id")
+    val out = MultimodalOps.imagePhashNearDup(docs, "doc_id",
+        docsPerCluster = 16, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(out.nonEmpty, "sibling near-dups must surface")
+    // cluster = id % 3 here: every reported pair must be same-cluster
+    // (the md5 pixels keep distinct-seed hashes ~32 bits apart)
+    assert(out.forall { case (a, b, _) => a % 3 == b % 3 },
+      "no cross-cluster pair may pass the hamming verify")
+    assert(out.forall { case (a, b, h) => a < b && h >= 0 && h <= 6 })
+    // the zero-noise siblings of each cluster (id/3 % 9 == 0: sibling
+    // indices 0 and 9 -> ids c, c+27 etc.) hash identically -> hamming 0
+    assert(out.exists(_._3 == 0))
+  }
 }
