@@ -2119,18 +2119,24 @@ object SimilarityOps {
     * timing).
     */
   def ivfServeBatchPruned(requests: DataFrame, idCol: String,
-                          embCol: String, indexPath: String,
+                          embCol: String, index: DataFrame,
                           cFinal: DataFrame, shardBits: Int,
                           nprobe: Int, k: Int): DataFrame = {
-    val spark = requests.sparkSession
     val q = shardQuantized(requests, idCol, embCol, shardBits)
     val probes = ivfShardedProbes(q, cFinal, nprobe)
       .join(q.select(col("id"), col("shard")), "id")
       .withColumn("pcell", concat_ws("_", col("shard"), col("cid")))
     val cells = probes.select("pcell").distinct()
       .collect().map(_.getString(0)).toSeq
-    val idx = spark.read.parquet(indexPath)
-      .filter(col("pcell").isin(cells: _*))
+    // `index` is the ONCE-opened table handle (spark.read.parquet of
+    // the ivfServeIndexWrite path): its InMemoryFileIndex lists the
+    // cell directories a single time at open, and this per-batch
+    // partition filter prunes against that cached listing. Re-opening
+    // the path per batch instead re-LISTS every cell directory on the
+    // driver — O(total cells) = O(corpus) per request batch, which is
+    // exactly the corpus-size dependence the layout exists to remove
+    // (measured: it alone doubled sf1 batch latency in ServeBench).
+    val idx = index.filter(col("pcell").isin(cells: _*))
     val a = probes.join(q, "id")
       .select(col("id").as("vec_id"), col("emb").as("a_emb"),
         col("nrm").as("a_nrm"), col("pcell"))
