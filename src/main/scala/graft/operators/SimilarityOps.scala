@@ -729,8 +729,9 @@ object SimilarityOps {
         col(labelCol).cast("long").as("lbl")), Seq("id"))
     val cent = centroidArrays(n, "lbl")
     val scat = n.join(broadcast(cent), Seq("lbl"))
-      .withColumn("__dv", expr("zip_with(emb, cent, (x, y) -> x - y)"))
-      .withColumn("__d", sqrt(expr("graft_dot(__dv, __dv)")))
+      // fused codegen'd squared-L2 (bit-identical to the former
+      // zip_with + graft_dot chain; A/B in BENCHLOG round 13)
+      .withColumn("__d", sqrt(expr("graft_sqdist_d(emb, cent)")))
       .groupBy(col("lbl"))
       .agg(count(lit(1)).as("n_vecs"), round(avg(col("__d")), 6).as("s"))
     val ci = cent.select(col("lbl").as("li"), col("cent").as("ci"))
@@ -738,8 +739,7 @@ object SimilarityOps {
     val si = scat.select(col("lbl").as("li"), col("s").as("si"))
     val sj = scat.select(col("lbl").as("lj"), col("s").as("sj"))
     val r = ci.crossJoin(broadcast(cj)).filter(col("li") =!= col("lj"))
-      .withColumn("__mv", expr("zip_with(ci, cj, (x, y) -> x - y)"))
-      .withColumn("__m", sqrt(expr("graft_dot(__mv, __mv)")))
+      .withColumn("__m", sqrt(expr("graft_sqdist_d(ci, cj)")))
       .join(broadcast(si), Seq("li")).join(broadcast(sj), Seq("lj"))
       .filter(col("__m") > 0)
       .groupBy(col("li"))
@@ -774,8 +774,9 @@ object SimilarityOps {
     val cent = centroidArrays(n, "lbl")
       .select(col("lbl").as("__cl"), col("cent"))
     val s = n.crossJoin(broadcast(cent))
-      .withColumn("__dv", expr("zip_with(emb, cent, (x, y) -> x - y)"))
-      .withColumn("__d", sqrt(expr("graft_dot(__dv, __dv)")))
+      // fused codegen'd squared-L2 (bit-identical to the former
+      // zip_with + graft_dot chain; A/B in BENCHLOG round 13)
+      .withColumn("__d", sqrt(expr("graft_sqdist_d(emb, cent)")))
       .groupBy(col("id"), col("lbl"))
       .agg(min(when(col("lbl") === col("__cl"), col("__d"))).as("__a"),
         min(when(col("lbl") =!= col("__cl"), col("__d"))).as("__b"))
@@ -1851,6 +1852,12 @@ object SimilarityOps {
       .select(col("cid"), coalesce(col("__n"), lit(0L)).as("n_members"),
         expr("aggregate(cemb, 0L, (acc, x) -> acc + abs(x))")
           .as("centroid_l1"),
+        // interpreted HOF BY CHOICE: this L1 delta runs over exactly
+        // kCent rows ONCE per train (≤ ~512 evaluations at any SF under
+        // the width schedule) — the round-13 codegen sweep measured the
+        // n·|labels| cluster-quality sites (200k evaluations at sf1) as
+        // already inside run-to-run noise, so a kCent-row site is three
+        // orders of magnitude below measurability (BENCHLOG r13).
         expr("aggregate(zip_with(cemb, __prev, (a, b) -> abs(a - b)), " +
           "0L, (acc, x) -> acc + x)").as("shift_l1"))
       .orderBy(col("cid"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, DotRange, JaroWinkler, SqDistLong}
+import graft.functions.{DotProduct, DotRange, JaroWinkler, SqDistDouble, SqDistLong}
 
 /** Engine extensions, registered via the public
   * `SparkSessionExtensions` hook
@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.dotRangeFunction)
     ext.injectFunction(GraftExtensions.sqDistFunction)
+    ext.injectFunction(GraftExtensions.sqDistDFunction)
     ext.injectFunction(GraftExtensions.asofFunction)
     ext.injectFunction(GraftExtensions.jwFunction)
     ext.injectPlannerStrategy(AsOfJoinStrategy)
@@ -42,6 +43,11 @@ object GraftExtensions {
     new FunctionIdentifier("graft_sqdist"),
     new ExpressionInfo(classOf[SqDistLong].getName, "graft_sqdist"),
     (children: Seq[Expression]) => SqDistLong(children(0), children(1)))
+
+  private val sqDistDFunction = (
+    new FunctionIdentifier("graft_sqdist_d"),
+    new ExpressionInfo(classOf[SqDistDouble].getName, "graft_sqdist_d"),
+    (children: Seq[Expression]) => SqDistDouble(children(0), children(1)))
 
   private val asofFunction = (
     new FunctionIdentifier("graft_asof"),
@@ -65,8 +71,8 @@ object GraftExtensions {
     * public post-construction planner hook).
     */
   def register(spark: SparkSession): Unit = {
-    Seq(dotFunction, dotRangeFunction, sqDistFunction, asofFunction,
-        jwFunction).foreach { f =>
+    Seq(dotFunction, dotRangeFunction, sqDistFunction, sqDistDFunction,
+        asofFunction, jwFunction).foreach { f =>
       spark.sessionState.functionRegistry.registerFunction(f._1, f._2, f._3)
     }
     val es = spark.experimental.extraStrategies

@@ -57,4 +57,42 @@ class SqDistSpec extends SparkSpec {
     assert(SqDistLong(lit(Seq(1L, null)), lit(Seq(1L, 2L))).eval(null) == null)
     assert(SqDistLong(lit(Seq(3L, 4L)), lit(Seq(0L, 0L))).eval(null) == 25L)
   }
+
+  private val hofD =
+    "aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), " +
+      "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  test("graft_sqdist_d (the double variant at the cluster-quality " +
+    "sites) is bit-identical to its zip_with chain incl. NULL contract") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = Seq(
+      (Seq(0.0, 0.0), Seq(3.0, 4.0)),
+      (Seq(0.1, -0.2, 0.3), Seq(-0.3, 0.2, -0.1)),
+      (Seq.fill(64)(1.0 / 3), Seq.fill(64)(-2.0 / 7)),
+      (Seq(7.5), Seq(7.5))
+    ).toDF("a", "b")
+    val out = df.select(expr("graft_sqdist_d(a, b)").as("n"),
+      expr(hofD).as("h")).collect()
+    // exact double equality — same ops in the same order, by design
+    assert(out.forall(r =>
+      java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1))))
+    assert(out(0).getDouble(0) == 25.0)
+    val nulls = Seq(
+      (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](1.0)),
+      (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0))
+    ).toDF("a", "b")
+      .select(expr("graft_sqdist_d(a, b)").as("n"), expr(hofD).as("h"))
+      .collect()
+    assert(nulls.forall(r => r.isNullAt(0) && r.isNullAt(1)))
+    import graft.functions.SqDistDouble
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def litD(xs: Seq[Any]) =
+      Literal(ArrayData.toArrayData(xs.toArray), ArrayType(DoubleType))
+    assert(SqDistDouble(litD(Seq(1.0, 2.0)), litD(Seq(1.0))).eval(null) == null)
+    assert(SqDistDouble(litD(Seq(1.0, null)), litD(Seq(1.0, 2.0))).eval(null) == null)
+    assert(SqDistDouble(litD(Seq(3.0, 4.0)), litD(Seq(0.0, 0.0))).eval(null) == 25.0)
+  }
 }
