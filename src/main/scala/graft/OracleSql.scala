@@ -10810,6 +10810,54 @@ object OracleSql {
         |JOIN hs hb ON hb.id = doc_b
         |WHERE bit_count(xor(ha.h_lo, hb.h_lo))
         |  + bit_count(xor(ha.h_hi, hb.h_hi)) <= 6
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q456: the engine slices real BINARY frames and fingerprints
+    // their bytes; docs are ASCII, so the VARCHAR substring here
+    // hashes the same bytes. Kept frames: full 8-byte frames at
+    // indices ≡ 0 (mod 3); partial tails and sub-frame payloads drop.
+    "q456_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text, length(text) // 8 AS nf
+        |  FROM documents),
+        |k AS (SELECT doc_id, text, unnest(range(nf)) AS i
+        |  FROM f WHERE nf > 0)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  md5(substring(text, CAST(i*8 + 1 AS BIGINT), 8)) AS frame_md5
+        |FROM k WHERE i % 3 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q457: the engine serializes real RIFF/WAV PCM16 and decodes it
+    // with its chunk-walking codec; the oracle recomputes the DECODED
+    // interleaved samples closed-form (first 16 md5 bits − 32768) and
+    // aggregates the same integer statistics. Zero crossings are
+    // strict sign products over the lag window.
+    "q457_audio_decode_stats" ->
+      """WITH p AS (SELECT doc_id,
+        |    ('0x' || substr(md5('a' || doc_id::VARCHAR), 1, 8))::BIGINT
+        |      % 100000 AS aseed
+        |  FROM documents),
+        |d AS (SELECT doc_id, aseed,
+        |    1 + doc_id % 2 AS channels,
+        |    CASE WHEN aseed % 2 = 0 THEN 8000 ELSE 16000 END
+        |      AS sample_rate,
+        |    (48 + aseed % 17) * (1 + doc_id % 2) AS n
+        |  FROM p),
+        |g AS (SELECT d.*, unnest(range(n)) AS i FROM d),
+        |v AS (SELECT doc_id, channels, sample_rate, n, i,
+        |    ('0x' || substr(md5(aseed::VARCHAR || '_' || i::VARCHAR),
+        |      1, 4))::BIGINT - 32768 AS v
+        |  FROM g),
+        |w AS (SELECT *, lag(v) OVER (PARTITION BY doc_id ORDER BY i)
+        |    AS pv FROM v)
+        |SELECT doc_id, CAST(channels AS INT) AS channels,
+        |  CAST(sample_rate AS INT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+        |  CAST(max(abs(v)) AS BIGINT) AS max_abs,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND v * pv < 0 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM w GROUP BY doc_id, channels, sample_rate, n
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -4874,7 +4874,40 @@ object SparkEntry {
     // all-pairs. The q396 bit-packing machinery pointed at pixels.
     "q455_image_phash_neardup" -> ((s, d) =>
       MultimodalOps.imagePhashNearDup(Tables.documents(s, d), "doc_id")
-        .orderBy("doc_a", "doc_b"))
+        .orderBy("doc_a", "doc_b")),
+
+    // L390 — VIDEO-shape frame sampling as a declared query: the
+    // payload rides as real binary, MultimodalOps.frameSample slices
+    // every 3rd fixed 8-byte frame column-side (codegen'd
+    // sequence/filter/transform — partial trailing frames dropped,
+    // sub-frame payloads yield zero rows), and each kept frame is
+    // fingerprinted with md5 over its BYTES. Docs are ASCII, so the
+    // DuckDB twin mirrors the same slices as VARCHAR substrings (the
+    // oracle-side equivalence the gate rests on). Map-only until the
+    // sort; shuffle volume is fingerprint width, never payload width.
+    "q456_frame_sample" -> ((s, d) =>
+      MultimodalOps.frameSample(
+          Tables.documents(s, d)
+            .withColumn("payload", encode(col("text"), "UTF-8")),
+          "payload", frameBytes = 8, stride = 3)
+        .select(col("doc_id"),
+          posexplode(col("frames")).as(Seq("pos", "frame")))
+        .select(col("doc_id"),
+          (col("pos") * 3).cast("int").as("frame_idx"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")),
+
+    // L391 — AUDIO modality: md5-seeded RIFF/WAV PCM16 payloads (mono/
+    // stereo, 8/16 kHz, half with an odd-size LIST chunk before data)
+    // serialized AND decoded by the REAL chunk-walking codec in-plan,
+    // reduced to integer clip statistics (sum/max |v|, energy, strict
+    // sign-change zero crossings). The oracle recomputes the DECODED
+    // samples closed-form — any codec defect (chunk walk, pad byte,
+    // s16 LE sign, fmt parse) is a hash mismatch. With q454-q456 this
+    // makes the multimodal pillar pixel-, frame- AND sample-native.
+    "q457_audio_decode_stats" -> ((s, d) =>
+      MultimodalOps.audioDecodeStats(Tables.documents(s, d), "doc_id")
+        .orderBy("doc_id"))
   )
 
   // ------------------------------------------------------------- oracles

@@ -476,6 +476,191 @@ object MultimodalOps {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Declared audio family (q457): real RIFF/WAV PCM16 codec, same
+  // contract as the image family — synthesized payloads with
+  // closed-form integer samples, decoded IN-PLAN, oracle mirrors the
+  // sample math without a decoder.
+  // ---------------------------------------------------------------------
+
+  /** Decoded clip: interleaved signed 16-bit samples. */
+  private[operators] final case class AudioClip(
+      channels: Int, sampleRate: Int, samples: Array[Int])
+
+  /** Dependency-free RIFF/WAV decoder: walks the chunk list (even-byte
+    * padded, unknown chunks skipped — the tolerance real WAV files
+    * need for LIST/INFO metadata), requires PCM (format 1) 16-bit from
+    * `fmt `, decodes `data` as interleaved signed 16-bit LE. Returns
+    * None for anything else.
+    */
+  object AudioDecoder {
+    private def i32le(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def u16le(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+    def decode(b: Array[Byte]): Option[AudioClip] = {
+      if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+        b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' ||
+        b(11) != 'E') return None
+      var pos = 12
+      var channels = 0; var rate = 0; var fmtOk = false
+      var samples: Array[Int] = null
+      while (pos + 8 <= b.length) {
+        val id = new String(b, pos, 4, "US-ASCII")
+        val size = i32le(b, pos + 4)
+        val dataStart = pos + 8
+        if (size < 0 || dataStart.toLong + size > b.length) return None
+        id match {
+          case "fmt " if size >= 16 =>
+            val audioFormat = u16le(b, dataStart)
+            channels = u16le(b, dataStart + 2)
+            rate = i32le(b, dataStart + 4)
+            val bits = u16le(b, dataStart + 14)
+            fmtOk = audioFormat == 1 && bits == 16 && channels >= 1
+          case "data" =>
+            val n = size / 2
+            samples = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              // sign from the high byte (s16 LE)
+              samples(i) = (b(dataStart + 2 * i + 1) << 8) |
+                (b(dataStart + 2 * i) & 0xff)
+              i += 1
+            }
+          case _ => () // skip LIST/INFO/etc.
+        }
+        pos = dataStart + size + (size & 1) // chunks pad to even
+      }
+      if (fmtOk && samples != null) Some(AudioClip(channels, rate, samples))
+      else None
+    }
+  }
+
+  /** Audio synthesis spec: interleaved sample i (i < nFrames·channels)
+    * is the first 16 md5 bits of "<aseed>_<i>" minus 32768 — full
+    * signed range, closed-form in both engines. `extraChunk` inserts
+    * an odd-size LIST chunk before `data` (exercising the decoder's
+    * chunk walk + even padding).
+    */
+  case class SynthAudioRow(id: Long, aseed: Long, channels: Int,
+                           sampleRate: Int, nFrames: Int,
+                           extraChunk: Boolean)
+  case class AudioStats(id: Long, channels: Int, sample_rate: Int,
+                        n_samples: Long, sum_abs: Long, max_abs: Long,
+                        energy: Long, zero_crossings: Long)
+
+  private[graft] def writeWav(spec: SynthAudioRow): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = spec.nFrames * spec.channels
+    val junk = if (spec.extraChunk) 8 + 7 + 1 else 0 // odd size + pad
+    val out = new Array[Byte](12 + 24 + junk + 8 + n * 2)
+    def p32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte
+      out(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def p16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(o: Int, s: String): Unit =
+      s.getBytes("US-ASCII").zipWithIndex.foreach(t => out(o + t._2) = t._1)
+    tag(0, "RIFF"); p32(4, out.length - 8); tag(8, "WAVE")
+    tag(12, "fmt "); p32(16, 16)
+    p16(20, 1) // PCM
+    p16(22, spec.channels)
+    p32(24, spec.sampleRate)
+    p32(28, spec.sampleRate * spec.channels * 2) // byte rate
+    p16(32, spec.channels * 2) // block align
+    p16(34, 16) // bits
+    var o = 36
+    if (spec.extraChunk) {
+      tag(o, "LIST"); p32(o + 4, 7) // odd size → one pad byte
+      var j = 0
+      while (j < 7) { out(o + 8 + j) = 0x4a; j += 1 }
+      o += junk
+    }
+    tag(o, "data"); p32(o + 4, n * 2)
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(s"${spec.aseed}_$i".getBytes("US-ASCII"))
+      // first 4 hex chars big-endian (= bytes 0,1) − 32768: full s16
+      val v = (((d(0) & 0xff) << 8) | (d(1) & 0xff)) - 32768
+      p16(o + 8 + 2 * i, v & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** Spec rows → real serialized WAV payloads (map-only). */
+  def synthesizeWavs(spec: Dataset[SynthAudioRow]): Dataset[ImagePayload] = {
+    implicit val enc = Encoders.product[ImagePayload]
+    spec.map(s => ImagePayload(s.id, writeWav(s)))
+  }
+
+  /** REAL-codec WAV decode → integer clip statistics, batched per
+    * partition. Zero crossings count strict sign changes
+    * (vᵢ·vᵢ₋₁ < 0 over the interleaved stream) — no division, no
+    * floats, hash-exact cross-engine. A rejected payload yields no row
+    * (row-count mismatch at the gate, the loud failure).
+    */
+  def decodeAudioStats(payloads: Dataset[ImagePayload],
+                       batchSize: Int = 64): Dataset[AudioStats] = {
+    implicit val enc = Encoders.product[AudioStats]
+    payloads.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { p =>
+          AudioDecoder.decode(p.payload).map { c =>
+            var sumAbs = 0L; var maxAbs = 0L; var energy = 0L
+            var zc = 0L
+            var i = 0
+            while (i < c.samples.length) {
+              val v = c.samples(i).toLong
+              val a = math.abs(v)
+              sumAbs += a
+              if (a > maxAbs) maxAbs = a
+              energy += v * v
+              if (i > 0 && v * c.samples(i - 1).toLong < 0) zc += 1
+              i += 1
+            }
+            AudioStats(p.id, c.channels, c.sampleRate,
+              c.samples.length.toLong, sumAbs, maxAbs, energy, zc)
+          }
+        }
+      }
+    }
+  }
+
+  /** Declared q457 plan: per doc an md5-seeded WAV — mono for even
+    * ids, stereo for odd; 8 or 16 kHz by seed; half the payloads carry
+    * an odd-size LIST chunk before `data` (the chunk-walk + padding
+    * tolerance a real WAV corpus needs) — decoded by the REAL RIFF
+    * codec in-plan and reduced to integer clip statistics. Same shape
+    * as [[imageDecodeStats]]: fused map-only synthesis+decode over the
+    * doc scan, zero shuffle, closed-form oracle.
+    */
+  def audioDecodeStats(docs: DataFrame, idCol: String): DataFrame = {
+    implicit val specEnc = Encoders.product[SynthAudioRow]
+    implicit val seedEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val seeded = docs.select(
+        col(idCol).cast("long").as("id"),
+        (conv(substring(md5(concat(lit("a"),
+            col(idCol).cast("string"))), 1, 8), 16, 10)
+          .cast("long") % 100000).as("aseed"))
+      .as[(Long, Long)]
+    val spec = seeded.map { case (id, aseed) =>
+      SynthAudioRow(id, aseed,
+        channels = 1 + (id % 2).toInt,
+        sampleRate = if (aseed % 2 == 0) 8000 else 16000,
+        nFrames = 48 + (aseed % 17).toInt,
+        extraChunk = id % 4 < 2)
+    }
+    decodeAudioStats(synthesizeWavs(spec)).toDF()
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Declared q454 plan: per doc, an md5-seeded BMP or PPM payload —
     * BMP for even ids (half of them top-down, exercising both row
     * orders and the 4-byte stride padding at w ∈ {5, 6, 7}), PPM for

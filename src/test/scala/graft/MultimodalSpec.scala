@@ -215,6 +215,50 @@ class MultimodalSpec extends SparkSpec {
       s"different seed should be far, hamming ${ham(hs(1L), hs(4L))}")
   }
 
+  test("synthesizeWavs -> decodeAudioStats round-trips the md5 sample " +
+    "closed form through real RIFF bytes (chunk walk, padding, s16 LE)") {
+    val specs = Seq(
+      // mono 8k, no extra chunk
+      MultimodalOps.SynthAudioRow(1L, 321L, 1, 8000, 48, extraChunk = false),
+      // stereo 16k with the odd-size LIST chunk (walk + pad byte)
+      MultimodalOps.SynthAudioRow(2L, 99L, 2, 16000, 50, extraChunk = true))
+    val out = MultimodalOps.decodeAudioStats(
+        MultimodalOps.synthesizeWavs(specs.toDS()), batchSize = 1)
+      .collect().map(s => s.id -> s).toMap
+    for (sp <- specs) {
+      val n = sp.nFrames * sp.channels
+      // independent sample reference: first 16 md5 bits − 32768
+      val vs = (0 until n).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${sp.aseed}_$i".getBytes("US-ASCII"))
+        (((d(0) & 0xff) << 8) | (d(1) & 0xff)) - 32768
+      }
+      val st = out(sp.id)
+      assert((st.channels, st.sample_rate, st.n_samples) ==
+        ((sp.channels, sp.sampleRate, n.toLong)), s"id ${sp.id} header")
+      assert(st.sum_abs == vs.map(v => math.abs(v).toLong).sum)
+      assert(st.max_abs == vs.map(v => math.abs(v).toLong).max)
+      assert(st.energy == vs.map(v => v.toLong * v).sum)
+      assert(st.zero_crossings == vs.sliding(2).count(p =>
+        p.length == 2 && p(0).toLong * p(1) < 0))
+    }
+  }
+
+  test("AudioDecoder rejects foreign/truncated payloads and non-PCM fmt") {
+    val good = MultimodalOps.writeWav(
+      MultimodalOps.SynthAudioRow(1L, 5L, 1, 8000, 48, extraChunk = false))
+    assert(MultimodalOps.AudioDecoder.decode(good).isDefined)
+    assert(MultimodalOps.AudioDecoder.decode("RIFFnope".getBytes).isEmpty)
+    assert(MultimodalOps.AudioDecoder.decode(good.take(30)).isEmpty)
+    val nonPcm = good.clone()
+    nonPcm(20) = 3 // IEEE float format tag -> fmtOk must fail
+    assert(MultimodalOps.AudioDecoder.decode(nonPcm).isEmpty)
+    // corrupt a chunk size so it overruns the buffer -> clean None
+    val overrun = good.clone()
+    overrun(16) = 127 // fmt chunk claims 127 bytes
+    assert(MultimodalOps.AudioDecoder.decode(overrun).isEmpty)
+  }
+
   test("imagePhashNearDup: sibling pairs surface through the band join, " +
     "batch independence holds, and no cross-seed pair appears") {
     // 48 docs, docsPerCluster 16 -> 3 clusters of 16 siblings each
