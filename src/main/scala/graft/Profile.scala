@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Floor profiler (guide §1): decomposes a query's bench time into
+  * driver-side plan construction+analysis vs execution, and measures
+  * the per-read parquet metadata cost (listing + footer schema), so
+  * optimization effort lands where the time actually goes.
+  *
+  * `runMain graft.Profile [sfDir] [query ...]` — same session config
+  * as Bench so the numbers are comparable.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q01_scan_filter_project", "q03_group_count",
+        "q13_dict_encode", "q15_const_prune", "q22_sessionize",
+        "q49_percentiles", "q62_tfidf", "q108_tpch_q1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "8m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def drain(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // warmup (same as Bench)
+    try {
+      SparkEntry.queries.get("q03_group_count").foreach(f => drain(f(spark, dir)))
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+    } catch { case _: Throwable => () }
+
+    // parquet metadata cost: fresh read (listing + footer) per call
+    val tnames = Seq("lineitem", "orders", "events", "documents",
+      "embeddings", "customer", "part")
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      tnames.foreach { t => spark.read.parquet(s"$dir/$t.parquet").schema }
+      println(f"[profile] 7 fresh table reads (metadata only), pass $i: ${(System.nanoTime()-t0)/1e9}%.3f s")
+    }
+    // same with an explicit schema (skips footer inference, keeps listing)
+    val schemas = tnames.map(t => t -> spark.read.parquet(s"$dir/$t.parquet").schema).toMap
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      tnames.foreach { t =>
+        spark.read.schema(schemas(t)).parquet(s"$dir/$t.parquet").queryExecution.analyzed
+      }
+      println(f"[profile] 7 schema-pinned reads (analyzed), pass $i: ${(System.nanoTime()-t0)/1e9}%.3f s")
+    }
+    // reusing one analyzed DataFrame: trivial transform + analyze only
+    val cached = tnames.map(t => t -> spark.read.parquet(s"$dir/$t.parquet")).toMap
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      tnames.foreach { t =>
+        cached(t).select(org.apache.spark.sql.functions.col(cached(t).columns.head)).queryExecution.analyzed
+      }
+      println(f"[profile] 7 cached-DF reuses (analyzed), pass $i: ${(System.nanoTime()-t0)/1e9}%.3f s")
+    }
+
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      (1 to 2).foreach { run =>
+        val t0 = System.nanoTime()
+        val df = fn(spark, dir)
+        val t1 = System.nanoTime()
+        drain(df)
+        val t2 = System.nanoTime()
+        spark.catalog.clearCache()
+        println(f"[profile] $n run$run: construct+analyze ${(t1-t0)/1e9}%.3f s, execute ${(t2-t1)/1e9}%.3f s")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -16,8 +16,26 @@ import org.apache.spark.sql.functions._
   * drop in without touching operator code.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema catalog: parquet footer inference costs ~80 ms per read
+    * (it lists the directory and parses a footer, driver-side), and
+    * every query re-reads its base tables inside the bench's timed
+    * region — ~0.1-0.3 s of pure metadata per query across 452
+    * queries (measured via graft.Profile; guide §1.2 step 1 / §6).
+    * A real deployment fronts these paths with a catalog (Hive/
+    * Iceberg) whose schema lookup is O(1); this map is that catalog.
+    * Keyed by absolute path: test fixtures write to unique temp dirs,
+    * so a path never changes schema within a JVM. Only METADATA is
+    * cached — every action still scans the parquet files.
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "nation")
