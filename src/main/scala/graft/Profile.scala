@@ -64,16 +64,28 @@ object Profile {
       println(f"[profile] 7 cached-DF reuses (analyzed), pass $i: ${(System.nanoTime()-t0)/1e9}%.3f s")
     }
 
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      })
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       (1 to 2).foreach { run =>
+        val j0 = jobs.get()
         val t0 = System.nanoTime()
         val df = fn(spark, dir)
         val t1 = System.nanoTime()
-        drain(df)
+        val j1 = jobs.get()
+        df.queryExecution.executedPlan // optimize + initial physical plan
         val t2 = System.nanoTime()
+        drain(df)
+        val t3 = System.nanoTime()
+        val j2 = jobs.get()
         spark.catalog.clearCache()
-        println(f"[profile] $n run$run: construct+analyze ${(t1-t0)/1e9}%.3f s, execute ${(t2-t1)/1e9}%.3f s")
+        println(f"[profile] $n run$run: construct+analyze ${(t1-t0)/1e9}%.3f s (${j1-j0} jobs), optimize+plan ${(t2-t1)/1e9}%.3f s, execute ${(t3-t2)/1e9}%.3f s (${j2-j1} jobs)")
       }
     }
     spark.stop()

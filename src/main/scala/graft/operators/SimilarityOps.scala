@@ -1820,14 +1820,31 @@ object SimilarityOps {
     val train = if (sampleMod <= 1) e
       else e.filter(pmod(md5U(col("id")), lit(sampleMod)) === 0)
         .localCheckpoint(false)
-    val c0 = ivfSeeds(train, kCent)
+    val c0 = pinLocal(ivfSeeds(train, kCent)
       .join(train.select(col("id").as("cid"), col("qemb").as("cemb")),
-        Seq("cid"))
-      .localCheckpoint(false)
+        Seq("cid")))
     val cents = Iterator.iterate(c0)(c =>
-      ivfUpdate(train, ivfAssign(train, c)).localCheckpoint(false))
+      pinLocal(ivfUpdate(train, ivfAssign(train, c))))
       .take(rounds + 1).toSeq
     (e, train, cents(rounds), cents(rounds - 1))
+  }
+
+  /** Materialize a BOUNDED artifact (codebook, ≤kCent·shards rows by
+    * the width schedule) as a driver-local relation — the MLlib
+    * k-means discipline: the distributed agg that PRODUCES the rows
+    * still runs on the cluster, but the artifact itself lives on the
+    * driver, so every downstream round broadcasts a LocalTableScan
+    * instead of re-planning/executing a checkpointed sub-plan. Under
+    * AQE a lazy localCheckpoint is not lazy — AdaptiveSparkPlanExec
+    * materializes every shuffle stage of the sub-plan as its own job
+    * at CHECKPOINT time (measured: q452 ran 180 driver-blocking jobs
+    * during plan construction, ~16 s of scheduling for ~2 MB of
+    * data; guide §2.4/§5). Collect here is the sanctioned bounded
+    * class (the codebook is the artifact a serving layer freezes).
+    */
+  private def pinLocal(df: DataFrame): DataFrame = {
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    df.sparkSession.createDataFrame(rows, df.schema)
   }
 
   /** IVF codebook training census — the trained-quantizer health
@@ -1990,12 +2007,11 @@ object SimilarityOps {
         -col("__u").cast("double"), col("id")).as("__top"))
       .select(col("shard"), explode(col("__top")).as("t"))
       .select(col("shard"), col("t.id").as("cid"))
-    val c0 = seeds
+    val c0 = pinLocal(seeds
       .join(e.select(col("id").as("cid"), col("qemb").as("cemb")),
-        Seq("cid"))
-      .localCheckpoint(false)
+        Seq("cid")))
     Iterator.iterate(c0)(c =>
-      ivfShardedUpdate(e, ivfShardedAssign(e, c)).localCheckpoint(false))
+      pinLocal(ivfShardedUpdate(e, ivfShardedAssign(e, c))))
       .drop(rounds).next()
   }
 
