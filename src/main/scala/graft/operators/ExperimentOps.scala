@@ -303,9 +303,18 @@ object ExperimentOps {
     val nBatch = (nBoot + 7) / 8
     val batches = df.sparkSession.range(0, nBatch.toLong)
       .select(col("id").cast("int").as("__bt"))
+    // __v is the EXACT 1e4-scaled long of round(val, 4): all hot-path
+    // arithmetic (4.8M replica rows at sf0.1) runs on primitive longs
+    // instead of DECIMAL(28,4) (guide §2.3 narrower types). Exactness:
+    // |v|·1e4 ≤ 5e9 per row, ×wt ≤ 7, ×n rows ≤ 1.5e5 ⇒ sums < 6e15 ≪
+    // 2^63; and long.toDouble/1e4 is the correctly-rounded quotient =
+    // the nearest double to the exact decimal value = what the
+    // oracle's CAST(DECIMAL AS DOUBLE) yields, so the rounded-double
+    // outputs are bit-identical.
     val base = df.select(col(groupCol).as("__g"),
       col(idCol).cast("string").as("__id"),
-      round(col(valCol).cast("double"), 4).cast("decimal(28,4)").as("__v"))
+      (round(col(valCol).cast("double"), 4).cast("decimal(28,4)") *
+        lit(10000)).cast("long").as("__v"))
     // ⌊65536·P(X≤j)⌋, X ~ Poisson(1): j = 0..6
     val cdf = Seq(24112L, 48224L, 60281L, 64299L, 65296L, 65497L, 65530L)
     val weighted = base.crossJoin(broadcast(batches))
@@ -325,7 +334,7 @@ object ExperimentOps {
       .agg(sum(col("__w")).as("__wn"),
         sum(col("__v") * col("__w")).as("__ws"))
       .filter(col("__wn") > 0)
-      .withColumn("__m", round(col("__ws").cast("double") /
+      .withColumn("__m", round(col("__ws").cast("double") / lit(1e4) /
         col("__wn").cast("double"), 6))
     val band = repMeans.groupBy("__g")
       .agg(count(lit(1)).as("n_boot"),
@@ -333,8 +342,8 @@ object ExperimentOps {
         round(expr("percentile(__m, 0.95)"), roundTo).as("boot_hi"))
     base.groupBy(col("__g"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("__v")).cast("double") / count(lit(1)), roundTo)
-          .as("mean"))
+        round(sum(col("__v")).cast("double") / lit(1e4) / count(lit(1)),
+          roundTo).as("mean"))
       .join(band, "__g")
       .select(col("__g").as(groupCol), col("n"), col("mean"),
         col("n_boot"), col("boot_lo"), col("boot_hi"))
