@@ -1091,16 +1091,24 @@ object SimilarityOps {
     // agg computing all maxW plane sums at once — no (vector, plane)
     // row expansion, no second shuffle
     val signDf = broadcast((0 until inDim).map(i =>
-      (i, (0 until maxW).map(j => sign(i, j)))).toDF("__i", "__ss"))
+      (i, (0 until maxW).map(j => if (sign(i, j) > 0) 1L else -1L)))
+      .toDF("__i", "__ss"))
     // hash-spread the vectors BEFORE the dim explode: the maxW-plane
-    // DECIMAL partial agg is the expensive step, and a single parquet
-    // input split would otherwise run it on one thread
+    // partial agg is the expensive step, and a single parquet input
+    // split would otherwise run it on one thread
     val base = normalized(df, idCol, embCol).repartition(col("id"))
+    // ONE exact 1e8-scaled long per (vector, dim), then pure long
+    // multiply/sum across all maxW planes (was maxW DECIMAL(20,8)
+    // round+multiply+sum per row — 16× the decimal work for identical
+    // integers): signs are ±1 and round-HALF-UP is odd-symmetric, so
+    // round(x·s, 8) = s·round(x, 8) exactly, and the scaled long sum
+    // is > 0 iff the decimal sum is > 0 — bit-identical masks.
     val planeSums = (0 until maxW).map(j =>
-      sum(round(col("__x") * element_at(col("__ss"), j + 1), 8)
-        .cast("decimal(20,8)")).as(s"__p$j"))
+      sum(col("__xl") * element_at(col("__ss"), j + 1)).as(s"__p$j"))
     val masks = base
       .select(col("id"), posexplode(col("emb")).as(Seq("__i", "__x")))
+      .withColumn("__xl", (round(col("__x"), 8).cast("decimal(20,8)") *
+        lit(100000000L)).cast("long"))
       .join(signDf, "__i")
       .groupBy(col("id"))
       .agg(planeSums.head, planeSums.tail: _*)
