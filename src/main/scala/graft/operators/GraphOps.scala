@@ -183,13 +183,19 @@ object GraphOps {
     // e.g. MinHash-candidate) edge pipeline every round.
     val ed = edges.select(col(srcCol).as("node"), col(dstCol).as("__dst"))
       .localCheckpoint(true)
-    val n = nodes.select(col(nodeCol).as("node"))
-      .agg(count(lit(1)).cast("double").as("__n"))
+    // |V| as a driver scalar (the sanctioned 1-row collect class):
+    // the former broadcast(1-row agg) re-ran a count job and built a
+    // fresh broadcast exchange in EVERY iteration's checkpointed plan.
+    val nv = nodes.select(col(nodeCol).as("node"))
+      .agg(count(lit(1)).cast("double")).head.getDouble(0)
+    // node-sized tables each iteration re-reads: materialize ONCE
+    // (the same lineage-cut discipline as the rank table itself).
+    val nd = nodes.select(col(nodeCol).as("node")).localCheckpoint(true)
     val deg = ed.groupBy(col("node"))
       .agg(count(lit(1)).cast("double").as("__deg"))
-    var ranks = nodes.select(col(nodeCol).as("node"))
-      .crossJoin(broadcast(n))
-      .select(col("node"), round(lit(1.0) / col("__n"), 12).as("rank"))
+      .localCheckpoint(true)
+    var ranks = nd
+      .select(col("node"), round(lit(1.0) / lit(nv), 12).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contrib = ed
@@ -197,11 +203,10 @@ object GraphOps {
         .groupBy(col("__dst").as("node"))
         .agg(sum(expr("CAST(round(rank / __deg, 14) AS DECIMAL(30,16))"))
           .as("__in"))
-      ranks = nodes.select(col(nodeCol).as("node"))
+      ranks = nd
         .join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(n))
         .select(col("node"),
-          round(lit(0.15) / col("__n") +
+          round(lit(0.15) / lit(nv) +
             lit(0.85) * coalesce(col("__in").cast("double"), lit(0.0)), 12)
             .as("rank"))
         .localCheckpoint(true)
@@ -290,12 +295,16 @@ object GraphOps {
       // (node-sized, distributed) so each half-step computes once, and
       // the iteration lineage stays cut
       val df = src.localCheckpoint(true)
-      val mx = broadcast(df.agg(max(col(valCol)).as("__mx")))
-      df.crossJoin(mx)
-        .withColumn(valCol,
-          round(col(valCol).cast("double") / col("__mx").cast("double"), 9)
-            .cast("decimal(20,9)"))
-        .drop("__mx")
+      // 1-row max as a driver scalar (sanctioned class): the former
+      // broadcast(agg) built a fresh broadcast exchange per half-step.
+      // BigDecimal.doubleValue is the same nearest-double conversion
+      // as Spark's DECIMAL→DOUBLE cast, so the quotient is identical.
+      val mxRow = df.agg(max(col(valCol))).head
+      val mx = if (mxRow.isNullAt(0)) null
+        else java.lang.Double.valueOf(mxRow.getDecimal(0).doubleValue)
+      df.withColumn(valCol,
+        round(col(valCol).cast("double") / lit(mx), 9)
+          .cast("decimal(20,9)"))
     }
     var a = normalize(
       e.groupBy("__p").agg(count(lit(1)).cast("decimal(28,9)").as("__a")),
