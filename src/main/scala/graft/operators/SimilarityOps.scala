@@ -1800,6 +1800,49 @@ object SimilarityOps {
       .agg(expr("transform(array_sort(collect_list(struct(dim, val))), " +
         "p -> p.val)").as("cemb"))
 
+  /** One fused Lloyd round: nearest-cell argmin AND the centroid
+    * update in a single chain — `first(qemb)` rides the per-id argmin
+    * agg (qemb is functionally dependent on id, so the value is
+    * deterministic), which removes [[ivfUpdate]]'s join-back shuffle
+    * of the training slice from EVERY round (guide §2.4; identical
+    * rows by construction).
+    */
+  private def ivfLloydRound(train: DataFrame, c: DataFrame): DataFrame =
+    train.select(col("id"), col("qemb")).crossJoin(broadcast(c))
+      .withColumn("__d", expr("graft_sqdist(qemb, cemb)"))
+      .groupBy(col("id"))
+      .agg(min(struct(col("__d"), col("cid"))).as("__m"),
+        first(col("qemb")).as("qemb"))
+      .select(col("__m.cid").as("cid"),
+        posexplode(col("qemb")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+      .withColumn("val", expr("(s - pmod(s, c)) DIV c"))
+      .groupBy(col("cid"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, val))), " +
+        "p -> p.val)").as("cemb"))
+
+  /** Sharded twin of [[ivfLloydRound]]: shard-local argmin via the
+    * broadcast equi-join on the shard id, update fused in-plan.
+    */
+  private def ivfShardedLloydRound(e: DataFrame, c: DataFrame): DataFrame =
+    e.select(col("id"), col("shard"), col("qemb"))
+      .join(broadcast(c), Seq("shard"))
+      .withColumn("__d", shardQdist)
+      .groupBy(col("id"))
+      .agg(min(struct(col("__d"), col("cid"))).as("__m"),
+        first(col("shard")).as("shard"), first(col("qemb")).as("qemb"))
+      .select(col("__m.cid").as("cid"), col("shard"),
+        posexplode(col("qemb")).as(Seq("dim", "v")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(min(col("shard")).as("shard"), sum(col("v")).as("s"),
+        count(lit(1)).as("c"))
+      .withColumn("val", expr("(s - pmod(s, c)) DIV c"))
+      .groupBy(col("cid"))
+      .agg(min(col("shard")).as("shard"),
+        expr("transform(array_sort(collect_list(struct(dim, val))), " +
+          "p -> p.val)").as("cemb"))
+
   /** Train the IVF codebook: md5 seeds + `rounds` exact Lloyd rounds
     * over the `sampleMod`-sampled training slice (`u % mod = 0` on the
     * md5 draw; mod = 1 trains on everything). Returns (full signature
@@ -1832,7 +1875,7 @@ object SimilarityOps {
       .join(train.select(col("id").as("cid"), col("qemb").as("cemb")),
         Seq("cid")))
     val cents = Iterator.iterate(c0)(c =>
-      pinLocal(ivfUpdate(train, ivfAssign(train, c))))
+      pinLocal(ivfLloydRound(train, c)))
       .take(rounds + 1).toSeq
     (e, train, cents(rounds), cents(rounds - 1))
   }
@@ -2019,7 +2062,7 @@ object SimilarityOps {
       .join(e.select(col("id").as("cid"), col("qemb").as("cemb")),
         Seq("cid")))
     Iterator.iterate(c0)(c =>
-      pinLocal(ivfShardedUpdate(e, ivfShardedAssign(e, c))))
+      pinLocal(ivfShardedLloydRound(e, c)))
       .drop(rounds).next()
   }
 
