@@ -32,6 +32,15 @@ object Bench {
       // (one plausible mechanism behind round-11's "host weather"
       // outliers). See the same knob in Verify.
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // Bound the in-memory status store: 452 queries × 2 runs ≈ 3k
+      // jobs / 10k stages of listener state otherwise accumulate all
+      // run long (UI is off, but the AppStatus store still collects) —
+      // dead driver heap that the tail queries pay for in GC. Same
+      // bounded-state discipline as the periodicGC knob above.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.sql.ui.retainedExecutions", "50")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -28,6 +28,13 @@ object Verify {
       // seconds isolated). One minute keeps the store bounded for
       // ~100 ms/GC — invisible next to per-query times.
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // Bounded status store — same rationale as in Bench: the UI is
+      // off but the AppStatus listener still retains per-job/stage
+      // state for all 452 queries, dead heap the tail pays for in GC.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.sql.ui.retainedExecutions", "50")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
