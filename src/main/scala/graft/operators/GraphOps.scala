@@ -186,8 +186,14 @@ object GraphOps {
     // |V| as a driver scalar (the sanctioned 1-row collect class):
     // the former broadcast(1-row agg) re-ran a count job and built a
     // fresh broadcast exchange in EVERY iteration's checkpointed plan.
-    val nv = nodes.select(col(nodeCol).as("node"))
+    val nv0 = nodes.select(col(nodeCol).as("node"))
       .agg(count(lit(1)).cast("double")).head.getDouble(0)
+    // Empty-graph guard: with zero nodes every downstream table is
+    // empty and the divisor is never observed by any ROW — but as a
+    // literal it would CONSTANT-FOLD to an ANSI divide-by-zero at
+    // analysis time (the column form only ever divided on actual
+    // rows). 1.0 is value-neutral: no row exists to read it.
+    val nv = if (nv0 == 0.0) 1.0 else nv0
     // node-sized tables each iteration re-reads: materialize ONCE
     // (the same lineage-cut discipline as the rank table itself).
     val nd = nodes.select(col(nodeCol).as("node")).localCheckpoint(true)
