@@ -168,20 +168,26 @@ object Bench {
       val s = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP)
       s.bigDecimal.toPlainString
     }
+    // FULL query names in the stdout line: the driver joins these keys
+    // against its own query list to build the per-query PERF comparison
+    // — truncated keys ("q452" for q452_ivf_dial_sweep) can never join
+    // and left PERF_r*.per_query empty for 13 rounds. Full names at
+    // 1 dp for the top 40 fit in ~1300 chars, inside the harness's
+    // ~2000-char stdout tail window; the full-precision full map stays
+    // in target/bench_detail.json.
     def compactLine(dp: Int, topN: Int): String = {
       val qs = results.toSeq.sortBy(-_._2).take(topN).map { case (k, v) =>
-        val key = k.takeWhile(_ != '_')
-        s"\"" + key + "\":" + fmt(v, dp)
+        s"\"" + k + "\":" + fmt(v, dp)
       }.mkString("{", ",", "}")
       // retimed outliers ride the stdout line too (few or none): a
       // reader of the contract line sees the weather flag directly
       val rt = retimed.map { case (k, v) =>
-        s"\"" + k.takeWhile(_ != '_') + "\":" + fmt(v, dp)
+        s"\"" + k + "\":" + fmt(v, dp)
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, dp)},"unit":"sec","n_queries":${results.size},"queries":$qs,"retimed":$rt,"sf":"$sfDir"}"""
     }
-    val line2 = compactLine(2, 40)
-    println(if (line2.length <= 1800) line2 else compactLine(1, 25))
+    val line1 = compactLine(1, 40)
+    println(if (line1.length <= 1800) line1 else compactLine(1, 22))
     spark.stop()
   }
 }

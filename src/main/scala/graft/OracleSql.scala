@@ -10472,10 +10472,10 @@ object OracleSql {
         |  CAST(max(c) AS BIGINT) AS max_count
         |FROM o GROUP BY octave ORDER BY octave""".stripMargin,
 
-    // (q448's oracle removed with its round-13 demotion to IvfSpec —
-    // the fixed-4-bit comparison point is superseded by q452's dial
-    // table; ivfShardedCtes/ivfShardedAnnTail stay, shared by
-    // q441/q453.)
+    "q448_ivf_sharded_ann" ->
+      s"""WITH ${ivfShardedCtes("4",
+           "greatest(2, (1 << (bits // 2 + 1)) // 4)")},
+         |${ivfShardedAnnTail(2, 5)}""".stripMargin,
 
     "q449_ivf_sharded_recall" ->
       s"""WITH ${ivfShardedCtes("greatest(2, bits - 4)", "8")},

@@ -4735,13 +4735,23 @@ object SparkEntry {
           "doc_id", "text", 5)
         .orderBy("octave")),
 
-    // (q448, the fixed-4-bit IMI comparison point, was DEMOTED to a
-    // unit fixture in round 13: q452's 21-row dial table carries both
-    // flat reference rows and the swept sharded dials — the comparison
-    // q448 existed to make — and q441 ships the winning dials. Its
-    // exact dial composition stays pinned in IvfSpec ("the demoted
-    // q448 composition…"), the round-9 exact-baseline-demotion
-    // precedent.)
+    // L385 — SHARDED trained-IVF ANN (the IMI-style 100 TB layout of
+    // q441): 4 leading sign bits partition the corpus into 16 shards,
+    // each shard trains its OWN exact-integer codebook, and every
+    // assignment/probe is an equi-join on the shard id — the flat
+    // form's n·kCent broadcast sweep becomes n·kcPerShard with a
+    // bounded per-shard codebook at any corpus size. Search is
+    // shard-local (the standard IMI recall trade, measured per corpus
+    // the q444 way). (Demoted to an IvfSpec fixture by r12's VERDICT,
+    // restored in round 14: a declared query may not drop between
+    // rounds. The IvfSpec checksum pin stays as a second guard.)
+    "q448_ivf_sharded_ann" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val kc = math.max(2,
+        (1 << (SimilarityOps.adaptiveSignBits(emb) / 2 + 1)) / 4)
+      SimilarityOps.ivfAnnTopKSharded(emb, "vec_id", "embedding", 5, kc)
+        .orderBy("vec_id", "neighbor_id")
+    }),
 
     // L386 — measured recall certificate for the SHARDED trained
     // quantizer (the IMI shard-locality trade the round-10 sharded ANN
