@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.GraftExpr
+
+import graft.functions.{CellIndex, NearestCells}
 
 /** Vector-similarity operators: brute-force cosine top-k (the exact
   * baseline), sign-bucketed IVF ANN (the scale path), and
@@ -1771,27 +1774,67 @@ object SimilarityOps {
       .select(explode(col("__top")).as("t"))
       .select(col("t.id").as("cid"))
 
-  /** Nearest-centroid assignment: one broadcast of the ≤kCent-row
-    * codebook onto the corpus (BroadcastNestedLoopJoin — n·kCent
-    * distance rows, never a shuffle of the corpus), exact integer
-    * squared-L2, argmin as min(struct(dist, cid)) — a hash agg with a
-    * deterministic (dist, cid) tiebreak, no window.
+  /** Collect a codebook DataFrame (flat `(cid, cemb)` or sharded
+    * `(shard, cid, cemb)`; ≤2^16 rows by the hard-capped width
+    * schedule) into a driver-pinned [[CellIndex]]. Every internal
+    * caller passes a [[pinLocal]]'d LocalRelation, so the collect is a
+    * driver-local read, not a job — the same sanctioned bounded class
+    * as pinLocal itself. Flat codebooks key every cell under shard 0.
+    */
+  private def cellIndexOf(cent: DataFrame, k: Int): CellIndex = {
+    val sel =
+      if (cent.columns.contains("shard"))
+        cent.select(col("shard").cast("long"), col("cid"), col("cemb"))
+      else cent.select(lit(0L), col("cid"), col("cemb"))
+    val rows = sel.collect().map { r =>
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getSeq[Long](2).toArray)
+    }
+    CellIndex.build(rows, k)
+  }
+
+  /** Column form of [[CellIndex.nearest]] — the r14 map-only argmin
+    * (guide §2.4): per input row, the k nearest own-shard cells of the
+    * pinned codebook, ordered (dist ASC NULLS FIRST, cid ASC); empty
+    * array for an unknown/null shard. Replaces the
+    * broadcast-join + groupBy(id) argmin/TopK chain — one Exchange and
+    * one hash aggregate REMOVED per assignment, probe stage and Lloyd
+    * round, with bit-identical rows (NearestCellsSpec).
+    */
+  private def nearestCells(idx: CellIndex, shard: Column,
+                           qemb: Column): Column =
+    GraftExpr.column(NearestCells(
+      GraftExpr.expression(shard.cast("long")),
+      GraftExpr.expression(qemb), idx))
+
+  /** Nearest-centroid assignment, map-only: the codebook is already
+    * driver-pinned, so the argmin runs per corpus row inside
+    * whole-stage codegen (no broadcast join, no groupBy(id) Exchange).
+    * Ranking/NULL semantics identical to the replaced
+    * min(struct(dist, cid)) chain; the null-cid filter drops rows
+    * exactly where the old inner join dropped them (empty codebook).
     */
   private def ivfAssign(e: DataFrame, cent: DataFrame): DataFrame =
-    e.select(col("id"), col("qemb")).crossJoin(broadcast(cent))
-      .withColumn("__d", expr("graft_sqdist(qemb, cemb)"))
-      .groupBy(col("id"))
-      .agg(min(struct(col("__d"), col("cid"))).as("__m"))
-      .select(col("id"), col("__m.cid").as("cid"))
+    e.select(col("id"),
+        get(nearestCells(cellIndexOf(cent, 1), lit(0L), col("qemb")),
+          lit(0)).as("cid"))
+      .filter(col("cid").isNotNull)
 
-  /** Lloyd update: per-(cell, dim) BIGINT sums + exact floor division
-    * (s − pmod(s, c)) div c — identical in any engine, unlike float
-    * means or truncating/flooring `/` disagreements. Cells that lost
-    * every member simply drop out of the codebook (standard k-means
-    * attrition; deterministic, mirrored by the oracle).
+  /** One fused Lloyd round: map-only nearest-cell argmin
+    * ([[nearestCells]] over the pinned codebook — no broadcast join,
+    * no per-id Exchange) feeding the per-(cell, dim) BIGINT-sum update
+    * with exact floor division (s − pmod(s, c)) div c — identical in
+    * any engine, unlike float means or truncating/flooring `/`
+    * disagreements. Cells that lost every member simply drop out of
+    * the codebook (standard k-means attrition; deterministic, mirrored
+    * by the oracle).
     */
-  private def ivfUpdate(e: DataFrame, assigned: DataFrame): DataFrame =
-    assigned.join(e.select(col("id"), col("qemb")), "id")
+  private def ivfLloydRound(train: DataFrame, c: DataFrame): DataFrame =
+    train.select(
+        get(nearestCells(cellIndexOf(c, 1), lit(0L), col("qemb")),
+          lit(0)).as("cid"),
+        col("qemb"))
+      .filter(col("cid").isNotNull)
       .select(col("cid"), posexplode(col("qemb")).as(Seq("dim", "v")))
       .groupBy(col("cid"), col("dim"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
@@ -1800,39 +1843,16 @@ object SimilarityOps {
       .agg(expr("transform(array_sort(collect_list(struct(dim, val))), " +
         "p -> p.val)").as("cemb"))
 
-  /** One fused Lloyd round: nearest-cell argmin AND the centroid
-    * update in a single chain — `first(qemb)` rides the per-id argmin
-    * agg (qemb is functionally dependent on id, so the value is
-    * deterministic), which removes [[ivfUpdate]]'s join-back shuffle
-    * of the training slice from EVERY round (guide §2.4; identical
-    * rows by construction).
-    */
-  private def ivfLloydRound(train: DataFrame, c: DataFrame): DataFrame =
-    train.select(col("id"), col("qemb")).crossJoin(broadcast(c))
-      .withColumn("__d", expr("graft_sqdist(qemb, cemb)"))
-      .groupBy(col("id"))
-      .agg(min(struct(col("__d"), col("cid"))).as("__m"),
-        first(col("qemb")).as("qemb"))
-      .select(col("__m.cid").as("cid"),
-        posexplode(col("qemb")).as(Seq("dim", "v")))
-      .groupBy(col("cid"), col("dim"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
-      .withColumn("val", expr("(s - pmod(s, c)) DIV c"))
-      .groupBy(col("cid"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, val))), " +
-        "p -> p.val)").as("cemb"))
-
-  /** Sharded twin of [[ivfLloydRound]]: shard-local argmin via the
-    * broadcast equi-join on the shard id, update fused in-plan.
+  /** Sharded twin of [[ivfLloydRound]]: shard-local map-only argmin,
+    * update fused in-plan.
     */
   private def ivfShardedLloydRound(e: DataFrame, c: DataFrame): DataFrame =
-    e.select(col("id"), col("shard"), col("qemb"))
-      .join(broadcast(c), Seq("shard"))
-      .withColumn("__d", shardQdist)
-      .groupBy(col("id"))
-      .agg(min(struct(col("__d"), col("cid"))).as("__m"),
-        first(col("shard")).as("shard"), first(col("qemb")).as("qemb"))
-      .select(col("__m.cid").as("cid"), col("shard"),
+    e.select(
+        get(nearestCells(cellIndexOf(c, 1), col("shard"), col("qemb")),
+          lit(0)).as("cid"),
+        col("shard"), col("qemb"))
+      .filter(col("cid").isNotNull)
+      .select(col("cid"), col("shard"),
         posexplode(col("qemb")).as(Seq("dim", "v")))
       .groupBy(col("cid"), col("dim"))
       .agg(min(col("shard")).as("shard"), sum(col("v")).as("s"),
@@ -1941,21 +1961,19 @@ object SimilarityOps {
   def ivfAnnTopK(df: DataFrame, idCol: String, embCol: String, k: Int,
                  kCent: Int, nprobe: Int = 2, rounds: Int = 2): DataFrame = {
     val (e, _, cFinal, _) = ivfFit(df, idCol, embCol, kCent, rounds)
-    val home = ivfAssign(e, cFinal)
-    val probes = e.select(col("id"), col("qemb"))
-      .crossJoin(broadcast(cFinal))
-      .withColumn("__d", expr("graft_sqdist(qemb, cemb)"))
-      .groupBy(col("id"))
-      .agg(graft.functions.TopKAggregator.topK(nprobe,
-        -col("__d").cast("double"), col("cid")).as("__top"))
-      .select(col("id"), explode(col("__top")).as("t"))
-      .select(col("id"), col("t.id").as("cid"))
-    val a = probes.join(e, "id")
-      .select(col("id").as("vec_id"), col("emb").as("a_emb"),
-        col("nrm").as("a_nrm"), col("cid"))
-    val b = home.join(e, "id")
-      .select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
-        col("nrm").as("b_nrm"), col("cid"))
+    // probe list / home assignment AND payload in ONE map-only
+    // projection each over the pinned codebook (was: broadcast sweep +
+    // TopKAggregator/argmin groupBy(id) + join-back per side — two
+    // Exchanges and two joins removed; same (d ASC, cid ASC) order)
+    val a = e.select(col("id").as("vec_id"), col("emb").as("a_emb"),
+      col("nrm").as("a_nrm"),
+      explode(nearestCells(cellIndexOf(cFinal, nprobe), lit(0L),
+        col("qemb"))).as("cid"))
+    val b = e.select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"),
+        get(nearestCells(cellIndexOf(cFinal, 1), lit(0L), col("qemb")),
+          lit(0)).as("cid"))
+      .filter(col("cid").isNotNull)
     val pairs = a.join(b, "cid")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
@@ -2002,35 +2020,19 @@ object SimilarityOps {
     */
   private val shardQdist = expr("graft_sqdist(qemb, cemb)")
 
-  /** Shard-local nearest-cell assignment: each vector compares ONLY
-    * against its own shard's ≤kcPerShard centroids (broadcast of the
-    * bounded codebook, equi-join on shard — n·kcPerShard distance
-    * rows), argmin as the deterministic min(struct(d, cid)).
+  /** Shard-local nearest-cell assignment, map-only: each vector
+    * compares ONLY against its own shard's ≤kcPerShard centroids in
+    * the pinned codebook ([[nearestCells]] — no broadcast join, no
+    * per-id Exchange); argmin ranking identical to the replaced
+    * min(struct(d, cid)), and the null-cid filter drops rows exactly
+    * where the old inner equi-join on `shard` dropped them (a shard
+    * with no codebook entry).
     */
   private def ivfShardedAssign(e: DataFrame, cent: DataFrame): DataFrame =
-    e.select(col("id"), col("shard"), col("qemb"))
-      .join(broadcast(cent), Seq("shard"))
-      .withColumn("__d", shardQdist)
-      .groupBy(col("id"))
-      .agg(min(struct(col("__d"), col("cid"))).as("__m"))
-      .select(col("id"), col("__m.cid").as("cid"))
-
-  /** Shard-local Lloyd update — the [[ivfUpdate]] math with the shard
-    * id carried through (min(shard) is exact: every member of a cell
-    * is in the seed's shard by construction).
-    */
-  private def ivfShardedUpdate(e: DataFrame, assigned: DataFrame): DataFrame =
-    assigned.join(e.select(col("id"), col("shard"), col("qemb")), "id")
-      .select(col("cid"), col("shard"),
-        posexplode(col("qemb")).as(Seq("dim", "v")))
-      .groupBy(col("cid"), col("dim"))
-      .agg(min(col("shard")).as("shard"), sum(col("v")).as("s"),
-        count(lit(1)).as("c"))
-      .withColumn("val", expr("(s - pmod(s, c)) DIV c"))
-      .groupBy(col("cid"))
-      .agg(min(col("shard")).as("shard"),
-        expr("transform(array_sort(collect_list(struct(dim, val))), " +
-          "p -> p.val)").as("cemb"))
+    e.select(col("id"),
+        get(nearestCells(cellIndexOf(cent, 1), col("shard"),
+          col("qemb")), lit(0)).as("cid"))
+      .filter(col("cid").isNotNull)
 
   /** Train the per-shard codebooks: per-shard md5 seeds (bounded
     * TopKAggregator) + `rounds` shard-local exact Lloyd rounds.
@@ -2066,19 +2068,16 @@ object SimilarityOps {
       .drop(rounds).next()
   }
 
-  /** Per-vector `nprobe` nearest own-shard cells (bounded
-    * TopKAggregator over the shard-local distance rows).
+  /** Per-vector `nprobe` nearest own-shard cells — map-only
+    * [[nearestCells]] over the pinned codebook + explode (was a
+    * broadcast join + TopKAggregator groupBy(id): one Exchange and one
+    * hash aggregate removed; same (d ASC, cid ASC) order).
     */
   private def ivfShardedProbes(e: DataFrame, cFinal: DataFrame,
                                nprobe: Int): DataFrame =
-    e.select(col("id"), col("shard"), col("qemb"))
-      .join(broadcast(cFinal), Seq("shard"))
-      .withColumn("__d", shardQdist)
-      .groupBy(col("id"))
-      .agg(graft.functions.TopKAggregator.topK(nprobe,
-        -col("__d").cast("double"), col("cid")).as("__top"))
-      .select(col("id"), explode(col("__top")).as("t"))
-      .select(col("id"), col("t.id").as("cid"))
+    e.select(col("id"),
+      explode(nearestCells(cellIndexOf(cFinal, nprobe), col("shard"),
+        col("qemb"))).as("cid"))
 
   /** Frozen-index sharded SEARCH core: route each query row of `q` (a
     * sharded signature table — same shape as `e`) to its `nprobe`
@@ -2096,10 +2095,13 @@ object SimilarityOps {
   private[graft] def ivfShardedSearch(q: DataFrame, e: DataFrame,
                                       home: DataFrame, cFinal: DataFrame,
                                       nprobe: Int, k: Int): DataFrame = {
-    val probes = ivfShardedProbes(q, cFinal, nprobe)
-    val a = probes.join(q, "id")
-      .select(col("id").as("vec_id"), col("emb").as("a_emb"),
-        col("nrm").as("a_nrm"), col("cid"))
+    // probe list AND payload in ONE map-only projection: the probes
+    // come from the pinned-codebook kernel, so the old
+    // probes-join-back-to-q shuffle is vestigial (r14, guide §2.4)
+    val a = q.select(col("id").as("vec_id"), col("emb").as("a_emb"),
+      col("nrm").as("a_nrm"),
+      explode(nearestCells(cellIndexOf(cFinal, nprobe), col("shard"),
+        col("qemb"))).as("cid"))
     val b = home.join(e, "id")
       .select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
         col("nrm").as("b_nrm"), col("cid"))
@@ -2197,8 +2199,12 @@ object SimilarityOps {
                           cFinal: DataFrame, shardBits: Int,
                           nprobe: Int, k: Int): DataFrame = {
     val q = shardQuantized(requests, idCol, embCol, shardBits)
-    val probes = ivfShardedProbes(q, cFinal, nprobe)
-      .join(q.select(col("id"), col("shard")), "id")
+    // probe list, shard AND payload in one map-only projection (the
+    // pinned-codebook kernel; no join-back — r14, guide §2.4)
+    val probes = q.select(col("id"), col("shard"), col("emb"),
+        col("nrm"),
+        explode(nearestCells(cellIndexOf(cFinal, nprobe), col("shard"),
+          col("qemb"))).as("cid"))
       .withColumn("pcell", concat_ws("_", col("shard"), col("cid")))
     val cells = probes.select("pcell").distinct()
       .collect().map(_.getString(0)).toSeq
@@ -2284,25 +2290,23 @@ object SimilarityOps {
                             rounds: Int = 2): DataFrame = {
     val (e, cFinal) = ivfShardedFit(df, idCol, embCol, kcPerShard,
       rounds, shardBits)
-    val home = ivfShardedAssign(e, cFinal)
     val q = e.filter(pmod(col("id"), lit(sampleMod)) === 0)
       .localCheckpoint(false)
     val exact = selectTopK(pairSim(q, e), k)
       .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
-    val pq = q.select(col("id"), col("shard"), col("qemb"))
-      .join(broadcast(cFinal), Seq("shard"))
-      .withColumn("__d", shardQdist)
-      .groupBy(col("id"))
-      .agg(graft.functions.TopKAggregator.topK(3,
-        -col("__d").cast("double"), col("cid")).as("__top"))
-      .select(col("id"), posexplode(col("__top")).as(Seq("__p", "t")))
-      .select(col("id").as("vec_id"), col("t.id").as("cid"),
-        (col("__p") + 1).cast("long").as("pr"))
-    val a = pq.join(q.select(col("id").as("vec_id"),
-      col("emb").as("a_emb"), col("nrm").as("a_nrm")), Seq("vec_id"))
-    val b = home.join(e, "id")
-      .select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
-        col("nrm").as("b_nrm"), col("cid"))
+    // probe ranks / home assignment AND payload in one map-only
+    // projection per side (pinned-codebook kernel; the old join-backs
+    // were vestiges of the groupBy(id) form — r14, guide §2.4)
+    val a = q.select(col("id").as("vec_id"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm"),
+        posexplode(nearestCells(cellIndexOf(cFinal, 3), col("shard"),
+          col("qemb"))).as(Seq("__p", "cid")))
+      .withColumn("pr", (col("__p") + 1).cast("long"))
+    val b = e.select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"),
+        get(nearestCells(cellIndexOf(cFinal, 1), col("shard"),
+          col("qemb")), lit(0)).as("cid"))
+      .filter(col("cid").isNotNull)
     val cand = a.join(b, "cid")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
@@ -2342,23 +2346,22 @@ object SimilarityOps {
     * its minimum probe rank `pr` and cosine. localCheckpointed — the
     * per-nprobe recall filters AND q450's candidate counts read it.
     */
-  private def ivfProbeCands(q: DataFrame, e: DataFrame, home: DataFrame,
+  private def ivfProbeCands(q: DataFrame, e: DataFrame,
                             cFinal: DataFrame,
                             maxProbe: Int = 3): DataFrame = {
-    val pq = q.select(col("id"), col("qemb"))
-      .crossJoin(broadcast(cFinal))
-      .withColumn("__d", expr("graft_sqdist(qemb, cemb)"))
-      .groupBy(col("id"))
-      .agg(graft.functions.TopKAggregator.topK(maxProbe,
-        -col("__d").cast("double"), col("cid")).as("__top"))
-      .select(col("id"), posexplode(col("__top")).as(Seq("__p", "t")))
-      .select(col("id").as("vec_id"), col("t.id").as("cid"),
-        (col("__p") + 1).cast("long").as("pr"))
-    val a = pq.join(q.select(col("id").as("vec_id"),
-      col("emb").as("a_emb"), col("nrm").as("a_nrm")), Seq("vec_id"))
-    val b = home.join(e, "id")
-      .select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
-        col("nrm").as("b_nrm"), col("cid"))
+    // probe ranks / home assignment AND payload in one map-only
+    // projection per side over the pinned codebook — no groupBy(id),
+    // no join-backs (r14, guide §2.4)
+    val a = q.select(col("id").as("vec_id"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm"),
+        posexplode(nearestCells(cellIndexOf(cFinal, maxProbe), lit(0L),
+          col("qemb"))).as(Seq("__p", "cid")))
+      .withColumn("pr", (col("__p") + 1).cast("long"))
+    val b = e.select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"),
+        get(nearestCells(cellIndexOf(cFinal, 1), lit(0L), col("qemb")),
+          lit(0)).as("cid"))
+      .filter(col("cid").isNotNull)
     a.join(b, "cid")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
@@ -2376,22 +2379,20 @@ object SimilarityOps {
     * and candidate counts all read it.
     */
   private def ivfShardedProbeCands(q: DataFrame, e: DataFrame,
-                                   home: DataFrame, cFinal: DataFrame,
+                                   cFinal: DataFrame,
                                    maxProbe: Int): DataFrame = {
-    val pq = q.select(col("id"), col("shard"), col("qemb"))
-      .join(broadcast(cFinal), Seq("shard"))
-      .withColumn("__d", shardQdist)
-      .groupBy(col("id"))
-      .agg(graft.functions.TopKAggregator.topK(maxProbe,
-        -col("__d").cast("double"), col("cid")).as("__top"))
-      .select(col("id"), posexplode(col("__top")).as(Seq("__p", "t")))
-      .select(col("id").as("vec_id"), col("t.id").as("cid"),
-        (col("__p") + 1).cast("long").as("pr"))
-    val a = pq.join(q.select(col("id").as("vec_id"),
-      col("emb").as("a_emb"), col("nrm").as("a_nrm")), Seq("vec_id"))
-    val b = home.join(e, "id")
-      .select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
-        col("nrm").as("b_nrm"), col("cid"))
+    // same map-only probe/assign projections as [[ivfProbeCands]],
+    // shard-local
+    val a = q.select(col("id").as("vec_id"), col("emb").as("a_emb"),
+        col("nrm").as("a_nrm"),
+        posexplode(nearestCells(cellIndexOf(cFinal, maxProbe),
+          col("shard"), col("qemb"))).as(Seq("__p", "cid")))
+      .withColumn("pr", (col("__p") + 1).cast("long"))
+    val b = e.select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"),
+        get(nearestCells(cellIndexOf(cFinal, 1), col("shard"),
+          col("qemb")), lit(0)).as("cid"))
+      .filter(col("cid").isNotNull)
     a.join(b, "cid")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
@@ -2411,13 +2412,12 @@ object SimilarityOps {
     // exact side still read the whole corpus.
     val (e, _, cFinal, _) = ivfFit(df, idCol, embCol, kCent, rounds,
       trainMod)
-    val home = ivfAssign(e, cFinal)
     val q = e.filter(pmod(col("id"), lit(sampleMod)) === 0)
       .localCheckpoint(false)
     val exact = selectTopK(pairSim(q, e), k)
       .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
     // three nprobe filters read the shared candidate table.
-    val cand = ivfProbeCands(q, e, home, cFinal)
+    val cand = ivfProbeCands(q, e, cFinal)
     val ann = Seq(1, 2, 3).map { lvl =>
       selectTopK(cand.filter(col("pr") <= lvl)
           .select(col("vec_id"), col("neighbor_id"), col("sim")), k)
@@ -2482,9 +2482,8 @@ object SimilarityOps {
     // trained-IVF side at the SAME cell count (kCent = 2^bits), over
     // the same dev slice
     val (e, _, cFinal, _) = ivfFit(dev, idCol, embCol, 1 << bits, 2)
-    val home = ivfAssign(e, cFinal)
     val qi = e.filter(pmod(col("id"), lit(sampleMod)) === 0)
-    val ivfCand = ivfProbeCands(qi, e, home, cFinal)
+    val ivfCand = ivfProbeCands(qi, e, cFinal)
     val nq = qs.agg(count(lit(1)).as("__nq"))
     // ONE plan, not 12 per-level jobs: per method, the tagged per-level
     // top-k lists union into a single (method, setting) hits agg, and
@@ -2608,7 +2607,7 @@ object SimilarityOps {
       flatTrainMod)
     val qf = ef.filter(pmod(col("id"), lit(sampleMod)) === 0)
     val flatRows = dialRows(
-      ivfProbeCands(qf, ef, ivfAssign(ef, cf), cf, 3),
+      ivfProbeCands(qf, ef, cf, 3),
       exact, k, Seq(1, 2, 3), "flat", 0, flatKc)
     // sharded grid: one shardQuantized scan per shard level, one
     // trained codebook per (shardBits, kcPerShard)
@@ -2619,8 +2618,7 @@ object SimilarityOps {
       kc <- kcs
     } yield {
       val cs = ivfShardedFitOn(es, kc, 2)
-      val cand = ivfShardedProbeCands(qsAll, es,
-        ivfShardedAssign(es, cs), cs, nprobes.max)
+      val cand = ivfShardedProbeCands(qsAll, es, cs, nprobes.max)
       dialRows(cand, exact, k, nprobes, "sharded", sb, kc)
     }
     (flatRows +: shardRows).reduce(_ unionAll _)
