@@ -1554,13 +1554,21 @@ object DedupOps {
     val ids = df.select(col(idCol).as("a"), md5(col(textCol)).as("__h"))
     val exact = ids.join(ids.select(col("a").as("b"), col("__h")), "__h")
       .filter(col("a") < col("b")).select(col("a"), col("b"))
-    val sh = shingles(df, idCol, textCol)
-    val cand = minhashCandidates(
-      minhashSignature(sh, idCol, 4, 2), idCol, 4, 2)
-    val arr = sh.groupBy(col(idCol))
+    // ONE shingle derivation feeds both detectors (r14, guide §6 "read
+    // once"): the per-doc set-array table is materialized first, and
+    // the MinHash signature re-derives the (id, shingle) stream by
+    // exploding the CHECKPOINTED arrays — set-identical to the direct
+    // shingle scan (shingles() is distinct per doc, collect_set keeps
+    // the set; the signature's per-slice min is order-independent) —
+    // instead of re-running split/transform/explode/distinct over the
+    // corpus a second time.
+    val arr = shingles(df, idCol, textCol).groupBy(col(idCol))
       .agg(collect_set(col("shingle")).as("__arr"))
       .withColumn("__n", size(col("__arr")).cast("long"))
       .localCheckpoint(false)
+    val sh = arr.select(col(idCol), explode(col("__arr")).as("shingle"))
+    val cand = minhashCandidates(
+      minhashSignature(sh, idCol, 4, 2), idCol, 4, 2)
     val mh = cand
       .join(arr.select(col(idCol).as("doc_a"), col("__arr").as("__aa"),
         col("__n").as("__na")), "doc_a")
@@ -1810,6 +1818,12 @@ object DedupOps {
           s"transform(sequence(0, size(t) - $n), " +
             s"i -> unhex(md5(concat_ws(' ', $grams))))")).as(Seq("pos", "s")))
         .localCheckpoint(false)
+      // NOT checkpointed by choice (r14 A/B): materializing keeper and
+      // red to avoid their double evaluation (keeper feeds the join +
+      // its own count; red feeds the island window + docs_affected)
+      // REGRESSED the rung 4.1 → 6.6 s at sf0.1 — the per-checkpoint
+      // AQE stage-materialization jobs and block writes cost more than
+      // the saved re-aggregation from the pos checkpoint.
       val keeper = pos.groupBy(col("s"))
         .agg(min(struct(col(idCol), col("pos"))).as("__k"),
           count(lit(1)).as("__c"))
