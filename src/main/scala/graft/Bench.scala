@@ -18,29 +18,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // keep localCheckpoint blocks from piling up across 449 queries:
-      // the ContextCleaner only frees them after a full GC, and the
-      // default 30-min periodic GC never fires inside one bench run —
-      // accumulated blocks turn the tail queries into eviction storms
-      // (one plausible mechanism behind round-11's "host weather"
-      // outliers). See the same knob in Verify.
-      .config("spark.cleaner.periodicGC.interval", "1min")
-      // Bound the in-memory status store: 452 queries × 2 runs ≈ 3k
-      // jobs / 10k stages of listener state otherwise accumulate all
-      // run long (UI is off, but the AppStatus store still collects) —
-      // dead driver heap that the tail queries pay for in GC. Same
-      // bounded-state discipline as the periodicGC knob above.
-      .config("spark.ui.retainedJobs", "100")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "1000")
-      .config("spark.sql.ui.retainedExecutions", "50")
+    // Shared session config lives in graft.Sessions (one builder for
+    // all driver-contract mains — ADVICE r13); the 8 MB split size is
+    // Bench-specific (tracks the SF so single-file tables split across
+    // cores; at cluster scale the 128 MB default is right).
+    val spark = Sessions.bounded(Sessions.builder(cpus)
+        .config("spark.sql.files.maxPartitionBytes", "8m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Floor profiler (guide §1): decomposes a query's bench time into
   * driver-side plan construction+analysis vs execution, and measures
@@ -19,14 +18,10 @@ object Profile {
         "q13_dict_encode", "q15_const_prune", "q22_sessionize",
         "q49_percentiles", "q62_tfidf", "q108_tpch_q1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.files.maxPartitionBytes", "8m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.cleaner.periodicGC.interval", "1min")
+    // Same session as Bench (via the shared graft.Sessions builder) so
+    // the numbers are comparable.
+    val spark = Sessions.bounded(Sessions.builder(cpus)
+        .config("spark.sql.files.maxPartitionBytes", "8m"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def drain(df: org.apache.spark.sql.DataFrame): Unit =

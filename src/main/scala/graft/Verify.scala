@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
@@ -12,30 +11,9 @@ object Verify {
     require(only.subsetOf(SparkEntry.queries.keySet),
       s"unknown queries: ${(only -- SparkEntry.queries.keySet).mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      // localCheckpoint blocks are reclaimed by the ContextCleaner only
-      // after their RDD is GARBAGE-COLLECTED; the default periodic-GC
-      // interval (30 min) is longer than this whole run, so on a big
-      // heap no full GC ever fires naturally and 400+ queries of
-      // checkpoint blocks pile up in the block manager — the tail
-      // queries then crawl through eviction storms (measured: the
-      // checkpoint-heavy q449-q453 tail took minutes in a full run vs
-      // seconds isolated). One minute keeps the store bounded for
-      // ~100 ms/GC — invisible next to per-query times.
-      .config("spark.cleaner.periodicGC.interval", "1min")
-      // Bounded status store — same rationale as in Bench: the UI is
-      // off but the AppStatus listener still retains per-job/stage
-      // state for all 452 queries, dead heap the tail pays for in GC.
-      .config("spark.ui.retainedJobs", "100")
-      .config("spark.ui.retainedStages", "100")
-      .config("spark.ui.retainedTasks", "1000")
-      .config("spark.sql.ui.retainedExecutions", "50")
-      .getOrCreate()
+    // Shared session config (incl. the periodicGC + status-store
+    // bounds with their rationale) lives in graft.Sessions.
+    val spark = Sessions.bounded(Sessions.builder(cpus)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -31,6 +31,10 @@ class TopKAggregator(k: Int)
   extends Aggregator[TopKAggregator.In, TopKAggregator.Buf, Seq[TopKAggregator.Out]] {
   import TopKAggregator.{In, Out, Buf}
 
+  // k = 0 would index buf.scores(-1) on the first row (the r13 array
+  // buffer); fail at construction with a message instead (ADVICE r13).
+  require(k > 0, s"TopKAggregator needs k > 0, got $k")
+
   override def zero: Buf = new Buf(0, new Array[Double](k), new Array[Long](k))
 
   // Double.compare, not >: NaN must order as greater-than-everything
