@@ -1793,6 +1793,24 @@ object SimilarityOps {
     CellIndex.build(rows, k)
   }
 
+  /** Construct independent sub-plan families from a small driver pool
+    * so their blocking collect/localCheckpoint jobs overlap instead of
+    * serializing (guide §2.6: "2-3 jobs in flight is plenty" — enough
+    * to fill each job's scheduling tail, not enough to fight for
+    * cores). Deterministic: tasks are pure functions and the returned
+    * Seq preserves task order; a task failure rethrows at the await.
+    */
+  private def runConcurrently(tasks: Seq[() => DataFrame]): Seq[DataFrame] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      tasks.map(t => scala.concurrent.Future(t()))
+        .map(f => scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   /** Column form of [[CellIndex.nearest]] — the r14 map-only argmin
     * (guide §2.4): per input row, the k nearest own-shard cells of the
     * pinned codebook, ordered (dist ASC NULLS FIRST, cid ASC); empty
@@ -2470,20 +2488,33 @@ object SimilarityOps {
     val dev = if (devMod <= 1) df
       else df.filter(pmod(md5U(col(idCol)), lit(devMod)) === 0)
     val bits = adaptiveSignBits(dev)
-    // sign-bucket side: signature, sample, shared exact ground truth
-    val n = normalized(dev, idCol, embCol)
-      .withColumn("bucket", signBucket(bits))
-      .localCheckpoint(false)
-    val qs = n.filter(pmod(col("id"), lit(sampleMod)) === 0)
-    val exact = selectTopK(pairSim(qs, n), k)
-      .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
-      .localCheckpoint(false)
-    val signCand = signProbeCands(qs, n, bits)
-    // trained-IVF side at the SAME cell count (kCent = 2^bits), over
-    // the same dev slice
-    val (e, _, cFinal, _) = ivfFit(dev, idCol, embCol, 1 << bits, 2)
-    val qi = e.filter(pmod(col("id"), lit(sampleMod)) === 0)
-    val ivfCand = ivfProbeCands(qi, e, cFinal)
+    // The sign-bucket side (signature, sample, shared exact ground
+    // truth) and the trained-IVF side (Lloyd fit at the SAME cell
+    // count kCent = 2^bits, over the same dev slice) are independent
+    // sub-plan families whose checkpoints/collects block the driver —
+    // build them concurrently (guide §2.6, the ivfDialSweep pattern;
+    // both sides are deterministic pure functions of dev).
+    var signSide: (DataFrame, DataFrame, DataFrame) = null
+    var ivfCand: DataFrame = null
+    runConcurrently(Seq(
+      () => {
+        val n = normalized(dev, idCol, embCol)
+          .withColumn("bucket", signBucket(bits))
+          .localCheckpoint(false)
+        val qs = n.filter(pmod(col("id"), lit(sampleMod)) === 0)
+        val exact = selectTopK(pairSim(qs, n), k)
+          .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
+          .localCheckpoint(false)
+        signSide = (qs, exact, signProbeCands(qs, n, bits))
+        exact
+      },
+      () => {
+        val (e, _, cFinal, _) = ivfFit(dev, idCol, embCol, 1 << bits, 2)
+        val qi = e.filter(pmod(col("id"), lit(sampleMod)) === 0)
+        ivfCand = ivfProbeCands(qi, e, cFinal)
+        ivfCand
+      }))
+    val (qs, exact, signCand) = signSide
     val nq = qs.agg(count(lit(1)).as("__nq"))
     // ONE plan, not 12 per-level jobs: per method, the tagged per-level
     // top-k lists union into a single (method, setting) hits agg, and
@@ -2602,26 +2633,36 @@ object SimilarityOps {
       .select(col("vec_id"), col("neighbor_id"), lit(1L).as("__e"))
       .localCheckpoint(false)
     val nq = qn.agg(count(lit(1)).as("__nq"))
-    // flat reference at q444's geometry, q440's sampled trainer
-    val (ef, _, cf, _) = ivfFit(df, idCol, embCol, flatKc, 2,
-      flatTrainMod)
-    val qf = ef.filter(pmod(col("id"), lit(sampleMod)) === 0)
-    val flatRows = dialRows(
-      ivfProbeCands(qf, ef, cf, 3),
-      exact, k, Seq(1, 2, 3), "flat", 0, flatKc)
-    // sharded grid: one shardQuantized scan per shard level, one
-    // trained codebook per (shardBits, kcPerShard)
-    val shardRows = for {
-      sb <- shardBitsList
-      es = shardQuantized(df, idCol, embCol, sb)
-      qsAll = es.filter(pmod(col("id"), lit(sampleMod)) === 0)
+    // The flat reference and every (shardBits, kcPerShard) dial train
+    // and checkpoint INDEPENDENT sub-plans, but each one's Lloyd
+    // collects and candidate-table checkpoints are driver-BLOCKING
+    // jobs — built sequentially they serialize ~7 dials of
+    // job-scheduling latency. Build them from a small driver pool
+    // (guide §2.6 overlap independent jobs): results are unchanged
+    // (each dial is a deterministic pure function of df and its dials;
+    // the union order below is fixed by the task list, and the output
+    // is orderBy'd anyway). One shardQuantized scan per shard level,
+    // one trained codebook per (shardBits, kcPerShard), as before.
+    val shardLevels = shardBitsList.map { sb =>
+      val es = shardQuantized(df, idCol, embCol, sb)
+      (sb, es, es.filter(pmod(col("id"), lit(sampleMod)) === 0))
+    }
+    val flatTask: () => DataFrame = () => {
+      val (ef, _, cf, _) = ivfFit(df, idCol, embCol, flatKc, 2,
+        flatTrainMod)
+      val qf = ef.filter(pmod(col("id"), lit(sampleMod)) === 0)
+      dialRows(ivfProbeCands(qf, ef, cf, 3),
+        exact, k, Seq(1, 2, 3), "flat", 0, flatKc)
+    }
+    val shardTasks: Seq[() => DataFrame] = for {
+      (sb, es, qsAll) <- shardLevels
       kc <- kcs
-    } yield {
+    } yield { () =>
       val cs = ivfShardedFitOn(es, kc, 2)
       val cand = ivfShardedProbeCands(qsAll, es, cs, nprobes.max)
       dialRows(cand, exact, k, nprobes, "sharded", sb, kc)
     }
-    (flatRows +: shardRows).reduce(_ unionAll _)
+    runConcurrently(flatTask +: shardTasks).reduce(_ unionAll _)
       .crossJoin(broadcast(nq))
       .select(col("layout"), col("shard_bits"), col("kc"),
         col("nprobe"), col("__nq").as("n_queries"),
