@@ -311,6 +311,14 @@ object ExperimentOps {
     // the nearest double to the exact decimal value = what the
     // oracle's CAST(DECIMAL AS DOUBLE) yields, so the rounded-double
     // outputs are bit-identical.
+    // Guard (ADVICE r13): the engine runs ANSI mode (Spark 4 default,
+    // unchanged by any owned session), so a |round(val,4)| beyond the
+    // decimal(28,4)→long range ERRORS instead of silently nulling the
+    // row, and the sum bound above scales ∝ n — it reaches the 2^53
+    // double-exactness margin only past ~1e9 rows PER GROUP at this
+    // value domain, where the group count (5 here) would have to stay
+    // fixed while the corpus grows ×10⁴; revisit the scale factor in
+    // the bound if that domain ever changes.
     val base = df.select(col(groupCol).as("__g"),
       col(idCol).cast("string").as("__id"),
       (round(col(valCol).cast("double"), 4).cast("decimal(28,4)") *
