@@ -1793,23 +1793,11 @@ object SimilarityOps {
     CellIndex.build(rows, k)
   }
 
-  /** Construct independent sub-plan families from a small driver pool
-    * so their blocking collect/localCheckpoint jobs overlap instead of
-    * serializing (guide §2.6: "2-3 jobs in flight is plenty" — enough
-    * to fill each job's scheduling tail, not enough to fight for
-    * cores). Deterministic: tasks are pure functions and the returned
-    * Seq preserves task order; a task failure rethrows at the await.
+  /** See [[Concurrent.construct]] — overlapped construction of
+    * independent sub-plan families (guide §2.6).
     */
-  private def runConcurrently(tasks: Seq[() => DataFrame]): Seq[DataFrame] = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    try {
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      tasks.map(t => scala.concurrent.Future(t()))
-        .map(f => scala.concurrent.Await.result(
-          f, scala.concurrent.duration.Duration.Inf))
-    } finally pool.shutdown()
-  }
+  private def runConcurrently(tasks: Seq[() => DataFrame]): Seq[DataFrame] =
+    Concurrent.construct(tasks)
 
   /** Column form of [[CellIndex.nearest]] — the r14 map-only argmin
     * (guide §2.4): per input row, the k nearest own-shard cells of the
@@ -2112,7 +2100,24 @@ object SimilarityOps {
     */
   private[graft] def ivfShardedSearch(q: DataFrame, e: DataFrame,
                                       home: DataFrame, cFinal: DataFrame,
-                                      nprobe: Int, k: Int): DataFrame = {
+                                      nprobe: Int, k: Int): DataFrame =
+    // the serving shape keeps its FROZEN home-assignment table (a real
+    // index artifact, e.g. read back from storage), joined to the
+    // payload once
+    ivfShardedSearchOn(q,
+      home.join(e, "id")
+        .select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
+          col("nrm").as("b_nrm"), col("cid")),
+      cFinal, nprobe, k)
+
+  /** The search tail over a prebuilt candidate index side `b`
+    * (neighbor_id, b_emb, b_nrm, cid): map-only probe projection on
+    * the query side, equi-join on the cell id, exact double cosine,
+    * bounded top-k.
+    */
+  private def ivfShardedSearchOn(q: DataFrame, b: DataFrame,
+                                 cFinal: DataFrame,
+                                 nprobe: Int, k: Int): DataFrame = {
     // probe list AND payload in ONE map-only projection: the probes
     // come from the pinned-codebook kernel, so the old
     // probes-join-back-to-q shuffle is vestigial (r14, guide §2.4)
@@ -2120,9 +2125,6 @@ object SimilarityOps {
       col("nrm").as("a_nrm"),
       explode(nearestCells(cellIndexOf(cFinal, nprobe), col("shard"),
         col("qemb"))).as("cid"))
-    val b = home.join(e, "id")
-      .select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
-        col("nrm").as("b_nrm"), col("cid"))
     val pairs = a.join(b, "cid")
       .filter(col("vec_id") =!= col("neighbor_id"))
       .withColumn("sim", dot("a_emb", "b_emb") / (col("a_nrm") * col("b_nrm")))
@@ -2135,8 +2137,17 @@ object SimilarityOps {
                         rounds: Int = 2, shardBits: Int = 4): DataFrame = {
     val (e, cFinal) = ivfShardedFit(df, idCol, embCol, kcPerShard,
       rounds, shardBits)
-    val home = ivfShardedAssign(e, cFinal)
-    ivfShardedSearch(e, e, home, cFinal, nprobe, k)
+    // full-corpus ANN trains and searches in one plan, so the home
+    // assignment folds into the index-side projection map-only (the
+    // ivfProbeCands b-side shape) — one self-join of the signature
+    // checkpoint removed; the serving twin (q453) keeps the frozen
+    // home table through [[ivfShardedSearch]] by design.
+    val b = e.select(col("id").as("neighbor_id"), col("emb").as("b_emb"),
+        col("nrm").as("b_nrm"),
+        get(nearestCells(cellIndexOf(cFinal, 1), col("shard"),
+          col("qemb")), lit(0)).as("cid"))
+      .filter(col("cid").isNotNull)
+    ivfShardedSearchOn(e, b, cFinal, nprobe, k)
   }
 
   /** Declared serving twin of the sharded STREAMING recall path
