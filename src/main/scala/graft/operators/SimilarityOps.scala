@@ -2093,7 +2093,8 @@ object SimilarityOps {
     * recall layer runs per request micro-batch: per query the cost is
     * kcPerShard distance rows (route) + nprobe bounded cells
     * (candidates) — independent of corpus size. Shared by the
-    * full-corpus ANN (q441: q = e; the demoted q448 fixture in IvfSpec), the declared serving twin
+    * full-corpus ANN (q441/q448 via [[ivfShardedSearchOn]]'s folded
+    * index side: q = e), the declared serving twin
     * ([[ivfServeSharded]], q453) and the streaming micro-batch spec
     * (StreamingIvfServeSpec drives THIS function per micro-batch and
     * pins parity against the batch result).
